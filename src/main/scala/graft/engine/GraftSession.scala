@@ -1,0 +1,72 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
+
+/** Session factory for the graft engine.
+  *
+  * Mirrors the reference's server bootstrap (MyScaleDB registers search
+  * functions + storage at startup; see
+  * `/root/reference/src/Functions/registerFunctions.cpp:9-15`): here we
+  * install our Catalyst extensions and register SQL-visible functions on
+  * an existing or new SparkSession.
+  */
+object GraftSession {
+
+  /** Extensions installer — usable via
+    * `.config("spark.sql.extensions", "graft.engine.GraftExtensions")`.
+    */
+  def builder(cores: Int = 32): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+
+  /** Register everything onto a session created elsewhere (e.g. the
+    * driver's Verify/Bench sessions, which we don't construct).
+    */
+  def install(spark: SparkSession): SparkSession = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    spark
+  }
+}
+
+/** SparkSessionExtensions entry point: injects the top-K search rewrite
+  * (reference: `ORDER BY distance(...) LIMIT k` is recognized and turned
+  * into an index/brute top-K scan, `/root/reference/src/Interpreters/
+  * ExpressionAnalyzer.cpp:216-240`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(spark => graft.plans.TopKSearchRewrite(spark))
+  }
+}
+
+/** Table loading over the driver-provided parquet layout. */
+object Tables {
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.types.LongType
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events` carries nanosecond timestamps, which Spark's parquet reader
+    * rejects; sessions set `spark.sql.legacy.parquet.nanosAsLong` and this
+    * loader restores `ts` to TIMESTAMP_NTZ at microsecond precision
+    * (integer division — never a double cast, which would lose precision
+    * above 2^53 ns).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = t(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      case _ => df
+    }
+  }
+}

@@ -1,0 +1,144 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** ClickHouse aggregate functions with no Spark native equivalent
+  * (SURVEY §2.5): windowFunnel, sequenceMatch, retention — implemented as
+  * typed `Aggregator[IN, BUF, OUT]` with map-side partial merge — plus the
+  * exponentialTimeDecayed* window family (§2.6) via an algebraic rewrite
+  * that keeps them as ordinary running-sum window aggregates.
+  *
+  * Reference registrations: `/root/reference/src/AggregateFunctions/
+  * registerAggregateFunctions.cpp:35-36` (sequenceMatch, windowFunnel),
+  * `:37` (retention); window family `/root/reference/src/Processors/
+  * Transforms/WindowTransform.cpp:2509-2537`.
+  */
+object Aggregates {
+
+  type Ev = (Double, Int) // (timestamp seconds, condition index)
+
+  /** windowFunnel(window)(ts, cond1..condN): max level L such that a chain
+    * e1..eL exists with non-decreasing timestamps, e_i matching cond_i,
+    * and ts(eL) - ts(e1) <= window.
+    *
+    * Greedy over time-sorted events keeping, per level, the LATEST viable
+    * chain-start timestamp (maximizes remaining window slack — equivalent
+    * to the exists-chain semantics above). Events tie-broken by condition
+    * index so equal-timestamp chains resolve in pattern order.
+    */
+  private[graft] def funnelLevel(
+      events: List[Ev], windowSeconds: Double, nConds: Int): Int = {
+    val sorted = events.sortBy(e => (e._1, e._2))
+    val start = Array.fill[Double](nConds)(Double.NaN)
+    sorted.foreach { case (ts, idx) =>
+      if (idx == 0) {
+        start(0) = ts // latest start dominates
+      } else if (idx < nConds && !start(idx - 1).isNaN &&
+          ts - start(idx - 1) <= windowSeconds) {
+        val cand = start(idx - 1)
+        if (start(idx).isNaN || cand > start(idx)) start(idx) = cand
+      }
+    }
+    var lvl = 0
+    while (lvl < nConds && !start(lvl).isNaN) lvl += 1
+    lvl
+  }
+
+  /** Column form: windowFunnel(3600)(tsSeconds, cond1, cond2, ...). */
+  def windowFunnel(windowSeconds: Double)(tsSeconds: Column, conds: Column*): Column = {
+    val n = conds.size
+    val agg = new Aggregator[(Double, Int), List[Ev], Int] {
+      override def zero: List[Ev] = Nil
+      override def reduce(b: List[Ev], a: (Double, Int)) =
+        if (a._2 >= 0) a :: b else b
+      override def merge(a: List[Ev], b: List[Ev]) = a ::: b
+      override def finish(b: List[Ev]): Int = funnelLevel(b, windowSeconds, n)
+      override def bufferEncoder: Encoder[List[Ev]] = Encoders.kryo[List[Ev]]
+      override def outputEncoder: Encoder[Int] = Encoders.scalaInt
+    }
+    val fn = udaf(agg)
+    // condition index = first matching condition, -1 if none (row skipped)
+    val idx = conds.zipWithIndex.reverse
+      .foldLeft(lit(-1)) { case (acc, (c, i)) => when(c, lit(i)).otherwise(acc) }
+    fn(tsSeconds, idx)
+  }
+
+  /** sequenceMatch('(?1).*(?2)...'): true iff events matching each
+    * condition occur in pattern order (non-decreasing time, any gaps) —
+    * the `.*`-joined subset of the reference's pattern language.
+    */
+  def sequenceMatch(tsSeconds: Column, conds: Column*): Column = {
+    val n = conds.size
+    val agg = new Aggregator[(Double, Int), List[Ev], Boolean] {
+      override def zero: List[Ev] = Nil
+      override def reduce(b: List[Ev], a: (Double, Int)) =
+        if (a._2 >= 0) a :: b else b
+      override def merge(a: List[Ev], b: List[Ev]) = a ::: b
+      override def finish(events: List[Ev]): Boolean = {
+        val sorted = events.sortBy(e => (e._1, e._2))
+        var ptr = 0
+        sorted.foreach { case (_, idx) =>
+          if (ptr < n && idx == ptr) ptr += 1
+        }
+        ptr == n
+      }
+      override def bufferEncoder: Encoder[List[Ev]] = Encoders.kryo[List[Ev]]
+      override def outputEncoder: Encoder[Boolean] = Encoders.scalaBoolean
+    }
+    val fn = udaf(agg)
+    val idx = conds.zipWithIndex.reverse
+      .foldLeft(lit(-1)) { case (acc, (c, i)) => when(c, lit(i)).otherwise(acc) }
+    fn(tsSeconds, idx)
+  }
+
+  /** retention(cond1..condN): array r with r(0) = cond1 ever held;
+    * r(i) = cond1 && cond_i — aggregate per entity, then sum the flags
+    * (reference AggregateFunctionRetention).
+    */
+  def retentionFlags(conds: Column*): Seq[Column] = {
+    val evers = conds.map(c => max(when(c, 1).otherwise(0)))
+    evers.zipWithIndex.map {
+      case (e, 0) => e
+      case (e, _) => least(evers.head, e)
+    }
+  }
+
+  /** exponentialTimeDecayedSum(decay)(v, t): Σ v_i * exp(-(t_now - t_i)/decay)
+    * over the ordered frame up to the current row
+    * (reference WindowTransform.cpp:2509).
+    *
+    * Algebraic rewrite: exp(-(t-t_i)/λ) = exp(-(t-t0)/λ) * exp((t_i-t0)/λ)
+    * with t0 = per-partition min time (numerical anchor), so the decayed
+    * sum becomes an ordinary cumulative sum — no per-frame rescan,
+    * scale-safe. Valid while (t_max - t0)/λ stays within double range
+    * (~700), i.e. partitions spanning ≲ 700 decay constants.
+    */
+  def withExpTimeDecayedSum(
+      df: org.apache.spark.sql.DataFrame,
+      outName: String,
+      decaySeconds: Double,
+      value: Column,
+      tsSeconds: Column,
+      partitionBy: Seq[Column],
+      orderBy: Seq[Column]): org.apache.spark.sql.DataFrame = {
+    val wPart = Window.partitionBy(partitionBy: _*)
+    val wOrd = Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__t0", min(tsSeconds).over(wPart))
+      .withColumn("__wv", value * exp((tsSeconds - col("__t0")) / decaySeconds))
+      .withColumn(outName,
+        exp(-(tsSeconds - col("__t0")) / decaySeconds) * sum(col("__wv")).over(wOrd))
+      .drop("__t0", "__wv")
+  }
+
+  /** nonNegativeDerivative(value, ts): max(0, Δvalue/Δt-seconds) w.r.t.
+    * the previous row in the window order.
+    */
+  def nonNegativeDerivative(value: Column, tsSeconds: Column, w: WindowSpec): Column = {
+    val dv = value - lag(value, 1).over(w)
+    val dt = tsSeconds - lag(tsSeconds, 1).over(w)
+    when(dt > 0 && dv > 0, dv / dt).otherwise(lit(0.0))
+  }
+}

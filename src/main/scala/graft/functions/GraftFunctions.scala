@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+import org.apache.spark.sql.types.{ArrayType, FloatType}
+
+/** SQL-visible function registry — the graft analogue of the reference's
+  * function factory self-registration
+  * (`/root/reference/src/Functions/registerFunctions.cpp:9-15`).
+  *
+  * Registers the vector-distance family under both Spark-style and
+  * ClickHouse-style names so `spark.sql("SELECT l2_distance(a, b)")` and
+  * `L2Distance(a, b)` both resolve.
+  */
+object GraftFunctions {
+
+  private def dist(m: Metric.Value)(es: Seq[Expression]): Expression =
+    VectorDistance(Cast(es(0), ArrayType(FloatType)), Cast(es(1), ArrayType(FloatType)), m)
+
+  private val scalar: Map[String, Seq[Expression] => Expression] = Map(
+    "l2_distance"        -> dist(Metric.L2) _,
+    "l2distance"         -> dist(Metric.L2) _,
+    "l2_squared_distance" -> dist(Metric.L2Squared) _,
+    "l2squareddistance"  -> dist(Metric.L2Squared) _,
+    "l1_distance"        -> dist(Metric.L1) _,
+    "l1distance"         -> dist(Metric.L1) _,
+    "linf_distance"      -> dist(Metric.Linf) _,
+    "linfdistance"       -> dist(Metric.Linf) _,
+    "cosine_distance"    -> dist(Metric.Cosine) _,
+    "cosinedistance"     -> dist(Metric.Cosine) _,
+    "ip_distance"        -> dist(Metric.IP) _,
+    "dot_product"        -> dist(Metric.Dot) _,
+    "dotproduct"         -> dist(Metric.Dot) _,
+    "hamming_distance"   -> ((es: Seq[Expression]) => BinaryVectorDistance(es(0), es(1), jaccard = false)),
+    "jaccard_distance"   -> ((es: Seq[Expression]) => BinaryVectorDistance(es(0), es(1), jaccard = true)),
+  )
+
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    scalar.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+}

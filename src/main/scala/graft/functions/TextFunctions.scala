@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the document pipeline.
+  *
+  * Tokenization mirrors the reference's FTS default tokenizer (Tantivy's
+  * `SimpleTokenizer`: split on non-alphanumeric, lowercase — see
+  * `/root/reference/src/Storages/MergeTree/TantivyIndexStore.cpp` usage of
+  * the default analyzer). Everything here is built from codegen'd Spark
+  * built-ins (no Scala UDFs) so it stays inside whole-stage codegen and is
+  * exactly mirror-able in the DuckDB oracle.
+  */
+object text {
+
+  /** Lowercased alphanumeric tokens; empty tokens dropped. */
+  def tokenize(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** Token count (post-tokenization). */
+  def tokenCount(c: Column): Column = size(tokenize(c))
+
+  /** Word n-gram shingles of a token array. */
+  def shingles(tokens: Column, n: Int): Column =
+    filter(
+      transform(tokens, (_, i) =>
+        when(i <= size(tokens) - n,
+          array_join(slice(tokens, i + lit(1), lit(n)), " "))),
+      s => s.isNotNull)
+
+  /** English stopword ratio — the language-ID heuristic signal. */
+  val englishStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that",
+        "on", "for", "with", "as", "was", "at", "by")
+
+  def stopwordRatio(c: Column): Column = {
+    val toks = tokenize(c)
+    val sw = filter(toks, t => t.isin(englishStopwords.map(lit(_)): _*))
+    when(size(toks) > 0, size(sw).cast("double") / size(toks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** n-gram-heuristic language ID: stopword density → en / unknown. */
+  def langId(c: Column): Column =
+    when(stopwordRatio(c) >= 0.03, lit("en")).otherwise(lit("unknown"))
+
+  /** Quality score in [0,1]: blend of length, alpha ratio and stopword
+    * presence (the usual pretraining-corpus heuristics).
+    */
+  def qualityScore(c: Column): Column = {
+    val nChars = length(c).cast("double")
+    val lenScore = least(nChars / lit(500.0), lit(1.0))
+    val alphaRatio = when(nChars > 0,
+      length(regexp_replace(c, "[^A-Za-z ]", "")).cast("double") / nChars)
+      .otherwise(lit(0.0))
+    val sw = least(stopwordRatio(c) * lit(10.0), lit(1.0))
+    round(lenScore * lit(0.4) + alphaRatio * lit(0.4) + sw * lit(0.2), 4)
+  }
+
+  /** Exact-dedup document fingerprint: md5 of whitespace-normalized
+    * lowercased text (DuckDB-mirrorable for the oracle).
+    */
+  def fingerprint(c: Column): Column =
+    md5(regexp_replace(trim(lower(c)), "\\s+", " "))
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ASOF JOIN — `a ASOF [LEFT] JOIN b ON a.k = b.k AND a.t >= b.t`: each
+  * left row picks the right row with the greatest `t` not exceeding the
+  * left row's `t` (reference: `/root/reference/src/Interpreters/
+  * HashJoin.cpp:267-273,665` — ASOF and LEFT ASOF only, inequality on the
+  * last key).
+  *
+  * Implementation: the union trick, not a range join. Tag both sides,
+  * union, sort within key by (time, side), and carry the right side's
+  * payload forward with `last(..., ignoreNulls)`. One shuffle on the key,
+  * no row explosion — each (key) partition is processed in one ordered
+  * pass, which survives 100 TB where a `t >= t'` theta-join would not.
+  */
+object AsOfJoin {
+
+  /** @param rightPayload right-side columns to attach (name → column)
+    * @param inner drop left rows with no match (ASOF JOIN) vs keep with
+    *              nulls (ASOF LEFT JOIN)
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: Column,
+      rightKey: Column,
+      leftTime: Column,
+      rightTime: Column,
+      rightPayload: Seq[(String, Column)],
+      inner: Boolean = true): DataFrame = {
+
+    val payloadNames = rightPayload.map(_._1)
+    val leftCols = left.columns.toSeq
+
+    val l = left
+      .withColumn("__k", leftKey)
+      .withColumn("__t", leftTime)
+      .withColumn("__side", lit(1))
+    val lWithNulls = payloadNames.foldLeft(l) { case (df, n) =>
+      df.withColumn(n, lit(null))
+    }
+
+    var r = right
+      .withColumn("__k", rightKey)
+      .withColumn("__t", rightTime)
+      .withColumn("__side", lit(0))
+    rightPayload.foreach { case (n, c) => r = r.withColumn(n, c) }
+    val rSlim = r.select(
+      (Seq("__k", "__t", "__side") ++ payloadNames).map(col) ++
+        leftCols.map(c => lit(null).as(c)): _*)
+
+    val unioned = lWithNulls
+      .select((Seq("__k", "__t", "__side") ++ payloadNames ++ leftCols).map(col): _*)
+      .unionByName(rSlim)
+
+    // Right rows sort before left rows at equal time → `t >= t'` is
+    // inclusive, matching the reference's ASOF >= semantics.
+    val w = Window
+      .partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = payloadNames.foldLeft(unioned) { case (df, n) =>
+      df.withColumn(n, last(col(n), ignoreNulls = true).over(w))
+    }
+
+    val result = carried
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ payloadNames.map(col): _*)
+
+    if (inner) result.filter(payloadNames.map(n => col(n).isNotNull).reduce(_ || _))
+    else result
+  }
+}

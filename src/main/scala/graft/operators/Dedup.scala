@@ -1,0 +1,224 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.text
+
+/** Deduplication suite for the training-data pipeline: exact, MinHash-LSH,
+  * SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * All variants are pure DataFrame pipelines with map-side-combinable
+  * aggregations; candidate generation never cross-joins the full corpus —
+  * pairs meet only inside a band/bucket join (the LSH property), which is
+  * what keeps them viable at 100 TB.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical row = min id per normalized-text fingerprint.
+    * One hash-shuffle on the 16-byte fingerprint, not the document text.
+    */
+  def exactDedup(df: DataFrame, textCol: Column, idCol: Column): DataFrame = {
+    val w = Window.partitionBy(text.fingerprint(textCol)).orderBy(idCol.asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact duplicate groups: fingerprint → group size + canonical id. */
+  def duplicateGroups(df: DataFrame, textCol: Column, idCol: Column): DataFrame =
+    df.groupBy(text.fingerprint(textCol).as("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"), min(idCol).as("canonical_id"))
+
+  /** Exact word n-gram Jaccard similarity pairs (id_a < id_b, sim >= minSim).
+    *
+    * Shape: explode distinct shingles → self-join on shingle (only
+    * matching shingles meet) → per-pair intersection counts → Jaccard via
+    * |A|+|B|-|A∩B|. The shingle join key is hashed to 8 bytes so the
+    * shuffle carries longs, not strings.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      textCol: Column,
+      idCol: Column,
+      n: Int = 3,
+      minSim: Double = 0.5): DataFrame = {
+    val toks = text.tokenize(textCol)
+    val sh = df
+      .select(idCol.as("id"), explode(array_distinct(text.shingles(toks, n))).as("sh"))
+      .select(col("id"), xxhash64(col("sh")).as("shash"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), col("a.shash") === col("b.shash") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(broadcast(sizes).as("sa"), col("id_a") === col("sa.id"))
+      .join(broadcast(sizes).as("sb"), col("id_b") === col("sb.id"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sa.n_sh") + col("sb.n_sh") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minSim)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash signature as an array<bigint> column: numPerm independent
+    * hash functions h_i(s) = xxhash64(i, shingle), min over shingles.
+    */
+  def minhashSignature(textCol: Column, n: Int = 3, numPerm: Int = 64): Column = {
+    // Permutations operate on the 8-byte base hash of each shingle, not
+    // the shingle string: one string hash per shingle, then numPerm cheap
+    // long-hashes — and the shingle set is built once, not per-perm.
+    val baseHashes = transform(
+      array_distinct(text.shingles(text.tokenize(textCol), n)), s => xxhash64(s))
+    val perms = sequence(lit(0), lit(numPerm - 1))
+    transform(perms, i => array_min(transform(baseHashes, h => xxhash64(i, h))))
+  }
+
+  /** MinHash + LSH banding: docs sharing ≥1 band bucket become candidate
+    * pairs; estimated Jaccard = fraction of matching minhashes.
+    * numPerm = bands * rowsPerBand.
+    */
+  def minhashLshPairs(
+      df: DataFrame,
+      textCol: Column,
+      idCol: Column,
+      n: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      minEstSim: Double = 0.5): DataFrame = {
+    val numPerm = bands * rowsPerBand
+    // Materialize tokenize→shingle→base-hash stepwise so each stage is
+    // evaluated once per row (a single nested expression would re-derive
+    // the shingle pipeline for every one of the numPerm lambdas).
+    val perms = sequence(lit(0), lit(numPerm - 1))
+    val sigs = df
+      .select(idCol.as("id"),
+        array_distinct(text.shingles(text.tokenize(textCol), n)).as("__sh"))
+      .select(col("id"), transform(col("__sh"), s => xxhash64(s)).as("__shh"))
+      .select(col("id"),
+        transform(perms, i => array_min(transform(col("__shh"), h => xxhash64(i, h))))
+          .as("sig"))
+      .persist()
+    val banded = sigs.select(
+      col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)), b))))
+      .withColumnRenamed("col", "bucket")
+      .withColumnRenamed("pos", "band")
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          b => b)).cast("double") / lit(numPerm.toDouble))
+      .filter(col("est_jaccard") >= minEstSim)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** 64-bit SimHash of the token multiset: per bit j, sum +1/-1 over token
+    * hashes; bit set iff the sum is positive. Computed entirely with
+    * higher-order functions (stays in codegen, no UDF, no explode).
+    */
+  def simhash(textCol: Column): Column = {
+    val toks = text.tokenize(textCol)
+    val counts = aggregate(
+      toks,
+      array_repeat(lit(0), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (a, j) => a + when(call_function("shiftright", h, j).bitwiseAND(1) === 1, 1).otherwise(-1))
+      })
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(63)),
+        (c, j) => when(c > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
+  }
+
+  /** SimHash near-dup candidate pairs: block on 16-bit chunks (a pair with
+    * Hamming distance ≤ 3 must agree on ≥1 of 4 chunks), verify with
+    * `bit_count(xor)`.
+    */
+  def simhashPairs(
+      df: DataFrame,
+      textCol: Column,
+      idCol: Column,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(idCol.as("id"), simhash(textCol).as("sig")).persist()
+    val chunked = sigs.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        c => call_function("shiftright", col("sig"), c * lit(16)).bitwiseAND(lit(0xffffL)))))
+      .withColumnRenamed("col", "chunk")
+      .withColumnRenamed("pos", "chunk_idx")
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk") === col("b.chunk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Embedding-cosine near-dup pairs. Exact all-pairs is quadratic — kept
+    * for oracle-checkable correctness at test scale; the scale path is
+    * [[lshCosinePairs]] (random-hyperplane LSH blocking).
+    */
+  def embeddingDupPairs(
+      df: DataFrame,
+      vecCol: Column,
+      idCol: Column,
+      minCosSim: Double): DataFrame = {
+    val a = df.select(idCol.as("id_a"), vecCol.as("__va"))
+    val b = df.select(idCol.as("id_b"), vecCol.as("__vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos_sim",
+        lit(1.0f) - graft.functions.distances.cosineDistance(col("__va"), col("__vb")))
+      .filter(col("cos_sim") >= minCosSim)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+
+  /** Scale path for embedding near-dup: sign of r random hyperplane
+    * projections → bucket; pairs meet only within a bucket. Recall is
+    * tunable via number of hash tables (repeat with different seeds).
+    */
+  def lshCosinePairs(
+      df: DataFrame,
+      vecCol: Column,
+      idCol: Column,
+      minCosSim: Double,
+      nPlanes: Int = 12,
+      nTables: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val dim = df.select(size(vecCol)).head().getInt(0)
+    val tables = (0 until nTables).map { t =>
+      val planes = Array.fill(nPlanes, dim)(rnd.nextGaussian().toFloat)
+      val bucketBits = planes.zipWithIndex.map { case (p, i) =>
+        val proj = graft.functions.distances.dotProduct(vecCol, typedLit(p.toSeq))
+        when(proj > 0f, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      }.reduce[Column]((x, y) => x.bitwiseOR(y))
+      df.select(idCol.as("id"), vecCol.as("__v"),
+        bucketBits.as("bucket"), lit(t).as("table_id"))
+    }
+    val buckets = tables.reduce(_ unionAll _)
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.table_id") === col("b.table_id") &&
+          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.__v").as("__va"), col("b.__v").as("__vb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos_sim",
+        lit(1.0f) - graft.functions.distances.cosineDistance(col("__va"), col("__vb")))
+      .filter(col("cos_sim") >= minCosSim)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+}

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid (vector + text) search with score fusion — `hybridsearch()`
+  * in the reference (`/root/reference/src/VectorIndex/Utils/
+  * HybridSearchUtils.cpp`).
+  *
+  * Reference semantics mirrored exactly:
+  *  - each sub-search contributes `k * hybrid_search_top_k_multiple_base`
+  *    candidates (default base 3, `Settings.h:921`);
+  *  - **RSF** (`RelativeScoreFusion`, HybridSearchUtils.cpp:212-275):
+  *    min-max normalize each candidate list
+  *    (`computeNormalizedScore` :276-331; all-equal list → 1.0);
+  *    fused = norm_bm25 * w + norm_dist_term * (1-w), where the distance
+  *    term is flipped (`1 - norm`) for ascending metrics (L2/Cosine) and
+  *    taken as-is for descending (IP) — :265-270. Default w = 0.5
+  *    (`Settings.h:919`).
+  *  - **RRF** (`RankFusion`, :164-210): Σ 1/(fusion_k + rank), 1-based
+  *    rank within each list, default fusion_k = 60 (`Settings.h:920`).
+  *  - final result ordered by fused score descending, LIMIT k.
+  *
+  * Everything is plain DataFrame math over the two candidate frames: two
+  * scalar min/max aggregations + a full outer join on the row id — no
+  * shuffle of the underlying table.
+  */
+object HybridSearch {
+
+  val DefaultFusionWeight = 0.5 // Settings.h:919
+  val DefaultRrfK = 60          // Settings.h:920
+  val TopKMultipleBase = 3      // Settings.h:921
+
+  /** Relative-score fusion of a vector candidate list (id, dist) and a
+    * text candidate list (id, bm25). `distAscending` = metric ranks
+    * ascending (L2/Cosine); false for IP.
+    */
+  def rsf(
+      vecCandidates: DataFrame, // columns: id, dist
+      textCandidates: DataFrame, // columns: id, bm25
+      idCol: String,
+      distCol: String,
+      bm25Col: String,
+      k: Int,
+      fusionWeight: Double = DefaultFusionWeight,
+      distAscending: Boolean = true,
+      fusedName: String = "fused_score",
+      tieBreak: Seq[Column] = Nil): DataFrame = {
+
+    def normalized(df: DataFrame, c: String, outName: String): DataFrame = {
+      val Array(mn, mx) = df.agg(min(col(c)).cast("double"), max(col(c)).cast("double"))
+        .head().toSeq.map(_.asInstanceOf[Double]).toArray
+      // all-equal list → every normalized score is 1.0 (reference :299-304)
+      val norm =
+        if (mn == mx) lit(1.0)
+        else (col(c).cast("double") - lit(mn)) / lit(mx - mn)
+      df.withColumn(outName, norm)
+    }
+
+    val v = normalized(vecCandidates, distCol, "__norm_d")
+      .withColumn(
+        "__vec_term",
+        (if (distAscending) lit(1.0) - col("__norm_d") else col("__norm_d")) *
+          lit(1.0 - fusionWeight))
+      .select(col(idCol), col("__vec_term"))
+    val t = normalized(textCandidates, bm25Col, "__norm_b")
+      .withColumn("__text_term", col("__norm_b") * lit(fusionWeight))
+      .select(col(idCol), col("__text_term"))
+
+    v.join(t, Seq(idCol), "full_outer")
+      .withColumn(fusedName,
+        coalesce(col("__vec_term"), lit(0.0)) + coalesce(col("__text_term"), lit(0.0)))
+      .select(col(idCol), col(fusedName))
+      .orderBy(col(fusedName).desc +: tieBreak: _*)
+      .limit(k)
+  }
+
+  /** Reciprocal-rank fusion. Ranks are 1-based positions in each candidate
+    * list ordered by its own score (dist asc/desc per metric; bm25 desc).
+    */
+  def rrf(
+      vecCandidates: DataFrame,
+      textCandidates: DataFrame,
+      idCol: String,
+      distCol: String,
+      bm25Col: String,
+      k: Int,
+      rrfK: Int = DefaultRrfK,
+      distAscending: Boolean = true,
+      fusedName: String = "fused_score",
+      tieBreak: Seq[Column] = Nil): DataFrame = {
+
+    val vOrder = if (distAscending) col(distCol).asc else col(distCol).desc
+    val v = vecCandidates
+      .withColumn("__rank", row_number().over(Window.orderBy(vOrder, col(idCol))))
+      .select(col(idCol), (lit(1.0) / (lit(rrfK) + col("__rank"))).as("__vec_term"))
+    val t = textCandidates
+      .withColumn("__rank",
+        row_number().over(Window.orderBy(col(bm25Col).desc, col(idCol))))
+      .select(col(idCol), (lit(1.0) / (lit(rrfK) + col("__rank"))).as("__text_term"))
+
+    v.join(t, Seq(idCol), "full_outer")
+      .withColumn(fusedName,
+        coalesce(col("__vec_term"), lit(0.0)) + coalesce(col("__text_term"), lit(0.0)))
+      .select(col(idCol), col(fusedName))
+      .orderBy(col(fusedName).desc +: tieBreak: _*)
+      .limit(k)
+  }
+
+  /** `hybridsearch('fusion_type=...')(v, doc, qvec, qtext) ... LIMIT k`:
+    * runs both sub-searches over `df` (vector brute/IVF + BM25 text),
+    * fuses, and joins payload columns back for the final top-k rows.
+    */
+  def hybridSearch(
+      df: DataFrame,
+      idCol: String,
+      vecCol: Column,
+      textCol: Column,
+      qvec: Seq[Float],
+      qtext: String,
+      k: Int,
+      fusionType: String = "rsf",
+      metric: String = "cosine",
+      fusionWeight: Double = DefaultFusionWeight,
+      rrfK: Int = DefaultRrfK): DataFrame = {
+    val nCand = k * TopKMultipleBase
+    val distAsc = !metric.equalsIgnoreCase("ip")
+    val vecCand = VectorSearch
+      .topK(df, vecCol, qvec, nCand, metric, None, "dist", Seq(col(idCol)))
+      .select(col(idCol), col("dist"))
+    val textCand = TextSearch
+      .textSearch(df, textCol, qtext, nCand, "OR", "bm25_score", Seq(col(idCol)))
+      .select(col(idCol), col("bm25_score"))
+    val fused = fusionType.toLowerCase match {
+      case "rrf" =>
+        rrf(vecCand, textCand, idCol, "dist", "bm25_score", k, rrfK, distAsc,
+          "fused_score", Seq(col(idCol)))
+      case _ =>
+        rsf(vecCand, textCand, idCol, "dist", "bm25_score", k, fusionWeight,
+          distAsc, "fused_score", Seq(col(idCol)))
+    }
+    fused
+  }
+}

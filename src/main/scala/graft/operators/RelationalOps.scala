@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ClickHouse relational operators Spark lacks as first-class syntax:
+  * `LIMIT n BY cols` and `ORDER BY ... WITH FILL`.
+  */
+object RelationalOps {
+
+  /** `LIMIT n BY cols` (reference `/root/reference/src/Processors/
+    * QueryPlan/LimitByStep.cpp`): first n rows per group in the given
+    * order. Window + row_number — one shuffle on the group key.
+    */
+  def limitBy(df: DataFrame, n: Int, by: Seq[Column], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(by: _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n).drop("__rn")
+  }
+
+  /** `ORDER BY key WITH FILL FROM f TO t STEP s` over a date key
+    * (reference `/root/reference/src/Processors/Transforms/
+    * FillingTransform.cpp`): generate the dense series, left-join the
+    * data, fill value columns with a default.
+    *
+    * The generated series is a single small in-memory frame (explode of
+    * `sequence`) broadcast against the aggregated data — never against
+    * the raw fact table.
+    */
+  def withFillDays(
+      df: DataFrame,
+      dateCol: String,
+      from: java.sql.Date,
+      to: java.sql.Date,
+      fillDefaults: Seq[(String, Column)]): DataFrame = {
+    val spark = df.sparkSession
+    val series = spark
+      .range(1)
+      .select(explode(sequence(
+        lit(from), lit(to), expr("interval 1 day"))).as(dateCol))
+    val joined = series.join(df, Seq(dateCol), "left")
+    fillDefaults.foldLeft(joined) { case (d, (name, default)) =>
+      d.withColumn(name, coalesce(col(name), default))
+    }
+  }
+
+  /** `WITH FILL ... INTERPOLATE (col AS expr-of-prev)` — linear carry:
+    * missing rows take the previous present value (the reference's
+    * default interpolate carries the last value forward).
+    */
+  def interpolateLastOver(df: DataFrame, orderCol: Column, cols: Seq[String]): DataFrame = {
+    val w = Window.orderBy(orderCol).rowsBetween(Window.unboundedPreceding, 0)
+    cols.foldLeft(df) { case (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+  }
+
+  /** `GROUP BY ... WITH TOTALS` (reference `TotalsHavingStep.cpp`):
+    * grand-total row appended with null group keys — expressed as
+    * ROLLUP restricted to (full, grand-total) grouping sets.
+    */
+  def withTotals(
+      df: DataFrame,
+      groupCols: Seq[String],
+      aggs: Seq[Column]): DataFrame = {
+    val full = df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val total = df.groupBy().agg(aggs.head, aggs.tail: _*)
+    val totalWithKeys = groupCols.foldLeft(total) { case (d, c) =>
+      d.withColumn(c, lit(null))
+    }
+    full.unionByName(totalWithKeys.select(full.columns.map(col): _*))
+  }
+}

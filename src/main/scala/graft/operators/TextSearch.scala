@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.text
+
+/** BM25 full-text search — the `textsearch()` function and
+  * `full_text_search()` table function of the reference
+  * (`/root/reference/src/VectorIndex/Storages/MergeTreeTextSearchManager.cpp`,
+  * `TableFunctionFullTextSearch.cpp:110-141`).
+  *
+  * The reference computes BM25 against **table-global** statistics (all
+  * parts/shards): doc count, per-term doc-freq, total tokens — collected
+  * before the search and shipped to every node
+  * (`collectStatisticForBM25Calculation`, `CommonUtils.h:107`;
+  * `ReadWithHybridSearch.cpp:263-290`). Here the stats are one aggregation
+  * job whose (tiny, query-terms-only) result is broadcast into the scoring
+  * expression — global by construction.
+  *
+  * Scoring is Tantivy's BM25 (k1=1.2, b=0.75,
+  * idf = ln(1 + (N - df + 0.5) / (df + 0.5))).
+  */
+object TextSearch {
+
+  val K1 = 1.2
+  val B = 0.75
+
+  case class Bm25Stats(totalDocs: Long, avgDl: Double, docFreq: Map[String, Long])
+
+  def queryTerms(query: String): Seq[String] =
+    query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq
+
+  /** One pass over the corpus: N, avgdl, and df for the query terms only. */
+  def collectStats(df: DataFrame, textCol: Column, terms: Seq[String]): Bm25Stats = {
+    val toks = text.tokenize(textCol)
+    val dfAggs = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(array_contains(toks, t), 1L).otherwise(0L)).as(s"df_$i")
+    }
+    val allAggs = Seq(
+      count(lit(1)).as("n"),
+      avg(size(toks).cast("double")).as("avgdl")) ++ dfAggs
+    val row = df.agg(allAggs.head, allAggs.tail: _*).head()
+    Bm25Stats(
+      row.getAs[Long]("n"),
+      row.getAs[Double]("avgdl"),
+      terms.zipWithIndex.map { case (t, i) => t -> row.getAs[Long](s"df_$i") }.toMap)
+  }
+
+  /** BM25 score column for `query` given global stats. Pure built-in
+    * expressions (codegen'd): tf via a filtered token count, dl via token
+    * count; the per-term idf is a literal folded at plan time.
+    */
+  def bm25Score(textCol: Column, terms: Seq[String], stats: Bm25Stats): Column = {
+    val toks = text.tokenize(textCol)
+    val dl = size(toks).cast("double")
+    val perTerm = terms.map { t =>
+      val dfT = stats.docFreq.getOrElse(t, 0L)
+      if (dfT == 0L) lit(0.0)
+      else {
+        val idf = math.log(1.0 + (stats.totalDocs - dfT + 0.5) / (dfT + 0.5))
+        val tf = size(filter(toks, x => x === t)).cast("double")
+        lit(idf) * tf * (lit(K1) + 1.0) /
+          (tf + lit(K1) * (lit(1.0) - B + lit(B) * dl / stats.avgDl))
+      }
+    }
+    perTerm.reduceOption(_ + _).getOrElse(lit(0.0))
+  }
+
+  /** `textsearch(doc, 'query')` top-K with OR (any term) or AND (all
+    * terms) match, score exposed as `bm25_score` (reference param
+    * `operator=OR|AND`, `VSDescription.h:72-108`).
+    */
+  def textSearch(
+      df: DataFrame,
+      textCol: Column,
+      query: String,
+      k: Int,
+      operator: String = "OR",
+      scoreName: String = "bm25_score",
+      tieBreak: Seq[Column] = Nil): DataFrame = {
+    val terms = queryTerms(query)
+    val stats = collectStats(df, textCol, terms)
+    val toks = text.tokenize(textCol)
+    val matched = operator.toUpperCase match {
+      case "AND" => terms.map(t => array_contains(toks, t)).reduce(_ && _)
+      case _     => terms.map(t => array_contains(toks, t)).reduce(_ || _)
+    }
+    df.filter(matched)
+      .withColumn(scoreName, bm25Score(textCol, terms, stats))
+      .orderBy(col(scoreName).desc +: tieBreak: _*)
+      .limit(k)
+  }
+
+  /** The `full_text_search(table, query, ...)` table-valued function
+    * (`TableFunctionFullTextSearch.cpp:110-141`): returns the matching
+    * rows with `bm25_score`, optionally without the score column.
+    */
+  def fullTextSearch(
+      df: DataFrame,
+      textCol: Column,
+      query: String,
+      k: Int = 30,
+      withScore: Boolean = true,
+      operator: String = "OR",
+      tieBreak: Seq[Column] = Nil): DataFrame = {
+    val res = textSearch(df, textCol, query, k, operator, "bm25_score", tieBreak)
+    if (withScore) res else res.drop("bm25_score")
+  }
+}

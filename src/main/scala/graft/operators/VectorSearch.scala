@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.distances
+
+/** Vector top-K search — the `distance()` / `batch_distance()` surface of
+  * the reference (`/root/reference/src/VectorIndex/Storages/
+  * MergeTreeVSManager.cpp:278-335`; brute-force path `:381-410`).
+  *
+  * Semantics preserved:
+  *  - **Pre-filter**: WHERE is applied BEFORE the search so top-K is exact
+  *    under filters (`MergeTreeSelectWithHybridSearchProcessor::performPrefilter`,
+  *    `.h:117-129`). In DataFrame terms the filter simply precedes scoring —
+  *    Catalyst pushes it into the scan.
+  *  - **Top-K merge**: `orderBy(dist).limit(k)` lowers to Spark's
+  *    `TakeOrderedAndProject` = per-partition top-K + driver merge, the same
+  *    shape as the reference's per-part search + initiator merge. No full
+  *    sort, no shuffle of the scored data — this is the 100 TB-safe plan.
+  *  - **IP direction**: inner-product metric ranks descending
+  *    (`MergeTreeVSManager` sorts IP results descending).
+  */
+object VectorSearch {
+
+  val DefaultTopK = 30 // reference DEFAULT_TOPK, VICommon.h:170
+
+  def distCol(vecCol: Column, q: Seq[Float], metric: String): Column =
+    distances.distance(metric)(vecCol, typedLit(q))
+
+  private def isDescending(metric: String): Boolean =
+    metric.equalsIgnoreCase("ip") || metric.equalsIgnoreCase("dot")
+
+  /** Brute-force exact top-K. `tieBreak` columns make result order total. */
+  def topK(
+      df: DataFrame,
+      vecCol: Column,
+      q: Seq[Float],
+      k: Int = DefaultTopK,
+      metric: String = "l2",
+      preFilter: Option[Column] = None,
+      distName: String = "d",
+      tieBreak: Seq[Column] = Nil): DataFrame = {
+    val base = preFilter.map(df.filter).getOrElse(df)
+    val scored = base.withColumn(distName, distCol(vecCol, q, metric))
+    val dir = if (isDescending(metric)) col(distName).desc else col(distName).asc
+    scored.orderBy(dir +: tieBreak: _*).limit(k)
+  }
+
+  /** `batch_distance()`: several query vectors in one pass, per-query top-K
+    * (`LIMIT k BY query_idx` in the reference,
+    * `MergeTreeVSManager.cpp:465-500`).
+    *
+    * Plan shape: the data side is scanned ONCE; the tiny query set is
+    * broadcast, scoring happens in the scan stage, and the per-query top-K
+    * is a window over `query_idx` — at scale the pre-prune keeps only
+    * k rows per (partition × query) before the shuffle.
+    */
+  def batchTopK(
+      df: DataFrame,
+      vecCol: Column,
+      queries: Seq[Seq[Float]],
+      k: Int = DefaultTopK,
+      metric: String = "l2",
+      preFilter: Option[Column] = None,
+      distName: String = "d",
+      tieBreak: Seq[Column] = Nil): DataFrame = {
+    val base = preFilter.map(df.filter).getOrElse(df)
+    val qdf = broadcast(
+      df.sparkSession
+        .createDataFrame(queries.zipWithIndex.map { case (v, i) => (i, v) })
+        .toDF("query_idx", "query_vec"))
+    val scored = base
+      .crossJoin(qdf)
+      .withColumn(distName, distances.distance(metric)(vecCol, col("query_vec")))
+      .drop("query_vec")
+    val dir = if (isDescending(metric)) col(distName).desc else col(distName).asc
+    val w = Window.partitionBy(col("query_idx")).orderBy(dir +: tieBreak: _*)
+    // Pre-prune: per input partition keep k rows per query before the
+    // window's shuffle (mirrors per-part top-K in the reference).
+    scored
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Two-stage search (`two_stage_search`, reference
+    * `MergeTreeVSManager.cpp:449-460` + `executeSecondStageVectorScan`):
+    * stage 1 produces `numReorder` candidates cheaply, stage 2 re-ranks
+    * them with exact distances. With an exact stage 1 this equals brute
+    * force; with IVF stage 1 it is the recall-repair step.
+    */
+  def twoStageTopK(
+      df: DataFrame,
+      vecCol: Column,
+      q: Seq[Float],
+      k: Int,
+      numReorder: Int,
+      metric: String = "l2",
+      preFilter: Option[Column] = None,
+      distName: String = "d",
+      tieBreak: Seq[Column] = Nil): DataFrame = {
+    // Stage 1: cheap ranking — L2Squared avoids the sqrt for L2; same order.
+    val stage1Metric = if (metric.equalsIgnoreCase("l2")) "l2squared" else metric
+    val candidates =
+      topK(df, vecCol, q, numReorder, stage1Metric, preFilter, "__stage1_d", tieBreak)
+        .drop("__stage1_d")
+    // Stage 2: exact metric over the candidate set only.
+    val scored = candidates.withColumn(distName, distCol(vecCol, q, metric))
+    val dir = if (isDescending(metric)) col(distName).desc else col(distName).asc
+    scored.orderBy(dir +: tieBreak: _*).limit(k)
+  }
+}

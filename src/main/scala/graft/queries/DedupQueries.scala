@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables.t
+import graft.operators.Dedup
+
+/** Deduplication coverage: exact, n-gram Jaccard (exact oracle),
+  * MinHash-LSH and SimHash (approximate — rows-only check), and
+  * embedding-cosine near-dup (exact oracle).
+  */
+object DedupQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: canonical doc per fingerprint group.
+    "d01_exact_dedup" -> ((s, dir) => {
+      Dedup.exactDedup(t(s, dir, "documents"), col("text"), col("doc_id"))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+    // Exact n-gram (3-shingle) Jaccard near-dup pairs.
+    "d02_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), col("text"), col("doc_id"),
+          n = 3, minSim = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    // MinHash + LSH banding (approximate; verified in ScalaTest against
+    // the exact pairs — no SQL oracle).
+    "d03_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLshPairs(t(s, dir, "documents"), col("text"), col("doc_id"),
+          n = 3, bands = 16, rowsPerBand = 4, minEstSim = 0.5)
+        .select(col("id_a"), col("id_b"), col("est_jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    // SimHash near-dup candidates (approximate — rows-only check).
+    "d04_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(t(s, dir, "documents"), col("text"), col("doc_id"),
+          maxHamming = 8)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    // Embedding-cosine near-dup pairs (exact all-pairs at test scale).
+    "d05_embedding_dup" -> ((s, dir) => {
+      Dedup.embeddingDupPairs(t(s, dir, "embeddings"), col("embedding"),
+          col("vec_id"), minCosSim = 0.35)
+        .select(col("id_a"), col("id_b"),
+          round(col("cos_sim").cast("double"), 3).as("cos_sim"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+  )
+
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
+
+  val oracles: Map[String, String] = Map(
+    "d01_exact_dedup" -> """
+      SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (
+          PARTITION BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+          ORDER BY doc_id) AS rn
+        FROM documents)
+      WHERE rn = 1 ORDER BY doc_id""",
+    "d02_ngram_jaccard" -> s"""
+      WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      sh AS (SELECT doc_id, unnest(list_distinct(
+               [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                for i in range(1, len(toks) - 1)])) AS s
+             FROM d),
+      sizes AS (SELECT doc_id, count(1) AS n FROM sh GROUP BY 1),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(1) AS inter
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT id_a, id_b,
+             round(CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE), 4) AS jaccard
+      FROM pairs p
+      JOIN sizes sa ON p.id_a = sa.doc_id
+      JOIN sizes sb ON p.id_b = sb.doc_id
+      WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5
+      ORDER BY id_a, id_b""",
+    "d05_embedding_dup" -> """
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 3) AS cos_sim
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < b.vec_id
+        AND list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+      ORDER BY id_a, id_b""",
+  )
+}

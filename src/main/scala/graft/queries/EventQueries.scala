@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables.{events, t}
+import graft.functions.Aggregates
+
+/** Event-analytics + time-window coverage: retention, windowFunnel,
+  * sequenceMatch, nonNegativeDerivative, exponentialTimeDecayedSum
+  * (SURVEY §2.5–2.6) and the WindowView tumble/hop surface (§2.11) in
+  * batch form (the streaming form is exercised in ScalaTest).
+  */
+object EventQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Epoch seconds (micros-exact) from the NTZ event timestamp. */
+  private def tsSec =
+    unix_micros(col("ts").cast("timestamp")).cast("double") / lit(1e6)
+
+  val queries: Map[String, Q] = Map(
+    // retention('view','click','purchase'): r1, r1&r2, r1&r3 summed.
+    "e01_retention" -> ((s, dir) => {
+      val flags = Aggregates.retentionFlags(
+        col("event_type") === "view",
+        col("event_type") === "click",
+        col("event_type") === "purchase")
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(flags(0).as("r1"), flags(1).as("r2"), flags(2).as("r3"))
+        .agg(sum(col("r1")).as("n_r1"), sum(col("r2")).as("n_r2"),
+          sum(col("r3")).as("n_r3"))
+    }),
+    // windowFunnel(1 hour)(ts, view→click→purchase): users per min level.
+    "e02_window_funnel" -> ((s, dir) => {
+      val lvl = Aggregates.windowFunnel(3600.0)(
+        tsSec,
+        col("event_type") === "view",
+        col("event_type") === "click",
+        col("event_type") === "purchase")
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(lvl.as("level"))
+        .agg(
+          sum(when(col("level") >= 1, 1L).otherwise(0L)).as("n_lvl1"),
+          sum(when(col("level") >= 2, 1L).otherwise(0L)).as("n_lvl2"),
+          sum(when(col("level") >= 3, 1L).otherwise(0L)).as("n_lvl3"))
+    }),
+    // sequenceMatch('(?1).*(?2)'): signup then later purchase.
+    "e03_sequence_match" -> ((s, dir) => {
+      val m = Aggregates.sequenceMatch(
+        tsSec,
+        col("event_type") === "signup",
+        col("event_type") === "purchase")
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(m.as("matched"))
+        .agg(sum(when(col("matched"), 1L).otherwise(0L)).as("n_matched"))
+    }),
+    // nonNegativeDerivative over per-user event value series.
+    "e04_nonneg_derivative" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .filter(col("user_id") < 5)
+        .withColumn("deriv",
+          round(Aggregates.nonNegativeDerivative(
+            col("value"), tsSec, w), 6))
+        .select(col("event_id"), col("user_id"), col("deriv"))
+        .orderBy(col("event_id"))
+    }),
+    // exponentialTimeDecayedSum, decay = 7 days, per user over time.
+    "e05_exp_decayed_sum" -> ((s, dir) => {
+      Aggregates.withExpTimeDecayedSum(
+          events(s, dir).filter(col("user_id") < 5),
+          "decayed_sum", 604800.0, col("value"), tsSec,
+          Seq(col("user_id")), Seq(col("ts"), col("event_id")))
+        .select(col("event_id"), col("user_id"),
+          round(col("decayed_sum"), 4).as("decayed_sum"))
+        .orderBy(col("event_id"))
+    }),
+    // Tumbling window (WindowView tumble(ts, INTERVAL 1 HOUR)).
+    "e06_tumble" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .select(col("window.start").as("wstart"), col("n"), col("total"))
+        .orderBy(col("wstart"))
+    }),
+    // Hopping window (hop(ts, 30 min slide, 1 hour size)).
+    "e07_hop" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .select(col("window.start").as("wstart"), col("n"), col("total"))
+        .orderBy(col("wstart"))
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "e01_retention" -> """
+      WITH per_user AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c1,
+               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c2,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c3
+        FROM events GROUP BY user_id)
+      SELECT CAST(sum(c1) AS BIGINT) AS n_r1,
+             CAST(sum(least(c1, c2)) AS BIGINT) AS n_r2,
+             CAST(sum(least(c1, c3)) AS BIGINT) AS n_r3
+      FROM per_user""",
+    "e02_window_funnel" -> """
+      WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+      c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+      p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+      lvl1 AS (SELECT DISTINCT user_id FROM v),
+      lvl2 AS (SELECT DISTINCT v.user_id
+               FROM v JOIN c ON c.user_id = v.user_id
+                 AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR),
+      lvl3 AS (SELECT DISTINCT v.user_id
+               FROM v
+               JOIN c ON c.user_id = v.user_id AND c.ts >= v.ts
+               JOIN p ON p.user_id = v.user_id AND p.ts >= c.ts
+                 AND p.ts <= v.ts + INTERVAL 1 HOUR)
+      SELECT (SELECT count(1) FROM lvl1) AS n_lvl1,
+             (SELECT count(1) FROM lvl2) AS n_lvl2,
+             (SELECT count(1) FROM lvl3) AS n_lvl3""",
+    "e03_sequence_match" -> """
+      SELECT CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_matched
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id
+        AND a.event_type = 'signup' AND b.event_type = 'purchase'
+        AND b.ts >= a.ts""",
+    "e04_nonneg_derivative" -> """
+      WITH w AS (
+        SELECT event_id, user_id, value, ts,
+               lag(value) OVER win AS pv,
+               lag(ts) OVER win AS pt
+        FROM events WHERE user_id < 5
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT event_id, user_id,
+             round(CASE WHEN pt IS NOT NULL AND ts > pt AND value > pv
+                        THEN (value - pv) / (epoch_us(ts - pt) / 1000000.0)
+                        ELSE 0.0 END, 6) AS deriv
+      FROM w ORDER BY event_id""",
+    "e05_exp_decayed_sum" -> """
+      SELECT a.event_id, a.user_id,
+             round(sum(b.value * exp(-(epoch_us(a.ts - b.ts) / 1000000.0) / 604800.0)), 4)
+               AS decayed_sum
+      FROM (SELECT * FROM events WHERE user_id < 5) a
+      JOIN (SELECT * FROM events WHERE user_id < 5) b
+        ON a.user_id = b.user_id
+        AND (b.ts < a.ts OR (b.ts = a.ts AND b.event_id <= a.event_id))
+      GROUP BY a.event_id, a.user_id
+      ORDER BY a.event_id""",
+    "e06_tumble" -> """
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart,
+             count(1) AS n, round(sum(value), 2) AS total
+      FROM events GROUP BY 1 ORDER BY wstart""",
+    "e07_hop" -> """
+      WITH starts AS (
+        SELECT time_bucket(INTERVAL '30 minutes', ts) AS wstart, value FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE, value
+        FROM events)
+      SELECT wstart, count(1) AS n, round(sum(value), 2) AS total
+      FROM starts GROUP BY 1 ORDER BY wstart""",
+  )
+}

@@ -1,0 +1,581 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables.{events, t}
+import graft.operators.{AsOfJoin, RelationalOps}
+
+/** Relational operator coverage (SURVEY §2.3–§2.8): projection/filter,
+  * joins (incl. semi/anti/asof), aggregation (incl. rollup/cube/grouping
+  * sets/totals), window functions, sorts/limits/LIMIT BY/WITH FILL,
+  * set operations, quantiles/stats, conditional & argMin/argMax
+  * aggregates, date functions. Each query has an exactly-mirrored DuckDB
+  * oracle in [[RelationalQueries.oracles]].
+  */
+object RelationalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // TPC-H Q1-style pricing summary: the reference's bread-and-butter
+    // hash aggregation (Aggregator.cpp) — Spark partial/final agg.
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("date") <= lit(java.sql.Date.valueOf("1998-09-02")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Top-K pushdown into sort (reference executePreLimit) →
+    // TakeOrderedAndProject, no global sort.
+    "q02_top_orders" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // 3-way join + agg + top-K (TPC-H Q3 shape). Customer side is small →
+    // broadcast; lineitem↔orders is the only shuffle.
+    "q03_shipping_priority" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate").cast("date") < lit(java.sql.Date.valueOf("1998-01-01")))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("date") > lit(java.sql.Date.valueOf("1998-01-01")))
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // Semi-join (EXISTS) count by priority (TPC-H Q4 shape).
+    "q04_order_priority" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      ord.join(li, ord("o_orderkey") === li("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // 4-way star join through region→nation→customer→orders→lineitem
+    // (TPC-H Q5 shape). All dims broadcast; single fact shuffle.
+    "q05_region_volume" -> ((s, dir) => {
+      val region = t(s, dir, "region")
+      val nation = t(s, dir, "nation")
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // Filter-heavy scan agg (TPC-H Q6 shape) — predicate pushdown check.
+    "q06_revenue_forecast" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(
+          col("l_shipdate").cast("date") >= lit(java.sql.Date.valueOf("1996-01-01")) &&
+          col("l_shipdate").cast("date") < lit(java.sql.Date.valueOf("1997-01-01")) &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+    }),
+
+    // ROLLUP (reference RollupStep/RollupTransform).
+    "q07_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // CUBE (reference CubeStep/CubeTransform).
+    "q08_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // GROUPING SETS via SQL (reference AggregatingStep.cpp:98-188).
+    "q09_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus, count(1) AS n
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+      """)
+    }),
+
+    // Ranking window functions (reference WindowTransform.cpp:2460-2481).
+    "q10_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          row_number().over(w).cast("long").as("rn"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"))
+        .filter(col("rn") <= 5)
+        .orderBy(col("o_orderstatus"), col("rn"))
+    }),
+
+    // Frames + offsets: running sum, lag/lead, ntile, nth_value.
+    "q11_window_frames" -> ((s, dir) => {
+      val base = t(s, dir, "orders").filter(col("o_custkey") < 50)
+      val wOrd = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      base.select(
+          col("o_orderkey"), col("o_custkey"),
+          round(sum(col("o_totalprice"))
+            .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+            .as("running_total"),
+          round(lag(col("o_totalprice"), 1).over(wOrd), 2).as("prev_price"),
+          round(lead(col("o_totalprice"), 1).over(wOrd), 2).as("next_price"),
+          ntile(4).over(wOrd).cast("long").as("quartile"),
+          round(nth_value(col("o_totalprice"), 2).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+            .as("second_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // LIMIT n BY group (reference LimitByStep.cpp).
+    "q12_limit_by" -> ((s, dir) => {
+      RelationalOps.limitBy(
+          t(s, dir, "orders").filter(col("o_custkey") < 100),
+          2,
+          Seq(col("o_custkey")),
+          Seq(col("o_totalprice").desc, col("o_orderkey")))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // DISTINCT (reference DistinctStep).
+    "q13_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // INTERSECT / EXCEPT (reference IntersectOrExceptStep).
+    "q14_intersect" -> ((s, dir) => {
+      val r = t(s, dir, "lineitem").filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+      val f = t(s, dir, "lineitem").filter(col("l_linestatus") === "F").select(col("l_orderkey"))
+      r.intersect(f).orderBy(col("l_orderkey")).limit(100)
+    }),
+    "q15_except" -> ((s, dir) => {
+      val all = t(s, dir, "orders").select(col("o_orderkey"))
+      val withR = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("o_orderkey"))
+      all.except(withR).orderBy(col("o_orderkey")).limit(100)
+    }),
+
+    // ANTI join: customers without orders.
+    "q16_anti_join" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Scalar subquery → constant (reference ExecuteScalarSubqueriesVisitor).
+    "q17_scalar_subquery" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val avgPrice = ord.agg(avg(col("o_totalprice"))).head().getDouble(0)
+      ord.filter(col("o_totalprice") > lit(avgPrice) * 1.8)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey")).limit(100)
+    }),
+
+    // HAVING (post-aggregation filter).
+    "q18_having" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+        .filter(col("n_orders") >= 15)
+        .orderBy(col("o_custkey"))
+    }),
+
+    // WITH TOTALS (reference TotalsHavingStep).
+    "q19_with_totals" -> ((s, dir) => {
+      RelationalOps.withTotals(
+          t(s, dir, "lineitem"),
+          Seq("l_returnflag"),
+          Seq(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty")))
+        .orderBy(col("l_returnflag").asc_nulls_last)
+    }),
+
+    // ORDER BY ... WITH FILL over a date series (reference FillingStep).
+    "q20_with_fill" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .filter(col("o_orderdate").cast("date") >= lit(java.sql.Date.valueOf("1995-01-01")) &&
+          col("o_orderdate").cast("date") <= lit(java.sql.Date.valueOf("1995-03-31")))
+        .groupBy(col("o_orderdate").cast("date").as("d"))
+        .agg(count(lit(1)).as("n"))
+      RelationalOps.withFillDays(
+          daily, "d",
+          java.sql.Date.valueOf("1995-01-01"), java.sql.Date.valueOf("1995-03-31"),
+          Seq("n" -> lit(0L)))
+        .orderBy(col("d"))
+    }),
+
+    // ASOF JOIN (reference HashJoin.cpp:267-273): latest order at or
+    // before each event's timestamp for the same user/customer.
+    "q21_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir).filter(col("event_id") < 500)
+      val ord = t(s, dir, "orders")
+      AsOfJoin.asofJoin(
+          ev, ord,
+          col("user_id"), col("o_custkey"),
+          col("ts"), col("o_orderdate"),
+          Seq("last_order_date" -> col("o_orderdate")),
+          inner = true)
+        .select(col("event_id"), col("user_id"), col("last_order_date"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Exact quantiles (reference quantile family; quantileExact).
+    "q22_quantiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 2).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 2).as("p75"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 2).as("p99"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Statistical aggregates (reference stddev/var/corr/covar :41-47).
+    "q23_stats" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("cov_qd"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Conditional aggregation: the -If combinator family
+    // (registerAggregateFunctions.cpp:84-96) → FILTER / sum(when).
+    "q24_conditional_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .agg(
+          round(sum(when(col("l_returnflag") === "R", col("l_quantity"))), 2).as("sum_qty_r"),
+          count(when(col("l_discount") > 0.05, 1)).as("n_disc"),
+          round(avg(when(col("l_linestatus") === "F", col("l_extendedprice"))), 2).as("avg_price_f"))
+    }),
+
+    // argMax / argMin (reference argMin/argMax) → max_by/min_by with
+    // composite tie-break for determinism.
+    "q25_argminmax" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("key_of_max"),
+          min_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey") * -1)).as("key_of_min"),
+          round(max(col("o_totalprice")), 2).as("max_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // Date/time function family (toStartOfInterval/toYYYYMM →
+    // date_trunc/year*100+month).
+    "q26_date_functions" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(
+          trunc(col("o_orderdate").cast("date"), "month").as("month_start"),
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).as("yyyymm"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("month_start"))
+        .limit(24)
+    }),
+
+    // uniq family — exact variant (uniqExact → count distinct).
+    "q27_uniq" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("uniq_supp"),
+          countDistinct(col("l_partkey")).as("uniq_part"),
+          countDistinct(col("l_orderkey")).as("uniq_ord"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // CROSS JOIN + filter → rewritten to inner by Catalyst
+    // (reference CrossToInnerJoinVisitor).
+    "q28_cross_to_inner" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      n.crossJoin(r)
+        .filter(col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_name"), col("r_name"))
+        .orderBy(col("n_name"))
+    }),
+
+    // ARRAY JOIN / UNNEST (reference ArrayJoinStep) → explode + posexplode.
+    "q29_array_join" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"),
+          posexplode(graft.functions.text.tokenize(col("text"))).as(Seq("pos", "tok")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // GROUP BY with expression keys + IN-subquery semi join.
+    "q30_in_subquery" -> ((s, dir) => {
+      val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+        .select(col("o_orderkey"))
+      val li = t(s, dir, "lineitem")
+      li.join(bigOrders, li("l_orderkey") === bigOrders("o_orderkey"), "left_semi")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("total"))
+        .orderBy(col("l_returnflag"))
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" -> """
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_base_price,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             round(avg(l_quantity), 4) AS avg_qty,
+             round(avg(l_discount), 4) AS avg_disc,
+             count(1) AS count_order
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+    "q02_top_orders" -> """
+      SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q03_shipping_priority" -> """
+      SELECT l_orderkey, o_orderdate,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+        AND CAST(l_shipdate AS DATE) > DATE '1998-01-01'
+      GROUP BY l_orderkey, o_orderdate
+      ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q04_order_priority" -> """
+      SELECT o_orderpriority, count(1) AS order_count
+      FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+    "q05_region_volume" -> """
+      SELECT r_name, n_name,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+      ORDER BY r_name, n_name""",
+    "q06_revenue_forecast" -> """
+      SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+        AND l_discount >= 0.05 AND l_discount <= 0.07
+        AND l_quantity < 24""",
+    "q07_rollup" -> """
+      SELECT l_returnflag, l_linestatus, count(1) AS n,
+             round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q08_cube" -> """
+      SELECT o_orderstatus, o_orderpriority, count(1) AS n,
+             round(sum(o_totalprice), 2) AS total
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "q09_grouping_sets" -> """
+      SELECT l_returnflag, l_linestatus, count(1) AS n
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q10_window_rank" -> """
+      SELECT * FROM (
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               row_number() OVER w AS rn,
+               rank() OVER w AS rnk,
+               dense_rank() OVER w AS drnk
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice DESC, o_orderkey))
+      WHERE rn <= 5
+      ORDER BY o_orderstatus, rn""",
+    "q11_window_frames" -> """
+      SELECT o_orderkey, o_custkey,
+             round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+             round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+             round(lead(o_totalprice, 1) OVER w, 2) AS next_price,
+             ntile(4) OVER w AS quartile,
+             round(nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS second_price
+      FROM orders
+      WHERE o_custkey < 50
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, o_orderkey""",
+    "q12_limit_by" -> """
+      SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders WHERE o_custkey < 100)
+      WHERE rn <= 2
+      ORDER BY o_custkey, o_orderkey""",
+    "q13_distinct" -> """
+      SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+      ORDER BY l_returnflag, l_linestatus""",
+    "q14_intersect" -> """
+      SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+      INTERSECT
+      SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F'
+      ORDER BY l_orderkey LIMIT 100""",
+    "q15_except" -> """
+      SELECT o_orderkey FROM orders
+      EXCEPT
+      SELECT l_orderkey AS o_orderkey FROM lineitem WHERE l_returnflag = 'R'
+      ORDER BY o_orderkey LIMIT 100""",
+    "q16_anti_join" -> """
+      SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey""",
+    "q17_scalar_subquery" -> """
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.8
+      ORDER BY o_orderkey LIMIT 100""",
+    "q18_having" -> """
+      SELECT o_custkey, count(1) AS n_orders, round(sum(o_totalprice), 2) AS total
+      FROM orders
+      GROUP BY o_custkey
+      HAVING count(1) >= 15
+      ORDER BY o_custkey""",
+    "q19_with_totals" -> """
+      SELECT l_returnflag, count(1) AS n, round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag)
+      ORDER BY l_returnflag ASC NULLS LAST""",
+    "q20_with_fill" -> """
+      WITH series AS (
+        SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '1995-03-31',
+                                           INTERVAL 1 DAY)) AS DATE) AS d),
+      daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d, count(1) AS n
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+          AND CAST(o_orderdate AS DATE) <= DATE '1995-03-31'
+        GROUP BY 1)
+      SELECT series.d AS d, coalesce(daily.n, 0) AS n
+      FROM series LEFT JOIN daily ON series.d = daily.d
+      ORDER BY d""",
+    "q21_asof_join" -> """
+      SELECT event_id, user_id, o_orderdate AS last_order_date
+      FROM (SELECT * FROM events WHERE event_id < 500) e
+      ASOF JOIN orders ON e.user_id = orders.o_custkey AND e.ts >= orders.o_orderdate
+      ORDER BY event_id""",
+    "q22_quantiles" -> """
+      SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+             round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+             round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
+             round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q23_stats" -> """
+      SELECT l_returnflag,
+             round(stddev_samp(l_quantity), 4) AS sd_qty,
+             round(var_samp(l_quantity), 4) AS var_qty,
+             round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+             round(covar_samp(l_quantity, l_discount), 4) AS cov_qd
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q24_conditional_agg" -> """
+      SELECT round(sum(l_quantity) FILTER (WHERE l_returnflag = 'R'), 2) AS sum_qty_r,
+             count(1) FILTER (WHERE l_discount > 0.05) AS n_disc,
+             round(avg(l_extendedprice) FILTER (WHERE l_linestatus = 'F'), 2) AS avg_price_f
+      FROM lineitem""",
+    "q25_argminmax" -> """
+      WITH r AS (
+        SELECT o_orderstatus, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+               row_number() OVER (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice ASC, o_orderkey DESC) AS rmin
+        FROM orders),
+      agg AS (SELECT o_orderstatus, round(max(o_totalprice), 2) AS max_price
+              FROM orders GROUP BY 1)
+      SELECT agg.o_orderstatus,
+             mx.o_orderkey AS key_of_max,
+             mn.o_orderkey AS key_of_min,
+             agg.max_price
+      FROM agg
+      JOIN (SELECT o_orderstatus, o_orderkey FROM r WHERE rmax = 1) mx USING (o_orderstatus)
+      JOIN (SELECT o_orderstatus, o_orderkey FROM r WHERE rmin = 1) mn USING (o_orderstatus)
+      ORDER BY o_orderstatus""",
+    "q26_date_functions" -> """
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+             CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER) AS yyyymm,
+             count(1) AS n
+      FROM orders
+      GROUP BY 1, 2
+      ORDER BY month_start LIMIT 24""",
+    "q27_uniq" -> """
+      SELECT l_returnflag,
+             count(DISTINCT l_suppkey) AS uniq_supp,
+             count(DISTINCT l_partkey) AS uniq_part,
+             count(DISTINCT l_orderkey) AS uniq_ord
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q28_cross_to_inner" -> """
+      SELECT n_name, r_name FROM nation, region
+      WHERE n_regionkey = r_regionkey
+      ORDER BY n_name""",
+    "q29_array_join" -> """
+      SELECT doc_id,
+             CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos,
+             unnest(toks) AS tok
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> len(x) > 0) AS toks
+            FROM documents WHERE doc_id < 20)
+      ORDER BY doc_id, pos""",
+    "q30_in_subquery" -> """
+      SELECT l_returnflag, count(1) AS n, round(sum(l_extendedprice), 2) AS total
+      FROM lineitem
+      WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+  )
+}

@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables.t
+import graft.functions.text
+import graft.operators.{HybridSearch, TextSearch}
+
+/** Full-text + hybrid search and text-analysis coverage (SURVEY §2.1
+  * textsearch/hybridsearch; pipeline text ops). BM25 oracle reimplements
+  * Tantivy's formula in pure SQL over the same tokenization.
+  */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val query1 = "spark merge join"
+  private val query2 = "window batch stream"
+
+  // DuckDB fragment: tokenize exactly like graft.functions.text.tokenize
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
+
+  private def bm25OracleSql(terms: Seq[String], k: Int, and: Boolean): String = {
+    val termList = terms.map(t => s"'$t'").mkString("[", ", ", "]")
+    val andFilter =
+      if (and) s"WHERE doc_id IN (SELECT doc_id FROM d WHERE list_has_all(toks, $termList))"
+      else ""
+    s"""
+      WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM d),
+      stats AS (SELECT CAST(count(1) AS DOUBLE) AS n,
+                       avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM d),
+      tf AS (SELECT doc_id, tok, CAST(count(1) AS DOUBLE) AS tf
+             FROM (SELECT doc_id, unnest(toks) AS tok FROM d) GROUP BY 1, 2),
+      qt AS (SELECT unnest($termList) AS term),
+      dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+                FROM tf JOIN qt ON tok = term GROUP BY 1),
+      scores AS (
+        SELECT tf.doc_id,
+               sum(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
+                   tf.tf * (1.2 + 1) /
+                   (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS score
+        FROM tf
+        JOIN dfreq ON tf.tok = dfreq.term
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats
+        GROUP BY tf.doc_id)
+      SELECT doc_id, round(score, 4) AS bm25_score
+      FROM scores $andFilter
+      ORDER BY round(score, 4) DESC, doc_id LIMIT $k"""
+  }
+
+  val queries: Map[String, Q] = Map(
+    // textsearch() top-K, OR semantics (any term), BM25-scored.
+    "t01_bm25_topk" -> ((s, dir) => {
+      TextSearch.textSearch(t(s, dir, "documents"), col("text"), query1, 10,
+          "OR", "bm25_score", Seq(col("doc_id")))
+        .select(col("doc_id"), round(col("bm25_score"), 4).as("bm25_score"))
+        .orderBy(col("bm25_score").desc, col("doc_id"))
+    }),
+    // textsearch() with operator=AND (all terms must match).
+    "t02_bm25_and" -> ((s, dir) => {
+      TextSearch.textSearch(t(s, dir, "documents"), col("text"), query2, 10,
+          "AND", "bm25_score", Seq(col("doc_id")))
+        .select(col("doc_id"), round(col("bm25_score"), 4).as("bm25_score"))
+        .orderBy(col("bm25_score").desc, col("doc_id"))
+    }),
+    // Token counting (pipeline op).
+    "t03_token_count" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), text.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+    // Language ID heuristic (stopword density).
+    "t04_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          round(text.stopwordRatio(col("text")), 4).as("stopword_ratio"),
+          text.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+    // Quality scoring (length/alpha/stopword blend).
+    "t05_quality_score" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), text.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+    // Document fingerprinting (md5 of normalized text).
+    "t06_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), text.fingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    }),
+    // Hybrid search, RSF fusion (reference defaults: w=0.5, 3×k
+    // candidates per sub-search).
+    "h01_hybrid_rsf" -> ((s, dir) => {
+      val joined = t(s, dir, "documents")
+        .join(t(s, dir, "embeddings"),
+          col("doc_id") === col("vec_id"))
+      val qvec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      HybridSearch.hybridSearch(joined, "doc_id", col("embedding"), col("text"),
+          qvec, query1, 10, "rsf", "cosine")
+        .select(col("doc_id"), round(col("fused_score"), 4).as("fused_score"))
+        .orderBy(col("fused_score").desc, col("doc_id"))
+    }),
+    // Hybrid search, RRF fusion (fusion_k=60).
+    "h02_hybrid_rrf" -> ((s, dir) => {
+      val joined = t(s, dir, "documents")
+        .join(t(s, dir, "embeddings"),
+          col("doc_id") === col("vec_id"))
+      val qvec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      HybridSearch.hybridSearch(joined, "doc_id", col("embedding"), col("text"),
+          qvec, query1, 10, "rrf", "cosine")
+        .select(col("doc_id"), round(col("fused_score"), 6).as("fused_score"))
+        .orderBy(col("fused_score").desc, col("doc_id"))
+    }),
+  )
+
+  private val stopwordsSql = text.englishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val oracles: Map[String, String] = Map(
+    "t01_bm25_topk" -> bm25OracleSql(TextSearch.queryTerms(query1), 10, and = false),
+    "t02_bm25_and" -> bm25OracleSql(TextSearch.queryTerms(query2), 10, and = true),
+    "t03_token_count" -> s"""
+      SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+      FROM documents ORDER BY doc_id""",
+    "t04_lang_id" -> s"""
+      WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      r AS (SELECT doc_id,
+                   CASE WHEN len(toks) > 0
+                        THEN CAST(len(list_filter(toks,
+                               x -> list_contains($stopwordsSql, x))) AS DOUBLE)
+                             / CAST(len(toks) AS DOUBLE)
+                        ELSE 0.0 END AS ratio
+            FROM d)
+      SELECT doc_id, round(ratio, 4) AS stopword_ratio,
+             CASE WHEN ratio >= 0.03 THEN 'en' ELSE 'unknown' END AS lang_pred
+      FROM r ORDER BY doc_id""",
+    "t05_quality_score" -> s"""
+      WITH d AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+      f AS (SELECT doc_id,
+                   least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+                   CASE WHEN length(text) > 0
+                        THEN CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                             / CAST(length(text) AS DOUBLE)
+                        ELSE 0.0 END AS alpha_ratio,
+                   CASE WHEN len(toks) > 0
+                        THEN CAST(len(list_filter(toks,
+                               x -> list_contains($stopwordsSql, x))) AS DOUBLE)
+                             / CAST(len(toks) AS DOUBLE)
+                        ELSE 0.0 END AS sw_ratio
+            FROM d)
+      SELECT doc_id,
+             round(len_score * 0.4 + alpha_ratio * 0.4 +
+                   least(sw_ratio * 10.0, 1.0) * 0.2, 4) AS quality
+      FROM f ORDER BY doc_id""",
+    "t06_fingerprint" -> """
+      SELECT doc_id,
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+      FROM documents ORDER BY doc_id""",
+  )
+}

@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables.t
+import graft.operators.VectorSearch
+
+/** Vector-search coverage (SURVEY §2.1): distance() top-K per metric,
+  * pre-filtered search, batch_distance, two-stage re-rank. Oracles use
+  * DuckDB's float32 list kernels (list_distance / list_cosine_similarity /
+  * list_inner_product), matching our Float32-accumulating kernels.
+  */
+object VectorQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The query vector is row vec_id=0's embedding — fetched at run time
+    * on both sides (scalar subquery in the oracle) so no literals drift.
+    */
+  private def queryVec(s: SparkSession, dir: String, id: Long = 0L): Seq[Float] =
+    t(s, dir, "embeddings").filter(col("vec_id") === id)
+      .select(col("embedding")).head().getSeq[Float](0)
+
+  private def emb(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
+
+  val queries: Map[String, Q] = Map(
+    // `SELECT id, distance(v, q) AS d ... ORDER BY d LIMIT k` — L2.
+    "v01_l2_topk" -> ((s, dir) => {
+      VectorSearch.topK(emb(s, dir), col("embedding"), queryVec(s, dir), 10,
+          "l2", None, "d", Seq(col("vec_id")))
+        .select(col("vec_id"), round(col("d").cast("double"), 3).as("d"))
+        .orderBy(col("vec_id"))
+    }),
+    // Cosine metric (00014_* tests in the reference).
+    "v02_cosine_topk" -> ((s, dir) => {
+      VectorSearch.topK(emb(s, dir), col("embedding"), queryVec(s, dir, 1), 10,
+          "cosine", None, "d", Seq(col("vec_id")))
+        .select(col("vec_id"), round(col("d").cast("double"), 3).as("d"))
+        .orderBy(col("vec_id"))
+    }),
+    // IP metric ranks DESCENDING (larger inner product = closer).
+    "v03_ip_topk" -> ((s, dir) => {
+      VectorSearch.topK(emb(s, dir), col("embedding"), queryVec(s, dir, 2), 10,
+          "ip", None, "d", Seq(col("vec_id")))
+        .select(col("vec_id"), round(col("d").cast("double"), 3).as("d"))
+        .orderBy(col("vec_id"))
+    }),
+    // Pre-filter semantics: WHERE evaluated BEFORE the search → top-K is
+    // exact among qualifying rows (reference tests 00003/00009-00011).
+    "v04_prefilter_topk" -> ((s, dir) => {
+      VectorSearch.topK(emb(s, dir), col("embedding"), queryVec(s, dir), 10,
+          "l2", Some(col("label") === 3), "d", Seq(col("vec_id")))
+        .select(col("vec_id"), col("label"), round(col("d").cast("double"), 3).as("d"))
+        .orderBy(col("vec_id"))
+    }),
+    // batch_distance(): 3 query vectors, per-query top-5
+    // (`LIMIT n BY dist.1` in the reference).
+    "v05_batch_distance" -> ((s, dir) => {
+      val qs = Seq(queryVec(s, dir, 0), queryVec(s, dir, 1), queryVec(s, dir, 2))
+      VectorSearch.batchTopK(emb(s, dir), col("embedding"), qs, 5, "l2", None,
+          "d", Seq(col("vec_id")))
+        .select(col("query_idx"), col("vec_id"), round(col("d").cast("double"), 3).as("d"))
+        .orderBy(col("query_idx"), col("vec_id"))
+    }),
+    // Two-stage search (test 00035): cheap stage-1 candidates, exact
+    // re-rank — must equal exact brute force when stage 1 is lossless.
+    "v06_two_stage" -> ((s, dir) => {
+      VectorSearch.twoStageTopK(emb(s, dir), col("embedding"), queryVec(s, dir),
+          10, 50, "l2", None, "d", Seq(col("vec_id")))
+        .select(col("vec_id"), round(col("d").cast("double"), 3).as("d"))
+        .orderBy(col("vec_id"))
+    }),
+    // arrayDistance scalar family as projection columns (not top-K).
+    "v07_distance_family" -> ((s, dir) => {
+      val q = queryVec(s, dir)
+      emb(s, dir).filter(col("vec_id") < 10)
+        .select(
+          col("vec_id"),
+          round(graft.functions.distances.l2Distance(col("embedding"), typedLit(q)).cast("double"), 3).as("l2"),
+          round(graft.functions.distances.l1Distance(col("embedding"), typedLit(q)).cast("double"), 3).as("l1"),
+          round(graft.functions.distances.dotProduct(col("embedding"), typedLit(q)).cast("double"), 3).as("ip"))
+        .orderBy(col("vec_id"))
+    }),
+  )
+
+  private val qv0 = "(SELECT embedding FROM embeddings WHERE vec_id = 0)"
+  private val qv1 = "(SELECT embedding FROM embeddings WHERE vec_id = 1)"
+  private val qv2 = "(SELECT embedding FROM embeddings WHERE vec_id = 2)"
+
+  val oracles: Map[String, String] = Map(
+    "v01_l2_topk" -> s"""
+      SELECT * FROM (
+        SELECT vec_id, round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) AS d
+        FROM embeddings
+        ORDER BY list_distance(embedding, $qv0), vec_id LIMIT 10)
+      ORDER BY vec_id""",
+    "v02_cosine_topk" -> s"""
+      SELECT * FROM (
+        SELECT vec_id,
+               round(CAST(1.0 - list_cosine_similarity(embedding, $qv1) AS DOUBLE), 3) AS d
+        FROM embeddings
+        ORDER BY 1.0 - list_cosine_similarity(embedding, $qv1), vec_id LIMIT 10)
+      ORDER BY vec_id""",
+    "v03_ip_topk" -> s"""
+      SELECT * FROM (
+        SELECT vec_id, round(CAST(list_inner_product(embedding, $qv2) AS DOUBLE), 3) AS d
+        FROM embeddings
+        ORDER BY list_inner_product(embedding, $qv2) DESC, vec_id LIMIT 10)
+      ORDER BY vec_id""",
+    "v04_prefilter_topk" -> s"""
+      SELECT * FROM (
+        SELECT vec_id, label, round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) AS d
+        FROM embeddings
+        WHERE label = 3
+        ORDER BY list_distance(embedding, $qv0), vec_id LIMIT 10)
+      ORDER BY vec_id""",
+    "v05_batch_distance" -> s"""
+      WITH q AS (
+        SELECT 0 AS query_idx, $qv0 AS qv
+        UNION ALL SELECT 1, $qv1
+        UNION ALL SELECT 2, $qv2)
+      SELECT query_idx, vec_id, round(CAST(list_distance(embedding, qv) AS DOUBLE), 3) AS d
+      FROM embeddings, q
+      QUALIFY row_number() OVER (PARTITION BY query_idx
+        ORDER BY list_distance(embedding, qv), vec_id) <= 5
+      ORDER BY query_idx, vec_id""",
+    "v06_two_stage" -> s"""
+      SELECT * FROM (
+        SELECT vec_id, round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) AS d
+        FROM embeddings
+        ORDER BY list_distance(embedding, $qv0), vec_id LIMIT 10)
+      ORDER BY vec_id""",
+    "v07_distance_family" -> s"""
+      SELECT vec_id,
+             round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) AS l2,
+             round(CAST(list_aggregate(list_transform(list_zip(embedding, $qv0),
+                    p -> abs(p[1] - p[2])), 'sum') AS DOUBLE), 3) AS l1,
+             round(CAST(list_inner_product(embedding, $qv0) AS DOUBLE), 3) AS ip
+      FROM embeddings WHERE vec_id < 10 ORDER BY vec_id""",
+  )
+}

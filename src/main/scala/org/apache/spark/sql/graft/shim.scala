@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to `private[sql]` Column↔Expression conversion (Spark 4 moved
+  * Column onto ColumnNode; the converter lives in
+  * `org.apache.spark.sql.classic.ExpressionUtils`). Standard extension
+  * pattern: a shim inside the `org.apache.spark.sql` package tree.
+  */
+object shim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: load each Verify
+output parquet, run the matching oracle SQL in DuckDB over the same
+testdata dir, compare row count, schema (column names), and values
+(columns sorted by name, rows in produced order)."""
+import sys, os, json, glob
+import duckdb
+import pyarrow.parquet as pq
+import pandas as pd
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for p in glob.glob(f"{sf_dir}/*.parquet"):
+    name = os.path.basename(p).replace(".parquet", "")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+results = {}
+for qdir in sorted(glob.glob(f"{out_dir}/*")):
+    if not os.path.isdir(qdir):
+        continue
+    qname = os.path.basename(qdir)
+    files = glob.glob(f"{qdir}/*.parquet")
+    if not files:
+        results[qname] = "NO_OUTPUT"
+        continue
+    got = pq.read_table(files[0]).to_pandas()
+    if qname not in oracle:
+        results[qname] = f"ROWS_ONLY({len(got)})"
+        continue
+    try:
+        exp = con.execute(oracle[qname]).fetchdf()
+    except Exception as e:
+        results[qname] = f"ORACLE_ERR: {str(e)[:100]}"
+        continue
+    got = got[sorted(got.columns)]
+    exp = exp[sorted(exp.columns)]
+    if list(got.columns) != list(exp.columns):
+        results[qname] = f"SCHEMA: got {list(got.columns)} exp {list(exp.columns)}"
+        continue
+    if len(got) != len(exp):
+        results[qname] = f"ROWS: got {len(got)} exp {len(exp)}"
+        continue
+    got = got.reset_index(drop=True)
+    exp = exp.reset_index(drop=True)
+    mismatch = None
+    for c in got.columns:
+        g, e = got[c], exp[c]
+        try:
+            if str(g.dtype).startswith("datetime") or str(e.dtype).startswith("datetime"):
+                gn = pd.to_datetime(g)
+                en = pd.to_datetime(e)
+                if getattr(gn.dt, "tz", None) is not None:
+                    gn = gn.dt.tz_convert("UTC").dt.tz_localize(None)
+                if getattr(en.dt, "tz", None) is not None:
+                    en = en.dt.tz_convert("UTC").dt.tz_localize(None)
+                eq = gn.astype("datetime64[ns]").equals(en.astype("datetime64[ns]"))
+            elif g.dtype == object or e.dtype == object:
+                try:
+                    gn = pd.to_datetime(g); en = pd.to_datetime(e)
+                    eq = gn.astype("datetime64[ns]").equals(en.astype("datetime64[ns]"))
+                except Exception:
+                    eq = g.astype(str).equals(e.astype(str))
+            else:
+                eq = ((g == e) | (g.isna() & e.isna())).all()
+        except Exception as ex:
+            eq = False
+        if not eq:
+            diffs = [(i, g.iloc[i], e.iloc[i]) for i in range(len(g))
+                     if str(g.iloc[i]) != str(e.iloc[i])][:3]
+            mismatch = f"VAL[{c}]: {diffs}"
+            break
+    results[qname] = "OK" if mismatch is None else mismatch
+
+ok = sum(1 for v in results.values() if v == "OK")
+rows_only = sum(1 for v in results.values() if str(v).startswith("ROWS_ONLY"))
+for k, v in sorted(results.items()):
+    flag = "PASS" if v == "OK" else ("SOFT" if str(v).startswith("ROWS_ONLY") else "FAIL")
+    print(f"{flag} {k}: {v}")
+print(f"\n{ok} OK / {rows_only} rows-only / {len(results)} total")
