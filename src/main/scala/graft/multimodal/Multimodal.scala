@@ -1,0 +1,154 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling for the training-data pipeline: media
+  * payloads ride as opaque `binary` columns with a typed metadata struct;
+  * decode / feature-extract / resize / frame-sample run as partition-wise
+  * batch transforms.
+  *
+  * The actual codec calls are STUBBED (no image/audio libraries in this
+  * environment) behind [[MediaCodec]] — deterministic fakes derived from
+  * the payload bytes — while everything Spark-side is real: schema,
+  * `mapPartitions` batch shape, partition preservation, and the
+  * embedding column contract (`array<float>` consumable by
+  * `graft.operators.VectorSearch`).
+  */
+object Multimodal {
+
+  /** Canonical media schema: (id, content, media_type, meta). */
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_bytes", LongType)))
+
+  /** ===== STUB BOUNDARY =====
+    * Deterministic stand-ins for real codecs. Each function consumes the
+    * raw payload bytes and produces plausible, reproducible outputs; swap
+    * the bodies for javax.imageio / ffmpeg bindings in a real deployment.
+    */
+  object MediaCodec {
+    /** STUB: derive (format, width, height) pseudo-metadata from bytes. */
+    def decodeMeta(bytes: Array[Byte]): (String, Int, Int) = {
+      val h = java.util.Arrays.hashCode(bytes)
+      val fmts = Array("jpeg", "png", "webp")
+      (fmts(math.abs(h) % 3), 64 + math.abs(h % 1920), 64 + math.abs((h >> 8) % 1080))
+    }
+
+    /** STUB: "resize" = re-hash with target dims folded in. */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val out = java.util.Arrays.copyOf(bytes, math.min(bytes.length, 16))
+      out.indices.foreach(i => out(i) = (out(i) ^ (w + h * 31 + i)).toByte)
+      out
+    }
+
+    /** STUB: dim-sized feature vector from a rolling hash of the bytes. */
+    def featurize(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val v = new Array[Float](dim)
+      var h = 1125899906842597L
+      var i = 0
+      while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+      var j = 0
+      while (j < dim) {
+        h ^= h << 13; h ^= h >>> 7; h ^= h << 17
+        v(j) = (h.toDouble / Long.MaxValue).toFloat
+        j += 1
+      }
+      v
+    }
+
+    /** STUB: sample n frame payloads from a "video" payload. */
+    def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] =
+      (0 until n).map(i => resize(bytes, i + 1, 0))
+  }
+  // ===== END STUB BOUNDARY =====
+
+  /** Attach decoded metadata: binary → struct column, one pass per
+    * partition (the mapPartitions shape a Pandas-UDF/mapInPandas batch
+    * transform would use; partitioning is preserved, no shuffle).
+    */
+  def withDecodedMeta(df: DataFrame, binCol: String, outCol: String = "meta"): DataFrame = {
+    val schema = df.schema.add(outCol, mediaMetaType)
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(schema))
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val meta =
+          if (bytes == null) null
+          else {
+            val (fmt, w, h) = MediaCodec.decodeMeta(bytes)
+            Row(fmt, w, h, bytes.length.toLong)
+          }
+        Row.fromSeq(r.toSeq :+ meta)
+      }
+    }(enc)
+  }
+
+  /** Binary → embedding column (array<float>), ready for ANN search /
+    * embedding dedup. Runs partition-wise; no driver involvement.
+    */
+  def withEmbedding(
+      df: DataFrame, binCol: String, dim: Int = 64,
+      outCol: String = "embedding"): DataFrame = {
+    val schema = df.schema.add(outCol, ArrayType(FloatType, containsNull = false))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(schema))
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val emb = if (bytes == null) null else MediaCodec.featurize(bytes, dim).toSeq
+        Row.fromSeq(r.toSeq :+ emb)
+      }
+    }(enc)
+  }
+
+  /** Resize stage: binary → binary, batch shape preserved. */
+  def withResized(
+      df: DataFrame, binCol: String, w: Int, h: Int,
+      outCol: String = "resized"): DataFrame = {
+    val schema = df.schema.add(outCol, BinaryType)
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(schema))
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val out = if (bytes == null) null else MediaCodec.resize(bytes, w, h)
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }(enc)
+  }
+
+  /** Frame sampling: one row per sampled frame (posexplode shape). */
+  def explodeFrames(
+      df: DataFrame, binCol: String, nFrames: Int): DataFrame = {
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(StructType(
+      df.schema.fields.toSeq :+ StructField("frame_idx", IntegerType) :+
+        StructField("frame", BinaryType))))
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        if (bytes == null) Iterator.empty
+        else MediaCodec.sampleFrames(bytes, nFrames).zipWithIndex.iterator.map {
+          case (frame, i) => Row.fromSeq(r.toSeq :+ i :+ frame)
+        }
+      }
+    }(enc)
+  }
+
+  /** The `getObject()` surface (MyScale `CREATE CONNECTION` +
+    * ObjectToFetch type, `/root/reference/src/Functions/getObject.cpp:53-60`):
+    * resolve an object URL to its binary payload. STUB: deterministic
+    * bytes from the url; a real deployment points this at the S3/HTTP
+    * client configured by the connection catalog.
+    */
+  def getObjectUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((url: String) =>
+      if (url == null) null
+      else s"object-payload:$url".getBytes("UTF-8"))
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Aggregates
+
+class AggregatesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("funnelLevel core semantics") {
+    // chain within window
+    assert(Aggregates.funnelLevel(List((0.0, 0), (10.0, 1), (20.0, 2)), 60.0, 3) === 3)
+    // window exceeded at last step
+    assert(Aggregates.funnelLevel(List((0.0, 0), (10.0, 1), (100.0, 2)), 60.0, 3) === 2)
+    // later restart rescues the chain
+    assert(Aggregates.funnelLevel(
+      List((0.0, 0), (50.0, 0), (70.0, 1), (100.0, 2)), 60.0, 3) === 3)
+    // out of order events don't chain
+    assert(Aggregates.funnelLevel(List((10.0, 1), (20.0, 0)), 60.0, 2) === 1)
+    // empty
+    assert(Aggregates.funnelLevel(Nil, 60.0, 3) === 0)
+  }
+
+  test("windowFunnel aggregator end-to-end") {
+    val df = Seq(
+      (1L, 0.0, "view"), (1L, 10.0, "click"), (1L, 20.0, "buy"),
+      (2L, 0.0, "view"), (2L, 1000.0, "click"),
+      (3L, 0.0, "click")).toDF("u", "t", "e")
+    val lvl = Aggregates.windowFunnel(60.0)(col("t"),
+      col("e") === "view", col("e") === "click", col("e") === "buy")
+    val got = df.groupBy("u").agg(lvl.as("lvl")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 3, 2L -> 1, 3L -> 0))
+  }
+
+  test("sequenceMatch: ordered subsequence with gaps") {
+    val df = Seq(
+      (1L, 0.0, "a"), (1L, 5.0, "x"), (1L, 9.0, "b"),
+      (2L, 0.0, "b"), (2L, 5.0, "a")).toDF("u", "t", "e")
+    val m = Aggregates.sequenceMatch(col("t"), col("e") === "a", col("e") === "b")
+    val got = df.groupBy("u").agg(m.as("m")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got === Map(1L -> true, 2L -> false))
+  }
+
+  test("retention flags: cond1 gates later conditions") {
+    val df = Seq(
+      (1L, "view"), (1L, "buy"),
+      (2L, "buy")).toDF("u", "e") // user 2 never viewed → no retention
+    val flags = Aggregates.retentionFlags(col("e") === "view", col("e") === "buy")
+    val got = df.groupBy("u").agg(flags(0).as("r1"), flags(1).as("r2"))
+      .agg(sum("r1"), sum("r2")).head()
+    assert(got.getLong(0) === 1 && got.getLong(1) === 1)
+  }
+
+  test("expTimeDecayedSum matches direct computation") {
+    val df = Seq((1L, 0.0, 1.0), (1L, 10.0, 2.0), (1L, 30.0, 4.0)).toDF("u", "t", "v")
+    val got = Aggregates.withExpTimeDecayedSum(df, "s", 10.0, col("v"), col("t"),
+        Seq(col("u")), Seq(col("t")))
+      .orderBy("t").collect().map(_.getAs[Double]("s"))
+    def direct(t: Double, pts: Seq[(Double, Double)]) =
+      pts.filter(_._1 <= t).map { case (ti, vi) => vi * math.exp(-(t - ti) / 10.0) }.sum
+    val pts = Seq((0.0, 1.0), (10.0, 2.0), (30.0, 4.0))
+    got.zip(Seq(0.0, 10.0, 30.0)).foreach { case (g, t) =>
+      assert(math.abs(g - direct(t, pts)) < 1e-9, s"at t=$t")
+    }
+  }
+
+  test("nonNegativeDerivative clamps negatives and handles first row") {
+    val w = Window.partitionBy(col("u")).orderBy(col("t"))
+    val df = Seq((1L, 0.0, 10.0), (1L, 5.0, 20.0), (1L, 10.0, 5.0)).toDF("u", "t", "v")
+    val got = df.withColumn("d",
+        Aggregates.nonNegativeDerivative(col("v"), col("t"), w))
+      .orderBy("t").collect().map(_.getAs[Double]("d"))
+    assert(got === Array(0.0, 2.0, 0.0))
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{distances, Metric, VectorKernels}
+
+class DistanceSpec extends SparkSpec {
+
+  val a = Array(1.0f, 2.0f, 3.0f)
+  val b = Array(4.0f, 6.0f, 8.0f)
+
+  test("kernels match hand-computed values") {
+    assert(VectorKernels.distance(a, b, Metric.L2Squared) === 9f + 16f + 25f)
+    assert(VectorKernels.distance(a, b, Metric.L2) === math.sqrt(50.0).toFloat)
+    assert(VectorKernels.distance(a, b, Metric.L1) === 12f)
+    assert(VectorKernels.distance(a, b, Metric.Linf) === 5f)
+    assert(VectorKernels.distance(a, b, Metric.IP) === 4f + 12f + 24f)
+    val cos = VectorKernels.cosineSim(a, b)
+    val expected = 40.0 / (math.sqrt(14.0) * math.sqrt(116.0))
+    assert(math.abs(cos - expected) < 1e-6)
+  }
+
+  test("binary kernels: hamming and jaccard over bits") {
+    val x = Array[Byte](0x0f, 0x00)
+    val y = Array[Byte](0x03, 0x01)
+    assert(VectorKernels.hammingBits(x, y) === 3f) // 0f^03=0c (2 bits) + 00^01 (1 bit)
+    // and=0x03(2 bits), or=0x0f|0x01 → 4+1=5 bits → 1 - 2/5
+    assert(math.abs(VectorKernels.jaccardBits(x, y) - (1f - 2f / 5f)) < 1e-6)
+  }
+
+  test("distance expressions run in a DataFrame (codegen path)") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1f, 2f, 3f)), (2L, Seq(4f, 6f, 8f))).toDF("id", "v")
+    val q = typedLit(Seq(1f, 2f, 3f))
+    val rows = df.select(col("id"),
+        distances.l2Distance(col("v"), q).as("l2"),
+        distances.cosineDistance(col("v"), q).as("cos"),
+        distances.dotProduct(col("v"), q).as("ip"))
+      .orderBy(col("id")).collect()
+    assert(rows(0).getFloat(1) === 0f)
+    assert(rows(1).getFloat(1) === math.sqrt(50.0).toFloat)
+    assert(math.abs(rows(0).getFloat(2)) < 1e-6)
+    assert(rows(1).getFloat(3) === 40f)
+  }
+
+  test("SQL-registered functions resolve (ClickHouse-style names)") {
+    import spark.implicits._
+    Seq((Seq(0f, 3f), Seq(4f, 0f))).toDF("a", "b").createOrReplaceTempView("vt")
+    val r = spark.sql("SELECT l2_distance(a, b) AS d, L2Distance(a, b) AS d2 FROM vt").head()
+    assert(r.getFloat(0) === 5f && r.getFloat(1) === 5f)
+  }
+
+  test("null inputs yield null, mismatched lengths throw") {
+    import spark.implicits._
+    val df = Seq((1L, Option.empty[Seq[Float]])).toDF("id", "v")
+    val r = df.select(distances.l2Distance(col("v"), typedLit(Seq(1f))).as("d")).head()
+    assert(r.isNullAt(0))
+    val bad = Seq((1L, Seq(1f, 2f))).toDF("id", "v")
+    intercept[Exception] {
+      bad.select(distances.l2Distance(col("v"), typedLit(Seq(1f))).as("d")).collect()
+    }
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val media = Seq(
+    (1L, "img/a.jpg".getBytes("UTF-8")),
+    (2L, "img/b.jpg plus more bytes".getBytes("UTF-8")),
+    (3L, null.asInstanceOf[Array[Byte]]))
+    .toDF("id", "content")
+
+  test("withDecodedMeta attaches typed metadata, null-safe") {
+    val got = Multimodal.withDecodedMeta(media, "content")
+    assert(got.schema("meta").dataType === Multimodal.mediaMetaType)
+    val rows = got.orderBy("id").collect()
+    val m1 = rows(0).getStruct(2)
+    assert(Seq("jpeg", "png", "webp").contains(m1.getString(0)))
+    assert(m1.getLong(3) === 9L) // n_bytes
+    assert(rows(2).isNullAt(2))  // null payload → null meta
+    // determinism: same bytes → same meta
+    val again = Multimodal.withDecodedMeta(media, "content").orderBy("id").head().getStruct(2)
+    assert(again === m1)
+  }
+
+  test("withEmbedding produces array<float> consumable by VectorSearch") {
+    val emb = Multimodal.withEmbedding(media.filter($"id" < 3), "content", dim = 16)
+    val q = emb.filter($"id" === 1).select("embedding").head().getSeq[Float](0)
+    assert(q.length === 16)
+    val top = graft.operators.VectorSearch.topK(
+      emb, col("embedding"), q, 1, "cosine", None, "d", Seq(col("id")))
+    assert(top.select("id").head().getLong(0) === 1L) // self is nearest
+  }
+
+  test("explodeFrames emits n rows per video payload") {
+    val frames = Multimodal.explodeFrames(media.filter($"id" === 1), "content", 4)
+    assert(frames.count() === 4)
+    assert(frames.select("frame_idx").collect().map(_.getInt(0)).toSet === Set(0, 1, 2, 3))
+  }
+
+  test("getObject UDF resolves url to payload") {
+    val got = Seq("s3://bucket/key").toDF("url")
+      .select(Multimodal.getObjectUdf(col("url")).as("obj"))
+      .head().getAs[Array[Byte]](0)
+    assert(new String(got, "UTF-8") === "object-payload:s3://bucket/key")
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, Dedup, RelationalOps}
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asofJoin picks latest right row at or before left time, per key") {
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:00:05"), "t1"),
+      (1L, ts("2024-01-01 10:00:00"), "t0"),
+      (2L, ts("2024-01-01 09:00:00"), "t2"))
+      .toDF("k", "t", "trade")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0), // equal ts → inclusive match
+      (1L, ts("2024-01-01 10:00:03"), 101.0),
+      (1L, ts("2024-01-01 10:00:09"), 102.0),
+      (2L, ts("2024-01-01 09:30:00"), 50.0)) // after the only trade → no match
+      .toDF("k", "t", "price")
+    val got = AsOfJoin.asofJoin(trades, quotes,
+        col("k"), col("k"), col("t"), col("t"),
+        Seq("price" -> col("price")), inner = true)
+      .select(col("trade"), col("price")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got === Map("t0" -> 100.0, "t1" -> 101.0)) // t2 dropped (inner)
+    val left = AsOfJoin.asofJoin(trades, quotes,
+        col("k"), col("k"), col("t"), col("t"),
+        Seq("price" -> col("price")), inner = false)
+    assert(left.count() === 3) // LEFT ASOF keeps unmatched
+  }
+
+  test("limitBy keeps first n per group in given order") {
+    val df = Seq(("a", 3), ("a", 1), ("a", 2), ("b", 9)).toDF("g", "x")
+    val got = RelationalOps.limitBy(df, 2, Seq(col("g")), Seq(col("x").asc))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(got === Set(("a", 1), ("a", 2), ("b", 9)))
+  }
+
+  test("withFillDays densifies the date series with defaults") {
+    val df = Seq((java.sql.Date.valueOf("2024-01-01"), 5L)).toDF("d", "n")
+    val got = RelationalOps.withFillDays(df, "d",
+        java.sql.Date.valueOf("2024-01-01"), java.sql.Date.valueOf("2024-01-04"),
+        Seq("n" -> lit(0L)))
+      .orderBy("d").collect().map(_.getLong(1)).toSeq
+    assert(got === Seq(5L, 0L, 0L, 0L))
+  }
+
+  test("withTotals appends a grand-total row with null keys") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0)).toDF("g", "x")
+    val got = RelationalOps.withTotals(df, Seq("g"), Seq(sum(col("x")).as("s")))
+      .collect().map(r => (if (r.isNullAt(0)) null else r.getString(0)) -> r.getDouble(1)).toMap
+    assert(got === Map("a" -> 3.0, "b" -> 3.0, (null: String) -> 6.0))
+  }
+
+  test("exact dedup keeps canonical (min id) per normalized text") {
+    val docs = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.exactDedup(docs, col("text"), col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L)) // 2 is a case/whitespace dup of 1
+  }
+
+  test("minhash LSH finds the exact near-dup pairs on sf0.001 docs") {
+    val docs = graft.engine.Tables.t(spark, sfDir, "documents")
+    val exact = Dedup.ngramJaccardPairs(docs, col("text"), col("doc_id"), 3, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, col("text"), col("doc_id"), 3, 16, 4, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} exact pairs")
+  }
+
+  test("simhash: identical texts collide, near texts are close in hamming") {
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "entirely different content about spark engines"))
+      .toDF("doc_id", "text")
+    val sigs = df.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) > 10)
+  }
+
+  test("embedding LSH cosine pairs ⊆ exact pairs, on sf0.001") {
+    val emb = graft.engine.Tables.t(spark, sfDir, "embeddings")
+    val exact = Dedup.embeddingDupPairs(emb, col("embedding"), col("vec_id"), 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // moderate similarities (~0.3-0.4) need short bucket codes + many
+    // tables: P(match/table) ≈ (1 - θ/π)^4, θ≈72° → ~0.13; 16 tables → ~0.9
+    val lsh = Dedup.lshCosinePairs(emb, col("embedding"), col("vec_id"), 0.3, 4, 16)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact)) // verification step guarantees precision
+    assert(exact.isEmpty || (exact & lsh).size.toDouble / exact.size > 0.5)
+  }
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+}

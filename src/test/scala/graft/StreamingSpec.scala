@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.TimeWindows
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tumble window streaming agg matches batch result (memory sink)") {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val batch = graft.engine.Tables.events(spark, sfDir)
+      .select(col("ts").cast("timestamp").as("ts"), col("event_type"), col("value"))
+    batch.write.mode("overwrite").parquet(dir)
+
+    val schema = batch.schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val agg = TimeWindows.windowedAggregate(
+      stream, "ts", "10 minutes",
+      TimeWindows.tumble(col("ts"), "1 hour"),
+      Seq.empty,
+      Seq(count(lit(1)).as("n")))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("tumble_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.sql("SELECT window.start AS s, n FROM tumble_out")
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val expected = batch.groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start"), col("n"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(streamed === expected)
+  }
+
+  test("hop windows double-count rows across overlapping windows") {
+    val ev = graft.engine.Tables.events(spark, sfDir)
+    val total = ev.count()
+    val hopSum = ev.groupBy(TimeWindows.hop(col("ts"), "30 minutes", "1 hour"))
+      .agg(count(lit(1)).as("n")).agg(sum("n")).head().getLong(0)
+    assert(hopSum === 2 * total) // size/slide = 2 windows per event
+  }
+
+  test("streaming dedupe by key within watermark") {
+    val dir = Files.createTempDirectory("graft-dedup").toString
+    Seq((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:00:01"), 1L),
+        (ts("2024-01-01 10:00:02"), 2L))
+      .toDF("ts", "k").write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema("ts timestamp, k long").parquet(dir)
+    val q = TimeWindows.dedupeStream(stream, "ts", "1 hour", Seq("k"))
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.sql("SELECT count(DISTINCT k) FROM dedup_out").head().getLong(0) === 2)
+    assert(spark.sql("SELECT count(1) FROM dedup_out").head().getLong(0) === 2)
+  }
+
+  test("mapGroupsWithState running counters") {
+    val dir = Files.createTempDirectory("graft-state").toString
+    Seq((1L, 10.0), (1L, 5.0), (2L, 1.0)).toDF("k", "v")
+      .write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema("k long, v double").parquet(dir)
+      .as[(Long, Double)]
+    val q = TimeWindows.runningCounters(stream)
+      .writeStream.outputMode("update").format("memory").queryName("counter_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT key, n, total FROM counter_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === Set((1L, 2L, 15.0), (2L, 1L, 1.0)))
+  }
+
+  private def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+}

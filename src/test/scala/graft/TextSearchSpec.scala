@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.text
+import graft.operators.TextSearch
+
+class TextSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val corpus = Seq(
+    (1L, "spark joins data fast"),
+    (2L, "spark spark spark everywhere"),
+    (3L, "ducks swim in ponds"),
+    (4L, "the quick brown fox")).toDF("doc_id", "text")
+
+  test("tokenize lowercases and drops non-alphanumerics") {
+    val toks = corpus.filter($"doc_id" === 4)
+      .select(text.tokenize(col("text"))).head().getSeq[String](0)
+    assert(toks === Seq("the", "quick", "brown", "fox"))
+    val t2 = Seq(("A-B_c 3x!")).toDF("text")
+      .select(text.tokenize(col("text"))).head().getSeq[String](0)
+    assert(t2 === Seq("a", "b", "c", "3x"))
+  }
+
+  test("BM25 matches hand-computed score") {
+    // term 'spark': df=2, N=4 → idf = ln(1 + (4-2+0.5)/(2+0.5)) = ln(2)
+    // doc1: tf=1, dl=4, avgdl=4 → tf term = 1*2.2/(1 + 1.2*(0.25+0.75*1)) = 2.2/2.2 = 1
+    val stats = TextSearch.collectStats(corpus, col("text"), Seq("spark"))
+    assert(stats.totalDocs === 4 && stats.docFreq("spark") === 2)
+    assert(math.abs(stats.avgDl - 4.0) < 1e-9)
+    val scored = corpus
+      .withColumn("s", TextSearch.bm25Score(col("text"), Seq("spark"), stats))
+      .orderBy($"doc_id").collect().map(_.getDouble(2))
+    assert(math.abs(scored(0) - math.log(2.0)) < 1e-9)
+    assert(scored(2) === 0.0) // no match
+    // doc2: tf=3 → idf * 3*2.2/(3 + 1.2) = ln2 * 6.6/4.2
+    assert(math.abs(scored(1) - math.log(2.0) * 6.6 / 4.2) < 1e-9)
+  }
+
+  test("textsearch OR vs AND operators") {
+    val or = TextSearch.textSearch(corpus, col("text"), "spark ducks", 10, "OR",
+      "bm25_score", Seq(col("doc_id")))
+    assert(or.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+    val and = TextSearch.textSearch(corpus, col("text"), "spark fast", 10, "AND",
+      "bm25_score", Seq(col("doc_id")))
+    assert(and.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L))
+  }
+
+  test("fullTextSearch TVF with and without score column") {
+    val withScore = TextSearch.fullTextSearch(corpus, col("text"), "spark", 10)
+    assert(withScore.columns.contains("bm25_score"))
+    val noScore = TextSearch.fullTextSearch(corpus, col("text"), "spark", 10, withScore = false)
+    assert(!noScore.columns.contains("bm25_score"))
+  }
+
+  test("language ID and quality score on real docs") {
+    val docs = graft.engine.Tables.t(spark, sfDir, "documents")
+    val preds = docs.select(text.langId(col("text"))).collect().map(_.getString(0))
+    assert(preds.forall(p => p == "en" || p == "unknown"))
+    val q = docs.select(text.qualityScore(col("text")).as("q"))
+      .agg(min("q"), max("q")).head()
+    assert(q.getDouble(0) >= 0.0 && q.getDouble(1) <= 1.0)
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.operators.VectorSearch
+
+class VectorSearchSpec extends SparkSpec {
+
+  lazy val emb = Tables.t(spark, sfDir, "embeddings").cache()
+  lazy val qv: Seq[Float] = emb.filter(col("vec_id") === 0)
+    .select(col("embedding")).head().getSeq[Float](0)
+
+  /** Naive reference: collect everything and sort on the driver. */
+  def naiveTopK(k: Int, filter: Option[Long => Boolean] = None): Seq[(Long, Float)] = {
+    val all = emb.select(col("vec_id"), col("embedding")).collect().map { r =>
+      val v = r.getSeq[Float](1).toArray
+      (r.getLong(0), graft.functions.VectorKernels.distance(v, qv.toArray, graft.functions.Metric.L2))
+    }
+    val filtered: Seq[(Long, Float)] =
+      filter.map(f => all.filter(x => f(x._1)).toSeq).getOrElse(all.toSeq)
+    filtered.sortBy(x => (x._2, x._1)).take(k)
+  }
+
+  test("brute-force topK matches naive reference") {
+    val got = VectorSearch.topK(emb, col("embedding"), qv, 5, "l2", None, "d", Seq(col("vec_id")))
+      .select(col("vec_id"), col("d")).collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    assert(got === naiveTopK(5))
+  }
+
+  test("pre-filter applies BEFORE search (filtered top-K is exact)") {
+    val got = VectorSearch.topK(emb, col("embedding"), qv, 5, "l2",
+        Some(col("vec_id") % 2 === 0), "d", Seq(col("vec_id")))
+      .select(col("vec_id"), col("d")).collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    assert(got === naiveTopK(5, Some(_ % 2 == 0)))
+    assert(got.forall(_._1 % 2 == 0))
+  }
+
+  test("two-stage equals exact brute force when stage1 is lossless") {
+    val exact = VectorSearch.topK(emb, col("embedding"), qv, 10, "l2", None, "d", Seq(col("vec_id")))
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    val twoStage = VectorSearch.twoStageTopK(emb, col("embedding"), qv, 10, 50, "l2",
+        None, "d", Seq(col("vec_id")))
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    assert(twoStage === exact)
+  }
+
+  test("batchTopK returns k rows per query, each matching single-query topK") {
+    val q1 = emb.filter(col("vec_id") === 1).select(col("embedding")).head().getSeq[Float](0)
+    val got = VectorSearch.batchTopK(emb, col("embedding"), Seq(qv, q1), 3, "l2",
+        None, "d", Seq(col("vec_id")))
+    assert(got.groupBy("query_idx").count().collect().forall(_.getLong(1) == 3))
+    val single = VectorSearch.topK(emb, col("embedding"), q1, 3, "l2", None, "d", Seq(col("vec_id")))
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val batch1 = got.filter(col("query_idx") === 1)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(batch1 === single)
+  }
+
+  test("topK plan is TakeOrderedAndProject (no full sort, no extra shuffle)") {
+    val plan = VectorSearch.topK(emb, col("embedding"), qv, 5, "l2")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("IP metric ranks descending") {
+    val got = VectorSearch.topK(emb, col("embedding"), qv, 3, "ip", None, "d", Seq(col("vec_id")))
+      .select(col("d")).collect().map(_.getFloat(0)).toSeq
+    assert(got === got.sorted.reverse)
+  }
+
+  test("more than one search function per sort is rejected (reference error 62)") {
+    val q2 = typedLit(qv)
+    val two = graft.functions.distances.l2Distance(col("embedding"), q2) +
+      graft.functions.distances.cosineDistance(col("embedding"), q2)
+    intercept[Exception] {
+      emb.orderBy(two).limit(3).collect()
+    }
+  }
+}
