@@ -1,0 +1,201 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorKernels
+
+/** IVF-FLAT vector index — the Spark realization of the reference's
+  * table-level vector indexes (`ADD VECTOR INDEX v col TYPE IVFFLAT`,
+  * `/root/reference/src/VectorIndex/Storages/VIDescriptions.cpp:317`;
+  * per-part build lifecycle `VIBuilderUpdater.cpp`; search entry
+  * `MergeTreeVSManager::vectorScan`).
+  *
+  * Layout (all artifacts are plain parquet/JSON under `indexDir`):
+  *   - `meta.json` — metric, nLists, dim, source path, status
+  *   - `centroids.parquet` — (list_id, centroid float[])
+  *   - `lists/` — the indexed rows partitioned BY `list_id` (hive-style
+  *     directories), so an nprobe search prunes to nprobe/nLists of the
+  *     data at the FILE level before any scan happens.
+  *
+  * Scale design: centroids are trained on a bounded sample (driver-side
+  * Lloyd's — nLists ≤ ~4k centroids × dim floats is MBs), assignment and
+  * list-partitioned write are fully distributed, and search reads only
+  * the probed partitions. The searched-side plan is the same
+  * TakeOrderedAndProject top-K as brute force, over 1/nLists·nprobe of
+  * the files. Per-JVM centroid cache mirrors the reference's
+  * `VICacheManager`.
+  */
+object IvfIndex {
+
+  case class Meta(
+      metric: String, nLists: Int, dim: Int, nRows: Long,
+      sourcePath: String, vecCol: String, status: String)
+
+  // ---- catalog (system.vector_indices analog, StorageSystemVIs.cpp) ----
+  case class IndexEntry(
+      name: String, indexDir: String, sourcePath: String, vecCol: String,
+      indexType: String, metric: String, status: String, nRows: Long)
+
+  object Catalog {
+    private val entries = TrieMap.empty[String, IndexEntry]
+    def register(e: IndexEntry): Unit = entries.put(e.name, e)
+    def drop(name: String): Unit = entries.remove(name)
+    def lookup(name: String): Option[IndexEntry] = entries.get(name)
+    def forSource(path: String, vecCol: String): Option[IndexEntry] =
+      entries.values.find(e =>
+        e.sourcePath == path && e.vecCol == vecCol && e.status == "BUILT")
+
+    /** `SELECT * FROM system.vector_indices`. */
+    def asDataFrame(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      entries.values.toSeq
+        .toDF()
+        .select("name", "indexDir", "sourcePath", "vecCol", "indexType",
+          "metric", "status", "nRows")
+    }
+  }
+
+  // per-JVM centroid cache (VICacheManager.cpp analog)
+  private val centroidCache = TrieMap.empty[String, Array[Array[Float]]]
+  private val metaCache = TrieMap.empty[String, Meta]
+
+  /** Driver-side Lloyd's k-means over a bounded sample. Deterministic
+    * (seeded) — index builds are reproducible.
+    */
+  private[graft] def kmeans(
+      sample: Array[Array[Float]], k: Int, iters: Int = 10,
+      seed: Long = 42L): Array[Array[Float]] = {
+    require(sample.nonEmpty, "empty training sample")
+    val rnd = new scala.util.Random(seed)
+    val dim = sample.head.length
+    var centroids = rnd.shuffle(sample.toVector).take(k).map(_.clone()).toArray
+    if (centroids.length < k) centroids = Array.tabulate(k)(i => centroids(i % centroids.length).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        val c = nearest(centroids, v)
+        counts(c) += 1
+        var j = 0
+        while (j < dim) { sums(c)(j) += v(j); j += 1 }
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < dim) { centroids(c)(j) = (sums(c)(j) / counts(c)).toFloat; j += 1 }
+        } else {
+          centroids(c) = sample(rnd.nextInt(sample.length)).clone()
+        }
+        c += 1
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  private[graft] def nearest(centroids: Array[Array[Float]], v: Array[Float]): Int = {
+    var best = 0
+    var bestD = Float.MaxValue
+    var i = 0
+    while (i < centroids.length) {
+      val d = VectorKernels.l2sq(centroids(i), v)
+      if (d < bestD) { bestD = d; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** Build the index: train centroids on a sample, assign every row,
+    * write list-partitioned parquet. Returns the catalog entry.
+    */
+  def build(
+      spark: SparkSession,
+      df: DataFrame,
+      vecCol: String,
+      indexName: String,
+      indexDir: String,
+      metric: String = "l2",
+      nLists: Int = 16,
+      trainSampleSize: Int = 100000): IndexEntry = {
+    Catalog.register(IndexEntry(indexName, indexDir, "", vecCol, "IVFFLAT",
+      metric, "BUILDING", 0L))
+
+    val n = df.count()
+    val fraction = math.min(1.0, trainSampleSize.toDouble / math.max(1L, n))
+    val sample = df.sample(withReplacement = false, fraction, seed = 42L)
+      .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
+    val centroids = kmeans(sample, nLists)
+    val dim = centroids.head.length
+
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assignUdf = udf((v: Seq[Float]) => nearest(bc.value, v.toArray))
+    df.withColumn("list_id", assignUdf(col(vecCol)))
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$indexDir/lists")
+
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+
+    val meta = Meta(metric, nLists, dim, n, "", vecCol, "BUILT")
+    Files.writeString(Paths.get(s"$indexDir/meta.json"),
+      s"""{"metric":"${meta.metric}","nLists":${meta.nLists},"dim":${meta.dim},""" +
+        s""""nRows":${meta.nRows},"vecCol":"${meta.vecCol}","status":"BUILT"}""")
+    metaCache.put(indexDir, meta)
+    centroidCache.put(indexDir, centroids)
+
+    val entry = IndexEntry(indexName, indexDir, "", vecCol, "IVFFLAT",
+      metric, "BUILT", n)
+    Catalog.register(entry)
+    entry
+  }
+
+  private def loadCentroids(spark: SparkSession, indexDir: String): Array[Array[Float]] =
+    centroidCache.getOrElseUpdate(indexDir, {
+      spark.read.parquet(s"$indexDir/centroids")
+        .orderBy("list_id").collect()
+        .map(_.getSeq[Float](1).toArray)
+    })
+
+  /** nprobe search: probe the nearest nprobe centroid lists, scan only
+    * those partitions (file-level pruning via the `list_id=` dirs),
+    * brute-force exact distances within, global top-K merge.
+    *
+    * `preFilter` is applied BEFORE ranking (the reference's pre-filter
+    * search semantics): the top-K is exact among qualifying rows of the
+    * probed lists; with nprobe = nLists it is exact, full stop.
+    */
+  def search(
+      spark: SparkSession,
+      indexDir: String,
+      qvec: Seq[Float],
+      k: Int,
+      nprobe: Int = 4,
+      metricOverride: Option[String] = None,
+      preFilter: Option[Column] = None,
+      distName: String = "d",
+      tieBreak: Seq[Column] = Nil): DataFrame = {
+    val centroids = loadCentroids(spark, indexDir)
+    val metric = metricOverride.getOrElse(
+      metaCache.get(indexDir).map(_.metric).getOrElse("l2"))
+    val q = qvec.toArray
+    val probes = centroids.zipWithIndex
+      .map { case (c, i) => (VectorKernels.l2sq(c, q), i) }
+      .sortBy(_._1).take(math.min(nprobe, centroids.length)).map(_._2)
+
+    val lists = spark.read.parquet(s"$indexDir/lists")
+      .filter(col("list_id").isin(probes.toIndexedSeq: _*))
+    VectorSearch.topK(lists, col(metaCache.get(indexDir).map(_.vecCol)
+        .getOrElse("embedding")), qvec, k, metric, preFilter, distName, tieBreak)
+      .drop("list_id")
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables.t
-import graft.operators.VectorSearch
+import graft.operators.{IvfIndex, VectorSearch}
 
 /** Vector-search coverage (SURVEY §2.1): distance() top-K per metric,
   * pre-filtered search, batch_distance, two-stage re-rank. Oracles use
@@ -23,6 +23,18 @@ object VectorQueries {
       .select(col("embedding")).head().getSeq[Float](0)
 
   private def emb(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
+
+  /** One IVF index per sf dir, built lazily and reused across queries
+    * (the reference builds indexes once per part, not per query).
+    */
+  private val ivfDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def ivfDir(s: SparkSession, dir: String): String =
+    ivfDirs.getOrElseUpdate(dir, {
+      val idx = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+      IvfIndex.build(s, emb(s, dir), "embedding",
+        s"ivf_embeddings_${dir.replaceAll("[^a-zA-Z0-9]", "_")}", idx, "l2", 16)
+      idx
+    })
 
   val queries: Map[String, Q] = Map(
     // `SELECT id, distance(v, q) AS d ... ORDER BY d LIMIT k` — L2.
@@ -68,6 +80,22 @@ object VectorQueries {
     "v06_two_stage" -> ((s, dir) => {
       VectorSearch.twoStageTopK(emb(s, dir), col("embedding"), queryVec(s, dir),
           10, 50, "l2", None, "d", Seq(col("vec_id")))
+        .select(col("vec_id"), round(col("d").cast("double"), 3).as("d"))
+        .orderBy(col("vec_id"))
+    }),
+    // IVF index search, exhaustive probes (nprobe = nLists) → exact:
+    // index build + partition-pruned scan must reproduce brute force.
+    "v08_ivf_exact" -> ((s, dir) => {
+      IvfIndex.search(s, ivfDir(s, dir), queryVec(s, dir), 10,
+          nprobe = 16, None, None, "d", Seq(col("vec_id")))
+        .select(col("vec_id"), round(col("d").cast("double"), 3).as("d"))
+        .orderBy(col("vec_id"))
+    }),
+    // IVF approximate search (nprobe=4 of 16 lists) — recall measured in
+    // ScalaTest vs brute force; rows-only check here.
+    "v09_ivf_nprobe" -> ((s, dir) => {
+      IvfIndex.search(s, ivfDir(s, dir), queryVec(s, dir), 10,
+          nprobe = 4, None, None, "d", Seq(col("vec_id")))
         .select(col("vec_id"), round(col("d").cast("double"), 3).as("d"))
         .orderBy(col("vec_id"))
     }),
@@ -126,6 +154,12 @@ object VectorQueries {
         ORDER BY list_distance(embedding, qv), vec_id) <= 5
       ORDER BY query_idx, vec_id""",
     "v06_two_stage" -> s"""
+      SELECT * FROM (
+        SELECT vec_id, round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) AS d
+        FROM embeddings
+        ORDER BY list_distance(embedding, $qv0), vec_id LIMIT 10)
+      ORDER BY vec_id""",
+    "v08_ivf_exact" -> s"""
       SELECT * FROM (
         SELECT vec_id, round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) AS d
         FROM embeddings

@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.operators.{IvfIndex, VectorSearch}
+
+class IvfIndexSpec extends SparkSpec {
+
+  lazy val emb = Tables.t(spark, sfDir, "embeddings").cache()
+  lazy val qv: Seq[Float] = emb.filter(col("vec_id") === 7)
+    .select(col("embedding")).head().getSeq[Float](0)
+
+  lazy val indexDir: String = {
+    val dir = Files.createTempDirectory("ivf-spec").toString
+    IvfIndex.build(spark, emb, "embedding", "spec_ivf", dir, "l2", nLists = 8)
+    dir
+  }
+
+  def bruteIds(k: Int): Seq[Long] =
+    VectorSearch.topK(emb, col("embedding"), qv, k, "l2", None, "d", Seq(col("vec_id")))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+
+  test("build writes centroids, lists and meta; catalog reports BUILT") {
+    indexDir // force build
+    assert(Files.exists(java.nio.file.Paths.get(s"$indexDir/meta.json")))
+    assert(spark.read.parquet(s"$indexDir/centroids").count() === 8)
+    val listed = spark.read.parquet(s"$indexDir/lists")
+    assert(listed.count() === emb.count())
+    assert(listed.select("list_id").distinct().count() <= 8)
+    val cat = IvfIndex.Catalog.asDataFrame(spark)
+      .filter(col("name") === "spec_ivf").head()
+    assert(cat.getAs[String]("status") === "BUILT")
+  }
+
+  test("exhaustive probes reproduce exact brute-force top-K") {
+    val got = IvfIndex.search(spark, indexDir, qv, 10, nprobe = 8,
+        None, None, "d", Seq(col("vec_id")))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got === bruteIds(10))
+  }
+
+  test("nprobe search prunes partitions and keeps useful recall") {
+    val got = IvfIndex.search(spark, indexDir, qv, 10, nprobe = 2,
+        None, None, "d", Seq(col("vec_id")))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (got & bruteIds(10).toSet).size / 10.0
+    assert(recall >= 0.3, s"recall@10=$recall with nprobe=2/8")
+    // the probed scan reads at most 2 of 8 list partitions
+    val scanned = IvfIndex.search(spark, indexDir, qv, 10, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(scanned.contains("list_id"))
+  }
+
+  test("pre-filter inside index search keeps filtered top-K exact") {
+    val got = IvfIndex.search(spark, indexDir, qv, 5, nprobe = 8,
+        None, Some(col("label") === 1), "d", Seq(col("vec_id")))
+      .select("vec_id", "label").collect()
+    assert(got.forall(_.getInt(1) === 1))
+    val brute = VectorSearch.topK(emb, col("embedding"), qv, 5, "l2",
+        Some(col("label") === 1), "d", Seq(col("vec_id")))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got.map(_.getLong(0)).toSeq === brute)
+  }
+
+  test("kmeans is deterministic and produces k centroids") {
+    val sample = Array.tabulate(100)(i => Array(i.toFloat, (i % 10).toFloat))
+    val c1 = IvfIndex.kmeans(sample, 4)
+    val c2 = IvfIndex.kmeans(sample, 4)
+    assert(c1.length === 4)
+    assert(c1.map(_.toSeq) === c2.map(_.toSeq))
+  }
+}
