@@ -22,6 +22,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // Untimed warm-up: exercise scan/agg/window/sort codegen paths once so
+    // the alphabetically-first query doesn't absorb JVM+codegen startup.
+    {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      spark.range(100000)
+        .withColumn("g", col("id") % 10)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("g")).orderBy(col("id"))))
+        .groupBy(col("g")).agg(sum(col("id")), count(lit(1)))
+        .orderBy(col("g")).count()
+      spark.read.parquet(s"$sfDir/region.parquet").count()
+    }
+
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)

@@ -87,17 +87,23 @@ object Dedup {
       rowsPerBand: Int = 4,
       minEstSim: Double = 0.5): DataFrame = {
     val numPerm = bands * rowsPerBand
-    // Materialize tokenize→shingle→base-hash stepwise so each stage is
-    // evaluated once per row (a single nested expression would re-derive
-    // the shingle pipeline for every one of the numPerm lambdas).
-    val perms = sequence(lit(0), lit(numPerm - 1))
-    val sigs = df
+    // Signature via numPerm min() aggregates over exploded shingle hashes.
+    // The aggregation is a hard optimizer barrier (projection chains get
+    // re-inlined by CollapseProject, re-deriving the tokenize→shingle
+    // pipeline once per permutation lambda — catastrophically slow), and
+    // min() partial-aggregates map-side, so the only shuffle carries
+    // numPerm longs per doc. This is the 100 TB shape.
+    val exploded = df
       .select(idCol.as("id"),
-        array_distinct(text.shingles(text.tokenize(textCol), n)).as("__sh"))
-      .select(col("id"), transform(col("__sh"), s => xxhash64(s)).as("__shh"))
+        explode(array_distinct(text.shingles(text.tokenize(textCol), n))).as("__s"))
+      .select(col("id"), xxhash64(col("__s")).as("shash"))
+    val minAggs = (0 until numPerm).map(i =>
+      min(xxhash64(lit(i), col("shash"))).as(s"__m$i"))
+    val sigs = exploded
+      .groupBy("id")
+      .agg(minAggs.head, minAggs.tail: _*)
       .select(col("id"),
-        transform(perms, i => array_min(transform(col("__shh"), h => xxhash64(i, h))))
-          .as("sig"))
+        array((0 until numPerm).map(i => col(s"__m$i")): _*).as("sig"))
       .persist()
     val banded = sigs.select(
       col("id"), col("sig"),

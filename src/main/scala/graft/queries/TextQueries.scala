@@ -22,13 +22,15 @@ object TextQueries {
   private val toksSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
 
-  private def bm25OracleSql(terms: Seq[String], k: Int, and: Boolean): String = {
+  private def bm25OracleSql(
+      terms: Seq[String], k: Int, and: Boolean,
+      corpus: String = "documents"): String = {
     val termList = terms.map(t => s"'$t'").mkString("[", ", ", "]")
     val andFilter =
       if (and) s"WHERE doc_id IN (SELECT doc_id FROM d WHERE list_has_all(toks, $termList))"
       else ""
     s"""
-      WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      WITH d AS (SELECT doc_id, $toksSql AS toks FROM $corpus),
       dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM d),
       stats AS (SELECT CAST(count(1) AS DOUBLE) AS n,
                        avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM d),
@@ -47,9 +49,11 @@ object TextQueries {
         JOIN dl ON tf.doc_id = dl.doc_id
         CROSS JOIN stats
         GROUP BY tf.doc_id)
-      SELECT doc_id, round(score, 4) AS bm25_score
-      FROM scores $andFilter
-      ORDER BY round(score, 4) DESC, doc_id LIMIT $k"""
+      SELECT * FROM (
+        SELECT doc_id, round(score, 4) AS bm25_score
+        FROM scores $andFilter
+        ORDER BY score DESC, doc_id LIMIT $k)
+      ORDER BY bm25_score DESC, doc_id"""
   }
 
   val queries: Map[String, Q] = Map(
@@ -122,7 +126,84 @@ object TextQueries {
 
   private val stopwordsSql = text.englishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** Shared CTE fragment: BM25 scores over a corpus (doc_id, text). */
+  private def bm25ScoresCte(terms: Seq[String], corpus: String): String = {
+    val termList = terms.map(t => s"'$t'").mkString("[", ", ", "]")
+    s"""
+      d AS (SELECT doc_id, $toksSql AS toks FROM $corpus),
+      dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM d),
+      stats AS (SELECT CAST(count(1) AS DOUBLE) AS n,
+                       avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM d),
+      tf AS (SELECT doc_id, tok, CAST(count(1) AS DOUBLE) AS tf
+             FROM (SELECT doc_id, unnest(toks) AS tok FROM d) GROUP BY 1, 2),
+      qt AS (SELECT unnest($termList) AS term),
+      dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+                FROM tf JOIN qt ON tok = term GROUP BY 1),
+      scores AS (
+        SELECT tf.doc_id,
+               sum(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
+                   tf.tf * (1.2 + 1) /
+                   (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS score
+        FROM tf
+        JOIN dfreq ON tf.tok = dfreq.term
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats
+        GROUP BY tf.doc_id)"""
+  }
+
+  /** Hybrid oracle: both sub-searches (30 candidates each = 3×k), exact
+    * reference fusion math in SQL. The hybrid corpus is documents ⋈
+    * embeddings on doc_id = vec_id (they can differ in cardinality per
+    * scale factor, and BM25 statistics are corpus-global).
+    */
+  private def hybridOracleSql(fusion: String): String = {
+    val corpus =
+      "(SELECT d2.doc_id, d2.text FROM documents d2 JOIN embeddings e ON d2.doc_id = e.vec_id)"
+    val qv = "(SELECT embedding FROM embeddings WHERE vec_id = 0)"
+    val fusionSelect = fusion match {
+      case "rsf" => s"""
+      vstat AS (SELECT min(dist) AS mn, max(dist) AS mx FROM vec_cand),
+      tstat AS (SELECT min(score) AS mn, max(score) AS mx FROM bm25_cand),
+      vnorm AS (SELECT doc_id,
+                       CASE WHEN mx = mn THEN 1.0 ELSE (dist - mn) / (mx - mn) END AS nd
+                FROM vec_cand, vstat),
+      tnorm AS (SELECT doc_id,
+                       CASE WHEN mx = mn THEN 1.0 ELSE (score - mn) / (mx - mn) END AS nb
+                FROM bm25_cand, tstat),
+      fused AS (SELECT coalesce(v.doc_id, t.doc_id) AS doc_id,
+                       coalesce((1.0 - v.nd) * 0.5, 0) + coalesce(t.nb * 0.5, 0) AS f
+                FROM vnorm v FULL OUTER JOIN tnorm t ON v.doc_id = t.doc_id)
+      SELECT * FROM (
+        SELECT doc_id, round(f, 4) AS fused_score FROM fused
+        ORDER BY f DESC, doc_id LIMIT 10)
+      ORDER BY fused_score DESC, doc_id"""
+      case _ => s"""
+      vrank AS (SELECT doc_id, row_number() OVER (ORDER BY dist ASC, doc_id) AS r
+                FROM vec_cand),
+      trank AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+                FROM bm25_cand),
+      fused AS (SELECT coalesce(v.doc_id, t.doc_id) AS doc_id,
+                       coalesce(1.0 / (60 + v.r), 0) + coalesce(1.0 / (60 + t.r), 0) AS f
+                FROM vrank v FULL OUTER JOIN trank t ON v.doc_id = t.doc_id)
+      SELECT * FROM (
+        SELECT doc_id, round(f, 6) AS fused_score FROM fused
+        ORDER BY f DESC, doc_id LIMIT 10)
+      ORDER BY fused_score DESC, doc_id"""
+    }
+    s"""
+      WITH ${bm25ScoresCte(TextSearch.queryTerms(query1), corpus)},
+      bm25_cand AS (SELECT doc_id, score FROM scores
+                    ORDER BY score DESC, doc_id LIMIT 30),
+      vec_cand AS (SELECT vec_id AS doc_id,
+                          CAST(1.0 - list_cosine_similarity(embedding, $qv) AS DOUBLE) AS dist
+                   FROM embeddings
+                   ORDER BY 1.0 - list_cosine_similarity(embedding, $qv), vec_id
+                   LIMIT 30),$fusionSelect"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "h01_hybrid_rsf" -> hybridOracleSql("rsf"),
+    "h02_hybrid_rrf" -> hybridOracleSql("rrf"),
     "t01_bm25_topk" -> bm25OracleSql(TextSearch.queryTerms(query1), 10, and = false),
     "t02_bm25_and" -> bm25OracleSql(TextSearch.queryTerms(query2), 10, and = true),
     "t03_token_count" -> s"""
