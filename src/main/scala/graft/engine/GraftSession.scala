@@ -31,6 +31,7 @@ object GraftSession {
     */
   def install(spark: SparkSession): SparkSession = {
     graft.functions.GraftFunctions.registerAll(spark)
+    graft.functions.ClickHouseCompat.install(spark)
     spark
   }
 }

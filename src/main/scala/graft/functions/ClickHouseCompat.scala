@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+/** ClickHouse-named scalar functions (SURVEY §2.9) expressed as Spark SQL
+  * UDFs — which doubles as coverage of the reference's
+  * `CREATE FUNCTION name AS (x) -> expr` SQL-lambda surface (§2.10,
+  * `/root/reference/src/Functions/UserDefined/`): every alias below IS a
+  * SQL-defined function created through the same `CREATE FUNCTION ...
+  * RETURN expr` machinery a user would use.
+  *
+  * Notes on deviations:
+  *  - hash aliases (cityHash64/sipHash64/farmHash64 → xxhash64) preserve
+  *    the contract (stable 64-bit hash) but NOT the exact hash values of
+  *    the reference implementation;
+  *  - functions are registered with one pragmatic typed signature
+  *    (ClickHouse overloads polymorphically; Spark SQL UDFs are typed).
+  */
+object ClickHouseCompat {
+
+  /** All definitions. Temporary functions — session-scoped, like the
+    * reference's `CREATE TEMPORARY FUNCTION`.
+    */
+  val definitions: Seq[String] = Seq(
+    // ---- date/time (reference src/Functions/DateTimeTransforms.h) ----
+    "toYear(t TIMESTAMP) RETURNS INT RETURN year(t)",
+    "toMonth(t TIMESTAMP) RETURNS INT RETURN month(t)",
+    "toDayOfMonth(t TIMESTAMP) RETURNS INT RETURN day(t)",
+    "toHour(t TIMESTAMP) RETURNS INT RETURN hour(t)",
+    "toMinute(t TIMESTAMP) RETURNS INT RETURN minute(t)",
+    "toSecond(t TIMESTAMP) RETURNS INT RETURN second(t)",
+    "toYYYYMM(t TIMESTAMP) RETURNS INT RETURN year(t) * 100 + month(t)",
+    "toYYYYMMDD(t TIMESTAMP) RETURNS INT RETURN year(t) * 10000 + month(t) * 100 + day(t)",
+    "toDate(t TIMESTAMP) RETURNS DATE RETURN CAST(t AS DATE)",
+    "toStartOfMonth(t TIMESTAMP) RETURNS DATE RETURN trunc(CAST(t AS DATE), 'month')",
+    "toStartOfYear(t TIMESTAMP) RETURNS DATE RETURN trunc(CAST(t AS DATE), 'year')",
+    "toStartOfQuarter(t TIMESTAMP) RETURNS DATE RETURN trunc(CAST(t AS DATE), 'quarter')",
+    "toStartOfWeek(t TIMESTAMP) RETURNS DATE RETURN date_sub(CAST(t AS DATE), (dayofweek(CAST(t AS DATE)) + 5) % 7)",
+    "toStartOfDay(t TIMESTAMP) RETURNS TIMESTAMP RETURN date_trunc('DAY', t)",
+    "toStartOfHour(t TIMESTAMP) RETURNS TIMESTAMP RETURN date_trunc('HOUR', t)",
+    "toStartOfMinute(t TIMESTAMP) RETURNS TIMESTAMP RETURN date_trunc('MINUTE', t)",
+    // ClickHouse toDayOfWeek: Monday = 1; Spark dayofweek: Sunday = 1
+    "toDayOfWeek(t TIMESTAMP) RETURNS INT RETURN ((dayofweek(CAST(t AS DATE)) + 5) % 7) + 1",
+    "toDayOfYear(t TIMESTAMP) RETURNS INT RETURN dayofyear(CAST(t AS DATE))",
+    "toUnixTimestamp(t TIMESTAMP) RETURNS BIGINT RETURN unix_micros(t) div 1000000",
+    "addDays(t TIMESTAMP, n INT) RETURNS TIMESTAMP RETURN t + make_interval(0, 0, 0, n)",
+    "addHours(t TIMESTAMP, n INT) RETURNS TIMESTAMP RETURN t + make_interval(0, 0, 0, 0, n)",
+    "addMinutes(t TIMESTAMP, n INT) RETURNS TIMESTAMP RETURN t + make_interval(0, 0, 0, 0, 0, n)",
+    "addMonths(t TIMESTAMP, n INT) RETURNS TIMESTAMP RETURN t + make_interval(0, n)",
+    "addYears(t TIMESTAMP, n INT) RETURNS TIMESTAMP RETURN t + make_interval(n)",
+    "subtractDays(t TIMESTAMP, n INT) RETURNS TIMESTAMP RETURN t - make_interval(0, 0, 0, n)",
+    "formatDateTime(t TIMESTAMP, f STRING) RETURNS STRING RETURN date_format(t, f)",
+    // ---- strings ----
+    "lengthUTF8(s STRING) RETURNS INT RETURN length(s)",
+    "empty(s STRING) RETURNS BOOLEAN RETURN length(s) = 0 OR s IS NULL",
+    "notEmpty(s STRING) RETURNS BOOLEAN RETURN length(s) > 0",
+    "lowerUTF8(s STRING) RETURNS STRING RETURN lower(s)",
+    "upperUTF8(s STRING) RETURNS STRING RETURN upper(s)",
+    "substringUTF8(s STRING, p INT, l INT) RETURNS STRING RETURN substring(s, p, l)",
+    // `position` is an unreplaceable Spark built-in (with swapped args);
+    // the ClickHouse argument order is exposed as positionUTF8.
+    "positionUTF8(h STRING, n STRING) RETURNS INT RETURN instr(h, n)",
+    "splitByChar(sep STRING, s STRING) RETURNS ARRAY<STRING> RETURN split(s, concat('\\\\Q', sep, '\\\\E'), -1)",
+    "trimBoth(s STRING) RETURNS STRING RETURN trim(s)",
+    "concatAssumeInjective(a STRING, b STRING) RETURNS STRING RETURN concat(a, b)",
+    // ---- hashes (value deviation documented above) ----
+    "cityHash64(s STRING) RETURNS BIGINT RETURN xxhash64(s)",
+    "sipHash64(s STRING) RETURNS BIGINT RETURN xxhash64(s)",
+    "farmHash64(s STRING) RETURNS BIGINT RETURN xxhash64(s)",
+    "intHash64(x BIGINT) RETURNS BIGINT RETURN xxhash64(x)",
+    "halfMD5(s STRING) RETURNS STRING RETURN substring(md5(s), 1, 16)",
+    // ---- arrays (reference src/Functions/array/) ----
+    "arraySum(a ARRAY<DOUBLE>) RETURNS DOUBLE RETURN aggregate(a, 0D, (acc, x) -> acc + x)",
+    "arrayAvg(a ARRAY<DOUBLE>) RETURNS DOUBLE RETURN aggregate(a, 0D, (acc, x) -> acc + x) / size(a)",
+    "arrayMin(a ARRAY<DOUBLE>) RETURNS DOUBLE RETURN array_min(a)",
+    "arrayMax(a ARRAY<DOUBLE>) RETURNS DOUBLE RETURN array_max(a)",
+    "arrayUniq(a ARRAY<STRING>) RETURNS INT RETURN size(array_distinct(a))",
+    "arrayStringConcat(a ARRAY<STRING>, sep STRING) RETURNS STRING RETURN array_join(a, sep)",
+    "arrayCompactSorted(a ARRAY<STRING>) RETURNS ARRAY<STRING> RETURN array_sort(array_distinct(a))",
+    "indexOf(a ARRAY<STRING>, x STRING) RETURNS BIGINT RETURN array_position(a, x)",
+    "has(a ARRAY<STRING>, x STRING) RETURNS BOOLEAN RETURN array_contains(a, x)",
+    "arrayRange(n BIGINT) RETURNS ARRAY<BIGINT> RETURN sequence(0L, n - 1)",
+    // ---- conditionals / misc ----
+    "multiIf3(c1 BOOLEAN, v1 DOUBLE, c2 BOOLEAN, v2 DOUBLE, e DOUBLE) RETURNS DOUBLE " +
+      "RETURN CASE WHEN c1 THEN v1 WHEN c2 THEN v2 ELSE e END",
+    "intDiv(a BIGINT, b BIGINT) RETURNS BIGINT RETURN a div b",
+    "modulo(a BIGINT, b BIGINT) RETURNS BIGINT RETURN a % b",
+    "plus(a DOUBLE, b DOUBLE) RETURNS DOUBLE RETURN a + b",
+    "minus(a DOUBLE, b DOUBLE) RETURNS DOUBLE RETURN a - b",
+    "multiply(a DOUBLE, b DOUBLE) RETURNS DOUBLE RETURN a * b",
+    "divide(a DOUBLE, b DOUBLE) RETURNS DOUBLE RETURN a / b",
+    "toFloat64(s STRING) RETURNS DOUBLE RETURN CAST(s AS DOUBLE)",
+    "toInt64(s STRING) RETURNS BIGINT RETURN CAST(s AS BIGINT)",
+    "toString64(x BIGINT) RETURNS STRING RETURN CAST(x AS STRING)",
+  )
+
+  /** Install all aliases (CREATE OR REPLACE, idempotent); returns names
+    * that failed (e.g. a future Spark version claiming a name as an
+    * unreplaceable built-in).
+    */
+  def install(spark: SparkSession): Seq[String] =
+    definitions.flatMap { d =>
+      try { spark.sql(s"CREATE OR REPLACE TEMPORARY FUNCTION $d"); None }
+      catch { case _: Exception => Some(d.takeWhile(_ != '(')) }
+    }
+}

@@ -1,0 +1,53 @@
+package graft
+
+class ClickHouseCompatSpec extends SparkSpec {
+
+  test("all definitions install cleanly") {
+    val failed = graft.functions.ClickHouseCompat.install(spark)
+    assert(failed.isEmpty, s"failed to install: $failed")
+  }
+
+  test("date/time aliases") {
+    spark // install happens in TestSpark via GraftSession.install
+    def q1(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
+    assert(q1("toYYYYMM(TIMESTAMP '1997-03-15 10:20:30')") === 199703)
+    assert(q1("toYYYYMMDD(TIMESTAMP '1997-03-15 10:20:30')") === 19970315)
+    assert(q1("toStartOfMonth(TIMESTAMP '1997-03-15 10:20:30')").toString === "1997-03-01")
+    assert(q1("toDayOfWeek(TIMESTAMP '2024-01-01 00:00:00')") === 1) // a Monday
+    assert(q1("toDayOfWeek(TIMESTAMP '2024-01-07 00:00:00')") === 7) // a Sunday
+    assert(q1("toStartOfWeek(TIMESTAMP '2024-01-03 12:00:00')").toString === "2024-01-01")
+    assert(q1("toUnixTimestamp(TIMESTAMP '1970-01-01 00:01:00')") === 60L)
+    assert(q1("addDays(TIMESTAMP '2024-02-28 00:00:00', 2)").toString startsWith "2024-03-01")
+    assert(q1("toHour(addHours(TIMESTAMP '2024-01-01 23:00:00', 2))") === 1)
+  }
+
+  test("string aliases") {
+    def q1(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
+    assert(q1("positionUTF8('hello world', 'world')") === 7)
+    assert(q1("empty('')") === true)
+    assert(q1("notEmpty('x')") === true)
+    assert(q1("splitByChar(',', 'a,b,,c')") === Seq("a", "b", "", "c"))
+    assert(q1("splitByChar('.', 'a.b')") === Seq("a", "b")) // regex metachar quoted
+    assert(q1("substringUTF8('abcdef', 2, 3)") === "bcd")
+    assert(q1("halfMD5('x')").toString.length === 16)
+  }
+
+  test("array aliases") {
+    def q1(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
+    assert(q1("arraySum(array(1D, 2D, 3.5D))") === 6.5)
+    assert(q1("arrayAvg(array(2D, 4D))") === 3.0)
+    assert(q1("arrayUniq(array('a','b','a'))") === 2)
+    assert(q1("has(array('a','b'), 'b')") === true)
+    assert(q1("indexOf(array('a','b'), 'b')") === 2L)
+    assert(q1("arrayRange(3)") === Seq(0L, 1L, 2L))
+    assert(q1("arrayStringConcat(array('x','y'), '-')") === "x-y")
+  }
+
+  test("hash and arithmetic aliases") {
+    def q1(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
+    assert(q1("cityHash64('abc')") === q1("xxhash64('abc')"))
+    assert(q1("intDiv(7, 2)") === 3L)
+    assert(q1("multiIf3(false, 1D, true, 2D, 3D)") === 2.0)
+    assert(q1("toFloat64('1.5')") === 1.5)
+  }
+}
