@@ -39,7 +39,8 @@ object IvfIndex {
   // ---- catalog (system.vector_indices analog, StorageSystemVIs.cpp) ----
   case class IndexEntry(
       name: String, indexDir: String, sourcePath: String, vecCol: String,
-      indexType: String, metric: String, status: String, nRows: Long)
+      indexType: String, metric: String, status: String, nRows: Long,
+      defaultNprobe: Int = 4)
 
   object Catalog {
     private val entries = TrieMap.empty[String, IndexEntry]
@@ -123,9 +124,11 @@ object IvfIndex {
       indexDir: String,
       metric: String = "l2",
       nLists: Int = 16,
-      trainSampleSize: Int = 100000): IndexEntry = {
-    Catalog.register(IndexEntry(indexName, indexDir, "", vecCol, "IVFFLAT",
-      metric, "BUILDING", 0L))
+      trainSampleSize: Int = 100000,
+      sourcePath: String = "",
+      defaultNprobe: Int = 4): IndexEntry = {
+    Catalog.register(IndexEntry(indexName, indexDir, sourcePath, vecCol, "IVFFLAT",
+      metric, "BUILDING", 0L, defaultNprobe))
 
     val n = df.count()
     val fraction = math.min(1.0, trainSampleSize.toDouble / math.max(1L, n))
@@ -153,13 +156,13 @@ object IvfIndex {
     metaCache.put(indexDir, meta)
     centroidCache.put(indexDir, centroids)
 
-    val entry = IndexEntry(indexName, indexDir, "", vecCol, "IVFFLAT",
-      metric, "BUILT", n)
+    val entry = IndexEntry(indexName, indexDir, sourcePath, vecCol, "IVFFLAT",
+      metric, "BUILT", n, defaultNprobe)
     Catalog.register(entry)
     entry
   }
 
-  private def loadCentroids(spark: SparkSession, indexDir: String): Array[Array[Float]] =
+  private[graft] def loadCentroids(spark: SparkSession, indexDir: String): Array[Array[Float]] =
     centroidCache.getOrElseUpdate(indexDir, {
       spark.read.parquet(s"$indexDir/centroids")
         .orderBy("list_id").collect()

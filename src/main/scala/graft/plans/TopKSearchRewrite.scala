@@ -1,46 +1,132 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, SortOrder}
-import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, LogicalPlan, Sort}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{ArrayType, FloatType}
 
 import graft.functions.VectorDistance
+import graft.operators.IvfIndex
 
 /** Catalyst rule for the reference's search-query shape.
   *
   * The reference recognizes `SELECT ..., distance(v, q) AS d ... ORDER BY
   * d LIMIT k` during analysis (`/root/reference/src/Interpreters/
-  * ExpressionAnalyzer.cpp:216-240`) and swaps the plain scan for a top-K
-  * index scan; it also rejects queries with more than one search function
-  * (`/root/reference/tests/queries/2_vector_search/00040_mqvs_hybrid_search.sql:17`
-  * expects error 62).
+  * ExpressionAnalyzer.cpp:216-240`) and swaps the plain scan for an ANN
+  * index scan when the table has a built vector index
+  * (`MergeTreeDataSelectExecutor.cpp:1367` → `ReadWithHybridSearch`);
+  * it also rejects queries with more than one search function
+  * (`tests/queries/2_vector_search/00040_mqvs_hybrid_search.sql:17`,
+  * error 62).
   *
-  * In Spark, `Sort(dist) + Limit(k)` already lowers to
-  * `TakeOrderedAndProject` (per-partition top-K + merge — the exact
-  * brute-force plan the reference falls back to). This rule adds the
-  * reference's semantic validation, and is the hook point where an
-  * IVF-indexed scan is substituted when `graft.operators.IvfCatalog` has
-  * an index covering the scanned files (see `IvfIndex`).
+  * Spark-side semantics:
+  *  - Without an index, `Sort(dist) + Limit(k)` already lowers to
+  *    `TakeOrderedAndProject` — per-partition top-K + merge, exactly the
+  *    reference's brute-force plan. Nothing to do.
+  *  - With a BUILT IVF index registered in [[IvfIndex.Catalog]] for the
+  *    scanned parquet path + vector column, this rule swaps the scan for
+  *    the index's list-partitioned layout pruned to the `defaultNprobe`
+  *    nearest lists — the file-level pruning IS the index acceleration.
+  *    A WHERE below the sort stays BELOW the ranking (pre-filter
+  *    semantics, `performPrefilter`). Like the reference's index path,
+  *    results are approximate when nprobe < nLists.
   */
 case class TopKSearchRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def countSearchFns(e: Expression): Int =
     e.collect { case _: VectorDistance => () }.size
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-    case s @ Sort(order, true, _, _) =>
-      val nSearch = order.map(o => countSearchFns(o.child)).sum
-      if (nSearch > 1) {
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    validate(plan)
+    plan.transformDown {
+      case gl @ GlobalLimit(IntegerLiteral(k),
+          LocalLimit(_, sort @ Sort(Seq(order), true, child, _))) =>
+        rewriteTopK(k, sort, order, child).getOrElse(gl)
+    }
+  }
+
+  /** Reference constraint: at most one search function per sort. */
+  private def validate(plan: LogicalPlan): Unit = plan.foreach {
+    case Sort(order, _, _, _) =>
+      if (order.map(o => countSearchFns(o.child)).sum > 1) {
         throw new IllegalArgumentException(
           "only one search function is allowed per query (reference error 62)")
       }
-      s
-    case l @ GlobalLimit(_, LocalLimit(_, Sort(order, true, _, _)))
-        if order.exists(o => countSearchFns(o.child) > 0) =>
-      // Top-K search pattern: Spark plans this as TakeOrderedAndProject
-      // (per-partition top-K + merge). IVF substitution hooks in here.
-      l
+    case _ => ()
+  }
+
+  private def rewriteTopK(
+      k: Int, sort: Sort, order: SortOrder, child: LogicalPlan): Option[LogicalPlan] = {
+    // Sort key must be an attribute produced by a projection as
+    // `distance(vecCol, literal-query-vector)`, ascending.
+    val sortAttr = order.child match {
+      case a: Attribute if order.direction == Ascending => a
+      case _ => return None
+    }
+    // Accept Project(..., rel-or-filtered-rel)
+    val (projList, below) = child match {
+      case Project(pl, c) => (pl, c)
+      case _ => return None
+    }
+    val (filterCond, relPlan) = below match {
+      case Filter(cond, r) => (Some(cond), r)
+      case r => (None, r)
+    }
+    val rel = relPlan match {
+      case lr: LogicalRelation => lr
+      case _ => return None
+    }
+    val distAlias = projList.collectFirst {
+      case al @ Alias(vd @ VectorDistance(attr: AttributeReference, Literal(q, ArrayType(FloatType, _)), _), _)
+          if al.exprId == sortAttr.exprId => (al, vd, attr, q.asInstanceOf[ArrayData])
+    }.getOrElse(return None)
+    val (alias, vd, vecAttr, qArray) = distAlias
+
+    val path = rel.relation match {
+      case fs: HadoopFsRelation =>
+        fs.location.rootPaths.headOption.map(_.toString).getOrElse(return None)
+      case _ => return None
+    }
+    val entry = IvfIndex.Catalog.forSource(path, vecAttr.name).getOrElse(return None)
+    if (!vd.metric.toString.equalsIgnoreCase(entry.metric)) return None
+
+    // --- build the substitute scan over the probed index lists ---
+    val qvec = qArray.toFloatArray()
+    val centroids = IvfIndex.loadCentroids(spark, entry.indexDir)
+    val probes = centroids.zipWithIndex
+      .map { case (c, i) => (graft.functions.VectorKernels.l2sq(c, qvec), i) }
+      .sortBy(_._1).take(math.min(entry.defaultNprobe, centroids.length)).map(_._2)
+    val newScan = spark.read.parquet(s"${entry.indexDir}/lists")
+      .filter(col("list_id").isin(probes.toIndexedSeq: _*))
+      .queryExecution.analyzed
+
+    // name → new attribute (the index layout carries the source columns)
+    val byName = newScan.output.map(a => a.name -> a).toMap
+    rel.output.foreach(a => if (!byName.contains(a.name)) return None)
+    def remap(e: Expression): Expression = e.transformUp {
+      case ar: AttributeReference if byName.contains(ar.name) &&
+          rel.output.exists(_.exprId == ar.exprId) => byName(ar.name)
+    }
+
+    // Rebuild filter/project preserving the ORIGINAL exprIds on output
+    // (upstream Sort/Limit/parents keep resolving).
+    var rebuilt: LogicalPlan = newScan
+    filterCond.foreach(c => rebuilt = Filter(remap(c), rebuilt))
+    val newProj = projList.map {
+      case a: AttributeReference =>
+        Alias(remap(a), a.name)(exprId = a.exprId)
+      case al: Alias =>
+        Alias(remap(al.child), al.name)(exprId = al.exprId)
+      case other => remap(other).asInstanceOf[NamedExpression]
+    }
+    rebuilt = Project(newProj, rebuilt)
+    logInfo(s"TopKSearchRewrite: ORDER BY ${vd.prettyName} LIMIT $k over $path " +
+      s"→ IVF index ${entry.name} (nprobe=${entry.defaultNprobe}/${centroids.length})")
+    Some(GlobalLimit(Literal(k), LocalLimit(Literal(k), Sort(Seq(order), global = true, rebuilt, None))))
   }
 }
 

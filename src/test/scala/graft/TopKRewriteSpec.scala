@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.distances
+import graft.operators.{IvfIndex, VectorSearch}
+
+class TopKRewriteSpec extends SparkSpec {
+
+  // fresh (uncached) relation so the logical plan is a LogicalRelation;
+  // other suites cache() the same parquet, and the CacheManager would
+  // (correctly) substitute InMemoryRelation, which the rule leaves alone.
+  def emb = {
+    spark.catalog.clearCache()
+    graft.engine.Tables.t(spark, sfDir, "embeddings")
+  }
+  lazy val qv: Seq[Float] = emb.filter(col("vec_id") === 3)
+    .select(col("embedding")).head().getSeq[Float](0)
+
+  def topkDf(k: Int) =
+    emb.select(col("vec_id"),
+        distances.l2Distance(col("embedding"), typedLit(qv)).as("d"))
+      .orderBy(col("d")).limit(k)
+
+  test("no index registered → plain TakeOrderedAndProject brute force") {
+    val plan = topkDf(5).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(!plan.contains("list_id"))
+  }
+
+  test("registered index → scan swapped to probed IVF lists, exact at nprobe=nLists") {
+    val dir = Files.createTempDirectory("ivf-auto").toString
+    val srcPath = "file:" + sfDir + "/embeddings.parquet"
+    try {
+      IvfIndex.build(spark, emb, "embedding", "auto_ivf", dir, "l2",
+        nLists = 8, sourcePath = srcPath, defaultNprobe = 8)
+      val df = topkDf(5)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("lists"), s"expected index-lists scan in:\n$plan")
+      val got = df.collect().map(_.getLong(0)).toSeq
+      val brute = VectorSearch.topK(emb, col("embedding"), qv, 5, "l2",
+          None, "d", Seq(col("vec_id")))
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(got === brute)
+    } finally IvfIndex.Catalog.drop("auto_ivf")
+  }
+
+  test("metric mismatch leaves the plan untouched") {
+    val dir = Files.createTempDirectory("ivf-cos").toString
+    val srcPath = "file:" + sfDir + "/embeddings.parquet"
+    try {
+      IvfIndex.build(spark, emb, "embedding", "cos_ivf", dir, "cosine",
+        nLists = 4, sourcePath = srcPath, defaultNprobe = 4)
+      // l2 query but cosine index → no swap
+      val plan = topkDf(5).queryExecution.executedPlan.toString
+      assert(!plan.contains("list_id"))
+    } finally IvfIndex.Catalog.drop("cos_ivf")
+  }
+
+  test("pre-filter stays below the ranking after the swap") {
+    val dir = Files.createTempDirectory("ivf-filter").toString
+    val srcPath = "file:" + sfDir + "/embeddings.parquet"
+    try {
+      IvfIndex.build(spark, emb, "embedding", "filt_ivf", dir, "l2",
+        nLists = 8, sourcePath = srcPath, defaultNprobe = 8)
+      val df = emb.filter(col("label") === 2)
+        .select(col("vec_id"), col("label"),
+          distances.l2Distance(col("embedding"), typedLit(qv)).as("d"))
+        .orderBy(col("d")).limit(5)
+      val rows = df.collect()
+      assert(rows.forall(_.getInt(1) === 2))
+      val brute = VectorSearch.topK(emb, col("embedding"), qv, 5, "l2",
+          Some(col("label") === 2), "d", Seq.empty)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(rows.map(_.getLong(0)).toSet === brute)
+    } finally IvfIndex.Catalog.drop("filt_ivf")
+  }
+}
