@@ -1,0 +1,65 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** `topK(k)(col)` — approximate heavy hitters via SpaceSaving
+  * (Metwally et al., "Efficient computation of frequent and top-k
+  * elements in data streams"), the algorithm family behind the
+  * reference's `topK` aggregate
+  * (`/root/reference/src/AggregateFunctions/AggregateFunctionTopK.cpp`;
+  * reserved capacity = k × load factor, like the reference's
+  * TOP_K_LOAD_FACTOR of 3).
+  *
+  * Buffer = capped counter map with count-stealing on eviction; merge
+  * adds counters then re-caps — associative and map-side combinable, so
+  * the shuffle carries ≤ capacity counters per group regardless of input
+  * size (the 100 TB property). Exact when distinct values ≤ capacity.
+  */
+object TopKAggregate {
+
+  val LoadFactor = 3 // reference TOP_K_LOAD_FACTOR
+
+  type Buf = mutable.Map[String, Long]
+
+  private class SpaceSaving(k: Int) extends Aggregator[String, Buf, Seq[String]] {
+    private val capacity = k * LoadFactor
+
+    override def zero: Buf = mutable.Map.empty
+
+    private def add(b: Buf, v: String, n: Long): Buf = {
+      if (b.contains(v) || b.size < capacity) {
+        b.update(v, b.getOrElse(v, 0L) + n)
+      } else {
+        // evict current min, new element inherits min count (SpaceSaving)
+        val (mv, mc) = b.minBy(_._2)
+        b.remove(mv)
+        b.update(v, mc + n)
+      }
+      b
+    }
+
+    override def reduce(b: Buf, v: String): Buf =
+      if (v == null) b else add(b, v, 1L)
+
+    override def merge(a: Buf, b: Buf): Buf = {
+      b.foreach { case (v, n) => add(a, v, n) }
+      a
+    }
+
+    override def finish(b: Buf): Seq[String] =
+      b.toSeq.sortBy { case (v, n) => (-n, v) }.take(k).map(_._1)
+
+    override def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
+    override def outputEncoder: Encoder[Seq[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+  }
+
+  /** Column form: returns array<string> of the ~k most frequent values
+    * (deterministic tie-break: higher count first, then value asc).
+    */
+  def topK(k: Int)(c: Column): Column = udaf(new SpaceSaving(k)).apply(c)
+}

@@ -88,6 +88,25 @@ object EventQueries {
         .select(col("window.start").as("wstart"), col("n"), col("total"))
         .orderBy(col("wstart"))
     }),
+    // topK heavy-hitters aggregate (SpaceSaving; exact here because
+    // distinct event types fit the counter budget) — results as rows.
+    "e08_topk_values" -> ((s, dir) => {
+      events(s, dir)
+        .agg(graft.functions.TopKAggregate.topK(3)(col("event_type")).as("top_types"))
+        .select(posexplode(col("top_types")).as(Seq("rank", "event_type")))
+        .select((col("rank") + 1).cast("long").as("rank"), col("event_type"))
+        .orderBy(col("rank"))
+    }),
+    // Approximate quantiles (quantileTDigest family → percentile_approx;
+    // algorithm-specific values → rows-only check).
+    "e09_quantile_approx" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile_approx(value, 0.5, 1000)"), 2).as("p50_approx"),
+          round(expr("percentile_approx(value, 0.95, 1000)"), 2).as("p95_approx"))
+        .orderBy(col("event_type"))
+    }),
     // Hopping window (hop(ts, 30 min slide, 1 hour size)).
     "e07_hop" -> ((s, dir) => {
       events(s, dir)
@@ -99,6 +118,11 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "e08_topk_values" -> """
+      SELECT CAST(row_number() OVER (ORDER BY cnt DESC, event_type) AS BIGINT) AS rank,
+             event_type
+      FROM (SELECT event_type, count(1) AS cnt FROM events GROUP BY 1)
+      ORDER BY cnt DESC, event_type LIMIT 3""",
     "e01_retention" -> """
       WITH per_user AS (
         SELECT user_id,

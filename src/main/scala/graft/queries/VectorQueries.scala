@@ -99,6 +99,22 @@ object VectorQueries {
         .select(col("vec_id"), round(col("d").cast("double"), 3).as("d"))
         .orderBy(col("vec_id"))
     }),
+    // Binary vector search (FixedString → BinaryType): 16-byte vectors
+    // derived deterministically from document text (unhex(md5)), Hamming
+    // top-K. DuckDB lacks blob bit ops → rows-only check; kernel-level
+    // parity is covered in DistanceSpec.
+    "v10_binary_hamming" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), unhex(md5(col("text"))).as("bvec"))
+      val q = docs.filter(col("doc_id") === 0).select("bvec").head().getAs[Array[Byte]](0)
+      docs
+        .withColumn("d", graft.functions.distances.hammingDistance(
+          col("bvec"), lit(q)))
+        .orderBy(col("d"), col("doc_id"))
+        .limit(10)
+        .select(col("doc_id"), col("d").cast("double").as("d"))
+        .orderBy(col("doc_id"))
+    }),
     // arrayDistance scalar family as projection columns (not top-K).
     "v07_distance_family" -> ((s, dir) => {
       val q = queryVec(s, dir)

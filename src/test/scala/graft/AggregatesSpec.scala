@@ -75,4 +75,15 @@ class AggregatesSpec extends SparkSpec {
       .orderBy("t").collect().map(_.getAs[Double]("d"))
     assert(got === Array(0.0, 2.0, 0.0))
   }
+
+  test("topK SpaceSaving: exact on small cardinality, capped buffer") {
+    val df = (Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(10)("c") ++
+      Seq.fill(5)("d")).toDF("v")
+    val got = df.agg(graft.functions.TopKAggregate.topK(2)(col("v"))).head().getSeq[String](0)
+    assert(got === Seq("a", "b"))
+    // high cardinality: the true heavy hitter still surfaces
+    val big = ((1 to 2000).map(i => s"rare$i") ++ Seq.fill(500)("hot")).toDF("v")
+    val top = big.agg(graft.functions.TopKAggregate.topK(3)(col("v"))).head().getSeq[String](0)
+    assert(top.contains("hot"))
+  }
 }
