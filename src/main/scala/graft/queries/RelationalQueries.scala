@@ -344,6 +344,58 @@ object RelationalQueries {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // WITH FILL ... INTERPOLATE: densify + carry last value forward
+    // (reference FillingTransform interpolate).
+    "q31_interpolate" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .filter(col("o_orderdate").cast("date") >= lit(java.sql.Date.valueOf("1995-01-01")) &&
+          col("o_orderdate").cast("date") <= lit(java.sql.Date.valueOf("1995-02-28")))
+        .groupBy(col("o_orderdate").cast("date").as("d"))
+        .agg(round(max(col("o_totalprice")), 2).as("mx"))
+      val filled = RelationalOps.withFillDays(
+        daily, "d",
+        java.sql.Date.valueOf("1995-01-01"), java.sql.Date.valueOf("1995-02-28"),
+        Seq.empty)
+      RelationalOps.interpolateLastOver(filled, col("d"), Seq("mx"))
+        .orderBy(col("d"))
+    }),
+
+    // JSON function family (reference FunctionsJSON.cpp) over the
+    // events.props JSON column.
+    "q32_json" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), round(avg(col("value")), 2).as("avg_value"))
+        .orderBy(col("k_mod"))
+    }),
+
+    // uniq / uniqCombined (HLL) — approximate, rows-only check.
+    "q33_uniq_approx" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("uniq_part_approx"),
+          approx_count_distinct(col("l_suppkey")).as("uniq_supp_approx"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // groupArray / groupUniqArray → collect_set, stringified for a
+    // byte-stable golden compare.
+    "q34_group_array" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(array_join(sort_array(collect_set(col("l_linestatus"))), ",").as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // INTERSECT ALL / EXCEPT ALL (multiset semantics).
+    "q35_setops_all" -> ((s, dir) => {
+      val r = t(s, dir, "lineitem").filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+      val f = t(s, dir, "lineitem").filter(col("l_linestatus") === "F").select(col("l_orderkey"))
+      r.intersectAll(f).orderBy(col("l_orderkey")).limit(200)
+    }),
+
     // GROUP BY with expression keys + IN-subquery semi join.
     "q30_in_subquery" -> ((s, dir) => {
       val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
@@ -571,6 +623,36 @@ object RelationalQueries {
                                x -> len(x) > 0) AS toks
             FROM documents WHERE doc_id < 20)
       ORDER BY doc_id, pos""",
+    "q31_interpolate" -> """
+      WITH series AS (
+        SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '1995-02-28',
+                                           INTERVAL 1 DAY)) AS DATE) AS d),
+      daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d, round(max(o_totalprice), 2) AS mx
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+          AND CAST(o_orderdate AS DATE) <= DATE '1995-02-28'
+        GROUP BY 1)
+      SELECT series.d AS d,
+             last_value(daily.mx IGNORE NULLS) OVER (
+               ORDER BY series.d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mx
+      FROM series LEFT JOIN daily ON series.d = daily.d
+      ORDER BY d""",
+    "q32_json" -> """
+      SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+             count(1) AS n, round(avg(value), 2) AS avg_value
+      FROM events GROUP BY 1 ORDER BY k_mod""",
+    "q34_group_array" -> """
+      SELECT l_returnflag,
+             array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+             count(1) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q35_setops_all" -> """
+      SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+      INTERSECT ALL
+      SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F'
+      ORDER BY l_orderkey LIMIT 200""",
     "q30_in_subquery" -> """
       SELECT l_returnflag, count(1) AS n, round(sum(l_extendedprice), 2) AS total
       FROM lineitem
