@@ -133,6 +133,33 @@ object Aggregates {
       .drop("__t0", "__wv")
   }
 
+  /** exponentialTimeDecayedCount / Avg / Max (WindowTransform.cpp:2509-2530)
+    * — same factorization as the sum: weights exp((t_i-t0)/λ) are positive
+    * and monotone, so max factorizes too.
+    */
+  def withExpTimeDecayedAll(
+      df: org.apache.spark.sql.DataFrame,
+      prefix: String,
+      decaySeconds: Double,
+      value: Column,
+      tsSeconds: Column,
+      partitionBy: Seq[Column],
+      orderBy: Seq[Column]): org.apache.spark.sql.DataFrame = {
+    val wPart = Window.partitionBy(partitionBy: _*)
+    val wOrd = Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = df.withColumn("__t0", min(tsSeconds).over(wPart))
+      .withColumn("__w", exp((tsSeconds - col("__t0")) / decaySeconds))
+    val fade = exp(-(tsSeconds - col("__t0")) / decaySeconds)
+    base
+      .withColumn(s"${prefix}_sum", fade * sum(value * col("__w")).over(wOrd))
+      .withColumn(s"${prefix}_count", fade * sum(col("__w")).over(wOrd))
+      .withColumn(s"${prefix}_avg",
+        sum(value * col("__w")).over(wOrd) / sum(col("__w")).over(wOrd))
+      .withColumn(s"${prefix}_max", fade * max(value * col("__w")).over(wOrd))
+      .drop("__t0", "__w")
+  }
+
   /** nonNegativeDerivative(value, ts): max(0, Δvalue/Δt-seconds) w.r.t.
     * the previous row in the window order.
     */

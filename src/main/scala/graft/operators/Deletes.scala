@@ -1,0 +1,30 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lightweight DELETE — the reference masks rows with a `_row_exists`
+  * bitmap instead of rewriting parts (`DELETE FROM t WHERE ...`; vector
+  * search respects the mask — tests `2_vector_search/00016`,
+  * `00037_mqvs_multiple_lwd.sql`). Spark realization: an explicit
+  * `_deleted` mask column; readers filter it, compaction drops it.
+  * Immutable-file semantics identical to the reference's.
+  */
+object Deletes {
+
+  val MaskCol = "_deleted"
+
+  /** Mark rows matching `cond` deleted (idempotent, composable). */
+  def delete(df: DataFrame, cond: Column): DataFrame =
+    if (df.columns.contains(MaskCol))
+      df.withColumn(MaskCol, col(MaskCol) || cond)
+    else df.withColumn(MaskCol, cond)
+
+  /** Reader view: masked rows filtered out, mask column hidden. */
+  def applyMask(df: DataFrame): DataFrame =
+    if (df.columns.contains(MaskCol)) df.filter(!col(MaskCol)).drop(MaskCol)
+    else df
+
+  /** Compaction: physically drop masked rows (the reference's merge). */
+  def compact(df: DataFrame): DataFrame = applyMask(df)
+}

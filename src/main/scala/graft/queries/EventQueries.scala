@@ -80,6 +80,18 @@ object EventQueries {
           round(col("decayed_sum"), 4).as("decayed_sum"))
         .orderBy(col("event_id"))
     }),
+    // Full exponentialTimeDecayed family (sum/count/avg/max).
+    "e10_exp_decayed_family" -> ((s, dir) => {
+      Aggregates.withExpTimeDecayedAll(
+          events(s, dir).filter(col("user_id") < 3),
+          "dec", 604800.0, col("value"), tsSec,
+          Seq(col("user_id")), Seq(col("ts"), col("event_id")))
+        .select(col("event_id"), col("user_id"),
+          round(col("dec_count"), 4).as("dec_count"),
+          round(col("dec_avg"), 4).as("dec_avg"),
+          round(col("dec_max"), 4).as("dec_max"))
+        .orderBy(col("event_id"))
+    }),
     // Tumbling window (WindowView tumble(ts, INTERVAL 1 HOUR)).
     "e06_tumble" -> ((s, dir) => {
       events(s, dir)
@@ -174,6 +186,21 @@ object EventQueries {
                AS decayed_sum
       FROM (SELECT * FROM events WHERE user_id < 5) a
       JOIN (SELECT * FROM events WHERE user_id < 5) b
+        ON a.user_id = b.user_id
+        AND (b.ts < a.ts OR (b.ts = a.ts AND b.event_id <= a.event_id))
+      GROUP BY a.event_id, a.user_id
+      ORDER BY a.event_id""",
+    "e10_exp_decayed_family" -> """
+      WITH p AS (SELECT * FROM events WHERE user_id < 3)
+      SELECT a.event_id, a.user_id,
+             round(sum(exp(-(epoch_us(a.ts - b.ts) / 1000000.0) / 604800.0)), 4)
+               AS dec_count,
+             round(sum(b.value * exp(-(epoch_us(a.ts - b.ts) / 1000000.0) / 604800.0)) /
+                   sum(exp(-(epoch_us(a.ts - b.ts) / 1000000.0) / 604800.0)), 4)
+               AS dec_avg,
+             round(max(b.value * exp(-(epoch_us(a.ts - b.ts) / 1000000.0) / 604800.0)), 4)
+               AS dec_max
+      FROM p a JOIN p b
         ON a.user_id = b.user_id
         AND (b.ts < a.ts OR (b.ts = a.ts AND b.event_id <= a.event_id))
       GROUP BY a.event_id, a.user_id

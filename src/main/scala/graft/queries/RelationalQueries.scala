@@ -396,6 +396,29 @@ object RelationalQueries {
       r.intersectAll(f).orderBy(col("l_orderkey")).limit(200)
     }),
 
+    // LIMIT ... WITH TIES (rank-based).
+    "q36_limit_with_ties" -> ((s, dir) => {
+      val w = Window.orderBy(col("o_totalprice").desc)
+      t(s, dir, "orders")
+        .withColumn("__rk", rank().over(w))
+        .filter(col("__rk") <= 5).drop("__rk")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    }),
+
+    // Lightweight DELETE then query: masked rows invisible to search
+    // (reference tests 00016 / 00037_mqvs_multiple_lwd).
+    "q37_lightweight_delete" -> ((s, dir) => {
+      val masked = graft.operators.Deletes.delete(
+        graft.operators.Deletes.delete(
+          t(s, dir, "orders"), col("o_orderstatus") === "F"),
+        col("o_totalprice") > 400000)
+      graft.operators.Deletes.applyMask(masked)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(max(col("o_totalprice")), 2).as("max_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // GROUP BY with expression keys + IN-subquery semi join.
     "q30_in_subquery" -> ((s, dir) => {
       val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
@@ -653,6 +676,18 @@ object RelationalQueries {
       INTERSECT ALL
       SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F'
       ORDER BY l_orderkey LIMIT 200""",
+    "q36_limit_with_ties" -> """
+      SELECT o_orderkey, o_totalprice FROM (
+        SELECT o_orderkey, o_totalprice,
+               rank() OVER (ORDER BY o_totalprice DESC) AS rk
+        FROM orders)
+      WHERE rk <= 5
+      ORDER BY o_totalprice DESC, o_orderkey""",
+    "q37_lightweight_delete" -> """
+      SELECT o_orderstatus, count(1) AS n, round(max(o_totalprice), 2) AS max_price
+      FROM orders
+      WHERE NOT (o_orderstatus = 'F' OR o_totalprice > 400000)
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q30_in_subquery" -> """
       SELECT l_returnflag, count(1) AS n, round(sum(l_extendedprice), 2) AS total
       FROM lineitem
