@@ -1,0 +1,281 @@
+package graft.operators
+
+import scala.collection.concurrent.TrieMap
+import scala.collection.mutable
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorKernels
+
+/** HNSW-FLAT vector index (`ADD VECTOR INDEX v col TYPE HNSWFLAT`,
+  * reference index-type registry per SURVEY §2.1; algorithm: Malkov &
+  * Yashunin, "Efficient and robust approximate nearest neighbor search
+  * using Hierarchical Navigable Small World graphs", IEEE TPAMI 2018).
+  *
+  * Spark shape — mirrors the reference's per-part indexes:
+  *  - **Build**: one in-JVM graph per Spark partition (`mapPartitions`),
+  *    serialized as plain rows `(part_id, node_idx, id, vec,
+  *    neighbors[layer][..])` — the graph IS a DataFrame, partitioned by
+  *    `part_id` on disk. No driver involvement, no global state.
+  *  - **Search**: `groupByKey(part_id).flatMapGroups` rebuilds (or takes
+  *    from the per-JVM cache — the `VICacheManager` analog) each part's
+  *    adjacency, runs the graph search, emits its local top-k; the global
+  *    merge is the same `TakeOrderedAndProject` every other top-K uses.
+  *    Per-part candidates = k (the reference merges per-part top-K the
+  *    same way).
+  *
+  * Determinism: level draws are seeded per partition, so builds are
+  * reproducible.
+  */
+object HnswIndex {
+
+  case class GraphRow(part_id: Int, node_idx: Int, id: Long,
+      vec: Array[Float], neighbors: Seq[Seq[Int]])
+
+  /** In-memory graph for one partition. */
+  final class Graph(
+      val ids: Array[Long],
+      val vecs: Array[Array[Float]],
+      val neighbors: Array[Array[Array[Int]]], // node -> layer -> ids
+      val entryPoint: Int,
+      val metric: String) {
+
+    private def dist(a: Array[Float], b: Array[Float]): Float =
+      metric.toLowerCase match {
+        case "cosine" => 1.0f - VectorKernels.cosineSim(a, b)
+        case _        => VectorKernels.l2sq(a, b) // rank-equivalent to L2
+      }
+
+    def maxLayerOf(i: Int): Int = neighbors(i).length - 1
+
+    /** Greedy best-first search restricted to one layer. */
+    private def searchLayer(q: Array[Float], eps: Seq[Int], ef: Int, layer: Int): mutable.PriorityQueue[(Float, Int)] = {
+      val visited = mutable.HashSet.empty[Int]
+      // candidates: min-dist first; results: max-dist first (bounded ef)
+      val cand = mutable.PriorityQueue.empty[(Float, Int)](Ordering.by(-_._1))
+      val res = mutable.PriorityQueue.empty[(Float, Int)](Ordering.by(_._1))
+      eps.foreach { ep =>
+        if (visited.add(ep)) {
+          val d = dist(q, vecs(ep))
+          cand.enqueue((d, ep)); res.enqueue((d, ep))
+        }
+      }
+      while (cand.nonEmpty) {
+        val (dc, c) = cand.dequeue()
+        if (res.size >= ef && dc > res.head._1) {
+          cand.clear() // every remaining candidate is farther
+        } else {
+          val layerNbrs = if (layer < neighbors(c).length) neighbors(c)(layer) else Array.empty[Int]
+          layerNbrs.foreach { n =>
+            if (visited.add(n)) {
+              val d = dist(q, vecs(n))
+              if (res.size < ef || d < res.head._1) {
+                cand.enqueue((d, n)); res.enqueue((d, n))
+                if (res.size > ef) res.dequeue()
+              }
+            }
+          }
+        }
+      }
+      res
+    }
+
+    /** Top-k (id, distance) — distance reported in the metric's native
+      * scale (sqrt applied for L2).
+      */
+    def search(q: Array[Float], k: Int, ef: Int): Seq[(Long, Float)] = {
+      if (ids.isEmpty) return Nil
+      var ep = entryPoint
+      var layer = maxLayerOf(entryPoint)
+      while (layer > 0) {
+        ep = (searchLayer(q, Seq(ep), 1, layer).dequeueAll: Seq[(Float, Int)]).minBy(_._1)._2
+        layer -= 1
+      }
+      val found = searchLayer(q, Seq(ep), math.max(ef, k), 0)
+      val top = (found.dequeueAll: Seq[(Float, Int)]).sortBy(x => (x._1, ids(x._2))).take(k)
+      top.map { case (d, i) =>
+        val out = if (metric.equalsIgnoreCase("cosine")) d else math.sqrt(d).toFloat
+        (ids(i), out)
+      }.toSeq
+    }
+  }
+
+  /** Incremental builder (insert-based, seeded levels). */
+  final class Builder(metric: String, m: Int, efConstruction: Int, seed: Long) {
+    private val mL = 1.0 / math.log(m.toDouble)
+    private val rnd = new scala.util.Random(seed)
+    private val ids = mutable.ArrayBuffer.empty[Long]
+    private val vecs = mutable.ArrayBuffer.empty[Array[Float]]
+    private val nbrs = mutable.ArrayBuffer.empty[Array[mutable.ArrayBuffer[Int]]]
+    private var entry = -1
+
+    private def dist(a: Array[Float], b: Array[Float]): Float =
+      metric.toLowerCase match {
+        case "cosine" => 1.0f - VectorKernels.cosineSim(a, b)
+        case _        => VectorKernels.l2sq(a, b)
+      }
+
+    private def graph: Graph =
+      new Graph(ids.toArray, vecs.toArray,
+        nbrs.map(_.map(_.toArray).toArray).toArray,
+        if (entry < 0) 0 else entry, metric)
+
+    def insert(id: Long, v: Array[Float]): Unit = {
+      val level = math.min(15, (-math.log(rnd.nextDouble() + 1e-12) * mL).toInt)
+      val idx = ids.length
+      ids += id; vecs += v
+      nbrs += Array.fill(level + 1)(mutable.ArrayBuffer.empty[Int])
+      if (idx == 0) { entry = 0; return }
+
+      val g = graph
+      var ep = entry
+      var layer = g.maxLayerOf(entry)
+      while (layer > level) {
+        ep = bestFrom(v, ep, layer)
+        layer -= 1
+      }
+      var l = math.min(level, g.maxLayerOf(entry))
+      while (l >= 0) {
+        val cands = searchLayerForInsert(v, ep, efConstruction, l, idx)
+        val selected = cands.sortBy(_._1).take(m).map(_._2)
+        selected.foreach { n =>
+          nbrs(idx)(l) += n
+          nbrs(n)(l) += idx
+          // prune over-connected neighbors to the m closest
+          val cap = if (l == 0) 2 * m else m
+          if (nbrs(n)(l).length > cap) {
+            val pruned = nbrs(n)(l)
+              .map(x => (dist(vecs(n), vecs(x)), x)).sortBy(_._1).take(cap).map(_._2)
+            nbrs(n)(l) = mutable.ArrayBuffer(pruned.toSeq: _*)
+          }
+        }
+        if (selected.nonEmpty) ep = selected.head
+        l -= 1
+      }
+      if (level > g.maxLayerOf(entry)) entry = idx
+    }
+
+    private def bestFrom(q: Array[Float], start: Int, layer: Int): Int = {
+      var cur = start
+      var curD = dist(q, vecs(cur))
+      var improved = true
+      while (improved) {
+        improved = false
+        val ns = if (layer < nbrs(cur).length) nbrs(cur)(layer) else mutable.ArrayBuffer.empty[Int]
+        ns.foreach { n =>
+          val d = dist(q, vecs(n))
+          if (d < curD) { curD = d; cur = n; improved = true }
+        }
+      }
+      cur
+    }
+
+    private def searchLayerForInsert(
+        q: Array[Float], ep: Int, ef: Int, layer: Int, self: Int): Seq[(Float, Int)] = {
+      val visited = mutable.HashSet(self)
+      val cand = mutable.PriorityQueue.empty[(Float, Int)](Ordering.by(-_._1))
+      val res = mutable.PriorityQueue.empty[(Float, Int)](Ordering.by(_._1))
+      if (visited.add(ep)) {
+        val d = dist(q, vecs(ep)); cand.enqueue((d, ep)); res.enqueue((d, ep))
+      }
+      while (cand.nonEmpty) {
+        val (dc, c) = cand.dequeue()
+        if (res.size >= ef && dc > res.head._1) cand.clear()
+        else {
+          val ns = if (layer < nbrs(c).length) nbrs(c)(layer) else mutable.ArrayBuffer.empty[Int]
+          ns.foreach { n =>
+            if (visited.add(n)) {
+              val d = dist(q, vecs(n))
+              if (res.size < ef || d < res.head._1) {
+                cand.enqueue((d, n)); res.enqueue((d, n))
+                if (res.size > ef) res.dequeue()
+              }
+            }
+          }
+        }
+      }
+      (res.dequeueAll: Seq[(Float, Int)])
+    }
+
+    def rows(partId: Int): Iterator[GraphRow] = {
+      val g = graph
+      ids.indices.iterator.map { i =>
+        GraphRow(partId, i, ids(i), vecs(i),
+          g.neighbors(i).map(_.toSeq).toSeq)
+      }
+    }
+    def entryIdx: Int = math.max(entry, 0)
+  }
+
+  // per-JVM graph cache (VICacheManager analog)
+  private val graphCache = TrieMap.empty[String, Graph]
+
+  /** Build: one graph per partition, persisted as parquet rows. The
+    * per-partition entry point is node with the highest layer (recomputed
+    * at load — no extra metadata needed).
+    */
+  def build(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexName: String,
+      indexDir: String,
+      metric: String = "l2",
+      m: Int = 16,
+      efConstruction: Int = 100,
+      numPartitions: Option[Int] = None,
+      sourcePath: String = ""): IvfIndex.IndexEntry = {
+    import spark.implicits._
+    val base = df.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+    val parted = numPartitions.map(base.repartition(_)).getOrElse(base)
+    val graphDs = parted.mapPartitions { iter =>
+      val pid = TaskContext.getPartitionId()
+      val b = new Builder(metric, m, efConstruction, seed = 42L + pid)
+      iter.foreach { case (id, v) => b.insert(id, v) }
+      b.rows(pid)
+    }
+    graphDs.toDF().write.mode("overwrite").partitionBy("part_id")
+      .parquet(s"$indexDir/graph")
+    val n = spark.read.parquet(s"$indexDir/graph").count()
+    val entry = IvfIndex.IndexEntry(indexName, indexDir, sourcePath, vecCol,
+      "HNSWFLAT", metric, "BUILT", n)
+    IvfIndex.Catalog.register(entry)
+    entry
+  }
+
+  private def loadGraph(key: String, rows: Iterator[GraphRow], metric: String): Graph =
+    graphCache.getOrElseUpdate(key, {
+      val sorted = rows.toArray.sortBy(_.node_idx)
+      val ids = sorted.map(_.id)
+      val vecs = sorted.map(_.vec)
+      val nbrs = sorted.map(_.neighbors.map(_.toArray).toArray)
+      val entry = if (nbrs.isEmpty) 0 else nbrs.zipWithIndex.maxBy(_._1.length)._2
+      new Graph(ids, vecs, nbrs, entry, metric)
+    })
+
+  /** ANN search across all per-partition graphs + global top-K merge. */
+  def search(
+      spark: SparkSession,
+      indexDir: String,
+      qvec: Seq[Float],
+      k: Int,
+      ef: Int = 64,
+      metric: String = "l2"): DataFrame = {
+    import spark.implicits._
+    val q = qvec.toArray
+    val graph = spark.read.parquet(s"$indexDir/graph").as[GraphRow]
+    graph
+      .groupByKey(_.part_id)
+      .flatMapGroups { (pid, rows) =>
+        val g = loadGraph(s"$indexDir#$pid", rows, metric)
+        g.search(q, k, ef).iterator
+      }
+      .toDF("id", "d")
+      .orderBy(col("d"), col("id"))
+      .limit(k)
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables.t
-import graft.operators.{IvfIndex, VectorSearch}
+import graft.operators.{HnswIndex, IvfIndex, VectorSearch}
 
 /** Vector-search coverage (SURVEY §2.1): distance() top-K per metric,
   * pre-filtered search, batch_distance, two-stage re-rank. Oracles use
@@ -28,6 +28,15 @@ object VectorQueries {
     * (the reference builds indexes once per part, not per query).
     */
   private val ivfDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val hnswDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def hnswDir(s: SparkSession, dir: String): String =
+    hnswDirs.getOrElseUpdate(dir, {
+      val idx = java.nio.file.Files.createTempDirectory("graft-hnsw").toString
+      HnswIndex.build(s, emb(s, dir), "vec_id", "embedding",
+        s"hnsw_embeddings_${dir.replaceAll("[^a-zA-Z0-9]", "_")}", idx,
+        "l2", m = 12, efConstruction = 80, numPartitions = Some(4))
+      idx
+    })
   private def ivfDir(s: SparkSession, dir: String): String =
     ivfDirs.getOrElseUpdate(dir, {
       val idx = java.nio.file.Files.createTempDirectory("graft-ivf").toString
@@ -114,6 +123,13 @@ object VectorQueries {
         .limit(10)
         .select(col("doc_id"), col("d").cast("double").as("d"))
         .orderBy(col("doc_id"))
+    }),
+    // HNSW-FLAT graph index search (per-partition graphs + global merge);
+    // approximate — recall verified in ScalaTest; rows-only here.
+    "v11_hnsw_search" -> ((s, dir) => {
+      HnswIndex.search(s, hnswDir(s, dir), queryVec(s, dir), 10, ef = 128)
+        .select(col("id").as("vec_id"), round(col("d").cast("double"), 3).as("d"))
+        .orderBy(col("vec_id"))
     }),
     // arrayDistance scalar family as projection columns (not top-K).
     "v07_distance_family" -> ((s, dir) => {

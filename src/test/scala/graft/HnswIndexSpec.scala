@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.operators.{HnswIndex, IvfIndex, VectorSearch}
+
+class HnswIndexSpec extends SparkSpec {
+
+  lazy val emb = Tables.t(spark, sfDir, "embeddings")
+  lazy val qv: Seq[Float] = emb.filter(col("vec_id") === 5)
+    .select(col("embedding")).head().getSeq[Float](0)
+
+  lazy val indexDir: String = {
+    val dir = Files.createTempDirectory("hnsw-spec").toString
+    HnswIndex.build(spark, emb, "vec_id", "embedding", "spec_hnsw", dir,
+      "l2", m = 8, efConstruction = 64, numPartitions = Some(4))
+    dir
+  }
+
+  def bruteIds(k: Int): Seq[Long] =
+    VectorSearch.topK(emb, col("embedding"), qv, k, "l2", None, "d", Seq(col("vec_id")))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+
+  test("build writes per-partition graphs; catalog reports HNSWFLAT") {
+    indexDir
+    val g = spark.read.parquet(s"$indexDir/graph")
+    assert(g.count() === emb.count()) // one row per vector
+    assert(g.select("part_id").distinct().count() === 4)
+    val cat = IvfIndex.Catalog.asDataFrame(spark)
+      .filter(col("name") === "spec_hnsw").head()
+    assert(cat.getAs[String]("indexType") === "HNSWFLAT")
+  }
+
+  test("search recall@10 vs brute force is high with generous ef") {
+    val got = HnswIndex.search(spark, indexDir, qv, 10, ef = 128)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val recall = (got & bruteIds(10).toSet).size / 10.0
+    assert(recall >= 0.9, s"recall@10 = $recall")
+  }
+
+  test("reported distances match exact kernel values") {
+    val rows = HnswIndex.search(spark, indexDir, qv, 5, ef = 128).collect()
+    val byId = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    rows.foreach { r =>
+      val expect = graft.functions.VectorKernels
+        .distance(byId(r.getLong(0)), qv.toArray, graft.functions.Metric.L2)
+      assert(math.abs(r.getFloat(1) - expect) < 1e-5)
+    }
+  }
+
+  test("deterministic rebuild produces identical graphs") {
+    val d1 = Files.createTempDirectory("hnsw-d1").toString
+    val d2 = Files.createTempDirectory("hnsw-d2").toString
+    val single = emb.repartition(1)
+    HnswIndex.build(spark, single, "vec_id", "embedding", "h1", d1, "l2", 8, 64)
+    HnswIndex.build(spark, single, "vec_id", "embedding", "h2", d2, "l2", 8, 64)
+    val g1 = spark.read.parquet(s"$d1/graph").orderBy("node_idx")
+      .select("id", "neighbors").collect().map(_.toString).toSeq
+    val g2 = spark.read.parquet(s"$d2/graph").orderBy("node_idx")
+      .select("id", "neighbors").collect().map(_.toString).toSeq
+    assert(g1 === g2)
+    IvfIndex.Catalog.drop("h1"); IvfIndex.Catalog.drop("h2")
+  }
+}
