@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The `-State` / `-Merge` aggregate combinators (reference
+  * `registerAggregateFunctions.cpp:84-96`; `AggregateFunction(f, T)`
+  * columns persist partial aggregation state which `-Merge` finalizes —
+  * the basis of ClickHouse incremental materialized views).
+  *
+  * Spark realization: a "state table" is an ordinary DataFrame whose
+  * columns hold mergeable partial states:
+  *   - sum/count/min/max states: the running scalar (merge = sum/min/max)
+  *   - avg state: (sum, count) pair
+  *   - uniq state: a DataSketches HLL sketch (binary), merged with
+  *     `hll_union_agg` — a true mergeable distinct-count state
+  * Batches append state rows; `merge*` finalizes across all batches.
+  * This is exactly how an incremental MV refreshes without rescanning:
+  * each new partition contributes one state row per group, and the final
+  * aggregate is an aggregation OVER STATES (associative, any arrival
+  * order).
+  */
+object StateCombinators {
+
+  // ---- -State: partial states for one batch, grouped by key ----
+  def sumState(c: Column): Column = sum(c)
+  def countState(): Column = count(lit(1))
+  def minState(c: Column): Column = min(c)
+  def maxState(c: Column): Column = max(c)
+  def avgState(c: Column): (Column, Column) = (sum(c), count(c))
+  /** Mergeable distinct-count state (DataSketches HLL, lgK=12). */
+  def uniqState(c: Column): Column = hll_sketch_agg(c)
+
+  /** Build a state table: one row per (group key) for this batch. */
+  def stateTable(
+      batch: DataFrame,
+      keys: Seq[Column],
+      valueCol: Column,
+      uniqCol: Column): DataFrame =
+    batch.groupBy(keys: _*).agg(
+      sumState(valueCol).as("sum_state"),
+      countState().as("count_state"),
+      minState(valueCol).as("min_state"),
+      maxState(valueCol).as("max_state"),
+      uniqState(uniqCol).as("uniq_state"))
+
+  // ---- -Merge: finalize across state rows ----
+  def mergeStates(states: DataFrame, keys: Seq[Column]): DataFrame =
+    states.groupBy(keys: _*).agg(
+      sum(col("sum_state")).as("sum_merged"),
+      sum(col("count_state")).as("count_merged"),
+      min(col("min_state")).as("min_merged"),
+      max(col("max_state")).as("max_merged"),
+      (sum(col("sum_state")) / sum(col("count_state"))).as("avg_merged"),
+      hll_sketch_estimate(hll_union_agg(col("uniq_state"))).as("uniq_merged"))
+}

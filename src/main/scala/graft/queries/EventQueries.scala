@@ -92,6 +92,37 @@ object EventQueries {
           round(col("dec_max"), 4).as("dec_max"))
         .orderBy(col("event_id"))
     }),
+    // -State/-Merge combinators: per-month partial states merged to a
+    // per-user total (the incremental-MV refresh shape). HLL uniq state
+    // is exact at this cardinality, so the oracle is exact count+distinct.
+    "e11_state_merge" -> ((s, dir) => {
+      import graft.functions.StateCombinators
+      val ev = events(s, dir)
+      // batch boundary = calendar day: one state row per (user, day)
+      val states = StateCombinators.stateTable(
+        ev.withColumn("d", col("ts").cast("date")),
+        Seq(col("user_id"), col("d")), col("value"), col("event_type"))
+      StateCombinators.mergeStates(states, Seq(col("user_id")))
+        .select(col("user_id"),
+          round(col("sum_merged"), 2).as("sum_v"),
+          col("count_merged").as("n"),
+          round(col("avg_merged"), 4).as("avg_v"),
+          col("uniq_merged").cast("long").as("uniq_types"))
+        .orderBy(col("user_id"))
+    }),
+    // sumMap: per-key sums over a map-like structure, emitted as a
+    // sorted "k:v" string for a byte-stable golden compare.
+    "e12_sum_map" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(round(sum(col("value")), 2).as("v"))
+        .groupBy(col("user_id"))
+        .agg(array_join(array_sort(collect_list(
+          concat(col("event_type"), lit(":"), col("v").cast("string")))), ",")
+          .as("sum_map"))
+        .orderBy(col("user_id"))
+        .limit(50)
+    }),
     // Tumbling window (WindowView tumble(ts, INTERVAL 1 HOUR)).
     "e06_tumble" -> ((s, dir) => {
       events(s, dir)
@@ -205,6 +236,21 @@ object EventQueries {
         AND (b.ts < a.ts OR (b.ts = a.ts AND b.event_id <= a.event_id))
       GROUP BY a.event_id, a.user_id
       ORDER BY a.event_id""",
+    "e11_state_merge" -> """
+      SELECT user_id,
+             round(sum(value), 2) AS sum_v,
+             count(1) AS n,
+             round(sum(value) / count(1), 4) AS avg_v,
+             count(DISTINCT event_type) AS uniq_types
+      FROM events GROUP BY user_id ORDER BY user_id""",
+    "e12_sum_map" -> """
+      WITH per AS (
+        SELECT user_id, event_type, round(sum(value), 2) AS v
+        FROM events GROUP BY 1, 2)
+      SELECT user_id,
+             array_to_string(list_sort(list(event_type || ':' || CAST(v AS VARCHAR))), ',')
+               AS sum_map
+      FROM per GROUP BY user_id ORDER BY user_id LIMIT 50""",
     "e06_tumble" -> """
       SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart,
              count(1) AS n, round(sum(value), 2) AS total
