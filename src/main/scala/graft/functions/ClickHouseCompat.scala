@@ -80,6 +80,21 @@ object ClickHouseCompat {
     "indexOf(a ARRAY<STRING>, x STRING) RETURNS BIGINT RETURN array_position(a, x)",
     "has(a ARRAY<STRING>, x STRING) RETURNS BOOLEAN RETURN array_contains(a, x)",
     "arrayRange(n BIGINT) RETURNS ARRAY<BIGINT> RETURN sequence(0L, n - 1)",
+    // ---- IP / URL (reference src/Functions/ URL/ + coding functions) ----
+    "IPv4StringToNum(s STRING) RETURNS BIGINT RETURN " +
+      "CAST(split_part(s, '.', 1) AS BIGINT) * 16777216 + " +
+      "CAST(split_part(s, '.', 2) AS BIGINT) * 65536 + " +
+      "CAST(split_part(s, '.', 3) AS BIGINT) * 256 + CAST(split_part(s, '.', 4) AS BIGINT)",
+    "IPv4NumToString(n BIGINT) RETURNS STRING RETURN " +
+      "concat(CAST(n div 16777216 % 256 AS STRING), '.', " +
+      "CAST(n div 65536 % 256 AS STRING), '.', " +
+      "CAST(n div 256 % 256 AS STRING), '.', CAST(n % 256 AS STRING))",
+    "protocol(u STRING) RETURNS STRING RETURN parse_url(u, 'PROTOCOL')",
+    "domain(u STRING) RETURNS STRING RETURN parse_url(u, 'HOST')",
+    "path(u STRING) RETURNS STRING RETURN parse_url(u, 'PATH')",
+    "queryString(u STRING) RETURNS STRING RETURN parse_url(u, 'QUERY')",
+    "extractURLParameter(u STRING, p STRING) RETURNS STRING RETURN parse_url(u, 'QUERY', p)",
+    "cutQueryString(u STRING) RETURNS STRING RETURN split_part(u, '?', 1)",
     // ---- conditionals / misc ----
     "multiIf3(c1 BOOLEAN, v1 DOUBLE, c2 BOOLEAN, v2 DOUBLE, e DOUBLE) RETURNS DOUBLE " +
       "RETURN CASE WHEN c1 THEN v1 WHEN c2 THEN v2 ELSE e END",

@@ -55,6 +55,18 @@ object RelationalOps {
     }
   }
 
+  /** `dictGet('dict', 'attr', key)` (reference `src/Dictionaries/`):
+    * a small dimension collected once and broadcast as a literal map —
+    * the flat/hashed dictionary layout. For dictionaries too big to
+    * collect, use a broadcast join instead (same plan the reference's
+    * direct join produces).
+    */
+  def dictGet(dict: DataFrame, keyCol: String, valueCol: String)(key: Column): Column = {
+    val entries = dict.select(col(keyCol).cast("long"), col(valueCol)).collect()
+    val pairs = entries.flatMap(r => Seq(lit(r.get(0)), lit(r.get(1))))
+    element_at(map(pairs.toIndexedSeq: _*), key.cast("long"))
+  }
+
   /** `GROUP BY ... WITH TOTALS` (reference `TotalsHavingStep.cpp`):
     * grand-total row appended with null group keys — expressed as
     * ROLLUP restricted to (full, grand-total) grouping sets.

@@ -419,6 +419,25 @@ object RelationalQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // numbers()/generateRandom() table functions → spark.range (+ seeded
+    // deterministic rand is available via rand(seed); oracle covers the
+    // deterministic arithmetic part).
+    "q38_numbers" -> ((s, dir) => {
+      s.range(0, 1000)
+        .select(col("id").as("n"), (col("id") * col("id") % 7).as("sq_mod"))
+        .filter(col("sq_mod") > 2)
+        .orderBy(col("n"))
+    }),
+
+    // dictGet over a broadcast dictionary (nation key → name).
+    "q39_dict_get" -> ((s, dir) => {
+      val dict = RelationalOps.dictGet(t(s, dir, "nation"), "n_nationkey", "n_name") _
+      t(s, dir, "customer")
+        .select(col("c_custkey"), dict(col("c_nationkey")).as("nation_name"))
+        .orderBy(col("c_custkey"))
+        .limit(100)
+    }),
+
     // GROUP BY with expression keys + IN-subquery semi join.
     "q30_in_subquery" -> ((s, dir) => {
       val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
@@ -688,6 +707,14 @@ object RelationalQueries {
       FROM orders
       WHERE NOT (o_orderstatus = 'F' OR o_totalprice > 400000)
       GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q38_numbers" -> """
+      SELECT n, sq_mod FROM (
+        SELECT range AS n, (range * range) % 7 AS sq_mod FROM range(0, 1000))
+      WHERE sq_mod > 2 ORDER BY n""",
+    "q39_dict_get" -> """
+      SELECT c_custkey, n_name AS nation_name
+      FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+      ORDER BY c_custkey LIMIT 100""",
     "q30_in_subquery" -> """
       SELECT l_returnflag, count(1) AS n, round(sum(l_extendedprice), 2) AS total
       FROM lineitem

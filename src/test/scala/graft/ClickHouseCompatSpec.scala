@@ -50,4 +50,15 @@ class ClickHouseCompatSpec extends SparkSpec {
     assert(q1("multiIf3(false, 1D, true, 2D, 3D)") === 2.0)
     assert(q1("toFloat64('1.5')") === 1.5)
   }
+
+  test("IP and URL aliases") {
+    def q1(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
+    assert(q1("IPv4StringToNum('1.2.3.4')") === 16909060L)
+    assert(q1("IPv4NumToString(16909060)") === "1.2.3.4")
+    assert(q1("domain('https://example.com/a/b?x=1')") === "example.com")
+    assert(q1("protocol('https://example.com/a')") === "https")
+    assert(q1("path('https://example.com/a/b?x=1')") === "/a/b")
+    assert(q1("extractURLParameter('https://e.com/p?x=1&y=2', 'y')") === "2")
+    assert(q1("cutQueryString('https://e.com/p?x=1')") === "https://e.com/p")
+  }
 }
