@@ -75,11 +75,35 @@ object VectorSearch {
       .crossJoin(qdf)
       .withColumn(distName, distances.distance(metric)(vecCol, col("query_vec")))
       .drop("query_vec")
-    val dir = if (isDescending(metric)) col(distName).desc else col(distName).asc
+    val desc = isDescending(metric)
+
+    // Per-partition prune BEFORE the shuffle: a bounded heap keeps only k
+    // rows per (input partition × query), mirroring the reference's
+    // per-part top-K — the final window then shuffles ≤ k·partitions rows
+    // per query instead of every scored row (the 100 TB property).
+    val qIdxPos = scored.schema.fieldIndex("query_idx")
+    val dPos = scored.schema.fieldIndex(distName)
+    val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(scored.schema))
+    val pruned = scored.mapPartitions { rows =>
+      val heaps = scala.collection.mutable.Map
+        .empty[Int, scala.collection.mutable.PriorityQueue[(Float, org.apache.spark.sql.Row)]]
+      val heapOrd: Ordering[(Float, org.apache.spark.sql.Row)] =
+        if (desc) Ordering.by(-_._1) else Ordering.by(_._1) // evict worst
+      rows.foreach { r =>
+        val h = heaps.getOrElseUpdate(r.getInt(qIdxPos),
+          scala.collection.mutable.PriorityQueue.empty(heapOrd))
+        h.enqueue((r.getFloat(dPos), r))
+        // capacity 2k: margin so distance ties at the k boundary cannot
+        // evict a row the caller's tieBreak ordering would have kept
+        if (h.size > 2 * k) h.dequeue()
+      }
+      heaps.valuesIterator.flatMap(_.iterator.map(_._2))
+    }(enc)
+
+    val dir = if (desc) col(distName).desc else col(distName).asc
     val w = Window.partitionBy(col("query_idx")).orderBy(dir +: tieBreak: _*)
-    // Pre-prune: per input partition keep k rows per query before the
-    // window's shuffle (mirrors per-part top-K in the reference).
-    scored
+    pruned
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .drop("__rn")
