@@ -22,6 +22,12 @@ object GraftSession {
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // 100 TB posture: AQE coalesces/splits post-shuffle partitions and
+      // rewrites skewed joins at runtime; scan splits sized so a task's
+      // working set fits executor memory comfortably.
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "256m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)

@@ -55,6 +55,31 @@ object RelationalOps {
     }
   }
 
+  /** Skew-resistant equi-join: the skewed (left) side gets a random salt
+    * in [0, saltFactor); the right side is replicated saltFactor times —
+    * hot keys spread over saltFactor reducers instead of one straggler
+    * (AQE's skew-join handles sort-merge cases at runtime; salting is the
+    * explicit tool when a key is pathologically hot or the join is
+    * shuffled-hash).
+    */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: Column,
+      rightKey: Column,
+      saltFactor: Int = 8,
+      joinType: String = "inner"): DataFrame = {
+    val saltedLeft = left
+      .withColumn("__salt", (rand(42) * saltFactor).cast("int"))
+    val saltedRight = right
+      .withColumn("__salt", explode(sequence(lit(0), lit(saltFactor - 1))))
+    saltedLeft
+      .join(saltedRight,
+        leftKey === rightKey && saltedLeft("__salt") === saltedRight("__salt"),
+        joinType)
+      .drop("__salt")
+  }
+
   /** `dictGet('dict', 'attr', key)` (reference `src/Dictionaries/`):
     * a small dimension collected once and broadcast as a literal map —
     * the flat/hashed dictionary layout. For dictionaries too big to

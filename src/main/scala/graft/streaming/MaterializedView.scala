@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.functions.StateCombinators
+
+/** Incremental materialized views over streams — the reference's
+  * `CREATE MATERIALIZED VIEW ... ENGINE=AggregatingMergeTree` push chain
+  * (`/root/reference/src/Processors/Transforms/buildPushingToViewsChain.cpp`):
+  * each insert block contributes `-State` partial-aggregate rows; reads
+  * finalize with `-Merge`.
+  *
+  * Spark shape: `foreachBatch` appends one state row per (group, batch)
+  * to a parquet state table ([[StateCombinators.stateTable]]); a read =
+  * [[StateCombinators.mergeStates]] over the state table. Refresh cost is
+  * O(new data) + O(state rows) — never a rescan of the base table, which
+  * is the property that matters at 100 TB.
+  */
+object MaterializedView {
+
+  /** Attach an incremental aggregating MV to a stream. */
+  def attachIncremental(
+      stream: DataFrame,
+      keys: Seq[String],
+      valueCol: Column,
+      uniqCol: Column,
+      statePath: String,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        StateCombinators
+          .stateTable(batch, keys.map(col), valueCol, uniqCol)
+          .write.mode("append").parquet(statePath)
+      }
+      .start()
+
+  /** Finalized view: merge all state rows (any number of batches). */
+  def read(spark: SparkSession, statePath: String, keys: Seq[String]): DataFrame =
+    StateCombinators.mergeStates(spark.read.parquet(statePath), keys.map(col))
+}

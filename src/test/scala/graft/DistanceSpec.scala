@@ -60,4 +60,13 @@ class DistanceSpec extends SparkSpec {
       bad.select(distances.l2Distance(col("v"), typedLit(Seq(1f))).as("d")).collect()
     }
   }
+
+  test("distance expression stays inside whole-stage codegen") {
+    val emb = graft.engine.Tables.t(spark, sfDir, "embeddings")
+    val q = emb.select(col("embedding")).head().getSeq[Float](0)
+    val df = emb.select(col("vec_id"),
+      distances.l2Distance(col("embedding"), typedLit(q)).as("d"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"no codegen stage in:\n$plan")
+  }
 }

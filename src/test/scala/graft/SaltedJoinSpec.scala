@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.RelationalOps
+
+class SaltedJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join equals plain join on skewed keys") {
+    // 90% of left rows share one hot key
+    val left = ((1 to 900).map(_ => 1L) ++ (1 to 100).map(_.toLong + 1))
+      .zipWithIndex.map { case (k, i) => (k, i) }.toDF("k", "payload")
+    val right = (1L to 101L).map(k => (k, s"dim$k")).toDF("rk", "name")
+    val plain = left.join(right, col("k") === col("rk"))
+      .groupBy("name").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = RelationalOps.saltedJoin(left, right, col("k"), col("rk"), 8)
+      .groupBy("name").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted === plain)
+    assert(salted("dim1") === 900L)
+  }
+}

@@ -75,5 +75,39 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set((1L, 2L, 15.0), (2L, 1L, 1.0)))
   }
 
+  test("incremental MV: state rows per batch, merged read = full aggregate") {
+    val src = Files.createTempDirectory("mv-src").toString
+    val state = Files.createTempDirectory("mv-state").toString + "/states"
+    val ckpt = Files.createTempDirectory("mv-ckpt").toString
+    val ev = graft.engine.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("value"))
+    // two "insert blocks"
+    ev.filter(col("user_id") < 25).write.mode("overwrite").parquet(src)
+    val stream1 = spark.readStream.schema(ev.schema).parquet(src)
+    val q1 = graft.streaming.MaterializedView.attachIncremental(
+      stream1, Seq("user_id"), col("value"), col("event_type"), state, ckpt)
+    q1.awaitTermination()
+    ev.filter(col("user_id") >= 25).write.mode("append").parquet(src)
+    val stream2 = spark.readStream.schema(ev.schema).parquet(src)
+    val q2 = graft.streaming.MaterializedView.attachIncremental(
+      stream2, Seq("user_id"), col("value"), col("event_type"), state, ckpt)
+    q2.awaitTermination()
+
+    val mv = graft.streaming.MaterializedView.read(spark, state, Seq("user_id"))
+      .select(col("user_id"), round(col("sum_merged"), 2).as("s"),
+        col("count_merged").as("n"), col("uniq_merged").cast("long").as("u"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+    val direct = ev.groupBy("user_id")
+      .agg(round(sum("value"), 2).as("s"), count(lit(1)).as("n"),
+        countDistinct("event_type").as("u"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(mv.keySet === direct.keySet)
+    direct.foreach { case (k, (s, n, u)) =>
+      val (ms, mn, mu) = mv(k)
+      assert(mn === n && mu === u, s"user $k count/uniq")
+      assert(math.abs(ms - s) < 0.05, s"user $k sum $ms vs $s")
+    }
+  }
+
   private def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
 }
