@@ -1,8 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
-import org.apache.spark.sql.types.{ArrayType, FloatType}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{HyperLogLogPlusPlus, Percentile}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 
 /** SQL-visible function registry — the graft analogue of the reference's
   * function factory self-registration
@@ -35,9 +36,22 @@ object GraftFunctions {
     "jaccard_distance"   -> ((es: Seq[Expression]) => BinaryVectorDistance(es(0), es(1), jaccard = true)),
   )
 
+  /** ClickHouse aggregate-function names → Catalyst aggregates (the
+    * analyzer wraps AggregateFunction expressions automatically).
+    */
+  private val aggregates: Map[String, Seq[Expression] => Expression] = Map(
+    "uniq"         -> ((es: Seq[Expression]) => new HyperLogLogPlusPlus(es.head)),
+    "uniqcombined" -> ((es: Seq[Expression]) => new HyperLogLogPlusPlus(es.head)),
+    "uniqhll12"    -> ((es: Seq[Expression]) => new HyperLogLogPlusPlus(es.head)),
+    "quantileexact" -> ((es: Seq[Expression]) =>
+      new Percentile(Cast(es(0), DoubleType), es(1))),
+    "median"       -> ((es: Seq[Expression]) =>
+      new Percentile(Cast(es.head, DoubleType), Literal(0.5))),
+  )
+
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    scalar.foreach { case (name, builder) =>
+    (scalar ++ aggregates).foreach { case (name, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "built-in")
     }
   }

@@ -195,6 +195,44 @@ object IvfIndex {
       .map { case (c, i) => (VectorKernels.l2sq(c, q), i) }
       .sortBy(_._1).take(math.min(nprobe, centroids.length)).map(_._2)
 
+    searchLists(spark, indexDir, qvec, k, probes.toSeq, metric, preFilter, distName, tieBreak)
+  }
+
+  /** Two-stage index search (reference `two_stage_search`): stage 1 pulls
+    * `numReorder` candidates from the probed lists, stage 2 re-ranks them
+    * exactly — recall repair at a fixed extra cost of numReorder exact
+    * distances.
+    */
+  def searchTwoStage(
+      spark: SparkSession,
+      indexDir: String,
+      qvec: Seq[Float],
+      k: Int,
+      numReorder: Int,
+      nprobe: Int = 4,
+      metricOverride: Option[String] = None,
+      preFilter: Option[Column] = None,
+      distName: String = "d",
+      tieBreak: Seq[Column] = Nil): DataFrame = {
+    val candidates = search(spark, indexDir, qvec, numReorder, nprobe,
+      metricOverride, preFilter, "__stage1_d", tieBreak).drop("__stage1_d")
+    val metric = metricOverride.getOrElse(
+      metaCache.get(indexDir).map(_.metric).getOrElse("l2"))
+    val vecCol = metaCache.get(indexDir).map(_.vecCol).getOrElse("embedding")
+    VectorSearch.topK(candidates, col(vecCol), qvec, k, metric, None,
+      distName, tieBreak)
+  }
+
+  private def searchLists(
+      spark: SparkSession,
+      indexDir: String,
+      qvec: Seq[Float],
+      k: Int,
+      probes: Seq[Int],
+      metric: String,
+      preFilter: Option[Column],
+      distName: String,
+      tieBreak: Seq[Column]): DataFrame = {
     val lists = spark.read.parquet(s"$indexDir/lists")
       .filter(col("list_id").isin(probes.toIndexedSeq: _*))
     VectorSearch.topK(lists, col(metaCache.get(indexDir).map(_.vecCol)

@@ -92,6 +92,7 @@ case class TopKSearchRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => return None
     }
     val entry = IvfIndex.Catalog.forSource(path, vecAttr.name).getOrElse(return None)
+    if (entry.indexType != "IVFFLAT") return None // HNSW has its own layout
     if (!vd.metric.toString.equalsIgnoreCase(entry.metric)) return None
 
     // --- build the substitute scan over the probed index lists ---

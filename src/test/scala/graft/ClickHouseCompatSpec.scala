@@ -61,4 +61,16 @@ class ClickHouseCompatSpec extends SparkSpec {
     assert(q1("extractURLParameter('https://e.com/p?x=1&y=2', 'y')") === "2")
     assert(q1("cutQueryString('https://e.com/p?x=1')") === "https://e.com/p")
   }
+
+  test("aggregate aliases: uniq / quantileExact / median") {
+    graft.engine.Tables.t(spark, sfDir, "lineitem").createOrReplaceTempView("li_agg")
+    val r = spark.sql("""
+      SELECT uniq(l_suppkey) AS u,
+             quantileExact(l_quantity, 0.5) AS q50,
+             median(l_quantity) AS med
+      FROM li_agg""").head()
+    val exact = spark.sql("SELECT count(DISTINCT l_suppkey) FROM li_agg").head().getLong(0)
+    assert(math.abs(r.getLong(0) - exact) <= math.max(1L, exact / 20)) // HLL ±5%
+    assert(r.getDouble(1) === r.getDouble(2)) // quantileExact(0.5) == median
+  }
 }

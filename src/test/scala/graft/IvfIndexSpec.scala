@@ -72,4 +72,16 @@ class IvfIndexSpec extends SparkSpec {
     assert(c1.length === 4)
     assert(c1.map(_.toSeq) === c2.map(_.toSeq))
   }
+
+  test("two-stage IVF search recall >= plain nprobe search") {
+    val brute = bruteIds(10).toSet
+    val plain = IvfIndex.search(spark, indexDir, qv, 10, nprobe = 2,
+        None, None, "d", Seq(col("vec_id")))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val twoStage = IvfIndex.searchTwoStage(spark, indexDir, qv, 10,
+        numReorder = 40, nprobe = 2, None, None, "d", Seq(col("vec_id")))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((twoStage & brute).size >= (plain & brute).size)
+    assert(twoStage.size === 10)
+  }
 }
