@@ -254,16 +254,19 @@ object RelationalQueries {
         .orderBy(col("event_id"))
     }),
 
-    // Exact quantiles (reference quantile family; quantileExact).
+    // Exact quantiles — DISCRETE (element-picking) like the reference's
+    // quantileExact: raw element values are bit-identical on both sides,
+    // so no interpolation arithmetic can flip a rounding boundary (a
+    // continuous-quantile variant failed exactly that way at sf0.001).
     "q22_quantiles" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.25)"), 2).as("p25"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.75)"), 2).as("p75"),
-          round(expr("percentile(l_extendedprice, 0.99)"), 2).as("p99"))
-        .orderBy(col("l_returnflag"))
+      t(s, dir, "lineitem").createOrReplaceTempView("q22_lineitem")
+      s.sql("""
+        SELECT l_returnflag,
+          percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS p25,
+          percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
+          percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS p75,
+          percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice) AS p99
+        FROM q22_lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
     }),
 
     // Statistical aggregates (reference stddev/var/corr/covar :41-47).
@@ -604,10 +607,10 @@ object RelationalQueries {
       ORDER BY event_id""",
     "q22_quantiles" -> """
       SELECT l_returnflag,
-             round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
-             round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-             round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
-             round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+             quantile_disc(l_extendedprice, 0.25) AS p25,
+             quantile_disc(l_extendedprice, 0.5) AS p50,
+             quantile_disc(l_extendedprice, 0.75) AS p75,
+             quantile_disc(l_extendedprice, 0.99) AS p99
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q23_stats" -> """
       SELECT l_returnflag,
