@@ -123,6 +123,87 @@ object EventQueries {
         .orderBy(col("user_id"))
         .limit(50)
     }),
+    // deltaSum: sum of positive successive differences (reference
+    // registerAggregateFunctions deltaSum).
+    "e13_delta_sum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("__prev", lag(col("value"), 1).over(w))
+        .withColumn("__delta",
+          when(col("__prev").isNotNull && col("value") > col("__prev"),
+            col("value") - col("__prev")).otherwise(lit(0.0)))
+        .groupBy(col("user_id"))
+        .agg(round(sum(col("__delta")), 2).as("delta_sum"))
+        .orderBy(col("user_id"))
+    }),
+    // intervalLengthSum: total covered length of possibly-overlapping
+    // [ts, ts + value seconds) intervals per user — sweep via running
+    // max of interval ends.
+    "e14_interval_length_sum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      events(s, dir)
+        .withColumn("__s", tsSec)
+        .withColumn("__e", tsSec + col("value"))
+        .withColumn("__cov", greatest(col("__s"), coalesce(max(col("__e")).over(w), col("__s"))))
+        .withColumn("__len", greatest(col("__e") - col("__cov"), lit(0.0)))
+        .groupBy(col("user_id"))
+        .agg(round(sum(col("__len")), 2).as("covered_seconds"))
+        .orderBy(col("user_id"))
+    }),
+    // maxIntersections: maximum number of simultaneously-open intervals.
+    "e15_max_intersections" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("__s", tsSec).withColumn("__e", tsSec + col("value"))
+      val points = ev.select(col("user_id"), col("__s").as("p"), lit(1).as("delta"))
+        .unionByName(ev.select(col("user_id"), col("__e").as("p"), lit(-1).as("delta")))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("p"), col("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      points
+        .withColumn("__open", sum(col("delta")).over(w))
+        .groupBy(col("user_id"))
+        .agg(max(col("__open")).cast("long").as("max_open"))
+        .orderBy(col("user_id"))
+    }),
+    // histogram — fixed-width bins (explicit formula; DuckDB 1.0 has no
+    // width_bucket, so both sides share the same floor arithmetic).
+    "e16_histogram" -> ((s, dir) => {
+      val bin = when(col("value") < 0, lit(0L))
+        .when(col("value") >= 1000.0, lit(11L))
+        .otherwise((floor(col("value") / 100.0) + 1).cast("long"))
+      events(s, dir)
+        .groupBy(bin.as("bin"))
+        .agg(count(lit(1)).as("n"), round(avg(col("value")), 2).as("avg_v"))
+        .orderBy(col("bin"))
+    }),
+    // Welch two-sample t-test statistic (reference studentTTest/
+    // welchTTest family) — click vs view event values.
+    "e17_ttest" -> ((s, dir) => {
+      events(s, dir)
+        .filter(col("event_type").isin("click", "view"))
+        .groupBy()
+        .agg(
+          avg(when(col("event_type") === "click", col("value"))).as("__m1"),
+          var_samp(when(col("event_type") === "click", col("value"))).as("__v1"),
+          count(when(col("event_type") === "click", 1)).as("__n1"),
+          avg(when(col("event_type") === "view", col("value"))).as("__m2"),
+          var_samp(when(col("event_type") === "view", col("value"))).as("__v2"),
+          count(when(col("event_type") === "view", 1)).as("__n2"))
+        .select(round((col("__m1") - col("__m2")) /
+            sqrt(col("__v1") / col("__n1") + col("__v2") / col("__n2")), 4)
+          .as("t_stat"),
+          col("__n1").as("n_click"), col("__n2").as("n_view"))
+    }),
+    // simpleLinearRegression → regr_slope / regr_intercept.
+    "e18_regression" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          round(regr_slope(col("value"), tsSec - lit(1.7e9)), 6).as("slope"),
+          round(regr_intercept(col("value"), tsSec - lit(1.7e9)), 2).as("intercept"),
+          regr_count(col("value"), tsSec).as("n"))
+        .orderBy(col("event_type"))
+    }),
     // Tumbling window (WindowView tumble(ts, INTERVAL 1 HOUR)).
     "e06_tumble" -> ((s, dir) => {
       events(s, dir)
@@ -251,6 +332,70 @@ object EventQueries {
              array_to_string(list_sort(list(event_type || ':' || CAST(v AS VARCHAR))), ',')
                AS sum_map
       FROM per GROUP BY user_id ORDER BY user_id LIMIT 50""",
+    "e13_delta_sum" -> """
+      WITH w AS (
+        SELECT user_id, value,
+               lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+        FROM events)
+      SELECT user_id,
+             round(sum(CASE WHEN pv IS NOT NULL AND value > pv
+                            THEN value - pv ELSE 0.0 END), 2) AS delta_sum
+      FROM w GROUP BY user_id ORDER BY user_id""",
+    "e14_interval_length_sum" -> """
+      WITH iv AS (
+        SELECT user_id, event_id, ts,
+               epoch_us(ts) / 1000000.0 AS s,
+               epoch_us(ts) / 1000000.0 + value AS e
+        FROM events),
+      sw AS (
+        SELECT user_id, s, e,
+               max(e) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        FROM iv)
+      SELECT user_id,
+             round(sum(greatest(e - greatest(s, coalesce(prev_max, s)), 0.0)), 2)
+               AS covered_seconds
+      FROM sw GROUP BY user_id ORDER BY user_id""",
+    "e15_max_intersections" -> """
+      WITH iv AS (
+        SELECT user_id, epoch_us(ts) / 1000000.0 AS s,
+               epoch_us(ts) / 1000000.0 + value AS e
+        FROM events),
+      pts AS (
+        SELECT user_id, s AS p, 1 AS delta FROM iv
+        UNION ALL
+        SELECT user_id, e AS p, -1 AS delta FROM iv),
+      sw AS (
+        SELECT user_id,
+               sum(delta) OVER (PARTITION BY user_id ORDER BY p, delta
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
+        FROM pts)
+      SELECT user_id, CAST(max(open) AS BIGINT) AS max_open
+      FROM sw GROUP BY user_id ORDER BY user_id""",
+    "e16_histogram" -> """
+      SELECT CASE WHEN value < 0 THEN 0
+                  WHEN value >= 1000.0 THEN 11
+                  ELSE CAST(floor(value / 100.0) + 1 AS BIGINT) END AS bin,
+             count(1) AS n, round(avg(value), 2) AS avg_v
+      FROM events GROUP BY 1 ORDER BY bin""",
+    "e17_ttest" -> """
+      WITH stats AS (
+        SELECT avg(value) FILTER (event_type = 'click') AS m1,
+               var_samp(value) FILTER (event_type = 'click') AS v1,
+               count(1) FILTER (event_type = 'click') AS n1,
+               avg(value) FILTER (event_type = 'view') AS m2,
+               var_samp(value) FILTER (event_type = 'view') AS v2,
+               count(1) FILTER (event_type = 'view') AS n2
+        FROM events WHERE event_type IN ('click', 'view'))
+      SELECT round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4) AS t_stat,
+             n1 AS n_click, n2 AS n_view
+      FROM stats""",
+    "e18_regression" -> """
+      SELECT event_type,
+             round(regr_slope(value, epoch_us(ts) / 1000000.0 - 1.7e9), 6) AS slope,
+             round(regr_intercept(value, epoch_us(ts) / 1000000.0 - 1.7e9), 2) AS intercept,
+             regr_count(value, epoch_us(ts) / 1000000.0) AS n
+      FROM events GROUP BY event_type ORDER BY event_type""",
     "e06_tumble" -> """
       SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart,
              count(1) AS n, round(sum(value), 2) AS total
