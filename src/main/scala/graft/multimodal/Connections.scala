@@ -1,0 +1,49 @@
+package graft.multimodal
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** External-object connections — MyScale's `CREATE CONNECTION ...
+  * provider='AWS'` + `ObjectToFetch` type + `getObject()`
+  * (`/root/reference/src/Parsers/ParserCreateConnectionQuery.cpp`,
+  * `src/Interpreters/InterpreterCreateConnectionQuery.cpp`,
+  * `src/Functions/getObject.cpp:53-60`; test
+  * `tests/queries/3_ai_core_support/00009_mqai_objecturl_getObject.sql`).
+  *
+  * The catalog is real (register/drop/list, provider + credential refs);
+  * the fetch itself is STUBBED (no object store in this environment) —
+  * a deployment points [[fetcher]] at an S3/HTTP client.
+  */
+object Connections {
+
+  case class Connection(
+      name: String, provider: String, endpoint: String, credentialRef: String)
+
+  private val registry = TrieMap.empty[String, Connection]
+
+  /** `CREATE CONNECTION name provider='AWS' ...` */
+  def create(name: String, provider: String, endpoint: String = "",
+      credentialRef: String = ""): Unit =
+    registry.put(name, Connection(name, provider, endpoint, credentialRef))
+
+  def drop(name: String): Unit = registry.remove(name)
+  def list: Seq[Connection] = registry.values.toSeq
+
+  /** ===== STUB BOUNDARY ===== deterministic fake payload; replace with
+    * the provider SDK call in a real deployment. */
+  @volatile var fetcher: (Connection, String) => Array[Byte] =
+    (conn, url) => s"${conn.provider}:${conn.name}:$url".getBytes("UTF-8")
+  // ===== END STUB BOUNDARY =====
+
+  /** `getObject(url)` resolved through a named connection; errors on an
+    * unknown connection like the reference does.
+    */
+  def getObject(spark: SparkSession, connectionName: String)(url: Column): Column = {
+    val conn = registry.getOrElse(connectionName,
+      throw new IllegalArgumentException(s"unknown connection $connectionName"))
+    val f = fetcher
+    udf((u: String) => if (u == null) null else f(conn, u)).apply(url)
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Reference-flavored SQL runs verbatim through spark.sql with graft's
+  * registered functions + extensions — the "a MyScaleDB user could paste
+  * their query" smoke test.
+  */
+class SqlSurfaceSpec extends SparkSpec {
+
+  test("vector search SQL: distance + ORDER BY + LIMIT") {
+    graft.engine.Tables.t(spark, sfDir, "embeddings").createOrReplaceTempView("emb")
+    val rows = spark.sql("""
+      SELECT vec_id,
+             L2Distance(embedding,
+               (SELECT embedding FROM emb WHERE vec_id = 0)) AS d
+      FROM emb ORDER BY d, vec_id LIMIT 5""").collect()
+    assert(rows.length === 5)
+    assert(rows.head.getLong(0) === 0L && rows.head.getFloat(1) === 0f)
+    val ds = rows.map(_.getFloat(1)).toSeq
+    assert(ds === ds.sorted)
+  }
+
+  test("ClickHouse-named functions inside an analytical query") {
+    graft.engine.Tables.t(spark, sfDir, "orders").createOrReplaceTempView("ords")
+    val rows = spark.sql("""
+      SELECT toYYYYMM(o_orderdate) AS ym,
+             uniq(o_custkey) AS u,
+             median(o_totalprice) AS med,
+             count(1) AS n
+      FROM ords
+      GROUP BY toYYYYMM(o_orderdate)
+      ORDER BY ym LIMIT 3""").collect()
+    assert(rows.length === 3)
+    assert(rows.forall(r => r.getInt(0) > 199000 && r.getLong(3) > 0))
+  }
+
+  test("cosine distance + prefilter in SQL") {
+    val rows = spark.sql("""
+      SELECT vec_id, cosine_distance(embedding,
+               (SELECT embedding FROM emb WHERE vec_id = 1)) AS d
+      FROM emb WHERE label = 2
+      ORDER BY d, vec_id LIMIT 3""").collect()
+    assert(rows.length === 3)
+  }
+
+  test("getObject through a registered connection") {
+    graft.multimodal.Connections.create("s3_conn", "AWS", "s3.amazonaws.com")
+    import spark.implicits._
+    val out = Seq("s3://b/k1").toDF("url")
+      .select(graft.multimodal.Connections.getObject(spark, "s3_conn")(col("url")))
+      .head().getAs[Array[Byte]](0)
+    assert(new String(out, "UTF-8") === "AWS:s3_conn:s3://b/k1")
+    intercept[IllegalArgumentException] {
+      graft.multimodal.Connections.getObject(spark, "nope")(col("url"))
+    }
+    graft.multimodal.Connections.drop("s3_conn")
+  }
+}
