@@ -160,6 +160,25 @@ object Aggregates {
       .drop("__t0", "__w")
   }
 
+  /** exponentialMovingAverage(halflife)(v, t) (reference
+    * registerAggregateFunctions.cpp:78): time-decayed weighted average
+    * with base-2 halflife decay — the decayed-avg of
+    * [[withExpTimeDecayedAll]] with λ = halflife / ln 2.
+    */
+  def withExponentialMovingAverage(
+      df: org.apache.spark.sql.DataFrame,
+      outName: String,
+      halflifeSeconds: Double,
+      value: Column,
+      tsSeconds: Column,
+      partitionBy: Seq[Column],
+      orderBy: Seq[Column]): org.apache.spark.sql.DataFrame = {
+    val lambda = halflifeSeconds / math.log(2.0)
+    withExpTimeDecayedAll(df, "__ema", lambda, value, tsSeconds, partitionBy, orderBy)
+      .withColumnRenamed("__ema_avg", outName)
+      .drop("__ema_sum", "__ema_count", "__ema_max")
+  }
+
   /** nonNegativeDerivative(value, ts): max(0, Δvalue/Δt-seconds) w.r.t.
     * the previous row in the window order.
     */

@@ -95,6 +95,15 @@ object ClickHouseCompat {
     "queryString(u STRING) RETURNS STRING RETURN parse_url(u, 'QUERY')",
     "extractURLParameter(u STRING, p STRING) RETURNS STRING RETURN parse_url(u, 'QUERY', p)",
     "cutQueryString(u STRING) RETURNS STRING RETURN split_part(u, '?', 1)",
+    // ---- geo (reference src/Functions/greatCircleDistance.cpp) ----
+    "greatCircleDistance(lon1 DOUBLE, lat1 DOUBLE, lon2 DOUBLE, lat2 DOUBLE) RETURNS DOUBLE RETURN " +
+      "2 * 6372797.560856 * asin(sqrt(" +
+      "pow(sin(radians(lat2 - lat1) / 2), 2) + " +
+      "cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(radians(lon2 - lon1) / 2), 2)))",
+    "geoDistance(lon1 DOUBLE, lat1 DOUBLE, lon2 DOUBLE, lat2 DOUBLE) RETURNS DOUBLE RETURN " +
+      "2 * 6372797.560856 * asin(sqrt(" +
+      "pow(sin(radians(lat2 - lat1) / 2), 2) + " +
+      "cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(radians(lon2 - lon1) / 2), 2)))",
     // ---- conditionals / misc ----
     "multiIf3(c1 BOOLEAN, v1 DOUBLE, c2 BOOLEAN, v2 DOUBLE, e DOUBLE) RETURNS DOUBLE " +
       "RETURN CASE WHEN c1 THEN v1 WHEN c2 THEN v2 ELSE e END",

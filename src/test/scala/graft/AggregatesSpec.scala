@@ -86,4 +86,16 @@ class AggregatesSpec extends SparkSpec {
     val top = big.agg(graft.functions.TopKAggregate.topK(3)(col("v"))).head().getSeq[String](0)
     assert(top.contains("hot"))
   }
+
+  test("exponentialMovingAverage: converges toward recent values") {
+    val df = Seq((1L, 0.0, 100.0), (1L, 10.0, 0.0), (1L, 20.0, 0.0), (1L, 30.0, 0.0))
+      .toDF("u", "t", "v")
+    val got = Aggregates.withExponentialMovingAverage(df, "ema", 10.0,
+        col("v"), col("t"), Seq(col("u")), Seq(col("t")))
+      .orderBy("t").collect().map(_.getAs[Double]("ema"))
+    assert(got(0) === 100.0)
+    assert(got.sliding(2).forall { case Array(a, b) => b < a }) // decaying toward 0
+    // closed form at t=10: (100*0.5 + 0*1)/(0.5+1) = 33.33...
+    assert(math.abs(got(1) - 100.0 * 0.5 / 1.5) < 1e-9)
+  }
 }

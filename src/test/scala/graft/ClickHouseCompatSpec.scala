@@ -73,4 +73,12 @@ class ClickHouseCompatSpec extends SparkSpec {
     assert(math.abs(r.getLong(0) - exact) <= math.max(1L, exact / 20)) // HLL ±5%
     assert(r.getDouble(1) === r.getDouble(2)) // quantileExact(0.5) == median
   }
+
+  test("geo distance: haversine sanity (Paris-London ~343.5 km)") {
+    val d = spark.sql(
+      "SELECT greatCircleDistance(2.3522, 48.8566, -0.1276, 51.5072)")
+      .head().getDouble(0)
+    assert(d > 330000 && d < 355000, s"got $d")
+    assert(spark.sql("SELECT geoDistance(0,0,0,0)").head().getDouble(0) === 0.0)
+  }
 }
