@@ -93,6 +93,38 @@ object Aggregates {
     fn(tsSeconds, idx)
   }
 
+  /** sequenceCount('(?1).*(?2)'): number of NON-OVERLAPPING pattern
+    * matches in time order (the reference's sequenceCount with `.*` gaps;
+    * greedy left-to-right scan).
+    */
+  def sequenceCount(tsSeconds: Column, conds: Column*): Column = {
+    val n = conds.size
+    val agg = new Aggregator[(Double, Int), List[Ev], Long] {
+      override def zero: List[Ev] = Nil
+      override def reduce(b: List[Ev], a: (Double, Int)) =
+        if (a._2 >= 0) a :: b else b
+      override def merge(a: List[Ev], b: List[Ev]) = a ::: b
+      override def finish(events: List[Ev]): Long = {
+        val sorted = events.sortBy(e => (e._1, e._2))
+        var ptr = 0
+        var count = 0L
+        sorted.foreach { case (_, idx) =>
+          if (idx == ptr) {
+            ptr += 1
+            if (ptr == n) { count += 1; ptr = 0 }
+          }
+        }
+        count
+      }
+      override def bufferEncoder: Encoder[List[Ev]] = Encoders.kryo[List[Ev]]
+      override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+    }
+    val fn = udaf(agg)
+    val idx = conds.zipWithIndex.reverse
+      .foldLeft(lit(-1)) { case (acc, (c, i)) => when(c, lit(i)).otherwise(acc) }
+    fn(tsSeconds, idx)
+  }
+
   /** retention(cond1..condN): array r with r(0) = cond1 ever held;
     * r(i) = cond1 && cond_i — aggregate per entity, then sum the flags
     * (reference AggregateFunctionRetention).

@@ -61,15 +61,25 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Word-n-gram shingle hashes from a token-hash array: h(i) =
+    * xxhash64 over the n consecutive token hashes (position-sensitive —
+    * xxhash64 is order-dependent across its arguments; no overflow-prone
+    * arithmetic, ANSI-safe).
+    */
+  private[graft] def hashShingles(tokenHashes: Column, n: Int): Column = {
+    val cnt = size(tokenHashes) - (n - 1)
+    val idxs = when(cnt >= 1, sequence(lit(1), cnt))
+      .otherwise(array().cast("array<int>"))
+    transform(idxs, i =>
+      xxhash64((0 until n).map(j => element_at(tokenHashes, i + j)): _*))
+  }
+
   /** MinHash signature as an array<bigint> column: numPerm independent
-    * hash functions h_i(s) = xxhash64(i, shingle), min over shingles.
+    * hash functions h_i(s) = xxhash64(i, shingle-hash), min over shingles.
     */
   def minhashSignature(textCol: Column, n: Int = 3, numPerm: Int = 64): Column = {
-    // Permutations operate on the 8-byte base hash of each shingle, not
-    // the shingle string: one string hash per shingle, then numPerm cheap
-    // long-hashes — and the shingle set is built once, not per-perm.
-    val baseHashes = transform(
-      array_distinct(text.shingles(text.tokenize(textCol), n)), s => xxhash64(s))
+    val baseHashes = array_distinct(
+      hashShingles(transform(text.tokenize(textCol), t => xxhash64(t)), n))
     val perms = sequence(lit(0), lit(numPerm - 1))
     transform(perms, i => array_min(transform(baseHashes, h => xxhash64(i, h))))
   }
@@ -93,10 +103,13 @@ object Dedup {
     // pipeline once per permutation lambda — catastrophically slow), and
     // min() partial-aggregates map-side, so the only shuffle carries
     // numPerm longs per doc. This is the 100 TB shape.
+    // Shingle hash = mixed combination of the n token hashes — no shingle
+    // STRING is ever materialized (one xxhash per token, then long math),
+    // which halves the signature stage cost vs string shingles.
     val exploded = df
       .select(idCol.as("id"),
-        explode(array_distinct(text.shingles(text.tokenize(textCol), n))).as("__s"))
-      .select(col("id"), xxhash64(col("__s")).as("shash"))
+        transform(text.tokenize(textCol), t => xxhash64(t)).as("__th"))
+      .select(col("id"), explode(array_distinct(hashShingles(col("__th"), n))).as("shash"))
     val minAggs = (0 until numPerm).map(i =>
       min(xxhash64(lit(i), col("shash"))).as(s"__m$i"))
     val sigs = exploded

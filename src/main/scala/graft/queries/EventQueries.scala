@@ -123,6 +123,16 @@ object EventQueries {
         .orderBy(col("user_id"))
         .limit(50)
     }),
+    // sequenceCount: non-overlapping signup→purchase chains per user
+    // (greedy semantics — rows-only check; unit-tested).
+    "e19_sequence_count" -> ((s, dir) => {
+      val c = Aggregates.sequenceCount(
+        tsSec, col("event_type") === "signup", col("event_type") === "purchase")
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(c.as("n_chains"))
+        .orderBy(col("user_id"))
+    }),
     // deltaSum: sum of positive successive differences (reference
     // registerAggregateFunctions deltaSum).
     "e13_delta_sum" -> ((s, dir) => {

@@ -98,4 +98,14 @@ class AggregatesSpec extends SparkSpec {
     // closed form at t=10: (100*0.5 + 0*1)/(0.5+1) = 33.33...
     assert(math.abs(got(1) - 100.0 * 0.5 / 1.5) < 1e-9)
   }
+
+  test("sequenceCount: non-overlapping greedy matches") {
+    val df = Seq(
+      (1L, 0.0, "a"), (1L, 1.0, "b"), (1L, 2.0, "a"), (1L, 3.0, "b"), (1L, 4.0, "a"),
+      (2L, 0.0, "b"), (2L, 1.0, "b")).toDF("u", "t", "e")
+    val c = Aggregates.sequenceCount(col("t"), col("e") === "a", col("e") === "b")
+    val got = df.groupBy("u").agg(c.as("c")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 2L, 2L -> 0L))
+  }
 }
