@@ -441,6 +441,18 @@ object RelationalQueries {
         .limit(100)
     }),
 
+    // Correlated aggregate subquery (TPC-H Q17 shape): rows below 20% of
+    // their part's average quantity — decorrelated into an aggregate join.
+    "q40_correlated_subquery" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val perPart = li.groupBy(col("l_partkey").as("pk"))
+        .agg((avg(col("l_quantity")) * 0.2).as("qty_limit"))
+      li.join(perPart, col("l_partkey") === col("pk"))
+        .filter(col("l_quantity") < col("qty_limit"))
+        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
+          count(lit(1)).as("n"))
+    }),
+
     // GROUP BY with expression keys + IN-subquery semi join.
     "q30_in_subquery" -> ((s, dir) => {
       val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
@@ -718,6 +730,12 @@ object RelationalQueries {
       SELECT c_custkey, n_name AS nation_name
       FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
       ORDER BY c_custkey LIMIT 100""",
+    "q40_correlated_subquery" -> """
+      SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+             count(1) AS n
+      FROM lineitem l
+      WHERE l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem
+                          WHERE l_partkey = l.l_partkey)""",
     "q30_in_subquery" -> """
       SELECT l_returnflag, count(1) AS n, round(sum(l_extendedprice), 2) AS total
       FROM lineitem
