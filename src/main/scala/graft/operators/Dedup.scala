@@ -46,9 +46,16 @@ object Dedup {
     val sh = df
       .select(idCol.as("id"), explode(array_distinct(text.shingles(toks, n))).as("sh"))
       .select(col("id"), xxhash64(col("sh")).as("shash"))
+      .persist()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.as("a")
-      .join(sh.as("b"), col("a.shash") === col("b.shash") && col("a.id") < col("b.id"))
+    // Singleton shingles (df = 1) cannot contribute to any pair — drop
+    // them from the self-join input. Union sizes above are computed
+    // BEFORE the filter, so Jaccard values are unchanged (exactness).
+    val shared = sh.groupBy("shash").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2).select(col("shash"))
+    val shJoin = sh.join(shared, Seq("shash"), "left_semi")
+    val pairs = shJoin.as("a")
+      .join(shJoin.as("b"), col("a.shash") === col("b.shash") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
     pairs
