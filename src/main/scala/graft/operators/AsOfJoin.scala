@@ -35,26 +35,33 @@ object AsOfJoin {
     val payloadNames = rightPayload.map(_._1)
     val leftCols = left.columns.toSeq
 
+    // All payload columns travel as ONE struct carried by a single
+    // last(ignoreNulls): a match always takes every payload value from the
+    // same right row (no tearing when payload values are legitimately
+    // NULL), and match/no-match is the struct's own nullity — payload-NULL
+    // matches survive the inner filter.
+    val pType = right
+      .select(struct(rightPayload.map { case (n, c) => c.as(n) }: _*).as("__p"))
+      .schema("__p").dataType
+
     val l = left
       .withColumn("__k", leftKey)
       .withColumn("__t", leftTime)
       .withColumn("__side", lit(1))
-    val lWithNulls = payloadNames.foldLeft(l) { case (df, n) =>
-      df.withColumn(n, lit(null))
-    }
+      .withColumn("__p", lit(null).cast(pType))
 
-    var r = right
+    val r = right
       .withColumn("__k", rightKey)
       .withColumn("__t", rightTime)
       .withColumn("__side", lit(0))
-    rightPayload.foreach { case (n, c) => r = r.withColumn(n, c) }
+      .withColumn("__p", struct(rightPayload.map { case (n, c) => c.as(n) }: _*))
     val rSlim = r.select(
-      (Seq("__k", "__t", "__side") ++ payloadNames).map(col) ++
+      Seq("__k", "__t", "__side", "__p").map(col) ++
         leftCols.map(c => lit(null).as(c)): _*)
 
-    val unioned = lWithNulls
-      .select((Seq("__k", "__t", "__side") ++ payloadNames ++ leftCols).map(col): _*)
-      .unionByName(rSlim)
+    val unioned = l
+      .select((Seq("__k", "__t", "__side", "__p") ++ leftCols).map(col): _*)
+      .unionByName(rSlim, allowMissingColumns = false)
 
     // Right rows sort before left rows at equal time → `t >= t'` is
     // inclusive, matching the reference's ASOF >= semantics.
@@ -63,15 +70,17 @@ object AsOfJoin {
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = payloadNames.foldLeft(unioned) { case (df, n) =>
-      df.withColumn(n, last(col(n), ignoreNulls = true).over(w))
-    }
+    val carried = unioned
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
 
     val result = carried
       .filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ payloadNames.map(col): _*)
+      .select(leftCols.map(col) ++
+        payloadNames.map(n => col(s"__p.$n").as(n)) :+ col("__p").isNotNull.as("__matched"): _*)
 
-    if (inner) result.filter(payloadNames.map(n => col(n).isNotNull).reduce(_ || _))
-    else result
+    val out =
+      if (inner) result.filter(col("__matched"))
+      else result
+    out.drop("__matched")
   }
 }

@@ -58,9 +58,12 @@ object Dedup {
       .join(shJoin.as("b"), col("a.shash") === col("b.shash") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
+    // `sizes` is one row PER DOCUMENT — at corpus scale that must shuffle
+    // (a broadcast here OOMs the driver); AQE may still choose to
+    // broadcast at small scale on its own.
     pairs
-      .join(broadcast(sizes).as("sa"), col("id_a") === col("sa.id"))
-      .join(broadcast(sizes).as("sb"), col("id_b") === col("sb.id"))
+      .join(sizes.as("sa"), col("id_a") === col("sa.id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.id"))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("sa.n_sh") + col("sb.n_sh") - col("inter")).cast("double"))

@@ -65,6 +65,39 @@ object IvfIndex {
   private val centroidCache = TrieMap.empty[String, Array[Array[Float]]]
   private val metaCache = TrieMap.empty[String, Meta]
 
+  /** Load index metadata, reading back the persisted `meta.json` when this
+    * JVM didn't build the index (fresh-session search against an existing
+    * indexDir). Fails fast on a missing/corrupt meta file rather than
+    * silently falling back to defaults.
+    */
+  private[graft] def loadMeta(indexDir: String): Meta =
+    metaCache.getOrElseUpdate(indexDir, {
+      val p = Paths.get(s"$indexDir/meta.json")
+      require(Files.exists(p), s"vector index meta not found: $p")
+      val s = Files.readString(p)
+      def str(k: String): String =
+        ("\"" + k + "\":\"([^\"]*)\"").r.findFirstMatchIn(s)
+          .map(_.group(1))
+          .getOrElse(sys.error(s"meta.json missing string field '$k' at $p"))
+      def num(k: String): Long =
+        ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(s)
+          .map(_.group(1).toLong)
+          .getOrElse(sys.error(s"meta.json missing numeric field '$k' at $p"))
+      Meta(str("metric"), num("nLists").toInt, num("dim").toInt, num("nRows"),
+        "", str("vecCol"), str("status"))
+    })
+
+  /** Centroid-to-query distance in the INDEX metric — probe-list selection
+    * must rank by the same metric the in-list ranking uses, or cosine/IP
+    * indexes probe the wrong lists (recall silently degrades).
+    */
+  private[graft] def centroidDist(metric: String, c: Array[Float], q: Array[Float]): Float =
+    metric match {
+      case "cosine"       => 1.0f - VectorKernels.cosineSim(c, q)
+      case "ip" | "dot"   => -VectorKernels.dot(c, q)
+      case _              => VectorKernels.l2sq(c, q)
+    }
+
   /** Driver-side Lloyd's k-means over a bounded sample. Deterministic
     * (seeded) — index builds are reproducible.
     */
@@ -188,11 +221,10 @@ object IvfIndex {
       distName: String = "d",
       tieBreak: Seq[Column] = Nil): DataFrame = {
     val centroids = loadCentroids(spark, indexDir)
-    val metric = metricOverride.getOrElse(
-      metaCache.get(indexDir).map(_.metric).getOrElse("l2"))
+    val metric = metricOverride.getOrElse(loadMeta(indexDir).metric)
     val q = qvec.toArray
     val probes = centroids.zipWithIndex
-      .map { case (c, i) => (VectorKernels.l2sq(c, q), i) }
+      .map { case (c, i) => (centroidDist(metric, c, q), i) }
       .sortBy(_._1).take(math.min(nprobe, centroids.length)).map(_._2)
 
     searchLists(spark, indexDir, qvec, k, probes.toSeq, metric, preFilter, distName, tieBreak)
@@ -216,9 +248,8 @@ object IvfIndex {
       tieBreak: Seq[Column] = Nil): DataFrame = {
     val candidates = search(spark, indexDir, qvec, numReorder, nprobe,
       metricOverride, preFilter, "__stage1_d", tieBreak).drop("__stage1_d")
-    val metric = metricOverride.getOrElse(
-      metaCache.get(indexDir).map(_.metric).getOrElse("l2"))
-    val vecCol = metaCache.get(indexDir).map(_.vecCol).getOrElse("embedding")
+    val metric = metricOverride.getOrElse(loadMeta(indexDir).metric)
+    val vecCol = loadMeta(indexDir).vecCol
     VectorSearch.topK(candidates, col(vecCol), qvec, k, metric, None,
       distName, tieBreak)
   }
@@ -235,8 +266,8 @@ object IvfIndex {
       tieBreak: Seq[Column]): DataFrame = {
     val lists = spark.read.parquet(s"$indexDir/lists")
       .filter(col("list_id").isin(probes.toIndexedSeq: _*))
-    VectorSearch.topK(lists, col(metaCache.get(indexDir).map(_.vecCol)
-        .getOrElse("embedding")), qvec, k, metric, preFilter, distName, tieBreak)
+    VectorSearch.topK(lists, col(loadMeta(indexDir).vecCol), qvec, k, metric,
+        preFilter, distName, tieBreak)
       .drop("list_id")
   }
 }

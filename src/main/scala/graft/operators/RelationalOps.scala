@@ -69,6 +69,13 @@ object RelationalOps {
       rightKey: Column,
       saltFactor: Int = 8,
       joinType: String = "inner"): DataFrame = {
+    // Replicating the right side saltFactor times would emit unmatched
+    // RIGHT rows saltFactor times under right/full joins — semantics only
+    // hold for left-preserving join types.
+    val allowed = Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti", "cross")
+    require(allowed.contains(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin supports left-preserving join types only, got '$joinType'")
     val saltedLeft = left
       .withColumn("__salt", (rand(42) * saltFactor).cast("int"))
     val saltedRight = right

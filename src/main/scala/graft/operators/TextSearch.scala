@@ -80,6 +80,10 @@ object TextSearch {
       scoreName: String = "bm25_score",
       tieBreak: Seq[Column] = Nil): DataFrame = {
     val terms = queryTerms(query)
+    // A query with no alphanumeric terms matches nothing (empty result,
+    // schema preserved) instead of crashing on an empty reduce.
+    if (terms.isEmpty)
+      return df.withColumn(scoreName, lit(0.0)).filter(lit(false)).limit(k)
     val stats = collectStats(df, textCol, terms)
     val toks = text.tokenize(textCol)
     val matched = operator.toUpperCase match {

@@ -99,7 +99,7 @@ case class TopKSearchRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val qvec = qArray.toFloatArray()
     val centroids = IvfIndex.loadCentroids(spark, entry.indexDir)
     val probes = centroids.zipWithIndex
-      .map { case (c, i) => (graft.functions.VectorKernels.l2sq(c, qvec), i) }
+      .map { case (c, i) => (IvfIndex.centroidDist(entry.metric, c, qvec), i) }
       .sortBy(_._1).take(math.min(entry.defaultNprobe, centroids.length)).map(_._2)
     val newScan = spark.read.parquet(s"${entry.indexDir}/lists")
       .filter(col("list_id").isin(probes.toIndexedSeq: _*))

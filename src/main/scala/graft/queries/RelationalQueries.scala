@@ -401,10 +401,16 @@ object RelationalQueries {
 
     // LIMIT ... WITH TIES (rank-based).
     "q36_limit_with_ties" -> ((s, dir) => {
-      val w = Window.orderBy(col("o_totalprice").desc)
-      t(s, dir, "orders")
-        .withColumn("__rk", rank().over(w))
-        .filter(col("__rk") <= 5).drop("__rk")
+      // WITH TIES without a global window: the k-th value comes from
+      // orderBy().limit(k) (TakeOrderedAndProject — per-partition top-K,
+      // driver merges k·partitions rows), then one scan filters
+      // `price >= threshold`. rank()<=k over an unpartitioned window would
+      // sort the whole table in a single task.
+      val orders = t(s, dir, "orders")
+      val threshold = orders.select(col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc).limit(5)
+        .agg(min(col("o_totalprice"))).head().get(0)
+      orders.filter(col("o_totalprice") >= lit(threshold))
         .select(col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     }),
