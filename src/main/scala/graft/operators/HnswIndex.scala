@@ -83,9 +83,16 @@ object HnswIndex {
     }
 
     /** Top-k (id, distance) — distance reported in the metric's native
-      * scale (sqrt applied for L2).
+      * scale (sqrt applied for L2). `accept` post-filters candidates by id
+      * (the reference's filter-bitmap / lightweight-delete mask applied
+      * inside the index search,
+      * `MergeTreeSelectWithHybridSearchProcessor.h:117-129`): the graph is
+      * still traversed through non-qualifying nodes (they keep the small
+      * world connected), only the result set is restricted — callers
+      * should raise `ef` when the filter is selective.
       */
-    def search(q: Array[Float], k: Int, ef: Int): Seq[(Long, Float)] = {
+    def search(q: Array[Float], k: Int, ef: Int,
+        accept: Long => Boolean = _ => true): Seq[(Long, Float)] = {
       if (ids.isEmpty) return Nil
       var ep = entryPoint
       var layer = maxLayerOf(entryPoint)
@@ -94,7 +101,9 @@ object HnswIndex {
         layer -= 1
       }
       val found = searchLayer(q, Seq(ep), math.max(ef, k), 0)
-      val top = (found.dequeueAll: Seq[(Float, Int)]).sortBy(x => (x._1, ids(x._2))).take(k)
+      val top = (found.dequeueAll: Seq[(Float, Int)])
+        .filter(x => accept(ids(x._2)))
+        .sortBy(x => (x._1, ids(x._2))).take(k)
       top.map { case (d, i) =>
         val out = if (metric.equalsIgnoreCase("cosine")) d else math.sqrt(d).toFloat
         (ids(i), out)
@@ -247,7 +256,13 @@ object HnswIndex {
     entry
   }
 
-  private def loadGraph(key: String, rows: Iterator[GraphRow], metric: String): Graph =
+  /** Graph row as stored inside a `part_id=` directory (the partition
+    * column lives in the directory name, not the file).
+    */
+  case class GraphNode(node_idx: Int, id: Long,
+      vec: Array[Float], neighbors: Seq[Seq[Int]])
+
+  private def loadGraph(key: String, rows: Iterator[GraphNode], metric: String): Graph =
     graphCache.getOrElseUpdate(key, {
       val sorted = rows.toArray.sortBy(_.node_idx)
       val ids = sorted.map(_.id)
@@ -257,23 +272,49 @@ object HnswIndex {
       new Graph(ids, vecs, nbrs, entry, metric)
     })
 
-  /** ANN search across all per-partition graphs + global top-K merge. */
+  /** ANN search across all per-partition graphs + global top-K merge.
+    *
+    * Plan shape (the 100 TB property): each `part_id=` directory is read
+    * as its own single-task scan (`coalesce(1)` — a narrow dependency, NO
+    * Exchange), the graph search runs `mapPartitions`-style inside that
+    * task against the per-JVM graph cache, and each part emits at most k
+    * rows; the union of parts feeds the usual TakeOrderedAndProject merge.
+    * The previous shape (`groupByKey(part_id)`) shuffled every graph row
+    * (id + vector + adjacency) on every query — more I/O than brute force.
+    *
+    * `accept` restricts results by id (pre-filter / lightweight-delete
+    * mask pushed into the index search); `ef` should grow with filter
+    * selectivity.
+    */
   def search(
       spark: SparkSession,
       indexDir: String,
       qvec: Seq[Float],
       k: Int,
       ef: Int = 64,
-      metric: String = "l2"): DataFrame = {
+      metric: String = "l2",
+      accept: Option[Long => Boolean] = None): DataFrame = {
     import spark.implicits._
     val q = qvec.toArray
-    val graph = spark.read.parquet(s"$indexDir/graph").as[GraphRow]
-    graph
-      .groupByKey(_.part_id)
-      .flatMapGroups { (pid, rows) =>
-        val g = loadGraph(s"$indexDir#$pid", rows, metric)
-        g.search(q, k, ef).iterator
-      }
+    val root = new org.apache.hadoop.fs.Path(s"$indexDir/graph")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partDirs = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("part_id="))
+      .map(_.getPath)
+    require(partDirs.nonEmpty, s"no graph partitions under $root")
+    val filt = accept
+    val perPart = partDirs.map { p =>
+      val pid = p.getName.stripPrefix("part_id=").toInt
+      spark.read.parquet(p.toString)
+        .select(col("node_idx"), col("id"), col("vec"), col("neighbors"))
+        .as[GraphNode]
+        .coalesce(1)
+        .mapPartitions { rows =>
+          val g = loadGraph(s"$indexDir#$pid", rows, metric)
+          g.search(q, k, ef, filt.getOrElse((_: Long) => true)).iterator
+        }
+    }
+    perPart.reduce(_ union _)
       .toDF("id", "d")
       .orderBy(col("d"), col("id"))
       .limit(k)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Tables.t
 import graft.functions.text
-import graft.operators.{HybridSearch, TextSearch}
+import graft.operators.{FtsIndex, HybridSearch, TextSearch}
 
 /** Full-text + hybrid search and text-analysis coverage (SURVEY §2.1
   * textsearch/hybridsearch; pipeline text ops). BM25 oracle reimplements
@@ -56,6 +56,20 @@ object TextQueries {
       ORDER BY bm25_score DESC, doc_id"""
   }
 
+  /** One FTS index per sf dir, built lazily and reused across queries
+    * (the reference builds the Tantivy index once per part, not per
+    * query).
+    */
+  private val ftsDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def ftsDir(s: SparkSession, dir: String): String =
+    ftsDirs.getOrElseUpdate(dir, {
+      val idx = java.nio.file.Files.createTempDirectory("graft-fts").toString
+      FtsIndex.build(s, t(s, dir, "documents"), "doc_id", "text",
+        s"fts_documents_${dir.replaceAll("[^a-zA-Z0-9]", "_")}", idx,
+        nBuckets = 64, sourcePath = s"$dir/documents.parquet")
+      idx
+    })
+
   val queries: Map[String, Q] = Map(
     // textsearch() top-K, OR semantics (any term), BM25-scored.
     "t01_bm25_topk" -> ((s, dir) => {
@@ -96,6 +110,22 @@ object TextQueries {
       t(s, dir, "documents")
         .select(col("doc_id"), text.fingerprint(col("text")).as("fingerprint"))
         .orderBy(col("doc_id"))
+    }),
+    // textsearch() against the persisted FTS posting-list index — must
+    // reproduce t01's (non-indexed) results exactly: one pruned postings
+    // scan instead of two full corpus scans.
+    "t07_fts_topk" -> ((s, dir) => {
+      FtsIndex.search(s, ftsDir(s, dir), query1, 10, "OR", "bm25_score",
+          Seq(col("doc_id")))
+        .select(col("doc_id"), round(col("bm25_score"), 4).as("bm25_score"))
+        .orderBy(col("bm25_score").desc, col("doc_id"))
+    }),
+    // Indexed AND search — must reproduce t02 exactly.
+    "t08_fts_and" -> ((s, dir) => {
+      FtsIndex.search(s, ftsDir(s, dir), query2, 10, "AND", "bm25_score",
+          Seq(col("doc_id")))
+        .select(col("doc_id"), round(col("bm25_score"), 4).as("bm25_score"))
+        .orderBy(col("bm25_score").desc, col("doc_id"))
     }),
     // Hybrid search, RSF fusion (reference defaults: w=0.5, 3×k
     // candidates per sub-search).
@@ -206,6 +236,10 @@ object TextQueries {
     "h02_hybrid_rrf" -> hybridOracleSql("rrf"),
     "t01_bm25_topk" -> bm25OracleSql(TextSearch.queryTerms(query1), 10, and = false),
     "t02_bm25_and" -> bm25OracleSql(TextSearch.queryTerms(query2), 10, and = true),
+    // The indexed paths share the non-indexed oracles — proving
+    // index path ≡ direct path ≡ oracle.
+    "t07_fts_topk" -> bm25OracleSql(TextSearch.queryTerms(query1), 10, and = false),
+    "t08_fts_and" -> bm25OracleSql(TextSearch.queryTerms(query2), 10, and = true),
     "t03_token_count" -> s"""
       SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
       FROM documents ORDER BY doc_id""",

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{FtsIndex, TextSearch}
+
+class FtsIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val corpus = Seq(
+    (1L, "spark joins data fast"),
+    (2L, "spark spark spark everywhere"),
+    (3L, "ducks swim in ponds"),
+    (4L, "the quick brown fox"),
+    (5L, "")).toDF("doc_id", "text")
+
+  lazy val indexDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("fts-spec").toString
+    FtsIndex.build(spark, corpus, "doc_id", "text", "fts_spec", dir,
+      nBuckets = 8, sourcePath = "spec://corpus")
+    dir
+  }
+
+  test("build persists stats and bucket-partitioned postings") {
+    val meta = FtsIndex.loadMeta(indexDir)
+    assert(meta.nDocs === 5)
+    assert(math.abs(meta.avgDl - 16.0 / 5) < 1e-9) // 4+4+4+4+0 tokens
+    val posts = spark.read.parquet(s"$indexDir/postings")
+    assert(posts.columns.toSet === Set("term", "doc_id", "dl", "tf", "bucket"))
+    // tf counts duplicates: doc 2 has spark×3 in ONE posting row
+    val sparkRows = posts.filter($"term" === "spark").collect()
+    assert(sparkRows.length === 2)
+    assert(sparkRows.map(r => r.getAs[Double]("tf")).sorted.toSeq === Seq(1.0, 3.0))
+    // every term's rows all live in its own bucket
+    val perTerm = posts.groupBy("term").agg(countDistinct($"bucket").as("nb"))
+      .collect().map(_.getLong(1))
+    assert(perTerm.forall(_ === 1L))
+  }
+
+  test("indexed search equals direct textsearch (OR and AND)") {
+    for ((q, op) <- Seq(("spark fast", "OR"), ("spark fast", "AND"),
+        ("ducks everywhere", "OR"), ("quick brown fox", "AND"))) {
+      val direct = TextSearch.textSearch(corpus, col("text"), q, 10, op,
+          "bm25_score", Seq(col("doc_id")))
+        .select($"doc_id", round($"bm25_score", 9).as("s"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val indexed = FtsIndex.search(spark, indexDir, q, 10, op,
+          "bm25_score", Seq(col("doc_id")))
+        .select($"doc_id", round($"bm25_score", 9).as("s"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(indexed === direct, s"query '$q' op $op")
+    }
+  }
+
+  test("empty and unknown-term queries return empty with schema") {
+    assert(FtsIndex.search(spark, indexDir, "???", 10).count() === 0)
+    assert(FtsIndex.search(spark, indexDir, "zebra", 10).count() === 0)
+    // AND with one unknown term → nothing (direct path agrees)
+    assert(FtsIndex.search(spark, indexDir, "spark zebra", 10, "AND").count() === 0)
+    assert(FtsIndex.search(spark, indexDir, "spark zebra", 10, "OR")
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+  }
+
+  test("search plan prunes to the query terms' buckets") {
+    val meta = FtsIndex.loadMeta(indexDir)
+    val b = FtsIndex.bucketOf("spark", meta.nBuckets)
+    val plan = FtsIndex.search(spark, indexDir, "spark", 10)
+      .queryExecution.executedPlan.toString
+    // file-level partition pruning: the scan carries the bucket filter
+    assert(plan.contains("bucket"), plan)
+  }
+
+  test("termStats TVF reports global df and tf") {
+    val stats = FtsIndex.termStats(spark, indexDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(stats("spark") === ((2L, 4L)))
+    assert(stats("ducks") === ((1L, 1L)))
+  }
+
+  test("catalog registers BUILT entry") {
+    indexDir // force build
+    val e = FtsIndex.Catalog.lookup("fts_spec").get
+    assert(e.status === "BUILT" && e.nDocs === 5)
+    assert(FtsIndex.Catalog.forSource("spec://corpus", "text").isDefined)
+  }
+}

@@ -41,6 +41,29 @@ class HnswIndexSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall@10 = $recall")
   }
 
+  test("search plan has no Exchange — the graph is never shuffled") {
+    val plan = HnswIndex.search(spark, indexDir, qv, 10, ef = 128)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("accept filter (pre-filter / delete mask) is honored in-search") {
+    val masked = bruteIds(5).toSet // delete the 5 nearest
+    val got = HnswIndex.search(spark, indexDir, qv, 10, ef = 256,
+        accept = Some((id: Long) => !masked.contains(id)))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got.intersect(masked).isEmpty)
+    assert(got.size === 10)
+    // with the nearest deleted, results should match brute force over the
+    // surviving rows reasonably well
+    val bruteSurvivors = VectorSearch.topK(
+        emb.filter(!col("vec_id").isin(masked.toSeq: _*)),
+        col("embedding"), qv, 10, "l2", None, "d", Seq(col("vec_id")))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (got & bruteSurvivors).size / 10.0
+    assert(recall >= 0.8, s"masked recall@10 = $recall")
+  }
+
   test("reported distances match exact kernel values") {
     val rows = HnswIndex.search(spark, indexDir, qv, 5, ef = 128).collect()
     val byId = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
