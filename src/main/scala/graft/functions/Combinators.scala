@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Aggregate-function combinators of the reference
+  * (`/root/reference/src/AggregateFunctions/registerAggregateFunctions.cpp:84-96`):
+  * `-Array`, `-Map`, `-ForEach` (this file), plus `-If` (FILTER, q24),
+  * `-State`/`-Merge` ([[StateCombinators]]) and `-Distinct` (native
+  * `sum_distinct` etc.).
+  *
+  * Scale notes:
+  *  - `-Array` combinators fold each row's array with a codegen'd HOF
+  *    BEFORE the aggregation (map-side, no explode) — `sumArray(c)` costs
+  *    the same shuffle as `sum(c)`.
+  *  - `-ForEach` / `-Map` genuinely need per-element aggregation state, so
+  *    they explode and shuffle on (group, position|key) — fully
+  *    distributed, no driver involvement, partial aggregation applies.
+  */
+object Combinators {
+
+  // ---- -Array: aggregate over all elements of all arrays in the group ----
+
+  /** sumArray(c): Σ over every element (double). */
+  def sumArray(c: Column): Column =
+    sum(aggregate(c, lit(0.0d), (a, x) => a + x.cast("double")))
+
+  /** countArray(c): total element count. */
+  def countArray(c: Column): Column = sum(size(c).cast("long"))
+
+  /** avgArray(c): mean over every element. */
+  def avgArray(c: Column): Column = sumArray(c) / countArray(c)
+
+  def minArray(c: Column): Column = min(array_min(c))
+  def maxArray(c: Column): Column = max(array_max(c))
+
+  /** groupUniqArray-Array: sorted distinct elements across the group's
+    * arrays (ClickHouse materializes the same per-group set).
+    */
+  def groupUniqArray(c: Column): Column =
+    array_sort(array_distinct(flatten(collect_list(array_distinct(c)))))
+
+  // ---- -ForEach: element-wise aggregation across equal-length arrays ----
+
+  /** Generic -ForEach: apply `aggF` element-wise across the arrays of each
+    * group; the result array is rebuilt ordered by element position.
+    * Shuffles on (group, pos) — the distributed shape.
+    */
+  def aggForEach(
+      df: DataFrame,
+      groupCols: Seq[String],
+      arr: Column,
+      aggF: Column => Column,
+      out: String): DataFrame = {
+    val exploded = df.select(
+      groupCols.map(col) :+ posexplode(arr).as(Seq("__pos", "__x")): _*)
+    val per = exploded
+      .groupBy((groupCols :+ "__pos").map(col): _*)
+      .agg(aggF(col("__x")).as("__v"))
+    per.groupBy(groupCols.map(col): _*)
+      .agg(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__v")))),
+        e => e.getField("__v")).as(out))
+  }
+
+  def sumForEach(df: DataFrame, groupCols: Seq[String], arr: Column,
+      out: String = "sum_foreach"): DataFrame =
+    aggForEach(df, groupCols, arr, c => sum(c.cast("double")), out)
+
+  def maxForEach(df: DataFrame, groupCols: Seq[String], arr: Column,
+      out: String = "max_foreach"): DataFrame =
+    aggForEach(df, groupCols, arr, c => max(c), out)
+
+  // ---- -Map: per-key aggregation over map columns ----
+
+  /** Generic -Map: aggregate map values per key across the group; emits
+    * the result as an array of (key, value) structs sorted by key (a
+    * deterministic map representation). Shuffles on (group, key).
+    */
+  def aggMap(
+      df: DataFrame,
+      groupCols: Seq[String],
+      m: Column,
+      aggF: Column => Column,
+      out: String): DataFrame = {
+    val exploded = df.select(
+      groupCols.map(col) :+ explode(m).as(Seq("__k", "__v")): _*)
+    val per = exploded
+      .groupBy((groupCols.map(col) :+ col("__k")): _*)
+      .agg(aggF(col("__v")).as("__a"))
+    per.groupBy(groupCols.map(col): _*)
+      .agg(array_sort(collect_list(struct(
+        col("__k").as("key"), col("__a").as("value")))).as(out))
+  }
+
+  def minMap(df: DataFrame, groupCols: Seq[String], m: Column,
+      out: String = "min_map"): DataFrame =
+    aggMap(df, groupCols, m, c => min(c), out)
+
+  def maxMap(df: DataFrame, groupCols: Seq[String], m: Column,
+      out: String = "max_map"): DataFrame =
+    aggMap(df, groupCols, m, c => max(c), out)
+}

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.shim
 import org.apache.spark.sql.types._
@@ -88,6 +88,43 @@ case class BinaryVectorDistance(left: Expression, right: Expression, jaccard: Bo
     copy(left = newLeft, right = newRight)
 }
 
+/** Distance between a float query and an int8-scalar-quantized vector
+  * (IVFSQ index lists — reference SQ types in
+  * `/root/reference/src/VectorIndex/Interpreters/parseVSParameters.cpp:77-112`).
+  * Asymmetric: the query stays float, stored codes are dequantized on the
+  * fly (`v_j = offset_j + code_j · scale_j`) inside one fused loop, so the
+  * scan stage reads 1 byte/dim instead of 4 and stays in whole-stage
+  * codegen.
+  */
+case class SqDistance(
+    child: Expression,
+    query: Array[Float],
+    scale: Array[Float],
+    offset: Array[Float],
+    metric: Metric.Value)
+    extends UnaryExpression {
+
+  override def dataType: DataType = FloatType
+  override def prettyName: String = s"sq_${metric.toString.toLowerCase}_distance"
+
+  override def nullSafeEval(b: Any): Any =
+    VectorKernels.sqDistanceById(b.asInstanceOf[Array[Byte]], query, scale,
+      offset, metric.id)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val qRef = ctx.addReferenceObj("sqQuery", query, "float[]")
+    val sRef = ctx.addReferenceObj("sqScale", scale, "float[]")
+    val oRef = ctx.addReferenceObj("sqOffset", offset, "float[]")
+    val mid = metric.id
+    nullSafeCodeGen(ctx, ev, b =>
+      s"${ev.value} = graft.functions.VectorKernels.sqDistanceById(" +
+        s"$b, $qRef, $sRef, $oRef, $mid);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Primitive kernels, shared by interpreted eval and generated code.
   * Top-level object → Scala emits static forwarders, so generated Java
   * (Janino) can call `VectorKernels.distanceById(...)` directly.
@@ -139,6 +176,64 @@ object VectorKernels {
     var d = 0f; var na = 0f; var nb = 0f; var i = 0
     while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
     (d / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))).toFloat
+  }
+
+  /** Asymmetric SQ8 distance: float query vs int8 codes dequantized as
+    * `offset_j + code_j·scale_j` in one fused loop.
+    */
+  def sqDistanceById(
+      codes: Array[Byte], q: Array[Float], scale: Array[Float],
+      offset: Array[Float], id: Int): Float = {
+    val m = Metric(id)
+    var i = 0
+    m match {
+      case Metric.L2 | Metric.L2Squared =>
+        var s = 0f
+        while (i < codes.length) {
+          val v = offset(i) + (codes(i) & 0xff) * scale(i)
+          val d = q(i) - v; s += d * d; i += 1
+        }
+        if (m == Metric.L2) math.sqrt(s).toFloat else s
+      case Metric.IP | Metric.Dot =>
+        var s = 0f
+        while (i < codes.length) {
+          s += q(i) * (offset(i) + (codes(i) & 0xff) * scale(i)); i += 1
+        }
+        s
+      case Metric.Cosine =>
+        var d = 0f; var na = 0f; var nb = 0f
+        while (i < codes.length) {
+          val v = offset(i) + (codes(i) & 0xff) * scale(i)
+          d += q(i) * v; na += q(i) * q(i); nb += v * v; i += 1
+        }
+        1.0f - (d / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))).toFloat
+      case other =>
+        // L1 / Linf over dequantized values
+        var s = 0f
+        while (i < codes.length) {
+          val v = offset(i) + (codes(i) & 0xff) * scale(i)
+          val d = math.abs(q(i) - v)
+          if (other == Metric.Linf) { if (d > s) s = d } else s += d
+          i += 1
+        }
+        s
+    }
+  }
+
+  /** int8 scalar quantization: `code_j = round((v_j - min_j)/scale_j)`
+    * clamped to [0,255].
+    */
+  def sqEncode(v: Array[Float], scale: Array[Float], offset: Array[Float]): Array[Byte] = {
+    val out = new Array[Byte](v.length)
+    var i = 0
+    while (i < v.length) {
+      val c =
+        if (scale(i) == 0f) 0
+        else math.max(0, math.min(255, math.round((v(i) - offset(i)) / scale(i))))
+      out(i) = c.toByte
+      i += 1
+    }
+    out
   }
 
   def hammingBits(a: Array[Byte], b: Array[Byte]): Float = {

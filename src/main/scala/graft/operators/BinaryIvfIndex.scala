@@ -1,0 +1,182 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{distances, VectorKernels}
+
+/** BinaryIVF — IVF over binary vectors with Hamming distance (reference
+  * binary index types BinaryFLAT/BinaryIVF/BinaryHNSW,
+  * `/root/reference/src/VectorIndex/Interpreters/parseVSParameters.cpp:77-112`,
+  * test `2_vector_search/00038_mqvs_binary_vector_feature.sql`).
+  *
+  * Centroids are trained with k-majority (Lloyd's with Hamming assignment
+  * and per-bit majority vote — the binary analog of the mean), on a
+  * bounded driver sample like [[IvfIndex]]. Lists are `list_id=`
+  * partitioned parquet, so an nprobe search prunes at the FILE level and
+  * ranks with the codegen'd Hamming kernel; exhaustive probes are exact.
+  */
+object BinaryIvfIndex {
+
+  case class BMeta(nLists: Int, nBytes: Int, nRows: Long, vecCol: String,
+      idCol: String, status: String)
+
+  private val metaCache = TrieMap.empty[String, BMeta]
+  private val centroidCache = TrieMap.empty[String, Array[Array[Byte]]]
+
+  private[graft] def nearestHamming(cs: Array[Array[Byte]], v: Array[Byte]): Int = {
+    var best = 0; var bestD = Float.MaxValue; var i = 0
+    while (i < cs.length) {
+      val d = VectorKernels.hammingBits(cs(i), v)
+      if (d < bestD) { bestD = d; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** k-majority clustering over bit vectors (deterministic, seeded). */
+  private[graft] def kMajority(
+      sample: Array[Array[Byte]], k: Int, iters: Int = 10,
+      seed: Long = 42L): Array[Array[Byte]] = {
+    require(sample.nonEmpty, "empty training sample")
+    val rnd = new scala.util.Random(seed)
+    val nBytes = sample.head.length
+    var centroids = rnd.shuffle(sample.toVector).take(k).map(_.clone()).toArray
+    if (centroids.length < k)
+      centroids = Array.tabulate(k)(i => centroids(i % centroids.length).clone())
+    var it = 0
+    while (it < iters) {
+      val ones = Array.fill(k)(new Array[Int](nBytes * 8))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        val c = nearestHamming(centroids, v)
+        counts(c) += 1
+        var b = 0
+        while (b < nBytes * 8) {
+          if ((v(b >> 3) >> (7 - (b & 7)) & 1) == 1) ones(c)(b) += 1
+          b += 1
+        }
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          val out = new Array[Byte](nBytes)
+          var b = 0
+          while (b < nBytes * 8) {
+            // majority vote per bit (ties → 0)
+            if (2 * ones(c)(b) > counts(c)) {
+              out(b >> 3) = (out(b >> 3) | (1 << (7 - (b & 7)))).toByte
+            }
+            b += 1
+          }
+          centroids(c) = out
+        } else {
+          centroids(c) = sample(rnd.nextInt(sample.length)).clone()
+        }
+        c += 1
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  def build(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexName: String,
+      indexDir: String,
+      nLists: Int = 16,
+      trainSampleSize: Int = 100000,
+      sourcePath: String = "",
+      defaultNprobe: Int = 4): IvfIndex.IndexEntry = {
+    import spark.implicits._
+    IvfIndex.Catalog.register(IvfIndex.IndexEntry(indexName, indexDir,
+      sourcePath, vecCol, "BinaryIVF", "hamming", "BUILDING", 0L, defaultNprobe))
+
+    val n = df.count()
+    val fraction = math.min(1.0, trainSampleSize.toDouble / math.max(1L, n))
+    val sample = df.sample(withReplacement = false, fraction, seed = 42L)
+      .select(col(vecCol)).collect().map(_.getAs[Array[Byte]](0))
+    val centroids = kMajority(sample, nLists)
+    val nBytes = centroids.head.length
+
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assignU = udf((v: Array[Byte]) => nearestHamming(bc.value, v))
+    df.withColumn("list_id", assignU(col(vecCol)))
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$indexDir/lists")
+
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("list_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    Files.writeString(Paths.get(s"$indexDir/meta.json"),
+      s"""{"version":1,"type":"BinaryIVF","nLists":$nLists,"nBytes":$nBytes,""" +
+        s""""nRows":$n,"vecCol":"$vecCol","idCol":"$idCol","status":"BUILT"}""" + "\n")
+    metaCache.put(indexDir, BMeta(nLists, nBytes, n, vecCol, idCol, "BUILT"))
+    centroidCache.put(indexDir, centroids)
+
+    val entry = IvfIndex.IndexEntry(indexName, indexDir, sourcePath, vecCol,
+      "BinaryIVF", "hamming", "BUILT", n, defaultNprobe)
+    IvfIndex.Catalog.register(entry)
+    entry
+  }
+
+  private[graft] def loadMeta(indexDir: String): BMeta =
+    metaCache.getOrElseUpdate(indexDir, {
+      val p = Paths.get(s"$indexDir/meta.json")
+      require(Files.exists(p), s"binary index meta not found: $p")
+      val s = Files.readString(p)
+      def str(k: String): String =
+        ("\"" + k + "\":\"([^\"]*)\"").r.findFirstMatchIn(s).map(_.group(1))
+          .getOrElse(sys.error(s"meta.json missing '$k' at $p"))
+      def num(k: String): Long =
+        ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(s).map(_.group(1).toLong)
+          .getOrElse(sys.error(s"meta.json missing '$k' at $p"))
+      BMeta(num("nLists").toInt, num("nBytes").toInt, num("nRows"),
+        str("vecCol"), str("idCol"), str("status"))
+    })
+
+  private def loadCentroids(spark: SparkSession, indexDir: String): Array[Array[Byte]] =
+    centroidCache.getOrElseUpdate(indexDir, {
+      spark.read.parquet(s"$indexDir/centroids").orderBy("list_id").collect()
+        .map(_.getAs[Array[Byte]](1))
+    })
+
+  /** Hamming nprobe search over the pruned lists (exact within probes). */
+  def search(
+      spark: SparkSession,
+      indexDir: String,
+      qvec: Array[Byte],
+      k: Int,
+      nprobe: Int = 4,
+      preFilter: Option[Column] = None,
+      distName: String = "d",
+      tieBreak: Seq[Column] = Nil,
+      deletes: Option[DataFrame] = None): DataFrame = {
+    val meta = loadMeta(indexDir)
+    val centroids = loadCentroids(spark, indexDir)
+    val probes = centroids.zipWithIndex
+      .map { case (c, i) => (VectorKernels.hammingBits(c, qvec), i) }
+      .sortBy(_._1).take(math.min(nprobe, centroids.length)).map(_._2)
+
+    val pruned0 = spark.read.parquet(s"$indexDir/lists")
+      .filter(col("list_id").isin(probes.toIndexedSeq: _*))
+    val pruned1 = deletes.map { d =>
+      require(d.columns.length == 1, "deletes must be a single id column")
+      pruned0.join(d, d.columns.toSeq, "left_anti")
+    }.getOrElse(pruned0)
+    val pruned = preFilter.map(pruned1.filter).getOrElse(pruned1)
+
+    pruned
+      .withColumn(distName, distances.hammingDistance(col(meta.vecCol), lit(qvec)))
+      .orderBy(col(distName).asc +: tieBreak: _*)
+      .limit(k)
+      .drop("list_id")
+  }
+}

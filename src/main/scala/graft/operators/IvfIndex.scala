@@ -219,7 +219,8 @@ object IvfIndex {
       metricOverride: Option[String] = None,
       preFilter: Option[Column] = None,
       distName: String = "d",
-      tieBreak: Seq[Column] = Nil): DataFrame = {
+      tieBreak: Seq[Column] = Nil,
+      deletes: Option[DataFrame] = None): DataFrame = {
     val centroids = loadCentroids(spark, indexDir)
     val metric = metricOverride.getOrElse(loadMeta(indexDir).metric)
     val q = qvec.toArray
@@ -227,7 +228,8 @@ object IvfIndex {
       .map { case (c, i) => (centroidDist(metric, c, q), i) }
       .sortBy(_._1).take(math.min(nprobe, centroids.length)).map(_._2)
 
-    searchLists(spark, indexDir, qvec, k, probes.toSeq, metric, preFilter, distName, tieBreak)
+    searchLists(spark, indexDir, qvec, k, probes.toSeq, metric, preFilter,
+      distName, tieBreak, deletes)
   }
 
   /** Two-stage index search (reference `two_stage_search`): stage 1 pulls
@@ -245,9 +247,10 @@ object IvfIndex {
       metricOverride: Option[String] = None,
       preFilter: Option[Column] = None,
       distName: String = "d",
-      tieBreak: Seq[Column] = Nil): DataFrame = {
+      tieBreak: Seq[Column] = Nil,
+      deletes: Option[DataFrame] = None): DataFrame = {
     val candidates = search(spark, indexDir, qvec, numReorder, nprobe,
-      metricOverride, preFilter, "__stage1_d", tieBreak).drop("__stage1_d")
+      metricOverride, preFilter, "__stage1_d", tieBreak, deletes).drop("__stage1_d")
     val metric = metricOverride.getOrElse(loadMeta(indexDir).metric)
     val vecCol = loadMeta(indexDir).vecCol
     VectorSearch.topK(candidates, col(vecCol), qvec, k, metric, None,
@@ -263,9 +266,21 @@ object IvfIndex {
       metric: String,
       preFilter: Option[Column],
       distName: String,
-      tieBreak: Seq[Column]): DataFrame = {
-    val lists = spark.read.parquet(s"$indexDir/lists")
+      tieBreak: Seq[Column],
+      deletes: Option[DataFrame] = None): DataFrame = {
+    val pruned = spark.read.parquet(s"$indexDir/lists")
       .filter(col("list_id").isin(probes.toIndexedSeq: _*))
+    // Lightweight-delete mask applied INSIDE the index search (reference
+    // `00037_mqvs_multiple_lwd.sql`): anti-join the probed lists against
+    // the deleted-id set on its (single) id column. No explicit broadcast
+    // hint — the mask can be any size; AQE picks broadcast-anti when it is
+    // small, shuffle-anti otherwise.
+    val lists = deletes.map { d =>
+      val idCols = d.columns.toSeq
+      require(idCols.size == 1,
+        s"deletes must be a single id column, got ${idCols.mkString(",")}")
+      pruned.join(d, idCols, "left_anti")
+    }.getOrElse(pruned)
     VectorSearch.topK(lists, col(loadMeta(indexDir).vecCol), qvec, k, metric,
         preFilter, distName, tieBreak)
       .drop("list_id")

@@ -1,11 +1,11 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables.{events, t}
-import graft.functions.Aggregates
+import graft.functions.{Aggregates, Combinators}
 
 /** Event-analytics + time-window coverage: retention, windowFunnel,
   * sequenceMatch, nonNegativeDerivative, exponentialTimeDecayedSum
@@ -122,6 +122,49 @@ object EventQueries {
           .as("sum_map"))
         .orderBy(col("user_id"))
         .limit(50)
+    }),
+    // -Array combinator family (sumArray/countArray/avgArray/maxArray):
+    // per-row HOF fold before the aggregation — no explode, the group
+    // shuffle carries one value per row (registerAggregateFunctions.cpp:84).
+    "e20_array_combinator" -> ((s, dir) => {
+      val lens = transform(graft.functions.text.tokenize(col("text")),
+        x => length(x))
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(
+          Combinators.countArray(lens).as("n_tokens"),
+          Combinators.sumArray(lens).cast("long").as("sum_len"),
+          round(Combinators.avgArray(lens), 4).as("avg_len"),
+          Combinators.maxArray(lens).cast("long").as("max_len"))
+        .orderBy(col("source"))
+    }),
+    // -Map combinator family (minMap/maxMap): per-key aggregation over
+    // single-entry maps built from (event_type -> value); emitted as a
+    // sorted "k:v" string like e12 for a byte-stable golden compare.
+    "e21_map_combinator" -> ((s, dir) => {
+      val m = map(col("event_type"), col("value"))
+      val mins = Combinators.aggMap(events(s, dir), Seq("user_id"), m,
+        c => round(min(c), 2), "mins")
+      val maxs = Combinators.aggMap(events(s, dir), Seq("user_id"), m,
+        c => round(max(c), 2), "maxs")
+      def fmt(entries: Column): Column = array_join(
+        transform(entries,
+          e => concat(e.getField("key"), lit(":"),
+            e.getField("value").cast("string"))), ",")
+      mins.join(maxs, "user_id")
+        .select(col("user_id"), fmt(col("mins")).as("min_map"),
+          fmt(col("maxs")).as("max_map"))
+        .orderBy(col("user_id"))
+        .limit(50)
+    }),
+    // -ForEach combinator: element-wise sums across equal-length arrays
+    // per group (shuffle on (group, pos) — the distributed shape).
+    "e22_foreach_combinator" -> ((s, dir) => {
+      val arr = array(col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      Combinators.sumForEach(t(s, dir, "lineitem"), Seq("l_returnflag"), arr)
+        .select(col("l_returnflag"),
+          transform(col("sum_foreach"), x => round(x, 2)).as("sum_foreach"))
+        .orderBy(col("l_returnflag"))
     }),
     // sequenceCount: non-overlapping signup→purchase chains per user
     // (greedy semantics — rows-only check; unit-tested).
@@ -252,6 +295,32 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "e20_array_combinator" -> s"""
+      WITH d AS (SELECT source,
+                        list_transform(${TextQueries.toksSql}, x -> len(x)) AS lens
+                 FROM documents)
+      SELECT source,
+             CAST(sum(len(lens)) AS BIGINT) AS n_tokens,
+             CAST(sum(list_aggregate(lens, 'sum')) AS BIGINT) AS sum_len,
+             round(sum(list_aggregate(lens, 'sum')) * 1.0 / sum(len(lens)), 4) AS avg_len,
+             CAST(max(list_aggregate(lens, 'max')) AS BIGINT) AS max_len
+      FROM d GROUP BY source ORDER BY source""",
+    "e21_map_combinator" -> """
+      WITH per AS (
+        SELECT user_id, event_type,
+               round(min(value), 2) AS mn, round(max(value), 2) AS mx
+        FROM events GROUP BY 1, 2)
+      SELECT user_id,
+             array_to_string(list_sort(list(event_type || ':' || CAST(mn AS VARCHAR))), ',')
+               AS min_map,
+             array_to_string(list_sort(list(event_type || ':' || CAST(mx AS VARCHAR))), ',')
+               AS max_map
+      FROM per GROUP BY user_id ORDER BY user_id LIMIT 50""",
+    "e22_foreach_combinator" -> """
+      SELECT l_returnflag,
+             [round(sum(l_quantity), 2), round(sum(l_extendedprice), 2),
+              round(sum(l_discount), 2)] AS sum_foreach
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "e08_topk_values" -> """
       SELECT CAST(row_number() OVER (ORDER BY cnt DESC, event_type) AS BIGINT) AS rank,
              event_type

@@ -19,7 +19,7 @@ object TextQueries {
   private val query2 = "window batch stream"
 
   // DuckDB fragment: tokenize exactly like graft.functions.text.tokenize
-  private val toksSql =
+  private[queries] val toksSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
 
   private def bm25OracleSql(

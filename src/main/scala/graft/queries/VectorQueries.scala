@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables.t
-import graft.operators.{HnswIndex, IvfIndex, VectorSearch}
+import graft.operators.{BinaryIvfIndex, HnswIndex, IvfIndex, SqIndex, VectorSearch}
 
 /** Vector-search coverage (SURVEY §2.1): distance() top-K per metric,
   * pre-filtered search, batch_distance, two-stage re-rank. Oracles use
@@ -42,6 +42,28 @@ object VectorQueries {
       val idx = java.nio.file.Files.createTempDirectory("graft-ivf").toString
       IvfIndex.build(s, emb(s, dir), "embedding",
         s"ivf_embeddings_${dir.replaceAll("[^a-zA-Z0-9]", "_")}", idx, "l2", 16)
+      idx
+    })
+  private val sqDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def sqDir(s: SparkSession, dir: String): String =
+    sqDirs.getOrElseUpdate(dir, {
+      val idx = java.nio.file.Files.createTempDirectory("graft-ivfsq").toString
+      SqIndex.build(s, emb(s, dir), "vec_id", "embedding",
+        s"ivfsq_embeddings_${dir.replaceAll("[^a-zA-Z0-9]", "_")}", idx, "l2", 16)
+      idx
+    })
+  private val bivfDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Binary corpus: deterministic 16-byte vectors from document text
+    * (same derivation as v10, so the two stay comparable).
+    */
+  private def bvecs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), unhex(md5(col("text"))).as("bvec"))
+  private def bivfDir(s: SparkSession, dir: String): String =
+    bivfDirs.getOrElseUpdate(dir, {
+      val idx = java.nio.file.Files.createTempDirectory("graft-bivf").toString
+      BinaryIvfIndex.build(s, bvecs(s, dir), "doc_id", "bvec",
+        s"bivf_documents_${dir.replaceAll("[^a-zA-Z0-9]", "_")}", idx, nLists = 16)
       idx
     })
 
@@ -131,6 +153,50 @@ object VectorQueries {
         .select(col("id").as("vec_id"), round(col("d").cast("double"), 3).as("d"))
         .orderBy(col("vec_id"))
     }),
+    // Pre-filter INSIDE the IVF index search (reference tests
+    // 00003/00009-00011 with an index present): exhaustive probes ⇒ the
+    // filtered top-K is exact, so it shares v04's brute-force oracle.
+    "v12_prefilter_ivf" -> ((s, dir) => {
+      IvfIndex.search(s, ivfDir(s, dir), queryVec(s, dir), 10,
+          nprobe = 16, None, Some(col("label") === 3), "d", Seq(col("vec_id")))
+        .select(col("vec_id"), col("label"), round(col("d").cast("double"), 3).as("d"))
+        .orderBy(col("vec_id"))
+    }),
+    // Lightweight-delete mask applied inside the IVF index search
+    // (reference 00037_mqvs_multiple_lwd.sql): rows deleted AFTER the
+    // index build must not surface. Exhaustive probes ⇒ exact oracle.
+    "v13_lwd_index_search" -> ((s, dir) => {
+      val deleted = graft.operators.Deletes
+        .delete(emb(s, dir), col("vec_id") % 7 === 0)
+        .filter(col(graft.operators.Deletes.MaskCol))
+        .select(col("vec_id"))
+      IvfIndex.search(s, ivfDir(s, dir), queryVec(s, dir), 10,
+          nprobe = 16, None, None, "d", Seq(col("vec_id")),
+          deletes = Some(deleted))
+        .select(col("vec_id"), round(col("d").cast("double"), 3).as("d"))
+        .orderBy(col("vec_id"))
+    }),
+    // IVFSQ (int8 scalar quantization) two-stage search: quantized
+    // stage-1 ranking over 1-byte/dim codes, exact float re-rank.
+    // Approximate by construction → recall measured in SqIndexSpec;
+    // rows-only check here (reference 00013_mqvs_index_ivfsq_*).
+    "v14_ivfsq" -> ((s, dir) => {
+      SqIndex.search(s, sqDir(s, dir), emb(s, dir), queryVec(s, dir), 10,
+          numReorder = 50, nprobe = 16, None, "d", Seq(col("vec_id")))
+        .select(col("vec_id"), round(col("d").cast("double"), 3).as("d"))
+        .orderBy(col("vec_id"))
+    }),
+    // BinaryIVF: k-majority bit centroids + Hamming nprobe search
+    // (reference 00038_mqvs_binary_vector_feature.sql). DuckDB lacks blob
+    // bit ops → rows-only; recall vs brute Hamming in BinaryIvfSpec.
+    "v15_binary_ivf" -> ((s, dir) => {
+      val q = bvecs(s, dir).filter(col("doc_id") === 0)
+        .select("bvec").head().getAs[Array[Byte]](0)
+      BinaryIvfIndex.search(s, bivfDir(s, dir), q, 10,
+          nprobe = 16, None, "d", Seq(col("doc_id")))
+        .select(col("doc_id"), col("d").cast("double").as("d"))
+        .orderBy(col("doc_id"))
+    }),
     // arrayDistance scalar family as projection columns (not top-K).
     "v07_distance_family" -> ((s, dir) => {
       val q = queryVec(s, dir)
@@ -195,6 +261,20 @@ object VectorQueries {
       SELECT * FROM (
         SELECT vec_id, round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) AS d
         FROM embeddings
+        ORDER BY list_distance(embedding, $qv0), vec_id LIMIT 10)
+      ORDER BY vec_id""",
+    "v12_prefilter_ivf" -> s"""
+      SELECT * FROM (
+        SELECT vec_id, label, round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) AS d
+        FROM embeddings
+        WHERE label = 3
+        ORDER BY list_distance(embedding, $qv0), vec_id LIMIT 10)
+      ORDER BY vec_id""",
+    "v13_lwd_index_search" -> s"""
+      SELECT * FROM (
+        SELECT vec_id, round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) AS d
+        FROM embeddings
+        WHERE vec_id % 7 <> 0
         ORDER BY list_distance(embedding, $qv0), vec_id LIMIT 10)
       ORDER BY vec_id""",
     "v07_distance_family" -> s"""

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Combinators
+
+class CombinatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val df = Seq(
+    ("a", Seq(1.0, 2.0, 3.0)),
+    ("a", Seq(4.0)),
+    ("a", Seq.empty[Double]),
+    ("b", Seq(10.0, 20.0))).toDF("g", "arr")
+
+  test("-Array combinators fold per row before aggregating") {
+    val r = df.groupBy($"g").agg(
+      Combinators.sumArray($"arr").as("s"),
+      Combinators.countArray($"arr").as("n"),
+      Combinators.avgArray($"arr").as("m"),
+      Combinators.minArray($"arr").as("mn"),
+      Combinators.maxArray($"arr").as("mx"))
+      .orderBy($"g").collect()
+    assert(r(0).getDouble(1) === 10.0 && r(0).getLong(2) === 4L)
+    assert(r(0).getDouble(3) === 2.5)
+    assert(r(0).getDouble(4) === 1.0 && r(0).getDouble(5) === 4.0)
+    assert(r(1).getDouble(1) === 30.0 && r(1).getLong(2) === 2L)
+  }
+
+  test("groupUniqArray returns sorted distinct elements") {
+    val d = Seq(("a", Seq(3, 1, 3)), ("a", Seq(2, 1))).toDF("g", "arr")
+    val got = d.groupBy($"g").agg(Combinators.groupUniqArray($"arr").as("u"))
+      .head().getSeq[Int](1)
+    assert(got === Seq(1, 2, 3))
+  }
+
+  test("sumForEach is element-wise across the group") {
+    val d = Seq(("a", Seq(1.0, 10.0)), ("a", Seq(2.0, 20.0)),
+      ("b", Seq(5.0, 50.0))).toDF("g", "arr")
+    val got = Combinators.sumForEach(d, Seq("g"), $"arr")
+      .orderBy($"g").collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(got("a") === Seq(3.0, 30.0))
+    assert(got("b") === Seq(5.0, 50.0))
+  }
+
+  test("minMap/maxMap aggregate per key with sorted entries") {
+    val d = Seq(
+      ("u1", Map("x" -> 3.0)), ("u1", Map("x" -> 1.0)), ("u1", Map("y" -> 7.0)),
+      ("u2", Map("x" -> 5.0))).toDF("u", "m")
+    val mins = Combinators.minMap(d, Seq("u"), $"m")
+      .orderBy($"u").collect()
+    val u1 = mins(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(u1.map(r => (r.getString(0), r.getDouble(1))) === Seq("x" -> 1.0, "y" -> 7.0))
+    val maxs = Combinators.maxMap(d, Seq("u"), $"m")
+      .orderBy($"u").collect()
+    assert(maxs(0).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getString(0), r.getDouble(1))) === Seq("x" -> 3.0, "y" -> 7.0))
+  }
+}

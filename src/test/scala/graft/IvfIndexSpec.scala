@@ -65,6 +65,22 @@ class IvfIndexSpec extends SparkSpec {
     assert(got.map(_.getLong(0)).toSeq === brute)
   }
 
+  test("delete mask inside index search: masked rows never surface") {
+    import spark.implicits._
+    val nearest = bruteIds(3) // delete the 3 nearest to the query
+    val deleted = nearest.toDF("vec_id")
+    val got = IvfIndex.search(spark, indexDir, qv, 10, nprobe = 8,
+        None, None, "d", Seq(col("vec_id")), deletes = Some(deleted))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got.toSet.intersect(nearest.toSet).isEmpty)
+    // exhaustive probes + mask == exact brute force over survivors
+    val brute = VectorSearch.topK(
+        emb.filter(!col("vec_id").isin(nearest: _*)),
+        col("embedding"), qv, 10, "l2", None, "d", Seq(col("vec_id")))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got === brute)
+  }
+
   test("kmeans is deterministic and produces k centroids") {
     val sample = Array.tabulate(100)(i => Array(i.toFloat, (i % 10).toFloat))
     val c1 = IvfIndex.kmeans(sample, 4)
