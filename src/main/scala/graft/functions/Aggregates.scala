@@ -125,6 +125,157 @@ object Aggregates {
     fn(tsSeconds, idx)
   }
 
+  /** Full sequenceMatch pattern language
+    * (`AggregateFunctionSequenceMatch.h`): `(?N)` condition refs, `.*`
+    * any-gap separators, and `(?t op N)` time constraints (`<`, `<=`,
+    * `>`, `>=`, `==`, seconds) between the two adjacent matched events.
+    * Steps with no `.*` before them must match the IMMEDIATELY next
+    * condition-event; events matching no condition are skipped (reference
+    * semantics). The pattern is an unanchored search.
+    */
+  object SeqPattern {
+    /** One `(?N)` step: condition index, whether a `.*` separates it from
+      * the previous step, and the pending time constraints.
+      */
+    case class Step(cond: Int, allowGap: Boolean, timeOps: Seq[(String, Double)])
+
+    def parse(pattern: String, nConds: Int): Array[Step] = {
+      val steps = scala.collection.mutable.ArrayBuffer.empty[Step]
+      val tops = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      var allowGap = true // unanchored: the first step may match anywhere
+      var i = 0
+      while (i < pattern.length) {
+        if (pattern.startsWith(".*", i)) { allowGap = true; i += 2 }
+        else if (pattern.startsWith("(?t", i)) {
+          val close = pattern.indexOf(')', i)
+          require(close > 0, s"unclosed (?t in '$pattern'")
+          val body = pattern.substring(i + 3, close).trim
+          val op = body.takeWhile(c => c == '<' || c == '>' || c == '=')
+          require(Set("<", "<=", ">", ">=", "==").contains(op),
+            s"bad time operator '$op' in '$pattern'")
+          tops += ((op, body.drop(op.length).trim.toDouble))
+          i = close + 1
+        } else if (pattern.startsWith("(?", i)) {
+          val close = pattern.indexOf(')', i)
+          require(close > 0, s"unclosed (? in '$pattern'")
+          val n = pattern.substring(i + 2, close).trim.toInt
+          require(n >= 1 && n <= nConds, s"condition (?$n) out of range 1..$nConds")
+          require(steps.nonEmpty || tops.isEmpty,
+            s"time constraint before the first condition in '$pattern'")
+          steps += Step(n - 1, allowGap, tops.toSeq)
+          allowGap = false; tops.clear(); i = close + 1
+        } else if (pattern(i).isWhitespace) i += 1
+        else throw new IllegalArgumentException(
+          s"unexpected '${pattern(i)}' at $i in pattern '$pattern'")
+      }
+      require(tops.isEmpty, s"dangling time constraint in '$pattern'")
+      require(steps.nonEmpty, s"pattern has no conditions: '$pattern'")
+      steps.toArray
+    }
+
+    private def timeOk(ops: Seq[(String, Double)], dt: Double): Boolean =
+      ops.forall {
+        case ("<", s)  => dt < s
+        case ("<=", s) => dt <= s
+        case (">", s)  => dt > s
+        case (">=", s) => dt >= s
+        case ("==", s) => dt == s
+        case (op, _)   => sys.error(s"unreachable time op $op")
+      }
+
+    /** Backtracking match over (ts, condBitmask) events sorted by time.
+      * Returns the end event index of a match starting at/after `from`,
+      * or -1. Memoizes failed (step, lastEvent) states — O(S·E) states.
+      */
+    private[graft] def findMatch(
+        events: Array[(Double, Int)], steps: Array[Step], from: Int): Int = {
+      val n = events.length
+      val failed = scala.collection.mutable.HashSet.empty[Long]
+      def key(si: Int, ei: Int): Long = si.toLong * (n + 2) + (ei + 1)
+      def ok(st: Step, ei: Int, lastEi: Int): Boolean = {
+        val (ts, mask) = events(ei)
+        (mask & (1 << st.cond)) != 0 &&
+          (st.timeOps.isEmpty || (lastEi >= 0 && timeOk(st.timeOps, ts - events(lastEi)._1)))
+      }
+      def rec(si: Int, lastEi: Int): Int = {
+        if (si == steps.length) return lastEi
+        if (failed.contains(key(si, lastEi))) return -1
+        val st = steps(si)
+        val start = math.max(from, lastEi + 1)
+        var res = -1
+        if (!st.allowGap) {
+          if (start < n && ok(st, start, lastEi)) res = rec(si + 1, start)
+        } else {
+          var ei = start
+          while (ei < n && res < 0) {
+            if (ok(st, ei, lastEi)) res = rec(si + 1, ei)
+            ei += 1
+          }
+        }
+        if (res < 0) failed.add(key(si, lastEi))
+        res
+      }
+      rec(0, from - 1)
+    }
+
+    def matches(events: Array[(Double, Int)], steps: Array[Step]): Boolean =
+      findMatch(events, steps, 0) >= 0
+
+    /** Non-overlapping greedy count (sequenceCount semantics). */
+    def count(events: Array[(Double, Int)], steps: Array[Step]): Long = {
+      var from = 0
+      var c = 0L
+      var end = findMatch(events, steps, from)
+      while (end >= 0) {
+        c += 1
+        from = end + 1
+        end = if (from < events.length) findMatch(events, steps, from) else -1
+      }
+      c
+    }
+  }
+
+  private def condBitmask(conds: Seq[Column]): Column =
+    conds.zipWithIndex
+      .map { case (c, i) => when(c, lit(1 << i)).otherwise(lit(0)) }
+      .reduce(_ + _)
+
+  /** sequenceMatch with the FULL pattern string, e.g.
+    * `sequenceMatchPattern("(?1)(?t<3600)(?2).*(?3)")(ts, c1, c2, c3)`.
+    */
+  def sequenceMatchPattern(pattern: String)(tsSeconds: Column, conds: Column*): Column = {
+    val steps = SeqPattern.parse(pattern, conds.size) // fail fast at plan time
+    val agg = new Aggregator[(Double, Int), List[Ev], Boolean] {
+      override def zero: List[Ev] = Nil
+      override def reduce(b: List[Ev], a: (Double, Int)) =
+        if (a._2 != 0) a :: b else b
+      override def merge(a: List[Ev], b: List[Ev]) = a ::: b
+      override def finish(events: List[Ev]): Boolean =
+        SeqPattern.matches(events.sortBy(e => (e._1, e._2)).toArray, steps)
+      override def bufferEncoder: Encoder[List[Ev]] = Encoders.kryo[List[Ev]]
+      override def outputEncoder: Encoder[Boolean] = Encoders.scalaBoolean
+    }
+    val fn = udaf(agg)
+    fn(tsSeconds, condBitmask(conds))
+  }
+
+  /** sequenceCount with the full pattern string (non-overlapping greedy). */
+  def sequenceCountPattern(pattern: String)(tsSeconds: Column, conds: Column*): Column = {
+    val steps = SeqPattern.parse(pattern, conds.size)
+    val agg = new Aggregator[(Double, Int), List[Ev], Long] {
+      override def zero: List[Ev] = Nil
+      override def reduce(b: List[Ev], a: (Double, Int)) =
+        if (a._2 != 0) a :: b else b
+      override def merge(a: List[Ev], b: List[Ev]) = a ::: b
+      override def finish(events: List[Ev]): Long =
+        SeqPattern.count(events.sortBy(e => (e._1, e._2)).toArray, steps)
+      override def bufferEncoder: Encoder[List[Ev]] = Encoders.kryo[List[Ev]]
+      override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+    }
+    val fn = udaf(agg)
+    fn(tsSeconds, condBitmask(conds))
+  }
+
   /** retention(cond1..condN): array r with r(0) = cond1 ever held;
     * r(i) = cond1 && cond_i — aggregate per entity, then sum the flags
     * (reference AggregateFunctionRetention).

@@ -166,8 +166,20 @@ object EventQueries {
           transform(col("sum_foreach"), x => round(x, 2)).as("sum_foreach"))
         .orderBy(col("l_returnflag"))
     }),
+    // sequenceMatch with a (?t<N) time-window operator: a purchase
+    // IMMEDIATELY following a view (among condition events) within 600 s
+    // (`AggregateFunctionSequenceMatch.h` pattern language).
+    "e23_sequence_match_window" -> ((s, dir) => {
+      val m = Aggregates.sequenceMatchPattern("(?1)(?t<600)(?2)")(
+        tsSec, col("event_type") === "view", col("event_type") === "purchase")
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(m.cast("int").as("matched"))
+        .orderBy(col("user_id"))
+    }),
     // sequenceCount: non-overlapping signup→purchase chains per user
-    // (greedy semantics — rows-only check; unit-tested).
+    // (greedy semantics; oracle = run-length A→B boundary count, which is
+    // exactly the greedy automaton's value).
     "e19_sequence_count" -> ((s, dir) => {
       val c = Aggregates.sequenceCount(
         tsSec, col("event_type") === "signup", col("event_type") === "purchase")
@@ -295,6 +307,38 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Greedy non-overlapping A→B chain count == number of A-run → B-run
+    // boundaries in the run-length encoding of the condition-event stream
+    // (extra A's inside a run are ignored by the automaton, extra B's
+    // likewise) — that makes the greedy semantics SQL-expressible.
+    "e19_sequence_count" -> """
+      WITH u AS (SELECT DISTINCT user_id FROM events),
+      f AS (SELECT user_id, ts, event_id,
+                   CASE WHEN event_type = 'signup' THEN 'a' ELSE 'b' END AS s
+            FROM events WHERE event_type IN ('signup', 'purchase')),
+      w AS (SELECT user_id, s,
+                   lag(s) OVER (PARTITION BY user_id ORDER BY ts, s, event_id) AS ps
+            FROM f),
+      c AS (SELECT user_id, count(*) FILTER (WHERE s = 'b' AND ps = 'a') AS n
+            FROM w GROUP BY user_id)
+      SELECT u.user_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_chains
+      FROM u LEFT JOIN c USING (user_id) ORDER BY u.user_id""",
+    "e23_sequence_match_window" -> """
+      WITH u AS (SELECT DISTINCT user_id FROM events),
+      f AS (SELECT user_id, ts, event_id,
+                   CASE WHEN event_type = 'view' THEN 'a' ELSE 'b' END AS s
+            FROM events WHERE event_type IN ('view', 'purchase')),
+      w AS (SELECT user_id, s, ts,
+                   lag(s) OVER (PARTITION BY user_id ORDER BY ts, s, event_id) AS ps,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, s, event_id) AS pts
+            FROM f),
+      c AS (SELECT user_id,
+                   max(CASE WHEN s = 'b' AND ps = 'a'
+                             AND epoch_us(ts - pts) / 1e6 < 600
+                            THEN 1 ELSE 0 END) AS m
+            FROM w GROUP BY user_id)
+      SELECT u.user_id, CAST(coalesce(c.m, 0) AS INTEGER) AS matched
+      FROM u LEFT JOIN c USING (user_id) ORDER BY u.user_id""",
     "e20_array_combinator" -> s"""
       WITH d AS (SELECT source,
                         list_transform(${TextQueries.toksSql}, x -> len(x)) AS lens

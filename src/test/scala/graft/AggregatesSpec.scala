@@ -99,6 +99,86 @@ class AggregatesSpec extends SparkSpec {
     assert(math.abs(got(1) - 100.0 * 0.5 / 1.5) < 1e-9)
   }
 
+  test("SeqPattern parser: steps, gaps, time ops, errors") {
+    import graft.functions.Aggregates.SeqPattern
+    val s1 = SeqPattern.parse("(?1).*(?2)", 2)
+    assert(s1.map(s => (s.cond, s.allowGap)).toSeq === Seq((0, true), (1, true)))
+    val s2 = SeqPattern.parse("(?1)(?t<3600)(?2)", 2)
+    assert(s2(1).allowGap === false && s2(1).timeOps === Seq(("<", 3600.0)))
+    val s3 = SeqPattern.parse("(?1)(?t>=10).*(?2)", 2)
+    assert(s3(1).allowGap === true && s3(1).timeOps === Seq((">=", 10.0)))
+    intercept[IllegalArgumentException](SeqPattern.parse("(?3)", 2))
+    intercept[IllegalArgumentException](SeqPattern.parse("(?t<5)(?1)", 1))
+    intercept[IllegalArgumentException](SeqPattern.parse("(?1)(?t<5)", 1))
+    intercept[IllegalArgumentException](SeqPattern.parse("abc", 1))
+  }
+
+  test("SeqPattern matcher: adjacency, time windows, backtracking") {
+    import graft.functions.Aggregates.SeqPattern
+    def ev(ts: Double, m: Int) = (ts, m)
+    val A = 1; val B = 2; val C = 4
+    // adjacency: (?1)(?2) requires B directly after A among cond-events
+    val adj = SeqPattern.parse("(?1)(?2)", 2)
+    assert(SeqPattern.matches(Array(ev(1, A), ev(2, B)), adj))
+    // the C event sits between A and B → adjacency broken
+    assert(!SeqPattern.matches(Array(ev(1, A), ev(2, A), ev(3, C), ev(4, B)), adj))
+    assert(!SeqPattern.matches(Array(ev(1, B), ev(2, A)), adj))
+    // gap: (?1).*(?2) tolerates interleaved events
+    val gap = SeqPattern.parse("(?1).*(?2)", 2)
+    assert(SeqPattern.matches(Array(ev(1, A), ev(2, C), ev(3, B)), gap))
+    // time window: only pairs within < 10 s
+    val win = SeqPattern.parse("(?1)(?t<10)(?2)", 2)
+    assert(SeqPattern.matches(Array(ev(0, A), ev(5, B)), win))
+    assert(!SeqPattern.matches(Array(ev(0, A), ev(15, B)), win))
+    // backtracking: first A too early, later A qualifies
+    val win2 = SeqPattern.parse("(?1).*(?t<10)(?2)", 2)
+    assert(SeqPattern.matches(Array(ev(0, A), ev(100, A), ev(105, B)), win2))
+    // (?t>N): must be separated by MORE than N seconds
+    val far = SeqPattern.parse("(?1).*(?t>100)(?2)", 2)
+    assert(SeqPattern.matches(Array(ev(0, A), ev(5, B), ev(200, B)), far))
+    assert(!SeqPattern.matches(Array(ev(0, A), ev(5, B)), far))
+    // three-step with mixed separators
+    val three = SeqPattern.parse("(?1)(?t<10)(?2).*(?3)", 3)
+    assert(SeqPattern.matches(Array(ev(0, A), ev(5, B), ev(50, C)), three))
+    assert(!SeqPattern.matches(Array(ev(0, A), ev(50, B), ev(60, C)), three))
+    // multi-condition event (bitmask covers several conds)
+    assert(SeqPattern.matches(Array(ev(1, A | B), ev(2, B)), adj))
+  }
+
+  test("SeqPattern count: greedy non-overlapping with windows") {
+    import graft.functions.Aggregates.SeqPattern
+    val A = 1; val B = 2
+    val gap = SeqPattern.parse("(?1).*(?2)", 2)
+    val evs = Array((1.0, A), (2.0, A), (3.0, B), (4.0, B), (5.0, A), (6.0, B))
+    assert(SeqPattern.count(evs, gap) === 2L)
+    val win = SeqPattern.parse("(?1).*(?t<2)(?2)", 2)
+    // (1A,3B) fails window; (2A,3B) ok; (5A,6B) ok
+    assert(SeqPattern.count(evs, win) === 2L)
+  }
+
+  test("sequenceMatchPattern end-to-end over a grouped DataFrame") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      // u1: view at 0, purchase at 500 (adjacent, within 600)
+      (1L, 0.0, "view"), (1L, 500.0, "purchase"),
+      // u2: view at 0, OTHER view at 100, purchase at 9000 (window fails)
+      (2L, 0.0, "view"), (2L, 100.0, "view"), (2L, 9000.0, "purchase"),
+      // u3: purchase before view only
+      (3L, 0.0, "purchase"), (3L, 10.0, "view"))
+      .toDF("user_id", "ts_s", "event_type")
+    val m = graft.functions.Aggregates.sequenceMatchPattern("(?1)(?t<600)(?2)")(
+      col("ts_s"), col("event_type") === "view", col("event_type") === "purchase")
+    val got = df.groupBy($"user_id").agg(m.as("m")).orderBy($"user_id")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got === Map(1L -> true, 2L -> false, 3L -> false))
+    val c = graft.functions.Aggregates.sequenceCountPattern("(?1).*(?2)")(
+      col("ts_s"), col("event_type") === "view", col("event_type") === "purchase")
+    val cnt = df.groupBy($"user_id").agg(c.as("c")).orderBy($"user_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cnt === Map(1L -> 1L, 2L -> 1L, 3L -> 0L))
+  }
+
   test("sequenceCount: non-overlapping greedy matches") {
     val df = Seq(
       (1L, 0.0, "a"), (1L, 1.0, "b"), (1L, 2.0, "a"), (1L, 3.0, "b"), (1L, 4.0, "a"),
