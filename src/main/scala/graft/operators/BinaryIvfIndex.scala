@@ -98,6 +98,7 @@ object BinaryIvfIndex {
     import spark.implicits._
     IvfIndex.Catalog.register(IvfIndex.IndexEntry(indexName, indexDir,
       sourcePath, vecCol, "BinaryIVF", "hamming", "BUILDING", 0L, defaultNprobe))
+    IvfIndex.Catalog.logEvent(indexName, "BUILD_START", s"BinaryIVF nLists=$nLists")
 
     val n = df.count()
     val fraction = math.min(1.0, trainSampleSize.toDouble / math.max(1L, n))
@@ -124,6 +125,7 @@ object BinaryIvfIndex {
     val entry = IvfIndex.IndexEntry(indexName, indexDir, sourcePath, vecCol,
       "BinaryIVF", "hamming", "BUILT", n, defaultNprobe)
     IvfIndex.Catalog.register(entry)
+    IvfIndex.Catalog.logEvent(indexName, "BUILD_FINISH", s"nRows=$n")
     entry
   }
 

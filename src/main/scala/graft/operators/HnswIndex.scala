@@ -238,6 +238,7 @@ object HnswIndex {
       numPartitions: Option[Int] = None,
       sourcePath: String = ""): IvfIndex.IndexEntry = {
     import spark.implicits._
+    IvfIndex.Catalog.logEvent(indexName, "BUILD_START", s"HNSWFLAT m=$m efC=$efConstruction")
     val base = df.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
     val parted = numPartitions.map(base.repartition(_)).getOrElse(base)
@@ -249,10 +250,19 @@ object HnswIndex {
     }
     graphDs.toDF().write.mode("overwrite").partitionBy("part_id")
       .parquet(s"$indexDir/graph")
-    val n = spark.read.parquet(s"$indexDir/graph").count()
+    // per-part segment states (system.vector_index_segments analog)
+    val perPart = spark.read.parquet(s"$indexDir/graph")
+      .groupBy(col("part_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+    perPart.foreach { case (pid, rows) =>
+      IvfIndex.Catalog.registerSegment(
+        IvfIndex.SegmentEntry(indexName, pid, "BUILT", rows))
+    }
+    val n = perPart.map(_._2).sum
     val entry = IvfIndex.IndexEntry(indexName, indexDir, sourcePath, vecCol,
-      "HNSWFLAT", metric, "BUILT", n)
+      "HNSWFLAT", metric, "BUILT", n, idCol = idCol)
     IvfIndex.Catalog.register(entry)
+    IvfIndex.Catalog.logEvent(indexName, "BUILD_FINISH", s"nRows=$n parts=${perPart.length}")
     entry
   }
 

@@ -40,13 +40,61 @@ object IvfIndex {
   case class IndexEntry(
       name: String, indexDir: String, sourcePath: String, vecCol: String,
       indexType: String, metric: String, status: String, nRows: Long,
-      defaultNprobe: Int = 4)
+      defaultNprobe: Int = 4, idCol: String = "")
+
+  /** Per-segment build state — `system.vector_index_segments` analog
+    * (`StorageSystemVIsWithPart.cpp:1-350`; states `VIInfo.h:41-49`:
+    * PENDING → BUILDING → BUILT | ERROR, SMALL_PART for segments under
+    * the min-size gate).
+    */
+  case class SegmentEntry(indexName: String, segmentId: Int, state: String,
+      nRows: Long, failReason: String = "")
+
+  /** Index lifecycle event — `system.vector_index_event_log` analog
+    * (`VIEventLog`). Bounded in-memory ring (newest 1000).
+    */
+  case class IndexEvent(eventTimeMs: Long, indexName: String, event: String,
+      detail: String = "")
 
   object Catalog {
     private val entries = TrieMap.empty[String, IndexEntry]
+    private val segments = TrieMap.empty[(String, Int), SegmentEntry]
     def register(e: IndexEntry): Unit = entries.put(e.name, e)
-    def drop(name: String): Unit = entries.remove(name)
+    def drop(name: String): Unit = {
+      entries.remove(name)
+      segments.keys.filter(_._1 == name).foreach(segments.remove)
+    }
     def lookup(name: String): Option[IndexEntry] = entries.get(name)
+    def registerSegment(e: SegmentEntry): Unit =
+      segments.put((e.indexName, e.segmentId), e)
+    def segmentsFor(name: String): Seq[SegmentEntry] =
+      segments.values.filter(_.indexName == name).toSeq.sortBy(_.segmentId)
+
+    /** `SELECT * FROM system.vector_index_segments`. */
+    def segmentsDataFrame(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      segments.values.toSeq.sortBy(e => (e.indexName, e.segmentId)).toDF()
+        .select("indexName", "segmentId", "state", "nRows", "failReason")
+    }
+
+    private val eventLog = new java.util.concurrent.ConcurrentLinkedDeque[IndexEvent]()
+    private val MaxEvents = 1000
+    def logEvent(indexName: String, event: String, detail: String = ""): Unit = {
+      eventLog.addLast(IndexEvent(System.currentTimeMillis(), indexName, event, detail))
+      while (eventLog.size() > MaxEvents) eventLog.pollFirst()
+    }
+    def events(indexName: String): Seq[IndexEvent] = {
+      import scala.jdk.CollectionConverters._
+      eventLog.iterator().asScala.filter(_.indexName == indexName).toSeq
+    }
+
+    /** `SELECT * FROM system.vector_index_event_log`. */
+    def eventLogDataFrame(spark: SparkSession): DataFrame = {
+      import scala.jdk.CollectionConverters._
+      import spark.implicits._
+      eventLog.iterator().asScala.toSeq.toDF()
+        .select("eventTimeMs", "indexName", "event", "detail")
+    }
     def forSource(path: String, vecCol: String): Option[IndexEntry] =
       entries.values.find(e =>
         e.sourcePath == path && e.vecCol == vecCol && e.status == "BUILT")
@@ -162,6 +210,9 @@ object IvfIndex {
       defaultNprobe: Int = 4): IndexEntry = {
     Catalog.register(IndexEntry(indexName, indexDir, sourcePath, vecCol, "IVFFLAT",
       metric, "BUILDING", 0L, defaultNprobe))
+    Catalog.logEvent(indexName, "BUILD_START", s"IVFFLAT nLists=$nLists metric=$metric")
+    (0 until nLists).foreach(i =>
+      Catalog.registerSegment(SegmentEntry(indexName, i, "PENDING", 0L)))
 
     val n = df.count()
     val fraction = math.min(1.0, trainSampleSize.toDouble / math.max(1L, n))
@@ -172,9 +223,32 @@ object IvfIndex {
 
     val bc = spark.sparkContext.broadcast(centroids)
     val assignUdf = udf((v: Seq[Float]) => nearest(bc.value, v.toArray))
-    df.withColumn("list_id", assignUdf(col(vecCol)))
-      .write.mode("overwrite").partitionBy("list_id")
-      .parquet(s"$indexDir/lists")
+    try {
+      (0 until nLists).foreach(i =>
+        Catalog.registerSegment(SegmentEntry(indexName, i, "BUILDING", 0L)))
+      df.withColumn("list_id", assignUdf(col(vecCol)))
+        .write.mode("overwrite").partitionBy("list_id")
+        .parquet(s"$indexDir/lists")
+      // per-segment row counts from the written layout (one footer pass)
+      val counts = spark.read.parquet(s"$indexDir/lists")
+        .groupBy(col("list_id")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      (0 until nLists).foreach { i =>
+        val rows = counts.getOrElse(i, 0L)
+        val state = if (rows == 0L) "SMALL_PART" else "BUILT"
+        Catalog.registerSegment(SegmentEntry(indexName, i, state, rows))
+      }
+    } catch {
+      case e: Throwable =>
+        (0 until nLists).foreach(i => Catalog.registerSegment(
+          SegmentEntry(indexName, i, "ERROR", 0L,
+            Option(e.getMessage).getOrElse(e.getClass.getName))))
+        Catalog.register(IndexEntry(indexName, indexDir, sourcePath, vecCol,
+          "IVFFLAT", metric, "ERROR", 0L, defaultNprobe))
+        Catalog.logEvent(indexName, "BUILD_ERROR",
+          Option(e.getMessage).getOrElse(e.getClass.getName))
+        throw e
+    }
 
     import spark.implicits._
     centroids.zipWithIndex
@@ -192,6 +266,7 @@ object IvfIndex {
     val entry = IndexEntry(indexName, indexDir, sourcePath, vecCol, "IVFFLAT",
       metric, "BUILT", n, defaultNprobe)
     Catalog.register(entry)
+    Catalog.logEvent(indexName, "BUILD_FINISH", s"nRows=$n")
     entry
   }
 

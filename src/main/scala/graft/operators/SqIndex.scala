@@ -63,6 +63,7 @@ object SqIndex {
     import spark.implicits._
     IvfIndex.Catalog.register(IvfIndex.IndexEntry(indexName, indexDir,
       sourcePath, vecCol, "IVFSQ", metric, "BUILDING", 0L, defaultNprobe))
+    IvfIndex.Catalog.logEvent(indexName, "BUILD_START", s"IVFSQ nLists=$nLists metric=$metric")
 
     val n = df.count()
     val fraction = math.min(1.0, trainSampleSize.toDouble / math.max(1L, n))
@@ -125,6 +126,7 @@ object SqIndex {
     val entry = IvfIndex.IndexEntry(indexName, indexDir, sourcePath, vecCol,
       "IVFSQ", metric, "BUILT", n, defaultNprobe)
     IvfIndex.Catalog.register(entry)
+    IvfIndex.Catalog.logEvent(indexName, "BUILD_FINISH", s"nRows=$n")
     entry
   }
 

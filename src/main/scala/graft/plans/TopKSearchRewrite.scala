@@ -6,11 +6,12 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{broadcast, col}
+import org.apache.spark.sql.graft.shim
 import org.apache.spark.sql.types.{ArrayType, FloatType}
 
 import graft.functions.VectorDistance
-import graft.operators.IvfIndex
+import graft.operators.{HnswIndex, IvfIndex}
 
 /** Catalyst rule for the reference's search-query shape.
   *
@@ -19,50 +20,86 @@ import graft.operators.IvfIndex
   * ExpressionAnalyzer.cpp:216-240`) and swaps the plain scan for an ANN
   * index scan when the table has a built vector index
   * (`MergeTreeDataSelectExecutor.cpp:1367` → `ReadWithHybridSearch`);
-  * it also rejects queries with more than one search function
+  * it rejects queries with more than one search function
   * (`tests/queries/2_vector_search/00040_mqvs_hybrid_search.sql:17`,
-  * error 62).
+  * error 62) and caps the result window
+  * (`max_search_result_window`, `src/Core/Settings.h:923`).
   *
   * Spark-side semantics:
-  *  - Without an index, `Sort(dist) + Limit(k)` already lowers to
+  *  - Without an index, `Sort(dist, ties...) + Limit(k)` already lowers to
   *    `TakeOrderedAndProject` — per-partition top-K + merge, exactly the
   *    reference's brute-force plan. Nothing to do.
-  *  - With a BUILT IVF index registered in [[IvfIndex.Catalog]] for the
-  *    scanned parquet path + vector column, this rule swaps the scan for
-  *    the index's list-partitioned layout pruned to the `defaultNprobe`
-  *    nearest lists — the file-level pruning IS the index acceleration.
-  *    A WHERE below the sort stays BELOW the ranking (pre-filter
-  *    semantics, `performPrefilter`). Like the reference's index path,
-  *    results are approximate when nprobe < nLists.
+  *  - With a BUILT **IVFFLAT** index registered in [[IvfIndex.Catalog]]
+  *    for the scanned parquet path + vector column, the scan is swapped
+  *    for the index's list-partitioned layout pruned to the
+  *    `defaultNprobe` nearest lists — file-level pruning IS the index
+  *    acceleration. A WHERE below the sort stays BELOW the ranking
+  *    (pre-filter semantics). Approximate when nprobe < nLists, like the
+  *    reference's index path.
+  *  - With a BUILT **HNSWFLAT** index, the scan is replaced by a
+  *    broadcast semi-join of the relation against the graph search's
+  *    (id, d) candidates — the graph search itself is the shuffle-free
+  *    per-part plan of [[HnswIndex.search]]. Only unfiltered queries are
+  *    routed (a WHERE would need filter-aware traversal; brute force
+  *    remains correct and is left in place).
+  *  - The distance attribute may be the FIRST of several sort keys —
+  *    trailing tie-break keys are preserved, not a reason to lose the
+  *    index.
   */
 case class TopKSearchRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def countSearchFns(e: Expression): Int =
     e.collect { case _: VectorDistance => () }.size
 
+  private def maxWindow: Int =
+    spark.conf.getOption("spark.graft.maxSearchResultWindow")
+      .map(_.toInt).getOrElse(TopKSearchRewrite.DefaultMaxSearchResultWindow)
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     validate(plan)
     plan.transformDown {
       case gl @ GlobalLimit(IntegerLiteral(k),
-          LocalLimit(_, sort @ Sort(Seq(order), true, child, _))) =>
-        rewriteTopK(k, sort, order, child).getOrElse(gl)
+          LocalLimit(_, sort @ Sort(orders, true, child, _))) if orders.nonEmpty =>
+        rewriteTopK(k, sort, orders, child).getOrElse(gl)
     }
   }
 
-  /** Reference constraint: at most one search function per sort. */
+  /** Reference constraints: at most one search function per sort; a
+    * distance-ranked LIMIT may not exceed max_search_result_window.
+    */
   private def validate(plan: LogicalPlan): Unit = plan.foreach {
     case Sort(order, _, _, _) =>
       if (order.map(o => countSearchFns(o.child)).sum > 1) {
         throw new IllegalArgumentException(
           "only one search function is allowed per query (reference error 62)")
       }
+    case gl @ GlobalLimit(IntegerLiteral(k), _) =>
+      val searchLimit = gl.collectFirst {
+        case Sort(orders, _, Project(pl, _), _)
+            if orders.headOption.exists(o => pl.exists {
+              case al: Alias => al.exprId == attrId(o.child) && countSearchFns(al.child) > 0
+              case _ => false
+            }) => k
+      }
+      searchLimit.foreach { kk =>
+        if (kk > maxWindow) throw new IllegalArgumentException(
+          s"search result window $kk exceeds max_search_result_window=$maxWindow " +
+            "(reference Settings.h:923)")
+      }
     case _ => ()
   }
 
+  private def attrId(e: Expression): ExprId = e match {
+    case a: Attribute => a.exprId
+    case _ => ExprId(-1L)
+  }
+
   private def rewriteTopK(
-      k: Int, sort: Sort, order: SortOrder, child: LogicalPlan): Option[LogicalPlan] = {
-    // Sort key must be an attribute produced by a projection as
-    // `distance(vecCol, literal-query-vector)`, ascending.
+      k: Int, sort: Sort, orders: Seq[SortOrder], child: LogicalPlan): Option[LogicalPlan] = {
+    // First sort key must be an attribute produced by a projection as
+    // `distance(vecCol, literal-query-vector)`, ascending; trailing keys
+    // are tie-breaks and are preserved.
+    val order = orders.head
     val sortAttr = order.child match {
       case a: Attribute if order.direction == Ascending => a
       case _ => return None
@@ -92,18 +129,38 @@ case class TopKSearchRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => return None
     }
     val entry = IvfIndex.Catalog.forSource(path, vecAttr.name).getOrElse(return None)
-    if (entry.indexType != "IVFFLAT") return None // HNSW has its own layout
     if (!vd.metric.toString.equalsIgnoreCase(entry.metric)) return None
 
-    // --- build the substitute scan over the probed index lists ---
-    val qvec = qArray.toFloatArray()
-    val centroids = IvfIndex.loadCentroids(spark, entry.indexDir)
-    val probes = centroids.zipWithIndex
-      .map { case (c, i) => (IvfIndex.centroidDist(entry.metric, c, qvec), i) }
-      .sortBy(_._1).take(math.min(entry.defaultNprobe, centroids.length)).map(_._2)
-    val newScan = spark.read.parquet(s"${entry.indexDir}/lists")
-      .filter(col("list_id").isin(probes.toIndexedSeq: _*))
-      .queryExecution.analyzed
+    val newScan: LogicalPlan = entry.indexType match {
+      case "IVFFLAT" =>
+        val qvec = qArray.toFloatArray()
+        val centroids = IvfIndex.loadCentroids(spark, entry.indexDir)
+        val probes = centroids.zipWithIndex
+          .map { case (c, i) => (IvfIndex.centroidDist(entry.metric, c, qvec), i) }
+          .sortBy(_._1).take(math.min(entry.defaultNprobe, centroids.length)).map(_._2)
+        logInfo(s"TopKSearchRewrite: ORDER BY ${vd.prettyName} LIMIT $k over $path " +
+          s"→ IVF index ${entry.name} (nprobe=${entry.defaultNprobe}/${centroids.length})")
+        spark.read.parquet(s"${entry.indexDir}/lists")
+          .filter(col("list_id").isin(probes.toIndexedSeq: _*))
+          .queryExecution.analyzed
+      case "HNSWFLAT" if filterCond.isEmpty && entry.idCol.nonEmpty =>
+        val qvec = qArray.toFloatArray()
+        // graph search: shuffle-free per-part plan; over-fetch candidates
+        // (ef ≥ 2k) then semi-join the relation to recover source columns.
+        val cand = HnswIndex.search(spark, entry.indexDir, qvec.toSeq, k,
+            ef = math.max(64, 2 * k), metric = entry.metric)
+          .withColumnRenamed("id", entry.idCol)
+          .drop("d") // distance recomputed exactly by the projection
+        logInfo(s"TopKSearchRewrite: ORDER BY ${vd.prettyName} LIMIT $k over $path " +
+          s"→ HNSW index ${entry.name} (ef=${math.max(64, 2 * k)})")
+        // optimizedPlan (not analyzed): the broadcast hint must already be
+        // folded into the join node — this rule runs after Spark's
+        // hint-resolution batch.
+        shim.ofRows(spark, rel)
+          .join(broadcast(cand), Seq(entry.idCol), "left_semi")
+          .queryExecution.optimizedPlan
+      case _ => return None
+    }
 
     // name → new attribute (the index layout carries the source columns)
     val byName = newScan.output.map(a => a.name -> a).toMap
@@ -125,13 +182,14 @@ case class TopKSearchRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case other => remap(other).asInstanceOf[NamedExpression]
     }
     rebuilt = Project(newProj, rebuilt)
-    logInfo(s"TopKSearchRewrite: ORDER BY ${vd.prettyName} LIMIT $k over $path " +
-      s"→ IVF index ${entry.name} (nprobe=${entry.defaultNprobe}/${centroids.length})")
-    Some(GlobalLimit(Literal(k), LocalLimit(Literal(k), Sort(Seq(order), global = true, rebuilt, None))))
+    Some(GlobalLimit(Literal(k),
+      LocalLimit(Literal(k), Sort(orders, global = true, rebuilt, None))))
   }
 }
 
 object TopKSearchRewrite {
+  val DefaultMaxSearchResultWindow = 10000 // reference Settings.h:923
+
   def isDistanceSort(o: SortOrder): Boolean =
     o.child.exists(_.isInstanceOf[VectorDistance])
 }

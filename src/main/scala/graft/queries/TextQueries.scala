@@ -70,6 +70,22 @@ object TextQueries {
       idx
     })
 
+  /** FTS index over the HYBRID corpus (documents ⋈ embeddings) — BM25
+    * stats must be computed over the same joined rows as the direct path
+    * (cardinalities can differ between the two tables).
+    */
+  private val hybFtsDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def hybFtsDir(s: SparkSession, dir: String): String =
+    hybFtsDirs.getOrElseUpdate(dir, {
+      val idx = java.nio.file.Files.createTempDirectory("graft-fts-hyb").toString
+      val joined = t(s, dir, "documents")
+        .join(t(s, dir, "embeddings"), col("doc_id") === col("vec_id"))
+      FtsIndex.build(s, joined, "doc_id", "text",
+        s"fts_hybrid_${dir.replaceAll("[^a-zA-Z0-9]", "_")}", idx,
+        nBuckets = 64, sourcePath = s"$dir/documents+embeddings")
+      idx
+    })
+
   val queries: Map[String, Q] = Map(
     // textsearch() top-K, OR semantics (any term), BM25-scored.
     "t01_bm25_topk" -> ((s, dir) => {
@@ -137,6 +153,18 @@ object TextQueries {
         .select(col("embedding")).head().getSeq[Float](0)
       HybridSearch.hybridSearch(joined, "doc_id", col("embedding"), col("text"),
           qvec, query1, 10, "rsf", "cosine")
+        .select(col("doc_id"), round(col("fused_score"), 4).as("fused_score"))
+        .orderBy(col("fused_score").desc, col("doc_id"))
+    }),
+    // Hybrid search with the text leg served by the FTS posting-list
+    // index — must reproduce h01's direct-path fusion exactly.
+    "h03_hybrid_fts" -> ((s, dir) => {
+      val joined = t(s, dir, "documents")
+        .join(t(s, dir, "embeddings"), col("doc_id") === col("vec_id"))
+      val qvec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      HybridSearch.hybridSearchIndexed(joined, "doc_id", col("embedding"),
+          qvec, query1, 10, hybFtsDir(s, dir), "rsf", "cosine")
         .select(col("doc_id"), round(col("fused_score"), 4).as("fused_score"))
         .orderBy(col("fused_score").desc, col("doc_id"))
     }),
@@ -234,6 +262,8 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "h01_hybrid_rsf" -> hybridOracleSql("rsf"),
     "h02_hybrid_rrf" -> hybridOracleSql("rrf"),
+    // indexed hybrid shares the direct-path oracle (index ≡ direct)
+    "h03_hybrid_fts" -> hybridOracleSql("rsf"),
     "t01_bm25_topk" -> bm25OracleSql(TextSearch.queryTerms(query1), 10, and = false),
     "t02_bm25_and" -> bm25OracleSql(TextSearch.queryTerms(query2), 10, and = true),
     // The indexed paths share the non-indexed oracles — proving

@@ -12,4 +12,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object shim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** DataFrame over a raw logical plan (`Dataset.ofRows` is
+    * `private[sql]`) — used by optimizer rules that graft an index-scan
+    * sub-plan into an existing query tree.
+    */
+  def ofRows(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

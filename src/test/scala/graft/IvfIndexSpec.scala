@@ -81,6 +81,27 @@ class IvfIndexSpec extends SparkSpec {
     assert(got === brute)
   }
 
+  test("vector_index_segments reports per-list build state") {
+    indexDir // force build
+    val segs = IvfIndex.Catalog.segmentsFor("spec_ivf")
+    assert(segs.size === 8)
+    assert(segs.forall(s => s.state == "BUILT" || s.state == "SMALL_PART"))
+    assert(segs.map(_.nRows).sum === emb.count())
+    val df = IvfIndex.Catalog.segmentsDataFrame(spark)
+    assert(df.columns.toSeq ===
+      Seq("indexName", "segmentId", "state", "nRows", "failReason"))
+    assert(df.filter(col("indexName") === "spec_ivf").count() === 8)
+  }
+
+  test("vector_index_event_log records the build lifecycle") {
+    indexDir // force build
+    val evs = IvfIndex.Catalog.events("spec_ivf").map(_.event)
+    assert(evs.contains("BUILD_START") && evs.contains("BUILD_FINISH"))
+    val df = IvfIndex.Catalog.eventLogDataFrame(spark)
+    assert(df.columns.toSeq === Seq("eventTimeMs", "indexName", "event", "detail"))
+    assert(df.filter(col("indexName") === "spec_ivf").count() >= 2)
+  }
+
   test("kmeans is deterministic and produces k centroids") {
     val sample = Array.tabulate(100)(i => Array(i.toFloat, (i % 10).toFloat))
     val c1 = IvfIndex.kmeans(sample, 4)

@@ -21,6 +21,30 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(ds === ds.sorted)
   }
 
+  test("SQL ORDER BY distance LIMIT k is routed through a registered IVF index") {
+    spark.catalog.clearCache() // rule matches LogicalRelation, not cache
+    val dir = java.nio.file.Files.createTempDirectory("ivf-sql").toString
+    val srcPath = "file:" + sfDir + "/embeddings.parquet"
+    val emb = graft.engine.Tables.t(spark, sfDir, "embeddings")
+    val qv = emb.filter(col("vec_id") === 4)
+      .select("embedding").head().getSeq[Float](0)
+    graft.operators.IvfIndex.build(spark, emb, "embedding", "sql_ivf", dir,
+      "l2", nLists = 8, sourcePath = srcPath, defaultNprobe = 8)
+    try {
+      emb.createOrReplaceTempView("emb_sql")
+      val qcsv = qv.map(v => s"CAST($v AS FLOAT)").mkString(", ")
+      val df = spark.sql(
+        s"""SELECT vec_id, l2_distance(embedding, array($qcsv)) AS d
+            FROM emb_sql ORDER BY d, vec_id LIMIT 5""")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("lists"), s"expected index scan in:\n$plan")
+      val brute = graft.operators.VectorSearch.topK(emb, col("embedding"),
+          qv, 5, "l2", None, "d", Seq(col("vec_id")))
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(df.collect().map(_.getLong(0)).toSeq === brute)
+    } finally graft.operators.IvfIndex.Catalog.drop("sql_ivf")
+  }
+
   test("ClickHouse-named functions inside an analytical query") {
     graft.engine.Tables.t(spark, sfDir, "orders").createOrReplaceTempView("ords")
     val rows = spark.sql("""

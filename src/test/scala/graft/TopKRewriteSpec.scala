@@ -47,6 +47,61 @@ class TopKRewriteSpec extends SparkSpec {
     } finally IvfIndex.Catalog.drop("auto_ivf")
   }
 
+  test("tie-break sort keys no longer lose the index") {
+    val dir = Files.createTempDirectory("ivf-ties").toString
+    val srcPath = "file:" + sfDir + "/embeddings.parquet"
+    try {
+      IvfIndex.build(spark, emb, "embedding", "ties_ivf", dir, "l2",
+        nLists = 8, sourcePath = srcPath, defaultNprobe = 8)
+      val df = emb.select(col("vec_id"),
+          distances.l2Distance(col("embedding"), typedLit(qv)).as("d"))
+        .orderBy(col("d"), col("vec_id")) // distance first + tie-break
+        .limit(5)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("lists"), s"expected index-lists scan in:\n$plan")
+      val brute = VectorSearch.topK(emb, col("embedding"), qv, 5, "l2",
+          None, "d", Seq(col("vec_id")))
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(df.collect().map(_.getLong(0)).toSeq === brute)
+    } finally IvfIndex.Catalog.drop("ties_ivf")
+  }
+
+  test("HNSWFLAT index routes the top-K through the graph search") {
+    val dir = Files.createTempDirectory("hnsw-auto").toString
+    val srcPath = "file:" + sfDir + "/embeddings.parquet"
+    try {
+      graft.operators.HnswIndex.build(spark, emb, "vec_id", "embedding",
+        "auto_hnsw", dir, "l2", m = 12, efConstruction = 80,
+        numPartitions = Some(2), sourcePath = srcPath)
+      val df = topkDf(10)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("Join"), s"expected candidate semi-join in:\n$plan")
+      val got = df.collect().map(_.getLong(0)).toSet
+      val brute = VectorSearch.topK(emb, col("embedding"), qv, 10, "l2",
+          None, "d", Seq(col("vec_id")))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert((got & brute).size >= 8, s"recall too low: ${(got & brute).size}/10")
+      // filtered query is NOT routed (falls back to exact brute force)
+      val filtered = emb.filter(col("label") === 2)
+        .select(col("vec_id"),
+          distances.l2Distance(col("embedding"), typedLit(qv)).as("d"))
+        .orderBy(col("d")).limit(5)
+      assert(!filtered.queryExecution.executedPlan.toString.contains("Join"))
+    } finally IvfIndex.Catalog.drop("auto_hnsw")
+  }
+
+  test("max_search_result_window caps distance-ranked limits") {
+    spark.conf.set("spark.graft.maxSearchResultWindow", "100")
+    try {
+      val ex = intercept[Throwable] { topkDf(500).collect() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("max_search_result_window")), ex.toString)
+      // at or below the cap: fine
+      assert(topkDf(100).collect().length === 100)
+    } finally spark.conf.unset("spark.graft.maxSearchResultWindow")
+  }
+
   test("metric mismatch leaves the plan untouched") {
     val dir = Files.createTempDirectory("ivf-cos").toString
     val srcPath = "file:" + sfDir + "/embeddings.parquet"
