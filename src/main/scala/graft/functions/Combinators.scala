@@ -40,6 +40,35 @@ object Combinators {
   def groupUniqArray(c: Column): Column =
     array_sort(array_distinct(flatten(collect_list(array_distinct(c)))))
 
+  // ---- -Resample: one aggregate split into key-range buckets ----
+
+  /** countResample(start, end, step)(key): array of per-bucket counts —
+    * bucket i covers `[start + i·step, start + (i+1)·step)`. Single pass,
+    * map-side combinable, no explode (ClickHouse `-Resample`,
+    * registerAggregateFunctions.cpp:93).
+    */
+  def countResample(start: Double, end: Double, step: Double)(key: Column): Column =
+    resampleWith(start, end, step)(key, cond => sum(when(cond, 1L).otherwise(0L)))
+
+  /** sumResample(start, end, step)(key, value): per-bucket sums. */
+  def sumResample(start: Double, end: Double, step: Double)(
+      key: Column, value: Column): Column =
+    resampleWith(start, end, step)(key,
+      cond => sum(when(cond, value.cast("double")).otherwise(lit(0.0))))
+
+  /** Generic -Resample: builds one conditional aggregate per bucket. */
+  def resampleWith(start: Double, end: Double, step: Double)(
+      key: Column, aggF: Column => Column): Column = {
+    require(step > 0 && end > start, s"bad resample range [$start,$end) step $step")
+    val n = math.ceil((end - start) / step).toInt
+    val buckets = (0 until n).map { i =>
+      val lo = start + i * step
+      val hi = math.min(end, start + (i + 1) * step)
+      aggF(key >= lo && key < hi)
+    }
+    array(buckets: _*)
+  }
+
   // ---- -ForEach: element-wise aggregation across equal-length arrays ----
 
   /** Generic -ForEach: apply `aggF` element-wise across the arrays of each

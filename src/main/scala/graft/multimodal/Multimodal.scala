@@ -26,28 +26,48 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("n_bytes", LongType)))
 
+  /** Pluggable codec boundary. Production deployments implement this
+    * trait over real libraries (javax.imageio / ffmpeg / JNI bindings) and
+    * `installCodec` it; every pipeline stage below captures the installed
+    * instance into its task closure, so the swap needs no other changes.
+    * Implementations must be Serializable (shipped to executors).
+    */
+  trait MediaCodec extends Serializable {
+    def name: String
+    def decodeMeta(bytes: Array[Byte]): (String, Int, Int)
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte]
+    def featurize(bytes: Array[Byte], dim: Int): Array[Float]
+    def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]]
+  }
+
+  @volatile private var installed: MediaCodec = StubCodec
+  def installCodec(c: MediaCodec): Unit = installed = c
+  def currentCodec: MediaCodec = installed
+
   /** ===== STUB BOUNDARY =====
     * Deterministic stand-ins for real codecs. Each function consumes the
-    * raw payload bytes and produces plausible, reproducible outputs; swap
-    * the bodies for javax.imageio / ffmpeg bindings in a real deployment.
+    * raw payload bytes and produces plausible, reproducible outputs; this
+    * is the default [[MediaCodec]] in this environment (no media
+    * libraries present).
     */
-  object MediaCodec {
+  object StubCodec extends MediaCodec {
+    override def name: String = "stub"
     /** STUB: derive (format, width, height) pseudo-metadata from bytes. */
-    def decodeMeta(bytes: Array[Byte]): (String, Int, Int) = {
+    override def decodeMeta(bytes: Array[Byte]): (String, Int, Int) = {
       val h = java.util.Arrays.hashCode(bytes)
       val fmts = Array("jpeg", "png", "webp")
       (fmts(math.abs(h) % 3), 64 + math.abs(h % 1920), 64 + math.abs((h >> 8) % 1080))
     }
 
     /** STUB: "resize" = re-hash with target dims folded in. */
-    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    override def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
       val out = java.util.Arrays.copyOf(bytes, math.min(bytes.length, 16))
       out.indices.foreach(i => out(i) = (out(i) ^ (w + h * 31 + i)).toByte)
       out
     }
 
     /** STUB: dim-sized feature vector from a rolling hash of the bytes. */
-    def featurize(bytes: Array[Byte], dim: Int): Array[Float] = {
+    override def featurize(bytes: Array[Byte], dim: Int): Array[Float] = {
       val v = new Array[Float](dim)
       var h = 1125899906842597L
       var i = 0
@@ -62,7 +82,7 @@ object Multimodal {
     }
 
     /** STUB: sample n frame payloads from a "video" payload. */
-    def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] =
+    override def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] =
       (0 until n).map(i => resize(bytes, i + 1, 0))
   }
   // ===== END STUB BOUNDARY =====
@@ -75,13 +95,14 @@ object Multimodal {
     val schema = df.schema.add(outCol, mediaMetaType)
     val enc = ExpressionEncoder(RowEncoder.encoderFor(schema))
     val idx = df.schema.fieldIndex(binCol)
+    val codec = currentCodec
     df.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](idx)
         val meta =
           if (bytes == null) null
           else {
-            val (fmt, w, h) = MediaCodec.decodeMeta(bytes)
+            val (fmt, w, h) = codec.decodeMeta(bytes)
             Row(fmt, w, h, bytes.length.toLong)
           }
         Row.fromSeq(r.toSeq :+ meta)
@@ -98,10 +119,11 @@ object Multimodal {
     val schema = df.schema.add(outCol, ArrayType(FloatType, containsNull = false))
     val enc = ExpressionEncoder(RowEncoder.encoderFor(schema))
     val idx = df.schema.fieldIndex(binCol)
+    val codec = currentCodec
     df.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](idx)
-        val emb = if (bytes == null) null else MediaCodec.featurize(bytes, dim).toSeq
+        val emb = if (bytes == null) null else codec.featurize(bytes, dim).toSeq
         Row.fromSeq(r.toSeq :+ emb)
       }
     }(enc)
@@ -114,10 +136,11 @@ object Multimodal {
     val schema = df.schema.add(outCol, BinaryType)
     val enc = ExpressionEncoder(RowEncoder.encoderFor(schema))
     val idx = df.schema.fieldIndex(binCol)
+    val codec = currentCodec
     df.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](idx)
-        val out = if (bytes == null) null else MediaCodec.resize(bytes, w, h)
+        val out = if (bytes == null) null else codec.resize(bytes, w, h)
         Row.fromSeq(r.toSeq :+ out)
       }
     }(enc)
@@ -130,11 +153,12 @@ object Multimodal {
       df.schema.fields.toSeq :+ StructField("frame_idx", IntegerType) :+
         StructField("frame", BinaryType))))
     val idx = df.schema.fieldIndex(binCol)
+    val codec = currentCodec
     df.mapPartitions { rows =>
       rows.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](idx)
         if (bytes == null) Iterator.empty
-        else MediaCodec.sampleFrames(bytes, nFrames).zipWithIndex.iterator.map {
+        else codec.sampleFrames(bytes, nFrames).zipWithIndex.iterator.map {
           case (frame, i) => Row.fromSeq(r.toSeq :+ i :+ frame)
         }
       }

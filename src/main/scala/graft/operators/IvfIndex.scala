@@ -182,6 +182,22 @@ object IvfIndex {
     centroids
   }
 
+  /** Distributed k-means via spark.ml (seeded KMeans||) — removes the
+    * driver-sample ceiling of [[kmeans]] for very large nLists·dim
+    * (SURVEY's own mapping for centroid training at 100 TB). Driver
+    * Lloyd's stays the default: it is deterministic independent of
+    * partitioning, which the golden tests rely on.
+    */
+  private[graft] def kmeansMl(
+      df: DataFrame, vecCol: String, k: Int, maxIter: Int = 10): Array[Array[Float]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.Vectors
+    val toVec = udf((v: Seq[Float]) => Vectors.dense(v.map(_.toDouble).toArray))
+    val feats = df.select(toVec(col(vecCol)).as("features"))
+    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(maxIter).fit(feats)
+    model.clusterCenters.map(_.toArray.map(_.toFloat))
+  }
+
   private[graft] def nearest(centroids: Array[Array[Float]], v: Array[Float]): Int = {
     var best = 0
     var bestD = Float.MaxValue
@@ -207,7 +223,8 @@ object IvfIndex {
       nLists: Int = 16,
       trainSampleSize: Int = 100000,
       sourcePath: String = "",
-      defaultNprobe: Int = 4): IndexEntry = {
+      defaultNprobe: Int = 4,
+      distributedTrain: Boolean = false): IndexEntry = {
     Catalog.register(IndexEntry(indexName, indexDir, sourcePath, vecCol, "IVFFLAT",
       metric, "BUILDING", 0L, defaultNprobe))
     Catalog.logEvent(indexName, "BUILD_START", s"IVFFLAT nLists=$nLists metric=$metric")
@@ -215,10 +232,14 @@ object IvfIndex {
       Catalog.registerSegment(SegmentEntry(indexName, i, "PENDING", 0L)))
 
     val n = df.count()
-    val fraction = math.min(1.0, trainSampleSize.toDouble / math.max(1L, n))
-    val sample = df.sample(withReplacement = false, fraction, seed = 42L)
-      .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
-    val centroids = kmeans(sample, nLists)
+    val centroids =
+      if (distributedTrain) kmeansMl(df, vecCol, nLists)
+      else {
+        val fraction = math.min(1.0, trainSampleSize.toDouble / math.max(1L, n))
+        val sample = df.sample(withReplacement = false, fraction, seed = 42L)
+          .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
+        kmeans(sample, nLists)
+      }
     val dim = centroids.head.length
 
     val bc = spark.sparkContext.broadcast(centroids)

@@ -96,6 +96,27 @@ object TextSearch {
       .limit(k)
   }
 
+  /** `textsearch()` over a Map column's keys or values (reference
+    * `mapKeys`/`mapValues` search target, `CommonUtils.h:104`): the map
+    * side is flattened to a text stream and searched with the same BM25
+    * machinery — `over` = "values" (default) | "keys".
+    */
+  def textSearchMap(
+      df: DataFrame,
+      mapCol: Column,
+      query: String,
+      k: Int,
+      over: String = "values",
+      operator: String = "OR",
+      scoreName: String = "bm25_score",
+      tieBreak: Seq[Column] = Nil): DataFrame = {
+    val textCol = over.toLowerCase match {
+      case "keys" => array_join(map_keys(mapCol), " ")
+      case _      => array_join(map_values(mapCol), " ")
+    }
+    textSearch(df, textCol, query, k, operator, scoreName, tieBreak)
+  }
+
   /** The `full_text_search(table, query, ...)` table-valued function
     * (`TableFunctionFullTextSearch.cpp:110-141`): returns the matching
     * rows with `bm25_score`, optionally without the score column.

@@ -177,6 +177,18 @@ object EventQueries {
         .agg(m.cast("int").as("matched"))
         .orderBy(col("user_id"))
     }),
+    // -Resample combinator: one aggregate split into key-range buckets
+    // ([1,51) step 10 over l_quantity) — single pass, no explode.
+    "e24_resample_combinator" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          Combinators.countResample(1, 51, 10)(col("l_quantity")).as("cnt_resample"),
+          transform(
+            Combinators.sumResample(1, 51, 10)(col("l_quantity"), col("l_extendedprice")),
+            x => round(x, 2)).as("sum_resample"))
+        .orderBy(col("l_returnflag"))
+    }),
     // sequenceCount: non-overlapping signup→purchase chains per user
     // (greedy semantics; oracle = run-length A→B boundary count, which is
     // exactly the greedy automaton's value).
@@ -360,6 +372,19 @@ object EventQueries {
              array_to_string(list_sort(list(event_type || ':' || CAST(mx AS VARCHAR))), ',')
                AS max_map
       FROM per GROUP BY user_id ORDER BY user_id LIMIT 50""",
+    "e24_resample_combinator" -> {
+      val cnts = (0 until 5).map { i =>
+        val lo = 1 + i * 10; val hi = 11 + i * 10
+        s"CAST(sum(CASE WHEN l_quantity >= $lo AND l_quantity < $hi THEN 1 ELSE 0 END) AS BIGINT)"
+      }.mkString("[", ", ", "]")
+      val sums = (0 until 5).map { i =>
+        val lo = 1 + i * 10; val hi = 11 + i * 10
+        s"round(sum(CASE WHEN l_quantity >= $lo AND l_quantity < $hi THEN l_extendedprice ELSE 0 END), 2)"
+      }.mkString("[", ", ", "]")
+      s"""
+      SELECT l_returnflag, $cnts AS cnt_resample, $sums AS sum_resample
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+    },
     "e22_foreach_combinator" -> """
       SELECT l_returnflag,
              [round(sum(l_quantity), 2), round(sum(l_extendedprice), 2),

@@ -44,6 +44,18 @@ class CombinatorsSpec extends SparkSpec {
     assert(got("b") === Seq(5.0, 50.0))
   }
 
+  test("countResample/sumResample bucket a single pass") {
+    val d = Seq(("a", 1.0, 10.0), ("a", 5.0, 20.0), ("a", 15.0, 30.0),
+      ("b", 25.0, 40.0)).toDF("g", "k", "v")
+    val r = d.groupBy($"g").agg(
+      Combinators.countResample(0, 30, 10)($"k").as("c"),
+      Combinators.sumResample(0, 30, 10)($"k", $"v").as("s"))
+      .orderBy($"g").collect()
+    assert(r(0).getSeq[Long](1) === Seq(2L, 1L, 0L))
+    assert(r(0).getSeq[Double](2) === Seq(30.0, 30.0, 0.0))
+    assert(r(1).getSeq[Long](1) === Seq(0L, 0L, 1L))
+  }
+
   test("minMap/maxMap aggregate per key with sorted entries") {
     val d = Seq(
       ("u1", Map("x" -> 3.0)), ("u1", Map("x" -> 1.0)), ("u1", Map("y" -> 7.0)),

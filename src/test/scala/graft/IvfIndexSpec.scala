@@ -110,6 +110,19 @@ class IvfIndexSpec extends SparkSpec {
     assert(c1.map(_.toSeq) === c2.map(_.toSeq))
   }
 
+  test("distributed KMeans training path builds a working index") {
+    val dir = Files.createTempDirectory("ivf-ml").toString
+    try {
+      IvfIndex.build(spark, emb, "embedding", "ml_ivf", dir, "l2",
+        nLists = 4, distributedTrain = true)
+      val got = IvfIndex.search(spark, dir, qv, 10, nprobe = 4,
+          None, None, "d", Seq(col("vec_id")))
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(got === bruteIds(10)) // exhaustive probes ⇒ exact
+      assert(spark.read.parquet(s"$dir/centroids").count() === 4)
+    } finally IvfIndex.Catalog.drop("ml_ivf")
+  }
+
   test("two-stage IVF search recall >= plain nprobe search") {
     val brute = bruteIds(10).toSet
     val plain = IvfIndex.search(spark, indexDir, qv, 10, nprobe = 2,

@@ -7,6 +7,25 @@ import graft.multimodal.Multimodal
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("codec is pluggable: an installed implementation replaces the stub") {
+    object FixedCodec extends Multimodal.MediaCodec {
+      override def name = "fixed"
+      override def decodeMeta(b: Array[Byte]) = ("fixed", 1, 2)
+      override def resize(b: Array[Byte], w: Int, h: Int) = Array[Byte](7)
+      override def featurize(b: Array[Byte], dim: Int) = Array.fill(dim)(0.5f)
+      override def sampleFrames(b: Array[Byte], n: Int) = Seq(Array[Byte](9))
+    }
+    try {
+      Multimodal.installCodec(FixedCodec)
+      val meta = Multimodal.withDecodedMeta(media.filter($"id" === 1), "content")
+        .head().getStruct(2)
+      assert(meta.getString(0) === "fixed" && meta.getInt(1) === 1)
+      val emb = Multimodal.withEmbedding(media.filter($"id" === 1), "content", dim = 4)
+        .head().getSeq[Float](2)
+      assert(emb === Seq(0.5f, 0.5f, 0.5f, 0.5f))
+    } finally Multimodal.installCodec(Multimodal.StubCodec)
+  }
+
   lazy val media = Seq(
     (1L, "img/a.jpg".getBytes("UTF-8")),
     (2L, "img/b.jpg plus more bytes".getBytes("UTF-8")),

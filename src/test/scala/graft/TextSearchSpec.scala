@@ -47,6 +47,19 @@ class TextSearchSpec extends SparkSpec {
     assert(and.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L))
   }
 
+  test("textsearch over Map keys and values") {
+    val maps = Seq(
+      (1L, Map("title" -> "spark joins", "body" -> "fast data")),
+      (2L, Map("title" -> "duck ponds", "body" -> "swimming")),
+      (3L, Map("spark" -> "x", "misc" -> "y"))).toDF("doc_id", "m")
+    val byValues = TextSearch.textSearchMap(maps, col("m"), "spark", 10,
+      "values", "OR", "bm25_score", Seq(col("doc_id")))
+    assert(byValues.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L))
+    val byKeys = TextSearch.textSearchMap(maps, col("m"), "spark", 10,
+      "keys", "OR", "bm25_score", Seq(col("doc_id")))
+    assert(byKeys.select("doc_id").collect().map(_.getLong(0)).toSet === Set(3L))
+  }
+
   test("fullTextSearch TVF with and without score column") {
     val withScore = TextSearch.fullTextSearch(corpus, col("text"), "spark", 10)
     assert(withScore.columns.contains("bm25_score"))
