@@ -125,6 +125,31 @@ case class SqDistance(
     copy(child = newChild)
 }
 
+/** PQ Asymmetric Distance Computation: the per-query m×256 lookup table
+  * of exact subspace distances is built once on the driver and rides into
+  * codegen as a reference object; each row's distance is m byte-indexed
+  * table lookups — no float kernel math in the scan (Jégou et al., PQ for
+  * NN search, TPAMI 2011).
+  */
+case class PqAdcDistance(child: Expression, table: Array[Float])
+    extends UnaryExpression {
+
+  override def dataType: DataType = FloatType
+  override def prettyName: String = "pq_adc_distance"
+
+  override def nullSafeEval(b: Any): Any =
+    VectorKernels.pqAdc(b.asInstanceOf[Array[Byte]], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("adcTable", table, "float[]")
+    nullSafeCodeGen(ctx, ev, b =>
+      s"${ev.value} = graft.functions.VectorKernels.pqAdc($b, $tRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Primitive kernels, shared by interpreted eval and generated code.
   * Top-level object → Scala emits static forwarders, so generated Java
   * (Janino) can call `VectorKernels.distanceById(...)` directly.
@@ -234,6 +259,16 @@ object VectorKernels {
       i += 1
     }
     out
+  }
+
+  /** ADC: Σ over subspaces of table[(s<<8) | code_s]. */
+  def pqAdc(codes: Array[Byte], table: Array[Float]): Float = {
+    var s = 0f; var i = 0
+    while (i < codes.length) {
+      s += table((i << 8) | (codes(i) & 0xff))
+      i += 1
+    }
+    s
   }
 
   def hammingBits(a: Array[Byte], b: Array[Byte]): Float = {

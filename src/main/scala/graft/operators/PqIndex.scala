@@ -1,0 +1,240 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.shim
+
+import graft.functions.{Metric, PqAdcDistance}
+
+/** IVFPQ — IVF with product quantization (reference index type registry
+  * `/root/reference/src/VectorIndex/Interpreters/parseVSParameters.cpp:77-112`;
+  * algorithm: Jégou, Douze, Schmid, "Product Quantization for Nearest
+  * Neighbor Search", IEEE TPAMI 2011).
+  *
+  * The vector is split into `m` contiguous subspaces; each subspace gets
+  * its own 256-centroid codebook (driver k-means on a bounded sample,
+  * like [[IvfIndex]]), so a d-dim float vector stores as m bytes — a
+  * 4·d/m× footprint cut (32× at d=128, m=16).
+  *
+  * Search uses Asymmetric Distance Computation (ADC): per query, a
+  * m×256 lookup table of exact subspace distances to the query is built
+  * once on the driver (m·256 kernel evaluations), then every candidate's
+  * distance is just m table lookups — no float math per row. The table
+  * rides into codegen as a reference object ([[PqAdcDistance]]). Stage 2
+  * re-ranks `numReorder` survivors exactly against the source table, the
+  * same two-stage shape as [[SqIndex]].
+  */
+object PqIndex {
+
+  case class PqMeta(metric: String, nLists: Int, m: Int, dim: Int,
+      nRows: Long, vecCol: String, idCol: String, status: String)
+
+  private val metaCache = TrieMap.empty[String, PqMeta]
+  // codebooks(sub)(code) = centroid of that subspace
+  private val codebookCache = TrieMap.empty[String, Array[Array[Array[Float]]]]
+  private val centroidCache = TrieMap.empty[String, Array[Array[Float]]]
+
+  private[graft] def encode(
+      v: Array[Float], books: Array[Array[Array[Float]]]): Array[Byte] = {
+    val m = books.length
+    val sub = v.length / m
+    val out = new Array[Byte](m)
+    var s = 0
+    while (s < m) {
+      val base = s * sub
+      var best = 0; var bestD = Float.MaxValue
+      val book = books(s)
+      var c = 0
+      while (c < book.length) {
+        var d = 0f; var j = 0
+        val cent = book(c)
+        while (j < sub) { val x = v(base + j) - cent(j); d += x * x; j += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best.toByte
+      s += 1
+    }
+    out
+  }
+
+  def build(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexName: String,
+      indexDir: String,
+      metric: String = "l2",
+      nLists: Int = 16,
+      m: Int = 8,
+      trainSampleSize: Int = 100000,
+      sourcePath: String = "",
+      defaultNprobe: Int = 4): IvfIndex.IndexEntry = {
+    import spark.implicits._
+    IvfIndex.Catalog.register(IvfIndex.IndexEntry(indexName, indexDir,
+      sourcePath, vecCol, "IVFPQ", metric, "BUILDING", 0L, defaultNprobe))
+    IvfIndex.Catalog.logEvent(indexName, "BUILD_START",
+      s"IVFPQ nLists=$nLists m=$m metric=$metric")
+
+    val n = df.count()
+    val fraction = math.min(1.0, trainSampleSize.toDouble / math.max(1L, n))
+    val sample = df.sample(withReplacement = false, fraction, seed = 42L)
+      .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+
+    val centroids = IvfIndex.kmeans(sample, nLists)
+    // per-subspace codebooks (≤256 codes each)
+    val nCodes = math.min(256, sample.length)
+    val books: Array[Array[Array[Float]]] = Array.tabulate(m) { s =>
+      val subSample = sample.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub))
+      IvfIndex.kmeans(subSample, nCodes, seed = 42L + s)
+    }
+
+    val bcC = spark.sparkContext.broadcast(centroids)
+    val bcB = spark.sparkContext.broadcast(books)
+    val assignU = udf((v: Seq[Float]) => IvfIndex.nearest(bcC.value, v.toArray))
+    val encodeU = udf((v: Seq[Float]) => encode(v.toArray, bcB.value))
+    df.withColumn("list_id", assignU(col(vecCol)))
+      .withColumn("pqcodes", encodeU(col(vecCol)))
+      .drop(vecCol)
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$indexDir/lists")
+
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    // codebooks: (sub, code, centroid)
+    books.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (cent, c) => (s, c, cent.toSeq) }
+    }.toSeq.toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebooks")
+
+    Files.writeString(Paths.get(s"$indexDir/meta.json"),
+      s"""{"version":1,"type":"IVFPQ","metric":"$metric","nLists":$nLists,""" +
+        s""""m":$m,"dim":$dim,"nRows":$n,"vecCol":"$vecCol","idCol":"$idCol",""" +
+        s""""status":"BUILT"}""" + "\n")
+    metaCache.put(indexDir, PqMeta(metric, nLists, m, dim, n, vecCol, idCol, "BUILT"))
+    codebookCache.put(indexDir, books)
+    centroidCache.put(indexDir, centroids)
+
+    val entry = IvfIndex.IndexEntry(indexName, indexDir, sourcePath, vecCol,
+      "IVFPQ", metric, "BUILT", n, defaultNprobe)
+    IvfIndex.Catalog.register(entry)
+    IvfIndex.Catalog.logEvent(indexName, "BUILD_FINISH", s"nRows=$n")
+    entry
+  }
+
+  private[graft] def loadMeta(indexDir: String): PqMeta =
+    metaCache.getOrElseUpdate(indexDir, {
+      val p = Paths.get(s"$indexDir/meta.json")
+      require(Files.exists(p), s"PQ index meta not found: $p")
+      val s = Files.readString(p)
+      def str(k: String): String =
+        ("\"" + k + "\":\"([^\"]*)\"").r.findFirstMatchIn(s).map(_.group(1))
+          .getOrElse(sys.error(s"meta.json missing '$k' at $p"))
+      def num(k: String): Long =
+        ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(s).map(_.group(1).toLong)
+          .getOrElse(sys.error(s"meta.json missing '$k' at $p"))
+      PqMeta(str("metric"), num("nLists").toInt, num("m").toInt,
+        num("dim").toInt, num("nRows"), str("vecCol"), str("idCol"), str("status"))
+    })
+
+  private def loadBooks(spark: SparkSession, indexDir: String): Array[Array[Array[Float]]] =
+    codebookCache.getOrElseUpdate(indexDir, {
+      val rows = spark.read.parquet(s"$indexDir/codebooks")
+        .orderBy("sub", "code").collect()
+      val m = rows.map(_.getInt(0)).max + 1
+      Array.tabulate(m) { s =>
+        rows.filter(_.getInt(0) == s).sortBy(_.getInt(1))
+          .map(_.getSeq[Float](2).toArray)
+      }
+    })
+
+  private def loadCentroids(spark: SparkSession, indexDir: String): Array[Array[Float]] =
+    centroidCache.getOrElseUpdate(indexDir, {
+      spark.read.parquet(s"$indexDir/centroids").orderBy("list_id").collect()
+        .map(_.getSeq[Float](1).toArray)
+    })
+
+  /** ADC lookup table: adc(s*256 + c) = exact L2² between the query's
+    * subvector s and codebook centroid c. Σ over subspaces = L2² to the
+    * dequantized vector (for IP: Σ of subspace dots, negated for ranking).
+    */
+  private[graft] def adcTable(
+      q: Array[Float], books: Array[Array[Array[Float]]],
+      metric: String): Array[Float] = {
+    val m = books.length
+    val sub = q.length / m
+    val table = new Array[Float](m * 256)
+    val ip = metric.equalsIgnoreCase("ip") || metric.equalsIgnoreCase("dot")
+    var s = 0
+    while (s < m) {
+      val base = s * sub
+      val book = books(s)
+      var c = 0
+      while (c < book.length) {
+        var d = 0f; var j = 0
+        val cent = book(c)
+        if (ip) { while (j < sub) { d += q(base + j) * cent(j); j += 1 } }
+        else { while (j < sub) { val x = q(base + j) - cent(j); d += x * x; j += 1 } }
+        table(s * 256 + c) = d
+        c += 1
+      }
+      s += 1
+    }
+    table
+  }
+
+  /** Two-stage IVFPQ search: ADC ranking over the probed lists (m table
+    * lookups per row), exact re-rank of `numReorder` survivors.
+    */
+  def search(
+      spark: SparkSession,
+      indexDir: String,
+      source: DataFrame,
+      qvec: Seq[Float],
+      k: Int,
+      numReorder: Int = 100,
+      nprobe: Int = 4,
+      preFilter: Option[Column] = None,
+      distName: String = "d",
+      tieBreak: Seq[Column] = Nil,
+      deletes: Option[DataFrame] = None): DataFrame = {
+    val meta = loadMeta(indexDir)
+    val books = loadBooks(spark, indexDir)
+    val centroids = loadCentroids(spark, indexDir)
+    val q = qvec.toArray
+    val probes = centroids.zipWithIndex
+      .map { case (c, i) => (IvfIndex.centroidDist(meta.metric, c, q), i) }
+      .sortBy(_._1).take(math.min(nprobe, centroids.length)).map(_._2)
+
+    val pruned0 = spark.read.parquet(s"$indexDir/lists")
+      .filter(col("list_id").isin(probes.toIndexedSeq: _*))
+    val pruned1 = deletes.map { d =>
+      require(d.columns.length == 1, "deletes must be a single id column")
+      pruned0.join(d, d.columns.toSeq, "left_anti")
+    }.getOrElse(pruned0)
+    val pruned = preFilter.map(pruned1.filter).getOrElse(pruned1)
+
+    val table = adcTable(q, books, meta.metric)
+    val ip = meta.metric.equalsIgnoreCase("ip") || meta.metric.equalsIgnoreCase("dot")
+    val adc = shim.column(PqAdcDistance(shim.expression(col("pqcodes")), table))
+    val stage1Dir = if (ip) col("__adc").desc else col("__adc").asc
+    val cands = pruned.withColumn("__adc", adc)
+      .orderBy(stage1Dir +: tieBreak: _*)
+      .limit(numReorder)
+      .select(col(meta.idCol))
+
+    val candidates = source.join(broadcast(cands), Seq(meta.idCol), "left_semi")
+    VectorSearch.topK(candidates, col(meta.vecCol), qvec, k, meta.metric,
+      preFilter, distName, tieBreak)
+  }
+}

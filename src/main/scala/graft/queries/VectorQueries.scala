@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables.t
-import graft.operators.{BinaryIvfIndex, HnswIndex, IvfIndex, SqIndex, VectorSearch}
+import graft.operators.{BinaryIvfIndex, HnswIndex, IvfIndex, PqIndex, SqIndex, VectorSearch}
 
 /** Vector-search coverage (SURVEY §2.1): distance() top-K per metric,
   * pre-filtered search, batch_distance, two-stage re-rank. Oracles use
@@ -50,6 +50,15 @@ object VectorQueries {
       val idx = java.nio.file.Files.createTempDirectory("graft-ivfsq").toString
       SqIndex.build(s, emb(s, dir), "vec_id", "embedding",
         s"ivfsq_embeddings_${dir.replaceAll("[^a-zA-Z0-9]", "_")}", idx, "l2", 16)
+      idx
+    })
+  private val pqDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def pqDir(s: SparkSession, dir: String): String =
+    pqDirs.getOrElseUpdate(dir, {
+      val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+      PqIndex.build(s, emb(s, dir), "vec_id", "embedding",
+        s"ivfpq_embeddings_${dir.replaceAll("[^a-zA-Z0-9]", "_")}", idx, "l2",
+        nLists = 16, m = 8)
       idx
     })
   private val bivfDirs = scala.collection.concurrent.TrieMap.empty[String, String]
@@ -182,6 +191,15 @@ object VectorQueries {
     // rows-only check here (reference 00013_mqvs_index_ivfsq_*).
     "v14_ivfsq" -> ((s, dir) => {
       SqIndex.search(s, sqDir(s, dir), emb(s, dir), queryVec(s, dir), 10,
+          numReorder = 50, nprobe = 16, None, "d", Seq(col("vec_id")))
+        .select(col("vec_id"), round(col("d").cast("double"), 3).as("d"))
+        .orderBy(col("vec_id"))
+    }),
+    // IVFPQ: product quantization (m=8 bytes/vector, 32x vs float32) with
+    // per-query ADC lookup tables + exact re-rank. Approximate → recall
+    // in PqIndexSpec; rows-only here.
+    "v16_ivfpq" -> ((s, dir) => {
+      PqIndex.search(s, pqDir(s, dir), emb(s, dir), queryVec(s, dir), 10,
           numReorder = 50, nprobe = 16, None, "d", Seq(col("vec_id")))
         .select(col("vec_id"), round(col("d").cast("double"), 3).as("d"))
         .orderBy(col("vec_id"))
