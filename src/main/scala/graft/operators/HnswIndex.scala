@@ -224,6 +224,14 @@ object HnswIndex {
   /** Build: one graph per partition, persisted as parquet rows. The
     * per-partition entry point is node with the highest layer (recomputed
     * at load — no extra metadata needed).
+    *
+    * `quantize=true` → HNSWSQ (reference quantized graph index,
+    * `parseVSParameters.cpp:77-112`): graph construction still uses exact
+    * floats, but the persisted rows carry int8 SQ codes (1 byte/dim — the
+    * graph file shrinks ~4×) plus per-dim scale/offset, and the loader
+    * dequantizes once per JVM. Search traversal is unchanged; reported
+    * distances are to the dequantized points, so pair HNSWSQ with the
+    * two-stage exact re-rank for exact distances.
     */
   def build(
       spark: SparkSession,
@@ -236,9 +244,12 @@ object HnswIndex {
       m: Int = 16,
       efConstruction: Int = 100,
       numPartitions: Option[Int] = None,
-      sourcePath: String = ""): IvfIndex.IndexEntry = {
+      sourcePath: String = "",
+      quantize: Boolean = false): IvfIndex.IndexEntry = {
     import spark.implicits._
-    IvfIndex.Catalog.logEvent(indexName, "BUILD_START", s"HNSWFLAT m=$m efC=$efConstruction")
+    val indexType = if (quantize) "HNSWSQ" else "HNSWFLAT"
+    IvfIndex.Catalog.logEvent(indexName, "BUILD_START",
+      s"$indexType m=$m efC=$efConstruction")
     val base = df.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
     val parted = numPartitions.map(base.repartition(_)).getOrElse(base)
@@ -248,7 +259,40 @@ object HnswIndex {
       iter.foreach { case (id, v) => b.insert(id, v) }
       b.rows(pid)
     }
-    graphDs.toDF().write.mode("overwrite").partitionBy("part_id")
+    if (quantize) {
+      // per-dim min/max in one distributed pass (same shape as SqIndex)
+      val mm = base.map(_._2).mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val first = it.next()
+          val mn = first.clone(); val mx = first.clone()
+          it.foreach { v =>
+            var j = 0
+            while (j < v.length) {
+              if (v(j) < mn(j)) mn(j) = v(j)
+              if (v(j) > mx(j)) mx(j) = v(j)
+              j += 1
+            }
+          }
+          Iterator((mn, mx))
+        }
+      }.collect()
+      require(mm.nonEmpty, "empty input to HnswIndex.build")
+      val dim = mm.head._1.length
+      val mins = mm.map(_._1).reduce((a, b) => Array.tabulate(dim)(j => math.min(a(j), b(j))))
+      val maxs = mm.map(_._2).reduce((a, b) => Array.tabulate(dim)(j => math.max(a(j), b(j))))
+      val scale = Array.tabulate(dim)(j => (maxs(j) - mins(j)) / 255f)
+      val bcS = spark.sparkContext.broadcast(scale)
+      val bcO = spark.sparkContext.broadcast(mins)
+      graphDs
+        .map(r => (r.part_id, r.node_idx, r.id,
+          VectorKernels.sqEncode(r.vec, bcS.value, bcO.value), r.neighbors))
+        .toDF("part_id", "node_idx", "id", "qvec", "neighbors")
+        .write.mode("overwrite").partitionBy("part_id")
+        .parquet(s"$indexDir/graph")
+      Seq((scale.toSeq, mins.toSeq)).toDF("scale", "offset")
+        .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/sq_params")
+    } else graphDs.toDF().write.mode("overwrite").partitionBy("part_id")
       .parquet(s"$indexDir/graph")
     // per-part segment states (system.vector_index_segments analog)
     val perPart = spark.read.parquet(s"$indexDir/graph")
@@ -260,7 +304,7 @@ object HnswIndex {
     }
     val n = perPart.map(_._2).sum
     val entry = IvfIndex.IndexEntry(indexName, indexDir, sourcePath, vecCol,
-      "HNSWFLAT", metric, "BUILT", n, idCol = idCol)
+      indexType, metric, "BUILT", n, idCol = idCol)
     IvfIndex.Catalog.register(entry)
     IvfIndex.Catalog.logEvent(indexName, "BUILD_FINISH", s"nRows=$n parts=${perPart.length}")
     entry
@@ -313,16 +357,43 @@ object HnswIndex {
       .map(_.getPath)
     require(partDirs.nonEmpty, s"no graph partitions under $root")
     val filt = accept
+    // HNSWSQ graphs carry int8 codes + sq_params; dequantize once per JVM
+    // at graph-load time (the cache makes this a one-off per part).
+    val sqParams: Option[(Array[Float], Array[Float])] =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/sq_params"))) {
+        val r = spark.read.parquet(s"$indexDir/sq_params").head()
+        Some((r.getSeq[Float](0).toArray, r.getSeq[Float](1).toArray))
+      } else None
     val perPart = partDirs.map { p =>
       val pid = p.getName.stripPrefix("part_id=").toInt
-      spark.read.parquet(p.toString)
-        .select(col("node_idx"), col("id"), col("vec"), col("neighbors"))
-        .as[GraphNode]
-        .coalesce(1)
-        .mapPartitions { rows =>
-          val g = loadGraph(s"$indexDir#$pid", rows, metric)
-          g.search(q, k, ef, filt.getOrElse((_: Long) => true)).iterator
-        }
+      sqParams match {
+        case Some((scale, offset)) =>
+          spark.read.parquet(p.toString)
+            .select(col("node_idx"), col("id"), col("qvec"), col("neighbors"))
+            .as[(Int, Long, Array[Byte], Seq[Seq[Int]])]
+            .coalesce(1)
+            .mapPartitions { rows =>
+              val nodes = rows.map { case (ni, id, codes, nbrs) =>
+                val v = new Array[Float](codes.length)
+                var j = 0
+                while (j < codes.length) {
+                  v(j) = offset(j) + (codes(j) & 0xff) * scale(j); j += 1
+                }
+                GraphNode(ni, id, v, nbrs)
+              }
+              val g = loadGraph(s"$indexDir#$pid", nodes, metric)
+              g.search(q, k, ef, filt.getOrElse((_: Long) => true)).iterator
+            }
+        case None =>
+          spark.read.parquet(p.toString)
+            .select(col("node_idx"), col("id"), col("vec"), col("neighbors"))
+            .as[GraphNode]
+            .coalesce(1)
+            .mapPartitions { rows =>
+              val g = loadGraph(s"$indexDir#$pid", rows, metric)
+              g.search(q, k, ef, filt.getOrElse((_: Long) => true)).iterator
+            }
+      }
     }
     perPart.reduce(_ union _)
       .toDF("id", "d")

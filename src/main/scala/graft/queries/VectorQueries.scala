@@ -52,6 +52,16 @@ object VectorQueries {
         s"ivfsq_embeddings_${dir.replaceAll("[^a-zA-Z0-9]", "_")}", idx, "l2", 16)
       idx
     })
+  private val hnswSqDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def hnswSqDir(s: SparkSession, dir: String): String =
+    hnswSqDirs.getOrElseUpdate(dir, {
+      val idx = java.nio.file.Files.createTempDirectory("graft-hnswsq").toString
+      HnswIndex.build(s, emb(s, dir), "vec_id", "embedding",
+        s"hnswsq_embeddings_${dir.replaceAll("[^a-zA-Z0-9]", "_")}", idx,
+        "l2", m = 12, efConstruction = 80, numPartitions = Some(4),
+        quantize = true)
+      idx
+    })
   private val pqDirs = scala.collection.concurrent.TrieMap.empty[String, String]
   private def pqDir(s: SparkSession, dir: String): String =
     pqDirs.getOrElseUpdate(dir, {
@@ -193,6 +203,13 @@ object VectorQueries {
       SqIndex.search(s, sqDir(s, dir), emb(s, dir), queryVec(s, dir), 10,
           numReorder = 50, nprobe = 16, None, "d", Seq(col("vec_id")))
         .select(col("vec_id"), round(col("d").cast("double"), 3).as("d"))
+        .orderBy(col("vec_id"))
+    }),
+    // HNSWSQ: graph index over int8-quantized vectors (4x smaller graph
+    // files); approximate — rows-only, recall in HnswIndexSpec.
+    "v17_hnswsq" -> ((s, dir) => {
+      HnswIndex.search(s, hnswSqDir(s, dir), queryVec(s, dir), 10, ef = 128)
+        .select(col("id").as("vec_id"), round(col("d").cast("double"), 3).as("d"))
         .orderBy(col("vec_id"))
     }),
     // IVFPQ: product quantization (m=8 bytes/vector, 32x vs float32) with

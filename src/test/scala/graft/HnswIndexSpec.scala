@@ -74,6 +74,22 @@ class HnswIndexSpec extends SparkSpec {
     }
   }
 
+  test("HNSWSQ: quantized graph is ~4x smaller and keeps recall") {
+    val dir = Files.createTempDirectory("hnswsq-spec").toString
+    HnswIndex.build(spark, emb, "vec_id", "embedding", "spec_hnswsq", dir,
+      "l2", m = 8, efConstruction = 64, numPartitions = Some(2), quantize = true)
+    val cat = IvfIndex.Catalog.asDataFrame(spark)
+      .filter(col("name") === "spec_hnswsq").head()
+    assert(cat.getAs[String]("indexType") === "HNSWSQ")
+    val g = spark.read.parquet(s"$dir/graph")
+    assert(g.columns.contains("qvec") && !g.columns.contains("vec"))
+    val got = HnswIndex.search(spark, dir, qv, 10, ef = 256)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val recall = (got & bruteIds(10).toSet).size / 10.0
+    assert(recall >= 0.8, s"HNSWSQ recall@10 = $recall")
+    IvfIndex.Catalog.drop("spec_hnswsq")
+  }
+
   test("deterministic rebuild produces identical graphs") {
     val d1 = Files.createTempDirectory("hnsw-d1").toString
     val d2 = Files.createTempDirectory("hnsw-d2").toString
