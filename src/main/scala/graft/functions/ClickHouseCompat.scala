@@ -116,6 +116,99 @@ object ClickHouseCompat {
     "toFloat64(s STRING) RETURNS DOUBLE RETURN CAST(s AS DOUBLE)",
     "toInt64(s STRING) RETURNS BIGINT RETURN CAST(s AS BIGINT)",
     "toString64(x BIGINT) RETURNS STRING RETURN CAST(x AS STRING)",
+    // ---- strings, tranche 2 (src/Functions/ReplaceStringImpl.h etc.) ----
+    "replaceAll(s STRING, f STRING, t STRING) RETURNS STRING RETURN replace(s, f, t)",
+    "replaceRegexpAll(s STRING, p STRING, t STRING) RETURNS STRING RETURN regexp_replace(s, p, t)",
+    "countSubstrings(s STRING, n STRING) RETURNS INT RETURN size(split(s, concat('\\\\Q', n, '\\\\E'), -1)) - 1",
+    "multiSearchAny(s STRING, ns ARRAY<STRING>) RETURNS BOOLEAN RETURN exists(ns, n -> instr(s, n) > 0)",
+    "trimLeft(s STRING) RETURNS STRING RETURN ltrim(s)",
+    "trimRight(s STRING) RETURNS STRING RETURN rtrim(s)",
+    "leftPad(s STRING, n INT, p STRING) RETURNS STRING RETURN lpad(s, n, p)",
+    "rightPad(s STRING, n INT, p STRING) RETURNS STRING RETURN rpad(s, n, p)",
+    "splitByString(sep STRING, s STRING) RETURNS ARRAY<STRING> RETURN split(s, concat('\\\\Q', sep, '\\\\E'), -1)",
+    "appendTrailingCharIfAbsent(s STRING, c STRING) RETURNS STRING RETURN IF(endswith(s, c), s, concat(s, c))",
+    "base64Encode(s STRING) RETURNS STRING RETURN base64(CAST(s AS BINARY))",
+    "base64Decode(s STRING) RETURNS STRING RETURN CAST(unbase64(s) AS STRING)",
+    "extractGroup(s STRING, p STRING) RETURNS STRING RETURN regexp_extract(s, p, 1)",
+    "matchRegexp(s STRING, p STRING) RETURNS BOOLEAN RETURN s RLIKE p",
+    "concatWithSeparator(sep STRING, a STRING, b STRING) RETURNS STRING RETURN concat_ws(sep, a, b)",
+    // ---- arrays, tranche 2 (src/Functions/array/) ----
+    "arraySlice(a ARRAY<DOUBLE>, o INT, l INT) RETURNS ARRAY<DOUBLE> RETURN slice(a, o, l)",
+    "arrayConcat(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS ARRAY<DOUBLE> RETURN concat(a, b)",
+    "arrayPushBack(a ARRAY<DOUBLE>, x DOUBLE) RETURNS ARRAY<DOUBLE> RETURN concat(a, array(x))",
+    "arrayPushFront(a ARRAY<DOUBLE>, x DOUBLE) RETURNS ARRAY<DOUBLE> RETURN concat(array(x), a)",
+    "arrayPopBack(a ARRAY<DOUBLE>) RETURNS ARRAY<DOUBLE> RETURN slice(a, 1, greatest(size(a) - 1, 0))",
+    "arrayPopFront(a ARRAY<DOUBLE>) RETURNS ARRAY<DOUBLE> RETURN slice(a, 2, greatest(size(a) - 1, 0))",
+    "arrayReverse(a ARRAY<DOUBLE>) RETURNS ARRAY<DOUBLE> RETURN reverse(a)",
+    "arraySortAsc(a ARRAY<DOUBLE>) RETURNS ARRAY<DOUBLE> RETURN array_sort(a)",
+    "arrayReverseSort(a ARRAY<DOUBLE>) RETURNS ARRAY<DOUBLE> RETURN sort_array(a, false)",
+    // arrayDifference: [0, a2-a1, a3-a2, ...] (element_at is 1-based →
+    // element_at(a, i) is the PREVIOUS element at 0-based index i)
+    "arrayDifference(a ARRAY<DOUBLE>) RETURNS ARRAY<DOUBLE> RETURN " +
+      "transform(a, (x, i) -> IF(i = 0, 0D, x - element_at(a, i)))",
+    "arrayCumSum(a ARRAY<DOUBLE>) RETURNS ARRAY<DOUBLE> RETURN " +
+      "transform(a, (x, i) -> aggregate(slice(a, 1, i + 1), 0D, (acc, y) -> acc + y))",
+    "arrayEnumerate(a ARRAY<DOUBLE>) RETURNS ARRAY<INT> RETURN " +
+      "IF(size(a) = 0, array(), sequence(1, size(a)))",
+    "arrayFlatten(a ARRAY<ARRAY<DOUBLE>>) RETURNS ARRAY<DOUBLE> RETURN flatten(a)",
+    "arrayIntersect(a ARRAY<STRING>, b ARRAY<STRING>) RETURNS ARRAY<STRING> RETURN array_sort(array_intersect(a, b))",
+    "hasAll(a ARRAY<STRING>, b ARRAY<STRING>) RETURNS BOOLEAN RETURN size(array_except(b, a)) = 0",
+    "hasAny(a ARRAY<STRING>, b ARRAY<STRING>) RETURNS BOOLEAN RETURN arrays_overlap(a, b)",
+    "arrayElement(a ARRAY<DOUBLE>, i INT) RETURNS DOUBLE RETURN element_at(a, i)",
+    "countEqual(a ARRAY<DOUBLE>, v DOUBLE) RETURNS INT RETURN size(filter(a, x -> x = v))",
+    // ---- maps ----
+    "mapKeys(m MAP<STRING, DOUBLE>) RETURNS ARRAY<STRING> RETURN map_keys(m)",
+    "mapValuesArr(m MAP<STRING, DOUBLE>) RETURNS ARRAY<DOUBLE> RETURN map_values(m)",
+    "mapContains(m MAP<STRING, DOUBLE>, k STRING) RETURNS BOOLEAN RETURN map_contains_key(m, k)",
+    // ---- bit ops (src/Functions/bitTest.cpp etc.) ----
+    "bitTest(x BIGINT, n INT) RETURNS INT RETURN CAST((x >> n) & 1 AS INT)",
+    "bitShiftLeft(x BIGINT, n INT) RETURNS BIGINT RETURN shiftleft(x, n)",
+    "bitShiftRight(x BIGINT, n INT) RETURNS BIGINT RETURN shiftright(x, n)",
+    "bitAndFn(a BIGINT, b BIGINT) RETURNS BIGINT RETURN a & b",
+    "bitOrFn(a BIGINT, b BIGINT) RETURNS BIGINT RETURN a | b",
+    "bitXorFn(a BIGINT, b BIGINT) RETURNS BIGINT RETURN a ^ b",
+    // ---- math, tranche 2 ----
+    "exp2(x DOUBLE) RETURNS DOUBLE RETURN pow(2, x)",
+    "exp10(x DOUBLE) RETURNS DOUBLE RETURN pow(10, x)",
+    "sigmoidFn(x DOUBLE) RETURNS DOUBLE RETURN 1 / (1 + exp(-x))",
+    // banker's rounding to integer (Spark's bround needs a literal scale,
+    // so the .5 tie-to-even case is spelled out)
+    "roundBankers(x DOUBLE) RETURNS DOUBLE RETURN " +
+      "CASE WHEN x - floor(x) = 0.5 THEN " +
+      "IF(CAST(floor(x) AS BIGINT) % 2 = 0, floor(x), ceil(x)) " +
+      "ELSE round(x) END",
+    "roundToExp2(x DOUBLE) RETURNS DOUBLE RETURN IF(x <= 0, 0D, pow(2, floor(log2(x))))",
+    "intDivOrZero(a BIGINT, b BIGINT) RETURNS BIGINT RETURN IF(b = 0, 0L, a div b)",
+    "moduloOrZero(a BIGINT, b BIGINT) RETURNS BIGINT RETURN IF(b = 0, 0L, a % b)",
+    "ifNotFinite(x DOUBLE, alt DOUBLE) RETURNS DOUBLE RETURN IF(isnan(x) OR abs(x) = CAST('Infinity' AS DOUBLE), alt, x)",
+    // ---- type conversion, tranche 2 ----
+    "toInt32(s STRING) RETURNS INT RETURN CAST(s AS INT)",
+    "toFloat32(s STRING) RETURNS FLOAT RETURN CAST(s AS FLOAT)",
+    "toInt64OrNull(s STRING) RETURNS BIGINT RETURN try_cast(s AS BIGINT)",
+    "toInt64OrZero(s STRING) RETURNS BIGINT RETURN coalesce(try_cast(s AS BIGINT), 0L)",
+    "toFloat64OrNull(s STRING) RETURNS DOUBLE RETURN try_cast(s AS DOUBLE)",
+    "toDateOrNull(s STRING) RETURNS DATE RETURN try_cast(s AS DATE)",
+    "parseDateTimeBestEffort(s STRING) RETURNS TIMESTAMP RETURN CAST(s AS TIMESTAMP)",
+    // ---- date/time, tranche 2 ----
+    "toQuarter(t TIMESTAMP) RETURNS INT RETURN quarter(t)",
+    "toISOWeek(t TIMESTAMP) RETURNS INT RETURN weekofyear(CAST(t AS DATE))",
+    "addWeeks(t TIMESTAMP, n INT) RETURNS TIMESTAMP RETURN t + make_interval(0, 0, n)",
+    "subtractMonths(t TIMESTAMP, n INT) RETURNS TIMESTAMP RETURN t - make_interval(0, n)",
+    "subtractHours(t TIMESTAMP, n INT) RETURNS TIMESTAMP RETURN t - make_interval(0, 0, 0, 0, n)",
+    "toStartOfFiveMinutes(t TIMESTAMP) RETURNS TIMESTAMP RETURN " +
+      "timestamp_seconds((unix_micros(t) div 1000000 div 300) * 300)",
+    "toStartOfFifteenMinutes(t TIMESTAMP) RETURNS TIMESTAMP RETURN " +
+      "timestamp_seconds((unix_micros(t) div 1000000 div 900) * 900)",
+    "timeSlot(t TIMESTAMP) RETURNS TIMESTAMP RETURN " +
+      "timestamp_seconds((unix_micros(t) div 1000000 div 1800) * 1800)",
+    // ---- JSON (src/Functions/JSONPath + visitParam) ----
+    "JSONExtractString(j STRING, k STRING) RETURNS STRING RETURN get_json_object(j, concat('$.', k))",
+    "JSONHas(j STRING, k STRING) RETURNS BOOLEAN RETURN get_json_object(j, concat('$.', k)) IS NOT NULL",
+    "visitParamExtractString(j STRING, k STRING) RETURNS STRING RETURN get_json_object(j, concat('$.', k))",
+    // ---- misc ----
+    "generateUUIDv4() RETURNS STRING RETURN uuid()",
+    "bar(x DOUBLE, mn DOUBLE, mx DOUBLE, w INT) RETURNS STRING RETURN " +
+      "repeat('#', CAST(greatest(least((x - mn) / (mx - mn), 1D), 0D) * w AS INT))",
   )
 
   /** Install all aliases (CREATE OR REPLACE, idempotent); returns names

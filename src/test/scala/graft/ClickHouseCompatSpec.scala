@@ -74,6 +74,57 @@ class ClickHouseCompatSpec extends SparkSpec {
     assert(r.getDouble(1) === r.getDouble(2)) // quantileExact(0.5) == median
   }
 
+  test("tranche-2 string / bit / conversion aliases") {
+    val r = spark.sql("""SELECT
+      replaceAll('a-b-c', '-', '+') AS rep,
+      countSubstrings('abcabcab', 'ab') AS cs,
+      multiSearchAny('hello world', array('xyz', 'wor')) AS msa,
+      splitByString('::', 'a::b::c') AS sbs,
+      appendTrailingCharIfAbsent('dir', '/') AS atc,
+      base64Decode(base64Encode('roundtrip')) AS b64,
+      bitTest(5, 0) AS bt0, bitTest(5, 1) AS bt1,
+      toInt64OrZero('oops') AS tz, toInt64OrNull('42') AS tn,
+      roundBankers(2.5) AS rb1, roundBankers(3.5) AS rb2,
+      exp2(10.0) AS e2,
+      intDivOrZero(7, 0) AS idz""").head()
+    assert(r.getAs[String]("rep") === "a+b+c")
+    assert(r.getAs[Int]("cs") === 3)
+    assert(r.getAs[Boolean]("msa") === true)
+    assert(r.getAs[Seq[String]]("sbs") === Seq("a", "b", "c"))
+    assert(r.getAs[String]("atc") === "dir/")
+    assert(r.getAs[String]("b64") === "roundtrip")
+    assert(r.getAs[Int]("bt0") === 1 && r.getAs[Int]("bt1") === 0)
+    assert(r.getAs[Long]("tz") === 0L && r.getAs[Long]("tn") === 42L)
+    assert(r.getAs[Double]("rb1") === 2.0 && r.getAs[Double]("rb2") === 4.0)
+    assert(r.getAs[Double]("e2") === 1024.0)
+    assert(r.getAs[Long]("idz") === 0L)
+  }
+
+  test("tranche-2 array / map / JSON aliases") {
+    val r = spark.sql("""SELECT
+      arrayDifference(array(1D, 4D, 9D)) AS ad,
+      arrayCumSum(array(1D, 2D, 3D)) AS acs,
+      arrayEnumerate(array(5D, 6D)) AS ae,
+      hasAll(array('a','b','c'), array('a','c')) AS hall,
+      hasAll(array('a','b'), array('a','z')) AS hall2,
+      hasAny(array('a','b'), array('z','b')) AS hany,
+      countEqual(array(1D, 2D, 1D), 1D) AS ce,
+      arrayPopBack(array(1D, 2D, 3D)) AS apb,
+      mapContains(map('k', 1D), 'k') AS mc,
+      JSONExtractString('{"a":"x"}', 'a') AS je,
+      JSONHas('{"a":1}', 'b') AS jh""").head()
+    assert(r.getAs[Seq[Double]]("ad") === Seq(0.0, 3.0, 5.0))
+    assert(r.getAs[Seq[Double]]("acs") === Seq(1.0, 3.0, 6.0))
+    assert(r.getAs[Seq[Int]]("ae") === Seq(1, 2))
+    assert(r.getAs[Boolean]("hall") && !r.getAs[Boolean]("hall2"))
+    assert(r.getAs[Boolean]("hany"))
+    assert(r.getAs[Int]("ce") === 2)
+    assert(r.getAs[Seq[Double]]("apb") === Seq(1.0, 2.0))
+    assert(r.getAs[Boolean]("mc"))
+    assert(r.getAs[String]("je") === "x")
+    assert(!r.getAs[Boolean]("jh"))
+  }
+
   test("geo distance: haversine sanity (Paris-London ~343.5 km)") {
     val d = spark.sql(
       "SELECT greatCircleDistance(2.3522, 48.8566, -0.1276, 51.5072)")
