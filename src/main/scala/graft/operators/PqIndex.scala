@@ -193,6 +193,34 @@ object PqIndex {
     table
   }
 
+  /** Stage-1 candidate ids only (ADC ranking) — the SQL-rewrite hook,
+    * mirroring [[SqIndex.stage1Candidates]].
+    */
+  def stage1Candidates(
+      spark: SparkSession,
+      indexDir: String,
+      qvec: Seq[Float],
+      numReorder: Int,
+      nprobe: Int): DataFrame = {
+    val meta = loadMeta(indexDir)
+    val books = loadBooks(spark, indexDir)
+    val centroids = loadCentroids(spark, indexDir)
+    val q = qvec.toArray
+    val probes = centroids.zipWithIndex
+      .map { case (c, i) => (IvfIndex.centroidDist(meta.metric, c, q), i) }
+      .sortBy(_._1).take(math.min(nprobe, centroids.length)).map(_._2)
+    val pruned = spark.read.parquet(s"$indexDir/lists")
+      .filter(col("list_id").isin(probes.toIndexedSeq: _*))
+    val table = adcTable(q, books, meta.metric)
+    val ip = meta.metric.equalsIgnoreCase("ip") || meta.metric.equalsIgnoreCase("dot")
+    val adc = shim.column(PqAdcDistance(shim.expression(col("pqcodes")), table))
+    val dir = if (ip) col("__adc").desc else col("__adc").asc
+    pruned.withColumn("__adc", adc)
+      .orderBy(dir, col(meta.idCol))
+      .limit(numReorder)
+      .select(col(meta.idCol))
+  }
+
   /** Two-stage IVFPQ search: ADC ranking over the probed lists (m table
     * lookups per row), exact re-rank of `numReorder` survivors.
     */

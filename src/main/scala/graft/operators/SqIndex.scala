@@ -157,6 +157,36 @@ object SqIndex {
         .map(_.getSeq[Float](1).toArray)
     })
 
+  /** Stage-1 candidate ids only (quantized ranking over the probed
+    * lists) — used by [[graft.plans.TopKSearchRewrite]] to graft an IVFSQ
+    * path into a SQL plan, where the original projection's exact distance
+    * + Sort/Limit IS the stage-2 re-rank.
+    */
+  def stage1Candidates(
+      spark: SparkSession,
+      indexDir: String,
+      qvec: Seq[Float],
+      numReorder: Int,
+      nprobe: Int): DataFrame = {
+    val meta = loadMeta(indexDir)
+    val (scale, offset) = loadParams(spark, indexDir)
+    val centroids = loadCentroids(spark, indexDir)
+    val q = qvec.toArray
+    val probes = centroids.zipWithIndex
+      .map { case (c, i) => (IvfIndex.centroidDist(meta.metric, c, q), i) }
+      .sortBy(_._1).take(math.min(nprobe, centroids.length)).map(_._2)
+    val pruned = spark.read.parquet(s"$indexDir/lists")
+      .filter(col("list_id").isin(probes.toIndexedSeq: _*))
+    val m = parseMetric(meta.metric)
+    val sqd = shim.column(SqDistance(
+      shim.expression(col("qcodes")), q, scale, offset, m))
+    val dir = if (m == Metric.IP || m == Metric.Dot) col("__sqd").desc else col("__sqd").asc
+    pruned.withColumn("__sqd", sqd)
+      .orderBy(dir, col(meta.idCol))
+      .limit(numReorder)
+      .select(col(meta.idCol))
+  }
+
   /** Two-stage IVFSQ search. Stage 1 never touches float vectors; stage 2
     * re-ranks `numReorder` candidates exactly against `source`.
     */

@@ -143,6 +143,23 @@ case class TopKSearchRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         spark.read.parquet(s"${entry.indexDir}/lists")
           .filter(col("list_id").isin(probes.toIndexedSeq: _*))
           .queryExecution.analyzed
+      case sq @ ("IVFSQ" | "IVFPQ") if filterCond.isEmpty =>
+        val qvec = qArray.toFloatArray()
+        // quantized stage-1 candidates; the original projection's exact
+        // distance + the Sort/Limit on top IS the stage-2 re-rank.
+        val numReorder = math.max(4 * k, 64)
+        val cand =
+          (if (sq == "IVFSQ")
+            graft.operators.SqIndex.stage1Candidates(
+              spark, entry.indexDir, qvec.toSeq, numReorder, entry.defaultNprobe)
+          else
+            graft.operators.PqIndex.stage1Candidates(
+              spark, entry.indexDir, qvec.toSeq, numReorder, entry.defaultNprobe))
+        logInfo(s"TopKSearchRewrite: ORDER BY ${vd.prettyName} LIMIT $k over $path " +
+          s"→ $sq index ${entry.name} (numReorder=$numReorder)")
+        shim.ofRows(spark, rel)
+          .join(broadcast(cand), cand.columns.toSeq, "left_semi")
+          .queryExecution.optimizedPlan
       case "HNSWFLAT" if filterCond.isEmpty && entry.idCol.nonEmpty =>
         val qvec = qArray.toFloatArray()
         // graph search: shuffle-free per-part plan; over-fetch candidates

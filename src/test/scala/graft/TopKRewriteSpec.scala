@@ -90,6 +90,24 @@ class TopKRewriteSpec extends SparkSpec {
     } finally IvfIndex.Catalog.drop("auto_hnsw")
   }
 
+  test("IVFSQ index routes through quantized stage-1 + exact re-rank") {
+    val dir = Files.createTempDirectory("sq-auto").toString
+    val srcPath = "file:" + sfDir + "/embeddings.parquet"
+    try {
+      graft.operators.SqIndex.build(spark, emb, "vec_id", "embedding",
+        "auto_sq", dir, "l2", nLists = 8, sourcePath = srcPath,
+        defaultNprobe = 8)
+      val df = topkDf(10)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("Join"), s"expected candidate semi-join in:\n$plan")
+      val got = df.collect().map(_.getLong(0)).toSet
+      val brute = VectorSearch.topK(emb, col("embedding"), qv, 10, "l2",
+          None, "d", Seq(col("vec_id")))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert((got & brute).size >= 9, s"recall: ${(got & brute).size}/10")
+    } finally IvfIndex.Catalog.drop("auto_sq")
+  }
+
   test("max_search_result_window caps distance-ranked limits") {
     spark.conf.set("spark.graft.maxSearchResultWindow", "100")
     try {
