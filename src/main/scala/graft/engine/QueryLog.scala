@@ -1,0 +1,58 @@
+package graft.engine
+
+import java.util.concurrent.ConcurrentLinkedDeque
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** `system.query_log` analog (reference
+  * `/root/reference/src/Interpreters/QueryLog.cpp`): a session-attached
+  * listener records one row per finished DataFrame action into a bounded
+  * in-memory ring, queryable as a DataFrame. The reference persists its
+  * log to a MergeTree table; here the ring is the authoritative store and
+  * persisting it is one `df.write` away.
+  */
+object QueryLog {
+
+  case class QueryEvent(eventTimeMs: Long, funcName: String,
+      durationMs: Long, status: String, error: String = "")
+
+  private val MaxEvents = 1000
+  private val ring = new ConcurrentLinkedDeque[QueryEvent]()
+  @volatile private var installed = false
+
+  private val listener = new QueryExecutionListener {
+    override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+      add(QueryEvent(System.currentTimeMillis(), funcName, durationNs / 1000000L, "OK"))
+    override def onFailure(funcName: String, qe: QueryExecution, ex: Exception): Unit =
+      add(QueryEvent(System.currentTimeMillis(), funcName, 0L, "ERROR",
+        Option(ex.getMessage).getOrElse(ex.getClass.getName)))
+  }
+
+  private def add(e: QueryEvent): Unit = {
+    ring.addLast(e)
+    while (ring.size() > MaxEvents) ring.pollFirst()
+  }
+
+  /** Attach to a session (idempotent per JVM). */
+  def install(spark: SparkSession): Unit = synchronized {
+    if (!installed) {
+      spark.listenerManager.register(listener)
+      installed = true
+    }
+  }
+
+  def events(): Seq[QueryEvent] = {
+    import scala.jdk.CollectionConverters._
+    ring.iterator().asScala.toSeq
+  }
+
+  def clear(): Unit = ring.clear()
+
+  /** `SELECT * FROM system.query_log`. */
+  def asDataFrame(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    events().toDF().select("eventTimeMs", "funcName", "durationMs", "status", "error")
+  }
+}

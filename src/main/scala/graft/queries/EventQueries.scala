@@ -177,6 +177,26 @@ object EventQueries {
         .agg(m.cast("int").as("matched"))
         .orderBy(col("user_id"))
     }),
+    // -Distinct combinator: native DISTINCT-input aggregates.
+    "e25_distinct_combinator" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(sum_distinct(col("l_quantity")), 2).as("sum_distinct_qty"),
+          count_distinct(col("l_suppkey")).as("uniq_supp"),
+          round(avg(col("l_discount")), 4).as("avg_disc"))
+        .orderBy(col("l_returnflag"))
+    }),
+    // groupBitAnd/Or/Xor aggregates (registerAggregateFunctions.cpp).
+    "e26_group_bit_agg" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("bit_and(user_id)").as("band"),
+          expr("bit_or(user_id)").as("bor"),
+          expr("bit_xor(user_id)").as("bxor"))
+        .orderBy(col("event_type"))
+    }),
     // -Resample combinator: one aggregate split into key-range buckets
     // ([1,51) step 10 over l_quantity) — single pass, no explode.
     "e24_resample_combinator" -> ((s, dir) => {
@@ -372,6 +392,18 @@ object EventQueries {
              array_to_string(list_sort(list(event_type || ':' || CAST(mx AS VARCHAR))), ',')
                AS max_map
       FROM per GROUP BY user_id ORDER BY user_id LIMIT 50""",
+    "e25_distinct_combinator" -> """
+      SELECT l_returnflag,
+             round(sum(DISTINCT l_quantity), 2) AS sum_distinct_qty,
+             CAST(count(DISTINCT l_suppkey) AS BIGINT) AS uniq_supp,
+             round(avg(l_discount), 4) AS avg_disc
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "e26_group_bit_agg" -> """
+      SELECT event_type,
+             bit_and(user_id) AS band,
+             bit_or(user_id) AS bor,
+             bit_xor(user_id) AS bxor
+      FROM events GROUP BY event_type ORDER BY event_type""",
     "e24_resample_combinator" -> {
       val cnts = (0 until 5).map { i =>
         val lo = 1 + i * 10; val hi = 11 + i * 10
