@@ -19,6 +19,44 @@ object Aggregates {
 
   type Ev = (Double, Int) // (timestamp seconds, condition index)
 
+  /** Compact event buffer for the funnel/sequence aggregators: paired
+    * primitive arrays (~12 bytes/event) instead of a boxed
+    * `List[(Double, Int)]` (~64 bytes/event with object headers) — the
+    * per-entity buffer is the memory ceiling of this family, so a 5×
+    * density win directly raises the events-per-entity an executor
+    * survives. Kryo-serialized between partial and final aggregation.
+    */
+  final class EvBuffer(
+      var ts: Array[Double] = new Array[Double](0),
+      var idx: Array[Int] = new Array[Int](0),
+      var n: Int = 0) extends Serializable {
+    private def grow(min: Int): Unit = {
+      val cap = math.max(min, math.max(8, n * 2))
+      ts = java.util.Arrays.copyOf(ts, cap)
+      idx = java.util.Arrays.copyOf(idx, cap)
+    }
+    def append(t: Double, i: Int): EvBuffer = {
+      if (n == ts.length) grow(n + 1)
+      ts(n) = t; idx(n) = i; n += 1
+      this
+    }
+    def merge(o: EvBuffer): EvBuffer = {
+      if (n + o.n > ts.length) grow(n + o.n)
+      System.arraycopy(o.ts, 0, ts, n, o.n)
+      System.arraycopy(o.idx, 0, idx, n, o.n)
+      n += o.n
+      this
+    }
+    /** Events sorted by (ts, idx). */
+    def sorted: Array[Ev] = {
+      val out = new Array[Ev](n)
+      var i = 0
+      while (i < n) { out(i) = (ts(i), idx(i)); i += 1 }
+      java.util.Arrays.sort(out, Ordering.Tuple2[Double, Int])
+      out
+    }
+  }
+
   /** windowFunnel(window)(ts, cond1..condN): max level L such that a chain
     * e1..eL exists with non-decreasing timestamps, e_i matching cond_i,
     * and ts(eL) - ts(e1) <= window.
@@ -49,13 +87,14 @@ object Aggregates {
   /** Column form: windowFunnel(3600)(tsSeconds, cond1, cond2, ...). */
   def windowFunnel(windowSeconds: Double)(tsSeconds: Column, conds: Column*): Column = {
     val n = conds.size
-    val agg = new Aggregator[(Double, Int), List[Ev], Int] {
-      override def zero: List[Ev] = Nil
-      override def reduce(b: List[Ev], a: (Double, Int)) =
-        if (a._2 >= 0) a :: b else b
-      override def merge(a: List[Ev], b: List[Ev]) = a ::: b
-      override def finish(b: List[Ev]): Int = funnelLevel(b, windowSeconds, n)
-      override def bufferEncoder: Encoder[List[Ev]] = Encoders.kryo[List[Ev]]
+    val agg = new Aggregator[(Double, Int), EvBuffer, Int] {
+      override def zero: EvBuffer = new EvBuffer()
+      override def reduce(b: EvBuffer, a: (Double, Int)) =
+        if (a._2 >= 0) b.append(a._1, a._2) else b
+      override def merge(a: EvBuffer, b: EvBuffer) = a.merge(b)
+      override def finish(b: EvBuffer): Int =
+        funnelLevel(b.sorted.toList, windowSeconds, n)
+      override def bufferEncoder: Encoder[EvBuffer] = Encoders.kryo[EvBuffer]
       override def outputEncoder: Encoder[Int] = Encoders.scalaInt
     }
     val fn = udaf(agg)
@@ -71,20 +110,19 @@ object Aggregates {
     */
   def sequenceMatch(tsSeconds: Column, conds: Column*): Column = {
     val n = conds.size
-    val agg = new Aggregator[(Double, Int), List[Ev], Boolean] {
-      override def zero: List[Ev] = Nil
-      override def reduce(b: List[Ev], a: (Double, Int)) =
-        if (a._2 >= 0) a :: b else b
-      override def merge(a: List[Ev], b: List[Ev]) = a ::: b
-      override def finish(events: List[Ev]): Boolean = {
-        val sorted = events.sortBy(e => (e._1, e._2))
+    val agg = new Aggregator[(Double, Int), EvBuffer, Boolean] {
+      override def zero: EvBuffer = new EvBuffer()
+      override def reduce(b: EvBuffer, a: (Double, Int)) =
+        if (a._2 >= 0) b.append(a._1, a._2) else b
+      override def merge(a: EvBuffer, b: EvBuffer) = a.merge(b)
+      override def finish(events: EvBuffer): Boolean = {
         var ptr = 0
-        sorted.foreach { case (_, idx) =>
+        events.sorted.foreach { case (_, idx) =>
           if (ptr < n && idx == ptr) ptr += 1
         }
         ptr == n
       }
-      override def bufferEncoder: Encoder[List[Ev]] = Encoders.kryo[List[Ev]]
+      override def bufferEncoder: Encoder[EvBuffer] = Encoders.kryo[EvBuffer]
       override def outputEncoder: Encoder[Boolean] = Encoders.scalaBoolean
     }
     val fn = udaf(agg)
@@ -99,16 +137,15 @@ object Aggregates {
     */
   def sequenceCount(tsSeconds: Column, conds: Column*): Column = {
     val n = conds.size
-    val agg = new Aggregator[(Double, Int), List[Ev], Long] {
-      override def zero: List[Ev] = Nil
-      override def reduce(b: List[Ev], a: (Double, Int)) =
-        if (a._2 >= 0) a :: b else b
-      override def merge(a: List[Ev], b: List[Ev]) = a ::: b
-      override def finish(events: List[Ev]): Long = {
-        val sorted = events.sortBy(e => (e._1, e._2))
+    val agg = new Aggregator[(Double, Int), EvBuffer, Long] {
+      override def zero: EvBuffer = new EvBuffer()
+      override def reduce(b: EvBuffer, a: (Double, Int)) =
+        if (a._2 >= 0) b.append(a._1, a._2) else b
+      override def merge(a: EvBuffer, b: EvBuffer) = a.merge(b)
+      override def finish(events: EvBuffer): Long = {
         var ptr = 0
         var count = 0L
-        sorted.foreach { case (_, idx) =>
+        events.sorted.foreach { case (_, idx) =>
           if (idx == ptr) {
             ptr += 1
             if (ptr == n) { count += 1; ptr = 0 }
@@ -116,7 +153,7 @@ object Aggregates {
         }
         count
       }
-      override def bufferEncoder: Encoder[List[Ev]] = Encoders.kryo[List[Ev]]
+      override def bufferEncoder: Encoder[EvBuffer] = Encoders.kryo[EvBuffer]
       override def outputEncoder: Encoder[Long] = Encoders.scalaLong
     }
     val fn = udaf(agg)
@@ -245,14 +282,14 @@ object Aggregates {
     */
   def sequenceMatchPattern(pattern: String)(tsSeconds: Column, conds: Column*): Column = {
     val steps = SeqPattern.parse(pattern, conds.size) // fail fast at plan time
-    val agg = new Aggregator[(Double, Int), List[Ev], Boolean] {
-      override def zero: List[Ev] = Nil
-      override def reduce(b: List[Ev], a: (Double, Int)) =
-        if (a._2 != 0) a :: b else b
-      override def merge(a: List[Ev], b: List[Ev]) = a ::: b
-      override def finish(events: List[Ev]): Boolean =
-        SeqPattern.matches(events.sortBy(e => (e._1, e._2)).toArray, steps)
-      override def bufferEncoder: Encoder[List[Ev]] = Encoders.kryo[List[Ev]]
+    val agg = new Aggregator[(Double, Int), EvBuffer, Boolean] {
+      override def zero: EvBuffer = new EvBuffer()
+      override def reduce(b: EvBuffer, a: (Double, Int)) =
+        if (a._2 != 0) b.append(a._1, a._2) else b
+      override def merge(a: EvBuffer, b: EvBuffer) = a.merge(b)
+      override def finish(events: EvBuffer): Boolean =
+        SeqPattern.matches(events.sorted, steps)
+      override def bufferEncoder: Encoder[EvBuffer] = Encoders.kryo[EvBuffer]
       override def outputEncoder: Encoder[Boolean] = Encoders.scalaBoolean
     }
     val fn = udaf(agg)
@@ -262,14 +299,14 @@ object Aggregates {
   /** sequenceCount with the full pattern string (non-overlapping greedy). */
   def sequenceCountPattern(pattern: String)(tsSeconds: Column, conds: Column*): Column = {
     val steps = SeqPattern.parse(pattern, conds.size)
-    val agg = new Aggregator[(Double, Int), List[Ev], Long] {
-      override def zero: List[Ev] = Nil
-      override def reduce(b: List[Ev], a: (Double, Int)) =
-        if (a._2 != 0) a :: b else b
-      override def merge(a: List[Ev], b: List[Ev]) = a ::: b
-      override def finish(events: List[Ev]): Long =
-        SeqPattern.count(events.sortBy(e => (e._1, e._2)).toArray, steps)
-      override def bufferEncoder: Encoder[List[Ev]] = Encoders.kryo[List[Ev]]
+    val agg = new Aggregator[(Double, Int), EvBuffer, Long] {
+      override def zero: EvBuffer = new EvBuffer()
+      override def reduce(b: EvBuffer, a: (Double, Int)) =
+        if (a._2 != 0) b.append(a._1, a._2) else b
+      override def merge(a: EvBuffer, b: EvBuffer) = a.merge(b)
+      override def finish(events: EvBuffer): Long =
+        SeqPattern.count(events.sorted, steps)
+      override def bufferEncoder: Encoder[EvBuffer] = Encoders.kryo[EvBuffer]
       override def outputEncoder: Encoder[Long] = Encoders.scalaLong
     }
     val fn = udaf(agg)
