@@ -96,6 +96,68 @@ object TextSearch {
       .limit(k)
   }
 
+  /** Parsed natural-language query (`enable_nlq`, reference
+    * `VSDescription.h:72-108` — Tantivy's query-parser subset):
+    * `"quoted phrase"` = consecutive-token phrase match, `+term` = must
+    * occur, `-term` = must not occur, bare terms = should (scored, OR).
+    */
+  case class NlQuery(must: Seq[String], mustNot: Seq[String],
+      should: Seq[String], phrases: Seq[Seq[String]]) {
+    /** Terms contributing to the BM25 score. */
+    def scoredTerms: Seq[String] = (must ++ should ++ phrases.flatten).distinct
+  }
+
+  private[graft] def parseNlq(q: String): NlQuery = {
+    val phraseRe = "\"([^\"]*)\"".r
+    val phrases = phraseRe.findAllMatchIn(q).map(m => queryTerms(m.group(1)))
+      .filter(_.nonEmpty).toSeq
+    val rest = phraseRe.replaceAllIn(q, " ")
+    val tokens = rest.split("\\s+").filter(_.nonEmpty)
+    val must = tokens.filter(_.startsWith("+")).flatMap(t => queryTerms(t.drop(1)))
+    val mustNot = tokens.filter(_.startsWith("-")).flatMap(t => queryTerms(t.drop(1)))
+    val should = tokens.filterNot(t => t.startsWith("+") || t.startsWith("-"))
+      .flatMap(queryTerms(_))
+    NlQuery(must.distinct.toSeq, mustNot.distinct.toSeq,
+      should.distinct.toSeq, phrases)
+  }
+
+  /** `textsearch()` with `enable_nlq=true`: the query string is parsed as
+    * the Tantivy-style mini-language and matching combines phrase /
+    * must / must-not constraints with BM25 scoring over the remaining
+    * terms. Phrase matching is consecutive-token (space-joined token
+    * stream containment) — the direct-path equivalent of Tantivy's
+    * positional postings.
+    */
+  def textSearchNlq(
+      df: DataFrame,
+      textCol: Column,
+      query: String,
+      k: Int,
+      scoreName: String = "bm25_score",
+      tieBreak: Seq[Column] = Nil): DataFrame = {
+    val nlq = parseNlq(query)
+    val terms = nlq.scoredTerms
+    if (terms.isEmpty && nlq.mustNot.isEmpty)
+      return df.withColumn(scoreName, lit(0.0)).filter(lit(false)).limit(k)
+    val toks = text.tokenize(textCol)
+    val joined = concat(lit(" "), array_join(toks, " "), lit(" "))
+    val phraseConds = nlq.phrases.map(p =>
+      joined.contains(" " + p.mkString(" ") + " "))
+    val mustConds = nlq.must.map(t => array_contains(toks, t))
+    val notConds = nlq.mustNot.map(t => !array_contains(toks, t))
+    val shouldCond =
+      if (nlq.should.isEmpty) Nil
+      else if (nlq.must.nonEmpty || nlq.phrases.nonEmpty) Nil // should only scores
+      else Seq(nlq.should.map(t => array_contains(toks, t)).reduce(_ || _))
+    val matched = (phraseConds ++ mustConds ++ notConds ++ shouldCond)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val stats = collectStats(df, textCol, terms)
+    df.filter(matched)
+      .withColumn(scoreName, bm25Score(textCol, terms, stats))
+      .orderBy(col(scoreName).desc +: tieBreak: _*)
+      .limit(k)
+  }
+
   /** `textsearch()` over a Map column's keys or values (reference
     * `mapKeys`/`mapValues` search target, `CommonUtils.h:104`): the map
     * side is flattened to a text stream and searched with the same BM25

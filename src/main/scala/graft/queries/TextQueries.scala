@@ -156,6 +156,15 @@ object TextQueries {
         .select(col("doc_id"), round(col("fused_score"), 4).as("fused_score"))
         .orderBy(col("fused_score").desc, col("doc_id"))
     }),
+    // textsearch with enable_nlq: phrase + must + must-not query language
+    // (Tantivy parser subset, VSDescription.h:72-108).
+    "t09_nlq" -> ((s, dir) => {
+      TextSearch.textSearchNlq(t(s, dir, "documents"), col("text"),
+          """"customer join" +table -hash""", 10, "bm25_score",
+          Seq(col("doc_id")))
+        .select(col("doc_id"), round(col("bm25_score"), 4).as("bm25_score"))
+        .orderBy(col("bm25_score").desc, col("doc_id"))
+    }),
     // Hybrid search with the text leg served by the FTS posting-list
     // index — must reproduce h01's direct-path fusion exactly.
     "h03_hybrid_fts" -> ((s, dir) => {
@@ -270,6 +279,19 @@ object TextQueries {
     // index path ≡ direct path ≡ oracle.
     "t07_fts_topk" -> bm25OracleSql(TextSearch.queryTerms(query1), 10, and = false),
     "t08_fts_and" -> bm25OracleSql(TextSearch.queryTerms(query2), 10, and = true),
+    // scored terms in parse order (must ++ should ++ phrase tokens)
+    "t09_nlq" -> s"""
+      WITH ${bm25ScoresCte(Seq("table", "customer", "join"), "documents")},
+      nlq_toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+      nlq_m AS (SELECT doc_id FROM nlq_toks
+                WHERE list_contains(tk, 'table')
+                  AND (' ' || array_to_string(tk, ' ') || ' ') LIKE '% customer join %'
+                  AND NOT list_contains(tk, 'hash'))
+      SELECT * FROM (
+        SELECT s.doc_id, round(s.score, 4) AS bm25_score
+        FROM scores s JOIN nlq_m USING (doc_id)
+        ORDER BY s.score DESC, s.doc_id LIMIT 10)
+      ORDER BY bm25_score DESC, doc_id""",
     "t03_token_count" -> s"""
       SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
       FROM documents ORDER BY doc_id""",

@@ -47,6 +47,37 @@ class TextSearchSpec extends SparkSpec {
     assert(and.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L))
   }
 
+  test("enable_nlq: phrases, +must, -mustNot") {
+    val c = Seq(
+      (1L, "spark joins data fast"),
+      (2L, "fast data spark joins"),
+      (3L, "spark is fast"),
+      (4L, "ducks and data")).toDF("doc_id", "text")
+    import graft.operators.TextSearch.parseNlq
+    val p = parseNlq("""+spark -ducks "joins data" fast""")
+    assert(p.must === Seq("spark") && p.mustNot === Seq("ducks"))
+    assert(p.phrases === Seq(Seq("joins", "data")) && p.should === Seq("fast"))
+    // phrase "joins data" consecutive → doc 1 only (doc 2 has "data spark")
+    val hits = TextSearch.textSearchNlq(c, col("text"),
+        """"joins data"""", 10, "bm25_score", Seq(col("doc_id")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(hits === Set(1L))
+    // +spark -fast → docs with spark but not fast
+    val mm = TextSearch.textSearchNlq(c, col("text"), "+spark -fast", 10,
+        "bm25_score", Seq(col("doc_id")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(mm === Set.empty[Long]) // all spark docs also contain fast
+    val mm2 = TextSearch.textSearchNlq(c, col("text"), "+data -ducks", 10,
+        "bm25_score", Seq(col("doc_id")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(mm2 === Set(1L, 2L))
+    // bare terms behave like OR
+    val or = TextSearch.textSearchNlq(c, col("text"), "ducks", 10,
+        "bm25_score", Seq(col("doc_id")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(or === Set(4L))
+  }
+
   test("textsearch over Map keys and values") {
     val maps = Seq(
       (1L, Map("title" -> "spark joins", "body" -> "fast data")),
