@@ -40,7 +40,8 @@ object Bench {
       // first query that happens to use them; timed numbers then measure
       // search, not one-off construction.
       Seq("v08_ivf_exact", "v11_hnsw_search", "v14_ivfsq", "v15_binary_ivf",
-          "v16_ivfpq", "v17_hnswsq", "t07_fts_topk", "h03_hybrid_fts").foreach { n =>
+          "v16_ivfpq", "v17_hnswsq", "v18_binary_hnsw",
+          "t07_fts_topk", "h03_hybrid_fts").foreach { n =>
         SparkEntry.queries.get(n).foreach { fn =>
           try fn(spark, sfDir).count()
           catch { case e: Throwable =>

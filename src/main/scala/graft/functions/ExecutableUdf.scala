@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.types.StructType
+
+/** Executable (process) UDFs — the reference's
+  * `CREATE FUNCTION ... AS executable` surface
+  * (`/root/reference/src/Functions/UserDefined/UserDefinedExecutableFunction.h`):
+  * rows stream to an external command as TSV lines on stdin, the
+  * command's TSV stdout becomes the output columns.
+  *
+  * Spark realization: one long-lived process per PARTITION (not per row)
+  * via `mapPartitions` — the same batch-pipelined shape as the
+  * reference's pooled executable functions. Input columns are appended
+  * with the process output columns; the command must emit exactly one
+  * output line per input line (enforced).
+  */
+object ExecutableUdf {
+
+  /** Run `command` (via /bin/sh -c) over `df`: feeds the TSV-encoded
+    * `inputCols` to stdin, parses stdout lines as the TSV-encoded fields
+    * of `outputSchema`, and returns `df` with the output columns
+    * appended row-by-row.
+    *
+    * Contract (same as the reference's row-streamed executable
+    * functions): the command must emit one output line per input line AS
+    * IT STREAMS (line-buffered filters — awk/sed/python -u). Commands
+    * that buffer the whole input before emitting (sort, uniq -c) exceed
+    * the bounded in-flight row buffer and deadlock by design — use a
+    * dedicated aggregation instead.
+    */
+  def pipe(
+      df: DataFrame,
+      command: String,
+      inputCols: Seq[String],
+      outputSchema: StructType): DataFrame = {
+    val schema = StructType(df.schema.fields ++ outputSchema.fields)
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(schema))
+    val inIdx = inputCols.map(df.schema.fieldIndex).toArray
+    val outTypes = outputSchema.fields.map(_.dataType)
+
+    df.mapPartitions { rows =>
+      if (!rows.hasNext) Iterator.empty
+      else {
+        val pb = new ProcessBuilder("/bin/sh", "-c", command)
+        pb.redirectErrorStream(false)
+        val proc = pb.start()
+        val stdin = new java.io.BufferedWriter(
+          new java.io.OutputStreamWriter(proc.getOutputStream, "UTF-8"))
+        val stdout = new java.io.BufferedReader(
+          new java.io.InputStreamReader(proc.getInputStream, "UTF-8"))
+
+        // writer thread: stream rows in, buffer them for re-join
+        val inflight: java.util.concurrent.BlockingQueue[AnyRef] =
+          new java.util.concurrent.LinkedBlockingQueue[AnyRef](1024)
+        val END = new Object
+        val writer = new Thread(() => {
+          try {
+            rows.foreach { r =>
+              inflight.put(r)
+              stdin.write(inIdx.map(i => String.valueOf(r.get(i))).mkString("\t"))
+              stdin.newLine()
+            }
+          } finally {
+            stdin.close()
+            inflight.put(END)
+          }
+        }, "executable-udf-writer")
+        writer.setDaemon(true)
+        writer.start()
+
+        new Iterator[Row] {
+          private var nextRow: Row = null
+          private var done = false
+          private def advance(): Unit = {
+            if (done || nextRow != null) return
+            val in = inflight.take()
+            if (in eq END) {
+              done = true
+              require(stdout.readLine() == null,
+                s"executable UDF '$command' emitted more lines than input rows")
+              proc.waitFor()
+              return
+            }
+            val line = stdout.readLine()
+            require(line != null,
+              s"executable UDF '$command' emitted fewer lines than input rows")
+            val parts = line.split("\t", -1)
+            require(parts.length == outTypes.length,
+              s"executable UDF '$command' emitted ${parts.length} fields, " +
+                s"expected ${outTypes.length}")
+            val parsed = parts.zip(outTypes).map { case (s, dt) =>
+              if (s == "\\N") null
+              else dt match {
+                case org.apache.spark.sql.types.IntegerType => s.toInt
+                case org.apache.spark.sql.types.LongType    => s.toLong
+                case org.apache.spark.sql.types.DoubleType  => s.toDouble
+                case org.apache.spark.sql.types.FloatType   => s.toFloat
+                case org.apache.spark.sql.types.BooleanType => s.toBoolean
+                case _                                      => s
+              }
+            }
+            nextRow = Row.fromSeq(in.asInstanceOf[Row].toSeq ++ parsed)
+          }
+          override def hasNext: Boolean = { advance(); nextRow != null }
+          override def next(): Row = {
+            advance()
+            val r = nextRow; nextRow = null; r
+          }
+        }
+      }
+    }(enc)
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables.t
-import graft.operators.{BinaryIvfIndex, HnswIndex, IvfIndex, PqIndex, SqIndex, VectorSearch}
+import graft.operators.{BinaryHnswIndex, BinaryIvfIndex, HnswIndex, IvfIndex, PqIndex, SqIndex, VectorSearch}
 
 /** Vector-search coverage (SURVEY §2.1): distance() top-K per metric,
   * pre-filtered search, batch_distance, two-stage re-rank. Oracles use
@@ -78,6 +78,15 @@ object VectorQueries {
   private def bvecs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), unhex(md5(col("text"))).as("bvec"))
+  private val bhnswDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def bhnswDir(s: SparkSession, dir: String): String =
+    bhnswDirs.getOrElseUpdate(dir, {
+      val idx = java.nio.file.Files.createTempDirectory("graft-bhnsw").toString
+      BinaryHnswIndex.build(s, bvecs(s, dir), "doc_id", "bvec",
+        s"bhnsw_documents_${dir.replaceAll("[^a-zA-Z0-9]", "_")}", idx,
+        m = 12, efConstruction = 80, numPartitions = Some(4))
+      idx
+    })
   private def bivfDir(s: SparkSession, dir: String): String =
     bivfDirs.getOrElseUpdate(dir, {
       val idx = java.nio.file.Files.createTempDirectory("graft-bivf").toString
@@ -230,6 +239,16 @@ object VectorQueries {
       BinaryIvfIndex.search(s, bivfDir(s, dir), q, 10,
           nprobe = 16, None, "d", Seq(col("doc_id")))
         .select(col("doc_id"), col("d").cast("double").as("d"))
+        .orderBy(col("doc_id"))
+    }),
+    // BinaryHNSW: graph search over bit vectors (L2² of 0/1 floats ==
+    // Hamming, reusing the whole HNSW machinery); rows-only, recall +
+    // integer-exact distances in BinaryHnswSpec.
+    "v18_binary_hnsw" -> ((s, dir) => {
+      val q = bvecs(s, dir).filter(col("doc_id") === 0)
+        .select("bvec").head().getAs[Array[Byte]](0)
+      BinaryHnswIndex.search(s, bhnswDir(s, dir), q, 10, ef = 128)
+        .select(col("id").as("doc_id"), col("d").cast("double").as("d"))
         .orderBy(col("doc_id"))
     }),
     // arrayDistance scalar family as projection columns (not top-K).

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+import graft.functions.ExecutableUdf
+
+class ExecutableUdfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pipe streams rows through an external process, one line per row") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (40L, "d")).toDF("x", "s")
+    val out = ExecutableUdf.pipe(df,
+      """awk -F'\t' '{print ($1*2) "\t" $2 $2}'""",
+      Seq("x", "s"),
+      new StructType().add("doubled", LongType).add("echoed", StringType))
+    val got = out.orderBy($"x").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(got === Array(
+      (1L, "a", 2L, "aa"), (2L, "b", 4L, "bb"),
+      (3L, "c", 6L, "cc"), (40L, "d", 80L, "dd")))
+  }
+
+  test("pipe works across multiple partitions and empty partitions") {
+    val df = spark.range(0, 100, 1, 8).toDF("x")
+    val out = ExecutableUdf.pipe(df,
+      """awk -F'\t' '{print $1+1}'""",
+      Seq("x"), new StructType().add("inc", LongType))
+    assert(out.count() === 100)
+    val sums = out.agg(org.apache.spark.sql.functions.sum($"inc")).head().getLong(0)
+    assert(sums === (1L to 100L).sum)
+  }
+
+  test("field-count mismatch fails loudly") {
+    val df = Seq(1L).toDF("x")
+    val ex = intercept[Exception] {
+      ExecutableUdf.pipe(df, "awk '{print $1\"\\t\"$1}'", Seq("x"),
+        new StructType().add("y", LongType)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("fields")), ex.toString)
+  }
+}
