@@ -40,7 +40,7 @@ object Bench {
       // first query that happens to use them; timed numbers then measure
       // search, not one-off construction.
       Seq("v08_ivf_exact", "v11_hnsw_search", "v14_ivfsq", "v15_binary_ivf",
-          "v16_ivfpq", "v17_hnswsq", "v18_binary_hnsw",
+          "v16_ivfpq", "v17_hnswsq", "v18_binary_hnsw", "v19_hnswpq",
           "t07_fts_topk", "h03_hybrid_fts").foreach { n =>
         SparkEntry.queries.get(n).foreach { fn =>
           try fn(spark, sfDir).count()

@@ -245,9 +245,14 @@ object HnswIndex {
       efConstruction: Int = 100,
       numPartitions: Option[Int] = None,
       sourcePath: String = "",
-      quantize: Boolean = false): IvfIndex.IndexEntry = {
+      quantize: Boolean = false,
+      pqSubspaces: Int = 0): IvfIndex.IndexEntry = {
     import spark.implicits._
-    val indexType = if (quantize) "HNSWSQ" else "HNSWFLAT"
+    require(!(quantize && pqSubspaces > 0), "choose SQ or PQ, not both")
+    val indexType =
+      if (pqSubspaces > 0) "HNSWPQ"
+      else if (quantize) "HNSWSQ"
+      else "HNSWFLAT"
     IvfIndex.Catalog.logEvent(indexName, "BUILD_START",
       s"$indexType m=$m efC=$efConstruction")
     val base = df.select(col(idCol).cast("long"), col(vecCol))
@@ -259,7 +264,33 @@ object HnswIndex {
       iter.foreach { case (id, v) => b.insert(id, v) }
       b.rows(pid)
     }
-    if (quantize) {
+    if (pqSubspaces > 0) {
+      // HNSWPQ: persist m-byte PQ codes; codebooks trained like PqIndex.
+      val sample = parted.map(_._2)
+        .sample(withReplacement = false, 0.5, seed = 42L)
+        .take(100000)
+      require(sample.nonEmpty, "empty input to HnswIndex.build")
+      val dim = sample.head.length
+      require(dim % pqSubspaces == 0, s"dim $dim not divisible by m=$pqSubspaces")
+      val sub = dim / pqSubspaces
+      val nCodes = math.min(256, sample.length)
+      val books: Array[Array[Array[Float]]] = Array.tabulate(pqSubspaces) { s =>
+        val subSample = sample.map(v =>
+          java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub))
+        IvfIndex.kmeans(subSample, nCodes, seed = 42L + s)
+      }
+      val bcB = spark.sparkContext.broadcast(books)
+      graphDs
+        .map(r => (r.part_id, r.node_idx, r.id,
+          PqIndex.encode(r.vec, bcB.value), r.neighbors))
+        .toDF("part_id", "node_idx", "id", "qvec", "neighbors")
+        .write.mode("overwrite").partitionBy("part_id")
+        .parquet(s"$indexDir/graph")
+      books.zipWithIndex.flatMap { case (book, s) =>
+        book.zipWithIndex.map { case (cent, c) => (s, c, cent.toSeq) }
+      }.toSeq.toDF("sub", "code", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebooks")
+    } else if (quantize) {
       // per-dim min/max in one distributed pass (same shape as SqIndex)
       val mm = base.map(_._2).mapPartitions { it =>
         if (!it.hasNext) Iterator.empty
@@ -357,29 +388,53 @@ object HnswIndex {
       .map(_.getPath)
     require(partDirs.nonEmpty, s"no graph partitions under $root")
     val filt = accept
-    // HNSWSQ graphs carry int8 codes + sq_params; dequantize once per JVM
-    // at graph-load time (the cache makes this a one-off per part).
+    // Quantized graphs (HNSWSQ: int8 + sq_params; HNSWPQ: m-byte codes +
+    // codebooks) are dequantized once per JVM at graph-load time — the
+    // cache makes this a one-off per part.
+    val pqBooks: Option[Array[Array[Array[Float]]]] =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/codebooks")))
+        Some(PqIndex.loadBooks(spark, indexDir))
+      else None
     val sqParams: Option[(Array[Float], Array[Float])] =
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/sq_params"))) {
+      if (pqBooks.isEmpty &&
+          fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/sq_params"))) {
         val r = spark.read.parquet(s"$indexDir/sq_params").head()
         Some((r.getSeq[Float](0).toArray, r.getSeq[Float](1).toArray))
       } else None
+    val decode: Option[Array[Byte] => Array[Float]] = (pqBooks, sqParams) match {
+      case (Some(books), _) =>
+        val sub = books.head.head.length
+        Some { codes =>
+          val v = new Array[Float](codes.length * sub)
+          var s = 0
+          while (s < codes.length) {
+            System.arraycopy(books(s)(codes(s) & 0xff), 0, v, s * sub, sub)
+            s += 1
+          }
+          v
+        }
+      case (_, Some((scale, offset))) =>
+        Some { codes =>
+          val v = new Array[Float](codes.length)
+          var j = 0
+          while (j < codes.length) {
+            v(j) = offset(j) + (codes(j) & 0xff) * scale(j); j += 1
+          }
+          v
+        }
+      case _ => None
+    }
     val perPart = partDirs.map { p =>
       val pid = p.getName.stripPrefix("part_id=").toInt
-      sqParams match {
-        case Some((scale, offset)) =>
+      decode match {
+        case Some(dec) =>
           spark.read.parquet(p.toString)
             .select(col("node_idx"), col("id"), col("qvec"), col("neighbors"))
             .as[(Int, Long, Array[Byte], Seq[Seq[Int]])]
             .coalesce(1)
             .mapPartitions { rows =>
               val nodes = rows.map { case (ni, id, codes, nbrs) =>
-                val v = new Array[Float](codes.length)
-                var j = 0
-                while (j < codes.length) {
-                  v(j) = offset(j) + (codes(j) & 0xff) * scale(j); j += 1
-                }
-                GraphNode(ni, id, v, nbrs)
+                GraphNode(ni, id, dec(codes), nbrs)
               }
               val g = loadGraph(s"$indexDir#$pid", nodes, metric)
               g.search(q, k, ef, filt.getOrElse((_: Long) => true)).iterator
@@ -399,5 +454,34 @@ object HnswIndex {
       .toDF("id", "d")
       .orderBy(col("d"), col("id"))
       .limit(k)
+  }
+
+  /** Two-stage search for quantized graphs (HNSWSQ/HNSWPQ): the graph
+    * ranks `numReorder` candidates on dequantized points, then the
+    * survivors are re-ranked with exact float distances from `source`
+    * (broadcast semi-join on the id — the same recall-repair shape as
+    * [[SqIndex.search]]/[[PqIndex.search]]). Essential for PQ, whose
+    * reconstruction error is too coarse for direct top-K.
+    */
+  def searchTwoStage(
+      spark: SparkSession,
+      indexDir: String,
+      source: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qvec: Seq[Float],
+      k: Int,
+      numReorder: Int = 100,
+      ef: Int = 128,
+      metric: String = "l2",
+      distName: String = "d",
+      tieBreak: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
+    val cand = search(spark, indexDir, qvec, numReorder,
+        math.max(ef, numReorder), metric)
+      .withColumnRenamed("id", idCol)
+      .select(col(idCol))
+    val candidates = source.join(broadcast(cand), Seq(idCol), "left_semi")
+    VectorSearch.topK(candidates, col(vecCol), qvec, k, metric, None,
+      distName, tieBreak)
   }
 }

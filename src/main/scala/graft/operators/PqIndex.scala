@@ -147,7 +147,7 @@ object PqIndex {
         num("dim").toInt, num("nRows"), str("vecCol"), str("idCol"), str("status"))
     })
 
-  private def loadBooks(spark: SparkSession, indexDir: String): Array[Array[Array[Float]]] =
+  private[operators] def loadBooks(spark: SparkSession, indexDir: String): Array[Array[Array[Float]]] =
     codebookCache.getOrElseUpdate(indexDir, {
       val rows = spark.read.parquet(s"$indexDir/codebooks")
         .orderBy("sub", "code").collect()

@@ -62,6 +62,16 @@ object VectorQueries {
         quantize = true)
       idx
     })
+  private val hnswPqDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def hnswPqDir(s: SparkSession, dir: String): String =
+    hnswPqDirs.getOrElseUpdate(dir, {
+      val idx = java.nio.file.Files.createTempDirectory("graft-hnswpq").toString
+      HnswIndex.build(s, emb(s, dir), "vec_id", "embedding",
+        s"hnswpq_embeddings_${dir.replaceAll("[^a-zA-Z0-9]", "_")}", idx,
+        "l2", m = 12, efConstruction = 80, numPartitions = Some(4),
+        pqSubspaces = 8)
+      idx
+    })
   private val pqDirs = scala.collection.concurrent.TrieMap.empty[String, String]
   private def pqDir(s: SparkSession, dir: String): String =
     pqDirs.getOrElseUpdate(dir, {
@@ -219,6 +229,15 @@ object VectorQueries {
     "v17_hnswsq" -> ((s, dir) => {
       HnswIndex.search(s, hnswSqDir(s, dir), queryVec(s, dir), 10, ef = 128)
         .select(col("id").as("vec_id"), round(col("d").cast("double"), 3).as("d"))
+        .orderBy(col("vec_id"))
+    }),
+    // HNSWPQ: product-quantized graph + two-stage exact re-rank (the
+    // intended read path for PQ graphs); rows-only, recall in spec.
+    "v19_hnswpq" -> ((s, dir) => {
+      HnswIndex.searchTwoStage(s, hnswPqDir(s, dir), emb(s, dir),
+          "vec_id", "embedding", queryVec(s, dir), 10,
+          numReorder = 60, ef = 256, "l2", "d", Seq(col("vec_id")))
+        .select(col("vec_id"), round(col("d").cast("double"), 3).as("d"))
         .orderBy(col("vec_id"))
     }),
     // IVFPQ: product quantization (m=8 bytes/vector, 32x vs float32) with

@@ -90,6 +90,27 @@ class HnswIndexSpec extends SparkSpec {
     IvfIndex.Catalog.drop("spec_hnswsq")
   }
 
+  test("HNSWPQ: m-byte graph rows via product quantization keep recall") {
+    val dir = Files.createTempDirectory("hnswpq-spec").toString
+    HnswIndex.build(spark, emb, "vec_id", "embedding", "spec_hnswpq", dir,
+      "l2", m = 8, efConstruction = 64, numPartitions = Some(2),
+      pqSubspaces = 8)
+    val cat = IvfIndex.Catalog.asDataFrame(spark)
+      .filter(col("name") === "spec_hnswpq").head()
+    assert(cat.getAs[String]("indexType") === "HNSWPQ")
+    val g = spark.read.parquet(s"$dir/graph")
+    assert(g.columns.contains("qvec"))
+    assert(g.select(length(col("qvec"))).head().getInt(0) === 8) // m bytes
+    // PQ reconstruction is coarse → the two-stage exact re-rank is the
+    // intended read path (same shape as IVFPQ)
+    val got = HnswIndex.searchTwoStage(spark, dir, emb, "vec_id", "embedding",
+        qv, 10, numReorder = 60, ef = 256)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (got & bruteIds(10).toSet).size / 10.0
+    assert(recall >= 0.7, s"HNSWPQ two-stage recall@10 = $recall")
+    IvfIndex.Catalog.drop("spec_hnswpq")
+  }
+
   test("deterministic rebuild produces identical graphs") {
     val d1 = Files.createTempDirectory("hnsw-d1").toString
     val d2 = Files.createTempDirectory("hnsw-d2").toString
