@@ -98,13 +98,67 @@ object FtsIndex {
       .parquet(s"$indexDir/postings")
 
     val meta = Meta(nDocs, avgDl, nBuckets, textCol)
-    Files.writeString(Paths.get(s"$indexDir/stats.json"),
-      s"""{"version":1,"nDocs":$nDocs,"avgDl":$avgDl,""" +
-        s""""nBuckets":$nBuckets,"textCol":"$textCol"}""" + "\n")
+    writeStats(indexDir, meta, nDocs * avgDl)
     metaCache.put(indexDir, meta)
     val entry = Entry(indexName, indexDir, sourcePath, textCol, "BUILT", nDocs)
     Catalog.register(entry)
     entry
+  }
+
+  private def writeStats(indexDir: String, meta: Meta, totalDl: Double): Unit =
+    Files.writeString(Paths.get(s"$indexDir/stats.json"),
+      s"""{"version":2,"nDocs":${meta.nDocs},"avgDl":${meta.avgDl},""" +
+        s""""totalDl":$totalDl,"nBuckets":${meta.nBuckets},""" +
+        s""""textCol":"${meta.textCol}"}""" + "\n")
+
+  /** Incremental maintenance — the reference's insert-time index update
+    * (`VIBuilderUpdater.cpp` lifecycle: new parts get indexed without
+    * rebuilding old ones). New documents' postings are APPENDED into the
+    * same bucket directories (immutable-file semantics: new parquet files
+    * only) and the global stats are updated incrementally; per-term df at
+    * query time already comes from the pruned read, so appended postings
+    * participate immediately. Callers must not re-append existing doc
+    * ids.
+    */
+  def append(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexDir: String): Meta = {
+    val meta = loadMeta(indexDir)
+    val base = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        text.tokenize(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val row = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("tdl")).head()
+    val nNew = row.getAs[Long]("n")
+    val tdlNew = Option(row.get(1)).map(_.toString.toDouble).getOrElse(0.0)
+    if (nNew == 0) return meta
+
+    val nb = meta.nBuckets
+    val bucketU = udf((t: String) => math.floorMod(t.hashCode, nb))
+    base
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .withColumn("bucket", bucketU(col("term")))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$indexDir/postings")
+
+    val totalDl = loadTotalDl(indexDir, meta) + tdlNew
+    val nDocs = meta.nDocs + nNew
+    val updated = meta.copy(nDocs = nDocs, avgDl = totalDl / nDocs)
+    writeStats(indexDir, updated, totalDl)
+    metaCache.put(indexDir, updated)
+    updated
+  }
+
+  private def loadTotalDl(indexDir: String, meta: Meta): Double = {
+    val s = Files.readString(Paths.get(s"$indexDir/stats.json"))
+    "\"totalDl\":(-?[0-9.eE+-]+)".r.findFirstMatchIn(s)
+      .map(_.group(1).toDouble)
+      .getOrElse(meta.nDocs * meta.avgDl) // version-1 stats fallback
   }
 
   private[graft] def loadMeta(indexDir: String): Meta =

@@ -291,6 +291,52 @@ object IvfIndex {
     entry
   }
 
+  /** Incremental maintenance — the reference's insert-time index path
+    * (`VIBuilderUpdater.cpp`): new rows are assigned to the EXISTING
+    * centroids and appended into the `list_id=` directories as new
+    * parquet files (immutable-file semantics, no rebuild of old lists).
+    * Centroids drift is accepted until the next full rebuild, exactly as
+    * the reference accepts per-part index quality until merges. Callers
+    * must not re-append existing ids.
+    */
+  def append(
+      spark: SparkSession,
+      df: DataFrame,
+      indexName: String,
+      indexDir: String): IndexEntry = {
+    val entry = Catalog.lookup(indexName)
+      .getOrElse(sys.error(s"unknown index $indexName"))
+    val meta = loadMeta(indexDir)
+    val centroids = loadCentroids(spark, indexDir)
+    val nNew = df.count()
+    if (nNew == 0) return entry
+
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assignUdf = udf((v: Seq[Float]) => nearest(bc.value, v.toArray))
+    df.withColumn("list_id", assignUdf(col(meta.vecCol)))
+      .write.mode("append").partitionBy("list_id")
+      .parquet(s"$indexDir/lists")
+
+    val counts = spark.read.parquet(s"$indexDir/lists")
+      .groupBy(col("list_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (0 until meta.nLists).foreach { i =>
+      val rows = counts.getOrElse(i, 0L)
+      val state = if (rows == 0L) "SMALL_PART" else "BUILT"
+      Catalog.registerSegment(SegmentEntry(indexName, i, state, rows))
+    }
+    val n = meta.nRows + nNew
+    val updatedMeta = meta.copy(nRows = n)
+    Files.writeString(Paths.get(s"$indexDir/meta.json"),
+      s"""{"metric":"${meta.metric}","nLists":${meta.nLists},"dim":${meta.dim},""" +
+        s""""nRows":$n,"vecCol":"${meta.vecCol}","status":"BUILT"}""")
+    metaCache.put(indexDir, updatedMeta)
+    val updated = entry.copy(nRows = n, status = "BUILT")
+    Catalog.register(updated)
+    Catalog.logEvent(indexName, "APPEND", s"added=$nNew nRows=$n")
+    updated
+  }
+
   private[graft] def loadCentroids(spark: SparkSession, indexDir: String): Array[Array[Float]] =
     centroidCache.getOrElseUpdate(indexDir, {
       spark.read.parquet(s"$indexDir/centroids")

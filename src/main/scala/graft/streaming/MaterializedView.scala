@@ -42,4 +42,30 @@ object MaterializedView {
   /** Finalized view: merge all state rows (any number of batches). */
   def read(spark: SparkSession, statePath: String, keys: Seq[String]): DataFrame =
     StateCombinators.mergeStates(spark.read.parquet(statePath), keys.map(col))
+
+  /** Streaming FTS index maintenance — the push-chain analog for the
+    * text index: each micro-batch of new documents is appended into the
+    * posting-list index ([[graft.operators.FtsIndex.append]] — new
+    * parquet files in the bucket dirs + incremental global stats), so
+    * `textsearch()` sees fresh documents after every batch without any
+    * rebuild. Mirrors the reference indexing new parts at insert time.
+    */
+  def attachFtsIndex(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexDir: String,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.FtsIndex.append(
+            batch.sparkSession, batch, idCol, textCol, indexDir)
+          ()
+        }
+      }
+      .start()
 }

@@ -77,6 +77,28 @@ class FtsIndexSpec extends SparkSpec {
     assert(stats("ducks") === ((1L, 1L)))
   }
 
+  test("incremental append: build half + append half == direct full search") {
+    val dir = java.nio.file.Files.createTempDirectory("fts-append").toString
+    val half1 = corpus.filter($"doc_id" <= 2)
+    val half2 = corpus.filter($"doc_id" > 2)
+    FtsIndex.build(spark, half1, "doc_id", "text", "fts_append", dir, nBuckets = 8)
+    val meta = FtsIndex.append(spark, half2, "doc_id", "text", dir)
+    assert(meta.nDocs === 5)
+    assert(math.abs(meta.avgDl - 16.0 / 5) < 1e-9)
+    for ((q, op) <- Seq(("spark fast", "OR"), ("spark fast", "AND"),
+        ("ducks everywhere", "OR"))) {
+      val direct = TextSearch.textSearch(corpus, col("text"), q, 10, op,
+          "bm25_score", Seq(col("doc_id")))
+        .select($"doc_id", round($"bm25_score", 9).as("s"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val indexed = FtsIndex.search(spark, dir, q, 10, op,
+          "bm25_score", Seq(col("doc_id")))
+        .select($"doc_id", round($"bm25_score", 9).as("s"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(indexed === direct, s"after append: query '$q' op $op")
+    }
+  }
+
   test("catalog registers BUILT entry") {
     indexDir // force build
     val e = FtsIndex.Catalog.lookup("fts_spec").get

@@ -110,6 +110,26 @@ class IvfIndexSpec extends SparkSpec {
     assert(c1.map(_.toSeq) === c2.map(_.toSeq))
   }
 
+  test("incremental append: assign to existing centroids, exact at full probes") {
+    val dir = Files.createTempDirectory("ivf-append").toString
+    try {
+      IvfIndex.build(spark, emb.filter(col("vec_id") < 250), "embedding",
+        "append_ivf", dir, "l2", nLists = 8)
+      IvfIndex.append(spark, emb.filter(col("vec_id") >= 250),
+        "append_ivf", dir)
+      val got = IvfIndex.search(spark, dir, qv, 10, nprobe = 8,
+          None, None, "d", Seq(col("vec_id")))
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(got === bruteIds(10)) // exhaustive probes ⇒ exact over ALL rows
+      val cat = IvfIndex.Catalog.asDataFrame(spark)
+        .filter(col("name") === "append_ivf").head()
+      assert(cat.getAs[Long]("nRows") === emb.count())
+      val segs = IvfIndex.Catalog.segmentsFor("append_ivf")
+      assert(segs.map(_.nRows).sum === emb.count())
+      assert(IvfIndex.Catalog.events("append_ivf").exists(_.event == "APPEND"))
+    } finally IvfIndex.Catalog.drop("append_ivf")
+  }
+
   test("distributed KMeans training path builds a working index") {
     val dir = Files.createTempDirectory("ivf-ml").toString
     try {

@@ -10,6 +10,37 @@ import graft.streaming.TimeWindows
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("streaming FTS index maintenance: batches append, search stays exact") {
+    import graft.operators.{FtsIndex, TextSearch}
+    val docs = graft.engine.Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val half1 = docs.filter($"doc_id" < 100)
+    val half2 = docs.filter($"doc_id" >= 100)
+    val idx = Files.createTempDirectory("fts-stream").toString
+    FtsIndex.build(spark, half1, "doc_id", "text", "fts_stream", idx, 16)
+
+    // stream the second half in as parquet micro-batches
+    val srcDir = Files.createTempDirectory("fts-stream-src").toString
+    half2.write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(half2.schema).parquet(srcDir)
+    val q = graft.streaming.MaterializedView.attachFtsIndex(
+      stream, "doc_id", "text", idx,
+      Files.createTempDirectory("fts-stream-ckpt").toString)
+    q.processAllAvailable(); q.stop()
+
+    assert(FtsIndex.loadMeta(idx).nDocs === docs.count())
+    val direct = TextSearch.textSearch(docs, col("text"), "spark merge join",
+        10, "OR", "bm25_score", Seq(col("doc_id")))
+      .select($"doc_id", round($"bm25_score", 9).as("s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val indexed = FtsIndex.search(spark, idx, "spark merge join", 10, "OR",
+        "bm25_score", Seq(col("doc_id")))
+      .select($"doc_id", round($"bm25_score", 9).as("s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(indexed === direct)
+    FtsIndex.Catalog.drop("fts_stream")
+  }
+
   test("tumble window streaming agg matches batch result (memory sink)") {
     val dir = Files.createTempDirectory("graft-stream").toString
     val batch = graft.engine.Tables.events(spark, sfDir)
