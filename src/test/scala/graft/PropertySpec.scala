@@ -1,0 +1,120 @@
+package graft
+
+import scala.util.Random
+
+import graft.functions.{Aggregates, VectorKernels}
+import graft.functions.Aggregates.SeqPattern
+
+/** Randomized (seeded, deterministic) property checks for the
+  * algorithmic cores: the pattern matcher against a brute-force
+  * reference, the compact event buffer against plain lists, and the
+  * quantization kernels' error bounds.
+  */
+class PropertySpec extends SparkSpec {
+
+  private val Trials = 300
+
+  private def randomEvents(rnd: Random, n: Int): Array[(Double, Int)] =
+    Array.fill(n)((math.floor(rnd.nextDouble() * 40), 1 + rnd.nextInt(3)))
+      .sortBy(e => (e._1, e._2))
+
+  /** Naive reference: subsequence-with-gaps exists (pattern (?1).*(?2)...). */
+  private def naiveGapMatch(events: Array[(Double, Int)], conds: Seq[Int]): Boolean = {
+    def rec(ei: Int, ci: Int): Boolean =
+      if (ci == conds.length) true
+      else if (ei >= events.length) false
+      else if ((events(ei)._2 & (1 << conds(ci))) != 0 && rec(ei + 1, ci + 1)) true
+      else rec(ei + 1, ci)
+    rec(0, 0)
+  }
+
+  test("SeqPattern gap patterns equal brute-force subsequence search") {
+    val rnd = new Random(4242)
+    val pat2 = SeqPattern.parse("(?1).*(?2)", 2)
+    val pat3 = SeqPattern.parse("(?1).*(?2).*(?1)", 2)
+    (1 to Trials).foreach { _ =>
+      val evs = randomEvents(rnd, rnd.nextInt(14))
+      assert(SeqPattern.matches(evs, pat2) === naiveGapMatch(evs, Seq(0, 1)),
+        evs.mkString(","))
+      assert(SeqPattern.matches(evs, pat3) === naiveGapMatch(evs, Seq(0, 1, 0)),
+        evs.mkString(","))
+    }
+  }
+
+  test("SeqPattern count: bounded by per-condition counts, greedy-consistent") {
+    val rnd = new Random(99)
+    val pat = SeqPattern.parse("(?1).*(?2)", 2)
+    (1 to Trials).foreach { _ =>
+      val evs = randomEvents(rnd, rnd.nextInt(16))
+      val c = SeqPattern.count(evs, pat)
+      val n1 = evs.count(e => (e._2 & 1) != 0)
+      val n2 = evs.count(e => (e._2 & 2) != 0)
+      assert(c <= math.min(n1, n2)) // each match consumes two distinct events
+      if (c > 0) {
+        // dropping the first full match decrements the count by exactly 1
+        val end = SeqPattern.findMatch(evs, pat, 0)
+        assert(SeqPattern.count(evs.drop(end + 1), pat) === c - 1)
+      }
+    }
+  }
+
+  test("EvBuffer append/merge/sorted equals plain list semantics") {
+    val rnd = new Random(7)
+    (1 to Trials).foreach { _ =>
+      val chunks = List.fill(rnd.nextInt(5))(
+        List.fill(rnd.nextInt(20))((rnd.nextDouble() * 50, rnd.nextInt(4))))
+      val bufs = chunks.map(_.foldLeft(new Aggregates.EvBuffer()) {
+        (b, e) => b.append(e._1, e._2)
+      })
+      val merged = bufs.foldLeft(new Aggregates.EvBuffer())(_ merge _)
+      val expect = chunks.flatten.sortBy(e => (e._1, e._2))
+      assert(merged.sorted.toSeq === expect)
+    }
+  }
+
+  test("distance kernels: symmetry, identity, SQ reconstruction bound") {
+    val rnd = new Random(13)
+    (1 to Trials).foreach { _ =>
+      val a = Array.fill(16)(rnd.nextFloat() * 20 - 10)
+      val b = Array.fill(16)(rnd.nextFloat() * 20 - 10)
+      assert(VectorKernels.l2sq(a, b) === VectorKernels.l2sq(b, a))
+      assert(VectorKernels.l1(a, b) === VectorKernels.l1(b, a))
+      assert(VectorKernels.l2sq(a, a) === 0f)
+      assert(math.abs(VectorKernels.dot(a, b) - VectorKernels.dot(b, a)) < 1e-3)
+      val mins = a.indices.map(j => math.min(a(j), b(j))).toArray
+      val maxs = a.indices.map(j => math.max(a(j), b(j))).toArray
+      val scale = mins.indices.map(j => (maxs(j) - mins(j)) / 255f).toArray
+      val codes = VectorKernels.sqEncode(a, scale, mins)
+      a.indices.foreach { j =>
+        val deq = mins(j) + (codes(j) & 0xff) * scale(j)
+        assert(math.abs(deq - a(j)) <= scale(j) / 2 + 1e-4, s"dim $j")
+      }
+    }
+  }
+
+  test("hamming: bitsToFloats L2sq identity for random byte vectors") {
+    val rnd = new Random(21)
+    (1 to Trials).foreach { _ =>
+      val a = Array.fill(8)(rnd.nextInt(256).toByte)
+      val b = Array.fill(8)(rnd.nextInt(256).toByte)
+      val fa = graft.operators.BinaryHnswIndex.bitsToFloats(a)
+      val fb = graft.operators.BinaryHnswIndex.bitsToFloats(b)
+      assert(VectorKernels.l2sq(fa, fb) === VectorKernels.hammingBits(a, b))
+    }
+  }
+
+  test("PQ: ADC table distance equals distance to the dequantized vector") {
+    val rnd = new Random(31)
+    (1 to 50).foreach { _ =>
+      val m = 4; val sub = 4
+      val books = Array.fill(m)(Array.fill(16)(Array.fill(sub)(rnd.nextFloat() * 4 - 2)))
+      val q = Array.fill(m * sub)(rnd.nextFloat() * 4 - 2)
+      val v = Array.fill(m * sub)(rnd.nextFloat() * 4 - 2)
+      val codes = graft.operators.PqIndex.encode(v, books)
+      val table = graft.operators.PqIndex.adcTable(q, books, "l2")
+      val deq = codes.zipWithIndex.flatMap { case (c, s) => books(s)(c & 0xff) }
+      val expect = VectorKernels.l2sq(q, deq)
+      assert(math.abs(VectorKernels.pqAdc(codes, table) - expect) < 1e-3)
+    }
+  }
+}
