@@ -131,8 +131,11 @@ object IvfIndex {
         ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(s)
           .map(_.group(1).toLong)
           .getOrElse(sys.error(s"meta.json missing numeric field '$k' at $p"))
+      val sourcePath =
+        "\"sourcePath\":\"([^\"]*)\"".r.findFirstMatchIn(s)
+          .map(_.group(1)).getOrElse("") // pre-version-1 files
       Meta(str("metric"), num("nLists").toInt, num("dim").toInt, num("nRows"),
-        "", str("vecCol"), str("status"))
+        sourcePath, str("vecCol"), str("status"))
     })
 
   /** Centroid-to-query distance in the INDEX metric — probe-list selection
@@ -277,10 +280,11 @@ object IvfIndex {
       .toDF("list_id", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
 
-    val meta = Meta(metric, nLists, dim, n, "", vecCol, "BUILT")
+    val meta = Meta(metric, nLists, dim, n, sourcePath, vecCol, "BUILT")
     Files.writeString(Paths.get(s"$indexDir/meta.json"),
-      s"""{"metric":"${meta.metric}","nLists":${meta.nLists},"dim":${meta.dim},""" +
-        s""""nRows":${meta.nRows},"vecCol":"${meta.vecCol}","status":"BUILT"}""")
+      s"""{"version":1,"metric":"${meta.metric}","nLists":${meta.nLists},""" +
+        s""""dim":${meta.dim},"nRows":${meta.nRows},"vecCol":"${meta.vecCol}",""" +
+        s""""sourcePath":"${meta.sourcePath}","status":"BUILT"}""")
     metaCache.put(indexDir, meta)
     centroidCache.put(indexDir, centroids)
 
@@ -328,8 +332,9 @@ object IvfIndex {
     val n = meta.nRows + nNew
     val updatedMeta = meta.copy(nRows = n)
     Files.writeString(Paths.get(s"$indexDir/meta.json"),
-      s"""{"metric":"${meta.metric}","nLists":${meta.nLists},"dim":${meta.dim},""" +
-        s""""nRows":$n,"vecCol":"${meta.vecCol}","status":"BUILT"}""")
+      s"""{"version":1,"metric":"${meta.metric}","nLists":${meta.nLists},""" +
+        s""""dim":${meta.dim},"nRows":$n,"vecCol":"${meta.vecCol}",""" +
+        s""""sourcePath":"${meta.sourcePath}","status":"BUILT"}""")
     metaCache.put(indexDir, updatedMeta)
     val updated = entry.copy(nRows = n, status = "BUILT")
     Catalog.register(updated)
