@@ -114,4 +114,44 @@ object RelationalOps {
     }
     full.unionByName(totalWithKeys.select(full.columns.map(col): _*))
   }
+
+  /** ReplacingMergeTree `FINAL` semantics
+    * (`/root/reference/src/Storages/MergeTree/ReplacingSortedAlgorithm.cpp`):
+    * keep only the row with the greatest version per sorting key. One
+    * window shuffle on the key — the read-time analog of the merge-time
+    * replacement.
+    */
+  def replacingFinal(
+      df: DataFrame, keys: Seq[Column], version: Column): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(version.desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** `ANY LEFT JOIN` (reference join strictness `any`,
+    * `src/Interpreters/TableJoin.h`): at most one right-side match per
+    * key. The reference keeps an arbitrary match; here `tieBreak` picks a
+    * deterministic one (smallest first) so results are reproducible.
+    */
+  def anyLeftJoin(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      tieBreak: Column): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(tieBreak)
+    val dedup = right.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    left.join(dedup, keys, "left")
+  }
+
+  /** Lightweight `ALTER TABLE ... UPDATE` mutation
+    * (`src/Interpreters/MutationsInterpreter.cpp`): rewrite matching rows
+    * column-wise; non-matching rows pass through. Immutable-file
+    * semantics — the result is a new DataFrame, like the reference
+    * writing a mutated part.
+    */
+  def update(
+      df: DataFrame, cond: Column,
+      assignments: Seq[(String, Column)]): DataFrame =
+    assignments.foldLeft(df) { case (d, (name, value)) =>
+      d.withColumn(name, when(cond, value).otherwise(col(name)))
+    }
 }

@@ -459,6 +459,53 @@ object RelationalQueries {
           count(lit(1)).as("n"))
     }),
 
+    // ReplacingMergeTree FINAL: greatest-version row per key
+    // (ReplacingSortedAlgorithm.cpp) — latest order per customer.
+    "q41_replacing_final" -> ((s, dir) => {
+      RelationalOps.replacingFinal(t(s, dir, "orders"),
+          Seq(col("o_custkey")), col("o_orderkey"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("o_custkey"))
+        .limit(100)
+    }),
+    // ANY LEFT JOIN: at most one right match per key (deterministic
+    // smallest-orderkey pick) — first order per customer.
+    "q42_any_join" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"))
+      val ords = t(s, dir, "orders")
+        .select(col("o_custkey").as("c_custkey"), col("o_orderkey"),
+          col("o_totalprice"))
+      RelationalOps.anyLeftJoin(cust, ords, Seq("c_custkey"), col("o_orderkey"))
+        .select(col("c_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("first_price"))
+        .orderBy(col("c_custkey"))
+        .limit(200)
+    }),
+    // ALTER TABLE UPDATE mutation: zero out discounts on late shipments,
+    // then aggregate — rows outside the predicate pass through.
+    "q43_update_mutation" -> ((s, dir) => {
+      val mutated = RelationalOps.update(t(s, dir, "lineitem"),
+        col("l_shipdate") >= "1997-01-01",
+        Seq("l_discount" -> lit(0.0)))
+      mutated.groupBy(col("l_returnflag"))
+        .agg(round(sum(col("l_discount")), 2).as("sum_disc"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy(col("l_returnflag"))
+    }),
+    // LEFT ARRAY JOIN (ArrayJoinTransform with LEFT): rows with empty
+    // arrays survive with a NULL element.
+    "q44_left_array_join" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("long_toks",
+          filter(graft.functions.text.tokenize(col("text")), x => length(x) > 8))
+      d.select(col("doc_id"), explode_outer(col("long_toks")).as("tok"))
+        .orderBy(col("doc_id"), col("tok"))
+        .limit(500)
+    }),
+
     // GROUP BY with expression keys + IN-subquery semi join.
     "q30_in_subquery" -> ((s, dir) => {
       val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
@@ -472,6 +519,42 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q41_replacing_final" -> """
+      SELECT * FROM (
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                ORDER BY o_orderkey DESC) AS rn FROM orders)
+        WHERE rn = 1 ORDER BY o_custkey LIMIT 100)
+      ORDER BY o_custkey""",
+    "q42_any_join" -> """
+      WITH first_ord AS (
+        SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+          row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+          FROM orders) WHERE rn = 1)
+      SELECT * FROM (
+        SELECT c.c_custkey, f.o_orderkey,
+               round(f.o_totalprice, 2) AS first_price
+        FROM customer c LEFT JOIN first_ord f ON c.c_custkey = f.o_custkey
+        ORDER BY c.c_custkey LIMIT 200)
+      ORDER BY c_custkey""",
+    "q43_update_mutation" -> """
+      WITH m AS (SELECT l_returnflag,
+        CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+             THEN 0.0 ELSE l_discount END AS d,
+        l_extendedprice AS p FROM lineitem)
+      SELECT l_returnflag, round(sum(d), 2) AS sum_disc,
+             round(sum(p * (1 - d)), 2) AS revenue
+      FROM m GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q44_left_array_join" -> s"""
+      WITH d AS (SELECT doc_id,
+        list_filter(${TextQueries.toksSql}, x -> len(x) > 8) AS lt
+        FROM documents),
+      u AS (SELECT doc_id,
+        unnest(CASE WHEN len(lt) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE lt END)
+          AS tok FROM d)
+      SELECT * FROM (SELECT doc_id, tok FROM u
+        ORDER BY doc_id, tok NULLS FIRST LIMIT 500)
+      ORDER BY doc_id, tok NULLS FIRST""",
     "q01_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
              round(sum(l_quantity), 2) AS sum_qty,
