@@ -89,11 +89,7 @@ object FtsIndex {
 
     val nb = nBuckets
     val bucketU = udf((t: String) => math.floorMod(t.hashCode, nb))
-    base
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-      .groupBy(col("term"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).cast("double").as("tf"))
-      .withColumn("bucket", bucketU(col("term")))
+    postingsOf(base, bucketU)
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$indexDir/postings")
 
@@ -104,6 +100,22 @@ object FtsIndex {
     Catalog.register(entry)
     entry
   }
+
+  /** Postings rows with POSITIONAL information: `(term, doc_id, dl, tf,
+    * positions[], bucket)` — positions are the 0-based token offsets of
+    * the term in the document (Tantivy's positional postings), enabling
+    * index-side phrase matching.
+    */
+  private def postingsOf(
+      base: DataFrame,
+      bucketU: org.apache.spark.sql.expressions.UserDefinedFunction): DataFrame =
+    base
+      .select(col("doc_id"), col("dl"),
+        posexplode(col("toks")).as(Seq("pos", "term")))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).cast("double").as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
+      .withColumn("bucket", bucketU(col("term")))
 
   private def writeStats(indexDir: String, meta: Meta, totalDl: Double): Unit =
     Files.writeString(Paths.get(s"$indexDir/stats.json"),
@@ -138,11 +150,7 @@ object FtsIndex {
 
     val nb = meta.nBuckets
     val bucketU = udf((t: String) => math.floorMod(t.hashCode, nb))
-    base
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-      .groupBy(col("term"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).cast("double").as("tf"))
-      .withColumn("bucket", bucketU(col("term")))
+    postingsOf(base, bucketU)
       .write.mode("append").partitionBy("bucket")
       .parquet(s"$indexDir/postings")
 
@@ -234,6 +242,98 @@ object FtsIndex {
 
   private def idf(n: Long, df: Long): Double =
     math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+  /** `enable_nlq` search against the positional postings index — the
+    * index-side twin of [[TextSearch.textSearchNlq]]. Phrases resolve by
+    * chaining per-term position lists (`valid ∩ (positions - 1)` folds,
+    * Tantivy-style) over the pruned postings; `+must`/`-mustNot` are
+    * semi/anti joins on per-term doc sets; scoring is BM25 over the
+    * scored terms. One pruned-bucket scan per query, no corpus access.
+    */
+  def searchNlq(
+      spark: SparkSession,
+      indexDir: String,
+      query: String,
+      k: Int,
+      scoreName: String = "bm25_score",
+      tieBreak: Seq[Column] = Nil): DataFrame = {
+    import spark.implicits._
+    val meta = loadMeta(indexDir)
+    val nlq = TextSearch.parseNlq(query)
+    val scored = nlq.scoredTerms
+    val allTerms = (scored ++ nlq.mustNot).distinct
+    if (scored.isEmpty)
+      return Seq.empty[(Long, Double)].toDF("doc_id", scoreName)
+
+    val buckets = allTerms.map(bucketOf(_, meta.nBuckets)).distinct
+    // multiple lazy passes over the pruned postings — each is a
+    // partition-pruned scan of ≤ |terms| buckets, no caching needed
+    val posts = spark.read.parquet(s"$indexDir/postings")
+      .filter(col("bucket").isin(buckets: _*) && col("term").isin(allTerms: _*))
+
+    val dfByTerm = posts.filter(col("term").isin(scored: _*))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // a missing must/phrase term empties the result (direct-path
+      // parity); missing SHOULD terms merely score nothing
+      val required = (nlq.must ++ nlq.phrases.flatten).distinct
+      if (required.exists(t => dfByTerm.getOrElse(t, 0L) == 0L))
+        return Seq.empty[(Long, Double)].toDF("doc_id", scoreName)
+      val live = scored.filter(t => dfByTerm.getOrElse(t, 0L) > 0L)
+      if (live.isEmpty)
+        return Seq.empty[(Long, Double)].toDF("doc_id", scoreName)
+
+      def docsWith(terms: Seq[String], requireAll: Boolean): Option[DataFrame] =
+        if (terms.isEmpty) None
+        else if (requireAll) Some(
+          posts.filter(col("term").isin(terms: _*))
+            .groupBy(col("doc_id")).agg(countDistinct(col("term")).as("__nt"))
+            .filter(col("__nt") === terms.size).select("doc_id"))
+        else Some(
+          posts.filter(col("term").isin(terms: _*)).select("doc_id").distinct())
+
+      /** Docs containing the phrase: fold `valid = (valid + 1) ∩ pos_i`. */
+      def phraseDocs(phrase: Seq[String]): DataFrame = {
+        var cur = posts.filter(col("term") === phrase.head)
+          .select(col("doc_id"), col("positions").as("__valid"))
+        phrase.tail.foreach { t =>
+          val nxt = posts.filter(col("term") === t)
+            .select(col("doc_id"), col("positions").as("__p2"))
+          cur = cur.join(nxt, "doc_id")
+            .withColumn("__valid",
+              array_intersect(transform(col("__valid"), x => x + 1), col("__p2")))
+            .filter(size(col("__valid")) > 0)
+            .select(col("doc_id"), col("__valid"))
+        }
+        cur.select("doc_id")
+      }
+
+      val constraints =
+        nlq.phrases.map(phraseDocs) ++
+          docsWith(nlq.must, requireAll = true).toSeq ++
+          (if (nlq.must.isEmpty && nlq.phrases.isEmpty)
+            docsWith(nlq.should, requireAll = false).toSeq
+          else Nil)
+      var matched = constraints.reduce((a, b) => a.join(b, Seq("doc_id"), "left_semi"))
+      docsWith(nlq.mustNot, requireAll = false).foreach { banned =>
+        matched = matched.join(banned, Seq("doc_id"), "left_anti")
+      }
+
+      val idfCol = live.tail.foldLeft(
+        when(col("term") === live.head, lit(idf(meta.nDocs, dfByTerm(live.head))))) {
+        (acc, t) => acc.when(col("term") === t, lit(idf(meta.nDocs, dfByTerm(t))))
+      }.otherwise(lit(0.0))
+      val contrib = idfCol * col("tf") * lit(TextSearch.K1 + 1.0) /
+        (col("tf") + lit(TextSearch.K1) *
+          (lit(1.0 - TextSearch.B) + lit(TextSearch.B) * col("dl") / meta.avgDl))
+      posts.filter(col("term").isin(live: _*))
+        .join(matched, Seq("doc_id"), "left_semi")
+        .withColumn("__c", contrib)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("__c")).as(scoreName))
+        .orderBy(col(scoreName).desc +: tieBreak: _*)
+        .limit(k)
+  }
 
   /** `fts_index(table)` TVF analog: per-term statistics straight off the
     * postings (`TableFunctionFtsIndex.cpp`, `StorageFtsIndex.cpp:1-217`).

@@ -165,6 +165,15 @@ object TextQueries {
         .select(col("doc_id"), round(col("bm25_score"), 4).as("bm25_score"))
         .orderBy(col("bm25_score").desc, col("doc_id"))
     }),
+    // NLQ against the positional postings index (phrase chain over
+    // per-term position lists) — must reproduce t09's direct path.
+    "t10_fts_nlq" -> ((s, dir) => {
+      FtsIndex.searchNlq(s, ftsDir(s, dir),
+          """"customer join" +table -hash""", 10, "bm25_score",
+          Seq(col("doc_id")))
+        .select(col("doc_id"), round(col("bm25_score"), 4).as("bm25_score"))
+        .orderBy(col("bm25_score").desc, col("doc_id"))
+    }),
     // Hybrid search with the text leg served by the FTS posting-list
     // index — must reproduce h01's direct-path fusion exactly.
     "h03_hybrid_fts" -> ((s, dir) => {
@@ -281,6 +290,18 @@ object TextQueries {
     "t08_fts_and" -> bm25OracleSql(TextSearch.queryTerms(query2), 10, and = true),
     // scored terms in parse order (must ++ should ++ phrase tokens)
     "t09_nlq" -> s"""
+      WITH ${bm25ScoresCte(Seq("table", "customer", "join"), "documents")},
+      nlq_toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+      nlq_m AS (SELECT doc_id FROM nlq_toks
+                WHERE list_contains(tk, 'table')
+                  AND (' ' || array_to_string(tk, ' ') || ' ') LIKE '% customer join %'
+                  AND NOT list_contains(tk, 'hash'))
+      SELECT * FROM (
+        SELECT s.doc_id, round(s.score, 4) AS bm25_score
+        FROM scores s JOIN nlq_m USING (doc_id)
+        ORDER BY s.score DESC, s.doc_id LIMIT 10)
+      ORDER BY bm25_score DESC, doc_id""",
+    "t10_fts_nlq" -> s"""
       WITH ${bm25ScoresCte(Seq("table", "customer", "join"), "documents")},
       nlq_toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
       nlq_m AS (SELECT doc_id FROM nlq_toks

@@ -26,7 +26,12 @@ class FtsIndexSpec extends SparkSpec {
     assert(meta.nDocs === 5)
     assert(math.abs(meta.avgDl - 16.0 / 5) < 1e-9) // 4+4+4+4+0 tokens
     val posts = spark.read.parquet(s"$indexDir/postings")
-    assert(posts.columns.toSet === Set("term", "doc_id", "dl", "tf", "bucket"))
+    assert(posts.columns.toSet ===
+      Set("term", "doc_id", "dl", "tf", "positions", "bucket"))
+    // positional postings: doc 2 has spark at token offsets 0,1,2
+    val p2 = posts.filter($"term" === "spark" && $"doc_id" === 2)
+      .select("positions").head().getSeq[Int](0)
+    assert(p2 === Seq(0, 1, 2))
     // tf counts duplicates: doc 2 has spark×3 in ONE posting row
     val sparkRows = posts.filter($"term" === "spark").collect()
     assert(sparkRows.length === 2)
@@ -75,6 +80,25 @@ class FtsIndexSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(stats("spark") === ((2L, 4L)))
     assert(stats("ducks") === ((1L, 1L)))
+  }
+
+  test("searchNlq on the index equals the direct textSearchNlq path") {
+    for (q <- Seq(""""spark joins"""", "+spark -ducks fast", """"joins data" +fast""",
+        "ducks", "+spark +fast", """"data fast"""")) {
+      val direct = TextSearch.textSearchNlq(corpus, col("text"), q, 10,
+          "bm25_score", Seq(col("doc_id")))
+        .select($"doc_id", round($"bm25_score", 9).as("s"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val indexed = FtsIndex.searchNlq(spark, indexDir, q, 10,
+          "bm25_score", Seq(col("doc_id")))
+        .select($"doc_id", round($"bm25_score", 9).as("s"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(indexed === direct, s"nlq query: $q")
+    }
+    // three-term phrase chains across positions
+    val three = FtsIndex.searchNlq(spark, indexDir, """"spark joins data"""", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(three === Set(1L))
   }
 
   test("incremental append: build half + append half == direct full search") {
