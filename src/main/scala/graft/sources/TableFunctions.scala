@@ -1,0 +1,74 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Table functions — the reference's TVF source surface
+  * (`/root/reference/src/TableFunctions/`): `numbers()`, `zeros()`,
+  * `generateRandom()`, `file()`. Each returns an ordinary DataFrame so
+  * the whole relational surface composes on top.
+  */
+object TableFunctions {
+
+  /** `numbers(N)` / `numbers(offset, N)`
+    * (`TableFunctionNumbers.cpp`) — the planner's `Range` node: no data
+    * scan, splittable, pushdown-friendly.
+    */
+  def numbers(spark: SparkSession, n: Long, offset: Long = 0L): DataFrame =
+    spark.range(offset, offset + n).toDF("number")
+
+  /** `zeros(N)` (`TableFunctionZeros.cpp`). */
+  def zeros(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(lit(0).as("zero"))
+
+  /** `generateRandom('schema', seed)` (`TableFunctionGenerateRandom.cpp`):
+    * deterministic synthetic rows for the given schema. Supported field
+    * types: numeric, boolean, string (seeded hash-derived — reproducible
+    * across runs and partitionings).
+    */
+  def generateRandom(
+      spark: SparkSession, schema: StructType, n: Long,
+      seed: Long = 42L): DataFrame = {
+    val base = spark.range(n)
+    schema.fields.foldLeft(base.toDF()) { (df, f) =>
+      val h = abs(xxhash64(col("id"), lit(seed), lit(f.name)))
+      val value = f.dataType match {
+        case org.apache.spark.sql.types.LongType    => h
+        case org.apache.spark.sql.types.IntegerType => (h % 1000000).cast("int")
+        case org.apache.spark.sql.types.DoubleType  => (h % 1000000).cast("double") / 1000.0
+        case org.apache.spark.sql.types.FloatType   => ((h % 1000000).cast("double") / 1000.0).cast("float")
+        case org.apache.spark.sql.types.BooleanType => h % 2 === 0
+        case org.apache.spark.sql.types.StringType  => concat(lit("v"), conv(h.cast("string"), 10, 16))
+        case other => throw new IllegalArgumentException(
+          s"generateRandom: unsupported type $other for field ${f.name}")
+      }
+      df.withColumn(f.name, value)
+    }.drop("id")
+  }
+
+  /** `file('path', 'format')` (`TableFunctionFile.cpp`): read a local /
+    * DFS path with the format inferred from the extension when omitted.
+    * Formats map to Spark's native readers (the reference's
+    * CSV/TSV/JSON/Parquet/ORC input formats).
+    */
+  def file(spark: SparkSession, path: String, format: String = ""): DataFrame = {
+    val fmt =
+      if (format.nonEmpty) format.toLowerCase
+      else path.replaceAll("^.*\\.", "").toLowerCase match {
+        case "csv" | "tsv"          => "csv"
+        case "json" | "jsonl" | "ndjson" => "json"
+        case "orc"                  => "orc"
+        case _                      => "parquet"
+      }
+    fmt match {
+      case "csv" => spark.read.option("header", "true")
+        .option("inferSchema", "true")
+        .option("sep", if (path.endsWith(".tsv")) "\t" else ",").csv(path)
+      case "json"    => spark.read.json(path)
+      case "orc"     => spark.read.orc(path)
+      case "parquet" => spark.read.parquet(path)
+      case other => throw new IllegalArgumentException(s"unsupported format $other")
+    }
+  }
+}

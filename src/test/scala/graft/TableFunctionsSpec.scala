@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.TableFunctions
+
+class TableFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("numbers and zeros") {
+    assert(TableFunctions.numbers(spark, 5).collect().map(_.getLong(0)).toSeq
+      === Seq(0L, 1L, 2L, 3L, 4L))
+    assert(TableFunctions.numbers(spark, 3, offset = 10)
+      .collect().map(_.getLong(0)).toSeq === Seq(10L, 11L, 12L))
+    assert(TableFunctions.zeros(spark, 4).collect().map(_.getInt(0)).toSeq
+      === Seq(0, 0, 0, 0))
+  }
+
+  test("generateRandom: deterministic, schema-shaped") {
+    val schema = new StructType()
+      .add("uid", LongType).add("score", DoubleType)
+      .add("flag", BooleanType).add("tag", StringType)
+    val a = TableFunctions.generateRandom(spark, schema, 100)
+    assert(a.schema.fieldNames.toSeq === Seq("uid", "score", "flag", "tag"))
+    assert(a.count() === 100)
+    val b = TableFunctions.generateRandom(spark, schema, 100)
+    assert(a.collect().map(_.toString).toSeq === b.collect().map(_.toString).toSeq)
+    // a different seed produces different values
+    val c = TableFunctions.generateRandom(spark, schema, 100, seed = 7L)
+    assert(a.collect().map(_.toString).toSeq !== c.collect().map(_.toString).toSeq)
+    assert(a.select(countDistinct($"uid")).head().getLong(0) > 90)
+  }
+
+  test("file: extension inference for csv/json/parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("tf-file")
+    val csv = dir.resolve("t.csv")
+    java.nio.file.Files.writeString(csv, "a,b\n1,x\n2,y\n")
+    val fromCsv = TableFunctions.file(spark, csv.toString)
+    assert(fromCsv.count() === 2 && fromCsv.columns.toSeq === Seq("a", "b"))
+
+    val json = dir.resolve("t.json")
+    java.nio.file.Files.writeString(json, """{"a":1}""" + "\n" + """{"a":2}""" + "\n")
+    assert(TableFunctions.file(spark, json.toString).count() === 2)
+
+    val pq = dir.resolve("t.parquet").toString
+    Seq((1, "x"), (2, "y")).toDF("a", "b").write.parquet(pq)
+    assert(TableFunctions.file(spark, pq).count() === 2)
+  }
+}
