@@ -142,6 +142,22 @@ object RelationalOps {
     left.join(dedup, keys, "left")
   }
 
+  /** VersionedCollapsingMergeTree `FINAL`
+    * (`src/Storages/MergeTree/VersionedCollapsingSortedAlgorithm.cpp`):
+    * rows carry `sign` ∈ {+1, -1}; a -1 row cancels the +1 row with the
+    * same (key, version). FINAL keeps the +1 rows whose (key, version)
+    * net sign is positive. One aggregation shuffle on (key, version).
+    */
+  def versionedCollapse(
+      df: DataFrame, keys: Seq[Column], sign: Column,
+      version: Column): DataFrame = {
+    val net = df.groupBy((keys :+ version).map(c => c): _*)
+      .agg(sum(sign).as("__net"))
+      .filter(col("__net") > 0).drop("__net")
+    df.filter(sign > 0).join(net, df.columns.intersect(
+      net.columns).toSeq, "left_semi")
+  }
+
   /** Lightweight `ALTER TABLE ... UPDATE` mutation
     * (`src/Interpreters/MutationsInterpreter.cpp`): rewrite matching rows
     * column-wise; non-matching rows pass through. Immutable-file

@@ -506,6 +506,20 @@ object RelationalQueries {
         .limit(500)
     }),
 
+    // VersionedCollapsingMergeTree FINAL: -1 rows cancel same-version +1
+    // rows; survivors aggregate (every third order gets a cancel row).
+    "q45_versioned_collapse" -> ((s, dir) => {
+      val plus = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .withColumn("sign", lit(1)).withColumn("ver", lit(1))
+      val minus = plus.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("sign", lit(-1))
+      val survivors = RelationalOps.versionedCollapse(
+        plus.union(minus), Seq(col("o_orderkey")), col("sign"), col("ver"))
+      survivors.agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+    }),
+
     // GROUP BY with expression keys + IN-subquery semi join.
     "q30_in_subquery" -> ((s, dir) => {
       val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
@@ -519,6 +533,10 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q45_versioned_collapse" -> """
+      SELECT CAST(count(1) AS BIGINT) AS n,
+             round(sum(o_totalprice), 2) AS total
+      FROM orders WHERE o_orderkey % 3 <> 0""",
     "q41_replacing_final" -> """
       SELECT * FROM (
         SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice
