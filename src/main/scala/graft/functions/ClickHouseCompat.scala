@@ -205,6 +205,37 @@ object ClickHouseCompat {
     "JSONExtractString(j STRING, k STRING) RETURNS STRING RETURN get_json_object(j, concat('$.', k))",
     "JSONHas(j STRING, k STRING) RETURNS BOOLEAN RETURN get_json_object(j, concat('$.', k)) IS NOT NULL",
     "visitParamExtractString(j STRING, k STRING) RETURNS STRING RETURN get_json_object(j, concat('$.', k))",
+    // ---- string distance / similarity (src/Functions/EditDistance.cpp,
+    //      FunctionsStringSimilarity.cpp) ----
+    "editDistance(a STRING, b STRING) RETURNS INT RETURN levenshtein(a, b)",
+    "levenshteinDistance(a STRING, b STRING) RETURNS INT RETURN levenshtein(a, b)",
+    // trigram Jaccard distance (the reference's ngramDistance contract:
+    // 0 = identical gram sets, 1 = disjoint)
+    "ngramDistance(a STRING, b STRING) RETURNS DOUBLE RETURN " +
+      "1.0 - CAST(size(array_intersect(" +
+      "  CASE WHEN length(a) < 3 THEN array() ELSE array_distinct(transform(sequence(1, length(a) - 2), i -> substring(a, i, 3))) END, " +
+      "  CASE WHEN length(b) < 3 THEN array() ELSE array_distinct(transform(sequence(1, length(b) - 2), i -> substring(b, i, 3))) END)) AS DOUBLE) / " +
+      "greatest(size(array_distinct(concat(" +
+      "  CASE WHEN length(a) < 3 THEN array() ELSE array_distinct(transform(sequence(1, length(a) - 2), i -> substring(a, i, 3))) END, " +
+      "  CASE WHEN length(b) < 3 THEN array() ELSE array_distinct(transform(sequence(1, length(b) - 2), i -> substring(b, i, 3))) END))), 1)",
+    "tokens(s STRING) RETURNS ARRAY<STRING> RETURN " +
+      "filter(split(lower(s), '[^a-z0-9]+'), x -> length(x) > 0)",
+    // ---- readable formatting (src/Functions/formatReadable.h) ----
+    "formatReadableSize(b DOUBLE) RETURNS STRING RETURN " +
+      "CASE WHEN b >= 1073741824 THEN concat(CAST(round(b / 1073741824, 2) AS STRING), ' GiB') " +
+      "WHEN b >= 1048576 THEN concat(CAST(round(b / 1048576, 2) AS STRING), ' MiB') " +
+      "WHEN b >= 1024 THEN concat(CAST(round(b / 1024, 2) AS STRING), ' KiB') " +
+      "ELSE concat(CAST(round(b, 2) AS STRING), ' B') END",
+    "formatReadableQuantity(x DOUBLE) RETURNS STRING RETURN " +
+      "CASE WHEN x >= 1e9 THEN concat(CAST(round(x / 1e9, 2) AS STRING), ' billion') " +
+      "WHEN x >= 1e6 THEN concat(CAST(round(x / 1e6, 2) AS STRING), ' million') " +
+      "WHEN x >= 1e3 THEN concat(CAST(round(x / 1e3, 2) AS STRING), ' thousand') " +
+      "ELSE CAST(round(x, 2) AS STRING) END",
+    // ---- transform(x, from, to, default) — CH's lookup-table function;
+    //      named transformLookup (Spark's `transform` is the array HOF) ----
+    "transformLookup(x STRING, src ARRAY<STRING>, dst ARRAY<STRING>, d STRING) " +
+      "RETURNS STRING RETURN IF(array_position(src, x) = 0 OR array_position(src, x) IS NULL, d, " +
+      "element_at(dst, CAST(array_position(src, x) AS INT)))",
     // ---- misc ----
     "generateUUIDv4() RETURNS STRING RETURN uuid()",
     "bar(x DOUBLE, mn DOUBLE, mx DOUBLE, w INT) RETURNS STRING RETURN " +

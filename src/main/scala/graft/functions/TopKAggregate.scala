@@ -62,4 +62,45 @@ object TopKAggregate {
     * (deterministic tie-break: higher count first, then value asc).
     */
   def topK(k: Int)(c: Column): Column = udaf(new SpaceSaving(k)).apply(c)
+
+  private class SpaceSavingWeighted(k: Int)
+      extends Aggregator[(String, Long), Buf, Seq[String]] {
+    private val capacity = k * LoadFactor
+
+    override def zero: Buf = mutable.Map.empty
+
+    private def add(b: Buf, v: String, n: Long): Buf = {
+      if (b.contains(v) || b.size < capacity) {
+        b.update(v, b.getOrElse(v, 0L) + n)
+      } else {
+        val (mv, mc) = b.minBy(_._2)
+        b.remove(mv)
+        b.update(v, mc + n)
+      }
+      b
+    }
+
+    override def reduce(b: Buf, in: (String, Long)): Buf =
+      if (in._1 == null) b else add(b, in._1, in._2)
+
+    override def merge(a: Buf, b: Buf): Buf = {
+      b.foreach { case (v, n) => add(a, v, n) }
+      a
+    }
+
+    override def finish(b: Buf): Seq[String] =
+      b.toSeq.sortBy { case (v, n) => (-n, v) }.take(k).map(_._1)
+
+    override def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
+    override def outputEncoder: Encoder[Seq[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+  }
+
+  /** `topKWeighted(k)(value, weight)` — heavy hitters by summed weight
+    * (`AggregateFunctionTopK.cpp` registers the weighted variant under
+    * the same SpaceSaving machinery). Exact when distinct values fit the
+    * capacity, like `topK`.
+    */
+  def topKWeighted(k: Int)(c: Column, w: Column): Column =
+    udaf(new SpaceSavingWeighted(k)).apply(c, w)
 }

@@ -318,6 +318,16 @@ object EventQueries {
         .select((col("rank") + 1).cast("long").as("rank"), col("event_type"))
         .orderBy(col("rank"))
     }),
+    // topKWeighted: heavy hitters by summed weight (SpaceSaving with
+    // weighted counters; exact at this cardinality).
+    "e27_topk_weighted" -> ((s, dir) => {
+      events(s, dir)
+        .agg(graft.functions.TopKAggregate.topKWeighted(3)(
+          col("event_type"), round(col("value") * 100).cast("long")).as("top"))
+        .select(posexplode(col("top")).as(Seq("rank", "event_type")))
+        .select((col("rank") + 1).cast("long").as("rank"), col("event_type"))
+        .orderBy(col("rank"))
+    }),
     // Approximate quantiles (quantileTDigest family → percentile_approx;
     // algorithm-specific values → rows-only check).
     "e09_quantile_approx" -> ((s, dir) => {
@@ -422,6 +432,12 @@ object EventQueries {
              [round(sum(l_quantity), 2), round(sum(l_extendedprice), 2),
               round(sum(l_discount), 2)] AS sum_foreach
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "e27_topk_weighted" -> """
+      SELECT CAST(row_number() OVER (ORDER BY w DESC, event_type) AS BIGINT) AS rank,
+             event_type
+      FROM (SELECT event_type, sum(CAST(round(value * 100) AS BIGINT)) AS w
+            FROM events GROUP BY 1)
+      ORDER BY w DESC, event_type LIMIT 3""",
     "e08_topk_values" -> """
       SELECT CAST(row_number() OVER (ORDER BY cnt DESC, event_type) AS BIGINT) AS rank,
              event_type

@@ -125,6 +125,25 @@ class ClickHouseCompatSpec extends SparkSpec {
     assert(!r.getAs[Boolean]("jh"))
   }
 
+  test("tranche-3: string distance, readable formats, transform lookup") {
+    val r = spark.sql("""SELECT
+      editDistance('kitten', 'sitting') AS ed,
+      ngramDistance('hello', 'hello') AS nd0,
+      ngramDistance('abcdef', 'uvwxyz') AS nd1,
+      tokens('Hello, World-42!') AS tk,
+      formatReadableSize(1536.0) AS frs,
+      formatReadableQuantity(2500000.0) AS frq,
+      transformLookup('b', array('a','b'), array('x','y'), '?') AS tl,
+      transformLookup('z', array('a','b'), array('x','y'), '?') AS tl2""").head()
+    assert(r.getAs[Int]("ed") === 3)
+    assert(r.getAs[Double]("nd0") === 0.0)
+    assert(r.getAs[Double]("nd1") === 1.0)
+    assert(r.getAs[Seq[String]]("tk") === Seq("hello", "world", "42"))
+    assert(r.getAs[String]("frs") === "1.5 KiB")
+    assert(r.getAs[String]("frq") === "2.5 million")
+    assert(r.getAs[String]("tl") === "y" && r.getAs[String]("tl2") === "?")
+  }
+
   test("geo distance: haversine sanity (Paris-London ~343.5 km)") {
     val d = spark.sql(
       "SELECT greatCircleDistance(2.3522, 48.8566, -0.1276, 51.5072)")
