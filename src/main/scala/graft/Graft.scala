@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Fluent user-facing API — the "switch from the reference" surface: one
+  * import gives every search / dedup / relational operator as a method on
+  * DataFrame, mirroring how a MyScaleDB user writes
+  * `SELECT ... ORDER BY distance(...)`, `textsearch(...)`,
+  * `hybridsearch(...)`, `ASOF JOIN`, `LIMIT n BY`, `FINAL`, etc.
+  *
+  * {{{
+  * import graft.Graft._
+  * docs.textSearch(col("text"), "spark merge join", k = 10)
+  * emb.vectorTopK(col("embedding"), qvec, k = 10, metric = "cosine")
+  * orders.replacingFinal(Seq(col("o_custkey")), col("o_orderkey"))
+  * }}}
+  */
+object Graft {
+
+  implicit class GraftDataFrame(val df: DataFrame) extends AnyVal {
+
+    // ---- vector search ----
+    def vectorTopK(vecCol: Column, q: Seq[Float], k: Int,
+        metric: String = "l2", preFilter: Option[Column] = None,
+        tieBreak: Seq[Column] = Nil): DataFrame =
+      VectorSearch.topK(df, vecCol, q, k, metric, preFilter, "d", tieBreak)
+
+    def batchVectorTopK(vecCol: Column, qs: Seq[Seq[Float]], k: Int,
+        metric: String = "l2"): DataFrame =
+      VectorSearch.batchTopK(df, vecCol, qs, k, metric)
+
+    // ---- text / hybrid search ----
+    def textSearch(textCol: Column, query: String, k: Int,
+        operator: String = "OR", tieBreak: Seq[Column] = Nil): DataFrame =
+      TextSearch.textSearch(df, textCol, query, k, operator, "bm25_score", tieBreak)
+
+    def textSearchNlq(textCol: Column, query: String, k: Int,
+        tieBreak: Seq[Column] = Nil): DataFrame =
+      TextSearch.textSearchNlq(df, textCol, query, k, "bm25_score", tieBreak)
+
+    def hybridSearch(idCol: String, vecCol: Column, textCol: Column,
+        qvec: Seq[Float], qtext: String, k: Int,
+        fusionType: String = "rsf", metric: String = "cosine"): DataFrame =
+      HybridSearch.hybridSearch(df, idCol, vecCol, textCol, qvec, qtext, k,
+        fusionType, metric)
+
+    // ---- relational extensions ----
+    def asofJoin(right: DataFrame, leftKey: Column, rightKey: Column,
+        leftTime: Column, rightTime: Column,
+        rightPayload: Seq[(String, Column)], inner: Boolean = true): DataFrame =
+      AsOfJoin.asofJoin(df, right, leftKey, rightKey, leftTime, rightTime,
+        rightPayload, inner)
+
+    def limitBy(n: Int, by: Seq[Column], order: Seq[Column]): DataFrame =
+      RelationalOps.limitBy(df, n, by, order)
+
+    def replacingFinal(keys: Seq[Column], version: Column): DataFrame =
+      RelationalOps.replacingFinal(df, keys, version)
+
+    def anyLeftJoin(right: DataFrame, keys: Seq[String], tieBreak: Column): DataFrame =
+      RelationalOps.anyLeftJoin(df, right, keys, tieBreak)
+
+    def updateWhere(cond: Column, assignments: (String, Column)*): DataFrame =
+      RelationalOps.update(df, cond, assignments)
+
+    def deleteWhere(cond: Column): DataFrame = Deletes.delete(df, cond)
+    def withoutDeleted: DataFrame = Deletes.applyMask(df)
+
+    // ---- dedup pipeline ----
+    def exactDedup(textCol: Column, idCol: Column): DataFrame =
+      Dedup.exactDedup(df, textCol, idCol)
+
+    def minhashLshPairs(textCol: Column, idCol: Column,
+        minEstSim: Double = 0.5): DataFrame =
+      Dedup.minhashLshPairs(df, textCol, idCol, minEstSim = minEstSim)
+  }
+
+  /** Index builders, usable from the same import. */
+  def buildIvfIndex(spark: SparkSession, df: DataFrame, vecCol: String,
+      name: String, dir: String, metric: String = "l2",
+      nLists: Int = 256, sourcePath: String = ""): IvfIndex.IndexEntry =
+    IvfIndex.build(spark, df, vecCol, name, dir, metric, nLists,
+      sourcePath = sourcePath)
+
+  def buildFtsIndex(spark: SparkSession, df: DataFrame, idCol: String,
+      textCol: String, name: String, dir: String): FtsIndex.Entry =
+    FtsIndex.build(spark, df, idCol, textCol, name, dir)
+}

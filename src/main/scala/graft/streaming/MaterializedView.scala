@@ -43,6 +43,29 @@ object MaterializedView {
   def read(spark: SparkSession, statePath: String, keys: Seq[String]): DataFrame =
     StateCombinators.mergeStates(spark.read.parquet(statePath), keys.map(col))
 
+  /** Streaming IVF index maintenance: each micro-batch of new vectors is
+    * assigned to the existing centroids and appended
+    * ([[graft.operators.IvfIndex.append]]), so ANN queries see fresh rows
+    * after every batch — the vector twin of [[attachFtsIndex]].
+    */
+  def attachIvfIndex(
+      stream: DataFrame,
+      indexName: String,
+      indexDir: String,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.IvfIndex.append(
+            batch.sparkSession, batch, indexName, indexDir)
+          ()
+        }
+      }
+      .start()
+
   /** Streaming FTS index maintenance — the push-chain analog for the
     * text index: each micro-batch of new documents is appended into the
     * posting-list index ([[graft.operators.FtsIndex.append]] — new

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.Graft._
+import graft.engine.Tables
+
+class GraftApiSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val emb = Tables.t(spark, sfDir, "embeddings")
+  lazy val docs = Tables.t(spark, sfDir, "documents")
+
+  test("fluent vector + text + hybrid search") {
+    val qv = emb.filter($"vec_id" === 0).select("embedding").head().getSeq[Float](0)
+    assert(emb.vectorTopK(col("embedding"), qv, 5).count() === 5)
+    assert(docs.textSearch(col("text"), "spark merge join", 5).count() === 5)
+    assert(docs.textSearchNlq(col("text"), "+table -hash", 5).count() === 5)
+    val joined = docs.join(emb, $"doc_id" === $"vec_id")
+    assert(joined.hybridSearch("doc_id", col("embedding"), col("text"),
+      qv, "spark merge", 5).count() === 5)
+  }
+
+  test("fluent relational extensions") {
+    val orders = Tables.t(spark, sfDir, "orders")
+    val latest = orders.replacingFinal(Seq(col("o_custkey")), col("o_orderkey"))
+    assert(latest.groupBy("o_custkey").count().filter($"count" > 1).count() === 0)
+    val limited = orders.limitBy(2, Seq(col("o_custkey")), Seq(col("o_orderkey")))
+    assert(limited.groupBy("o_custkey").count().filter($"count" > 2).count() === 0)
+    val updated = orders.updateWhere($"o_totalprice" > 100000,
+      "o_totalprice" -> lit(0.0))
+    assert(updated.filter($"o_totalprice" > 100000).count() === 0)
+    val masked = orders.deleteWhere($"o_orderkey" % 2 === 0).withoutDeleted
+    assert(masked.filter($"o_orderkey" % 2 === 0).count() === 0)
+  }
+
+  test("fluent dedup") {
+    val pairs = docs.minhashLshPairs(col("text"), col("doc_id"))
+    assert(pairs.columns.toSet.contains("id_a"))
+    assert(docs.exactDedup(col("text"), col("doc_id")).count() <= docs.count())
+  }
+}
