@@ -40,6 +40,10 @@ object Combinators {
   def groupUniqArray(c: Column): Column =
     array_sort(array_distinct(flatten(collect_list(array_distinct(c)))))
 
+  /** avgWeighted(v, w) (`AggregateFunctionAvgWeighted.cpp`). */
+  def avgWeighted(v: Column, w: Column): Column =
+    sum(v.cast("double") * w.cast("double")) / sum(w.cast("double"))
+
   // ---- -Resample: one aggregate split into key-range buckets ----
 
   /** countResample(start, end, step)(key): array of per-bucket counts —

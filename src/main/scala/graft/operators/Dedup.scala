@@ -36,6 +36,26 @@ object Dedup {
     * |A|+|B|-|A∩B|. The shingle join key is hashed to 8 bytes so the
     * shuffle carries longs, not strings.
     */
+  /** Cross-corpus incremental dedup — the training-pipeline shape where
+    * each new batch is deduplicated AGAINST THE ALREADY-SEEN corpus
+    * (batch-vs-seen, not batch-vs-itself): survivors are the new docs
+    * whose fingerprints appear in neither the seen set nor earlier within
+    * the batch. One anti-join on the 16-byte fingerprint (shuffle prunes
+    * to new-batch cardinality) + the exact-dedup of the batch itself.
+    */
+  def incrementalDedup(
+      newDocs: DataFrame,
+      seen: DataFrame,
+      textCol: Column,
+      idCol: Column,
+      seenTextCol: Column): DataFrame = {
+    val seenFp = seen.select(text.fingerprint(seenTextCol).as("__fp")).distinct()
+    exactDedup(newDocs, textCol, idCol)
+      .withColumn("__fp", text.fingerprint(textCol))
+      .join(seenFp, Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
   def ngramJaccardPairs(
       df: DataFrame,
       textCol: Column,

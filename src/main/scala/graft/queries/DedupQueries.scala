@@ -27,6 +27,16 @@ object DedupQueries {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // Cross-corpus incremental dedup: the new batch (doc_id >= 250)
+    // deduped against the already-seen corpus (doc_id < 250) AND itself.
+    "d06_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalDedup(
+          docs.filter(col("doc_id") >= 250),
+          docs.filter(col("doc_id") < 250),
+          col("text"), col("doc_id"), col("text"))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
     // MinHash + LSH banding (approximate; verified in ScalaTest against
     // the exact pairs — no SQL oracle).
     "d03_minhash_lsh" -> ((s, dir) => {
@@ -80,6 +90,17 @@ object DedupQueries {
       JOIN sizes sb ON p.id_b = sb.doc_id
       WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5
       ORDER BY id_a, id_b""",
+    "d06_incremental_dedup" -> """
+      WITH fp AS (SELECT doc_id,
+                    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS f
+                  FROM documents),
+      batch AS (SELECT doc_id, f,
+                  row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+                FROM fp WHERE doc_id >= 250),
+      seen AS (SELECT DISTINCT f FROM fp WHERE doc_id < 250)
+      SELECT doc_id FROM batch
+      WHERE rn = 1 AND f NOT IN (SELECT f FROM seen)
+      ORDER BY doc_id""",
     "d05_embedding_dup" -> """
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 3) AS cos_sim

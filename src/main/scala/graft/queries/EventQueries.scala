@@ -318,6 +318,14 @@ object EventQueries {
         .select((col("rank") + 1).cast("long").as("rank"), col("event_type"))
         .orderBy(col("rank"))
     }),
+    // avgWeighted: weight-blended mean per group.
+    "e28_avg_weighted" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(round(Combinators.avgWeighted(
+          col("value"), col("user_id") % 10 + 1), 4).as("wavg"))
+        .orderBy(col("event_type"))
+    }),
     // topKWeighted: heavy hitters by summed weight (SpaceSaving with
     // weighted counters; exact at this cardinality).
     "e27_topk_weighted" -> ((s, dir) => {
@@ -432,6 +440,11 @@ object EventQueries {
              [round(sum(l_quantity), 2), round(sum(l_extendedprice), 2),
               round(sum(l_discount), 2)] AS sum_foreach
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "e28_avg_weighted" -> """
+      SELECT event_type,
+             round(sum(value * (user_id % 10 + 1)) / sum(user_id % 10 + 1), 4)
+               AS wavg
+      FROM events GROUP BY event_type ORDER BY event_type""",
     "e27_topk_weighted" -> """
       SELECT CAST(row_number() OVER (ORDER BY w DESC, event_type) AS BIGINT) AS rank,
              event_type
