@@ -85,7 +85,8 @@ object FtsIndex {
 
     val statsRow = base.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).head()
     val nDocs = statsRow.getAs[Long]("n")
-    val avgDl = statsRow.getAs[Double]("avgdl")
+    // empty corpus → avg() is NULL; an empty index is legal (appends fill it)
+    val avgDl = Option(statsRow.get(1)).map(_.toString.toDouble).getOrElse(0.0)
 
     val nb = nBuckets
     val bucketU = udf((t: String) => math.floorMod(t.hashCode, nb))
@@ -203,7 +204,8 @@ object FtsIndex {
     import spark.implicits._
     val meta = loadMeta(indexDir)
     val terms = TextSearch.queryTerms(query)
-    if (terms.isEmpty)
+    // empty index (built before any append) has no postings files at all
+    if (terms.isEmpty || meta.nDocs == 0)
       return Seq.empty[(Long, Double)].toDF("doc_id", scoreName)
 
     val buckets = terms.map(bucketOf(_, meta.nBuckets)).distinct
@@ -262,7 +264,7 @@ object FtsIndex {
     val nlq = TextSearch.parseNlq(query)
     val scored = nlq.scoredTerms
     val allTerms = (scored ++ nlq.mustNot).distinct
-    if (scored.isEmpty)
+    if (scored.isEmpty || meta.nDocs == 0)
       return Seq.empty[(Long, Double)].toDF("doc_id", scoreName)
 
     val buckets = allTerms.map(bucketOf(_, meta.nBuckets)).distinct

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, FtsIndex, TextSearch, VectorSearch}
+
+/** Empty-input and degenerate-input behavior: operators must stay
+  * graceful (empty results with the right schema) or fail loudly — never
+  * NPE or silently mis-answer.
+  */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+
+  test("textSearch over an empty corpus returns empty with schema") {
+    val r = TextSearch.textSearch(emptyDocs, col("text"), "anything", 5)
+    assert(r.count() === 0)
+    assert(r.columns.contains("bm25_score"))
+  }
+
+  test("FTS index builds empty, appends fill it, search works throughout") {
+    val dir = java.nio.file.Files.createTempDirectory("fts-empty").toString
+    FtsIndex.build(spark, emptyDocs, "doc_id", "text", "fts_empty", dir, 4)
+    assert(FtsIndex.loadMeta(dir).nDocs === 0)
+    // search against the empty index: no postings → empty result
+    assert(FtsIndex.search(spark, dir, "anything", 5).count() === 0)
+    FtsIndex.append(spark,
+      Seq((1L, "spark rows"), (2L, "duck rows")).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    val m = FtsIndex.loadMeta(dir)
+    assert(m.nDocs === 2 && math.abs(m.avgDl - 2.0) < 1e-9)
+    assert(FtsIndex.search(spark, dir, "spark", 5)
+      .select("doc_id").head().getLong(0) === 1L)
+    FtsIndex.Catalog.drop("fts_empty")
+  }
+
+  test("vector topK over an empty frame returns empty") {
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(VectorSearch.topK(empty, col("embedding"),
+      Seq(1f, 2f), 5).count() === 0)
+  }
+
+  test("dedup over an empty corpus returns empty pair/survivor sets") {
+    assert(Dedup.exactDedup(emptyDocs, col("text"), col("doc_id")).count() === 0)
+    assert(Dedup.minhashLshPairs(emptyDocs, col("text"), col("doc_id")).count() === 0)
+    assert(Dedup.incrementalDedup(emptyDocs, emptyDocs, col("text"),
+      col("doc_id"), col("text")).count() === 0)
+  }
+
+  test("mismatched vector lengths fail loudly, not silently") {
+    val bad = Seq((1L, Seq(1f, 2f)), (2L, Seq(1f, 2f, 3f))).toDF("vec_id", "embedding")
+    val ex = intercept[Throwable] {
+      VectorSearch.topK(bad, col("embedding"), Seq(1f, 2f), 5).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("length mismatch")), ex.toString)
+  }
+
+  test("NLQ queries with no usable terms return empty") {
+    val docs = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    assert(TextSearch.textSearchNlq(docs, col("text"), "???", 5).count() === 0)
+    assert(TextSearch.textSearch(docs, col("text"), "", 5).count() === 0)
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+/** Plan-shape regression gate: the properties that make the engine safe
+  * at 100 TB, asserted against the actual physical plans so a future
+  * change cannot silently lose them. (PLANS.md is the human-readable
+  * dump; this is the executable version.)
+  */
+class PlanRegressionSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("q01: filters reach the parquet scan, aggregation is partial->final") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: ["), p.takeRight(800))
+    assert(p.contains("partial_"), "no partial aggregation")
+  }
+
+  test("q05 star join broadcasts every dimension") {
+    val p = plan("q05_region_volume")
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("v01 vector top-K never global-sorts") {
+    val p = plan("v01_l2_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(500))
+  }
+
+  test("t07 FTS search prunes bucket partitions and pushes the term filter") {
+    val p = plan("t07_fts_topk")
+    assert(p.contains("PartitionFilters: [bucket"), p.takeRight(1200))
+    assert(p.contains("In(term"), "term filter not pushed to row groups")
+  }
+
+  test("v11 HNSW search plan has no Exchange") {
+    assert(!plan("v11_hnsw_search").contains("Exchange"))
+  }
+
+  test("q21 ASOF join shuffles once on the key (no nested-loop range join)") {
+    val p = plan("q21_asof_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("no query uses a Cartesian product except the intended cross joins") {
+    val allowCartesian = Set("q28_cross_to_inner", "v05_batch_distance")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(allowCartesian)
+      .filter { name =>
+        // plan construction only — no execution
+        try SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.executedPlan.toString.contains("CartesianProduct")
+        catch { case _: Throwable => false }
+      }
+    assert(offenders.isEmpty, s"unexpected CartesianProduct in: $offenders")
+  }
+}
