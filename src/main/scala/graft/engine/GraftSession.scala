@@ -51,6 +51,7 @@ object GraftSession {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(spark => graft.plans.TopKSearchRewrite(spark))
+    ext.injectOptimizerRule(spark => graft.plans.ProjectionRewrite(spark))
   }
 }
 

@@ -1,0 +1,112 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+import graft.operators.Projections
+
+/** Swaps `Aggregate(scan)` for a re-aggregation over a registered
+  * PROJECTION when the query's grouping is a subset of the projection's
+  * key and every aggregate is covered — the Spark twin of the reference's
+  * `optimizeUseAggregateProjection.cpp`.
+  *
+  * Covered rewrites (all exact by associativity):
+  *   `sum(c)` → `sum(__sum_c)`, `count(*)`/`count(1)` → `sum(__cnt)`,
+  *   `min(c)` → `min(__min_c)`, `max(c)` → `max(__max_c)`,
+  *   `avg(c)` → `sum(__sum_c) / sum(__cnt)` is NOT rewritten (Average
+  *   carries its own division semantics) — queries with avg, filters,
+  *   distinct aggregates, or FILTER clauses are left untouched.
+  */
+case class ProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case agg @ Aggregate(groupExprs, resultExprs, child, _) =>
+      rewrite(agg, groupExprs, resultExprs, child).getOrElse(agg)
+  }
+
+  private def relationPath(p: LogicalPlan): Option[(LogicalRelation, Seq[Attribute])] =
+    p match {
+      case lr: LogicalRelation => Some((lr, lr.output))
+      case Project(pl, lr: LogicalRelation)
+          if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        Some((lr, pl.map(_.asInstanceOf[AttributeReference])))
+      case _ => None
+    }
+
+  private def rewrite(
+      agg: Aggregate, groupExprs: Seq[Expression],
+      resultExprs: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
+    val (rel, _) = relationPath(child).getOrElse(return None)
+    val path = rel.relation match {
+      case fs: HadoopFsRelation =>
+        fs.location.rootPaths.headOption.map(_.toString).getOrElse(return None)
+      case _ => return None
+    }
+    // grouping must be plain columns
+    val groupNames = groupExprs.map {
+      case a: AttributeReference => a.name
+      case _ => return None
+    }
+    val candidates = Projections.forSource(path)
+      .filter(e => groupNames.forall(e.groupCols.contains))
+    if (candidates.isEmpty) return None
+
+    // every aggregate must be coverable; collect needed columns per kind
+    def covered(e: Projections.ProjEntry): Boolean = resultExprs.forall {
+      case a: AttributeReference => groupNames.contains(a.name)
+      case al: Alias => al.child match {
+        case a: AttributeReference => groupNames.contains(a.name)
+        case AggregateExpression(f, Complete, false, None, _) => f match {
+          case Sum(a: AttributeReference, _) => e.sumCols.contains(a.name)
+          case Min(a: AttributeReference)    => e.minCols.contains(a.name)
+          case Max(a: AttributeReference)    => e.maxCols.contains(a.name)
+          case Count(Seq(Literal(_, _)))     => true
+          case _ => false
+        }
+        case _ => false
+      }
+      case _ => false
+    }
+    val entry = candidates.find(covered).getOrElse(return None)
+
+    val projScan = spark.read.parquet(entry.projDir).queryExecution.analyzed
+    val byName = projScan.output.map(a => a.name -> a).toMap
+    def proj(name: String): Attribute = byName(name)
+
+    def rewriteAgg(f: AggregateFunction): Expression = f match {
+      case Sum(a: AttributeReference, mode) =>
+        AggregateExpression(Sum(proj(Projections.sumColName(a.name)), mode),
+          Complete, isDistinct = false)
+      case Min(a: AttributeReference) =>
+        AggregateExpression(Min(proj(Projections.minColName(a.name))),
+          Complete, isDistinct = false)
+      case Max(a: AttributeReference) =>
+        AggregateExpression(Max(proj(Projections.maxColName(a.name))),
+          Complete, isDistinct = false)
+      case Count(_) =>
+        AggregateExpression(Sum(proj("__cnt")), Complete, isDistinct = false)
+      case other => sys.error(s"unreachable: $other")
+    }
+
+    val newResult = resultExprs.map {
+      case a: AttributeReference =>
+        Alias(proj(a.name), a.name)(exprId = a.exprId)
+      case al: Alias => al.child match {
+        case a: AttributeReference =>
+          Alias(proj(a.name), al.name)(exprId = al.exprId)
+        case ae @ AggregateExpression(f, _, _, _, _) =>
+          Alias(rewriteAgg(f), al.name)(exprId = al.exprId)
+        case other => return None
+      }
+      case _ => return None
+    }
+    val newGrouping = groupNames.map(proj)
+    logInfo(s"ProjectionRewrite: GROUP BY ${groupNames.mkString(",")} over $path " +
+      s"→ projection ${entry.name} (${entry.nGroups} groups)")
+    Some(Aggregate(newGrouping, newResult, projScan))
+  }
+}

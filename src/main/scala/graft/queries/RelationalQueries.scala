@@ -506,6 +506,17 @@ object RelationalQueries {
         .limit(500)
     }),
 
+    // Aggregate PROJECTION: the optimizer substitutes the materialized
+    // partial-aggregate table for the scan (ProjectionRewrite; plan
+    // asserted in ProjectionSpec) — values must match the base table.
+    "q46_projection_agg" -> ((s, dir) => {
+      projDir(s, dir) // build + register the projection once per sf dir
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
     // VersionedCollapsingMergeTree FINAL: -1 rows cancel same-version +1
     // rows; survivors aggregate (every third order gets a cancel row).
     "q45_versioned_collapse" -> ((s, dir) => {
@@ -532,7 +543,25 @@ object RelationalQueries {
     }),
   )
 
+  /** One lineitem projection per sf dir (ALTER ADD PROJECTION analog). */
+  private val projDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def projDir(s: SparkSession, dir: String): String =
+    projDirs.getOrElseUpdate(dir, {
+      val pd = java.nio.file.Files.createTempDirectory("graft-proj").toString
+      graft.operators.Projections.build(s, t(s, dir, "lineitem"),
+        s"proj_lineitem_${dir.replaceAll("[^a-zA-Z0-9]", "_")}",
+        s"file:$dir/lineitem.parquet", pd,
+        groupCols = Seq("l_returnflag", "l_linestatus"),
+        sumCols = Seq("l_quantity"))
+      pd
+    })
+
   val oracles: Map[String, String] = Map(
+    "q46_projection_agg" -> """
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             CAST(count(1) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
     "q45_versioned_collapse" -> """
       SELECT CAST(count(1) AS BIGINT) AS n,
              round(sum(o_totalprice), 2) AS total
