@@ -28,19 +28,29 @@ case class ProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       rewrite(agg, groupExprs, resultExprs, child).getOrElse(agg)
   }
 
-  private def relationPath(p: LogicalPlan): Option[(LogicalRelation, Seq[Attribute])] =
+  /** Unwrap pass-through Projects and Filters (column pruning interleaves
+    * them by the time optimizer rules run) down to the relation,
+    * accumulating the conjunction of filter conditions.
+    */
+  private def unwrap(p: LogicalPlan): Option[(LogicalRelation, Option[Expression])] =
     p match {
-      case lr: LogicalRelation => Some((lr, lr.output))
-      case Project(pl, lr: LogicalRelation)
-          if pl.forall(_.isInstanceOf[AttributeReference]) =>
-        Some((lr, pl.map(_.asInstanceOf[AttributeReference])))
+      case lr: LogicalRelation => Some((lr, None))
+      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        unwrap(c)
+      case Filter(cond, c) =>
+        unwrap(c).map { case (lr, f) =>
+          (lr, Some(f.map(And(_, cond)).getOrElse(cond)))
+        }
       case _ => None
     }
 
   private def rewrite(
       agg: Aggregate, groupExprs: Seq[Expression],
       resultExprs: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
-    val (rel, _) = relationPath(child).getOrElse(return None)
+    // a WHERE over projection-key columns only is applied to the
+    // projection's group rows (reference: projections serve filtered
+    // queries when the predicate uses projection columns)
+    val (rel, filterCond) = unwrap(child).getOrElse(return None)
     val path = rel.relation match {
       case fs: HadoopFsRelation =>
         fs.location.rootPaths.headOption.map(_.toString).getOrElse(return None)
@@ -51,8 +61,13 @@ case class ProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case a: AttributeReference => a.name
       case _ => return None
     }
+    // filter may only reference projection-key columns
+    val filterColNames = filterCond.toSeq.flatMap(_.collect {
+      case a: AttributeReference => a.name
+    })
     val candidates = Projections.forSource(path)
-      .filter(e => groupNames.forall(e.groupCols.contains))
+      .filter(e => groupNames.forall(e.groupCols.contains) &&
+        filterColNames.forall(e.groupCols.contains))
     if (candidates.isEmpty) return None
 
     // every aggregate must be coverable; collect needed columns per kind
@@ -105,8 +120,17 @@ case class ProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => return None
     }
     val newGrouping = groupNames.map(proj)
+    val newChild = filterCond match {
+      case Some(cond) =>
+        val remapped = cond.transformUp {
+          case a: AttributeReference if byName.contains(a.name) => proj(a.name)
+        }
+        Filter(remapped, projScan)
+      case None => projScan
+    }
     logInfo(s"ProjectionRewrite: GROUP BY ${groupNames.mkString(",")} over $path " +
-      s"→ projection ${entry.name} (${entry.nGroups} groups)")
-    Some(Aggregate(newGrouping, newResult, projScan))
+      s"→ projection ${entry.name} (${entry.nGroups} groups" +
+      filterCond.map(_ => ", filtered").getOrElse("") + ")")
+    Some(Aggregate(newGrouping, newResult, newChild))
   }
 }

@@ -71,6 +71,22 @@ class ProjectionSpec extends SparkSpec {
     assert(q.collect().map(_.toString).toSet === direct)
   }
 
+  test("filters over projection-key columns are served by the projection") {
+    projDir
+    val q = li.filter(col("l_linestatus") === "F")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("sq"), count(lit(1)).as("n"))
+    assert(q.queryExecution.executedPlan.toString.contains("proj-spec"))
+    val entry = Projections.forSource(srcPath).head
+    Projections.drop(entry.name)
+    val direct = try li.filter(col("l_linestatus") === "F")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("sq"), count(lit(1)).as("n"))
+      .collect().map(_.toString).toSet
+    finally Projections.register(entry)
+    assert(q.collect().map(_.toString).toSet === direct)
+  }
+
   test("uncovered queries leave the plan untouched") {
     projDir
     // avg is not covered → no projection
@@ -81,7 +97,7 @@ class ProjectionSpec extends SparkSpec {
     val taxQ = li.groupBy(col("l_returnflag"))
       .agg(sum(col("l_tax")).as("t"))
     assert(!taxQ.queryExecution.executedPlan.toString.contains("proj-spec"))
-    // filter below the aggregate → no projection
+    // filter over a NON-key column below the aggregate → no projection
     val filtQ = li.filter(col("l_quantity") > 10)
       .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("s"))
     assert(!filtQ.queryExecution.executedPlan.toString.contains("proj-spec"))
