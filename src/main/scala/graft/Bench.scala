@@ -60,20 +60,31 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    def render(prec: String): String = {
-      val qs = results
+    def render(prec: String, shown: Seq[(String, Double)]): String = {
+      val qs = shown
         .map { case (k, v) => "\"" + k + "\":" + prec.format(v) }
         .mkString("{", ",", "}")
       val total = prec.format(results.map(_._2).sum)
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      val extra =
+        if (shown.size < results.size)
+          s""","queries_shown":${shown.size},"queries_total":${results.size}"""
+        else ""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$extra,"sf":"$sfDir"}"""
     }
-    // stdout: 2-decimal precision keeps the line short enough to survive
-    // the harness's bounded stdout-tail capture (rounds 1–2 lost the JSON
-    // to truncation); the file keeps full precision and is authoritative.
-    println(render("%.2f"))
+    // stdout: 2-decimal precision + a cap on the per-query map keep the
+    // line short enough to survive the harness's bounded stdout-tail
+    // capture (rounds 1–2 lost the JSON to truncation); when capped, the
+    // slowest queries are kept and queries_shown/queries_total record the
+    // truncation. The file keeps every query at full precision and is
+    // authoritative.
+    val MaxStdoutQueries = 100
+    val stdoutShown =
+      if (results.size <= MaxStdoutQueries) results
+      else results.sortBy(-_._2).take(MaxStdoutQueries).sortBy(_._1)
+    println(render("%.2f", stdoutShown))
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
-      render("%.3f") + "\n")
+      render("%.3f", results) + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $out failed: $e") }
     spark.stop()
   }
