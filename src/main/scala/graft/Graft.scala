@@ -59,6 +59,16 @@ object Graft {
     def replacingFinal(keys: Seq[Column], version: Column): DataFrame =
       RelationalOps.replacingFinal(df, keys, version)
 
+    def versionedCollapse(keys: Seq[Column], sign: Column, version: Column): DataFrame =
+      RelationalOps.versionedCollapse(df, keys, sign, version)
+
+    def collapsingFinal(keys: Seq[Column], sign: Column, order: Column): DataFrame =
+      RelationalOps.collapsingFinal(df, keys, sign, order)
+
+    def textSearchMap(mapCol: Column, query: String, k: Int,
+        over: String = "values", operator: String = "OR"): DataFrame =
+      TextSearch.textSearchMap(df, mapCol, query, k, over, operator)
+
     def anyLeftJoin(right: DataFrame, keys: Seq[String], tieBreak: Column): DataFrame =
       RelationalOps.anyLeftJoin(df, right, keys, tieBreak)
 

@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** ClickHouse bitmap function family
+  * (`/root/reference/src/Functions/FunctionsBitmap.h`,
+  * `src/AggregateFunctions/AggregateFunctionGroupBitmap.cpp`): set algebra
+  * over compressed id-sets (`groupBitmap`, `bitmapAnd/Or/Xor/Andnot`,
+  * `bitmapCardinality`, membership probes).
+  *
+  * Representation: a bitmap is a SORTED `array<long>` of distinct ids.
+  * The reference uses RoaringBitmap; on Spark the array representation
+  * keeps every operation inside whole-stage codegen (`array_intersect`/
+  * `array_union`/`size` are native codegen'd expressions, no UDF
+  * boundary), and build is `collect_set` — a partial-merge aggregate, so
+  * construction is map-side combinable and shuffles only distinct ids per
+  * group. At 100 TB the per-group distinct-id set is the same payload a
+  * RoaringBitmap would carry (modulo compression); for cardinality-only
+  * pipelines prefer `approx_count_distinct` (HLL) which ships constant
+  * size.
+  */
+object BitmapFunctions {
+
+  /** groupBitmap aggregate: build the bitmap of distinct values. */
+  def bitmapBuild(c: Column): Column = array_sort(collect_set(c.cast("long")))
+
+  /** groupBitmap (cardinality form): number of distinct values — the
+    * value ClickHouse's `groupBitmap` returns directly.
+    */
+  def groupBitmap(c: Column): Column = count_distinct(c)
+
+  def bitmapAnd(a: Column, b: Column): Column = array_sort(array_intersect(a, b))
+  def bitmapOr(a: Column, b: Column): Column = array_sort(array_union(a, b))
+  def bitmapAndnot(a: Column, b: Column): Column = array_sort(array_except(a, b))
+  def bitmapXor(a: Column, b: Column): Column =
+    array_sort(array_except(array_union(a, b), array_intersect(a, b)))
+
+  def bitmapCardinality(a: Column): Column = size(a).cast("long")
+  def bitmapAndCardinality(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("long")
+  def bitmapOrCardinality(a: Column, b: Column): Column =
+    size(array_union(a, b)).cast("long")
+  def bitmapXorCardinality(a: Column, b: Column): Column =
+    bitmapOrCardinality(a, b) - bitmapAndCardinality(a, b)
+  def bitmapAndnotCardinality(a: Column, b: Column): Column =
+    size(array_except(a, b)).cast("long")
+
+  def bitmapContains(a: Column, v: Column): Column = array_contains(a, v.cast("long"))
+  def bitmapHasAny(a: Column, b: Column): Column = arrays_overlap(a, b)
+  def bitmapHasAll(a: Column, b: Column): Column = size(array_except(b, a)) === 0
+  def bitmapMin(a: Column): Column = array_min(a)
+  def bitmapMax(a: Column): Column = array_max(a)
+
+  /** subBitmapInRange: members in [lo, hi). */
+  def bitmapSubsetInRange(a: Column, lo: Column, hi: Column): Column =
+    filter(a, x => x >= lo.cast("long") && x < hi.cast("long"))
+
+  /** bitmapToArray is the identity in this representation; exposed for
+    * surface parity.
+    */
+  def bitmapToArray(a: Column): Column = a
+}

@@ -1,0 +1,227 @@
+package graft.multimodal
+
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioInputStream, AudioSystem}
+
+/** A REAL [[Multimodal.MediaCodec]] built entirely on the JDK — no external
+  * media libraries. Handles the formats the JDK ships decoders for:
+  *
+  *   - images: PNG / JPEG / GIF / BMP via `javax.imageio` (decode, true
+  *     bilinear resize, luminance-grid featurization, GIF frame extraction)
+  *   - audio: WAV/PCM via `javax.sound.sampled` (header decode, RMS-energy
+  *     featurization, equal-duration chunking as frame sampling)
+  *
+  * Payloads that are neither (arbitrary bytes) delegate to
+  * [[Multimodal.StubCodec]], keeping every pipeline stage total. This is
+  * the default codec; `installCodec` swaps in ffmpeg/JNI-backed
+  * implementations for formats beyond the JDK's reach
+  * (reference surface: `getObject()`/ObjectToFetch,
+  * `/root/reference/src/Functions/getObject.cpp:53-60`).
+  */
+object JdkMediaCodec extends Multimodal.MediaCodec {
+  // ImageIO on a server JVM: no display required.
+  try System.setProperty("java.awt.headless", "true") catch { case _: Throwable => () }
+
+  override def name: String = "jdk"
+
+  /** Magic-byte sniffing — cheap, no decode attempt on non-media bytes. */
+  private[multimodal] def sniff(b: Array[Byte]): String = {
+    def at(i: Int): Int = b(i) & 0xFF
+    if (b == null || b.length < 4) "unknown"
+    else if (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G') "png"
+    else if (at(0) == 0xFF && at(1) == 0xD8) "jpeg"
+    else if (b.length >= 6 && at(0) == 'G' && at(1) == 'I' && at(2) == 'F' && at(3) == '8') "gif"
+    else if (at(0) == 'B' && at(1) == 'M') "bmp"
+    else if (b.length >= 12 && at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F' &&
+      at(8) == 'W' && at(9) == 'A' && at(10) == 'V' && at(11) == 'E') "wav"
+    else "unknown"
+  }
+
+  private def readImage(b: Array[Byte]): Option[BufferedImage] =
+    try Option(ImageIO.read(new ByteArrayInputStream(b)))
+    catch { case _: Throwable => None }
+
+  private def pngBytes(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  override def decodeMeta(bytes: Array[Byte]): (String, Int, Int) = sniff(bytes) match {
+    case "wav" =>
+      try {
+        val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+        val f = in.getFormat
+        in.close()
+        ("wav", f.getSampleRate.toInt, f.getChannels)
+      } catch { case _: Throwable => Multimodal.StubCodec.decodeMeta(bytes) }
+    case "unknown" => Multimodal.StubCodec.decodeMeta(bytes)
+    case fmt =>
+      readImage(bytes) match {
+        case Some(img) => (fmt, img.getWidth, img.getHeight)
+        case None      => Multimodal.StubCodec.decodeMeta(bytes)
+      }
+  }
+
+  /** True image resize (bilinear); output re-encoded as PNG. Non-image
+    * payloads fall back to the stub transform.
+    */
+  override def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
+    readImage(bytes) match {
+      case Some(img) =>
+        val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+          RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+        g.dispose()
+        pngBytes(out)
+      case None => Multimodal.StubCodec.resize(bytes, w, h)
+    }
+
+  /** Image: luminance of a g×g downscaled grid (g = ceil(sqrt(dim))),
+    * normalized to [0,1] — a real, content-derived embedding (nearby
+    * images get nearby vectors). Audio: per-frame RMS energy over `dim`
+    * equal slices of the PCM stream.
+    */
+  override def featurize(bytes: Array[Byte], dim: Int): Array[Float] = sniff(bytes) match {
+    case "wav" =>
+      try {
+        val samples = pcmSamples(bytes)
+        val v = new Array[Float](dim)
+        if (samples.length > 0) {
+          val step = math.max(1, samples.length / dim)
+          var j = 0
+          while (j < dim) {
+            val lo = j * step
+            val hi = math.min(samples.length, lo + step)
+            var s = 0.0; var i = lo
+            while (i < hi) { val x = samples(i); s += x * x; i += 1 }
+            v(j) = if (hi > lo) math.sqrt(s / (hi - lo)).toFloat else 0f
+            j += 1
+          }
+        }
+        v
+      } catch { case _: Throwable => Multimodal.StubCodec.featurize(bytes, dim) }
+    case "unknown" => Multimodal.StubCodec.featurize(bytes, dim)
+    case _ =>
+      readImage(bytes) match {
+        case Some(img) =>
+          val g = math.ceil(math.sqrt(dim.toDouble)).toInt
+          val small = new BufferedImage(g, g, BufferedImage.TYPE_INT_RGB)
+          val gr = small.createGraphics()
+          gr.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+            RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          gr.drawImage(img, 0, 0, g, g, null)
+          gr.dispose()
+          val v = new Array[Float](dim)
+          var j = 0
+          while (j < dim) {
+            val rgb = small.getRGB(j % g, j / g)
+            val r = (rgb >> 16) & 0xFF; val gg = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+            v(j) = ((0.299 * r + 0.587 * gg + 0.114 * b) / 255.0).toFloat
+            j += 1
+          }
+          v
+        case None => Multimodal.StubCodec.featurize(bytes, dim)
+      }
+  }
+
+  /** GIF: extract the actual animation frames (evenly sampled if more than
+    * n exist), re-encoded as PNG. WAV: n equal-duration chunks, each a
+    * standalone WAV payload. Single-frame images: the one frame.
+    */
+  override def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] = sniff(bytes) match {
+    case "gif" =>
+      try {
+        val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) Multimodal.StubCodec.sampleFrames(bytes, n)
+        else {
+          val reader = readers.next()
+          reader.setInput(iis)
+          val total = reader.getNumImages(true)
+          val picks =
+            if (total <= n) 0 until total
+            else (0 until n).map(i => i * total / n)
+          val frames = picks.map(i => pngBytes(reader.read(i)))
+          reader.dispose(); iis.close()
+          frames
+        }
+      } catch { case _: Throwable => Multimodal.StubCodec.sampleFrames(bytes, n) }
+    case "wav" =>
+      try {
+        val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+        val fmt = in.getFormat
+        val all = in.readAllBytes(); in.close()
+        val frameSize = math.max(1, fmt.getFrameSize)
+        val nFrames = all.length / frameSize
+        val per = math.max(1, nFrames / n)
+        (0 until n).map { i =>
+          val lo = math.min(nFrames, i * per) * frameSize
+          val hi = math.min(nFrames, (i + 1) * per) * frameSize
+          val chunk = java.util.Arrays.copyOfRange(all, lo, math.max(lo, hi))
+          val bos = new ByteArrayOutputStream()
+          AudioSystem.write(
+            new AudioInputStream(new ByteArrayInputStream(chunk), fmt,
+              chunk.length / frameSize),
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          bos.toByteArray
+        }
+      } catch { case _: Throwable => Multimodal.StubCodec.sampleFrames(bytes, n) }
+    case "unknown" => Multimodal.StubCodec.sampleFrames(bytes, n)
+    case _ => readImage(bytes) match {
+      case Some(img) => Seq(pngBytes(img))
+      case None      => Multimodal.StubCodec.sampleFrames(bytes, n)
+    }
+  }
+
+  /** Decode WAV payload to mono float samples in [-1,1] (16-bit PCM path;
+    * other encodings via the JDK's converters where available).
+    */
+  private def pcmSamples(bytes: Array[Byte]): Array[Float] = {
+    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    val fmt = in.getFormat
+    val data = in.readAllBytes()
+    in.close()
+    val ch = fmt.getChannels
+    val bigEndian = fmt.isBigEndian
+    val bps = fmt.getSampleSizeInBits
+    if (bps == 16) {
+      val n = data.length / 2 / ch
+      val out = new Array[Float](n)
+      var i = 0
+      while (i < n) {
+        // average channels to mono
+        var acc = 0.0
+        var c = 0
+        while (c < ch) {
+          val off = (i * ch + c) * 2
+          val s =
+            if (bigEndian) ((data(off) << 8) | (data(off + 1) & 0xFF)).toShort
+            else ((data(off + 1) << 8) | (data(off) & 0xFF)).toShort
+          acc += s / 32768.0
+          c += 1
+        }
+        out(i) = (acc / ch).toFloat
+        i += 1
+      }
+      out
+    } else if (bps == 8) {
+      val n = data.length / ch
+      val out = new Array[Float](n)
+      var i = 0
+      while (i < n) {
+        var acc = 0.0; var c = 0
+        while (c < ch) { acc += ((data(i * ch + c) & 0xFF) - 128) / 128.0; c += 1 }
+        out(i) = (acc / ch).toFloat
+        i += 1
+      }
+      out
+    } else Array.empty
+  }
+}

@@ -10,10 +10,13 @@ import org.apache.spark.sql.types._
   * decode / feature-extract / resize / frame-sample run as partition-wise
   * batch transforms.
   *
-  * The actual codec calls are STUBBED (no image/audio libraries in this
-  * environment) behind [[MediaCodec]] — deterministic fakes derived from
-  * the payload bytes — while everything Spark-side is real: schema,
-  * `mapPartitions` batch shape, partition preservation, and the
+  * The default codec is [[JdkMediaCodec]] — REAL decode/resize/featurize/
+  * frame-sample for the formats the JDK ships codecs for (PNG/JPEG/GIF/BMP
+  * via javax.imageio, WAV via javax.sound). Payloads outside those formats
+  * fall back to [[StubCodec]]'s deterministic byte-derived fakes, keeping
+  * every stage total; `installCodec` swaps in ffmpeg/JNI implementations
+  * for video and exotic formats. Everything Spark-side is real either way:
+  * schema, `mapPartitions` batch shape, partition preservation, and the
   * embedding column contract (`array<float>` consumable by
   * `graft.operators.VectorSearch`).
   */
@@ -40,15 +43,20 @@ object Multimodal {
     def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]]
   }
 
-  @volatile private var installed: MediaCodec = StubCodec
+  /** The out-of-the-box codec: real JDK-backed media handling with a
+    * deterministic fallback for non-media bytes.
+    */
+  def defaultCodec: MediaCodec = JdkMediaCodec
+
+  @volatile private var installed: MediaCodec = JdkMediaCodec
   def installCodec(c: MediaCodec): Unit = installed = c
   def currentCodec: MediaCodec = installed
 
   /** ===== STUB BOUNDARY =====
-    * Deterministic stand-ins for real codecs. Each function consumes the
-    * raw payload bytes and produces plausible, reproducible outputs; this
-    * is the default [[MediaCodec]] in this environment (no media
-    * libraries present).
+    * Deterministic stand-ins for formats with no JDK codec (video
+    * containers, webp, …). Each function consumes the raw payload bytes
+    * and produces plausible, reproducible outputs; [[JdkMediaCodec]]
+    * delegates here when magic-byte sniffing finds no decodable format.
     */
   object StubCodec extends MediaCodec {
     override def name: String = "stub"

@@ -34,6 +34,11 @@ object AsOfJoin {
 
     val payloadNames = rightPayload.map(_._1)
     val leftCols = left.columns.toSeq
+    // A payload name that collides with a left column would emit two
+    // same-named output columns — ambiguous downstream. Fail fast instead.
+    val collisions = payloadNames.toSet.intersect(leftCols.toSet)
+    require(collisions.isEmpty,
+      s"asofJoin payload name(s) collide with left columns: ${collisions.mkString(", ")} — alias the payload")
 
     // All payload columns travel as ONE struct carried by a single
     // last(ignoreNulls): a match always takes every payload value from the

@@ -131,6 +131,13 @@ object IvfIndex {
         ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(s)
           .map(_.group(1).toLong)
           .getOrElse(sys.error(s"meta.json missing numeric field '$k' at $p"))
+      // Writer/reader drift fails loudly: a meta file written by a NEWER
+      // format version than this reader understands is rejected instead of
+      // being regex-scraped into silently-wrong fields.
+      val version = "\"version\":(\\d+)".r.findFirstMatchIn(s)
+        .map(_.group(1).toInt).getOrElse(0)
+      require(version <= 1,
+        s"meta.json at $p is format version $version; this reader understands <= 1")
       val sourcePath =
         "\"sourcePath\":\"([^\"]*)\"".r.findFirstMatchIn(s)
           .map(_.group(1)).getOrElse("") // pre-version-1 files
@@ -143,10 +150,14 @@ object IvfIndex {
     * indexes probe the wrong lists (recall silently degrades).
     */
   private[graft] def centroidDist(metric: String, c: Array[Float], q: Array[Float]): Float =
-    metric match {
-      case "cosine"       => 1.0f - VectorKernels.cosineSim(c, q)
-      case "ip" | "dot"   => -VectorKernels.dot(c, q)
-      case _              => VectorKernels.l2sq(c, q)
+    metric.trim.toLowerCase match {
+      case "cosine"                       => 1.0f - VectorKernels.cosineSim(c, q)
+      case "ip" | "dot"                   => -VectorKernels.dot(c, q)
+      case "l1"                           => VectorKernels.l1(c, q)
+      case "linf"                         => VectorKernels.linf(c, q)
+      case "l2" | "l2squared" | "euclidean" => VectorKernels.l2sq(c, q)
+      case other => throw new IllegalArgumentException(
+        s"unknown index metric '$other' (expected l2/l2squared/euclidean/cosine/ip/dot/l1/linf)")
     }
 
   /** Driver-side Lloyd's k-means over a bounded sample. Deterministic

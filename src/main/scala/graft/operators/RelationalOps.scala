@@ -73,7 +73,7 @@ object RelationalOps {
     // RIGHT rows saltFactor times under right/full joins — semantics only
     // hold for left-preserving join types.
     val allowed = Set("inner", "left", "left_outer", "leftouter", "left_semi",
-      "leftsemi", "left_anti", "leftanti", "cross")
+      "leftsemi", "semi", "left_anti", "leftanti", "anti", "cross")
     require(allowed.contains(joinType.toLowerCase.replace(" ", "_")),
       s"saltedJoin supports left-preserving join types only, got '$joinType'")
     val saltedLeft = left
@@ -156,6 +156,27 @@ object RelationalOps {
       .filter(col("__net") > 0).drop("__net")
     df.filter(sign > 0).join(net, df.columns.intersect(
       net.columns).toSeq, "left_semi")
+  }
+
+  /** CollapsingMergeTree FINAL WITHOUT a version column
+    * (`CollapsingSortedAlgorithm.cpp`): +1/-1 rows for the same key cancel
+    * pairwise in insertion order; FINAL keeps the LAST +1 row of keys
+    * whose net sign is positive. `order` supplies the insertion order the
+    * reference gets from part/row position (any monotonic id column).
+    * One aggregation shuffle on the key + a key-joined semi filter — no
+    * per-key windows over the full table.
+    */
+  def collapsingFinal(
+      df: DataFrame, keys: Seq[Column], sign: Column,
+      order: Column): DataFrame = {
+    val net = df.groupBy(keys: _*)
+      .agg(sum(sign).as("__net"),
+        max(when(sign > 0, order)).as("__last_ord"))
+      .filter(col("__net") > 0)
+      .drop("__net")
+    val lhs = df.filter(sign > 0).withColumn("__last_ord", order)
+    lhs.join(net, lhs.columns.intersect(net.columns).toSeq, "left_semi")
+      .drop("__last_ord")
   }
 
   /** Lightweight `ALTER TABLE ... UPDATE` mutation

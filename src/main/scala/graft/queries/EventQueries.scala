@@ -158,13 +158,17 @@ object EventQueries {
         .limit(50)
     }),
     // -ForEach combinator: element-wise sums across equal-length arrays
-    // per group (shuffle on (group, pos) — the distributed shape).
+    // per group (shuffle on (group, pos) — the distributed shape). Output
+    // exploded to (group, pos, sum) rows: the driver's oracle compare
+    // sorts values with pandas, which cannot hash array cells.
     "e22_foreach_combinator" -> ((s, dir) => {
       val arr = array(col("l_quantity"), col("l_extendedprice"), col("l_discount"))
       Combinators.sumForEach(t(s, dir, "lineitem"), Seq("l_returnflag"), arr)
         .select(col("l_returnflag"),
-          transform(col("sum_foreach"), x => round(x, 2)).as("sum_foreach"))
-        .orderBy(col("l_returnflag"))
+          posexplode(col("sum_foreach")).as(Seq("pos", "__v")))
+        .select(col("l_returnflag"), col("pos"),
+          round(col("__v"), 2).as("component_sum"))
+        .orderBy(col("l_returnflag"), col("pos"))
     }),
     // sequenceMatch with a (?t<N) time-window operator: a purchase
     // IMMEDIATELY following a view (among condition events) within 600 s
@@ -187,6 +191,29 @@ object EventQueries {
           round(avg(col("l_discount")), 4).as("avg_disc"))
         .orderBy(col("l_returnflag"))
     }),
+    // Bitmap family (FunctionsBitmap.h / AggregateFunctionGroupBitmap):
+    // build per-event-type user bitmaps, then full set algebra between the
+    // view and purchase audiences. Bitmaps are sorted long-arrays — every
+    // op below is a codegen'd array kernel, build is a partial-merge agg.
+    "e29_bitmap" -> ((s, dir) => {
+      import graft.functions.{BitmapFunctions => B}
+      val ev = events(s, dir)
+      val viewB = ev.filter(col("event_type") === "view")
+        .agg(B.bitmapBuild(col("user_id")).as("bv"))
+      val purB = ev.filter(col("event_type") === "purchase")
+        .agg(B.bitmapBuild(col("user_id")).as("bp"))
+      viewB.crossJoin(purB).select(
+        B.bitmapCardinality(col("bv")).as("card_view"),
+        B.bitmapCardinality(col("bp")).as("card_purchase"),
+        B.bitmapAndCardinality(col("bv"), col("bp")).as("card_and"),
+        B.bitmapOrCardinality(col("bv"), col("bp")).as("card_or"),
+        B.bitmapXorCardinality(col("bv"), col("bp")).as("card_xor"),
+        B.bitmapAndnotCardinality(col("bv"), col("bp")).as("card_andnot"),
+        B.bitmapMin(col("bv")).as("min_view"),
+        B.bitmapMax(col("bv")).as("max_view"),
+        B.bitmapCardinality(
+          B.bitmapSubsetInRange(col("bv"), lit(0), lit(100))).as("card_view_lt100"))
+    }),
     // groupBitAnd/Or/Xor aggregates (registerAggregateFunctions.cpp).
     "e26_group_bit_agg" -> ((s, dir) => {
       events(s, dir)
@@ -198,16 +225,22 @@ object EventQueries {
         .orderBy(col("event_type"))
     }),
     // -Resample combinator: one aggregate split into key-range buckets
-    // ([1,51) step 10 over l_quantity) — single pass, no explode.
+    // ([1,51) step 10 over l_quantity) — single pass, no explode on the
+    // agg path; the bucket arrays are unzipped to rows only for output
+    // (array cells are unhashable in the driver's pandas compare).
     "e24_resample_combinator" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          Combinators.countResample(1, 51, 10)(col("l_quantity")).as("cnt_resample"),
-          transform(
-            Combinators.sumResample(1, 51, 10)(col("l_quantity"), col("l_extendedprice")),
-            x => round(x, 2)).as("sum_resample"))
-        .orderBy(col("l_returnflag"))
+          Combinators.countResample(1, 51, 10)(col("l_quantity")).as("cnts"),
+          Combinators.sumResample(1, 51, 10)(col("l_quantity"), col("l_extendedprice"))
+            .as("sums"))
+        .select(col("l_returnflag"),
+          posexplode(arrays_zip(col("cnts"), col("sums"))).as(Seq("bucket", "__z")))
+        .select(col("l_returnflag"), col("bucket"),
+          col("__z.cnts").as("cnt"),
+          round(col("__z.sums"), 2).as("bucket_sum"))
+        .orderBy(col("l_returnflag"), col("bucket"))
     }),
     // sequenceCount: non-overlapping signup→purchase chains per user
     // (greedy semantics; oracle = run-length A→B boundary count, which is
@@ -422,24 +455,44 @@ object EventQueries {
              bit_or(user_id) AS bor,
              bit_xor(user_id) AS bxor
       FROM events GROUP BY event_type ORDER BY event_type""",
+    "e29_bitmap" -> """
+      WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+           p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+      SELECT CAST((SELECT count(1) FROM v) AS BIGINT) AS card_view,
+             CAST((SELECT count(1) FROM p) AS BIGINT) AS card_purchase,
+             CAST((SELECT count(1) FROM (SELECT user_id FROM v INTERSECT SELECT user_id FROM p)) AS BIGINT) AS card_and,
+             CAST((SELECT count(1) FROM (SELECT user_id FROM v UNION SELECT user_id FROM p)) AS BIGINT) AS card_or,
+             CAST((SELECT count(1) FROM (SELECT user_id FROM v UNION SELECT user_id FROM p)) -
+                  (SELECT count(1) FROM (SELECT user_id FROM v INTERSECT SELECT user_id FROM p)) AS BIGINT) AS card_xor,
+             CAST((SELECT count(1) FROM (SELECT user_id FROM v EXCEPT SELECT user_id FROM p)) AS BIGINT) AS card_andnot,
+             (SELECT min(user_id) FROM v) AS min_view,
+             (SELECT max(user_id) FROM v) AS max_view,
+             CAST((SELECT count(1) FROM v WHERE user_id >= 0 AND user_id < 100) AS BIGINT) AS card_view_lt100""",
     "e24_resample_combinator" -> {
-      val cnts = (0 until 5).map { i =>
+      val buckets = (0 until 5).map { i =>
         val lo = 1 + i * 10; val hi = 11 + i * 10
-        s"CAST(sum(CASE WHEN l_quantity >= $lo AND l_quantity < $hi THEN 1 ELSE 0 END) AS BIGINT)"
-      }.mkString("[", ", ", "]")
-      val sums = (0 until 5).map { i =>
-        val lo = 1 + i * 10; val hi = 11 + i * 10
-        s"round(sum(CASE WHEN l_quantity >= $lo AND l_quantity < $hi THEN l_extendedprice ELSE 0 END), 2)"
-      }.mkString("[", ", ", "]")
+        s"""SELECT l_returnflag, CAST($i AS INTEGER) AS bucket,
+               CAST(sum(CASE WHEN l_quantity >= $lo AND l_quantity < $hi THEN 1 ELSE 0 END) AS BIGINT) AS cnt,
+               round(sum(CASE WHEN l_quantity >= $lo AND l_quantity < $hi THEN l_extendedprice ELSE 0 END), 2) AS bucket_sum
+             FROM lineitem GROUP BY l_returnflag"""
+      }.mkString("\n      UNION ALL\n      ")
       s"""
-      SELECT l_returnflag, $cnts AS cnt_resample, $sums AS sum_resample
-      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+      $buckets
+      ORDER BY l_returnflag, bucket"""
     },
     "e22_foreach_combinator" -> """
-      SELECT l_returnflag,
-             [round(sum(l_quantity), 2), round(sum(l_extendedprice), 2),
-              round(sum(l_discount), 2)] AS sum_foreach
-      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+      SELECT l_returnflag, CAST(0 AS INTEGER) AS pos,
+             round(sum(l_quantity), 2) AS component_sum
+      FROM lineitem GROUP BY l_returnflag
+      UNION ALL
+      SELECT l_returnflag, CAST(1 AS INTEGER) AS pos,
+             round(sum(l_extendedprice), 2) AS component_sum
+      FROM lineitem GROUP BY l_returnflag
+      UNION ALL
+      SELECT l_returnflag, CAST(2 AS INTEGER) AS pos,
+             round(sum(l_discount), 2) AS component_sum
+      FROM lineitem GROUP BY l_returnflag
+      ORDER BY l_returnflag, pos""",
     "e28_avg_weighted" -> """
       SELECT event_type,
              round(sum(value * (user_id % 10 + 1)) / sum(user_id % 10 + 1), 4)

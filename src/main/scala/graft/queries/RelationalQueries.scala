@@ -530,6 +530,25 @@ object RelationalQueries {
       survivors.agg(count(lit(1)).as("n"),
         round(sum(col("o_totalprice")), 2).as("total"))
     }),
+    // CollapsingMergeTree FINAL withOUT a version column
+    // (CollapsingSortedAlgorithm.cpp): insertion order decides which +1
+    // row survives. Stream: insert all orders (gen 1); cancel every third
+    // (gen 2); re-insert every ninth with a 10%-raised price (gen 3).
+    // FINAL = untouched orders + the re-inserted ninths.
+    "q47_collapsing_final" -> ((s, dir) => {
+      val base = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val ins1 = base.withColumn("sign", lit(1)).withColumn("gen", lit(1))
+      val del2 = base.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("sign", lit(-1)).withColumn("gen", lit(2))
+      val ins3 = base.filter(col("o_orderkey") % 9 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+        .withColumn("sign", lit(1)).withColumn("gen", lit(3))
+      val survivors = RelationalOps.collapsingFinal(
+        ins1.union(del2).union(ins3),
+        Seq(col("o_orderkey")), col("sign"), col("gen"))
+      survivors.agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+    }),
 
     // GROUP BY with expression keys + IN-subquery semi join.
     "q30_in_subquery" -> ((s, dir) => {
@@ -566,6 +585,14 @@ object RelationalQueries {
       SELECT CAST(count(1) AS BIGINT) AS n,
              round(sum(o_totalprice), 2) AS total
       FROM orders WHERE o_orderkey % 3 <> 0""",
+    "q47_collapsing_final" -> """
+      WITH survivors AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice * 1.1 FROM orders WHERE o_orderkey % 9 = 0)
+      SELECT CAST(count(1) AS BIGINT) AS n,
+             round(sum(o_totalprice), 2) AS total
+      FROM survivors""",
     "q41_replacing_final" -> """
       SELECT * FROM (
         SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice

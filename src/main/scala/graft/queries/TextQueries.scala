@@ -186,6 +186,18 @@ object TextQueries {
         .select(col("doc_id"), round(col("fused_score"), 4).as("fused_score"))
         .orderBy(col("fused_score").desc, col("doc_id"))
     }),
+    // textsearch() over a Map column's VALUES (reference mapKeys/mapValues
+    // search target, CommonUtils.h:104): docs carried as
+    // map('lang'→lang, 'text'→text); the lang token now participates in
+    // BM25 (query term 'en' matches every English doc's map).
+    "t11_map_textsearch" -> ((s, dir) => {
+      val withMap = t(s, dir, "documents")
+        .withColumn("m", map(lit("lang"), col("lang"), lit("text"), col("text")))
+      TextSearch.textSearchMap(withMap, col("m"), "en spark merge", 10,
+          "values", "OR", "bm25_score", Seq(col("doc_id")))
+        .select(col("doc_id"), round(col("bm25_score"), 4).as("bm25_score"))
+        .orderBy(col("bm25_score").desc, col("doc_id"))
+    }),
     // Hybrid search, RRF fusion (fusion_k=60).
     "h02_hybrid_rrf" -> ((s, dir) => {
       val joined = t(s, dir, "documents")
@@ -288,6 +300,11 @@ object TextQueries {
     // index path ≡ direct path ≡ oracle.
     "t07_fts_topk" -> bm25OracleSql(TextSearch.queryTerms(query1), 10, and = false),
     "t08_fts_and" -> bm25OracleSql(TextSearch.queryTerms(query2), 10, and = true),
+    // Map-values search ≡ BM25 over the values flattened to one text
+    // stream ("lang text"), exactly what textSearchMap builds.
+    "t11_map_textsearch" -> bm25OracleSql(
+      TextSearch.queryTerms("en spark merge"), 10, and = false,
+      corpus = "(SELECT doc_id, lang || ' ' || text AS text FROM documents)"),
     // scored terms in parse order (must ++ should ++ phrase tokens)
     "t09_nlq" -> s"""
       WITH ${bm25ScoresCte(Seq("table", "customer", "join"), "documents")},

@@ -170,8 +170,8 @@ object VectorQueries {
     }),
     // Binary vector search (FixedString → BinaryType): 16-byte vectors
     // derived deterministically from document text (unhex(md5)), Hamming
-    // top-K. DuckDB lacks blob bit ops → rows-only check; kernel-level
-    // parity is covered in DistanceSpec.
+    // top-K. Exact oracle: byte-level Hamming ≡ per-hex-digit xor
+    // popcount of the md5 hex string (kernel parity also in DistanceSpec).
     "v10_binary_hamming" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), unhex(md5(col("text"))).as("bvec"))
@@ -343,6 +343,20 @@ object VectorQueries {
         WHERE label = 3
         ORDER BY list_distance(embedding, $qv0), vec_id LIMIT 10)
       ORDER BY vec_id""",
+    // Hamming over unhex(md5(text)) bytes ≡ per-hex-digit xor popcount of
+    // the md5 hex string — DuckDB-expressible, so the binary path gets an
+    // EXACT oracle (byte-level kernel parity is in DistanceSpec).
+    "v10_binary_hamming" -> """
+      WITH q AS (SELECT md5(text) AS qh FROM documents WHERE doc_id = 0),
+      d AS (SELECT doc_id, md5(text) AS h FROM documents)
+      SELECT * FROM (
+        SELECT doc_id,
+          CAST(list_sum(list_transform(range(1, 33), i ->
+            bit_count(xor(strpos('0123456789abcdef', substring(h, CAST(i AS INTEGER), 1)) - 1,
+                          strpos('0123456789abcdef', substring(qh, CAST(i AS INTEGER), 1)) - 1)))) AS DOUBLE) AS d
+        FROM d CROSS JOIN q
+        ORDER BY d, doc_id LIMIT 10)
+      ORDER BY doc_id""",
     "v13_lwd_index_search" -> s"""
       SELECT * FROM (
         SELECT vec_id, round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) AS d

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{BitmapFunctions => B}
+import graft.operators.RelationalOps
+
+/** Bitmap set algebra (FunctionsBitmap.h analog) and sign-only
+  * CollapsingMergeTree FINAL (CollapsingSortedAlgorithm.cpp).
+  */
+class BitmapCollapseSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("collapsingFinal: cancels pairs, keeps last +1, drops net-negative keys") {
+    // A: insert, delete            → gone
+    // B: insert                    → survives (v=10)
+    // C: insert, delete, re-insert → survives with the NEW value (v=30)
+    // D: stray delete              → net negative, gone
+    val rows = Seq(
+      ("A", 1, 1L, 1), ("A", -1, 2L, 1),
+      ("B", 1, 1L, 10),
+      ("C", 1, 1L, 3), ("C", -1, 2L, 3), ("C", 1, 3L, 30),
+      ("D", -1, 1L, 9))
+      .toDF("k", "sign", "ord", "v")
+    val out = RelationalOps.collapsingFinal(rows, Seq(col("k")), col("sign"), col("ord"))
+      .select("k", "v").as[(String, Int)].collect().toMap
+    assert(out === Map("B" -> 10, "C" -> 30))
+  }
+
+  test("collapsingFinal over a duplicated insert keeps exactly one row") {
+    // Same key inserted twice with no deletes: net = 2 > 0; only the last
+    // insert survives (reference FINAL collapses to one row per key).
+    val rows = Seq(("A", 1, 1L, 1), ("A", 1, 2L, 2)).toDF("k", "sign", "ord", "v")
+    val out = RelationalOps.collapsingFinal(rows, Seq(col("k")), col("sign"), col("ord"))
+      .select("k", "v").as[(String, Int)].collect()
+    assert(out.toSeq === Seq(("A", 2)))
+  }
+
+  lazy val sets = Seq(
+    ("x", Seq(1L, 2L, 3L, 5L)),
+    ("y", Seq(2L, 3L, 8L)))
+    .toDF("name", "ids")
+
+  test("bitmap algebra: and/or/xor/andnot + cardinalities are consistent") {
+    val a = col("a"); val b = col("b")
+    val row = sets.filter($"name" === "x").select($"ids".as("a"))
+      .crossJoin(sets.filter($"name" === "y").select($"ids".as("b")))
+      .select(
+        B.bitmapAnd(a, b).as("and"), B.bitmapOr(a, b).as("or"),
+        B.bitmapXor(a, b).as("xor"), B.bitmapAndnot(a, b).as("andnot"),
+        B.bitmapAndCardinality(a, b).as("ca"),
+        B.bitmapOrCardinality(a, b).as("co"),
+        B.bitmapXorCardinality(a, b).as("cx"),
+        B.bitmapAndnotCardinality(a, b).as("cn"))
+      .head()
+    assert(row.getSeq[Long](0) === Seq(2L, 3L))
+    assert(row.getSeq[Long](1) === Seq(1L, 2L, 3L, 5L, 8L))
+    assert(row.getSeq[Long](2) === Seq(1L, 5L, 8L))
+    assert(row.getSeq[Long](3) === Seq(1L, 5L))
+    assert(row.getLong(4) === 2L && row.getLong(5) === 5L)
+    assert(row.getLong(6) === 3L && row.getLong(7) === 2L)
+    // |xor| = |or| - |and|
+    assert(row.getLong(6) === row.getLong(5) - row.getLong(4))
+  }
+
+  test("bitmap membership probes and range subset") {
+    val r = sets.filter($"name" === "x")
+      .select(
+        B.bitmapContains($"ids", lit(3)).as("c3"),
+        B.bitmapContains($"ids", lit(4)).as("c4"),
+        B.bitmapHasAny($"ids", array(lit(9L), lit(5L))).as("anyv"),
+        B.bitmapHasAll($"ids", array(lit(1L), lit(5L))).as("allv"),
+        B.bitmapHasAll($"ids", array(lit(1L), lit(9L))).as("allMissing"),
+        B.bitmapSubsetInRange($"ids", lit(2), lit(5)).as("sub"),
+        B.bitmapMin($"ids").as("mn"), B.bitmapMax($"ids").as("mx"))
+      .head()
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+    assert(r.getBoolean(2) && r.getBoolean(3) && !r.getBoolean(4))
+    assert(r.getSeq[Long](5) === Seq(2L, 3L))
+    assert(r.getLong(6) === 1L && r.getLong(7) === 5L)
+  }
+
+  test("bitmapBuild is a partial-merge aggregate producing sorted distinct ids") {
+    val df = Seq(5L, 1L, 5L, 3L, 1L).toDF("id").repartition(4)
+    val bm = df.agg(B.bitmapBuild($"id").as("b")).head().getSeq[Long](0)
+    assert(bm === Seq(1L, 3L, 5L))
+  }
+}

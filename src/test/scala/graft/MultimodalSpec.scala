@@ -23,7 +23,7 @@ class MultimodalSpec extends SparkSpec {
       val emb = Multimodal.withEmbedding(media.filter($"id" === 1), "content", dim = 4)
         .head().getSeq[Float](2)
       assert(emb === Seq(0.5f, 0.5f, 0.5f, 0.5f))
-    } finally Multimodal.installCodec(Multimodal.StubCodec)
+    } finally Multimodal.installCodec(Multimodal.defaultCodec)
   }
 
   lazy val media = Seq(
@@ -58,6 +58,96 @@ class MultimodalSpec extends SparkSpec {
     val frames = Multimodal.explodeFrames(media.filter($"id" === 1), "content", 4)
     assert(frames.count() === 4)
     assert(frames.select("frame_idx").collect().map(_.getInt(0)).toSet === Set(0, 1, 2, 3))
+  }
+
+  // ---- real JDK codec paths (payloads generated in-memory; the codec
+  // itself decodes them with javax.imageio / javax.sound) ----
+
+  private def pngPayload(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, ((x * 255 / math.max(1, w - 1)) << 16) | (y * 255 / math.max(1, h - 1)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def wavPayload(seconds: Double, hz: Double, rate: Float = 8000f): Array[Byte] = {
+    val n = (seconds * rate).toInt
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = (math.sin(2 * math.Pi * hz * i / rate) * 30000).toShort
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("JDK codec decodes real PNG metadata (format, true dimensions)") {
+    val df = Seq((1L, pngPayload(31, 17))).toDF("id", "content")
+    val meta = Multimodal.withDecodedMeta(df, "content").head().getStruct(2)
+    assert(meta.getString(0) === "png")
+    assert(meta.getInt(1) === 31 && meta.getInt(2) === 17)
+  }
+
+  test("JDK codec resize really rescales: output decodes at target size") {
+    val df = Seq((1L, pngPayload(64, 64))).toDF("id", "content")
+    val out = Multimodal.withResized(df, "content", 8, 6)
+      .select("resized").head().getAs[Array[Byte]](0)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out))
+    assert(img.getWidth === 8 && img.getHeight === 6)
+  }
+
+  test("JDK codec featurize is content-derived: similar images near, inverted far") {
+    val base = pngPayload(64, 64)
+    val near = Multimodal.defaultCodec.resize(base, 63, 63) // tiny rescale ≈ same content
+    // inverted gradient = very different luminance layout
+    val img = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 64; y <- 0 until 64)
+      img.setRGB(x, y, (((63 - x) * 255 / 63) << 16) | ((63 - y) * 255 / 63))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val far = bos.toByteArray
+
+    val codec = Multimodal.defaultCodec
+    def d(a: Array[Float], b: Array[Float]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val fBase = codec.featurize(base, 16)
+    assert(d(fBase, codec.featurize(near, 16)) < d(fBase, codec.featurize(far, 16)))
+  }
+
+  test("JDK codec decodes real WAV metadata and RMS features") {
+    val loud = wavPayload(0.25, 440)
+    val df = Seq((1L, loud)).toDF("id", "content")
+    val meta = Multimodal.withDecodedMeta(df, "content").head().getStruct(2)
+    assert(meta.getString(0) === "wav")
+    assert(meta.getInt(1) === 8000 && meta.getInt(2) === 1)
+    val codec = Multimodal.defaultCodec
+    val f = codec.featurize(loud, 8)
+    assert(f.length === 8)
+    // a full-scale sine has RMS ≈ 0.707 · 30000/32768 ≈ 0.65 in every frame
+    assert(f.forall(x => x > 0.5f && x < 0.8f))
+  }
+
+  test("JDK codec samples WAV into standalone playable chunks") {
+    val frames = Multimodal.explodeFrames(
+      Seq((1L, wavPayload(0.5, 220))).toDF("id", "content"), "content", 4)
+      .select("frame").collect().map(_.getAs[Array[Byte]](0))
+    assert(frames.length === 4)
+    frames.foreach { chunk =>
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(chunk))
+      assert(in.getFormat.getSampleRate === 8000f)
+      in.close()
+    }
   }
 
   test("getObject UDF resolves url to payload") {

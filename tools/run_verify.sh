@@ -1,0 +1,23 @@
+#!/bin/bash
+# Run graft.Verify + the DuckDB oracle compare without sbt (faster, no
+# build-lock contention). Mirrors the JVM flags build.sbt passes for
+# forked runs — Spark 4 on JDK 17 needs the add-opens set or Kryo-encoded
+# aggregator buffers fail with EXPRESSION_ENCODING_FAILED.
+# Usage: tools/run_verify.sh [sfDir] [outDir]
+set -e
+cd "$(dirname "$0")/.."
+SF=${1:-/root/testdata/sf0.01}
+OUT=${2:-/tmp/verify_out}
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
+         java.util java.util.concurrent java.util.concurrent.atomic; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+rm -rf "$OUT"
+SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8} java $ADD_OPENS -Xmx8g \
+  -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+  graft.Verify "$SF" "$OUT"
+python3 tools/check_correctness.py "$SF" "$OUT"
