@@ -97,4 +97,15 @@ object Graft {
   def buildFtsIndex(spark: SparkSession, df: DataFrame, idCol: String,
       textCol: String, name: String, dir: String): FtsIndex.Entry =
     FtsIndex.build(spark, df, idCol, textCol, name, dir)
+
+  /** system.parts analog: per-file footer stats for a parquet table. */
+  def systemParts(spark: SparkSession, path: String,
+      statCols: Seq[String] = Nil): DataFrame =
+    graft.sources.SystemParts.parts(spark, path, statCols)
+
+  /** OPTIMIZE-style small-file compaction (background-merge analog). */
+  def compact(spark: SparkSession, dir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      sortBy: Seq[String] = Nil): graft.sources.Maintenance.CompactionResult =
+    graft.sources.Maintenance.compact(spark, dir, targetFileBytes, sortBy)
 }

@@ -240,6 +240,138 @@ object ClickHouseCompat {
     "generateUUIDv4() RETURNS STRING RETURN uuid()",
     "bar(x DOUBLE, mn DOUBLE, mx DOUBLE, w INT) RETURNS STRING RETURN " +
       "repeat('#', CAST(greatest(least((x - mn) / (mx - mn), 1D), 0D) * w AS INT))",
+    // ---- tranche 4: math (src/Functions/FunctionMathUnary.h) ----
+    "intExp2(n INT) RETURNS BIGINT RETURN CAST(pow(2, n) AS BIGINT)",
+    "intExp10(n INT) RETURNS BIGINT RETURN CAST(pow(10, n) AS BIGINT)",
+    "cbrtCH(x DOUBLE) RETURNS DOUBLE RETURN cbrt(x)",
+    "erfApprox(x DOUBLE) RETURNS DOUBLE RETURN " +
+      // Abramowitz–Stegun 7.1.26 (|err| < 1.5e-7) — Spark has no erf
+      "sign(x) * (1.0 - (((((1.061405429 * (1.0 / (1.0 + 0.3275911 * abs(x))) - 1.453152027) " +
+      "* (1.0 / (1.0 + 0.3275911 * abs(x))) + 1.421413741) * (1.0 / (1.0 + 0.3275911 * abs(x))) " +
+      "- 0.284496736) * (1.0 / (1.0 + 0.3275911 * abs(x))) + 0.254829592) " +
+      "* (1.0 / (1.0 + 0.3275911 * abs(x))) * exp(-x * x)))",
+    "roundDown(x DOUBLE, bounds ARRAY<DOUBLE>) RETURNS DOUBLE RETURN " +
+      "coalesce(array_max(filter(bounds, b -> b <= x)), element_at(bounds, 1))",
+    "roundAge(a INT) RETURNS INT RETURN " +
+      "CASE WHEN a < 1 THEN 0 WHEN a < 18 THEN 17 WHEN a < 25 THEN 18 WHEN a < 35 THEN 25 " +
+      "WHEN a < 45 THEN 35 WHEN a < 55 THEN 45 ELSE 55 END",
+    "roundDuration(s INT) RETURNS INT RETURN " +
+      "CASE WHEN s < 1 THEN 0 WHEN s < 10 THEN 1 WHEN s < 30 THEN 10 WHEN s < 60 THEN 30 " +
+      "WHEN s < 120 THEN 60 WHEN s < 180 THEN 120 WHEN s < 240 THEN 180 WHEN s < 300 THEN 240 " +
+      "WHEN s < 600 THEN 300 WHEN s < 1200 THEN 600 WHEN s < 1800 THEN 1200 WHEN s < 3600 THEN 1800 " +
+      "WHEN s < 7200 THEN 3600 WHEN s < 18000 THEN 7200 WHEN s < 36000 THEN 18000 ELSE 36000 END",
+    "bitHammingDistance(a BIGINT, b BIGINT) RETURNS INT RETURN bit_count(a ^ b)",
+    "bitRotateLeft(x BIGINT, n INT) RETURNS BIGINT RETURN shiftleft(x, n % 64) | shiftrightunsigned(x, 64 - (n % 64))",
+    "byteSwap32(x INT) RETURNS INT RETURN " +
+      "CAST(shiftleft(CAST(x AS BIGINT) & 255, 24) | shiftleft(shiftrightunsigned(CAST(x AS BIGINT), 8) & 255, 16) | " +
+      "shiftleft(shiftrightunsigned(CAST(x AS BIGINT), 16) & 255, 8) | (shiftrightunsigned(CAST(x AS BIGINT), 24) & 255) AS INT)",
+    // ---- tranche 4: strings ----
+    "reverseUTF8(s STRING) RETURNS STRING RETURN reverse(s)",
+    "isValidASCII(s STRING) RETURNS BOOLEAN RETURN s RLIKE '^[\\\\x00-\\\\x7F]*$'",
+    "alphaTokens(s STRING) RETURNS ARRAY<STRING> RETURN " +
+      "filter(split(s, '[^A-Za-z]+'), x -> length(x) > 0)",
+    "splitByWhitespace(s STRING) RETURNS ARRAY<STRING> RETURN " +
+      "filter(split(s, '\\\\s+'), x -> length(x) > 0)",
+    "extractAllGroups(s STRING, re STRING) RETURNS ARRAY<STRING> RETURN regexp_extract_all(s, re, 1)",
+    "normalizeQuery(q STRING) RETURNS STRING RETURN " +
+      "regexp_replace(regexp_replace(q, '\\\\b[0-9]+\\\\b', '?'), '''[^'']*''', '?')",
+    "tryBase64Decode(s STRING) RETURNS STRING RETURN " +
+      "CASE WHEN s RLIKE '^[A-Za-z0-9+/]*={0,2}$' AND length(s) % 4 = 0 THEN CAST(unbase64(s) AS STRING) ELSE '' END",
+    "byteSize(s STRING) RETURNS BIGINT RETURN CAST(octet_length(s) AS BIGINT)",
+    "stringJaccardIndex(a STRING, b STRING) RETURNS DOUBLE RETURN " +
+      "CAST(size(array_intersect(array_distinct(split(a, '')), array_distinct(split(b, '')))) AS DOUBLE) / " +
+      "greatest(size(array_distinct(concat(split(a, ''), split(b, '')))), 1)",
+    "soundexCH(s STRING) RETURNS STRING RETURN soundex(s)",
+    "asciiCH(s STRING) RETURNS INT RETURN ascii(s)",
+    // ---- tranche 4: date/time ----
+    // `datediff`/`monthname` are unreplaceable Spark built-ins (the
+    // `position` situation): ClickHouse's string-unit/full-name variants
+    // are exposed with a CH suffix.
+    "dateDiffCH(unit STRING, a TIMESTAMP, b TIMESTAMP) RETURNS BIGINT RETURN " +
+      "CASE lower(unit) " +
+      "WHEN 'second' THEN (unix_micros(b) - unix_micros(a)) div 1000000 " +
+      "WHEN 'minute' THEN (unix_micros(b) - unix_micros(a)) div 60000000 " +
+      "WHEN 'hour' THEN (unix_micros(b) - unix_micros(a)) div 3600000000 " +
+      "WHEN 'day' THEN CAST(datediff(CAST(b AS DATE), CAST(a AS DATE)) AS BIGINT) " +
+      "WHEN 'week' THEN CAST(datediff(CAST(b AS DATE), CAST(a AS DATE)) div 7 AS BIGINT) " +
+      "WHEN 'month' THEN CAST(months_between(CAST(b AS DATE), CAST(a AS DATE)) AS BIGINT) " +
+      "WHEN 'quarter' THEN CAST(months_between(CAST(b AS DATE), CAST(a AS DATE)) AS BIGINT) div 3 " +
+      "WHEN 'year' THEN CAST(year(b) - year(a) AS BIGINT) " +
+      "ELSE NULL END",
+    "ageCH(unit STRING, a TIMESTAMP, b TIMESTAMP) RETURNS BIGINT RETURN " +
+      "CASE lower(unit) " +
+      "WHEN 'year' THEN CAST(floor(months_between(CAST(b AS DATE), CAST(a AS DATE)) / 12) AS BIGINT) " +
+      "WHEN 'month' THEN CAST(floor(months_between(CAST(b AS DATE), CAST(a AS DATE))) AS BIGINT) " +
+      "WHEN 'day' THEN CAST(datediff(CAST(b AS DATE), CAST(a AS DATE)) AS BIGINT) " +
+      "ELSE NULL END",
+    "toMonday(t TIMESTAMP) RETURNS DATE RETURN date_sub(CAST(t AS DATE), (dayofweek(CAST(t AS DATE)) + 5) % 7)",
+    "toLastDayOfMonth(t TIMESTAMP) RETURNS DATE RETURN last_day(CAST(t AS DATE))",
+    "toYYYYMMDDhhmmss(t TIMESTAMP) RETURNS BIGINT RETURN " +
+      "CAST(date_format(t, 'yyyyMMddHHmmss') AS BIGINT)",
+    "addSeconds(t TIMESTAMP, n INT) RETURNS TIMESTAMP RETURN t + make_interval(0, 0, 0, 0, 0, 0, n)",
+    "addQuarters(t TIMESTAMP, n INT) RETURNS TIMESTAMP RETURN t + make_interval(0, 3 * n)",
+    "subtractSeconds(t TIMESTAMP, n INT) RETURNS TIMESTAMP RETURN t - make_interval(0, 0, 0, 0, 0, 0, n)",
+    "monthNameCH(t TIMESTAMP) RETURNS STRING RETURN date_format(t, 'MMMM')",
+    "dateName(part STRING, t TIMESTAMP) RETURNS STRING RETURN " +
+      "CASE lower(part) WHEN 'year' THEN CAST(year(t) AS STRING) " +
+      "WHEN 'month' THEN date_format(t, 'MMMM') WHEN 'week' THEN CAST(weekofyear(CAST(t AS DATE)) AS STRING) " +
+      "WHEN 'dayofyear' THEN CAST(dayofyear(CAST(t AS DATE)) AS STRING) " +
+      "WHEN 'day' THEN CAST(day(t) AS STRING) WHEN 'weekday' THEN date_format(t, 'EEEE') " +
+      "WHEN 'hour' THEN CAST(hour(t) AS STRING) WHEN 'minute' THEN CAST(minute(t) AS STRING) " +
+      "WHEN 'second' THEN CAST(second(t) AS STRING) ELSE NULL END",
+    "toRelativeDayNum(t TIMESTAMP) RETURNS INT RETURN datediff(CAST(t AS DATE), DATE '1970-01-01')",
+    "toRelativeHourNum(t TIMESTAMP) RETURNS BIGINT RETURN unix_micros(t) div 3600000000",
+    "toRelativeMinuteNum(t TIMESTAMP) RETURNS BIGINT RETURN unix_micros(t) div 60000000",
+    "toStartOfInterval(t TIMESTAMP, secs INT) RETURNS TIMESTAMP RETURN " +
+      "timestamp_seconds((unix_micros(t) div 1000000 div secs) * secs)",
+    // ---- tranche 4: arrays (src/Functions/array/) ----
+    "arrayZip(a ARRAY<STRING>, b ARRAY<STRING>) RETURNS ARRAY<STRUCT<f1: STRING, f2: STRING>> RETURN " +
+      "zip_with(a, b, (x, y) -> named_struct('f1', x, 'f2', y))",
+    "arrayDistinctCH(a ARRAY<STRING>) RETURNS ARRAY<STRING> RETURN array_distinct(a)",
+    "arrayCompact(a ARRAY<STRING>) RETURNS ARRAY<STRING> RETURN " +
+      "filter(a, (x, i) -> i = 0 OR NOT (x <=> element_at(a, i)))",
+    "arrayResize(a ARRAY<STRING>, n INT, pad STRING) RETURNS ARRAY<STRING> RETURN " +
+      "CASE WHEN size(a) >= n THEN slice(a, 1, n) " +
+      "ELSE concat(a, transform(sequence(1, n - size(a)), i -> pad)) END",
+    "arrayWithConstant(n INT, x STRING) RETURNS ARRAY<STRING> RETURN " +
+      "transform(sequence(1, n), i -> x)",
+    "arrayRotateLeft(a ARRAY<STRING>, n INT) RETURNS ARRAY<STRING> RETURN " +
+      "CASE WHEN size(a) = 0 THEN a ELSE concat(slice(a, (n % size(a)) + 1, size(a) - (n % size(a))), slice(a, 1, n % size(a))) END",
+    "hasSubstr(a ARRAY<STRING>, b ARRAY<STRING>) RETURNS BOOLEAN RETURN " +
+      "size(b) = 0 OR size(filter(sequence(1, greatest(size(a) - size(b) + 1, 0)), " +
+      "i -> slice(a, i, size(b)) = b)) > 0",
+    "arrayShuffleDeterministic(a ARRAY<STRING>, seed BIGINT) RETURNS ARRAY<STRING> RETURN " +
+      "transform(array_sort(transform(a, x -> named_struct('k', xxhash64(concat(x, CAST(seed AS STRING))), 'v', x)), " +
+      "(l, r) -> CASE WHEN l.k < r.k THEN -1 WHEN l.k > r.k THEN 1 ELSE 0 END), s -> s.v)",
+    // ---- tranche 4: null / special values ----
+    "assumeNotNull(x STRING) RETURNS STRING RETURN coalesce(x, '')",
+    "toNullableCH(x STRING) RETURNS STRING RETURN x",
+    "isFinite(x DOUBLE) RETURNS BOOLEAN RETURN NOT isnan(x) AND abs(x) <> CAST('Infinity' AS DOUBLE)",
+    "isInfinite(x DOUBLE) RETURNS BOOLEAN RETURN abs(x) = CAST('Infinity' AS DOUBLE)",
+    "nanToNull(x DOUBLE) RETURNS DOUBLE RETURN IF(isnan(x), NULL, x)",
+    // ---- tranche 4: URL (src/Functions/URL/) ----
+    "fragment(u STRING) RETURNS STRING RETURN " +
+      "CASE WHEN instr(u, '#') = 0 THEN '' ELSE substring(u, instr(u, '#') + 1) END",
+    "netloc(u STRING) RETURNS STRING RETURN parse_url(u, 'HOST')",
+    "topLevelDomain(u STRING) RETURNS STRING RETURN " +
+      "element_at(split(parse_url(u, 'HOST'), '\\\\.'), -1)",
+    "firstSignificantSubdomain(u STRING) RETURNS STRING RETURN " +
+      "CASE WHEN size(split(parse_url(u, 'HOST'), '\\\\.')) >= 2 " +
+      "THEN element_at(split(parse_url(u, 'HOST'), '\\\\.'), -2) " +
+      "ELSE parse_url(u, 'HOST') END",
+    "cutFragment(u STRING) RETURNS STRING RETURN " +
+      "CASE WHEN instr(u, '#') = 0 THEN u ELSE substring(u, 1, instr(u, '#') - 1) END",
+    "cutWWW(u STRING) RETURNS STRING RETURN regexp_replace(u, '//www\\\\.', '//')",
+    // ---- tranche 4: JSON ----
+    "JSONExtractInt(j STRING, k STRING) RETURNS BIGINT RETURN try_cast(get_json_object(j, concat('$.', k)) AS BIGINT)",
+    "JSONExtractFloat(j STRING, k STRING) RETURNS DOUBLE RETURN try_cast(get_json_object(j, concat('$.', k)) AS DOUBLE)",
+    "JSONExtractBool(j STRING, k STRING) RETURNS BOOLEAN RETURN try_cast(get_json_object(j, concat('$.', k)) AS BOOLEAN)",
+    "JSONLength(j STRING) RETURNS INT RETURN size(from_json(j, 'map<string,string>'))",
+    // ---- tranche 4: identity/marker functions the reference exposes ----
+    "toLowCardinality(x STRING) RETURNS STRING RETURN x",
+    "materialize(x STRING) RETURNS STRING RETURN x",
+    "identityCH(x STRING) RETURNS STRING RETURN x",
+    "ignoreCH(x STRING) RETURNS INT RETURN 0",
   )
 
   /** Install all aliases (CREATE OR REPLACE, idempotent); returns names

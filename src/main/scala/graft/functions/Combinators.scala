@@ -44,6 +44,20 @@ object Combinators {
   def avgWeighted(v: Column, w: Column): Column =
     sum(v.cast("double") * w.cast("double")) / sum(w.cast("double"))
 
+  // ---- -OrNull / -OrDefault: empty-input behavior overrides ----
+
+  /** -OrNull (registerAggregateFunctions.cpp:90): NULL instead of the
+    * aggregate's empty-input default when NOTHING was aggregated —
+    * `sumOrNull` of an empty/all-NULL input is NULL, not 0. `agg` is the
+    * already-built aggregate column; `input` the values it consumed.
+    */
+  def orNull(agg: Column, input: Column): Column =
+    when(count(input) === 0, lit(null)).otherwise(agg)
+
+  /** -OrDefault: like -OrNull but substitutes an explicit default. */
+  def orDefault(agg: Column, input: Column, default: Column): Column =
+    when(count(input) === 0, default).otherwise(agg)
+
   // ---- -Resample: one aggregate split into key-range buckets ----
 
   /** countResample(start, end, step)(key): array of per-bucket counts —

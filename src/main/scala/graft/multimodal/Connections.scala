@@ -31,11 +31,28 @@ object Connections {
   def drop(name: String): Unit = registry.remove(name)
   def list: Seq[Connection] = registry.values.toSeq
 
-  /** ===== STUB BOUNDARY ===== deterministic fake payload; replace with
-    * the provider SDK call in a real deployment. */
+  /** Default fetcher: REAL for schemes the JVM can serve without an SDK
+    * (`file://` and bare local paths via java.nio); cloud schemes
+    * (s3/gs/http) return a deterministic fake payload behind the stub
+    * boundary below — a deployment swaps [[fetcher]] for the provider SDK
+    * call. Hadoop-FS-backed schemes could be routed through the
+    * executor-side FileSystem the same way `file` is.
+    */
   @volatile var fetcher: (Connection, String) => Array[Byte] =
-    (conn, url) => s"${conn.provider}:${conn.name}:$url".getBytes("UTF-8")
-  // ===== END STUB BOUNDARY =====
+    (conn, url) => {
+      val local =
+        if (url.startsWith("file://")) Some(url.stripPrefix("file://"))
+        else if (url.startsWith("/")) Some(url)
+        else None
+      local match {
+        case Some(p) =>
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+        case None =>
+          // ===== STUB BOUNDARY ===== deterministic fake for cloud schemes
+          s"${conn.provider}:${conn.name}:$url".getBytes("UTF-8")
+          // ===== END STUB BOUNDARY =====
+      }
+    }
 
   /** `getObject(url)` resolved through a named connection; errors on an
     * unknown connection like the reference does.

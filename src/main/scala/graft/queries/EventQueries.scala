@@ -214,6 +214,24 @@ object EventQueries {
         B.bitmapCardinality(
           B.bitmapSubsetInRange(col("bv"), lit(0), lit(100))).as("card_view_lt100"))
     }),
+    // -OrNull / -OrDefault combinators stacked on -If
+    // (registerAggregateFunctions.cpp:90 — sumIfOrNull shape): groups
+    // where the predicate never fires yield NULL (or the default), not 0.
+    "e30_ornull_combinator" -> ((s, dir) => {
+      val hit = col("value") > 9.9 // rare → some event types have no hits
+      val sumIf = sum(when(hit, col("value")))
+      val hitVals = when(hit, col("value"))
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          round(Combinators.orNull(sumIf, hitVals).cast("double"), 2).as("sum_ornull"),
+          round(Combinators.orDefault(sumIf, hitVals, lit(-1.0)).cast("double"), 2)
+            .as("sum_ordefault"),
+          // count's empty-input default is 0 — -OrNull visibly overrides
+          Combinators.orNull(count(hitVals), hitVals).cast("long").as("cnt_ornull"),
+          count(hitVals).as("n_hits"))
+        .orderBy(col("event_type"))
+    }),
     // groupBitAnd/Or/Xor aggregates (registerAggregateFunctions.cpp).
     "e26_group_bit_agg" -> ((s, dir) => {
       events(s, dir)
@@ -454,6 +472,16 @@ object EventQueries {
              bit_and(user_id) AS band,
              bit_or(user_id) AS bor,
              bit_xor(user_id) AS bxor
+      FROM events GROUP BY event_type ORDER BY event_type""",
+    "e30_ornull_combinator" -> """
+      SELECT event_type,
+             round(sum(CASE WHEN value > 9.9 THEN value END), 2) AS sum_ornull,
+             round(coalesce(sum(CASE WHEN value > 9.9 THEN value END), -1.0), 2)
+               AS sum_ordefault,
+             CASE WHEN count(CASE WHEN value > 9.9 THEN value END) = 0 THEN NULL
+                  ELSE CAST(count(CASE WHEN value > 9.9 THEN value END) AS BIGINT)
+             END AS cnt_ornull,
+             CAST(count(CASE WHEN value > 9.9 THEN value END) AS BIGINT) AS n_hits
       FROM events GROUP BY event_type ORDER BY event_type""",
     "e29_bitmap" -> """
       WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),

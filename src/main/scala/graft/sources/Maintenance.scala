@@ -1,0 +1,79 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Table maintenance — the reference's background merges
+  * (`/root/reference/src/Storages/MergeTree/MergeTreeData*` merge
+  * selection; `OPTIMIZE TABLE ... FINAL`) mapped to Spark's immutable-file
+  * world: rewrite a directory of many small parquet files into
+  * size-targeted ones.
+  *
+  * The small-file problem IS the 100 TB concern this addresses: a table
+  * ingested by a streaming job accumulates thousands of KB-sized files,
+  * and every scan then pays per-file open/footer/seek costs and loses
+  * row-group pruning granularity. Compaction reads once, repartitions to
+  * ceil(bytes / targetBytes) and atomically swaps the directory.
+  */
+object Maintenance {
+
+  /** Result: file/byte counts before and after. */
+  case class CompactionResult(
+      filesBefore: Int, filesAfter: Int,
+      bytesBefore: Long, bytesAfter: Long)
+
+  /** OPTIMIZE-style compaction of a parquet directory. Writes to a
+    * sibling temp dir, then swaps — readers see either the old or the new
+    * complete directory (same guarantee MergeTree part replacement
+    * gives). `sortBy` optionally re-sorts within output files so parquet
+    * min/max stats stay selective after the merge (MergeTree parts are
+    * always sorted by primary key — sorted writes are what make file
+    * skipping work).
+    */
+  def compact(
+      spark: SparkSession,
+      dir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      sortBy: Seq[String] = Nil): CompactionResult = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def stats(path: Path): (Int, Long) = {
+      val it = fs.listFiles(path, true)
+      var n = 0; var bytes = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+          n += 1; bytes += f.getLen
+        }
+      }
+      (n, bytes)
+    }
+
+    val (nBefore, bytesBefore) = stats(p)
+    val nOut = math.max(1, math.ceil(bytesBefore.toDouble / targetFileBytes).toInt)
+
+    val df = spark.read.parquet(dir)
+    val writer = {
+      val base =
+        if (sortBy.nonEmpty)
+          // repartition-then-sortWithin: one shuffle, files stay sorted
+          df.repartition(nOut).sortWithinPartitions(sortBy.head, sortBy.tail: _*)
+        else df.repartition(nOut)
+      base.write.mode("overwrite")
+    }
+    val tmp = new Path(p.getParent, s".${p.getName}.compact.tmp")
+    writer.parquet(tmp.toString)
+
+    // swap: old dir out, new dir in (two renames; readers of the old path
+    // that already opened files keep their handles — same as part GC)
+    val old = new Path(p.getParent, s".${p.getName}.compact.old")
+    if (fs.exists(old)) fs.delete(old, true)
+    fs.rename(p, old)
+    fs.rename(tmp, p)
+    fs.delete(old, true)
+
+    val (nAfter, bytesAfter) = stats(p)
+    CompactionResult(nBefore, nAfter, bytesBefore, bytesAfter)
+  }
+}

@@ -1,0 +1,104 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** `system.parts` analog (reference `src/Storages/System/StorageSystemParts
+  * .cpp`; MergeTree "data part" = immutable sorted file): one row per
+  * parquet file of a table with footer-level statistics — row count,
+  * compressed/uncompressed bytes, row-group count, and per-column min/max
+  * for requested columns.
+  *
+  * This is the introspection surface behind size-gated behaviors
+  * (`MIN_SEGMENT_SIZE`-style index gates) and a direct view of what file-
+  * level pruning can skip: a filter outside a file's [min,max] never reads
+  * it. Footer reads are distributed (one task per file batch) — the driver
+  * only lists paths, so a 100k-file table doesn't funnel footers through
+  * the driver.
+  */
+object SystemParts {
+
+  val schema: StructType = StructType(Seq(
+    StructField("file", StringType),
+    StructField("rows", LongType),
+    StructField("bytes_on_disk", LongType),
+    StructField("uncompressed_bytes", LongType),
+    StructField("row_groups", IntegerType),
+    StructField("min_values", MapType(StringType, StringType)),
+    StructField("max_values", MapType(StringType, StringType))))
+
+  def parts(spark: SparkSession, path: String, statCols: Seq[String] = Nil): DataFrame = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(path)
+    val fs = p.getFileSystem(hconf)
+    val files = {
+      val it = fs.listFiles(p, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet"))
+          buf += f.getPath.toString
+      }
+      buf.toSeq
+    }
+    // Hadoop Configuration isn't serializable as-is; ship the few keys we
+    // need via a fresh default conf on the executor (local/HDFS paths
+    // resolve from defaults; object stores configured via spark conf are
+    // picked up from SparkHadoopUtil-installed defaults).
+    val rows = spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, 64)))
+      .map { f => readFooter(f, statCols) }
+    spark.createDataFrame(rows, schema)
+  }
+
+  private def readFooter(file: String, statCols: Seq[String]): Row = {
+    val in = HadoopInputFile.fromPath(new Path(file), new Configuration())
+    val reader = ParquetFileReader.open(in)
+    try {
+      val footer = reader.getFooter
+      val blocks = footer.getBlocks
+      var rows = 0L
+      var compressed = 0L
+      var uncompressed = 0L
+      // Fold row-group stats with the VALUES' own ordering (Comparable) —
+      // lexicographic string folding would order numerics wrong
+      // ("10" < "9"); values are stringified only at the end.
+      val mins = scala.collection.mutable.Map.empty[String, Any]
+      val maxs = scala.collection.mutable.Map.empty[String, Any]
+      def lt(a: Any, b: Any): Boolean =
+        a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      val it = blocks.iterator()
+      while (it.hasNext) {
+        val b = it.next()
+        rows += b.getRowCount
+        compressed += b.getCompressedSize
+        uncompressed += b.getTotalByteSize
+        val cols = b.getColumns.iterator()
+        while (cols.hasNext) {
+          val c = cols.next()
+          val name = c.getPath.toDotString
+          if (statCols.contains(name)) {
+            val st = c.getStatistics
+            if (st != null && st.hasNonNullValue) {
+              val mn = st.genericGetMin; val mx = st.genericGetMax
+              if (!mins.contains(name) || lt(mn, mins(name))) mins(name) = mn
+              if (!maxs.contains(name) || lt(maxs(name), mx)) maxs(name) = mx
+            }
+          }
+        }
+      }
+      def render(v: Any): String = v match {
+        case b: org.apache.parquet.io.api.Binary =>
+          try b.toStringUsingUTF8 catch { case _: Throwable => b.toString }
+        case x => String.valueOf(x)
+      }
+      Row(file, rows, compressed, uncompressed, blocks.size(),
+        mins.map { case (k, v) => k -> render(v) }.toMap,
+        maxs.map { case (k, v) => k -> render(v) }.toMap)
+    } finally reader.close()
+  }
+}

@@ -144,6 +144,89 @@ class ClickHouseCompatSpec extends SparkSpec {
     assert(r.getAs[String]("tl") === "y" && r.getAs[String]("tl2") === "?")
   }
 
+  test("tranche-4: math, rounding families, bit ops") {
+    val r = spark.sql("""SELECT
+      intExp2(10) AS e2, intExp10(3) AS e10,
+      roundAge(30) AS ra, roundDuration(95) AS rd,
+      roundDown(7.5, array(1D, 5D, 10D)) AS rdn,
+      bitHammingDistance(7, 4) AS bh,
+      erfApprox(0.0) AS erf0, erfApprox(2.0) AS erf2""").head()
+    assert(r.getAs[Long]("e2") === 1024L && r.getAs[Long]("e10") === 1000L)
+    assert(r.getAs[Int]("ra") === 25 && r.getAs[Int]("rd") === 60)
+    assert(r.getAs[Double]("rdn") === 5.0)
+    assert(r.getAs[Int]("bh") === 2) // 111 vs 100
+    assert(math.abs(r.getAs[Double]("erf0")) < 1e-7)
+    assert(math.abs(r.getAs[Double]("erf2") - 0.995322) < 1e-4)
+  }
+
+  test("tranche-4: dateDiff/age/dateName families") {
+    val r = spark.sql("""SELECT
+      dateDiffCH('day', TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-03-01 00:00:00') AS dd,
+      dateDiffCH('hour', TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-02 06:00:00') AS dh,
+      ageCH('year', TIMESTAMP '2000-06-15 00:00:00', TIMESTAMP '2024-06-14 00:00:00') AS ay,
+      toMonday(TIMESTAMP '2024-01-03 12:00:00') AS mon,
+      toLastDayOfMonth(TIMESTAMP '2024-02-10 00:00:00') AS ld,
+      monthNameCH(TIMESTAMP '2024-03-01 00:00:00') AS mn,
+      dateName('weekday', TIMESTAMP '2024-01-01 00:00:00') AS wd,
+      toYYYYMMDDhhmmss(TIMESTAMP '2024-01-02 03:04:05') AS ts""").head()
+    assert(r.getAs[Long]("dd") === 60L && r.getAs[Long]("dh") === 30L)
+    assert(r.getAs[Long]("ay") === 23L) // birthday not yet reached
+    assert(r.getAs[java.sql.Date]("mon").toString === "2024-01-01")
+    assert(r.getAs[java.sql.Date]("ld").toString === "2024-02-29")
+    assert(r.getAs[String]("mn") === "March")
+    assert(r.getAs[String]("wd") === "Monday")
+    assert(r.getAs[Long]("ts") === 20240102030405L)
+  }
+
+  test("tranche-4: array manipulation") {
+    val r = spark.sql("""SELECT
+      arrayCompact(array('a','a','b','a','a')) AS ac,
+      arrayResize(array('a','b','c'), 2, '?') AS ar1,
+      arrayResize(array('a'), 3, 'z') AS ar2,
+      arrayWithConstant(3, 'k') AS awc,
+      arrayRotateLeft(array('a','b','c','d'), 1) AS arl,
+      hasSubstr(array('a','b','c','d'), array('b','c')) AS hs1,
+      hasSubstr(array('a','b','c'), array('c','b')) AS hs2""").head()
+    assert(r.getAs[Seq[String]]("ac") === Seq("a", "b", "a"))
+    assert(r.getAs[Seq[String]]("ar1") === Seq("a", "b"))
+    assert(r.getAs[Seq[String]]("ar2") === Seq("a", "z", "z"))
+    assert(r.getAs[Seq[String]]("awc") === Seq("k", "k", "k"))
+    assert(r.getAs[Seq[String]]("arl") === Seq("b", "c", "d", "a"))
+    assert(r.getAs[Boolean]("hs1") && !r.getAs[Boolean]("hs2"))
+  }
+
+  test("tranche-4: strings, URL, JSON extraction") {
+    val r = spark.sql("""SELECT
+      alphaTokens('ab12cd ef') AS at,
+      splitByWhitespace('a  b\tc') AS sw,
+      normalizeQuery('SELECT * FROM t WHERE id = 42 AND s = ''x''') AS nq,
+      stringJaccardIndex('abc', 'abc') AS sj1,
+      byteSize('abc') AS bs,
+      fragment('http://x.com/p#sec') AS fr,
+      topLevelDomain('https://a.example.com/p') AS tld,
+      firstSignificantSubdomain('https://a.example.com/p') AS fsd,
+      cutFragment('http://x.com/p#sec') AS cf,
+      JSONExtractInt('{"a": 7}', 'a') AS ji,
+      JSONExtractFloat('{"a": 1.5}', 'a') AS jf,
+      JSONLength('{"a":1,"b":2}') AS jl,
+      tryBase64Decode('aGk=') AS b64,
+      tryBase64Decode('!!notb64') AS b64bad""").head()
+    assert(r.getAs[Seq[String]]("at") === Seq("ab", "cd", "ef"))
+    assert(r.getAs[Seq[String]]("sw") === Seq("a", "b", "c"))
+    assert(r.getAs[String]("nq") === "SELECT * FROM t WHERE id = ? AND s = ?")
+    assert(r.getAs[Double]("sj1") === 1.0)
+    assert(r.getAs[Long]("bs") === 3L)
+    assert(r.getAs[String]("fr") === "sec")
+    assert(r.getAs[String]("tld") === "com")
+    assert(r.getAs[String]("fsd") === "example")
+    assert(r.getAs[String]("cf") === "http://x.com/p")
+    assert(r.getAs[Long]("ji") === 7L)
+    assert(r.getAs[Double]("jf") === 1.5)
+    assert(r.getAs[Int]("jl") === 2)
+    assert(r.getAs[String]("b64") === "hi")
+    assert(r.getAs[String]("b64bad") === "")
+  }
+
   test("geo distance: haversine sanity (Paris-London ~343.5 km)") {
     val d = spark.sql(
       "SELECT greatCircleDistance(2.3522, 48.8566, -0.1276, 51.5072)")

@@ -27,6 +27,19 @@ class CombinatorsSpec extends SparkSpec {
     assert(r(1).getDouble(1) === 30.0 && r(1).getLong(2) === 2L)
   }
 
+  test("-OrNull / -OrDefault override empty-input defaults") {
+    val ev = Seq(("a", 1.0), ("a", 5.0), ("b", 0.5)).toDF("g", "v")
+    val hit = when($"v" > 0.9, $"v") // group b: no hits
+    val r = ev.groupBy($"g").agg(
+      Combinators.orNull(count(hit), hit).as("cnt_on"),
+      Combinators.orNull(sum(hit), hit).as("sum_on"),
+      Combinators.orDefault(sum(hit), hit, lit(-1.0)).as("sum_od"))
+      .orderBy($"g").collect()
+    assert(r(0).getLong(1) === 2L && r(0).getDouble(2) === 6.0 && r(0).getDouble(3) === 6.0)
+    assert(r(1).isNullAt(1) && r(1).isNullAt(2)) // NULL, not 0
+    assert(r(1).getDouble(3) === -1.0)
+  }
+
   test("groupUniqArray returns sorted distinct elements") {
     val d = Seq(("a", Seq(3, 1, 3)), ("a", Seq(2, 1))).toDF("g", "arr")
     val got = d.groupBy($"g").agg(Combinators.groupUniqArray($"arr").as("u"))

@@ -47,4 +47,66 @@ class TableFunctionsSpec extends SparkSpec {
     Seq((1, "x"), (2, "y")).toDF("a", "b").write.parquet(pq)
     assert(TableFunctions.file(spark, pq).count() === 2)
   }
+
+  test("system.parts: footer stats match the table (rows, min/max)") {
+    import graft.sources.SystemParts
+    val dir = java.nio.file.Files.createTempDirectory("parts").toString
+    spark.range(1000).selectExpr("id", "id % 7 AS g")
+      .repartition(3).write.mode("overwrite").parquet(dir)
+    val parts = SystemParts.parts(spark, dir, statCols = Seq("id"))
+    val rows = parts.collect()
+    assert(rows.length === 3)
+    assert(rows.map(_.getAs[Long]("rows")).sum === 1000L)
+    assert(rows.forall(_.getAs[Long]("bytes_on_disk") > 0))
+    assert(rows.forall(_.getAs[Int]("row_groups") >= 1))
+    // global min/max across files covers the full id range
+    val mins = rows.map(_.getAs[Map[String, String]]("min_values")("id").toLong)
+    val maxs = rows.map(_.getAs[Map[String, String]]("max_values")("id").toLong)
+    assert(mins.min === 0L && maxs.max === 999L)
+  }
+
+  test("compact merges small files, preserves data, keeps sort stats tight") {
+    import graft.sources.{Maintenance, SystemParts}
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    spark.range(10000).selectExpr("id", "id % 13 AS g")
+      .repartition(20).write.parquet(dir)
+    val before = spark.read.parquet(dir).orderBy("id").collect()
+
+    val res = Maintenance.compact(spark, dir,
+      targetFileBytes = 1L << 30, sortBy = Seq("id"))
+    assert(res.filesBefore === 20 && res.filesAfter === 1)
+
+    val after = spark.read.parquet(dir).orderBy("id").collect()
+    assert(after.toSeq === before.toSeq)
+    // sorted write → the single file's min/max covers exactly the range
+    val parts = SystemParts.parts(spark, dir, Seq("id")).collect()
+    assert(parts.head.getAs[Map[String, String]]("min_values")("id").toLong === 0L)
+    assert(parts.head.getAs[Map[String, String]]("max_values")("id").toLong === 9999L)
+  }
+
+  test("getObject fetches real local files; cloud schemes stay stubbed") {
+    import graft.multimodal.Connections
+    val f = java.nio.file.Files.createTempFile("obj", ".bin")
+    java.nio.file.Files.write(f, "real-bytes".getBytes("UTF-8"))
+    Connections.create("local", "FS")
+    try {
+      val got = Seq(s"file://$f").toDF("url")
+        .select(Connections.getObject(spark, "local")(col("url")).as("o"))
+        .head().getAs[Array[Byte]](0)
+      assert(new String(got, "UTF-8") === "real-bytes")
+      val stubbed = Seq("s3://bucket/k").toDF("url")
+        .select(Connections.getObject(spark, "local")(col("url")).as("o"))
+        .head().getAs[Array[Byte]](0)
+      assert(new String(stubbed, "UTF-8") === "FS:local:s3://bucket/k")
+    } finally Connections.drop("local")
+  }
+
+  test("system.parts on a real testdata table") {
+    import graft.sources.SystemParts
+    val parts = SystemParts.parts(spark, s"$sfDir/lineitem.parquet",
+      statCols = Seq("l_orderkey"))
+    val total = parts.agg(org.apache.spark.sql.functions.sum("rows")).head().getLong(0)
+    val actual = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    assert(total === actual)
+  }
 }
