@@ -78,6 +78,9 @@ object Graft {
     def deleteWhere(cond: Column): DataFrame = Deletes.delete(df, cond)
     def withoutDeleted: DataFrame = Deletes.applyMask(df)
 
+    def sampleByKey(key: Column, num: Long, den: Long): DataFrame =
+      RelationalOps.sampleByKey(df, key, num, den)
+
     // ---- dedup pipeline ----
     def exactDedup(textCol: Column, idCol: Column): DataFrame =
       Dedup.exactDedup(df, textCol, idCol)

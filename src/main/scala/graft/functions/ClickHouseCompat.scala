@@ -367,6 +367,17 @@ object ClickHouseCompat {
     "JSONExtractFloat(j STRING, k STRING) RETURNS DOUBLE RETURN try_cast(get_json_object(j, concat('$.', k)) AS DOUBLE)",
     "JSONExtractBool(j STRING, k STRING) RETURNS BOOLEAN RETURN try_cast(get_json_object(j, concat('$.', k)) AS BOOLEAN)",
     "JSONLength(j STRING) RETURNS INT RETURN size(from_json(j, 'map<string,string>'))",
+    // ---- tranche 4: arrayNorm family (src/Functions/array/arrayNorm.cpp) ----
+    "L1Norm(a ARRAY<DOUBLE>) RETURNS DOUBLE RETURN " +
+      "aggregate(a, 0D, (acc, x) -> acc + abs(x))",
+    "L2Norm(a ARRAY<DOUBLE>) RETURNS DOUBLE RETURN " +
+      "sqrt(aggregate(a, 0D, (acc, x) -> acc + x * x))",
+    "L2SquaredNorm(a ARRAY<DOUBLE>) RETURNS DOUBLE RETURN " +
+      "aggregate(a, 0D, (acc, x) -> acc + x * x)",
+    "LinfNorm(a ARRAY<DOUBLE>) RETURNS DOUBLE RETURN " +
+      "array_max(transform(a, x -> abs(x)))",
+    "L2Normalize(a ARRAY<DOUBLE>) RETURNS ARRAY<DOUBLE> RETURN " +
+      "transform(a, x -> x / sqrt(aggregate(a, 0D, (acc, y) -> acc + y * y)))",
     // ---- tranche 4: identity/marker functions the reference exposes ----
     "toLowCardinality(x STRING) RETURNS STRING RETURN x",
     "materialize(x STRING) RETURNS STRING RETURN x",

@@ -73,20 +73,27 @@ object Dedup {
     // BEFORE the filter, so Jaccard values are unchanged (exactness).
     val shared = sh.groupBy("shash").agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= 2).select(col("shash"))
-    val shJoin = sh.join(shared, Seq("shash"), "left_semi")
-    val pairs = shJoin.as("a")
-      .join(shJoin.as("b"), col("a.shash") === col("b.shash") && col("a.id") < col("b.id"))
+    // Attach each doc's PRE-filter shingle count to the join input
+    // (`sizes` is one row per doc — shuffled join, never broadcast: a
+    // per-doc broadcast OOMs at corpus scale).
+    val shN = sh.join(shared, Seq("shash"), "left_semi")
+      .join(sizes, Seq("id"))
+    // EXACT size-ratio prune (ssjoin prefix-filter family): J(A,B) >= t
+    // forces inter >= t*max(|A|,|B|) and inter <= min(|A|,|B|), hence
+    // min >= t*max — incompatible sizes are dropped INSIDE the join,
+    // before the quadratic bucket blowup reaches the pair aggregation.
+    val sizeOk =
+      least(col("a.n_sh"), col("b.n_sh")).cast("double") >=
+        lit(minSim) * greatest(col("a.n_sh"), col("b.n_sh")).cast("double")
+    shN.as("a")
+      .join(shN.as("b"),
+        col("a.shash") === col("b.shash") && col("a.id") < col("b.id") && sizeOk)
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    // `sizes` is one row PER DOCUMENT — at corpus scale that must shuffle
-    // (a broadcast here OOMs the driver); AQE may still choose to
-    // broadcast at small scale on its own.
-    pairs
-      .join(sizes.as("sa"), col("id_a") === col("sa.id"))
-      .join(sizes.as("sb"), col("id_b") === col("sb.id"))
+      .agg(count(lit(1)).as("inter"),
+        first(col("a.n_sh")).as("na"), first(col("b.n_sh")).as("nb"))
       .withColumn("jaccard",
         col("inter").cast("double") /
-          (col("sa.n_sh") + col("sb.n_sh") - col("inter")).cast("double"))
+          (col("na") + col("nb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= minSim)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

@@ -179,6 +179,22 @@ object RelationalOps {
       .drop("__last_ord")
   }
 
+  /** `SAMPLE num/den` clause (reference sampling-key read path,
+    * `InterpreterSelectQuery` sampling over `intHash32(key)` ranges):
+    * keep rows whose key's multiplicative hash lands in the first
+    * num/den of the 32-bit hash space. Deterministic and STABLE — the
+    * same rows survive in every query (unlike `rand()` sampling), so
+    * sampled aggregates are repeatable and two tables sampled on the
+    * same key keep matching rows together. Pure filter → pushes to the
+    * scan; no shuffle. Keys must fit |key| < 2^33 so the Knuth-constant
+    * product stays inside BIGINT (true for every key column here).
+    */
+  def sampleByKey(df: DataFrame, key: Column, num: Long, den: Long): DataFrame = {
+    require(num >= 0 && den > 0 && num <= den, s"bad sample fraction $num/$den")
+    val h = pmod(key.cast("long") * lit(2654435761L), lit(1L << 32))
+    df.filter(h * den < num * (1L << 32))
+  }
+
   /** Lightweight `ALTER TABLE ... UPDATE` mutation
     * (`src/Interpreters/MutationsInterpreter.cpp`): rewrite matching rows
     * column-wise; non-matching rows pass through. Immutable-file

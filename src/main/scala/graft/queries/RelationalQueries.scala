@@ -550,6 +550,15 @@ object RelationalQueries {
         round(sum(col("o_totalprice")), 2).as("total"))
     }),
 
+    // SAMPLE clause: deterministic hash-range sample (10%) — the same
+    // rows every run, so the sampled aggregate is exactly reproducible
+    // (and oracle-checkable, unlike rand() sampling).
+    "q48_sample" -> ((s, dir) => {
+      RelationalOps.sampleByKey(t(s, dir, "orders"), col("o_orderkey"), 1, 10)
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"),
+          round(avg(col("o_totalprice")), 2).as("avg_price"))
+    }),
     // GROUP BY with expression keys + IN-subquery semi join.
     "q30_in_subquery" -> ((s, dir) => {
       val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
@@ -585,6 +594,12 @@ object RelationalQueries {
       SELECT CAST(count(1) AS BIGINT) AS n,
              round(sum(o_totalprice), 2) AS total
       FROM orders WHERE o_orderkey % 3 <> 0""",
+    "q48_sample" -> """
+      SELECT CAST(count(1) AS BIGINT) AS n,
+             round(sum(o_totalprice), 2) AS total,
+             round(avg(o_totalprice), 2) AS avg_price
+      FROM orders
+      WHERE ((o_orderkey * 2654435761) % 4294967296) * 10 < 4294967296""",
     "q47_collapsing_final" -> """
       WITH survivors AS (
         SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0

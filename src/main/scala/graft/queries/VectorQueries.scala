@@ -270,6 +270,35 @@ object VectorQueries {
         .select(col("id").as("doc_id"), col("d").cast("double").as("d"))
         .orderBy(col("doc_id"))
     }),
+    // IVFSQ in EXACT mode: exhaustive probes + full re-rank. The true
+    // top-K can't fall below the reorder cut, so the quantized storage +
+    // ADC + two-stage machinery must reproduce brute force bit-for-bit —
+    // shares v08's oracle. (Realistic nprobe/numReorder configs stay
+    // covered by v14 + recall specs.)
+    "v20_ivfsq_exact" -> ((s, dir) => {
+      SqIndex.search(s, sqDir(s, dir), emb(s, dir), queryVec(s, dir), 10,
+          numReorder = 1 << 20, nprobe = 16, None, "d", Seq(col("vec_id")))
+        .select(col("vec_id"), round(col("d").cast("double"), 3).as("d"))
+        .orderBy(col("vec_id"))
+    }),
+    // IVFPQ in EXACT mode (same argument as v20) — shares v08's oracle.
+    "v21_ivfpq_exact" -> ((s, dir) => {
+      PqIndex.search(s, pqDir(s, dir), emb(s, dir), queryVec(s, dir), 10,
+          numReorder = 1 << 20, nprobe = 16, None, "d", Seq(col("vec_id")))
+        .select(col("vec_id"), round(col("d").cast("double"), 3).as("d"))
+        .orderBy(col("vec_id"))
+    }),
+    // BinaryIVF with exhaustive probes: distances are true Hamming (the
+    // bucketing never alters them), so exhaustive probing IS exact —
+    // shares v10's hex-digit-popcount oracle.
+    "v22_binary_ivf_exact" -> ((s, dir) => {
+      val q = bvecs(s, dir).filter(col("doc_id") === 0)
+        .select("bvec").head().getAs[Array[Byte]](0)
+      BinaryIvfIndex.search(s, bivfDir(s, dir), q, 10,
+          nprobe = 16, None, "d", Seq(col("doc_id")))
+        .select(col("doc_id"), col("d").cast("double").as("d"))
+        .orderBy(col("doc_id"))
+    }),
     // arrayDistance scalar family as projection columns (not top-K).
     "v07_distance_family" -> ((s, dir) => {
       val q = queryVec(s, dir)
@@ -343,6 +372,29 @@ object VectorQueries {
         WHERE label = 3
         ORDER BY list_distance(embedding, $qv0), vec_id LIMIT 10)
       ORDER BY vec_id""",
+    "v20_ivfsq_exact" -> s"""
+      SELECT * FROM (
+        SELECT vec_id, round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) AS d
+        FROM embeddings
+        ORDER BY list_distance(embedding, $qv0), vec_id LIMIT 10)
+      ORDER BY vec_id""",
+    "v21_ivfpq_exact" -> s"""
+      SELECT * FROM (
+        SELECT vec_id, round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) AS d
+        FROM embeddings
+        ORDER BY list_distance(embedding, $qv0), vec_id LIMIT 10)
+      ORDER BY vec_id""",
+    "v22_binary_ivf_exact" -> """
+      WITH q AS (SELECT md5(text) AS qh FROM documents WHERE doc_id = 0),
+      d AS (SELECT doc_id, md5(text) AS h FROM documents)
+      SELECT * FROM (
+        SELECT doc_id,
+          CAST(list_sum(list_transform(range(1, 33), i ->
+            bit_count(xor(strpos('0123456789abcdef', substring(h, CAST(i AS INTEGER), 1)) - 1,
+                          strpos('0123456789abcdef', substring(qh, CAST(i AS INTEGER), 1)) - 1)))) AS DOUBLE) AS d
+        FROM d CROSS JOIN q
+        ORDER BY d, doc_id LIMIT 10)
+      ORDER BY doc_id""",
     // Hamming over unhex(md5(text)) bytes ≡ per-hex-digit xor popcount of
     // the md5 hex string — DuckDB-expressible, so the binary path gets an
     // EXACT oracle (byte-level kernel parity is in DistanceSpec).

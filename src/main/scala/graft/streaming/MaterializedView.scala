@@ -43,6 +43,22 @@ object MaterializedView {
   def read(spark: SparkSession, statePath: String, keys: Seq[String]): DataFrame =
     StateCombinators.mergeStates(spark.read.parquet(statePath), keys.map(col))
 
+  /** LiveView (reference `registerStorages.cpp:24`, `StorageLiveView`):
+    * an always-current in-memory result of a query over a stream.
+    * Spark shape: complete-output-mode memory sink; `spark.table(name)`
+    * (or SQL against `name`) reads the current result after any batch.
+    * Complete mode re-emits the whole result per batch, which is exactly
+    * LiveView's contract (and why it suits small aggregated results, not
+    * raw streams — same caveat as the reference).
+    */
+  def liveView(aggregated: DataFrame, name: String): StreamingQuery =
+    aggregated.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming IVF index maintenance: each micro-batch of new vectors is
     * assigned to the existing centroids and appended
     * ([[graft.operators.IvfIndex.append]]), so ANN queries see fresh rows

@@ -227,6 +227,20 @@ class ClickHouseCompatSpec extends SparkSpec {
     assert(r.getAs[String]("b64bad") === "")
   }
 
+  test("tranche-4: arrayNorm family") {
+    val r = spark.sql("""SELECT
+      L1Norm(array(3D, -4D)) AS n1,
+      L2Norm(array(3D, 4D)) AS n2,
+      L2SquaredNorm(array(3D, 4D)) AS n2s,
+      LinfNorm(array(3D, -7D)) AS ni,
+      L2Normalize(array(3D, 4D)) AS nv""").head()
+    assert(r.getAs[Double]("n1") === 7.0)
+    assert(r.getAs[Double]("n2") === 5.0)
+    assert(r.getAs[Double]("n2s") === 25.0)
+    assert(r.getAs[Double]("ni") === 7.0)
+    assert(r.getAs[Seq[Double]]("nv") === Seq(0.6, 0.8))
+  }
+
   test("geo distance: haversine sanity (Paris-London ~343.5 km)") {
     val d = spark.sql(
       "SELECT greatCircleDistance(2.3522, 48.8566, -0.1276, 51.5072)")

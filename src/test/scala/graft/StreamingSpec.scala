@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.streaming.TimeWindows
+import graft.streaming.{MaterializedView, TimeWindows}
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -66,6 +66,27 @@ class StreamingSpec extends SparkSpec {
       .select(col("window.start"), col("n"))
       .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
     assert(streamed === expected)
+  }
+
+  test("LiveView: complete-mode memory sink stays current across batches") {
+    val dir = Files.createTempDirectory("graft-live").toString
+    val batch1 = spark.range(100).selectExpr("id % 5 AS g", "id AS v")
+    batch1.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch1.schema).parquet(dir)
+    val agg = stream.groupBy(col("g")).agg(sum(col("v")).as("total"))
+
+    val q1 = MaterializedView.liveView(agg, "live_totals")
+    q1.processAllAvailable(); q1.stop()
+    val after1 = spark.table("live_totals").agg(sum("total")).head().getLong(0)
+    assert(after1 === (0L until 100).sum)
+
+    // more data arrives → restart the view (AvailableNow) → result reflects it
+    spark.range(100, 200).selectExpr("id % 5 AS g", "id AS v")
+      .write.mode("append").parquet(dir)
+    val q2 = MaterializedView.liveView(agg, "live_totals")
+    q2.processAllAvailable(); q2.stop()
+    val after2 = spark.table("live_totals").agg(sum("total")).head().getLong(0)
+    assert(after2 === (0L until 200).sum)
   }
 
   test("hop windows double-count rows across overlapping windows") {
