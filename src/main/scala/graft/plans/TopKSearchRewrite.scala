@@ -64,14 +64,42 @@ case class TopKSearchRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  private def checkDirection: Boolean =
+    spark.conf.getOption("spark.graft.checkOrderByDirection")
+      .forall(_.toBoolean) // default ON, like the reference
+
   /** Reference constraints: at most one search function per sort; a
-    * distance-ranked LIMIT may not exceed max_search_result_window.
+    * distance-ranked LIMIT may not exceed max_search_result_window; the
+    * ORDER BY direction must match the metric's ranking sense
+    * (00027_mqvs_check_order_by_for_metric_type: IP similarity ranks
+    * DESC, every distance metric ranks ASC — the wrong direction returns
+    * the FARTHEST vectors, which is never what a search meant).
     */
   private def validate(plan: LogicalPlan): Unit = plan.foreach {
-    case Sort(order, _, _, _) =>
+    case s @ Sort(order, _, _, _) =>
       if (order.map(o => countSearchFns(o.child)).sum > 1) {
         throw new IllegalArgumentException(
           "only one search function is allowed per query (reference error 62)")
+      }
+      if (checkDirection) s match {
+        case Sort(orders, _, Project(pl, _), _) if orders.nonEmpty =>
+          val o = orders.head
+          for {
+            al <- pl.collectFirst {
+              case al: Alias if al.exprId == attrId(o.child) => al }
+            vd <- al.child.collectFirst { case v: VectorDistance => v }
+          } {
+            val isIp = vd.metric == graft.functions.Metric.IP ||
+              vd.metric == graft.functions.Metric.Dot
+            val wrong =
+              if (isIp) o.direction == Ascending else o.direction == Descending
+            if (wrong) throw new IllegalArgumentException(
+              s"ORDER BY direction does not match metric ${vd.metric}: " +
+                (if (isIp) "IP ranks by similarity — use ORDER BY ... DESC"
+                 else "distance metrics rank ascending — use ORDER BY ... ASC") +
+                " (reference 00027_mqvs_check_order_by_for_metric_type)")
+          }
+        case _ => ()
       }
     case gl @ GlobalLimit(IntegerLiteral(k), _) =>
       val searchLimit = gl.collectFirst {

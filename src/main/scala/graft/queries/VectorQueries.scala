@@ -299,6 +299,35 @@ object VectorQueries {
         .select(col("doc_id"), col("d").cast("double").as("d"))
         .orderBy(col("doc_id"))
     }),
+    // Range search: filter ON the distance value (reference
+    // 00004_mqvs_filter_by_distance.sh — `WHERE distance(...) < r`), not
+    // top-K: every vector within the radius. Pure filter over the scan.
+    "v23_range_search" -> ((s, dir) => {
+      val q = queryVec(s, dir)
+      emb(s, dir)
+        .withColumn("d", graft.functions.distances.l2Distance(
+          col("embedding"), typedLit(q)))
+        .filter(col("d") < 10.0f)
+        .select(col("vec_id"), round(col("d").cast("double"), 3).as("d"))
+        .orderBy(col("vec_id"))
+    }),
+    // Query vector from a SUBQUERY (reference 00025_mqvs_distance_with_
+    // subquery.sql): the vector never touches the driver — a 1-row frame
+    // is joined in (broadcast at any scale), so the whole query stays one
+    // distributed plan. This is the shape to use when the query vector is
+    // itself computed (e.g. an aggregate of several vectors).
+    "v24_distance_subquery" -> ((s, dir) => {
+      val qrow = emb(s, dir).filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      emb(s, dir)
+        .crossJoin(broadcast(qrow))
+        .withColumn("d", graft.functions.distances.l2Distance(
+          col("embedding"), col("qvec")))
+        .orderBy(col("d"), col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), round(col("d").cast("double"), 3).as("d"))
+        .orderBy(col("vec_id"))
+    }),
     // arrayDistance scalar family as projection columns (not top-K).
     "v07_distance_family" -> ((s, dir) => {
       val q = queryVec(s, dir)
@@ -370,6 +399,17 @@ object VectorQueries {
         SELECT vec_id, label, round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) AS d
         FROM embeddings
         WHERE label = 3
+        ORDER BY list_distance(embedding, $qv0), vec_id LIMIT 10)
+      ORDER BY vec_id""",
+    "v23_range_search" -> s"""
+      SELECT vec_id, round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) AS d
+      FROM embeddings
+      WHERE list_distance(embedding, $qv0) < 10.0
+      ORDER BY vec_id""",
+    "v24_distance_subquery" -> s"""
+      SELECT * FROM (
+        SELECT vec_id, round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) AS d
+        FROM embeddings
         ORDER BY list_distance(embedding, $qv0), vec_id LIMIT 10)
       ORDER BY vec_id""",
     "v20_ivfsq_exact" -> s"""

@@ -143,6 +143,25 @@ class IvfIndexSpec extends SparkSpec {
     } finally IvfIndex.Catalog.drop("ml_ivf")
   }
 
+  test("mutations on non-vector columns reuse the index unchanged (00023)") {
+    // Reference 00023_mqvs_mutation_can_reuse_vector_index: an UPDATE that
+    // doesn't touch the vector column must not invalidate the index. Our
+    // index stores (id, vector) only, so a payload mutation composes with
+    // an existing index by joining search hits back to the mutated table.
+    val mutated = graft.operators.RelationalOps.update(
+      emb, col("vec_id") % 2 === 0, Seq("label" -> lit(999)))
+    val hits = IvfIndex.search(spark, indexDir, qv, 10, nprobe = 8,
+        None, None, "d", Seq(col("vec_id")))
+      .select(col("vec_id"), col("d"))
+    val joined = hits.join(mutated.select(col("vec_id"), col("label")), "vec_id")
+    val rows = joined.collect()
+    assert(rows.length === 10)
+    // mutated labels visible; index files untouched (same search results)
+    assert(rows.filter(_.getAs[Long]("vec_id") % 2 == 0)
+      .forall(_.getAs[Int]("label") === 999))
+    assert(hits.select("vec_id").collect().map(_.getLong(0)).toSeq === bruteIds(10))
+  }
+
   test("two-stage IVF search recall >= plain nprobe search") {
     val brute = bruteIds(10).toSet
     val plain = IvfIndex.search(spark, indexDir, qv, 10, nprobe = 2,

@@ -120,6 +120,33 @@ class TopKRewriteSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.maxSearchResultWindow")
   }
 
+  test("ORDER BY direction must match the metric (reference 00027)") {
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // distance metric sorted DESC → farthest-first, rejected
+    val descL2 = emb.select(col("vec_id"),
+        distances.l2Distance(col("embedding"), typedLit(qv)).as("d"))
+      .orderBy(col("d").desc).limit(5)
+    val ex1 = intercept[Throwable] { descL2.collect() }
+    assert(msgs(ex1).exists(_.contains("rank ascending")), ex1.toString)
+    // IP sorted ASC → least-similar-first, rejected
+    val ascIp = emb.select(col("vec_id"),
+        distances.dotProduct(col("embedding"), typedLit(qv)).as("d"))
+      .orderBy(col("d").asc).limit(5)
+    val ex2 = intercept[Throwable] { ascIp.collect() }
+    assert(msgs(ex2).exists(_.contains("DESC")), ex2.toString)
+    // correct directions pass; the check can be disabled
+    assert(topkDf(5).collect().length === 5)
+    spark.conf.set("spark.graft.checkOrderByDirection", "false")
+    // fresh Dataset: Spark 4 caches a FAILED optimization phase per
+    // QueryExecution, so the original frame would rethrow regardless
+    val descL2Again = emb.select(col("vec_id"),
+        distances.l2Distance(col("embedding"), typedLit(qv)).as("d"))
+      .orderBy(col("d").desc).limit(5)
+    try assert(descL2Again.collect().length === 5)
+    finally spark.conf.unset("spark.graft.checkOrderByDirection")
+  }
+
   test("metric mismatch leaves the plan untouched") {
     val dir = Files.createTempDirectory("ivf-cos").toString
     val srcPath = "file:" + sfDir + "/embeddings.parquet"
