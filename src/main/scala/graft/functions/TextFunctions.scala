@@ -21,6 +21,19 @@ object text {
   /** Token count (post-tokenization). */
   def tokenCount(c: Column): Column = size(tokenize(c))
 
+  /** BPE-style pre-tokenizer token count: the GPT-2 pre-tokenization
+    * shape (leading-space letter runs / digit runs / punctuation runs /
+    * residual whitespace), simplified to drop lookaheads so the SAME
+    * pattern runs under Java regex and RE2 (DuckDB) — the unit most LLM
+    * data-budget pipelines count. A real BPE vocab merge step would run
+    * per-partition downstream; the pre-token count is the scalable
+    * first-order token estimate.
+    */
+  val bpePattern: String = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \\t\\n\\r]+"
+
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(bpePattern), lit(0)))
+
   /** Word n-gram shingles of a token array. */
   def shingles(tokens: Column, n: Int): Column =
     filter(

@@ -179,6 +179,20 @@ object RelationalOps {
       .drop("__last_ord")
   }
 
+  /** SummingMergeTree FINAL (`SummingSortedAlgorithm.cpp`): rows with the
+    * same key collapse to one row with the numeric columns summed; other
+    * columns take an arbitrary surviving value (we pick min for
+    * determinism). Plain partial→final hash agg — the read-time semantics
+    * of the engine family map 1:1 onto groupBy.
+    */
+  def summingFinal(
+      df: DataFrame, keys: Seq[String], sumCols: Seq[String]): DataFrame = {
+    val others = df.columns.filterNot(c => keys.contains(c) || sumCols.contains(c))
+    val aggs = sumCols.map(c => sum(col(c)).as(c)) ++ others.map(c => min(col(c)).as(c))
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .select(df.columns.map(col): _*)
+  }
+
   /** `SAMPLE num/den` clause (reference sampling-key read path,
     * `InterpreterSelectQuery` sampling over `intHash32(key)` ranges):
     * keep rows whose key's multiplicative hash lands in the first

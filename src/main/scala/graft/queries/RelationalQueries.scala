@@ -550,6 +550,23 @@ object RelationalQueries {
         round(sum(col("o_totalprice")), 2).as("total"))
     }),
 
+    // SummingMergeTree FINAL (SummingSortedAlgorithm.cpp): same-key rows
+    // collapse with numeric columns summed, other columns take a
+    // deterministic survivor (min) — completes the merge-tree engine
+    // family (Replacing q41 / Collapsing q47 / VersionedCollapsing q45 /
+    // Aggregating e11).
+    "q49_summing_final" -> ((s, dir) => {
+      val collapsed = RelationalOps.summingFinal(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_linenumber")),
+        keys = Seq("l_orderkey"),
+        sumCols = Seq("l_quantity", "l_extendedprice"))
+      collapsed.agg(
+        count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        sum(col("l_linenumber")).cast("long").as("sum_ln"))
+    }),
     // SAMPLE clause: deterministic hash-range sample (10%) — the same
     // rows every run, so the sampled aggregate is exactly reproducible
     // (and oracle-checkable, unlike rand() sampling).
@@ -594,6 +611,16 @@ object RelationalQueries {
       SELECT CAST(count(1) AS BIGINT) AS n,
              round(sum(o_totalprice), 2) AS total
       FROM orders WHERE o_orderkey % 3 <> 0""",
+    "q49_summing_final" -> """
+      WITH s AS (
+        SELECT l_orderkey, sum(l_quantity) AS q, sum(l_extendedprice) AS p,
+               min(l_linenumber) AS ln
+        FROM lineitem GROUP BY l_orderkey)
+      SELECT CAST(count(1) AS BIGINT) AS n,
+             round(sum(q), 2) AS sum_qty,
+             round(sum(p), 2) AS sum_price,
+             CAST(sum(ln) AS BIGINT) AS sum_ln
+      FROM s""",
     "q48_sample" -> """
       SELECT CAST(count(1) AS BIGINT) AS n,
              round(sum(o_totalprice), 2) AS total,

@@ -107,6 +107,14 @@ object TextQueries {
         .select(col("doc_id"), text.tokenCount(col("text")).cast("long").as("n_tokens"))
         .orderBy(col("doc_id"))
     }),
+    // BPE-style pre-tokenizer count (the LLM data-budget unit): letter
+    // runs / digit runs / punctuation runs with optional leading space.
+    "t12_bpe_token_count" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          text.bpeTokenCount(col("text")).cast("long").as("n_bpe"))
+        .orderBy(col("doc_id"))
+    }),
     // Language ID heuristic (stopword density).
     "t04_lang_id" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -332,6 +340,14 @@ object TextQueries {
       ORDER BY bm25_score DESC, doc_id""",
     "t03_token_count" -> s"""
       SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+      FROM documents ORDER BY doc_id""",
+    // DuckDB standard strings don't process backslashes — the pattern is
+    // embedded verbatim (`\t` stays the 2-char regex escape both engines
+    // read as tab).
+    "t12_bpe_token_count" -> s"""
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text,
+               '${graft.functions.text.bpePattern}')) AS BIGINT) AS n_bpe
       FROM documents ORDER BY doc_id""",
     "t04_lang_id" -> s"""
       WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
