@@ -56,6 +56,12 @@ object Graft {
     def limitBy(n: Int, by: Seq[Column], order: Seq[Column]): DataFrame =
       RelationalOps.limitBy(df, n, by, order)
 
+    def limitByOffset(offset: Int, n: Int, by: Seq[Column], order: Seq[Column]): DataFrame =
+      RelationalOps.limitByOffset(df, offset, n, by, order)
+
+    def summingFinal(keys: Seq[String], sumCols: Seq[String]): DataFrame =
+      RelationalOps.summingFinal(df, keys, sumCols)
+
     def replacingFinal(keys: Seq[Column], version: Column): DataFrame =
       RelationalOps.replacingFinal(df, keys, version)
 

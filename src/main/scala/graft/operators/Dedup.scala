@@ -56,6 +56,23 @@ object Dedup {
       .drop("__fp")
   }
 
+  /** Exact n-gram-Jaccard pair join via the AllPairs/PPJoin prefix
+    * filter (Bayardo et al., WWW'07; Xiao et al., WWW'08 — public
+    * literature): instead of joining every shingle (df² blowup on common
+    * shingles), each doc exposes only its PREFIX — the first
+    * `|A| - ceil(t·|A|) + 1` shingles in a canonical global order
+    * (sorted by hash). Any pair with J ≥ t must share a prefix element
+    * (if they shared none, the overlap is at most min over the
+    * suffixes < ceil(t·max(|A|,|B|)) — below the required t bound), so
+    * candidate generation is EXACT-complete. Candidates (deduped,
+    * size-ratio-pruned) are then verified by true set intersection of
+    * the two full shingle arrays.
+    *
+    * Scale shape: the prefix join explodes only (1-t)·|A|+1 rows per doc
+    * (vs |A|), and verification shuffles the doc arrays only for
+    * surviving candidates — this is the standard distributed exact
+    * similarity self-join, the oracle-checkable twin of MinHash-LSH.
+    */
   def ngramJaccardPairs(
       df: DataFrame,
       textCol: Column,
@@ -63,34 +80,37 @@ object Dedup {
       n: Int = 3,
       minSim: Double = 0.5): DataFrame = {
     val toks = text.tokenize(textCol)
-    val sh = df
-      .select(idCol.as("id"), explode(array_distinct(text.shingles(toks, n))).as("sh"))
-      .select(col("id"), xxhash64(col("sh")).as("shash"))
+    // Per-doc distinct shingle hashes in canonical (sorted) order.
+    val docs = df
+      .select(idCol.as("id"),
+        array_sort(array_distinct(transform(text.shingles(toks, n),
+          s => xxhash64(s)))).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .filter(col("n_sh") > 0)
       .persist()
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    // Singleton shingles (df = 1) cannot contribute to any pair — drop
-    // them from the self-join input. Union sizes above are computed
-    // BEFORE the filter, so Jaccard values are unchanged (exactness).
-    val shared = sh.groupBy("shash").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") >= 2).select(col("shash"))
-    // Attach each doc's PRE-filter shingle count to the join input
-    // (`sizes` is one row per doc — shuffled join, never broadcast: a
-    // per-doc broadcast OOMs at corpus scale).
-    val shN = sh.join(shared, Seq("shash"), "left_semi")
-      .join(sizes, Seq("id"))
-    // EXACT size-ratio prune (ssjoin prefix-filter family): J(A,B) >= t
-    // forces inter >= t*max(|A|,|B|) and inter <= min(|A|,|B|), hence
-    // min >= t*max — incompatible sizes are dropped INSIDE the join,
-    // before the quadratic bucket blowup reaches the pair aggregation.
-    val sizeOk =
-      least(col("a.n_sh"), col("b.n_sh")).cast("double") >=
-        lit(minSim) * greatest(col("a.n_sh"), col("b.n_sh")).cast("double")
-    shN.as("a")
-      .join(shN.as("b"),
-        col("a.shash") === col("b.shash") && col("a.id") < col("b.id") && sizeOk)
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"),
-        first(col("a.n_sh")).as("na"), first(col("b.n_sh")).as("nb"))
+    // prefix length p = n_sh - ceil(t·n_sh) + 1 (clamped to [1, n_sh])
+    val pLen = greatest(lit(1),
+      col("n_sh") - ceil(lit(minSim) * col("n_sh")).cast("int") + 1)
+    val pref = docs.select(col("id"), col("n_sh"),
+      explode(slice(col("sh"), lit(1), pLen)).as("shash"))
+    // Candidate pairs: shared prefix hash + size-ratio prune
+    // (J ≥ t ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|)), deduped.
+    val cand = pref.as("a")
+      .join(pref.as("b"),
+        col("a.shash") === col("b.shash") && col("a.id") < col("b.id") &&
+          least(col("a.n_sh"), col("b.n_sh")).cast("double") >=
+            lit(minSim) * greatest(col("a.n_sh"), col("b.n_sh")).cast("double"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // Verification: exact set intersection of the full shingle arrays.
+    // Doc arrays are shuffled only for candidate pairs; never broadcast
+    // (one row per doc — a broadcast OOMs at corpus scale).
+    cand
+      .join(docs.select(col("id").as("id_a"), col("sh").as("sa"),
+        col("n_sh").as("na")), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"), col("sh").as("sb"),
+        col("n_sh").as("nb")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")).cast("double"))

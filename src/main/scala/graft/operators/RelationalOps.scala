@@ -13,9 +13,19 @@ object RelationalOps {
     * QueryPlan/LimitByStep.cpp`): first n rows per group in the given
     * order. Window + row_number — one shuffle on the group key.
     */
-  def limitBy(df: DataFrame, n: Int, by: Seq[Column], order: Seq[Column]): DataFrame = {
+  def limitBy(df: DataFrame, n: Int, by: Seq[Column], order: Seq[Column]): DataFrame =
+    limitByOffset(df, 0, n, by, order)
+
+  /** `LIMIT offset, n BY cols` — the reference's per-group pagination
+    * form (`LimitByStep.cpp`): skip `offset` rows per group, keep `n`.
+    */
+  def limitByOffset(
+      df: DataFrame, offset: Int, n: Int,
+      by: Seq[Column], order: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(by: _*).orderBy(order: _*)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n).drop("__rn")
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > offset && col("__rn") <= offset + n)
+      .drop("__rn")
   }
 
   /** `ORDER BY key WITH FILL FROM f TO t STEP s` over a date key
@@ -39,6 +49,25 @@ object RelationalOps {
       .select(explode(sequence(
         lit(from), lit(to), expr("interval 1 day"))).as(dateCol))
     val joined = series.join(df, Seq(dateCol), "left")
+    fillDefaults.foldLeft(joined) { case (d, (name, default)) =>
+      d.withColumn(name, coalesce(col(name), default))
+    }
+  }
+
+  /** `ORDER BY key WITH FILL FROM f TO t STEP s` over a NUMERIC key —
+    * the general FillingTransform shape: dense series from `sequence`,
+    * left join, defaults.
+    */
+  def withFillStep(
+      df: DataFrame,
+      keyCol: String,
+      from: Long, to: Long, step: Long,
+      fillDefaults: Seq[(String, Column)]): DataFrame = {
+    require(step > 0, s"WITH FILL STEP must be positive, got $step")
+    val spark = df.sparkSession
+    val series = spark.range(1)
+      .select(explode(sequence(lit(from), lit(to), lit(step))).as(keyCol))
+    val joined = series.join(df, Seq(keyCol), "left")
     fillDefaults.foldLeft(joined) { case (d, (name, default)) =>
       d.withColumn(name, coalesce(col(name), default))
     }

@@ -576,6 +576,29 @@ object RelationalQueries {
           round(sum(col("o_totalprice")), 2).as("total"),
           round(avg(col("o_totalprice")), 2).as("avg_price"))
     }),
+    // LIMIT offset, n BY — per-group pagination (LimitByStep.cpp):
+    // page 2 (rows 3-4) of each customer's orders by recency.
+    "q50_limit_by_offset" -> ((s, dir) => {
+      RelationalOps.limitByOffset(
+        t(s, dir, "orders").filter(col("o_custkey") <= 50),
+        offset = 2, n = 2,
+        by = Seq(col("o_custkey")),
+        order = Seq(col("o_orderkey").desc))
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+    // Numeric WITH FILL FROM/TO/STEP: dense quantity buckets 1..50 step
+    // 5, zero-filled where no lineitem falls in the bucket.
+    "q51_with_fill_step" -> ((s, dir) => {
+      val byBucket = t(s, dir, "lineitem")
+        .withColumn("qb", (floor(col("l_quantity") / 5) * 5).cast("long"))
+        .groupBy(col("qb"))
+        .agg(count(lit(1)).as("n"))
+      RelationalOps.withFillStep(byBucket, "qb", 0L, 60L, 5L,
+          Seq("n" -> lit(0L)))
+        .orderBy(col("qb"))
+    }),
     // GROUP BY with expression keys + IN-subquery semi join.
     "q30_in_subquery" -> ((s, dir) => {
       val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
@@ -611,6 +634,22 @@ object RelationalQueries {
       SELECT CAST(count(1) AS BIGINT) AS n,
              round(sum(o_totalprice), 2) AS total
       FROM orders WHERE o_orderkey % 3 <> 0""",
+    "q50_limit_by_offset" -> """
+      SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
+        FROM orders WHERE o_custkey <= 50)
+      WHERE rn > 2 AND rn <= 4
+      ORDER BY o_custkey, o_orderkey""",
+    "q51_with_fill_step" -> """
+      WITH buckets AS (SELECT unnest(range(0, 65, 5)) AS qb),
+      agg AS (
+        SELECT CAST(floor(l_quantity / 5) * 5 AS BIGINT) AS qb,
+               CAST(count(1) AS BIGINT) AS n
+        FROM lineitem GROUP BY 1)
+      SELECT b.qb, coalesce(a.n, 0) AS n
+      FROM buckets b LEFT JOIN agg a USING (qb)
+      ORDER BY b.qb""",
     "q49_summing_final" -> """
       WITH s AS (
         SELECT l_orderkey, sum(l_quantity) AS q, sum(l_extendedprice) AS p,

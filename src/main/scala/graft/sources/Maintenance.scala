@@ -51,6 +51,8 @@ object Maintenance {
     }
 
     val (nBefore, bytesBefore) = stats(p)
+    if (nBefore == 0) // nothing to merge; reading an empty dir would throw
+      return CompactionResult(0, 0, 0L, 0L)
     val nOut = math.max(1, math.ceil(bytesBefore.toDouble / targetFileBytes).toInt)
 
     val df = spark.read.parquet(dir)

@@ -63,4 +63,30 @@ class EdgeCaseSpec extends SparkSpec {
     assert(TextSearch.textSearchNlq(docs, col("text"), "???", 5).count() === 0)
     assert(TextSearch.textSearch(docs, col("text"), "", 5).count() === 0)
   }
+
+  test("summingFinal / withFillStep / collapsingFinal on empty inputs") {
+    import graft.operators.RelationalOps
+    val empty = Seq.empty[(String, Double, Long)].toDF("k", "v", "ord")
+    assert(RelationalOps.summingFinal(empty, Seq("k"), Seq("v")).count() === 0)
+    assert(RelationalOps.collapsingFinal(empty, Seq(col("k")),
+      lit(1), col("ord")).count() === 0)
+    // fill over empty data still emits the dense series with defaults
+    val filled = RelationalOps.withFillStep(
+      Seq.empty[(Long, Long)].toDF("qb", "n"), "qb", 0L, 20L, 5L,
+      Seq("n" -> lit(0L)))
+    assert(filled.count() === 5)
+    assert(filled.agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0) === 0L)
+  }
+
+  test("compacting an empty directory is a no-op, not an error") {
+    val dir = java.nio.file.Files.createTempDirectory("compact-empty").toString
+    val res = graft.sources.Maintenance.compact(spark, dir)
+    assert(res.filesBefore === 0 && res.filesAfter === 0)
+  }
+
+  test("ngramJaccardPairs: docs shorter than the shingle width drop out") {
+    import graft.operators.Dedup
+    val docs = Seq((1L, "a b"), (2L, "x")).toDF("doc_id", "text") // < 3 tokens
+    assert(Dedup.ngramJaccardPairs(docs, col("text"), col("doc_id")).count() === 0)
+  }
 }

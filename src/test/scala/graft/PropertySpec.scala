@@ -103,6 +103,66 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bitmap algebra: randomized set identities vs Scala sets") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{BitmapFunctions => B}
+    import spark.implicits._
+    val rnd = new Random(77)
+    (1 to 20).foreach { _ =>
+      val sa = Set.fill(rnd.nextInt(30) + 1)(rnd.nextInt(50).toLong)
+      val sb = Set.fill(rnd.nextInt(30) + 1)(rnd.nextInt(50).toLong)
+      val row = Seq((sa.toSeq, sb.toSeq)).toDF("a", "b")
+        .select(
+          B.bitmapAndCardinality(col("a"), col("b")).as("and"),
+          B.bitmapOrCardinality(col("a"), col("b")).as("or"),
+          B.bitmapXorCardinality(col("a"), col("b")).as("xor"),
+          B.bitmapAndnotCardinality(col("a"), col("b")).as("andnot"))
+        .head()
+      assert(row.getLong(0) === (sa & sb).size.toLong)
+      assert(row.getLong(1) === (sa | sb).size.toLong)
+      assert(row.getLong(2) === ((sa | sb) -- (sa & sb)).size.toLong)
+      assert(row.getLong(3) === (sa -- sb).size.toLong)
+    }
+  }
+
+  test("collapsingFinal: randomized streams equal a sequential model") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new Random(55)
+    (1 to 10).foreach { _ =>
+      // random +1/-1 stream over few keys, ordered by ord
+      val rows = (1 to 60).map { ord =>
+        (s"k${rnd.nextInt(5)}", if (rnd.nextBoolean()) 1 else -1, ord.toLong, ord * 10)
+      }
+      // model: survivors = keys with positive net sign; value = last +1 row
+      val expected = rows.groupBy(_._1).flatMap { case (k, rs) =>
+        val net = rs.map(_._2).sum
+        if (net > 0) rs.filter(_._2 > 0).lastOption.map(r => k -> r._4) else None
+      }
+      val got = graft.operators.RelationalOps.collapsingFinal(
+        rows.toDF("k", "sign", "ord", "v"),
+        Seq(col("k")), col("sign"), col("ord"))
+        .select("k", "v").as[(String, Int)].collect().toMap
+      assert(got === expected)
+    }
+  }
+
+  test("sampleByKey: deterministic, disjoint complement, unbiased-ish") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(20000).toDF("id")
+    def ids(num: Long, den: Long): Set[Long] =
+      graft.operators.RelationalOps.sampleByKey(df, col("id"), num, den)
+        .collect().map(_.getLong(0)).toSet
+    val s1 = ids(1, 10); val s2 = ids(1, 10)
+    assert(s1 === s2) // stable
+    assert(math.abs(s1.size - 2000) < 300, s"got ${s1.size}") // ~10%
+    // nested fractions: the 5% sample is a subset of the 10% sample
+    val s05 = ids(1, 20)
+    assert(s05.subsetOf(s1))
+    // full fraction = everything, zero fraction = nothing
+    assert(ids(1, 1).size === 20000 && ids(0, 1).isEmpty)
+  }
+
   test("PQ: ADC table distance equals distance to the dequantized vector") {
     val rnd = new Random(31)
     (1 to 50).foreach { _ =>
