@@ -341,6 +341,83 @@ object HnswIndex {
     entry
   }
 
+  /** Incremental append — the reference's insert path: each new part
+    * gets its OWN graph built at insert time (`VIWithDataPart`), old
+    * parts' graphs untouched; a search unions all per-part graphs.
+    * Here: the batch becomes new `part_id=` directories numbered past
+    * the existing ones, built with the same per-partition in-JVM
+    * builder. Quantized variants (HNSWSQ/HNSWPQ) re-encode the batch
+    * with the STORED global params (sq_params/codebooks) — distribution
+    * drift in new data degrades quantization quality, not correctness
+    * (distances to slightly-misquantized codes still re-rank exactly in
+    * the two-stage path).
+    */
+  def append(
+      spark: SparkSession,
+      indexDir: String,
+      indexName: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      metric: String = "l2",
+      m: Int = 16,
+      efConstruction: Int = 100,
+      numPartitions: Option[Int] = None): Unit = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(s"$indexDir/graph")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("part_id="))
+      .map(_.getPath.getName.stripPrefix("part_id=").toInt)
+    require(existing.nonEmpty, s"no existing graph under $root — build first")
+    val offset = existing.max + 1
+    IvfIndex.Catalog.logEvent(indexName, "APPEND_START", s"offset=$offset")
+
+    val base = batch.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+    val parted = numPartitions.map(base.repartition(_)).getOrElse(base)
+    val graphDs = parted.mapPartitions { iter =>
+      val pid = TaskContext.getPartitionId() + offset
+      val b = new Builder(metric, m, efConstruction, seed = 42L + pid)
+      iter.foreach { case (id, v) => b.insert(id, v) }
+      b.rows(pid)
+    }
+    // Re-encode with stored quantization params when present.
+    val hasPq = fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/codebooks"))
+    val hasSq = !hasPq &&
+      fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/sq_params"))
+    val out =
+      if (hasPq) {
+        val bcB = spark.sparkContext.broadcast(PqIndex.loadBooks(spark, indexDir))
+        graphDs.map(r => (r.part_id, r.node_idx, r.id,
+          PqIndex.encode(r.vec, bcB.value), r.neighbors))
+          .toDF("part_id", "node_idx", "id", "qvec", "neighbors")
+      } else if (hasSq) {
+        val p = spark.read.parquet(s"$indexDir/sq_params").head()
+        val bcS = spark.sparkContext.broadcast(p.getSeq[Float](0).toArray)
+        val bcO = spark.sparkContext.broadcast(p.getSeq[Float](1).toArray)
+        graphDs.map(r => (r.part_id, r.node_idx, r.id,
+          VectorKernels.sqEncode(r.vec, bcS.value, bcO.value), r.neighbors))
+          .toDF("part_id", "node_idx", "id", "qvec", "neighbors")
+      } else graphDs.toDF()
+    out.write.mode("append").partitionBy("part_id").parquet(s"$indexDir/graph")
+
+    val appended = spark.read.parquet(s"$indexDir/graph")
+      .filter(col("part_id") >= offset)
+      .groupBy(col("part_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+    appended.foreach { case (pid, rows) =>
+      IvfIndex.Catalog.registerSegment(
+        IvfIndex.SegmentEntry(indexName, pid, "BUILT", rows))
+    }
+    val added = appended.map(_._2).sum
+    IvfIndex.Catalog.lookup(indexName).foreach { e =>
+      IvfIndex.Catalog.register(e.copy(nRows = e.nRows + added))
+    }
+    IvfIndex.Catalog.logEvent(indexName, "APPEND_FINISH",
+      s"added=$added parts=${appended.length}")
+  }
+
   /** Graph row as stored inside a `part_id=` directory (the partition
     * column lives in the directory name, not the file).
     */

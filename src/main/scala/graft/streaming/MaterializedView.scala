@@ -82,6 +82,33 @@ object MaterializedView {
       }
       .start()
 
+  /** Streaming HNSW maintenance: each micro-batch becomes new `part_id=`
+    * graph directories ([[graft.operators.HnswIndex.append]]) — the
+    * reference's per-part build-at-insert flow; searches union all parts
+    * with no rebuild.
+    */
+  def attachHnswIndex(
+      stream: DataFrame,
+      indexName: String,
+      indexDir: String,
+      idCol: String,
+      vecCol: String,
+      checkpoint: String,
+      metric: String = "l2"): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.HnswIndex.append(
+            batch.sparkSession, indexDir, indexName, batch, idCol, vecCol,
+            metric)
+          ()
+        }
+      }
+      .start()
+
   /** Streaming FTS index maintenance — the push-chain analog for the
     * text index: each micro-batch of new documents is appended into the
     * posting-list index ([[graft.operators.FtsIndex.append]] — new

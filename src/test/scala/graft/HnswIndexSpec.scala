@@ -124,4 +124,30 @@ class HnswIndexSpec extends SparkSpec {
     assert(g1 === g2)
     IvfIndex.Catalog.drop("h1"); IvfIndex.Catalog.drop("h2")
   }
+
+  test("append builds new parts at insert time; search unions all parts") {
+    val dir = Files.createTempDirectory("hnsw-append").toString
+    try {
+      // build on the first half, append the second half
+      val half1 = emb.filter(col("vec_id") % 2 === 0)
+      val half2 = emb.filter(col("vec_id") % 2 === 1)
+      HnswIndex.build(spark, half1, "vec_id", "embedding", "append_hnsw",
+        dir, "l2", m = 8, efConstruction = 64, numPartitions = Some(2))
+      val partsBefore = spark.read.parquet(s"$dir/graph")
+        .select("part_id").distinct().count()
+      HnswIndex.append(spark, dir, "append_hnsw", half2, "vec_id",
+        "embedding", "l2", m = 8, efConstruction = 64,
+        numPartitions = Some(2))
+      val g = spark.read.parquet(s"$dir/graph")
+      assert(g.count() === emb.count())
+      assert(g.select("part_id").distinct().count() === partsBefore + 2)
+      // appended rows are searchable at the usual recall bar
+      val got = HnswIndex.search(spark, dir, qv, 10, ef = 128)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val recall = (got & bruteIds(10).toSet).size / 10.0
+      assert(recall >= 0.9, s"recall@10 after append = $recall")
+      // catalog row count reflects the append
+      assert(IvfIndex.Catalog.lookup("append_hnsw").get.nRows === emb.count())
+    } finally IvfIndex.Catalog.drop("append_hnsw")
+  }
 }
