@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 
 /** Table maintenance — the reference's background merges
   * (`/root/reference/src/Storages/MergeTree/MergeTreeData*` merge
@@ -77,5 +77,56 @@ object Maintenance {
 
     val (nAfter, bytesAfter) = stats(p)
     CompactionResult(nBefore, nAfter, bytesBefore, bytesAfter)
+  }
+
+  case class TtlResult(rowsBefore: Long, rowsExpired: Long, filesAfter: Int)
+
+  /** Table TTL (`TTL ts + INTERVAL n ... DELETE` — reference
+    * `src/Storages/TTLDescription.cpp` / `TTLDeleteAlgorithm`): rewrite
+    * the directory WITHOUT rows matching `expireWhen`, with the same
+    * atomic-swap guarantee as [[compact]]. The reference applies delete-
+    * TTL during background merges; here the expiry IS a merge, so one
+    * pass both expires and compacts (pass `targetFileBytes`/`sortBy` to
+    * control the rewrite like compact does).
+    */
+  def applyTtl(
+      spark: SparkSession,
+      dir: String,
+      expireWhen: Column,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      sortBy: Seq[String] = Nil): TtlResult = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val df = spark.read.parquet(dir)
+    val before = df.count()
+    // NULL TTL expressions keep the row (the reference's behavior)
+    val kept = df.filter(not(coalesce(expireWhen, lit(false))))
+    val nOut = math.max(1, math.ceil(
+      kept.count().toDouble / math.max(1L, before) *
+        fileCount(fs, p).toDouble).toInt)
+    val writer = {
+      val base =
+        if (sortBy.nonEmpty)
+          kept.repartition(nOut).sortWithinPartitions(sortBy.head, sortBy.tail: _*)
+        else kept.repartition(nOut)
+      base.write.mode("overwrite")
+    }
+    val tmp = new Path(p.getParent, s".${p.getName}.ttl.tmp")
+    writer.parquet(tmp.toString)
+    val old = new Path(p.getParent, s".${p.getName}.ttl.old")
+    if (fs.exists(old)) fs.delete(old, true)
+    fs.rename(p, old)
+    fs.rename(tmp, p)
+    fs.delete(old, true)
+    val after = spark.read.parquet(dir).count()
+    TtlResult(before, before - after, fileCount(fs, p))
+  }
+
+  private def fileCount(fs: org.apache.hadoop.fs.FileSystem, p: Path): Int = {
+    val it = fs.listFiles(p, true)
+    var n = 0
+    while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+    n
   }
 }

@@ -84,6 +84,21 @@ class TableFunctionsSpec extends SparkSpec {
     assert(parts.head.getAs[Map[String, String]]("max_values")("id").toLong === 9999L)
   }
 
+  test("TTL DELETE: expired rows dropped atomically, NULL TTL keeps") {
+    import graft.sources.Maintenance
+    val dir = java.nio.file.Files.createTempDirectory("ttl").toString + "/t"
+    spark.range(1000)
+      .selectExpr("id", "IF(id % 10 = 0, NULL, id % 100) AS age")
+      .repartition(4).write.parquet(dir)
+    // expire age > 50; NULL age (100 rows) must survive
+    val res = Maintenance.applyTtl(spark, dir, col("age") > 50)
+    assert(res.rowsBefore === 1000)
+    val kept = spark.read.parquet(dir)
+    assert(kept.count() === 1000 - res.rowsExpired)
+    assert(kept.filter(col("age") > 50).count() === 0)
+    assert(kept.filter(col("age").isNull).count() === 100)
+  }
+
   test("getObject fetches real local files; cloud schemes stay stubbed") {
     import graft.multimodal.Connections
     val f = java.nio.file.Files.createTempFile("obj", ".bin")
