@@ -79,14 +79,33 @@ object Dedup {
       idCol: Column,
       n: Int = 3,
       minSim: Double = 0.5): DataFrame = {
-    val toks = text.tokenize(textCol)
-    // Per-doc distinct shingle hashes in canonical (sorted) order.
-    val docs = df
+    // Shingle hash = xxhash over the n token hashes (hashShingles) — no
+    // shingle STRING is ever materialized, the same trick that makes the
+    // MinHash signature stage fast (string building dominated the cost).
+    // Token hashes are materialized in their OWN projection below the
+    // Generate: inlining them into hashShingles' element_at lambdas would
+    // re-run the whole tokenize pipeline per element access (the
+    // CollapseProject trap — 5× slowdown measured).
+    val exploded = df
       .select(idCol.as("id"),
-        array_sort(array_distinct(transform(text.shingles(toks, n),
-          s => xxhash64(s)))).as("sh"))
-      .withColumn("n_sh", size(col("sh")))
-      .filter(col("n_sh") > 0)
+        transform(text.tokenize(textCol), t => xxhash64(t)).as("__th"))
+      .select(col("id"),
+        explode(array_distinct(hashShingles(col("__th"), n))).as("shash"))
+    // Canonical global order = ASCENDING document frequency (ties by
+    // hash) — the AllPairs essential: prefixes then hold each doc's
+    // RAREST shingles, so the candidate join explodes on rare hashes
+    // only. (Ordering by hash value puts the same ubiquitous shingles
+    // in every prefix and recreates the df² blowup.) df comes from a
+    // count-over-shash window: ONE evaluation of the shingle stream,
+    // two shuffles total (shash window, id aggregation).
+    val withDf = exploded.withColumn("__df",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("shash")))
+    val docs = withDf
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("__df"), col("shash")))).as("__ord"))
+      .select(col("id"),
+        transform(col("__ord"), e => e.getField("shash")).as("sh"),
+        size(col("__ord")).as("n_sh"))
       .persist()
     // prefix length p = n_sh - ceil(t·n_sh) + 1 (clamped to [1, n_sh])
     val pLen = greatest(lit(1),

@@ -22,11 +22,15 @@ object QueryTime {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val fn = graft.SparkEntry.queries.getOrElse(name, sys.error(s"unknown query $name"))
-    (1 to reps).foreach { i =>
-      val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      println(f"[querytime] $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    // comma-separated names run in sequence in ONE JVM — put a cheap
+    // query first to absorb session/codegen warmup when timing another
+    name.split(',').foreach { nm =>
+      val fn = graft.SparkEntry.queries.getOrElse(nm, sys.error(s"unknown query $nm"))
+      (1 to reps).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        println(f"[querytime] $nm rep$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      }
     }
     spark.stop()
   }

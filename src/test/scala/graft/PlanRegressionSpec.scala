@@ -44,6 +44,23 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("d02 exact Jaccard: prefix join is an equi-join, sizes never Cartesian") {
+    val p = plan("d02_ngram_jaccard")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("q47 collapse FINAL avoids per-key windows (agg + semi join only)") {
+    val p = plan("q47_collapsing_final")
+    assert(!p.contains("Window"), p.take(800))
+  }
+
+  test("q48 SAMPLE is a scan-stage filter — no shuffle before the aggregate") {
+    val p = plan("q48_sample")
+    // exactly the one exchange of the final single-row aggregate
+    assert(p.split("Exchange").length <= 3, p.take(1200))
+  }
+
   test("no query uses a Cartesian product except the intended cross joins") {
     val allowCartesian = Set("q28_cross_to_inner", "v05_batch_distance")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
