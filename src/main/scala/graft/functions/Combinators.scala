@@ -44,6 +44,14 @@ object Combinators {
   def avgWeighted(v: Column, w: Column): Column =
     sum(v.cast("double") * w.cast("double")) / sum(w.cast("double"))
 
+  /** uniqUpTo(N)(x) (`AggregateFunctionUniqUpTo.h`): exact distinct count
+    * while ≤ N, else N+1 — the bounded-memory contract (the reference
+    * keeps at most N+1 values per group; here the bound comes from
+    * saturating the exact count, same result).
+    */
+  def uniqUpTo(c: Column, n: Int): Column =
+    least(count_distinct(c), lit(n.toLong + 1))
+
   // ---- -OrNull / -OrDefault: empty-input behavior overrides ----
 
   /** -OrNull (registerAggregateFunctions.cpp:90): NULL instead of the

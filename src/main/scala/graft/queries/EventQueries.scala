@@ -232,6 +232,31 @@ object EventQueries {
           count(hitVals).as("n_hits"))
         .orderBy(col("event_type"))
     }),
+    // uniqUpTo(N): exact distinct count saturating at N+1.
+    "e31_uniq_up_to" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          Combinators.uniqUpTo(col("user_id"), 10).as("u10"),
+          Combinators.uniqUpTo(col("user_id"), 1000).as("u1000"),
+          count_distinct(col("user_id")).as("exact"))
+        .orderBy(col("event_type"))
+    }),
+    // groupArrayMovingSum: per-user running sum in event order, emitted
+    // as (user, pos, moving_sum) rows (the array form's cells are
+    // unhashable in the driver compare; same values).
+    "e32_moving_sum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .filter(col("user_id") < 20)
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .withColumn("moving_sum",
+          round(sum(col("value")).over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)), 2))
+        .select(col("user_id"), col("pos"), col("moving_sum"))
+        .orderBy(col("user_id"), col("pos"))
+    }),
     // groupBitAnd/Or/Xor aggregates (registerAggregateFunctions.cpp).
     "e26_group_bit_agg" -> ((s, dir) => {
       events(s, dir)
@@ -341,6 +366,91 @@ object EventQueries {
             sqrt(col("__v1") / col("__n1") + col("__v2") / col("__n2")), 4)
           .as("t_stat"),
           col("__n1").as("n_click"), col("__n2").as("n_view"))
+    }),
+    // studentTTest (pooled variance, vs e17's Welch —
+    // AggregateFunctionTTest.h): same group moments, pooled s².
+    "e33_student_ttest" -> ((s, dir) => {
+      events(s, dir)
+        .filter(col("event_type").isin("click", "view"))
+        .groupBy()
+        .agg(
+          avg(when(col("event_type") === "click", col("value"))).as("__m1"),
+          var_samp(when(col("event_type") === "click", col("value"))).as("__v1"),
+          count(when(col("event_type") === "click", 1)).as("__n1"),
+          avg(when(col("event_type") === "view", col("value"))).as("__m2"),
+          var_samp(when(col("event_type") === "view", col("value"))).as("__v2"),
+          count(when(col("event_type") === "view", 1)).as("__n2"))
+        .select(round((col("__m1") - col("__m2")) /
+            sqrt((((col("__n1") - 1) * col("__v1") + (col("__n2") - 1) * col("__v2")) /
+              (col("__n1") + col("__n2") - 2)) *
+              (lit(1.0) / col("__n1") + lit(1.0) / col("__n2"))), 4)
+          .as("t_stat"),
+          (col("__n1") + col("__n2") - 2).as("dof"))
+    }),
+    // mannWhitneyUTest (rank-sum): U1 = R1 - n1(n1+1)/2 with average
+    // ranks for ties (AggregateFunctionMannWhitney). Scale shape: ranks
+    // come from a cumulative count over the DISTINCT-VALUE stream (one
+    // row per distinct value — the only global window runs over that
+    // bounded stream, never over the events), then fold back as
+    // Σ cnt_group · avg_rank. avg_rank(v) = #smaller + (cnt(v)+1)/2.
+    "e34_mann_whitney" -> ((s, dir) => {
+      val vals = events(s, dir)
+        .filter(col("event_type").isin("click", "view"))
+        .groupBy(col("value"))
+        .agg(count(lit(1)).as("cnt"),
+          count(when(col("event_type") === "click", 1)).as("cnt1"))
+      val wCum = Window.orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      vals
+        .withColumn("__lt", coalesce(sum(col("cnt")).over(wCum), lit(0L)))
+        .withColumn("__avg_r", col("__lt") + (col("cnt") + 1) / 2.0)
+        .agg(
+          sum(col("cnt1") * col("__avg_r")).as("__r1"),
+          sum(col("cnt1")).as("__n1"),
+          sum(col("cnt") - col("cnt1")).as("__n2"))
+        .select(
+          round(col("__r1") - col("__n1") * (col("__n1") + 1) / 2.0, 1).as("u1"),
+          col("__n1").cast("long").as("n1"), col("__n2").cast("long").as("n2"))
+    }),
+    // rankCorr (Spearman, AggregateFunctionRankCorr.h): Pearson corr of
+    // average ranks. Same distinct-value rank maps as e34, joined back
+    // to the rows by value — windows only over distinct streams.
+    "e35_spearman" -> ((s, dir) => {
+      val ev = events(s, dir).filter(col("user_id") < 200)
+        .select(col("event_id"), col("user_id").cast("double").as("x"),
+          col("value").as("y"))
+      def rankMap(src: DataFrame, c: String): DataFrame = {
+        val wCum = Window.orderBy(col(c))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        src.groupBy(col(c)).agg(count(lit(1)).as("__cnt"))
+          .withColumn("__lt", coalesce(sum(col("__cnt")).over(wCum), lit(0L)))
+          .select(col(c), (col("__lt") + (col("__cnt") + 1) / 2.0).as(s"__r_$c"))
+      }
+      ev.join(rankMap(ev, "x"), Seq("x"))
+        .join(rankMap(ev, "y"), Seq("y"))
+        .agg(round(corr(col("__r_x"), col("__r_y")), 4).as("rho"),
+          count(lit(1)).as("n"))
+    }),
+    // cramersV: association strength of two categoricals from the
+    // contingency table (AggregateFunctionCramersV) — chi² over the
+    // (event_type × value-bucket) counts, all relational math.
+    "e36_cramers_v" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("event_type").as("a"),
+          (col("user_id") % 5).cast("string").as("b"))
+      val n = ev.count().toDouble
+      val cell = ev.groupBy("a", "b").agg(count(lit(1)).as("o"))
+      val rowT = ev.groupBy("a").agg(count(lit(1)).as("ra"))
+      val colT = ev.groupBy("b").agg(count(lit(1)).as("cb"))
+      val chi2 = cell.join(rowT, "a").join(colT, "b")
+        .select(((col("o") - col("ra") * col("cb") / n) *
+          (col("o") - col("ra") * col("cb") / n) /
+          (col("ra") * col("cb") / n)).as("term"))
+        .agg(sum(col("term")).as("chi2"))
+      val k = ev.select("a").distinct().count().toDouble
+      val r = ev.select("b").distinct().count().toDouble
+      chi2.select(round(sqrt(col("chi2") / (n * math.min(k - 1, r - 1))), 4)
+        .as("cramers_v"))
     }),
     // simpleLinearRegression → regr_slope / regr_intercept.
     "e18_regression" -> ((s, dir) => {
@@ -473,6 +583,71 @@ object EventQueries {
              bit_or(user_id) AS bor,
              bit_xor(user_id) AS bxor
       FROM events GROUP BY event_type ORDER BY event_type""",
+    "e33_student_ttest" -> """
+      WITH stats AS (
+        SELECT avg(value) FILTER (event_type = 'click') AS m1,
+               var_samp(value) FILTER (event_type = 'click') AS v1,
+               count(value) FILTER (event_type = 'click') AS n1,
+               avg(value) FILTER (event_type = 'view') AS m2,
+               var_samp(value) FILTER (event_type = 'view') AS v2,
+               count(value) FILTER (event_type = 'view') AS n2
+        FROM events WHERE event_type IN ('click', 'view'))
+      SELECT round((m1 - m2) / sqrt((((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2))
+               * (1.0 / n1 + 1.0 / n2)), 4) AS t_stat,
+             CAST(n1 + n2 - 2 AS BIGINT) AS dof
+      FROM stats""",
+    "e34_mann_whitney" -> """
+      WITH p AS (SELECT event_type, value FROM events
+                 WHERE event_type IN ('click', 'view')),
+      r AS (SELECT event_type,
+                   rank() OVER (ORDER BY value)
+                     + (count(1) OVER (PARTITION BY value) - 1) / 2.0 AS rr
+            FROM p),
+      s AS (SELECT sum(CASE WHEN event_type = 'click' THEN rr END) AS r1,
+                   count(CASE WHEN event_type = 'click' THEN 1 END) AS n1,
+                   count(CASE WHEN event_type = 'view' THEN 1 END) AS n2
+            FROM r)
+      SELECT round(r1 - n1 * (n1 + 1) / 2.0, 1) AS u1,
+             CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
+      FROM s""",
+    "e35_spearman" -> """
+      WITH ev AS (SELECT event_id, CAST(user_id AS DOUBLE) AS x, value AS y
+                  FROM events WHERE user_id < 200),
+      r AS (SELECT
+              rank() OVER (ORDER BY x) + (count(1) OVER (PARTITION BY x) - 1) / 2.0 AS rx,
+              rank() OVER (ORDER BY y) + (count(1) OVER (PARTITION BY y) - 1) / 2.0 AS ry
+            FROM ev)
+      SELECT round(corr(rx, ry), 4) AS rho, CAST(count(1) AS BIGINT) AS n
+      FROM r""",
+    "e36_cramers_v" -> """
+      WITH ev AS (SELECT event_type AS a, CAST(user_id % 5 AS VARCHAR) AS b
+                  FROM events),
+      n AS (SELECT CAST(count(1) AS DOUBLE) AS n FROM ev),
+      cell AS (SELECT a, b, count(1) AS o FROM ev GROUP BY 1, 2),
+      rt AS (SELECT a, count(1) AS ra FROM ev GROUP BY 1),
+      ct AS (SELECT b, count(1) AS cb FROM ev GROUP BY 1),
+      chi AS (SELECT sum((o - ra * cb / n.n) * (o - ra * cb / n.n) / (ra * cb / n.n)) AS chi2
+              FROM cell JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN n),
+      dims AS (SELECT CAST((SELECT count(DISTINCT a) FROM ev) AS DOUBLE) AS k,
+                      CAST((SELECT count(DISTINCT b) FROM ev) AS DOUBLE) AS r)
+      SELECT round(sqrt(chi.chi2 / ((SELECT n FROM n) * least(dims.k - 1, dims.r - 1))), 4)
+               AS cramers_v
+      FROM chi CROSS JOIN dims""",
+    "e31_uniq_up_to" -> """
+      SELECT event_type,
+             least(CAST(count(DISTINCT user_id) AS BIGINT), 11) AS u10,
+             least(CAST(count(DISTINCT user_id) AS BIGINT), 1001) AS u1000,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact
+      FROM events GROUP BY event_type ORDER BY event_type""",
+    "e32_moving_sum" -> """
+      SELECT user_id,
+             CAST(row_number() OVER w AS BIGINT) AS pos,
+             round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS moving_sum
+      FROM events
+      WHERE user_id < 20
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, pos""",
     "e30_ornull_combinator" -> """
       SELECT event_type,
              round(sum(CASE WHEN value > 9.9 THEN value END), 2) AS sum_ornull,
