@@ -235,6 +235,30 @@ object Dedup {
       lit(0L), (acc, b) => acc.bitwiseOR(b))
   }
 
+  /** SimHash signatures as 64 conditional aggregates over exploded token
+    * hashes — partial-merge (map-side-combinable) sums instead of the
+    * per-token 64-wide array fold of [[simhash]]; same bit semantics.
+    * Token-less docs keep signature 0 (the fold's empty-input value).
+    */
+  def simhashSignatures(df: DataFrame, textCol: Column, idCol: Column): DataFrame = {
+    val toks = df
+      .select(idCol.as("id"),
+        transform(text.tokenize(textCol), t => xxhash64(t)).as("__th"))
+      .select(col("id"), explode(col("__th")).as("__t"))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(call_function("shiftright", col("__t"), lit(j))
+        .bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__b$j")
+    }
+    val agged = toks.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { j =>
+      when(col(s"__b$j") > 0, call_function("shiftleft", lit(1L), lit(j)))
+        .otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    df.select(idCol.as("id")).join(agged, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(sig, lit(0L)).as("sig"))
+  }
+
   /** SimHash near-dup candidate pairs: block on 16-bit chunks (a pair with
     * Hamming distance ≤ 3 must agree on ≥1 of 4 chunks), verify with
     * `bit_count(xor)`.
@@ -244,7 +268,7 @@ object Dedup {
       textCol: Column,
       idCol: Column,
       maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(idCol.as("id"), simhash(textCol).as("sig")).persist()
+    val sigs = simhashSignatures(df, textCol, idCol).persist()
     val chunked = sigs.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)),
         c => call_function("shiftright", col("sig"), c * lit(16)).bitwiseAND(lit(0xffffL)))))

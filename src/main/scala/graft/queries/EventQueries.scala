@@ -452,6 +452,40 @@ object EventQueries {
       chi2.select(round(sqrt(col("chi2") / (n * math.min(k - 1, r - 1))), 4)
         .as("cramers_v"))
     }),
+    // kolmogorovSmirnovTest (AggregateFunctionKolmogorovSmirnovTest):
+    // D = max |ECDF₁ − ECDF₂| — both ECDFs from one cumulative pass over
+    // the distinct-value stream (the e34 scale shape).
+    "e37_ks_test" -> ((s, dir) => {
+      val vals = events(s, dir)
+        .filter(col("event_type").isin("click", "view"))
+        .groupBy(col("value"))
+        .agg(count(when(col("event_type") === "click", 1)).as("c1"),
+          count(when(col("event_type") === "view", 1)).as("c2"))
+      val wCum = Window.orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy() // whole (bounded) distinct stream
+      vals
+        .withColumn("__cum1", sum(col("c1")).over(wCum))
+        .withColumn("__cum2", sum(col("c2")).over(wCum))
+        .withColumn("__n1", sum(col("c1")).over(wAll))
+        .withColumn("__n2", sum(col("c2")).over(wAll))
+        .agg(
+          round(max(abs(col("__cum1") / col("__n1") -
+            col("__cum2") / col("__n2"))), 4).as("d_stat"),
+          max(col("__n1")).cast("long").as("n1"),
+          max(col("__n2")).cast("long").as("n2"))
+    }),
+    // entropy (AggregateFunctionEntropy.h): Shannon entropy of the value
+    // distribution, −Σ p·log2 p from the per-value counts.
+    "e38_entropy" -> ((s, dir) => {
+      val counts = events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val n = counts.agg(sum(col("cnt"))).head().getLong(0).toDouble
+      counts
+        .select((col("cnt") / n).as("p"))
+        .agg(round(-sum(col("p") * log2(col("p"))), 4).as("entropy"))
+    }),
     // simpleLinearRegression → regr_slope / regr_intercept.
     "e18_regression" -> ((s, dir) => {
       events(s, dir)
@@ -583,6 +617,26 @@ object EventQueries {
              bit_or(user_id) AS bor,
              bit_xor(user_id) AS bxor
       FROM events GROUP BY event_type ORDER BY event_type""",
+    "e37_ks_test" -> """
+      WITH p AS (SELECT event_type, value FROM events
+                 WHERE event_type IN ('click', 'view')),
+      vals AS (SELECT value,
+                      count(CASE WHEN event_type = 'click' THEN 1 END) AS c1,
+                      count(CASE WHEN event_type = 'view' THEN 1 END) AS c2
+               FROM p GROUP BY value),
+      cum AS (SELECT
+                sum(c1) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+                sum(c2) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
+                sum(c1) OVER () AS n1, sum(c2) OVER () AS n2
+              FROM vals)
+      SELECT round(max(abs(CAST(cum1 AS DOUBLE) / n1 - CAST(cum2 AS DOUBLE) / n2)), 4) AS d_stat,
+             CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2
+      FROM cum""",
+    "e38_entropy" -> """
+      WITH c AS (SELECT event_type, count(1) AS cnt FROM events GROUP BY 1),
+      t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM c)
+      SELECT round(-sum((cnt / t.n) * log2(cnt / t.n)), 4) AS entropy
+      FROM c CROSS JOIN t""",
     "e33_student_ttest" -> """
       WITH stats AS (
         SELECT avg(value) FILTER (event_type = 'click') AS m1,

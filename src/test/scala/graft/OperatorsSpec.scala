@@ -84,6 +84,13 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sigs(1L) === sigs(2L))
     assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) > 10)
+    // the aggregated-signature path (the scale shape simhashPairs uses)
+    // must equal the per-row fold bit-for-bit, incl. token-less docs → 0
+    val withEmpty = df.unionByName(Seq((4L, "!!!")).toDF("doc_id", "text"))
+    val agged = Dedup.simhashSignatures(withEmpty, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(agged(1L) === sigs(1L) && agged(3L) === sigs(3L))
+    assert(agged(4L) === 0L)
   }
 
   test("embedding LSH cosine pairs ⊆ exact pairs, on sf0.001") {
