@@ -173,6 +173,44 @@ object Multimodal {
     }(enc)
   }
 
+  /** Perceptual difference-hash (dHash, public algorithm): decode to a
+    * 9×8 luminance grid via the installed codec and set one bit per
+    * horizontal neighbor comparison → a 64-bit fingerprint where
+    * near-duplicate images differ in few bits. Output feeds the binary
+    * Hamming family (simhash-style chunk blocking, BinaryIVF/HNSW) —
+    * image near-dup dedup becomes the same pipeline as text near-dup.
+    */
+  def dHash(bytes: Array[Byte]): Long = {
+    val g = 9
+    val grid = currentCodec.featurize(bytes, g * (g - 1)) // 9 cols × 8 rows
+    var sig = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (grid(r * g + c) > grid(r * g + c + 1))
+          sig |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    sig
+  }
+
+  /** Column form: binary media → 64-bit perceptual fingerprint. */
+  def withDHash(df: DataFrame, binCol: String, outCol: String = "phash"): DataFrame = {
+    val schema = df.schema.add(outCol, LongType)
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(schema))
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val h: java.lang.Long = if (bytes == null) null else Long.box(dHash(bytes))
+        Row.fromSeq(r.toSeq :+ h)
+      }
+    }(enc)
+  }
+
   /** The `getObject()` surface (MyScale `CREATE CONNECTION` +
     * ObjectToFetch type, `/root/reference/src/Functions/getObject.cpp:53-60`):
     * resolve an object URL to its binary payload. STUB: deterministic

@@ -486,6 +486,24 @@ object EventQueries {
         .select((col("cnt") / n).as("p"))
         .agg(round(-sum(col("p") * log2(col("p"))), 4).as("entropy"))
     }),
+    // quantileExactWeighted (AggregateFunctionQuantileExactWeighted):
+    // smallest value whose cumulative weight reaches q·W — element-
+    // picking (hash-safe), computed over the distinct-value stream.
+    "e39_quantile_weighted" -> ((s, dir) => {
+      val vals = events(s, dir)
+        .select(col("value"), (col("user_id") % 10 + 1).as("w"))
+        .groupBy(col("value")).agg(sum(col("w")).as("w"))
+      val wCum = Window.orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+      val cum = vals
+        .withColumn("__cw", sum(col("w")).over(wCum))
+        .withColumn("__tw", sum(col("w")).over(wAll))
+      cum.agg(
+        round(min(when(col("__cw") >= lit(0.25) * col("__tw"), col("value"))), 4).as("p25"),
+        round(min(when(col("__cw") >= lit(0.50) * col("__tw"), col("value"))), 4).as("p50"),
+        round(min(when(col("__cw") >= lit(0.90) * col("__tw"), col("value"))), 4).as("p90"))
+    }),
     // simpleLinearRegression → regr_slope / regr_intercept.
     "e18_regression" -> ((s, dir) => {
       events(s, dir)
@@ -617,6 +635,17 @@ object EventQueries {
              bit_or(user_id) AS bor,
              bit_xor(user_id) AS bxor
       FROM events GROUP BY event_type ORDER BY event_type""",
+    "e39_quantile_weighted" -> """
+      WITH vals AS (
+        SELECT value, sum(user_id % 10 + 1) AS w FROM events GROUP BY value),
+      cum AS (SELECT value,
+                sum(w) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+                sum(w) OVER () AS tw
+              FROM vals)
+      SELECT round(min(CASE WHEN cw >= 0.25 * tw THEN value END), 4) AS p25,
+             round(min(CASE WHEN cw >= 0.50 * tw THEN value END), 4) AS p50,
+             round(min(CASE WHEN cw >= 0.90 * tw THEN value END), 4) AS p90
+      FROM cum""",
     "e37_ks_test" -> """
       WITH p AS (SELECT event_type, value FROM events
                  WHERE event_type IN ('click', 'view')),

@@ -44,6 +44,15 @@ object VectorQueries {
         s"ivf_embeddings_${dir.replaceAll("[^a-zA-Z0-9]", "_")}", idx, "l2", 16)
       idx
     })
+  private val ivfCosDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def ivfCosDir(s: SparkSession, dir: String): String =
+    ivfCosDirs.getOrElseUpdate(dir, {
+      val idx = java.nio.file.Files.createTempDirectory("graft-ivf-cos").toString
+      IvfIndex.build(s, emb(s, dir), "embedding",
+        s"ivfcos_embeddings_${dir.replaceAll("[^a-zA-Z0-9]", "_")}", idx,
+        "cosine", 16)
+      idx
+    })
   private val sqDirs = scala.collection.concurrent.TrieMap.empty[String, String]
   private def sqDir(s: SparkSession, dir: String): String =
     sqDirs.getOrElseUpdate(dir, {
@@ -270,6 +279,16 @@ object VectorQueries {
         .select(col("id").as("doc_id"), col("d").cast("double").as("d"))
         .orderBy(col("doc_id"))
     }),
+    // COSINE-metric IVF, exhaustive probes → exact (shares v02's brute
+    // oracle): probe selection must rank centroids by the INDEX metric
+    // (centroidDist cosine branch) — an L2-probed cosine index silently
+    // loses recall, which is exactly what this query pins down.
+    "v25_ivf_cosine_exact" -> ((s, dir) => {
+      IvfIndex.search(s, ivfCosDir(s, dir), queryVec(s, dir, 1), 10,
+          nprobe = 16, None, None, "d", Seq(col("vec_id")))
+        .select(col("vec_id"), round(col("d").cast("double"), 3).as("d"))
+        .orderBy(col("vec_id"))
+    }),
     // IVFSQ in EXACT mode: exhaustive probes + full re-rank. The true
     // top-K can't fall below the reorder cut, so the quantized storage +
     // ADC + two-stage machinery must reproduce brute force bit-for-bit —
@@ -411,6 +430,13 @@ object VectorQueries {
         SELECT vec_id, round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) AS d
         FROM embeddings
         ORDER BY list_distance(embedding, $qv0), vec_id LIMIT 10)
+      ORDER BY vec_id""",
+    "v25_ivf_cosine_exact" -> s"""
+      SELECT * FROM (
+        SELECT vec_id,
+               round(CAST(1.0 - list_cosine_similarity(embedding, $qv1) AS DOUBLE), 3) AS d
+        FROM embeddings
+        ORDER BY 1.0 - list_cosine_similarity(embedding, $qv1), vec_id LIMIT 10)
       ORDER BY vec_id""",
     "v20_ivfsq_exact" -> s"""
       SELECT * FROM (

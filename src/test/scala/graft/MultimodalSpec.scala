@@ -150,6 +150,31 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("dHash: rescaled image is near in Hamming, different image far") {
+    val base = pngPayload(64, 64)
+    val near = Multimodal.defaultCodec.resize(base, 48, 48)
+    val img = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 64; y <- 0 until 64)
+      img.setRGB(x, y, (((63 - x) * 255 / 63) << 16) | ((63 - y) * 255 / 63))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val far = bos.toByteArray
+
+    val hBase = Multimodal.dHash(base)
+    val dNear = java.lang.Long.bitCount(hBase ^ Multimodal.dHash(near))
+    val dFar = java.lang.Long.bitCount(hBase ^ Multimodal.dHash(far))
+    assert(dNear <= 6, s"rescale moved $dNear bits")
+    assert(dFar > 20, s"different image only $dFar bits away")
+
+    // column form, null-safe
+    val df = Seq((1L, base), (2L, near), (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "content")
+    val rows = Multimodal.withDHash(df, "content").orderBy("id").collect()
+    assert(rows(0).getLong(2) === hBase)
+    assert(rows(2).isNullAt(2))
+  }
+
   test("getObject UDF resolves url to payload") {
     val got = Seq("s3://bucket/key").toDF("url")
       .select(Multimodal.getObjectUdf(col("url")).as("obj"))
