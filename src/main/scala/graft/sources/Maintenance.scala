@@ -71,9 +71,7 @@ object Maintenance {
     // that already opened files keep their handles — same as part GC)
     val old = new Path(p.getParent, s".${p.getName}.compact.old")
     if (fs.exists(old)) fs.delete(old, true)
-    fs.rename(p, old)
-    fs.rename(tmp, p)
-    fs.delete(old, true)
+    swap(fs, p, tmp, old)
 
     val (nAfter, bytesAfter) = stats(p)
     CompactionResult(nBefore, nAfter, bytesBefore, bytesAfter)
@@ -116,11 +114,28 @@ object Maintenance {
     writer.parquet(tmp.toString)
     val old = new Path(p.getParent, s".${p.getName}.ttl.old")
     if (fs.exists(old)) fs.delete(old, true)
-    fs.rename(p, old)
-    fs.rename(tmp, p)
-    fs.delete(old, true)
+    swap(fs, p, tmp, old)
     val after = spark.read.parquet(dir).count()
     TtlResult(before, before - after, fileCount(fs, p))
+  }
+
+  /** Two-rename directory swap with rollback: if installing the new dir
+    * fails after the live dir moved aside, the original is restored —
+    * the table is never left missing.
+    */
+  private def swap(
+      fs: org.apache.hadoop.fs.FileSystem,
+      live: Path, incoming: Path, aside: Path): Unit = {
+    if (!fs.rename(live, aside))
+      sys.error(s"swap: could not move $live aside")
+    try {
+      if (!fs.rename(incoming, live)) sys.error(s"swap: could not install $incoming")
+    } catch {
+      case e: Throwable =>
+        fs.rename(aside, live) // roll back
+        throw e
+    }
+    fs.delete(aside, true)
   }
 
   private def fileCount(fs: org.apache.hadoop.fs.FileSystem, p: Path): Int = {
