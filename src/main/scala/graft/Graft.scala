@@ -87,6 +87,9 @@ object Graft {
     def sampleByKey(key: Column, num: Long, den: Long): DataFrame =
       RelationalOps.sampleByKey(df, key, num, den)
 
+    def partitionedRunningSum(orderCol: String, sumCols: Seq[String]): DataFrame =
+      RelationalOps.partitionedRunningSum(df, orderCol, sumCols)
+
     // ---- dedup pipeline ----
     def exactDedup(textCol: Column, idCol: Column): DataFrame =
       Dedup.exactDedup(df, textCol, idCol)

@@ -208,6 +208,72 @@ object RelationalOps {
       .drop("__last_ord")
   }
 
+  /** Distributed running (prefix) sums in `orderCol` order — the classic
+    * two-phase scan: range-partition by the key, cumulate locally inside
+    * each sorted partition, then add the broadcast prefix of the
+    * per-partition totals (one bounded collect of #partitions rows).
+    * A `Window.orderBy` without partitions collapses to a SINGLE task in
+    * Spark — this is the shape that replaces it at scale; output values
+    * are identical when `orderCol` is unique per row (ties would make
+    * per-row prefixes order-dependent in both formulations).
+    *
+    * Emits `__cum_<col>` (running sum INCLUDING the current row) and
+    * `__tot_<col>` (grand total) for each requested column.
+    */
+  def partitionedRunningSum(
+      df: DataFrame, orderCol: String, sumCols: Seq[String]): DataFrame = {
+    import org.apache.spark.TaskContext
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
+    val ranged = df.repartitionByRange(col(orderCol))
+      .sortWithinPartitions(col(orderCol))
+    val withPidSchema = StructType(df.schema.fields.toSeq
+      ++ sumCols.map(c => StructField(s"__cum_$c", DoubleType))
+      :+ StructField("__pid", IntegerType))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(withPidSchema))
+    val idxs = sumCols.map(df.schema.fieldIndex)
+    val local = ranged.mapPartitions { rows =>
+      val pid = TaskContext.getPartitionId()
+      val acc = new Array[Double](idxs.length)
+      rows.map { r =>
+        var i = 0
+        while (i < idxs.length) {
+          val v = r.get(idxs(i))
+          acc(i) += (if (v == null) 0.0
+                     else v.asInstanceOf[Number].doubleValue())
+          i += 1
+        }
+        Row.fromSeq(r.toSeq ++ acc.toSeq :+ pid)
+      }
+    }(enc).persist() // read once for totals, once for the final pass
+    // Phase 2: per-partition totals — ONE ROW PER PARTITION (bounded
+    // driver collect), turned into exclusive prefix offsets.
+    val aggExprs = sumCols.map(c => sum(col(c).cast("double")).as(c))
+    val perPart = local.groupBy(col("__pid"))
+      .agg(aggExprs.head, aggExprs.tail: _*)
+      .collect()
+      .map(r => r.getInt(0) -> sumCols.map(c => r.getAs[Double](c)).toArray)
+      .sortBy(_._1)
+    val offsets = scala.collection.mutable.Map.empty[Int, Array[Double]]
+    val running = new Array[Double](sumCols.length)
+    perPart.foreach { case (pid, tots) =>
+      offsets(pid) = running.clone()
+      var i = 0
+      while (i < running.length) { running(i) += tots(i); i += 1 }
+    }
+    val grand = running
+    // Phase 3: add each partition's offset (broadcast literal map) and
+    // expose grand totals as literals.
+    val withCums = sumCols.zipWithIndex.foldLeft(local) { case (d, (c, i)) =>
+      val offMap = typedLit(offsets.map { case (pid, arr) => pid -> arr(i) }.toMap)
+      d.withColumn(s"__cum_$c",
+          col(s"__cum_$c") + coalesce(element_at(offMap, col("__pid")), lit(0.0)))
+        .withColumn(s"__tot_$c", lit(grand(i)))
+    }
+    withCums.drop("__pid")
+  }
+
   /** SummingMergeTree FINAL (`SummingSortedAlgorithm.cpp`): rows with the
     * same key collapse to one row with the numeric columns summed; other
     * columns take an arbitrary surviving value (we pick min for

@@ -399,11 +399,11 @@ object EventQueries {
         .groupBy(col("value"))
         .agg(count(lit(1)).as("cnt"),
           count(when(col("event_type") === "click", 1)).as("cnt1"))
-      val wCum = Window.orderBy(col("value"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      vals
-        .withColumn("__lt", coalesce(sum(col("cnt")).over(wCum), lit(0L)))
-        .withColumn("__avg_r", col("__lt") + (col("cnt") + 1) / 2.0)
+      // distributed prefix sum (range-partitioned two-phase scan) — a
+      // global cumsum window would collapse to one task
+      graft.operators.RelationalOps.partitionedRunningSum(vals, "value", Seq("cnt"))
+        .withColumn("__avg_r",
+          col("__cum_cnt") - col("cnt") + (col("cnt") + 1) / 2.0)
         .agg(
           sum(col("cnt1") * col("__avg_r")).as("__r1"),
           sum(col("cnt1")).as("__n1"),
@@ -420,11 +420,11 @@ object EventQueries {
         .select(col("event_id"), col("user_id").cast("double").as("x"),
           col("value").as("y"))
       def rankMap(src: DataFrame, c: String): DataFrame = {
-        val wCum = Window.orderBy(col(c))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        src.groupBy(col(c)).agg(count(lit(1)).as("__cnt"))
-          .withColumn("__lt", coalesce(sum(col("__cnt")).over(wCum), lit(0L)))
-          .select(col(c), (col("__lt") + (col("__cnt") + 1) / 2.0).as(s"__r_$c"))
+        val g = src.groupBy(col(c)).agg(count(lit(1)).as("__cnt"))
+        graft.operators.RelationalOps.partitionedRunningSum(g, c, Seq("__cnt"))
+          .select(col(c),
+            (col("__cum___cnt") - col("__cnt") + (col("__cnt") + 1) / 2.0)
+              .as(s"__r_$c"))
       }
       ev.join(rankMap(ev, "x"), Seq("x"))
         .join(rankMap(ev, "y"), Seq("y"))
@@ -461,19 +461,13 @@ object EventQueries {
         .groupBy(col("value"))
         .agg(count(when(col("event_type") === "click", 1)).as("c1"),
           count(when(col("event_type") === "view", 1)).as("c2"))
-      val wCum = Window.orderBy(col("value"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.partitionBy() // whole (bounded) distinct stream
-      vals
-        .withColumn("__cum1", sum(col("c1")).over(wCum))
-        .withColumn("__cum2", sum(col("c2")).over(wCum))
-        .withColumn("__n1", sum(col("c1")).over(wAll))
-        .withColumn("__n2", sum(col("c2")).over(wAll))
+      graft.operators.RelationalOps
+        .partitionedRunningSum(vals, "value", Seq("c1", "c2"))
         .agg(
-          round(max(abs(col("__cum1") / col("__n1") -
-            col("__cum2") / col("__n2"))), 4).as("d_stat"),
-          max(col("__n1")).cast("long").as("n1"),
-          max(col("__n2")).cast("long").as("n2"))
+          round(max(abs(col("__cum_c1") / col("__tot_c1") -
+            col("__cum_c2") / col("__tot_c2"))), 4).as("d_stat"),
+          max(col("__tot_c1")).cast("long").as("n1"),
+          max(col("__tot_c2")).cast("long").as("n2"))
     }),
     // entropy (AggregateFunctionEntropy.h): Shannon entropy of the value
     // distribution, −Σ p·log2 p from the per-value counts.
@@ -493,12 +487,10 @@ object EventQueries {
       val vals = events(s, dir)
         .select(col("value"), (col("user_id") % 10 + 1).as("w"))
         .groupBy(col("value")).agg(sum(col("w")).as("w"))
-      val wCum = Window.orderBy(col("value"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.partitionBy()
-      val cum = vals
-        .withColumn("__cw", sum(col("w")).over(wCum))
-        .withColumn("__tw", sum(col("w")).over(wAll))
+      val cum = graft.operators.RelationalOps
+        .partitionedRunningSum(vals, "value", Seq("w"))
+        .withColumnRenamed("__cum_w", "__cw")
+        .withColumnRenamed("__tot_w", "__tw")
       cum.agg(
         round(min(when(col("__cw") >= lit(0.25) * col("__tw"), col("value"))), 4).as("p25"),
         round(min(when(col("__cw") >= lit(0.50) * col("__tw"), col("value"))), 4).as("p50"),

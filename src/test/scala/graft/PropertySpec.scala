@@ -163,6 +163,35 @@ class PropertySpec extends SparkSpec {
     assert(ids(1, 1).size === 20000 && ids(0, 1).isEmpty)
   }
 
+  test("partitionedRunningSum equals the window cumsum, without the single task") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.{Window => W}
+    val rnd = new Random(17)
+    val df = TestSpark.spark.createDataFrame(
+      (1 to 5000).map(i => (i.toLong, rnd.nextDouble() * 100 - 20)))
+      .toDF("k", "v").repartition(7)
+    val got = graft.operators.RelationalOps
+      .partitionedRunningSum(df, "k", Seq("v"))
+      .select(col("k"), col("__cum_v"), col("__tot_v"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val expect = df
+      .withColumn("c", sum(col("v")).over(W.orderBy(col("k"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Double]("c")).toMap
+    val tot = expect.values.max max expect(5000L)
+    assert(got.keySet === expect.keySet)
+    got.foreach { case (k, (c, t)) =>
+      assert(math.abs(c - expect(k)) < 1e-6 * (1 + math.abs(expect(k))), s"k=$k")
+      assert(math.abs(t - expect(5000L)) < 1e-6 * (1 + math.abs(tot)))
+    }
+    // the scale property: range partitioning, NOT a single-partition sort
+    val plan = graft.operators.RelationalOps
+      .partitionedRunningSum(df, "k", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan.take(600))
+    assert(!plan.contains("SinglePartition"), plan.take(600))
+  }
+
   test("PQ: ADC table distance equals distance to the dequantized vector") {
     val rnd = new Random(31)
     (1 to 50).foreach { _ =>
