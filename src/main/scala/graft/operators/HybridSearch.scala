@@ -78,6 +78,9 @@ object HybridSearch {
 
   /** Reciprocal-rank fusion. Ranks are 1-based positions in each candidate
     * list ordered by its own score (dist asc/desc per metric; bm25 desc).
+    * The global rank windows run over the CANDIDATE lists (3·k rows each,
+    * already reduced by the sub-searches) — bounded by construction, never
+    * over a table.
     */
   def rrf(
       vecCandidates: DataFrame,

@@ -76,6 +76,10 @@ object RelationalOps {
   /** `WITH FILL ... INTERPOLATE (col AS expr-of-prev)` — linear carry:
     * missing rows take the previous present value (the reference's
     * default interpolate carries the last value forward).
+    *
+    * The global window here is intentional: the input is the GENERATED
+    * fill series (one row per step — thousands at most), not a data
+    * table. For data-sized running passes use [[partitionedRunningSum]].
     */
   def interpolateLastOver(df: DataFrame, orderCol: Column, cols: Seq[String]): DataFrame = {
     val w = Window.orderBy(orderCol).rowsBetween(Window.unboundedPreceding, 0)

@@ -449,8 +449,29 @@ object EventQueries {
         .agg(sum(col("term")).as("chi2"))
       val k = ev.select("a").distinct().count().toDouble
       val r = ev.select("b").distinct().count().toDouble
-      chi2.select(round(sqrt(col("chi2") / (n * math.min(k - 1, r - 1))), 4)
-        .as("cramers_v"))
+      chi2.select(
+        round(sqrt(col("chi2") / (n * math.min(k - 1, r - 1))), 4).as("cramers_v"),
+        // contingency coefficient (AggregateFunctionContingency)
+        round(sqrt(col("chi2") / (col("chi2") + n)), 4).as("contingency"))
+    }),
+    // theilsU (AggregateFunctionTheilsU): uncertainty coefficient
+    // U(a|b) = (H(a) − H(a|b)) / H(a) from the joint counts.
+    "e40_theils_u" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("event_type").as("a"),
+          (col("user_id") % 5).cast("string").as("b"))
+      val n = ev.count().toDouble
+      val joint = ev.groupBy("a", "b").agg(count(lit(1)).as("nab"))
+      val byB = ev.groupBy("b").agg(count(lit(1)).as("nb"))
+      // H(a|b) = Σ_b p(b) · H(a|B=b) = −Σ_ab p(ab)·log2(p(ab)/p(b))
+      val hCond = joint.join(byB, "b")
+        .select((col("nab") / n * log2(col("nab") / col("nb"))).as("t"))
+        .agg((-sum(col("t"))).as("h_cond"))
+      val hA = ev.groupBy("a").agg(count(lit(1)).as("na"))
+        .select((col("na") / n * log2(col("na") / n)).as("t"))
+        .agg((-sum(col("t"))).as("h_a"))
+      hA.crossJoin(hCond)
+        .select(round((col("h_a") - col("h_cond")) / col("h_a"), 4).as("theils_u"))
     }),
     // kolmogorovSmirnovTest (AggregateFunctionKolmogorovSmirnovTest):
     // D = max |ECDF₁ − ECDF₂| — both ECDFs from one cumulative pass over
@@ -706,8 +727,22 @@ object EventQueries {
       dims AS (SELECT CAST((SELECT count(DISTINCT a) FROM ev) AS DOUBLE) AS k,
                       CAST((SELECT count(DISTINCT b) FROM ev) AS DOUBLE) AS r)
       SELECT round(sqrt(chi.chi2 / ((SELECT n FROM n) * least(dims.k - 1, dims.r - 1))), 4)
-               AS cramers_v
+               AS cramers_v,
+             round(sqrt(chi.chi2 / (chi.chi2 + (SELECT n FROM n))), 4) AS contingency
       FROM chi CROSS JOIN dims""",
+    "e40_theils_u" -> """
+      WITH ev AS (SELECT event_type AS a, CAST(user_id % 5 AS VARCHAR) AS b
+                  FROM events),
+      n AS (SELECT CAST(count(1) AS DOUBLE) AS n FROM ev),
+      joint AS (SELECT a, b, count(1) AS nab FROM ev GROUP BY 1, 2),
+      byb AS (SELECT b, count(1) AS nb FROM ev GROUP BY 1),
+      hcond AS (SELECT -sum(nab / n.n * log2(CAST(nab AS DOUBLE) / nb)) AS h_cond
+                FROM joint JOIN byb USING (b) CROSS JOIN n),
+      ha AS (SELECT -sum(na / n.n * log2(na / n.n)) AS h_a
+             FROM (SELECT a, CAST(count(1) AS DOUBLE) AS na FROM ev GROUP BY 1)
+             CROSS JOIN n)
+      SELECT round((ha.h_a - hcond.h_cond) / ha.h_a, 4) AS theils_u
+      FROM ha CROSS JOIN hcond""",
     "e31_uniq_up_to" -> """
       SELECT event_type,
              least(CAST(count(DISTINCT user_id) AS BIGINT), 11) AS u10,
