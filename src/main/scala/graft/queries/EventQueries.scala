@@ -517,6 +517,46 @@ object EventQueries {
         round(min(when(col("__cw") >= lit(0.50) * col("__tw"), col("value"))), 4).as("p50"),
         round(min(when(col("__cw") >= lit(0.90) * col("__tw"), col("value"))), 4).as("p90"))
     }),
+    // boundingRatio (AggregateFunctionBoundingRatio.h): slope between
+    // the min-x and max-x points, (y@maxx − y@minx)/(maxx − minx) —
+    // min_by/max_by element picking per group.
+    "e41_bounding_ratio" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          min_by(col("value"), col("event_id")).as("__y0"),
+          max_by(col("value"), col("event_id")).as("__y1"),
+          min(col("event_id")).as("__x0"),
+          max(col("event_id")).as("__x1"))
+        .filter(col("__x1") > col("__x0"))
+        .select(col("user_id"),
+          round((col("__y1") - col("__y0")) / (col("__x1") - col("__x0")), 6)
+            .as("bounding_ratio"))
+        .orderBy(col("user_id"))
+    }),
+    // covar/corr matrix (AggregateFunctionVarianceMatrix.cpp) over three
+    // series, exploded to (i, j, corr) rows (upper triangle).
+    "e42_corr_matrix" -> ((s, dir) => {
+      val ev = events(s, dir).select(
+        col("value").as("c0"),
+        (col("user_id") % 10).cast("double").as("c1"),
+        unix_micros(col("ts").cast("timestamp")).cast("double").as("c2"))
+      val cols = Seq("c0", "c1", "c2")
+      val pairs = for {
+        i <- cols.indices; j <- cols.indices if j >= i
+      } yield (i, j)
+      val exprs = pairs.map { case (i, j) =>
+        round(corr(col(cols(i)), col(cols(j))), 4).as(s"r_${i}_$j")
+      }
+      val row = ev.agg(exprs.head, exprs.tail: _*)
+      // unpivot the single row to (i, j, corr)
+      val entries = array(pairs.map { case (i, j) =>
+        struct(lit(i).as("i"), lit(j).as("j"), col(s"r_${i}_$j").as("corr"))
+      }: _*)
+      row.select(explode(entries).as("e"))
+        .select(col("e.i").as("i"), col("e.j").as("j"), col("e.corr").as("corr"))
+        .orderBy(col("i"), col("j"))
+    }),
     // simpleLinearRegression → regr_slope / regr_intercept.
     "e18_regression" -> ((s, dir) => {
       events(s, dir)
@@ -730,6 +770,30 @@ object EventQueries {
                AS cramers_v,
              round(sqrt(chi.chi2 / (chi.chi2 + (SELECT n FROM n))), 4) AS contingency
       FROM chi CROSS JOIN dims""",
+    "e41_bounding_ratio" -> """
+      WITH g AS (
+        SELECT user_id,
+               min_by(value, event_id) AS y0, max_by(value, event_id) AS y1,
+               min(event_id) AS x0, max(event_id) AS x1
+        FROM events GROUP BY user_id)
+      SELECT user_id, round((y1 - y0) / (x1 - x0), 6) AS bounding_ratio
+      FROM g WHERE x1 > x0 ORDER BY user_id""",
+    "e42_corr_matrix" -> """
+      WITH ev AS (SELECT value AS c0,
+                         CAST(user_id % 10 AS DOUBLE) AS c1,
+                         CAST(epoch_us(ts) AS DOUBLE) AS c2
+                  FROM events),
+      m AS (SELECT round(corr(c0, c0), 4) AS r00, round(corr(c0, c1), 4) AS r01,
+                   round(corr(c0, c2), 4) AS r02, round(corr(c1, c1), 4) AS r11,
+                   round(corr(c1, c2), 4) AS r12, round(corr(c2, c2), 4) AS r22
+            FROM ev)
+      SELECT 0 AS i, 0 AS j, r00 AS corr FROM m
+      UNION ALL SELECT 0, 1, r01 FROM m
+      UNION ALL SELECT 0, 2, r02 FROM m
+      UNION ALL SELECT 1, 1, r11 FROM m
+      UNION ALL SELECT 1, 2, r12 FROM m
+      UNION ALL SELECT 2, 2, r22 FROM m
+      ORDER BY i, j""",
     "e40_theils_u" -> """
       WITH ev AS (SELECT event_type AS a, CAST(user_id % 5 AS VARCHAR) AS b
                   FROM events),

@@ -78,6 +78,15 @@ class EdgeCaseSpec extends SparkSpec {
     assert(filled.agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0) === 0L)
   }
 
+  test("partitionedRunningSum on empty and single-row inputs") {
+    import graft.operators.RelationalOps
+    val empty = Seq.empty[(Long, Double)].toDF("k", "v")
+    assert(RelationalOps.partitionedRunningSum(empty, "k", Seq("v")).count() === 0)
+    val one = Seq((1L, 2.5)).toDF("k", "v")
+    val r = RelationalOps.partitionedRunningSum(one, "k", Seq("v")).head()
+    assert(r.getAs[Double]("__cum_v") === 2.5 && r.getAs[Double]("__tot_v") === 2.5)
+  }
+
   test("compacting an empty directory is a no-op, not an error") {
     val dir = java.nio.file.Files.createTempDirectory("compact-empty").toString
     val res = graft.sources.Maintenance.compact(spark, dir)
