@@ -100,9 +100,20 @@ object Maintenance {
     val before = df.count()
     // NULL TTL expressions keep the row (the reference's behavior)
     val kept = df.filter(not(coalesce(expireWhen, lit(false))))
-    val nOut = math.max(1, math.ceil(
-      kept.count().toDouble / math.max(1L, before) *
-        fileCount(fs, p).toDouble).toInt)
+    // Output file count honors targetFileBytes like compact: estimate
+    // surviving bytes as the surviving-row fraction of current bytes.
+    val bytesNow = {
+      val it = fs.listFiles(p, true)
+      var b = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) b += f.getLen
+      }
+      b
+    }
+    val frac = kept.count().toDouble / math.max(1L, before)
+    val nOut = math.max(1,
+      math.ceil(bytesNow * frac / targetFileBytes).toInt)
     val writer = {
       val base =
         if (sortBy.nonEmpty)
