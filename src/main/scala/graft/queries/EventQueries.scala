@@ -232,14 +232,17 @@ object EventQueries {
           count(hitVals).as("n_hits"))
         .orderBy(col("event_type"))
     }),
-    // uniqUpTo(N): exact distinct count saturating at N+1.
+    // uniqUpTo(N): exact distinct count saturating at N+1; plus
+    // singleValueOrNull (value iff exactly one distinct, else NULL).
     "e31_uniq_up_to" -> ((s, dir) => {
       events(s, dir)
         .groupBy(col("event_type"))
         .agg(
           Combinators.uniqUpTo(col("user_id"), 10).as("u10"),
           Combinators.uniqUpTo(col("user_id"), 1000).as("u1000"),
-          count_distinct(col("user_id")).as("exact"))
+          count_distinct(col("user_id")).as("exact"),
+          when(count_distinct(col("event_type")) === 1, min(col("event_type")))
+            .as("single_type"))
         .orderBy(col("event_type"))
     }),
     // groupArrayMovingSum: per-user running sum in event order, emitted
@@ -449,10 +452,17 @@ object EventQueries {
         .agg(sum(col("term")).as("chi2"))
       val k = ev.select("a").distinct().count().toDouble
       val r = ev.select("b").distinct().count().toDouble
+      // bias correction (AggregateFunctionCramersVBiasCorrected):
+      // phi²corr = max(0, phi² − (k−1)(r−1)/(n−1)), dims shrink likewise
+      val kc = k - (k - 1) * (k - 1) / (n - 1)
+      val rc = r - (r - 1) * (r - 1) / (n - 1)
       chi2.select(
         round(sqrt(col("chi2") / (n * math.min(k - 1, r - 1))), 4).as("cramers_v"),
         // contingency coefficient (AggregateFunctionContingency)
-        round(sqrt(col("chi2") / (col("chi2") + n)), 4).as("contingency"))
+        round(sqrt(col("chi2") / (col("chi2") + n)), 4).as("contingency"),
+        round(sqrt(
+          greatest(col("chi2") / n - lit((k - 1) * (r - 1) / (n - 1)), lit(0.0)) /
+            lit(math.min(kc - 1, rc - 1))), 4).as("cramers_v_bc"))
     }),
     // theilsU (AggregateFunctionTheilsU): uncertainty coefficient
     // U(a|b) = (H(a) − H(a|b)) / H(a) from the joint counts.
@@ -556,6 +566,73 @@ object EventQueries {
       row.select(explode(entries).as("e"))
         .select(col("e.i").as("i"), col("e.j").as("j"), col("e.corr").as("corr"))
         .orderBy(col("i"), col("j"))
+    }),
+    // skewPop/kurtPop (AggregateFunctionStatisticsThird/FourthMoment):
+    // computed from raw power sums so both engines run IDENTICAL
+    // arithmetic (built-in skewness()/kurtosis() differ in estimator
+    // convention between engines).
+    "e43_moments" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("double").as("__n"),
+          sum(col("value")).as("__s1"),
+          sum(col("value") * col("value")).as("__s2"),
+          sum(col("value") * col("value") * col("value")).as("__s3"),
+          sum(col("value") * col("value") * col("value") * col("value")).as("__s4"))
+        .withColumn("__m", col("__s1") / col("__n"))
+        // multiplication (not pow) mirrors the oracle's arithmetic exactly
+        .withColumn("__m2", col("__s2") / col("__n") - col("__m") * col("__m"))
+        .withColumn("__m3", col("__s3") / col("__n")
+          - lit(3) * col("__m") * col("__s2") / col("__n")
+          + lit(2) * pow(col("__m"), 3))
+        .withColumn("__m4", col("__s4") / col("__n")
+          - lit(4) * col("__m") * col("__s3") / col("__n")
+          + lit(6) * pow(col("__m"), 2) * col("__s2") / col("__n")
+          - lit(3) * pow(col("__m"), 4))
+        .select(col("event_type"),
+          round(col("__m3") / pow(col("__m2"), 1.5), 4).as("skew_pop"),
+          round(col("__m4") / pow(col("__m2"), 2), 4).as("kurt_pop"))
+        .orderBy(col("event_type"))
+    }),
+    // meanZTest (AggregateFunctionMeanZTest): z statistic with
+    // population variances.
+    "e44_mean_ztest" -> ((s, dir) => {
+      events(s, dir)
+        .filter(col("event_type").isin("click", "view"))
+        .groupBy()
+        .agg(
+          avg(when(col("event_type") === "click", col("value"))).as("__m1"),
+          var_pop(when(col("event_type") === "click", col("value"))).as("__v1"),
+          count(when(col("event_type") === "click", 1)).as("__n1"),
+          avg(when(col("event_type") === "view", col("value"))).as("__m2"),
+          var_pop(when(col("event_type") === "view", col("value"))).as("__v2"),
+          count(when(col("event_type") === "view", 1)).as("__n2"))
+        .select(round((col("__m1") - col("__m2")) /
+            sqrt(col("__v1") / col("__n1") + col("__v2") / col("__n2")), 4)
+          .as("z_stat"))
+    }),
+    // analysisOfVariance (AggregateFunctionAnalysisOfVariance): one-way
+    // ANOVA F over the event_type groups — between/within sums of
+    // squares from group moments, pure relational math.
+    "e45_anova" -> ((s, dir) => {
+      val g = events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("double").as("ni"),
+          avg(col("value")).as("mi"),
+          sum(col("value") * col("value")).as("s2i"))
+      val tot = g.agg(
+        sum(col("ni")).as("n"),
+        (sum(col("ni") * col("mi")) / sum(col("ni"))).as("m"),
+        count(lit(1)).cast("double").as("k"))
+      g.crossJoin(tot)
+        .agg(
+          sum(col("ni") * (col("mi") - col("m")) * (col("mi") - col("m"))).as("__ssb"),
+          sum(col("s2i") - col("ni") * col("mi") * col("mi")).as("__ssw"),
+          max(col("k")).as("__k"), max(col("n")).as("__n"))
+        .select(round((col("__ssb") / (col("__k") - 1)) /
+            (col("__ssw") / (col("__n") - col("__k"))), 4).as("f_stat"),
+          (col("__k") - 1).cast("long").as("df_between"),
+          (col("__n") - col("__k")).cast("long").as("df_within"))
     }),
     // simpleLinearRegression → regr_slope / regr_intercept.
     "e18_regression" -> ((s, dir) => {
@@ -768,8 +845,56 @@ object EventQueries {
                       CAST((SELECT count(DISTINCT b) FROM ev) AS DOUBLE) AS r)
       SELECT round(sqrt(chi.chi2 / ((SELECT n FROM n) * least(dims.k - 1, dims.r - 1))), 4)
                AS cramers_v,
-             round(sqrt(chi.chi2 / (chi.chi2 + (SELECT n FROM n))), 4) AS contingency
+             round(sqrt(chi.chi2 / (chi.chi2 + (SELECT n FROM n))), 4) AS contingency,
+             round(sqrt(
+               greatest(chi.chi2 / (SELECT n FROM n)
+                 - (dims.k - 1) * (dims.r - 1) / ((SELECT n FROM n) - 1), 0.0)
+               / least(dims.k - (dims.k - 1) * (dims.k - 1) / ((SELECT n FROM n) - 1) - 1,
+                       dims.r - (dims.r - 1) * (dims.r - 1) / ((SELECT n FROM n) - 1) - 1)), 4)
+               AS cramers_v_bc
       FROM chi CROSS JOIN dims""",
+    "e43_moments" -> """
+      WITH g AS (
+        SELECT event_type, CAST(count(1) AS DOUBLE) AS n,
+               sum(value) AS s1, sum(value * value) AS s2,
+               sum(value * value * value) AS s3,
+               sum(value * value * value * value) AS s4
+        FROM events GROUP BY 1),
+      m AS (SELECT event_type, n, s1 / n AS mu,
+                   s2 / n - (s1 / n) * (s1 / n) AS m2,
+                   s3 / n - 3 * (s1 / n) * s2 / n + 2 * pow(s1 / n, 3) AS m3,
+                   s4 / n - 4 * (s1 / n) * s3 / n + 6 * pow(s1 / n, 2) * s2 / n
+                     - 3 * pow(s1 / n, 4) AS m4
+            FROM g)
+      SELECT event_type,
+             round(m3 / pow(m2, 1.5), 4) AS skew_pop,
+             round(m4 / pow(m2, 2), 4) AS kurt_pop
+      FROM m ORDER BY event_type""",
+    "e44_mean_ztest" -> """
+      WITH s AS (
+        SELECT avg(value) FILTER (event_type = 'click') AS m1,
+               var_pop(value) FILTER (event_type = 'click') AS v1,
+               count(value) FILTER (event_type = 'click') AS n1,
+               avg(value) FILTER (event_type = 'view') AS m2,
+               var_pop(value) FILTER (event_type = 'view') AS v2,
+               count(value) FILTER (event_type = 'view') AS n2
+        FROM events WHERE event_type IN ('click', 'view'))
+      SELECT round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4) AS z_stat FROM s""",
+    "e45_anova" -> """
+      WITH g AS (
+        SELECT event_type, CAST(count(1) AS DOUBLE) AS ni, avg(value) AS mi,
+               sum(value * value) AS s2i
+        FROM events GROUP BY 1),
+      t AS (SELECT sum(ni) AS n, sum(ni * mi) / sum(ni) AS m,
+                   CAST(count(1) AS DOUBLE) AS k FROM g),
+      s AS (SELECT sum(ni * (mi - t.m) * (mi - t.m)) AS ssb,
+                   sum(s2i - ni * mi * mi) AS ssw,
+                   max(t.k) AS k, max(t.n) AS n
+            FROM g CROSS JOIN t)
+      SELECT round((ssb / (k - 1)) / (ssw / (n - k)), 4) AS f_stat,
+             CAST(k - 1 AS BIGINT) AS df_between,
+             CAST(n - k AS BIGINT) AS df_within
+      FROM s""",
     "e41_bounding_ratio" -> """
       WITH g AS (
         SELECT user_id,
@@ -811,7 +936,9 @@ object EventQueries {
       SELECT event_type,
              least(CAST(count(DISTINCT user_id) AS BIGINT), 11) AS u10,
              least(CAST(count(DISTINCT user_id) AS BIGINT), 1001) AS u1000,
-             CAST(count(DISTINCT user_id) AS BIGINT) AS exact
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact,
+             CASE WHEN count(DISTINCT event_type) = 1 THEN min(event_type) END
+               AS single_type
       FROM events GROUP BY event_type ORDER BY event_type""",
     "e32_moving_sum" -> """
       SELECT user_id,
