@@ -299,6 +299,23 @@ object EventQueries {
         .agg(c.as("n_chains"))
         .orderBy(col("user_id"))
     }),
+    // deltaSumTimestamp (AggregateFunctionDeltaSumTimestamp): like
+    // deltaSum but differences only count between rows in TIMESTAMP
+    // order with strictly increasing ts — duplicate-ts rows don't
+    // contribute (merge-safety semantics of the reference).
+    "e46_delta_sum_ts" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("__prev", lag(col("value"), 1).over(w))
+        .withColumn("__prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("__delta",
+          when(col("__prev").isNotNull && col("ts") > col("__prev_ts") &&
+            col("value") > col("__prev"),
+            col("value") - col("__prev")).otherwise(lit(0.0)))
+        .groupBy(col("user_id"))
+        .agg(round(sum(col("__delta")), 2).as("delta_sum_ts"))
+        .orderBy(col("user_id"))
+    }),
     // deltaSum: sum of positive successive differences (reference
     // registerAggregateFunctions deltaSum).
     "e13_delta_sum" -> ((s, dir) => {
@@ -1098,6 +1115,18 @@ object EventQueries {
              array_to_string(list_sort(list(event_type || ':' || CAST(v AS VARCHAR))), ',')
                AS sum_map
       FROM per GROUP BY user_id ORDER BY user_id LIMIT 50""",
+    "e46_delta_sum_ts" -> """
+      WITH d AS (
+        SELECT user_id, ts, value,
+               lag(value) OVER w AS prev,
+               lag(ts) OVER w AS prev_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT user_id,
+             round(sum(CASE WHEN prev IS NOT NULL AND ts > prev_ts
+                              AND value > prev
+                            THEN value - prev ELSE 0 END), 2) AS delta_sum_ts
+      FROM d GROUP BY user_id ORDER BY user_id""",
     "e13_delta_sum" -> """
       WITH w AS (
         SELECT user_id, value,

@@ -550,6 +550,28 @@ object RelationalQueries {
         round(sum(col("o_totalprice")), 2).as("total"))
     }),
 
+    // Sign-weighted aggregation WITHOUT FINAL — the canonical ClickHouse
+    // idiom for CollapsingMergeTree tables (sum(x·sign)/sum(sign) over
+    // the raw stream equals the post-FINAL aggregate when cancels pair,
+    // with NO collapse pass at all): both paths computed side by side.
+    "q52_sign_weighted_agg" -> ((s, dir) => {
+      val base = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val ins1 = base.withColumn("sign", lit(1)).withColumn("gen", lit(1))
+      val del2 = base.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("sign", lit(-1)).withColumn("gen", lit(2))
+      val ins3 = base.filter(col("o_orderkey") % 9 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+        .withColumn("sign", lit(1)).withColumn("gen", lit(3))
+      val stream = ins1.union(del2).union(ins3)
+      val weighted = stream.agg(
+        sum(col("sign")).cast("long").as("n"),
+        round(sum(col("o_totalprice") * col("sign")), 2).as("total"))
+      val collapsed = RelationalOps.collapsingFinal(
+          stream, Seq(col("o_orderkey")), col("sign"), col("gen"))
+        .agg(count(lit(1)).as("n_final"),
+          round(sum(col("o_totalprice")), 2).as("total_final"))
+      weighted.crossJoin(collapsed)
+    }),
     // SummingMergeTree FINAL (SummingSortedAlgorithm.cpp): same-key rows
     // collapse with numeric columns summed, other columns take a
     // deterministic survivor (min) — completes the merge-tree engine
@@ -650,6 +672,21 @@ object RelationalQueries {
       SELECT b.qb, coalesce(a.n, 0) AS n
       FROM buckets b LEFT JOIN agg a USING (qb)
       ORDER BY b.qb""",
+    "q52_sign_weighted_agg" -> """
+      WITH survivors AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice * 1.1 FROM orders WHERE o_orderkey % 9 = 0),
+      stream AS (
+        SELECT o_totalprice, 1 AS sign FROM orders
+        UNION ALL
+        SELECT o_totalprice, -1 FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT o_totalprice * 1.1, 1 FROM orders WHERE o_orderkey % 9 = 0)
+      SELECT CAST((SELECT sum(sign) FROM stream) AS BIGINT) AS n,
+             (SELECT round(sum(o_totalprice * sign), 2) FROM stream) AS total,
+             CAST((SELECT count(1) FROM survivors) AS BIGINT) AS n_final,
+             (SELECT round(sum(o_totalprice), 2) FROM survivors) AS total_final""",
     "q49_summing_final" -> """
       WITH s AS (
         SELECT l_orderkey, sum(l_quantity) AS q, sum(l_extendedprice) AS p,
