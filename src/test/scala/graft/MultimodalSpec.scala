@@ -175,6 +175,22 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(2).isNullAt(2))
   }
 
+  test("corrupt media payloads fall back to the stub — the pipeline never crashes") {
+    val good = pngPayload(16, 16)
+    // valid PNG magic, garbage body — ImageIO.read returns null/throws
+    val corrupt = good.clone()
+    for (i <- 12 until corrupt.length) corrupt(i) = (i * 31).toByte
+    val truncated = java.util.Arrays.copyOf(good, 20)
+    val df = Seq((1L, corrupt), (2L, truncated)).toDF("id", "content")
+    val rows = Multimodal.withDecodedMeta(df, "content").orderBy("id").collect()
+    // falls back to deterministic stub meta instead of throwing
+    assert(rows.forall(!_.isNullAt(2)))
+    val emb = Multimodal.withEmbedding(df, "content", dim = 8).orderBy("id").collect()
+    assert(emb.forall(_.getSeq[Float](2).length === 8))
+    val rs = Multimodal.withResized(df, "content", 4, 4).orderBy("id").collect()
+    assert(rs.forall(!_.isNullAt(2)))
+  }
+
   test("getObject UDF resolves url to payload") {
     val got = Seq("s3://bucket/key").toDF("url")
       .select(Multimodal.getObjectUdf(col("url")).as("obj"))
