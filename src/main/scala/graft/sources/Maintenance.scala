@@ -28,13 +28,16 @@ object Maintenance {
     * gives). `sortBy` optionally re-sorts within output files so parquet
     * min/max stats stay selective after the merge (MergeTree parts are
     * always sorted by primary key — sorted writes are what make file
-    * skipping work).
+    * skipping work). `deduplicate = true` is `OPTIMIZE ... DEDUPLICATE`
+    * (reference `InterpreterOptimizeQuery` + merge-time dedup): full-row
+    * duplicates collapse during the rewrite.
     */
   def compact(
       spark: SparkSession,
       dir: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
-      sortBy: Seq[String] = Nil): CompactionResult = {
+      sortBy: Seq[String] = Nil,
+      deduplicate: Boolean = false): CompactionResult = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -55,7 +58,8 @@ object Maintenance {
       return CompactionResult(0, 0, 0L, 0L)
     val nOut = math.max(1, math.ceil(bytesBefore.toDouble / targetFileBytes).toInt)
 
-    val df = spark.read.parquet(dir)
+    val df0 = spark.read.parquet(dir)
+    val df = if (deduplicate) df0.dropDuplicates() else df0
     val writer = {
       val base =
         if (sortBy.nonEmpty)

@@ -84,6 +84,18 @@ class TableFunctionsSpec extends SparkSpec {
     assert(parts.head.getAs[Map[String, String]]("max_values")("id").toLong === 9999L)
   }
 
+  test("OPTIMIZE DEDUPLICATE: full-row duplicates collapse during the rewrite") {
+    import graft.sources.Maintenance
+    val dir = java.nio.file.Files.createTempDirectory("dedup-opt").toString + "/t"
+    val base = spark.range(500).selectExpr("id", "id % 7 AS g")
+    base.union(base.limit(100)).repartition(6).write.parquet(dir)
+    assert(spark.read.parquet(dir).count() === 600)
+    val res = Maintenance.compact(spark, dir, deduplicate = true)
+    assert(res.filesBefore === 6 && res.filesAfter === 1)
+    assert(spark.read.parquet(dir).count() === 500)
+    assert(spark.read.parquet(dir).distinct().count() === 500)
+  }
+
   test("TTL DELETE: expired rows dropped atomically, NULL TTL keeps") {
     import graft.sources.Maintenance
     val dir = java.nio.file.Files.createTempDirectory("ttl").toString + "/t"
