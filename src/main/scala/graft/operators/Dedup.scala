@@ -304,6 +304,104 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
 
+  /** Connected components over an undirected near-dup pair list — the
+    * transitive-closure step that turns pairwise near-duplicates into
+    * dedup CLUSTERS (canonical id = component minimum), so "keep one doc
+    * per cluster" stays well-defined even though near-dup similarity is
+    * not transitive.
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14 — public
+    * literature), which converges in O(log n) rounds on any graph vs
+    * O(diameter) for plain min-label propagation. Each round is one
+    * aggregation + one join, both keyed on node id; neighbor lists are
+    * never materialized as arrays (a hot node with millions of
+    * neighbors stays row-shaped through the shuffle), and lineage is cut
+    * per round with localCheckpoint so the iterated plan doesn't grow.
+    *
+    * Input: first two columns of `pairs` are the edge endpoints.
+    * Returns (id, cluster_id) for every node appearing in `pairs`;
+    * isolated nodes are absent — callers left-join and coalesce to the
+    * node's own id (see d07).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    // canonical directed form: u > v (edges point larger -> smaller)
+    def canon(df: DataFrame): DataFrame =
+      df.filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .distinct()
+    var e = canon(pairs.select(col(pairs.columns(0)).cast("long").as("u"),
+      col(pairs.columns(1)).cast("long").as("v"))).localCheckpoint()
+
+    // large-star: each node's strictly-larger neighbors re-point at the
+    // min of its closed neighborhood.
+    def largeStar(e: DataFrame): DataFrame = {
+      val bi = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val m = bi.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      canon(bi.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+    // small-star: smaller neighbors (and the node itself) re-point at
+    // the neighborhood min; on u>v directed edges every neighbor
+    // qualifies.
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy("u").agg(min("v").as("m"))
+      canon(e.join(m, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(m.select(col("u"), col("m").as("v"))))
+    }
+
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      // both sides are distinct sets, so equal count + empty one-sided
+      // except proves set equality
+      converged = next.count() == e.count() && next.exceptAll(e).isEmpty
+      e = next
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    e.select(col("u").as("id"), col("v").as("cluster_id"))
+      .unionAll(e.select(col("v").as("id"), col("v").as("cluster_id")))
+      .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+  }
+
+  /** Benchmark-contamination report: for each corpus doc, the fraction
+    * of its DISTINCT word n-grams that appear anywhere in the benchmark
+    * set — the n-gram-overlap decontamination check LLM training
+    * pipelines run against eval benchmarks (public method: GPT-3 paper
+    * appendix C; Dolma toolkit). One row per corpus doc with any
+    * overlap: (id, n_shingles, n_matched, overlap).
+    *
+    * Scale shape: both sides reduce to 8-byte shingle hashes; the
+    * benchmark side is a DISTINCT hash set (benchmarks are MBs, so AQE
+    * broadcasts it), the corpus side stays row-shaped — one join keyed
+    * on the hash + one groupBy the doc id. No text string ever shuffles.
+    */
+  def contaminationReport(
+      corpus: DataFrame,
+      bench: DataFrame,
+      textCol: Column,
+      idCol: Column,
+      benchTextCol: Column,
+      n: Int = 5): DataFrame = {
+    def sh(df: DataFrame, t: Column, id: Column): DataFrame = df
+      .select(id.as("id"), transform(text.tokenize(t), w => xxhash64(w)).as("__th"))
+      .select(col("id"), explode(array_distinct(hashShingles(col("__th"), n))).as("shash"))
+    val corpusSh = sh(corpus, textCol, idCol)
+    val benchSh = sh(bench, benchTextCol, idCol).select("shash").distinct()
+      .withColumn("__hit", lit(1))
+    corpusSh.join(benchSh, Seq("shash"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0))).as("n_matched"))
+      .filter(col("n_matched") > 0)
+      .withColumn("overlap",
+        round(col("n_matched").cast("double") / col("n_shingles").cast("double"), 4))
+  }
+
   /** Scale path for embedding near-dup: sign of r random hyperplane
     * projections → bucket; pairs meet only within a bucket. Recall is
     * tunable via number of hash tables (repeat with different seeds).

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.text
+
+/** Training-data text-pipeline operators beyond the reference's surface:
+  * sliding-window chunking (context-window packing) and PII redaction.
+  * Both are pure per-row column pipelines — whole-stage codegen, no
+  * shuffle, no UDF — so they scale as fast as the parquet scan itself.
+  */
+object TextPipeline {
+
+  /** Sliding-window token chunking: tokens [s, s+size) for
+    * s = 1, 1+stride, ... while s <= token count (the last chunk may be
+    * shorter; stride < size gives overlapping chunks). Output one row per
+    * chunk: (id, chunk_idx, n_tokens, chunk_text) over the normalized
+    * token stream — the context-window packing step of an LLM data
+    * pipeline.
+    */
+  def chunk(
+      df: DataFrame,
+      textCol: Column,
+      idCol: Column,
+      chunkSize: Int,
+      stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0,
+      s"chunkSize/stride must be positive: $chunkSize/$stride")
+    // Token array in its own projection: inlining it into the per-chunk
+    // lambdas would re-run tokenization once per chunk (CollapseProject).
+    df.select(idCol.as("id"), text.tokenize(textCol).as("__toks"))
+      .select(col("id"), col("__toks"),
+        posexplode(sequence(lit(1), greatest(size(col("__toks")), lit(1)), lit(stride))))
+      .select(col("id"), col("pos").as("chunk_idx"),
+        least(lit(chunkSize), size(col("__toks")) - col("col") + 1).as("n_tokens"),
+        array_join(slice(col("__toks"), col("col"), lit(chunkSize)), " ").as("chunk_text"))
+  }
+
+  // RE2-compatible patterns (no lookarounds) — identical semantics under
+  // Java regex (Spark) and RE2 (DuckDB oracle / Dolma-style pipelines).
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII redaction: count and mask emails, NANP-style phone numbers and
+    * IPv4 literals. Counts are taken on the ORIGINAL text (order-
+    * independent); masking is applied email → phone → ip so an already-
+    * masked span is never re-matched. Adds columns
+    * (n_emails, n_phones, n_ips, <out>) and keeps the rest of the row.
+    */
+  def piiRedact(df: DataFrame, textCol: Column, outCol: String = "redacted"): DataFrame =
+    df.withColumn("n_emails", size(regexp_extract_all(textCol, lit(EmailPattern), lit(0))))
+      .withColumn("n_phones", size(regexp_extract_all(textCol, lit(PhonePattern), lit(0))))
+      .withColumn("n_ips", size(regexp_extract_all(textCol, lit(Ipv4Pattern), lit(0))))
+      .withColumn(outCol,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(textCol, EmailPattern, "[EMAIL]"),
+            PhonePattern, "[PHONE]"),
+          Ipv4Pattern, "[IP]"))
+}

@@ -60,6 +60,34 @@ object DedupQueries {
           round(col("cos_sim").cast("double"), 3).as("cos_sim"))
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // Dedup clusters = connected components over the near-dup pair graph
+    // (large-star/small-star); every embedding gets a cluster id
+    // (singletons are their own cluster). Oracle: recursive-CTE min-label
+    // closure in DuckDB over the identical pair set.
+    "d07_dup_clusters" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val pairs = Dedup.embeddingDupPairs(emb, col("embedding"), col("vec_id"),
+          minCosSim = 0.35)
+        .select(col("id_a"), col("id_b"))
+      val labels = Dedup.connectedComponents(pairs)
+      emb.select(col("vec_id"))
+        .join(labels, emb("vec_id") === labels("id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+        .orderBy(col("vec_id"))
+    }),
+    // Benchmark-contamination check: 5-gram overlap of each corpus doc
+    // (doc_id >= 50) against the "benchmark" slice (doc_id < 50).
+    "d08_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationReport(
+          docs.filter(col("doc_id") >= 50),
+          docs.filter(col("doc_id") < 50),
+          col("text"), col("doc_id"), col("text"), n = 5)
+        .select(col("id").as("doc_id"), col("n_shingles"), col("n_matched"),
+          col("overlap"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   private val toksSql =
@@ -108,5 +136,39 @@ object DedupQueries {
       WHERE a.vec_id < b.vec_id
         AND list_cosine_similarity(a.embedding, b.embedding) >= 0.35
       ORDER BY id_a, id_b""",
+    // Transitive closure by recursive min-label walk: (node, comp) pairs
+    // where comp is reachable from node; propagation is pruned to
+    // comp < next-hop, which never blocks the true component minimum
+    // (every node on a path from the min is larger than it).
+    "d07_dup_clusters" -> """
+      WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND list_cosine_similarity(a.embedding, b.embedding) >= 0.35),
+      edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      walk(node, comp) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.node
+        WHERE w.comp < e.v)
+      SELECT node AS vec_id, min(comp) AS cluster_id
+      FROM walk GROUP BY node ORDER BY vec_id""",
+    "d08_contamination" -> s"""
+      WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      sh AS (SELECT doc_id, unnest(list_distinct(
+               [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                toks[i+3] || ' ' || toks[i+4]
+                for i in range(1, len(toks) - 3)])) AS s
+             FROM d),
+      bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 50),
+      agg AS (SELECT doc_id, count(1) AS n,
+                CAST(sum(CASE WHEN s IN (SELECT s FROM bench) THEN 1 ELSE 0 END)
+                     AS BIGINT) AS m
+              FROM sh WHERE doc_id >= 50 GROUP BY 1)
+      SELECT doc_id, n AS n_shingles, m AS n_matched,
+             round(CAST(m AS DOUBLE) / CAST(n AS DOUBLE), 4) AS overlap
+      FROM agg WHERE m > 0 ORDER BY doc_id""",
   )
 }

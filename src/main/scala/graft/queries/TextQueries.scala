@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Tables.t
 import graft.functions.text
-import graft.operators.{FtsIndex, HybridSearch, TextSearch}
+import graft.operators.{FtsIndex, HybridSearch, TextPipeline, TextSearch}
 
 /** Full-text + hybrid search and text-analysis coverage (SURVEY §2.1
   * textsearch/hybridsearch; pipeline text ops). BM25 oracle reimplements
@@ -113,6 +113,31 @@ object TextQueries {
       t(s, dir, "documents")
         .select(col("doc_id"),
           text.bpeTokenCount(col("text")).cast("long").as("n_bpe"))
+        .orderBy(col("doc_id"))
+    }),
+    // Sliding-window token chunking (context-window packing): 32-token
+    // chunks, stride 24 (8-token overlap).
+    "t13_chunking" -> ((s, dir) => {
+      TextPipeline.chunk(t(s, dir, "documents"), col("text"), col("doc_id"),
+          chunkSize = 32, stride = 24)
+        .select(col("id").as("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+          col("n_tokens").cast("long").as("n_tokens"), col("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+    // PII redaction over a derived column (the raw corpus has no PII, so
+    // the query plants a deterministic email/phone/IP per doc and the
+    // operator must count and mask all three).
+    "t14_pii_redaction" -> ((s, dir) => {
+      val withPii = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or 555-"),
+          lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+          lit("-1234 from 10.0."), pmod(col("doc_id"), lit(256)), lit(".7")
+        ).as("text"))
+      TextPipeline.piiRedact(withPii, col("text"))
+        .select(col("doc_id"), col("n_emails").cast("long").as("n_emails"),
+          col("n_phones").cast("long").as("n_phones"),
+          col("n_ips").cast("long").as("n_ips"), col("redacted"))
         .orderBy(col("doc_id"))
     }),
     // Language ID heuristic (stopword density).
@@ -383,5 +408,30 @@ object TextQueries {
       SELECT doc_id,
              md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
       FROM documents ORDER BY doc_id""",
+    // chunk starts s = 1, 1+stride, ... while s <= len (DuckDB range() is
+    // stop-exclusive, Spark sequence() stop-inclusive — hence len+1).
+    "t13_chunking" -> s"""
+      WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      st AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 24)) AS s
+             FROM d)
+      SELECT doc_id, CAST((s - 1) // 24 AS INT) AS chunk_idx,
+             CAST(least(32, len(toks) - s + 1) AS BIGINT) AS n_tokens,
+             array_to_string(list_slice(toks, s, s + 31), ' ') AS chunk_text
+      FROM st ORDER BY doc_id, chunk_idx""",
+    "t14_pii_redaction" -> s"""
+      WITH p AS (SELECT doc_id,
+               text || ' contact user' || doc_id || '@example.com or 555-' ||
+               lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+               '-1234 from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t2
+             FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t2, '${TextPipeline.EmailPattern}')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(t2, '${TextPipeline.PhonePattern}')) AS BIGINT) AS n_phones,
+             CAST(len(regexp_extract_all(t2, '${TextPipeline.Ipv4Pattern}')) AS BIGINT) AS n_ips,
+             regexp_replace(regexp_replace(regexp_replace(t2,
+               '${TextPipeline.EmailPattern}', '[EMAIL]', 'g'),
+               '${TextPipeline.PhonePattern}', '[PHONE]', 'g'),
+               '${TextPipeline.Ipv4Pattern}', '[IP]', 'g') AS redacted
+      FROM p ORDER BY doc_id""",
   )
 }
