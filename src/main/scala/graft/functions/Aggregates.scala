@@ -313,6 +313,78 @@ object Aggregates {
     fn(tsSeconds, condBitmask(conds))
   }
 
+  /** Bounded head buffer for [[sequenceNextNode]]: keeps only the k
+    * time-smallest (ts, value, flags) events — O(k) state per entity vs
+    * the funnel family's full event list, so it is safe at any
+    * events-per-entity cardinality. Tie-break by (ts, value).
+    */
+  final class HeadBuf(val cap: Int) extends Serializable {
+    var ts: Array[Double] = new Array[Double](cap)
+    var vs: Array[String] = new Array[String](cap)
+    var fl: Array[Int] = new Array[Int](cap)
+    var n: Int = 0
+    private def lt(t: Double, v: String, i: Int): Boolean =
+      t < ts(i) || (t == ts(i) && (vs(i) == null || (v != null && v < vs(i))))
+    def insert(t: Double, v: String, f: Int): HeadBuf = {
+      if (n < cap || lt(t, v, n - 1)) {
+        var i = math.min(n, cap - 1)
+        while (i > 0 && lt(t, v, i - 1)) {
+          ts(i) = ts(i - 1); vs(i) = vs(i - 1); fl(i) = fl(i - 1); i -= 1
+        }
+        ts(i) = t; vs(i) = v; fl(i) = f
+        if (n < cap) n += 1
+      }
+      this
+    }
+    def mergeFrom(o: HeadBuf): HeadBuf = {
+      var i = 0
+      while (i < o.n) { insert(o.ts(i), o.vs(i), o.fl(i)); i += 1 }
+      this
+    }
+  }
+
+  /** sequenceNextNode('forward', 'head')(ts, eventCol, baseCond,
+    * cond1..condK) — the value of the event immediately AFTER the matched
+    * chain, or null (reference `registerAggregateFunctionSequenceNextNode`;
+    * MyScale ships the forward/head variant semantics: the time-ordered
+    * FIRST event must satisfy baseCond and cond1, the i-th event cond_i,
+    * and the (K+1)-th event's value is returned).
+    *
+    * Scale note: the buffer keeps only the K+1 time-smallest events
+    * (bounded insert + bounded merge) — per-entity state is O(K), not
+    * O(events), so this aggregator survives arbitrarily hot entities.
+    */
+  def sequenceNextNode(
+      tsSeconds: Column, eventCol: Column, baseCond: Column,
+      conds: Column*): Column = {
+    val k = conds.size
+    require(k >= 1, "sequenceNextNode needs at least one chain condition")
+    val agg = new Aggregator[(Double, String, Int), HeadBuf, String] {
+      override def zero: HeadBuf = new HeadBuf(k + 1)
+      override def reduce(b: HeadBuf, a: (Double, String, Int)) =
+        b.insert(a._1, a._2, a._3)
+      override def merge(a: HeadBuf, b: HeadBuf) = a.mergeFrom(b)
+      override def finish(b: HeadBuf): String = {
+        if (b.n < k) return null
+        // first event: base bit (bit 0) AND cond1 (bit 1); i-th: bit i+1
+        var ok = (b.fl(0) & 1) == 1
+        var i = 0
+        while (ok && i < k) {
+          ok = (b.fl(i) >> (i + 1) & 1) == 1
+          i += 1
+        }
+        if (ok && b.n > k) b.vs(k) else null
+      }
+      override def bufferEncoder: Encoder[HeadBuf] = Encoders.kryo[HeadBuf]
+      override def outputEncoder: Encoder[String] = Encoders.STRING
+    }
+    val fn = udaf(agg)
+    val flags = conds.zipWithIndex
+      .map { case (c, i) => when(c, lit(1 << (i + 1))).otherwise(lit(0)) }
+      .foldLeft(when(baseCond, lit(1)).otherwise(lit(0)))((a, b) => a.bitwiseOR(b))
+    fn(tsSeconds, eventCol, flags)
+  }
+
   /** retention(cond1..condN): array r with r(0) = cond1 ever held;
     * r(i) = cond1 && cond_i — aggregate per entity, then sum the flags
     * (reference AggregateFunctionRetention).

@@ -1,0 +1,201 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The tail of the reference's aggregate-function registry
+  * (`/root/reference/src/AggregateFunctions/registerAggregateFunctions.cpp`):
+  * categoricalInformationValue, sparkbar, and the MLMethod pair
+  * (stochasticLinearRegression / stochasticLogisticRegression).
+  *
+  * All are DataFrame-level helpers built from distributed aggregates; the
+  * only driver-side work is a bounded one-row collect (regression
+  * coefficient solve) — the same bounded pattern as the BM25 stats row.
+  */
+object MiscAggregates {
+
+  /** categoricalInformationValue(cat)(tag) — per-category weight of
+    * evidence and information-value terms (reference
+    * `AggregateFunctionCategoricalInformationValue.cpp`; the reference
+    * returns the summed IV per category column — `sum(iv_term)` over this
+    * result). One row per category value with both positive and negative
+    * outcomes (zero cells make WoE undefined — ±inf in the reference's
+    * float output; excluded here so the result stays SQL-comparable).
+    *
+    * woe = ln( (x1/n1) / (x0/n0) ); iv_term = (x1/n1 - x0/n0) * woe.
+    * Shape: one groupBy(cat) + a broadcast 1-row totals join.
+    */
+  def categoricalIv(df: DataFrame, catCol: Column, tagCol: Column): DataFrame = {
+    val tagged = df.select(catCol.as("category"),
+      when(tagCol, 1L).otherwise(0L).as("__t"))
+    val totals = tagged.agg(
+      sum(col("__t")).as("__n1"),
+      (count(lit(1)) - sum(col("__t"))).as("__n0"))
+    val per = tagged.groupBy(col("category")).agg(
+      sum(col("__t")).as("__x1"),
+      (count(lit(1)) - sum(col("__t"))).as("__x0"))
+    per.crossJoin(broadcast(totals))
+      .filter(col("__x1") > 0 && col("__x0") > 0)
+      .withColumn("__p1", col("__x1").cast("double") / col("__n1").cast("double"))
+      .withColumn("__p0", col("__x0").cast("double") / col("__n0").cast("double"))
+      .select(col("category"),
+        log(col("__p1") / col("__p0")).as("woe"),
+        ((col("__p1") - col("__p0")) * log(col("__p1") / col("__p0"))).as("iv_term"))
+  }
+
+  private val SparkbarGlyphs = "▁▂▃▄▅▆▇█"
+
+  /** sparkbar(nBuckets)(x, y) — a unicode bar-chart string per group
+    * (reference `AggregateFunctionSparkbar.cpp`). x is bucketed over
+    * [xMin, xMax] into nBuckets equal ranges; bar height = per-bucket
+    * sum(y) scaled to the group max over 8 glyph levels
+    * (level = ceil(8·sum/max), so any positive bucket is visible);
+    * empty or non-positive buckets render ' '.
+    *
+    * Sums are rounded to 2 dp before scaling so the glyph level is
+    * stable across summation orders (documented deviation: the
+    * reference renders from exact float sums).
+    *
+    * Shape: groupBy(group, bucket) partial-final sum, then per group a
+    * bounded collect_list of ≤ nBuckets (bucket, sum) entries folded to
+    * the string — the per-group state is O(nBuckets), never O(rows).
+    */
+  def sparkbar(
+      df: DataFrame,
+      groupCols: Seq[Column],
+      xCol: Column,
+      yCol: Column,
+      nBuckets: Int,
+      xMin: Long,
+      xMax: Long): DataFrame = {
+    require(nBuckets > 0 && xMax >= xMin, s"bad sparkbar range [$xMin,$xMax]/$nBuckets")
+    val span = xMax - xMin + 1
+    val bucket = floor((xCol.cast("long") - lit(xMin)).cast("double") *
+      lit(nBuckets) / lit(span.toDouble)).cast("int")
+    val sums = df
+      .filter(xCol >= xMin && xCol <= xMax)
+      .groupBy((groupCols :+ bucket.as("__b")): _*)
+      .agg(round(sum(yCol), 2).as("__s"))
+    val n = groupCols.size
+    val grouped = sums
+      .groupBy(groupCols.indices.map(i => col(sums.columns(i))): _*)
+      .agg(max(col("__s")).as("__mx"),
+        map_from_entries(collect_list(struct(col("__b"), col("__s")))).as("__m"))
+    val glyphs = transform(sequence(lit(0), lit(nBuckets - 1)), b => {
+      val s = element_at(col("__m"), b)
+      when(s.isNull || s <= 0 || col("__mx") <= 0, lit(" "))
+        .otherwise(lit(SparkbarGlyphs).substr(
+          least(lit(8), ceil(s * lit(8.0) / col("__mx"))).cast("int"), lit(1)))
+    })
+    grouped.withColumn("sparkbar", array_join(glyphs, ""))
+      .drop("__m", "__mx")
+  }
+
+  /** Multiple linear regression fit — the deterministic, single-pass
+    * analog of the reference's `stochasticLinearRegression`
+    * (`AggregateFunctionMLMethod.cpp`). The reference runs SGD and merges
+    * models by weighted averaging (an approximation); here the SAME model
+    * is solved exactly from distributed second-moment aggregates
+    * (normal equations over var_pop/covar_pop), one row collected, k×k
+    * solved on the driver (k = #features, bounded). Documented deviation:
+    * exact coefficients instead of SGD's order-dependent approximation.
+    *
+    * Returns a 1-row DataFrame: w1..wk, intercept.
+    */
+  def linearRegressionFit(df: DataFrame, yCol: Column, xCols: Seq[Column]): DataFrame = {
+    val k = xCols.size
+    require(k >= 1, "need at least one feature")
+    val xs = xCols.map(_.cast("double"))
+    val y = yCol.cast("double")
+    val aggs =
+      (for (i <- 0 until k; j <- i until k)
+        yield covar_pop(xs(i), xs(j)).as(s"c_${i}_$j")) ++
+      (0 until k).map(i => covar_pop(xs(i), y).as(s"cy_$i")) ++
+      (0 until k).map(i => avg(xs(i)).as(s"mx_$i")) :+ avg(y).as("my")
+    val row = df.agg(aggs.head, aggs.tail: _*).head() // bounded: one row
+    val a = Array.tabulate(k, k) { (i, j) =>
+      row.getAs[Double](s"c_${math.min(i, j)}_${math.max(i, j)}")
+    }
+    val b = Array.tabulate(k)(i => row.getAs[Double](s"cy_$i"))
+    val w = solve(a, b)
+    val intercept = row.getAs[Double]("my") -
+      (0 until k).map(i => w(i) * row.getAs[Double](s"mx_$i")).sum
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cols = (0 until k).map(i => lit(w(i)).as(s"w${i + 1}")) :+
+      lit(intercept).as("intercept")
+    Seq(1).toDF("__one").select(cols: _*)
+  }
+
+  /** Gaussian elimination with partial pivoting for the k×k normal
+    * equations (k = #features, tiny).
+    */
+  private def solve(a0: Array[Array[Double]], b0: Array[Double]): Array[Double] = {
+    val k = b0.length
+    val a = a0.map(_.clone()); val b = b0.clone()
+    for (col <- 0 until k) {
+      val p = (col until k).maxBy(r => math.abs(a(r)(col)))
+      require(math.abs(a(p)(col)) > 1e-12, "singular feature matrix")
+      val (tr, tb) = (a(col), b(col)); a(col) = a(p); b(col) = b(p); a(p) = tr; b(p) = tb
+      for (r <- col + 1 until k) {
+        val f = a(r)(col) / a(col)(col)
+        for (c <- col until k) a(r)(c) -= f * a(col)(c)
+        b(r) -= f * b(col)
+      }
+    }
+    val w = new Array[Double](k)
+    for (r <- k - 1 to 0 by -1) {
+      w(r) = (b(r) - (r + 1 until k).map(c => a(r)(c) * w(c)).sum) / a(r)(r)
+    }
+    w
+  }
+
+  /** Logistic regression via deterministic FULL-BATCH gradient descent —
+    * the convex-objective analog of the reference's
+    * `stochasticLogisticRegression`. Each iteration is one distributed
+    * aggregation producing the exact batch gradient (a k+1-value row),
+    * applied on the driver; unlike SGD the result does not depend on row
+    * order or partitioning (up to float summation). Features should be
+    * roughly unit-scale (no internal normalization, matching the
+    * reference, whose SGD also requires it).
+    *
+    * Returns a 1-row DataFrame: w1..wk, intercept, accuracy (training
+    * accuracy at threshold 0.5).
+    */
+  def logisticRegressionGD(
+      df: DataFrame,
+      labelCol: Column,
+      xCols: Seq[Column],
+      lr: Double = 1.0,
+      iters: Int = 30): DataFrame = {
+    val k = xCols.size
+    val xs = xCols.map(_.cast("double"))
+    val y = labelCol.cast("double")
+    val data = df.select((xs :+ y).zipWithIndex.map { case (c, i) => c.as(s"_$i") }: _*)
+      .persist()
+    val n = data.count().toDouble
+    var w = new Array[Double](k)
+    var b = 0.0
+    var it = 0
+    while (it < iters) {
+      val z = (0 until k).map(i => col(s"_$i") * lit(w(i))).foldLeft(lit(b): Column)(_ + _)
+      val err = lit(1.0) / (lit(1.0) + exp(-z)) - col(s"_$k")
+      val gradAggs = (0 until k).map(i => sum(err * col(s"_$i")).as(s"g_$i")) :+
+        sum(err).as("g_b")
+      val g = data.agg(gradAggs.head, gradAggs.tail: _*).head() // bounded row
+      for (i <- 0 until k) w(i) -= lr * g.getAs[Double](s"g_$i") / n
+      b -= lr * g.getAs[Double]("g_b") / n
+      it += 1
+    }
+    val zFin = (0 until k).map(i => col(s"_$i") * lit(w(i))).foldLeft(lit(b): Column)(_ + _)
+    val acc = data.agg(
+      avg(when((zFin > 0).cast("double") === col(s"_$k"), 1.0).otherwise(0.0)).as("acc"))
+      .head().getAs[Double]("acc")
+    data.unpersist()
+    val cols = (0 until k).map(i => lit(w(i)).as(s"w${i + 1}")) :+
+      lit(b).as("intercept") :+ lit(acc).as("accuracy")
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq(1).toDF("__one").select(cols: _*)
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables.{events, t}
-import graft.functions.{Aggregates, Combinators}
+import graft.functions.{Aggregates, Combinators, MiscAggregates}
 
 /** Event-analytics + time-window coverage: retention, windowFunnel,
   * sequenceMatch, nonNegativeDerivative, exponentialTimeDecayedSum
@@ -714,6 +714,57 @@ object EventQueries {
         .select(col("window.start").as("wstart"), col("n"), col("total"))
         .orderBy(col("wstart"))
     }),
+    // sequenceNextNode(forward, head): the event right after a
+    // view→click chain starting at the user's FIRST event (bounded
+    // O(k) buffer — no full event list).
+    "e47_sequence_next_node" -> ((s, dir) => {
+      val nxt = Aggregates.sequenceNextNode(tsSec, col("event_type"), lit(true),
+        col("event_type") === "view", col("event_type") === "click")
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(nxt.as("next_event"))
+        .orderBy(col("user_id"))
+    }),
+    // categoricalInformationValue: per-category WoE / IV terms for the
+    // binary outcome value > 10.
+    "e48_categorical_iv" -> ((s, dir) => {
+      MiscAggregates.categoricalIv(events(s, dir), col("event_type"),
+          col("value") > 10)
+        .select(col("category"), round(col("woe"), 6).as("woe"),
+          round(col("iv_term"), 6).as("iv_term"))
+        .orderBy(col("category"))
+    }),
+    // sparkbar(10 buckets over 30 days)(day, value) per user.
+    "e49_sparkbar" -> ((s, dir) => {
+      val day = datediff(col("ts").cast("date"), to_date(lit("2024-01-01")))
+      MiscAggregates.sparkbar(events(s, dir).withColumn("__day", day),
+          Seq(col("user_id")), col("__day"), col("value"),
+          nBuckets = 10, xMin = 0, xMax = 29)
+        .select(col("user_id"), col("sparkbar"))
+        .orderBy(col("user_id"))
+    }),
+    // stochasticLinearRegression analog: exact normal-equation fit from
+    // distributed second moments (value ~ hour + user bucket).
+    "e50_linreg_fit" -> ((s, dir) => {
+      MiscAggregates.linearRegressionFit(events(s, dir), col("value"),
+          Seq(hour(col("ts")).cast("double"),
+            pmod(col("user_id"), lit(10)).cast("double")))
+        .select(round(col("w1"), 6).as("w1"), round(col("w2"), 6).as("w2"),
+          round(col("intercept"), 6).as("intercept"))
+    }),
+    // stochasticLogisticRegression analog: deterministic full-batch GD
+    // (order/partitioning independent); algorithm-specific output →
+    // rows-only driver check + ScalaTest separability spec.
+    "e51_logreg_gd" -> ((s, dir) => {
+      MiscAggregates.logisticRegressionGD(events(s, dir),
+          col("value") > 10,
+          Seq(hour(col("ts")).cast("double") / lit(23.0),
+            pmod(col("user_id"), lit(10)).cast("double") / lit(9.0)),
+          lr = 1.0, iters = 30)
+        .select(round(col("w1"), 4).as("w1"), round(col("w2"), 4).as("w2"),
+          round(col("intercept"), 4).as("intercept"),
+          round(col("accuracy"), 4).as("accuracy"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1203,5 +1254,67 @@ object EventQueries {
         FROM events)
       SELECT wstart, count(1) AS n, round(sum(value), 2) AS total
       FROM starts GROUP BY 1 ORDER BY wstart""",
+    // head/forward chain over the time-ordered event list: first event
+    // 'view', second 'click' → value of the third (NULL past the end).
+    "e47_sequence_next_node" -> """
+      WITH l AS (SELECT user_id,
+                        list(event_type ORDER BY ts, event_type) AS evs
+                 FROM events GROUP BY 1)
+      SELECT user_id,
+             CASE WHEN evs[1] = 'view' AND evs[2] = 'click' THEN evs[3] END
+               AS next_event
+      FROM l ORDER BY user_id""",
+    "e48_categorical_iv" -> """
+      WITH c AS (SELECT event_type AS category,
+                        CASE WHEN value > 10 THEN 1 ELSE 0 END AS t
+                 FROM events),
+      tot AS (SELECT CAST(sum(t) AS DOUBLE) AS n1,
+                     CAST(count(*) - sum(t) AS DOUBLE) AS n0 FROM c),
+      g AS (SELECT category, CAST(sum(t) AS DOUBLE) AS x1,
+                   CAST(count(*) - sum(t) AS DOUBLE) AS x0
+            FROM c GROUP BY 1)
+      SELECT category,
+             round(ln((x1 / n1) / (x0 / n0)), 6) AS woe,
+             round((x1 / n1 - x0 / n0) * ln((x1 / n1) / (x0 / n0)), 6) AS iv_term
+      FROM g, tot WHERE x1 > 0 AND x0 > 0 ORDER BY category""",
+    "e49_sparkbar" -> """
+      WITH b AS (SELECT user_id,
+                        CAST(floor(date_diff('day', DATE '2024-01-01', ts)
+                                   * 10 / 30.0) AS INT) AS bk,
+                        round(sum(value), 2) AS sv
+                 FROM events
+                 WHERE date_diff('day', DATE '2024-01-01', ts) BETWEEN 0 AND 29
+                 GROUP BY 1, 2),
+      m AS (SELECT user_id, max(sv) AS mx FROM b GROUP BY 1),
+      grid AS (SELECT u.user_id, g.bk
+               FROM (SELECT DISTINCT user_id FROM b) u,
+                    (SELECT unnest(range(10)) AS bk) g),
+      j AS (SELECT grid.user_id, grid.bk, b.sv, m.mx
+            FROM grid LEFT JOIN b ON b.user_id = grid.user_id AND b.bk = grid.bk
+            JOIN m ON m.user_id = grid.user_id)
+      SELECT user_id,
+             string_agg(CASE WHEN sv IS NULL OR sv <= 0 OR mx <= 0 THEN ' '
+                             ELSE substring('▁▂▃▄▅▆▇█',
+                               CAST(least(8, ceil(sv * 8.0 / mx)) AS INT), 1)
+                        END, '' ORDER BY bk) AS sparkbar
+      FROM j GROUP BY user_id ORDER BY user_id""",
+    // 2-feature normal equations in closed form (centered second moments).
+    "e50_linreg_fit" -> """
+      WITH d AS (SELECT CAST(hour(ts) AS DOUBLE) AS x1,
+                        CAST(user_id % 10 AS DOUBLE) AS x2,
+                        value AS y
+                 FROM events),
+      s AS (SELECT covar_pop(x1, x1) AS c11, covar_pop(x1, x2) AS c12,
+                   covar_pop(x2, x2) AS c22, covar_pop(x1, y) AS c1y,
+                   covar_pop(x2, y) AS c2y,
+                   avg(x1) AS m1, avg(x2) AS m2, avg(y) AS my
+            FROM d),
+      w AS (SELECT (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS w1,
+                   (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS w2,
+                   m1, m2, my
+            FROM s)
+      SELECT round(w1, 6) AS w1, round(w2, 6) AS w2,
+             round(my - w1 * m1 - w2 * m2, 6) AS intercept
+      FROM w""",
   )
 }

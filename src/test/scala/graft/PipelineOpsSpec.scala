@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Aggregates, MiscAggregates}
+import graft.operators.{Dedup, TextPipeline}
+
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- connected components ----
+
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n.toLong.toInt)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // path-compress to the component min (roots are mins because unions
+    // always point larger at smaller)
+    (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+  }
+
+  test("connectedComponents matches union-find on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val n = 60 + trial * 30
+      val edges = Seq.fill(n / 2)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val exp = unionFind(n, edges)
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      touched.foreach { v => assert(got(v) === exp(v), s"node $v trial $trial") }
+      assert(got.keySet === touched) // isolated nodes absent by contract
+    }
+  }
+
+  test("connectedComponents handles a long chain (worst case for label propagation)") {
+    val chain = (0L until 40L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val got = Dedup.connectedComponents(chain.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet === Set(0L))
+    assert(got.size === 40)
+  }
+
+  // ---- contamination ----
+
+  test("contaminationReport counts distinct-shingle overlap") {
+    val bench = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps somewhere else entirely today"), // shares '{the,quick,brown,fox,jumps}' 5-gram
+      (11L, "completely different words with no overlap at all here")
+    ).toDF("id", "text")
+    val got = Dedup.contaminationReport(corpus, bench, col("text"), col("id"),
+        col("text"), n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got === Map(10L -> 1L)) // only the shared leading 5-gram; doc 11 absent
+  }
+
+  // ---- chunking ----
+
+  test("chunk emits sliding windows with a short tail") {
+    val df = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" "))).toDF("id", "text")
+    val got = TextPipeline.chunk(df, col("text"), col("id"), chunkSize = 4, stride = 3)
+      .orderBy("chunk_idx")
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(got === Array(
+      (0, 4, "w1 w2 w3 w4"),
+      (1, 4, "w4 w5 w6 w7"),
+      (2, 4, "w7 w8 w9 w10"),
+      (3, 1, "w10")))
+  }
+
+  test("chunk is a single codegen stage — no shuffle") {
+    val df = Seq((1L, "a b c")).toDF("id", "text")
+    val plan = TextPipeline.chunk(df, col("text"), col("id"), 2, 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  // ---- PII ----
+
+  test("piiRedact masks and counts emails, phones, IPs") {
+    val df = Seq((1L, "mail a.b+c@ex-1.org or x@y.io call 555-123-4567 from 10.0.0.1 done"))
+      .toDF("id", "text")
+    val r = TextPipeline.piiRedact(df, col("text")).head()
+    assert(r.getAs[Int]("n_emails") === 2)
+    assert(r.getAs[Int]("n_phones") === 1)
+    assert(r.getAs[Int]("n_ips") === 1)
+    assert(r.getAs[String]("redacted") ===
+      "mail [EMAIL] or [EMAIL] call [PHONE] from [IP] done")
+  }
+
+  // ---- sequenceNextNode ----
+
+  private def nextNodeOf(rows: Seq[(Double, String)], conds: String*): Option[String] = {
+    val df = rows.toDF("t", "ev")
+    val c = Aggregates.sequenceNextNode(col("t"), col("ev"), lit(true),
+      conds.map(col("ev") === _): _*)
+    Option(df.agg(c.as("nn")).head().getString(0))
+  }
+
+  test("sequenceNextNode returns the event after the head chain") {
+    assert(nextNodeOf(Seq((1.0, "a"), (2.0, "b"), (3.0, "c"), (4.0, "d")),
+      "a", "b") === Some("c"))
+    // chain matches but sequence ends — null
+    assert(nextNodeOf(Seq((1.0, "a"), (2.0, "b")), "a", "b") === None)
+    // head event doesn't match cond1 — null
+    assert(nextNodeOf(Seq((1.0, "x"), (2.0, "a"), (3.0, "b")), "a", "b") === None)
+    // second event breaks the chain — null
+    assert(nextNodeOf(Seq((1.0, "a"), (2.0, "x"), (3.0, "b")), "a", "b") === None)
+  }
+
+  test("sequenceNextNode respects baseCond on the head event") {
+    val df = Seq((1.0, "a", false), (2.0, "b", true)).toDF("t", "ev", "base")
+    val c = Aggregates.sequenceNextNode(col("t"), col("ev"), col("base"),
+      col("ev") === "a")
+    assert(df.agg(c.as("nn")).head().getString(0) == null)
+  }
+
+  test("HeadBuf keeps only the k time-smallest events across merges") {
+    val a = new Aggregates.HeadBuf(3)
+    Seq((5.0, "e"), (1.0, "a"), (3.0, "c")).foreach { case (t, v) => a.insert(t, v, 0) }
+    val b = new Aggregates.HeadBuf(3)
+    Seq((2.0, "b"), (4.0, "d")).foreach { case (t, v) => b.insert(t, v, 0) }
+    a.mergeFrom(b)
+    assert(a.n === 3)
+    assert((0 until a.n).map(a.vs) === Seq("a", "b", "c"))
+  }
+
+  // ---- categorical IV ----
+
+  test("categoricalIv computes WoE per category") {
+    // cat A: 3 pos 1 neg; cat B: 1 pos 3 neg → n1=4, n0=4
+    val df = (Seq.fill(3)(("A", true)) ++ Seq(("A", false)) ++
+      Seq(("B", true)) ++ Seq.fill(3)(("B", false))).toDF("cat", "tag")
+    val got = MiscAggregates.categoricalIv(df, col("cat"), col("tag"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val woeA = math.log((3.0 / 4.0) / (1.0 / 4.0))
+    assert(math.abs(got("A")._1 - woeA) < 1e-12)
+    assert(math.abs(got("A")._2 - (3.0 / 4.0 - 1.0 / 4.0) * woeA) < 1e-12)
+    assert(math.abs(got("B")._1 + woeA) < 1e-12) // symmetric
+  }
+
+  // ---- sparkbar ----
+
+  test("sparkbar renders scaled glyphs with gaps as spaces") {
+    val df = Seq(("g", 0L, 1.0), ("g", 1L, 8.0), ("g", 3L, 4.0)).toDF("k", "x", "y")
+    val got = MiscAggregates.sparkbar(df, Seq(col("k")), col("x"), col("y"),
+      nBuckets = 4, xMin = 0, xMax = 3).select("sparkbar").head().getString(0)
+    // max=8 → levels ceil(8·y/8): 1, 8, gap, 4
+    assert(got === "▁█ ▄")
+  }
+
+  // ---- regression fits ----
+
+  test("linearRegressionFit recovers exact coefficients") {
+    val rnd = new scala.util.Random(1)
+    val rows = Seq.fill(500) {
+      val x1 = rnd.nextDouble() * 10; val x2 = rnd.nextDouble() * 5
+      (x1, x2, 2.0 * x1 - 3.0 * x2 + 5.0)
+    }
+    val r = MiscAggregates.linearRegressionFit(rows.toDF("x1", "x2", "y"),
+      col("y"), Seq(col("x1"), col("x2"))).head()
+    assert(math.abs(r.getAs[Double]("w1") - 2.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("w2") + 3.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("intercept") - 5.0) < 1e-9)
+  }
+
+  test("logisticRegressionGD separates linearly separable data") {
+    val rnd = new scala.util.Random(2)
+    val rows = Seq.fill(400) {
+      val x1 = rnd.nextDouble() * 2 - 1; val x2 = rnd.nextDouble() * 2 - 1
+      (x1, x2, x1 + x2 > 0.0)
+    }.filter { case (x1, x2, _) => math.abs(x1 + x2) > 0.2 } // margin
+    val r = MiscAggregates.logisticRegressionGD(rows.toDF("x1", "x2", "y"),
+      col("y"), Seq(col("x1"), col("x2")), lr = 2.0, iters = 120).head()
+    assert(r.getAs[Double]("accuracy") === 1.0)
+    // learned boundary direction ≈ (1, 1)
+    assert(r.getAs[Double]("w1") > 0 && r.getAs[Double]("w2") > 0)
+  }
+}
