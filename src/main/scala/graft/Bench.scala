@@ -53,6 +53,15 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
+      // Query isolation: drop any SQL cache a previous query left behind
+      // and give the ContextCleaner a GC tick to release unreferenced
+      // localCheckpoint blocks — without this, cached/checkpointed blocks
+      // leak across queries and the iterative entries (dedup suite, GD)
+      // swing 2-3x run-to-run on identical code. Runs OUTSIDE the timed
+      // window. (Index artifacts are parquet + JVM-object caches, not
+      // Spark SQL cache, so warm-up-built indexes survive clearCache.)
+      spark.catalog.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case e: Throwable =>

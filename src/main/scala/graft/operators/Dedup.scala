@@ -107,34 +107,38 @@ object Dedup {
         transform(col("__ord"), e => e.getField("shash")).as("sh"),
         size(col("__ord")).as("n_sh"))
       .persist()
-    // prefix length p = n_sh - ceil(t·n_sh) + 1 (clamped to [1, n_sh])
-    val pLen = greatest(lit(1),
-      col("n_sh") - ceil(lit(minSim) * col("n_sh")).cast("int") + 1)
-    val pref = docs.select(col("id"), col("n_sh"),
-      explode(slice(col("sh"), lit(1), pLen)).as("shash"))
-    // Candidate pairs: shared prefix hash + size-ratio prune
-    // (J ≥ t ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|)), deduped.
-    val cand = pref.as("a")
-      .join(pref.as("b"),
-        col("a.shash") === col("b.shash") && col("a.id") < col("b.id") &&
-          least(col("a.n_sh"), col("b.n_sh")).cast("double") >=
-            lit(minSim) * greatest(col("a.n_sh"), col("b.n_sh")).cast("double"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    // Verification: exact set intersection of the full shingle arrays.
-    // Doc arrays are shuffled only for candidate pairs; never broadcast
-    // (one row per doc — a broadcast OOMs at corpus scale).
-    cand
-      .join(docs.select(col("id").as("id_a"), col("sh").as("sa"),
-        col("n_sh").as("na")), Seq("id_a"))
-      .join(docs.select(col("id").as("id_b"), col("sh").as("sb"),
-        col("n_sh").as("nb")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= minSim)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    try {
+      // prefix length p = n_sh - ceil(t·n_sh) + 1 (clamped to [1, n_sh])
+      val pLen = greatest(lit(1),
+        col("n_sh") - ceil(lit(minSim) * col("n_sh")).cast("int") + 1)
+      val pref = docs.select(col("id"), col("n_sh"),
+        explode(slice(col("sh"), lit(1), pLen)).as("shash"))
+      // Candidate pairs: shared prefix hash + size-ratio prune
+      // (J ≥ t ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|)), deduped.
+      val cand = pref.as("a")
+        .join(pref.as("b"),
+          col("a.shash") === col("b.shash") && col("a.id") < col("b.id") &&
+            least(col("a.n_sh"), col("b.n_sh")).cast("double") >=
+              lit(minSim) * greatest(col("a.n_sh"), col("b.n_sh")).cast("double"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+      // Verification: exact set intersection of the full shingle arrays.
+      // Doc arrays are shuffled only for candidate pairs; never broadcast
+      // (one row per doc — a broadcast OOMs at corpus scale).
+      cand
+        .join(docs.select(col("id").as("id_a"), col("sh").as("sa"),
+          col("n_sh").as("na")), Seq("id_a"))
+        .join(docs.select(col("id").as("id_b"), col("sh").as("sb"),
+          col("n_sh").as("nb")), Seq("id_b"))
+        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+        .withColumn("jaccard",
+          col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter")).cast("double"))
+        .filter(col("jaccard") >= minSim)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        // eager: pair set materialized before the doc cache is released
+        .localCheckpoint(true)
+    } finally docs.unpersist(blocking = false)
   }
 
   /** Word-n-gram shingle hashes from a token-hash array: h(i) =
@@ -194,25 +198,30 @@ object Dedup {
       .select(col("id"),
         array((0 until numPerm).map(i => col(s"__m$i")): _*).as("sig"))
       .persist()
-    val banded = sigs.select(
-      col("id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)), b))))
-      .withColumnRenamed("col", "bucket")
-      .withColumnRenamed("pos", "band")
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .dropDuplicates("id_a", "id_b")
-    cand
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          b => b)).cast("double") / lit(numPerm.toDouble))
-      .filter(col("est_jaccard") >= minEstSim)
-      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+    try {
+      val banded = sigs.select(
+        col("id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)), b))))
+        .withColumnRenamed("col", "bucket")
+        .withColumnRenamed("pos", "band")
+      val cand = banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+        .dropDuplicates("id_a", "id_b")
+      cand
+        .withColumn("est_jaccard",
+          size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+            b => b)).cast("double") / lit(numPerm.toDouble))
+        .filter(col("est_jaccard") >= minEstSim)
+        .select(col("id_a"), col("id_b"), col("est_jaccard"))
+        // eager: pair set materialized before the signature cache is
+        // released
+        .localCheckpoint(true)
+    } finally sigs.unpersist(blocking = false)
   }
 
   /** 64-bit SimHash of the token multiset: per bit j, sum +1/-1 over token
@@ -259,31 +268,58 @@ object Dedup {
         coalesce(sig, lit(0L)).as("sig"))
   }
 
-  /** SimHash near-dup candidate pairs: block on 16-bit chunks (a pair with
-    * Hamming distance ≤ 3 must agree on ≥1 of 4 chunks), verify with
-    * `bit_count(xor)`.
+  /** SimHash near-dup candidate pairs: block on bit chunks, verify with
+    * `bit_count(xor)`. The chunk count is DERIVED from the requested
+    * radius — with `nChunks = maxHamming + 1` chunks, a pair within
+    * Hamming distance `maxHamming` can touch at most `maxHamming` chunks,
+    * so by pigeonhole it agrees exactly on ≥1 chunk: candidate generation
+    * is complete at the declared radius (the permuted-chunk scheme of
+    * Manku et al., WWW'07 — public literature). Chunk widths split the 64
+    * bits as evenly as possible; narrower chunks (larger radii) mean
+    * bigger blocking buckets — the inherent recall/cost trade of chunk
+    * blocking, but never a silent recall hole.
     */
   def simhashPairs(
       df: DataFrame,
       textCol: Column,
       idCol: Column,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 63], got $maxHamming")
+    val nChunks = maxHamming + 1
+    // distribute 64 bits over nChunks chunks; first (64 % nChunks) chunks
+    // are one bit wider
+    val base = 64 / nChunks
+    val rem = 64 % nChunks
+    val bounds = (0 until nChunks).map { c =>
+      val off = c * base + math.min(c, rem)
+      val w = base + (if (c < rem) 1 else 0)
+      (off, w)
+    }
     val sigs = simhashSignatures(df, textCol, idCol).persist()
-    val chunked = sigs.select(col("id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        c => call_function("shiftright", col("sig"), c * lit(16)).bitwiseAND(lit(0xffffL)))))
-      .withColumnRenamed("col", "chunk")
-      .withColumnRenamed("pos", "chunk_idx")
-    chunked.as("a")
-      .join(chunked.as("b"),
-        col("a.chunk_idx") === col("b.chunk_idx") &&
-          col("a.chunk") === col("b.chunk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+    try {
+      val chunkArr = array(bounds.map { case (off, w) =>
+        val mask = if (w >= 64) -1L else (1L << w) - 1L
+        call_function("shiftright", col("sig"), lit(off)).bitwiseAND(lit(mask))
+      }: _*)
+      val chunked = sigs.select(col("id"), col("sig"), posexplode(chunkArr))
+        .withColumnRenamed("col", "chunk")
+        .withColumnRenamed("pos", "chunk_idx")
+      chunked.as("a")
+        .join(chunked.as("b"),
+          col("a.chunk_idx") === col("b.chunk_idx") &&
+            col("a.chunk") === col("b.chunk") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+        .dropDuplicates("id_a", "id_b")
+        .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+        .filter(col("hamming") <= maxHamming)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        // eager: materialize the (small) pair set now so the signature
+        // cache can be released before returning — cached blocks must not
+        // outlive the operator (they squeeze later queries' memory)
+        .localCheckpoint(true)
+    } finally sigs.unpersist(blocking = false)
   }
 
   /** Embedding-cosine near-dup pairs. Exact all-pairs is quadratic — kept
@@ -325,6 +361,13 @@ object Dedup {
     * node's own id (see d07).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    // snapshot of persisted RDD ids so the per-round localCheckpoint
+    // blocks (lineage cuts) can be released before returning — leaked
+    // checkpoint blocks from iterated operators squeeze later queries'
+    // memory budget. Driver-side query construction is single-threaded
+    // here, so the id-set diff sees only this operator's checkpoints.
+    val rddsBefore = sc.getPersistentRDDs.keySet
     // canonical directed form: u > v (edges point larger -> smaller)
     def canon(df: DataFrame): DataFrame =
       df.filter(col("u") =!= col("v"))
@@ -356,16 +399,30 @@ object Dedup {
     var converged = false
     while (!converged && it < maxIter) {
       val next = smallStar(largeStar(e)).localCheckpoint()
-      // both sides are distinct sets, so equal count + empty one-sided
-      // except proves set equality
-      converged = next.count() == e.count() && next.exceptAll(e).isEmpty
+      // single-job set-equality check: signed counts over the union —
+      // both sides are distinct sets, so the symmetric difference is
+      // empty iff every (u,v) group sums to 0. One aggregation job per
+      // round (the count + exceptAll pair cost two extra barriers).
+      converged = next.select(col("u"), col("v"), lit(1).as("__s"))
+        .unionAll(e.select(col("u"), col("v"), lit(-1).as("__s")))
+        .groupBy(col("u"), col("v")).agg(sum(col("__s")).as("__d"))
+        .filter(col("__d") =!= 0)
+        .isEmpty
       e = next
       it += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
-    e.select(col("u").as("id"), col("v").as("cluster_id"))
+    val labels = e.select(col("u").as("id"), col("v").as("cluster_id"))
       .unionAll(e.select(col("v").as("id"), col("v").as("cluster_id")))
       .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+    // pin the final labels, then release every checkpoint the loop left
+    // behind (the label RDD is checkpointed after the id snapshot diff,
+    // so it is not in loopIds and survives)
+    val loopIds = (sc.getPersistentRDDs.keySet -- rddsBefore).toSeq
+    val out = labels.localCheckpoint(true)
+    loopIds.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    out
   }
 
   /** Benchmark-contamination report: for each corpus doc, the fraction

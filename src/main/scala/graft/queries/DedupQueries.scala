@@ -76,6 +76,34 @@ object DedupQueries {
           coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
         .orderBy(col("vec_id"))
     }),
+    // Embedding near-dup pairs via random-hyperplane LSH blocking — the
+    // 100 TB path (pairs meet only inside bucket joins, never all-pairs).
+    // Approximate: rows-only driver check; recall vs the exact d05 pair
+    // set is asserted >= 0.9 in OperatorsSpec at this exact config.
+    "d09_lsh_cosine" -> ((s, dir) => {
+      Dedup.lshCosinePairs(t(s, dir, "embeddings"), col("embedding"),
+          col("vec_id"), minCosSim = 0.35, nPlanes = 4, nTables = 16)
+        .select(col("id_a"), col("id_b"),
+          round(col("cos_sim").cast("double"), 3).as("cos_sim"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    // End-to-end scale path for embedding dedup: LSH-blocked candidate
+    // pairs → large-star/small-star connected components. This is what
+    // d07 becomes at 100 TB (candidate generation swaps from the exact
+    // all-pairs join to bucketed LSH); rows-only driver check because the
+    // LSH candidate set is approximate.
+    "d10_lsh_clusters" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val pairs = Dedup.lshCosinePairs(emb, col("embedding"), col("vec_id"),
+          minCosSim = 0.35, nPlanes = 4, nTables = 16)
+        .select(col("id_a"), col("id_b"))
+      val labels = Dedup.connectedComponents(pairs)
+      emb.select(col("vec_id"))
+        .join(labels, emb("vec_id") === labels("id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+        .orderBy(col("vec_id"))
+    }),
     // Benchmark-contamination check: 5-gram overlap of each corpus doc
     // (doc_id >= 50) against the "benchmark" slice (doc_id < 50).
     "d08_contamination" -> ((s, dir) => {

@@ -93,6 +93,27 @@ class OperatorsSpec extends SparkSpec {
     assert(agged(4L) === 0L)
   }
 
+  test("simhashPairs is COMPLETE at the declared radius (brute-force cross-check)") {
+    // the d04 contract: with chunk count derived from maxHamming, every
+    // pair with bit_count(sig_a ^ sig_b) <= maxHamming must be generated —
+    // including pairs whose differing bits spread across many chunks
+    val docs = graft.engine.Tables.t(spark, sfDir, "documents")
+    for (radius <- Seq(3, 8)) {
+      val sigs = Dedup.simhashSignatures(docs, col("text"), col("doc_id"))
+      val brute = sigs.as("a").join(sigs.as("b"), col("a.id") < col("b.id"))
+        .withColumn("h", bit_count(col("a.sig").bitwiseXOR(col("b.sig"))))
+        .filter(col("h") <= radius)
+        .select(col("a.id"), col("b.id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val blocked = Dedup.simhashPairs(docs, col("text"), col("doc_id"), radius)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(brute.nonEmpty, s"radius $radius produced no brute-force pairs")
+      assert(blocked === brute,
+        s"radius $radius: blocking missed ${(brute -- blocked).size} of " +
+          s"${brute.size} pairs / produced ${(blocked -- brute).size} extras")
+    }
+  }
+
   test("embedding LSH cosine pairs ⊆ exact pairs, on sf0.001") {
     val emb = graft.engine.Tables.t(spark, sfDir, "embeddings")
     val exact = Dedup.embeddingDupPairs(emb, col("embedding"), col("vec_id"), 0.3)
@@ -103,6 +124,43 @@ class OperatorsSpec extends SparkSpec {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh.subsetOf(exact)) // verification step guarantees precision
     assert(exact.isEmpty || (exact & lsh).size.toDouble / exact.size > 0.5)
+  }
+
+  test("lshCosinePairs at the d09 driver config: recall >= 0.9 vs exact pairs") {
+    val emb = graft.engine.Tables.t(spark, sfDir, "embeddings")
+    val exact = Dedup.embeddingDupPairs(emb, col("embedding"), col("vec_id"), 0.35)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.lshCosinePairs(emb, col("embedding"), col("vec_id"), 0.35, 4, 16)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh.subsetOf(exact)) // cosine verification ⇒ perfect precision
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} exact pairs")
+  }
+
+  test("LSH-fed connected components ≈ exact-fed clusters (d10 path)") {
+    val emb = graft.engine.Tables.t(spark, sfDir, "embeddings")
+    def clusters(pairs: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exactC = clusters(
+      Dedup.embeddingDupPairs(emb, col("embedding"), col("vec_id"), 0.35))
+    val lshC = clusters(
+      Dedup.lshCosinePairs(emb, col("embedding"), col("vec_id"), 0.35, 4, 16))
+    assert(lshC.nonEmpty)
+    // LSH candidates ⊆ exact pairs, so LSH clusters only ever SPLIT exact
+    // clusters (never merge across them): two ids the LSH path groups
+    // together must be grouped together by the exact path too
+    for (ids <- lshC.groupBy(_._2).values.map(_.keys.toSeq) if ids.size > 1)
+      assert(ids.map(exactC).distinct.size == 1,
+        s"LSH merged ids across exact clusters: $ids")
+    // recall at the cluster level: most exact-clustered ids stay clustered
+    val exactClustered = exactC.groupBy(_._2).values.filter(_.size > 1)
+      .flatMap(_.keys).toSet
+    val lshClustered = lshC.groupBy(_._2).values.filter(_.size > 1)
+      .flatMap(_.keys).toSet
+    val kept = (exactClustered & lshClustered).size.toDouble / exactClustered.size
+    assert(kept >= 0.8, s"only $kept of exact-clustered ids remain clustered")
   }
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
