@@ -265,20 +265,26 @@ object HnswIndex {
       b.rows(pid)
     }
     if (pqSubspaces > 0) {
-      // HNSWPQ: persist m-byte PQ codes; codebooks trained like PqIndex.
-      val sample = parted.map(_._2)
-        .sample(withReplacement = false, 0.5, seed = 42L)
-        .take(100000)
-      require(sample.nonEmpty, "empty input to HnswIndex.build")
-      val dim = sample.head.length
+      // HNSWPQ: persist m-byte PQ codes; codebooks trained like PqIndex —
+      // per-subspace spark.ml KMeans|| over a sampled distributed frame
+      // (array slices in the scan), no vector collect to the driver.
+      val vecsDf = parted.toDF("__id", "__v")
+      val nVecs = vecsDf.count()
+      require(nVecs > 0, "empty input to HnswIndex.build")
+      val dim = vecsDf.select(size(col("__v"))).head().getInt(0)
       require(dim % pqSubspaces == 0, s"dim $dim not divisible by m=$pqSubspaces")
       val sub = dim / pqSubspaces
-      val nCodes = math.min(256, sample.length)
-      val books: Array[Array[Array[Float]]] = Array.tabulate(pqSubspaces) { s =>
-        val subSample = sample.map(v =>
-          java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub))
-        IvfIndex.kmeans(subSample, nCodes, seed = 42L + s)
-      }
+      val train = IvfIndex.trainFrame(vecsDf.select(col("__v")), nVecs, 100000)
+        .persist()
+      val books: Array[Array[Array[Float]]] =
+        try {
+          val nCodes = math.min(256L, train.count()).toInt
+          Array.tabulate(pqSubspaces) { s =>
+            val subDf = train.select(
+              slice(col("__v"), s * sub + 1, sub).as("__sub"))
+            IvfIndex.kmeansMl(subDf, "__sub", nCodes, seed = 42L + s)
+          }
+        } finally train.unpersist(blocking = false)
       val bcB = spark.sparkContext.broadcast(books)
       graphDs
         .map(r => (r.part_id, r.node_idx, r.id,

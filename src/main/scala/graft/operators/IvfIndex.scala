@@ -161,7 +161,9 @@ object IvfIndex {
     }
 
   /** Driver-side Lloyd's k-means over a bounded sample. Deterministic
-    * (seeded) — index builds are reproducible.
+    * (seeded) independent of partitioning; retained for
+    * `distributedTrain = false` and unit tests — the default build path
+    * is [[kmeansMl]].
     */
   private[graft] def kmeans(
       sample: Array[Array[Float]], k: Int, iters: Int = 10,
@@ -196,20 +198,31 @@ object IvfIndex {
     centroids
   }
 
-  /** Distributed k-means via spark.ml (seeded KMeans||) — removes the
-    * driver-sample ceiling of [[kmeans]] for very large nLists·dim
-    * (SURVEY's own mapping for centroid training at 100 TB). Driver
-    * Lloyd's stays the default: it is deterministic independent of
-    * partitioning, which the golden tests rely on.
+  /** Distributed k-means via spark.ml (seeded KMeans||) — the DEFAULT
+    * training path (SURVEY §2.1's mapping for centroid training at
+    * 100 TB): no vector sample is ever collected to the driver. Exact
+    * correctness never depends on centroid quality (exhaustive probes are
+    * exact regardless); recall at realistic nprobe is pinned by the index
+    * specs.
     */
   private[graft] def kmeansMl(
-      df: DataFrame, vecCol: String, k: Int, maxIter: Int = 10): Array[Array[Float]] = {
+      df: DataFrame, vecCol: String, k: Int, maxIter: Int = 10,
+      seed: Long = 42L): Array[Array[Float]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.linalg.Vectors
     val toVec = udf((v: Seq[Float]) => Vectors.dense(v.map(_.toDouble).toArray))
     val feats = df.select(toVec(col(vecCol)).as("features"))
-    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(maxIter).fit(feats)
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter).fit(feats)
     model.clusterCenters.map(_.toArray.map(_.toFloat))
+  }
+
+  /** Bounded training frame: sample down to ~trainSampleSize rows but
+    * stay distributed (no driver collect).
+    */
+  private[graft] def trainFrame(
+      df: DataFrame, n: Long, trainSampleSize: Int): DataFrame = {
+    val fraction = math.min(1.0, trainSampleSize.toDouble / math.max(1L, n))
+    if (fraction >= 1.0) df else df.sample(withReplacement = false, fraction, 42L)
   }
 
   private[graft] def nearest(centroids: Array[Array[Float]], v: Array[Float]): Int = {
@@ -238,7 +251,7 @@ object IvfIndex {
       trainSampleSize: Int = 100000,
       sourcePath: String = "",
       defaultNprobe: Int = 4,
-      distributedTrain: Boolean = false): IndexEntry = {
+      distributedTrain: Boolean = true): IndexEntry = {
     Catalog.register(IndexEntry(indexName, indexDir, sourcePath, vecCol, "IVFFLAT",
       metric, "BUILDING", 0L, defaultNprobe))
     Catalog.logEvent(indexName, "BUILD_START", s"IVFFLAT nLists=$nLists metric=$metric")
@@ -247,7 +260,8 @@ object IvfIndex {
 
     val n = df.count()
     val centroids =
-      if (distributedTrain) kmeansMl(df, vecCol, nLists)
+      if (distributedTrain)
+        kmeansMl(trainFrame(df, n, trainSampleSize), vecCol, nLists)
       else {
         val fraction = math.min(1.0, trainSampleSize.toDouble / math.max(1L, n))
         val sample = df.sample(withReplacement = false, fraction, seed = 42L)

@@ -82,21 +82,48 @@ object PqIndex {
       s"IVFPQ nLists=$nLists m=$m metric=$metric")
 
     val n = df.count()
-    val fraction = math.min(1.0, trainSampleSize.toDouble / math.max(1L, n))
-    val sample = df.sample(withReplacement = false, fraction, seed = 42L)
-      .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
-    require(sample.nonEmpty, "empty training sample")
-    val dim = sample.head.length
+    require(n > 0, "empty input to PqIndex.build")
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
 
-    val centroids = IvfIndex.kmeans(sample, nLists)
-    // per-subspace codebooks (≤256 codes each)
-    val nCodes = math.min(256, sample.length)
-    val books: Array[Array[Array[Float]]] = Array.tabulate(m) { s =>
-      val subSample = sample.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub))
-      IvfIndex.kmeans(subSample, nCodes, seed = 42L + s)
-    }
+    // distributed training: coarse centroids AND the m per-subspace
+    // codebooks all train via spark.ml KMeans|| on a sampled frame —
+    // no vector sample ever reaches the driver. The subspace frames are
+    // array slices computed in the scan (codegen), one KMeans job each.
+    val train = IvfIndex.trainFrame(df.select(col(vecCol)), n, trainSampleSize)
+      .persist()
+    try {
+      val nTrain = train.count()
+      val centroids = IvfIndex.kmeansMl(train, vecCol, nLists)
+      val nCodes = math.min(256L, nTrain).toInt
+      val books: Array[Array[Array[Float]]] = Array.tabulate(m) { s =>
+        val subDf = train.select(
+          slice(col(vecCol), s * sub + 1, sub).as("__sub"))
+        IvfIndex.kmeansMl(subDf, "__sub", nCodes, seed = 42L + s)
+      }
+      buildWithCodebooks(spark, df, idCol, vecCol, indexName, indexDir, metric,
+        nLists, m, dim, n, sourcePath, defaultNprobe, centroids, books)
+    } finally train.unpersist(blocking = false)
+  }
+
+  private def buildWithCodebooks(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexName: String,
+      indexDir: String,
+      metric: String,
+      nLists: Int,
+      m: Int,
+      dim: Int,
+      n: Long,
+      sourcePath: String,
+      defaultNprobe: Int,
+      centroids: Array[Array[Float]],
+      books: Array[Array[Array[Float]]]): IvfIndex.IndexEntry = {
+    import spark.implicits._
 
     val bcC = spark.sparkContext.broadcast(centroids)
     val bcB = spark.sparkContext.broadcast(books)
@@ -201,7 +228,8 @@ object PqIndex {
       indexDir: String,
       qvec: Seq[Float],
       numReorder: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int,
+      preFilter: Option[Column] = None): DataFrame = {
     val meta = loadMeta(indexDir)
     val books = loadBooks(spark, indexDir)
     val centroids = loadCentroids(spark, indexDir)
@@ -209,8 +237,10 @@ object PqIndex {
     val probes = centroids.zipWithIndex
       .map { case (c, i) => (IvfIndex.centroidDist(meta.metric, c, q), i) }
       .sortBy(_._1).take(math.min(nprobe, centroids.length)).map(_._2)
-    val pruned = spark.read.parquet(s"$indexDir/lists")
+    // pre-filter BEFORE ranking (reference performPrefilter semantics)
+    val pruned0 = spark.read.parquet(s"$indexDir/lists")
       .filter(col("list_id").isin(probes.toIndexedSeq: _*))
+    val pruned = preFilter.map(pruned0.filter).getOrElse(pruned0)
     val table = adcTable(q, books, meta.metric)
     val ip = meta.metric.equalsIgnoreCase("ip") || meta.metric.equalsIgnoreCase("dot")
     val adc = shim.column(PqAdcDistance(shim.expression(col("pqcodes")), table))

@@ -66,10 +66,12 @@ object SqIndex {
     IvfIndex.Catalog.logEvent(indexName, "BUILD_START", s"IVFSQ nLists=$nLists metric=$metric")
 
     val n = df.count()
-    val fraction = math.min(1.0, trainSampleSize.toDouble / math.max(1L, n))
-    val sample = df.sample(withReplacement = false, fraction, seed = 42L)
-      .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
-    val centroids = IvfIndex.kmeans(sample, nLists)
+    require(n > 0, "empty input to SqIndex.build")
+    // distributed centroid training (spark.ml KMeans||) — no vector
+    // sample ever reaches the driver
+    val centroids = IvfIndex.kmeansMl(
+      IvfIndex.trainFrame(df.select(col(vecCol)), n, trainSampleSize),
+      vecCol, nLists)
     val dim = centroids.head.length
 
     // Per-dim min/max: per-partition arrays, dim-sized driver reduce.
@@ -167,7 +169,8 @@ object SqIndex {
       indexDir: String,
       qvec: Seq[Float],
       numReorder: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int,
+      preFilter: Option[Column] = None): DataFrame = {
     val meta = loadMeta(indexDir)
     val (scale, offset) = loadParams(spark, indexDir)
     val centroids = loadCentroids(spark, indexDir)
@@ -175,8 +178,12 @@ object SqIndex {
     val probes = centroids.zipWithIndex
       .map { case (c, i) => (IvfIndex.centroidDist(meta.metric, c, q), i) }
       .sortBy(_._1).take(math.min(nprobe, centroids.length)).map(_._2)
-    val pruned = spark.read.parquet(s"$indexDir/lists")
+    // pre-filter BEFORE ranking (reference performPrefilter semantics):
+    // the lists carry every source column except the vector, so filters
+    // evaluate directly on the quantized layout
+    val pruned0 = spark.read.parquet(s"$indexDir/lists")
       .filter(col("list_id").isin(probes.toIndexedSeq: _*))
+    val pruned = preFilter.map(pruned0.filter).getOrElse(pruned0)
     val m = parseMetric(meta.metric)
     val sqd = shim.column(SqDistance(
       shim.expression(col("qcodes")), q, scale, offset, m))

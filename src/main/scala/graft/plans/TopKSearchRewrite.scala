@@ -39,9 +39,13 @@ import graft.operators.{HnswIndex, IvfIndex}
   *  - With a BUILT **HNSWFLAT** index, the scan is replaced by a
   *    broadcast semi-join of the relation against the graph search's
   *    (id, d) candidates — the graph search itself is the shuffle-free
-  *    per-part plan of [[HnswIndex.search]]. Only unfiltered queries are
-  *    routed (a WHERE would need filter-aware traversal; brute force
-  *    remains correct and is left in place).
+  *    per-part plan of [[HnswIndex.search]]. A WHERE routes too: it is
+  *    evaluated to an id set (the reference's pre-filter bitmap,
+  *    `performPrefilter`), broadcast into the graph traversal as an
+  *    accept mask, with ef scaled by the filter's selectivity.
+  *  - **IVFSQ/IVFPQ** route filtered queries by pushing the WHERE into
+  *    the quantized stage-1 ranking (the lists carry the source columns),
+  *    so candidates qualify BEFORE the top-`numReorder` cut.
   *  - The distance attribute may be the FIRST of several sort keys —
   *    trailing tie-break keys are preserved, not a reason to lose the
   *    index.
@@ -122,6 +126,23 @@ case class TopKSearchRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => ExprId(-1L)
   }
 
+  /** True when the WHERE touches the vector column itself — the quantized
+    * lists dropped it, so such filters cannot resolve there.
+    */
+  private def filterReferencesVector(
+      cond: Option[Expression], vecAttr: AttributeReference): Boolean =
+    cond.exists(_.references.exists(_.name == vecAttr.name))
+
+  /** Re-expresses a resolved condition with name-based attributes so it
+    * can be resolved again against the index-lists layout (same column
+    * names, different exprIds).
+    */
+  private def byNameColumn(cond: Expression): org.apache.spark.sql.Column =
+    shim.column(cond.transform {
+      case a: AttributeReference =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(a.name)
+    })
+
   private def rewriteTopK(
       k: Int, sort: Sort, orders: Seq[SortOrder], child: LogicalPlan): Option[LogicalPlan] = {
     // First sort key must be an attribute produced by a projection as
@@ -171,33 +192,58 @@ case class TopKSearchRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         spark.read.parquet(s"${entry.indexDir}/lists")
           .filter(col("list_id").isin(probes.toIndexedSeq: _*))
           .queryExecution.analyzed
-      case sq @ ("IVFSQ" | "IVFPQ") if filterCond.isEmpty =>
+      case sq @ ("IVFSQ" | "IVFPQ")
+          if !filterReferencesVector(filterCond, vecAttr) =>
         val qvec = qArray.toFloatArray()
         // quantized stage-1 candidates; the original projection's exact
-        // distance + the Sort/Limit on top IS the stage-2 re-rank.
+        // distance + the Sort/Limit on top IS the stage-2 re-rank. A
+        // WHERE is pushed INTO stage 1 (resolved by name against the
+        // quantized lists, which carry every source column except the
+        // vector) — pre-filter semantics: ranking happens only over
+        // qualifying rows, matching the reference's performPrefilter
+        // (`MergeTreeSelectWithHybridSearchProcessor.h:117-129`).
         val numReorder = math.max(4 * k, 64)
+        val listsFilter = filterCond.map(byNameColumn)
         val cand =
           (if (sq == "IVFSQ")
             graft.operators.SqIndex.stage1Candidates(
-              spark, entry.indexDir, qvec.toSeq, numReorder, entry.defaultNprobe)
+              spark, entry.indexDir, qvec.toSeq, numReorder,
+              entry.defaultNprobe, listsFilter)
           else
             graft.operators.PqIndex.stage1Candidates(
-              spark, entry.indexDir, qvec.toSeq, numReorder, entry.defaultNprobe))
+              spark, entry.indexDir, qvec.toSeq, numReorder,
+              entry.defaultNprobe, listsFilter))
         logInfo(s"TopKSearchRewrite: ORDER BY ${vd.prettyName} LIMIT $k over $path " +
-          s"→ $sq index ${entry.name} (numReorder=$numReorder)")
+          s"→ $sq index ${entry.name} (numReorder=$numReorder, " +
+          s"filtered=${filterCond.nonEmpty})")
         shim.ofRows(spark, rel)
           .join(broadcast(cand), cand.columns.toSeq, "left_semi")
           .queryExecution.optimizedPlan
-      case "HNSWFLAT" if filterCond.isEmpty && entry.idCol.nonEmpty =>
+      case "HNSWFLAT" if entry.idCol.nonEmpty =>
         val qvec = qArray.toFloatArray()
-        // graph search: shuffle-free per-part plan; over-fetch candidates
-        // (ef ≥ 2k) then semi-join the relation to recover source columns.
+        // Filtered search routes through the graph with an accept mask
+        // (reference performPrefilter): the WHERE is evaluated against
+        // the source relation to an id set — the Spark analog of the
+        // reference's part-level filter bitmap — broadcast to the graph
+        // tasks, and ef grows with filter selectivity so the traversal
+        // still surfaces k qualifying rows.
+        val accept = filterCond.map { cond =>
+          val ids = shim.ofRows(spark, Filter(cond, rel))
+            .select(col(entry.idCol).cast("long"))
+            .collect().map(_.getLong(0)).toSet
+          val bc = spark.sparkContext.broadcast(ids)
+          (ids.size, (id: Long) => bc.value.contains(id))
+        }
+        val sel = accept.map(_._1.toDouble / math.max(1L, entry.nRows))
+          .getOrElse(1.0)
+        val ef = math.min(4096,
+          math.max(math.max(64, 2 * k), math.ceil(2 * k / math.max(sel, 1e-3)).toInt))
         val cand = HnswIndex.search(spark, entry.indexDir, qvec.toSeq, k,
-            ef = math.max(64, 2 * k), metric = entry.metric)
+            ef = ef, metric = entry.metric, accept = accept.map(_._2))
           .withColumnRenamed("id", entry.idCol)
           .drop("d") // distance recomputed exactly by the projection
         logInfo(s"TopKSearchRewrite: ORDER BY ${vd.prettyName} LIMIT $k over $path " +
-          s"→ HNSW index ${entry.name} (ef=${math.max(64, 2 * k)})")
+          s"→ HNSW index ${entry.name} (ef=$ef, filtered=${filterCond.nonEmpty})")
         // optimizedPlan (not analyzed): the broadcast hint must already be
         // folded into the join node — this rule runs after Spark's
         // hint-resolution batch.

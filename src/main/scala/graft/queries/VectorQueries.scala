@@ -289,6 +289,21 @@ object VectorQueries {
         .select(col("vec_id"), round(col("d").cast("double"), 3).as("d"))
         .orderBy(col("vec_id"))
     }),
+    // Pre-filtered HNSW search: the WHERE is evaluated to an id set and
+    // pushed into the graph traversal as an accept mask (reference
+    // performPrefilter semantics) with ef scaled by selectivity —
+    // filtered ANN no longer pays brute force. Approximate → rows-only;
+    // the Catalyst-rewrite twin of this path is plan-asserted in
+    // TopKRewriteSpec.
+    "v26_prefilter_hnsw" -> ((s, dir) => {
+      val ids = emb(s, dir).filter(col("label") === 3)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      val bc = s.sparkContext.broadcast(ids)
+      HnswIndex.search(s, hnswDir(s, dir), queryVec(s, dir), 10,
+          ef = 512, accept = Some((id: Long) => bc.value.contains(id)))
+        .select(col("id").as("vec_id"), round(col("d").cast("double"), 3).as("d"))
+        .orderBy(col("vec_id"))
+    }),
     // IVFSQ in EXACT mode: exhaustive probes + full re-rank. The true
     // top-K can't fall below the reorder cut, so the quantized storage +
     // ADC + two-stage machinery must reproduce brute force bit-for-bit —

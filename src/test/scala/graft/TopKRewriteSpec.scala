@@ -81,12 +81,23 @@ class TopKRewriteSpec extends SparkSpec {
           None, "d", Seq(col("vec_id")))
         .select("vec_id").collect().map(_.getLong(0)).toSet
       assert((got & brute).size >= 8, s"recall too low: ${(got & brute).size}/10")
-      // filtered query is NOT routed (falls back to exact brute force)
+      // filtered query routes through the graph with an accept mask
+      // (no brute-force fallback): plan keeps the candidate semi-join,
+      // every row qualifies, and recall vs filtered brute force holds
       val filtered = emb.filter(col("label") === 2)
-        .select(col("vec_id"),
+        .select(col("vec_id"), col("label"),
           distances.l2Distance(col("embedding"), typedLit(qv)).as("d"))
         .orderBy(col("d")).limit(5)
-      assert(!filtered.queryExecution.executedPlan.toString.contains("Join"))
+      assert(filtered.queryExecution.executedPlan.toString.contains("Join"),
+        "filtered HNSW query fell back to brute force")
+      val fRows = filtered.collect()
+      assert(fRows.forall(_.getInt(1) === 2))
+      val fBrute = VectorSearch.topK(emb, col("embedding"), qv, 5, "l2",
+          Some(col("label") === 2), "d", Seq(col("vec_id")))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val fGot = fRows.map(_.getLong(0)).toSet
+      assert((fGot & fBrute).size >= 4,
+        s"filtered recall too low: ${(fGot & fBrute).size}/5")
     } finally IvfIndex.Catalog.drop("auto_hnsw")
   }
 
@@ -105,6 +116,21 @@ class TopKRewriteSpec extends SparkSpec {
           None, "d", Seq(col("vec_id")))
         .select("vec_id").collect().map(_.getLong(0)).toSet
       assert((got & brute).size >= 9, s"recall: ${(got & brute).size}/10")
+      // filtered query routes with the WHERE pushed into stage 1
+      // (pre-filter semantics: candidates qualify before the reorder cut)
+      val filtered = emb.filter(col("label") === 2)
+        .select(col("vec_id"), col("label"),
+          distances.l2Distance(col("embedding"), typedLit(qv)).as("d"))
+        .orderBy(col("d")).limit(5)
+      assert(filtered.queryExecution.executedPlan.toString.contains("Join"),
+        "filtered IVFSQ query fell back to brute force")
+      val fRows = filtered.collect()
+      assert(fRows.forall(_.getInt(1) === 2))
+      val fBrute = VectorSearch.topK(emb, col("embedding"), qv, 5, "l2",
+          Some(col("label") === 2), "d", Seq(col("vec_id")))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert((fRows.map(_.getLong(0)).toSet & fBrute).size >= 4,
+        s"filtered recall: ${(fRows.map(_.getLong(0)).toSet & fBrute).size}/5")
     } finally IvfIndex.Catalog.drop("auto_sq")
   }
 
