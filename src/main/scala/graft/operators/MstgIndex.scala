@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** MSTG index DDL stand-in (`ADD VECTOR INDEX v col TYPE
+  * MSTG('disk_mode=1','metric_type=Cosine')`, reference test
+  * `tests/queries/2_vector_search/00028_mqvs_index_mstg_build_search.sql`;
+  * search-time `distance('alpha=4')(...)`).
+  *
+  * The MSTG algorithm itself is proprietary (closed SearchIndex library)
+  * and is deliberately NOT reimplemented — SURVEY §2.1 maps this surface
+  * to "same API, IVF backend". What IS faithfully reproduced here is the
+  * user-visible contract:
+  *   - the `'key=value'` parameter string format and its validation
+  *     (`/root/reference/src/VectorIndex/Interpreters/parseVSParameters.cpp:43-220`):
+  *     spaces stripped, exactly one `=`, non-empty key and value, unknown
+  *     keys rejected with the valid-key list, int-typed params reject
+  *     non-integers, numeric params reject strings, candidate sets and
+  *     ranges enforced;
+  *   - catalog rows report `indexType = MSTG` (system.vector_indices);
+  *   - search accepts the public MSTG search parameter `alpha`
+  *     (accuracy/speed knob) and maps it onto the IVF probe budget.
+  */
+object MstgIndex {
+
+  sealed trait ParamSpec { def key: String }
+  private case class IntParam(key: String, candidates: Seq[Int] = Nil,
+      range: Option[(Int, Int)] = None) extends ParamSpec
+  private case class FloatParam(key: String, range: Option[(Double, Double)] = None)
+      extends ParamSpec
+  private case class StringParam(key: String, candidates: Seq[String],
+      caseSensitive: Boolean = false) extends ParamSpec
+
+  /** Build-time parameters (reference 00028 exercises disk_mode and
+    * metric_type).
+    */
+  private val buildParams: Seq[ParamSpec] = Seq(
+    IntParam("disk_mode", candidates = Seq(0, 1, 2)),
+    StringParam("metric_type", Seq("L2", "Cosine", "IP")))
+
+  /** Search-time parameters (`distance('alpha=4')`). */
+  private val searchParams: Seq[ParamSpec] = Seq(
+    FloatParam("alpha", range = Some((1.0, 4.0))))
+
+  /** `parse_arg` (parseVSParameters.cpp:43-75): strip every space, demand
+    * exactly one `=`, non-empty key and value.
+    */
+  private[graft] def parseArg(raw: String): (String, String) = {
+    val input = raw.replace(" ", "")
+    require(input.count(_ == '=') == 1,
+      "Key-value String parameter to vector index has only one `=`")
+    val Array(key, value) = input.split("=", 2)
+    require(key.nonEmpty && value.nonEmpty, "parameters' key or value may be empty")
+    (key, value)
+  }
+
+  /** Full parameter validation against a spec set — the Spark port of
+    * parseVSParameters.cpp:77-220 (unknown key, int-ness, not-a-string,
+    * candidates, range).
+    */
+  private def validate(args: Seq[String], specs: Seq[ParamSpec]): Map[String, String] =
+    args.map { raw =>
+      val (key, value) = parseArg(raw)
+      val spec = specs.find(_.key == key).getOrElse(throw new IllegalArgumentException(
+        s"Unsupported vector search argument `$key` on vector index `MSTG`, " +
+          s"supported arguments is [${specs.map(_.key).mkString(",")}]"))
+      spec match {
+        case IntParam(k, candidates, range) =>
+          val i = value.toIntOption.getOrElse(throw new IllegalArgumentException(
+            s"Expects an integer value for parameter: `$k`, but got `$value`"))
+          if (candidates.nonEmpty && !candidates.contains(i))
+            throw new IllegalArgumentException(
+              s"Value for parameter `$k` should be one of [${candidates.mkString(", ")}]")
+          range.foreach { case (lo, hi) =>
+            if (i < lo || i > hi) throw new IllegalArgumentException(
+              s"Value for parameter `$k` range needs to be $lo~$hi")
+          }
+        case FloatParam(k, range) =>
+          val f = value.toDoubleOption.getOrElse(throw new IllegalArgumentException(
+            s"Value for parameter `$k` can't be string"))
+          range.foreach { case (lo, hi) =>
+            if (f < lo || f > hi) throw new IllegalArgumentException(
+              s"Value for parameter `$k` range needs to be $lo~$hi")
+          }
+        case StringParam(k, candidates, caseSensitive) =>
+          val cands = if (caseSensitive) candidates else candidates.map(_.toUpperCase)
+          val v = if (caseSensitive) value else value.toUpperCase
+          if (!cands.contains(v)) throw new IllegalArgumentException(
+            s"Value for parameter `$k` should be one of [${candidates.mkString(",")}]")
+      }
+      key -> value
+    }.toMap
+
+  private def toMetric(metricType: String): String = metricType.toUpperCase match {
+    case "L2"     => "l2"
+    case "COSINE" => "cosine"
+    case "IP"     => "ip"
+  }
+
+  /** Build: validates the MSTG parameter strings, then delegates to the
+    * IVF backend; the catalog row carries `indexType = MSTG` so
+    * system.vector_indices and the top-K rewrite see the reference's type
+    * name.
+    */
+  def build(
+      spark: SparkSession,
+      df: DataFrame,
+      vecCol: String,
+      indexName: String,
+      indexDir: String,
+      params: Seq[String] = Nil,
+      nLists: Int = 16,
+      sourcePath: String = "",
+      defaultNprobe: Int = 4): IvfIndex.IndexEntry = {
+    val parsed = validate(params, buildParams)
+    val metric = toMetric(parsed.getOrElse("metric_type", "L2"))
+    // disk_mode validated and recorded; both modes use the same parquet
+    // list layout here (the reference's in-memory/on-disk split maps to
+    // Spark's storage-agnostic scan)
+    val entry = IvfIndex.build(spark, df, vecCol, indexName, indexDir, metric,
+      nLists, sourcePath = sourcePath, defaultNprobe = defaultNprobe)
+    val mstgEntry = entry.copy(indexType = "MSTG")
+    IvfIndex.Catalog.register(mstgEntry)
+    IvfIndex.Catalog.logEvent(indexName, "MSTG_PARAMS",
+      params.map(_.replace(" ", "")).mkString(","))
+    mstgEntry
+  }
+
+  /** Search with MSTG search-parameter strings: `alpha` (1~4, reference
+    * default 3) scales the probe budget — the same accuracy/speed knob
+    * role it plays in the reference.
+    */
+  def search(
+      spark: SparkSession,
+      indexDir: String,
+      qvec: Seq[Float],
+      k: Int,
+      params: Seq[String] = Nil,
+      preFilter: Option[Column] = None,
+      distName: String = "d",
+      tieBreak: Seq[Column] = Nil,
+      deletes: Option[DataFrame] = None): DataFrame = {
+    val parsed = validate(params, searchParams)
+    val alpha = parsed.get("alpha").map(_.toDouble).getOrElse(3.0)
+    val meta = IvfIndex.loadMeta(indexDir)
+    val nprobe = math.max(1,
+      math.min(meta.nLists, math.ceil(meta.nLists * alpha / 4.0).toInt))
+    IvfIndex.search(spark, indexDir, qvec, k, nprobe, None, preFilter,
+      distName, tieBreak, deletes)
+  }
+}

@@ -181,7 +181,9 @@ case class TopKSearchRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (!vd.metric.toString.equalsIgnoreCase(entry.metric)) return None
 
     val newScan: LogicalPlan = entry.indexType match {
-      case "IVFFLAT" =>
+      // MSTG is the validated-DDL stand-in over the IVF backend (SURVEY
+      // §2.1) — identical probed-lists plan
+      case "IVFFLAT" | "MSTG" =>
         val qvec = qArray.toFloatArray()
         val centroids = IvfIndex.loadCentroids(spark, entry.indexDir)
         val probes = centroids.zipWithIndex

@@ -90,6 +90,15 @@ object VectorQueries {
         nLists = 16, m = 8)
       idx
     })
+  private val mstgDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def mstgDir(s: SparkSession, dir: String): String =
+    mstgDirs.getOrElseUpdate(dir, {
+      val idx = java.nio.file.Files.createTempDirectory("graft-mstg").toString
+      graft.operators.MstgIndex.build(s, emb(s, dir), "embedding",
+        s"mstg_embeddings_${dir.replaceAll("[^a-zA-Z0-9]", "_")}", idx,
+        params = Seq("disk_mode=1", "metric_type=L2"), nLists = 16)
+      idx
+    })
   private val bivfDirs = scala.collection.concurrent.TrieMap.empty[String, String]
   /** Binary corpus: deterministic 16-byte vectors from document text
     * (same derivation as v10, so the two stay comparable).
@@ -289,6 +298,17 @@ object VectorQueries {
         .select(col("vec_id"), round(col("d").cast("double"), 3).as("d"))
         .orderBy(col("vec_id"))
     }),
+    // MSTG DDL stand-in (reference 00028_mqvs_index_mstg_build_search):
+    // TYPE MSTG('disk_mode=1','metric_type=L2') with full parameter
+    // validation, searched with the public `alpha` knob. alpha=4 probes
+    // every list ⇒ exact — shares the brute-force oracle.
+    "v27_mstg_search" -> ((s, dir) => {
+      graft.operators.MstgIndex.search(s, mstgDir(s, dir),
+          queryVec(s, dir), 10, params = Seq("alpha=4"),
+          preFilter = None, distName = "d", tieBreak = Seq(col("vec_id")))
+        .select(col("vec_id"), round(col("d").cast("double"), 3).as("d"))
+        .orderBy(col("vec_id"))
+    }),
     // Pre-filtered HNSW search: the WHERE is evaluated to an id set and
     // pushed into the graph traversal as an accept mask (reference
     // performPrefilter semantics) with ef scaled by selectivity —
@@ -423,6 +443,12 @@ object VectorQueries {
         ORDER BY list_distance(embedding, $qv0), vec_id LIMIT 10)
       ORDER BY vec_id""",
     "v08_ivf_exact" -> s"""
+      SELECT * FROM (
+        SELECT vec_id, round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) AS d
+        FROM embeddings
+        ORDER BY list_distance(embedding, $qv0), vec_id LIMIT 10)
+      ORDER BY vec_id""",
+    "v27_mstg_search" -> s"""
       SELECT * FROM (
         SELECT vec_id, round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) AS d
         FROM embeddings

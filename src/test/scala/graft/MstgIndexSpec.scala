@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{IvfIndex, MstgIndex, VectorSearch}
+
+/** MSTG DDL stand-in: reference parameter-string validation
+  * (parseVSParameters.cpp:43-220) + build/search over the IVF backend
+  * (reference test 00028_mqvs_index_mstg_build_search.sql shape).
+  */
+class MstgIndexSpec extends SparkSpec {
+
+  def emb = graft.engine.Tables.t(spark, sfDir, "embeddings")
+  lazy val qv: Seq[Float] = emb.filter(col("vec_id") === 0)
+    .select(col("embedding")).head().getSeq[Float](0)
+
+  test("parseArg: space stripping, exactly one `=`, non-empty key/value") {
+    assert(MstgIndex.parseArg(" disk_mode = 1 ") === ("disk_mode", "1"))
+    intercept[IllegalArgumentException](MstgIndex.parseArg("disk_mode"))
+    intercept[IllegalArgumentException](MstgIndex.parseArg("a=b=c"))
+    intercept[IllegalArgumentException](MstgIndex.parseArg("=1"))
+    intercept[IllegalArgumentException](MstgIndex.parseArg("disk_mode="))
+  }
+
+  test("build params: unknown key, non-int value, candidate sets rejected") {
+    val dir = Files.createTempDirectory("mstg-bad").toString
+    def build(params: String*) =
+      MstgIndex.build(spark, emb, "embedding", "bad_mstg", dir,
+        params = params, nLists = 4)
+    val unknown = intercept[IllegalArgumentException](build("bogus_knob=1"))
+    assert(unknown.getMessage.contains("supported arguments is [disk_mode,metric_type]"))
+    val nonInt = intercept[IllegalArgumentException](build("disk_mode=fast"))
+    assert(nonInt.getMessage.contains("Expects an integer value"))
+    val badCand = intercept[IllegalArgumentException](build("disk_mode=7"))
+    assert(badCand.getMessage.contains("should be one of [0, 1, 2]"))
+    val badMetric = intercept[IllegalArgumentException](build("metric_type=Hamming"))
+    assert(badMetric.getMessage.contains("should be one of [L2,Cosine,IP]"))
+    assert(IvfIndex.Catalog.lookup("bad_mstg").isEmpty
+      || IvfIndex.Catalog.lookup("bad_mstg").exists(_.status != "BUILT"))
+  }
+
+  test("search params: alpha range enforced, string rejected") {
+    val dir = Files.createTempDirectory("mstg-s").toString
+    MstgIndex.build(spark, emb, "embedding", "s_mstg", dir,
+      params = Seq("disk_mode=0"), nLists = 4)
+    try {
+      val range = intercept[IllegalArgumentException](
+        MstgIndex.search(spark, dir, qv, 5, params = Seq("alpha=9")).collect())
+      assert(range.getMessage.contains("range needs to be 1.0~4.0"))
+      val str = intercept[IllegalArgumentException](
+        MstgIndex.search(spark, dir, qv, 5, params = Seq("alpha=high")).collect())
+      assert(str.getMessage.contains("can't be string"))
+      val unknown = intercept[IllegalArgumentException](
+        MstgIndex.search(spark, dir, qv, 5, params = Seq("nprobe=4")).collect())
+      assert(unknown.getMessage.contains("Unsupported vector search argument"))
+    } finally IvfIndex.Catalog.drop("s_mstg")
+  }
+
+  test("MSTG build + alpha=4 search is exact; catalog row reports MSTG") {
+    val dir = Files.createTempDirectory("mstg-ok").toString
+    MstgIndex.build(spark, emb, "embedding", "ok_mstg", dir,
+      params = Seq("disk_mode=1", "metric_type=L2"), nLists = 4)
+    try {
+      val entry = IvfIndex.Catalog.lookup("ok_mstg").get
+      assert(entry.indexType === "MSTG" && entry.status === "BUILT")
+      val got = MstgIndex.search(spark, dir, qv, 10, params = Seq("alpha=4"),
+          tieBreak = Seq(col("vec_id")))
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      val brute = VectorSearch.topK(emb, col("embedding"), qv, 10, "l2",
+          None, "d", Seq(col("vec_id")))
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(got.sorted === brute.sorted)
+      // cosine variant builds with the mapped metric
+      val dir2 = Files.createTempDirectory("mstg-cos").toString
+      MstgIndex.build(spark, emb, "embedding", "cos_mstg", dir2,
+        params = Seq("metric_type=Cosine"), nLists = 4)
+      try assert(IvfIndex.Catalog.lookup("cos_mstg").get.metric === "cosine")
+      finally IvfIndex.Catalog.drop("cos_mstg")
+    } finally IvfIndex.Catalog.drop("ok_mstg")
+  }
+}
