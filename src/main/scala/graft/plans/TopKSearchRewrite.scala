@@ -143,6 +143,16 @@ case class TopKSearchRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(a.name)
     })
 
+  /** Source columns that would collide with index-internal column names
+    * when a WHERE is re-resolved by name against the index layout (the
+    * IVF lists carry `list_id`, the quantized lists `qcodes`/`pqcodes`,
+    * the HNSW graph `node_idx`/`qvec`/`neighbors`). A source table using
+    * one of these names would silently mis-filter inside the index scan,
+    * so routing is skipped (brute force stays exact).
+    */
+  private val ReservedIndexColumns =
+    Set("list_id", "qcodes", "pqcodes", "qvec", "node_idx", "neighbors", "part_id")
+
   private def rewriteTopK(
       k: Int, sort: Sort, orders: Seq[SortOrder], child: LogicalPlan): Option[LogicalPlan] = {
     // First sort key must be an attribute produced by a projection as
@@ -166,6 +176,11 @@ case class TopKSearchRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case lr: LogicalRelation => lr
       case _ => return None
     }
+    // A source schema using an index-internal name cannot route: the
+    // index build overwrote that column in the lists layout, and a WHERE
+    // re-resolved by name against it would silently mis-filter. Brute
+    // force stays exact.
+    if (rel.output.exists(a => ReservedIndexColumns.contains(a.name))) return None
     val distAlias = projList.collectFirst {
       case al @ Alias(vd @ VectorDistance(attr: AttributeReference, Literal(q, ArrayType(FloatType, _)), _), _)
           if al.exprId == sortAttr.exprId => (al, vd, attr, q.asInstanceOf[ArrayData])
@@ -228,20 +243,40 @@ case class TopKSearchRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         // the source relation to an id set — the Spark analog of the
         // reference's part-level filter bitmap — broadcast to the graph
         // tasks, and ef grows with filter selectivity so the traversal
-        // still surfaces k qualifying rows.
-        val accept = filterCond.map { cond =>
-          val ids = shim.ofRows(spark, Filter(cond, rel))
+        // still surfaces k qualifying rows. Two fallbacks keep this
+        // bounded AND exact (both → brute force over the filtered scan,
+        // which parquet pushdown makes cheap precisely when the filter
+        // is selective):
+        //  - the id collect is capped at spark.graft.maxPrefilterIds —
+        //    past it the mask would not fit a broadcast;
+        //  - when selectivity is so low that the capped ef candidate
+        //    pool could not surface k qualifying rows, routing is
+        //    abandoned — the reference's exact-over-bitmap regime for
+        //    selective filters, instead of a silent < k result.
+        val efCap = TopKSearchRewrite.EfCap
+        val acceptIds = filterCond.map { cond =>
+          val maxIds = spark.conf.getOption("spark.graft.maxPrefilterIds")
+            .map(_.toInt).getOrElse(TopKSearchRewrite.DefaultMaxPrefilterIds)
+          val rows = shim.ofRows(spark, Filter(cond, rel))
             .select(col(entry.idCol).cast("long"))
-            .collect().map(_.getLong(0)).toSet
-          val bc = spark.sparkContext.broadcast(ids)
-          (ids.size, (id: Long) => bc.value.contains(id))
+            .limit(maxIds + 1).collect()
+          if (rows.length > maxIds) return None // mask unbounded → brute force
+          rows.map(_.getLong(0)).toSet
         }
-        val sel = accept.map(_._1.toDouble / math.max(1L, entry.nRows))
+        val sel = acceptIds.map(_.size.toDouble / math.max(1L, entry.nRows))
           .getOrElse(1.0)
-        val ef = math.min(4096,
-          math.max(math.max(64, 2 * k), math.ceil(2 * k / math.max(sel, 1e-3)).toInt))
+        val efNeeded = math.max(math.max(64, 2 * k),
+          math.ceil(2.0 * k / math.max(sel, 1e-9)).toInt)
+        if (acceptIds.exists(ids => ids.size < k || efNeeded > efCap)) {
+          return None // too selective for the capped pool → exact
+        }
+        val ef = math.min(efCap, efNeeded)
+        val accept = acceptIds.map { ids =>
+          val bc = spark.sparkContext.broadcast(ids)
+          (id: Long) => bc.value.contains(id)
+        }
         val cand = HnswIndex.search(spark, entry.indexDir, qvec.toSeq, k,
-            ef = ef, metric = entry.metric, accept = accept.map(_._2))
+            ef = ef, metric = entry.metric, accept = accept)
           .withColumnRenamed("id", entry.idCol)
           .drop("d") // distance recomputed exactly by the projection
         logInfo(s"TopKSearchRewrite: ORDER BY ${vd.prettyName} LIMIT $k over $path " +
@@ -282,6 +317,14 @@ case class TopKSearchRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
 object TopKSearchRewrite {
   val DefaultMaxSearchResultWindow = 10000 // reference Settings.h:923
+  /** Hard cap on the HNSW candidate pool; beyond it a filtered query
+    * falls back to the exact filtered scan rather than risk < k rows.
+    */
+  val EfCap = 4096
+  /** Cap on the pre-filter id set collected at plan time (~16 MB of
+    * longs); past it the mask would not broadcast and routing aborts.
+    */
+  val DefaultMaxPrefilterIds = 2 << 20
 
   def isDistanceSort(o: SortOrder): Boolean =
     o.child.exists(_.isInstanceOf[VectorDistance])

@@ -134,6 +134,73 @@ class TopKRewriteSpec extends SparkSpec {
     } finally IvfIndex.Catalog.drop("auto_sq")
   }
 
+  test("filtered query too selective for the capped ef pool → exact fallback") {
+    val dir = Files.createTempDirectory("hnsw-sel").toString
+    val srcPath = "file:" + sfDir + "/embeddings.parquet"
+    try {
+      graft.operators.HnswIndex.build(spark, emb, "vec_id", "embedding",
+        "sel_hnsw", dir, "l2", m = 12, efConstruction = 80,
+        numPartitions = Some(2), sourcePath = srcPath)
+      // fewer qualifying rows than k: a masked graph search could
+      // silently return < k rows, so the rewrite must abandon routing
+      // and leave the exact filtered scan in place
+      val filtered = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id"),
+          distances.l2Distance(col("embedding"), typedLit(qv)).as("d"))
+        .orderBy(col("d")).limit(5)
+      val plan = filtered.queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject") && !plan.contains("Join"),
+        s"expected brute-force fallback in:\n$plan")
+      assert(filtered.collect().map(_.getLong(0)).toSet === Set(0L, 1L, 2L))
+    } finally IvfIndex.Catalog.drop("sel_hnsw")
+  }
+
+  test("pre-filter id set past spark.graft.maxPrefilterIds → exact fallback") {
+    val dir = Files.createTempDirectory("hnsw-cap").toString
+    val srcPath = "file:" + sfDir + "/embeddings.parquet"
+    spark.conf.set("spark.graft.maxPrefilterIds", "10")
+    try {
+      graft.operators.HnswIndex.build(spark, emb, "vec_id", "embedding",
+        "cap_hnsw", dir, "l2", m = 12, efConstruction = 80,
+        numPartitions = Some(2), sourcePath = srcPath)
+      val filtered = emb.filter(col("label") === 2) // ≫ 10 matching ids
+        .select(col("vec_id"), col("label"),
+          distances.l2Distance(col("embedding"), typedLit(qv)).as("d"))
+        .orderBy(col("d")).limit(5)
+      val plan = filtered.queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"),
+        s"expected bounded-collect fallback in:\n$plan")
+      val fBrute = VectorSearch.topK(emb, col("embedding"), qv, 5, "l2",
+          Some(col("label") === 2), "d", Seq(col("vec_id")))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(filtered.collect().map(_.getLong(0)).toSet === fBrute)
+    } finally {
+      spark.conf.unset("spark.graft.maxPrefilterIds")
+      IvfIndex.Catalog.drop("cap_hnsw")
+    }
+  }
+
+  test("source schema colliding with index-internal names never routes") {
+    val tmp = Files.createTempDirectory("resv").toString
+    val dir = Files.createTempDirectory("ivf-resv").toString
+    val src = tmp + "/emb_resv.parquet"
+    // a source column named `qcodes` would be clobbered inside the index
+    // layout — the rewrite must leave the plain exact plan alone
+    emb.withColumn("qcodes", lit(1)).write.parquet(src)
+    try {
+      IvfIndex.build(spark, spark.read.parquet(src), "embedding",
+        "resv_ivf", dir, "l2", nLists = 8, sourcePath = "file:" + src,
+        defaultNprobe = 8)
+      val df = spark.read.parquet(src).select(col("vec_id"),
+          distances.l2Distance(col("embedding"), typedLit(qv)).as("d"))
+        .orderBy(col("d")).limit(5)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("lists"),
+        s"reserved-name source must not route:\n$plan")
+      assert(df.collect().length === 5)
+    } finally IvfIndex.Catalog.drop("resv_ivf")
+  }
+
   test("max_search_result_window caps distance-ranked limits") {
     spark.conf.set("spark.graft.maxSearchResultWindow", "100")
     try {
