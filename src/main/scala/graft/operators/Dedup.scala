@@ -268,16 +268,28 @@ object Dedup {
         coalesce(sig, lit(0L)).as("sig"))
   }
 
-  /** SimHash near-dup candidate pairs: block on bit chunks, verify with
-    * `bit_count(xor)`. The chunk count is DERIVED from the requested
-    * radius — with `nChunks = maxHamming + 1` chunks, a pair within
-    * Hamming distance `maxHamming` can touch at most `maxHamming` chunks,
-    * so by pigeonhole it agrees exactly on ≥1 chunk: candidate generation
-    * is complete at the declared radius (the permuted-chunk scheme of
-    * Manku et al., WWW'07 — public literature). Chunk widths split the 64
-    * bits as evenly as possible; narrower chunks (larger radii) mean
-    * bigger blocking buckets — the inherent recall/cost trade of chunk
-    * blocking, but never a silent recall hole.
+  /** SimHash near-dup candidate pairs: block on bit-chunk COMBINATIONS,
+    * verify with `bit_count(xor)` — the permuted-table scheme of Manku et
+    * al., WWW'07 (public literature).
+    *
+    * Completeness: split the 64 bits into `m = maxHamming + c` chunks. A
+    * pair within Hamming distance `maxHamming` differs in at most
+    * `maxHamming` chunks, so it agrees EXACTLY on ≥ c chunks — hence it
+    * shares at least one of the C(m, c) c-chunk combination keys, and
+    * candidate generation is complete at the declared radius.
+    *
+    * Why combinations instead of single chunks (`c = 1`): at large radii
+    * single chunks get narrow (radius 8 → 9 chunks of ~7 bits → 128-value
+    * buckets), and blocking degenerates toward all-pairs once the corpus
+    * outgrows the key space. Concatenating `c` chunks multiplies key
+    * width without losing completeness: radius 8 at corpus size 10⁶
+    * blocks on C(11,3) = 165 combos of ~17-bit keys instead of 9 chunks
+    * of 7-bit keys — more rows exploded, orders of magnitude fewer false
+    * candidates. `c` is chosen ADAPTIVELY: the smallest c ∈ {1,2,3} whose
+    * per-combo bucket load n/2^(c·w) stays ≤ 64 (false candidates are
+    * map-side discards, so a bounded bucket load is cheap, while larger c
+    * multiplies the explode factor C(m,c) and the duplicate-emission
+    * multiplicity of true pairs); the explode factor is capped at 256.
     */
   def simhashPairs(
       df: DataFrame,
@@ -286,39 +298,83 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must be in [0, 63], got $maxHamming")
-    val nChunks = maxHamming + 1
-    // distribute 64 bits over nChunks chunks; first (64 % nChunks) chunks
-    // are one bit wider
-    val base = 64 / nChunks
-    val rem = 64 % nChunks
-    val bounds = (0 until nChunks).map { c =>
-      val off = c * base + math.min(c, rem)
-      val w = base + (if (c < rem) 1 else 0)
-      (off, w)
-    }
+    def choose(n: Int, k: Int): Long =
+      (1 to k).foldLeft(1L)((acc, i) => acc * (n - i + 1) / i)
     val sigs = simhashSignatures(df, textCol, idCol).persist()
     try {
-      val chunkArr = array(bounds.map { case (off, w) =>
+      // materialization barrier (both join sides read the cache) that
+      // doubles as the corpus size for adaptive key-width selection
+      val n = math.max(sigs.count(), 1L)
+      def keyBits(cc: Int) = cc * (64.0 / (maxHamming + cc))
+      def explodeFactor(cc: Int) = choose(maxHamming + cc, cc)
+      val c = sys.env.get("GRAFT_SIMHASH_C").map(_.toInt).getOrElse {
+        (1 to 3).find(cc => explodeFactor(cc) <= 256 &&
+            n / math.pow(2, keyBits(cc)) <= 64)
+          .getOrElse((1 to 3).filter(explodeFactor(_) <= 256).maxBy(keyBits))
+      }
+      val nChunks = maxHamming + c
+      // distribute 64 bits over nChunks chunks; first (64 % nChunks)
+      // chunks are one bit wider
+      val base = 64 / nChunks
+      val rem = 64 % nChunks
+      val bounds = (0 until nChunks).map { ch =>
+        val off = ch * base + math.min(ch, rem)
+        val w = base + (if (ch < rem) 1 else 0)
+        (off, w)
+      }
+      val combos = (0 until nChunks).combinations(c).toSeq
+      val chunkCols = bounds.map { case (off, w) =>
         val mask = if (w >= 64) -1L else (1L << w) - 1L
         call_function("shiftright", col("sig"), lit(off)).bitwiseAND(lit(mask))
-      }: _*)
-      val chunked = sigs.select(col("id"), col("sig"), posexplode(chunkArr))
-        .withColumnRenamed("col", "chunk")
-        .withColumnRenamed("pos", "chunk_idx")
-      chunked.as("a")
-        .join(chunked.as("b"),
-          col("a.chunk_idx") === col("b.chunk_idx") &&
-            col("a.chunk") === col("b.chunk") && col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-          col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-        .dropDuplicates("id_a", "id_b")
-        .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
-        .filter(col("hamming") <= maxHamming)
-        .select(col("id_a"), col("id_b"), col("hamming"))
-        // eager: materialize the (small) pair set now so the signature
-        // cache can be released before returning — cached blocks must not
-        // outlive the operator (they squeeze later queries' memory)
-        .localCheckpoint(true)
+      }
+      // combo key = chunk values concatenated at 21-bit stride (c >= 2
+      // implies m >= 7, so chunk width <= 10 bits and 3*21 < 64 never
+      // overflows; c = 1 keys are the raw chunk value)
+      val keyCols = combos.map(_.map(chunkCols)
+        .reduce((a, b) => call_function("shiftleft", a, lit(21)).bitwiseOR(b)))
+      val keyed = sigs.select(col("id"), col("sig"), posexplode(array(keyCols: _*)))
+        .withColumnRenamed("col", "bkey")
+        .withColumnRenamed("pos", "combo_idx")
+      // A pair agreeing on several combos would be emitted once per
+      // agreeing combo; instead each joined row checks — map-side, from
+      // the XOR alone — whether ITS combo is the FIRST agreeing one, so
+      // every pair survives exactly once and the pair-dedup shuffle
+      // disappears. First-agreeing-combo is a 2^m-entry lookup table
+      // indexed by the per-chunk agreement bitmask; for the rare radii
+      // where m > 14 (table would exceed 16k entries) we keep the
+      // dropDuplicates fallback instead.
+      val xorCol = col("a.sig").bitwiseXOR(col("b.sig"))
+      val firstComboOnly: Option[Column] =
+        if (nChunks > 14) None
+        else {
+          val lut: Seq[Int] = (0 until (1 << nChunks)).map { pat =>
+            combos.indexWhere(_.forall(k => ((pat >> k) & 1) == 1))
+          }
+          val agreeBits = bounds.zipWithIndex.map { case ((off, w), k) =>
+            val mask = if (w >= 64) -1L else (1L << w) - 1L
+            when(call_function("shiftright", xorCol, lit(off))
+              .bitwiseAND(lit(mask)) === 0, lit(1 << k)).otherwise(lit(0))
+          }.reduce[Column](_.bitwiseOR(_))
+          Some(col("a.combo_idx") === element_at(typedLit(lut), agreeBits + 1))
+        }
+      val verified = keyed.as("a")
+        .join(keyed.as("b"),
+          col("a.combo_idx") === col("b.combo_idx") &&
+            col("a.bkey") === col("b.bkey") && col("a.id") < col("b.id"))
+        // verify on the join output: false candidates fail the Hamming
+        // check and duplicate emissions fail the first-combo check, both
+        // map-side — nothing but the final pair set ever shuffles
+        .withColumn("hamming", bit_count(xorCol))
+        .filter(col("hamming") <= maxHamming &&
+          firstComboOnly.getOrElse(lit(true)))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("hamming"))
+      val pairs =
+        if (firstComboOnly.isDefined) verified
+        else verified.dropDuplicates("id_a", "id_b")
+      // eager: materialize the (small) pair set now so the signature
+      // cache can be released before returning — cached blocks must not
+      // outlive the operator (they squeeze later queries' memory)
+      pairs.localCheckpoint(true)
     } finally sigs.unpersist(blocking = false)
   }
 
@@ -361,20 +417,29 @@ object Dedup {
     * node's own id (see d07).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
-    val sc = pairs.sparkSession.sparkContext
-    // snapshot of persisted RDD ids so the per-round localCheckpoint
-    // blocks (lineage cuts) can be released before returning — leaked
-    // checkpoint blocks from iterated operators squeeze later queries'
-    // memory budget. Driver-side query construction is single-threaded
-    // here, so the id-set diff sees only this operator's checkpoints.
-    val rddsBefore = sc.getPersistentRDDs.keySet
+    // Checkpoint blocks are released by unpersisting the EXACT RDD each
+    // round checkpointed (the LogicalRDD leaf the lazy localCheckpoint
+    // wrapped), never by diffing the global persistent-RDD registry —
+    // Spark supports concurrent query threads on one SparkContext, and a
+    // registry diff could evict another thread's freshly cached or
+    // checkpointed blocks (unrecomputable in the checkpoint case).
+    def cpRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
+    def release(df: DataFrame): Unit =
+      cpRdd(df).foreach(_.unpersist(blocking = false))
     // canonical directed form: u > v (edges point larger -> smaller)
     def canon(df: DataFrame): DataFrame =
       df.filter(col("u") =!= col("v"))
         .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
         .distinct()
+    // lazy checkpoints throughout the loop: the convergence aggregation
+    // below is the first job that touches each round's frame, so
+    // materializing the checkpoint rides that job — one job per round,
+    // not a separate eager materialization plus the convergence check.
     var e = canon(pairs.select(col(pairs.columns(0)).cast("long").as("u"),
-      col(pairs.columns(1)).cast("long").as("v"))).localCheckpoint()
+      col(pairs.columns(1)).cast("long").as("v"))).localCheckpoint(eager = false)
 
     // large-star: each node's strictly-larger neighbors re-point at the
     // min of its closed neighborhood.
@@ -398,16 +463,19 @@ object Dedup {
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
       // single-job set-equality check: signed counts over the union —
       // both sides are distinct sets, so the symmetric difference is
-      // empty iff every (u,v) group sums to 0. One aggregation job per
-      // round (the count + exceptAll pair cost two extra barriers).
+      // empty iff every (u,v) group sums to 0. The shuffle map stage of
+      // this aggregation computes every partition of `next`, which is
+      // what materializes its lazy checkpoint — convergence check and
+      // checkpoint share the round's single job.
       converged = next.select(col("u"), col("v"), lit(1).as("__s"))
         .unionAll(e.select(col("u"), col("v"), lit(-1).as("__s")))
         .groupBy(col("u"), col("v")).agg(sum(col("__s")).as("__d"))
         .filter(col("__d") =!= 0)
         .isEmpty
+      release(e) // superseded — at most two rounds' blocks ever live
       e = next
       it += 1
     }
@@ -415,13 +483,9 @@ object Dedup {
     val labels = e.select(col("u").as("id"), col("v").as("cluster_id"))
       .unionAll(e.select(col("v").as("id"), col("v").as("cluster_id")))
       .groupBy("id").agg(min("cluster_id").as("cluster_id"))
-    // pin the final labels, then release every checkpoint the loop left
-    // behind (the label RDD is checkpointed after the id snapshot diff,
-    // so it is not in loopIds and survives)
-    val loopIds = (sc.getPersistentRDDs.keySet -- rddsBefore).toSeq
+    // pin the final labels eagerly, then release the last round's blocks
     val out = labels.localCheckpoint(true)
-    loopIds.foreach(id =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    release(e)
     out
   }
 
@@ -487,12 +551,17 @@ object Dedup {
       .join(buckets.as("b"),
         col("a.table_id") === col("b.table_id") &&
           col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.__v").as("__va"), col("b.__v").as("__vb"))
-      .dropDuplicates("id_a", "id_b")
+      // verify on the join output (map side of the pair dedup): candidate
+      // pairs carry two full embeddings, so computing cos_sim and
+      // filtering BEFORE dropDuplicates means only verified near-dup
+      // pairs — slim (id, id, score) rows — ever shuffle. A pair that
+      // collides in several tables re-computes its cosine that many
+      // times; flops are far cheaper than shuffling vectors per
+      // candidate pair.
       .withColumn("cos_sim",
-        lit(1.0f) - graft.functions.distances.cosineDistance(col("__va"), col("__vb")))
+        lit(1.0f) - graft.functions.distances.cosineDistance(col("a.__v"), col("b.__v")))
       .filter(col("cos_sim") >= minCosSim)
-      .select(col("id_a"), col("id_b"), col("cos_sim"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos_sim"))
+      .dropDuplicates("id_a", "id_b")
   }
 }
