@@ -246,7 +246,8 @@ object HnswIndex {
       numPartitions: Option[Int] = None,
       sourcePath: String = "",
       quantize: Boolean = false,
-      pqSubspaces: Int = 0): IvfIndex.IndexEntry = {
+      pqSubspaces: Int = 0,
+      minRowsToBuild: Long = 0L): IvfIndex.IndexEntry = {
     import spark.implicits._
     require(!(quantize && pqSubspaces > 0), "choose SQ or PQ, not both")
     val indexType =
@@ -254,15 +255,40 @@ object HnswIndex {
       else if (quantize) "HNSWSQ"
       else "HNSWFLAT"
     IvfIndex.Catalog.logEvent(indexName, "BUILD_START",
-      s"$indexType m=$m efC=$efConstruction")
+      s"$indexType m=$m efC=$efConstruction minRows=$minRowsToBuild")
     val base = df.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
-    val parted = numPartitions.map(base.repartition(_)).getOrElse(base)
+    val parted0 = numPartitions.map(base.repartition(_)).getOrElse(base)
+    // min_rows_to_build_vector_index gate (ref MergeTreeSettings.h:181):
+    // parts below the threshold get NO graph — their raw vectors land in
+    // smallparts/ (state SMALL_PART, ref VIInfo.h:41-49) and search()
+    // brute-forces them exactly, so tiny tail parts never pay graph
+    // construction while staying searchable.
+    val gated = minRowsToBuild > 0L
+    val parted = if (gated) parted0.persist() else parted0
+    val smallPartCounts: Map[Int, Long] =
+      if (!gated) Map.empty
+      else parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+        Iterator.single(pid -> it.size.toLong)
+      }.collect().filter { case (_, n) => n > 0 && n < minRowsToBuild }.toMap
+    val smallParts = smallPartCounts.keySet
+    val bcSmall = spark.sparkContext.broadcast(smallParts)
+    if (gated) {
+      parted.mapPartitions { iter =>
+        val pid = TaskContext.getPartitionId()
+        if (bcSmall.value.contains(pid)) iter.map { case (id, v) => (pid, id, v) }
+        else Iterator.empty
+      }.toDF("part_id", "id", "vec")
+        .write.mode("overwrite").parquet(s"$indexDir/smallparts")
+    }
     val graphDs = parted.mapPartitions { iter =>
       val pid = TaskContext.getPartitionId()
-      val b = new Builder(metric, m, efConstruction, seed = 42L + pid)
-      iter.foreach { case (id, v) => b.insert(id, v) }
-      b.rows(pid)
+      if (bcSmall.value.contains(pid)) Iterator.empty
+      else {
+        val b = new Builder(metric, m, efConstruction, seed = 42L + pid)
+        iter.foreach { case (id, v) => b.insert(id, v) }
+        b.rows(pid)
+      }
     }
     if (pqSubspaces > 0) {
       // HNSWPQ: persist m-byte PQ codes; codebooks trained like PqIndex —
@@ -331,19 +357,30 @@ object HnswIndex {
         .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/sq_params")
     } else graphDs.toDF().write.mode("overwrite").partitionBy("part_id")
       .parquet(s"$indexDir/graph")
-    // per-part segment states (system.vector_index_segments analog)
-    val perPart = spark.read.parquet(s"$indexDir/graph")
-      .groupBy(col("part_id")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1))
+    if (gated) parted.unpersist(blocking = false)
+    // per-part segment states (system.vector_index_segments analog);
+    // gated-out parts report SMALL_PART with their raw row counts
+    // (an index where EVERY part fell under the gate has an empty
+    // graph/ dir — legal; search() brute-forces smallparts/ alone)
+    val perPart = scala.util.Try {
+      spark.read.parquet(s"$indexDir/graph")
+        .groupBy(col("part_id")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1))
+    }.getOrElse(Array.empty[(Int, Long)])
     perPart.foreach { case (pid, rows) =>
       IvfIndex.Catalog.registerSegment(
         IvfIndex.SegmentEntry(indexName, pid, "BUILT", rows))
     }
-    val n = perPart.map(_._2).sum
+    smallPartCounts.toSeq.sorted.foreach { case (pid, rows) =>
+      IvfIndex.Catalog.registerSegment(
+        IvfIndex.SegmentEntry(indexName, pid, "SMALL_PART", rows))
+    }
+    val n = perPart.map(_._2).sum + smallPartCounts.values.sum
     val entry = IvfIndex.IndexEntry(indexName, indexDir, sourcePath, vecCol,
       indexType, metric, "BUILT", n, idCol = idCol)
     IvfIndex.Catalog.register(entry)
-    IvfIndex.Catalog.logEvent(indexName, "BUILD_FINISH", s"nRows=$n parts=${perPart.length}")
+    IvfIndex.Catalog.logEvent(indexName, "BUILD_FINISH",
+      s"nRows=$n parts=${perPart.length} smallParts=${smallParts.size}")
     entry
   }
 
@@ -368,7 +405,8 @@ object HnswIndex {
       metric: String = "l2",
       m: Int = 16,
       efConstruction: Int = 100,
-      numPartitions: Option[Int] = None): Unit = {
+      numPartitions: Option[Int] = None,
+      minRowsToBuild: Long = 0L): Unit = {
     import spark.implicits._
     val root = new org.apache.hadoop.fs.Path(s"$indexDir/graph")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -381,12 +419,33 @@ object HnswIndex {
 
     val base = batch.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
-    val parted = numPartitions.map(base.repartition(_)).getOrElse(base)
+    val parted0 = numPartitions.map(base.repartition(_)).getOrElse(base)
+    // same min_rows gate as build(): small new parts skip graph
+    // construction, land in smallparts/, state SMALL_PART
+    val gated = minRowsToBuild > 0L
+    val parted = if (gated) parted0.persist() else parted0
+    val smallPartCounts: Map[Int, Long] =
+      if (!gated) Map.empty
+      else parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+        Iterator.single((pid + offset) -> it.size.toLong)
+      }.collect().filter { case (_, n) => n > 0 && n < minRowsToBuild }.toMap
+    val bcSmall = spark.sparkContext.broadcast(smallPartCounts.keySet)
+    if (gated && smallPartCounts.nonEmpty) {
+      parted.mapPartitions { iter =>
+        val pid = TaskContext.getPartitionId() + offset
+        if (bcSmall.value.contains(pid)) iter.map { case (id, v) => (pid, id, v) }
+        else Iterator.empty
+      }.toDF("part_id", "id", "vec")
+        .write.mode("append").parquet(s"$indexDir/smallparts")
+    }
     val graphDs = parted.mapPartitions { iter =>
       val pid = TaskContext.getPartitionId() + offset
-      val b = new Builder(metric, m, efConstruction, seed = 42L + pid)
-      iter.foreach { case (id, v) => b.insert(id, v) }
-      b.rows(pid)
+      if (bcSmall.value.contains(pid)) Iterator.empty
+      else {
+        val b = new Builder(metric, m, efConstruction, seed = 42L + pid)
+        iter.foreach { case (id, v) => b.insert(id, v) }
+        b.rows(pid)
+      }
     }
     // Re-encode with stored quantization params when present.
     val hasPq = fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/codebooks"))
@@ -408,6 +467,7 @@ object HnswIndex {
       } else graphDs.toDF()
     out.write.mode("append").partitionBy("part_id").parquet(s"$indexDir/graph")
 
+    if (gated) parted.unpersist(blocking = false)
     val appended = spark.read.parquet(s"$indexDir/graph")
       .filter(col("part_id") >= offset)
       .groupBy(col("part_id")).agg(count(lit(1)).as("n"))
@@ -416,12 +476,16 @@ object HnswIndex {
       IvfIndex.Catalog.registerSegment(
         IvfIndex.SegmentEntry(indexName, pid, "BUILT", rows))
     }
-    val added = appended.map(_._2).sum
+    smallPartCounts.toSeq.sorted.foreach { case (pid, rows) =>
+      IvfIndex.Catalog.registerSegment(
+        IvfIndex.SegmentEntry(indexName, pid, "SMALL_PART", rows))
+    }
+    val added = appended.map(_._2).sum + smallPartCounts.values.sum
     IvfIndex.Catalog.lookup(indexName).foreach { e =>
       IvfIndex.Catalog.register(e.copy(nRows = e.nRows + added))
     }
     IvfIndex.Catalog.logEvent(indexName, "APPEND_FINISH",
-      s"added=$added parts=${appended.length}")
+      s"added=$added parts=${appended.length} smallParts=${smallPartCounts.size}")
   }
 
   /** Graph row as stored inside a `part_id=` directory (the partition
@@ -466,10 +530,17 @@ object HnswIndex {
     val q = qvec.toArray
     val root = new org.apache.hadoop.fs.Path(s"$indexDir/graph")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val partDirs = fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("part_id="))
-      .map(_.getPath)
-    require(partDirs.nonEmpty, s"no graph partitions under $root")
+    val partDirs =
+      (if (fs.exists(root)) fs.listStatus(root).toSeq else Seq.empty)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("part_id="))
+        .map(_.getPath)
+    // SMALL_PART segments (parts under min_rows_to_build_vector_index at
+    // build time) hold raw vectors in smallparts/ — brute-forced exactly,
+    // the reference's behavior for index-less parts.
+    val smallPath = new org.apache.hadoop.fs.Path(s"$indexDir/smallparts")
+    val hasSmall = fs.exists(smallPath)
+    require(partDirs.nonEmpty || hasSmall,
+      s"no graph partitions or small parts under $indexDir")
     val filt = accept
     // Quantized graphs (HNSWSQ: int8 + sq_params; HNSWPQ: m-byte codes +
     // codebooks) are dequantized once per JVM at graph-load time — the
@@ -533,8 +604,23 @@ object HnswIndex {
             }
       }
     }
-    perPart.reduce(_ union _)
-      .toDF("id", "d")
+    val smallHits: Option[DataFrame] =
+      if (!hasSmall) None
+      else {
+        val acceptUdf = filt.map(f => udf((id: Long) => f(id)))
+        val sp = spark.read.parquet(smallPath.toString)
+        val filtered = acceptUdf.map(u => sp.filter(u(col("id")))).getOrElse(sp)
+        Some(filtered
+          .select(col("id"),
+            graft.functions.distances.distance(metric)(col("vec"), typedLit(q.toSeq))
+              .as("d"))
+          .orderBy(col("d"), col("id")).limit(k))
+      }
+    val graphHits: Option[DataFrame] =
+      if (partDirs.isEmpty) None
+      else Some(perPart.reduce(_ union _).toDF("id", "d"))
+    (graphHits.toSeq ++ smallHits.toSeq)
+      .reduce(_ unionAll _)
       .orderBy(col("d"), col("id"))
       .limit(k)
   }

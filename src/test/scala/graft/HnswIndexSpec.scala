@@ -150,4 +150,39 @@ class HnswIndexSpec extends SparkSpec {
       assert(IvfIndex.Catalog.lookup("append_hnsw").get.nRows === emb.count())
     } finally IvfIndex.Catalog.drop("append_hnsw")
   }
+
+  test("min_rows gate: small parts skip graph build, stay searchable exactly") {
+    val dir = Files.createTempDirectory("hnsw-gate").toString
+    // skewed layout: 2 large parts + 2 tiny parts (union concatenates
+    // partitions), so minRowsToBuild=100 gates exactly the tiny ones
+    val n = emb.count()
+    val big = emb.filter(col("vec_id") < n - 50).repartition(2)
+    val small = emb.filter(col("vec_id") >= n - 50).repartition(2)
+    try {
+      HnswIndex.build(spark, big.unionAll(small), "vec_id", "embedding",
+        "gate_hnsw", dir, "l2", m = 8, efConstruction = 64,
+        minRowsToBuild = 100L)
+      val segs = IvfIndex.Catalog.segmentsFor("gate_hnsw")
+      val smallSegs = segs.filter(_.state == "SMALL_PART")
+      assert(smallSegs.size === 2, segs.mkString(","))
+      assert(smallSegs.map(_.nRows).sum === 50)
+      assert(segs.filter(_.state == "BUILT").size === 2)
+      // raw vectors live in smallparts/, not in the graph
+      assert(spark.read.parquet(s"$dir/smallparts").count() === 50)
+      assert(spark.read.parquet(s"$dir/graph").count() === n - 50)
+      // catalog total covers BOTH regimes
+      assert(IvfIndex.Catalog.lookup("gate_hnsw").get.nRows === n)
+      // a query whose true neighbors live in a gated part still finds
+      // them — small parts are brute-forced exactly, never dropped
+      val qSmall: Seq[Float] = emb.filter(col("vec_id") === n - 10)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val got = HnswIndex.search(spark, dir, qSmall, 10, ef = 128)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got.contains(n - 10), s"self-match missing from $got")
+      val brute = VectorSearch.topK(emb, col("embedding"), qSmall, 10, "l2",
+          None, "d", Seq(col("vec_id")))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert((got & brute).size >= 8, s"gated recall@10 = ${(got & brute).size}")
+    } finally IvfIndex.Catalog.drop("gate_hnsw")
+  }
 }
