@@ -198,22 +198,43 @@ object IvfIndex {
     centroids
   }
 
-  /** Distributed k-means via spark.ml (seeded KMeans||) — the DEFAULT
-    * training path (SURVEY §2.1's mapping for centroid training at
-    * 100 TB): no vector sample is ever collected to the driver. Exact
-    * correctness never depends on centroid quality (exhaustive probes are
-    * exact regardless); recall at realistic nprobe is pinned by the index
-    * specs.
+  /** Rows at or below this threshold train with the seeded driver
+    * Lloyd's instead of KMeans||. Rationale: KMeans|| centroids depend on
+    * data PARTITIONING, so approximate-probe results (nprobe < nLists)
+    * can drift across environments/partitionings; Lloyd's over a
+    * collected sample is partition-independent, which golden tests and
+    * cross-cluster reproducibility rely on. Above the threshold the
+    * driver collect becomes the scaling bottleneck and KMeans|| takes
+    * over — exact/exhaustive-probe results are unaffected either way
+    * (correctness never depends on centroid quality), and recall at
+    * realistic nprobe is pinned by the index specs.
+    */
+  private[graft] val DriverTrainMaxRows = 20000L
+
+  /** Centroid training — the SURVEY §2.1 mapping for index builds at
+    * 100 TB: small training frames use the deterministic driver Lloyd's
+    * (see [[DriverTrainMaxRows]]), larger ones spark.ml's seeded KMeans||
+    * with no vector collect to the driver.
+    *
+    * `approxRows` lets call sites that already know the frame size skip
+    * the count job.
     */
   private[graft] def kmeansMl(
       df: DataFrame, vecCol: String, k: Int, maxIter: Int = 10,
-      seed: Long = 42L): Array[Array[Float]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.Vectors
-    val toVec = udf((v: Seq[Float]) => Vectors.dense(v.map(_.toDouble).toArray))
-    val feats = df.select(toVec(col(vecCol)).as("features"))
-    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter).fit(feats)
-    model.clusterCenters.map(_.toArray.map(_.toFloat))
+      seed: Long = 42L, approxRows: Long = -1L): Array[Array[Float]] = {
+    val n = if (approxRows >= 0L) approxRows else df.count()
+    if (n <= DriverTrainMaxRows) {
+      val sample = df.select(col(vecCol)).collect()
+        .map(_.getSeq[Float](0).toArray)
+      kmeans(sample, k, iters = maxIter, seed = seed)
+    } else {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.linalg.Vectors
+      val toVec = udf((v: Seq[Float]) => Vectors.dense(v.map(_.toDouble).toArray))
+      val feats = df.select(toVec(col(vecCol)).as("features"))
+      val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter).fit(feats)
+      model.clusterCenters.map(_.toArray.map(_.toFloat))
+    }
   }
 
   /** Bounded training frame: sample down to ~trainSampleSize rows but
@@ -261,7 +282,8 @@ object IvfIndex {
     val n = df.count()
     val centroids =
       if (distributedTrain)
-        kmeansMl(trainFrame(df, n, trainSampleSize), vecCol, nLists)
+        kmeansMl(trainFrame(df, n, trainSampleSize), vecCol, nLists,
+          approxRows = math.min(n, trainSampleSize.toLong))
       else {
         val fraction = math.min(1.0, trainSampleSize.toDouble / math.max(1L, n))
         val sample = df.sample(withReplacement = false, fraction, seed = 42L)

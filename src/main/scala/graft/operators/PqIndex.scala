@@ -95,12 +95,14 @@ object PqIndex {
       .persist()
     try {
       val nTrain = train.count()
-      val centroids = IvfIndex.kmeansMl(train, vecCol, nLists)
+      val centroids = IvfIndex.kmeansMl(train, vecCol, nLists,
+        approxRows = nTrain)
       val nCodes = math.min(256L, nTrain).toInt
       val books: Array[Array[Array[Float]]] = Array.tabulate(m) { s =>
         val subDf = train.select(
           slice(col(vecCol), s * sub + 1, sub).as("__sub"))
-        IvfIndex.kmeansMl(subDf, "__sub", nCodes, seed = 42L + s)
+        IvfIndex.kmeansMl(subDf, "__sub", nCodes, seed = 42L + s,
+          approxRows = nTrain)
       }
       buildWithCodebooks(spark, df, idCol, vecCol, indexName, indexDir, metric,
         nLists, m, dim, n, sourcePath, defaultNprobe, centroids, books)

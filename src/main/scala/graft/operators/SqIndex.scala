@@ -71,7 +71,7 @@ object SqIndex {
     // sample ever reaches the driver
     val centroids = IvfIndex.kmeansMl(
       IvfIndex.trainFrame(df.select(col(vecCol)), n, trainSampleSize),
-      vecCol, nLists)
+      vecCol, nLists, approxRows = math.min(n, trainSampleSize.toLong))
     val dim = centroids.head.length
 
     // Per-dim min/max: per-partition arrays, dim-sized driver reduce.
