@@ -344,4 +344,48 @@ object FtsIndex {
     spark.read.parquet(s"$indexDir/postings")
       .groupBy(col("term"))
       .agg(count(lit(1)).as("doc_freq"), sum(col("tf")).cast("long").as("total_tf"))
+
+  /** `ftsIndex(table, index, query)` TVF with the reference's inspection
+    * schema (`StorageFtsIndex.cpp:37-61`): one row per index part — here
+    * the postings BUCKET, our per-part unit — carrying
+    * `total_docs: Long`, `field_tokens: [(field_id, total_tokens)]` and
+    * `terms_freq: [(term_str, field_id, doc_freq)]` restricted to the
+    * query's terms — exactly the statistics the reference ships to its
+    * distributed BM25 scorer (`collectStatisticForBM25Calculation`). One
+    * text field per index here, so field_id is always 0.
+    *
+    * The scan is bucket-pruned to the query terms' partitions (the same
+    * file-level pruning the search path uses).
+    */
+  def ftsIndexInspect(
+      spark: SparkSession,
+      indexDir: String,
+      query: String): DataFrame = {
+    val meta = loadMeta(indexDir)
+    val terms = TextSearch.queryTerms(query)
+    require(terms.nonEmpty, s"fts_index: no terms in query '$query'")
+    val buckets = terms.map(bucketOf(_, meta.nBuckets)).distinct
+    val posts = spark.read.parquet(s"$indexDir/postings")
+      .filter(col("bucket").isin(buckets: _*))
+    val termFreq = posts
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("bucket"), col("term"))
+      .agg(count(lit(1)).cast("long").as("doc_freq"))
+      .groupBy(col("bucket"))
+      .agg(sort_array(collect_list(struct(
+        col("term").as("term_str"),
+        lit(0).as("field_id"),
+        col("doc_freq")))).as("terms_freq"))
+    val emptyTf = array().cast(
+      "array<struct<term_str:string,field_id:int,doc_freq:bigint>>")
+    posts
+      .groupBy(col("bucket"))
+      .agg(sum(col("tf")).cast("long").as("__tt"))
+      .join(termFreq, Seq("bucket"), "left")
+      .select(col("bucket").as("part"),
+        lit(meta.nDocs).as("total_docs"),
+        array(struct(lit(0).as("field_id"), col("__tt").as("total_tokens")))
+          .as("field_tokens"),
+        coalesce(col("terms_freq"), emptyTf).as("terms_freq"))
+  }
 }

@@ -198,6 +198,19 @@ object TextQueries {
         .select(col("doc_id"), round(col("bm25_score"), 4).as("bm25_score"))
         .orderBy(col("bm25_score").desc, col("doc_id"))
     }),
+    // fts_index() inspection TVF (reference schema: total_docs,
+    // field_tokens, terms_freq per part) — flattened to one row per
+    // query term for the DuckDB oracle: per-term document frequency and
+    // the table-global doc count must match a direct recount from the
+    // corpus. (The part-local field_tokens totals depend on the index's
+    // bucket hashing and are pinned by FtsIndexSpec instead.)
+    "t12_fts_index_tvf" -> ((s, dir) => {
+      FtsIndex.ftsIndexInspect(s, ftsDir(s, dir), query1)
+        .select(col("total_docs"), explode(col("terms_freq")).as("tf"))
+        .select(col("tf.term_str").as("term"),
+          col("tf.doc_freq").as("doc_freq"), col("total_docs"))
+        .orderBy(col("term"))
+    }),
     // NLQ against the positional postings index (phrase chain over
     // per-term position lists) — must reproduce t09's direct path.
     "t10_fts_nlq" -> ((s, dir) => {
@@ -333,6 +346,20 @@ object TextQueries {
     // index path ≡ direct path ≡ oracle.
     "t07_fts_topk" -> bm25OracleSql(TextSearch.queryTerms(query1), 10, and = false),
     "t08_fts_and" -> bm25OracleSql(TextSearch.queryTerms(query2), 10, and = true),
+    // fts_index() TVF: per-term df + global doc count recomputed from the
+    // corpus (a term appears once per (term, doc) posting)
+    "t12_fts_index_tvf" -> {
+      val termList = TextSearch.queryTerms(query1)
+        .map(t => s"'$t'").mkString("[", ", ", "]")
+      s"""
+      WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      qt AS (SELECT unnest($termList) AS term)
+      SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+             (SELECT count(1) FROM documents) AS total_docs
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+      JOIN qt ON tok = term
+      GROUP BY term ORDER BY term"""
+    },
     // Map-values search ≡ BM25 over the values flattened to one text
     // stream ("lang text"), exactly what textSearchMap builds.
     "t11_map_textsearch" -> bm25OracleSql(

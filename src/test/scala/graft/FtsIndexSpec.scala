@@ -82,6 +82,35 @@ class FtsIndexSpec extends SparkSpec {
     assert(stats("ducks") === ((1L, 1L)))
   }
 
+  test("ftsIndexInspect matches the reference inspection schema") {
+    val tvf = FtsIndex.ftsIndexInspect(spark, indexDir, "spark ducks")
+    // reference column names/shape (StorageFtsIndex.cpp:37-61)
+    assert(tvf.columns.toSeq ===
+      Seq("part", "total_docs", "field_tokens", "terms_freq"))
+    val rows = tvf.collect()
+    val meta = FtsIndex.loadMeta(indexDir)
+    // total_docs is table-global on every part row
+    assert(rows.forall(_.getAs[Long]("total_docs") === meta.nDocs))
+    // terms_freq carries the queried terms with their table-global df
+    // (term postings live entirely in one bucket)
+    val df = rows.flatMap(_.getSeq[org.apache.spark.sql.Row](3))
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(df("spark") === 2L)
+    assert(df("ducks") === 1L)
+    assert(df.values.forall(_ > 0))
+    // field_tokens totals equal the per-bucket token sums from the
+    // postings themselves
+    val expected = spark.read.parquet(s"$indexDir/postings")
+      .groupBy(col("bucket")).agg(sum(col("tf")).cast("long").as("tt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val part = r.getInt(0)
+      val ft = r.getSeq[org.apache.spark.sql.Row](2)
+      assert(ft.size === 1 && ft.head.getInt(0) === 0) // single field id 0
+      assert(ft.head.getLong(1) === expected(part))
+    }
+  }
+
   test("searchNlq on the index equals the direct textSearchNlq path") {
     for (q <- Seq(""""spark joins"""", "+spark -ducks fast", """"joins data" +fast""",
         "ducks", "+spark +fast", """"data fast"""")) {
