@@ -22,6 +22,7 @@ object Bench {
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.engine.GraftSession.install(spark)
 
     // Untimed warm-up: exercise scan/agg/window/sort codegen paths once so
     // the alphabetically-first query doesn't absorb JVM+codegen startup.

@@ -383,6 +383,249 @@ object ClickHouseCompat {
     "materialize(x STRING) RETURNS STRING RETURN x",
     "identityCH(x STRING) RETURNS STRING RETURN x",
     "ignoreCH(x STRING) RETURNS INT RETURN 0",
+    // ---- tranche 6: URL decomposition (src/Functions/URL/) ----
+    "basename(u STRING) RETURNS STRING RETURN " +
+      "element_at(split(split_part(split_part(u, '?', 1), '#', 1), '/'), -1)",
+    "pathFull(u STRING) RETURNS STRING RETURN " +
+      "concat(parse_url(u, 'PATH'), IF(parse_url(u, 'QUERY') IS NULL, '', " +
+      "concat('?', parse_url(u, 'QUERY'))))",
+    "queryStringAndFragment(u STRING) RETURNS STRING RETURN " +
+      "CASE WHEN instr(u, '?') > 0 THEN substring(u, instr(u, '?') + 1) " +
+      "WHEN instr(u, '#') > 0 THEN substring(u, instr(u, '#') + 1) ELSE '' END",
+    "cutQueryStringAndFragment(u STRING) RETURNS STRING RETURN " +
+      "split_part(split_part(u, '?', 1), '#', 1)",
+    "decodeURLComponent(s STRING) RETURNS STRING RETURN url_decode(s)",
+    "encodeURLComponent(s STRING) RETURNS STRING RETURN url_encode(s)",
+    "portCH(u STRING) RETURNS INT RETURN " +
+      "coalesce(try_cast(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#:]+:([0-9]+)', 1) AS INT), 0)",
+    "domainWithoutWWW(u STRING) RETURNS STRING RETURN " +
+      "regexp_replace(parse_url(u, 'HOST'), '^www\\\\.', '')",
+    "cutToFirstSignificantSubdomain(u STRING) RETURNS STRING RETURN " +
+      "CASE WHEN size(split(parse_url(u, 'HOST'), '\\\\.')) >= 2 " +
+      "THEN concat(element_at(split(parse_url(u, 'HOST'), '\\\\.'), -2), '.', " +
+      "element_at(split(parse_url(u, 'HOST'), '\\\\.'), -1)) " +
+      "ELSE parse_url(u, 'HOST') END",
+    // URLHierarchy: growing prefixes cut at /, ?, # boundaries after the
+    // protocol://host part (reference URLHierarchy.cpp contract shape:
+    // each element extends the previous by one path/query segment)
+    "URLHierarchy(u STRING) RETURNS ARRAY<STRING> RETURN " +
+      "transform(sequence(1, size(split(split_part(u, '?', 1), '/')) - 3 + " +
+      "IF(instr(u, '?') > 0, 1, 0)), " +
+      "i -> IF(i = size(split(split_part(u, '?', 1), '/')) - 3 + 1 AND instr(u, '?') > 0, u, " +
+      "array_join(slice(split(split_part(u, '?', 1), '/'), 1, i + 3 - 1), '/')))",
+    "URLPathHierarchy(u STRING) RETURNS ARRAY<STRING> RETURN " +
+      "transform(sequence(1, greatest(size(split(split_part(split_part(u, '?', 1), '#', 1), '/')) - 3, 0)), " +
+      "i -> concat('/', array_join(slice(split(split_part(split_part(u, '?', 1), '#', 1), '/'), 4, i), '/')))",
+    "extractURLParameterNames(u STRING) RETURNS ARRAY<STRING> RETURN " +
+      "IF(parse_url(u, 'QUERY') IS NULL, array(), " +
+      "transform(split(parse_url(u, 'QUERY'), '&'), p -> split_part(p, '=', 1)))",
+    "extractURLParameters(u STRING) RETURNS ARRAY<STRING> RETURN " +
+      "IF(parse_url(u, 'QUERY') IS NULL, array(), split(parse_url(u, 'QUERY'), '&'))",
+    "cutURLParameter(u STRING, p STRING) RETURNS STRING RETURN " +
+      "regexp_replace(regexp_replace(u, concat('\\\\?', p, '=[^&#]*&'), '?'), " +
+      "concat('[?&]', p, '=[^&#]*'), '')",
+    // ---- tranche 6: IP coding + containment (FunctionsCodingIP.cpp) ----
+    "isIPv4String(s STRING) RETURNS BOOLEAN RETURN " +
+      "s RLIKE '^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\\\.){3}" +
+      "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$'",
+    "isIPv6String(s STRING) RETURNS BOOLEAN RETURN " +
+      "s RLIKE '^([0-9a-fA-F]{0,4}:){2,7}[0-9a-fA-F]{0,4}$' AND " +
+      "size(split(s, '::', -1)) <= 2",
+    "toIPv4OrNull(s STRING) RETURNS BIGINT RETURN " +
+      "IF(s RLIKE '^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\\\.){3}" +
+      "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$', " +
+      "CAST(split_part(s, '.', 1) AS BIGINT) * 16777216 + " +
+      "CAST(split_part(s, '.', 2) AS BIGINT) * 65536 + " +
+      "CAST(split_part(s, '.', 3) AS BIGINT) * 256 + " +
+      "CAST(split_part(s, '.', 4) AS BIGINT), NULL)",
+    "IPv4CIDRToRange(cidr STRING) RETURNS STRUCT<min: STRING, max: STRING> RETURN " +
+      "named_struct(" +
+      "'min', concat(CAST(shiftleft(shiftrightunsigned(" +
+      "CAST(split_part(split_part(cidr, '/', 1), '.', 1) AS BIGINT) * 16777216 + " +
+      "CAST(split_part(split_part(cidr, '/', 1), '.', 2) AS BIGINT) * 65536 + " +
+      "CAST(split_part(split_part(cidr, '/', 1), '.', 3) AS BIGINT) * 256 + " +
+      "CAST(split_part(split_part(cidr, '/', 1), '.', 4) AS BIGINT), " +
+      "32 - CAST(split_part(cidr, '/', 2) AS INT)), " +
+      "32 - CAST(split_part(cidr, '/', 2) AS INT)) div 16777216 % 256 AS STRING), '.', " +
+      "CAST(shiftleft(shiftrightunsigned(" +
+      "CAST(split_part(split_part(cidr, '/', 1), '.', 1) AS BIGINT) * 16777216 + " +
+      "CAST(split_part(split_part(cidr, '/', 1), '.', 2) AS BIGINT) * 65536 + " +
+      "CAST(split_part(split_part(cidr, '/', 1), '.', 3) AS BIGINT) * 256 + " +
+      "CAST(split_part(split_part(cidr, '/', 1), '.', 4) AS BIGINT), " +
+      "32 - CAST(split_part(cidr, '/', 2) AS INT)), " +
+      "32 - CAST(split_part(cidr, '/', 2) AS INT)) div 65536 % 256 AS STRING), '.', " +
+      "CAST(shiftleft(shiftrightunsigned(" +
+      "CAST(split_part(split_part(cidr, '/', 1), '.', 1) AS BIGINT) * 16777216 + " +
+      "CAST(split_part(split_part(cidr, '/', 1), '.', 2) AS BIGINT) * 65536 + " +
+      "CAST(split_part(split_part(cidr, '/', 1), '.', 3) AS BIGINT) * 256 + " +
+      "CAST(split_part(split_part(cidr, '/', 1), '.', 4) AS BIGINT), " +
+      "32 - CAST(split_part(cidr, '/', 2) AS INT)), " +
+      "32 - CAST(split_part(cidr, '/', 2) AS INT)) div 256 % 256 AS STRING), '.', " +
+      "CAST(shiftleft(shiftrightunsigned(" +
+      "CAST(split_part(split_part(cidr, '/', 1), '.', 1) AS BIGINT) * 16777216 + " +
+      "CAST(split_part(split_part(cidr, '/', 1), '.', 2) AS BIGINT) * 65536 + " +
+      "CAST(split_part(split_part(cidr, '/', 1), '.', 3) AS BIGINT) * 256 + " +
+      "CAST(split_part(split_part(cidr, '/', 1), '.', 4) AS BIGINT), " +
+      "32 - CAST(split_part(cidr, '/', 2) AS INT)), " +
+      "32 - CAST(split_part(cidr, '/', 2) AS INT)) % 256 AS STRING)), " +
+      "'max', concat(CAST((shiftleft(shiftrightunsigned(" +
+      "CAST(split_part(split_part(cidr, '/', 1), '.', 1) AS BIGINT) * 16777216 + " +
+      "CAST(split_part(split_part(cidr, '/', 1), '.', 2) AS BIGINT) * 65536 + " +
+      "CAST(split_part(split_part(cidr, '/', 1), '.', 3) AS BIGINT) * 256 + " +
+      "CAST(split_part(split_part(cidr, '/', 1), '.', 4) AS BIGINT), " +
+      "32 - CAST(split_part(cidr, '/', 2) AS INT)), " +
+      "32 - CAST(split_part(cidr, '/', 2) AS INT)) + " +
+      "shiftleft(1L, 32 - CAST(split_part(cidr, '/', 2) AS INT)) - 1) div 16777216 % 256 AS STRING), '.', " +
+      "CAST((shiftleft(shiftrightunsigned(" +
+      "CAST(split_part(split_part(cidr, '/', 1), '.', 1) AS BIGINT) * 16777216 + " +
+      "CAST(split_part(split_part(cidr, '/', 1), '.', 2) AS BIGINT) * 65536 + " +
+      "CAST(split_part(split_part(cidr, '/', 1), '.', 3) AS BIGINT) * 256 + " +
+      "CAST(split_part(split_part(cidr, '/', 1), '.', 4) AS BIGINT), " +
+      "32 - CAST(split_part(cidr, '/', 2) AS INT)), " +
+      "32 - CAST(split_part(cidr, '/', 2) AS INT)) + " +
+      "shiftleft(1L, 32 - CAST(split_part(cidr, '/', 2) AS INT)) - 1) div 65536 % 256 AS STRING), '.', " +
+      "CAST((shiftleft(shiftrightunsigned(" +
+      "CAST(split_part(split_part(cidr, '/', 1), '.', 1) AS BIGINT) * 16777216 + " +
+      "CAST(split_part(split_part(cidr, '/', 1), '.', 2) AS BIGINT) * 65536 + " +
+      "CAST(split_part(split_part(cidr, '/', 1), '.', 3) AS BIGINT) * 256 + " +
+      "CAST(split_part(split_part(cidr, '/', 1), '.', 4) AS BIGINT), " +
+      "32 - CAST(split_part(cidr, '/', 2) AS INT)), " +
+      "32 - CAST(split_part(cidr, '/', 2) AS INT)) + " +
+      "shiftleft(1L, 32 - CAST(split_part(cidr, '/', 2) AS INT)) - 1) div 256 % 256 AS STRING), '.', " +
+      "CAST((shiftleft(shiftrightunsigned(" +
+      "CAST(split_part(split_part(cidr, '/', 1), '.', 1) AS BIGINT) * 16777216 + " +
+      "CAST(split_part(split_part(cidr, '/', 1), '.', 2) AS BIGINT) * 65536 + " +
+      "CAST(split_part(split_part(cidr, '/', 1), '.', 3) AS BIGINT) * 256 + " +
+      "CAST(split_part(split_part(cidr, '/', 1), '.', 4) AS BIGINT), " +
+      "32 - CAST(split_part(cidr, '/', 2) AS INT)), " +
+      "32 - CAST(split_part(cidr, '/', 2) AS INT)) + " +
+      "shiftleft(1L, 32 - CAST(split_part(cidr, '/', 2) AS INT)) - 1) % 256 AS STRING)))",
+    "isIPAddressInRange(addr STRING, cidr STRING) RETURNS BOOLEAN RETURN " +
+      "shiftrightunsigned(" +
+      "CAST(split_part(addr, '.', 1) AS BIGINT) * 16777216 + " +
+      "CAST(split_part(addr, '.', 2) AS BIGINT) * 65536 + " +
+      "CAST(split_part(addr, '.', 3) AS BIGINT) * 256 + " +
+      "CAST(split_part(addr, '.', 4) AS BIGINT), " +
+      "32 - CAST(split_part(cidr, '/', 2) AS INT)) = " +
+      "shiftrightunsigned(" +
+      "CAST(split_part(split_part(cidr, '/', 1), '.', 1) AS BIGINT) * 16777216 + " +
+      "CAST(split_part(split_part(cidr, '/', 1), '.', 2) AS BIGINT) * 65536 + " +
+      "CAST(split_part(split_part(cidr, '/', 1), '.', 3) AS BIGINT) * 256 + " +
+      "CAST(split_part(split_part(cidr, '/', 1), '.', 4) AS BIGINT), " +
+      "32 - CAST(split_part(cidr, '/', 2) AS INT))",
+    // ---- tranche 6: bin/unbin + bit helpers
+    //      (FunctionsBinaryRepresentation.cpp) ----
+    "binCH(x BIGINT) RETURNS STRING RETURN lpad(bin(x), 64, '0')",
+    "unbin(s STRING) RETURNS BIGINT RETURN try_cast(conv(s, 2, 10) AS BIGINT)",
+    "hexCH(x BIGINT) RETURNS STRING RETURN hex(x)",
+    "unhexCH(s STRING) RETURNS BIGINT RETURN try_cast(conv(s, 16, 10) AS BIGINT)",
+    "bitCount(x BIGINT) RETURNS INT RETURN bit_count(x)",
+    "bitTestAll(x BIGINT, a INT, b INT) RETURNS BOOLEAN RETURN " +
+      "((x >> a) & 1) = 1 AND ((x >> b) & 1) = 1",
+    "bitTestAny(x BIGINT, a INT, b INT) RETURNS BOOLEAN RETURN " +
+      "((x >> a) & 1) = 1 OR ((x >> b) & 1) = 1",
+    "bitNot(x BIGINT) RETURNS BIGINT RETURN ~x",
+    // ---- tranche 6: geo (GeoHash.cpp, greatCircleDistance.cpp) ----
+    // geohashEncode: standard interleaved bisection (even bit = longitude,
+    // base32ghs alphabet). The fold carries the shrinking lon/lat ranges
+    // and the emitted bit list; entirely higher-order-function codegen.
+    "geohashEncode(lon DOUBLE, lat DOUBLE, prec INT) RETURNS STRING RETURN " +
+      "array_join(transform(sequence(0, prec - 1), ci -> substring(" +
+      "'0123456789bcdefghjkmnpqrstuvwxyz', " +
+      "element_at(aggregate(sequence(1, prec * 5), " +
+      "named_struct('lo', -180D, 'hi', 180D, 'la', -90D, 'lb', 90D, 'bits', CAST(array() AS ARRAY<INT>)), " +
+      "(acc, i) -> IF(pmod(i, 2) = 1, " +
+      "IF(lon >= (acc.lo + acc.hi) / 2, " +
+      "named_struct('lo', (acc.lo + acc.hi) / 2, 'hi', acc.hi, 'la', acc.la, 'lb', acc.lb, 'bits', concat(acc.bits, array(1))), " +
+      "named_struct('lo', acc.lo, 'hi', (acc.lo + acc.hi) / 2, 'la', acc.la, 'lb', acc.lb, 'bits', concat(acc.bits, array(0)))), " +
+      "IF(lat >= (acc.la + acc.lb) / 2, " +
+      "named_struct('lo', acc.lo, 'hi', acc.hi, 'la', (acc.la + acc.lb) / 2, 'lb', acc.lb, 'bits', concat(acc.bits, array(1))), " +
+      "named_struct('lo', acc.lo, 'hi', acc.hi, 'la', acc.la, 'lb', (acc.la + acc.lb) / 2, 'bits', concat(acc.bits, array(0))))), " +
+      "acc -> acc.bits), " +
+      "ci * 5 + 1) * 16 + element_at(aggregate(sequence(1, prec * 5), " +
+      "named_struct('lo', -180D, 'hi', 180D, 'la', -90D, 'lb', 90D, 'bits', CAST(array() AS ARRAY<INT>)), " +
+      "(acc, i) -> IF(pmod(i, 2) = 1, " +
+      "IF(lon >= (acc.lo + acc.hi) / 2, " +
+      "named_struct('lo', (acc.lo + acc.hi) / 2, 'hi', acc.hi, 'la', acc.la, 'lb', acc.lb, 'bits', concat(acc.bits, array(1))), " +
+      "named_struct('lo', acc.lo, 'hi', (acc.lo + acc.hi) / 2, 'la', acc.la, 'lb', acc.lb, 'bits', concat(acc.bits, array(0)))), " +
+      "IF(lat >= (acc.la + acc.lb) / 2, " +
+      "named_struct('lo', acc.lo, 'hi', acc.hi, 'la', (acc.la + acc.lb) / 2, 'lb', acc.lb, 'bits', concat(acc.bits, array(1))), " +
+      "named_struct('lo', acc.lo, 'hi', acc.hi, 'la', acc.la, 'lb', (acc.la + acc.lb) / 2, 'bits', concat(acc.bits, array(0))))), " +
+      "acc -> acc.bits), " +
+      "ci * 5 + 2) * 8 + element_at(aggregate(sequence(1, prec * 5), " +
+      "named_struct('lo', -180D, 'hi', 180D, 'la', -90D, 'lb', 90D, 'bits', CAST(array() AS ARRAY<INT>)), " +
+      "(acc, i) -> IF(pmod(i, 2) = 1, " +
+      "IF(lon >= (acc.lo + acc.hi) / 2, " +
+      "named_struct('lo', (acc.lo + acc.hi) / 2, 'hi', acc.hi, 'la', acc.la, 'lb', acc.lb, 'bits', concat(acc.bits, array(1))), " +
+      "named_struct('lo', acc.lo, 'hi', (acc.lo + acc.hi) / 2, 'la', acc.la, 'lb', acc.lb, 'bits', concat(acc.bits, array(0)))), " +
+      "IF(lat >= (acc.la + acc.lb) / 2, " +
+      "named_struct('lo', acc.lo, 'hi', acc.hi, 'la', (acc.la + acc.lb) / 2, 'lb', acc.lb, 'bits', concat(acc.bits, array(1))), " +
+      "named_struct('lo', acc.lo, 'hi', acc.hi, 'la', acc.la, 'lb', (acc.la + acc.lb) / 2, 'bits', concat(acc.bits, array(0))))), " +
+      "acc -> acc.bits), " +
+      "ci * 5 + 3) * 4 + element_at(aggregate(sequence(1, prec * 5), " +
+      "named_struct('lo', -180D, 'hi', 180D, 'la', -90D, 'lb', 90D, 'bits', CAST(array() AS ARRAY<INT>)), " +
+      "(acc, i) -> IF(pmod(i, 2) = 1, " +
+      "IF(lon >= (acc.lo + acc.hi) / 2, " +
+      "named_struct('lo', (acc.lo + acc.hi) / 2, 'hi', acc.hi, 'la', acc.la, 'lb', acc.lb, 'bits', concat(acc.bits, array(1))), " +
+      "named_struct('lo', acc.lo, 'hi', (acc.lo + acc.hi) / 2, 'la', acc.la, 'lb', acc.lb, 'bits', concat(acc.bits, array(0)))), " +
+      "IF(lat >= (acc.la + acc.lb) / 2, " +
+      "named_struct('lo', acc.lo, 'hi', acc.hi, 'la', (acc.la + acc.lb) / 2, 'lb', acc.lb, 'bits', concat(acc.bits, array(1))), " +
+      "named_struct('lo', acc.lo, 'hi', acc.hi, 'la', acc.la, 'lb', (acc.la + acc.lb) / 2, 'bits', concat(acc.bits, array(0))))), " +
+      "acc -> acc.bits), " +
+      "ci * 5 + 4) * 2 + element_at(aggregate(sequence(1, prec * 5), " +
+      "named_struct('lo', -180D, 'hi', 180D, 'la', -90D, 'lb', 90D, 'bits', CAST(array() AS ARRAY<INT>)), " +
+      "(acc, i) -> IF(pmod(i, 2) = 1, " +
+      "IF(lon >= (acc.lo + acc.hi) / 2, " +
+      "named_struct('lo', (acc.lo + acc.hi) / 2, 'hi', acc.hi, 'la', acc.la, 'lb', acc.lb, 'bits', concat(acc.bits, array(1))), " +
+      "named_struct('lo', acc.lo, 'hi', (acc.lo + acc.hi) / 2, 'la', acc.la, 'lb', acc.lb, 'bits', concat(acc.bits, array(0)))), " +
+      "IF(lat >= (acc.la + acc.lb) / 2, " +
+      "named_struct('lo', acc.lo, 'hi', acc.hi, 'la', (acc.la + acc.lb) / 2, 'lb', acc.lb, 'bits', concat(acc.bits, array(1))), " +
+      "named_struct('lo', acc.lo, 'hi', acc.hi, 'la', acc.la, 'lb', (acc.la + acc.lb) / 2, 'bits', concat(acc.bits, array(0))))), " +
+      "acc -> acc.bits), " +
+      "ci * 5 + 5) + 1, 1)), '')",
+    // geohashDecode: inverse fold — each base32 char contributes 5 bits
+    // that bisect the lon (even bit) / lat (odd bit) ranges
+    "geohashDecode(g STRING) RETURNS STRUCT<longitude: DOUBLE, latitude: DOUBLE> RETURN " +
+      "aggregate(sequence(1, length(g) * 5), " +
+      "named_struct('lo', -180D, 'hi', 180D, 'la', -90D, 'lb', 90D), " +
+      "(acc, i) -> IF(pmod(i, 2) = 1, " +
+      "IF(((instr('0123456789bcdefghjkmnpqrstuvwxyz', substring(lower(g), CAST(ceil(i / 5.0) AS INT), 1)) - 1) >> (5 - pmod(i - 1, 5) - 1) & 1) = 1, " +
+      "named_struct('lo', (acc.lo + acc.hi) / 2, 'hi', acc.hi, 'la', acc.la, 'lb', acc.lb), " +
+      "named_struct('lo', acc.lo, 'hi', (acc.lo + acc.hi) / 2, 'la', acc.la, 'lb', acc.lb)), " +
+      "IF(((instr('0123456789bcdefghjkmnpqrstuvwxyz', substring(lower(g), CAST(ceil(i / 5.0) AS INT), 1)) - 1) >> (5 - pmod(i - 1, 5) - 1) & 1) = 1, " +
+      "named_struct('lo', acc.lo, 'hi', acc.hi, 'la', (acc.la + acc.lb) / 2, 'lb', acc.lb), " +
+      "named_struct('lo', acc.lo, 'hi', acc.hi, 'la', acc.la, 'lb', (acc.la + acc.lb) / 2))), " +
+      "acc -> named_struct('longitude', (acc.lo + acc.hi) / 2, 'latitude', (acc.la + acc.lb) / 2))",
+    "greatCircleAngle(lon1 DOUBLE, lat1 DOUBLE, lon2 DOUBLE, lat2 DOUBLE) RETURNS DOUBLE RETURN " +
+      "degrees(2 * asin(sqrt(" +
+      "pow(sin(radians(lat2 - lat1) / 2), 2) + " +
+      "cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(radians(lon2 - lon1) / 2), 2))))",
+    "pointInEllipses(x DOUBLE, y DOUBLE, cx DOUBLE, cy DOUBLE, a DOUBLE, b DOUBLE) RETURNS BOOLEAN RETURN " +
+      "pow(x - cx, 2) / pow(a, 2) + pow(y - cy, 2) / pow(b, 2) <= 1",
+    // ---- tranche 6: misc (snowflake ids, ms-epoch, slots, strings) ----
+    "snowflakeToDateTime(id BIGINT) RETURNS TIMESTAMP RETURN " +
+      "timestamp_millis(1288834974657 + (id >> 22))",
+    "dateTimeToSnowflake(t TIMESTAMP) RETURNS BIGINT RETURN " +
+      "shiftleft(unix_millis(t) - 1288834974657, 22)",
+    "toUnixTimestamp64Milli(t TIMESTAMP) RETURNS BIGINT RETURN unix_millis(t)",
+    "fromUnixTimestamp64Milli(n BIGINT) RETURNS TIMESTAMP RETURN timestamp_millis(n)",
+    "toStartOfTenMinutes(t TIMESTAMP) RETURNS TIMESTAMP RETURN " +
+      "timestamp_seconds((unix_micros(t) div 1000000 div 600) * 600)",
+    "timeSlots(t TIMESTAMP, dur INT) RETURNS ARRAY<TIMESTAMP> RETURN " +
+      "transform(sequence(unix_micros(t) div 1000000 div 1800, " +
+      "(unix_micros(t) div 1000000 + dur) div 1800), " +
+      "s -> timestamp_seconds(s * 1800))",
+    "translateUTF8(s STRING, f STRING, t STRING) RETURNS STRING RETURN translate(s, f, t)",
+    "countMatches(s STRING, re STRING) RETURNS INT RETURN size(regexp_extract_all(s, re, 0))",
+    "arrayProduct(a ARRAY<DOUBLE>) RETURNS DOUBLE RETURN " +
+      "aggregate(a, 1D, (acc, x) -> acc * x)",
+    "arrayJaccardIndex(a ARRAY<STRING>, b ARRAY<STRING>) RETURNS DOUBLE RETURN " +
+      "CAST(size(array_intersect(a, b)) AS DOUBLE) / " +
+      "greatest(size(array_distinct(concat(a, b))), 1)",
+    "arrayRotateRight(a ARRAY<STRING>, n INT) RETURNS ARRAY<STRING> RETURN " +
+      "CASE WHEN size(a) = 0 THEN a ELSE " +
+      "concat(slice(a, size(a) - (n % size(a)) + 1, n % size(a)), " +
+      "slice(a, 1, size(a) - (n % size(a)))) END",
   )
 
   /** Install all aliases (CREATE OR REPLACE, idempotent); returns names

@@ -621,6 +621,27 @@ object RelationalQueries {
           Seq("n" -> lit(0L)))
         .orderBy(col("qb"))
     }),
+    // Scalar tranche 6 end-to-end: URL decomposition + IP containment
+    // (ClickHouseCompat SQL functions) over deterministic synthetic
+    // URLs/IPs derived from customer columns; the oracle recomputes the
+    // decomposition semantics directly.
+    "q53_url_ip" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .withColumn("url", expr(
+          "concat('https://www.shop', c_nationkey, '.example.com/seg/', " +
+          "lower(c_mktsegment), '/p', c_custkey, '?q=', c_custkey % 13, '&ref=em')"))
+        .withColumn("ip", expr(
+          "concat('10.', c_custkey % 256, '.', c_nationkey * 10, '.', c_custkey % 250)"))
+        .selectExpr(
+          "domainWithoutWWW(url) AS dom",
+          "isIPAddressInRange(ip, '10.128.0.0/9') AS in_hi",
+          "CAST(extractURLParameter(url, 'q') AS BIGINT) AS q",
+          "basename(url) AS page")
+        .groupBy(col("dom"), col("in_hi"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("q_sum"),
+          min(col("page")).as("first_page"))
+        .orderBy(col("dom"), col("in_hi"))
+    }),
     // GROUP BY with expression keys + IN-subquery semi join.
     "q30_in_subquery" -> ((s, dir) => {
       val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
@@ -672,6 +693,16 @@ object RelationalQueries {
       SELECT b.qb, coalesce(a.n, 0) AS n
       FROM buckets b LEFT JOIN agg a USING (qb)
       ORDER BY b.qb""",
+    "q53_url_ip" -> """
+      WITH c AS (
+        SELECT 'shop' || CAST(c_nationkey AS VARCHAR) || '.example.com' AS dom,
+               (c_custkey % 256) >= 128 AS in_hi,
+               CAST(c_custkey % 13 AS BIGINT) AS q,
+               'p' || CAST(c_custkey AS VARCHAR) AS page
+        FROM customer)
+      SELECT dom, in_hi, CAST(count(1) AS BIGINT) AS n,
+             CAST(sum(q) AS BIGINT) AS q_sum, min(page) AS first_page
+      FROM c GROUP BY dom, in_hi ORDER BY dom, in_hi""",
     "q52_sign_weighted_agg" -> """
       WITH survivors AS (
         SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0

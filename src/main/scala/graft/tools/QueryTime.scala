@@ -22,6 +22,7 @@ object QueryTime {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.engine.GraftSession.install(spark)
     // comma-separated names run in sequence in ONE JVM — put a cheap
     // query first to absorb session/codegen warmup when timing another
     name.split(',').foreach { nm =>

@@ -248,4 +248,97 @@ class ClickHouseCompatSpec extends SparkSpec {
     assert(d > 330000 && d < 355000, s"got $d")
     assert(spark.sql("SELECT geoDistance(0,0,0,0)").head().getDouble(0) === 0.0)
   }
+
+  test("tranche-6: URL decomposition") {
+    def q1(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
+    val u = "'https://www.example.com:8080/a/b/c.html?x=1&y=2#frag'"
+    assert(q1(s"basename($u)") === "c.html")
+    assert(q1(s"pathFull($u)") === "/a/b/c.html?x=1&y=2")
+    assert(q1(s"queryStringAndFragment($u)") === "x=1&y=2#frag")
+    assert(q1(s"cutQueryStringAndFragment($u)") ===
+      "https://www.example.com:8080/a/b/c.html")
+    assert(q1(s"portCH($u)") === 8080)
+    assert(q1("portCH('https://example.com/a')") === 0)
+    assert(q1(s"domainWithoutWWW($u)") === "example.com")
+    assert(q1(s"cutToFirstSignificantSubdomain('https://news.sub.example.com/x')") ===
+      "example.com")
+    assert(q1(s"extractURLParameterNames($u)") === Seq("x", "y"))
+    assert(q1(s"extractURLParameters($u)") === Seq("x=1", "y=2"))
+    assert(q1(s"cutURLParameter($u, 'x')") ===
+      "https://www.example.com:8080/a/b/c.html?y=2#frag")
+    assert(q1(s"URLPathHierarchy($u)") === Seq("/a", "/a/b", "/a/b/c.html"))
+    assert(q1("decodeURLComponent('a%20b%2Fc')") === "a b/c")
+    assert(q1("encodeURLComponent('a b')") === "a+b")
+  }
+
+  test("tranche-6: IP coding and containment") {
+    def q1(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
+    assert(q1("isIPv4String('192.168.0.1')") === true)
+    assert(q1("isIPv4String('256.1.1.1')") === false)
+    assert(q1("isIPv4String('not.an.ip')") === false)
+    assert(q1("isIPv6String('2001:db8::1')") === true)
+    assert(q1("isIPv6String('192.168.0.1')") === false)
+    assert(q1("toIPv4OrNull('1.2.3.4')") === 16909060L)
+    assert(q1("toIPv4OrNull('300.2.3.4')") === null)
+    assert(q1("isIPAddressInRange('192.168.5.7', '192.168.0.0/16')") === true)
+    assert(q1("isIPAddressInRange('192.169.5.7', '192.168.0.0/16')") === false)
+    assert(q1("isIPAddressInRange('10.0.0.1', '10.0.0.0/8')") === true)
+    val r = spark.sql("SELECT IPv4CIDRToRange('192.168.5.2/16') AS r").head()
+      .getStruct(0)
+    assert(r.getString(0) === "192.168.0.0")
+    assert(r.getString(1) === "192.168.255.255")
+  }
+
+  test("tranche-6: bin/unbin, bit helpers, snowflake ids") {
+    def q1(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
+    assert(q1("binCH(5)") ===
+      "0000000000000000000000000000000000000000000000000000000000000101")
+    assert(q1("unbin('101')") === 5L)
+    assert(q1("hexCH(255)") === "FF")
+    assert(q1("unhexCH('FF')") === 255L)
+    assert(q1("bitCount(7)") === 3)
+    assert(q1("bitTestAll(5, 0, 2)") === true)
+    assert(q1("bitTestAll(5, 0, 1)") === false)
+    assert(q1("bitTestAny(5, 1, 2)") === true)
+    assert(q1("bitNot(0)") === -1L)
+    // snowflake epoch roundtrip
+    assert(q1("snowflakeToDateTime(dateTimeToSnowflake(TIMESTAMP '2024-01-01 00:00:00'))")
+      .toString startsWith "2024-01-01 00:00:00")
+  }
+
+  test("tranche-6: geohash encode/decode") {
+    def q1(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
+    // canonical test vector (public geohash docs): ezs42
+    assert(q1("geohashEncode(-5.60302734375, 42.60498046875, 5)") === "ezs42")
+    assert(q1("geohashEncode(13.361389, 38.115556, 8)").toString.take(4) === "sqc8")
+    val r = spark.sql("SELECT geohashDecode('ezs42') AS r").head().getStruct(0)
+    assert(math.abs(r.getDouble(0) - -5.603) < 0.03, s"lon ${r.getDouble(0)}")
+    assert(math.abs(r.getDouble(1) - 42.605) < 0.03, s"lat ${r.getDouble(1)}")
+    // roundtrip at precision 9 recovers coordinates to ~1e-4
+    val rt = spark.sql(
+      "SELECT geohashDecode(geohashEncode(2.3522, 48.8566, 9)) AS r").head()
+      .getStruct(0)
+    assert(math.abs(rt.getDouble(0) - 2.3522) < 1e-3)
+    assert(math.abs(rt.getDouble(1) - 48.8566) < 1e-3)
+    assert(math.abs(q1("greatCircleAngle(0, 0, 90, 0)").asInstanceOf[Double] - 90.0) < 1e-9)
+    assert(q1("pointInEllipses(1, 0, 0, 0, 2, 1)") === true)
+    assert(q1("pointInEllipses(3, 0, 0, 0, 2, 1)") === false)
+  }
+
+  test("tranche-6: time helpers and array extras") {
+    def q1(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
+    assert(q1("toUnixTimestamp64Milli(TIMESTAMP '1970-01-01 00:00:01')") === 1000L)
+    assert(q1("fromUnixTimestamp64Milli(1000)").toString startsWith "1970-01-01 00:00:01")
+    assert(q1("toStartOfTenMinutes(TIMESTAMP '2024-01-01 00:17:45')")
+      .toString startsWith "2024-01-01 00:10:00")
+    assert(q1("size(timeSlots(TIMESTAMP '2024-01-01 00:00:00', 3600))") === 3)
+    assert(q1("translateUTF8('abca', 'a', 'z')") === "zbcz")
+    assert(q1("countMatches('a1b22c333', '[0-9]+')") === 3)
+    assert(q1("arrayProduct(array(2D, 3D, 4D))") === 24.0)
+    assert(q1("arrayJaccardIndex(array('a','b'), array('b','c'))") === 1.0 / 3)
+    assert(q1("arrayRotateRight(array('a','b','c','d'), 1)") ===
+      Seq("d", "a", "b", "c"))
+    assert(q1("arrayRotateRight(array('a','b','c','d'), 5)") ===
+      Seq("d", "a", "b", "c"))
+  }
 }
