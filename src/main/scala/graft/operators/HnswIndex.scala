@@ -247,7 +247,8 @@ object HnswIndex {
       sourcePath: String = "",
       quantize: Boolean = false,
       pqSubspaces: Int = 0,
-      minRowsToBuild: Long = 0L): IvfIndex.IndexEntry = {
+      minRowsToBuild: Long = 0L,
+      maxRowsForSlowMode: Long = 0L): IvfIndex.IndexEntry = {
     import spark.implicits._
     require(!(quantize && pqSubspaces > 0), "choose SQ or PQ, not both")
     val indexType =
@@ -264,14 +265,30 @@ object HnswIndex {
     // smallparts/ (state SMALL_PART, ref VIInfo.h:41-49) and search()
     // brute-forces them exactly, so tiny tail parts never pay graph
     // construction while staying searchable.
-    val gated = minRowsToBuild > 0L
+    val gated = minRowsToBuild > 0L || maxRowsForSlowMode > 0L
     val parted = if (gated) parted0.persist() else parted0
-    val smallPartCounts: Map[Int, Long] =
+    val partCounts: Map[Int, Long] =
       if (!gated) Map.empty
       else parted.rdd.mapPartitionsWithIndex { (pid, it) =>
         Iterator.single(pid -> it.size.toLong)
-      }.collect().filter { case (_, n) => n > 0 && n < minRowsToBuild }.toMap
+      }.collect().toMap
+    val smallPartCounts: Map[Int, Long] = partCounts
+      .filter { case (_, n) => n > 0 && minRowsToBuild > 0L && n < minRowsToBuild }
     val smallParts = smallPartCounts.keySet
+    // max_rows_for_slow_mode_single_vector_index_build (ref
+    // MergeTreeSettings.h:185): in the reference, parts above the
+    // threshold build in a separate rate-limited background pool so one
+    // giant index build can't starve merges. In an explicit distributed
+    // build the CLUSTER SCHEDULER is that pool — every part builds as one
+    // task in the same job — so the faithful mapping is observability,
+    // not throttling: oversized parts are recorded in the index event log
+    // (the VIEventLog analog) for operators watching build health.
+    if (maxRowsForSlowMode > 0L) {
+      val slow = partCounts.filter(_._2 > maxRowsForSlowMode).keys.toSeq.sorted
+      if (slow.nonEmpty)
+        IvfIndex.Catalog.logEvent(indexName, "BUILD_SLOW_MODE",
+          s"parts=${slow.mkString(",")} threshold=$maxRowsForSlowMode")
+    }
     val bcSmall = spark.sparkContext.broadcast(smallParts)
     if (gated) {
       parted.mapPartitions { iter =>

@@ -161,7 +161,14 @@ class HnswIndexSpec extends SparkSpec {
     try {
       HnswIndex.build(spark, big.unionAll(small), "vec_id", "embedding",
         "gate_hnsw", dir, "l2", m = 8, efConstruction = 64,
-        minRowsToBuild = 100L)
+        minRowsToBuild = 100L, maxRowsForSlowMode = 150L)
+      // the two large parts exceed the slow-mode threshold and are
+      // recorded in the event log (the reference's slow-mode build pool
+      // maps to observability here — see build())
+      val slowEvents = IvfIndex.Catalog.events("gate_hnsw")
+        .filter(_.event == "BUILD_SLOW_MODE")
+      assert(slowEvents.size === 1, slowEvents.mkString(","))
+      assert(slowEvents.head.detail.startsWith("parts=0,1"), slowEvents.head.detail)
       val segs = IvfIndex.Catalog.segmentsFor("gate_hnsw")
       val smallSegs = segs.filter(_.state == "SMALL_PART")
       assert(smallSegs.size === 2, segs.mkString(","))
