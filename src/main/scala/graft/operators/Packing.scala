@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators beyond dedup: sequence packing,
+  * deterministic splits, stratified sampling, seeded global shuffle —
+  * the steps between "cleaned corpus" and "token stream on the trainer"
+  * (public method references: GPT-3 paper appendix B packing; T5
+  * "pack_examples"; Dolma toolkit mixing/splitting).
+  *
+  * Everything is deterministic (hash- or order-based, never RNG state),
+  * so re-runs and backfills produce byte-identical splits — the property
+  * production pipelines rely on to keep train/val membership stable
+  * across incremental runs.
+  */
+object Packing {
+
+  /** Concat-then-chunk sequence packing: the tokenized corpus is one
+    * logical stream in `orderCol` order, cut into fixed `budget`-token
+    * chunks; documents may straddle chunk boundaries (the standard LLM
+    * pretraining shape). Returns one row per doc with its placement:
+    * `(id, n_tokens, cum_before, chunk_start, chunk_end,
+    * offset_in_chunk)`.
+    *
+    * Scale shape: the global running total comes from
+    * [[RelationalOps.partitionedRunningSum]] — a range repartition plus
+    * a two-phase prefix sum with a one-row-per-partition driver reduce —
+    * NOT a single-partition window, so the op holds at 100 TB where a
+    * global cumsum window would collapse onto one task.
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: Column,
+      nTokensCol: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val base = df.select(idCol.cast("long").as("id"),
+      nTokensCol.cast("double").as("__n"))
+    RelationalOps.partitionedRunningSum(base, "id", Seq("__n"))
+      .select(col("id"),
+        col("__n").cast("long").as("n_tokens"),
+        (col("__cum___n") - col("__n")).cast("long").as("cum_before"))
+      .withColumn("chunk_start",
+        (col("cum_before") / lit(budget)).cast("long"))
+      .withColumn("chunk_end",
+        greatest(col("chunk_start"),
+          ((col("cum_before") + col("n_tokens") - 1) / lit(budget)).cast("long")))
+      .withColumn("offset_in_chunk", pmod(col("cum_before"), lit(budget)))
+  }
+
+  /** Deterministic [0, buckets) bucket from the md5 of a column — the
+    * hash-based assignment used for splits/sampling below. md5 (not
+    * xxhash) so any engine (including the DuckDB oracle) reproduces the
+    * bucket byte-for-byte from the same string rendering.
+    */
+  def hashBucket(c: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(buckets.toLong))
+
+  /** Deterministic train/val/test split on the id hash: membership is a
+    * pure function of the id, so appending new data never reshuffles
+    * existing rows' split (the leakage-safety property "random()"-based
+    * splits lack). Adds a `split` column.
+    */
+  def deterministicSplit(
+      df: DataFrame,
+      idCol: Column,
+      valPct: Int = 10,
+      testPct: Int = 10): DataFrame = {
+    require(valPct >= 0 && testPct >= 0 && valPct + testPct <= 100,
+      s"bad split percentages: val=$valPct test=$testPct")
+    val b = hashBucket(idCol, 100)
+    df.withColumn("split",
+      when(b < valPct, "val")
+        .when(b < valPct + testPct, "test")
+        .otherwise("train"))
+  }
+
+  /** Deterministic stratified sampling: per-stratum keep-percentages
+    * applied via the id-hash bucket (same hash for every stratum, so a
+    * row's fate is stable under fraction changes — raising a stratum's
+    * percentage only ADDS rows). `fractions` maps stratum value →
+    * percentage [0,100]; missing strata default to `defaultPct`.
+    * This is the source-weighting / data-mixing primitive: up-sample
+    * high-quality sources, down-sample the crawl.
+    */
+  def stratifiedSampleByHash(
+      df: DataFrame,
+      strataCol: Column,
+      idCol: Column,
+      fractions: Map[String, Int],
+      defaultPct: Int = 100): DataFrame = {
+    val pct = fractions.foldLeft(lit(defaultPct)) { case (acc, (k, v)) =>
+      when(strataCol === k, lit(v)).otherwise(acc)
+    }
+    df.filter(hashBucket(idCol, 100) < pct)
+  }
+
+  /** Seeded global shuffle for training order: sort by the md5 of
+    * (seed, id). Deterministic across runs and engines; at scale the
+    * sort is the usual range-repartition + local sort, and downstream
+    * writers consume partitions in order — no driver materialization.
+    */
+  def seededShuffle(df: DataFrame, idCol: Column, seed: String): DataFrame =
+    df.withColumn("__shuffle_key",
+        md5(concat(lit(seed), lit("-"), idCol.cast("string"))))
+      .orderBy(col("__shuffle_key"), idCol)
+      .drop("__shuffle_key")
+}

@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables.t
+import graft.functions.text
+import graft.operators.Packing
+
+/** Training-pipeline coverage past dedup (SURVEY pipeline-ops mandate):
+  * sequence packing, deterministic splits, stratified source mixing,
+  * seeded shuffle — each with an exact DuckDB oracle (all four ops are
+  * deterministic by construction; see [[Packing]]).
+  */
+object PipelineQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // DuckDB fragment matching graft.functions.text.tokenize + the md5
+  // bucket of Packing.hashBucket
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
+  private def bucketSql(idExpr: String): String =
+    s"(CAST(('0x' || substr(md5(CAST($idExpr AS VARCHAR)), 1, 8)) AS BIGINT) % 100)"
+
+  val queries: Map[String, Q] = Map(
+    // Concat-then-chunk sequence packing at a 2048-token budget over the
+    // doc_id-ordered corpus: per-doc chunk placement via the distributed
+    // two-phase prefix sum (no single-partition window).
+    "p01_pack_sequences" -> ((s, dir) => {
+      Packing.packSequences(
+          t(s, dir, "documents"),
+          col("doc_id"), text.tokenCount(col("text")), budget = 2048L)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("cum_before"),
+          col("chunk_start"), col("chunk_end"), col("offset_in_chunk"))
+        .orderBy(col("doc_id"))
+    }),
+    // Deterministic id-hash train/val/test split (10/10/80): membership
+    // is a pure function of the id, stable under appends.
+    "p02_split" -> ((s, dir) => {
+      Packing.deterministicSplit(t(s, dir, "documents"), col("doc_id"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_id"),
+          max(col("doc_id")).as("last_id"))
+        .orderBy(col("split"))
+    }),
+    // Stratified source mixing: keep 100% of English docs, 25% of the
+    // rest — the up/down-sampling primitive, deterministic per id.
+    "p03_stratified_mix" -> ((s, dir) => {
+      Packing.stratifiedSampleByHash(
+          t(s, dir, "documents"), col("lang"), col("doc_id"),
+          Map("en" -> 100), defaultPct = 25)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"))
+    }),
+    // Seeded global shuffle for training order: first 20 docs of the
+    // 'seed42' permutation, shuffle key included so the oracle pins the
+    // exact order (TakeOrderedAndProject, no global window).
+    "p04_seeded_shuffle" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("skey",
+          md5(concat(lit("seed42"), lit("-"), col("doc_id").cast("string"))))
+      docs.select(col("doc_id"), col("skey"))
+        .orderBy(col("skey"), col("doc_id"))
+        .limit(20)
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "p01_pack_sequences" -> s"""
+      WITH d AS (
+        SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (
+                 ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cum_before
+        FROM d)
+      SELECT doc_id, n_tokens, cum_before,
+             cum_before // 2048 AS chunk_start,
+             greatest(cum_before // 2048,
+                      (cum_before + n_tokens - 1) // 2048) AS chunk_end,
+             cum_before % 2048 AS offset_in_chunk
+      FROM c ORDER BY doc_id""",
+    "p02_split" -> s"""
+      WITH s AS (
+        SELECT doc_id,
+               CASE WHEN ${bucketSql("doc_id")} < 10 THEN 'val'
+                    WHEN ${bucketSql("doc_id")} < 20 THEN 'test'
+                    ELSE 'train' END AS split
+        FROM documents)
+      SELECT split, CAST(count(1) AS BIGINT) AS n,
+             min(doc_id) AS first_id, max(doc_id) AS last_id
+      FROM s GROUP BY split ORDER BY split""",
+    "p03_stratified_mix" -> s"""
+      SELECT lang, CAST(count(1) AS BIGINT) AS n
+      FROM documents
+      WHERE ${bucketSql("doc_id")} < (CASE WHEN lang = 'en' THEN 100 ELSE 25 END)
+      GROUP BY lang ORDER BY lang""",
+    "p04_seeded_shuffle" -> """
+      SELECT doc_id, md5('seed42-' || CAST(doc_id AS VARCHAR)) AS skey
+      FROM documents
+      ORDER BY skey, doc_id LIMIT 20""",
+  )
+}

@@ -181,4 +181,74 @@ class PipelineOpsSpec extends SparkSpec {
     // learned boundary direction ≈ (1, 1)
     assert(r.getAs[Double]("w1") > 0 && r.getAs[Double]("w2") > 0)
   }
+
+  // ---- packing / splits / mixing / shuffle (operators.Packing) ----
+
+  test("packSequences: stream invariants hold and chunks are dense") {
+    import graft.operators.Packing
+    val docs = graft.engine.Tables.t(spark, sfDir, "documents")
+    val packed = Packing.packSequences(docs, col("doc_id"),
+      graft.functions.text.tokenCount(col("text")), budget = 512L)
+      .orderBy(col("id")).collect()
+    var cum = 0L
+    packed.foreach { r =>
+      assert(r.getAs[Long]("cum_before") === cum) // exact stream positions
+      assert(r.getAs[Long]("offset_in_chunk") === cum % 512)
+      assert(r.getAs[Long]("chunk_start") === cum / 512)
+      cum += r.getAs[Long]("n_tokens")
+      val lastTok = math.max(cum - 1, r.getAs[Long]("cum_before"))
+      assert(r.getAs[Long]("chunk_end") === math.max(lastTok / 512, r.getAs[Long]("chunk_start")))
+    }
+    // chunk ids are dense 0..maxChunk (documents straddle boundaries, so
+    // no chunk can be skipped)
+    val chunks = packed.flatMap(r =>
+      r.getAs[Long]("chunk_start") to r.getAs[Long]("chunk_end")).toSet
+    assert(chunks === (0L to (cum - 1) / 512).toSet)
+  }
+
+  test("deterministicSplit: stable under appends, percentages in range") {
+    import graft.operators.Packing
+    val docs = graft.engine.Tables.t(spark, sfDir, "documents")
+    val full = Packing.deterministicSplit(docs, col("doc_id"))
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // membership is a pure function of the id: a subset corpus assigns
+    // the same splits (append-stability)
+    val subset = Packing.deterministicSplit(
+        docs.filter(col("doc_id") < 100), col("doc_id"))
+      .select(col("doc_id"), col("split")).collect()
+    subset.foreach(r => assert(full(r.getLong(0)) === r.getString(1)))
+    val n = full.size.toDouble
+    val frac = full.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(math.abs(frac("val") - 0.10) < 0.06, frac.toString)
+    assert(math.abs(frac("test") - 0.10) < 0.06, frac.toString)
+    assert(frac("train") > 0.7)
+  }
+
+  test("stratifiedSampleByHash: raising a fraction only adds rows") {
+    import graft.operators.Packing
+    val docs = graft.engine.Tables.t(spark, sfDir, "documents")
+    def ids(pct: Int): Set[Long] =
+      Packing.stratifiedSampleByHash(docs, col("lang"), col("doc_id"),
+          Map("en" -> 100), defaultPct = pct)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val at10 = ids(10); val at25 = ids(25)
+    assert(at10.subsetOf(at25)) // monotone growth — stable membership
+    val en = docs.filter(col("lang") === "en")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(en.subsetOf(at10)) // 100% stratum fully kept
+  }
+
+  test("seededShuffle: deterministic, permutation, seed-sensitive") {
+    import graft.operators.Packing
+    val docs = graft.engine.Tables.t(spark, sfDir, "documents")
+    def order(seed: String): Seq[Long] =
+      Packing.seededShuffle(docs, col("doc_id"), seed)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val a = order("s1"); val b = order("s1"); val c = order("s2")
+    assert(a === b)                      // reproducible
+    assert(a.toSet === c.toSet)          // permutation of the same rows
+    assert(a !== c)                      // different seed, different order
+    assert(a !== a.sorted)               // actually shuffled
+  }
 }
