@@ -298,6 +298,20 @@ object VectorQueries {
         .select(col("vec_id"), round(col("d").cast("double"), 3).as("d"))
         .orderBy(col("vec_id"))
     }),
+    // distance() over a JOINed table (reference
+    // 00026_mqvs_support_distance_on_right_joined_table): the search
+    // column comes from the right side of an equi-join; brute-force
+    // top-K over the join output — the same TakeOrderedAndProject, with
+    // the join shuffling BEFORE the k-row merge.
+    "v28_join_distance" -> ((s, dir) => {
+      val joined = emb(s, dir)
+        .join(t(s, dir, "documents"), col("vec_id") === col("doc_id"))
+      VectorSearch.topK(joined, col("embedding"), queryVec(s, dir), 10,
+          "l2", None, "d", Seq(col("vec_id")))
+        .select(col("vec_id"), col("lang"),
+          round(col("d").cast("double"), 3).as("d"))
+        .orderBy(col("vec_id"))
+    }),
     // MSTG DDL stand-in (reference 00028_mqvs_index_mstg_build_search):
     // TYPE MSTG('disk_mode=1','metric_type=L2') with full parameter
     // validation, searched with the public `alpha` knob. alpha=4 probes
@@ -446,6 +460,13 @@ object VectorQueries {
       SELECT * FROM (
         SELECT vec_id, round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) AS d
         FROM embeddings
+        ORDER BY list_distance(embedding, $qv0), vec_id LIMIT 10)
+      ORDER BY vec_id""",
+    "v28_join_distance" -> s"""
+      SELECT * FROM (
+        SELECT vec_id, lang,
+               round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) AS d
+        FROM embeddings JOIN documents ON vec_id = doc_id
         ORDER BY list_distance(embedding, $qv0), vec_id LIMIT 10)
       ORDER BY vec_id""",
     "v27_mstg_search" -> s"""

@@ -151,6 +151,21 @@ class HnswIndexSpec extends SparkSpec {
     } finally IvfIndex.Catalog.drop("append_hnsw")
   }
 
+  test("cosine metric graph: recall vs brute-force cosine (ref 00014)") {
+    val dir = Files.createTempDirectory("hnsw-cos").toString
+    try {
+      HnswIndex.build(spark, emb, "vec_id", "embedding", "cos_hnsw", dir,
+        "cosine", m = 8, efConstruction = 64, numPartitions = Some(2))
+      val got = HnswIndex.search(spark, dir, qv, 10, ef = 128, metric = "cosine")
+        .select("id").collect().map(_.getLong(0)).toSet
+      val brute = VectorSearch.topK(emb, col("embedding"), qv, 10, "cosine",
+          None, "d", Seq(col("vec_id")))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val recall = (got & brute).size / 10.0
+      assert(recall >= 0.9, s"cosine recall@10 = $recall")
+    } finally IvfIndex.Catalog.drop("cos_hnsw")
+  }
+
   test("min_rows gate: small parts skip graph build, stay searchable exactly") {
     val dir = Files.createTempDirectory("hnsw-gate").toString
     // skewed layout: 2 large parts + 2 tiny parts (union concatenates
