@@ -186,4 +186,51 @@ object HybridSearch {
           distAsc, "fused_score", Seq(col(idCol)))
     }
   }
+
+  /** Fully index-backed hybrid search — BOTH legs on persisted indexes,
+    * the reference's production shape: the dense leg probes the vector
+    * index with `denseNprobe` (the `dense_nprobe` search parameter,
+    * `VSDescription.h:112-153`), the text leg reads the FTS postings.
+    * Per query, the corpus is touched only through nprobe/nLists of the
+    * list files + ≤|terms| posting buckets — no full scan on either leg.
+    * `vecIdCol` is the id column name inside the vector index's rows
+    * (renamed to `idCol` for fusion). `denseNprobe = nLists` makes the
+    * dense leg exhaustive-exact, so the full pipeline can be proven
+    * against the direct-path oracle.
+    */
+  def hybridSearchFullyIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      idCol: String,
+      vecIdCol: String,
+      qvec: Seq[Float],
+      qtext: String,
+      k: Int,
+      vecIndexDir: String,
+      ftsIndexDir: String,
+      fusionType: String = "rsf",
+      denseNprobe: Int = 4,
+      metric: String = "cosine",
+      fusionWeight: Double = DefaultFusionWeight,
+      rrfK: Int = DefaultRrfK): DataFrame = {
+    val nCand = k * TopKMultipleBase
+    val distAsc = !metric.equalsIgnoreCase("ip")
+    val vecCand = IvfIndex.search(spark, vecIndexDir, qvec, nCand,
+        nprobe = denseNprobe, metricOverride = Some(metric),
+        preFilter = None, distName = "dist", tieBreak = Seq(col(vecIdCol)))
+      .withColumnRenamed(vecIdCol, idCol)
+      .select(col(idCol), col("dist"))
+    val textCand = FtsIndex
+      .search(spark, ftsIndexDir, qtext, nCand, "OR", "bm25_score",
+        Seq(col("doc_id")))
+      .withColumnRenamed("doc_id", idCol)
+      .select(col(idCol), col("bm25_score"))
+    fusionType.toLowerCase match {
+      case "rrf" =>
+        rrf(vecCand, textCand, idCol, "dist", "bm25_score", k, rrfK, distAsc,
+          "fused_score", Seq(col(idCol)))
+      case _ =>
+        rsf(vecCand, textCand, idCol, "dist", "bm25_score", k, fusionWeight,
+          distAsc, "fused_score", Seq(col(idCol)))
+    }
+  }
 }

@@ -86,7 +86,34 @@ object TextQueries {
       idx
     })
 
+  /** Cosine IVF index over the embeddings table for the fully-indexed
+    * hybrid path (dense_nprobe leg).
+    */
+  private val hybIvfDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def hybIvfDir(s: SparkSession, dir: String): String =
+    hybIvfDirs.getOrElseUpdate(dir, {
+      val idx = java.nio.file.Files.createTempDirectory("graft-ivf-hyb").toString
+      graft.operators.IvfIndex.build(s, t(s, dir, "embeddings"), "embedding",
+        s"ivf_hybrid_${dir.replaceAll("[^a-zA-Z0-9]", "_")}", idx,
+        "cosine", 16)
+      idx
+    })
+
   val queries: Map[String, Q] = Map(
+    // Fully index-backed hybrid: dense leg probes the cosine IVF index
+    // (dense_nprobe search parameter), text leg reads the FTS postings —
+    // no corpus scan on either leg. dense_nprobe=16 probes every list ⇒
+    // exhaustive-exact dense candidates ⇒ shares h01's direct-path
+    // oracle; realistic-nprobe recall is pinned in HybridSearchSpec.
+    "h04_hybrid_dense_ivf" -> ((s, dir) => {
+      val qvec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      HybridSearch.hybridSearchFullyIndexed(s, "doc_id", "vec_id", qvec,
+          query1, 10, hybIvfDir(s, dir), hybFtsDir(s, dir), "rsf",
+          denseNprobe = 16)
+        .select(col("doc_id"), round(col("fused_score"), 4).as("fused_score"))
+        .orderBy(col("fused_score").desc, col("doc_id"))
+    }),
     // textsearch() top-K, OR semantics (any term), BM25-scored.
     "t01_bm25_topk" -> ((s, dir) => {
       TextSearch.textSearch(t(s, dir, "documents"), col("text"), query1, 10,
@@ -340,6 +367,9 @@ object TextQueries {
     "h02_hybrid_rrf" -> hybridOracleSql("rrf"),
     // indexed hybrid shares the direct-path oracle (index ≡ direct)
     "h03_hybrid_fts" -> hybridOracleSql("rsf"),
+    // fully-indexed hybrid at dense_nprobe = nLists (exhaustive-exact
+    // dense leg) shares it too
+    "h04_hybrid_dense_ivf" -> hybridOracleSql("rsf"),
     "t01_bm25_topk" -> bm25OracleSql(TextSearch.queryTerms(query1), 10, and = false),
     "t02_bm25_and" -> bm25OracleSql(TextSearch.queryTerms(query2), 10, and = true),
     // The indexed paths share the non-indexed oracles — proving

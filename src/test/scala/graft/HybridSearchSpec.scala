@@ -54,4 +54,40 @@ class HybridSearchSpec extends SparkSpec {
     val scores = res.map(_.getDouble(1))
     assert(scores === scores.sorted.reverse) // descending fused score
   }
+
+  test("fully-indexed hybrid at realistic dense_nprobe recalls the direct path") {
+    import java.nio.file.Files
+    val docs = graft.engine.Tables.t(spark, sfDir, "documents")
+    val emb = graft.engine.Tables.t(spark, sfDir, "embeddings")
+    val joined = docs.join(emb, col("doc_id") === col("vec_id"))
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val ivfDir = Files.createTempDirectory("hyb-ivf").toString
+    val ftsDir = Files.createTempDirectory("hyb-fts").toString
+    try {
+      graft.operators.IvfIndex.build(spark, emb, "embedding",
+        "hyb_spec_ivf", ivfDir, "cosine", 16)
+      graft.operators.FtsIndex.build(spark, joined, "doc_id", "text",
+        "hyb_spec_fts", ftsDir, nBuckets = 64)
+      val direct = HybridSearch.hybridSearch(joined, "doc_id",
+          col("embedding"), col("text"), qvec, "spark merge join", 10,
+          "rsf", "cosine")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      // exhaustive dense probes reproduce the direct path exactly
+      val exact = HybridSearch.hybridSearchFullyIndexed(spark, "doc_id",
+          "vec_id", qvec, "spark merge join", 10, ivfDir, ftsDir, "rsf",
+          denseNprobe = 16)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(exact === direct)
+      // realistic nprobe keeps high overlap with the direct top-k
+      val approx = HybridSearch.hybridSearchFullyIndexed(spark, "doc_id",
+          "vec_id", qvec, "spark merge join", 10, ivfDir, ftsDir, "rsf",
+          denseNprobe = 6)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert((approx & direct).size >= 8, s"overlap ${(approx & direct).size}")
+    } finally {
+      graft.operators.IvfIndex.Catalog.drop("hyb_spec_ivf")
+      graft.operators.FtsIndex.Catalog.drop("hyb_spec_fts")
+    }
+  }
 }
