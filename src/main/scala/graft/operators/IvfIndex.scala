@@ -426,6 +426,59 @@ object IvfIndex {
       distName, tieBreak, deletes)
   }
 
+  /** `batch_distance()` THROUGH the index: per-query probe lists are
+    * ranked against the cached centroids on the driver (MBs), the union
+    * of probed `list_id=` partitions is scanned ONCE (file-level
+    * pruning, like single-query [[search]]), the tiny (query_id,
+    * list_id) probe map and query vectors broadcast-join candidates to
+    * their queries, and the per-query top-K reuses the batch heap-prune
+    * + window. At nprobe = nLists every pair scores — exhaustive-exact,
+    * matching brute [[VectorSearch.batchTopK]].
+    */
+  def batchSearch(
+      spark: SparkSession,
+      indexDir: String,
+      queries: Seq[Seq[Float]],
+      k: Int,
+      nprobe: Int = 4,
+      metricOverride: Option[String] = None,
+      distName: String = "d",
+      tieBreak: Seq[Column] = Nil,
+      deletes: Option[DataFrame] = None): DataFrame = {
+    val centroids = loadCentroids(spark, indexDir)
+    val meta = loadMeta(indexDir)
+    val metric = metricOverride.getOrElse(meta.metric)
+    val probes: Seq[(Int, Int)] = queries.zipWithIndex.flatMap { case (q, qi) =>
+      val qa = q.toArray
+      centroids.zipWithIndex
+        .map { case (c, i) => (centroidDist(metric, c, qa), i) }
+        .sortBy(_._1).take(math.min(nprobe, centroids.length))
+        .map { case (_, l) => (qi, l) }
+    }
+    val listSet = probes.map(_._2).distinct
+    val probeDf = spark.createDataFrame(probes).toDF("query_idx", "list_id")
+    val qDf = spark
+      .createDataFrame(queries.zipWithIndex.map { case (v, i) => (i, v) })
+      .toDF("query_idx", "query_vec")
+    val lists0 = spark.read.parquet(s"$indexDir/lists")
+      .filter(col("list_id").isin(listSet: _*))
+    // same lightweight-delete anti-join as the single-query path
+    val lists = deletes.map { d =>
+      val idCols = d.columns.toSeq
+      require(idCols.size == 1,
+        s"deletes must be a single id column, got ${idCols.mkString(",")}")
+      lists0.join(d, idCols, "left_anti")
+    }.getOrElse(lists0)
+    val scored = lists
+      .join(broadcast(probeDf), "list_id")
+      .join(broadcast(qDf), "query_idx")
+      .withColumn(distName,
+        graft.functions.distances.distance(metric)(col(meta.vecCol), col("query_vec")))
+      .drop("query_vec", "list_id")
+    VectorSearch.perQueryTopK(scored, k, distName,
+      VectorSearch.isDescending(metric), tieBreak)
+  }
+
   /** Two-stage index search (reference `two_stage_search`): stage 1 pulls
     * `numReorder` candidates from the probed lists, stage 2 re-ranks them
     * exactly — recall repair at a fixed extra cost of numReorder exact

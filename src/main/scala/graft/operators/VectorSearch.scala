@@ -29,7 +29,7 @@ object VectorSearch {
   def distCol(vecCol: Column, q: Seq[Float], metric: String): Column =
     distances.distance(metric)(vecCol, typedLit(q))
 
-  private def isDescending(metric: String): Boolean =
+  private[graft] def isDescending(metric: String): Boolean =
     metric.equalsIgnoreCase("ip") || metric.equalsIgnoreCase("dot")
 
   /** Brute-force exact top-K. `tieBreak` columns make result order total. */
@@ -75,12 +75,23 @@ object VectorSearch {
       .crossJoin(qdf)
       .withColumn(distName, distances.distance(metric)(vecCol, col("query_vec")))
       .drop("query_vec")
-    val desc = isDescending(metric)
+    perQueryTopK(scored, k, distName, isDescending(metric), tieBreak)
+  }
 
-    // Per-partition prune BEFORE the shuffle: a bounded heap keeps only k
-    // rows per (input partition × query), mirroring the reference's
-    // per-part top-K — the final window then shuffles ≤ k·partitions rows
-    // per query instead of every scored row (the 100 TB property).
+  /** Per-query top-K over a `(query_idx, ..., distName)` scored frame —
+    * the shared tail of [[batchTopK]] and [[IvfIndex.batchSearch]].
+    *
+    * Per-partition prune BEFORE the shuffle: a bounded heap keeps only k
+    * rows per (input partition × query), mirroring the reference's
+    * per-part top-K — the final window then shuffles ≤ k·partitions rows
+    * per query instead of every scored row (the 100 TB property).
+    */
+  private[graft] def perQueryTopK(
+      scored: DataFrame,
+      k: Int,
+      distName: String,
+      desc: Boolean,
+      tieBreak: Seq[Column]): DataFrame = {
     val qIdxPos = scored.schema.fieldIndex("query_idx")
     val dPos = scored.schema.fieldIndex(distName)
     val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(

@@ -162,6 +162,17 @@ object VectorQueries {
         .select(col("query_idx"), col("vec_id"), round(col("d").cast("double"), 3).as("d"))
         .orderBy(col("query_idx"), col("vec_id"))
     }),
+    // batch_distance THROUGH the IVF index: per-query probe lists, ONE
+    // scan of the probed list partitions for the whole batch, broadcast
+    // probe-map join, per-query heap-pruned top-K. nprobe=16 probes
+    // every list ⇒ exhaustive-exact ⇒ shares v05's brute-force oracle.
+    "v29_batch_ivf" -> ((s, dir) => {
+      val qs = Seq(queryVec(s, dir, 0), queryVec(s, dir, 1), queryVec(s, dir, 2))
+      IvfIndex.batchSearch(s, ivfDir(s, dir), qs, 5, nprobe = 16,
+          distName = "d", tieBreak = Seq(col("vec_id")))
+        .select(col("query_idx"), col("vec_id"), round(col("d").cast("double"), 3).as("d"))
+        .orderBy(col("query_idx"), col("vec_id"))
+    }),
     // Two-stage search (test 00035): cheap stage-1 candidates, exact
     // re-rank — must equal exact brute force when stage 1 is lossless.
     "v06_two_stage" -> ((s, dir) => {
@@ -441,6 +452,16 @@ object VectorQueries {
         ORDER BY list_distance(embedding, $qv0), vec_id LIMIT 10)
       ORDER BY vec_id""",
     "v05_batch_distance" -> s"""
+      WITH q AS (
+        SELECT 0 AS query_idx, $qv0 AS qv
+        UNION ALL SELECT 1, $qv1
+        UNION ALL SELECT 2, $qv2)
+      SELECT query_idx, vec_id, round(CAST(list_distance(embedding, qv) AS DOUBLE), 3) AS d
+      FROM embeddings, q
+      QUALIFY row_number() OVER (PARTITION BY query_idx
+        ORDER BY list_distance(embedding, qv), vec_id) <= 5
+      ORDER BY query_idx, vec_id""",
+    "v29_batch_ivf" -> s"""
       WITH q AS (
         SELECT 0 AS query_idx, $qv0 AS qv
         UNION ALL SELECT 1, $qv1

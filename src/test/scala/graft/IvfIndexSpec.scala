@@ -173,4 +173,31 @@ class IvfIndexSpec extends SparkSpec {
     assert((twoStage & brute).size >= (plain & brute).size)
     assert(twoStage.size === 10)
   }
+
+  test("batchSearch: exhaustive probes equal brute batch; nprobe recalls") {
+    val qs = Seq(0L, 7L, 11L).map(i => emb.filter(col("vec_id") === i)
+      .select(col("embedding")).head().getSeq[Float](0))
+    def toMap(rows: Array[org.apache.spark.sql.Row]): Map[(Int, Long), Float] =
+      rows.map(r => (r.getAs[Int]("query_idx"), r.getAs[Long]("vec_id")) ->
+        r.getAs[Float]("d")).toMap
+    val brute = toMap(VectorSearch.batchTopK(emb, col("embedding"), qs, 5,
+      "l2", None, "d", Seq(col("vec_id")))
+      .select("query_idx", "vec_id", "d").collect())
+    val exact = toMap(IvfIndex.batchSearch(spark, indexDir, qs, 5,
+      nprobe = 8, distName = "d", tieBreak = Seq(col("vec_id")))
+      .select("query_idx", "vec_id", "d").collect())
+    assert(exact === brute) // all lists probed ⇒ identical ids AND distances
+    // realistic nprobe: per-query recall vs brute stays useful
+    val approx = IvfIndex.batchSearch(spark, indexDir, qs, 5,
+      nprobe = 3, distName = "d", tieBreak = Seq(col("vec_id")))
+      .select("query_idx", "vec_id").collect()
+      .groupBy(_.getInt(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val bruteByQ = brute.keys.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    qs.indices.foreach { qi =>
+      assert(approx(qi).size === 5)
+      assert((approx(qi) & bruteByQ(qi)).size >= 3,
+        s"q$qi recall ${(approx(qi) & bruteByQ(qi)).size}/5")
+    }
+  }
 }
