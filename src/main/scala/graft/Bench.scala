@@ -42,7 +42,8 @@ object Bench {
       // search, not one-off construction.
       Seq("v08_ivf_exact", "v11_hnsw_search", "v14_ivfsq", "v15_binary_ivf",
           "v16_ivfpq", "v17_hnswsq", "v18_binary_hnsw", "v19_hnswpq",
-          "v25_ivf_cosine_exact", "t07_fts_topk", "h03_hybrid_fts").foreach { n =>
+          "v25_ivf_cosine_exact", "t07_fts_topk", "h03_hybrid_fts",
+          "h04_hybrid_dense_ivf", "v27_mstg_search").foreach { n =>
         SparkEntry.queries.get(n).foreach { fn =>
           try fn(spark, sfDir).count()
           catch { case e: Throwable =>
