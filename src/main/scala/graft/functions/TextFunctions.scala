@@ -62,13 +62,29 @@ object text {
     * presence (the usual pretraining-corpus heuristics).
     */
   def qualityScore(c: Column): Column = {
-    val nChars = length(c).cast("double")
-    val lenScore = least(nChars / lit(500.0), lit(1.0))
-    val alphaRatio = when(nChars > 0,
-      length(regexp_replace(c, "[^A-Za-z ]", "")).cast("double") / nChars)
-      .otherwise(lit(0.0))
-    val sw = least(stopwordRatio(c) * lit(10.0), lit(1.0))
-    round(lenScore * lit(0.4) + alphaRatio * lit(0.4) + sw * lit(0.2), 4)
+    // Exact-rational evaluation: every component is a ratio of integer
+    // counts — blend over the common denominator 1250·nChars·nToks and
+    // round HALF-UP at 4 decimals in INTEGER arithmetic, then one exact
+    // division by 10⁴. A plain double blend lands on .5 rounding
+    // boundaries that Spark's decimal HALF_UP and other engines' binary
+    // rounding resolve differently (last-digit flips that only appear at
+    // some corpus sizes); integer rounding is bit-identical everywhere.
+    //   q = lenNum/1250 + 2·alpha/(5·nChars) + m/(5·nToks)
+    // with lenNum = min(nChars,500), m = min(10·stopwords, nToks).
+    val nC = length(c).cast("long")
+    val alpha = length(regexp_replace(c, "[^A-Za-z ]", "")).cast("long")
+    val toks = tokenize(c)
+    val t = size(toks).cast("long")
+    val sw = size(filter(toks, x =>
+      x.isin(englishStopwords.map(lit(_)): _*))).cast("long")
+    val nCs = greatest(nC, lit(1L)) // nC=0 ⇒ alpha=0: term vanishes
+    val ts = greatest(t, lit(1L))   // t=0 ⇒ m=0: term vanishes
+    val lenNum = least(nC, lit(500L))
+    val m = least(sw * lit(10L), t)
+    val num = lenNum * nCs * ts + lit(500L) * alpha * ts + lit(250L) * m * nCs
+    val den = lit(1250L) * nCs * ts
+    // floor((2·num·10⁴ + den) / (2·den)) = round_half_up(num/den · 10⁴)
+    call_function("div", num * lit(20000L) + den, den * lit(2L)) / lit(10000.0)
   }
 
   /** Exact-dedup document fingerprint: md5 of whitespace-normalized

@@ -103,10 +103,20 @@ object EventQueries {
         ev.withColumn("d", col("ts").cast("date")),
         Seq(col("user_id"), col("d")), col("value"), col("event_type"))
       StateCombinators.mergeStates(states, Seq(col("user_id")))
+        // `value` carries 2-decimal data: recover the EXACT cent total
+        // from the double sum (error ≪ half a cent at these magnitudes),
+        // then round the average HALF-UP in INTEGER arithmetic —
+        // independent of both double-summation order and the engine's
+        // double-rounding algorithm (exact .5 boundaries at 4 decimals
+        // are common for cents/n and Spark's decimal HALF_UP vs binary
+        // rounding would otherwise flip the last digit), so the compare
+        // is stable at every SF
+        .withColumn("__cents", round(col("sum_merged") * 100).cast("long"))
         .select(col("user_id"),
-          round(col("sum_merged"), 2).as("sum_v"),
+          (col("__cents") / 100.0).as("sum_v"),
           col("count_merged").as("n"),
-          round(col("avg_merged"), 4).as("avg_v"),
+          (expr("(200 * __cents + count_merged) DIV (2 * count_merged)")
+            / 10000.0).as("avg_v"),
           col("uniq_merged").cast("long").as("uniq_types"))
         .orderBy(col("user_id"))
     }),
@@ -366,7 +376,12 @@ object EventQueries {
         .otherwise((floor(col("value") / 100.0) + 1).cast("long"))
       events(s, dir)
         .groupBy(bin.as("bin"))
-        .agg(count(lit(1)).as("n"), round(avg(col("value")), 2).as("avg_v"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")) * 100).cast("long").as("__cents"))
+        // cent-exact integer HALF_UP average (see e11): independent of
+        // summation order and engine rounding at every SF
+        .select(col("bin"), col("n"),
+          (expr("(2 * __cents + n) DIV (2 * n)") / 100.0).as("avg_v"))
         .orderBy(col("bin"))
     }),
     // Welch two-sample t-test statistic (reference studentTTest/
@@ -1152,12 +1167,14 @@ object EventQueries {
       GROUP BY a.event_id, a.user_id
       ORDER BY a.event_id""",
     "e11_state_merge" -> """
-      SELECT user_id,
-             round(sum(value), 2) AS sum_v,
-             count(1) AS n,
-             round(sum(value) / count(1), 4) AS avg_v,
-             count(DISTINCT event_type) AS uniq_types
-      FROM events GROUP BY user_id ORDER BY user_id""",
+      WITH g AS (
+        SELECT user_id, CAST(round(sum(value) * 100) AS BIGINT) AS cents,
+               count(1) AS n, count(DISTINCT event_type) AS uniq_types
+        FROM events GROUP BY user_id)
+      SELECT user_id, cents / 100.0 AS sum_v, n,
+             ((200 * cents + n) // (2 * n)) / 10000.0 AS avg_v,
+             uniq_types
+      FROM g ORDER BY user_id""",
     "e12_sum_map" -> """
       WITH per AS (
         SELECT user_id, event_type, round(sum(value), 2) AS v
@@ -1222,7 +1239,9 @@ object EventQueries {
       SELECT CASE WHEN value < 0 THEN 0
                   WHEN value >= 1000.0 THEN 11
                   ELSE CAST(floor(value / 100.0) + 1 AS BIGINT) END AS bin,
-             count(1) AS n, round(avg(value), 2) AS avg_v
+             count(1) AS n,
+             ((2 * CAST(round(sum(value) * 100) AS BIGINT) + count(1))
+                // (2 * count(1))) / 100.0 AS avg_v
       FROM events GROUP BY 1 ORDER BY bin""",
     "e17_ttest" -> """
       WITH stats AS (

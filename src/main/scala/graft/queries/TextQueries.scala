@@ -443,23 +443,22 @@ object TextQueries {
       SELECT doc_id, round(ratio, 4) AS stopword_ratio,
              CASE WHEN ratio >= 0.03 THEN 'en' ELSE 'unknown' END AS lang_pred
       FROM r ORDER BY doc_id""",
+    // exact-rational integer HALF_UP blend — mirrors qualityScore's
+    // integer arithmetic so the compare is engine- and SF-independent
     "t05_quality_score" -> s"""
       WITH d AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
       f AS (SELECT doc_id,
-                   least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
-                   CASE WHEN length(text) > 0
-                        THEN CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
-                             / CAST(length(text) AS DOUBLE)
-                        ELSE 0.0 END AS alpha_ratio,
-                   CASE WHEN len(toks) > 0
-                        THEN CAST(len(list_filter(toks,
-                               x -> list_contains($stopwordsSql, x))) AS DOUBLE)
-                             / CAST(len(toks) AS DOUBLE)
-                        ELSE 0.0 END AS sw_ratio
+                   least(CAST(length(text) AS BIGINT), 500) AS len_num,
+                   CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS BIGINT) AS alpha,
+                   greatest(CAST(length(text) AS BIGINT), 1) AS ncs,
+                   greatest(CAST(len(toks) AS BIGINT), 1) AS ts,
+                   least(10 * CAST(len(list_filter(toks,
+                       x -> list_contains($stopwordsSql, x))) AS BIGINT),
+                     CAST(len(toks) AS BIGINT)) AS m
             FROM d)
       SELECT doc_id,
-             round(len_score * 0.4 + alpha_ratio * 0.4 +
-                   least(sw_ratio * 10.0, 1.0) * 0.2, 4) AS quality
+             (((len_num * ncs * ts + 500 * alpha * ts + 250 * m * ncs) * 20000
+               + 1250 * ncs * ts) // (2 * 1250 * ncs * ts)) / 10000.0 AS quality
       FROM f ORDER BY doc_id""",
     "t06_fingerprint" -> """
       SELECT doc_id,
