@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{HyperLogLogPlusPlus, Percentile}
-import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{HyperLogLogPlusPlus, Percentile, Sum}
+import org.apache.spark.sql.types.{ArrayType, DecimalType, DoubleType, FloatType}
 
 /** SQL-visible function registry — the graft analogue of the reference's
   * function factory self-registration
@@ -47,6 +47,23 @@ object GraftFunctions {
       new Percentile(Cast(es(0), DoubleType), es(1))),
     "median"       -> ((es: Seq[Expression]) =>
       new Percentile(Cast(es.head, DoubleType), Literal(0.5))),
+    // uniqTheta: theta-sketch approximate distinct — same contract class
+    // as the uniq/HLL family (approximate count-distinct with bounded
+    // error); served by the HLL++ sketch like uniqCombined
+    "uniqtheta"    -> ((es: Seq[Expression]) => new HyperLogLogPlusPlus(es.head)),
+    // quantileTiming(value, level): the reference's fixed-precision
+    // timing-histogram quantile — exact percentile meets the contract
+    // (our answer is at least as precise as the ms-bucketed histogram)
+    "quantiletiming" -> ((es: Seq[Expression]) =>
+      new Percentile(Cast(es(0), DoubleType), es(1))),
+    // quantileTimingWeighted(value, weight, level)
+    "quantiletimingweighted" -> ((es: Seq[Expression]) =>
+      new Percentile(Cast(es(0), DoubleType), es(2), es(1))),
+    // sumKahan: compensated summation — decimal accumulation gives a
+    // strictly stronger guarantee (exact at 10 fractional digits)
+    "sumkahan"     -> ((es: Seq[Expression]) =>
+      Cast(Sum(Cast(es.head, DecimalType(38, 10))).toAggregateExpression(),
+        DoubleType)),
   )
 
   def registerAll(spark: SparkSession): Unit = {

@@ -72,6 +72,18 @@ class ClickHouseCompatSpec extends SparkSpec {
     val exact = spark.sql("SELECT count(DISTINCT l_suppkey) FROM li_agg").head().getLong(0)
     assert(math.abs(r.getLong(0) - exact) <= math.max(1L, exact / 20)) // HLL ±5%
     assert(r.getDouble(1) === r.getDouble(2)) // quantileExact(0.5) == median
+    val r2 = spark.sql("""
+      SELECT uniqTheta(l_suppkey) AS ut,
+             quantileTiming(l_quantity, 0.5) AS qt,
+             quantileTimingWeighted(l_quantity, l_linenumber, 0.5) AS qtw,
+             sumKahan(l_quantity) AS sk,
+             quantileExact(l_quantity, 0.5) AS q50
+      FROM li_agg""").head()
+    assert(math.abs(r2.getLong(0) - exact) <= math.max(1L, exact / 20))
+    assert(r2.getDouble(1) === r2.getDouble(4)) // timing == exact here
+    assert(r2.getDouble(2) > 0)
+    val plainSum = spark.sql("SELECT sum(l_quantity) FROM li_agg").head().getDouble(0)
+    assert(math.abs(r2.getDouble(3) - plainSum) < 1e-6) // compensated ≈ plain
   }
 
   test("tranche-2 string / bit / conversion aliases") {
