@@ -415,8 +415,19 @@ object Dedup {
     * Returns (id, cluster_id) for every node appearing in `pairs`;
     * isolated nodes are absent — callers left-join and coalesce to the
     * node's own id (see d07).
+    *
+    * Adaptive small-graph path: a near-dup pair graph is usually a
+    * vanishing fraction of the corpus, so when the deduplicated edge set
+    * fits `driverMaxEdges` (16 bytes/edge — the default 1M edges is
+    * ~16 MB, the same bounded-materialization budget as AQE broadcast or
+    * the k-means training threshold) it is collected and solved with
+    * union-find on the driver: one job instead of ~5 shuffle-heavy
+    * rounds. Larger graphs take the distributed loop unchanged.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+  def connectedComponents(
+      pairs: DataFrame,
+      maxIter: Int = 30,
+      driverMaxEdges: Long = 1000000L): DataFrame = {
     // Checkpoint blocks are released by unpersisting the EXACT RDD each
     // round checkpointed (the LogicalRDD leaf the lazy localCheckpoint
     // wrapped), never by diffing the global persistent-RDD registry —
@@ -440,6 +451,38 @@ object Dedup {
     // not a separate eager materialization plus the convergence check.
     var e = canon(pairs.select(col(pairs.columns(0)).cast("long").as("u"),
       col(pairs.columns(1)).cast("long").as("v"))).localCheckpoint(eager = false)
+
+    // the count materializes the initial checkpoint either way
+    val nEdges = e.count()
+    if (nEdges <= driverMaxEdges) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val edges = e.as[(Long, Long)].collect()
+      release(e)
+      // path-halving union-find; roots are component minima because
+      // canon() points every edge larger -> smaller and union always
+      // attaches the larger root under the smaller one
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent.getOrElse(x, x)
+        while (p != x) {
+          val gp = parent.getOrElse(p, p)
+          parent(x) = gp
+          x = gp
+          p = parent.getOrElse(x, x)
+        }
+        x
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.iterator.flatMap { case (a, b) => Iterator(a, b) }
+      val labels = nodes.map(n => (n, find(n))).toMap.toSeq
+      // a LocalRelation is already lineage-free — no checkpoint needed
+      return labels.toDF("id", "cluster_id")
+    }
 
     // large-star: each node's strictly-larger neighbors re-point at the
     // min of its closed neighborhood.

@@ -22,27 +22,37 @@ class PipelineOpsSpec extends SparkSpec {
     (0 until n).map(i => i.toLong -> find(i).toLong).toMap
   }
 
-  test("connectedComponents matches union-find on random graphs") {
+  test("connectedComponents matches union-find on random graphs (both paths)") {
     val rnd = new scala.util.Random(7)
     for (trial <- 0 until 3) {
       val n = 60 + trial * 30
       val edges = Seq.fill(n / 2)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
         .filter { case (a, b) => a != b }
-      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val exp = unionFind(n, edges)
       val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
-      touched.foreach { v => assert(got(v) === exp(v), s"node $v trial $trial") }
-      assert(got.keySet === touched) // isolated nodes absent by contract
+      // driverMaxEdges = 0 forces the distributed large-star/small-star
+      // loop; the default takes the driver union-find fast path — both
+      // must agree with the reference union-find
+      for (maxDriver <- Seq(0L, 1000000L)) {
+        val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"),
+            driverMaxEdges = maxDriver)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        touched.foreach { v =>
+          assert(got(v) === exp(v), s"node $v trial $trial driver=$maxDriver") }
+        assert(got.keySet === touched) // isolated nodes absent by contract
+      }
     }
   }
 
   test("connectedComponents handles a long chain (worst case for label propagation)") {
     val chain = (0L until 40L).sliding(2).map(s => (s(0), s(1))).toSeq
-    val got = Dedup.connectedComponents(chain.toDF("a", "b"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got.values.toSet === Set(0L))
-    assert(got.size === 40)
+    for (maxDriver <- Seq(0L, 1000000L)) {
+      val got = Dedup.connectedComponents(chain.toDF("a", "b"),
+          driverMaxEdges = maxDriver)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.values.toSet === Set(0L))
+      assert(got.size === 40)
+    }
   }
 
   // ---- contamination ----
