@@ -97,6 +97,34 @@ object Graft {
     def minhashLshPairs(textCol: Column, idCol: Column,
         minEstSim: Double = 0.5): DataFrame =
       Dedup.minhashLshPairs(df, textCol, idCol, minEstSim = minEstSim)
+
+    def simhashPairs(textCol: Column, idCol: Column,
+        maxHamming: Int = 3): DataFrame =
+      Dedup.simhashPairs(df, textCol, idCol, maxHamming)
+
+    def lshCosinePairs(vecCol: Column, idCol: Column,
+        minCosSim: Double): DataFrame =
+      Dedup.lshCosinePairs(df, vecCol, idCol, minCosSim)
+
+    def dedupClusters(idA: Column, idB: Column): DataFrame =
+      Dedup.connectedComponents(df.select(idA, idB))
+
+    // ---- training-pipeline ops (Packing) ----
+    def packSequences(idCol: Column, nTokensCol: Column,
+        budget: Long): DataFrame =
+      Packing.packSequences(df, idCol, nTokensCol, budget)
+
+    def deterministicSplit(idCol: Column, valPct: Int = 10,
+        testPct: Int = 10): DataFrame =
+      Packing.deterministicSplit(df, idCol, valPct, testPct)
+
+    def stratifiedSampleByHash(strataCol: Column, idCol: Column,
+        fractions: Map[String, Int], defaultPct: Int = 100): DataFrame =
+      Packing.stratifiedSampleByHash(df, strataCol, idCol,
+        fractions, defaultPct)
+
+    def seededShuffle(idCol: Column, seed: String): DataFrame =
+      Packing.seededShuffle(df, idCol, seed)
   }
 
   /** Index builders, usable from the same import. */

@@ -38,5 +38,26 @@ class GraftApiSpec extends SparkSpec {
     val pairs = docs.minhashLshPairs(col("text"), col("doc_id"))
     assert(pairs.columns.toSet.contains("id_a"))
     assert(docs.exactDedup(col("text"), col("doc_id")).count() <= docs.count())
+    assert(docs.simhashPairs(col("text"), col("doc_id"), maxHamming = 3)
+      .columns.toSet === Set("id_a", "id_b", "hamming"))
+    val cosPairs = emb.lshCosinePairs(col("embedding"), col("vec_id"), 0.35)
+    assert(cosPairs.columns.toSet === Set("id_a", "id_b", "cos_sim"))
+    val clusters = cosPairs.dedupClusters(col("id_a"), col("id_b"))
+    assert(clusters.columns.toSet === Set("id", "cluster_id"))
+  }
+
+  test("fluent training-pipeline ops") {
+    val packed = docs.packSequences(col("doc_id"),
+      graft.functions.text.tokenCount(col("text")), budget = 1024L)
+    assert(packed.columns.contains("chunk_start"))
+    val split = docs.deterministicSplit(col("doc_id"))
+    assert(split.select("split").distinct().count() === 3)
+    val mixed = docs.stratifiedSampleByHash(col("lang"), col("doc_id"),
+      Map("en" -> 100), defaultPct = 25)
+    assert(mixed.count() <= docs.count())
+    val shuffled = docs.seededShuffle(col("doc_id"), "s1")
+      .select("doc_id").limit(5).collect().map(_.getLong(0)).toSeq
+    assert(shuffled.size === 5)
+    assert(shuffled != shuffled.sorted)
   }
 }
