@@ -236,8 +236,14 @@ case class TopKSearchRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         shim.ofRows(spark, rel)
           .join(broadcast(cand), cand.columns.toSeq, "left_semi")
           .queryExecution.optimizedPlan
-      case "HNSWFLAT" if entry.idCol.nonEmpty =>
+      case hnsw @ ("HNSWFLAT" | "HNSWSQ" | "HNSWPQ") if entry.idCol.nonEmpty =>
         val qvec = qArray.toFloatArray()
+        // Quantized graphs (search() decodes via the per-JVM cache)
+        // over-fetch candidates: the original projection's exact distance
+        // + the Sort/Limit on top IS the stage-2 re-rank, so the graph
+        // only needs to surface a numReorder-sized coarse pool (same
+        // recall-repair shape as the IVFSQ/IVFPQ routing).
+        val numCand = if (hnsw == "HNSWFLAT") k else math.max(4 * k, 64)
         // Filtered search routes through the graph with an accept mask
         // (reference performPrefilter): the WHERE is evaluated against
         // the source relation to an id set — the Spark analog of the
@@ -265,8 +271,8 @@ case class TopKSearchRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         }
         val sel = acceptIds.map(_.size.toDouble / math.max(1L, entry.nRows))
           .getOrElse(1.0)
-        val efNeeded = math.max(math.max(64, 2 * k),
-          math.ceil(2.0 * k / math.max(sel, 1e-9)).toInt)
+        val efNeeded = math.max(math.max(64, 2 * numCand),
+          math.ceil(2.0 * numCand / math.max(sel, 1e-9)).toInt)
         if (acceptIds.exists(ids => ids.size < k || efNeeded > efCap)) {
           return None // too selective for the capped pool → exact
         }
@@ -275,12 +281,13 @@ case class TopKSearchRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           val bc = spark.sparkContext.broadcast(ids)
           (id: Long) => bc.value.contains(id)
         }
-        val cand = HnswIndex.search(spark, entry.indexDir, qvec.toSeq, k,
+        val cand = HnswIndex.search(spark, entry.indexDir, qvec.toSeq, numCand,
             ef = ef, metric = entry.metric, accept = accept)
           .withColumnRenamed("id", entry.idCol)
           .drop("d") // distance recomputed exactly by the projection
         logInfo(s"TopKSearchRewrite: ORDER BY ${vd.prettyName} LIMIT $k over $path " +
-          s"→ HNSW index ${entry.name} (ef=$ef, filtered=${filterCond.nonEmpty})")
+          s"→ $hnsw index ${entry.name} (ef=$ef, numCand=$numCand, " +
+          s"filtered=${filterCond.nonEmpty})")
         // optimizedPlan (not analyzed): the broadcast hint must already be
         // folded into the join node — this rule runs after Spark's
         // hint-resolution batch.

@@ -101,6 +101,25 @@ class TopKRewriteSpec extends SparkSpec {
     } finally IvfIndex.Catalog.drop("auto_hnsw")
   }
 
+  test("HNSWSQ index routes with candidate over-fetch + exact re-rank") {
+    val dir = Files.createTempDirectory("hnswsq-auto").toString
+    val srcPath = "file:" + sfDir + "/embeddings.parquet"
+    try {
+      graft.operators.HnswIndex.build(spark, emb, "vec_id", "embedding",
+        "auto_hnswsq", dir, "l2", m = 12, efConstruction = 80,
+        numPartitions = Some(2), sourcePath = srcPath, quantize = true)
+      val df = topkDf(10)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("Join"), s"expected candidate semi-join in:\n$plan")
+      val got = df.collect().map(_.getLong(0)).toSet
+      val brute = VectorSearch.topK(emb, col("embedding"), qv, 10, "l2",
+          None, "d", Seq(col("vec_id")))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      // quantized graph + 4k over-fetch + exact re-rank keeps recall high
+      assert((got & brute).size >= 8, s"recall too low: ${(got & brute).size}/10")
+    } finally IvfIndex.Catalog.drop("auto_hnswsq")
+  }
+
   test("IVFSQ index routes through quantized stage-1 + exact re-rank") {
     val dir = Files.createTempDirectory("sq-auto").toString
     val srcPath = "file:" + sfDir + "/embeddings.parquet"
