@@ -395,7 +395,11 @@ object ClickHouseCompat {
     "cutQueryStringAndFragment(u STRING) RETURNS STRING RETURN " +
       "split_part(split_part(u, '?', 1), '#', 1)",
     "decodeURLComponent(s STRING) RETURNS STRING RETURN url_decode(s)",
-    "encodeURLComponent(s STRING) RETURNS STRING RETURN url_encode(s)",
+    // url_encode is form-encoding (space → '+'); ClickHouse
+    // percent-encodes space as %20 — post-process. (Other RFC 3986
+    // corner deltas, e.g. '~', remain; documented deviation.)
+    "encodeURLComponent(s STRING) RETURNS STRING RETURN " +
+      "replace(url_encode(s), '+', '%20')",
     "portCH(u STRING) RETURNS INT RETURN " +
       "coalesce(try_cast(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#:]+:([0-9]+)', 1) AS INT), 0)",
     "domainWithoutWWW(u STRING) RETURNS STRING RETURN " +

@@ -81,10 +81,17 @@ object text {
     val ts = greatest(t, lit(1L))   // t=0 ⇒ m=0: term vanishes
     val lenNum = least(nC, lit(500L))
     val m = least(sw * lit(10L), t)
-    val num = lenNum * nCs * ts + lit(500L) * alpha * ts + lit(250L) * m * nCs
-    val den = lit(1250L) * nCs * ts
+    // Blend in DECIMAL(38,0): the Long blend overflows 2^63 once
+    // nChars·nTokens > ~3.7e11 (a multi-MB pretraining document),
+    // silently flipping the score sign; 38 decimal digits hold the
+    // worst case (≤ 500·2^31·2^31·2·10⁴ ≈ 10^26) exactly.
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val num = lenNum.cast(dec) * nCs * ts + lit(500L).cast(dec) * alpha * ts +
+      lit(250L).cast(dec) * m * nCs
+    val den = lit(1250L).cast(dec) * nCs * ts
     // floor((2·num·10⁴ + den) / (2·den)) = round_half_up(num/den · 10⁴)
-    call_function("div", num * lit(20000L) + den, den * lit(2L)) / lit(10000.0)
+    (call_function("div", num * lit(20000L) + den, den * lit(2L)) /
+      lit(10000.0)).cast("double")
   }
 
   /** Exact-dedup document fingerprint: md5 of whitespace-normalized

@@ -307,7 +307,19 @@ object Dedup {
       val n = math.max(sigs.count(), 1L)
       def keyBits(cc: Int) = cc * (64.0 / (maxHamming + cc))
       def explodeFactor(cc: Int) = choose(maxHamming + cc, cc)
-      val c = sys.env.get("GRAFT_SIMHASH_C").map(_.toInt).getOrElse {
+      val c = sys.env.get("GRAFT_SIMHASH_C").map { raw =>
+        // validate the override: the 21-bit combo-key packing below is
+        // only collision-free when each chunk fits 21 bits, i.e. for
+        // c >= 2 we need m = maxHamming + c >= 4 (⇒ chunk width <= 16)
+        val cc = raw.toIntOption.getOrElse(throw new IllegalArgumentException(
+          s"GRAFT_SIMHASH_C must be an integer in [1,3], got '$raw'"))
+        require(cc >= 1 && cc <= 3,
+          s"GRAFT_SIMHASH_C must be in [1,3], got $cc")
+        require(cc == 1 || maxHamming + cc >= 4,
+          s"GRAFT_SIMHASH_C=$cc requires maxHamming + c >= 4 so chunk " +
+            s"width fits the 21-bit key stride (maxHamming=$maxHamming)")
+        cc
+      }.getOrElse {
         (1 to 3).find(cc => explodeFactor(cc) <= 256 &&
             n / math.pow(2, keyBits(cc)) <= 64)
           .getOrElse((1 to 3).filter(explodeFactor(_) <= 256).maxBy(keyBits))
@@ -327,9 +339,12 @@ object Dedup {
         val mask = if (w >= 64) -1L else (1L << w) - 1L
         call_function("shiftright", col("sig"), lit(off)).bitwiseAND(lit(mask))
       }
-      // combo key = chunk values concatenated at 21-bit stride (c >= 2
-      // implies m >= 7, so chunk width <= 10 bits and 3*21 < 64 never
-      // overflows; c = 1 keys are the raw chunk value)
+      // combo key = chunk values concatenated at 21-bit stride. Packing
+      // invariant (enforced above for the env override, and by the
+      // adaptive selector needing m >= 4 before it ever picks c >= 2):
+      // c >= 2 ⇒ m = maxHamming + c >= 4 ⇒ chunk width = ceil(64/m)
+      // <= 16 <= 21, and c <= 3 keeps 3·21 < 64 from overflowing;
+      // c = 1 keys are the raw chunk value (any width)
       val keyCols = combos.map(_.map(chunkCols)
         .reduce((a, b) => call_function("shiftleft", a, lit(21)).bitwiseOR(b)))
       val keyed = sigs.select(col("id"), col("sig"), posexplode(array(keyCols: _*)))

@@ -109,6 +109,23 @@ object HnswIndex {
         (ids(i), out)
       }.toSeq
     }
+
+    /** Exact scoring without graph traversal — the "exact-over-bitmap"
+      * regime the reference uses for selective filters (per-part brute
+      * force over the filter bitmap instead of a masked graph walk,
+      * `MergeTreeSelectWithHybridSearchProcessor.h:117-129`). With
+      * `mask = Some(sortedIds)` only accepted nodes are scored; with
+      * `None` every node is (the degraded-but-exact overflow path).
+      * Distances are reported in the metric's native scale.
+      */
+    def bruteScores(q: Array[Float], mask: Option[Array[Long]]): Iterator[(Long, Float)] =
+      ids.indices.iterator
+        .filter(i => mask.forall(m => java.util.Arrays.binarySearch(m, ids(i)) >= 0))
+        .map { i =>
+          val d = dist(q, vecs(i))
+          val out = if (metric.equalsIgnoreCase("cosine")) d else math.sqrt(d).toFloat
+          (ids(i), out)
+        }
   }
 
   /** Incremental builder (insert-based, seeded levels). */
@@ -290,7 +307,10 @@ object HnswIndex {
           s"parts=${slow.mkString(",")} threshold=$maxRowsForSlowMode")
     }
     val bcSmall = spark.sparkContext.broadcast(smallParts)
-    if (gated) {
+    // write smallparts/ only when a part actually fell under the gate —
+    // an empty-but-present dir would make every later search() union a
+    // pointless empty brute-force leg (extra scan + job per query)
+    if (gated && smallParts.nonEmpty) {
       parted.mapPartitions { iter =>
         val pid = TaskContext.getPartitionId()
         if (bcSmall.value.contains(pid)) iter.map { case (id, v) => (pid, id, v) }
@@ -521,6 +541,59 @@ object HnswIndex {
       new Graph(ids, vecs, nbrs, entry, metric)
     })
 
+  // Explicit read schemas: a schema-less spark.read.parquet runs a
+  // footer-inference job — with these, defining the per-part scans is
+  // entirely job-free (required by the no-job-at-plan-time contract of
+  // TopKSearchRewrite).
+  private val GraphSchemaFlat = org.apache.spark.sql.types.StructType.fromDDL(
+    "node_idx INT, id BIGINT, vec ARRAY<FLOAT>, neighbors ARRAY<ARRAY<INT>>")
+  private val GraphSchemaQuant = org.apache.spark.sql.types.StructType.fromDDL(
+    "node_idx INT, id BIGINT, qvec BINARY, neighbors ARRAY<ARRAY<INT>>")
+  private val SmallPartsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "part_id INT, id BIGINT, vec ARRAY<FLOAT>")
+
+  /** Quantized graphs (HNSWSQ: int8 + sq_params; HNSWPQ: m-byte codes +
+    * codebooks) are dequantized once per JVM at graph-load time — the
+    * cache makes this a one-off per part.
+    */
+  private def decoder(
+      spark: SparkSession, indexDir: String,
+      fs: org.apache.hadoop.fs.FileSystem): Option[Array[Byte] => Array[Float]] = {
+    val pqBooks: Option[Array[Array[Array[Float]]]] =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/codebooks")))
+        Some(PqIndex.loadBooks(spark, indexDir))
+      else None
+    val sqParams: Option[(Array[Float], Array[Float])] =
+      if (pqBooks.isEmpty &&
+          fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/sq_params"))) {
+        val r = spark.read.parquet(s"$indexDir/sq_params").head()
+        Some((r.getSeq[Float](0).toArray, r.getSeq[Float](1).toArray))
+      } else None
+    (pqBooks, sqParams) match {
+      case (Some(books), _) =>
+        val sub = books.head.head.length
+        Some { codes =>
+          val v = new Array[Float](codes.length * sub)
+          var s = 0
+          while (s < codes.length) {
+            System.arraycopy(books(s)(codes(s) & 0xff), 0, v, s * sub, sub)
+            s += 1
+          }
+          v
+        }
+      case (_, Some((scale, offset))) =>
+        Some { codes =>
+          val v = new Array[Float](codes.length)
+          var j = 0
+          while (j < codes.length) {
+            v(j) = offset(j) + (codes(j) & 0xff) * scale(j); j += 1
+          }
+          v
+        }
+      case _ => None
+    }
+  }
+
   /** ANN search across all per-partition graphs + global top-K merge.
     *
     * Plan shape (the 100 TB property): each `part_id=` directory is read
@@ -559,47 +632,12 @@ object HnswIndex {
     require(partDirs.nonEmpty || hasSmall,
       s"no graph partitions or small parts under $indexDir")
     val filt = accept
-    // Quantized graphs (HNSWSQ: int8 + sq_params; HNSWPQ: m-byte codes +
-    // codebooks) are dequantized once per JVM at graph-load time — the
-    // cache makes this a one-off per part.
-    val pqBooks: Option[Array[Array[Array[Float]]]] =
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/codebooks")))
-        Some(PqIndex.loadBooks(spark, indexDir))
-      else None
-    val sqParams: Option[(Array[Float], Array[Float])] =
-      if (pqBooks.isEmpty &&
-          fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/sq_params"))) {
-        val r = spark.read.parquet(s"$indexDir/sq_params").head()
-        Some((r.getSeq[Float](0).toArray, r.getSeq[Float](1).toArray))
-      } else None
-    val decode: Option[Array[Byte] => Array[Float]] = (pqBooks, sqParams) match {
-      case (Some(books), _) =>
-        val sub = books.head.head.length
-        Some { codes =>
-          val v = new Array[Float](codes.length * sub)
-          var s = 0
-          while (s < codes.length) {
-            System.arraycopy(books(s)(codes(s) & 0xff), 0, v, s * sub, sub)
-            s += 1
-          }
-          v
-        }
-      case (_, Some((scale, offset))) =>
-        Some { codes =>
-          val v = new Array[Float](codes.length)
-          var j = 0
-          while (j < codes.length) {
-            v(j) = offset(j) + (codes(j) & 0xff) * scale(j); j += 1
-          }
-          v
-        }
-      case _ => None
-    }
+    val decode = decoder(spark, indexDir, fs)
     val perPart = partDirs.map { p =>
       val pid = p.getName.stripPrefix("part_id=").toInt
       decode match {
         case Some(dec) =>
-          spark.read.parquet(p.toString)
+          spark.read.schema(GraphSchemaQuant).parquet(p.toString)
             .select(col("node_idx"), col("id"), col("qvec"), col("neighbors"))
             .as[(Int, Long, Array[Byte], Seq[Seq[Int]])]
             .coalesce(1)
@@ -611,7 +649,7 @@ object HnswIndex {
               g.search(q, k, ef, filt.getOrElse((_: Long) => true)).iterator
             }
         case None =>
-          spark.read.parquet(p.toString)
+          spark.read.schema(GraphSchemaFlat).parquet(p.toString)
             .select(col("node_idx"), col("id"), col("vec"), col("neighbors"))
             .as[GraphNode]
             .coalesce(1)
@@ -625,7 +663,7 @@ object HnswIndex {
       if (!hasSmall) None
       else {
         val acceptUdf = filt.map(f => udf((id: Long) => f(id)))
-        val sp = spark.read.parquet(smallPath.toString)
+        val sp = spark.read.schema(SmallPartsSchema).parquet(smallPath.toString)
         val filtered = acceptUdf.map(u => sp.filter(u(col("id")))).getOrElse(sp)
         Some(filtered
           .select(col("id"),
@@ -640,6 +678,147 @@ object HnswIndex {
       .reduce(_ unionAll _)
       .orderBy(col("d"), col("id"))
       .limit(k)
+  }
+
+  /** Filtered ANN search whose accept set is computed AT EXECUTION TIME —
+    * the Spark analog of the reference's per-part `performPrefilter`
+    * bitmap, which is built during query execution, not planning
+    * (`MergeTreeSelectWithHybridSearchProcessor.h:117-129`).
+    *
+    * `acceptDf` is a lazy single-column (`id: long`) frame of every
+    * qualifying id (typically `rel.filter(where).select(id)` — filters and
+    * pruning push into its parquet scan). Nothing here runs a job: the
+    * mask is a shuffle stage of the SAME job DAG, zipped (narrow, no
+    * shuffle of graph rows) into each per-part graph task:
+    *
+    *   mask     = sorted accept ids, capped at maxIds+1 (RDD stage)
+    *   per part = zipPartitions(graph-part, mask) → regime chosen in-task
+    *
+    * Three execution-time regimes, decided per task from the ACTUAL mask:
+    *  - **graph+mask**: mask complete and large enough for the capped ef
+    *    pool → masked traversal, ef scaled by measured selectivity;
+    *  - **exact-over-bitmap**: mask smaller than the candidate pool (or
+    *    ef would blow the cap) → score only accepted nodes, no traversal
+    *    — exact, and cheapest exactly when the filter is selective;
+    *  - **overflow** (> `maxIds` qualifying — filter not selective): graph
+    *    tasks emit nothing; a runtime-gated branch (an empty-or-everything
+    *    cross join against the mask row) contributes ALL qualifying ids as
+    *    candidates, so the caller's exact re-rank stays exact. Cost
+    *    degrades to the brute scan an unselective filter pays anyway.
+    *
+    * Emits candidate `(id, d)` rows — callers re-rank exactly and cut to
+    * k; per-part emission is bounded by `numCand` except in overflow.
+    */
+  def searchWithAcceptDf(
+      spark: SparkSession,
+      indexDir: String,
+      qvec: Seq[Float],
+      numCand: Int,
+      efCap: Int,
+      metric: String,
+      acceptDf: DataFrame,
+      maxIds: Int,
+      nRowsTotal: Long): DataFrame = {
+    import spark.implicits._
+    val q = qvec.toArray
+    val root = new org.apache.hadoop.fs.Path(s"$indexDir/graph")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partDirs =
+      (if (fs.exists(root)) fs.listStatus(root).toSeq else Seq.empty)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("part_id="))
+        .map(_.getPath)
+    val smallPath = new org.apache.hadoop.fs.Path(s"$indexDir/smallparts")
+    val hasSmall = fs.exists(smallPath)
+    require(partDirs.nonEmpty || hasSmall,
+      s"no graph partitions or small parts under $indexDir")
+    val decode = decoder(spark, indexDir, fs)
+    val cap = maxIds
+    // The sorted accept-id mask, built in pure (lazy) RDD ops — an
+    // SQL-side aggregation would let AQE materialize its shuffle stage
+    // the moment `.rdd` is taken, i.e. a job DURING PLANNING, which is
+    // exactly what this path exists to avoid. Per-partition capping at
+    // cap+1 bounds what any task materializes; the cumulative cap
+    // preserves the overflow signal (> cap ⇒ filter not selective).
+    // The repartition(1) is a real shuffle boundary: the accept scan's
+    // map stage runs once per query and is REUSED by every per-part zip
+    // below (same shuffle dependency object).
+    val maskRdd: org.apache.spark.rdd.RDD[Array[Long]] = acceptDf.rdd
+      .mapPartitions(it =>
+        Iterator.single(it.map(_.getLong(0)).take(cap + 1).toArray))
+      .repartition(1)
+      .mapPartitions { arrs =>
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+        arrs.foreach { a =>
+          if (buf.length <= cap) buf ++= a.iterator.take(cap + 1 - buf.length)
+        }
+        val m = buf.toArray
+        java.util.Arrays.sort(m)
+        Iterator.single(m)
+      }
+    val perPart = partDirs.map { p =>
+      val pid = p.getName.stripPrefix("part_id=").toInt
+      val nodesRdd: org.apache.spark.rdd.RDD[GraphNode] = decode match {
+        case Some(dec) =>
+          spark.read.schema(GraphSchemaQuant).parquet(p.toString)
+            .select(col("node_idx"), col("id"), col("qvec"), col("neighbors"))
+            .as[(Int, Long, Array[Byte], Seq[Seq[Int]])]
+            .coalesce(1).rdd
+            .map { case (ni, id, codes, nbrs) => GraphNode(ni, id, dec(codes), nbrs) }
+        case None =>
+          spark.read.schema(GraphSchemaFlat).parquet(p.toString)
+            .select(col("node_idx"), col("id"), col("vec"), col("neighbors"))
+            .as[GraphNode].coalesce(1).rdd
+      }
+      nodesRdd.zipPartitions(maskRdd) { (rows, mit) =>
+        val mask = if (mit.hasNext) mit.next() else Array.empty[Long]
+        val g = loadGraph(s"$indexDir#$pid", rows, metric)
+        if (mask.length > cap) {
+          // overflow: mask truncated → cannot filter exactly here; the
+          // runtime-gated overflow branch below contributes ALL
+          // qualifying ids instead, so this task emits nothing
+          Iterator.empty
+        } else if (mask.isEmpty) Iterator.empty
+        else {
+          val sel = mask.length.toDouble / math.max(1L, nRowsTotal)
+          val efNeeded = math.max(math.max(64, 2 * numCand),
+            math.ceil(2.0 * numCand / math.max(sel, 1e-9)).toInt)
+          if (mask.length < numCand || efNeeded > efCap) {
+            // exact-over-bitmap: selective filter → score accepted only
+            g.bruteScores(q, Some(mask)).toSeq
+              .sortBy(x => (x._2, x._1)).take(numCand).iterator
+          } else {
+            g.search(q, numCand, math.min(efCap, efNeeded),
+              id => java.util.Arrays.binarySearch(mask, id) >= 0).iterator
+          }
+        }
+      }
+    }
+    val graphHits: Option[DataFrame] =
+      if (perPart.isEmpty) None
+      else Some(spark.createDataset(spark.sparkContext.union(perPart))
+        .toDF("id", "d"))
+    // SMALL_PART leg: raw vectors, exact — qualifying ids via a lazy
+    // semi-join against the FULL accept frame (no cap needed: a join
+    // never materializes the set)
+    val smallHits: Option[DataFrame] =
+      if (!hasSmall) None
+      else Some(spark.read.schema(SmallPartsSchema).parquet(smallPath.toString)
+        .join(acceptDf, Seq("id"), "left_semi")
+        .select(col("id"),
+          graft.functions.distances.distance(metric)(col("vec"), typedLit(q.toSeq))
+            .as("d"))
+        .orderBy(col("d"), col("id")).limit(numCand))
+    // overflow branch: when (and only when) the accept set overflowed
+    // the mask cap, ALL qualifying ids become candidates — the
+    // empty-or-everything gate is a runtime cross join against a lazy
+    // count row, so the static plan covers both regimes without a
+    // plan-time decision
+    val overflowGate = acceptDf.agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > cap).select(lit(1).as("__overflow"))
+    val overflowIds = acceptDf.crossJoin(overflowGate)
+      .select(col("id"), lit(Float.NaN).as("d"))
+    (graphHits.toSeq ++ smallHits.toSeq ++ Seq(overflowIds))
+      .reduce(_ unionAll _)
   }
 
   /** Two-stage search for quantized graphs (HNSWSQ/HNSWPQ): the graph

@@ -37,12 +37,14 @@ import graft.operators.{HnswIndex, IvfIndex}
   *    (pre-filter semantics). Approximate when nprobe < nLists, like the
   *    reference's index path.
   *  - With a BUILT **HNSWFLAT** index, the scan is replaced by a
-  *    broadcast semi-join of the relation against the graph search's
-  *    (id, d) candidates — the graph search itself is the shuffle-free
-  *    per-part plan of [[HnswIndex.search]]. A WHERE routes too: it is
-  *    evaluated to an id set (the reference's pre-filter bitmap,
-  *    `performPrefilter`), broadcast into the graph traversal as an
-  *    accept mask, with ef scaled by the filter's selectivity.
+  *    semi-join of the relation against the graph search's (id, d)
+  *    candidates — the graph search itself is the shuffle-free per-part
+  *    plan of [[HnswIndex.search]]. A WHERE routes too: it becomes a
+  *    LAZY accept-id frame aggregated into a mask stage of the same job
+  *    (the reference's pre-filter bitmap, `performPrefilter`, which is
+  *    likewise built at execution time) — no job runs during
+  *    optimization; each graph task picks masked-traversal /
+  *    exact-over-bitmap / overflow from the materialized mask.
   *  - **IVFSQ/IVFPQ** route filtered queries by pushing the WHERE into
   *    the quantized stage-1 ranking (the lists carry the source columns),
   *    so candidates qualify BEFORE the top-`numReorder` cut.
@@ -245,54 +247,45 @@ case class TopKSearchRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         // recall-repair shape as the IVFSQ/IVFPQ routing).
         val numCand = if (hnsw == "HNSWFLAT") k else math.max(4 * k, 64)
         // Filtered search routes through the graph with an accept mask
-        // (reference performPrefilter): the WHERE is evaluated against
-        // the source relation to an id set — the Spark analog of the
-        // reference's part-level filter bitmap — broadcast to the graph
-        // tasks, and ef grows with filter selectivity so the traversal
-        // still surfaces k qualifying rows. Two fallbacks keep this
-        // bounded AND exact (both → brute force over the filtered scan,
-        // which parquet pushdown makes cheap precisely when the filter
-        // is selective):
-        //  - the id collect is capped at spark.graft.maxPrefilterIds —
-        //    past it the mask would not fit a broadcast;
-        //  - when selectivity is so low that the capped ef candidate
-        //    pool could not surface k qualifying rows, routing is
-        //    abandoned — the reference's exact-over-bitmap regime for
-        //    selective filters, instead of a silent < k result.
-        val efCap = TopKSearchRewrite.EfCap
-        val acceptIds = filterCond.map { cond =>
-          val maxIds = spark.conf.getOption("spark.graft.maxPrefilterIds")
-            .map(_.toInt).getOrElse(TopKSearchRewrite.DefaultMaxPrefilterIds)
-          val rows = shim.ofRows(spark, Filter(cond, rel))
-            .select(col(entry.idCol).cast("long"))
-            .limit(maxIds + 1).collect()
-          if (rows.length > maxIds) return None // mask unbounded → brute force
-          rows.map(_.getLong(0)).toSet
-        }
-        val sel = acceptIds.map(_.size.toDouble / math.max(1L, entry.nRows))
-          .getOrElse(1.0)
-        val efNeeded = math.max(math.max(64, 2 * numCand),
-          math.ceil(2.0 * numCand / math.max(sel, 1e-9)).toInt)
-        if (acceptIds.exists(ids => ids.size < k || efNeeded > efCap)) {
-          return None // too selective for the capped pool → exact
-        }
-        val ef = math.min(efCap, efNeeded)
-        val accept = acceptIds.map { ids =>
-          val bc = spark.sparkContext.broadcast(ids)
-          (id: Long) => bc.value.contains(id)
-        }
-        val cand = HnswIndex.search(spark, entry.indexDir, qvec.toSeq, numCand,
-            ef = ef, metric = entry.metric, accept = accept)
-          .withColumnRenamed("id", entry.idCol)
+        // computed AT EXECUTION TIME (reference performPrefilter builds
+        // its per-part bitmap during execution,
+        // `MergeTreeSelectWithHybridSearchProcessor.h:117-129`): the
+        // WHERE becomes a lazy id frame whose sorted-array aggregation is
+        // a stage of the final job — NO job runs inside this rule. The
+        // per-part graph tasks pick the regime from the actual mask:
+        // masked traversal with selectivity-scaled ef, exact-over-bitmap
+        // scoring when the filter is selective, or (mask over
+        // spark.graft.maxPrefilterIds) an all-qualifying-ids candidate
+        // branch that keeps the exact re-rank exact. See
+        // HnswIndex.searchWithAcceptDf for the regime contract.
+        val cand = (filterCond match {
+          case Some(cond) =>
+            val maxIds = spark.conf.getOption("spark.graft.maxPrefilterIds")
+              .map(_.toInt).getOrElse(TopKSearchRewrite.DefaultMaxPrefilterIds)
+            val acceptDf = shim.ofRows(spark, Filter(cond, rel))
+              .select(col(entry.idCol).cast("long").as("id"))
+            HnswIndex.searchWithAcceptDf(spark, entry.indexDir, qvec.toSeq,
+              numCand, TopKSearchRewrite.EfCap, entry.metric, acceptDf,
+              maxIds, entry.nRows)
+          case None =>
+            HnswIndex.search(spark, entry.indexDir, qvec.toSeq, numCand,
+              ef = math.min(TopKSearchRewrite.EfCap, math.max(64, 2 * numCand)),
+              metric = entry.metric)
+        }).withColumnRenamed("id", entry.idCol)
           .drop("d") // distance recomputed exactly by the projection
         logInfo(s"TopKSearchRewrite: ORDER BY ${vd.prettyName} LIMIT $k over $path " +
-          s"→ $hnsw index ${entry.name} (ef=$ef, numCand=$numCand, " +
-          s"filtered=${filterCond.nonEmpty})")
-        // optimizedPlan (not analyzed): the broadcast hint must already be
+          s"→ $hnsw index ${entry.name} (numCand=$numCand, " +
+          s"filtered=${filterCond.nonEmpty}, execution-time mask)")
+        // Unfiltered candidates broadcast (≤ parts×numCand rows); filtered
+        // candidates are left to AQE, whose runtime size decides between
+        // broadcast (selective mask) and shuffle (overflow branch fired) —
+        // a static hint would force-broadcast the unbounded overflow set.
+        val candSide = if (filterCond.isEmpty) broadcast(cand) else cand
+        // optimizedPlan (not analyzed): any broadcast hint must already be
         // folded into the join node — this rule runs after Spark's
         // hint-resolution batch.
         shim.ofRows(spark, rel)
-          .join(broadcast(cand), Seq(entry.idCol), "left_semi")
+          .join(candSide, Seq(entry.idCol), "left_semi")
           .queryExecution.optimizedPlan
       case _ => return None
     }
@@ -324,12 +317,14 @@ case class TopKSearchRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
 object TopKSearchRewrite {
   val DefaultMaxSearchResultWindow = 10000 // reference Settings.h:923
-  /** Hard cap on the HNSW candidate pool; beyond it a filtered query
-    * falls back to the exact filtered scan rather than risk < k rows.
+  /** Hard cap on the HNSW candidate pool; a filtered graph task whose
+    * scaled ef would exceed it switches to the exact-over-bitmap regime
+    * rather than risk < k rows.
     */
   val EfCap = 4096
-  /** Cap on the pre-filter id set collected at plan time (~16 MB of
-    * longs); past it the mask would not broadcast and routing aborts.
+  /** Cap on the accept-id mask materialized by the execution-time
+    * aggregation stage (~16 MB of longs); past it the per-part tasks
+    * yield to the all-qualifying-ids overflow branch.
     */
   val DefaultMaxPrefilterIds = 2 << 20
 

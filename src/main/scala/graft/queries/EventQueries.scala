@@ -103,14 +103,17 @@ object EventQueries {
         ev.withColumn("d", col("ts").cast("date")),
         Seq(col("user_id"), col("d")), col("value"), col("event_type"))
       StateCombinators.mergeStates(states, Seq(col("user_id")))
-        // `value` carries 2-decimal data: recover the EXACT cent total
-        // from the double sum (error ≪ half a cent at these magnitudes),
-        // then round the average HALF-UP in INTEGER arithmetic —
-        // independent of both double-summation order and the engine's
-        // double-rounding algorithm (exact .5 boundaries at 4 decimals
-        // are common for cents/n and Spark's decimal HALF_UP vs binary
-        // rounding would otherwise flip the last digit), so the compare
-        // is stable at every SF
+        // `value` carries 2-decimal data: recover the cent total from
+        // the double sum, then round the average HALF-UP in INTEGER
+        // arithmetic — independent of the engine's double-ROUNDING
+        // algorithm (exact .5 boundaries at 4 decimals are common for
+        // cents/n and Spark's decimal HALF_UP vs binary rounding would
+        // otherwise flip the last digit). NOTE the compare is only as
+        // stable as the double SUMMATION: once a group's sum grows
+        // enough that accumulated double error reaches half a cent, the
+        // recovered total itself can flip (observed as rare knife-edge
+        // diffs at sf0.1); a truly order-independent compare would need
+        // DecimalType sums on both engines
         .withColumn("__cents", round(col("sum_merged") * 100).cast("long"))
         .select(col("user_id"),
           (col("__cents") / 100.0).as("sum_v"),

@@ -334,19 +334,31 @@ object VectorQueries {
         .select(col("vec_id"), round(col("d").cast("double"), 3).as("d"))
         .orderBy(col("vec_id"))
     }),
-    // Pre-filtered HNSW search: the WHERE is evaluated to an id set and
-    // pushed into the graph traversal as an accept mask (reference
-    // performPrefilter semantics) with ef scaled by selectivity —
-    // filtered ANN no longer pays brute force. Approximate → rows-only;
-    // the Catalyst-rewrite twin of this path is plan-asserted in
+    // Pre-filtered HNSW search with the accept set computed AT EXECUTION
+    // TIME (reference performPrefilter builds its bitmap during
+    // execution): the WHERE is a lazy id frame aggregated into a mask
+    // stage of the same job — no driver-side collect — and each graph
+    // task picks masked-traversal / exact-over-bitmap / overflow from
+    // the materialized mask. Approximate → rows-only; the
+    // Catalyst-rewrite twin is plan- and no-job-asserted in
     // TopKRewriteSpec.
     "v26_prefilter_hnsw" -> ((s, dir) => {
-      val ids = emb(s, dir).filter(col("label") === 3)
-        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
-      val bc = s.sparkContext.broadcast(ids)
-      HnswIndex.search(s, hnswDir(s, dir), queryVec(s, dir), 10,
-          ef = 512, accept = Some((id: Long) => bc.value.contains(id)))
-        .select(col("id").as("vec_id"), round(col("d").cast("double"), 3).as("d"))
+      val e = emb(s, dir)
+      val idxDir = hnswDir(s, dir)
+      val qv = queryVec(s, dir)
+      val acceptDf = e.filter(col("label") === 3)
+        .select(col("vec_id").cast("long").as("id"))
+      val nRows = IvfIndex.Catalog.lookup(
+          s"hnsw_embeddings_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+        .map(_.nRows).getOrElse(0L)
+      val cand = HnswIndex.searchWithAcceptDf(s, idxDir, qv, 10,
+          efCap = 4096, metric = "l2", acceptDf = acceptDf,
+          maxIds = 2 << 20, nRowsTotal = nRows)
+        .select(col("id").as("vec_id"))
+      VectorSearch.topK(
+          e.filter(col("label") === 3).join(cand, Seq("vec_id"), "left_semi"),
+          col("embedding"), qv, 10, "l2", None, "d", Seq(col("vec_id")))
+        .select(col("vec_id"), round(col("d").cast("double"), 3).as("d"))
         .orderBy(col("vec_id"))
     }),
     // IVFSQ in EXACT mode: exhaustive probes + full re-rank. The true

@@ -23,4 +23,10 @@ object shim {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Drain the listener bus (`private[spark]`) — lets tests assert
+    * "no job ran during optimization" without sleeping.
+    */
+  def waitListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }

@@ -280,7 +280,8 @@ class ClickHouseCompatSpec extends SparkSpec {
       "https://www.example.com:8080/a/b/c.html?y=2#frag")
     assert(q1(s"URLPathHierarchy($u)") === Seq("/a", "/a/b", "/a/b/c.html"))
     assert(q1("decodeURLComponent('a%20b%2Fc')") === "a b/c")
-    assert(q1("encodeURLComponent('a b')") === "a+b")
+    // ClickHouse percent-encodes space (%20), not form-encoding '+'
+    assert(q1("encodeURLComponent('a b')") === "a%20b")
   }
 
   test("tranche-6: IP coding and containment") {

@@ -38,6 +38,35 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!plan("v11_hnsw_search").contains("Exchange"))
   }
 
+  test("filtered HNSW rewrite: the WHERE is a stage INSIDE the plan, not a plan-time collect") {
+    // the rewritten plan must carry the accept-set filter as an
+    // execution stage (visible via the pushed-down predicate on the
+    // candidate side's relation scan) — the reference computes its
+    // pre-filter bitmap at execution time, and so must we
+    val dir = java.nio.file.Files.createTempDirectory("hnsw-planreg").toString
+    val srcPath = "file:" + sfDir + "/embeddings.parquet"
+    spark.catalog.clearCache()
+    val emb = graft.engine.Tables.t(spark, sfDir, "embeddings")
+    val qv = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 3)
+      .select("embedding").head().getSeq[Float](0)
+    try {
+      graft.operators.HnswIndex.build(spark, emb, "vec_id", "embedding",
+        "planreg_hnsw", dir, "l2", m = 12, efConstruction = 80,
+        numPartitions = Some(2), sourcePath = srcPath)
+      import org.apache.spark.sql.functions.{col, typedLit}
+      val filtered = emb.filter(col("label") === 2)
+        .select(col("vec_id"), col("label"),
+          graft.functions.distances.l2Distance(col("embedding"), typedLit(qv)).as("d"))
+        .orderBy(col("d")).limit(5)
+      val p = filtered.queryExecution.executedPlan.toString
+      assert(p.contains("Join"), s"filtered query did not route:\n${p.take(800)}")
+      // the label predicate appears ≥ twice: once re-applied above the
+      // candidate join and once inside the candidate side's accept scan
+      val pushed = p.sliding("label".length).count(_ == "label")
+      assert(pushed >= 2, s"accept-set filter stage missing from plan:\n$p")
+    } finally graft.operators.IvfIndex.Catalog.drop("planreg_hnsw")
+  }
+
   test("q21 ASOF join shuffles once on the key (no nested-loop range join)") {
     val p = plan("q21_asof_join")
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))

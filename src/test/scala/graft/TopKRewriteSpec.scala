@@ -153,28 +153,28 @@ class TopKRewriteSpec extends SparkSpec {
     } finally IvfIndex.Catalog.drop("auto_sq")
   }
 
-  test("filtered query too selective for the capped ef pool → exact fallback") {
+  test("selective filter routes and resolves exactly via exact-over-bitmap") {
     val dir = Files.createTempDirectory("hnsw-sel").toString
     val srcPath = "file:" + sfDir + "/embeddings.parquet"
     try {
       graft.operators.HnswIndex.build(spark, emb, "vec_id", "embedding",
         "sel_hnsw", dir, "l2", m = 12, efConstruction = 80,
         numPartitions = Some(2), sourcePath = srcPath)
-      // fewer qualifying rows than k: a masked graph search could
-      // silently return < k rows, so the rewrite must abandon routing
-      // and leave the exact filtered scan in place
+      // fewer qualifying rows than k: the per-part tasks see a tiny mask
+      // at EXECUTION time and switch to exact scoring of accepted nodes —
+      // routing stays (Join in the plan) and the result is exact, never
+      // silently < k-capable
       val filtered = emb.filter(col("vec_id") < 3)
         .select(col("vec_id"),
           distances.l2Distance(col("embedding"), typedLit(qv)).as("d"))
         .orderBy(col("d")).limit(5)
       val plan = filtered.queryExecution.executedPlan.toString
-      assert(plan.contains("TakeOrderedAndProject") && !plan.contains("Join"),
-        s"expected brute-force fallback in:\n$plan")
+      assert(plan.contains("Join"), s"expected routed candidate join in:\n$plan")
       assert(filtered.collect().map(_.getLong(0)).toSet === Set(0L, 1L, 2L))
     } finally IvfIndex.Catalog.drop("sel_hnsw")
   }
 
-  test("pre-filter id set past spark.graft.maxPrefilterIds → exact fallback") {
+  test("accept mask past spark.graft.maxPrefilterIds → exact overflow branch") {
     val dir = Files.createTempDirectory("hnsw-cap").toString
     val srcPath = "file:" + sfDir + "/embeddings.parquet"
     spark.conf.set("spark.graft.maxPrefilterIds", "10")
@@ -186,9 +186,9 @@ class TopKRewriteSpec extends SparkSpec {
         .select(col("vec_id"), col("label"),
           distances.l2Distance(col("embedding"), typedLit(qv)).as("d"))
         .orderBy(col("d")).limit(5)
-      val plan = filtered.queryExecution.executedPlan.toString
-      assert(!plan.contains("Join"),
-        s"expected bounded-collect fallback in:\n$plan")
+      // the mask overflows at EXECUTION time; the runtime-gated branch
+      // makes every qualifying id a candidate, so the exact re-rank
+      // reproduces brute force bit-for-bit
       val fBrute = VectorSearch.topK(emb, col("embedding"), qv, 5, "l2",
           Some(col("label") === 2), "d", Seq(col("vec_id")))
         .select("vec_id").collect().map(_.getLong(0)).toSet
@@ -197,6 +197,46 @@ class TopKRewriteSpec extends SparkSpec {
       spark.conf.unset("spark.graft.maxPrefilterIds")
       IvfIndex.Catalog.drop("cap_hnsw")
     }
+  }
+
+  test("filtered HNSW routing runs NO Spark job during optimization") {
+    val dir = Files.createTempDirectory("hnsw-nojob").toString
+    val srcPath = "file:" + sfDir + "/embeddings.parquet"
+    try {
+      graft.operators.HnswIndex.build(spark, emb, "vec_id", "embedding",
+        "nojob_hnsw", dir, "l2", m = 12, efConstruction = 80,
+        numPartitions = Some(2), sourcePath = srcPath)
+      val e = emb // force relation construction before listening
+      qv // force the lazy query-vector collect before listening
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val filtered = e.filter(col("label") === 2)
+          .select(col("vec_id"), col("label"),
+            distances.l2Distance(col("embedding"), typedLit(qv)).as("d"))
+          .orderBy(col("d")).limit(5)
+        // force full optimization + physical planning — the phases where
+        // the accept set used to be collect()ed
+        filtered.queryExecution.optimizedPlan
+        filtered.queryExecution.executedPlan
+        org.apache.spark.sql.graft.shim.waitListenerBus(spark.sparkContext)
+        assert(jobs.get() === 0,
+          s"${jobs.get()} job(s) ran during plan-time rewriting — the " +
+            "accept mask must be built at execution time")
+        // and the plan still routes + answers exactly like brute force
+        val fBrute = VectorSearch.topK(emb, col("embedding"), qv, 5, "l2",
+            Some(col("label") === 2), "d", Seq(col("vec_id")))
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        val fGot = filtered.collect().map(_.getLong(0)).toSet
+        assert((fGot & fBrute).size >= 4,
+          s"filtered recall too low: ${(fGot & fBrute).size}/5")
+      } finally spark.sparkContext.removeSparkListener(listener)
+    } finally IvfIndex.Catalog.drop("nojob_hnsw")
   }
 
   test("source schema colliding with index-internal names never routes") {
