@@ -31,12 +31,76 @@ object Connections {
   def drop(name: String): Unit = registry.remove(name)
   def list: Seq[Connection] = registry.values.toSeq
 
-  /** Default fetcher: REAL for schemes the JVM can serve without an SDK
-    * (`file://` and bare local paths via java.nio); cloud schemes
-    * (s3/gs/http) return a deterministic fake payload behind the stub
-    * boundary below — a deployment swaps [[fetcher]] for the provider SDK
-    * call. Hadoop-FS-backed schemes could be routed through the
-    * executor-side FileSystem the same way `file` is.
+  /** Byte cap on a fetched http(s) object (64 MiB): a runaway payload
+    * errors out instead of ballooning an executor's heap — the cap is
+    * enforced WHILE streaming, so at most cap+1 bytes ever buffer.
+    */
+  val MaxHttpBytes: Int = 64 * 1024 * 1024
+  /** Attempts per URL; connection errors and 5xx retry with linear
+    * backoff, 4xx fails immediately (the object genuinely isn't there).
+    */
+  val HttpRetries = 3
+
+  // one client per JVM (executors re-initialize the object lazily)
+  private lazy val httpClient = java.net.http.HttpClient.newBuilder()
+    .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+    .connectTimeout(java.time.Duration.ofSeconds(10))
+    .build()
+
+  /** Real http(s) fetch via the JDK client (no SDK needed): size-capped,
+    * retried. Public so deployments can reuse it inside a custom
+    * [[fetcher]] that adds auth headers.
+    */
+  def httpFetch(url: String): Array[Byte] = {
+    var attempt = 0
+    var lastErr: Throwable = null
+    while (attempt < HttpRetries) {
+      attempt += 1
+      try {
+        val req = java.net.http.HttpRequest
+          .newBuilder(java.net.URI.create(url))
+          .timeout(java.time.Duration.ofSeconds(60)).GET().build()
+        val resp = httpClient.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofInputStream())
+        val code = resp.statusCode()
+        if (code / 100 == 2) {
+          val in = resp.body()
+          try {
+            val out = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](64 * 1024)
+            var n = in.read(buf)
+            while (n >= 0) {
+              out.write(buf, 0, n)
+              if (out.size() > MaxHttpBytes) throw new java.io.IOException(
+                s"getObject: $url exceeds the $MaxHttpBytes-byte cap")
+              n = in.read(buf)
+            }
+            return out.toByteArray
+          } finally in.close()
+        } else if (code / 100 == 5 || code == 429) {
+          lastErr = new java.io.IOException(s"HTTP $code for $url")
+        } else {
+          throw new java.io.IOException(s"HTTP $code for $url (not retried)")
+        }
+      } catch {
+        case e: java.io.IOException if e.getMessage != null &&
+            (e.getMessage.contains("cap") || e.getMessage.contains("not retried")) =>
+          throw e
+        case e @ (_: java.io.IOException | _: InterruptedException) =>
+          lastErr = e
+      }
+      if (attempt < HttpRetries) Thread.sleep(100L * attempt)
+    }
+    throw new java.io.IOException(
+      s"getObject: $url failed after $HttpRetries attempts", lastErr)
+  }
+
+  /** Default fetcher: REAL for schemes the JVM can serve without an SDK —
+    * `file://` and bare local paths via java.nio, `http(s)://` via the
+    * JDK http client (capped + retried, [[httpFetch]]). Cloud-SDK schemes
+    * (s3/gs) return a deterministic fake payload behind the stub boundary
+    * below — a deployment swaps [[fetcher]] for the provider SDK call
+    * (or signs URLs and lets the http path fetch them).
     */
   @volatile var fetcher: (Connection, String) => Array[Byte] =
     (conn, url) => {
@@ -47,8 +111,10 @@ object Connections {
       local match {
         case Some(p) =>
           java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+        case None if url.startsWith("http://") || url.startsWith("https://") =>
+          httpFetch(url)
         case None =>
-          // ===== STUB BOUNDARY ===== deterministic fake for cloud schemes
+          // ===== STUB BOUNDARY ===== deterministic fake for s3/gs schemes
           s"${conn.provider}:${conn.name}:$url".getBytes("UTF-8")
           // ===== END STUB BOUNDARY =====
       }

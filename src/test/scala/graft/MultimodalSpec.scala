@@ -197,4 +197,55 @@ class MultimodalSpec extends SparkSpec {
       .head().getAs[Array[Byte]](0)
     assert(new String(got, "UTF-8") === "object-payload:s3://bucket/key")
   }
+
+  test("getObject http(s): real JDK fetch — payload, 5xx retry, 4xx fail-fast") {
+    // s3/gs parity stays deferred behind the documented stub boundary
+    // (no cloud SDK in-sandbox); http(s) is real (ref getObject.cpp +
+    // 00009_mqai_objecturl_getObject.sql)
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    import graft.multimodal.Connections
+    val server =
+      HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val flakyHits = new java.util.concurrent.atomic.AtomicInteger(0)
+    server.createContext("/obj.bin", (ex: HttpExchange) => {
+      val body = "http-payload".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, body.length.toLong)
+      ex.getResponseBody.write(body); ex.close()
+    })
+    server.createContext("/flaky.bin", (ex: HttpExchange) => {
+      if (flakyHits.incrementAndGet() == 1) {
+        ex.sendResponseHeaders(503, -1); ex.close()
+      } else {
+        val body = "after-retry".getBytes("UTF-8")
+        ex.sendResponseHeaders(200, body.length.toLong)
+        ex.getResponseBody.write(body); ex.close()
+      }
+    })
+    server.createContext("/missing.bin", (ex: HttpExchange) => {
+      ex.sendResponseHeaders(404, -1); ex.close()
+    })
+    server.start()
+    val port = server.getAddress.getPort
+    try {
+      Connections.create("web", "HTTP")
+      // fetched through the UDF path, inside a task
+      val got = Seq(s"http://127.0.0.1:$port/obj.bin").toDF("url")
+        .select(Connections.getObject(spark, "web")(col("url")).as("obj"))
+        .head().getAs[Array[Byte]](0)
+      assert(new String(got, "UTF-8") === "http-payload")
+      // one 503 then success: the retry loop absorbs it
+      assert(new String(
+        Connections.httpFetch(s"http://127.0.0.1:$port/flaky.bin"),
+        "UTF-8") === "after-retry")
+      assert(flakyHits.get() === 2)
+      // 404 fails immediately (single attempt, no retry)
+      val ex404 = intercept[java.io.IOException] {
+        Connections.httpFetch(s"http://127.0.0.1:$port/missing.bin")
+      }
+      assert(ex404.getMessage.contains("404"))
+    } finally {
+      server.stop(0)
+      Connections.drop("web")
+    }
+  }
 }
