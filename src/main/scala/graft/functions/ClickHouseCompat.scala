@@ -630,15 +630,167 @@ object ClickHouseCompat {
       "CASE WHEN size(a) = 0 THEN a ELSE " +
       "concat(slice(a, size(a) - (n % size(a)) + 1, n % size(a)), " +
       "slice(a, 1, size(a) - (n % size(a)))) END",
+    // ---- tranche 7: multi-string search (MultiSearchAnyImpl.h,
+    //      PositionImpl.h; one typed signature — needles as an array,
+    //      matching the reference's array-literal call shape) ----
+    "multiSearchAnyCaseInsensitive(h STRING, needles ARRAY<STRING>) RETURNS BOOLEAN RETURN " +
+      "exists(needles, n -> instr(lower(h), lower(n)) > 0)",
+    "multiSearchFirstPosition(h STRING, needles ARRAY<STRING>) RETURNS INT RETURN " +
+      "coalesce(array_min(filter(transform(needles, n -> instr(h, n)), p -> p > 0)), 0)",
+    "multiSearchFirstPositionCaseInsensitive(h STRING, needles ARRAY<STRING>) RETURNS INT RETURN " +
+      "coalesce(array_min(filter(transform(needles, n -> instr(lower(h), lower(n))), p -> p > 0)), 0)",
+    // index (1-based) of the needle whose first occurrence is leftmost;
+    // ties resolve to the smallest index, 0 when nothing matches
+    "multiSearchFirstIndex(h STRING, needles ARRAY<STRING>) RETURNS BIGINT RETURN " +
+      "coalesce(array_position(transform(needles, n -> instr(h, n)), " +
+      "array_min(filter(transform(needles, n -> instr(h, n)), p -> p > 0))), 0)",
+    "multiSearchAllPositions(h STRING, needles ARRAY<STRING>) RETURNS ARRAY<INT> RETURN " +
+      "transform(needles, n -> instr(h, n))",
+    "multiSearchAllPositionsCaseInsensitive(h STRING, needles ARRAY<STRING>) RETURNS ARRAY<INT> RETURN " +
+      "transform(needles, n -> instr(lower(h), lower(n)))",
+    "hasToken(h STRING, tok STRING) RETURNS BOOLEAN RETURN " +
+      "array_contains(split(h, '[^a-zA-Z0-9]+', -1), tok)",
+    "hasTokenCaseInsensitive(h STRING, tok STRING) RETURNS BOOLEAN RETURN " +
+      "array_contains(split(lower(h), '[^a-z0-9]+', -1), lower(tok))",
+    "countSubstringsCaseInsensitive(h STRING, n STRING) RETURNS INT RETURN " +
+      "IF(length(n) = 0, 0, " +
+      "CAST((length(h) - length(replace(lower(h), lower(n), ''))) / length(n) AS INT))",
+    // ---- tranche 7: splitBy* family (FunctionsStringArray.h) ----
+    "splitByRegexp(re STRING, s STRING) RETURNS ARRAY<STRING> RETURN split(s, re, -1)",
+    "splitByNonAlpha(s STRING) RETURNS ARRAY<STRING> RETURN " +
+      "filter(split(s, '[^a-zA-Z0-9]+', -1), x -> x != '')",
+    "ngrams(s STRING, n INT) RETURNS ARRAY<STRING> RETURN " +
+      "IF(length(s) < n, array(), " +
+      "transform(sequence(1, length(s) - n + 1), i -> substring(s, i, n)))",
+    // ---- tranche 7: formatReadable* (formatReadable.h) ----
+    "formatReadableDecimalSize(b DOUBLE) RETURNS STRING RETURN CASE " +
+      "WHEN abs(b) < 1000 THEN concat(format_string('%.2f', b), ' B') " +
+      "WHEN abs(b) < 1000000 THEN concat(format_string('%.2f', b / 1000), ' KB') " +
+      "WHEN abs(b) < 1000000000 THEN concat(format_string('%.2f', b / 1000000), ' MB') " +
+      "WHEN abs(b) < 1000000000000 THEN concat(format_string('%.2f', b / 1000000000), ' GB') " +
+      "ELSE concat(format_string('%.2f', b / 1000000000000), ' TB') END",
+    "formatReadableTimeDelta(s DOUBLE) RETURNS STRING RETURN " +
+      "IF(s < 1, '0 seconds', concat_ws(', ', " +
+      "IF(floor(s / 86400) >= 1, concat(CAST(floor(s / 86400) AS BIGINT), " +
+      "IF(floor(s / 86400) = 1, ' day', ' days')), NULL), " +
+      "IF(floor(s % 86400 / 3600) >= 1, concat(CAST(floor(s % 86400 / 3600) AS BIGINT), " +
+      "IF(floor(s % 86400 / 3600) = 1, ' hour', ' hours')), NULL), " +
+      "IF(floor(s % 3600 / 60) >= 1, concat(CAST(floor(s % 3600 / 60) AS BIGINT), " +
+      "IF(floor(s % 3600 / 60) = 1, ' minute', ' minutes')), NULL), " +
+      "IF(floor(s % 60) >= 1, concat(CAST(floor(s % 60) AS BIGINT), " +
+      "IF(floor(s % 60) = 1, ' second', ' seconds')), NULL)))",
+    // ---- tranche 7: toIntervalX (FunctionsConversion.h) — Spark's two
+    //      interval families split the reference's nine constructors ----
+    "toIntervalSecond(n INT) RETURNS INTERVAL DAY TO SECOND RETURN make_dt_interval(0, 0, 0, n)",
+    "toIntervalMinute(n INT) RETURNS INTERVAL DAY TO SECOND RETURN make_dt_interval(0, 0, n, 0)",
+    "toIntervalHour(n INT) RETURNS INTERVAL DAY TO SECOND RETURN make_dt_interval(0, n, 0, 0)",
+    "toIntervalDay(n INT) RETURNS INTERVAL DAY TO SECOND RETURN make_dt_interval(n, 0, 0, 0)",
+    "toIntervalWeek(n INT) RETURNS INTERVAL DAY TO SECOND RETURN make_dt_interval(n * 7, 0, 0, 0)",
+    "toIntervalMonth(n INT) RETURNS INTERVAL YEAR TO MONTH RETURN make_ym_interval(0, n)",
+    "toIntervalQuarter(n INT) RETURNS INTERVAL YEAR TO MONTH RETURN make_ym_interval(0, n * 3)",
+    "toIntervalYear(n INT) RETURNS INTERVAL YEAR TO MONTH RETURN make_ym_interval(n, 0)",
+    // ---- tranche 7: array/string odds and ends ----
   )
+
+  /** Base58 (Bitcoin alphabet) and punycode/IDNA codecs — the reference
+    * registers these natively (`src/Functions/FunctionBase58Conversion.h`,
+    * `src/Functions/punycode.cpp`), and they are big-integer / RFC-3492
+    * transforms no SQL lambda can express, so they are the one compat
+    * family registered as native Scala UDFs rather than SQL lambdas.
+    */
+  object Codecs {
+    private val A = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+
+    def base58Encode(s: String): String = {
+      if (s == null) return null
+      val bytes = s.getBytes("UTF-8")
+      val zeros = bytes.takeWhile(_ == 0).length
+      var num = BigInt(1, bytes)
+      val sb = new StringBuilder
+      while (num > 0) { sb.append(A((num % 58).toInt)); num /= 58 }
+      ("1" * zeros) + sb.reverseInPlace().toString
+    }
+
+    def base58Decode(s: String): String = {
+      if (s == null) return null
+      val ones = s.takeWhile(_ == '1').length
+      var num = BigInt(0)
+      s.foreach { ch =>
+        val v = A.indexOf(ch.toInt)
+        if (v < 0) throw new IllegalArgumentException(
+          s"invalid base58 character '$ch'")
+        num = num * 58 + v
+      }
+      val body =
+        if (num == 0) Array.empty[Byte] else num.toByteArray.dropWhile(_ == 0)
+      new String(Array.fill[Byte](ones)(0) ++ body, "UTF-8")
+    }
+
+    def tryBase58Decode(s: String): String =
+      try base58Decode(s) catch { case _: IllegalArgumentException => null }
+
+    /** Pure punycode of one label, WITHOUT the ACE `xn--` prefix (the
+      * reference's punycodeEncode contract). All-basic labels encode as
+      * `label-` per RFC 3492; non-basic labels go through the JDK's IDNA
+      * encoder and drop the prefix.
+      */
+    def punycodeEncode(s: String): String =
+      if (s == null) null
+      else if (s.forall(_ < 128)) s + "-"
+      else java.net.IDN.toASCII(s).stripPrefix("xn--")
+
+    def punycodeDecode(s: String): String = {
+      if (s == null) return null
+      // RFC 3492: delimiter last + nothing encoded after it = the basic
+      // string itself (the JDK rejects ACE labels that decode to pure
+      // ASCII, so short-circuit that case)
+      if (s.endsWith("-") && s.forall(_ < 128) && {
+        val basic = s.dropRight(1)
+        basic.isEmpty || basic == java.net.IDN.toASCII(basic)
+      }) return s.dropRight(1)
+      val r = java.net.IDN.toUnicode("xn--" + s)
+      if (r == "xn--" + s) throw new IllegalArgumentException(
+        s"invalid punycode '$s'")
+      r
+    }
+
+    def tryPunycodeDecode(s: String): String =
+      try punycodeDecode(s) catch { case _: Exception => null }
+
+    /** Whole-domain IDNA (ACE form with `xn--`, dots preserved). */
+    def idnaEncode(s: String): String =
+      if (s == null) null else java.net.IDN.toASCII(s)
+
+    def idnaDecode(s: String): String =
+      if (s == null) null else java.net.IDN.toUnicode(s)
+
+    /** Reference tryIdnaEncode: empty string on error, never throws. */
+    def tryIdnaEncode(s: String): String =
+      try idnaEncode(s) catch { case _: Exception => "" }
+  }
+
+  /** Native (non-SQL-lambda) registrations — see [[Codecs]]. */
+  def installNative(spark: SparkSession): Unit = {
+    spark.udf.register("base58Encode", (s: String) => Codecs.base58Encode(s))
+    spark.udf.register("base58Decode", (s: String) => Codecs.base58Decode(s))
+    spark.udf.register("tryBase58Decode", (s: String) => Codecs.tryBase58Decode(s))
+    spark.udf.register("punycodeEncode", (s: String) => Codecs.punycodeEncode(s))
+    spark.udf.register("punycodeDecode", (s: String) => Codecs.punycodeDecode(s))
+    spark.udf.register("tryPunycodeDecode", (s: String) => Codecs.tryPunycodeDecode(s))
+    spark.udf.register("idnaEncode", (s: String) => Codecs.idnaEncode(s))
+    spark.udf.register("idnaDecode", (s: String) => Codecs.idnaDecode(s))
+    spark.udf.register("tryIdnaEncode", (s: String) => Codecs.tryIdnaEncode(s))
+  }
 
   /** Install all aliases (CREATE OR REPLACE, idempotent); returns names
     * that failed (e.g. a future Spark version claiming a name as an
     * unreplaceable built-in).
     */
-  def install(spark: SparkSession): Seq[String] =
+  def install(spark: SparkSession): Seq[String] = {
+    installNative(spark)
     definitions.flatMap { d =>
       try { spark.sql(s"CREATE OR REPLACE TEMPORARY FUNCTION $d"); None }
       catch { case _: Exception => Some(d.takeWhile(_ != '(')) }
     }
+  }
 }

@@ -642,6 +642,23 @@ object RelationalQueries {
           min(col("page")).as("first_page"))
         .orderBy(col("dom"), col("in_hi"))
     }),
+    // Scalar tranche 7 end-to-end: multi-string search + split over
+    // document text (ClickHouseCompat SQL functions); the oracle
+    // recomputes the semantics with LIKE/least/list lambdas in DuckDB.
+    "q54_multisearch" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .selectExpr("source",
+          "multiSearchAny(text, array('merge', 'window', 'stream')) AS hit",
+          "multiSearchFirstPosition(text, array('merge', 'window', 'stream')) AS fp",
+          "CAST(countSubstrings(text, 'ta') AS BIGINT) AS n_ta",
+          "CAST(size(splitByNonAlpha(text)) AS BIGINT) AS n_tok")
+        .groupBy(col("source"))
+        .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("n_hit"),
+          sum(col("fp").cast("long")).as("fp_sum"),
+          sum(col("n_ta")).as("ta_sum"),
+          sum(col("n_tok")).as("tok_sum"))
+        .orderBy(col("source"))
+    }),
     // GROUP BY with expression keys + IN-subquery semi join.
     "q30_in_subquery" -> ((s, dir) => {
       val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
@@ -693,6 +710,24 @@ object RelationalQueries {
       SELECT b.qb, coalesce(a.n, 0) AS n
       FROM buckets b LEFT JOIN agg a USING (qb)
       ORDER BY b.qb""",
+    "q54_multisearch" -> """
+      WITH c AS (
+        SELECT source,
+               (text LIKE '%merge%' OR text LIKE '%window%'
+                 OR text LIKE '%stream%') AS hit,
+               coalesce(least(nullif(instr(text, 'merge'), 0),
+                              nullif(instr(text, 'window'), 0),
+                              nullif(instr(text, 'stream'), 0)), 0) AS fp,
+               (length(text) - length(replace(text, 'ta', ''))) // 2 AS n_ta,
+               len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'),
+                   x -> x <> '')) AS n_tok
+        FROM documents)
+      SELECT source,
+             CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+             CAST(sum(fp) AS BIGINT) AS fp_sum,
+             CAST(sum(n_ta) AS BIGINT) AS ta_sum,
+             CAST(sum(n_tok) AS BIGINT) AS tok_sum
+      FROM c GROUP BY source ORDER BY source""",
     "q53_url_ip" -> """
       WITH c AS (
         SELECT 'shop' || CAST(c_nationkey AS VARCHAR) || '.example.com' AS dom,

@@ -354,4 +354,84 @@ class ClickHouseCompatSpec extends SparkSpec {
     assert(q1("arrayRotateRight(array('a','b','c','d'), 5)") ===
       Seq("d", "a", "b", "c"))
   }
+
+  test("tranche-7: multi-string search family") {
+    def q1(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
+    val h = "'the quick brown fox'"
+    assert(q1(s"multiSearchAnyCaseInsensitive($h, array('QUICK', 'zebra'))") === true)
+    assert(q1(s"multiSearchFirstPosition($h, array('brown', 'quick'))") === 5)
+    assert(q1(s"multiSearchFirstPosition($h, array('zebra'))") === 0)
+    assert(q1(s"multiSearchFirstPositionCaseInsensitive($h, array('BROWN'))") === 11)
+    // 'quick' at 5 is leftmost → its 1-based needle index (2)
+    assert(q1(s"multiSearchFirstIndex($h, array('brown', 'quick'))") === 2L)
+    assert(q1(s"multiSearchFirstIndex($h, array('zebra'))") === 0L)
+    assert(q1(s"multiSearchAllPositions($h, array('the', 'fox', 'zebra'))") ===
+      Seq(1, 17, 0))
+    assert(q1(s"multiSearchAllPositionsCaseInsensitive($h, array('THE'))") === Seq(1))
+    assert(q1(s"hasToken($h, 'quick')") === true)
+    assert(q1(s"hasToken($h, 'quic')") === false) // substring ≠ token
+    assert(q1(s"hasTokenCaseInsensitive($h, 'QUICK')") === true)
+    assert(q1(s"countSubstringsCaseInsensitive('aBAbab', 'ab')") === 3)
+  }
+
+  test("tranche-7: splitByRegexp/NonAlpha, ngrams") {
+    def q1(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
+    assert(q1("splitByRegexp('[0-9]+', 'a1b22c')") === Seq("a", "b", "c"))
+    assert(q1("splitByNonAlpha('a-b_c 42!')") === Seq("a", "b", "c", "42"))
+    assert(q1("ngrams('abcd', 2)") === Seq("ab", "bc", "cd"))
+    assert(q1("ngrams('ab', 3)") === Seq())
+  }
+
+  test("tranche-7: formatReadableDecimalSize / TimeDelta") {
+    def q1(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
+    assert(q1("formatReadableDecimalSize(1500000D)") === "1.50 MB")
+    assert(q1("formatReadableDecimalSize(999D)") === "999.00 B")
+    assert(q1("formatReadableTimeDelta(90061D)") ===
+      "1 day, 1 hour, 1 minute, 1 second")
+    assert(q1("formatReadableTimeDelta(7322D)") === "2 hours, 2 minutes, 2 seconds")
+    assert(q1("formatReadableTimeDelta(0.5D)") === "0 seconds")
+  }
+
+  test("tranche-7: toIntervalX arithmetic") {
+    def q1(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
+    assert(q1("TIMESTAMP '2024-01-01 00:00:00' + toIntervalDay(2)")
+      .toString startsWith "2024-01-03 00:00:00")
+    assert(q1("TIMESTAMP '2024-01-01 00:00:00' + toIntervalHour(25)")
+      .toString startsWith "2024-01-02 01:00:00")
+    assert(q1("TIMESTAMP '2024-01-01 00:00:00' + toIntervalWeek(1)")
+      .toString startsWith "2024-01-08")
+    assert(q1("TIMESTAMP '2024-01-31 00:00:00' + toIntervalMonth(1)")
+      .toString startsWith "2024-02-29") // month-end clamp, leap year
+    assert(q1("TIMESTAMP '2024-01-01 00:00:00' + toIntervalQuarter(2)")
+      .toString startsWith "2024-07-01")
+    assert(q1("TIMESTAMP '2024-01-01 00:00:00' + toIntervalYear(1)")
+      .toString startsWith "2025-01-01")
+    assert(q1("TIMESTAMP '2024-01-01 00:00:00' + toIntervalMinute(61)")
+      .toString startsWith "2024-01-01 01:01:00")
+    assert(q1("TIMESTAMP '2024-01-01 00:00:00' + toIntervalSecond(61)")
+      .toString startsWith "2024-01-01 00:01:01")
+  }
+
+  test("tranche-7: base58 + punycode/IDNA native codecs") {
+    def q1(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
+    // vectors from the reference's base58 docs (Bitcoin alphabet)
+    assert(q1("base58Encode('Hello')") === "9Ajdvzr")
+    assert(q1("base58Decode('9Ajdvzr')") === "Hello")
+    assert(q1("base58Encode('')") === "")
+    assert(q1("tryBase58Decode('0invalid')") === null) // '0' not in alphabet
+    assert(q1("base58Decode(base58Encode('graft engine'))") === "graft engine")
+    // punycode: ASCII-only label encodes as label + '-'
+    assert(q1("punycodeEncode('London')") === "London-")
+    assert(q1("punycodeDecode('London-')") === "London")
+    val m = q1("punycodeEncode('münchen')").asInstanceOf[String]
+    assert(m === "mnchen-3ya")
+    assert(q1(s"punycodeDecode('$m')") === "münchen")
+    // non-ASCII input is never valid punycode (which is pure ASCII)
+    assert(q1("tryPunycodeDecode('münchen')") === null)
+    // JDK IDNA2003 maps ß→ss (the reference's IDNA2008 would keep
+    // xn--strae-oqa) — documented deviation of the JDK-backed codec
+    assert(q1("idnaEncode('straße.münchen.de')") === "strasse.xn--mnchen-3ya.de")
+    assert(q1("idnaDecode('xn--mnchen-3ya.de')") === "münchen.de")
+    assert(q1("tryIdnaEncode('a.b.c')") === "a.b.c")
+  }
 }
