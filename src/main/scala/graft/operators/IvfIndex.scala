@@ -479,6 +479,41 @@ object IvfIndex {
       VectorSearch.isDescending(metric), tieBreak)
   }
 
+  /** Distance over a JOIN at index speed (the JOIN shape of reference
+    * test `00026_mqvs_distance_in_more_cases.sql`): the dense side feeds
+    * the join from its PROBED lists — file-pruned to the nprobe nearest
+    * `list_id=` partitions — instead of a full scan, so only candidate
+    * rows ever join and rank. Join-then-rank semantics hold because the
+    * join runs BEFORE the top-K cut (a candidate that fails the join
+    * never counts toward k); with nprobe = nLists the result is exact.
+    * The non-indexed side is typically the smaller dimension table —
+    * pass it broadcast()-wrapped when so.
+    */
+  def searchJoined(
+      spark: SparkSession,
+      indexDir: String,
+      qvec: Seq[Float],
+      k: Int,
+      other: DataFrame,
+      joinCond: Column,
+      nprobe: Int = 4,
+      metricOverride: Option[String] = None,
+      distName: String = "d",
+      tieBreak: Seq[Column] = Nil): DataFrame = {
+    val centroids = loadCentroids(spark, indexDir)
+    val meta = loadMeta(indexDir)
+    val metric = metricOverride.getOrElse(meta.metric)
+    val q = qvec.toArray
+    val probes = centroids.zipWithIndex
+      .map { case (c, i) => (centroidDist(metric, c, q), i) }
+      .sortBy(_._1).take(math.min(nprobe, centroids.length)).map(_._2)
+    val lists = spark.read.parquet(s"$indexDir/lists")
+      .filter(col("list_id").isin(probes.toIndexedSeq: _*))
+    VectorSearch.topK(lists.join(other, joinCond), col(meta.vecCol), qvec,
+        k, metric, None, distName, tieBreak)
+      .drop("list_id")
+  }
+
   /** Two-stage index search (reference `two_stage_search`): stage 1 pulls
     * `numReorder` candidates from the probed lists, stage 2 re-ranks them
     * exactly — recall repair at a fixed extra cost of numReorder exact

@@ -323,6 +323,17 @@ object VectorQueries {
           round(col("d").cast("double"), 3).as("d"))
         .orderBy(col("vec_id"))
     }),
+    // Index-accelerated twin of v28 (same reference JOIN shape): the
+    // dense side feeds the join from its PROBED IVF lists instead of a
+    // full scan — nprobe = nLists ⇒ exact, shares v28's oracle shape.
+    "v30_join_distance_ivf" -> ((s, dir) => {
+      IvfIndex.searchJoined(s, ivfDir(s, dir), queryVec(s, dir), 10,
+          broadcast(t(s, dir, "documents")), col("vec_id") === col("doc_id"),
+          nprobe = 16, distName = "d", tieBreak = Seq(col("vec_id")))
+        .select(col("vec_id"), col("lang"),
+          round(col("d").cast("double"), 3).as("d"))
+        .orderBy(col("vec_id"))
+    }),
     // MSTG DDL stand-in (reference 00028_mqvs_index_mstg_build_search):
     // TYPE MSTG('disk_mode=1','metric_type=L2') with full parameter
     // validation, searched with the public `alpha` knob. alpha=4 probes
@@ -496,6 +507,13 @@ object VectorQueries {
         ORDER BY list_distance(embedding, $qv0), vec_id LIMIT 10)
       ORDER BY vec_id""",
     "v28_join_distance" -> s"""
+      SELECT * FROM (
+        SELECT vec_id, lang,
+               round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) AS d
+        FROM embeddings JOIN documents ON vec_id = doc_id
+        ORDER BY list_distance(embedding, $qv0), vec_id LIMIT 10)
+      ORDER BY vec_id""",
+    "v30_join_distance_ivf" -> s"""
       SELECT * FROM (
         SELECT vec_id, lang,
                round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) AS d

@@ -42,6 +42,28 @@ class IvfIndexSpec extends SparkSpec {
     assert(got === bruteIds(10))
   }
 
+  test("searchJoined: join fed from probed lists, exact at full probes") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val df = IvfIndex.searchJoined(spark, indexDir, qv, 10,
+      broadcast(docs), col("vec_id") === col("doc_id"),
+      nprobe = 8, distName = "d", tieBreak = Seq(col("vec_id")))
+    // the indexed side of the join is the pruned lists scan, not the
+    // source table: list_id partition pruning shows in the plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("lists"), s"expected lists scan in:\n${plan.take(1200)}")
+    assert(plan.contains("list_id"), "expected list_id partition pruning")
+    // exact vs brute join-then-rank at exhaustive probes
+    val joined = emb.join(docs, col("vec_id") === col("doc_id"))
+    val brute = VectorSearch.topK(joined, col("embedding"), qv, 10, "l2",
+        None, "d", Seq(col("vec_id")))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(df.select("vec_id").collect().map(_.getLong(0)).toSeq === brute)
+    // partial probes really prune: fewer candidate rows feed the join
+    val partial = IvfIndex.searchJoined(spark, indexDir, qv, 10,
+      broadcast(docs), col("vec_id") === col("doc_id"), nprobe = 2)
+    assert(partial.count() === 10)
+  }
+
   test("nprobe search prunes partitions and keeps useful recall") {
     val got = IvfIndex.search(spark, indexDir, qv, 10, nprobe = 2,
         None, None, "d", Seq(col("vec_id")))
