@@ -689,7 +689,46 @@ object ClickHouseCompat {
     "toIntervalMonth(n INT) RETURNS INTERVAL YEAR TO MONTH RETURN make_ym_interval(0, n)",
     "toIntervalQuarter(n INT) RETURNS INTERVAL YEAR TO MONTH RETURN make_ym_interval(0, n * 3)",
     "toIntervalYear(n INT) RETURNS INTERVAL YEAR TO MONTH RETURN make_ym_interval(n, 0)",
-    // ---- tranche 7: array/string odds and ends ----
+    // ---- tranche 7: UUID / IPv4 type fronts (DataTypeFactory.cpp:
+    //      270-293 — UUID as canonical string, IPv4 as UInt32 BIGINT;
+    //      the IPv6 front is native, graft.functions.TypeFronts) ----
+    "toUUID(s STRING) RETURNS STRING RETURN " +
+      "IF(s RLIKE '^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-" +
+      "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$', lower(s), " +
+      "raise_error(concat('invalid UUID: ', s)))",
+    "toUUIDOrNull(s STRING) RETURNS STRING RETURN " +
+      "IF(s RLIKE '^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-" +
+      "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$', lower(s), NULL)",
+    "toUUIDOrZero(s STRING) RETURNS STRING RETURN " +
+      "IF(s RLIKE '^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-" +
+      "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$', lower(s), " +
+      "'00000000-0000-0000-0000-000000000000')",
+    "UUIDStringToNum(s STRING) RETURNS BINARY RETURN " +
+      "unhex(replace(lower(s), '-', ''))",
+    "UUIDNumToString(b BINARY) RETURNS STRING RETURN " +
+      "concat(substring(lower(hex(b)), 1, 8), '-', " +
+      "substring(lower(hex(b)), 9, 4), '-', substring(lower(hex(b)), 13, 4), " +
+      "'-', substring(lower(hex(b)), 17, 4), '-', substring(lower(hex(b)), 21, 12))",
+    "toIPv4(s STRING) RETURNS BIGINT RETURN " +
+      "IF(s RLIKE '^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\\\.){3}" +
+      "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$', " +
+      "CAST(split_part(s, '.', 1) AS BIGINT) * 16777216 + " +
+      "CAST(split_part(s, '.', 2) AS BIGINT) * 65536 + " +
+      "CAST(split_part(s, '.', 3) AS BIGINT) * 256 + " +
+      "CAST(split_part(s, '.', 4) AS BIGINT), " +
+      "raise_error(concat('invalid IPv4: ', s)))",
+    "toIPv4OrZero(s STRING) RETURNS BIGINT RETURN " +
+      "IF(s RLIKE '^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\\\.){3}" +
+      "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$', " +
+      "CAST(split_part(s, '.', 1) AS BIGINT) * 16777216 + " +
+      "CAST(split_part(s, '.', 2) AS BIGINT) * 65536 + " +
+      "CAST(split_part(s, '.', 3) AS BIGINT) * 256 + " +
+      "CAST(split_part(s, '.', 4) AS BIGINT), 0)",
+    // IPv4-mapped IPv6 (::ffff:a.b.c.d), the reference's IPv4ToIPv6
+    "IPv4ToIPv6(n BIGINT) RETURNS STRING RETURN " +
+      "concat('::ffff:', CAST(n div 16777216 % 256 AS STRING), '.', " +
+      "CAST(n div 65536 % 256 AS STRING), '.', " +
+      "CAST(n div 256 % 256 AS STRING), '.', CAST(n % 256 AS STRING))",
   )
 
   /** Base58 (Bitcoin alphabet) and punycode/IDNA codecs — the reference
@@ -780,6 +819,7 @@ object ClickHouseCompat {
     spark.udf.register("idnaEncode", (s: String) => Codecs.idnaEncode(s))
     spark.udf.register("idnaDecode", (s: String) => Codecs.idnaDecode(s))
     spark.udf.register("tryIdnaEncode", (s: String) => Codecs.tryIdnaEncode(s))
+    TypeFronts.installNative(spark)
   }
 
   /** Install all aliases (CREATE OR REPLACE, idempotent); returns names

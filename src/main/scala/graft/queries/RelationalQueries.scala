@@ -659,6 +659,33 @@ object RelationalQueries {
           sum(col("n_tok")).as("tok_sum"))
         .orderBy(col("source"))
     }),
+    // Type fronts end-to-end (DataTypeFactory.cpp:270-293): UUID
+    // canonical string, IPv4 UInt32 round-trip, IPv6 RFC-5952 native
+    // parse/format, IPv4-mapped IPv6, Enum dictionary check + code —
+    // over deterministic synthetic values; the oracle recomputes each
+    // front's semantics directly.
+    "q55_uuid_ip_types" -> ((s, dir) => {
+      import graft.functions.TypeFronts
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+        "MACHINERY")
+      t(s, dir, "customer")
+        .withColumn("u", expr(
+          "concat(lpad(lower(hex(c_custkey)), 8, '0'), '-1111-4222-8333-', " +
+          "lpad(lower(hex(c_custkey * 7 + 1)), 12, '0'))"))
+        .withColumn("ip4n", expr("167772160 + c_custkey % 16777216"))
+        .withColumn("ip6", expr(
+          "concat('2001:db8::', lower(hex(1 + c_custkey % 65535)))"))
+        .select(
+          expr("toUUID(u)").as("uid"),
+          expr("UUIDNumToString(UUIDStringToNum(u))").as("uround"),
+          expr("toIPv6OrNull(ip6)").as("ip6c"),
+          expr("IPv4NumToString(ip4n)").as("ip4s"),
+          expr("toIPv4(IPv4NumToString(ip4n))").as("ip4back"),
+          expr("IPv4ToIPv6(ip4n)").as("ip46"),
+          TypeFronts.enumCode(TypeFronts.enumCheck(col("c_mktsegment"), segs),
+            segs.zipWithIndex.map { case (n, i) => n -> (i + 1) }).as("seg_code"))
+        .orderBy(col("uid")).limit(100)
+    }),
     // GROUP BY with expression keys + IN-subquery semi join.
     "q30_in_subquery" -> ((s, dir) => {
       val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
@@ -710,6 +737,24 @@ object RelationalQueries {
       SELECT b.qb, coalesce(a.n, 0) AS n
       FROM buckets b LEFT JOIN agg a USING (qb)
       ORDER BY b.qb""",
+    "q55_uuid_ip_types" -> """
+      WITH c AS (
+        SELECT printf('%08x', c_custkey) || '-1111-4222-8333-' ||
+                 printf('%012x', c_custkey * 7 + 1) AS uid,
+               167772160 + c_custkey % 16777216 AS ip4n,
+               '2001:db8::' || printf('%x', 1 + c_custkey % 65535) AS ip6c,
+               CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 1 WHEN 'BUILDING' THEN 2
+                 WHEN 'FURNITURE' THEN 3 WHEN 'HOUSEHOLD' THEN 4
+                 WHEN 'MACHINERY' THEN 5 END AS seg_code
+        FROM customer)
+      SELECT uid, uid AS uround, ip6c,
+             printf('%d.%d.%d.%d', ip4n // 16777216 % 256, ip4n // 65536 % 256,
+               ip4n // 256 % 256, ip4n % 256) AS ip4s,
+             CAST(ip4n AS BIGINT) AS ip4back,
+             '::ffff:' || printf('%d.%d.%d.%d', ip4n // 16777216 % 256,
+               ip4n // 65536 % 256, ip4n // 256 % 256, ip4n % 256) AS ip46,
+             CAST(seg_code AS INT) AS seg_code
+      FROM c ORDER BY uid LIMIT 100""",
     "q54_multisearch" -> """
       WITH c AS (
         SELECT source,

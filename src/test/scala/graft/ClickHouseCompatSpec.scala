@@ -412,6 +412,47 @@ class ClickHouseCompatSpec extends SparkSpec {
       .toString startsWith "2024-01-01 00:01:01")
   }
 
+  test("tranche-7: UUID / IPv4 / IPv6 type fronts") {
+    def q1(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
+    assert(q1("toUUID('123E4567-E89B-12D3-A456-426614174000')") ===
+      "123e4567-e89b-12d3-a456-426614174000")
+    assert(q1("toUUIDOrNull('nope')") === null)
+    assert(q1("toUUIDOrZero('nope')") === "00000000-0000-0000-0000-000000000000")
+    assert(q1("UUIDNumToString(UUIDStringToNum(" +
+      "'123e4567-e89b-12d3-a456-426614174000'))") ===
+      "123e4567-e89b-12d3-a456-426614174000")
+    intercept[Exception] { q1("toUUID('nope')") }
+    assert(q1("toIPv4('1.2.3.4')") === 16909060L)
+    assert(q1("toIPv4OrZero('999.2.3.4')") === 0L)
+    assert(q1("IPv4ToIPv6(16909060)") === "::ffff:1.2.3.4")
+    // IPv6 native front: strict parse + RFC 5952 canonical form
+    assert(q1("toIPv6('2001:0DB8:0000:0000:0000:0000:0000:0001')") === "2001:db8::1")
+    assert(q1("toIPv6('::')") === "::")
+    assert(q1("toIPv6('1:2:3:4:5:6:7:8')") === "1:2:3:4:5:6:7:8")
+    // longest zero run wins the :: (leftmost on ties)
+    assert(q1("toIPv6('1:0:0:2:0:0:0:3')") === "1:0:0:2::3")
+    // embedded dotted-quad tail parses (canonical emits hex groups)
+    assert(q1("toIPv6('::ffff:192.168.0.1')") === "::ffff:c0a8:1")
+    assert(q1("toIPv6OrNull('2001:::1')") === null)
+    assert(q1("toIPv6OrNull('1:2:3')") === null)
+    assert(q1("IPv6NumToString(IPv6StringToNum('2001:db8::ff'))") === "2001:db8::ff")
+    // Enum front: dictionary code + ingest rejection
+    import graft.functions.TypeFronts
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val codes = Seq("a", "b").toDF("v")
+      .select(TypeFronts.enumCode(col("v"), Seq("a" -> 1, "b" -> 2)).as("c"))
+      .collect().map(_.getInt(0))
+    assert(codes === Array(1, 2))
+    assert(Seq(2).toDF("c")
+      .select(TypeFronts.enumName(col("c"), Seq("a" -> 1, "b" -> 2)))
+      .head().getString(0) === "b")
+    intercept[Exception] {
+      Seq("z").toDF("v")
+        .select(TypeFronts.enumCheck(col("v"), Seq("a", "b"))).collect()
+    }
+  }
+
   test("tranche-7: base58 + punycode/IDNA native codecs") {
     def q1(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
     // vectors from the reference's base58 docs (Bitcoin alphabet)
