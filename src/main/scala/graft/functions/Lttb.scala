@@ -1,0 +1,63 @@
+package graft.functions
+
+/** Largest-Triangle-Three-Buckets downsampling (Steinarsson, "Downsampling
+  * Time Series for Visual Representation", MSc thesis 2013 — the public
+  * algorithm behind the reference's `largestTriangleThreeBuckets`
+  * aggregate, `registerAggregateFunctions.cpp`).
+  *
+  * The first and last points are always kept; points 2..n-1 are split
+  * into nb-2 equal buckets (`bucket(i) = i·(nb-2) div (n-2)`), and each
+  * bucket contributes the point maximizing the triangle area with the
+  * PREVIOUSLY selected point and the NEXT bucket's average point (the
+  * final point for the last bucket). Ties resolve to the earliest point.
+  *
+  * Sequential by construction — so it runs as a per-series aggregate
+  * (the reference's aggregate state equally materializes the series);
+  * the series itself is grouped/sorted distributedly.
+  */
+object Lttb {
+
+  def downsample(
+      pts: IndexedSeq[(Long, Double)], nb: Int): IndexedSeq[(Long, Double)] = {
+    val n = pts.length
+    if (n == 0 || nb >= n) return pts
+    if (nb <= 2) return IndexedSeq(pts.head, pts.last)
+    val m = n - 2
+    val k = nb - 2
+    def bucketOf(i: Int): Int = ((i.toLong * k) / m).toInt
+    val out = scala.collection.mutable.ArrayBuffer(pts.head)
+    var prev = pts.head
+    var b = 0
+    while (b < k) {
+      // next bucket's average anchor (final point for the last bucket)
+      var ax = 0.0; var ay = 0.0; var cnt = 0
+      if (b + 1 < k) {
+        var j = 0
+        while (j < m) {
+          if (bucketOf(j) == b + 1) {
+            ax += pts(j + 1)._1.toDouble; ay += pts(j + 1)._2; cnt += 1
+          }
+          j += 1
+        }
+      } else { ax = pts.last._1.toDouble; ay = pts.last._2; cnt = 1 }
+      ax /= cnt; ay /= cnt
+      var best: (Long, Double) = null
+      var bestA = -1.0
+      var i = 0
+      while (i < m) {
+        if (bucketOf(i) == b) {
+          val p = pts(i + 1)
+          val a = math.abs((prev._1.toDouble - ax) * (p._2 - prev._2) -
+            (prev._1.toDouble - p._1.toDouble) * (prev._2 - ay))
+          if (a > bestA) { best = p; bestA = a }
+        }
+        i += 1
+      }
+      out += best
+      prev = best
+      b += 1
+    }
+    out += pts.last
+    out.toIndexedSeq
+  }
+}

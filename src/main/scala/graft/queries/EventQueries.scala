@@ -136,6 +136,52 @@ object EventQueries {
         .orderBy(col("user_id"))
         .limit(50)
     }),
+    // sumMapFiltered(keys)(k, v): sumMap restricted to a declared key
+    // set (registerAggregateFunctions.cpp) — the filter rides the
+    // map-side scan, everything else is e12's shape.
+    "e52_sum_map_filtered" -> ((s, dir) => {
+      events(s, dir)
+        .filter(col("event_type").isin("view", "click"))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(round(sum(col("value")), 2).as("v"))
+        .groupBy(col("user_id"))
+        .agg(array_join(array_sort(collect_list(
+          concat(col("event_type"), lit(":"), col("v").cast("string")))), ",")
+          .as("sum_map"))
+        .orderBy(col("user_id"))
+        .limit(50)
+    }),
+    // groupArrayMovingAvg(5): windowed moving average dividing by the
+    // DECLARED window size even while the window fills (the reference's
+    // contract), emitted as rows like e32.
+    "e53_moving_avg" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .filter(col("user_id") < 20)
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .withColumn("moving_avg",
+          round(sum(col("value")).over(w.rowsBetween(-4, Window.currentRow))
+            / lit(5.0), 2))
+        .select(col("user_id"), col("pos"), col("moving_avg"))
+        .orderBy(col("user_id"), col("pos"))
+    }),
+    // largestTriangleThreeBuckets(20)(x, y): LTTB downsampling of one
+    // user's (ts, value) series — a per-series aggregate whose oracle
+    // replays the same sequential selection as a recursive CTE.
+    "e54_lttb" -> ((s, dir) => {
+      val lttbUdf = udf((pts: Seq[org.apache.spark.sql.Row]) =>
+        graft.functions.Lttb.downsample(
+          pts.map(r => (r.getLong(0), r.getDouble(2))).toIndexedSeq, 20))
+      events(s, dir).filter(col("user_id") === 3)
+        .select(unix_micros(col("ts").cast("timestamp")).as("x"),
+          col("event_id"), col("value"))
+        .agg(sort_array(collect_list(
+          struct(col("x"), col("event_id"), col("value")))).as("pts"))
+        .select(explode(lttbUdf(col("pts"))).as("p"))
+        .select(col("p._1").as("x_us"), round(col("p._2"), 2).as("y"))
+        .orderBy(col("x_us"), col("y"))
+    }),
     // -Array combinator family (sumArray/countArray/avgArray/maxArray):
     // per-row HOF fold before the aggregation — no explode, the group
     // shuffle carries one value per row (registerAggregateFunctions.cpp:84).
@@ -1178,6 +1224,56 @@ object EventQueries {
              ((200 * cents + n) // (2 * n)) / 10000.0 AS avg_v,
              uniq_types
       FROM g ORDER BY user_id""",
+    "e52_sum_map_filtered" -> """
+      WITH per AS (
+        SELECT user_id, event_type, round(sum(value), 2) AS v
+        FROM events WHERE event_type IN ('view', 'click') GROUP BY 1, 2)
+      SELECT user_id,
+             array_to_string(list_sort(list(event_type || ':' || CAST(v AS VARCHAR))), ',')
+               AS sum_map
+      FROM per GROUP BY user_id ORDER BY user_id LIMIT 50""",
+    "e53_moving_avg" -> """
+      SELECT user_id,
+             CAST(row_number() OVER w AS BIGINT) AS pos,
+             round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) / 5.0, 2) AS moving_avg
+      FROM events
+      WHERE user_id < 20
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, pos""",
+    "e54_lttb" -> """
+      WITH RECURSIVE
+      series AS (
+        SELECT row_number() OVER (ORDER BY ts, event_id) AS pos,
+               epoch_us(ts) AS x, value AS y
+        FROM events WHERE user_id = 3),
+      params AS (SELECT count(*)::INT AS n FROM series),
+      mids AS (
+        SELECT pos, x, y, CAST((pos - 2) * 18 // (n - 2) AS INT) AS b
+        FROM series, params WHERE pos > 1 AND pos < n),
+      bavg AS (SELECT b, avg(x::DOUBLE) AS ax, avg(y) AS ay FROM mids GROUP BY b),
+      lastpt AS (SELECT x, y FROM series, params WHERE pos = n),
+      sel AS (
+        SELECT -1 AS b, CAST(1 AS BIGINT) AS pos, x, y FROM series WHERE pos = 1
+        UNION ALL
+        SELECT nxt.b, nxt.pos, nxt.x, nxt.y
+        FROM sel, LATERAL (
+          SELECT mk.b, mk.pos, mk.x, mk.y
+          FROM mids mk
+          WHERE mk.b = sel.b + 1
+          ORDER BY abs((sel.x::DOUBLE - coalesce((SELECT ax FROM bavg WHERE b = mk.b + 1),
+                                                 (SELECT x::DOUBLE FROM lastpt)))
+                       * (mk.y - sel.y)
+                     - (sel.x::DOUBLE - mk.x::DOUBLE)
+                       * (sel.y - coalesce((SELECT ay FROM bavg WHERE b = mk.b + 1),
+                                           (SELECT y FROM lastpt)))) DESC, mk.pos ASC
+          LIMIT 1) nxt
+        WHERE sel.b < 17)
+      SELECT x AS x_us, y FROM (
+        SELECT x, round(y, 2) AS y, pos FROM sel
+        UNION ALL
+        SELECT x, round(y, 2) AS y, pos FROM series, params WHERE pos = n)
+      ORDER BY x_us, y""",
     "e12_sum_map" -> """
       WITH per AS (
         SELECT user_id, event_type, round(sum(value), 2) AS v

@@ -188,4 +188,22 @@ class AggregatesSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 2L, 2L -> 0L))
   }
+
+  test("LTTB downsampling: endpoints fixed, spikes survive, degenerate cases") {
+    import graft.functions.Lttb
+    val pts = IndexedSeq[(Long, Double)](
+      (0L, 0.0), (1L, 1.0), (2L, 1.1), (3L, 0.9), (4L, 1.0),
+      (5L, 9.0), (6L, 1.0), (7L, 1.1), (8L, 0.9), (9L, 1.0))
+    val out = Lttb.downsample(pts, 4)
+    assert(out.length === 4)
+    assert(out.head === pts.head && out.last === pts.last)
+    // the visually dominant spike must survive downsampling
+    assert(out.contains((5L, 9.0)))
+    // selection order preserves x order
+    assert(out.map(_._1) === out.map(_._1).sorted)
+    // degenerate thresholds
+    assert(Lttb.downsample(pts, 100) === pts)
+    assert(Lttb.downsample(pts, 2) === IndexedSeq(pts.head, pts.last))
+    assert(Lttb.downsample(IndexedSeq.empty, 5) === IndexedSeq.empty)
+  }
 }
