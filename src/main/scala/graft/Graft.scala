@@ -125,7 +125,35 @@ object Graft {
 
     def seededShuffle(idCol: Column, seed: String): DataFrame =
       Packing.seededShuffle(df, idCol, seed)
+
+    /** LTTB downsampling of a (x, y) series held in this frame —
+      * collected per group like the reference aggregate; rows out are
+      * the selected (x, y) points in selection order.
+      */
+    def lttbDownsample(xCol: Column, yCol: Column, nBuckets: Int,
+        tieBreak: Column): DataFrame = {
+      val f = Graft.lttbUdf(nBuckets) // built outside the value class
+      df.select(xCol.cast("long").as("__x"), tieBreak.as("__t"),
+          yCol.cast("double").as("__y"))
+        .agg(org.apache.spark.sql.functions.sort_array(
+          org.apache.spark.sql.functions.collect_list(
+            org.apache.spark.sql.functions.struct(
+              org.apache.spark.sql.functions.col("__x"),
+              org.apache.spark.sql.functions.col("__t"),
+              org.apache.spark.sql.functions.col("__y")))).as("__pts"))
+        .select(org.apache.spark.sql.functions.explode(
+          f(org.apache.spark.sql.functions.col("__pts"))).as("p"))
+        .select(org.apache.spark.sql.functions.col("p._1").as("x"),
+          org.apache.spark.sql.functions.col("p._2").as("y"))
+    }
   }
+
+  private def lttbUdf(nBuckets: Int) =
+    org.apache.spark.sql.functions.udf(
+      (pts: Seq[org.apache.spark.sql.Row]) =>
+        graft.functions.Lttb.downsample(
+          pts.map(r => (r.getLong(0), r.getDouble(2))).toIndexedSeq,
+          nBuckets))
 
   /** Index builders, usable from the same import. */
   def buildIvfIndex(spark: SparkSession, df: DataFrame, vecCol: String,

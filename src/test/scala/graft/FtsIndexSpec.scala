@@ -87,6 +87,16 @@ class FtsIndexSpec extends SparkSpec {
     // reference column names/shape (StorageFtsIndex.cpp:37-61)
     assert(tvf.columns.toSeq ===
       Seq("part", "total_docs", "field_tokens", "terms_freq"))
+    // COLUMN-LEVEL schema parity with the reference's
+    // virtuals_sample_block (StorageFtsIndex.cpp:37-61): nested field
+    // names AND types — UInt64→BIGINT, UInt32→INT, String→STRING
+    def ddl(c: String) =
+      tvf.schema(c).dataType.sql.replace(" NOT NULL", "")
+    assert(ddl("total_docs") === "BIGINT")
+    assert(ddl("field_tokens") ===
+      "ARRAY<STRUCT<field_id: INT, total_tokens: BIGINT>>")
+    assert(ddl("terms_freq") ===
+      "ARRAY<STRUCT<term_str: STRING, field_id: INT, doc_freq: BIGINT>>")
     val rows = tvf.collect()
     val meta = FtsIndex.loadMeta(indexDir)
     // total_docs is table-global on every part row

@@ -60,4 +60,17 @@ class GraftApiSpec extends SparkSpec {
     assert(shuffled.size === 5)
     assert(shuffled != shuffled.sorted)
   }
+
+  test("fluent LTTB downsampling") {
+    val ds = docs
+      .lttbDownsample(col("doc_id") * 10, col("n_chars").cast("double"),
+        nBuckets = 8, tieBreak = col("doc_id"))
+      .collect()
+    assert(ds.length === 8)
+    // endpoints preserved, x order preserved
+    val xs = ds.map(_.getLong(0)).toSeq
+    assert(xs === xs.sorted)
+    assert(xs.head === docs.agg(org.apache.spark.sql.functions.min(
+      col("doc_id") * 10)).head().getLong(0))
+  }
 }
