@@ -136,6 +136,36 @@ object EventQueries {
         .orderBy(col("user_id"))
         .limit(50)
     }),
+    // minMap/maxMap: per-key min/max over a map-like structure
+    // (registerAggregateFunctions.cpp sumMap family), e12's sorted
+    // "k:v" string form for byte-stable compare.
+    "e55_min_max_map" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(round(min(col("value")), 2).as("mn"),
+          round(max(col("value")), 2).as("mx"))
+        .groupBy(col("user_id"))
+        .agg(
+          array_join(array_sort(collect_list(
+            concat(col("event_type"), lit(":"), col("mn").cast("string")))), ",")
+            .as("min_map"),
+          array_join(array_sort(collect_list(
+            concat(col("event_type"), lit(":"), col("mx").cast("string")))), ",")
+            .as("max_map"))
+        .orderBy(col("user_id"))
+        .limit(50)
+    }),
+    // groupUniqArray: distinct values per group as a sorted array
+    // (emitted joined for the hash compare).
+    "e56_group_uniq_array" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(array_join(array_sort(collect_set(col("event_type"))), ",")
+          .as("types"),
+          size(collect_set(col("event_type"))).cast("long").as("n_types"))
+        .orderBy(col("user_id"))
+        .limit(50)
+    }),
     // sumMapFiltered(keys)(k, v): sumMap restricted to a declared key
     // set (registerAggregateFunctions.cpp) — the filter rides the
     // map-side scan, everything else is e12's shape.
@@ -1224,6 +1254,22 @@ object EventQueries {
              ((200 * cents + n) // (2 * n)) / 10000.0 AS avg_v,
              uniq_types
       FROM g ORDER BY user_id""",
+    "e55_min_max_map" -> """
+      WITH per AS (
+        SELECT user_id, event_type, round(min(value), 2) AS mn,
+               round(max(value), 2) AS mx
+        FROM events GROUP BY 1, 2)
+      SELECT user_id,
+             array_to_string(list_sort(list(event_type || ':' || CAST(mn AS VARCHAR))), ',')
+               AS min_map,
+             array_to_string(list_sort(list(event_type || ':' || CAST(mx AS VARCHAR))), ',')
+               AS max_map
+      FROM per GROUP BY user_id ORDER BY user_id LIMIT 50""",
+    "e56_group_uniq_array" -> """
+      SELECT user_id,
+             array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+      FROM events GROUP BY user_id ORDER BY user_id LIMIT 50""",
     "e52_sum_map_filtered" -> """
       WITH per AS (
         SELECT user_id, event_type, round(sum(value), 2) AS v

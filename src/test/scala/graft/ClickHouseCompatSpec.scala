@@ -453,6 +453,60 @@ class ClickHouseCompatSpec extends SparkSpec {
     }
   }
 
+  test("tranche-8: conversion family with C-style wraparound") {
+    def q1(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
+    assert(q1("toInt8(300)") === 44)     // wraps like the reference
+    assert(q1("toInt8(-129)") === 127)
+    assert(q1("toInt16(65536 + 7)") === 7)
+    assert(q1("toInt32(4294967296 + 5)") === 5)
+    assert(q1("toUInt8(-1)") === 255)
+    assert(q1("toUInt16(65537)") === 1)
+    assert(q1("toUInt32(-1)") === 4294967295L)
+    assert(q1("toUInt64(42)") === 42L)
+    assert(q1("toInt64OrZero('xx')") === 0L)
+    assert(q1("toFloat64OrNull('bad')") === null)
+    assert(q1("toFloat64OrZero('2.5')") === 2.5)
+    assert(q1("toFixedString('ab', 4)").asInstanceOf[String].length === 4)
+    intercept[Exception] { q1("toFixedString('abcdef', 4)") }
+    assert(q1("toNullable(1.5D)") === 1.5)
+  }
+
+  test("tranche-8: datetime constructors and Joda formatters") {
+    def q1(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
+    assert(q1("toDateTime('2024-03-01 10:30:00')").toString
+      startsWith "2024-03-01 10:30:00")
+    assert(q1("toDate32('2024-03-01')").toString === "2024-03-01")
+    assert(q1("parseDateTimeBestEffortOrNull('garbage')") === null)
+    assert(q1("formatDateTimeInJodaSyntax(TIMESTAMP '2024-03-01 10:30:00', " +
+      "'yyyy/MM/dd HH:mm')") === "2024/03/01 10:30")
+    assert(q1("parseDateTimeInJodaSyntax('2024/03/01 10:30', 'yyyy/MM/dd HH:mm')")
+      .toString startsWith "2024-03-01 10:30:00")
+    assert(q1("yesterday() = date_sub(today(), 1)") === true)
+    assert(q1("length(currentDatabase()) > 0") === true)
+  }
+
+  test("tranche-8: multi-regex, extractAll, arrayReduce, pointInPolygon") {
+    def q1(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
+    assert(q1("multiMatchAny('abc42', array('^z', '[0-9]+$'))") === true)
+    assert(q1("multiMatchAny('abc', array('^z', 'q'))") === false)
+    assert(q1("multiMatchAnyIndex('abc42', array('^z', '[0-9]+$'))") === 2L)
+    assert(q1("multiMatchAnyIndex('abc', array('^z'))") === 0L)
+    assert(q1("extractAll('a1b22c333', '[0-9]+')") === Seq("1", "22", "333"))
+    assert(q1("arraySort(array(3D, 1D, 2D))") === Seq(1.0, 2.0, 3.0))
+    assert(q1("arrayReduceNum('sum', array(1D, 2D, 3D))") === 6.0)
+    assert(q1("arrayReduceNum('uniqExact', array(1D, 1D, 2D))") === 2.0)
+    intercept[Exception] { q1("arrayReduceNum('median', array(1D))") }
+    // unit square: inside, outside, and a concave (L-shape) polygon
+    assert(q1("pointInPolygon(0.5D, 0.5D, array(0D,1D,1D,0D), array(0D,0D,1D,1D))") === true)
+    assert(q1("pointInPolygon(1.5D, 0.5D, array(0D,1D,1D,0D), array(0D,0D,1D,1D))") === false)
+    assert(q1("pointInPolygon(1.5D, 0.5D, " +
+      "array(0D,2D,2D,1D,1D,0D), array(0D,0D,1D,1D,2D,2D))") === true)
+    assert(q1("pointInPolygon(1.5D, 1.5D, " +
+      "array(0D,2D,2D,1D,1D,0D), array(0D,0D,1D,1D,2D,2D))") === false)
+    assert(q1("isValidUTF8(CAST('hello' AS BINARY))") === true)
+    assert(q1("isValidUTF8(unhex('FF80'))") === false)
+  }
+
   test("tranche-7: base58 + punycode/IDNA native codecs") {
     def q1(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
     // vectors from the reference's base58 docs (Bitcoin alphabet)
