@@ -385,6 +385,19 @@ object Aggregates {
     fn(tsSeconds, eventCol, flags)
   }
 
+  /** sequenceNextNode('backward', 'tail') — the chain anchors at the
+    * time-ordered LAST event (tail base), walks backward (the i-th
+    * condition applies to the i-th-from-last event), and the value of
+    * the event immediately PRECEDING the matched chain is returned.
+    * Exactly the forward/head variant on the time-reversed stream —
+    * implemented as such: negated timestamps into the same bounded
+    * K+1 buffer (per-entity state stays O(K)).
+    */
+  def sequenceNextNodeBackward(
+      tsSeconds: Column, eventCol: Column, baseCond: Column,
+      conds: Column*): Column =
+    sequenceNextNode(-tsSeconds, eventCol, baseCond, conds: _*)
+
   /** retention(cond1..condN): array r with r(0) = cond1 ever held;
     * r(i) = cond1 && cond_i — aggregate per entity, then sum the flags
     * (reference AggregateFunctionRetention).

@@ -821,6 +821,87 @@ object HnswIndex {
       .reduce(_ unionAll _)
   }
 
+  /** `batch_distance()` THROUGH the per-part graphs: each part's task
+    * loads (or takes from the per-JVM cache) its graph ONCE and runs
+    * EVERY query against it — one narrow single-task scan per part
+    * regardless of batch size, the same amortization the reference's
+    * batch path gets from its per-part index instances. Emits
+    * `(query_idx, id, d)`; the per-query top-K cut reuses the same
+    * heap-prune + window as the brute/IVF batch paths, so the plan
+    * stays `TakeOrdered`-shaped per query with no graph shuffle.
+    */
+  def batchSearch(
+      spark: SparkSession,
+      indexDir: String,
+      queries: Seq[Seq[Float]],
+      k: Int,
+      ef: Int = 64,
+      metric: String = "l2",
+      tieBreak: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
+    import spark.implicits._
+    require(queries.nonEmpty, "batchSearch: empty query batch")
+    val qArr = queries.map(_.toArray).toArray
+    val root = new org.apache.hadoop.fs.Path(s"$indexDir/graph")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partDirs =
+      (if (fs.exists(root)) fs.listStatus(root).toSeq else Seq.empty)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("part_id="))
+        .map(_.getPath)
+    val smallPath = new org.apache.hadoop.fs.Path(s"$indexDir/smallparts")
+    val hasSmall = fs.exists(smallPath)
+    require(partDirs.nonEmpty || hasSmall,
+      s"no graph partitions or small parts under $indexDir")
+    val decode = decoder(spark, indexDir, fs)
+    val perPart = partDirs.map { p =>
+      val pid = p.getName.stripPrefix("part_id=").toInt
+      def searchAll(g: Graph): Iterator[(Int, Long, Float)] =
+        qArr.iterator.zipWithIndex.flatMap { case (q, qi) =>
+          g.search(q, k, ef).iterator.map { case (id, d) => (qi, id, d) }
+        }
+      decode match {
+        case Some(dec) =>
+          spark.read.schema(GraphSchemaQuant).parquet(p.toString)
+            .select(col("node_idx"), col("id"), col("qvec"), col("neighbors"))
+            .as[(Int, Long, Array[Byte], Seq[Seq[Int]])]
+            .coalesce(1)
+            .mapPartitions { rows =>
+              val nodes = rows.map { case (ni, id, codes, nbrs) =>
+                GraphNode(ni, id, dec(codes), nbrs)
+              }
+              searchAll(loadGraph(s"$indexDir#$pid", nodes, metric))
+            }
+        case None =>
+          spark.read.schema(GraphSchemaFlat).parquet(p.toString)
+            .select(col("node_idx"), col("id"), col("vec"), col("neighbors"))
+            .as[GraphNode]
+            .coalesce(1)
+            .mapPartitions { rows =>
+              searchAll(loadGraph(s"$indexDir#$pid", rows, metric))
+            }
+      }
+    }
+    val graphHits: Option[DataFrame] =
+      if (perPart.isEmpty) None
+      else Some(perPart.reduce(_ union _).toDF("query_idx", "id", "d"))
+    // SMALL_PART leg: brute-score the raw vectors against the broadcast
+    // query frame (tiny by the gate's definition)
+    val smallHits: Option[DataFrame] =
+      if (!hasSmall) None
+      else {
+        val qDf = spark
+          .createDataFrame(queries.zipWithIndex.map { case (v, i) => (i, v) })
+          .toDF("query_idx", "__qv")
+        Some(spark.read.schema(SmallPartsSchema).parquet(smallPath.toString)
+          .crossJoin(broadcast(qDf))
+          .select(col("query_idx"), col("id"),
+            graft.functions.distances.distance(metric)(col("vec"), col("__qv"))
+              .as("d")))
+      }
+    val all = (graphHits.toSeq ++ smallHits.toSeq).reduce(_ unionAll _)
+    VectorSearch.perQueryTopK(all, k, "d",
+      VectorSearch.isDescending(metric), tieBreak)
+  }
+
   /** Two-stage search for quantized graphs (HNSWSQ/HNSWPQ): the graph
     * ranks `numReorder` candidates on dequantized points, then the
     * survivors are re-ranked with exact float distances from `source`

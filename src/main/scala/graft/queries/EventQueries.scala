@@ -819,6 +819,17 @@ object EventQueries {
         .agg(nxt.as("next_event"))
         .orderBy(col("user_id"))
     }),
+    // sequenceNextNode('backward','tail'): anchor at the LAST event
+    // (must be click), previous must be view, return the event before
+    // that chain — the time-reversed twin of e47.
+    "e57_seq_next_node_backward" -> ((s, dir) => {
+      val prev = Aggregates.sequenceNextNodeBackward(tsSec, col("event_type"),
+        lit(true), col("event_type") === "click", col("event_type") === "view")
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(prev.as("prev_event"))
+        .orderBy(col("user_id"))
+    }),
     // categoricalInformationValue: per-category WoE / IV terms for the
     // binary outcome value > 10.
     "e48_categorical_iv" -> ((s, dir) => {
@@ -1427,6 +1438,14 @@ object EventQueries {
       SELECT user_id,
              CASE WHEN evs[1] = 'view' AND evs[2] = 'click' THEN evs[3] END
                AS next_event
+      FROM l ORDER BY user_id""",
+    "e57_seq_next_node_backward" -> """
+      WITH l AS (SELECT user_id,
+                        list(event_type ORDER BY ts DESC, event_type) AS evs
+                 FROM events GROUP BY 1)
+      SELECT user_id,
+             CASE WHEN evs[1] = 'click' AND evs[2] = 'view' THEN evs[3] END
+               AS prev_event
       FROM l ORDER BY user_id""",
     "e48_categorical_iv" -> """
       WITH c AS (SELECT event_type AS category,

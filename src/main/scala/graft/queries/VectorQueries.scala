@@ -323,6 +323,19 @@ object VectorQueries {
           round(col("d").cast("double"), 3).as("d"))
         .orderBy(col("vec_id"))
     }),
+    // batch_distance THROUGH the HNSW graphs: one graph load per part
+    // serves the whole batch (the reference's batch path amortizes
+    // per-part index instances the same way). Approximate (graph
+    // search) → rows-only; HnswIndexSpec asserts batch ≡ the same
+    // graph's single-query searches exactly.
+    "v31_batch_hnsw" -> ((s, dir) => {
+      val qs = Seq(queryVec(s, dir, 0), queryVec(s, dir, 1), queryVec(s, dir, 2))
+      HnswIndex.batchSearch(s, hnswDir(s, dir), qs, 5, ef = 128,
+          tieBreak = Seq(col("id")))
+        .select(col("query_idx"), col("id").as("vec_id"),
+          round(col("d").cast("double"), 3).as("d"))
+        .orderBy(col("query_idx"), col("vec_id"))
+    }),
     // Index-accelerated twin of v28 (same reference JOIN shape): the
     // dense side feeds the join from its PROBED IVF lists instead of a
     // full scan — nprobe = nLists ⇒ exact, shares v28's oracle shape.

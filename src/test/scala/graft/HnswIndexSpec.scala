@@ -47,6 +47,24 @@ class HnswIndexSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("batchSearch equals per-query single searches on the same graphs") {
+    val qs = Seq(3L, 11L, 29L).map { id =>
+      emb.filter(col("vec_id") === id).select(col("embedding"))
+        .head().getSeq[Float](0)
+    }
+    val batch = HnswIndex.batchSearch(spark, indexDir, qs, 10, ef = 128,
+        tieBreak = Seq(col("id")))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getFloat(2)))
+      .groupBy(_._1)
+    qs.zipWithIndex.foreach { case (q, i) =>
+      val single = HnswIndex.search(spark, indexDir, q, 10, ef = 128)
+        .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+        .sortBy(x => (x._2, x._1))
+      val got = batch(i).map(x => (x._2, x._3)).toSeq.sortBy(x => (x._2, x._1))
+      assert(got === single, s"query $i batch != single")
+    }
+  }
+
   test("accept filter (pre-filter / delete mask) is honored in-search") {
     val masked = bruteIds(5).toSet // delete the 5 nearest
     val got = HnswIndex.search(spark, indexDir, qv, 10, ef = 256,
