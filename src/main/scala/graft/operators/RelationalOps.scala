@@ -132,6 +132,19 @@ object RelationalOps {
     element_at(map(pairs.toIndexedSeq: _*), key.cast("long"))
   }
 
+  /** `dictGetOrDefault('dict', 'attr', key, default)` — like [[dictGet]]
+    * but missing keys yield the (per-row) default instead of NULL.
+    */
+  def dictGetOrDefault(dict: DataFrame, keyCol: String, valueCol: String)(
+      key: Column, default: Column): Column =
+    coalesce(dictGet(dict, keyCol, valueCol)(key), default)
+
+  /** `dictHas('dict', key)` — key membership in the dictionary. */
+  def dictHas(dict: DataFrame, keyCol: String)(key: Column): Column = {
+    val keys = dict.select(col(keyCol).cast("long")).collect().map(_.getLong(0))
+    key.cast("long").isin(keys.toIndexedSeq: _*)
+  }
+
   /** `GROUP BY ... WITH TOTALS` (reference `TotalsHavingStep.cpp`):
     * grand-total row appended with null group keys — expressed as
     * ROLLUP restricted to (full, grand-total) grouping sets.

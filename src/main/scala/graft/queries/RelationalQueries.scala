@@ -440,9 +440,16 @@ object RelationalQueries {
 
     // dictGet over a broadcast dictionary (nation key → name).
     "q39_dict_get" -> ((s, dir) => {
-      val dict = RelationalOps.dictGet(t(s, dir, "nation"), "n_nationkey", "n_name") _
+      val nation = t(s, dir, "nation")
+      val dict = RelationalOps.dictGet(nation, "n_nationkey", "n_name") _
       t(s, dir, "customer")
-        .select(col("c_custkey"), dict(col("c_nationkey")).as("nation_name"))
+        .select(col("c_custkey"), dict(col("c_nationkey")).as("nation_name"),
+          RelationalOps.dictGetOrDefault(nation, "n_nationkey", "n_name")(
+            col("c_nationkey") + 100, lit("unknown")).as("nation_or_default"),
+          RelationalOps.dictHas(nation, "n_nationkey")(col("c_nationkey"))
+            .as("has_key"),
+          RelationalOps.dictHas(nation, "n_nationkey")(col("c_nationkey") + 100)
+            .as("has_missing"))
         .orderBy(col("c_custkey"))
         .limit(100)
     }),
@@ -1119,7 +1126,9 @@ object RelationalQueries {
         SELECT range AS n, (range * range) % 7 AS sq_mod FROM range(0, 1000))
       WHERE sq_mod > 2 ORDER BY n""",
     "q39_dict_get" -> """
-      SELECT c_custkey, n_name AS nation_name
+      SELECT c_custkey, n_name AS nation_name,
+             'unknown' AS nation_or_default,
+             true AS has_key, false AS has_missing
       FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
       ORDER BY c_custkey LIMIT 100""",
     "q40_correlated_subquery" -> """

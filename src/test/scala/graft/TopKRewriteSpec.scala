@@ -239,6 +239,53 @@ class TopKRewriteSpec extends SparkSpec {
     } finally IvfIndex.Catalog.drop("nojob_hnsw")
   }
 
+  test("multiple vector indexes on one table route per column (ref 00037)") {
+    // two vector columns, each with its OWN index of a different type —
+    // a query ranks by one column and must route to THAT column's index
+    // (reference 00037_mqvs_select_multiple_vector_indices)
+    val tmp = Files.createTempDirectory("multi-vec").toString
+    val ivfDir = Files.createTempDirectory("mv-ivf").toString
+    val hnswDir = Files.createTempDirectory("mv-hnsw").toString
+    val src = tmp + "/emb2.parquet"
+    emb.withColumn("embedding2",
+        expr("transform(embedding, x -> x * cast(-1.0 as float) + cast(1.0 as float))"))
+      .write.parquet(src)
+    val two = spark.read.parquet(src)
+    try {
+      IvfIndex.build(spark, two, "embedding", "mv_ivf", ivfDir, "l2",
+        nLists = 8, sourcePath = "file:" + src, defaultNprobe = 8)
+      graft.operators.HnswIndex.build(spark, two, "vec_id", "embedding2",
+        "mv_hnsw", hnswDir, "l2", m = 12, efConstruction = 80,
+        numPartitions = Some(2), sourcePath = "file:" + src)
+      val q1 = two.select(col("vec_id"),
+          distances.l2Distance(col("embedding"), typedLit(qv)).as("d"))
+        .orderBy(col("d")).limit(5)
+      val p1 = q1.queryExecution.executedPlan.toString
+      assert(p1.contains("lists") && !p1.contains("Join"),
+        s"embedding query must route to ITS IVF index:\n${p1.take(600)}")
+      val qv2: Seq[Float] = qv.map(x => -x + 1.0f)
+      val q2 = two.select(col("vec_id"),
+          distances.l2Distance(col("embedding2"), typedLit(qv2)).as("d"))
+        .orderBy(col("d")).limit(5)
+      val p2 = q2.queryExecution.executedPlan.toString
+      assert(p2.contains("Join") && !p2.contains("lists"),
+        s"embedding2 query must route to ITS HNSW index:\n${p2.take(600)}")
+      // both answer correctly for their own column
+      val brute1 = VectorSearch.topK(two, col("embedding"), qv, 5, "l2",
+          None, "d", Seq(col("vec_id")))
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(q1.collect().map(_.getLong(0)).toSeq === brute1)
+      val brute2 = VectorSearch.topK(two, col("embedding2"), qv2, 5, "l2",
+          None, "d", Seq(col("vec_id")))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val got2 = q2.collect().map(_.getLong(0)).toSet
+      assert((got2 & brute2).size >= 4, s"recall ${(got2 & brute2).size}/5")
+    } finally {
+      IvfIndex.Catalog.drop("mv_ivf")
+      IvfIndex.Catalog.drop("mv_hnsw")
+    }
+  }
+
   test("source schema colliding with index-internal names never routes") {
     val tmp = Files.createTempDirectory("resv").toString
     val dir = Files.createTempDirectory("ivf-resv").toString
