@@ -18,10 +18,84 @@ import org.apache.spark.sql.SparkSession
   */
 object ClickHouseCompat {
 
+  /** Tranche 9a: the OrZero/OrNull conversion grid, generated
+    * combinatorially exactly like the reference's template
+    * instantiations (`FunctionsConversion.h` registers every
+    * to<T>{,OrZero,OrNull} triple). String input, C-style wraparound
+    * after parse; OrNull propagates the parse failure, OrZero coalesces
+    * to 0.
+    */
+  private val intWraps: Seq[(String, String => String, String)] = Seq(
+    ("Int8", (b: String) => s"CAST(pmod($b + 128, 256) - 128 AS INT)", "INT"),
+    ("Int16", (b: String) => s"CAST(pmod($b + 32768, 65536) - 32768 AS INT)", "INT"),
+    ("Int32", (b: String) =>
+      s"CAST(pmod($b + 2147483648, 4294967296) - 2147483648 AS INT)", "INT"),
+    ("UInt8", (b: String) => s"CAST(pmod($b, 256) AS INT)", "INT"),
+    ("UInt16", (b: String) => s"CAST(pmod($b, 65536) AS INT)", "INT"),
+    ("UInt32", (b: String) => s"pmod($b, 4294967296)", "BIGINT"),
+    ("UInt64", (b: String) => b, "BIGINT"))
+
+  private val conversionGrid: Seq[String] = intWraps.flatMap {
+    case (t, wrap, ret) => Seq(
+      s"to${t}OrNull(s STRING) RETURNS $ret RETURN " +
+        wrap("try_cast(s AS BIGINT)"),
+      s"to${t}OrZero(s STRING) RETURNS $ret RETURN " +
+        s"coalesce(${wrap("try_cast(s AS BIGINT)")}, 0)")
+  } ++ Seq(
+    "toFloat32OrNull(s STRING) RETURNS FLOAT RETURN try_cast(s AS FLOAT)",
+    "toFloat32OrZero(s STRING) RETURNS FLOAT RETURN " +
+      "coalesce(try_cast(s AS FLOAT), CAST(0 AS FLOAT))",
+    // date/time grid — the zero value is the epoch, like the reference
+    "toDateOrNull(s STRING) RETURNS DATE RETURN try_cast(s AS DATE)",
+    "toDateOrZero(s STRING) RETURNS DATE RETURN " +
+      "coalesce(try_cast(s AS DATE), DATE '1970-01-01')",
+    "toDate32OrNull(s STRING) RETURNS DATE RETURN try_cast(s AS DATE)",
+    "toDate32OrZero(s STRING) RETURNS DATE RETURN " +
+      "coalesce(try_cast(s AS DATE), DATE '1970-01-01')",
+    "toDateTimeOrNull(s STRING) RETURNS TIMESTAMP RETURN try_cast(s AS TIMESTAMP)",
+    "toDateTimeOrZero(s STRING) RETURNS TIMESTAMP RETURN " +
+      "coalesce(try_cast(s AS TIMESTAMP), timestamp_seconds(0))",
+    "toDateTime64OrNull(s STRING) RETURNS TIMESTAMP RETURN try_cast(s AS TIMESTAMP)",
+    "toDateTime64OrZero(s STRING) RETURNS TIMESTAMP RETURN " +
+      "coalesce(try_cast(s AS TIMESTAMP), timestamp_seconds(0))",
+    "toDateTime32(s STRING) RETURNS TIMESTAMP RETURN CAST(s AS TIMESTAMP)",
+    "parseDateTimeBestEffortOrZero(s STRING) RETURNS TIMESTAMP RETURN " +
+      "coalesce(try_cast(s AS TIMESTAMP), timestamp_seconds(0))",
+    "parseDateTime32BestEffort(s STRING) RETURNS TIMESTAMP RETURN CAST(s AS TIMESTAMP)",
+    "parseDateTime32BestEffortOrNull(s STRING) RETURNS TIMESTAMP RETURN " +
+      "try_cast(s AS TIMESTAMP)",
+    "parseDateTime32BestEffortOrZero(s STRING) RETURNS TIMESTAMP RETURN " +
+      "coalesce(try_cast(s AS TIMESTAMP), timestamp_seconds(0))",
+    "parseDateTime64BestEffort(s STRING) RETURNS TIMESTAMP RETURN CAST(s AS TIMESTAMP)",
+    "parseDateTime64BestEffortOrNull(s STRING) RETURNS TIMESTAMP RETURN " +
+      "try_cast(s AS TIMESTAMP)",
+    "parseDateTime64BestEffortOrZero(s STRING) RETURNS TIMESTAMP RETURN " +
+      "coalesce(try_cast(s AS TIMESTAMP), timestamp_seconds(0))",
+    // US variants accept M/d/yyyy forms before the ISO fallback
+    "parseDateTimeBestEffortUS(s STRING) RETURNS TIMESTAMP RETURN " +
+      "coalesce(try_to_timestamp(s, 'M/d/yyyy H:m:s'), " +
+      "try_to_timestamp(s, 'M/d/yyyy'), try_cast(s AS TIMESTAMP))",
+    "parseDateTimeBestEffortUSOrNull(s STRING) RETURNS TIMESTAMP RETURN " +
+      "coalesce(try_to_timestamp(s, 'M/d/yyyy H:m:s'), " +
+      "try_to_timestamp(s, 'M/d/yyyy'), try_cast(s AS TIMESTAMP))",
+    "parseDateTimeBestEffortUSOrZero(s STRING) RETURNS TIMESTAMP RETURN " +
+      "coalesce(try_to_timestamp(s, 'M/d/yyyy H:m:s'), " +
+      "try_to_timestamp(s, 'M/d/yyyy'), try_cast(s AS TIMESTAMP), " +
+      "timestamp_seconds(0))",
+    // Modified Julian Day: days since 1858-11-17
+    "toModifiedJulianDay(s STRING) RETURNS INT RETURN " +
+      "datediff(CAST(s AS DATE), DATE '1858-11-17')",
+    "toModifiedJulianDayOrNull(s STRING) RETURNS INT RETURN " +
+      "datediff(try_cast(s AS DATE), DATE '1858-11-17')",
+    "fromModifiedJulianDay(n INT) RETURNS DATE RETURN " +
+      "date_add(DATE '1858-11-17', n)",
+    "notLike(s STRING, p STRING) RETURNS BOOLEAN RETURN NOT s LIKE p",
+    "visibleWidth(s STRING) RETURNS INT RETURN length(s)")
+
   /** All definitions. Temporary functions — session-scoped, like the
     * reference's `CREATE TEMPORARY FUNCTION`.
     */
-  val definitions: Seq[String] = Seq(
+  val definitions: Seq[String] = conversionGrid ++ Seq(
     // ---- date/time (reference src/Functions/DateTimeTransforms.h) ----
     "toYear(t TIMESTAMP) RETURNS INT RETURN year(t)",
     "toMonth(t TIMESTAMP) RETURNS INT RETURN month(t)",
@@ -181,14 +255,10 @@ object ClickHouseCompat {
     "intDivOrZero(a BIGINT, b BIGINT) RETURNS BIGINT RETURN IF(b = 0, 0L, a div b)",
     "moduloOrZero(a BIGINT, b BIGINT) RETURNS BIGINT RETURN IF(b = 0, 0L, a % b)",
     "ifNotFinite(x DOUBLE, alt DOUBLE) RETURNS DOUBLE RETURN IF(isnan(x) OR abs(x) = CAST('Infinity' AS DOUBLE), alt, x)",
-    // ---- type conversion, tranche 2 ----
-    "toInt32(s STRING) RETURNS INT RETURN CAST(s AS INT)",
-    "toFloat32(s STRING) RETURNS FLOAT RETURN CAST(s AS FLOAT)",
+    // ---- type conversion, tranche 2 (the rest of the grid moved to
+    //      the generated tranche-9 conversionGrid; toInt32 now wraps
+    //      C-style via the tranche-8 BIGINT form) ----
     "toInt64OrNull(s STRING) RETURNS BIGINT RETURN try_cast(s AS BIGINT)",
-    "toInt64OrZero(s STRING) RETURNS BIGINT RETURN coalesce(try_cast(s AS BIGINT), 0L)",
-    "toFloat64OrNull(s STRING) RETURNS DOUBLE RETURN try_cast(s AS DOUBLE)",
-    "toDateOrNull(s STRING) RETURNS DATE RETURN try_cast(s AS DATE)",
-    "parseDateTimeBestEffort(s STRING) RETURNS TIMESTAMP RETURN CAST(s AS TIMESTAMP)",
     // ---- date/time, tranche 2 ----
     "toQuarter(t TIMESTAMP) RETURNS INT RETURN quarter(t)",
     "toISOWeek(t TIMESTAMP) RETURNS INT RETURN weekofyear(CAST(t AS DATE))",
@@ -887,6 +957,20 @@ object ClickHouseCompat {
     spark.udf.register("idnaEncode", (s: String) => Codecs.idnaEncode(s))
     spark.udf.register("idnaDecode", (s: String) => Codecs.idnaDecode(s))
     spark.udf.register("tryIdnaEncode", (s: String) => Codecs.tryIdnaEncode(s))
+    // Unicode normalization forms (normalizeUTF8*.cpp) via java.text
+    for ((name, form) <- Seq(
+        "normalizeUTF8NFC" -> java.text.Normalizer.Form.NFC,
+        "normalizeUTF8NFD" -> java.text.Normalizer.Form.NFD,
+        "normalizeUTF8NFKC" -> java.text.Normalizer.Form.NFKC,
+        "normalizeUTF8NFKD" -> java.text.Normalizer.Form.NFKD)) {
+      spark.udf.register(name, (s: String) =>
+        if (s == null) null else java.text.Normalizer.normalize(s, form))
+    }
+    // log-gamma / gamma via commons-math3 (on Spark's own classpath)
+    spark.udf.register("lgamma", (x: Double) =>
+      org.apache.commons.math3.special.Gamma.logGamma(x))
+    spark.udf.register("tgamma", (x: Double) =>
+      org.apache.commons.math3.special.Gamma.gamma(x))
     spark.udf.register("isValidUTF8", (b: Array[Byte]) => {
       val r: java.lang.Boolean =
         if (b == null) null

@@ -507,6 +507,40 @@ class ClickHouseCompatSpec extends SparkSpec {
     assert(q1("isValidUTF8(unhex('FF80'))") === false)
   }
 
+  test("tranche-9: generated OrZero/OrNull conversion grid") {
+    def q1(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
+    assert(q1("toUInt8OrNull('300')") === 44)  // parse then wrap
+    assert(q1("toUInt8OrNull('junk')") === null)
+    assert(q1("toUInt8OrZero('junk')") === 0)
+    assert(q1("toInt16OrZero('65543')") === 7)
+    assert(q1("toUInt32OrNull('-1')") === 4294967295L)
+    assert(q1("toUInt64OrZero('junk')") === 0L)
+    assert(q1("toFloat32OrZero('bad')") === 0.0f)
+    assert(q1("toDateOrZero('bad')").toString === "1970-01-01")
+    assert(q1("toDateTimeOrZero('bad')").toString startsWith "1970-01-01 00:00:00")
+    assert(q1("parseDateTime64BestEffortOrNull('nope')") === null)
+    assert(q1("parseDateTimeBestEffortUS('3/14/2024 15:9:2')").toString
+      startsWith "2024-03-14 15:09:02")
+    assert(q1("parseDateTimeBestEffortUSOrZero('nope')").toString
+      startsWith "1970-01-01")
+    assert(q1("toModifiedJulianDay('1858-11-17')") === 0)
+    assert(q1("fromModifiedJulianDay(toModifiedJulianDay('2024-03-01'))")
+      .toString === "2024-03-01")
+    assert(q1("notLike('abc', 'a%')") === false)
+    assert(q1("visibleWidth('abcd')") === 4)
+  }
+
+  test("tranche-9: unicode normalization + gamma natives") {
+    def q1(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
+    // é as combining sequence vs precomposed
+    assert(q1("normalizeUTF8NFC('e\\u0301')") === "é")
+    assert(q1("normalizeUTF8NFD('\\u00e9')") === "é")
+    assert(q1("length(normalizeUTF8NFKC('\\uFB01')) = 2") === true) // fi ligature
+    assert(q1("normalizeUTF8NFKD('\\u00BD')") === "1⁄2") // ½ → 1⁄2
+    assert(math.abs(q1("lgamma(5.0D)").asInstanceOf[Double] - math.log(24.0)) < 1e-9)
+    assert(math.abs(q1("tgamma(5.0D)").asInstanceOf[Double] - 24.0) < 1e-9)
+  }
+
   test("tranche-7: base58 + punycode/IDNA native codecs") {
     def q1(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
     // vectors from the reference's base58 docs (Bitcoin alphabet)
