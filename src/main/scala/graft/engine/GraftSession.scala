@@ -38,6 +38,7 @@ object GraftSession {
   def install(spark: SparkSession): SparkSession = {
     graft.functions.GraftFunctions.registerAll(spark)
     graft.functions.ClickHouseCompat.install(spark)
+    graft.multimodal.Connections.installNative(spark) // SQL getObject()
     QueryLog.install(spark) // system.query_log analog
     spark
   }

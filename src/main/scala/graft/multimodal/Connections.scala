@@ -19,17 +19,49 @@ import org.apache.spark.sql.functions._
 object Connections {
 
   case class Connection(
-      name: String, provider: String, endpoint: String, credentialRef: String)
+      name: String, provider: String, endpoint: String, credentialRef: String,
+      awsRoleArn: String = "", awsRoleExternalId: String = "")
 
   private val registry = TrieMap.empty[String, Connection]
 
-  /** `CREATE CONNECTION name provider='AWS' ...` */
+  /** `CREATE CONNECTION name provider='AWS' AWS_ROLE_ARN=...
+    * AWS_ROLE_EXTERNAL_ID=...` (ParserCreateConnectionQuery.cpp).
+    */
   def create(name: String, provider: String, endpoint: String = "",
-      credentialRef: String = ""): Unit =
-    registry.put(name, Connection(name, provider, endpoint, credentialRef))
+      credentialRef: String = "", awsRoleArn: String = "",
+      awsRoleExternalId: String = ""): Unit =
+    registry.put(name, Connection(name, provider, endpoint, credentialRef,
+      awsRoleArn, awsRoleExternalId))
 
   def drop(name: String): Unit = registry.remove(name)
   def list: Seq[Connection] = registry.values.toSeq
+
+  /** `system.connections` analog (reference test
+    * 00009_mqai_objecturl_getObject.sql inspects name/arn/external_id).
+    */
+  def asDataFrame(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    registry.values.toSeq
+      .map(c => (c.name, c.provider, c.endpoint, c.credentialRef,
+        c.awsRoleArn, c.awsRoleExternalId))
+      .toDF("name", "provider", "endpoint", "credential_ref", "arn",
+        "external_id")
+  }
+
+  /** SQL-callable `getObject(connection, url)` — makes the function
+    * visible in the catalog (`system.functions` in the reference test)
+    * and usable from pure SQL.
+    */
+  def installNative(spark: SparkSession): Unit =
+    spark.udf.register("getObject", (connectionName: String, url: String) => {
+      if (url == null) null
+      else {
+        val conn = registry.getOrElse(connectionName,
+          throw new IllegalArgumentException(
+            s"unknown connection $connectionName"))
+        fetcher(conn, url)
+      }
+    })
 
   /** Byte cap on a fetched http(s) object (64 MiB): a runaway payload
     * errors out instead of ballooning an executor's heap — the cap is

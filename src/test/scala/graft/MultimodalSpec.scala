@@ -198,6 +198,32 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(got, "UTF-8") === "object-payload:s3://bucket/key")
   }
 
+  test("connection catalog + SQL getObject (ref 00009_mqai_objecturl)") {
+    import graft.multimodal.Connections
+    try {
+      Connections.create("conn_00009", "AWS",
+        awsRoleArn = "arn:aws:iam::111111111:role/rolename",
+        awsRoleExternalId = "0000")
+      // system.connections analog carries name/arn/external_id
+      val row = Connections.asDataFrame(spark)
+        .filter(col("name") === "conn_00009").head()
+      assert(row.getAs[String]("arn") === "arn:aws:iam::111111111:role/rolename")
+      assert(row.getAs[String]("external_id") === "0000")
+      // getObject is a catalog-visible SQL function (system.functions)
+      assert(spark.catalog.functionExists("getObject"))
+      // and callable from pure SQL through the named connection
+      val f = java.nio.file.Files.createTempFile("obj", ".bin")
+      java.nio.file.Files.write(f, "sql-payload".getBytes("UTF-8"))
+      val got = spark.sql(
+        s"SELECT getObject('conn_00009', 'file://${f}')")
+        .head().getAs[Array[Byte]](0)
+      assert(new String(got, "UTF-8") === "sql-payload")
+      intercept[Exception] {
+        spark.sql("SELECT getObject('no_such_conn', '/x')").collect()
+      }
+    } finally Connections.drop("conn_00009")
+  }
+
   test("getObject http(s): real JDK fetch — payload, 5xx retry, 4xx fail-fast") {
     // s3/gs parity stays deferred behind the documented stub boundary
     // (no cloud SDK in-sandbox); http(s) is real (ref getObject.cpp +
