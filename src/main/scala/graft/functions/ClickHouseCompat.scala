@@ -437,6 +437,12 @@ object ClickHouseCompat {
     "JSONExtractFloat(j STRING, k STRING) RETURNS DOUBLE RETURN try_cast(get_json_object(j, concat('$.', k)) AS DOUBLE)",
     "JSONExtractBool(j STRING, k STRING) RETURNS BOOLEAN RETURN try_cast(get_json_object(j, concat('$.', k)) AS BOOLEAN)",
     "JSONLength(j STRING) RETURNS INT RETURN size(from_json(j, 'map<string,string>'))",
+    "JSONArrayLength(j STRING) RETURNS INT RETURN json_array_length(j)",
+    "JSONExtractKeys(j STRING) RETURNS ARRAY<STRING> RETURN json_object_keys(j)",
+    "JSONExtractArrayRaw(j STRING, k STRING) RETURNS ARRAY<STRING> RETURN " +
+      "from_json(get_json_object(j, concat('$.', k)), 'array<string>')",
+    "JSONExtractKeysAndValues(j STRING) RETURNS MAP<STRING, STRING> RETURN " +
+      "from_json(j, 'map<string,string>')",
     // ---- tranche 4: arrayNorm family (src/Functions/array/arrayNorm.cpp) ----
     "L1Norm(a ARRAY<DOUBLE>) RETURNS DOUBLE RETURN " +
       "aggregate(a, 0D, (acc, x) -> acc + abs(x))",

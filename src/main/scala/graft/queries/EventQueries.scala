@@ -136,6 +136,23 @@ object EventQueries {
         .orderBy(col("user_id"))
         .limit(50)
     }),
+    // groupArrayInsertAt(default, size)(x, pos): fixed-size array with
+    // values placed at their positions, default elsewhere; collisions
+    // resolve to the MIN value so both engines are deterministic.
+    "e58_group_array_insert_at" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("pos", (col("event_id") % 8).cast("int"))
+        .groupBy(col("user_id"), col("pos"))
+        .agg(min(col("event_type")).as("v"))
+        .groupBy(col("user_id"))
+        .agg(map_from_arrays(collect_list(col("pos")), collect_list(col("v")))
+          .as("m"))
+        .select(col("user_id"),
+          array_join(transform(sequence(lit(0), lit(7)),
+            i => coalesce(element_at(col("m"), i), lit("-"))), ",").as("arr"))
+        .orderBy(col("user_id"))
+        .limit(50)
+    }),
     // minMap/maxMap: per-key min/max over a map-like structure
     // (registerAggregateFunctions.cpp sumMap family), e12's sorted
     // "k:v" string form for byte-stable compare.
@@ -1265,6 +1282,17 @@ object EventQueries {
              ((200 * cents + n) // (2 * n)) / 10000.0 AS avg_v,
              uniq_types
       FROM g ORDER BY user_id""",
+    "e58_group_array_insert_at" -> """
+      WITH per AS (
+        SELECT user_id, CAST(event_id % 8 AS INT) AS pos, min(event_type) AS v
+        FROM events GROUP BY 1, 2),
+      g AS (
+        SELECT user_id, list(v ORDER BY pos) AS lv, list(pos ORDER BY pos) AS lp
+        FROM per GROUP BY 1)
+      SELECT user_id,
+             array_to_string([coalesce(lv[list_position(lp, i)], '-')
+               for i in range(0, 8)], ',') AS arr
+      FROM g ORDER BY user_id LIMIT 50""",
     "e55_min_max_map" -> """
       WITH per AS (
         SELECT user_id, event_type, round(min(value), 2) AS mn,

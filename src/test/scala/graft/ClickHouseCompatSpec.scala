@@ -530,6 +530,14 @@ class ClickHouseCompatSpec extends SparkSpec {
     assert(q1("visibleWidth('abcd')") === 4)
   }
 
+  test("tranche-9: JSON family extensions") {
+    def q1(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
+    assert(q1("""JSONArrayLength('[1,2,3]')""") === 3)
+    assert(q1("""JSONExtractKeys('{"a":1,"b":2}')""") === Seq("a", "b"))
+    assert(q1("""JSONExtractArrayRaw('{"xs":["p","q"]}', 'xs')""") === Seq("p", "q"))
+    assert(q1("""element_at(JSONExtractKeysAndValues('{"a":"1"}'), 'a')""") === "1")
+  }
+
   test("tranche-9: unicode normalization + gamma natives") {
     def q1(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
     // é as combining sequence vs precomposed
