@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Tables.t
 import graft.functions.text
-import graft.operators.{FtsIndex, HybridSearch, TextPipeline, TextSearch}
+import graft.operators.{Deletes, FtsIndex, HybridSearch, TextPipeline, TextSearch}
 
 /** Full-text + hybrid search and text-analysis coverage (SURVEY §2.1
   * textsearch/hybridsearch; pipeline text ops). BM25 oracle reimplements
@@ -24,11 +24,13 @@ object TextQueries {
 
   private def bm25OracleSql(
       terms: Seq[String], k: Int, and: Boolean,
-      corpus: String = "documents"): String = {
+      corpus: String = "documents",
+      qtSql: Option[String] = None): String = {
     val termList = terms.map(t => s"'$t'").mkString("[", ", ", "]")
     val andFilter =
       if (and) s"WHERE doc_id IN (SELECT doc_id FROM d WHERE list_has_all(toks, $termList))"
       else ""
+    val qtClause = qtSql.getOrElse(s"SELECT unnest($termList) AS term")
     s"""
       WITH d AS (SELECT doc_id, $toksSql AS toks FROM $corpus),
       dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM d),
@@ -36,7 +38,7 @@ object TextQueries {
                        avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM d),
       tf AS (SELECT doc_id, tok, CAST(count(1) AS DOUBLE) AS tf
              FROM (SELECT doc_id, unnest(toks) AS tok FROM d) GROUP BY 1, 2),
-      qt AS (SELECT unnest($termList) AS term),
+      qt AS ($qtClause),
       dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
                 FROM tf JOIN qt ON tok = term GROUP BY 1),
       scores AS (
@@ -125,6 +127,38 @@ object TextQueries {
     "t02_bm25_and" -> ((s, dir) => {
       TextSearch.textSearch(t(s, dir, "documents"), col("text"), query2, 10,
           "AND", "bm25_score", Seq(col("doc_id")))
+        .select(col("doc_id"), round(col("bm25_score"), 4).as("bm25_score"))
+        .orderBy(col("bm25_score").desc, col("doc_id"))
+    }),
+    // textsearch() whose QUERY STRING is a scalar subquery (reference
+    // 00040_mqvs_hybrid_search_with_subquery.sql: `textsearch(doc,
+    // (SELECT doc FROM t WHERE hasToken(doc, 'Ancient') LIMIT 1))`).
+    // The subquery resolves to the lowest-doc_id document containing the
+    // token 'spark'; its full text becomes the BM25 query — query terms =
+    // that document's distinct tokens. A scalar subquery is a
+    // driver-materialized single value in the reference too, so the
+    // `.head()` here is the operator's semantics, not a shortcut.
+    "t15_textsearch_subquery" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qtext = docs
+        .filter(array_contains(text.tokenize(col("text")), "spark"))
+        .orderBy(col("doc_id")).select(col("text"))
+        .head().getString(0)
+      TextSearch.textSearch(docs, col("text"), qtext, 10,
+          "OR", "bm25_score", Seq(col("doc_id")))
+        .select(col("doc_id"), round(col("bm25_score"), 4).as("bm25_score"))
+        .orderBy(col("bm25_score").desc, col("doc_id"))
+    }),
+    // textsearch() AFTER a lightweight DELETE (reference
+    // 00040_mqvs_hybrid_search_with_lwd.sql re-runs textsearch after
+    // `DELETE FROM t WHERE id=13`): the masked rows disappear from the
+    // result AND from the BM25 global statistics (N, avgdl, df), exactly
+    // as the reference's index search honors `_row_exists`.
+    "t16_textsearch_lwd" -> ((s, dir) => {
+      val surviving = Deletes.applyMask(
+        Deletes.delete(t(s, dir, "documents"), col("doc_id") % 7 === 3))
+      TextSearch.textSearch(surviving, col("text"), query1, 10,
+          "OR", "bm25_score", Seq(col("doc_id")))
         .select(col("doc_id"), round(col("bm25_score"), 4).as("bm25_score"))
         .orderBy(col("bm25_score").desc, col("doc_id"))
     }),
@@ -271,6 +305,22 @@ object TextQueries {
         .select(col("doc_id"), round(col("bm25_score"), 4).as("bm25_score"))
         .orderBy(col("bm25_score").desc, col("doc_id"))
     }),
+    // Hybrid search AFTER a lightweight DELETE (reference
+    // 00040_mqvs_hybrid_search_with_lwd.sql): BOTH legs honor the mask —
+    // the dense leg never surfaces a deleted row as a candidate and the
+    // BM25 leg recomputes its global stats over the survivors.
+    "h05_hybrid_lwd" -> ((s, dir) => {
+      val joined = Deletes.applyMask(Deletes.delete(
+        t(s, dir, "documents")
+          .join(t(s, dir, "embeddings"), col("doc_id") === col("vec_id")),
+        col("doc_id") % 7 === 3))
+      val qvec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      HybridSearch.hybridSearch(joined, "doc_id", col("embedding"), col("text"),
+          qvec, query1, 10, "rsf", "cosine")
+        .select(col("doc_id"), round(col("fused_score"), 4).as("fused_score"))
+        .orderBy(col("fused_score").desc, col("doc_id"))
+    }),
     // Hybrid search, RRF fusion (fusion_k=60).
     "h02_hybrid_rrf" -> ((s, dir) => {
       val joined = t(s, dir, "documents")
@@ -317,9 +367,13 @@ object TextQueries {
     * embeddings on doc_id = vec_id (they can differ in cardinality per
     * scale factor, and BM25 statistics are corpus-global).
     */
-  private def hybridOracleSql(fusion: String): String = {
+  private def hybridOracleSql(
+      fusion: String, survivor: Option[String] = None): String = {
+    val corpusWhere = survivor.map(p => s" WHERE d2.doc_id $p").getOrElse("")
     val corpus =
-      "(SELECT d2.doc_id, d2.text FROM documents d2 JOIN embeddings e ON d2.doc_id = e.vec_id)"
+      "(SELECT d2.doc_id, d2.text FROM documents d2 JOIN embeddings e " +
+        s"ON d2.doc_id = e.vec_id$corpusWhere)"
+    val vecWhere = survivor.map(p => s" WHERE vec_id $p").getOrElse("")
     val qv = "(SELECT embedding FROM embeddings WHERE vec_id = 0)"
     val fusionSelect = fusion match {
       case "rsf" => s"""
@@ -357,7 +411,7 @@ object TextQueries {
                     ORDER BY score DESC, doc_id LIMIT 30),
       vec_cand AS (SELECT vec_id AS doc_id,
                           CAST(1.0 - list_cosine_similarity(embedding, $qv) AS DOUBLE) AS dist
-                   FROM embeddings
+                   FROM embeddings$vecWhere
                    ORDER BY 1.0 - list_cosine_similarity(embedding, $qv), vec_id
                    LIMIT 30),$fusionSelect"""
   }
@@ -370,8 +424,22 @@ object TextQueries {
     // fully-indexed hybrid at dense_nprobe = nLists (exhaustive-exact
     // dense leg) shares it too
     "h04_hybrid_dense_ivf" -> hybridOracleSql("rsf"),
+    // LWD hybrid: both legs and the fusion restricted to survivors.
+    "h05_hybrid_lwd" -> hybridOracleSql("rsf", survivor = Some("% 7 <> 3")),
     "t01_bm25_topk" -> bm25OracleSql(TextSearch.queryTerms(query1), 10, and = false),
     "t02_bm25_and" -> bm25OracleSql(TextSearch.queryTerms(query2), 10, and = true),
+    // Query string from a scalar subquery: the query's term set is the
+    // distinct tokens (in any order — BM25 OR is order-independent) of
+    // the lowest-doc_id document containing 'spark'.
+    "t15_textsearch_subquery" -> bm25OracleSql(Nil, 10, and = false,
+      qtSql = Some(
+        "SELECT DISTINCT unnest(qtoks) AS term FROM (SELECT " + toksSql +
+          " AS qtoks FROM documents WHERE list_contains(" + toksSql +
+          ", 'spark') ORDER BY doc_id LIMIT 1)")),
+    // LWD: corpus and statistics restricted to the surviving rows.
+    "t16_textsearch_lwd" -> bm25OracleSql(TextSearch.queryTerms(query1), 10,
+      and = false,
+      corpus = "(SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3)"),
     // The indexed paths share the non-indexed oracles — proving
     // index path ≡ direct path ≡ oracle.
     "t07_fts_topk" -> bm25OracleSql(TextSearch.queryTerms(query1), 10, and = false),
