@@ -873,6 +873,180 @@ object ClickHouseCompat {
       "* (py - element_at(ys, i)) / " +
       "(element_at(ys, IF(i = size(xs), 1, i + 1)) - element_at(ys, i)) " +
       "+ element_at(xs, i)) THEN NOT acc ELSE acc END)",
+    // ---- tranche 10: date/time long tail (DateTimeTransforms.h,
+    //      DateLUTImpl.h) ----
+    "dateTrunc(unit STRING, t TIMESTAMP) RETURNS TIMESTAMP RETURN date_trunc(unit, t)",
+    "timeDiff(a TIMESTAMP, b TIMESTAMP) RETURNS BIGINT RETURN " +
+      "(unix_micros(b) - unix_micros(a)) div 1000000",
+    "toTimeZone(t TIMESTAMP, tz STRING) RETURNS TIMESTAMP RETURN from_utc_timestamp(t, tz)",
+    "toTimezone(t TIMESTAMP, tz STRING) RETURNS TIMESTAMP RETURN from_utc_timestamp(t, tz)",
+    "timezone() RETURNS STRING RETURN current_timezone()",
+    "timezoneOf(t TIMESTAMP) RETURNS STRING RETURN current_timezone()",
+    "toStartOfSecond(t TIMESTAMP) RETURNS TIMESTAMP RETURN date_trunc('second', t)",
+    "toStartOfMillisecond(t TIMESTAMP) RETURNS TIMESTAMP RETURN " +
+      "timestamp_micros((unix_micros(t) div 1000) * 1000)",
+    // micros IS the carried precision — truncation is the identity
+    "toStartOfMicrosecond(t TIMESTAMP) RETURNS TIMESTAMP RETURN t",
+    "toISOYear(t TIMESTAMP) RETURNS INT RETURN CAST(extract(YEAROFWEEK FROM t) AS INT)",
+    // ISO year start = Monday of ISO week 1 = Monday on/before Jan 4
+    "toStartOfISOYear(t TIMESTAMP) RETURNS DATE RETURN " +
+      "date_sub(make_date(CAST(extract(YEAROFWEEK FROM t) AS INT), 1, 4), " +
+      "(dayofweek(make_date(CAST(extract(YEAROFWEEK FROM t) AS INT), 1, 4)) + 5) % 7)",
+    // toRelative*Num: the reference's DateLUTImpl formulas (year;
+    // year*12+month; year*4+quarter; Monday-bounded week counter)
+    "toRelativeYearNum(t TIMESTAMP) RETURNS INT RETURN year(t)",
+    "toRelativeQuarterNum(t TIMESTAMP) RETURNS INT RETURN year(t) * 4 + quarter(t) - 1",
+    "toRelativeMonthNum(t TIMESTAMP) RETURNS INT RETURN year(t) * 12 + month(t) - 1",
+    "toRelativeWeekNum(t TIMESTAMP) RETURNS INT RETURN " +
+      "CAST((datediff(CAST(t AS DATE), DATE '1970-01-01') + 8 - " +
+      "(((dayofweek(CAST(t AS DATE)) + 5) % 7) + 1)) div 7 AS INT)",
+    "toRelativeSecondNum(t TIMESTAMP) RETURNS BIGINT RETURN unix_micros(t) div 1000000",
+    "makeDate(y INT, m INT, d INT) RETURNS DATE RETURN make_date(y, m, d)",
+    "makeDateTime(y INT, mo INT, d INT, h INT, mi INT, s INT) RETURNS TIMESTAMP " +
+      "RETURN make_timestamp(y, mo, d, h, mi, s)",
+    "now64() RETURNS TIMESTAMP RETURN current_timestamp()",
+    "toUnixTimestamp64Milli(t TIMESTAMP) RETURNS BIGINT RETURN unix_millis(t)",
+    "toUnixTimestamp64Micro(t TIMESTAMP) RETURNS BIGINT RETURN unix_micros(t)",
+    "toUnixTimestamp64Nano(t TIMESTAMP) RETURNS BIGINT RETURN unix_micros(t) * 1000",
+    "fromUnixTimestamp64Milli(n BIGINT) RETURNS TIMESTAMP RETURN timestamp_millis(n)",
+    "fromUnixTimestamp64Micro(n BIGINT) RETURNS TIMESTAMP RETURN timestamp_micros(n)",
+    "fromUnixTimestamp64Nano(n BIGINT) RETURNS TIMESTAMP RETURN timestamp_micros(n div 1000)",
+    "addMilliseconds(t TIMESTAMP, n BIGINT) RETURNS TIMESTAMP RETURN " +
+      "timestamp_micros(unix_micros(t) + n * 1000)",
+    "addMicroseconds(t TIMESTAMP, n BIGINT) RETURNS TIMESTAMP RETURN " +
+      "timestamp_micros(unix_micros(t) + n)",
+    // sub-microsecond truncates at the carried precision, like casting
+    // the reference's DateTime64(9) down to (6)
+    "addNanoseconds(t TIMESTAMP, n BIGINT) RETURNS TIMESTAMP RETURN " +
+      "timestamp_micros(unix_micros(t) + n div 1000)",
+    "subtractMilliseconds(t TIMESTAMP, n BIGINT) RETURNS TIMESTAMP RETURN " +
+      "timestamp_micros(unix_micros(t) - n * 1000)",
+    "subtractMicroseconds(t TIMESTAMP, n BIGINT) RETURNS TIMESTAMP RETURN " +
+      "timestamp_micros(unix_micros(t) - n)",
+    "subtractNanoseconds(t TIMESTAMP, n BIGINT) RETURNS TIMESTAMP RETURN " +
+      "timestamp_micros(unix_micros(t) - n div 1000)",
+    "subtractMinutes(t TIMESTAMP, n INT) RETURNS TIMESTAMP RETURN t - make_interval(0, 0, 0, 0, 0, n)",
+    "subtractQuarters(t TIMESTAMP, n INT) RETURNS TIMESTAMP RETURN t - make_interval(0, 3 * n)",
+    "subtractWeeks(t TIMESTAMP, n INT) RETURNS TIMESTAMP RETURN t - make_interval(0, 0, n)",
+    "subtractYears(t TIMESTAMP, n INT) RETURNS TIMESTAMP RETURN t - make_interval(n)",
+    // ---- tranche 10: string search/regex long tail ----
+    "positionCaseInsensitive(h STRING, n STRING) RETURNS INT RETURN instr(lower(h), lower(n))",
+    // *UTF8 variants: JVM strings are code-point Unicode already — the
+    // reference's byte-position/char-position split does not exist here,
+    // so UTF8 names share the base implementation (positions are in
+    // characters, the UTF8 variants' documented unit)
+    "positionCaseInsensitiveUTF8(h STRING, n STRING) RETURNS INT RETURN instr(lower(h), lower(n))",
+    "multiSearchAnyUTF8(s STRING, ns ARRAY<STRING>) RETURNS BOOLEAN RETURN " +
+      "exists(ns, n -> instr(s, n) > 0)",
+    "multiSearchAnyCaseInsensitiveUTF8(s STRING, ns ARRAY<STRING>) RETURNS BOOLEAN RETURN " +
+      "exists(ns, n -> instr(lower(s), lower(n)) > 0)",
+    "multiSearchAllPositionsUTF8(s STRING, ns ARRAY<STRING>) RETURNS ARRAY<INT> RETURN " +
+      "transform(ns, n -> instr(s, n))",
+    "multiSearchAllPositionsCaseInsensitiveUTF8(s STRING, ns ARRAY<STRING>) RETURNS ARRAY<INT> " +
+      "RETURN transform(ns, n -> instr(lower(s), lower(n)))",
+    "multiSearchFirstPositionUTF8(s STRING, ns ARRAY<STRING>) RETURNS INT RETURN " +
+      "coalesce(array_min(filter(transform(ns, n -> instr(s, n)), p -> p > 0)), 0)",
+    "multiSearchFirstPositionCaseInsensitiveUTF8(s STRING, ns ARRAY<STRING>) RETURNS INT RETURN " +
+      "coalesce(array_min(filter(transform(ns, n -> instr(lower(s), lower(n))), p -> p > 0)), 0)",
+    "multiSearchFirstIndexUTF8(s STRING, ns ARRAY<STRING>) RETURNS INT RETURN " +
+      "CAST(coalesce(array_position(transform(ns, n -> instr(s, n) > 0), true), 0) AS INT)",
+    "multiSearchFirstIndexCaseInsensitive(s STRING, ns ARRAY<STRING>) RETURNS INT RETURN " +
+      "CAST(coalesce(array_position(transform(ns, n -> instr(lower(s), lower(n)) > 0), true), 0) AS INT)",
+    "multiSearchFirstIndexCaseInsensitiveUTF8(s STRING, ns ARRAY<STRING>) RETURNS INT RETURN " +
+      "CAST(coalesce(array_position(transform(ns, n -> instr(lower(s), lower(n)) > 0), true), 0) AS INT)",
+    "countSubstringsCaseInsensitiveUTF8(s STRING, n STRING) RETURNS INT RETURN " +
+      "size(split(lower(s), concat('\\\\Q', lower(n), '\\\\E'), -1)) - 1",
+    "regexpExtract(h STRING, p STRING, idx INT) RETURNS STRING RETURN regexp_extract(h, p, idx)",
+    "translateUTF8(s STRING, f STRING, t2 STRING) RETURNS STRING RETURN translate(s, f, t2)",
+    // JVM strings cannot carry invalid UTF-8 (replaced at decode) —
+    // identity, matching the reference's contract post-read
+    "toValidUTF8(s STRING) RETURNS STRING RETURN s",
+    "encodeXMLComponent(s STRING) RETURNS STRING RETURN " +
+      "replace(replace(replace(replace(replace(s, '&', '&amp;'), '<', '&lt;'), " +
+      "'>', '&gt;'), '\\\"', '&quot;'), \"'\", '&apos;')",
+    // ---- tranche 10: visitParam/simpleJSON legacy family
+    //      (src/Functions/visitParamExtract*) ----
+    "visitParamHas(j STRING, k STRING) RETURNS BOOLEAN RETURN " +
+      "get_json_object(j, concat('$.', k)) IS NOT NULL",
+    "visitParamExtractInt(j STRING, k STRING) RETURNS BIGINT RETURN " +
+      "CAST(get_json_object(j, concat('$.', k)) AS BIGINT)",
+    "visitParamExtractUInt(j STRING, k STRING) RETURNS BIGINT RETURN " +
+      "CAST(get_json_object(j, concat('$.', k)) AS BIGINT)",
+    "visitParamExtractFloat(j STRING, k STRING) RETURNS DOUBLE RETURN " +
+      "CAST(get_json_object(j, concat('$.', k)) AS DOUBLE)",
+    "visitParamExtractBool(j STRING, k STRING) RETURNS BOOLEAN RETURN " +
+      "get_json_object(j, concat('$.', k)) = 'true'",
+    // raw form: objects/arrays come back verbatim; scalar strings come
+    // back unquoted (get_json_object strips quotes — documented deviation)
+    "visitParamExtractRaw(j STRING, k STRING) RETURNS STRING RETURN " +
+      "get_json_object(j, concat('$.', k))",
+    "simpleJSONHas(j STRING, k STRING) RETURNS BOOLEAN RETURN " +
+      "get_json_object(j, concat('$.', k)) IS NOT NULL",
+    "simpleJSONExtractString(j STRING, k STRING) RETURNS STRING RETURN " +
+      "get_json_object(j, concat('$.', k))",
+    "simpleJSONExtractInt(j STRING, k STRING) RETURNS BIGINT RETURN " +
+      "CAST(get_json_object(j, concat('$.', k)) AS BIGINT)",
+    "simpleJSONExtractUInt(j STRING, k STRING) RETURNS BIGINT RETURN " +
+      "CAST(get_json_object(j, concat('$.', k)) AS BIGINT)",
+    "simpleJSONExtractFloat(j STRING, k STRING) RETURNS DOUBLE RETURN " +
+      "CAST(get_json_object(j, concat('$.', k)) AS DOUBLE)",
+    "simpleJSONExtractBool(j STRING, k STRING) RETURNS BOOLEAN RETURN " +
+      "get_json_object(j, concat('$.', k)) = 'true'",
+    "simpleJSONExtractRaw(j STRING, k STRING) RETURNS STRING RETURN " +
+      "get_json_object(j, concat('$.', k))",
+    // ---- tranche 10: math long tail ----
+    // `factorial` needs no alias — Spark's builtin matches the reference
+    // contract (UInt64 range; CH throws above 20, Spark nulls)
+    "countDigits(x BIGINT) RETURNS INT RETURN length(CAST(abs(x) AS STRING))",
+    "min2(a DOUBLE, b DOUBLE) RETURNS DOUBLE RETURN least(a, b)",
+    "max2(a DOUBLE, b DOUBLE) RETURNS DOUBLE RETURN greatest(a, b)",
+    "positiveModulo(a BIGINT, b BIGINT) RETURNS BIGINT RETURN pmod(a, b)",
+    "moduloLegacy(a BIGINT, b BIGINT) RETURNS BIGINT RETURN a % b",
+    "isZeroOrNull(x DOUBLE) RETURNS BOOLEAN RETURN x IS NULL OR x = 0",
+    "intExp2(n INT) RETURNS BIGINT RETURN shiftleft(1L, n)",
+    "intExp10(n INT) RETURNS BIGINT RETURN " +
+      "CASE WHEN n <= 0 THEN 1L ELSE aggregate(sequence(1, n), 1L, (acc, x) -> acc * 10) END",
+    "widthBucket(x DOUBLE, lo DOUBLE, hi DOUBLE, n INT) RETURNS BIGINT RETURN " +
+      "width_bucket(x, lo, hi, n)",
+    "throwIf(cond BOOLEAN, msg STRING) RETURNS BOOLEAN RETURN " +
+      "CASE WHEN cond THEN CAST(raise_error(msg) AS BOOLEAN) ELSE false END",
+    // ---- tranche 10: array long tail ----
+    // (`range` itself is Spark's table-function name and cannot be
+    // claimed as a scalar; the scalar form is exposed as arrayRange)
+    "arrayDistinct(a ARRAY<DOUBLE>) RETURNS ARRAY<DOUBLE> RETURN array_distinct(a)",
+    // running sum clamped at 0, the clamp feeding the next step
+    "arrayCumSumNonNegative(a ARRAY<DOUBLE>) RETURNS ARRAY<DOUBLE> RETURN " +
+      "aggregate(a, named_struct('acc', CAST(0 AS DOUBLE), 'res', CAST(array() AS ARRAY<DOUBLE>)), " +
+      "(s, x) -> named_struct('acc', greatest(s.acc + x, CAST(0 AS DOUBLE)), " +
+      "'res', concat(s.res, array(greatest(s.acc + x, CAST(0 AS DOUBLE))))), s -> s.res)",
+    // occurrence index of each element among its equals so far
+    "arrayEnumerateUniq(a ARRAY<DOUBLE>) RETURNS ARRAY<INT> RETURN " +
+      "transform(a, (x, i) -> CAST(size(filter(slice(a, 1, i + 1), y -> y = x)) AS INT))",
+    // ROC AUC over (score, 0/1 label) pairs: P(pos > neg) + 0.5 P(tie)
+    "arrayAUC(s ARRAY<DOUBLE>, l ARRAY<BIGINT>) RETURNS DOUBLE RETURN " +
+      "CASE WHEN size(s) = 0 THEN CAST(0 AS DOUBLE) ELSE " +
+      "aggregate(sequence(1, size(s)), CAST(0 AS DOUBLE), (acc, i) -> acc + " +
+      "IF(element_at(l, i) = 1, aggregate(sequence(1, size(s)), CAST(0 AS DOUBLE), " +
+      "(a2, j) -> a2 + IF(element_at(l, j) = 0, " +
+      "IF(element_at(s, i) > element_at(s, j), CAST(1 AS DOUBLE), " +
+      "IF(element_at(s, i) = element_at(s, j), CAST(0.5 AS DOUBLE), CAST(0 AS DOUBLE))), " +
+      "CAST(0 AS DOUBLE))), CAST(0 AS DOUBLE))) / " +
+      "greatest(CAST(size(filter(l, x -> x = 1)) AS DOUBLE) * " +
+      "CAST(size(filter(l, x -> x = 0)) AS DOUBLE), CAST(1 AS DOUBLE)) END",
+    // emptyArray* constructors (src/Functions/emptyArray.cpp)
+    "emptyArrayUInt8() RETURNS ARRAY<INT> RETURN CAST(array() AS ARRAY<INT>)",
+    "emptyArrayUInt16() RETURNS ARRAY<INT> RETURN CAST(array() AS ARRAY<INT>)",
+    "emptyArrayUInt32() RETURNS ARRAY<BIGINT> RETURN CAST(array() AS ARRAY<BIGINT>)",
+    "emptyArrayUInt64() RETURNS ARRAY<BIGINT> RETURN CAST(array() AS ARRAY<BIGINT>)",
+    "emptyArrayInt8() RETURNS ARRAY<INT> RETURN CAST(array() AS ARRAY<INT>)",
+    "emptyArrayInt16() RETURNS ARRAY<INT> RETURN CAST(array() AS ARRAY<INT>)",
+    "emptyArrayInt32() RETURNS ARRAY<INT> RETURN CAST(array() AS ARRAY<INT>)",
+    "emptyArrayInt64() RETURNS ARRAY<BIGINT> RETURN CAST(array() AS ARRAY<BIGINT>)",
+    "emptyArrayFloat32() RETURNS ARRAY<FLOAT> RETURN CAST(array() AS ARRAY<FLOAT>)",
+    "emptyArrayFloat64() RETURNS ARRAY<DOUBLE> RETURN CAST(array() AS ARRAY<DOUBLE>)",
+    "emptyArrayString() RETURNS ARRAY<STRING> RETURN CAST(array() AS ARRAY<STRING>)",
+    "emptyArrayDate() RETURNS ARRAY<DATE> RETURN CAST(array() AS ARRAY<DATE>)",
+    "emptyArrayDateTime() RETURNS ARRAY<TIMESTAMP> RETURN CAST(array() AS ARRAY<TIMESTAMP>)",
   )
 
   /** Base58 (Bitcoin alphabet) and punycode/IDNA codecs — the reference
@@ -953,7 +1127,131 @@ object ClickHouseCompat {
   }
 
   /** Native (non-SQL-lambda) registrations — see [[Codecs]]. */
+  /** Tranche-10 natives: transforms a SQL lambda can't express —
+    * regex group extraction with unknown group counts
+    * (`src/Functions/extractGroups.cpp`, `extractAllGroups.h`), XML
+    * entity decoding incl. numeric references
+    * (`src/Functions/decodeXMLComponent.cpp`), HTML text extraction
+    * (`src/Functions/extractTextFromHTML.cpp`), human time-delta parsing
+    * (`src/Functions/parseTimeDelta.cpp`), and BigInteger gcd/lcm.
+    */
+  object Tranche10 {
+    def regexpQuoteMeta(s: String): String =
+      if (s == null) null
+      else s.flatMap { c =>
+        if ("\\|()^$.[]?*+{:-".indexOf(c) >= 0) s"\\$c" else c.toString
+      }
+
+    def extractGroups(h: String, p: String): Array[String] = {
+      if (h == null || p == null) return null
+      val m = java.util.regex.Pattern.compile(p).matcher(h)
+      if (!m.find()) Array.empty
+      else (1 to m.groupCount).map(g => Option(m.group(g)).getOrElse("")).toArray
+    }
+
+    /** groups × matches (row per capture group). */
+    def extractAllGroupsHorizontal(h: String, p: String): Array[Array[String]] = {
+      if (h == null || p == null) return null
+      val pat = java.util.regex.Pattern.compile(p)
+      val m = pat.matcher(h)
+      val n = pat.matcher("").groupCount
+      val cols = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[String])
+      while (m.find()) {
+        var g = 1
+        while (g <= n) { cols(g - 1) += Option(m.group(g)).getOrElse(""); g += 1 }
+      }
+      cols.map(_.toArray)
+    }
+
+    /** matches × groups (row per match). */
+    def extractAllGroupsVertical(h: String, p: String): Array[Array[String]] = {
+      if (h == null || p == null) return null
+      val m = java.util.regex.Pattern.compile(p).matcher(h)
+      val rows = scala.collection.mutable.ArrayBuffer.empty[Array[String]]
+      while (m.find())
+        rows += (1 to m.groupCount).map(g => Option(m.group(g)).getOrElse("")).toArray
+      rows.toArray
+    }
+
+    private val NamedEntities = Map(
+      "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'")
+    private val EntityRe = "&(#x?[0-9a-fA-F]+|[a-zA-Z]+);".r
+
+    def decodeXMLComponent(s: String): String =
+      if (s == null) null
+      else EntityRe.replaceAllIn(s, m => {
+        val body = m.group(1)
+        val rep =
+          if (body.startsWith("#x") || body.startsWith("#X"))
+            try new String(Character.toChars(Integer.parseInt(body.drop(2), 16)))
+            catch { case _: Exception => m.matched }
+          else if (body.startsWith("#"))
+            try new String(Character.toChars(Integer.parseInt(body.drop(1))))
+            catch { case _: Exception => m.matched }
+          else NamedEntities.getOrElse(body, m.matched)
+        java.util.regex.Matcher.quoteReplacement(rep)
+      })
+
+    def extractTextFromHTML(s: String): String =
+      if (s == null) null
+      else s
+        .replaceAll("(?is)<(script|style)\\b[^>]*>.*?</\\1\\s*>", " ")
+        .replaceAll("(?s)<!--.*?-->", " ")
+        .replaceAll("(?s)<[^>]*>", " ")
+        .replaceAll("\\s+", " ").trim
+
+    // longest alternatives first — bare "m" (minutes) must not shadow "ms"
+    private val DeltaRe =
+      "([0-9]+(?:\\.[0-9]+)?)\\s*(years?|yr|milliseconds?|ms|months?|mo|weeks?|wk?|minutes?|mins?|days?|d|hours?|hr?|h|seconds?|secs?|s|m)".r
+    private val UnitSeconds = Map(
+      "year" -> 365.25 * 86400, "yr" -> 365.25 * 86400,
+      "month" -> 30.5 * 86400, "mo" -> 30.5 * 86400,
+      "week" -> 7 * 86400.0, "wk" -> 7 * 86400.0, "w" -> 7 * 86400.0,
+      "day" -> 86400.0, "d" -> 86400.0,
+      "hour" -> 3600.0, "hr" -> 3600.0, "h" -> 3600.0,
+      "minute" -> 60.0, "min" -> 60.0, "m" -> 60.0,
+      "second" -> 1.0, "sec" -> 1.0, "s" -> 1.0,
+      "millisecond" -> 0.001, "ms" -> 0.001)
+
+    /** "1 hour 30 minutes" / "2.5h" → seconds (parseTimeDelta.cpp's
+      * value-unit pair grammar with the same year/month approximations).
+      */
+    def parseTimeDelta(s: String): java.lang.Double = {
+      if (s == null) return null
+      val ms = DeltaRe.findAllMatchIn(s.toLowerCase).toSeq
+      if (ms.isEmpty) return null
+      ms.map { m =>
+        val raw = m.group(2)
+        // exact-match first: "ms"/"s" are units, not plurals to strip
+        val unit = if (UnitSeconds.contains(raw)) raw else raw.stripSuffix("s")
+        m.group(1).toDouble * UnitSeconds.getOrElse(unit, 1.0)
+      }.sum
+    }
+
+    def gcd(a: Long, b: Long): Long =
+      java.math.BigInteger.valueOf(a).gcd(java.math.BigInteger.valueOf(b)).longValueExact()
+
+    def lcm(a: Long, b: Long): Long =
+      if (a == 0 || b == 0) 0L
+      else math.abs(a / gcd(a, b) * b)
+  }
+
   def installNative(spark: SparkSession): Unit = {
+    spark.udf.register("regexpQuoteMeta", (s: String) => Tranche10.regexpQuoteMeta(s))
+    spark.udf.register("extractGroups", (h: String, p: String) => Tranche10.extractGroups(h, p))
+    spark.udf.register("extractAllGroupsHorizontal",
+      (h: String, p: String) => Tranche10.extractAllGroupsHorizontal(h, p))
+    spark.udf.register("extractAllGroupsVertical",
+      (h: String, p: String) => Tranche10.extractAllGroupsVertical(h, p))
+    spark.udf.register("decodeXMLComponent", (s: String) => Tranche10.decodeXMLComponent(s))
+    spark.udf.register("extractTextFromHTML", (s: String) => Tranche10.extractTextFromHTML(s))
+    spark.udf.register("parseTimeDelta", (s: String) => Tranche10.parseTimeDelta(s))
+    spark.udf.register("gcd", (a: Long, b: Long) => Tranche10.gcd(a, b))
+    spark.udf.register("lcm", (a: Long, b: Long) => Tranche10.lcm(a, b))
+    spark.udf.register("erf", (x: Double) =>
+      org.apache.commons.math3.special.Erf.erf(x))
+    spark.udf.register("erfc", (x: Double) =>
+      org.apache.commons.math3.special.Erf.erfc(x))
     spark.udf.register("base58Encode", (s: String) => Codecs.base58Encode(s))
     spark.udf.register("base58Decode", (s: String) => Codecs.base58Decode(s))
     spark.udf.register("tryBase58Decode", (s: String) => Codecs.tryBase58Decode(s))

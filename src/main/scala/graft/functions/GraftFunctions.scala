@@ -1,8 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{HyperLogLogPlusPlus, Percentile, Sum}
+import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Cast, CreateNamedStruct, EqualTo, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{ApproximatePercentile, Count, HyperLogLogPlusPlus, Max, Percentile, Sum}
 import org.apache.spark.sql.types.{ArrayType, DecimalType, DoubleType, FloatType}
 
 /** SQL-visible function registry — the graft analogue of the reference's
@@ -64,6 +64,43 @@ object GraftFunctions {
     "sumkahan"     -> ((es: Seq[Expression]) =>
       Cast(Sum(Cast(es.head, DecimalType(38, 10))).toAggregateExpression(),
         DoubleType)),
+    // sumCount(x) → (sum, count) tuple (AggregateFunctionSumCount)
+    "sumcount"     -> ((es: Seq[Expression]) =>
+      CreateNamedStruct(Seq(
+        Literal("sum"), Sum(Cast(es.head, DoubleType)).toAggregateExpression(),
+        Literal("count"), Count(es.head).toAggregateExpression()))),
+    // singleValueOrNull(x): the value when the group has exactly one
+    // distinct value, else NULL (AggregateFunctionSingleValueOrNull)
+    "singlevalueornull" -> ((es: Seq[Expression]) =>
+      CaseWhen(Seq((
+        EqualTo(Count(es.head).toAggregateExpression(isDistinct = true), Literal(1L)),
+        Max(es.head).toAggregateExpression())), None)),
+    // quantileTDigest/BFloat16: the reference's sketch-based approximate
+    // quantiles — served by Spark's ApproximatePercentile sketch (same
+    // approximate contract; (value, level) argument order as flattened)
+    "quantiletdigest" -> ((es: Seq[Expression]) =>
+      new ApproximatePercentile(Cast(es(0), DoubleType), es(1))),
+    "quantilebfloat16" -> ((es: Seq[Expression]) =>
+      new ApproximatePercentile(Cast(es(0), DoubleType), es(1))),
+    // weighted sketch variants: exact weighted percentile meets the
+    // contract (at least as precise as the sketch)
+    "quantiletdigestweighted" -> ((es: Seq[Expression]) =>
+      new Percentile(Cast(es(0), DoubleType), es(2), es(1))),
+    "quantilebfloat16weighted" -> ((es: Seq[Expression]) =>
+      new Percentile(Cast(es(0), DoubleType), es(2), es(1))),
+    // quantileDeterministic(x, determinator, level): the determinator
+    // only de-randomizes the reference's reservoir sampling — exact
+    // percentile is deterministic by construction, so it is ignored
+    "quantiledeterministic" -> ((es: Seq[Expression]) =>
+      new Percentile(Cast(es(0), DoubleType), es(2))),
+    // quantileExactInclusive == Excel PERCENTILE.INC — the identical
+    // (n−1)·q linear-interpolation formula Spark's Percentile computes
+    "quantileexactinclusive" -> ((es: Seq[Expression]) =>
+      new Percentile(Cast(es(0), DoubleType), es(1))),
+    // quantileInterpolatedWeighted(x, weight, level): interpolating
+    // weighted quantile — Percentile's frequency form
+    "quantileinterpolatedweighted" -> ((es: Seq[Expression]) =>
+      new Percentile(Cast(es(0), DoubleType), es(2), es(1))),
   )
 
   def registerAll(spark: SparkSession): Unit = {

@@ -139,6 +139,23 @@ object EventQueries {
     // groupArrayInsertAt(default, size)(x, pos): fixed-size array with
     // values placed at their positions, default elsewhere; collisions
     // resolve to the MIN value so both engines are deterministic.
+    // sumCount (sum+count in one pass), singleValueOrNull (value iff the
+    // group is single-valued), quantileExactInclusive (Excel
+    // PERCENTILE.INC ≡ Spark Percentile's interpolation) — the last
+    // unmapped names of registerAggregateFunctions.cpp's registry.
+    "e59_sum_count_single" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("sumCount(l_quantity)").as("sc"),
+          expr("singleValueOrNull(l_linestatus)").as("only_status"),
+          expr("quantileExactInclusive(l_quantity, 0.5D)").as("med"))
+        .select(col("l_returnflag"),
+          round(col("sc.sum"), 2).as("qty_sum"),
+          col("sc.count").as("qty_n"),
+          col("only_status"),
+          round(col("med"), 4).as("med_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
     "e58_group_array_insert_at" -> ((s, dir) => {
       events(s, dir)
         .withColumn("pos", (col("event_id") % 8).cast("int"))
@@ -1282,6 +1299,14 @@ object EventQueries {
              ((200 * cents + n) // (2 * n)) / 10000.0 AS avg_v,
              uniq_types
       FROM g ORDER BY user_id""",
+    "e59_sum_count_single" -> """
+      SELECT l_returnflag,
+             round(CAST(sum(l_quantity) AS DOUBLE), 2) AS qty_sum,
+             CAST(count(l_quantity) AS BIGINT) AS qty_n,
+             CASE WHEN count(DISTINCT l_linestatus) = 1
+               THEN max(l_linestatus) END AS only_status,
+             round(quantile_cont(l_quantity, 0.5), 4) AS med_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "e58_group_array_insert_at" -> """
       WITH per AS (
         SELECT user_id, CAST(event_id % 8 AS INT) AS pos, min(event_type) AS v

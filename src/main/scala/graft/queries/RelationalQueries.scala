@@ -693,6 +693,33 @@ object RelationalQueries {
             segs.zipWithIndex.map { case (n, i) => n -> (i + 1) }).as("seg_code"))
         .orderBy(col("uid")).limit(100)
     }),
+    // Scalar tranche 10 end-to-end: date/time long tail + regex extract +
+    // case-insensitive search + XML encoding + visitParam JSON + digit /
+    // gcd math over orders, aggregated by month (every function computed
+    // per-row, then reduced — pure codegen'd projections, no UDF in the
+    // grouping path except the gcd native).
+    "q56_scalar_tranche10" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .selectExpr(
+          "CAST(dateTrunc('month', o_orderdate) AS DATE) AS mon",
+          "countDigits(o_orderkey) AS digs",
+          "gcd(o_orderkey, o_custkey) AS g",
+          "positionCaseInsensitive(o_orderpriority, 'gent') AS ppos",
+          "regexpExtract(o_orderpriority, '([A-Z]{3,})', 1) AS w",
+          "encodeXMLComponent(concat(o_orderstatus, '<', o_orderpriority, '>')) AS enc",
+          "visitParamExtractInt(concat('{\"k\":', o_orderkey % 100, '}'), 'k') AS jk",
+          "toUnixTimestamp64Milli(o_orderdate) AS ms")
+        .groupBy(col("mon"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("digs").cast("long")).as("dig_sum"),
+          sum(col("g")).as("gcd_sum"),
+          sum(col("ppos").cast("long")).as("pack_sum"),
+          min(col("w")).as("first_word"),
+          min(col("enc")).as("first_enc"),
+          sum(col("jk")).as("jk_sum"),
+          max(col("ms")).as("max_ms"))
+        .orderBy(col("mon")).limit(24)
+    }),
     // GROUP BY with expression keys + IN-subquery semi join.
     "q30_in_subquery" -> ((s, dir) => {
       val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
@@ -762,6 +789,31 @@ object RelationalQueries {
                ip4n // 65536 % 256, ip4n // 256 % 256, ip4n % 256) AS ip46,
              CAST(seg_code AS INT) AS seg_code
       FROM c ORDER BY uid LIMIT 100""",
+    "q56_scalar_tranche10" -> """
+      WITH c AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+               length(CAST(abs(o_orderkey) AS VARCHAR)) AS digs,
+               gcd(o_orderkey, o_custkey) AS g,
+               strpos(lower(o_orderpriority), 'gent') AS ppos,
+               coalesce(regexp_extract(o_orderpriority, '([A-Z]{3,})', 1), '') AS w,
+               replace(replace(replace(replace(replace(
+                 o_orderstatus || '<' || o_orderpriority || '>',
+                 '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;'),
+                 '''', '&apos;') AS enc,
+               o_orderkey % 100 AS jk,
+               epoch_ms(o_orderdate) AS ms
+        FROM orders)
+      SELECT * FROM (
+        SELECT mon, CAST(count(1) AS BIGINT) AS n,
+               CAST(sum(digs) AS BIGINT) AS dig_sum,
+               CAST(sum(g) AS BIGINT) AS gcd_sum,
+               CAST(sum(ppos) AS BIGINT) AS pack_sum,
+               min(w) AS first_word,
+               min(enc) AS first_enc,
+               CAST(sum(jk) AS BIGINT) AS jk_sum,
+               CAST(max(ms) AS BIGINT) AS max_ms
+        FROM c GROUP BY mon ORDER BY mon LIMIT 24)
+      ORDER BY mon""",
     "q54_multisearch" -> """
       WITH c AS (
         SELECT source,

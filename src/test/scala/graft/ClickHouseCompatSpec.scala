@@ -571,4 +571,76 @@ class ClickHouseCompatSpec extends SparkSpec {
     assert(q1("idnaDecode('xn--mnchen-3ya.de')") === "münchen.de")
     assert(q1("tryIdnaEncode('a.b.c')") === "a.b.c")
   }
+
+  test("tranche-10: date/time long tail") {
+    def q1(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
+    assert(q1("dateTrunc('month', TIMESTAMP '2024-03-15 10:30:00')").toString
+      startsWith "2024-03-01")
+    assert(q1("timeDiff(TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-01 01:00:30')") === 3630L)
+    // ISO-8601: 2021-01-01 belongs to ISO year 2020 (week 53)
+    assert(q1("toISOYear(TIMESTAMP '2021-01-01 00:00:00')") === 2020)
+    assert(q1("toStartOfISOYear(TIMESTAMP '2021-01-01 00:00:00')").toString === "2019-12-30")
+    // DateLUTImpl week counter: Monday 1970-01-05 starts week 1
+    assert(q1("toRelativeWeekNum(TIMESTAMP '1970-01-05 00:00:00')") === 1)
+    assert(q1("toRelativeWeekNum(TIMESTAMP '1970-01-04 00:00:00')") === 0)
+    assert(q1("toRelativeQuarterNum(TIMESTAMP '2024-05-01 00:00:00')") === 2024 * 4 + 1)
+    assert(q1("toUnixTimestamp64Milli(TIMESTAMP '1970-01-01 00:00:01')") === 1000L)
+    assert(q1("fromUnixTimestamp64Nano(1500000000)").toString startsWith "1970-01-01 00:00:01.5")
+    assert(q1("addMilliseconds(TIMESTAMP '1970-01-01 00:00:00', 1500)").toString
+      startsWith "1970-01-01 00:00:01.5")
+    assert(q1("subtractWeeks(TIMESTAMP '2024-01-15 00:00:00', 2)").toString
+      startsWith "2024-01-01")
+    assert(q1("toStartOfMillisecond(TIMESTAMP '2024-01-01 00:00:00.123456')").toString
+      endsWith "00:00:00.123")
+    assert(q1("parseTimeDelta('1 hour 30 minutes')") === 5400.0)
+    assert(q1("parseTimeDelta('250ms')") === 0.25)
+  }
+
+  test("tranche-10: string search, regex, XML/HTML") {
+    def q1(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
+    assert(q1("positionCaseInsensitive('Hello World', 'WORLD')") === 7)
+    assert(q1("regexpExtract('key=val', 'key=(\\\\w+)', 1)") === "val")
+    assert(q1("regexpQuoteMeta('a.b*c')") === "a\\.b\\*c")
+    assert(q1("encodeXMLComponent('a<b&c\"d')") === "a&lt;b&amp;c&quot;d")
+    assert(q1("decodeXMLComponent('a&lt;b&amp;c&#65;&#x42;')") === "a<b&cAB")
+    assert(q1("extractTextFromHTML('<p>Hi <b>there</b></p><script>x=1</script>')") === "Hi there")
+    assert(q1("extractGroups('2024-03-15', '([0-9]+)-([0-9]+)')") === Seq("2024", "03"))
+    assert(q1("extractAllGroupsVertical('a=1, b=2', '(\\\\w)=(\\\\d)')") ===
+      Seq(Seq("a", "1"), Seq("b", "2")))
+    assert(q1("extractAllGroupsHorizontal('a=1, b=2', '(\\\\w)=(\\\\d)')") ===
+      Seq(Seq("a", "b"), Seq("1", "2")))
+    assert(q1("multiSearchFirstIndexCaseInsensitive('Hello', array('x', 'HELLO'))") === 2)
+    assert(q1("multiSearchAnyUTF8('héllo wörld', array('wörld'))") === true)
+    assert(q1("countSubstringsCaseInsensitiveUTF8('AbaBA', 'ab')") === 2)
+    assert(q1("toValidUTF8('plain')") === "plain")
+  }
+
+  test("tranche-10: visitParam/simpleJSON, math, arrays") {
+    def q1(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
+    assert(q1("visitParamHas('{\"a\":1}', 'a')") === true)
+    assert(q1("visitParamExtractInt('{\"a\":42}', 'a')") === 42L)
+    assert(q1("visitParamExtractFloat('{\"a\":1.5}', 'a')") === 1.5)
+    assert(q1("visitParamExtractBool('{\"a\":true}', 'a')") === true)
+    assert(q1("simpleJSONExtractString('{\"a\":\"x\"}', 'a')") === "x")
+    assert(q1("countDigits(-12345)") === 5)
+    assert(q1("factorial(10)") === 3628800L)
+    assert(q1("gcd(12, 18)") === 6L)
+    assert(q1("lcm(4, 6)") === 12L)
+    assert(math.abs(q1("erf(1.0D)").asInstanceOf[Double] - 0.8427007929) < 1e-9)
+    assert(q1("intExp2(10)") === 1024L)
+    assert(q1("intExp10(18)") === 1000000000000000000L)
+    assert(q1("widthBucket(5.0D, 0.0D, 10.0D, 5)") === 3L)
+    assert(q1("min2(3D, 4D)") === 3.0)
+    assert(q1("positiveModulo(-3, 5)") === 2L)
+    assert(q1("isZeroOrNull(CAST(NULL AS DOUBLE))") === true)
+    assert(q1("arrayDistinct(array(1D, 2D, 1D))") === Seq(1.0, 2.0))
+    assert(q1("arrayCumSumNonNegative(array(1D, -3D, 4D, 2D))") === Seq(1.0, 0.0, 4.0, 6.0))
+    assert(q1("arrayEnumerateUniq(array(1D, 2D, 1D, 1D))") === Seq(1, 1, 2, 3))
+    // reference docs example: AUC of [0.1,0.4,0.35,0.8] vs [0,0,1,1] = 0.75
+    assert(q1("arrayAUC(array(0.1D, 0.4D, 0.35D, 0.8D), array(0L, 0L, 1L, 1L))") === 0.75)
+    assert(q1("size(emptyArrayUInt8())") === 0)
+    assert(q1("emptyArrayString()") === Seq())
+    intercept[Exception] { q1("throwIf(true, 'boom')") }
+    assert(q1("throwIf(false, 'boom')") === false)
+  }
 }
