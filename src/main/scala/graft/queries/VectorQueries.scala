@@ -443,6 +443,20 @@ object VectorQueries {
         .select(col("vec_id"), round(col("d").cast("double"), 3).as("d"))
         .orderBy(col("vec_id"))
     }),
+    // distance() whose query vector is GENERATED by a lambda expression
+    // (reference 00036_mqvs_with_clause_process_function.sql: `distance(
+    // vector, arrayMap(x -> x/1., range(1, 4)))`): the transform/sequence
+    // expression is foldable, so Catalyst constant-folds it to the array
+    // literal the search rewrite recognizes — same plan as a literal
+    // query vector, proving lambda-built vectors get index routing too.
+    "v32_lambda_query_vector" -> ((s, dir) => {
+      emb(s, dir)
+        .withColumn("d", expr(
+          "l2_distance(embedding, transform(sequence(1, 64), i -> CAST(i AS FLOAT) / 64))"))
+        .orderBy(col("d"), col("vec_id")).limit(10)
+        .select(col("vec_id"), round(col("d").cast("double"), 3).as("d"))
+        .orderBy(col("vec_id"))
+    }),
     // arrayDistance scalar family as projection columns (not top-K).
     "v07_distance_family" -> ((s, dir) => {
       val q = queryVec(s, dir)
@@ -556,6 +570,15 @@ object VectorQueries {
         SELECT vec_id, round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) AS d
         FROM embeddings
         ORDER BY list_distance(embedding, $qv0), vec_id LIMIT 10)
+      ORDER BY vec_id""",
+    "v32_lambda_query_vector" -> """
+      WITH q AS (SELECT list_transform(range(1, 65),
+                   i -> CAST(i AS FLOAT) / 64) AS qv)
+      SELECT * FROM (
+        SELECT vec_id,
+               round(CAST(list_distance(embedding, (SELECT qv FROM q)) AS DOUBLE), 3) AS d
+        FROM embeddings
+        ORDER BY list_distance(embedding, (SELECT qv FROM q)), vec_id LIMIT 10)
       ORDER BY vec_id""",
     "v25_ivf_cosine_exact" -> s"""
       SELECT * FROM (
