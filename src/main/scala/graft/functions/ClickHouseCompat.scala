@@ -1047,6 +1047,59 @@ object ClickHouseCompat {
     "emptyArrayString() RETURNS ARRAY<STRING> RETURN CAST(array() AS ARRAY<STRING>)",
     "emptyArrayDate() RETURNS ARRAY<DATE> RETURN CAST(array() AS ARRAY<DATE>)",
     "emptyArrayDateTime() RETURNS ARRAY<TIMESTAMP> RETURN CAST(array() AS ARRAY<TIMESTAMP>)",
+    // ---- tranche 11: calendar weeks (MySQL-mode-0 default, like the
+    //      reference: weeks start Sunday, days before the year's first
+    //      Sunday are week 0), Julian days, compact-digit dates ----
+    // first-Sunday day-of-year = ((8 - dow(Jan 1)) % 7) + 1, Spark dow Sun=1
+    "toWeek(t TIMESTAMP) RETURNS INT RETURN CASE " +
+      "WHEN dayofyear(t) < ((8 - dayofweek(trunc(CAST(t AS DATE), 'year'))) % 7) + 1 THEN 0 " +
+      "ELSE CAST((dayofyear(t) - (((8 - dayofweek(trunc(CAST(t AS DATE), 'year'))) % 7) + 1)) div 7 + 1 AS INT) END",
+    // week-0 days roll into the PREVIOUS year's last week (MySQL YEARWEEK)
+    "toYearWeek(t TIMESTAMP) RETURNS INT RETURN CASE " +
+      "WHEN dayofyear(t) >= ((8 - dayofweek(trunc(CAST(t AS DATE), 'year'))) % 7) + 1 " +
+      "THEN year(t) * 100 + CAST((dayofyear(t) - (((8 - dayofweek(trunc(CAST(t AS DATE), 'year'))) % 7) + 1)) div 7 + 1 AS INT) " +
+      "ELSE (year(t) - 1) * 100 + CAST((dayofyear(date_sub(trunc(CAST(t AS DATE), 'year'), 1)) - " +
+      "(((8 - dayofweek(trunc(date_sub(trunc(CAST(t AS DATE), 'year'), 1), 'year'))) % 7) + 1)) div 7 + 1 AS INT) END",
+    "toDaysSinceYearZero(t TIMESTAMP) RETURNS INT RETURN " +
+      "datediff(CAST(t AS DATE), DATE '1970-01-01') + 719528",
+    "YYYYMMDDToDate(n BIGINT) RETURNS DATE RETURN to_date(CAST(n AS STRING), 'yyyyMMdd')",
+    "YYYYMMDDhhmmssToDateTime(n BIGINT) RETURNS TIMESTAMP RETURN " +
+      "to_timestamp(CAST(n AS STRING), 'yyyyMMddHHmmss')",
+    // ---- tranche 11: string long tail ----
+    "substringIndex(s STRING, d STRING, n INT) RETURNS STRING RETURN substring_index(s, d, n)",
+    "substringIndexUTF8(s STRING, d STRING, n INT) RETURNS STRING RETURN substring_index(s, d, n)",
+    "initcapUTF8(s STRING) RETURNS STRING RETURN initcap(s)",
+    "leftUTF8(s STRING, n INT) RETURNS STRING RETURN left(s, n)",
+    "rightUTF8(s STRING, n INT) RETURNS STRING RETURN right(s, n)",
+    "countMatchesCaseInsensitive(s STRING, re STRING) RETURNS INT RETURN " +
+      "size(regexp_extract_all(s, concat('(?i)', re), 0))",
+    // ngramSearch(haystack, needle): share of the NEEDLE's distinct
+    // trigrams found in the haystack (asymmetric, unlike ngramDistance)
+    "ngramSearch(h STRING, n STRING) RETURNS DOUBLE RETURN " +
+      "CASE WHEN length(n) < 3 THEN CAST(1 AS DOUBLE) ELSE " +
+      "CAST(size(array_intersect(" +
+      "array_distinct(transform(sequence(1, greatest(length(h) - 2, 0)), i -> substring(h, i, 3))), " +
+      "array_distinct(transform(sequence(1, length(n) - 2), i -> substring(n, i, 3))))) AS DOUBLE) / " +
+      "size(array_distinct(transform(sequence(1, length(n) - 2), i -> substring(n, i, 3)))) END",
+    "ngramSearchCaseInsensitive(h STRING, n STRING) RETURNS DOUBLE RETURN " +
+      "ngramSearch(lower(h), lower(n))",
+    "ngramDistanceCaseInsensitive(a STRING, b STRING) RETURNS DOUBLE RETURN " +
+      "ngramDistance(lower(a), lower(b))",
+    // hasSubsequence: one left-to-right fold — acc = chars of the needle
+    // already matched in order
+    "hasSubsequence(h STRING, n STRING) RETURNS BOOLEAN RETURN " +
+      "aggregate(split(h, ''), 0, (acc, c) -> " +
+      "IF(acc < length(n) AND c = substring(n, acc + 1, 1), acc + 1, acc)) = length(n)",
+    "hasSubsequenceCaseInsensitive(h STRING, n STRING) RETURNS BOOLEAN RETURN " +
+      "hasSubsequence(lower(h), lower(n))",
+    "hasSubsequenceUTF8(h STRING, n STRING) RETURNS BOOLEAN RETURN hasSubsequence(h, n)",
+    // ---- tranche 11: map long tail ----
+    // mapPopulateSeries: fill integer-key gaps [min..max] with 0
+    "mapPopulateSeries(m MAP<INT, DOUBLE>) RETURNS MAP<INT, DOUBLE> RETURN " +
+      "IF(size(m) = 0, m, map_from_arrays(" +
+      "CAST(sequence(array_min(map_keys(m)), array_max(map_keys(m))) AS ARRAY<INT>), " +
+      "transform(sequence(array_min(map_keys(m)), array_max(map_keys(m))), " +
+      "k -> coalesce(element_at(m, CAST(k AS INT)), CAST(0 AS DOUBLE)))))",
   )
 
   /** Base58 (Bitcoin alphabet) and punycode/IDNA codecs — the reference

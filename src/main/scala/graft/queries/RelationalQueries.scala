@@ -720,6 +720,25 @@ object RelationalQueries {
           max(col("ms")).as("max_ms"))
         .orderBy(col("mon")).limit(24)
     }),
+    // Scalar tranche 11 end-to-end: MySQL-mode-0 calendar weeks
+    // (toWeek/toYearWeek), subsequence search, substring_index — the
+    // oracle recomputes mode-0 weeks from first principles and expresses
+    // hasSubsequence as a %-wildcard LIKE.
+    "q57_weeks_subseq" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .selectExpr(
+          "toWeek(o_orderdate) AS wk",
+          "toYearWeek(o_orderdate) AS yw",
+          "hasSubsequence(o_orderpriority, 'UGT') AS hs",
+          "substringIndex(o_orderpriority, '-', 1) AS pri")
+        .groupBy(col("pri"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("wk").cast("long")).as("wk_sum"),
+          min(col("yw")).as("yw_min"),
+          max(col("yw")).as("yw_max"),
+          sum(when(col("hs"), 1L).otherwise(0L)).as("hs_n"))
+        .orderBy(col("pri"))
+    }),
     // GROUP BY with expression keys + IN-subquery semi join.
     "q30_in_subquery" -> ((s, dir) => {
       val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
@@ -789,6 +808,29 @@ object RelationalQueries {
                ip4n // 65536 % 256, ip4n // 256 % 256, ip4n % 256) AS ip46,
              CAST(seg_code AS INT) AS seg_code
       FROM c ORDER BY uid LIMIT 100""",
+    "q57_weeks_subseq" -> """
+      WITH c AS (
+        SELECT CASE WHEN dayofyear(o_orderdate) <
+                 ((7 - dayofweek(date_trunc('year', o_orderdate))) % 7) + 1 THEN 0
+               ELSE CAST((dayofyear(o_orderdate) -
+                 (((7 - dayofweek(date_trunc('year', o_orderdate))) % 7) + 1)) // 7 + 1 AS INT)
+               END AS wk,
+               CAST(year(o_orderdate) AS INT) AS yr,
+               CAST(dayofyear(date_trunc('year', o_orderdate) - INTERVAL 1 DAY) -
+                 (((7 - dayofweek(date_trunc('year',
+                   date_trunc('year', o_orderdate) - INTERVAL 1 DAY))) % 7) + 1) AS INT) // 7 + 1
+                 AS wk_prev_dec31,
+               (o_orderpriority LIKE '%U%G%T%') AS hs,
+               string_split(o_orderpriority, '-')[1] AS pri
+        FROM orders)
+      SELECT pri, CAST(count(1) AS BIGINT) AS n,
+             CAST(sum(wk) AS BIGINT) AS wk_sum,
+             CAST(min(CASE WHEN wk > 0 THEN yr * 100 + wk
+               ELSE (yr - 1) * 100 + wk_prev_dec31 END) AS INT) AS yw_min,
+             CAST(max(CASE WHEN wk > 0 THEN yr * 100 + wk
+               ELSE (yr - 1) * 100 + wk_prev_dec31 END) AS INT) AS yw_max,
+             CAST(sum(CASE WHEN hs THEN 1 ELSE 0 END) AS BIGINT) AS hs_n
+      FROM c GROUP BY pri ORDER BY pri""",
     "q56_scalar_tranche10" -> """
       WITH c AS (
         SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,

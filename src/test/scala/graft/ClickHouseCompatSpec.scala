@@ -643,4 +643,32 @@ class ClickHouseCompatSpec extends SparkSpec {
     intercept[Exception] { q1("throwIf(true, 'boom')") }
     assert(q1("throwIf(false, 'boom')") === false)
   }
+
+  test("tranche-11: weeks, compact dates, string/map long tail") {
+    def q1(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
+    // mode-0 weeks (weeks start Sunday; days before the year's first
+    // Sunday are week 0) — vectors match MySQL WEEK(d, 0)/YEARWEEK(d, 0)
+    assert(q1("toWeek(TIMESTAMP '2024-01-01 00:00:00')") === 0) // Monday
+    assert(q1("toWeek(TIMESTAMP '2024-01-07 00:00:00')") === 1) // first Sunday
+    assert(q1("toWeek(TIMESTAMP '2024-12-31 00:00:00')") === 52)
+    assert(q1("toWeek(TIMESTAMP '2023-01-01 00:00:00')") === 1) // Jan 1 = Sunday
+    assert(q1("toYearWeek(TIMESTAMP '2024-01-01 00:00:00')") === 202353)
+    assert(q1("toYearWeek(TIMESTAMP '2024-01-07 00:00:00')") === 202401)
+    assert(q1("toDaysSinceYearZero(TIMESTAMP '1970-01-01 00:00:00')") === 719528)
+    assert(q1("YYYYMMDDToDate(20240315)").toString === "2024-03-15")
+    assert(q1("YYYYMMDDhhmmssToDateTime(20240315102030)").toString
+      startsWith "2024-03-15 10:20:30")
+    assert(q1("substringIndex('a.b.c', '.', 2)") === "a.b")
+    assert(q1("countMatchesCaseInsensitive('aA bB aa', 'a')") === 4)
+    assert(q1("ngramSearch('abcdef', 'abc')") === 1.0)
+    assert(q1("ngramSearch('abcdef', 'xyz')") === 0.0)
+    assert(q1("ngramDistanceCaseInsensitive('ABCD', 'abcd')") === 0.0)
+    assert(q1("hasSubsequence('garbage', 'gag')") === true)
+    assert(q1("hasSubsequence('garbage', 'gga')") === false)
+    assert(q1("hasSubsequenceCaseInsensitive('Garbage', 'GAG')") === true)
+    assert(q1("mapPopulateSeries(map(1, 10D, 4, 40D))") ===
+      Map(1 -> 10.0, 2 -> 0.0, 3 -> 0.0, 4 -> 40.0))
+    assert(q1("initcapUTF8('hello world')") === "Hello World")
+    assert(q1("leftUTF8('abcdef', 3)") === "abc")
+  }
 }
