@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Cast, CreateNamedStruct, EqualTo, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Cast, CreateArray, CreateNamedStruct, EqualTo, Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{ApproximatePercentile, Count, HyperLogLogPlusPlus, Max, Percentile, Sum}
 import org.apache.spark.sql.types.{ArrayType, DecimalType, DoubleType, FloatType}
 
@@ -101,6 +101,20 @@ object GraftFunctions {
     // weighted quantile — Percentile's frequency form
     "quantileinterpolatedweighted" -> ((es: Seq[Expression]) =>
       new Percentile(Cast(es(0), DoubleType), es(2), es(1))),
+    // plural quantiles(x, l1, l2, ...) → array of quantiles in one pass
+    // (the reference's quantiles(l1,l2,...)(x) parameterized form,
+    // flattened); Percentile natively accepts an array of levels
+    "quantiles" -> ((es: Seq[Expression]) =>
+      new Percentile(Cast(es.head, DoubleType), CreateArray(es.tail))),
+    "quantilesexact" -> ((es: Seq[Expression]) =>
+      new Percentile(Cast(es.head, DoubleType), CreateArray(es.tail))),
+    "quantilestiming" -> ((es: Seq[Expression]) =>
+      new Percentile(Cast(es.head, DoubleType), CreateArray(es.tail))),
+    "medianexact" -> ((es: Seq[Expression]) =>
+      new Percentile(Cast(es.head, DoubleType), Literal(0.5))),
+    "mediantiming" -> ((es: Seq[Expression]) =>
+      new Percentile(Cast(es.head, DoubleType), Literal(0.5))),
+    "uniqcombined64" -> ((es: Seq[Expression]) => new HyperLogLogPlusPlus(es.head)),
   )
 
   def registerAll(spark: SparkSession): Unit = {

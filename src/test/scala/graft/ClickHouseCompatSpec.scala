@@ -84,6 +84,26 @@ class ClickHouseCompatSpec extends SparkSpec {
     assert(r2.getDouble(2) > 0)
     val plainSum = spark.sql("SELECT sum(l_quantity) FROM li_agg").head().getDouble(0)
     assert(math.abs(r2.getDouble(3) - plainSum) < 1e-6) // compensated ≈ plain
+    // plural quantiles + sumCount/singleValueOrNull + remaining aliases
+    val r3 = spark.sql("""
+      SELECT quantiles(l_quantity, 0.25, 0.5, 0.75) AS qs,
+             quantileExact(l_quantity, 0.25) AS q25,
+             sumCount(l_quantity) AS sc,
+             singleValueOrNull(l_returnflag) AS sv1,
+             uniqCombined64(l_suppkey) AS uc
+      FROM li_agg""").head()
+    val qs = r3.getSeq[Double](0)
+    assert(qs.length === 3 && qs(0) === r3.getDouble(1)) // plural == scalar
+    assert(qs(0) <= qs(1) && qs(1) <= qs(2))
+    val sc = r3.getStruct(2)
+    assert(math.abs(sc.getDouble(0) - plainSum) < 1e-6)
+    assert(r3.isNullAt(3)) // A/N/R return flags → NULL
+    assert(math.abs(r3.getLong(4) - exact) <= math.max(1L, exact / 20))
+    // singleValueOrNull returns THE value on a single-valued group
+    val sv = spark.sql(
+      "SELECT singleValueOrNull(l_returnflag) FROM li_agg WHERE l_returnflag = 'A'")
+      .head().getString(0)
+    assert(sv === "A")
   }
 
   test("tranche-2 string / bit / conversion aliases") {
