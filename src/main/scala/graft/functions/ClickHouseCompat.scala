@@ -1100,6 +1100,32 @@ object ClickHouseCompat {
       "CAST(sequence(array_min(map_keys(m)), array_max(map_keys(m))) AS ARRAY<INT>), " +
       "transform(sequence(array_min(map_keys(m)), array_max(map_keys(m))), " +
       "k -> coalesce(element_at(m, CAST(k AS INT)), CAST(0 AS DOUBLE)))))",
+    // ---- tranche 11: AES coding (FunctionsAES.h) over Spark's JCE-backed
+    //      builtins; the reference's 'aes-<bits>-<mode>' string maps to
+    //      Spark's MODE + key-length validation. Deterministic modes only
+    //      (GCM generates a random IV in Spark — contract-level alias).
+    "encrypt(mode STRING, plain STRING, key STRING) RETURNS BINARY RETURN " +
+      "aes_encrypt(CAST(plain AS BINARY), CAST(key AS BINARY), " +
+      "upper(element_at(split(mode, '-'), 3)), 'DEFAULT')",
+    "decrypt(mode STRING, ct BINARY, key STRING) RETURNS STRING RETURN " +
+      "CAST(aes_decrypt(ct, CAST(key AS BINARY), " +
+      "upper(element_at(split(mode, '-'), 3)), 'DEFAULT') AS STRING)",
+    "tryDecrypt(mode STRING, ct BINARY, key STRING) RETURNS STRING RETURN " +
+      "CAST(try_aes_decrypt(ct, CAST(key AS BINARY), " +
+      "upper(element_at(split(mode, '-'), 3)), 'DEFAULT') AS STRING)",
+    // MySQL-compat variants: identical for keys of exact AES length
+    // (the reference's MySQL key-folding for oversized keys is out of
+    // scope — Spark rejects non-AES key lengths instead)
+    "aes_encrypt_mysql(mode STRING, plain STRING, key STRING) RETURNS BINARY RETURN " +
+      "aes_encrypt(CAST(plain AS BINARY), CAST(key AS BINARY), " +
+      "upper(element_at(split(mode, '-'), 3)), 'DEFAULT')",
+    "aes_decrypt_mysql(mode STRING, ct BINARY, key STRING) RETURNS STRING RETURN " +
+      "CAST(aes_decrypt(ct, CAST(key AS BINARY), " +
+      "upper(element_at(split(mode, '-'), 3)), 'DEFAULT') AS STRING)",
+    // ---- tranche 11: server introspection (contract: stable values for
+    //      a single-JVM "server"; currentUser/currentDatabase map to
+    //      Spark's session catalog state) ----
+    "currentUser() RETURNS STRING RETURN current_user()",
   )
 
   /** Base58 (Bitcoin alphabet) and punycode/IDNA codecs — the reference
@@ -1287,6 +1313,16 @@ object ClickHouseCompat {
     def lcm(a: Long, b: Long): Long =
       if (a == 0 || b == 0) 0L
       else math.abs(a / gcd(a, b) * b)
+
+    object LocalHost {
+      lazy val name: String =
+        try java.net.InetAddress.getLocalHost.getHostName
+        catch { case _: Exception => "localhost" }
+      lazy val fqdn: String =
+        try java.net.InetAddress.getLocalHost.getCanonicalHostName
+        catch { case _: Exception => "localhost" }
+      val uuid: String = java.util.UUID.randomUUID().toString
+    }
   }
 
   def installNative(spark: SparkSession): Unit = {
@@ -1305,6 +1341,15 @@ object ClickHouseCompat {
       org.apache.commons.math3.special.Erf.erf(x))
     spark.udf.register("erfc", (x: Double) =>
       org.apache.commons.math3.special.Erf.erfc(x))
+    // server introspection: single-JVM "server" identity (hostName/FQDN
+    // per InetAddress; serverUUID stable for the JVM lifetime; uptime
+    // from JVM start — the reference's server-process counterparts)
+    spark.udf.register("hostName", () => Tranche10.LocalHost.name)
+    spark.udf.register("FQDN", () => Tranche10.LocalHost.fqdn)
+    spark.udf.register("serverUUID", () => Tranche10.LocalHost.uuid)
+    spark.udf.register("uptime", () =>
+      (System.currentTimeMillis() -
+        java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime) / 1000L)
     spark.udf.register("base58Encode", (s: String) => Codecs.base58Encode(s))
     spark.udf.register("base58Decode", (s: String) => Codecs.base58Decode(s))
     spark.udf.register("tryBase58Decode", (s: String) => Codecs.tryBase58Decode(s))

@@ -691,4 +691,22 @@ class ClickHouseCompatSpec extends SparkSpec {
     assert(q1("initcapUTF8('hello world')") === "Hello World")
     assert(q1("leftUTF8('abcdef', 3)") === "abc")
   }
+
+  test("tranche-11: AES coding + server introspection") {
+    def q1(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
+    assert(q1("decrypt('aes-128-ecb', encrypt('aes-128-ecb', 'secret', '0123456789abcdef'), " +
+      "'0123456789abcdef')") === "secret")
+    assert(q1("decrypt('aes-256-ecb', encrypt('aes-256-ecb', 'payload', " +
+      "'0123456789abcdef0123456789abcdef'), '0123456789abcdef0123456789abcdef')") === "payload")
+    // wrong key: tryDecrypt nulls instead of throwing
+    assert(q1("tryDecrypt('aes-128-ecb', encrypt('aes-128-ecb', 'x', '0123456789abcdef'), " +
+      "'fedcba9876543210')") === null)
+    assert(q1("aes_decrypt_mysql('aes-128-ecb', aes_encrypt_mysql('aes-128-ecb', 'm', " +
+      "'0123456789abcdef'), '0123456789abcdef')") === "m")
+    assert(q1("length(hostName()) > 0") === true)
+    assert(q1("length(FQDN()) > 0") === true)
+    assert(q1("length(serverUUID())") === 36)
+    assert(q1("uptime() >= 0") === true)
+    assert(q1("currentUser() IS NOT NULL") === true)
+  }
 }
