@@ -200,7 +200,8 @@ object FtsIndex {
       k: Int,
       operator: String = "OR",
       scoreName: String = "bm25_score",
-      tieBreak: Seq[Column] = Nil): DataFrame = {
+      tieBreak: Seq[Column] = Nil,
+      deletedIds: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val meta = loadMeta(indexDir)
     val terms = TextSearch.queryTerms(query)
@@ -237,7 +238,20 @@ object FtsIndex {
       case "AND" => scored.filter(col("__nterms") === live.size)
       case _     => scored
     }
-    matched.drop("__nterms")
+    // Lightweight-DELETE mask (reference 00040_mqvs_hybrid_search_with_lwd
+    // over a part WITH a Tantivy index): deleted rows vanish from the
+    // RESULT while the index-resident statistics (N, avgdl, df) keep
+    // their built values until a merge rebuilds the part — the direct
+    // path (TextSearch over the masked frame) is the post-merge twin
+    // that recomputes stats over survivors. Anti-join BEFORE the top-K
+    // cut so k survivors return.
+    val masked = deletedIds match {
+      case Some(del) =>
+        matched.join(broadcast(del.select(col(del.columns.head).cast("long")
+          .as("doc_id"))), Seq("doc_id"), "left_anti")
+      case None => matched
+    }
+    masked.drop("__nterms")
       .orderBy(col(scoreName).desc +: tieBreak: _*)
       .limit(k)
   }

@@ -25,11 +25,14 @@ object TextQueries {
   private def bm25OracleSql(
       terms: Seq[String], k: Int, and: Boolean,
       corpus: String = "documents",
-      qtSql: Option[String] = None): String = {
+      qtSql: Option[String] = None,
+      resultWhere: Option[String] = None): String = {
     val termList = terms.map(t => s"'$t'").mkString("[", ", ", "]")
+    val wherePieces =
+      (if (and) Seq(s"doc_id IN (SELECT doc_id FROM d WHERE list_has_all(toks, $termList))")
+       else Nil) ++ resultWhere.toSeq
     val andFilter =
-      if (and) s"WHERE doc_id IN (SELECT doc_id FROM d WHERE list_has_all(toks, $termList))"
-      else ""
+      if (wherePieces.isEmpty) "" else "WHERE " + wherePieces.mkString(" AND ")
     val qtClause = qtSql.getOrElse(s"SELECT unnest($termList) AS term")
     s"""
       WITH d AS (SELECT doc_id, $toksSql AS toks FROM $corpus),
@@ -149,11 +152,25 @@ object TextQueries {
         .select(col("doc_id"), round(col("bm25_score"), 4).as("bm25_score"))
         .orderBy(col("bm25_score").desc, col("doc_id"))
     }),
+    // FTS-INDEX search AFTER a lightweight DELETE: the reference's
+    // index path masks deleted rows out of the RESULT while the
+    // index-resident BM25 stats keep their built values until a merge
+    // (t16 below is the post-merge twin that recomputes stats). The
+    // oracle scores with full-corpus stats and filters the result set.
+    "t17_fts_lwd" -> ((s, dir) => {
+      val deleted = t(s, dir, "documents")
+        .filter(col("doc_id") % 7 === 3).select(col("doc_id"))
+      FtsIndex.search(s, ftsDir(s, dir), query1, 10, "OR", "bm25_score",
+          Seq(col("doc_id")), deletedIds = Some(deleted))
+        .select(col("doc_id"), round(col("bm25_score"), 4).as("bm25_score"))
+        .orderBy(col("bm25_score").desc, col("doc_id"))
+    }),
     // textsearch() AFTER a lightweight DELETE (reference
     // 00040_mqvs_hybrid_search_with_lwd.sql re-runs textsearch after
     // `DELETE FROM t WHERE id=13`): the masked rows disappear from the
     // result AND from the BM25 global statistics (N, avgdl, df), exactly
-    // as the reference's index search honors `_row_exists`.
+    // as the reference's index search honors `_row_exists` — the
+    // post-merge semantics; t17 above is the index-path pre-merge twin.
     "t16_textsearch_lwd" -> ((s, dir) => {
       val surviving = Deletes.applyMask(
         Deletes.delete(t(s, dir, "documents"), col("doc_id") % 7 === 3))
@@ -440,6 +457,9 @@ object TextQueries {
     "t16_textsearch_lwd" -> bm25OracleSql(TextSearch.queryTerms(query1), 10,
       and = false,
       corpus = "(SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3)"),
+    // index-path LWD: full-corpus (index-built) stats, masked results.
+    "t17_fts_lwd" -> bm25OracleSql(TextSearch.queryTerms(query1), 10,
+      and = false, resultWhere = Some("doc_id % 7 <> 3")),
     // The indexed paths share the non-indexed oracles — proving
     // index path ≡ direct path ≡ oracle.
     "t07_fts_topk" -> bm25OracleSql(TextSearch.queryTerms(query1), 10, and = false),
