@@ -211,17 +211,23 @@ object HybridSearch {
       denseNprobe: Int = 4,
       metric: String = "cosine",
       fusionWeight: Double = DefaultFusionWeight,
-      rrfK: Int = DefaultRrfK): DataFrame = {
+      rrfK: Int = DefaultRrfK,
+      deletedIds: Option[DataFrame] = None): DataFrame = {
     val nCand = k * TopKMultipleBase
     val distAsc = !metric.equalsIgnoreCase("ip")
+    // Lightweight-DELETE over the fully-indexed path (reference
+    // 00040_with_lwd on indexed parts): BOTH candidate legs drop deleted
+    // rows before their top-nCand cuts; index-resident statistics stay
+    // at their built values until merge (FtsIndex.search's contract).
     val vecCand = IvfIndex.search(spark, vecIndexDir, qvec, nCand,
         nprobe = denseNprobe, metricOverride = Some(metric),
-        preFilter = None, distName = "dist", tieBreak = Seq(col(vecIdCol)))
+        preFilter = None, distName = "dist", tieBreak = Seq(col(vecIdCol)),
+        deletes = deletedIds)
       .withColumnRenamed(vecIdCol, idCol)
       .select(col(idCol), col("dist"))
     val textCand = FtsIndex
       .search(spark, ftsIndexDir, qtext, nCand, "OR", "bm25_score",
-        Seq(col("doc_id")))
+        Seq(col("doc_id")), deletedIds = deletedIds)
       .withColumnRenamed("doc_id", idCol)
       .select(col(idCol), col("bm25_score"))
     fusionType.toLowerCase match {

@@ -322,6 +322,23 @@ object TextQueries {
         .select(col("doc_id"), round(col("bm25_score"), 4).as("bm25_score"))
         .orderBy(col("bm25_score").desc, col("doc_id"))
     }),
+    // FULLY-INDEXED hybrid search AFTER a lightweight DELETE: the IVF
+    // dense leg anti-joins the mask inside the probed lists (v13's
+    // machinery) and the FTS text leg masks results against index-built
+    // stats (t17's machinery) — the reference's indexed pre-merge
+    // behavior on both legs. dense_nprobe=16 probes every list ⇒ exact.
+    "h06_hybrid_lwd_indexed" -> ((s, dir) => {
+      val deleted = t(s, dir, "documents")
+        .filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id").as("vec_id")) // IVF masks by the vector id col
+      val qvec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      HybridSearch.hybridSearchFullyIndexed(s, "doc_id", "vec_id", qvec,
+          query1, 10, hybIvfDir(s, dir), hybFtsDir(s, dir), "rsf",
+          denseNprobe = 16, deletedIds = Some(deleted))
+        .select(col("doc_id"), round(col("fused_score"), 4).as("fused_score"))
+        .orderBy(col("fused_score").desc, col("doc_id"))
+    }),
     // Hybrid search AFTER a lightweight DELETE (reference
     // 00040_mqvs_hybrid_search_with_lwd.sql): BOTH legs honor the mask —
     // the dense leg never surfaces a deleted row as a candidate and the
@@ -384,12 +401,22 @@ object TextQueries {
     * embeddings on doc_id = vec_id (they can differ in cardinality per
     * scale factor, and BM25 statistics are corpus-global).
     */
+  /** @param maskResultsOnly pre-merge index semantics: BM25 statistics
+    *   over the FULL corpus, the survivor predicate applied only to the
+    *   candidate lists (t17's contract, both legs).
+    */
   private def hybridOracleSql(
-      fusion: String, survivor: Option[String] = None): String = {
-    val corpusWhere = survivor.map(p => s" WHERE d2.doc_id $p").getOrElse("")
+      fusion: String, survivor: Option[String] = None,
+      maskResultsOnly: Boolean = false): String = {
+    val corpusWhere =
+      if (maskResultsOnly) ""
+      else survivor.map(p => s" WHERE d2.doc_id $p").getOrElse("")
     val corpus =
       "(SELECT d2.doc_id, d2.text FROM documents d2 JOIN embeddings e " +
         s"ON d2.doc_id = e.vec_id$corpusWhere)"
+    val bmWhere =
+      if (maskResultsOnly) survivor.map(p => s" WHERE doc_id $p").getOrElse("")
+      else ""
     val vecWhere = survivor.map(p => s" WHERE vec_id $p").getOrElse("")
     val qv = "(SELECT embedding FROM embeddings WHERE vec_id = 0)"
     val fusionSelect = fusion match {
@@ -424,7 +451,7 @@ object TextQueries {
     }
     s"""
       WITH ${bm25ScoresCte(TextSearch.queryTerms(query1), corpus)},
-      bm25_cand AS (SELECT doc_id, score FROM scores
+      bm25_cand AS (SELECT doc_id, score FROM scores$bmWhere
                     ORDER BY score DESC, doc_id LIMIT 30),
       vec_cand AS (SELECT vec_id AS doc_id,
                           CAST(1.0 - list_cosine_similarity(embedding, $qv) AS DOUBLE) AS dist
@@ -443,6 +470,9 @@ object TextQueries {
     "h04_hybrid_dense_ivf" -> hybridOracleSql("rsf"),
     // LWD hybrid: both legs and the fusion restricted to survivors.
     "h05_hybrid_lwd" -> hybridOracleSql("rsf", survivor = Some("% 7 <> 3")),
+    // indexed LWD hybrid: full-corpus (index-built) stats, masked legs.
+    "h06_hybrid_lwd_indexed" -> hybridOracleSql("rsf",
+      survivor = Some("% 7 <> 3"), maskResultsOnly = true),
     "t01_bm25_topk" -> bm25OracleSql(TextSearch.queryTerms(query1), 10, and = false),
     "t02_bm25_and" -> bm25OracleSql(TextSearch.queryTerms(query2), 10, and = true),
     // Query string from a scalar subquery: the query's term set is the
