@@ -1126,6 +1126,14 @@ object ClickHouseCompat {
     //      a single-JVM "server"; currentUser/currentDatabase map to
     //      Spark's session catalog state) ----
     "currentUser() RETURNS STRING RETURN current_user()",
+    // ---- tranche 12: NLP-lite + consistent hashing ----
+    // detectLanguage: the same stopword-density heuristic as the
+    // pipeline's langId column fn ('un' = the reference's unknown code)
+    "detectLanguage(s STRING) RETURNS STRING RETURN " +
+      "IF(size(tokens(s)) > 0 AND " +
+      "CAST(size(filter(tokens(s), t -> t IN ('the', 'a', 'an', 'of', 'and', " +
+      "'to', 'in', 'is', 'it', 'that', 'on', 'for', 'with', 'as', 'was', " +
+      "'at', 'by'))) AS DOUBLE) / size(tokens(s)) >= 0.03, 'en', 'un')",
   )
 
   /** Base58 (Bitcoin alphabet) and punycode/IDNA codecs — the reference
@@ -1323,6 +1331,51 @@ object ClickHouseCompat {
         catch { case _: Exception => "localhost" }
       val uuid: String = java.util.UUID.randomUUID().toString
     }
+
+    /** Jump consistent hash (Lamping & Veach, arXiv:1406.2294) — the
+      * bucket for `key` among `buckets`, minimal-movement on resize.
+      */
+    def jumpConsistentHash(key: Long, buckets: Int): Int = {
+      var k = key
+      var b = -1L
+      var j = 0L
+      while (j < buckets) {
+        b = j
+        k = k * 2862933555777941757L + 1
+        j = ((b + 1) * (2147483648.0 / (((k >>> 33) + 1).toDouble))).toLong
+      }
+      b.toInt
+    }
+
+    private def spreadBits(v: Long): Long = {
+      var x = v & 0xffffffffL
+      x = (x | (x << 16)) & 0x0000ffff0000ffffL
+      x = (x | (x << 8)) & 0x00ff00ff00ff00ffL
+      x = (x | (x << 4)) & 0x0f0f0f0f0f0f0f0fL
+      x = (x | (x << 2)) & 0x3333333333333333L
+      x = (x | (x << 1)) & 0x5555555555555555L
+      x
+    }
+
+    private def compactBits(v: Long): Long = {
+      var x = v & 0x5555555555555555L
+      x = (x | (x >>> 1)) & 0x3333333333333333L
+      x = (x | (x >>> 2)) & 0x0f0f0f0f0f0f0f0fL
+      x = (x | (x >>> 4)) & 0x00ff00ff00ff00ffL
+      x = (x | (x >>> 8)) & 0x0000ffff0000ffffL
+      x = (x | (x >>> 16)) & 0x00000000ffffffffL
+      x
+    }
+
+    /** 2-D Morton (Z-order) encode/decode — 32-bit coordinates
+      * interleaved into one UInt64 (`src/Functions/mortonEncode.cpp`'s
+      * 2-argument form; standard bit-twiddling spread/compact).
+      */
+    def mortonEncode(x: Long, y: Long): Long =
+      spreadBits(x) | (spreadBits(y) << 1)
+
+    def mortonDecode(z: Long): Array[Long] =
+      Array(compactBits(z), compactBits(z >>> 1))
   }
 
   def installNative(spark: SparkSession): Unit = {
@@ -1350,6 +1403,11 @@ object ClickHouseCompat {
     spark.udf.register("uptime", () =>
       (System.currentTimeMillis() -
         java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime) / 1000L)
+    spark.udf.register("jumpConsistentHash",
+      (k: Long, b: Int) => Tranche10.jumpConsistentHash(k, b))
+    spark.udf.register("mortonEncode",
+      (x: Long, y: Long) => Tranche10.mortonEncode(x, y))
+    spark.udf.register("mortonDecode", (z: Long) => Tranche10.mortonDecode(z))
     spark.udf.register("base58Encode", (s: String) => Codecs.base58Encode(s))
     spark.udf.register("base58Decode", (s: String) => Codecs.base58Decode(s))
     spark.udf.register("tryBase58Decode", (s: String) => Codecs.tryBase58Decode(s))

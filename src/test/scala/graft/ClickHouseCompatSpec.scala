@@ -709,4 +709,26 @@ class ClickHouseCompatSpec extends SparkSpec {
     assert(q1("uptime() >= 0") === true)
     assert(q1("currentUser() IS NOT NULL") === true)
   }
+
+  test("tranche-12: consistent hashing, morton, detectLanguage") {
+    def q1(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
+    // buckets=1 → always 0; stability: same key same bucket; range bound
+    assert(q1("jumpConsistentHash(42, 1)") === 0)
+    assert(q1("jumpConsistentHash(123456789, 32) = jumpConsistentHash(123456789, 32)") === true)
+    val b = q1("jumpConsistentHash(987654321, 16)").asInstanceOf[Int]
+    assert(b >= 0 && b < 16)
+    // minimal movement: growing 16→17 moves ~1/17 of keys
+    val moved = spark.sql("""
+      SELECT count(1) FROM (SELECT id FROM range(1000)
+      WHERE jumpConsistentHash(id, 16) != jumpConsistentHash(id, 17))""")
+      .head().getLong(0)
+    assert(moved > 20 && moved < 120, s"moved $moved of 1000 on 16->17")
+    // morton round trip + known vector: x=5(101) even bits, y=3(011)
+    // odd bits → y2x2 y1x1 y0x0 = 01 10 11 = 27
+    assert(q1("mortonEncode(5, 3)") === 27L)
+    assert(q1("mortonDecode(27)") === Seq(5L, 3L))
+    assert(q1("mortonDecode(mortonEncode(123456, 654321))") === Seq(123456L, 654321L))
+    assert(q1("detectLanguage('the cat sat on the mat and it was good')") === "en")
+    assert(q1("detectLanguage('xyzzy qwerty asdf')") === "un")
+  }
 }
