@@ -10,9 +10,9 @@ import org.apache.spark.sql.SparkSession
   * RETURN expr` machinery a user would use.
   *
   * Notes on deviations:
-  *  - hash aliases (cityHash64/sipHash64/farmHash64 → xxhash64) preserve
-  *    the contract (stable 64-bit hash) but NOT the exact hash values of
-  *    the reference implementation;
+  *  - hash functions (cityHash64, sipHash64, the murmur family, ...)
+  *    are VALUE-EXACT native ports in [[HashParity]] (the old xxhash64
+  *    aliases are gone);
   *  - functions are registered with one pragmatic typed signature
   *    (ClickHouse overloads polymorphically; Spark SQL UDFs are typed).
   */
@@ -137,12 +137,7 @@ object ClickHouseCompat {
     "splitByChar(sep STRING, s STRING) RETURNS ARRAY<STRING> RETURN split(s, concat('\\\\Q', sep, '\\\\E'), -1)",
     "trimBoth(s STRING) RETURNS STRING RETURN trim(s)",
     "concatAssumeInjective(a STRING, b STRING) RETURNS STRING RETURN concat(a, b)",
-    // ---- hashes (value deviation documented above) ----
-    "cityHash64(s STRING) RETURNS BIGINT RETURN xxhash64(s)",
-    "sipHash64(s STRING) RETURNS BIGINT RETURN xxhash64(s)",
-    "farmHash64(s STRING) RETURNS BIGINT RETURN xxhash64(s)",
-    "intHash64(x BIGINT) RETURNS BIGINT RETURN xxhash64(x)",
-    "halfMD5(s STRING) RETURNS STRING RETURN substring(md5(s), 1, 16)",
+    // ---- hashes: value-exact natives live in HashParity.install ----
     // ---- arrays (reference src/Functions/array/) ----
     "arraySum(a ARRAY<DOUBLE>) RETURNS DOUBLE RETURN aggregate(a, 0D, (acc, x) -> acc + x)",
     "arrayAvg(a ARRAY<DOUBLE>) RETURNS DOUBLE RETURN aggregate(a, 0D, (acc, x) -> acc + x) / size(a)",
@@ -1445,6 +1440,7 @@ object ClickHouseCompat {
       r
     })
     TypeFronts.installNative(spark)
+    HashParity.install(spark)
   }
 
   /** Install all aliases (CREATE OR REPLACE, idempotent); returns names

@@ -88,7 +88,7 @@ object Dedup {
     // CollapseProject trap — 5× slowdown measured).
     val exploded = df
       .select(idCol.as("id"),
-        transform(text.tokenize(textCol), t => xxhash64(t)).as("__th"))
+        transform(text.tokenize(textCol), t => graft.functions.SparkHash.xxh64(t)).as("__th"))
       .select(col("id"),
         explode(array_distinct(hashShingles(col("__th"), n))).as("shash"))
     // Canonical global order = ASCENDING document frequency (ties by
@@ -151,17 +151,17 @@ object Dedup {
     val idxs = when(cnt >= 1, sequence(lit(1), cnt))
       .otherwise(array().cast("array<int>"))
     transform(idxs, i =>
-      xxhash64((0 until n).map(j => element_at(tokenHashes, i + j)): _*))
+      graft.functions.SparkHash.xxh64((0 until n).map(j => element_at(tokenHashes, i + j)): _*))
   }
 
   /** MinHash signature as an array<bigint> column: numPerm independent
-    * hash functions h_i(s) = xxhash64(i, shingle-hash), min over shingles.
+    * hash functions h_i(s) = graft.functions.SparkHash.xxh64(i, shingle-hash), min over shingles.
     */
   def minhashSignature(textCol: Column, n: Int = 3, numPerm: Int = 64): Column = {
     val baseHashes = array_distinct(
-      hashShingles(transform(text.tokenize(textCol), t => xxhash64(t)), n))
+      hashShingles(transform(text.tokenize(textCol), t => graft.functions.SparkHash.xxh64(t)), n))
     val perms = sequence(lit(0), lit(numPerm - 1))
-    transform(perms, i => array_min(transform(baseHashes, h => xxhash64(i, h))))
+    transform(perms, i => array_min(transform(baseHashes, h => graft.functions.SparkHash.xxh64(i, h))))
   }
 
   /** MinHash + LSH banding: docs sharing ≥1 band bucket become candidate
@@ -188,10 +188,10 @@ object Dedup {
     // which halves the signature stage cost vs string shingles.
     val exploded = df
       .select(idCol.as("id"),
-        transform(text.tokenize(textCol), t => xxhash64(t)).as("__th"))
+        transform(text.tokenize(textCol), t => graft.functions.SparkHash.xxh64(t)).as("__th"))
       .select(col("id"), explode(array_distinct(hashShingles(col("__th"), n))).as("shash"))
     val minAggs = (0 until numPerm).map(i =>
-      min(xxhash64(lit(i), col("shash"))).as(s"__m$i"))
+      min(graft.functions.SparkHash.xxh64(lit(i), col("shash"))).as(s"__m$i"))
     val sigs = exploded
       .groupBy("id")
       .agg(minAggs.head, minAggs.tail: _*)
@@ -234,7 +234,7 @@ object Dedup {
       toks,
       array_repeat(lit(0), 64),
       (acc, t) => {
-        val h = xxhash64(t)
+        val h = graft.functions.SparkHash.xxh64(t)
         zip_with(acc, sequence(lit(0), lit(63)),
           (a, j) => a + when(call_function("shiftright", h, j).bitwiseAND(1) === 1, 1).otherwise(-1))
       })
@@ -252,7 +252,7 @@ object Dedup {
   def simhashSignatures(df: DataFrame, textCol: Column, idCol: Column): DataFrame = {
     val toks = df
       .select(idCol.as("id"),
-        transform(text.tokenize(textCol), t => xxhash64(t)).as("__th"))
+        transform(text.tokenize(textCol), t => graft.functions.SparkHash.xxh64(t)).as("__th"))
       .select(col("id"), explode(col("__th")).as("__t"))
     val bitSums = (0 until 64).map { j =>
       sum(when(call_function("shiftright", col("__t"), lit(j))
@@ -567,7 +567,7 @@ object Dedup {
       benchTextCol: Column,
       n: Int = 5): DataFrame = {
     def sh(df: DataFrame, t: Column, id: Column): DataFrame = df
-      .select(id.as("id"), transform(text.tokenize(t), w => xxhash64(w)).as("__th"))
+      .select(id.as("id"), transform(text.tokenize(t), w => graft.functions.SparkHash.xxh64(w)).as("__th"))
       .select(col("id"), explode(array_distinct(hashShingles(col("__th"), n))).as("shash"))
     val corpusSh = sh(corpus, textCol, idCol)
     val benchSh = sh(bench, benchTextCol, idCol).select("shash").distinct()

@@ -739,6 +739,31 @@ object RelationalQueries {
           sum(when(col("hs"), 1L).otherwise(0L)).as("hs_n"))
         .orderBy(col("pri"))
     }),
+    // Hash-parity end-to-end: the value-exact ClickHouse hash surface
+    // (HashParity/ChHash) evaluated through SQL; the DuckDB oracle is
+    // the reference's OWN expected outputs (00678_murmurhash,
+    // 00746_hashing_tuples, 00751_hashing_ints, 00803_xxhash .reference
+    // files) as signed-BIGINT literals. ClickHouseCompat.install runs in
+    // the Verify session, so the names resolve.
+    "q58_hash_parity" -> ((s, dir) => {
+      s.range(1).selectExpr(
+        "cityHash64(123456) AS city_int",
+        "cityHash64(1, 2, '') AS city_chain",
+        "sipHash64(123456) AS sip_int",
+        "sipHash64(CAST(1 AS TINYINT), CAST(2 AS TINYINT), CAST(3 AS TINYINT)) AS sip_chain",
+        "halfMD5(123456) AS half_int",
+        "halfMD5(CAST(1 AS TINYINT), CAST(2 AS TINYINT), CAST(3 AS TINYINT)) AS half_chain",
+        "farmFingerprint64('123456') AS farm_str",
+        "murmurHash2_64('foo') AS mm2_64",
+        "murmurHash3_64('foo') AS mm3_64",
+        "gccMurmurHash('foo') AS gcc",
+        "xxHash64('foo') AS xx64_foo",
+        "xxHash64('') AS xx64_empty",
+        "xxHash64(CAST(1 AS TINYINT), CAST(2 AS TINYINT), CAST(3 AS TINYINT)) AS xx64_chain",
+        "murmurHash2_32('foo') AS mm2_32",
+        "murmurHash3_32('foo') AS mm3_32",
+        "xxHash32('ABC') AS xx32")
+    }),
     // GROUP BY with expression keys + IN-subquery semi join.
     "q30_in_subquery" -> ((s, dir) => {
       val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
@@ -808,6 +833,26 @@ object RelationalQueries {
                ip4n // 65536 % 256, ip4n // 256 % 256, ip4n % 256) AS ip46,
              CAST(seg_code AS INT) AS seg_code
       FROM c ORDER BY uid LIMIT 100""",
+    // Reference expected outputs (tests/queries/0_stateless/
+    // 00678/00746/00751/00803 .reference) as signed two's-complement
+    // BIGINT literals — value-exactness is the whole point.
+    "q58_hash_parity" -> """
+      SELECT CAST(-5067632665394241483 AS BIGINT) AS city_int,
+             CAST(3151614220437955012 AS BIGINT) AS city_chain,
+             CAST(-6728778887698311270 AS BIGINT) AS sip_int,
+             CAST(-5505958280149656357 AS BIGINT) AS sip_chain,
+             CAST(1452224150530656417 AS BIGINT) AS half_int,
+             CAST(955237314186186656 AS BIGINT) AS half_chain,
+             CAST(7773179648686038998 AS BIGINT) AS farm_str,
+             CAST(-3612388048407209215 AS BIGINT) AS mm2_64,
+             CAST(-7143270089942419226 AS BIGINT) AS mm3_64,
+             CAST(-8815544250789716390 AS BIGINT) AS gcc,
+             CAST(3728699739546630719 AS BIGINT) AS xx64_foo,
+             CAST(-1205034819632174695 AS BIGINT) AS xx64_empty,
+             CAST(-4718000591466899914 AS BIGINT) AS xx64_chain,
+             CAST(2414502773 AS BIGINT) AS mm2_32,
+             CAST(4138058784 AS BIGINT) AS mm3_32,
+             CAST(2154901205 AS BIGINT) AS xx32""",
     "q57_weeks_subseq" -> """
       WITH c AS (
         SELECT CASE WHEN dayofyear(o_orderdate) <

@@ -32,7 +32,7 @@ object TableFunctions {
       seed: Long = 42L): DataFrame = {
     val base = spark.range(n)
     schema.fields.foldLeft(base.toDF()) { (df, f) =>
-      val h = abs(xxhash64(col("id"), lit(seed), lit(f.name)))
+      val h = abs(graft.functions.SparkHash.xxh64(col("id"), lit(seed), lit(f.name)))
       val value = f.dataType match {
         case org.apache.spark.sql.types.LongType    => h
         case org.apache.spark.sql.types.IntegerType => (h % 1000000).cast("int")

@@ -29,7 +29,8 @@ class ClickHouseCompatSpec extends SparkSpec {
     assert(q1("splitByChar(',', 'a,b,,c')") === Seq("a", "b", "", "c"))
     assert(q1("splitByChar('.', 'a.b')") === Seq("a", "b")) // regex metachar quoted
     assert(q1("substringUTF8('abcdef', 2, 3)") === "bcd")
-    assert(q1("halfMD5('x')").toString.length === 16)
+    // halfMD5 is now the value-exact UInt64 native (HashParitySpec)
+    assert(q1("halfMD5('x')").isInstanceOf[Long])
   }
 
   test("array aliases") {
@@ -45,7 +46,8 @@ class ClickHouseCompatSpec extends SparkSpec {
 
   test("hash and arithmetic aliases") {
     def q1(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
-    assert(q1("cityHash64('abc')") === q1("xxhash64('abc')"))
+    // cityHash64 is now the value-exact CityHash v1.0.2 native (HashParitySpec)
+    assert(q1("cityHash64('abc')") !== q1("xxhash64('abc')"))
     assert(q1("intDiv(7, 2)") === 3L)
     assert(q1("multiIf3(false, 1D, true, 2D, 3D)") === 2.0)
     assert(q1("toFloat64('1.5')") === 1.5)

@@ -1,0 +1,193 @@
+package graft
+
+import graft.functions.HashParity._
+import java.lang.Long.parseUnsignedLong
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Value-exactness of the hash surface against the reference's OWN
+  * expected outputs:
+  *  - `tests/queries/0_stateless/00678_murmurhash.sql` (+ .reference)
+  *  - `tests/queries/0_stateless/00746_hashing_tuples.sql`
+  *  - `tests/queries/0_stateless/00751_hashing_ints.sql`
+  *  - `tests/queries/0_stateless/00803_xxhash.sql`
+  *
+  * Integer-literal vectors hash the little-endian binary of the
+  * literal's ClickHouse type (123456 → UInt32 → 4 bytes).
+  *
+  * The >16-byte CityHash/FarmHash branches have no published string
+  * vectors, so they are pinned by regression anchors that were
+  * cross-validated against an independent Python transcription of the
+  * vendored public sources (30 random inputs over every length branch,
+  * 9 functions, 0 mismatches) — inputs regenerated deterministically
+  * from the same PRNG seed.
+  */
+class HashParitySpec extends SparkSpec {
+
+  private def b(s: String): Array[Byte] = s.getBytes(UTF_8)
+  private def u(s: String): Long = parseUnsignedLong(s)
+  private def le4(x: Int): Array[Byte] =
+    Array((x & 0xff).toByte, ((x >> 8) & 0xff).toByte, ((x >> 16) & 0xff).toByte, ((x >> 24) & 0xff).toByte)
+  private def hexOf(a: Array[Byte]): String = a.map(x => f"${x & 0xff}%02X").mkString
+
+  test("murmurHash2_32 reference vectors (00678_murmurhash)") {
+    assert(murmurHash2_32(b("foo")) === 2414502773L)
+    assert(murmurHash2_32(b("bar")) === 670491991L)
+    assert(murmurHash2_32(b("")) === 0L)
+    assert(murmurHash2_32(Array[Byte](1)) === 0L)
+    assert(murmurHash2_32(Array[Byte](2, 0)) === 0L)
+    assert(murmurHash2_32(Array[Byte](3, 0, 0)) === 0L)
+    assert(murmurHash2_32(le4(123456)) === 623211862L)
+  }
+
+  test("murmurHash2_64 / gccMurmurHash reference vectors") {
+    assert(murmurHash64A(b("foo")) === u("14834356025302342401"))
+    assert(murmurHash64A(Array[Byte](1)) === u("12725806677685968135"))
+    assert(gccMurmurHash(b("foo")) === u("9631199822919835226"))
+    assert(gccMurmurHash(Array[Byte](1)) === u("4334672815104069193"))
+  }
+
+  test("murmurHash3 family reference vectors") {
+    assert(murmurHash3_32(b("foo")) === 4138058784L)
+    assert(murmurHash3_32(Array[Byte](1)) === 3831157163L)
+    assert(murmurHash3_64(b("foo")) === u("11303473983767132390"))
+    assert(murmurHash3_64(Array[Byte](1)) === u("956517343494314387"))
+    assert(hexOf(murmurHash3_128(b("foo"))) === "6145F501578671E2877DBA2BE487AF7E")
+    assert(hexOf(murmurHash3_128(Array[Byte](1))) === "16FE7483905CCE7A85670E43E4678877")
+  }
+
+  test("sipHash64 / sipHash128 reference vectors (00746, 00751)") {
+    // sipHash64(123456) hashes the 4 little-endian bytes of the UInt32 literal
+    assert(sipHash64(le4(123456)) === u("11717965186011240346"))
+    assert(hexOf(sipHash128(b("foo"))) === "CC45107CC4B79F62D831BEF2103C7CBF")
+    assert(hexOf(sipHash128(Array[Byte](1))) === "DF2EC2F0669B000EDFF6ADEE264E7D68")
+    // multi-argument chain sipHash64(1, 2, 3) over UInt8 args
+    val s1 = sipHash64(Array[Byte](1))
+    val s2 = sipHash64(Array[Byte](2))
+    val s3 = sipHash64(Array[Byte](3))
+    assert(sipHash64Combine(sipHash64Combine(s1, s2), s3) === u("12940785793559895259"))
+  }
+
+  test("cityHash64 combinator + intHash64 pod chain (00259 tuples)") {
+    // cityHash64(1, 2, '') = Hash128to64(Hash128to64(IntHash64(1), IntHash64(2)), CityHash64(''))
+    val c = hash128to64(hash128to64(intHash64(1L), intHash64(2L)), cityHash64(b("")))
+    assert(c === u("3151614220437955012"))
+    // murmurHash2_64(1, 2, 3): combine = IntHash64Impl(h1) ^ h2
+    val m1 = murmurHash64A(Array[Byte](1))
+    val m2 = murmurHash64A(Array[Byte](2))
+    val m3 = murmurHash64A(Array[Byte](3))
+    assert((intHash64(intHash64(m1) ^ m2) ^ m3) === u("13951512892560982617"))
+  }
+
+  test("halfMD5 / farmFingerprint64 reference vectors (00751)") {
+    assert(halfMD5(le4(123456)) === u("1452224150530656417"))
+    assert(farmFingerprint64(b("123456")) === u("7773179648686038998"))
+  }
+
+  test("xxHash32/64 seed-0 reference vectors (00803)") {
+    assert(xxHash64(b("")) === u("17241709254077376921"))
+    assert(xxHash64(b("foo")) === u("3728699739546630719"))
+    assert(xxHash64(b("bar")) === u("5234164152756840025"))
+    assert(xxHash64(b("ABC")) === u("16603337192413064856")) // 0xe66ae7354fcfee98
+    assert(xxHash64(b("xxhash")) === 0x32dd38952c4bc720L)
+    assert(xxHash64(Array[Byte](1)) === u("9962287286179718960"))
+    assert(xxHash64(Array[Byte](2, 0)) === u("6482051057365497128"))
+    assert(xxHash64(Array[Byte](3, 0, 0, 0)) === u("13361037350151369407"))
+    assert(xxHash32(b("")) === 0x02cc5d05L)
+    assert(xxHash32(b("ABC")) === 0x80712ed5L)
+  }
+
+  test("javaHash / hiveHash / javaHashUTF16LE") {
+    assert(javaHash(b("abc")) === 96354)
+    assert(javaHashUTF16LE("abc") === 96354)
+    assert(hiveHash(b("abc")) === 96354)
+    assert(javaHash(b("")) === 0)
+  }
+
+  test("long-input regression anchors (Python cross-validated)") {
+    // Regenerate the cross-check inputs from the fixed seed; assert the
+    // two lengths that exercise the >64-byte City/Farm loop paths.
+    val rnd = new scala.util.Random(20260813L)
+    val lens = Seq(0, 1, 2, 3, 4, 5, 7, 8, 9, 12, 15, 16, 17, 24, 31, 32, 33, 40,
+      63, 64, 65, 80, 100, 127, 128, 129, 200, 255, 256, 1000)
+    val byLen = lens.map { n =>
+      val a = new Array[Byte](n); rnd.nextBytes(a); n -> a
+    }.toMap
+    val a100 = byLen(100)
+    assert(cityHash64(a100) === 2829743322838418667L)
+    assert(farmFingerprint64(a100) === -7838010221453947174L)
+    assert(xxHash64(a100) === 4926035347643104154L)
+    assert(xxHash32(a100) === 3215177513L)
+    assert(sipHash64(a100) === -8879705640908852599L)
+    assert(murmurHash64A(a100) === 4172630430792069367L)
+    assert(murmurHash3_64(a100) === 2352340436570985391L)
+    assert(murmurHash2_32(a100) === 2399918535L)
+    assert(murmurHash3_32(a100) === 3426513640L)
+    val a255 = byLen(255)
+    assert(cityHash64(a255) === 9159267777518019706L)
+    assert(farmFingerprint64(a255) === -8154392528261782717L)
+    assert(xxHash64(a255) === 1417976994098964282L)
+    assert(xxHash32(a255) === 55877988L)
+    assert(sipHash64(a255) === -7763293930315852322L)
+    assert(murmurHash64A(a255) === -5268215927882990355L)
+    assert(murmurHash3_64(a255) === -7832905709315260313L)
+    assert(murmurHash2_32(a255) === 2614824732L)
+    assert(murmurHash3_32(a255) === 1207093803L)
+  }
+
+  test("SQL registration: hash names resolve with exact values") {
+    val spark = TestSpark.spark
+    def q1(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
+    assert(q1("murmurHash2_32('foo')") === 2414502773L)
+    assert(q1("murmurHash2_64('foo')") === u("14834356025302342401"))
+    assert(q1("murmurHash3_32('foo')") === 4138058784L)
+    assert(q1("murmurHash3_64('foo')") === u("11303473983767132390"))
+    assert(q1("murmurHash3_128('foo')") === "6145F501578671E2877DBA2BE487AF7E")
+    assert(q1("gccMurmurHash('foo')") === u("9631199822919835226"))
+    assert(q1("sipHash128('foo')") === "CC45107CC4B79F62D831BEF2103C7CBF")
+    assert(q1("sipHash64('foo')") === sipHash64(b("foo")))
+    assert(q1("sipHash64Keyed(0, 0, 'foo')") === sipHash64(b("foo")))
+    assert(q1("cityHash64('abc')") === cityHash64(b("abc")))
+    assert(q1("cityHash64Combine(cityHash64(''), cityHash64(''))") ===
+      hash128to64(cityHash64(b("")), cityHash64(b(""))))
+    assert(q1("farmFingerprint64('123456')") === u("7773179648686038998"))
+    assert(q1("farmHash64('123456')") === u("7773179648686038998"))
+    assert(q1("xxHash64('foo')") === u("3728699739546630719"))
+    assert(q1("xxHash32('ABC')") === 0x80712ed5L)
+    assert(q1("halfMD5('foo')") === halfMD5(b("foo")))
+    assert(q1("javaHash('abc')") === 96354)
+    assert(q1("javaHashUTF16LE('abc')") === 96354)
+    assert(q1("hiveHash('abc')") === 96354)
+    assert(q1("intHash64(1)") === intHash64(1L))
+    assert(q1("intHash32(1)") === intHash32(1L))
+  }
+
+  test("SQL variadic + typed-integer forms match reference tuple vectors") {
+    val spark = TestSpark.spark
+    def q1(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
+    // 00259_hashing_tuples: cityHash64(1, 2, '') — the int-pod path is
+    // width-independent, so plain INT literals reproduce the reference
+    assert(q1("cityHash64(1, 2, '')") === u("3151614220437955012"))
+    // 00746_hashing_tuples: UInt8 literals — cast to TINYINT for the
+    // same 1-byte little-endian representation
+    assert(q1("sipHash64(CAST(1 AS TINYINT), CAST(2 AS TINYINT), CAST(3 AS TINYINT))") ===
+      u("12940785793559895259"))
+    assert(q1("sipHash64(CAST(1 AS TINYINT), CAST(3 AS TINYINT), CAST(2 AS TINYINT))") ===
+      u("17926972817233444501"))
+    assert(q1("murmurHash2_64(CAST(1 AS TINYINT), CAST(2 AS TINYINT), CAST(3 AS TINYINT))") ===
+      u("13951512892560982617"))
+    assert(q1("halfMD5(CAST(1 AS TINYINT), CAST(2 AS TINYINT), CAST(3 AS TINYINT))") ===
+      u("955237314186186656"))
+    // 00751_hashing_ints / 00678: UInt32 literal = Spark INT
+    assert(q1("murmurHash2_32(123456)") === 623211862L)
+    assert(q1("sipHash64(123456)") === u("11717965186011240346"))
+    assert(q1("halfMD5(123456)") === u("1452224150530656417"))
+    // 00803_xxhash: typed-width and float/int forms + variadic chain
+    assert(q1("xxHash64(CAST(1 AS TINYINT), CAST(2 AS TINYINT), CAST(3 AS TINYINT))") ===
+      u("13728743482242651702"))
+    assert(q1("xxHash64(CAST(3 AS TINYINT))") === u("2244420788148980662"))
+    assert(q1("xxHash64(CAST(2 AS SMALLINT))") === u("6482051057365497128"))
+    assert(q1("xxHash64(CAST(1.2684 AS FLOAT))") === u("6662491266811474554"))
+    assert(q1("xxHash64(CAST(-154477 AS BIGINT))") === u("1162348840373071858"))
+    assert(spark.sql("SELECT xxHash64(NULL) IS NULL").head().getBoolean(0))
+  }
+}
