@@ -139,11 +139,9 @@ object ClickHouseCompat {
     "concatAssumeInjective(a STRING, b STRING) RETURNS STRING RETURN concat(a, b)",
     // ---- hashes: value-exact natives live in HashParity.install ----
     // ---- arrays (reference src/Functions/array/) ----
-    "arraySum(a ARRAY<DOUBLE>) RETURNS DOUBLE RETURN aggregate(a, 0D, (acc, x) -> acc + x)",
-    "arrayAvg(a ARRAY<DOUBLE>) RETURNS DOUBLE RETURN aggregate(a, 0D, (acc, x) -> acc + x) / size(a)",
-    "arrayMin(a ARRAY<DOUBLE>) RETURNS DOUBLE RETURN array_min(a)",
-    "arrayMax(a ARRAY<DOUBLE>) RETURNS DOUBLE RETURN array_max(a)",
-    "arrayUniq(a ARRAY<STRING>) RETURNS INT RETURN size(array_distinct(a))",
+    // arraySum/Avg/Min/Max/Uniq/Sort/ReverseSort/CumSum(NonNegative),
+    // mapKeys/mapContains: generic + lambda-capable native builders in
+    // HigherOrder.install (registered after this SQL pass, so they win).
     "arrayStringConcat(a ARRAY<STRING>, sep STRING) RETURNS STRING RETURN array_join(a, sep)",
     "arrayCompactSorted(a ARRAY<STRING>) RETURNS ARRAY<STRING> RETURN array_sort(array_distinct(a))",
     "indexOf(a ARRAY<STRING>, x STRING) RETURNS BIGINT RETURN array_position(a, x)",
@@ -210,13 +208,10 @@ object ClickHouseCompat {
     "arrayPopFront(a ARRAY<DOUBLE>) RETURNS ARRAY<DOUBLE> RETURN slice(a, 2, greatest(size(a) - 1, 0))",
     "arrayReverse(a ARRAY<DOUBLE>) RETURNS ARRAY<DOUBLE> RETURN reverse(a)",
     "arraySortAsc(a ARRAY<DOUBLE>) RETURNS ARRAY<DOUBLE> RETURN array_sort(a)",
-    "arrayReverseSort(a ARRAY<DOUBLE>) RETURNS ARRAY<DOUBLE> RETURN sort_array(a, false)",
     // arrayDifference: [0, a2-a1, a3-a2, ...] (element_at is 1-based →
     // element_at(a, i) is the PREVIOUS element at 0-based index i)
     "arrayDifference(a ARRAY<DOUBLE>) RETURNS ARRAY<DOUBLE> RETURN " +
       "transform(a, (x, i) -> IF(i = 0, 0D, x - element_at(a, i)))",
-    "arrayCumSum(a ARRAY<DOUBLE>) RETURNS ARRAY<DOUBLE> RETURN " +
-      "transform(a, (x, i) -> aggregate(slice(a, 1, i + 1), 0D, (acc, y) -> acc + y))",
     "arrayEnumerate(a ARRAY<DOUBLE>) RETURNS ARRAY<INT> RETURN " +
       "IF(size(a) = 0, array(), sequence(1, size(a)))",
     "arrayFlatten(a ARRAY<ARRAY<DOUBLE>>) RETURNS ARRAY<DOUBLE> RETURN flatten(a)",
@@ -226,9 +221,7 @@ object ClickHouseCompat {
     "arrayElement(a ARRAY<DOUBLE>, i INT) RETURNS DOUBLE RETURN element_at(a, i)",
     "countEqual(a ARRAY<DOUBLE>, v DOUBLE) RETURNS INT RETURN size(filter(a, x -> x = v))",
     // ---- maps ----
-    "mapKeys(m MAP<STRING, DOUBLE>) RETURNS ARRAY<STRING> RETURN map_keys(m)",
     "mapValuesArr(m MAP<STRING, DOUBLE>) RETURNS ARRAY<DOUBLE> RETURN map_values(m)",
-    "mapContains(m MAP<STRING, DOUBLE>, k STRING) RETURNS BOOLEAN RETURN map_contains_key(m, k)",
     // ---- bit ops (src/Functions/bitTest.cpp etc.) ----
     "bitTest(x BIGINT, n INT) RETURNS INT RETURN CAST((x >> n) & 1 AS INT)",
     "bitShiftLeft(x BIGINT, n INT) RETURNS BIGINT RETURN shiftleft(x, n)",
@@ -847,7 +840,6 @@ object ClickHouseCompat {
     // first capture group when one exists — pass group-0-style patterns)
     "extractAll(h STRING, re STRING) RETURNS ARRAY<STRING> RETURN " +
       "regexp_extract_all(h, re, 0)",
-    "arraySort(a ARRAY<DOUBLE>) RETURNS ARRAY<DOUBLE> RETURN array_sort(a)",
     // arrayReduce for the numeric aggregate names the reference tests
     // actually use (dynamic-name dispatch; unknown name errors)
     "arrayReduceNum(name STRING, a ARRAY<DOUBLE>) RETURNS DOUBLE RETURN " +
@@ -1009,11 +1001,6 @@ object ClickHouseCompat {
     // (`range` itself is Spark's table-function name and cannot be
     // claimed as a scalar; the scalar form is exposed as arrayRange)
     "arrayDistinct(a ARRAY<DOUBLE>) RETURNS ARRAY<DOUBLE> RETURN array_distinct(a)",
-    // running sum clamped at 0, the clamp feeding the next step
-    "arrayCumSumNonNegative(a ARRAY<DOUBLE>) RETURNS ARRAY<DOUBLE> RETURN " +
-      "aggregate(a, named_struct('acc', CAST(0 AS DOUBLE), 'res', CAST(array() AS ARRAY<DOUBLE>)), " +
-      "(s, x) -> named_struct('acc', greatest(s.acc + x, CAST(0 AS DOUBLE)), " +
-      "'res', concat(s.res, array(greatest(s.acc + x, CAST(0 AS DOUBLE))))), s -> s.res)",
     // occurrence index of each element among its equals so far
     "arrayEnumerateUniq(a ARRAY<DOUBLE>) RETURNS ARRAY<INT> RETURN " +
       "transform(a, (x, i) -> CAST(size(filter(slice(a, 1, i + 1), y -> y = x)) AS INT))",
@@ -1449,9 +1436,13 @@ object ClickHouseCompat {
     */
   def install(spark: SparkSession): Seq[String] = {
     installNative(spark)
-    definitions.flatMap { d =>
+    val failed = definitions.flatMap { d =>
       try { spark.sql(s"CREATE OR REPLACE TEMPORARY FUNCTION $d"); None }
       catch { case _: Exception => Some(d.takeWhile(_ != '(')) }
     }
+    // After the SQL pass: the lambda-capable generic builders replace
+    // any same-named macro.
+    HigherOrder.install(spark)
+    failed
   }
 }

@@ -764,6 +764,31 @@ object RelationalQueries {
         "murmurHash3_32('foo') AS mm3_32",
         "xxHash32('ABC') AS xx32")
     }),
+    // Higher-order array functions end-to-end: the ClickHouse lambda
+    // surface (arrayMap/arrayFilter/arrayCount/arrayFirst/arraySum/
+    // arrayCumSum/arrayEnumerateDense) over per-order quantity arrays;
+    // DuckDB mirrors every lambda with its own list_transform/
+    // list_filter lambdas. Arrays stringify for a stable hash compare.
+    "q59_array_hof" -> ((s, dir) => {
+      def aj(e: String) =
+        s"array_join(arrayMap(x -> CAST(x AS STRING), $e), ',')"
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("l_quantity").cast("int"))).as("qs"))
+        .filter(size(col("qs")) >= 4)
+        .selectExpr(
+          "l_orderkey",
+          aj("arrayMap(x -> x * 2, qs)") + " AS doubled",
+          aj("arrayFilter(x -> x % 2 = 1, qs)") + " AS odds",
+          "CAST(arrayCount(x -> x > 25, qs) AS BIGINT) AS big_n",
+          "CAST(coalesce(arrayFirst(x -> x > 25, qs), -1) AS BIGINT) AS first_big",
+          "CAST(arrayFirstIndex(x -> x > 25, qs) AS BIGINT) AS first_big_i",
+          "CAST(arraySum(x -> x * x, qs) AS BIGINT) AS sumsq",
+          aj("arrayMap(x -> CAST(x AS INT), arrayCumSum(qs))") + " AS cums",
+          aj("arrayEnumerateDense(qs)") + " AS dense")
+        .orderBy(col("l_orderkey")).limit(100)
+    }),
+
     // GROUP BY with expression keys + IN-subquery semi join.
     "q30_in_subquery" -> ((s, dir) => {
       val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
@@ -853,6 +878,29 @@ object RelationalQueries {
              CAST(2414502773 AS BIGINT) AS mm2_32,
              CAST(4138058784 AS BIGINT) AS mm3_32,
              CAST(2154901205 AS BIGINT) AS xx32""",
+    // DuckDB's own list lambdas mirror each higher-order call; qs is
+    // sorted so arrayEnumerateDense's first-appearance order equals
+    // ascending-distinct order on both engines.
+    "q59_array_hof" -> """
+      WITH g AS (
+        SELECT l_orderkey,
+               list_sort(list(CAST(l_quantity AS INT))) AS qs
+        FROM lineitem GROUP BY l_orderkey
+      )
+      SELECT l_orderkey,
+             array_to_string(list_transform(qs, x -> x * 2), ',') AS doubled,
+             coalesce(array_to_string(list_filter(qs, x -> x % 2 = 1), ','),
+                      '') AS odds,
+             CAST(len(list_filter(qs, x -> x > 25)) AS BIGINT) AS big_n,
+             CAST(coalesce(list_filter(qs, x -> x > 25)[1], -1) AS BIGINT) AS first_big,
+             CAST(coalesce(list_position(list_transform(qs, x -> x > 25), true), 0) AS BIGINT) AS first_big_i,
+             CAST(list_sum(list_transform(qs, x -> x * x)) AS BIGINT) AS sumsq,
+             array_to_string(list_transform(range(1, len(qs) + 1),
+               i -> CAST(list_sum(qs[1:i]) AS INT)), ',') AS cums,
+             array_to_string(list_transform(qs,
+               x -> list_position(list_sort(list_distinct(qs)), x)), ',') AS dense
+      FROM g WHERE len(qs) >= 4
+      ORDER BY l_orderkey LIMIT 100""",
     "q57_weeks_subseq" -> """
       WITH c AS (
         SELECT CASE WHEN dayofyear(o_orderdate) <

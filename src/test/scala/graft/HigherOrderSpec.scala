@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ClickHouse higher-order array/map functions (HigherOrder.scala).
+  * Expected values for arrayFill / arraySplit / arrayReverseSplit are the
+  * reference documentation's own examples (docs/en/sql-reference/
+  * functions/array-functions.md in the reference repo).
+  */
+class HigherOrderSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def q1(expr: String): Any =
+    spark.sql(s"SELECT $expr").collect().head.get(0)
+  private def qa(expr: String): Seq[Any] =
+    q1(expr).asInstanceOf[scala.collection.Seq[Any]].toSeq
+
+  test("arrayMap over one and two arrays, any element type") {
+    assert(qa("arrayMap(x -> x * 2, array(1, 2, 3))") === Seq(2, 4, 6))
+    assert(qa("arrayMap((x, y) -> x + y, array(1, 2), array(10, 20))") === Seq(11, 22))
+    assert(qa("arrayMap(x -> upper(x), array('a', 'b'))") === Seq("A", "B"))
+  }
+
+  test("arrayFilter with boolean and UInt8-truthy lambdas") {
+    assert(qa("arrayFilter(x -> x % 2 = 1, array(1, 2, 3, 4, 5))") === Seq(1, 3, 5))
+    // CH truthiness: a numeric lambda body counts nonzero as true
+    assert(qa("arrayFilter(x -> x % 2, array(1, 2, 3, 4, 5))") === Seq(1, 3, 5))
+  }
+
+  test("arrayExists / arrayAll / arrayCount") {
+    assert(q1("arrayExists(x -> x > 2, array(1, 2, 3))") === true)
+    assert(q1("arrayExists(x -> x > 9, array(1, 2, 3))") === false)
+    assert(q1("arrayAll(x -> x > 0, array(1, 2, 3))") === true)
+    assert(q1("arrayAll(x -> x > 1, array(1, 2, 3))") === false)
+    assert(q1("arrayCount(x -> x > 1, array(1, 2, 3))") === 2L)
+    assert(q1("arrayCount((x, y) -> x = y, array(1, 2, 3), array(1, 0, 3))") === 2L)
+  }
+
+  test("arrayFirst / arrayLast / arrayFirstIndex / arrayLastIndex") {
+    assert(q1("arrayFirst(x -> x > 1, array(1, 2, 3))") === 2)
+    assert(q1("arrayLast(x -> x > 1, array(1, 2, 3))") === 3)
+    // no match → NULL (documented deviation from the type-default)
+    assert(q1("arrayFirst(x -> x > 9, array(1, 2, 3))") === null)
+    assert(q1("arrayFirstIndex(x -> x > 1, array(1, 2, 3))") === 2L)
+    assert(q1("arrayLastIndex(x -> x > 1, array(1, 2, 3))") === 3L)
+    // no match → 0, matching the reference
+    assert(q1("arrayFirstIndex(x -> x > 9, array(1, 2, 3))") === 0L)
+    assert(q1("arrayLastIndex(x -> x > 9, array(1, 2, 3))") === 0L)
+  }
+
+  test("arraySort family: plain, keyed, reverse, partial") {
+    assert(qa("arraySort(array(3, 1, 2))") === Seq(1, 2, 3))
+    assert(qa("arraySort(x -> -x, array(3, 1, 2))") === Seq(3, 2, 1))
+    assert(qa("arraySort(array('b', 'a'))") === Seq("a", "b"))
+    assert(qa("arrayReverseSort(array(3, 1, 2))") === Seq(3, 2, 1))
+    assert(qa("arrayReverseSort(x -> -x, array(3, 1, 2))") === Seq(1, 2, 3))
+    assert(qa("arrayPartialSort(2, array(3, 1, 2))") === Seq(1, 2, 3))
+    assert(qa("arrayPartialReverseSort(2, array(3, 1, 2))") === Seq(3, 2, 1))
+  }
+
+  test("arrayFill / arrayReverseFill (reference doc examples)") {
+    assert(qa("arrayFill(x -> x is not null, " +
+      "array(1, NULL, 3, 11, 12, NULL, NULL, 5, 6, 14, NULL, NULL))") ===
+      Seq(1, 1, 3, 11, 12, 12, 12, 5, 6, 14, 14, 14))
+    assert(qa("arrayReverseFill(x -> x is not null, array(1, NULL, 3, NULL))") ===
+      Seq(1, 3, 3, null))
+    assert(qa("arrayFill(x -> x is not null, array(CAST(NULL AS INT), 2, NULL))") ===
+      Seq(null, 2, 2))
+    assert(qa("arrayFill(x -> x > 0, CAST(array() AS ARRAY<INT>))") === Seq())
+  }
+
+  test("arraySplit / arrayReverseSplit (reference doc examples)") {
+    assert(qa("arraySplit((x, y) -> y, array(1, 2, 3, 4, 5), array(1, 0, 0, 1, 0))")
+      .map(_.asInstanceOf[scala.collection.Seq[Any]].toSeq) ===
+      Seq(Seq(1, 2, 3), Seq(4, 5)))
+    assert(qa("arrayReverseSplit((x, y) -> y, array(1, 2, 3, 4, 5), array(1, 0, 0, 1, 0))")
+      .map(_.asInstanceOf[scala.collection.Seq[Any]].toSeq) ===
+      Seq(Seq(1), Seq(2, 3, 4), Seq(5)))
+    assert(qa("arraySplit(x -> x % 2 = 0, array(1, 2, 3, 4, 5))")
+      .map(_.asInstanceOf[scala.collection.Seq[Any]].toSeq) ===
+      Seq(Seq(1), Seq(2, 3), Seq(4, 5)))
+    assert(qa("arraySplit(x -> x > 0, CAST(array() AS ARRAY<INT>))") === Seq())
+  }
+
+  test("arrayReduce over constant aggregate names") {
+    assert(q1("arrayReduce('sum', array(1, 2, 3))") === 6.0)
+    assert(q1("arrayReduce('avg', array(2, 4))") === 3.0)
+    assert(q1("arrayReduce('min', array(3, 1, 2))") === 1)
+    assert(q1("arrayReduce('max', array(3, 1, 2))") === 3)
+    assert(q1("arrayReduce('count', array(7, 8))") === 2)
+    assert(q1("arrayReduce('uniqExact', array(1, 1, 2))") === 2)
+    assert(q1("arrayReduce('any', array(9, 8))") === 9)
+    assert(q1("arrayReduce('anyLast', array(9, 8))") === 8)
+  }
+
+  test("arrayEnumerateDense ranks by first appearance") {
+    assert(qa("arrayEnumerateDense(array(10, 20, 10, 30))") === Seq(1L, 2L, 1L, 3L))
+  }
+
+  test("arrayShuffle / arrayRandomSample keep the multiset contract") {
+    assert(qa("arraySort(arrayShuffle(array(3, 1, 2)))") === Seq(1, 2, 3))
+    assert(q1("size(arrayRandomSample(array(1, 2, 3, 4), 2))") === 2)
+    // k > size returns every element
+    assert(q1("size(arrayRandomSample(array(1, 2), 9))") === 2)
+  }
+
+  test("arrayShiftLeft / arrayShiftRight with and without default") {
+    assert(qa("arrayShiftLeft(array(1, 2, 3), 1, 99)") === Seq(2, 3, 99))
+    assert(qa("arrayShiftRight(array(1, 2, 3), 1, 0)") === Seq(0, 1, 2))
+    // no default → NULL padding (documented deviation)
+    assert(qa("arrayShiftLeft(array(1, 2, 3), 1)") === Seq(2, 3, null))
+    // shift farther than the length pads everything
+    assert(qa("arrayShiftLeft(array(1, 2), 5, 0)") === Seq(0, 0))
+  }
+
+  test("range: end-exclusive, 1/2/3-arg forms") {
+    assert(qa("range(5)") === Seq(0L, 1L, 2L, 3L, 4L))
+    assert(qa("range(0)") === Seq())
+    assert(qa("range(2, 5)") === Seq(2L, 3L, 4L))
+    assert(qa("range(5, 5)") === Seq())
+    assert(qa("range(0, 10, 3)") === Seq(0L, 3L, 6L, 9L))
+  }
+
+  test("generic arraySum/Avg/Min/Max/Uniq/CumSum + lambda forms") {
+    assert(q1("arraySum(array(1.5, 2.5))") === 4.0)
+    assert(q1("arraySum(x -> x * 2, array(1, 2, 3))") === 12.0)
+    assert(q1("arrayAvg(array(2, 4))") === 3.0)
+    assert(q1("arrayMin(array('b', 'a'))") === "a")
+    assert(q1("arrayMax(x -> x % 3, array(3, 4, 5))") === 2)
+    assert(q1("arrayUniq(array(1, 1, 2))") === 2)
+    assert(q1("arrayUniq(array(1, 1, 2), array(7, 7, 7))") === 2)
+    assert(qa("arrayCumSum(array(1, 2, 3))") === Seq(1.0, 3.0, 6.0))
+    assert(qa("arrayCumSumNonNegative(array(1, 1, -4, 1))") === Seq(1.0, 2.0, 0.0, 1.0))
+  }
+
+  test("map family: keys/values/contains/filter/apply, generic types") {
+    assert(qa("mapKeys(map('a', 1, 'b', 2))") === Seq("a", "b"))
+    assert(qa("mapValues(map('a', 1))") === Seq(1))
+    assert(q1("mapContains(map(1, 'x'), 1)") === true)
+    assert(q1("mapFilter((k, v) -> v > 1, map('a', 1, 'b', 2))")
+      .asInstanceOf[Map[Any, Any]] === Map("b" -> 2))
+    assert(q1("mapApply((k, v) -> struct(k, v * 10), map('a', 1, 'b', 2))")
+      .asInstanceOf[Map[Any, Any]] === Map("a" -> 10, "b" -> 20))
+  }
+
+  test("tupleElement by 1-based index and by name") {
+    assert(q1("tupleElement(struct(7, 'x'), 1)") === 7)
+    assert(q1("tupleElement(struct(7, 'x'), 2)") === "x")
+    assert(q1("tupleElement(named_struct('a', 5), 'a')") === 5)
+  }
+
+  test("higher-order functions run distributed over a real column") {
+    import spark.implicits._
+    val df = Seq(
+      (1, Seq(3.0, 1.0, -2.0)),
+      (2, Seq(5.0, -1.0))).toDF("id", "xs")
+    df.createOrReplaceTempView("hof_rows")
+    val rows = spark.sql(
+      """SELECT id,
+               arrayCount(x -> x > 0, xs) AS pos_n,
+               arraySum(x -> abs(x), xs) AS abs_sum,
+               arrayFirstIndex(x -> x < 0, xs) AS first_neg
+        FROM hof_rows ORDER BY id""").collect()
+    assert(rows.toSeq === Seq(Row(1, 2L, 6.0, 3L), Row(2, 1L, 6.0, 2L)))
+  }
+}
