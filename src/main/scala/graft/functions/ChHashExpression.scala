@@ -145,10 +145,19 @@ object ChHash {
     case ShortType =>
       val x = v.asInstanceOf[Short]
       spec.intPod.map(_(x.toLong)).getOrElse(spec.bytesHash(leBytes(x.toLong, 2)))
-    case IntegerType | DateType =>
+    case IntegerType =>
       val x = v.asInstanceOf[Int]
       spec.intPod.map(_(x.toLong)).getOrElse(spec.bytesHash(leBytes(x.toLong, 4)))
-    case LongType | TimestampType | TimestampNTZType =>
+    case DateType =>
+      // reference Date is UInt16 day-number (DataTypeDate.h) — 2 LE bytes
+      val x = v.asInstanceOf[Int].toLong & 0xffffL
+      spec.intPod.map(_(x)).getOrElse(spec.bytesHash(leBytes(x, 2)))
+    case TimestampType | TimestampNTZType =>
+      // reference DateTime is UInt32 epoch-seconds (DataTypeDateTime.h) —
+      // 4 LE bytes; Spark stores micros, so truncate to seconds first
+      val secs = Math.floorDiv(v.asInstanceOf[Long], 1000000L) & 0xffffffffL
+      spec.intPod.map(_(secs)).getOrElse(spec.bytesHash(leBytes(secs, 4)))
+    case LongType =>
       val x = v.asInstanceOf[Long]
       spec.intPod.map(_(x)).getOrElse(spec.bytesHash(leBytes(x, 8)))
     case BooleanType =>

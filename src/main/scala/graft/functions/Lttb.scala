@@ -48,7 +48,7 @@ object Lttb {
         if (bucketOf(i) == b) {
           val p = pts(i + 1)
           val a = math.abs((prev._1.toDouble - ax) * (p._2 - prev._2) -
-            (prev._1.toDouble - p._1.toDouble) * (prev._2 - ay))
+            (prev._1.toDouble - p._1.toDouble) * (ay - prev._2))
           if (a > bestA) { best = p; bestA = a }
         }
         i += 1

@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   * `src/Functions/getObject.cpp:53-60`; test
   * `tests/queries/3_ai_core_support/00009_mqai_objecturl_getObject.sql`).
   *
-  * The catalog is real (register/drop/list, provider + credential refs);
-  * the fetch itself is STUBBED (no object store in this environment) —
-  * a deployment points [[fetcher]] at an S3/HTTP client.
+  * The catalog is real (register/drop/list, provider + credential refs),
+  * and so is the fetch for file/http(s)/presigned-s3; only gs (and
+  * credential-less s3) remain behind a deterministic stub boundary —
+  * no cloud SDK exists in this environment.
   */
 object Connections {
 
@@ -35,6 +36,79 @@ object Connections {
 
   def drop(name: String): Unit = registry.remove(name)
   def list: Seq[Connection] = registry.values.toSeq
+
+  /** Object-store credentials resolvable by a connection's
+    * `credentialRef` — registered out-of-band (a deployment reads them
+    * from its secret store), never stored in the connection catalog.
+    */
+  final case class ObjectStoreCredentials(
+      accessKeyId: String, secretAccessKey: String,
+      sessionToken: String = "", region: String = "us-east-1")
+
+  private val credStore = TrieMap.empty[String, ObjectStoreCredentials]
+  def registerCredentials(ref: String, c: ObjectStoreCredentials): Unit =
+    credStore.put(ref, c)
+  def dropCredentials(ref: String): Unit = credStore.remove(ref)
+
+  /** Failures that must NOT be retried (size cap exceeded, 4xx) — a
+    * dedicated type instead of message-substring classification.
+    */
+  final class NonRetryableFetchException(msg: String)
+      extends java.io.IOException(msg)
+
+  /** Schemes each provider may fetch. getObject must not be an SSRF /
+    * arbitrary-local-file-read primitive for anyone who can run SQL: a
+    * connection only reaches its own provider's scheme family, and
+    * http(s) is pinned to the connection's declared endpoint host.
+    */
+  private def allowedSchemes(provider: String): Set[String] =
+    provider.toUpperCase match {
+      case "AWS" | "S3" => Set("s3", "http", "https")
+      case "GCP" | "GS" | "GCS" => Set("gs", "http", "https")
+      case "HTTP" | "HTTPS" | "WEB" => Set("http", "https")
+      case "FS" | "FILE" | "LOCAL" => Set("file")
+      case _ => Set("https")
+    }
+
+  private def schemeOf(url: String): String = {
+    val i = url.indexOf("://")
+    if (i >= 0) url.substring(0, i).toLowerCase
+    else if (url.startsWith("/")) "file"
+    else ""
+  }
+
+  /** authority (`host[:port]`) of an endpoint that may carry a scheme */
+  private def endpointAuthority(endpoint: String): String =
+    endpoint.stripPrefix("https://").stripPrefix("http://").takeWhile(_ != '/')
+
+  /** Reject URLs outside the connection's provider scheme family; pin
+    * http(s) fetches to the declared endpoint host (subdomains allowed —
+    * virtual-hosted buckets are `bucket.s3...`). Empty endpoint = no pin
+    * (the catalog owner opted out).
+    */
+  def validate(conn: Connection, url: String): Unit = {
+    val scheme = schemeOf(url)
+    if (!allowedSchemes(conn.provider).contains(scheme))
+      throw new IllegalArgumentException(
+        s"connection '${conn.name}' (provider=${conn.provider}) may not " +
+          s"fetch scheme '$scheme': $url")
+    if ((scheme == "http" || scheme == "https") && conn.endpoint.nonEmpty) {
+      val ep = endpointAuthority(conn.endpoint)
+      val auth = {
+        val u = java.net.URI.create(url)
+        if (u.getPort >= 0) s"${u.getHost}:${u.getPort}" else u.getHost
+      }
+      if (auth == null || !(auth == ep || auth.endsWith("." + ep)))
+        throw new IllegalArgumentException(
+          s"connection '${conn.name}' is pinned to endpoint '$ep'; " +
+            s"refusing to fetch host '$auth' ($url)")
+    }
+  }
+
+  private def fetchValidated(conn: Connection, url: String): Array[Byte] = {
+    validate(conn, url)
+    fetcher(conn, url)
+  }
 
   /** `system.connections` analog (reference test
     * 00009_mqai_objecturl_getObject.sql inspects name/arn/external_id).
@@ -59,7 +133,7 @@ object Connections {
         val conn = registry.getOrElse(connectionName,
           throw new IllegalArgumentException(
             s"unknown connection $connectionName"))
-        fetcher(conn, url)
+        fetchValidated(conn, url)
       }
     })
 
@@ -103,7 +177,7 @@ object Connections {
             var n = in.read(buf)
             while (n >= 0) {
               out.write(buf, 0, n)
-              if (out.size() > MaxHttpBytes) throw new java.io.IOException(
+              if (out.size() > MaxHttpBytes) throw new NonRetryableFetchException(
                 s"getObject: $url exceeds the $MaxHttpBytes-byte cap")
               n = in.read(buf)
             }
@@ -112,12 +186,10 @@ object Connections {
         } else if (code / 100 == 5 || code == 429) {
           lastErr = new java.io.IOException(s"HTTP $code for $url")
         } else {
-          throw new java.io.IOException(s"HTTP $code for $url (not retried)")
+          throw new NonRetryableFetchException(s"HTTP $code for $url (not retried)")
         }
       } catch {
-        case e: java.io.IOException if e.getMessage != null &&
-            (e.getMessage.contains("cap") || e.getMessage.contains("not retried")) =>
-          throw e
+        case e: NonRetryableFetchException => throw e
         case e @ (_: java.io.IOException | _: InterruptedException) =>
           lastErr = e
       }
@@ -127,12 +199,39 @@ object Connections {
       s"getObject: $url failed after $HttpRetries attempts", lastErr)
   }
 
-  /** Default fetcher: REAL for schemes the JVM can serve without an SDK —
-    * `file://` and bare local paths via java.nio, `http(s)://` via the
-    * JDK http client (capped + retried, [[httpFetch]]). Cloud-SDK schemes
-    * (s3/gs) return a deterministic fake payload behind the stub boundary
-    * below — a deployment swaps [[fetcher]] for the provider SDK call
-    * (or signs URLs and lets the http path fetch them).
+  /** `s3://bucket/key` → presigned http(s) GET through [[httpFetch]],
+    * pure-JDK SigV4 ([[SigV4.presignGet]]). Custom endpoints (MinIO
+    * style, scheme declared in the connection's endpoint) use path-style
+    * addressing; the default AWS endpoint uses virtual-hosted https.
+    */
+  private def s3Fetch(
+      conn: Connection, url: String, c: ObjectStoreCredentials): Array[Byte] = {
+    val rest = url.stripPrefix("s3://")
+    val slash = rest.indexOf('/')
+    if (slash <= 0 || slash == rest.length - 1)
+      throw new IllegalArgumentException(s"s3 url needs bucket/key: $url")
+    val bucket = rest.substring(0, slash)
+    val key = rest.substring(slash) // keeps the leading '/'
+    val (scheme, host, path) =
+      if (conn.endpoint.nonEmpty) {
+        val sch = if (conn.endpoint.startsWith("http://")) "http" else "https"
+        (sch, endpointAuthority(conn.endpoint), s"/$bucket$key")
+      } else ("https", s"$bucket.s3.${c.region}.amazonaws.com", key)
+    val amzDate = java.time.format.DateTimeFormatter
+      .ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now())
+    httpFetch(SigV4.presignGet(host, path, c.region, "s3", c.accessKeyId,
+      c.secretAccessKey, c.sessionToken, amzDate, 300, scheme))
+  }
+
+  /** Default fetcher: REAL for everything the JVM can serve without an
+    * SDK — `file://` and bare local paths via java.nio, `http(s)://` via
+    * the JDK http client (capped + retried, [[httpFetch]]), and `s3://`
+    * via pure-JDK SigV4 presigning over that same http client whenever
+    * the connection's `credentialRef` resolves in the credential store.
+    * Credential-less s3 and gs return a deterministic fake payload
+    * behind the stub boundary below — a deployment registers credentials
+    * (s3) or swaps [[fetcher]] for the provider SDK call (gs).
     */
   @volatile var fetcher: (Connection, String) => Array[Byte] =
     (conn, url) => {
@@ -145,20 +244,26 @@ object Connections {
           java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
         case None if url.startsWith("http://") || url.startsWith("https://") =>
           httpFetch(url)
+        case None if url.startsWith("s3://") &&
+            credStore.contains(conn.credentialRef) =>
+          s3Fetch(conn, url, credStore(conn.credentialRef))
         case None =>
-          // ===== STUB BOUNDARY ===== deterministic fake for s3/gs schemes
+          // ===== STUB BOUNDARY ===== deterministic fake for
+          // credential-less s3 and for gs (no GCS signer yet)
           s"${conn.provider}:${conn.name}:$url".getBytes("UTF-8")
           // ===== END STUB BOUNDARY =====
       }
     }
 
   /** `getObject(url)` resolved through a named connection; errors on an
-    * unknown connection like the reference does.
+    * unknown connection like the reference does. URL validation happens
+    * per-row inside the task ([[validate]]).
     */
   def getObject(spark: SparkSession, connectionName: String)(url: Column): Column = {
     val conn = registry.getOrElse(connectionName,
       throw new IllegalArgumentException(s"unknown connection $connectionName"))
     val f = fetcher
-    udf((u: String) => if (u == null) null else f(conn, u)).apply(url)
+    udf((u: String) =>
+      if (u == null) null else { validate(conn, u); f(conn, u) }).apply(url)
   }
 }

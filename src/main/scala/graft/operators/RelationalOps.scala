@@ -139,10 +139,20 @@ object RelationalOps {
       key: Column, default: Column): Column =
     coalesce(dictGet(dict, keyCol, valueCol)(key), default)
 
-  /** `dictHas('dict', key)` — key membership in the dictionary. */
+  /** `dictHas('dict', key)` — key membership in the dictionary. Shares
+    * [[dictGet]]'s broadcast map-literal layout (constant-folded into ONE
+    * MapType literal) instead of an N-ary `isin` expression tree; the
+    * same too-big-to-collect caveat as dictGet applies — use a broadcast
+    * left-semi join for dictionaries beyond driver memory.
+    */
   def dictHas(dict: DataFrame, keyCol: String)(key: Column): Column = {
     val keys = dict.select(col(keyCol).cast("long")).collect().map(_.getLong(0))
-    key.cast("long").isin(keys.toIndexedSeq: _*)
+    if (keys.isEmpty) lit(false)
+    else {
+      val pairs = keys.flatMap(k => Seq(lit(k), lit(true)))
+      coalesce(
+        element_at(map(pairs.toIndexedSeq: _*), key.cast("long")), lit(false))
+    }
   }
 
   /** `GROUP BY ... WITH TOTALS` (reference `TotalsHavingStep.cpp`):

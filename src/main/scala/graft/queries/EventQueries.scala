@@ -1375,8 +1375,8 @@ object EventQueries {
                                                  (SELECT x::DOUBLE FROM lastpt)))
                        * (mk.y - sel.y)
                      - (sel.x::DOUBLE - mk.x::DOUBLE)
-                       * (sel.y - coalesce((SELECT ay FROM bavg WHERE b = mk.b + 1),
-                                           (SELECT y FROM lastpt)))) DESC, mk.pos ASC
+                       * (coalesce((SELECT ay FROM bavg WHERE b = mk.b + 1),
+                                   (SELECT y FROM lastpt)) - sel.y)) DESC, mk.pos ASC
           LIMIT 1) nxt
         WHERE sel.b < 17)
       SELECT x AS x_us, y FROM (

@@ -53,6 +53,20 @@ class ClickHouseCompatSpec extends SparkSpec {
     assert(q1("toFloat64('1.5')") === 1.5)
   }
 
+  test("hash date/time widths match the reference's storage types") {
+    def q1(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
+    // Date hashes as UInt16 day-number (DataTypeDate.h): same bytes as a
+    // SMALLINT of the day count (2024-01-01 = day 19723)
+    assert(q1("sipHash64(DATE'2024-01-01')") ===
+      q1("sipHash64(CAST(19723 AS SMALLINT))"))
+    // DateTime hashes as UInt32 epoch-seconds (DataTypeDateTime.h): same
+    // bytes as an INT of the second count (session tz is UTC)
+    assert(q1("sipHash64(TIMESTAMP'2024-01-01 00:00:00')") ===
+      q1("sipHash64(CAST(1704067200 AS INT))"))
+    assert(q1("xxHash64(DATE'2024-01-01')") ===
+      q1("xxHash64(CAST(19723 AS SMALLINT))"))
+  }
+
   test("IP and URL aliases") {
     def q1(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
     assert(q1("IPv4StringToNum('1.2.3.4')") === 16909060L)

@@ -212,16 +212,23 @@ class MultimodalSpec extends SparkSpec {
       // getObject is a catalog-visible SQL function (system.functions)
       assert(spark.catalog.functionExists("getObject"))
       // and callable from pure SQL through the named connection
+      // (file scheme needs an FS-provider connection: AWS connections
+      // are scheme-restricted to s3/http(s) — ADVICE r9 SSRF fix)
+      Connections.create("conn_00009_fs", "FS")
       val f = java.nio.file.Files.createTempFile("obj", ".bin")
       java.nio.file.Files.write(f, "sql-payload".getBytes("UTF-8"))
       val got = spark.sql(
-        s"SELECT getObject('conn_00009', 'file://${f}')")
+        s"SELECT getObject('conn_00009_fs', 'file://${f}')")
         .head().getAs[Array[Byte]](0)
       assert(new String(got, "UTF-8") === "sql-payload")
+      // an AWS connection refuses local-file reads
+      intercept[Exception] {
+        spark.sql(s"SELECT getObject('conn_00009', 'file://${f}')").collect()
+      }
       intercept[Exception] {
         spark.sql("SELECT getObject('no_such_conn', '/x')").collect()
       }
-    } finally Connections.drop("conn_00009")
+    } finally { Connections.drop("conn_00009"); Connections.drop("conn_00009_fs") }
   }
 
   test("getObject http(s): real JDK fetch — payload, 5xx retry, 4xx fail-fast") {

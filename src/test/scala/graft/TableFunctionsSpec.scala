@@ -111,7 +111,7 @@ class TableFunctionsSpec extends SparkSpec {
     assert(kept.filter(col("age").isNull).count() === 100)
   }
 
-  test("getObject fetches real local files; cloud schemes stay stubbed") {
+  test("getObject fetches real local files; off-provider schemes rejected") {
     import graft.multimodal.Connections
     val f = java.nio.file.Files.createTempFile("obj", ".bin")
     java.nio.file.Files.write(f, "real-bytes".getBytes("UTF-8"))
@@ -121,10 +121,13 @@ class TableFunctionsSpec extends SparkSpec {
         .select(Connections.getObject(spark, "local")(col("url")).as("o"))
         .head().getAs[Array[Byte]](0)
       assert(new String(got, "UTF-8") === "real-bytes")
-      val stubbed = Seq("s3://bucket/k").toDF("url")
-        .select(Connections.getObject(spark, "local")(col("url")).as("o"))
-        .head().getAs[Array[Byte]](0)
-      assert(new String(stubbed, "UTF-8") === "FS:local:s3://bucket/k")
+      // an FS connection may not reach out to cloud/http schemes
+      val ex = intercept[Exception] {
+        Seq("s3://bucket/k").toDF("url")
+          .select(Connections.getObject(spark, "local")(col("url")).as("o"))
+          .head()
+      }
+      assert(ex.getMessage != null)
     } finally Connections.drop("local")
   }
 
