@@ -30,8 +30,14 @@ object RelationalOps {
 
   /** `ORDER BY key WITH FILL FROM f TO t STEP s` over a date key
     * (reference `/root/reference/src/Processors/Transforms/
-    * FillingTransform.cpp`): generate the dense series, left-join the
+    * FillingTransform.cpp`): generate the dense series, OUTER-join the
     * data, fill value columns with a default.
+    *
+    * Reference parity: `toExclusive` is NOT included (FillingTransform's
+    * TO bound is exclusive), and original rows OUTSIDE `[from,
+    * toExclusive)` are preserved — WITH FILL only inserts rows, it never
+    * drops data (hence the full-outer join, not a left join from the
+    * series).
     *
     * The generated series is a single small in-memory frame (explode of
     * `sequence`) broadcast against the aggregated data — never against
@@ -41,14 +47,15 @@ object RelationalOps {
       df: DataFrame,
       dateCol: String,
       from: java.sql.Date,
-      to: java.sql.Date,
+      toExclusive: java.sql.Date,
       fillDefaults: Seq[(String, Column)]): DataFrame = {
     val spark = df.sparkSession
+    val lastDay = java.sql.Date.valueOf(toExclusive.toLocalDate.minusDays(1))
     val series = spark
       .range(1)
       .select(explode(sequence(
-        lit(from), lit(to), expr("interval 1 day"))).as(dateCol))
-    val joined = series.join(df, Seq(dateCol), "left")
+        lit(from), lit(lastDay), expr("interval 1 day"))).as(dateCol))
+    val joined = series.join(df, Seq(dateCol), "full_outer")
     fillDefaults.foldLeft(joined) { case (d, (name, default)) =>
       d.withColumn(name, coalesce(col(name), default))
     }
@@ -56,18 +63,20 @@ object RelationalOps {
 
   /** `ORDER BY key WITH FILL FROM f TO t STEP s` over a NUMERIC key —
     * the general FillingTransform shape: dense series from `sequence`,
-    * left join, defaults.
+    * outer join (original rows outside the window survive), defaults.
+    * `toExclusive` is not included, matching the reference's TO bound.
     */
   def withFillStep(
       df: DataFrame,
       keyCol: String,
-      from: Long, to: Long, step: Long,
+      from: Long, toExclusive: Long, step: Long,
       fillDefaults: Seq[(String, Column)]): DataFrame = {
     require(step > 0, s"WITH FILL STEP must be positive, got $step")
     val spark = df.sparkSession
+    val last = from + ((toExclusive - 1 - from) / step) * step
     val series = spark.range(1)
-      .select(explode(sequence(lit(from), lit(to), lit(step))).as(keyCol))
-    val joined = series.join(df, Seq(keyCol), "left")
+      .select(explode(sequence(lit(from), lit(last), lit(step))).as(keyCol))
+    val joined = series.join(df, Seq(keyCol), "full_outer")
     fillDefaults.foldLeft(joined) { case (d, (name, default)) =>
       d.withColumn(name, coalesce(col(name), default))
     }

@@ -234,7 +234,7 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"))
       RelationalOps.withFillDays(
           daily, "d",
-          java.sql.Date.valueOf("1995-01-01"), java.sql.Date.valueOf("1995-03-31"),
+          java.sql.Date.valueOf("1995-01-01"), java.sql.Date.valueOf("1995-04-01"),
           Seq("n" -> lit(0L)))
         .orderBy(col("d"))
     }),
@@ -357,7 +357,7 @@ object RelationalQueries {
         .agg(round(max(col("o_totalprice")), 2).as("mx"))
       val filled = RelationalOps.withFillDays(
         daily, "d",
-        java.sql.Date.valueOf("1995-01-01"), java.sql.Date.valueOf("1995-02-28"),
+        java.sql.Date.valueOf("1995-01-01"), java.sql.Date.valueOf("1995-03-01"),
         Seq.empty)
       RelationalOps.interpolateLastOver(filled, col("d"), Seq("mx"))
         .orderBy(col("d"))
@@ -624,10 +624,46 @@ object RelationalQueries {
         .withColumn("qb", (floor(col("l_quantity") / 5) * 5).cast("long"))
         .groupBy(col("qb"))
         .agg(count(lit(1)).as("n"))
-      RelationalOps.withFillStep(byBucket, "qb", 0L, 60L, 5L,
+      RelationalOps.withFillStep(byBucket, "qb", 0L, 65L, 5L,
           Seq("n" -> lit(0L)))
         .orderBy(col("qb"))
     }),
+    // Window-registry closure (reference WindowTransform.cpp:2481-2488):
+    // the registered window functions without a driver row elsewhere —
+    // percent_rank, cume_dist, lagInFrame/leadInFrame with explicit
+    // DEFAULT values, first_value/last_value over an explicit frame
+    // (q10 covers row_number/rank/dense_rank; q11 covers running frames,
+    // plain lag/lead, ntile, nth_value).
+    "q60_window_registry" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders").filter(col("o_custkey") <= 100)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          round(percent_rank().over(w), 4).as("pct_rank"),
+          round(cume_dist().over(w), 4).as("cdist"),
+          round(lag(col("o_totalprice"), 1, -1.0).over(w), 2).as("lag_def"),
+          round(lead(col("o_totalprice"), 1, -1.0).over(w), 2).as("lead_def"),
+          round(first(col("o_totalprice")).over(wf), 2).as("first_p"),
+          round(last(col("o_totalprice")).over(wf), 2).as("last_p"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // WITH FILL FROM/TO semantics parity (FillingTransform.cpp): the TO
+    // bound is EXCLUSIVE and original rows OUTSIDE [from, to) are
+    // preserved, not dropped — sparse buckets 0/5/20/45, fill window
+    // [15, 40) step 5.
+    "q61_with_fill_bounds" -> ((s, dir) => {
+      val byBucket = t(s, dir, "lineitem")
+        .filter(col("l_quantity").cast("int").isin(2, 7, 22, 48))
+        .withColumn("qb", (floor(col("l_quantity") / 5) * 5).cast("long"))
+        .groupBy(col("qb"))
+        .agg(count(lit(1)).as("n"))
+      RelationalOps.withFillStep(byBucket, "qb", 15L, 40L, 5L,
+          Seq("n" -> lit(0L)))
+        .orderBy(col("qb"))
+    }),
+
     // Scalar tranche 6 end-to-end: URL decomposition + IP containment
     // (ClickHouseCompat SQL functions) over deterministic synthetic
     // URLs/IPs derived from customer columns; the oracle recomputes the
@@ -831,6 +867,31 @@ object RelationalQueries {
         FROM orders WHERE o_custkey <= 50)
       WHERE rn > 2 AND rn <= 4
       ORDER BY o_custkey, o_orderkey""",
+    "q60_window_registry" -> """
+      SELECT o_custkey, o_orderkey,
+             round(percent_rank() OVER w, 4) AS pct_rank,
+             round(cume_dist() OVER w, 4) AS cdist,
+             round(coalesce(lag(o_totalprice, 1) OVER w, -1.0), 2) AS lag_def,
+             round(coalesce(lead(o_totalprice, 1) OVER w, -1.0), 2) AS lead_def,
+             round(first_value(o_totalprice) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND
+               CURRENT ROW), 2) AS first_p,
+             round(last_value(o_totalprice) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND
+               CURRENT ROW), 2) AS last_p
+      FROM orders WHERE o_custkey <= 100
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+      ORDER BY o_custkey, o_orderkey""",
+    "q61_with_fill_bounds" -> """
+      WITH agg AS (
+        SELECT CAST(floor(l_quantity / 5) * 5 AS BIGINT) AS qb,
+               CAST(count(1) AS BIGINT) AS n
+        FROM lineitem WHERE CAST(l_quantity AS INT) IN (2, 7, 22, 48)
+        GROUP BY 1),
+      series AS (SELECT unnest(range(15, 40, 5)) AS qb)
+      SELECT coalesce(s.qb, a.qb) AS qb, coalesce(a.n, 0) AS n
+      FROM series s FULL OUTER JOIN agg a ON s.qb = a.qb
+      ORDER BY qb""",
     "q51_with_fill_step" -> """
       WITH buckets AS (SELECT unnest(range(0, 65, 5)) AS qb),
       agg AS (

@@ -72,7 +72,7 @@ class EdgeCaseSpec extends SparkSpec {
       lit(1), col("ord")).count() === 0)
     // fill over empty data still emits the dense series with defaults
     val filled = RelationalOps.withFillStep(
-      Seq.empty[(Long, Long)].toDF("qb", "n"), "qb", 0L, 20L, 5L,
+      Seq.empty[(Long, Long)].toDF("qb", "n"), "qb", 0L, 25L, 5L,
       Seq("n" -> lit(0L)))
     assert(filled.count() === 5)
     assert(filled.agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0) === 0L)

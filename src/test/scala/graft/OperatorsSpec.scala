@@ -43,7 +43,7 @@ class OperatorsSpec extends SparkSpec {
   test("withFillDays densifies the date series with defaults") {
     val df = Seq((java.sql.Date.valueOf("2024-01-01"), 5L)).toDF("d", "n")
     val got = RelationalOps.withFillDays(df, "d",
-        java.sql.Date.valueOf("2024-01-01"), java.sql.Date.valueOf("2024-01-04"),
+        java.sql.Date.valueOf("2024-01-01"), java.sql.Date.valueOf("2024-01-05"),
         Seq("n" -> lit(0L)))
       .orderBy("d").collect().map(_.getLong(1)).toSeq
     assert(got === Seq(5L, 0L, 0L, 0L))
