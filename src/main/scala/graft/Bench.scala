@@ -40,10 +40,14 @@ object Bench {
       // the reference builds indexes at insert/merge time, not inside the
       // first query that happens to use them; timed numbers then measure
       // search, not one-off construction.
+      // d02 runs once untimed as well: round-9 bench showed its run 1 at
+      // 2.79× run 2 (13.2 s vs 4.7 s) — the first multi-second dedup query
+      // absorbs the PPJoin kernels' JIT + the session's first large shuffle
+      // spill. Warming it keeps the timed run 1 representative.
       Seq("v08_ivf_exact", "v11_hnsw_search", "v14_ivfsq", "v15_binary_ivf",
           "v16_ivfpq", "v17_hnswsq", "v18_binary_hnsw", "v19_hnswpq",
           "v25_ivf_cosine_exact", "t07_fts_topk", "h03_hybrid_fts",
-          "h04_hybrid_dense_ivf", "v27_mstg_search").foreach { n =>
+          "h04_hybrid_dense_ivf", "v27_mstg_search", "d02_ngram_jaccard").foreach { n =>
         SparkEntry.queries.get(n).foreach { fn =>
           try fn(spark, sfDir).count()
           catch { case e: Throwable =>
@@ -59,9 +63,10 @@ object Bench {
     // (JIT + page cache warm — measured ~25% median at sf0.1), so the
     // `unstable` flag marks genuine pathology only: run 2 SLOWER by
     // >25% (a cross-query leak — cache, shuffle files, memory pressure)
-    // or a >3× swing in either direction, above a 1 s floor. Both runs
-    // are recorded in full, turning bench noise into data instead of
-    // round-over-round mystery regressions.
+    // or a >2× swing in either direction, above a 1 s floor (tightened
+    // from 3× after round 9 let a 2.79× d02 cold-start pass silently).
+    // Both runs are recorded in full, turning bench noise into data
+    // instead of round-over-round mystery regressions.
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       // Query isolation: drop any SQL cache a previous query left behind
@@ -87,7 +92,7 @@ object Bench {
     }
     val unstable = results.filter { case (_, r1, r2) =>
       val swing = math.max(r1, r2) / math.max(math.min(r1, r2), 1e-9)
-      math.max(r1, r2) > 1.0 && ((r2 > r1 * 1.25 && r2 > 1.0) || swing > 3.0)
+      math.max(r1, r2) > 1.0 && ((r2 > r1 * 1.25 && r2 > 1.0) || swing > 2.0)
     }.map(_._1)
     def render(prec: String, shown: Seq[(String, Double)], full: Boolean): String = {
       val qs = shown
