@@ -123,7 +123,9 @@ object ClickHouseCompat {
     "addMonths(t TIMESTAMP, n INT) RETURNS TIMESTAMP RETURN t + make_interval(0, n)",
     "addYears(t TIMESTAMP, n INT) RETURNS TIMESTAMP RETURN t + make_interval(n)",
     "subtractDays(t TIMESTAMP, n INT) RETURNS TIMESTAMP RETURN t - make_interval(0, 0, 0, n)",
-    "formatDateTime(t TIMESTAMP, f STRING) RETURNS STRING RETURN date_format(t, f)",
+    // formatDateTime/parseDateTime are native %-spec implementations in
+    // DateTimeFormat.scala (the old date_format pass-through accepted Java
+    // patterns, not the reference's MySQL %-specs).
     // ---- strings ----
     "lengthUTF8(s STRING) RETURNS INT RETURN length(s)",
     "empty(s STRING) RETURNS BOOLEAN RETURN length(s) = 0 OR s IS NULL",
@@ -1108,6 +1110,90 @@ object ClickHouseCompat {
     //      a single-JVM "server"; currentUser/currentDatabase map to
     //      Spark's session catalog state) ----
     "currentUser() RETURNS STRING RETURN current_user()",
+    // ---- tranche 13: tuple/vector arithmetic (vectorFunctions.cpp:
+    //      1548-1676). ClickHouse Tuples map to Spark arrays — the same
+    //      precedent as the arrayNorm family and pointInPolygon; every
+    //      function here also accepts Array in the reference
+    //      ("TupleOrArray" wrappers).
+    "tuplePlus(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS ARRAY<DOUBLE> RETURN " +
+      "zip_with(a, b, (x, y) -> x + y)",
+    "vectorSum(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS ARRAY<DOUBLE> RETURN " +
+      "zip_with(a, b, (x, y) -> x + y)",
+    "tupleMinus(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS ARRAY<DOUBLE> RETURN " +
+      "zip_with(a, b, (x, y) -> x - y)",
+    "vectorDifference(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS ARRAY<DOUBLE> RETURN " +
+      "zip_with(a, b, (x, y) -> x - y)",
+    "tupleMultiply(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS ARRAY<DOUBLE> RETURN " +
+      "zip_with(a, b, (x, y) -> x * y)",
+    "tupleDivide(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS ARRAY<DOUBLE> RETURN " +
+      "zip_with(a, b, (x, y) -> x / y)",
+    "tupleNegate(a ARRAY<DOUBLE>) RETURNS ARRAY<DOUBLE> RETURN " +
+      "transform(a, x -> -x)",
+    "tupleMultiplyByNumber(a ARRAY<DOUBLE>, n DOUBLE) RETURNS ARRAY<DOUBLE> RETURN " +
+      "transform(a, x -> x * n)",
+    "tupleDivideByNumber(a ARRAY<DOUBLE>, n DOUBLE) RETURNS ARRAY<DOUBLE> RETURN " +
+      "transform(a, x -> x / n)",
+    "tupleConcat(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS ARRAY<DOUBLE> RETURN " +
+      "concat(a, b)",
+    "tupleHammingDistance(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS INT RETURN " +
+      "aggregate(zip_with(a, b, (x, y) -> IF(x = y, 0, 1)), 0, (acc, d) -> acc + d)",
+    "scalarProduct(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE RETURN " +
+      "aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, p) -> acc + p)",
+    "max2(a DOUBLE, b DOUBLE) RETURNS DOUBLE RETURN greatest(a, b)",
+    "min2(a DOUBLE, b DOUBLE) RETURNS DOUBLE RETURN least(a, b)",
+    // norm aliases over the existing tranche-4 L*Norm impls + the Lp forms
+    "LpNorm(a ARRAY<DOUBLE>, p DOUBLE) RETURNS DOUBLE RETURN " +
+      "power(aggregate(a, 0D, (acc, x) -> acc + power(abs(x), p)), 1D / p)",
+    "normL1(a ARRAY<DOUBLE>) RETURNS DOUBLE RETURN " +
+      "aggregate(a, 0D, (acc, x) -> acc + abs(x))",
+    "normL2(a ARRAY<DOUBLE>) RETURNS DOUBLE RETURN " +
+      "sqrt(aggregate(a, 0D, (acc, x) -> acc + x * x))",
+    "normL2Squared(a ARRAY<DOUBLE>) RETURNS DOUBLE RETURN " +
+      "aggregate(a, 0D, (acc, x) -> acc + x * x)",
+    "normLinf(a ARRAY<DOUBLE>) RETURNS DOUBLE RETURN " +
+      "array_max(transform(a, x -> abs(x)))",
+    "normLp(a ARRAY<DOUBLE>, p DOUBLE) RETURNS DOUBLE RETURN " +
+      "power(aggregate(a, 0D, (acc, x) -> acc + power(abs(x), p)), 1D / p)",
+    // distance aliases: the native codegen kernels (L2Distance etc., case-
+    // insensitive) accumulate Float32 like the reference; these double-
+    // typed SQL forms add the Lp/alias names the factory registers
+    "LpDistance(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>, p DOUBLE) RETURNS DOUBLE RETURN " +
+      "power(aggregate(zip_with(a, b, (x, y) -> power(abs(x - y), p)), 0D, " +
+      "(acc, d) -> acc + d), 1D / p)",
+    "distanceL1(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE RETURN " +
+      "aggregate(zip_with(a, b, (x, y) -> abs(x - y)), 0D, (acc, d) -> acc + d)",
+    "distanceL2(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE RETURN " +
+      "sqrt(aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0D, (acc, d) -> acc + d))",
+    "distanceL2Squared(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE RETURN " +
+      "aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0D, (acc, d) -> acc + d)",
+    "distanceLinf(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE RETURN " +
+      "array_max(zip_with(a, b, (x, y) -> abs(x - y)))",
+    "distanceLp(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>, p DOUBLE) RETURNS DOUBLE RETURN " +
+      "power(aggregate(zip_with(a, b, (x, y) -> power(abs(x - y), p)), 0D, " +
+      "(acc, d) -> acc + d), 1D / p)",
+    // normalize family (L2Normalize lives in tranche 4)
+    "L1Normalize(a ARRAY<DOUBLE>) RETURNS ARRAY<DOUBLE> RETURN " +
+      "transform(a, x -> x / aggregate(a, 0D, (acc, y) -> acc + abs(y)))",
+    "LinfNormalize(a ARRAY<DOUBLE>) RETURNS ARRAY<DOUBLE> RETURN " +
+      "transform(a, x -> x / array_max(transform(a, y -> abs(y))))",
+    "LpNormalize(a ARRAY<DOUBLE>, p DOUBLE) RETURNS ARRAY<DOUBLE> RETURN " +
+      "transform(a, x -> x / power(aggregate(a, 0D, (acc, y) -> acc + power(abs(y), p)), 1D / p))",
+    "normalizeL1(a ARRAY<DOUBLE>) RETURNS ARRAY<DOUBLE> RETURN " +
+      "transform(a, x -> x / aggregate(a, 0D, (acc, y) -> acc + abs(y)))",
+    "normalizeL2(a ARRAY<DOUBLE>) RETURNS ARRAY<DOUBLE> RETURN " +
+      "transform(a, x -> x / sqrt(aggregate(a, 0D, (acc, y) -> acc + y * y)))",
+    "normalizeLinf(a ARRAY<DOUBLE>) RETURNS ARRAY<DOUBLE> RETURN " +
+      "transform(a, x -> x / array_max(transform(a, y -> abs(y))))",
+    "normalizeLp(a ARRAY<DOUBLE>, p DOUBLE) RETURNS ARRAY<DOUBLE> RETURN " +
+      "transform(a, x -> x / power(aggregate(a, 0D, (acc, y) -> acc + power(abs(y), p)), 1D / p))",
+    // transform() 3-arg form (keep-original-when-unmatched;
+    // transformLookup above is the 4-arg default form)
+    "transformLookup3(x STRING, src ARRAY<STRING>, dst ARRAY<STRING>) " +
+      "RETURNS STRING RETURN IF(array_position(src, x) = 0 OR array_position(src, x) IS NULL, x, " +
+      "element_at(dst, CAST(array_position(src, x) AS INT)))",
+    // byte-swap tail (byteSwap32 lives in tranche 4)
+    "byteSwap16(x INT) RETURNS INT RETURN " +
+      "CAST(((x & 255) * 256) + ((x >> 8) & 255) AS INT)",
     // ---- tranche 12: NLP-lite + consistent hashing ----
     // detectLanguage: the same stopword-density heuristic as the
     // pipeline's langId column fn ('un' = the reference's unknown code)
@@ -1428,6 +1514,8 @@ object ClickHouseCompat {
     })
     TypeFronts.installNative(spark)
     HashParity.install(spark)
+    DateTimeFormat.install(spark)
+    GeoGrid.install(spark)
   }
 
   /** Install all aliases (CREATE OR REPLACE, idempotent); returns names

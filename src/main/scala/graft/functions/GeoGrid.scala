@@ -1,0 +1,607 @@
+package graft.functions
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.SparkSession
+
+/** H3 / S2 discrete-global-grid functions (SURVEY §2.9; reference
+  * `/root/reference/src/Functions/h3*.cpp`, `s2*.cpp`, which delegate to
+  * the vendored public Uber H3 (Apache-2.0) and Google s2geometry
+  * (Apache-2.0) libraries).
+  *
+  * Everything here is reimplemented from the published index-format
+  * specs — the H3 bit layout (docs.h3geo.org "H3 Index Representations")
+  * and the S2 cell-id quadtree/Hilbert-curve layout (s2geometry.io
+  * "S2 Cell Hierarchy") — and validated against the reference's own
+  * stateless-test expected outputs (00926/01040/01041/01043/01044/01070/
+  * 02021/02212 for H3; 01849/01851-01854 for S2) in GeoGridSpec.
+  *
+  * Scope: the H3 functions that are pure index arithmetic or published
+  * average-size tables. The functions needing the full 122-base-cell
+  * icosahedral geometry tables (geoToH3/h3ToGeo/h3kRing/h3Distance/
+  * h3GetFaces/cell-area/exact-edge-length/unidirectional-edge traversal)
+  * are documented out of scope — reimplementing those tables would be a
+  * transcription of the H3 library rather than of its spec. S2, whose
+  * projection IS fully specified in prose, gets the complete cell-id
+  * surface: geoToS2/s2ToGeo/s2CellsIntersect/s2GetNeighbors + cap/rect.
+  */
+object GeoGrid {
+
+  // ------------------------------------------------------------------
+  // H3: 64-bit index = [1 reserved][4 mode][3 reserved][4 res][7 base
+  // cell][15 × 3-bit digits]; unused digits (res+1..15) are 7.
+  // ------------------------------------------------------------------
+  object H3 {
+    val MaxRes = 15
+    private val ModeCell = 1
+    private val NumBaseCells = 122
+
+    /** The 12 res-0 pentagons — validated against the reference's
+      * 02212_h3_get_pentagon_indexes expected output (base cells decoded
+      * arithmetically from its res-0 row). */
+    val pentagonBaseCells: Array[Int] =
+      Array(4, 14, 24, 38, 49, 58, 63, 72, 83, 97, 107, 117)
+    private val isPentagonBase: Array[Boolean] = {
+      val a = new Array[Boolean](NumBaseCells)
+      pentagonBaseCells.foreach(a(_) = true)
+      a
+    }
+
+    def resolution(h: Long): Int = ((h >>> 52) & 0xFL).toInt
+    def baseCell(h: Long): Int = ((h >>> 45) & 0x7FL).toInt
+    def mode(h: Long): Int = ((h >>> 59) & 0xFL).toInt
+    private def digit(h: Long, r: Int): Int =
+      ((h >>> (3 * (MaxRes - r))) & 7L).toInt
+
+    def isValid(h: Long): Boolean = {
+      if ((h >>> 63) != 0L || mode(h) != ModeCell || ((h >>> 56) & 7L) != 0L)
+        return false
+      val bc = baseCell(h)
+      if (bc >= NumBaseCells) return false
+      val res = resolution(h)
+      var foundNonZero = false
+      var r = 1
+      while (r <= res) {
+        val d = digit(h, r)
+        if (d == 7) return false
+        if (d != 0 && !foundNonZero) {
+          foundNonZero = true
+          // deleted K-axis subsequence: a pentagon's leading digit can't be 1
+          if (isPentagonBase(bc) && d == 1) return false
+        }
+        r += 1
+      }
+      r = res + 1
+      while (r <= MaxRes) {
+        if (digit(h, r) != 7) return false
+        r += 1
+      }
+      true
+    }
+
+    def isPentagon(h: Long): Boolean = {
+      if (!isValid(h) || !isPentagonBase(baseCell(h))) return false
+      val res = resolution(h)
+      (1 to res).forall(digit(h, _) == 0)
+    }
+
+    def isResClassIII(h: Long): Boolean = resolution(h) % 2 == 1
+
+    private def withResolution(h: Long, res: Int): Long =
+      (h & ~(0xFL << 52)) | (res.toLong << 52)
+
+    def toParent(h: Long, parentRes: Int): Long = {
+      val res = resolution(h)
+      require(parentRes >= 0 && parentRes <= res,
+        s"h3ToParent: parent resolution $parentRes out of range [0, $res]")
+      if (parentRes == res) h
+      else withResolution(h, parentRes) | ((1L << (3 * (MaxRes - parentRes))) - 1)
+    }
+
+    def toCenterChild(h: Long, childRes: Int): Long = {
+      val res = resolution(h)
+      require(childRes >= res && childRes <= MaxRes,
+        s"h3ToCenterChild: child resolution $childRes out of range [$res, 15]")
+      val trailing = (1L << (3 * (MaxRes - res))) - 1 // the input's unused 7s
+      (withResolution(h, childRes) & ~trailing) | ((1L << (3 * (MaxRes - childRes))) - 1)
+    }
+
+    def toChildren(h: Long, childRes: Int): Array[Long] = {
+      val res = resolution(h)
+      require(childRes >= res && childRes <= MaxRes,
+        s"h3ToChildren: child resolution $childRes out of range [$res, 15]")
+      val out = new ArrayBuffer[Long]
+      def rec(cur: Long, curRes: Int, pent: Boolean): Unit = {
+        if (curRes == childRes) { out += cur; return }
+        val next = curRes + 1
+        val shift = 3 * (MaxRes - next)
+        var d = 0
+        while (d <= 6) {
+          if (!(pent && d == 1)) { // pentagons have no K-axis child
+            val child =
+              (withResolution(cur, next) & ~(7L << shift)) | (d.toLong << shift)
+            rec(child, next, pent && d == 0) // only the center child stays pentagonal
+          }
+          d += 1
+        }
+      }
+      rec(h, res, isPentagon(h))
+      out.toArray
+    }
+
+    /** 2 + 120·7^res cells exist at a resolution (110 hexagons + 12
+      * pentagons at res 0; each hexagon has 7 children, pentagons 6 —
+      * the closed form is published with the H3 spec). */
+    def numHexagons(res: Int): Long = {
+      require(res >= 0 && res <= MaxRes, s"h3NumHexagons: resolution $res out of range")
+      var p = 1L; var i = 0
+      while (i < res) { p *= 7; i += 1 }
+      2L + 120L * p
+    }
+
+    def res0Indexes: Array[Long] =
+      Array.tabulate(NumBaseCells) { b =>
+        (ModeCell.toLong << 59) | (b.toLong << 45) | ((1L << 45) - 1)
+      }
+
+    def pentagonIndexes(res: Int): Array[Long] = {
+      require(res >= 0 && res <= MaxRes,
+        s"h3GetPentagonIndexes: resolution $res out of range")
+      pentagonBaseCells.map { b =>
+        (ModeCell.toLong << 59) | (res.toLong << 52) | (b.toLong << 45) |
+          ((1L << (3 * (MaxRes - res))) - 1)
+      }
+    }
+
+    def toStringHex(h: Long): String = java.lang.Long.toHexString(h)
+
+    /** 0 on parse failure, like the library's stringToH3. Accepts the
+      * 0x…L spellings the reference tests feed it. */
+    def fromString(s: String): Long = {
+      if (s == null) return 0L
+      var t = s.trim
+      if (t.endsWith("L") || t.endsWith("l")) t = t.dropRight(1)
+      if (t.startsWith("0x") || t.startsWith("0X")) t = t.drop(2)
+      try java.lang.Long.parseUnsignedLong(t, 16)
+      catch { case _: NumberFormatException => 0L }
+    }
+
+    /** Published average edge length / hex area tables (H3 v3 docs,
+      * "Table of Cell Areas and Edge Lengths"); spot-validated against
+      * the reference's 01043/01044/01070 expected outputs. */
+    val edgeLengthKm: Array[Double] = Array(
+      1107.712591, 418.6760055, 158.2446558, 59.81085794,
+      22.6063794, 8.544408276, 3.229482772, 1.220629759,
+      0.461354684, 0.174375668, 0.065907807, 0.024910561,
+      0.009415526, 0.003559893, 0.001348575, 0.000509713)
+    val edgeLengthM: Array[Double] = Array(
+      1107712.591, 418676.0055, 158244.6558, 59810.85794,
+      22606.3794, 8544.408276, 3229.482772, 1220.629759,
+      461.3546837, 174.3756681, 65.90780749, 24.9105614,
+      9.415526211, 3.559893033, 1.348574562, 0.509713273)
+    val hexAreaKm2: Array[Double] = Array(
+      4250546.848, 607220.9782, 86745.85403, 12392.26486,
+      1770.323552, 252.9033645, 36.1290521, 5.1612932,
+      0.7373276, 0.1053325, 0.0150475, 0.0021496,
+      0.0003071, 0.0000439, 0.0000063, 0.0000009)
+    // m2 = km2 × 1e6 at the same published precision (h3lib keeps two
+    // hand-written tables; res-5 and res-13 slots match the reference's
+    // 01070_h3_hex_area_m2 expected outputs exactly)
+    val hexAreaM2: Array[Double] = Array(
+      4250546848000.0, 607220978200.0, 86745854030.0, 12392264860.0,
+      1770323552.0, 252903364.5, 36129052.1, 5161293.2,
+      737327.6, 105332.5, 15047.5, 2149.6,
+      307.1, 43.9, 6.3, 0.9)
+
+    private def tab(a: Array[Double], res: Int, name: String): Double = {
+      require(res >= 0 && res <= MaxRes, s"$name: resolution $res out of range")
+      a(res)
+    }
+    def edgeLengthMOf(res: Int): Double = tab(edgeLengthM, res, "h3EdgeLengthM")
+    def edgeLengthKmOf(res: Int): Double = tab(edgeLengthKm, res, "h3EdgeLengthKm")
+    def hexAreaM2Of(res: Int): Double = tab(hexAreaM2, res, "h3HexAreaM2")
+    def hexAreaKm2Of(res: Int): Double = tab(hexAreaKm2, res, "h3HexAreaKm2")
+
+    /** Mean-earth-radius angle of an average edge; the reference bakes
+      * 180/π/earth-radius into one constant (`h3EdgeAngle.cpp:86`), which
+      * its own 01044 test pins to h3EdgeLengthM(r)·180/π/6371007.180918475. */
+    def edgeAngle(res: Int): Double =
+      8.99320592271288084e-6 * edgeLengthMOf(res)
+  }
+
+  // ------------------------------------------------------------------
+  // S2: 64-bit cell id = [3-bit face][61-bit Hilbert position]; leaf
+  // level 30. Quadratic ST projection.
+  // ------------------------------------------------------------------
+  object S2 {
+    val MaxLevel = 30
+    private val LookupBits = 4
+    private val MaxSize = 1 << MaxLevel
+    private val SwapMask = 0x1
+    private val InvertMask = 0x2
+    private val PosBits = 2 * MaxLevel + 1
+
+    // Hilbert sub-cell traversal order + orientation transitions; the
+    // 4-entry seeds are the published curve definition, the 1024-entry
+    // lookup pair is derived from them at init (as the library does).
+    private val posToIJ = Array(
+      Array(0, 1, 3, 2), Array(0, 2, 3, 1), Array(3, 2, 0, 1), Array(3, 1, 0, 2))
+    private val posToOrientation = Array(SwapMask, 0, 0, InvertMask | SwapMask)
+
+    private val lookupPos = new Array[Int](1 << (2 * LookupBits + 2))
+    private val lookupIJ = new Array[Int](1 << (2 * LookupBits + 2))
+    private def initLookup(level: Int, i: Int, j: Int, origOrientation: Int,
+        pos: Int, orientation: Int): Unit = {
+      if (level == LookupBits) {
+        val ij = (i << LookupBits) + j
+        lookupPos((ij << 2) + origOrientation) = (pos << 2) + orientation
+        lookupIJ((pos << 2) + origOrientation) = (ij << 2) + orientation
+      } else {
+        val l = level + 1
+        val r = posToIJ(orientation)
+        var sub = 0
+        while (sub < 4) {
+          val ij = r(sub)
+          initLookup(l, (i << 1) + (ij >> 1), (j << 1) + (ij & 1), origOrientation,
+            (pos << 2) + sub, orientation ^ posToOrientation(sub))
+          sub += 1
+        }
+      }
+    }
+    initLookup(0, 0, 0, 0, 0, 0)
+    initLookup(0, 0, 0, SwapMask, 0, SwapMask)
+    initLookup(0, 0, 0, InvertMask, 0, InvertMask)
+    initLookup(0, 0, 0, SwapMask | InvertMask, 0, SwapMask | InvertMask)
+
+    def fromFaceIJ(face: Int, i: Int, j: Int): Long = {
+      var n = face.toLong << (PosBits - 1)
+      var bits = face & SwapMask
+      var k = 7
+      while (k >= 0) {
+        val mask = (1 << LookupBits) - 1
+        bits += ((i >> (k * LookupBits)) & mask) << (LookupBits + 2)
+        bits += ((j >> (k * LookupBits)) & mask) << 2
+        bits = lookupPos(bits)
+        n |= (bits >> 2).toLong << (k * 2 * LookupBits)
+        bits &= SwapMask | InvertMask
+        k -= 1
+      }
+      n * 2 + 1
+    }
+
+    /** Returns (face, i, j, orientation). */
+    def toFaceIJ(id: Long): (Int, Int, Int, Int) = {
+      val face = (id >>> PosBits).toInt
+      var bits = face & SwapMask
+      var i = 0; var j = 0
+      var k = 7
+      while (k >= 0) {
+        val nbits = if (k == 7) MaxLevel - 7 * LookupBits else LookupBits
+        bits += (((id >>> (k * 2 * LookupBits + 1)) & ((1 << (2 * nbits)) - 1)).toInt) << 2
+        bits = lookupIJ(bits)
+        i += (bits >> (LookupBits + 2)) << (k * LookupBits)
+        j += ((bits >> 2) & ((1 << LookupBits) - 1)) << (k * LookupBits)
+        bits &= SwapMask | InvertMask
+        k -= 1
+      }
+      if ((lsb(id) & 0x1111111111111110L) != 0L) bits ^= SwapMask
+      (face, i, j, bits)
+    }
+
+    def lsb(id: Long): Long = id & -id
+    def level(id: Long): Int = MaxLevel - (java.lang.Long.numberOfTrailingZeros(id) >> 1)
+    def isLeaf(id: Long): Boolean = (id & 1L) != 0
+    def parentAtLevel(id: Long, lvl: Int): Long = {
+      val newLsb = 1L << (2 * (MaxLevel - lvl))
+      (id & -newLsb) | newLsb
+    }
+    def rangeMin(id: Long): Long = id - (lsb(id) - 1)
+    def rangeMax(id: Long): Long = id + (lsb(id) - 1)
+
+    private def stToUV(s: Double): Double =
+      if (s >= 0.5) (1.0 / 3.0) * (4 * s * s - 1) else (1.0 / 3.0) * (1 - 4 * (1 - s) * (1 - s))
+    private def uvToST(u: Double): Double =
+      if (u >= 0) 0.5 * math.sqrt(1 + 3 * u) else 1 - 0.5 * math.sqrt(1 - 3 * u)
+    private def stToIJ(s: Double): Int =
+      math.max(0, math.min(MaxSize - 1, math.floor(MaxSize * s).toInt))
+
+    private def faceUVToXYZ(face: Int, u: Double, v: Double): (Double, Double, Double) =
+      face match {
+        case 0 => (1, u, v)
+        case 1 => (-u, 1, v)
+        case 2 => (-u, -v, 1)
+        case 3 => (-1, -v, -u)
+        case 4 => (v, -1, -u)
+        case _ => (v, u, -1)
+      }
+
+    private def xyzToFaceUV(x: Double, y: Double, z: Double): (Int, Double, Double) = {
+      val ax = math.abs(x); val ay = math.abs(y); val az = math.abs(z)
+      val axis = if (az > ax && az > ay) 2 else if (ay > ax) 1 else 0
+      val face = axis match {
+        case 0 => if (x < 0) 3 else 0
+        case 1 => if (y < 0) 4 else 1
+        case _ => if (z < 0) 5 else 2
+      }
+      face match {
+        case 0 => (0, y / x, z / x)
+        case 1 => (1, -x / y, z / y)
+        case 2 => (2, -x / z, -y / z)
+        case 3 => (3, z / x, y / x)
+        case 4 => (4, z / y, -x / y)
+        case _ => (5, -y / z, -x / z)
+      }
+    }
+
+    private def lonLatToXYZ(lonDeg: Double, latDeg: Double): (Double, Double, Double) = {
+      val lon = math.toRadians(lonDeg); val lat = math.toRadians(latDeg)
+      (math.cos(lat) * math.cos(lon), math.cos(lat) * math.sin(lon), math.sin(lat))
+    }
+
+    /** CH argument order: geoToS2(lon, lat) → leaf cell id. */
+    def geoToS2(lonDeg: Double, latDeg: Double): Long = {
+      val (x, y, z) = lonLatToXYZ(lonDeg, latDeg)
+      val (face, u, v) = xyzToFaceUV(x, y, z)
+      fromFaceIJ(face, stToIJ(uvToST(u)), stToIJ(uvToST(v)))
+    }
+
+    /** Center of a cell id → (lon, lat) degrees. */
+    def s2ToGeo(id: Long): (Double, Double) = {
+      val (face, i, j, _) = toFaceIJ(id)
+      // GetCenterSiTi: leaf → +1; otherwise +2/0 by the curve parity
+      val delta =
+        if (isLeaf(id)) 1
+        else if (((i ^ (id >>> 2).toInt) & 1) != 0) 2
+        else 0
+      val si = 2L * i + delta
+      val ti = 2L * j + delta
+      val u = stToUV(si / (2.0 * MaxSize))
+      val v = stToUV(ti / (2.0 * MaxSize))
+      val (x, y, z) = faceUVToXYZ(face, u, v)
+      val lat = math.atan2(z, math.sqrt(x * x + y * y))
+      val lon = math.atan2(y, x)
+      (math.toDegrees(lon), math.toDegrees(lat))
+    }
+
+    /** FromFaceIJ for coordinates possibly one step off the face. */
+    private def fromFaceIJWrap(face: Int, iIn: Int, jIn: Int): Long = {
+      val i = math.max(-1, math.min(MaxSize, iIn))
+      val j = math.max(-1, math.min(MaxSize, jIn))
+      val kScale = 1.0 / MaxSize
+      // the library nudges u/v inside the face before re-projecting so the
+      // wrapped leaf stays adjacent; one ULP toward 0 reproduces that
+      val kLimit = 1.0 + 2.220446049250313e-16
+      val u = math.max(-kLimit, math.min(kLimit, kScale * (2 * (i - MaxSize / 2) + 1)))
+      val v = math.max(-kLimit, math.min(kLimit, kScale * (2 * (j - MaxSize / 2) + 1)))
+      val (x, y, z) = faceUVToXYZ(face, u, v)
+      val (f2, u2, v2) = xyzToFaceUV(x, y, z)
+      fromFaceIJ(f2, stToIJ(0.5 * (u2 + 1)), stToIJ(0.5 * (v2 + 1)))
+    }
+
+    private def fromFaceIJSame(face: Int, i: Int, j: Int, samePos: Boolean): Long =
+      if (samePos) fromFaceIJ(face, i, j) else fromFaceIJWrap(face, i, j)
+
+    /** The four edge neighbors at the same level. */
+    def getEdgeNeighbors(id: Long): Array[Long] = {
+      val lvl = level(id)
+      val size = 1 << (MaxLevel - lvl)
+      val (face, i, j, _) = toFaceIJ(id)
+      Array(
+        parentAtLevel(fromFaceIJSame(face, i, j - size, j - size >= 0), lvl),
+        parentAtLevel(fromFaceIJSame(face, i + size, j, i + size < MaxSize), lvl),
+        parentAtLevel(fromFaceIJSame(face, i, j + size, j + size < MaxSize), lvl),
+        parentAtLevel(fromFaceIJSame(face, i - size, j, i - size >= 0), lvl))
+    }
+
+    def cellsIntersect(a: Long, b: Long): Boolean =
+      java.lang.Long.compareUnsigned(rangeMin(a), rangeMax(b)) <= 0 &&
+        java.lang.Long.compareUnsigned(rangeMin(b), rangeMax(a)) <= 0
+
+    private def centerXYZ(id: Long): (Double, Double, Double) = {
+      val (lon, lat) = s2ToGeo(id)
+      lonLatToXYZ(lon, lat)
+    }
+
+    private def angleDeg(a: Long, b: Long): Double = {
+      val (ax, ay, az) = centerXYZ(a)
+      val (bx, by, bz) = centerXYZ(b)
+      val dot = math.max(-1.0, math.min(1.0, ax * bx + ay * by + az * bz))
+      math.toDegrees(math.acos(dot))
+    }
+
+    /** Cap(center, radius°) contains the point cell's center. Negative
+      * radius = the empty cap. */
+    def capContains(center: Long, radiusDeg: Double, point: Long): Boolean =
+      radiusDeg >= 0 && angleDeg(center, point) <= math.min(radiusDeg, 180.0)
+
+    /** −1 radian in degrees — the library's empty-cap radius as the
+      * reference prints it (01854_s2_cap_union expected output). */
+    val EmptyCapDeg: Double = -57.29577951308232
+
+    /** Smallest cap containing both caps → (center cell, radius°).
+      * Negative radii are empty caps; radii are clamped to the 180° full
+      * cap — both behaviors pinned by 01854's expected rows. */
+    def capUnion(c1: Long, r1Raw: Double, c2: Long, r2Raw: Double): (Long, Double) = {
+      val e1 = r1Raw < 0; val e2 = r2Raw < 0
+      if (e1 && e2) return (c1, EmptyCapDeg)
+      if (e1) return (c2, math.min(r2Raw, 180.0))
+      if (e2) return (c1, math.min(r1Raw, 180.0))
+      val r1 = math.min(r1Raw, 180.0); val r2 = math.min(r2Raw, 180.0)
+      val d = angleDeg(c1, c2)
+      if (r1 >= d + r2) (c1, r1) // cap 1 already contains cap 2
+      else if (r2 >= d + r1) (c2, r2)
+      else {
+        val r = math.min(0.5 * (d + r1 + r2), 180.0)
+        // interpolate the center along the c1→c2 arc by (r - r1)
+        val f = if (d == 0) 0.0 else (r - r1) / d
+        val (ax, ay, az) = centerXYZ(c1)
+        val (bx, by, bz) = centerXYZ(c2)
+        val theta = math.toRadians(d)
+        val sinT = math.sin(theta)
+        val wa = math.sin((1 - f) * theta) / sinT
+        val wb = math.sin(f * theta) / sinT
+        val (x, y, z) = (wa * ax + wb * bx, wa * ay + wb * by, wa * az + wb * bz)
+        val lat = math.atan2(z, math.sqrt(x * x + y * y))
+        val lon = math.atan2(y, x)
+        (geoToS2(math.toDegrees(lon), math.toDegrees(lat)), r)
+      }
+    }
+
+    // --- lat/lng rectangles, carried as (lo cell, hi cell) like the
+    //     reference's s2Rect* signatures. Latitude is a plain closed
+    //     interval (R1Interval); longitude is a CCW circular interval
+    //     (S1Interval) whose lo may exceed hi — the published s2geometry
+    //     interval semantics, which the 02224 vectors exercise (the test
+    //     rects wrap the long way around). Radians internally.
+
+    /** R1Interval on latitudes: (lo, hi); lo > hi ⇒ empty. */
+    private final case class R1(lo: Double, hi: Double) {
+      def isEmpty: Boolean = lo > hi
+      def addPoint(p: Double): R1 =
+        if (isEmpty) R1(p, p)
+        else if (p < lo) R1(p, hi)
+        else if (p > hi) R1(lo, p)
+        else this
+      def contains(p: Double): Boolean = p >= lo && p <= hi
+      def union(y: R1): R1 =
+        if (isEmpty) y else if (y.isEmpty) this
+        else R1(math.min(lo, y.lo), math.max(hi, y.hi))
+      def intersection(y: R1): R1 = R1(math.max(lo, y.lo), math.min(hi, y.hi))
+    }
+
+    /** S1Interval on longitudes: CCW from lo to hi, wrapping at ±π. */
+    private final case class S1(lo: Double, hi: Double) {
+      def isEmpty: Boolean = lo == math.Pi && hi == -math.Pi
+      def isFull: Boolean = lo == -math.Pi && hi == math.Pi
+      def isInverted: Boolean = lo > hi
+      def contains(p: Double): Boolean =
+        if (isInverted) p >= lo || p <= hi else p >= lo && p <= hi
+      def containsInterval(y: S1): Boolean =
+        if (y.isEmpty) true
+        else if (isInverted) {
+          if (y.isInverted) y.lo >= lo && y.hi <= hi
+          else (y.lo >= lo || y.hi <= hi) && !isEmpty
+        } else {
+          if (y.isInverted) isFull
+          else y.lo >= lo && y.hi <= hi
+        }
+      def length: Double = {
+        val l = hi - lo
+        if (l >= 0) l else l + 2 * math.Pi
+      }
+      def addPoint(p: Double): S1 =
+        if (contains(p)) this
+        else if (isEmpty) S1(p, p)
+        else {
+          val dlo = S1.posDist(p, lo); val dhi = S1.posDist(hi, p)
+          if (dlo < dhi) S1(p, hi) else S1(lo, p)
+        }
+      def union(y: S1): S1 =
+        if (y.isEmpty) this
+        else if (contains(y.lo)) {
+          if (contains(y.hi)) {
+            if (containsInterval(y)) this else S1.Full
+          } else S1(lo, y.hi)
+        } else if (contains(y.hi)) S1(y.lo, hi)
+        else if (isEmpty || y.contains(lo)) y
+        else if (S1.posDist(y.hi, lo) < S1.posDist(hi, y.lo)) S1(y.lo, hi)
+        else S1(lo, y.hi)
+      def intersection(y: S1): S1 =
+        if (y.isEmpty) S1.Empty
+        else if (contains(y.lo)) {
+          if (contains(y.hi)) { if (y.length < length) y else this }
+          else S1(y.lo, hi)
+        } else if (contains(y.hi)) S1(lo, y.hi)
+        else if (y.contains(lo)) this
+        else S1.Empty
+    }
+    private object S1 {
+      val Empty: S1 = S1(math.Pi, -math.Pi)
+      val Full: S1 = S1(-math.Pi, math.Pi)
+      def posDist(a: Double, b: Double): Double = {
+        val d = b - a
+        if (d >= 0) d else d + 2 * math.Pi
+      }
+    }
+
+    /** (lat R1, lng S1) in radians, from the two corner cells. */
+    private def rectOf(lo: Long, hi: Long): (R1, S1) = {
+      val (lonLo, latLo) = s2ToGeo(lo)
+      val (lonHi, latHi) = s2ToGeo(hi)
+      (R1(math.toRadians(latLo), math.toRadians(latHi)),
+        S1(math.toRadians(lonLo), math.toRadians(lonHi)))
+    }
+
+    private def rectToCells(lat: R1, lng: S1): (Long, Long) =
+      if (lat.isEmpty || lng.isEmpty)
+        // the library's canonical empty rect: lat [1, 0] rad, lng [π, −π]
+        (geoToS2(180.0, math.toDegrees(1.0)), geoToS2(-180.0, 0.0))
+      else
+        (geoToS2(math.toDegrees(lng.lo), math.toDegrees(lat.lo)),
+          geoToS2(math.toDegrees(lng.hi), math.toDegrees(lat.hi)))
+
+    def rectAdd(lo: Long, hi: Long, point: Long): (Long, Long) = {
+      val (lat, lng) = rectOf(lo, hi)
+      val (lonP, latP) = s2ToGeo(point)
+      rectToCells(lat.addPoint(math.toRadians(latP)), lng.addPoint(math.toRadians(lonP)))
+    }
+
+    def rectContains(lo: Long, hi: Long, point: Long): Boolean = {
+      val (lat, lng) = rectOf(lo, hi)
+      val (lonP, latP) = s2ToGeo(point)
+      lat.contains(math.toRadians(latP)) && lng.contains(math.toRadians(lonP))
+    }
+
+    def rectUnion(lo1: Long, hi1: Long, lo2: Long, hi2: Long): (Long, Long) = {
+      val (lat1, lng1) = rectOf(lo1, hi1)
+      val (lat2, lng2) = rectOf(lo2, hi2)
+      rectToCells(lat1.union(lat2), lng1.union(lng2))
+    }
+
+    def rectIntersection(lo1: Long, hi1: Long, lo2: Long, hi2: Long): (Long, Long) = {
+      val (lat1, lng1) = rectOf(lo1, hi1)
+      val (lat2, lng2) = rectOf(lo2, hi2)
+      rectToCells(lat1.intersection(lat2), lng1.intersection(lng2))
+    }
+  }
+
+  def install(spark: SparkSession): Unit = {
+    // H3 — predicates return Int 0/1 (the reference's UInt8)
+    spark.udf.register("h3IsValid", (h: Long) => if (H3.isValid(h)) 1 else 0)
+    spark.udf.register("h3GetResolution", (h: Long) => H3.resolution(h))
+    spark.udf.register("h3GetBaseCell", (h: Long) => H3.baseCell(h))
+    spark.udf.register("h3IsPentagon", (h: Long) => if (H3.isPentagon(h)) 1 else 0)
+    spark.udf.register("h3IsResClassIII", (h: Long) => if (H3.isResClassIII(h)) 1 else 0)
+    spark.udf.register("h3ToParent", (h: Long, r: Int) => H3.toParent(h, r))
+    spark.udf.register("h3ToCenterChild", (h: Long, r: Int) => H3.toCenterChild(h, r))
+    spark.udf.register("h3ToChildren", (h: Long, r: Int) => H3.toChildren(h, r))
+    spark.udf.register("h3ToString", (h: Long) => H3.toStringHex(h))
+    spark.udf.register("stringToH3", (s: String) => H3.fromString(s))
+    spark.udf.register("h3NumHexagons", (r: Int) => H3.numHexagons(r))
+    spark.udf.register("h3GetRes0Indexes", () => H3.res0Indexes)
+    spark.udf.register("h3GetPentagonIndexes", (r: Int) => H3.pentagonIndexes(r))
+    spark.udf.register("h3EdgeLengthM", (r: Int) => H3.edgeLengthMOf(r))
+    spark.udf.register("h3EdgeLengthKm", (r: Int) => H3.edgeLengthKmOf(r))
+    spark.udf.register("h3HexAreaM2", (r: Int) => H3.hexAreaM2Of(r))
+    spark.udf.register("h3HexAreaKm2", (r: Int) => H3.hexAreaKm2Of(r))
+    spark.udf.register("h3EdgeAngle", (r: Int) => H3.edgeAngle(r))
+    // S2
+    spark.udf.register("geoToS2", (lon: Double, lat: Double) => S2.geoToS2(lon, lat))
+    spark.udf.register("s2ToGeo", (id: Long) => S2.s2ToGeo(id))
+    spark.udf.register("s2GetNeighbors", (id: Long) => S2.getEdgeNeighbors(id))
+    spark.udf.register("s2CellsIntersect",
+      (a: Long, b: Long) => if (S2.cellsIntersect(a, b)) 1 else 0)
+    spark.udf.register("s2CapContains",
+      (c: Long, r: Double, p: Long) => if (S2.capContains(c, r, p)) 1 else 0)
+    spark.udf.register("s2CapUnion",
+      (c1: Long, r1: Double, c2: Long, r2: Double) => S2.capUnion(c1, r1, c2, r2))
+    spark.udf.register("s2RectAdd",
+      (lo: Long, hi: Long, p: Long) => S2.rectAdd(lo, hi, p))
+    spark.udf.register("s2RectContains",
+      (lo: Long, hi: Long, p: Long) => if (S2.rectContains(lo, hi, p)) 1 else 0)
+    spark.udf.register("s2RectUnion",
+      (lo1: Long, hi1: Long, lo2: Long, hi2: Long) => S2.rectUnion(lo1, hi1, lo2, hi2))
+    spark.udf.register("s2RectIntersection",
+      (lo1: Long, hi1: Long, lo2: Long, hi2: Long) => S2.rectIntersection(lo1, hi1, lo2, hi2))
+  }
+}

@@ -664,6 +664,48 @@ object RelationalQueries {
         .orderBy(col("qb"))
     }),
 
+    // Scalar tranche 13 end-to-end: tuple/vector arithmetic
+    // (vectorFunctions.cpp names over the array mapping) — the oracle
+    // recomputes every norm/distance from the component scalars.
+    "q62_tuple_arithmetic" -> ((s, dir) => {
+      t(s, dir, "customer").filter(col("c_custkey") <= 100)
+        .selectExpr("c_custkey",
+          "array(CAST(c_acctbal AS DOUBLE), CAST(c_custkey AS DOUBLE)) AS va",
+          "array(CAST(c_nationkey * 10 AS DOUBLE), CAST(c_custkey % 7 AS DOUBLE)) AS vb")
+        .selectExpr("c_custkey",
+          "round(scalarProduct(va, vb), 4) AS dot",
+          "round(distanceL1(va, vb), 4) AS d1",
+          "round(distanceL2(va, vb), 4) AS d2",
+          "round(distanceLinf(va, vb), 4) AS dinf",
+          "round(LpDistance(va, vb, 3D), 4) AS d3",
+          "round(normL2(tuplePlus(va, vb)), 4) AS n2",
+          "CAST(tupleHammingDistance(va, vb) AS INT) AS hd")
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Scalar tranche 13/14 end-to-end: mysql-%-spec formatDateTime
+    // (formatDateTime.cpp switch) + the H3 index-math family
+    // (h3*.cpp) — the oracle recomputes the dates with DuckDB strftime
+    // (same C %-grammar) and the H3 cells with plain bit arithmetic on
+    // the published index layout.
+    "q63_datetime_h3" -> ((s, dir) => {
+      t(s, dir, "orders").filter(col("o_orderkey") <= 500)
+        .withColumn("ts", col("o_orderdate").cast("timestamp"))
+        .withColumn("h0",
+          expr("element_at(h3GetRes0Indexes(), CAST(o_orderkey % 122 AS INT) + 1)"))
+        .selectExpr("o_orderkey",
+          "formatDateTime(ts, '%Y-%m-%d %H:%i:%S') AS iso",
+          "formatDateTime(ts, '%a %b %j') AS cal",
+          "formatDateTime(ts, '%G-%V-%u') AS isoweek",
+          "CAST(h3GetBaseCell(h0) AS INT) AS bc",
+          "h3ToCenterChild(h0, 15) AS c15",
+          "h3ToParent(h3ToCenterChild(h0, 15), 5) AS p5",
+          "CAST(h3IsValid(h0) AS INT) AS valid",
+          "CAST(h3IsPentagon(h0) AS INT) AS pent",
+          "h3ToString(h0) AS hex")
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Scalar tranche 6 end-to-end: URL decomposition + IP containment
     // (ClickHouseCompat SQL functions) over deterministic synthetic
     // URLs/IPs derived from customer columns; the oracle recomputes the
@@ -892,6 +934,45 @@ object RelationalQueries {
       SELECT coalesce(s.qb, a.qb) AS qb, coalesce(a.n, 0) AS n
       FROM series s FULL OUTER JOIN agg a ON s.qb = a.qb
       ORDER BY qb""",
+    "q62_tuple_arithmetic" -> """
+      WITH v AS (
+        SELECT c_custkey,
+               CAST(c_acctbal AS DOUBLE) AS a1, CAST(c_custkey AS DOUBLE) AS a2,
+               CAST(c_nationkey * 10 AS DOUBLE) AS b1,
+               CAST(c_custkey % 7 AS DOUBLE) AS b2
+        FROM customer WHERE c_custkey <= 100)
+      SELECT c_custkey,
+             round(a1 * b1 + a2 * b2, 4) AS dot,
+             round(abs(a1 - b1) + abs(a2 - b2), 4) AS d1,
+             round(sqrt((a1 - b1) * (a1 - b1) + (a2 - b2) * (a2 - b2)), 4) AS d2,
+             round(greatest(abs(a1 - b1), abs(a2 - b2)), 4) AS dinf,
+             round(pow(pow(abs(a1 - b1), 3) + pow(abs(a2 - b2), 3), 1.0 / 3), 4) AS d3,
+             round(sqrt((a1 + b1) * (a1 + b1) + (a2 + b2) * (a2 + b2)), 4) AS n2,
+             CAST((CASE WHEN a1 = b1 THEN 0 ELSE 1 END) +
+                  (CASE WHEN a2 = b2 THEN 0 ELSE 1 END) AS INT) AS hd
+      FROM v ORDER BY c_custkey""",
+    "q63_datetime_h3" -> """
+      WITH o AS (
+        SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS ts,
+               CAST(o_orderkey % 122 AS BIGINT) AS bc
+        FROM orders WHERE o_orderkey <= 500),
+      h AS (
+        SELECT o_orderkey, ts, bc,
+               576460752303423488 + bc * 35184372088832 + 35184372088831 AS h0
+        FROM o)
+      SELECT o_orderkey,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS iso,
+             strftime(ts, '%a %b %j') AS cal,
+             strftime(ts, '%G-%V-%u') AS isoweek,
+             CAST(bc AS INT) AS bc,
+             576460752303423488 + 15 * 4503599627370496 + bc * 35184372088832 AS c15,
+             576460752303423488 + 5 * 4503599627370496 + bc * 35184372088832
+               + 1073741823 AS p5,
+             CAST(1 AS INT) AS valid,
+             CAST(CASE WHEN bc IN (4, 14, 24, 38, 49, 58, 63, 72, 83, 97, 107, 117)
+               THEN 1 ELSE 0 END AS INT) AS pent,
+             printf('%x', h0) AS hex
+      FROM h ORDER BY o_orderkey""",
     "q51_with_fill_step" -> """
       WITH buckets AS (SELECT unnest(range(0, 65, 5)) AS qb),
       agg AS (

@@ -747,4 +747,86 @@ class ClickHouseCompatSpec extends SparkSpec {
     assert(q1("detectLanguage('the cat sat on the mat and it was good')") === "en")
     assert(q1("detectLanguage('xyzzy qwerty asdf')") === "un")
   }
+
+  test("tranche-13: tuple/vector arithmetic") {
+    def q1(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
+    assert(q1("tuplePlus(array(1D, 2D), array(10D, 20D))") === Seq(11.0, 22.0))
+    assert(q1("vectorSum(array(1D, 2D), array(10D, 20D))") === Seq(11.0, 22.0))
+    assert(q1("tupleMinus(array(10D, 20D), array(1D, 2D))") === Seq(9.0, 18.0))
+    assert(q1("tupleMultiply(array(2D, 3D), array(4D, 5D))") === Seq(8.0, 15.0))
+    assert(q1("tupleDivide(array(8D, 15D), array(4D, 5D))") === Seq(2.0, 3.0))
+    assert(q1("tupleNegate(array(1D, -2D))") === Seq(-1.0, 2.0))
+    assert(q1("tupleMultiplyByNumber(array(1D, 2D), 3D)") === Seq(3.0, 6.0))
+    assert(q1("tupleDivideByNumber(array(3D, 6D), 3D)") === Seq(1.0, 2.0))
+    assert(q1("tupleConcat(array(1D), array(2D, 3D))") === Seq(1.0, 2.0, 3.0))
+    assert(q1("tupleHammingDistance(array(1D, 2D, 3D), array(1D, 9D, 3D))") === 1)
+    assert(q1("scalarProduct(array(1D, 2D), array(3D, 4D))") === 11.0)
+    assert(q1("max2(3D, 5D)") === 5.0)
+    assert(q1("min2(3D, 5D)") === 3.0)
+    // norms + distances: 3-4-5 triangle everywhere
+    assert(q1("normL1(array(3D, -4D))") === 7.0)
+    assert(q1("normL2(array(3D, 4D))") === 5.0)
+    assert(q1("normL2Squared(array(3D, 4D))") === 25.0)
+    assert(q1("normLinf(array(3D, -4D))") === 4.0)
+    assert(q1("LpNorm(array(3D, 4D), 2D)") === 5.0)
+    assert(q1("distanceL1(array(0D, 0D), array(3D, 4D))") === 7.0)
+    assert(q1("distanceL2(array(0D, 0D), array(3D, 4D))") === 5.0)
+    assert(q1("distanceL2Squared(array(0D, 0D), array(3D, 4D))") === 25.0)
+    assert(q1("distanceLinf(array(0D, 0D), array(3D, 4D))") === 4.0)
+    assert(q1("LpDistance(array(0D, 0D), array(3D, 4D), 2D)") === 5.0)
+    assert(q1("normalizeL2(array(3D, 4D))") === Seq(0.6, 0.8))
+    assert(q1("normalizeL1(array(3D, 1D))") === Seq(0.75, 0.25))
+    assert(q1("normalizeLinf(array(2D, 4D))") === Seq(0.5, 1.0))
+    assert(q1("LpNormalize(array(3D, 4D), 2D)") === Seq(0.6, 0.8))
+    assert(q1("transformLookup3('b', array('a','b'), array('x','y'))") === "y")
+    assert(q1("transformLookup3('zz', array('a','b'), array('x','y'))") === "zz")
+    assert(q1("byteSwap16(258)") === 513) // 0x0102 -> 0x0201
+  }
+
+  test("tranche-13: formatDateTime mysql %-specs") {
+    def q1(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
+    val ts = "TIMESTAMP '2010-01-04 12:34:56'"
+    // the reference's documented example row (formatDateTime docs)
+    assert(q1(s"formatDateTime($ts, '%Y-%m-%d %H:%i:%S')") === "2010-01-04 12:34:56")
+    assert(q1(s"formatDateTime($ts, '%a %b %c %C %d %D %e')")
+      === "Mon Jan 01 20 04 01/04/10  4")
+    assert(q1(s"formatDateTime($ts, '%F %j %m %u %V %w %W %y')")
+      === "2010-01-04 004 01 1 01 1 Monday 10")
+    // 23.3 pins %M to minute (not month name); %Q quarter; %z UTC offset
+    assert(q1(s"formatDateTime($ts, '%M %Q %z')") === "34 1 +0000")
+    assert(q1(s"formatDateTime($ts, '%h %H %I %k %l %p %r %R %s %T')")
+      === "12 12 12 12 12 PM 12:34 PM 12:34 56 12:34:56")
+    assert(q1(s"formatDateTime($ts, '100%%')") === "100%")
+    assert(q1(s"formatDateTime($ts, '%t|%n')") === "\t|\n")
+    // ISO week-year specs straddle the calendar year
+    assert(q1("formatDateTime(TIMESTAMP '2021-01-01 00:00:00', '%G %g %V')")
+      === "2020 20 53")
+    intercept[Exception](q1(s"formatDateTime($ts, '%U')"))
+    // parse is the inverse on full round-trip formats
+    assert(q1("parseDateTime('2021-01-04+23:00:00', '%Y-%m-%d+%H:%i:%s')")
+      .toString === "2021-01-04 23:00:00.0")
+    assert(q1("parseDateTime('02/28/24', '%D')").toString
+      startsWith "2024-02-28 00:00:00")
+    assert(q1("parseDateTimeOrNull('garbage', '%Y-%m-%d')") === null)
+    assert(q1("parseDateTimeOrZero('garbage', '%Y-%m-%d')").toString
+      startsWith "1970-01-01 00:00:00")
+  }
+
+  test("tranche-14: h3/s2 SQL registration") {
+    def q1(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
+    assert(q1("h3GetResolution(617420388352917503L)") === 9)
+    assert(q1("h3IsValid(621807531097128959L)") === 1)
+    assert(q1("h3ToString(617420388352917503L)") === "89184926cdbffff")
+    assert(q1("stringToH3('89184926cc3ffff')") === 617420388351344639L)
+    assert(q1("h3ToParent(599405990164561919L, 3)") === 590398848891879423L)
+    assert(q1("size(h3ToChildren(599405990164561919L, 6))") === 7)
+    assert(q1("h3NumHexagons(1)") === 842L)
+    assert(q1("size(h3GetRes0Indexes())") === 122)
+    assert(q1("h3EdgeLengthM(4)") === 22606.3794)
+    assert(q1("h3HexAreaM2(5)") === 252903364.5)
+    assert(q1("geoToS2(37.79506683D, 55.71290588D)") === 4704772434919038107L)
+    assert(q1("s2CellsIntersect(1157339245694594829L, 1157339245694594830L)") === 1)
+    assert(q1("size(s2GetNeighbors(5074766849661468672L))") === 4)
+    assert(q1("s2CapContains(1157339245694594829L, 1.0D, 1157347770437378819L)") === 1)
+  }
 }

@@ -1,0 +1,204 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GeoGrid.{H3, S2}
+
+/** Every expected value below is copied from the reference's OWN
+  * stateless-test expected outputs or documentation examples
+  * (tests/queries/0_stateless/00926/01040/01041/01043/01044/01070/02021/
+  * 02212 for H3; 01849/01851/01852/01853/01854/02224 for S2) — the same
+  * strategy HashParitySpec uses for the hash family.
+  */
+class GeoGridSpec extends AnyFunSuite {
+
+  // ---------------- H3 ----------------
+
+  test("h3GetResolution vectors (01040)") {
+    assert(H3.resolution(581276613233082367L) === 1)
+    assert(H3.resolution(621807531097128959L) === 10)
+    assert(H3.resolution(644325529233966508L) === 15)
+    assert(H3.resolution(617420388352917503L) === 9)
+  }
+
+  test("h3IsValid vectors (01041 + docs)") {
+    assert(H3.isValid(581276613233082367L))
+    assert(H3.isValid(621807531097128959L))
+    assert(H3.isValid(630814730351855103L))
+    assert(!H3.isValid(0L))
+    assert(!H3.isValid(100000000000000000L))
+  }
+
+  test("h3GetBaseCell vector (01070)") {
+    assert(H3.baseCell(612916788725809151L) === 12)
+  }
+
+  test("h3ToParent vectors (01070)") {
+    assert(H3.toParent(599405990164561919L, 3) === 590398848891879423L)
+    assert(H3.toParent(599405990164561919L, 0) === 576918149140578303L)
+  }
+
+  test("h3ToString / stringToH3 vectors (01070)") {
+    assert(H3.toStringHex(617420388352917503L) === "89184926cdbffff")
+    assert(H3.fromString("89184926cc3ffff") === 617420388351344639L)
+    // the reference test feeds 0x…L spellings through the same parser
+    assert(H3.fromString("0x8f28308280f18f2L") === H3.fromString("8f28308280f18f2"))
+    assert(H3.fromString("zzz") === 0L)
+  }
+
+  test("h3ToChildren vector (01070 / docs)") {
+    assert(H3.toChildren(599405990164561919L, 6).toSeq === Seq(
+      603909588852408319L, 603909588986626047L, 603909589120843775L,
+      603909589255061503L, 603909589389279231L, 603909589523496959L,
+      603909589657714687L))
+    // children count: hexagon 7^k, one level
+    assert(H3.toChildren(599405990164561919L, 7).length === 49)
+    intercept[IllegalArgumentException](H3.toChildren(599405990164561919L, 16))
+  }
+
+  test("h3ToCenterChild vector (docs)") {
+    assert(H3.toCenterChild(577023702256844799L, 1) === 581496515558637567L)
+  }
+
+  test("h3IsPentagon vectors (02021 + docs)") {
+    assert(H3.isPentagon(H3.fromString("821c07fffffffff")))
+    assert(!H3.isPentagon(H3.fromString("8f28308280f18f2")))
+    assert(!H3.isPentagon(644721767722457330L))
+  }
+
+  test("h3IsResClassIII vector (docs)") {
+    assert(H3.isResClassIII(617420388352917503L))
+  }
+
+  test("h3GetPentagonIndexes res-0 row (02212)") {
+    assert(H3.pentagonIndexes(0).toSeq === Seq(
+      576636674163867647L, 576988517884755967L, 577340361605644287L,
+      577832942814887935L, 578219970907865087L, 578536630256664575L,
+      578712552117108735L, 579029211465908223L, 579416239558885375L,
+      579908820768129023L, 580260664489017343L, 580612508209905663L))
+    // pentagons at every res are valid pentagon cells
+    val p9 = H3.pentagonIndexes(9)
+    assert(p9.length === 12)
+    assert(p9.forall(H3.isPentagon))
+  }
+
+  test("h3GetRes0Indexes shape (02212)") {
+    val all = H3.res0Indexes
+    assert(all.length === 122)
+    assert(all.take(4).toSeq === Seq(
+      576495936675512319L, 576531121047601151L, 576566305419689983L,
+      576601489791778815L))
+    assert(all.forall(H3.isValid))
+  }
+
+  test("h3 average edge length / hex area vectors (01043/01070/docs)") {
+    assert(H3.edgeLengthMOf(1) === 418676.0055)
+    assert(H3.edgeLengthMOf(4) === 22606.3794)
+    assert(H3.edgeLengthMOf(15) === 0.509713273)
+    assert(H3.edgeLengthKmOf(15) === 0.000509713)
+    assert(H3.hexAreaM2Of(5) === 252903364.5)
+    assert(H3.hexAreaM2Of(13) === 43.9)
+    assert(H3.hexAreaKm2Of(13) === 0.0000439)
+    intercept[IllegalArgumentException](H3.edgeLengthMOf(16))
+  }
+
+  test("h3EdgeAngle vector + identity (01044)") {
+    assert(H3.edgeAngle(10) === 0.0005927224846720883)
+    assert(H3.edgeAngle(2) === H3.edgeLengthMOf(2) * 180 / math.Pi / 6371007.180918475)
+  }
+
+  test("h3NumHexagons closed form") {
+    assert(H3.numHexagons(0) === 122L)
+    assert(H3.numHexagons(1) === 842L)
+    assert(H3.numHexagons(15) === 569707381193162L)
+  }
+
+  // ---------------- S2 ----------------
+
+  test("geoToS2 vectors (docs + 02224)") {
+    assert(S2.geoToS2(37.79506683, 55.71290588) === 4704772434919038107L)
+    assert(S2.geoToS2(37.79506683, 37.79506683) === 1527555102286129111L)
+  }
+
+  test("s2ToGeo vectors (01851/02224)") {
+    val (lon, lat) = S2.s2ToGeo(4704772434919038107L)
+    assert(math.abs(lon - 37.79506681471008) < 1e-12)
+    assert(math.abs(lat - 55.7129059052841) < 1e-12)
+    val (lon2, lat2) = S2.s2ToGeo(java.lang.Long.parseUnsignedLong("9926594385212866560"))
+    assert(math.abs(lon2 - -73.98300293448631) < 1e-12)
+    assert(math.abs(lat2 - 40.755097559353004) < 1e-12)
+  }
+
+  test("geoToS2 of the 01849 table coordinates") {
+    // (lon, lat) exactly as the reference test's INSERTed rows; expected
+    // ids from its .reference output
+    val cases = Seq(
+      (-19.826140, -41.192912, 145638248314527735L),
+      (-41.564128, -16.777073, 525948609053544771L),
+      (40.768274, 2.853563, 1723620528513494869L),
+      (8.774109, -3.271374, 1913723177026859677L),
+      (125.938503, 25.519362, 3814912406305146887L),
+      (51.390374, 29.368252, 4590287096029015617L))
+    for ((lon, lat, expected) <- cases)
+      assert(S2.geoToS2(lon, lat) === expected, s"geoToS2($lon, $lat)")
+    // a leaf cell's center maps back to the same leaf
+    val (lon0, lat0) = S2.s2ToGeo(145638248314527629L)
+    assert(S2.geoToS2(lon0, lat0) === 145638248314527629L)
+  }
+
+  test("s2GetNeighbors vectors (01852/02224)") {
+    assert(S2.getEdgeNeighbors(5074766849661468672L).toSeq === Seq(
+      5074766987100422144L, 5074766712222515200L,
+      5074767536856236032L, 5074767261978329088L))
+    assert(S2.getEdgeNeighbors(1157339245694594829L).toSeq === Seq(
+      1157339245694594831L, 1157339245694594835L,
+      1157339245694594931L, 1157339245694594827L))
+  }
+
+  test("s2CellsIntersect vectors (01853)") {
+    assert(S2.cellsIntersect(java.lang.Long.parseUnsignedLong("9926595209846587392"), java.lang.Long.parseUnsignedLong("9926594385212866560")))
+    assert(!S2.cellsIntersect(java.lang.Long.parseUnsignedLong("9926595209846587392"), java.lang.Long.parseUnsignedLong("9937259648002293760")))
+  }
+
+  test("s2CapContains vectors (01854)") {
+    assert(S2.capContains(1157339245694594829L, 1.0, 1157347770437378819L))
+    assert(!S2.capContains(1157339245694594829L, 1.0, 1152921504606846977L))
+    assert(S2.capContains(1157339245694594829L, 3.14, 1157339245694594829L))
+    assert(S2.capContains(1157339245694594829L, 1.0, 1157347770437378389L)) // 02224 row 2
+    assert(!S2.capContains(1157339245694594829L, -1.0, 1157339245694594829L)) // empty cap
+  }
+
+  test("s2CapUnion vectors (01854)") {
+    val (c, r) = S2.capUnion(3814912406305146967L, 1.0, 1157347770437378819L, 1.0)
+    assert(c === 4534655147792050737L)
+    assert(math.abs(r - 60.2088283994957) < 1e-10)
+    // two empty caps → cap 1 as-is, radius = −1 rad in degrees
+    val (c2, r2) = S2.capUnion(1157339245694594829L, -1.0, 1152921504606846977L, -1.0)
+    assert(c2 === 1157339245694594829L)
+    assert(math.abs(r2 - -57.29577951308232) < 1e-12)
+    // oversized radius clamps to the full cap
+    val big = 1.8446744073709552e19
+    val (c3, r3) = S2.capUnion(1157339245694594829L, big, 1157339245694594829L, big)
+    assert(c3 === 1157339245694594829L && r3 === 180.0)
+  }
+
+  test("s2Rect vectors (02224)") {
+    assert(S2.rectAdd(5178914411069187297L, 5177056748191934217L, 5179056748191934217L)
+      === (5179062030687166815L, 5177056748191934217L))
+    assert(S2.rectAdd(5178914411069187297L, 5177056748191934217L, 5177914411069187297L)
+      === (5178914411069187297L, 5177057445452335297L))
+    assert(!S2.rectContains(5179062030687166815L, 5177056748191934217L, 5177914411069187297L))
+    assert(S2.rectUnion(5178914411069187297L, 5177056748191934217L,
+      5179062030687166815L, 5177056748191934217L)
+      === (5179062030687166815L, 5177056748191934217L))
+    assert(S2.rectUnion(5178914411069187297L, 5177056748191934217L,
+      5179062030687166815L, 5177914411069187297L)
+      === (5179062030687166815L, 5177057445452335297L))
+    assert(S2.rectIntersection(5178914411069187297L, 5177056748191934217L,
+      5179062030687166815L, 5177056748191934217L)
+      === (5178914411069187297L, 5177056748191934217L))
+    assert(S2.rectIntersection(5178914411069187297L, 5177056748191934217L,
+      5179062030687166815L, 1157347770437378819L)
+      === (6304347505408739331L, 8070450532247928833L))
+  }
+}
