@@ -76,4 +76,49 @@ object Projections {
     register(entry)
     entry
   }
+
+  // ------------------------------------------------------------------
+  // Normal (sort-order) projections — the reference's second projection
+  // kind (`optimizeUseNormalProjection.cpp`): a column-subset copy of the
+  // table stored under a different ORDER BY, substituted for the base
+  // scan when a query only touches its columns and filters/sorts on its
+  // sort key.
+  // ------------------------------------------------------------------
+
+  case class NormalEntry(
+      name: String, sourcePath: String, projDir: String,
+      sortCols: Seq[String], cols: Seq[String], nRows: Long)
+
+  private val normals = TrieMap.empty[String, NormalEntry]
+
+  def registerNormal(e: NormalEntry): Unit = normals.put(e.name, e)
+  def dropNormal(name: String): Unit = normals.remove(name)
+  def normalForSource(path: String): Seq[NormalEntry] =
+    normals.values.filter(_.sourcePath == path).toSeq.sortBy(_.name)
+
+  /** `ALTER TABLE ... ADD PROJECTION p (SELECT cols ORDER BY sortCols)
+    * MATERIALIZE`: range-partition by the sort key then sort within
+    * partitions, so at scale every parquet file covers a narrow sort-key
+    * range and filter pushdown prunes at FILE level (the same win the
+    * reference gets from the projection part's primary index).
+    */
+  def buildNormal(
+      spark: SparkSession,
+      df: DataFrame,
+      name: String,
+      sourcePath: String,
+      projDir: String,
+      sortCols: Seq[String],
+      cols: Seq[String]): NormalEntry = {
+    val all = (sortCols ++ cols.filterNot(sortCols.contains)).map(col)
+    df.select(all: _*)
+      .repartitionByRange(sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(projDir)
+    val nRows = spark.read.parquet(projDir).count()
+    val entry = NormalEntry(name, sourcePath, projDir, sortCols,
+      (sortCols ++ cols).distinct, nRows)
+    registerNormal(entry)
+    entry
+  }
 }

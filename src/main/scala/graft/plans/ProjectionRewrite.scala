@@ -26,6 +26,22 @@ case class ProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case agg @ Aggregate(groupExprs, resultExprs, child, _) =>
       rewrite(agg, groupExprs, resultExprs, child).getOrElse(agg)
+    // normal (sort-order) projections — optimizeUseNormalProjection.cpp:
+    // a Sort whose keys prefix a projection's ORDER BY reads the
+    // projection's narrower, sort-clustered copy instead of the base scan
+    case sort @ Sort(order, true, child, _) =>
+      val keys = order.collect { case SortOrder(a: AttributeReference, _, _, _) => a.name }
+      if (keys.length == order.length)
+        substituteNormal(child, prefix = keys).map(n => sort.copy(child = n))
+          .getOrElse(sort)
+      else sort
+    // a filter on the projection's leading sort column prunes at file
+    // level on the projection's range-partitioned layout (with or
+    // without a column-pruning Project on top)
+    case pr @ Project(list, _: Filter) if list.forall(_.isInstanceOf[AttributeReference]) =>
+      substituteNormal(pr, prefix = Nil).getOrElse(pr)
+    case f: Filter =>
+      substituteNormal(f, prefix = Nil).getOrElse(f)
   }
 
   /** Unwrap pass-through Projects and Filters (column pruning interleaves
@@ -132,5 +148,54 @@ case class ProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       s"→ projection ${entry.name} (${entry.nGroups} groups" +
       filterCond.map(_ => ", filtered").getOrElse("") + ")")
     Some(Aggregate(newGrouping, newResult, newChild))
+  }
+
+  /** Substitute a registered normal projection for a scan-shaped subtree
+    * (Project/Filter over the relation) when every referenced column is
+    * carried by the projection AND the access pattern hits its sort key —
+    * either `prefix` (an enclosing Sort's keys) prefixes the projection's
+    * ORDER BY, or the subtree's filter touches its leading sort column.
+    * The substituted rows are identical (a normal projection is a full
+    * copy), so correctness needs no other condition; the conditions above
+    * are the profit heuristic, as in the reference.
+    */
+  private def substituteNormal(p: LogicalPlan, prefix: Seq[String]): Option[LogicalPlan] = {
+    val (rel, filterCond) = unwrap(p).getOrElse(return None)
+    val path = rel.relation match {
+      case fs: HadoopFsRelation =>
+        fs.location.rootPaths.headOption.map(_.toString).getOrElse(return None)
+      case _ => return None
+    }
+    val neededNames = p.output.map(_.name) ++
+      filterCond.toSeq.flatMap(_.collect { case a: AttributeReference => a.name })
+    val filterNames = filterCond.toSeq
+      .flatMap(_.collect { case a: AttributeReference => a.name }).toSet
+    val entry = Projections.normalForSource(path)
+      .filter(e => neededNames.forall(e.cols.contains))
+      .filter { e =>
+        if (prefix.nonEmpty) e.sortCols.take(prefix.length) == prefix
+        else filterNames.contains(e.sortCols.head)
+      }
+      .sortBy(_.cols.length) // narrowest covering projection wins
+      .headOption.getOrElse(return None)
+
+    val projScan = spark.read.parquet(entry.projDir).queryExecution.analyzed
+    val byName = projScan.output.map(a => a.name -> a).toMap
+    if (!neededNames.forall(byName.contains)) return None
+    val filtered = filterCond match {
+      case Some(cond) =>
+        val remapped = cond.transformUp {
+          case a: AttributeReference if byName.contains(a.name) => byName(a.name)
+        }
+        Filter(remapped, projScan)
+      case None => projScan
+    }
+    // preserve the original output attribute ids so enclosing operators
+    // (the Sort's ordering expressions, parent projections) still resolve
+    val aliases = p.output.map(a =>
+      Alias(byName(a.name), a.name)(exprId = a.exprId))
+    logInfo(s"ProjectionRewrite: scan of $path → normal projection " +
+      s"${entry.name} (ORDER BY ${entry.sortCols.mkString(",")})")
+    Some(Project(aliases, filtered))
   }
 }

@@ -113,4 +113,57 @@ class ProjectionSpec extends SparkSpec {
     assert(cat.getAs[String]("groupCols") === "l_returnflag,l_linestatus")
     assert(cat.getAs[Long]("nGroups") > 0)
   }
+
+  // ---- normal (sort-order) projections: optimizeUseNormalProjection ----
+
+  lazy val normDir: String = {
+    val dir = Files.createTempDirectory("normproj-spec").toString
+    Projections.buildNormal(spark, li, "n_by_shipdate", srcPath, dir,
+      sortCols = Seq("l_shipdate"),
+      cols = Seq("l_shipdate", "l_orderkey", "l_quantity"))
+    dir
+  }
+
+  test("sort on the normal projection's key reads the projection") {
+    normDir
+    val q = li.select("l_shipdate", "l_orderkey", "l_quantity")
+      .orderBy(col("l_shipdate"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("normproj-spec"), s"normal projection not used:\n${plan.take(1200)}")
+    assert(!plan.contains("lineitem.parquet"), "base table still scanned")
+    // identical rows vs the direct scan+sort
+    val entry = Projections.normalForSource(srcPath).head
+    Projections.dropNormal(entry.name)
+    val direct = try li.select("l_shipdate", "l_orderkey", "l_quantity")
+      .orderBy(col("l_shipdate")).collect().map(_.toString).toSeq
+    finally Projections.registerNormal(entry)
+    assert(q.collect().map(_.toString).toSeq.sorted === direct.sorted)
+  }
+
+  test("filter on the leading sort column reads the normal projection") {
+    normDir
+    val q = li.filter(col("l_shipdate") < "1992-06-01").select("l_orderkey", "l_quantity")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("normproj-spec"), s"normal projection not used:\n${plan.take(1200)}")
+    val entry = Projections.normalForSource(srcPath).head
+    Projections.dropNormal(entry.name)
+    val direct = try li.filter(col("l_shipdate") < "1992-06-01")
+      .select("l_orderkey", "l_quantity").collect().map(_.toString).toSeq
+    finally Projections.registerNormal(entry)
+    assert(q.collect().map(_.toString).toSeq.sorted === direct.sorted)
+  }
+
+  test("normal projection does NOT fire off its access pattern") {
+    normDir
+    // uncovered column → untouched
+    val wide = li.filter(col("l_shipdate") < "1992-06-01").select("l_tax")
+    assert(!wide.queryExecution.executedPlan.toString.contains("normproj-spec"))
+    // filter on a non-sort column → untouched
+    val wrongKey = li.filter(col("l_quantity") > 10).select("l_orderkey", "l_quantity")
+    assert(!wrongKey.queryExecution.executedPlan.toString.contains("normproj-spec"))
+    // sort by a non-prefix key → untouched
+    val wrongSort = li.select("l_shipdate", "l_orderkey", "l_quantity")
+      .orderBy(col("l_orderkey"))
+    assert(!wrongSort.queryExecution.executedPlan.toString.contains("normproj-spec"))
+  }
 }
