@@ -36,12 +36,15 @@ object RelationalOps {
     * Reference parity: `toExclusive` is NOT included (FillingTransform's
     * TO bound is exclusive), and original rows OUTSIDE `[from,
     * toExclusive)` are preserved — WITH FILL only inserts rows, it never
-    * drops data (hence the full-outer join, not a left join from the
-    * series).
+    * drops data.
     *
-    * The generated series is a single small in-memory frame (explode of
-    * `sequence`) broadcast against the aggregated data — never against
-    * the raw fact table.
+    * Plan shape: a full-outer join here would force a sort-merge join
+    * (Spark cannot broadcast either side of full-outer), shuffling the
+    * data on the fill key just to meet a few hundred generated rows.
+    * Instead: UNION the data with the series keys it lacks. The
+    * missing-key set comes from a broadcast LEFT ANTI join of the series
+    * against the data's in-window keys — both sides bounded by the
+    * series length, so the data itself never reshuffles.
     */
   def withFillDays(
       df: DataFrame,
@@ -55,16 +58,37 @@ object RelationalOps {
       .range(1)
       .select(explode(sequence(
         lit(from), lit(lastDay), expr("interval 1 day"))).as(dateCol))
-    val joined = series.join(df, Seq(dateCol), "full_outer")
-    fillDefaults.foldLeft(joined) { case (d, (name, default)) =>
+    fillMissing(df, dateCol, series,
+      col(dateCol).between(lit(from), lit(lastDay)), fillDefaults)
+  }
+
+  /** Shared tail of the WITH FILL helpers: append the series keys absent
+    * from `df` (checked only inside the fill window — the anti join's
+    * build side is bounded by the series length and broadcast), then
+    * apply fill defaults. Original rows, including out-of-window ones,
+    * pass through untouched.
+    */
+  private def fillMissing(
+      df: DataFrame,
+      keyCol: String,
+      series: DataFrame,
+      inWindow: Column,
+      fillDefaults: Seq[(String, Column)]): DataFrame = {
+    val keyType = df.schema(keyCol).dataType
+    val typedSeries = series.select(col(keyCol).cast(keyType).as(keyCol))
+    val present = df.select(col(keyCol)).filter(inWindow)
+    val missing = typedSeries.join(broadcast(present), Seq(keyCol), "left_anti")
+    val unioned = df.unionByName(missing, allowMissingColumns = true)
+    fillDefaults.foldLeft(unioned) { case (d, (name, default)) =>
       d.withColumn(name, coalesce(col(name), default))
     }
   }
 
   /** `ORDER BY key WITH FILL FROM f TO t STEP s` over a NUMERIC key —
     * the general FillingTransform shape: dense series from `sequence`,
-    * outer join (original rows outside the window survive), defaults.
-    * `toExclusive` is not included, matching the reference's TO bound.
+    * missing keys appended via broadcast anti join (original rows outside
+    * the window survive), defaults. `toExclusive` is not included,
+    * matching the reference's TO bound.
     */
   def withFillStep(
       df: DataFrame,
@@ -76,10 +100,8 @@ object RelationalOps {
     val last = from + ((toExclusive - 1 - from) / step) * step
     val series = spark.range(1)
       .select(explode(sequence(lit(from), lit(last), lit(step))).as(keyCol))
-    val joined = series.join(df, Seq(keyCol), "full_outer")
-    fillDefaults.foldLeft(joined) { case (d, (name, default)) =>
-      d.withColumn(name, coalesce(col(name), default))
-    }
+    fillMissing(df, keyCol, series,
+      col(keyCol).between(lit(from), lit(last)), fillDefaults)
   }
 
   /** `WITH FILL ... INTERPOLATE (col AS expr-of-prev)` — linear carry:
