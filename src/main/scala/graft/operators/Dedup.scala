@@ -224,6 +224,74 @@ object Dedup {
     } finally sigs.unpersist(blocking = false)
   }
 
+  /** MinHash-LSH with EXACT verification — the production MinHash dedup
+    * shape: banding generates candidate pairs (probabilistic recall,
+    * ~1 - (1 - s^r)^b per true pair), then each candidate's TRUE n-gram
+    * Jaccard is computed from the distinct shingle-hash sets and
+    * filtered at `minSim`. Output therefore contains no estimation
+    * error — only banding recall is probabilistic, and for pairs well
+    * above the threshold (s ≥ 0.8 with b=16, r=4: miss ≤ 2.1e-4) the
+    * output equals the exact-join pair set, making this oracle-checkable
+    * against the same SQL as the exact PPJoin path.
+    *
+    * Scale shape: signatures shuffle numPerm longs per doc; candidates
+    * meet only inside band-bucket joins; the verify step joins the slim
+    * (id_a, id_b) candidate set back to the per-doc shingle-hash sets —
+    * two hash joins on doc id, never an all-pairs product.
+    */
+  def minhashLshVerifiedPairs(
+      df: DataFrame,
+      textCol: Column,
+      idCol: Column,
+      n: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      minSim: Double = 0.5): DataFrame = {
+    val numPerm = bands * rowsPerBand
+    val exploded = df
+      .select(idCol.as("id"),
+        transform(text.tokenize(textCol), t => graft.functions.SparkHash.xxh64(t)).as("__th"))
+      .select(col("id"), explode(array_distinct(hashShingles(col("__th"), n))).as("shash"))
+      .persist()
+    try {
+      val minAggs = (0 until numPerm).map(i =>
+        min(graft.functions.SparkHash.xxh64(lit(i), col("shash"))).as(s"__m$i"))
+      val sigs = exploded
+        .groupBy("id")
+        .agg(minAggs.head, minAggs.tail: _*)
+        .select(col("id"),
+          array((0 until numPerm).map(i => col(s"__m$i")): _*).as("sig"))
+      val banded = sigs.select(
+        col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)), b))))
+        .withColumnRenamed("col", "bucket")
+        .withColumnRenamed("pos", "band")
+      val cand = banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      val sets = exploded.groupBy("id")
+        .agg(collect_set(col("shash")).as("sh"), count(lit(1)).as("n_sh"))
+      cand
+        .join(sets.select(col("id").as("id_a"), col("sh").as("sa"),
+          col("n_sh").as("na")), Seq("id_a"))
+        .join(sets.select(col("id").as("id_b"), col("sh").as("sb"),
+          col("n_sh").as("nb")), Seq("id_b"))
+        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+        .withColumn("jaccard",
+          col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter")).cast("double"))
+        .filter(col("jaccard") >= minSim)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        // eager: pair set materialized before the shingle cache is
+        // released
+        .localCheckpoint(true)
+    } finally exploded.unpersist(blocking = false)
+  }
+
   /** 64-bit SimHash of the token multiset: per bit j, sum +1/-1 over token
     * hashes; bit set iff the sum is positive. Computed entirely with
     * higher-order functions (stays in codegen, no UDF, no explode).

@@ -37,12 +37,19 @@ object DedupQueries {
           col("text"), col("doc_id"), col("text"))
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
-    // MinHash + LSH banding (approximate; verified in ScalaTest against
-    // the exact pairs — no SQL oracle).
+    // MinHash + LSH banding with exact verification: banding proposes
+    // candidates, each candidate's TRUE 3-gram Jaccard is computed and
+    // filtered — the production MinHash dedup pipeline. Output equals the
+    // exact-join pair set whenever banding recall holds (all qualifying
+    // pairs in this corpus sit at jaccard ≥ 0.8, where the b=16/r=4 miss
+    // probability is ≤ 2.1e-4 per pair), so the d02 SQL oracle applies
+    // verbatim. The est-only banding output remains available via
+    // Dedup.minhashLshPairs (recall asserted vs exact pairs in
+    // OperatorsSpec).
     "d03_minhash_lsh" -> ((s, dir) => {
-      Dedup.minhashLshPairs(t(s, dir, "documents"), col("text"), col("doc_id"),
-          n = 3, bands = 16, rowsPerBand = 4, minEstSim = 0.5)
-        .select(col("id_a"), col("id_b"), col("est_jaccard"))
+      Dedup.minhashLshVerifiedPairs(t(s, dir, "documents"), col("text"), col("doc_id"),
+          n = 3, bands = 16, rowsPerBand = 4, minSim = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),
     // SimHash near-dup candidates (approximate — rows-only check).
@@ -130,6 +137,26 @@ object DedupQueries {
         FROM documents)
       WHERE rn = 1 ORDER BY doc_id""",
     "d02_ngram_jaccard" -> s"""
+      WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      sh AS (SELECT doc_id, unnest(list_distinct(
+               [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                for i in range(1, len(toks) - 1)])) AS s
+             FROM d),
+      sizes AS (SELECT doc_id, count(1) AS n FROM sh GROUP BY 1),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(1) AS inter
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT id_a, id_b,
+             round(CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE), 4) AS jaccard
+      FROM pairs p
+      JOIN sizes sa ON p.id_a = sa.doc_id
+      JOIN sizes sb ON p.id_b = sb.doc_id
+      WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5
+      ORDER BY id_a, id_b""",
+    // d03 = verified MinHash-LSH: output is the exact pair set (banding
+    // recall ~1 at this corpus's similarity margins), so the oracle is
+    // the same exact 3-gram Jaccard join as d02.
+    "d03_minhash_lsh" -> s"""
       WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
       sh AS (SELECT doc_id, unnest(list_distinct(
                [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]

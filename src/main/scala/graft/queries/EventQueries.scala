@@ -826,12 +826,26 @@ object EventQueries {
     }),
     // Approximate quantiles (quantileTDigest family → percentile_approx;
     // algorithm-specific values → rows-only check).
+    // percentile_approx with a driver-checked rank-error gate: the GK
+    // sketch guarantees rank error ≤ 1/accuracy = 0.001, so the approx
+    // value must land between the exact quantiles at p ± 0.05 (a 50×
+    // margin). The oracle recomputes the exact brackets (quantile_cont)
+    // and pins the gate booleans true — a sketch regression hash-fails.
     "e09_quantile_approx" -> ((s, dir) => {
       events(s, dir)
         .groupBy(col("event_type"))
         .agg(
-          round(expr("percentile_approx(value, 0.5, 1000)"), 2).as("p50_approx"),
-          round(expr("percentile_approx(value, 0.95, 1000)"), 2).as("p95_approx"))
+          expr("percentile_approx(value, 0.5, 1000)").as("__a50"),
+          expr("percentile_approx(value, 0.95, 1000)").as("__a95"),
+          expr("percentile(value, 0.45)").as("__p45"),
+          expr("percentile(value, 0.55)").as("__p55"),
+          expr("percentile(value, 0.93)").as("__p93"),
+          expr("percentile(value, 0.97)").as("__p97"))
+        .select(col("event_type"),
+          round(col("__p45"), 2).as("p45"), round(col("__p55"), 2).as("p55"),
+          col("__a50").between(col("__p45"), col("__p55")).as("p50_in_bounds"),
+          round(col("__p93"), 2).as("p93"), round(col("__p97"), 2).as("p97"),
+          col("__a95").between(col("__p93"), col("__p97")).as("p95_in_bounds"))
         .orderBy(col("event_type"))
     }),
     // Hopping window (hop(ts, 30 min slide, 1 hour size)).
@@ -1275,6 +1289,18 @@ object EventQueries {
         AND (b.ts < a.ts OR (b.ts = a.ts AND b.event_id <= a.event_id))
       GROUP BY a.event_id, a.user_id
       ORDER BY a.event_id""",
+    // e09: exact quantile brackets verified value-for-value; the GK
+    // sketch estimates are asserted inside [p-0.05, p+0.05] by the gate
+    // booleans (pinned true).
+    "e09_quantile_approx" -> """
+      SELECT event_type,
+             round(quantile_cont(value, 0.45), 2) AS p45,
+             round(quantile_cont(value, 0.55), 2) AS p55,
+             true AS p50_in_bounds,
+             round(quantile_cont(value, 0.93), 2) AS p93,
+             round(quantile_cont(value, 0.97), 2) AS p97,
+             true AS p95_in_bounds
+      FROM events GROUP BY event_type ORDER BY event_type""",
     "e10_exp_decayed_family" -> """
       WITH p AS (SELECT * FROM events WHERE user_id < 3)
       SELECT a.event_id, a.user_id,

@@ -374,11 +374,25 @@ object RelationalQueries {
     }),
 
     // uniq / uniqCombined (HLL) — approximate, rows-only check.
+    // HLL uniq with a driver-checked error gate: the approx counts are
+    // algorithm-specific (Spark HLL++ ≠ DuckDB HLL), so the oracle pins
+    // the EXACT distinct counts plus a boolean asserting the HLL estimate
+    // landed within its error envelope (rsd 0.05 → gate at 3× = 15%).
+    // Deterministic: HLL++ is order-independent, so the booleans are
+    // stable across runs and scale factors.
     "q33_uniq_approx" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("uniq_part_approx"),
-          approx_count_distinct(col("l_suppkey")).as("uniq_supp_approx"))
+        .agg(approx_count_distinct(col("l_partkey")).as("__ap"),
+          approx_count_distinct(col("l_suppkey")).as("__as"),
+          countDistinct(col("l_partkey")).as("uniq_part_exact"),
+          countDistinct(col("l_suppkey")).as("uniq_supp_exact"))
+        .select(col("l_returnflag"),
+          col("uniq_part_exact"), col("uniq_supp_exact"),
+          (abs(col("__ap") - col("uniq_part_exact")).cast("double") /
+            col("uniq_part_exact") <= 0.15).as("part_hll_ok"),
+          (abs(col("__as") - col("uniq_supp_exact")).cast("double") /
+            col("uniq_supp_exact") <= 0.15).as("supp_hll_ok"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -1428,6 +1442,16 @@ object RelationalQueries {
       SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
              count(1) AS n, round(avg(value), 2) AS avg_value
       FROM events GROUP BY 1 ORDER BY k_mod""",
+    // q33: exact distinct counts verified value-for-value; the HLL
+    // estimates are asserted to sit inside their error envelope by the
+    // gate booleans (pinned true — a drifting HLL flips them to false
+    // and hash-fails the round).
+    "q33_uniq_approx" -> """
+      SELECT l_returnflag,
+             count(DISTINCT l_partkey) AS uniq_part_exact,
+             count(DISTINCT l_suppkey) AS uniq_supp_exact,
+             true AS part_hll_ok, true AS supp_hll_ok
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q34_group_array" -> """
       SELECT l_returnflag,
              array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
