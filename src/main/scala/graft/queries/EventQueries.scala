@@ -908,15 +908,31 @@ object EventQueries {
     // stochasticLogisticRegression analog: deterministic full-batch GD
     // (order/partitioning independent); algorithm-specific output →
     // rows-only driver check + ScalaTest separability spec.
+    // Full-batch logistic-regression GD, oracle-checked END TO END: the
+    // DuckDB oracle replays all 30 gradient steps as unrolled aggregate
+    // CTEs (the GD twin of the LTTB recursive-CTE oracle). Weights are
+    // rounded to 4 dp BEFORE the accuracy pass so both systems score
+    // with bit-identical coefficients; cross-system float-sum drift in
+    // the weights themselves contracts under the convex descent and
+    // vanishes at 4 dp.
     "e51_logreg_gd" -> ((s, dir) => {
-      MiscAggregates.logisticRegressionGD(events(s, dir),
+      val fit = MiscAggregates.logisticRegressionGD(events(s, dir),
           col("value") > 10,
           Seq(hour(col("ts")).cast("double") / lit(23.0),
             pmod(col("user_id"), lit(10)).cast("double") / lit(9.0)),
           lr = 1.0, iters = 30)
-        .select(round(col("w1"), 4).as("w1"), round(col("w2"), 4).as("w2"),
-          round(col("intercept"), 4).as("intercept"),
-          round(col("accuracy"), 4).as("accuracy"))
+        .select(col("w1"), col("w2"), col("intercept")).head() // 1 row: fitted coefficients
+      def r4(x: Double): Double =
+        BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (w1, w2, b) = (r4(fit.getDouble(0)), r4(fit.getDouble(1)), r4(fit.getDouble(2)))
+      events(s, dir)
+        .select((hour(col("ts")).cast("double") / lit(23.0)).as("x1"),
+          (pmod(col("user_id"), lit(10)).cast("double") / lit(9.0)).as("x2"),
+          (col("value") > 10).cast("double").as("y"))
+        .agg(round(avg(when((col("x1") * lit(w1) + col("x2") * lit(w2) + lit(b) > 0)
+            .cast("double") === col("y"), 1.0).otherwise(0.0)), 4).as("accuracy"))
+        .select(lit(w1).as("w1"), lit(w2).as("w2"), lit(b).as("intercept"),
+          col("accuracy"))
     }),
   )
 
@@ -1578,5 +1594,45 @@ object EventQueries {
       SELECT round(w1, 6) AS w1, round(w2, 6) AS w2,
              round(my - w1 * m1 - w2 * m2, 6) AS intercept
       FROM w""",
+    "e51_logreg_gd" -> logregGdOracle,
   )
+
+  /** DuckDB replay of e51's full-batch logistic GD: 30 unrolled
+    * aggregate-CTE steps (w{i} → gradient over `data` → w{i+1}),
+    * weights rounded to 4 dp before the shared accuracy pass — the same
+    * two-stage contract as the Spark side, so every output cell is
+    * deterministic in both systems. Every CTE is MATERIALIZED: inlined,
+    * the w-chain re-expands each predecessor per reference and the
+    * query tree grows exponentially.
+    */
+  private def logregGdOracle: String = {
+    def sig(w: String) =
+      s"(1.0/(1.0+exp(-((SELECT w1 FROM $w)*x1+(SELECT w2 FROM $w)*x2+(SELECT b FROM $w)))) - y)"
+    val steps = (0 until 30).map { i =>
+      s"""g$i AS MATERIALIZED (SELECT sum(${sig(s"w$i")}*x1) AS g1,
+                        sum(${sig(s"w$i")}*x2) AS g2,
+                        sum(${sig(s"w$i")}) AS gb FROM data),
+      w${i + 1} AS MATERIALIZED (SELECT
+        (SELECT w1 FROM w$i) - (SELECT g1 FROM g$i)/(SELECT n FROM nn) AS w1,
+        (SELECT w2 FROM w$i) - (SELECT g2 FROM g$i)/(SELECT n FROM nn) AS w2,
+        (SELECT b FROM w$i) - (SELECT gb FROM g$i)/(SELECT n FROM nn) AS b)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH data AS MATERIALIZED (SELECT CAST(hour(ts) AS DOUBLE) / 23.0 AS x1,
+                           CAST(user_id % 10 AS DOUBLE) / 9.0 AS x2,
+                           CASE WHEN value > 10 THEN 1.0 ELSE 0.0 END AS y
+                    FROM events),
+      nn AS MATERIALIZED (SELECT CAST(count(1) AS DOUBLE) AS n FROM data),
+      w0 AS MATERIALIZED (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS b),
+      $steps,
+      wr AS MATERIALIZED (SELECT round(w1, 4) AS w1, round(w2, 4) AS w2,
+                    round(b, 4) AS b FROM w30)
+      SELECT (SELECT w1 FROM wr) AS w1, (SELECT w2 FROM wr) AS w2,
+             (SELECT b FROM wr) AS intercept,
+             round(avg(CASE WHEN (CASE WHEN
+                 (SELECT w1 FROM wr)*x1 + (SELECT w2 FROM wr)*x2 +
+                 (SELECT b FROM wr) > 0 THEN 1.0 ELSE 0.0 END) = y
+               THEN 1.0 ELSE 0.0 END), 4) AS accuracy
+      FROM data"""
+  }
 }
