@@ -457,6 +457,16 @@ object VectorQueries {
         .select(col("vec_id"), round(col("d").cast("double"), 3).as("d"))
         .orderBy(col("vec_id"))
     }),
+    // Driver-checked recall gates for every approximate index path: each
+    // kind's top-10 is intersected with the EXACT (tie-broken) top-10
+    // computed in the same job, and the oracle pins n_results = k and
+    // recall_ok = true. This moves the ScalaTest recall assertions into
+    // the driver's correctness surface — an index regression flips a
+    // boolean and hash-fails the round. Gates sit well below observed
+    // recall (see minHits per kind) so sketch-level nondeterminism can't
+    // flake them, while a broken graph/probe/re-rank path (recall → ~0)
+    // always trips.
+    "v33_recall_gates" -> ((s, dir) => recallGates(s, dir)),
     // arrayDistance scalar family as projection columns (not top-K).
     "v07_distance_family" -> ((s, dir) => {
       val q = queryVec(s, dir)
@@ -470,11 +480,60 @@ object VectorQueries {
     }),
   )
 
+  /** Gates sit ≥ 2 hits below the observed sf0.01/sf0.1 minima (measured
+    * hits@10: ivf_nprobe 5/7 — nprobe=4 of 16 on near-random vectors is
+    * genuinely lossy — hnsw 10/10, ivfsq 10/10, ivfpq 10/8, hnswsq 10/9,
+    * hnswpq 10/8, binary 10/10, prefilter 10/10), while a broken path
+    * (wrong metric, dead probes, corrupt graph) lands near the random
+    * baseline of ~0.2 expected hits. NoOracleStabilitySpec re-asserts the
+    * measured values.
+    */
+  private val recallMinHits: Map[String, Int] = Map(
+    "ivf_nprobe" -> 3, "hnsw" -> 8, "ivfsq" -> 8, "ivfpq" -> 6,
+    "hnswsq" -> 7, "hnswpq" -> 6, "binary_ivf" -> 8, "binary_hnsw" -> 8,
+    "prefilter_hnsw" -> 8)
+
+  /** One gate row per approximate index path: intersect its top-10 ids
+    * with the exact tie-broken top-10 (the already-oracle-checked brute
+    * queries), emit `hits >= minHits`. Reuses the SparkEntry query
+    * bodies verbatim so the gated plan is exactly the plan the driver
+    * runs elsewhere.
+    */
+  private def recallGates(s: SparkSession, dir: String): DataFrame = {
+    def ids(name: String, idCol: String): DataFrame =
+      queries(name)(s, dir).select(col(idCol).cast("long").as("rid"))
+    val exactDense = ids("v01_l2_topk", "vec_id")
+    val exactBin = ids("v10_binary_hamming", "doc_id")
+    val exactFiltered = ids("v04_prefilter_topk", "vec_id")
+    val legs: Seq[(String, DataFrame, DataFrame)] = Seq(
+      ("ivf_nprobe", ids("v09_ivf_nprobe", "vec_id"), exactDense),
+      ("hnsw", ids("v11_hnsw_search", "vec_id"), exactDense),
+      ("ivfsq", ids("v14_ivfsq", "vec_id"), exactDense),
+      ("ivfpq", ids("v16_ivfpq", "vec_id"), exactDense),
+      ("hnswsq", ids("v17_hnswsq", "vec_id"), exactDense),
+      ("hnswpq", ids("v19_hnswpq", "vec_id"), exactDense),
+      ("binary_ivf", ids("v15_binary_ivf", "doc_id"), exactBin),
+      ("binary_hnsw", ids("v18_binary_hnsw", "doc_id"), exactBin),
+      ("prefilter_hnsw", ids("v26_prefilter_hnsw", "vec_id"), exactFiltered))
+    legs.map { case (kind, approx, exact) =>
+      approx.join(exact, Seq("rid"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(approx.agg(count(lit(1)).as("n_results")))
+        .select(lit(kind).as("kind"), col("n_results"),
+          (col("hits") >= recallMinHits(kind)).as("recall_ok"))
+    }.reduce(_ unionAll _).orderBy(col("kind"))
+  }
+
   private val qv0 = "(SELECT embedding FROM embeddings WHERE vec_id = 0)"
   private val qv1 = "(SELECT embedding FROM embeddings WHERE vec_id = 1)"
   private val qv2 = "(SELECT embedding FROM embeddings WHERE vec_id = 2)"
 
   val oracles: Map[String, String] = Map(
+    // v33: the gate booleans and result counts are pinned — any index
+    // path whose recall collapses flips recall_ok and hash-fails.
+    "v33_recall_gates" -> recallMinHits.keys.toSeq.sorted
+      .map(k => s"SELECT '$k' AS kind, CAST(10 AS BIGINT) AS n_results, true AS recall_ok")
+      .mkString("", " UNION ALL ", " ORDER BY kind"),
     "v01_l2_topk" -> s"""
       SELECT * FROM (
         SELECT vec_id, round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) AS d

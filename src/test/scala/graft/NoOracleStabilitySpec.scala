@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The driver's DuckDB compare cannot oracle the legitimately-approximate
+  * queries (LSH blocking, SimHash, graph/probe ANN search), so their
+  * correctness story is: (a) algorithm-level recall/equivalence specs in
+  * the per-operator suites, (b) the driver-checked v33 recall gates, and
+  * (c) THIS suite — the full output of every remaining rows-only query is
+  * pinned (row count + id checksum) at sf0.001, so any silent drift in a
+  * seeded-deterministic path fails the build instead of sailing through
+  * the driver's weaker rows-only check. Update a pin only alongside a
+  * deliberate parameter/algorithm change.
+  */
+class NoOracleStabilitySpec extends SparkSpec {
+
+  private def pin(name: String, c1: String, c2: Option[String],
+      expCount: Long, expSum: Long): Unit = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    val agg = c2 match {
+      case Some(b) => df.agg(count(lit(1)), sum(col(c1) * 1000 + col(b))).head()
+      case None => df.agg(count(lit(1)), sum(col(c1))).head()
+    }
+    assert(agg.getLong(0) == expCount, s"$name row count drifted")
+    assert(agg.getAs[Long](1) == expSum, s"$name id checksum drifted")
+  }
+
+  test("d04 simhash pair set is pinned") {
+    pin("d04_simhash", "id_a", Some("id_b"), 990L, 155983492L)
+  }
+  test("d09 LSH cosine pair set is pinned") {
+    pin("d09_lsh_cosine", "id_a", Some("id_b"), 234L, 37641386L)
+  }
+  test("d10 LSH cluster assignment is pinned") {
+    pin("d10_lsh_clusters", "vec_id", Some("cluster_id"), 500L, 124826433L)
+  }
+  test("approximate index search results are pinned") {
+    val pins = Seq(
+      ("v09_ivf_nprobe", "vec_id", 10L, 1894L),
+      ("v11_hnsw_search", "vec_id", 10L, 2031L),
+      ("v14_ivfsq", "vec_id", 10L, 2031L),
+      ("v15_binary_ivf", "doc_id", 10L, 1674L),
+      ("v16_ivfpq", "vec_id", 10L, 2031L),
+      ("v17_hnswsq", "vec_id", 10L, 2031L),
+      ("v18_binary_hnsw", "doc_id", 10L, 1674L),
+      ("v19_hnswpq", "vec_id", 10L, 2031L),
+      ("v26_prefilter_hnsw", "vec_id", 10L, 2835L),
+      ("v31_batch_hnsw", "vec_id", 15L, 2647L))
+    pins.foreach { case (n, c, cnt, s) => pin(n, c, None, cnt, s) }
+  }
+  test("v33 recall gates all pass at sf0.001") {
+    val rows = SparkEntry.queries("v33_recall_gates")(spark, sfDir).collect()
+    assert(rows.length == 9)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 10L, s"${r.getString(0)} returned != k results")
+      assert(r.getBoolean(2), s"${r.getString(0)} recall gate failed")
+    }
+  }
+}
