@@ -1202,7 +1202,236 @@ object ClickHouseCompat {
       "CAST(size(filter(tokens(s), t -> t IN ('the', 'a', 'an', 'of', 'and', " +
       "'to', 'in', 'is', 'it', 'that', 'on', 'for', 'with', 'as', 'was', " +
       "'at', 'by'))) AS DOUBLE) / size(tokens(s)) >= 0.03, 'en', 'un')",
-  )
+  ) ++ tranche15
+
+  /** Tranche 15: registry-closure sweep against the reference's full
+    * `src/Functions` name extraction (1067 names) — operator-name fronts,
+    * the to*OrDefault grid, MySQL/alias names, URL/bit/map/tuple tails,
+    * window scalars, and the random family. Same one-pragmatic-signature
+    * convention as every earlier tranche.
+    */
+  private lazy val tranche15: Seq[String] = {
+    // to<T>OrDefault over the existing OrNull grid
+    // (FunctionsConversion.h registers the OrDefault triple per type).
+    val orDefaultGrid = Seq(
+      "Int8" -> "INT", "Int16" -> "INT", "Int32" -> "INT", "Int64" -> "BIGINT",
+      "UInt8" -> "INT", "UInt16" -> "INT", "UInt32" -> "BIGINT",
+      "UInt64" -> "BIGINT", "Float32" -> "FLOAT", "Float64" -> "DOUBLE").map {
+      case (t, ret) =>
+        s"to${t}OrDefault(s STRING, d $ret) RETURNS $ret RETURN " +
+          s"coalesce(to${t}OrNull(s), d)"
+    } ++ Seq(
+      "toDateOrDefault(s STRING, d DATE) RETURNS DATE RETURN coalesce(try_cast(s AS DATE), d)",
+      "toDate32OrDefault(s STRING, d DATE) RETURNS DATE RETURN coalesce(try_cast(s AS DATE), d)",
+      "toDateTimeOrDefault(s STRING, d TIMESTAMP) RETURNS TIMESTAMP RETURN coalesce(try_cast(s AS TIMESTAMP), d)",
+      "toDateTime64OrDefault(s STRING, d TIMESTAMP) RETURNS TIMESTAMP RETURN coalesce(try_cast(s AS TIMESTAMP), d)",
+      "toUUIDOrDefault(s STRING, d STRING) RETURNS STRING RETURN coalesce(toUUIDOrNull(s), d)",
+      "toIPv4OrDefault(s STRING, d STRING) RETURNS STRING RETURN coalesce(toIPv4OrNull(s), d)",
+      "toIPv6OrDefault(s STRING, d STRING) RETURNS STRING RETURN coalesce(toIPv6OrNull(s), d)",
+      "toIPv6OrZero(s STRING) RETURNS STRING RETURN coalesce(toIPv6OrNull(s), '::')")
+    // Decimal32/64/128 fronts at the widest Spark-expressible scale per
+    // size (9/18/38 digits; the scale argument rounds — Spark DECIMAL
+    // type scale is fixed per signature). Decimal256 stays documented
+    // out of scope (38-digit engine cap).
+    // round-to-s with a non-foldable scale (Spark round() requires a
+    // literal): half-away-from-zero via floor, the reference's rounding.
+    def r(v: String) =
+      s"(sign($v) * floor(abs($v) * power(10, s) + 0.5D) / power(10, s))"
+    val decimalGrid = Seq(
+      ("32", "DECIMAL(9,4)"), ("64", "DECIMAL(18,6)"),
+      ("128", "DECIMAL(38,10)")).flatMap { case (sz, t) => Seq(
+      s"toDecimal$sz(v DOUBLE, s INT) RETURNS $t RETURN CAST(${r("v")} AS $t)",
+      s"toDecimal${sz}OrNull(v STRING, s INT) RETURNS $t RETURN " +
+        s"CAST(${r("try_cast(v AS DOUBLE)")} AS $t)",
+      s"toDecimal${sz}OrZero(v STRING, s INT) RETURNS $t RETURN " +
+        s"coalesce(CAST(${r("try_cast(v AS DOUBLE)")} AS $t), CAST(0 AS $t))",
+      s"toDecimal${sz}OrDefault(v STRING, s INT, d $t) RETURNS $t RETURN " +
+        s"coalesce(CAST(${r("try_cast(v AS DOUBLE)")} AS $t), d)")
+    }
+    orDefaultGrid ++ decimalGrid ++ Seq(
+      // ---- operator-name fronts (FunctionsComparison.cpp,
+      //      FunctionsLogical.cpp, FunctionUnaryArithmetic.h) ----
+      "equals(a DOUBLE, b DOUBLE) RETURNS BOOLEAN RETURN a = b",
+      "notEquals(a DOUBLE, b DOUBLE) RETURNS BOOLEAN RETURN a <> b",
+      "less(a DOUBLE, b DOUBLE) RETURNS BOOLEAN RETURN a < b",
+      "greater(a DOUBLE, b DOUBLE) RETURNS BOOLEAN RETURN a > b",
+      "lessOrEquals(a DOUBLE, b DOUBLE) RETURNS BOOLEAN RETURN a <= b",
+      "greaterOrEquals(a DOUBLE, b DOUBLE) RETURNS BOOLEAN RETURN a >= b",
+      "negate(x DOUBLE) RETURNS DOUBLE RETURN -x",
+      "positive_modulo(a BIGINT, b BIGINT) RETURNS BIGINT RETURN pmod(a, b)",
+      "xor(a BOOLEAN, b BOOLEAN) RETURNS BOOLEAN RETURN a != b",
+      "multiIf(c BOOLEAN, t DOUBLE, f DOUBLE) RETURNS DOUBLE RETURN IF(c, t, f)",
+      "identity(x STRING) RETURNS STRING RETURN x",
+      "ignore(x STRING) RETURNS INT RETURN 0",
+      "sigmoid(x DOUBLE) RETURNS DOUBLE RETURN 1D / (1D + exp(-x))",
+      "truncate(x DOUBLE) RETURNS DOUBLE RETURN IF(x >= 0, floor(x), ceil(x))",
+      "toBool(s STRING) RETURNS BOOLEAN RETURN CAST(s AS BOOLEAN)",
+      "toString(x DOUBLE) RETURNS STRING RETURN CAST(x AS STRING)",
+      "toTypeName(x STRING) RETURNS STRING RETURN typeof(x)",
+      "toColumnTypeName(x STRING) RETURNS STRING RETURN typeof(x)",
+      // ---- MySQL-compat + base64 aliases ----
+      "FROM_BASE64(s STRING) RETURNS STRING RETURN CAST(unbase64(s) AS STRING)",
+      "TO_BASE64(s STRING) RETURNS STRING RETURN base64(CAST(s AS BINARY))",
+      "mid(s STRING, p INT, l INT) RETURNS STRING RETURN substring(s, p, l)",
+      "match(s STRING, p STRING) RETURNS BOOLEAN RETURN s RLIKE p",
+      "REGEXP_MATCHES(s STRING, p STRING) RETURNS BOOLEAN RETURN s RLIKE p",
+      "week(d DATE) RETURNS INT RETURN toWeek(d)",
+      "yearweek(d DATE) RETURNS INT RETURN toYearWeek(d)",
+      "str_to_date(s STRING, f STRING) RETURNS TIMESTAMP RETURN parseDateTimeOrNull(s, f)",
+      "TO_UNIXTIME(t TIMESTAMP) RETURNS BIGINT RETURN unix_timestamp(t)",
+      "UTCTimestamp() RETURNS TIMESTAMP RETURN current_timestamp()",
+      "UTC_timestamp() RETURNS TIMESTAMP RETURN current_timestamp()",
+      "DATABASE() RETURNS STRING RETURN current_database()",
+      // ---- date/time tail ----
+      "fromUnixTimestamp(n BIGINT) RETURNS TIMESTAMP RETURN timestamp_seconds(n)",
+      "fromUnixTimestampInJodaSyntax(n BIGINT, f STRING) RETURNS STRING RETURN " +
+        "date_format(timestamp_seconds(n), f)",
+      "parseDateTimeInJodaSyntaxOrNull(s STRING, f STRING) RETURNS TIMESTAMP RETURN " +
+        "try_to_timestamp(s, f)",
+      "parseDateTimeInJodaSyntaxOrZero(s STRING, f STRING) RETURNS TIMESTAMP RETURN " +
+        "coalesce(try_to_timestamp(s, f), timestamp_seconds(0))",
+      "parseDateTime64BestEffortUS(s STRING) RETURNS TIMESTAMP RETURN " +
+        "parseDateTimeBestEffortUS(s)",
+      "parseDateTime64BestEffortUSOrNull(s STRING) RETURNS TIMESTAMP RETURN " +
+        "parseDateTimeBestEffortUSOrNull(s)",
+      "parseDateTime64BestEffortUSOrZero(s STRING) RETURNS TIMESTAMP RETURN " +
+        "coalesce(parseDateTimeBestEffortUSOrNull(s), timestamp_seconds(0))",
+      "fromModifiedJulianDayOrNull(n BIGINT) RETURNS STRING RETURN " +
+        "IF(n BETWEEN -678941 AND 2973483, fromModifiedJulianDay(n), NULL)",
+      "makeDate32(y INT, m INT, d INT) RETURNS DATE RETURN make_date(y, m, d)",
+      "makeDateTime64(y INT, mo INT, d INT, h INT, mi INT, s DOUBLE) RETURNS TIMESTAMP " +
+        "RETURN make_timestamp(y, mo, d, h, mi, CAST(s AS DECIMAL(16,6)))",
+      "toStartOfFiveMinute(t TIMESTAMP) RETURNS TIMESTAMP RETURN " +
+        "timestamp_seconds(CAST(floor(unix_timestamp(t) / 300) * 300 AS BIGINT))",
+      "toStartOfNanosecond(t TIMESTAMP) RETURNS TIMESTAMP RETURN t",
+      "toTime(t TIMESTAMP) RETURNS TIMESTAMP RETURN " +
+        "timestamp'1970-01-02 00:00:00' + make_interval(0, 0, 0, 0, hour(t), minute(t), second(t))",
+      "toWeekOfWeekYear(d DATE) RETURNS INT RETURN weekofyear(d)",
+      "toWeekYear(d DATE) RETURNS INT RETURN extract(YEAROFWEEK FROM d)",
+      "timeZoneOffset(t TIMESTAMP) RETURNS INT RETURN " +
+        "CAST(unix_timestamp(t) - unix_timestamp(to_utc_timestamp(t, current_timezone())) AS INT)",
+      "timezoneOffset(t TIMESTAMP) RETURNS INT RETURN " +
+        "CAST(unix_timestamp(t) - unix_timestamp(to_utc_timestamp(t, current_timezone())) AS INT)",
+      "nowInBlock() RETURNS TIMESTAMP RETURN now()",
+      // ---- single-JVM introspection (tranche-11 contract) ----
+      "connectionId() RETURNS BIGINT RETURN 0",
+      "connection_id() RETURNS BIGINT RETURN 0",
+      "tcpPort() RETURNS INT RETURN 9000",
+      "shardNum() RETURNS INT RETURN 1",
+      "shardCount() RETURNS INT RETURN 1",
+      "revision() RETURNS INT RETURN 54462",
+      "displayName() RETURNS STRING RETURN hostName()",
+      "blockNumber() RETURNS BIGINT RETURN CAST(spark_partition_id() AS BIGINT)",
+      // monotonically_increasing_id's low 33 bits ARE the per-partition
+      // record number — the exact "row in block" contract.
+      "rowNumberInBlock() RETURNS BIGINT RETURN monotonically_increasing_id() % 8589934592",
+      "rowNumberInAllBlocks() RETURNS BIGINT RETURN monotonically_increasing_id()",
+      // ---- random family (nondeterministic by contract) ----
+      "rand32() RETURNS BIGINT RETURN CAST(floor(rand() * 4294967296) AS BIGINT)",
+      "rand64() RETURNS BIGINT RETURN cityHash64(uuid())",
+      "randCanonical() RETURNS DOUBLE RETURN rand()",
+      "randomPrintableASCII(n INT) RETURNS STRING RETURN IF(n <= 0, '', " +
+        "array_join(transform(sequence(1, n), i -> chr(32 + CAST(floor(rand() * 95) AS INT))), ''))",
+      "randomString(n INT) RETURNS STRING RETURN IF(n <= 0, '', " +
+        "array_join(transform(sequence(1, n), i -> chr(1 + CAST(floor(rand() * 255) AS INT))), ''))",
+      "randomFixedString(n INT) RETURNS BINARY RETURN CAST(IF(n <= 0, '', " +
+        "array_join(transform(sequence(1, n), i -> chr(1 + CAST(floor(rand() * 255) AS INT))), '')) AS BINARY)",
+      // ---- URL tail (URL/*.cpp; RFC variants share the base impl —
+      //      they differ only on inputs our parser already rejects) ----
+      "encodeURLFormComponent(s STRING) RETURNS STRING RETURN url_encode(s)",
+      "decodeURLFormComponent(s STRING) RETURNS STRING RETURN url_decode(s)",
+      "domainRFC(s STRING) RETURNS STRING RETURN domain(s)",
+      "domainWithoutWWWRFC(s STRING) RETURNS STRING RETURN domainWithoutWWW(s)",
+      "topLevelDomainRFC(s STRING) RETURNS STRING RETURN topLevelDomain(s)",
+      "cutToFirstSignificantSubdomainRFC(s STRING) RETURNS STRING RETURN " +
+        "cutToFirstSignificantSubdomain(s)",
+      "cutToFirstSignificantSubdomainWithWWW(s STRING) RETURNS STRING RETURN " +
+        "IF(startswith(domain(s), 'www.'), concat('www.', cutToFirstSignificantSubdomain(s)), " +
+        "cutToFirstSignificantSubdomain(s))",
+      "cutToFirstSignificantSubdomainWithWWWRFC(s STRING) RETURNS STRING RETURN " +
+        "cutToFirstSignificantSubdomainWithWWW(s)",
+      "firstSignificantSubdomainRFC(s STRING) RETURNS STRING RETURN " +
+        "firstSignificantSubdomain(s)",
+      "port(u STRING) RETURNS INT RETURN coalesce(CAST(nullif(" +
+        "regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]+:([0-9]+)', 1), '') AS INT), 0)",
+      "portRFC(u STRING) RETURNS INT RETURN port(u)",
+      "URLHash(s STRING) RETURNS BIGINT RETURN cityHash64(regexp_replace(s, '[/#]$', ''))",
+      // ---- string tail ----
+      "replaceOne(h STRING, p STRING, r STRING) RETURNS STRING RETURN " +
+        "IF(instr(h, p) > 0, concat(substring(h, 1, instr(h, p) - 1), r, " +
+        "substring(h, instr(h, p) + length(p))), h)",
+      "splitByAlpha(s STRING) RETURNS ARRAY<STRING> RETURN " +
+        "regexp_extract_all(s, '[A-Za-z]+', 0)",
+      "hasTokenOrNull(h STRING, t STRING) RETURNS BOOLEAN RETURN " +
+        "IF(t RLIKE '[^a-zA-Z0-9]', NULL, hasToken(h, t))",
+      "hasTokenCaseInsensitiveOrNull(h STRING, t STRING) RETURNS BOOLEAN RETURN " +
+        "IF(t RLIKE '[^a-zA-Z0-9]', NULL, hasTokenCaseInsensitive(h, t))",
+      "ngramDistanceUTF8(a STRING, b STRING) RETURNS DOUBLE RETURN ngramDistance(a, b)",
+      "ngramDistanceCaseInsensitiveUTF8(a STRING, b STRING) RETURNS DOUBLE RETURN " +
+        "ngramDistance(lower(a), lower(b))",
+      "ngramSearchUTF8(a STRING, b STRING) RETURNS DOUBLE RETURN ngramSearch(a, b)",
+      "ngramSearchCaseInsensitiveUTF8(a STRING, b STRING) RETURNS DOUBLE RETURN " +
+        "ngramSearch(lower(a), lower(b))",
+      "concatWithSeparatorAssumeInjective(sep STRING, a STRING, b STRING) RETURNS STRING " +
+        "RETURN concat_ws(sep, a, b)",
+      "toJSONString(s STRING) RETURNS STRING RETURN " +
+        "concat('\"', regexp_replace(s, '([\"\\\\\\\\])', '\\\\\\\\$1'), '\"')",
+      "toDecimalString(x DOUBLE, s INT) RETURNS STRING RETURN " +
+        "replace(format_number(x, s), ',', '')",
+      "detectCharset(s STRING) RETURNS STRING RETURN " +
+        "IF(isValidUTF8(CAST(s AS BINARY)), 'UTF-8', 'WINDOWS-1252')",
+      // ---- map tail ----
+      "mapFromArrays(k ARRAY<STRING>, v ARRAY<STRING>) RETURNS MAP<STRING,STRING> RETURN " +
+        "map_from_arrays(k, v)",
+      "mapUpdate(a MAP<STRING,STRING>, b MAP<STRING,STRING>) RETURNS MAP<STRING,STRING> RETURN " +
+        "map_concat(map_filter(a, (k, v) -> NOT array_contains(map_keys(b), k)), b)",
+      "mapContainsKeyLike(m MAP<STRING,STRING>, p STRING) RETURNS BOOLEAN RETURN " +
+        "exists(map_keys(m), k -> k LIKE p)",
+      "mapExtractKeyLike(m MAP<STRING,STRING>, p STRING) RETURNS MAP<STRING,STRING> RETURN " +
+        "map_filter(m, (k, v) -> k LIKE p)",
+      // ---- array / bit tail ----
+      "emptyArrayToSingle(a ARRAY<BIGINT>) RETURNS ARRAY<BIGINT> RETURN " +
+        "IF(size(a) = 0, array(CAST(0 AS BIGINT)), a)",
+      "bitAnd(a BIGINT, b BIGINT) RETURNS BIGINT RETURN a & b",
+      "bitOr(a BIGINT, b BIGINT) RETURNS BIGINT RETURN a | b",
+      "bitXor(a BIGINT, b BIGINT) RETURNS BIGINT RETURN a ^ b",
+      "bitRotateRight(x BIGINT, n INT) RETURNS BIGINT RETURN " +
+        "shiftrightunsigned(x, pmod(n, 64)) | shiftleft(x, CAST(64 - pmod(n, 64) AS INT))",
+      "bitPositionsToArray(x BIGINT) RETURNS ARRAY<INT> RETURN " +
+        "filter(sequence(0, 63), i -> (shiftrightunsigned(x, i) & 1) = 1)",
+      "bitmaskToArray(x BIGINT) RETURNS ARRAY<BIGINT> RETURN " +
+        "transform(filter(sequence(0, 63), i -> (shiftrightunsigned(x, i) & 1) = 1), " +
+        "i -> shiftleft(CAST(1 AS BIGINT), i))",
+      "bitmaskToList(x BIGINT) RETURNS STRING RETURN " +
+        "array_join(transform(filter(sequence(0, 63), i -> (shiftrightunsigned(x, i) & 1) = 1), " +
+        "i -> CAST(shiftleft(CAST(1 AS BIGINT), i) AS STRING)), ',')",
+      // ---- tuple / decimal arithmetic ----
+      "tuple(a DOUBLE, b DOUBLE) RETURNS STRUCT<_1: DOUBLE, _2: DOUBLE> RETURN " +
+        "named_struct('_1', a, '_2', b)",
+      "divideDecimal(a DECIMAL(38,10), b DECIMAL(38,10)) RETURNS DECIMAL(38,10) RETURN " +
+        "CAST(a / b AS DECIMAL(38,10))",
+      "multiplyDecimal(a DECIMAL(38,10), b DECIMAL(38,10)) RETURNS DECIMAL(38,10) RETURN " +
+        "CAST(a * b AS DECIMAL(38,10))",
+      // ---- ML predict front (AggregateFunctionMLMethod.cpp) ----
+      "evalMLMethod(w1 DOUBLE, w2 DOUBLE, b DOUBLE, x1 DOUBLE, x2 DOUBLE) RETURNS DOUBLE " +
+        "RETURN w1 * x1 + w2 * x2 + b",
+      // ---- window-TVF scalars (pragmatic seconds-typed signatures;
+      //      streaming/TimeWindows carries the full operator forms) ----
+      "tumbleStart(t TIMESTAMP, sec BIGINT) RETURNS TIMESTAMP RETURN " +
+        "timestamp_seconds(CAST(floor(unix_timestamp(t) / sec) * sec AS BIGINT))",
+      "tumbleEnd(t TIMESTAMP, sec BIGINT) RETURNS TIMESTAMP RETURN " +
+        "timestamp_seconds(CAST((floor(unix_timestamp(t) / sec) + 1) * sec AS BIGINT))",
+      "tumble(t TIMESTAMP, sec BIGINT) RETURNS STRUCT<start: TIMESTAMP, end: TIMESTAMP> " +
+        "RETURN named_struct('start', tumbleStart(t, sec), 'end', tumbleEnd(t, sec))",
+      "hopStart(t TIMESTAMP, slide BIGINT, size BIGINT) RETURNS TIMESTAMP RETURN " +
+        "timestamp_seconds(CAST(floor(unix_timestamp(t) / slide) * slide - size + slide AS BIGINT))",
+      "hopEnd(t TIMESTAMP, slide BIGINT, size BIGINT) RETURNS TIMESTAMP RETURN " +
+        "timestamp_seconds(CAST(floor(unix_timestamp(t) / slide) * slide + slide AS BIGINT))",
+      "hop(t TIMESTAMP, slide BIGINT, size BIGINT) RETURNS STRUCT<start: TIMESTAMP, end: TIMESTAMP> " +
+        "RETURN named_struct('start', hopStart(t, slide, size), 'end', hopEnd(t, slide, size))",
+      "windowID(t TIMESTAMP, sec BIGINT) RETURNS BIGINT RETURN " +
+        "CAST(floor(unix_timestamp(t) / sec) AS BIGINT)")
+  }
 
   /** Base58 (Bitcoin alphabet) and punycode/IDNA codecs — the reference
     * registers these natively (`src/Functions/FunctionBase58Conversion.h`,
@@ -1446,7 +1675,236 @@ object ClickHouseCompat {
       Array(compactBits(z), compactBits(z >>> 1))
   }
 
+  /** Tranche 15 natives: byte-level reinterpret casts, first-match regex
+    * replace, charset conversion, ULIDs, power-analysis stats, the SHA-2
+    * tail, CRC64/CRC32IEEE, and geohash box covers — transforms no SQL
+    * lambda can express (cited per-group below).
+    */
+  object Tranche15 {
+    import java.nio.charset.{Charset, StandardCharsets}
+
+    // reinterpretAs* (src/Functions/reinterpretAs.cpp): raw little-endian
+    // byte reinterpretation. Spark strings are UTF-8; byte-faithful
+    // round-trips use ISO-8859-1 so every byte value maps to one char.
+    def leLong(b: Array[Byte], w: Int): Long = {
+      var r = 0L; var i = 0
+      while (i < math.min(w, b.length)) { r |= (b(i) & 0xffL) << (8 * i); i += 1 }
+      r
+    }
+    def signExtend(x: Long, w: Int): Long =
+      if (w >= 8) x else { val sh = 64 - 8 * w; (x << sh) >> sh }
+    def leBytes(x: Long, w: Int): Array[Byte] = {
+      val b = new Array[Byte](w); var i = 0
+      while (i < w) { b(i) = ((x >>> (8 * i)) & 0xff).toByte; i += 1 }
+      b
+    }
+    def strBytes(s: String): Array[Byte] =
+      s.getBytes(StandardCharsets.ISO_8859_1)
+    def asString(x: Long): String = {
+      var w = 8
+      while (w > 1 && ((x >>> (8 * (w - 1))) & 0xff) == 0) w -= 1
+      new String(leBytes(x, w), StandardCharsets.ISO_8859_1)
+    }
+    def asUuid(s: String): String = {
+      val b = java.util.Arrays.copyOf(strBytes(s), 16)
+      val bb = java.nio.ByteBuffer.wrap(b)
+      new java.util.UUID(bb.getLong, bb.getLong).toString
+    }
+
+    // replaceRegexpOne (ReplaceRegexpImpl.h): first match only; the
+    // reference's \1 backrefs map to Java's $1.
+    def replaceRegexpOne(s: String, p: String, r: String): String =
+      if (s == null || p == null || r == null) null
+      else s.replaceFirst(p, r.replaceAll("""\\(\d)""", "\\$$1"))
+
+    def convertCharset(s: String, from: String, to: String): String =
+      if (s == null) null
+      else new String(s.getBytes(Charset.forName(from)), Charset.forName(to))
+
+    // ULID (public Crockford-base32 spec): 48-bit ms timestamp + 80
+    // random bits, 26 chars (src/Functions/generateULID.cpp).
+    private val crock = "0123456789ABCDEFGHJKMNPQRSTVWXYZ"
+    def generateULID(): String = {
+      val ms = System.currentTimeMillis()
+      val rnd = java.util.concurrent.ThreadLocalRandom.current()
+      val sb = new StringBuilder(26)
+      var i = 9
+      while (i >= 0) { sb.append(crock(((ms >>> (i * 5)) & 31).toInt)); i -= 1 }
+      var j = 0
+      while (j < 16) { sb.append(crock(rnd.nextInt(32))); j += 1 }
+      sb.toString
+    }
+    def ulidToMillis(s: String): Long = {
+      var ms = 0L; var i = 0
+      while (i < 10) { ms = ms * 32 + crock.indexOf(s.charAt(i).toUpper); i += 1 }
+      ms
+    }
+
+    private def norm = new org.apache.commons.math3.distribution.NormalDistribution(0.0, 1.0)
+    // proportionsZTest (src/Functions/proportionsZTest.cpp): pooled-SE z,
+    // two-sided p, unpooled CI on the difference.
+    def proportionsZTest(sx: Long, sy: Long, tx: Long, ty: Long, conf: Double):
+        (Double, Double, Double, Double) = {
+      val p1 = sx.toDouble / tx; val p2 = sy.toDouble / ty
+      val pp = (sx + sy).toDouble / (tx + ty)
+      val sePooled = math.sqrt(pp * (1 - pp) * (1.0 / tx + 1.0 / ty))
+      val z = (p1 - p2) / sePooled
+      val pv = 2.0 * (1.0 - norm.cumulativeProbability(math.abs(z)))
+      val se = math.sqrt(p1 * (1 - p1) / tx + p2 * (1 - p2) / ty)
+      val q = norm.inverseCumulativeProbability(1.0 - (1.0 - conf) / 2.0)
+      (z, pv, p1 - p2 - q * se, p1 - p2 + q * se)
+    }
+    // minSampleSize* (src/Functions/minSampleSize.cpp): classic two-sided
+    // power-analysis formulas.
+    def minSampleSizeContinous(baseline: Double, sigma: Double, mde: Double,
+        power: Double, alpha: Double): (Double, Double, Double) = {
+      val q = norm.inverseCumulativeProbability(1.0 - alpha / 2.0) +
+        norm.inverseCumulativeProbability(power)
+      val n = math.ceil(2.0 * q * q * sigma * sigma / (mde * baseline * mde * baseline))
+      (n, baseline - mde * baseline, baseline + mde * baseline)
+    }
+    def minSampleSizeConversion(p1: Double, mde: Double, power: Double,
+        alpha: Double): (Double, Double, Double) = {
+      val p2 = p1 - mde
+      val q = norm.inverseCumulativeProbability(1.0 - alpha / 2.0) +
+        norm.inverseCumulativeProbability(power)
+      val n = math.ceil(q * q * (p1 * (1 - p1) + p2 * (1 - p2)) / (mde * mde))
+      (n, p1 - mde, p1 + mde)
+    }
+
+    def digest(alg: String, s: String): Array[Byte] =
+      java.security.MessageDigest.getInstance(alg)
+        .digest(s.getBytes(StandardCharsets.UTF_8))
+    // CRC64 with the ECMA-182 polynomial (src/Functions/FunctionsHashing.h
+    // registers CRC64 over this poly), bitwise, no table.
+    def crc64(s: String): Long = {
+      val poly = 0x42F0E1EBA9EA3693L
+      var crc = 0L
+      for (b <- s.getBytes(StandardCharsets.UTF_8)) {
+        crc ^= (b & 0xffL) << 56
+        var i = 0
+        while (i < 8) {
+          crc = if ((crc & Long.MinValue) != 0) (crc << 1) ^ poly else crc << 1
+          i += 1
+        }
+      }
+      crc
+    }
+
+    // geohashesInBox (src/Functions/geohashesInBox.cpp): all precision-p
+    // cells intersecting the box, capped like the reference's
+    // max_geohashes guard.
+    private val b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    def geohashEncode(lon: Double, lat: Double, prec: Int): String = {
+      var (lo1, lo2, la1, la2) = (-180.0, 180.0, -90.0, 90.0)
+      val sb = new StringBuilder; var bit = 0; var ch = 0; var even = true
+      while (sb.length < prec) {
+        if (even) { val m = (lo1 + lo2) / 2
+          if (lon >= m) { ch = (ch << 1) | 1; lo1 = m } else { ch <<= 1; lo2 = m } }
+        else { val m = (la1 + la2) / 2
+          if (lat >= m) { ch = (ch << 1) | 1; la1 = m } else { ch <<= 1; la2 = m } }
+        even = !even; bit += 1
+        if (bit == 5) { sb.append(b32(ch)); bit = 0; ch = 0 }
+      }
+      sb.toString
+    }
+    def geohashesInBox(lonMin: Double, latMin: Double, lonMax: Double,
+        latMax: Double, prec: Int): Array[String] = {
+      val p = math.max(1, math.min(12, prec))
+      val lonBits = (5 * p + 1) / 2; val latBits = 5 * p / 2
+      val lonStep = 360.0 / math.pow(2, lonBits)
+      val latStep = 180.0 / math.pow(2, latBits)
+      val out = scala.collection.mutable.LinkedHashSet.empty[String]
+      var lon = math.floor(lonMin / lonStep) * lonStep
+      while (lon < lonMax && out.size < 100000) {
+        var lat = math.floor(latMin / latStep) * latStep
+        while (lat < latMax && out.size < 100000) {
+          out += geohashEncode(lon + lonStep / 2, lat + latStep / 2, p)
+          lat += latStep
+        }
+        lon += lonStep
+      }
+      out.toArray
+    }
+  }
+
   def installNative(spark: SparkSession): Unit = {
+    // ---- tranche 15 natives ----
+    locally {
+      import Tranche15._
+      for ((n, w) <- Seq("UInt8" -> 1, "UInt16" -> 2, "UInt32" -> 4, "UInt64" -> 8))
+        spark.udf.register(s"reinterpretAs$n",
+          (s: String) => if (s == null) null.asInstanceOf[java.lang.Long]
+            else java.lang.Long.valueOf(leLong(strBytes(s), w)))
+      for ((n, w) <- Seq("Int8" -> 1, "Int16" -> 2, "Int32" -> 4, "Int64" -> 8))
+        spark.udf.register(s"reinterpretAs$n",
+          (s: String) => if (s == null) null.asInstanceOf[java.lang.Long]
+            else java.lang.Long.valueOf(signExtend(leLong(strBytes(s), w), w)))
+      spark.udf.register("reinterpretAsFloat32", (s: String) =>
+        java.lang.Float.intBitsToFloat(leLong(strBytes(s), 4).toInt))
+      spark.udf.register("reinterpretAsFloat64", (s: String) =>
+        java.lang.Double.longBitsToDouble(leLong(strBytes(s), 8)))
+      spark.udf.register("reinterpretAsString", (x: Long) => asString(x))
+      spark.udf.register("reinterpretAsFixedString", (x: Long) =>
+        new String(leBytes(x, 8), java.nio.charset.StandardCharsets.ISO_8859_1))
+      spark.udf.register("reinterpretAsDate", (x: Long) =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(x & 0xffffL)))
+      spark.udf.register("reinterpretAsDateTime", (x: Long) =>
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(x & 0xffffffffL)))
+      spark.udf.register("reinterpretAsUUID", (s: String) => asUuid(s))
+      spark.udf.register("reinterpret", (s: String, t: String) => t match {
+        case "String" => s
+        case "Float32" => java.lang.Float.intBitsToFloat(leLong(strBytes(s), 4).toInt).toString
+        case "Float64" => java.lang.Double.longBitsToDouble(leLong(strBytes(s), 8)).toString
+        case tt if tt.startsWith("UInt") =>
+          leLong(strBytes(s), tt.stripPrefix("UInt").toInt / 8).toString
+        case tt if tt.startsWith("Int") =>
+          { val w = tt.stripPrefix("Int").toInt / 8
+            signExtend(leLong(strBytes(s), w), w).toString }
+        case _ => null
+      })
+      spark.udf.register("replaceRegexpOne",
+        (s: String, p: String, r: String) => replaceRegexpOne(s, p, r))
+      spark.udf.register("convertCharset",
+        (s: String, f: String, t: String) => convertCharset(s, f, t))
+      spark.udf.register("generateULID", () => generateULID())
+      spark.udf.register("ULIDStringToDateTime", (s: String) =>
+        if (s == null || s.length < 10) null
+        else java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(ulidToMillis(s))))
+      spark.udf.register("proportionsZTest",
+        (sx: Long, sy: Long, tx: Long, ty: Long, conf: Double) =>
+          proportionsZTest(sx, sy, tx, ty, conf))
+      spark.udf.register("minSampleSizeContinous",
+        (b: Double, s: Double, m: Double, pw: Double, a: Double) =>
+          minSampleSizeContinous(b, s, m, pw, a))
+      spark.udf.register("minSampleSizeConversion",
+        (p1: Double, m: Double, pw: Double, a: Double) =>
+          minSampleSizeConversion(p1, m, pw, a))
+      for ((name, alg) <- Seq("SHA224" -> "SHA-224", "SHA384" -> "SHA-384",
+          "SHA512" -> "SHA-512"))
+        spark.udf.register(name, (s: String) =>
+          if (s == null) null else digest(alg, s))
+      spark.udf.register("CRC32IEEE", (s: String) => {
+        val c = new java.util.zip.CRC32()
+        c.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        c.getValue
+      })
+      spark.udf.register("CRC64", (s: String) => crc64(s))
+      spark.udf.register("filesystemAvailable",
+        () => new java.io.File("/").getUsableSpace)
+      spark.udf.register("filesystemCapacity",
+        () => new java.io.File("/").getTotalSpace)
+      spark.udf.register("filesystemUnreserved",
+        () => new java.io.File("/").getFreeSpace)
+      spark.udf.register("getOSKernelVersion", () =>
+        System.getProperty("os.name") + " " + System.getProperty("os.version"))
+      val appId = spark.sparkContext.applicationId
+      for (n <- Seq("queryID", "query_id", "initialQueryID", "initial_query_id"))
+        spark.udf.register(n, () => appId)
+      spark.udf.register("geohashesInBox",
+        (lonMin: Double, latMin: Double, lonMax: Double, latMax: Double,
+         prec: Int) => geohashesInBox(lonMin, latMin, lonMax, latMax, prec))
+    }
     spark.udf.register("regexpQuoteMeta", (s: String) => Tranche10.regexpQuoteMeta(s))
     spark.udf.register("extractGroups", (h: String, p: String) => Tranche10.extractGroups(h, p))
     spark.udf.register("extractAllGroupsHorizontal",

@@ -720,6 +720,30 @@ object RelationalQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Scalar tranche 15 end-to-end: operator-name fronts, bit ops,
+    // first-match replace, URL port, alpha tokens, decimal fronts,
+    // base64 round-trip, JSON string quoting — the oracle recomputes
+    // every column with DuckDB natives.
+    "q64_scalar_tranche15" -> ((s, dir) => {
+      t(s, dir, "part").filter(col("p_partkey") <= 400)
+        .selectExpr("p_partkey",
+          "equals(CAST(p_size AS DOUBLE), 2D) AS eq2",
+          "bitAnd(p_partkey, 255L) AS ba",
+          "bitOr(p_partkey, 16L) AS bo",
+          "bitXor(p_partkey, 5L) AS bx",
+          "replaceOne(p_name, 'a', 'X') AS r1",
+          "CAST(size(splitByAlpha(p_name)) AS INT) AS sa",
+          "CAST(toDecimal64(CAST(p_retailprice AS DOUBLE), 1) AS STRING) AS dec1",
+          "truncate(CAST(p_size AS DOUBLE) / 7D) AS tr",
+          "round(sigmoid(CAST(p_size AS DOUBLE) / 10D), 4) AS sg",
+          "mid(p_name, 2, 5) AS md",
+          "FROM_BASE64(TO_BASE64(substring(p_name, 1, 8))) AS b64rt",
+          "toJSONString(substring(p_name, 1, 6)) AS js",
+          "port(concat('http://h:', CAST(1000 + pmod(p_partkey, 100) AS STRING), '/p')) AS pt",
+          "toInt32OrDefault(concat('x', p_name), 42) AS dflt")
+        .orderBy(col("p_partkey"))
+    }),
+
     // Scalar tranche 6 end-to-end: URL decomposition + IP containment
     // (ClickHouseCompat SQL functions) over deterministic synthetic
     // URLs/IPs derived from customer columns; the oracle recomputes the
@@ -965,6 +989,25 @@ object RelationalQueries {
              CAST((CASE WHEN a1 = b1 THEN 0 ELSE 1 END) +
                   (CASE WHEN a2 = b2 THEN 0 ELSE 1 END) AS INT) AS hd
       FROM v ORDER BY c_custkey""",
+    "q64_scalar_tranche15" -> """
+      SELECT p_partkey,
+             CAST(p_size AS DOUBLE) = 2 AS eq2,
+             p_partkey & 255 AS ba,
+             p_partkey | 16 AS bo,
+             xor(p_partkey, 5) AS bx,
+             regexp_replace(p_name, 'a', 'X') AS r1,
+             CAST(len(regexp_extract_all(p_name, '[A-Za-z]+')) AS INT) AS sa,
+             CAST(CAST(floor(CAST(p_retailprice AS DOUBLE) * 10 + 0.5) / 10
+                  AS DECIMAL(18,6)) AS VARCHAR) AS dec1,
+             trunc(CAST(p_size AS DOUBLE) / 7) AS tr,
+             round(1 / (1 + exp(-CAST(p_size AS DOUBLE) / 10)), 4) AS sg,
+             substring(p_name, 2, 5) AS md,
+             substring(p_name, 1, 8) AS b64rt,
+             CAST(to_json(substring(p_name, 1, 6)) AS VARCHAR) AS js,
+             CAST(1000 + p_partkey % 100 AS INT) AS pt,
+             CAST(42 AS INT) AS dflt
+      FROM part WHERE p_partkey <= 400
+      ORDER BY p_partkey""",
     "q63_datetime_h3" -> """
       WITH o AS (
         SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS ts,

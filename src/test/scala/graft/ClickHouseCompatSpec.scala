@@ -829,4 +829,79 @@ class ClickHouseCompatSpec extends SparkSpec {
     assert(q1("size(s2GetNeighbors(5074766849661468672L))") === 4)
     assert(q1("s2CapContains(1157339245694594829L, 1.0D, 1157347770437378819L)") === 1)
   }
+
+  test("tranche-15: registry-closure sweep") {
+    def q1(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
+    // op-name fronts
+    assert(q1("equals(2D, 2D)") === true)
+    assert(q1("lessOrEquals(1D, 2D)") === true)
+    assert(q1("negate(3D)") === -3.0)
+    assert(q1("positive_modulo(-7L, 3L)") === 2L)
+    assert(q1("xor(true, false)") === true)
+    assert(q1("truncate(-2.7D)") === -2.0)
+    assert(q1("round(sigmoid(0D), 2)") === 0.5)
+    // reinterpret family: 'abc' LE = 0x636261
+    assert(q1("reinterpretAsUInt32('abc')") === 6513249L)
+    assert(q1("reinterpretAsInt8(reinterpretAsString(255L))") === -1L)
+    assert(q1("reinterpretAsString(6513249L)") === "abc")
+    assert(q1("reinterpretAsUInt16('abc')") === 25185L)
+    assert(q1("reinterpret('abc', 'UInt32')") === "6513249")
+    // to*OrDefault / decimal grid
+    assert(q1("toInt32OrDefault('notanint', 42)") === 42L)
+    assert(q1("toUInt8OrDefault('300', 7)") === 44L) // wraps like the reference
+    assert(q1("CAST(toDecimal64(1.23456D, 2) AS STRING)") === "1.230000")
+    assert(q1("CAST(toDecimal32OrZero('bad', 2) AS STRING)") === "0.0000")
+    // strings / URL
+    assert(q1("replaceOne('aaa', 'a', 'b')") === "baa")
+    assert(q1("replaceRegexpOne('a1a2', '([0-9])', '<\\\\1>')") === "a<1>a2")
+    assert(q1("splitByAlpha('ab1cd2ef')") ===
+      Seq("ab", "cd", "ef"))
+    assert(q1("port('https://example.com:8443/x')") === 8443)
+    assert(q1("port('https://example.com/x')") === 0)
+    assert(q1("mid('hello', 2, 3)") === "ell")
+    assert(q1("FROM_BASE64(TO_BASE64('graft'))") === "graft")
+    assert(q1("toJSONString('a\"b')") === "\"a\\\"b\"")
+    assert(q1("hasTokenOrNull('a b', 'a b')") === null)
+    // bits
+    assert(q1("bitAnd(12L, 10L)") === 8L)
+    assert(q1("bitXor(12L, 10L)") === 6L)
+    assert(q1("bitRotateRight(1L, 1)") === Long.MinValue)
+    assert(q1("bitmaskToArray(10L)") === Seq(2L, 8L))
+    assert(q1("bitPositionsToArray(10L)") === Seq(1, 3))
+    assert(q1("bitmaskToList(10L)") === "2,8")
+    // maps / tuples
+    assert(q1("mapUpdate(map('a','1','b','2'), map('b','9'))['b']") === "9")
+    assert(q1("mapContainsKeyLike(map('abc','1'), 'a%')") === true)
+    assert(q1("tuple(1D, 2D)._2") === 2.0)
+    // hashes / digests
+    assert(q1("CRC32IEEE('123456789')") === 3421780262L)
+    assert(q1("CRC64('123456789')") === 0x6C40DF5F0B497347L) // ECMA-182 check value
+    assert(q1("length(SHA224(''))") === 28)
+    assert(q1("length(SHA512('x'))") === 64)
+    // ULID + stats + windows
+    assert(q1("length(generateULID())") === 26)
+    val ulidMs = q1("unix_timestamp(ULIDStringToDateTime(generateULID()))")
+      .asInstanceOf[Long]
+    assert(math.abs(ulidMs - System.currentTimeMillis() / 1000) < 3600)
+    val zt = spark.sql(
+      "SELECT proportionsZTest(120L, 100L, 1000L, 1000L, 0.95D) AS r").head()
+      .getStruct(0)
+    assert(zt.getDouble(1) > 0 && zt.getDouble(1) < 1)
+    assert(q1("minSampleSizeConversion(0.25D, 0.03D, 0.8D, 0.05D)._1")
+      .asInstanceOf[Double] > 100)
+    assert(q1("CAST(tumbleStart(timestamp'2024-01-01 00:07:00', 300L) AS STRING)")
+      === "2024-01-01 00:05:00")
+    assert(q1("CAST(hopEnd(timestamp'2024-01-01 00:07:00', 300L, 600L) AS STRING)")
+      === "2024-01-01 00:10:00")
+    // geo box cover contains the center cell
+    assert(q1("array_contains(geohashesInBox(-0.2D, 51.4D, 0.2D, 51.6D, 4), " +
+      "geohashEncode(0.0D, 51.5D, 4))") === true)
+    // misc
+    assert(q1("week(DATE '2024-01-07')") === q1("toWeek(DATE '2024-01-07')"))
+    assert(q1("evalMLMethod(2D, 3D, 1D, 10D, 10D)") === 51.0)
+    assert(q1("emptyArrayToSingle(array())") === Seq(0L))
+    assert(q1("shardNum()") === 1)
+    assert(q1("length(randomPrintableASCII(12))") === 12)
+    assert(q1("convertCharset('café', 'UTF-8', 'ISO-8859-1')").toString.length === 5)
+  }
 }
