@@ -1971,6 +1971,7 @@ object ClickHouseCompat {
       r
     })
     TypeFronts.installNative(spark)
+    StringSketchHash.install(spark)
     HashParity.install(spark)
     DateTimeFormat.install(spark)
     GeoGrid.install(spark)

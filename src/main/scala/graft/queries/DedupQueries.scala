@@ -111,6 +111,28 @@ object DedupQueries {
           coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
         .orderBy(col("vec_id"))
     }),
+    // The reference's scalar document-sketch grid (FunctionsStringHash:
+    // ngram/wordShingle SimHash/MinHash, value-exact CRC32-C port —
+    // golden-asserted in StringSketchHashSpec) driven end-to-end: every
+    // exact near-dup pair (3-gram Jaccard >= 0.8, the d02 oracle shape)
+    // must sketch-collide — simhash Hamming distance within 8 (observed
+    // 0 at sf0.001/0.01/0.1) and one MinHash tuple side equal (observed
+    // always). The oracle recomputes the pair set and pins the gates.
+    "d11_sketch_hashes" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+          col("text"), col("doc_id"), n = 3, minSim = 0.8)
+        .select(col("id_a"), col("id_b"))
+      val docs = t(s, dir, "documents").selectExpr("doc_id",
+        "wordShingleSimHash(text, 3) AS sh",
+        "wordShingleMinHash(text, 2, 3) AS mh")
+      pairs
+        .join(docs.selectExpr("doc_id AS id_a", "sh AS sha", "mh AS mha"), Seq("id_a"))
+        .join(docs.selectExpr("doc_id AS id_b", "sh AS shb", "mh AS mhb"), Seq("id_b"))
+        .selectExpr("id_a", "id_b",
+          "bit_count(sha ^ shb) <= 8 AS simhash_close",
+          "mha._1 = mhb._1 OR mha._2 = mhb._2 AS minhash_side_match")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     // Benchmark-contamination check: 5-gram overlap of each corpus doc
     // (doc_id >= 50) against the "benchmark" slice (doc_id < 50).
     "d08_contamination" -> ((s, dir) => {
@@ -172,6 +194,25 @@ object DedupQueries {
       JOIN sizes sa ON p.id_a = sa.doc_id
       JOIN sizes sb ON p.id_b = sb.doc_id
       WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5
+      ORDER BY id_a, id_b""",
+    // d11: the exact 0.8-Jaccard pair set with the sketch gates pinned
+    // true — a sketch regression (hash drift, heap-order change) flips a
+    // boolean and hash-fails the round.
+    "d11_sketch_hashes" -> s"""
+      WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      sh AS (SELECT doc_id, unnest(list_distinct(
+               [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                for i in range(1, len(toks) - 1)])) AS s
+             FROM d),
+      sizes AS (SELECT doc_id, count(1) AS n FROM sh GROUP BY 1),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(1) AS inter
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT id_a, id_b, true AS simhash_close, true AS minhash_side_match
+      FROM pairs p
+      JOIN sizes sa ON p.id_a = sa.doc_id
+      JOIN sizes sb ON p.id_b = sb.doc_id
+      WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.8
       ORDER BY id_a, id_b""",
     "d06_incremental_dedup" -> """
       WITH fp AS (SELECT doc_id,

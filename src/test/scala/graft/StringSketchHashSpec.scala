@@ -1,0 +1,78 @@
+package graft
+
+
+/** Value-parity for the ngram/wordShingle SimHash/MinHash grid against
+  * the reference's own expected outputs
+  * (`tests/queries/0_stateless/01016_simhash_minhash.reference` — the
+  * x86/ARM CRC32-C truth; the ppc file differs by design).
+  */
+class StringSketchHashSpec extends SparkSpec {
+
+  private def u(s: String): Long = java.lang.Long.parseUnsignedLong(s)
+  private def q1(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
+
+  test("simhash matches the reference expected outputs") {
+    assert(q1("ngramSimHash('', 3)") === -1L) // 18446744073709551615
+    assert(q1("ngramSimHash('what a cute cat.', 3)") === 130877626L)
+    assert(q1("ngramSimHashCaseInsensitive('what a cute cat.', 3)") === 130877626L)
+    assert(q1("ngramSimHashUTF8('what a cute cat.', 3)") === 2414681787L)
+    assert(q1("ngramSimHashCaseInsensitiveUTF8('what a cute cat.', 3)") === 2414681787L)
+    assert(q1("wordShingleSimHash('what a cute cat.', 3)") === 3795742796L)
+    assert(q1("wordShingleSimHashCaseInsensitive('what a cute cat.', 3)") === 3795742796L)
+    assert(q1("wordShingleSimHashUTF8('what a cute cat.', 3)") === 3795742796L)
+    assert(q1("wordShingleSimHashCaseInsensitiveUTF8('what a cute cat.', 3)") === 3795742796L)
+  }
+
+  test("minhash matches the reference expected outputs") {
+    def tup(sql: String): (Long, Long) = {
+      val r = spark.sql(s"SELECT $sql").head().getStruct(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(tup("ngramMinHash('', 3, 6)") ===
+      ((u("10693559443859979498"), u("10693559443859979498"))))
+    assert(tup("ngramMinHash('what a cute cat.', 3, 6)") ===
+      ((u("12862934800683464900"), u("12912608544812513109"))))
+    assert(tup("ngramMinHashCaseInsensitive('what a cute cat.', 3, 6)") ===
+      ((u("12862934800683464900"), u("12912608544812513109"))))
+    assert(tup("ngramMinHashUTF8('what a cute cat.', 3, 6)") ===
+      ((u("5701637312405877447"), u("12912608544812513109"))))
+    assert(tup("ngramMinHashCaseInsensitiveUTF8('what a cute cat.', 3, 6)") ===
+      ((u("5701637312405877447"), u("12912608544812513109"))))
+    assert(tup("wordShingleMinHash('what a cute cat.', 3, 6)") ===
+      ((u("17357047205102710216"), u("17357047205102710216"))))
+    assert(tup("wordShingleMinHashCaseInsensitive('what a cute cat.', 3, 6)") ===
+      ((u("17357047205102710216"), u("17357047205102710216"))))
+    assert(tup("wordShingleMinHashUTF8('what a cute cat.', 3, 6)") ===
+      ((u("17357047205102710216"), u("17357047205102710216"))))
+    assert(tup("wordShingleMinHashCaseInsensitiveUTF8('what a cute cat.', 3, 6)") ===
+      ((u("17357047205102710216"), u("17357047205102710216"))))
+  }
+
+  test("simhash of near-duplicate texts is closer than of distinct texts") {
+    // One changed word ("European" → "Asian") vs a wholly different
+    // sentence: the sketch's Hamming distance must separate them.
+    val a = "It is the latest occurrence of the Southeast European haze, " +
+      "the issue that occurs in constant intensity during every wet season."
+    val b = a.replace("European", "Asian")
+    val c = "The quick brown fox jumps over the lazy dog again and again today."
+    def h(text: String): Long = spark.sql(
+      s"SELECT wordShingleSimHash('${text}', 3) AS h").head().getLong(0)
+    val (ha, hb, hc) = (h(a), h(b), h(c))
+    val near = java.lang.Long.bitCount(ha ^ hb)
+    val far = java.lang.Long.bitCount(ha ^ hc)
+    assert(near < far, s"near=$near far=$far")
+  }
+
+  test("minhash-arg returns the shingles that achieve the sketch") {
+    val r = spark.sql(
+      "SELECT ngramMinHashArg('what a cute cat.', 3, 6) AS a").head().getStruct(0)
+    val mins = r.getSeq[String](0)
+    val maxs = r.getSeq[String](1)
+    assert(mins.length === 6 && maxs.length === 6)
+    assert(mins.filter(_.nonEmpty).forall(sh => "what a cute cat.".contains(sh)))
+    assert(maxs.filter(_.nonEmpty).forall(sh => "what a cute cat.".contains(sh)))
+    val w = spark.sql(
+      "SELECT wordShingleMinHashArg('what a cute cat.', 3, 6) AS a").head().getStruct(0)
+    assert(w.getSeq[String](0).exists(_.nonEmpty))
+  }
+}
