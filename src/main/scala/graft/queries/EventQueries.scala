@@ -143,6 +143,37 @@ object EventQueries {
     // group is single-valued), quantileExactInclusive (Excel
     // PERCENTILE.INC ≡ Spark Percentile's interpolation) — the last
     // unmapped names of registerAggregateFunctions.cpp's registry.
+    // proportionsZTest + minSampleSizeConversion (tranche-15 natives,
+    // src/Functions/proportionsZTest.cpp / minSampleSize.cpp): split
+    // users into even/odd cohorts, z-test the high-value-event rate
+    // between them. The statistics are closed-form given the fixed
+    // normal quantiles (95% two-sided = 1.9599639845400545, power 0.8 =
+    // 0.8416212335729143), so the oracle recomputes EVERY output cell —
+    // including the p<0.05 verdict, which equals |z| > q95 exactly.
+    "e60_proportions_ztest" -> ((s, dir) => {
+      val cohorts = events(s, dir)
+        .groupBy((pmod(col("user_id"), lit(2)) === 0).as("even"))
+        .agg(sum(when(col("value") > 10, 1L).otherwise(0L)).as("succ"),
+          count(lit(1)).as("total"))
+        .orderBy(col("even"))
+      val r = cohorts.collect() // 2 bounded rows: the test's scalar inputs
+      val (sx, tx) = (r(1).getLong(1), r(1).getLong(2)) // even cohort
+      val (sy, ty) = (r(0).getLong(1), r(0).getLong(2)) // odd cohort
+      val s0 = s
+      import s0.implicits._
+      Seq(1).toDF("__one")
+        .selectExpr(
+          s"proportionsZTest(${sx}L, ${sy}L, ${tx}L, ${ty}L, 0.95D) AS zt",
+          "minSampleSizeConversion(0.25D, 0.03D, 0.8D, 0.05D) AS mss")
+        .selectExpr(
+          "round(zt._1, 6) AS z_stat",
+          "zt._2 < 0.05 AS significant",
+          "round(zt._3, 6) AS ci_low",
+          "round(zt._4, 6) AS ci_high",
+          "round(mss._1, 0) AS min_n",
+          "round(mss._2, 4) AS p_low",
+          "round(mss._3, 4) AS p_high")
+    }),
     "e59_sum_count_single" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -1341,6 +1372,33 @@ object EventQueries {
              ((200 * cents + n) // (2 * n)) / 10000.0 AS avg_v,
              uniq_types
       FROM g ORDER BY user_id""",
+    // e60: closed-form replay — the same pooled-z / unpooled-CI /
+    // power-analysis arithmetic with the normal quantiles as literals
+    // (q(0.975) = 1.9599639845400545, q(0.8) = 0.8416212335729143).
+    "e60_proportions_ztest" -> """
+      WITH c AS (
+        SELECT user_id % 2 = 0 AS even,
+               CAST(sum(CASE WHEN value > 10 THEN 1 ELSE 0 END) AS DOUBLE) AS s,
+               CAST(count(1) AS DOUBLE) AS t
+        FROM events GROUP BY 1),
+      v AS (SELECT x.s AS sx, x.t AS tx, y.s AS sy, y.t AS ty,
+                   x.s/x.t AS p1, y.s/y.t AS p2,
+                   (x.s+y.s)/(x.t+y.t) AS pp
+            FROM (SELECT * FROM c WHERE even) x,
+                 (SELECT * FROM c WHERE NOT even) y),
+      z AS (SELECT p1 - p2 AS diff,
+                   (p1-p2)/sqrt(pp*(1-pp)*(1/tx + 1/ty)) AS z,
+                   sqrt(p1*(1-p1)/tx + p2*(1-p2)/ty) AS se
+            FROM v)
+      SELECT round(z, 6) AS z_stat,
+             abs(z) > 1.9599639845400545 AS significant,
+             round(diff - 1.9599639845400545*se, 6) AS ci_low,
+             round(diff + 1.9599639845400545*se, 6) AS ci_high,
+             round(ceil(pow(1.9599639845400545 + 0.8416212335729143, 2)
+                        * (0.25*0.75 + 0.22*0.78) / (0.03*0.03)), 0) AS min_n,
+             round(0.25 - 0.03, 4) AS p_low,
+             round(0.25 + 0.03, 4) AS p_high
+      FROM z""",
     "e59_sum_count_single" -> """
       SELECT l_returnflag,
              round(CAST(sum(l_quantity) AS DOUBLE), 2) AS qty_sum,
