@@ -17,10 +17,17 @@ object VectorQueries {
 
   /** The query vector is row vec_id=0's embedding — fetched at run time
     * on both sides (scalar subquery in the oracle) so no literals drift.
+    * Memoized per (dir, id): the table is immutable test data and a
+    * dozen queries share the same vector, so the one-row lookup job
+    * runs once per JVM instead of once per query (v33 alone re-enters
+    * ten query bodies).
     */
+  private val queryVecs =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Seq[Float]]
   private def queryVec(s: SparkSession, dir: String, id: Long = 0L): Seq[Float] =
-    t(s, dir, "embeddings").filter(col("vec_id") === id)
-      .select(col("embedding")).head().getSeq[Float](0)
+    queryVecs.getOrElseUpdate((dir, id),
+      t(s, dir, "embeddings").filter(col("vec_id") === id)
+        .select(col("embedding")).head().getSeq[Float](0))
 
   private def emb(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
 
