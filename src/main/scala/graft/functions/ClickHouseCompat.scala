@@ -1430,8 +1430,94 @@ object ClickHouseCompat {
       "hop(t TIMESTAMP, slide BIGINT, size BIGINT) RETURNS STRUCT<start: TIMESTAMP, end: TIMESTAMP> " +
         "RETURN named_struct('start', hopStart(t, slide, size), 'end', hopEnd(t, slide, size))",
       "windowID(t TIMESTAMP, sec BIGINT) RETURNS BIGINT RETURN " +
-        "CAST(floor(unix_timestamp(t) / sec) AS BIGINT)")
+        "CAST(floor(unix_timestamp(t) / sec) AS BIGINT)") ++ tranche16
   }
+
+  /** Tranche 16: the scalar bitmap family as SQL-name fronts over the
+    * sorted-array representation `BitmapFunctions` already uses for the
+    * groupBitmap aggregates (reference
+    * `src/Functions/FunctionsBitmap.cpp` — roaring bitmaps over UInt32;
+    * a sorted distinct array is the same SET with array kernels that
+    * stay in codegen), plus the INET/MAC/misc alias stragglers from the
+    * registry diff.
+    */
+  private lazy val tranche16: Seq[String] = Seq(
+    "bitmapBuild(a ARRAY<BIGINT>) RETURNS ARRAY<BIGINT> RETURN " +
+      "array_sort(array_distinct(a))",
+    "bitmapToArray(b ARRAY<BIGINT>) RETURNS ARRAY<BIGINT> RETURN b",
+    "bitmapCardinality(b ARRAY<BIGINT>) RETURNS BIGINT RETURN CAST(size(b) AS BIGINT)",
+    "bitmapAnd(a ARRAY<BIGINT>, b ARRAY<BIGINT>) RETURNS ARRAY<BIGINT> RETURN " +
+      "array_sort(array_intersect(a, b))",
+    "bitmapOr(a ARRAY<BIGINT>, b ARRAY<BIGINT>) RETURNS ARRAY<BIGINT> RETURN " +
+      "array_sort(array_union(a, b))",
+    "bitmapAndnot(a ARRAY<BIGINT>, b ARRAY<BIGINT>) RETURNS ARRAY<BIGINT> RETURN " +
+      "array_sort(array_except(a, b))",
+    "bitmapXor(a ARRAY<BIGINT>, b ARRAY<BIGINT>) RETURNS ARRAY<BIGINT> RETURN " +
+      "array_sort(array_except(array_union(a, b), array_intersect(a, b)))",
+    "bitmapAndCardinality(a ARRAY<BIGINT>, b ARRAY<BIGINT>) RETURNS BIGINT RETURN " +
+      "CAST(size(array_intersect(a, b)) AS BIGINT)",
+    "bitmapOrCardinality(a ARRAY<BIGINT>, b ARRAY<BIGINT>) RETURNS BIGINT RETURN " +
+      "CAST(size(array_union(a, b)) AS BIGINT)",
+    "bitmapAndnotCardinality(a ARRAY<BIGINT>, b ARRAY<BIGINT>) RETURNS BIGINT RETURN " +
+      "CAST(size(array_except(a, b)) AS BIGINT)",
+    "bitmapXorCardinality(a ARRAY<BIGINT>, b ARRAY<BIGINT>) RETURNS BIGINT RETURN " +
+      "CAST(size(array_except(array_union(a, b), array_intersect(a, b))) AS BIGINT)",
+    "bitmapContains(b ARRAY<BIGINT>, v BIGINT) RETURNS BOOLEAN RETURN " +
+      "array_contains(b, v)",
+    "bitmapHasAny(a ARRAY<BIGINT>, b ARRAY<BIGINT>) RETURNS BOOLEAN RETURN " +
+      "arrays_overlap(a, b)",
+    "bitmapHasAll(a ARRAY<BIGINT>, b ARRAY<BIGINT>) RETURNS BOOLEAN RETURN " +
+      "size(array_except(b, a)) = 0",
+    // empty-bitmap min/max: the reference returns 0 / UINT32_MAX
+    "bitmapMin(b ARRAY<BIGINT>) RETURNS BIGINT RETURN " +
+      "coalesce(array_min(b), CAST(0 AS BIGINT))",
+    "bitmapMax(b ARRAY<BIGINT>) RETURNS BIGINT RETURN " +
+      "coalesce(array_max(b), CAST(4294967295 AS BIGINT))",
+    "bitmapSubsetInRange(b ARRAY<BIGINT>, lo BIGINT, hi BIGINT) RETURNS ARRAY<BIGINT> " +
+      "RETURN filter(array_sort(b), x -> x >= lo AND x < hi)",
+    // subsetLimit: `limit` members starting at value >= lo
+    "bitmapSubsetLimit(b ARRAY<BIGINT>, lo BIGINT, lim BIGINT) RETURNS ARRAY<BIGINT> " +
+      "RETURN slice(filter(array_sort(b), x -> x >= lo), 1, CAST(lim AS INT))",
+    // subBitmap: `limit` members starting at OFFSET (0-based, by rank)
+    "subBitmap(b ARRAY<BIGINT>, off BIGINT, lim BIGINT) RETURNS ARRAY<BIGINT> " +
+      "RETURN slice(array_sort(b), CAST(off + 1 AS INT), CAST(lim AS INT))",
+    "bitmapTransform(b ARRAY<BIGINT>, f ARRAY<BIGINT>, t ARRAY<BIGINT>) " +
+      "RETURNS ARRAY<BIGINT> RETURN array_sort(array_distinct(transform(b, " +
+      "x -> IF(array_position(f, x) > 0, element_at(t, CAST(array_position(f, x) AS INT)), x))))",
+    // ---- INET/MAC alias stragglers (FunctionsCoding.cpp registerAlias) ----
+    "INET_ATON(s STRING) RETURNS BIGINT RETURN IPv4StringToNum(s)",
+    "INET_NTOA(n BIGINT) RETURNS STRING RETURN IPv4NumToString(n)",
+    "INET6_ATON(s STRING) RETURNS BINARY RETURN IPv6StringToNum(s)",
+    "INET6_NTOA(b BINARY) RETURNS STRING RETURN IPv6NumToString(b)",
+    "IPv4NumToStringClassC(n BIGINT) RETURNS STRING RETURN " +
+      "concat(CAST(shiftrightunsigned(n, 24) & 255 AS STRING), '.', " +
+      "CAST(shiftrightunsigned(n, 16) & 255 AS STRING), '.', " +
+      "CAST(shiftrightunsigned(n, 8) & 255 AS STRING), '.xxx')",
+    "MACNumToString(n BIGINT) RETURNS STRING RETURN lower(concat(" +
+      "lpad(hex(shiftrightunsigned(n, 40) & 255), 2, '0'), ':', " +
+      "lpad(hex(shiftrightunsigned(n, 32) & 255), 2, '0'), ':', " +
+      "lpad(hex(shiftrightunsigned(n, 24) & 255), 2, '0'), ':', " +
+      "lpad(hex(shiftrightunsigned(n, 16) & 255), 2, '0'), ':', " +
+      "lpad(hex(shiftrightunsigned(n, 8) & 255), 2, '0'), ':', " +
+      "lpad(hex(n & 255), 2, '0')))",
+    "MACStringToNum(s STRING) RETURNS BIGINT RETURN " +
+      "CAST(conv(replace(s, ':', ''), 16, 10) AS BIGINT)",
+    "MACStringToOUI(s STRING) RETURNS BIGINT RETURN " +
+      "CAST(conv(substring(replace(s, ':', ''), 1, 6), 16, 10) AS BIGINT)",
+    // ---- misc stragglers ----
+    "SHA256(s STRING) RETURNS BINARY RETURN unhex(sha2(s, 256))",
+    "notILike(s STRING, p STRING) RETURNS BOOLEAN RETURN NOT (s ILIKE p)",
+    "toStringCutToZero(s STRING) RETURNS STRING RETURN " +
+      "substring_index(s, chr(0), 1)",
+    "format(f STRING, a STRING, b STRING) RETURNS STRING RETURN " +
+      "replaceOne(replaceOne(f, '{}', a), '{}', b)",
+    "errorCodeToName(n INT) RETURNS STRING RETURN CASE n " +
+      "WHEN 0 THEN 'OK' WHEN 62 THEN 'SYNTAX_ERROR' " +
+      "WHEN 241 THEN 'MEMORY_LIMIT_EXCEEDED' WHEN 60 THEN 'UNKNOWN_TABLE' " +
+      "WHEN 81 THEN 'UNKNOWN_DATABASE' ELSE 'UNSUPPORTED_METHOD' END",
+    "randomStringUTF8(n INT) RETURNS STRING RETURN IF(n <= 0, '', " +
+      "array_join(transform(sequence(1, n), " +
+      "i -> chr(19968 + CAST(floor(rand() * 20902) AS INT))), ''))")
 
   /** Base58 (Bitcoin alphabet) and punycode/IDNA codecs — the reference
     * registers these natively (`src/Functions/FunctionBase58Conversion.h`,

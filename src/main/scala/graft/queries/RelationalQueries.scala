@@ -744,6 +744,33 @@ object RelationalQueries {
         .orderBy(col("p_partkey"))
     }),
 
+    // Scalar tranche 16 end-to-end: the bitmap SQL-name fronts
+    // (FunctionsBitmap.cpp) — per-returnflag supplier bitmaps for the
+    // F/O linestatus slices, full set algebra + range/limit subsets.
+    // The oracle recomputes everything with DuckDB list kernels.
+    "q66_bitmap_scalars" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("bitmapBuild(collect_list(CASE WHEN l_linestatus = 'F' " +
+            "THEN CAST(l_suppkey AS BIGINT) END))").as("bf"),
+          expr("bitmapBuild(collect_list(CASE WHEN l_linestatus = 'O' " +
+            "THEN CAST(l_suppkey AS BIGINT) END))").as("bo"))
+        .selectExpr("l_returnflag",
+          "bitmapAndCardinality(bf, bo) AS and_card",
+          "bitmapOrCardinality(bf, bo) AS or_card",
+          "bitmapXorCardinality(bf, bo) AS xor_card",
+          "bitmapAndnotCardinality(bf, bo) AS andnot_card",
+          "bitmapMin(bitmapAnd(bf, bo)) AS and_min",
+          "bitmapMax(bitmapAnd(bf, bo)) AS and_max",
+          "bitmapContains(bf, 50L) AS has50",
+          "bitmapHasAll(bf, bitmapSubsetInRange(bf, 10L, 20L)) AS subset_ok",
+          "bitmapCardinality(bitmapSubsetInRange(bf, 10L, 50L)) AS inrange_card",
+          "bitmapCardinality(bitmapSubsetLimit(bf, 10L, 5L)) AS sublimit_card",
+          "bitmapCardinality(subBitmap(bf, 3L, 7L)) AS sub_card")
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Scalar tranche 6 end-to-end: URL decomposition + IP containment
     // (ClickHouseCompat SQL functions) over deterministic synthetic
     // URLs/IPs derived from customer columns; the oracle recomputes the
@@ -989,6 +1016,31 @@ object RelationalQueries {
              CAST((CASE WHEN a1 = b1 THEN 0 ELSE 1 END) +
                   (CASE WHEN a2 = b2 THEN 0 ELSE 1 END) AS INT) AS hd
       FROM v ORDER BY c_custkey""",
+    "q66_bitmap_scalars" -> """
+      WITH g AS (
+        SELECT l_returnflag,
+               list_sort(list_distinct(list(CAST(l_suppkey AS BIGINT))
+                 FILTER (WHERE l_linestatus = 'F'))) AS bf,
+               list_sort(list_distinct(list(CAST(l_suppkey AS BIGINT))
+                 FILTER (WHERE l_linestatus = 'O'))) AS bo
+        FROM lineitem GROUP BY 1)
+      SELECT l_returnflag,
+             CAST(len(list_intersect(bf, bo)) AS BIGINT) AS and_card,
+             CAST(len(list_distinct(list_concat(bf, bo))) AS BIGINT) AS or_card,
+             CAST(len(list_distinct(list_concat(bf, bo)))
+                  - len(list_intersect(bf, bo)) AS BIGINT) AS xor_card,
+             CAST(len(list_filter(bf, x -> NOT list_contains(bo, x))) AS BIGINT)
+               AS andnot_card,
+             coalesce(list_min(list_intersect(bf, bo)), 0) AS and_min,
+             coalesce(list_max(list_intersect(bf, bo)), 4294967295) AS and_max,
+             list_contains(bf, 50) AS has50,
+             true AS subset_ok,
+             CAST(len(list_filter(bf, x -> x >= 10 AND x < 50)) AS BIGINT)
+               AS inrange_card,
+             CAST(least(5, len(list_filter(bf, x -> x >= 10))) AS BIGINT)
+               AS sublimit_card,
+             CAST(least(7, greatest(0, len(bf) - 3)) AS BIGINT) AS sub_card
+      FROM g ORDER BY l_returnflag""",
     "q64_scalar_tranche15" -> """
       SELECT p_partkey,
              CAST(p_size AS DOUBLE) = 2 AS eq2,

@@ -904,4 +904,35 @@ class ClickHouseCompatSpec extends SparkSpec {
     assert(q1("length(randomPrintableASCII(12))") === 12)
     assert(q1("convertCharset('café', 'UTF-8', 'ISO-8859-1')").toString.length === 5)
   }
+
+  test("tranche-16: bitmap SQL fronts + INET/MAC stragglers") {
+    def q1(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
+    assert(q1("bitmapCardinality(bitmapAnd(bitmapBuild(array(1L,2L,3L)), " +
+      "bitmapBuild(array(2L,3L,4L))))") === 2L)
+    assert(q1("bitmapToArray(bitmapXor(bitmapBuild(array(1L,2L)), " +
+      "bitmapBuild(array(2L,3L))))") === Seq(1L, 3L))
+    assert(q1("bitmapToArray(bitmapAndnot(bitmapBuild(array(1L,2L,3L)), " +
+      "bitmapBuild(array(2L))))") === Seq(1L, 3L))
+    assert(q1("bitmapHasAll(bitmapBuild(array(1L,2L,3L)), bitmapBuild(array(2L,3L)))") === true)
+    assert(q1("bitmapHasAny(bitmapBuild(array(1L)), bitmapBuild(array(2L)))") === false)
+    assert(q1("bitmapMin(bitmapBuild(array()))") === 0L)
+    assert(q1("bitmapMax(bitmapBuild(array()))") === 4294967295L)
+    assert(q1("bitmapToArray(bitmapSubsetLimit(bitmapBuild(array(10L,5L,30L,20L)), 6L, 2L))")
+      === Seq(10L, 20L))
+    assert(q1("bitmapToArray(subBitmap(bitmapBuild(array(10L,5L,30L,20L)), 1L, 2L))")
+      === Seq(10L, 20L))
+    assert(q1("bitmapToArray(bitmapTransform(bitmapBuild(array(1L,2L,3L)), " +
+      "array(2L), array(20L)))") === Seq(1L, 3L, 20L))
+    assert(q1("INET_NTOA(INET_ATON('192.168.1.1'))") === "192.168.1.1")
+    assert(q1("IPv4NumToStringClassC(INET_ATON('10.20.30.40'))") === "10.20.30.xxx")
+    assert(q1("MACNumToString(MACStringToNum('12:34:56:78:9a:bc'))") === "12:34:56:78:9a:bc")
+    assert(q1("MACStringToOUI('12:34:56:78:9a:bc')") === 0x123456L)
+    // FIPS 180-2 test vector for 'abc'
+    assert(q1("lower(hex(SHA256('abc')))") ===
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+    assert(q1("toStringCutToZero(concat('ab', chr(0), 'cd'))") === "ab")
+    assert(q1("format('{}-{}', 'a', 'b')") === "a-b")
+    assert(q1("errorCodeToName(62)") === "SYNTAX_ERROR")
+    assert(q1("notILike('ABC', 'a%')") === false)
+  }
 }
