@@ -115,6 +115,50 @@ object HashParity {
     Array(v0, v1, v2, v3)
   }
 
+  /** CANONICAL SipHash-2-4 128-bit (the reference's sipHash128Reference
+    * — `src/Functions/FunctionsHashing.h` "Reference" variants wrap the
+    * published SipHash reference implementation): v1 ^= 0xee at init,
+    * v2 ^= 0xee then 4 d-rounds for the low word, v1 ^= 0xdd then 4
+    * more for the high word. Validated against the published reference
+    * test vectors (vectors.h) the reference's own
+    * `02552_siphash128_reference` test pins.
+    */
+  def sipHash128Reference(data: Array[Byte], k0: Long = 0L, k1: Long = 0L): Array[Byte] = {
+    var v0 = 0x736f6d6570736575L ^ k0
+    var v1 = 0x646f72616e646f6dL ^ k1 ^ 0xeeL
+    var v2 = 0x6c7967656e657261L ^ k0
+    var v3 = 0x7465646279746573L ^ k1
+
+    @inline def round(): Unit = {
+      v0 += v1; v1 = rotl(v1, 13); v1 ^= v0; v0 = rotl(v0, 32)
+      v2 += v3; v3 = rotl(v3, 16); v3 ^= v2
+      v0 += v3; v3 = rotl(v3, 21); v3 ^= v0
+      v2 += v1; v1 = rotl(v1, 17); v1 ^= v2; v2 = rotl(v2, 32)
+    }
+
+    val n = data.length
+    var i = 0
+    while (i + 8 <= n) {
+      val w = fetch64(data, i)
+      v3 ^= w; round(); round(); v0 ^= w
+      i += 8
+    }
+    var w = (n & 0xffL) << 56
+    var shift = 0
+    while (i < n) { w |= (data(i) & 0xffL) << shift; shift += 8; i += 1 }
+    v3 ^= w; round(); round(); v0 ^= w
+    v2 ^= 0xee
+    round(); round(); round(); round()
+    val lo = v0 ^ v1 ^ v2 ^ v3
+    v1 ^= 0xdd
+    round(); round(); round(); round()
+    val hi = v0 ^ v1 ^ v2 ^ v3
+    val out = new Array[Byte](16)
+    writeLongLE(out, 0, lo)
+    writeLongLE(out, 8, hi)
+    out
+  }
+
   // ------------------------------------------------------------ MurmurHash2
 
   def murmurHash2_32(data: Array[Byte], seed: Int = 0): Long = {
@@ -628,6 +672,12 @@ object HashParity {
     ChHash.install(spark)
     // Fixed-shape remainder as plain UDFs.
     spark.udf.register("sipHash128", (s: String) => hex(sipHash128(bytes(s))))
+    spark.udf.register("sipHash128Keyed",
+      (k0: Long, k1: Long, s: String) => hex(sipHash128(bytes(s), k0, k1)))
+    spark.udf.register("sipHash128Reference",
+      (s: String) => hex(sipHash128Reference(bytes(s))))
+    spark.udf.register("sipHash128ReferenceKeyed",
+      (k0: Long, k1: Long, s: String) => hex(sipHash128Reference(bytes(s), k0, k1)))
     spark.udf.register("sipHash64Keyed",
       (k0: Long, k1: Long, s: String) => sipHash64(bytes(s), k0, k1))
     spark.udf.register("murmurHash3_128", (s: String) => hex(murmurHash3_128(bytes(s))))

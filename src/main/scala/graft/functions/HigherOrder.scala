@@ -357,9 +357,14 @@ object HigherOrder {
     "arrayCount" -> { c =>
       if (c.size == 1) Size(ArrayFilter(c.head, identityBoolLambda))
       else countTrue(flags(c.head, c.tail)) },
-    // NULL (not the type default) when no element matches — deviation.
+    // NULL (not the type default) when no element matches — deviation
+    // for the bare names; the OrNull forms below are therefore the
+    // EXACT reference contract (arrayFirstLastOrNull.cpp) and the bare
+    // names alias them.
     "arrayFirst" -> { c => firstLastMatch(c.head, c.tail, first = true) },
     "arrayLast"  -> { c => firstLastMatch(c.head, c.tail, first = false) },
+    "arrayFirstOrNull" -> { c => firstLastMatch(c.head, c.tail, first = true) },
+    "arrayLastOrNull"  -> { c => firstLastMatch(c.head, c.tail, first = false) },
     // 1-based position of the first/last match, 0 when none (matching
     // the reference).
     "arrayFirstIndex" -> { c =>

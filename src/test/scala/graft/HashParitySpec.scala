@@ -190,4 +190,43 @@ class HashParitySpec extends SparkSpec {
     assert(q1("xxHash64(CAST(-154477 AS BIGINT))") === u("1162348840373071858"))
     assert(spark.sql("SELECT xxHash64(NULL) IS NULL").head().getBoolean(0))
   }
+
+  test("sipHash128Reference matches the published SipHash test vectors") {
+    // vectors.h from the SipHash reference implementation (CC0) — the
+    // same vectors the reference's 02552_siphash128_reference pins:
+    // key = bytes 00..0f, message = bytes 00..(len-1).
+    val k0 = 0x0706050403020100L
+    val k1 = 0x0f0e0d0c0b0a0908L
+    def msg(len: Int): Array[Byte] = Array.tabulate(len)(_.toByte)
+    def hx(b: Array[Byte]): String = b.map("%02X".format(_)).mkString
+    val expected = Seq(
+      0 -> "A3817F04BA25A8E66DF67214C7550293",
+      1 -> "DA87C1D86B99AF44347659119B22FC45",
+      2 -> "8177228DA4A45DC7FCA38BDEF60AFFE4",
+      3 -> "9C70B60C5267A94E5F33B6B02985ED51",
+      4 -> "F88164C12D9C8FAF7D0F6E7C7BCD5579",
+      5 -> "1368875980776F8854527A07690E9627",
+      6 -> "14EECA338B208613485EA0308FD7A15E",
+      7 -> "A1F1EBBED8DBC153C0B84AA61FF08239",
+      8 -> "3B62A9BA6258F5610F83E264F31497B4",
+      9 -> "264499060AD9BAABC47F8B02BB6D71ED",
+      10 -> "00110DC378146956C95447D3F3D0FBBA",
+      11 -> "0151C568386B6677A2B4DC6F81E5DC18")
+    expected.foreach { case (len, want) =>
+      assert(hx(graft.functions.HashParity.sipHash128Reference(msg(len), k0, k1))
+        === want, s"len $len")
+    }
+    // keyed SQL fronts resolve and agree with the Scala kernels
+    val viaSql = spark.sql(
+      "SELECT sipHash128ReferenceKeyed(506097522914230528L, 1084818905618843912L, 'ab'), " +
+        "sipHash128Keyed(0L, 0L, 'ab'), sipHash128('ab')").head()
+    assert(viaSql.getString(1) === viaSql.getString(2))
+  }
+
+  test("arrayFirstOrNull / arrayLastOrNull") {
+    val r = spark.sql("SELECT arrayFirstOrNull(x -> x > 1, array(1, 2, 3)), " +
+      "arrayLastOrNull(x -> x > 1, array(1, 2, 3)), " +
+      "arrayFirstOrNull(x -> x > 9, array(1, 2, 3))").head()
+    assert(r.getInt(0) === 2 && r.getInt(1) === 3 && r.isNullAt(2))
+  }
 }
