@@ -1517,7 +1517,12 @@ object ClickHouseCompat {
       "WHEN 81 THEN 'UNKNOWN_DATABASE' ELSE 'UNSUPPORTED_METHOD' END",
     "randomStringUTF8(n INT) RETURNS STRING RETURN IF(n <= 0, '', " +
       "array_join(transform(sequence(1, n), " +
-      "i -> chr(19968 + CAST(floor(rand() * 20902) AS INT))), ''))")
+      "i -> chr(19968 + CAST(floor(rand() * 20902) AS INT))), ''))",
+    // single-JVM "server" port map, same contract class as tcpPort()
+    "getServerPort(n STRING) RETURNS INT RETURN CASE n " +
+      "WHEN 'tcp_port' THEN 9000 WHEN 'http_port' THEN 8123 " +
+      "WHEN 'mysql_port' THEN 9004 WHEN 'postgresql_port' THEN 9005 " +
+      "WHEN 'interserver_http_port' THEN 9009 END")
 
   /** Base58 (Bitcoin alphabet) and punycode/IDNA codecs — the reference
     * registers these natively (`src/Functions/FunctionBase58Conversion.h`,

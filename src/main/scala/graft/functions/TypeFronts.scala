@@ -147,5 +147,36 @@ object TypeFronts {
       if (s == null) null else ipv6Parse(s))
     spark.udf.register("IPv6NumToString", (b: Array[Byte]) =>
       if (b == null) null else ipv6Format(b))
+    // cutIPv6 (src/Functions/FunctionsCoding.h): zero the trailing
+    // bytesToCutForIPv6 bytes — or, for an IPv4-mapped address
+    // (::ffff:a.b.c.d), the trailing bytesToCutForIPv4 bytes.
+    spark.udf.register("cutIPv6", (b: Array[Byte], cutV6: Int, cutV4: Int) =>
+      if (b == null || b.length != 16) null
+      else {
+        val mapped = (0 until 10).forall(b(_) == 0) &&
+          (b(10) & 0xff) == 0xff && (b(11) & 0xff) == 0xff
+        val cut = math.max(0, math.min(16, if (mapped) cutV4 else cutV6))
+        val out = b.clone()
+        var i = 16 - cut
+        while (i < 16) { out(i) = 0; i += 1 }
+        ipv6Format(out)
+      })
+    // IPv6CIDRToRange (FunctionIPv6CIDRToRange): lower/upper bound of the
+    // prefix as formatted addresses.
+    spark.udf.register("IPv6CIDRToRange", (b: Array[Byte], prefix: Int) =>
+      if (b == null || b.length != 16) null
+      else {
+        val p = math.max(0, math.min(128, prefix))
+        val lo = b.clone(); val hi = b.clone()
+        var i = 0
+        while (i < 16) {
+          val bits = math.max(0, math.min(8, p - 8 * i))
+          val mask = (0xff << (8 - bits)) & 0xff
+          lo(i) = (lo(i) & mask).toByte
+          hi(i) = ((hi(i) & mask) | (~mask & 0xff)).toByte
+          i += 1
+        }
+        (ipv6Format(lo), ipv6Format(hi))
+      })
   }
 }

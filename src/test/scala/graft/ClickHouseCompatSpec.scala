@@ -934,5 +934,22 @@ class ClickHouseCompatSpec extends SparkSpec {
     assert(q1("format('{}-{}', 'a', 'b')") === "a-b")
     assert(q1("errorCodeToName(62)") === "SYNTAX_ERROR")
     assert(q1("notILike('ABC', 'a%')") === false)
+    assert(q1("getServerPort('http_port')") === 8123)
+    // cutIPv6 / IPv6CIDRToRange vs the reference's own expected outputs
+    // (00076_ip_coding_functions, 00938_ipv6_cidr_range)
+    val ip = "IPv6StringToNum('2001:0DB8:AC10:FE01:FEED:BABE:CAFE:F00D')"
+    assert(q1(s"cutIPv6($ip, 0, 0)") === "2001:db8:ac10:fe01:feed:babe:cafe:f00d")
+    assert(q1(s"cutIPv6($ip, 2, 0)") === "2001:db8:ac10:fe01:feed:babe:cafe:0")
+    assert(q1(s"cutIPv6($ip, 4, 0)") === "2001:db8:ac10:fe01:feed:babe::")
+    val r32 = spark.sql("SELECT IPv6CIDRToRange(" +
+      "IPv6StringToNum('2001:0db8:0000:85a3:0000:0000:ac1f:8001'), 32) AS r")
+      .head().getStruct(0)
+    assert(r32.getString(0) === "2001:db8::")
+    assert(r32.getString(1) === "2001:db8:ffff:ffff:ffff:ffff:ffff:ffff")
+    val r0 = spark.sql("SELECT IPv6CIDRToRange(" +
+      "IPv6StringToNum('2001:0db8:0000:85a3:0000:0000:ac1f:8001'), 0) AS r")
+      .head().getStruct(0)
+    assert(r0.getString(0) === "::")
+    assert(r0.getString(1) === "ffff:ffff:ffff:ffff:ffff:ffff:ffff:ffff")
   }
 }
