@@ -76,7 +76,9 @@ object RelationalOps {
       fillDefaults: Seq[(String, Column)]): DataFrame = {
     val keyType = df.schema(keyCol).dataType
     val typedSeries = series.select(col(keyCol).cast(keyType).as(keyCol))
-    val present = df.select(col(keyCol)).filter(inWindow)
+    // distinct so the broadcast build side is bounded by the number of
+    // distinct in-window keys (≤ series length), not the data's row count.
+    val present = df.select(col(keyCol)).filter(inWindow).distinct()
     val missing = typedSeries.join(broadcast(present), Seq(keyCol), "left_anti")
     val unioned = df.unionByName(missing, allowMissingColumns = true)
     fillDefaults.foldLeft(unioned) { case (d, (name, default)) =>

@@ -1394,8 +1394,9 @@ object EventQueries {
              abs(z) > 1.9599639845400545 AS significant,
              round(diff - 1.9599639845400545*se, 6) AS ci_low,
              round(diff + 1.9599639845400545*se, 6) AS ci_high,
-             round(ceil(pow(1.9599639845400545 + 0.8416212335729143, 2)
-                        * (0.25*0.75 + 0.22*0.78) / (0.03*0.03)), 0) AS min_n,
+             round(pow(1.9599639845400545*sqrt(2*0.265*0.735)
+                       + 0.8416212335729143*sqrt(0.25*0.75 + 0.28*0.72), 2)
+                   / (0.03*0.03), 0) AS min_n,
              round(0.25 - 0.03, 4) AS p_low,
              round(0.25 + 0.03, 4) AS p_high
       FROM z""",
