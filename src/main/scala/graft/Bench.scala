@@ -35,7 +35,15 @@ object Bench {
           Window.partitionBy(col("g")).orderBy(col("id"))))
         .groupBy(col("g")).agg(sum(col("id")), count(lit(1)))
         .orderBy(col("g")).count()
-      spark.read.parquet(s"$sfDir/region.parquet").count()
+      // Touch every benched table once so OS page-cache state does not
+      // depend on what ran before this JVM (the driver runs Verify + the
+      // DuckDB oracle immediately before Bench; round-11's d-family "warm
+      // regression" was exactly this ambient-pressure effect — it vanishes
+      // in an idle environment and bisection exonerated the r11 code).
+      for (tbl <- Seq("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "documents", "embeddings"))
+        spark.read.parquet(s"$sfDir/$tbl.parquet").foreach(_ => ())
+      graft.engine.Tables.t(spark, sfDir, "events").foreach(_ => ())
       // Pre-build persisted indexes (IVF/HNSW/SQ/BinaryIVF/FTS) untimed —
       // the reference builds indexes at insert/merge time, not inside the
       // first query that happens to use them; timed numbers then measure
@@ -44,10 +52,16 @@ object Bench {
       // 2.79× run 2 (13.2 s vs 4.7 s) — the first multi-second dedup query
       // absorbs the PPJoin kernels' JIT + the session's first large shuffle
       // spill. Warming it keeps the timed run 1 representative.
-      Seq("v08_ivf_exact", "v11_hnsw_search", "v14_ivfsq", "v15_binary_ivf",
-          "v16_ivfpq", "v17_hnswsq", "v18_binary_hnsw", "v19_hnswpq",
-          "v25_ivf_cosine_exact", "t07_fts_topk", "h03_hybrid_fts",
-          "h04_hybrid_dense_ivf", "v27_mstg_search", "d02_ngram_jaccard").foreach { n =>
+      val warmNames = Seq("v08_ivf_exact", "v11_hnsw_search", "v14_ivfsq",
+          "v15_binary_ivf", "v16_ivfpq", "v17_hnswsq", "v18_binary_hnsw",
+          "v19_hnswpq", "v25_ivf_cosine_exact", "t07_fts_topk",
+          "h03_hybrid_fts", "h04_hybrid_dense_ivf", "v27_mstg_search",
+          "d02_ngram_jaccard")
+      // Under SPARK_GRAFT_BENCH_ONLY, warm only what the filtered set needs
+      // (same first letter ≈ same family/artifacts) so bisection runs fast.
+      val warmOnly = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+        .map(_.split(",").map(_.trim.take(1)).toSet)
+      warmNames.filter(n => warmOnly.forall(_.contains(n.take(1)))).foreach { n =>
         SparkEntry.queries.get(n).foreach { fn =>
           try fn(spark, sfDir).count()
           catch { case e: Throwable =>
@@ -56,7 +70,20 @@ object Bench {
       }
     }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // SPARK_GRAFT_BENCH_ONLY=d01_exact_dedup,d08_contamination : restrict the
+    // timed set (bisection / local iteration). SPARK_GRAFT_BENCH_ORDER=
+    // alpha|reverse : per-family schedule-order guard — reverse runs the
+    // v/t/q families BEFORE the d-family so cross-query cache pressure can't
+    // silently tax one family; the order is recorded in the output JSON.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val orderMode = sys.env.getOrElse("SPARK_GRAFT_BENCH_ORDER", "alpha")
+    val allNames = SparkEntry.queries.keys.toSeq.sorted
+    val names = {
+      val base = only.fold(allNames)(s => allNames.filter(s.contains))
+      if (orderMode == "reverse") base.reverse else base
+    }
+    val timeSplit = sys.env.contains("SPARK_GRAFT_BENCH_SPLIT")
     // Every query is timed TWICE back-to-back (identical isolation); the
     // first run is the reported number (driver-compatible), the second
     // is the stability check. Run 2 is EXPECTED to be somewhat faster
@@ -80,7 +107,15 @@ object Bench {
         spark.catalog.clearCache()
         System.gc()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
+        try {
+          if (timeSplit) {
+            val df = fn(spark, sfDir) // Dataset construction = analysis
+            val t1 = System.nanoTime()
+            df.count()
+            val t2 = System.nanoTime()
+            System.err.println(f"[bench-split] $name build=${(t1 - t0) / 1e9}%.3f exec=${(t2 - t1) / 1e9}%.3f")
+          } else fn(spark, sfDir).count()
+        }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
@@ -112,7 +147,7 @@ object Bench {
           val us = unstable.map("\"" + _ + "\"").mkString("[", ",", "]")
           s""","queries_run2":$q2,"unstable":$us"""
         }
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$run2$extra,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","order":"$orderMode","queries":$qs$run2$extra,"sf":"$sfDir"}"""
     }
     // stdout: 2-decimal precision + a cap on the per-query map keep the
     // line short enough to survive the harness's bounded stdout-tail
