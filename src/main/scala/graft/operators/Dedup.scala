@@ -336,6 +336,33 @@ object Dedup {
         coalesce(sig, lit(0L)).as("sig"))
   }
 
+  /** SimHash signatures whose per-token bits come from md5 HEX DIGITS
+    * instead of xxh64: bit j of a token is bit `3 - j%4` of hex digit
+    * `j/4 + 1` of `md5(token)`. md5 returns the identical lowercase hex
+    * string in every engine and the rest is integer arithmetic — no
+    * engine-private hash, so an external SQL oracle can replay the
+    * signature (and therefore the whole near-dup pipeline) exactly.
+    * Same multiset ±1 bit-sum semantics as [[simhashSignatures]];
+    * token-less docs keep signature 0.
+    */
+  def simhashMd5Signatures(df: DataFrame, textCol: Column, idCol: Column): DataFrame = {
+    val toks = df
+      .select(idCol.as("id"), explode(text.tokenize(textCol)).as("__t"))
+      .select(col("id"), md5(col("__t")).as("__h"))
+    val bitSums = (0 until 64).map { j =>
+      val digit = conv(substring(col("__h"), j / 4 + 1, 1), 16, 10).cast("int")
+      val bit = call_function("shiftright", digit, lit(3 - j % 4)).bitwiseAND(lit(1))
+      sum(when(bit === 1, 1).otherwise(-1)).as(s"__b$j")
+    }
+    val agged = toks.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { j =>
+      when(col(s"__b$j") > 0, call_function("shiftleft", lit(1L), lit(j)))
+        .otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    df.select(idCol.as("id")).join(agged, Seq("id"), "left")
+      .select(col("id"), coalesce(sig, lit(0L)).as("sig"))
+  }
+
   /** SimHash near-dup candidate pairs: block on bit-chunk COMBINATIONS,
     * verify with `bit_count(xor)` — the permuted-table scheme of Manku et
     * al., WWW'07 (public literature).
@@ -363,12 +390,33 @@ object Dedup {
       df: DataFrame,
       textCol: Column,
       idCol: Column,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3): DataFrame =
+    blockedHammingPairs(simhashSignatures(df, textCol, idCol), maxHamming)
+
+  /** [[simhashPairs]] over the md5-digit signatures — every stage (token
+    * md5, bit extraction, ±1 bit sums, blocking-complete candidate
+    * generation, Hamming verify) is deterministic integer/string
+    * arithmetic available verbatim in other SQL engines, so the full
+    * near-dup pair set has an exact external oracle (see d04's DuckDB
+    * replay in DedupQueries).
+    */
+  def simhashMd5Pairs(
+      df: DataFrame,
+      textCol: Column,
+      idCol: Column,
+      maxHamming: Int = 3): DataFrame =
+    blockedHammingPairs(simhashMd5Signatures(df, textCol, idCol), maxHamming)
+
+  /** Shared candidate generation + verify over any (id, sig) 64-bit
+    * signature frame (Manku chunk-combination blocking; complete at the
+    * declared radius — see [[simhashPairs]] scaladoc).
+    */
+  private def blockedHammingPairs(rawSigs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must be in [0, 63], got $maxHamming")
     def choose(n: Int, k: Int): Long =
       (1 to k).foldLeft(1L)((acc, i) => acc * (n - i + 1) / i)
-    val sigs = simhashSignatures(df, textCol, idCol).persist()
+    val sigs = rawSigs.persist()
     try {
       // materialization barrier (both join sides read the cache) that
       // doubles as the corpus size for adaptive key-width selection
@@ -684,6 +732,56 @@ object Dedup {
       // collides in several tables re-computes its cosine that many
       // times; flops are far cheaper than shuffling vectors per
       // candidate pair.
+      .withColumn("cos_sim",
+        lit(1.0f) - graft.functions.distances.cosineDistance(col("a.__v"), col("b.__v")))
+      .filter(col("cos_sim") >= minCosSim)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos_sim"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Deterministic coordinate choices for [[lshCosineCoordPairs]]: per
+    * table, `nPlanes` distinct coordinates sampled by `Random(seed)`.
+    * Exposed so an external oracle can replay the identical bucketing.
+    */
+  def lshCoordPlanes(dim: Int, nPlanes: Int, nTables: Int,
+      seed: Long): Seq[Seq[Int]] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until nTables).map(_ => rnd.shuffle((0 until dim).toList).take(nPlanes))
+  }
+
+  /** Random-hyperplane LSH blocking with AXIS-ALIGNED planes (the
+    * coordinate-sampling member of the sign-random-projection family):
+    * bucket bit i of table t is `sign(v[k_{t,i}])` for a seeded choice of
+    * coordinates. Sign-of-a-stored-float is engine-independent — no
+    * floating-point accumulation decides a bucket — so the whole pipeline
+    * (bucketing → bucket join → exact cosine verify) is replayable
+    * bit-for-bit by an independent SQL engine, turning this approximate
+    * operator into an exact-oracle one. Same join/verify discipline as
+    * [[lshCosinePairs]]: candidates meet only inside (table, bucket)
+    * groups; cosine is verified map-side before any pair row shuffles.
+    */
+  def lshCosineCoordPairs(
+      df: DataFrame,
+      vecCol: Column,
+      idCol: Column,
+      minCosSim: Double,
+      dim: Int,
+      nPlanes: Int = 4,
+      nTables: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    val planes = lshCoordPlanes(dim, nPlanes, nTables, seed)
+    val tables = planes.zipWithIndex.map { case (coords, t) =>
+      val bucketBits = coords.zipWithIndex.map { case (k, i) =>
+        when(element_at(vecCol, k + 1) > lit(0f), lit(1L << i)).otherwise(lit(0L))
+      }.reduce[Column]((x, y) => x.bitwiseOR(y))
+      df.select(idCol.as("id"), vecCol.as("__v"),
+        bucketBits.as("bucket"), lit(t).as("table_id"))
+    }
+    val buckets = tables.reduce(_ unionAll _)
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.table_id") === col("b.table_id") &&
+          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .withColumn("cos_sim",
         lit(1.0f) - graft.functions.distances.cosineDistance(col("a.__v"), col("b.__v")))
       .filter(col("cos_sim") >= minCosSim)

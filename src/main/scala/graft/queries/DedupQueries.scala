@@ -52,9 +52,15 @@ object DedupQueries {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),
-    // SimHash near-dup candidates (approximate — rows-only check).
+    // SimHash near-dup pairs. EXACT ORACLE since round 12: the blocking is
+    // complete at the declared radius (pigeonhole over chunk combinations),
+    // so the output is a deterministic function of the corpus — all pairs
+    // within Hamming 8 of the md5-digit simhash — and the DuckDB oracle
+    // recomputes the identical signatures (md5 hex digits + integer bit
+    // sums) and the all-pairs Hamming filter. The xxh64-bit variant stays
+    // available as Dedup.simhashPairs.
     "d04_simhash" -> ((s, dir) => {
-      Dedup.simhashPairs(t(s, dir, "documents"), col("text"), col("doc_id"),
+      Dedup.simhashMd5Pairs(t(s, dir, "documents"), col("text"), col("doc_id"),
           maxHamming = 8)
         .select(col("id_a"), col("id_b"), col("hamming"))
         .orderBy(col("id_a"), col("id_b"))
@@ -83,13 +89,17 @@ object DedupQueries {
           coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
         .orderBy(col("vec_id"))
     }),
-    // Embedding near-dup pairs via random-hyperplane LSH blocking — the
+    // Embedding near-dup pairs via sign-of-coordinate LSH blocking — the
     // 100 TB path (pairs meet only inside bucket joins, never all-pairs).
-    // Approximate: rows-only driver check; recall vs the exact d05 pair
-    // set is asserted >= 0.9 in OperatorsSpec at this exact config.
+    // EXACT ORACLE since round 12: the planes are axis-aligned (bucket
+    // bits are signs of seeded coordinate choices, engine-independent —
+    // no float accumulation decides a bucket), so the DuckDB oracle
+    // replays the identical bucketing + exact-cosine verify. The
+    // gaussian-plane variant stays available as Dedup.lshCosinePairs
+    // (recall asserted vs the exact d05 pair set in OperatorsSpec).
     "d09_lsh_cosine" -> ((s, dir) => {
-      Dedup.lshCosinePairs(t(s, dir, "embeddings"), col("embedding"),
-          col("vec_id"), minCosSim = 0.35, nPlanes = 4, nTables = 16)
+      Dedup.lshCosineCoordPairs(t(s, dir, "embeddings"), col("embedding"),
+          col("vec_id"), minCosSim = 0.35, dim = 64, nPlanes = 4, nTables = 16)
         .select(col("id_a"), col("id_b"),
           round(col("cos_sim").cast("double"), 3).as("cos_sim"))
         .orderBy(col("id_a"), col("id_b"))
@@ -97,12 +107,12 @@ object DedupQueries {
     // End-to-end scale path for embedding dedup: LSH-blocked candidate
     // pairs → large-star/small-star connected components. This is what
     // d07 becomes at 100 TB (candidate generation swaps from the exact
-    // all-pairs join to bucketed LSH); rows-only driver check because the
-    // LSH candidate set is approximate.
+    // all-pairs join to bucketed LSH); exact oracle since round 12 — the
+    // recursive-CTE min-label closure runs over the REPLAYED LSH pair set.
     "d10_lsh_clusters" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val pairs = Dedup.lshCosinePairs(emb, col("embedding"), col("vec_id"),
-          minCosSim = 0.35, nPlanes = 4, nTables = 16)
+      val pairs = Dedup.lshCosineCoordPairs(emb, col("embedding"), col("vec_id"),
+          minCosSim = 0.35, dim = 64, nPlanes = 4, nTables = 16)
         .select(col("id_a"), col("id_b"))
       val labels = Dedup.connectedComponents(pairs)
       emb.select(col("vec_id"))
@@ -150,7 +160,80 @@ object DedupQueries {
   private val toksSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
 
+  /** The d09/d10 oracle replays the IDENTICAL seeded coordinate-sign LSH
+    * bucketing the Spark operator runs (same Random(42) coordinate draw,
+    * inlined as literals), then verifies candidates with DuckDB's own
+    * exact cosine — bucket bits are signs of stored floats, so the two
+    * engines can never disagree on a bucket.
+    */
+  private val lshCoordCtes: String = {
+    val planes = graft.operators.Dedup.lshCoordPlanes(
+      dim = 64, nPlanes = 4, nTables = 16, seed = 42L)
+    val branches = planes.zipWithIndex.map { case (coords, t) =>
+      val bits = coords.zipWithIndex.map { case (k, i) =>
+        s"(CASE WHEN embedding[${k + 1}] > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS tbl, $bits AS bucket FROM embeddings"
+    }.mkString("\n        UNION ALL\n        ")
+    s"""buckets AS (
+        $branches),
+      cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+               FROM buckets a JOIN buckets b
+                 ON a.tbl = b.tbl AND a.bucket = b.bucket
+                AND a.vec_id < b.vec_id),
+      lshpairs AS (
+        SELECT id_a, id_b,
+               round(CAST(list_cosine_similarity(x.embedding, y.embedding)
+                     AS DOUBLE), 3) AS cos_sim
+        FROM cand JOIN embeddings x ON x.vec_id = id_a
+                  JOIN embeddings y ON y.vec_id = id_b
+        WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.35)"""
+  }
+
+  /** d04 oracle: recompute the md5-digit simhash signatures (same token
+    * set, same hex-digit bit extraction, ±1 multiset bit sums) as two
+    * 32-bit halves — BIGINT-safe in every engine — then the all-pairs
+    * Hamming-radius filter. Blocking completeness makes the Spark side's
+    * blocked pipeline equal this unblocked definition.
+    */
+  private val simhashMd5Sql: String = {
+    val sums = (0 until 64).map { j =>
+      s"CAST(sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, ${j / 4 + 1}, 1)) - 1) " +
+        s">> ${3 - j % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS b$j"
+    }.mkString(", ")
+    val hi = (32 until 64).map(j =>
+      s"(CASE WHEN b$j > 0 THEN ${1L << (j - 32)} ELSE 0 END)").mkString(" + ")
+    val lo = (0 until 32).map(j =>
+      s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""
+      WITH toks AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+      th AS (SELECT doc_id, md5(t) AS h FROM toks),
+      bs AS (SELECT doc_id, $sums FROM th GROUP BY doc_id),
+      sig AS (SELECT d.doc_id, $hi AS hi, $lo AS lo
+              FROM documents d LEFT JOIN bs ON bs.doc_id = d.doc_id)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 8
+      ORDER BY id_a, id_b"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "d04_simhash" -> simhashMd5Sql,
+    "d09_lsh_cosine" -> s"""
+      WITH $lshCoordCtes
+      SELECT id_a, id_b, cos_sim FROM lshpairs ORDER BY id_a, id_b""",
+    "d10_lsh_clusters" -> s"""
+      WITH RECURSIVE $lshCoordCtes,
+      edges AS (SELECT id_a AS u, id_b AS v FROM lshpairs
+                UNION SELECT id_b, id_a FROM lshpairs),
+      walk(node, comp) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.node
+        WHERE w.comp < e.v)
+      SELECT node AS vec_id, min(comp) AS cluster_id
+      FROM walk GROUP BY node ORDER BY vec_id""",
     "d01_exact_dedup" -> """
       SELECT doc_id FROM (
         SELECT doc_id, row_number() OVER (

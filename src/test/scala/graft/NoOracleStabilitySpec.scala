@@ -25,15 +25,10 @@ class NoOracleStabilitySpec extends SparkSpec {
     assert(agg.getAs[Long](1) == expSum, s"$name id checksum drifted")
   }
 
-  test("d04 simhash pair set is pinned") {
-    pin("d04_simhash", "id_a", Some("id_b"), 990L, 155983492L)
-  }
-  test("d09 LSH cosine pair set is pinned") {
-    pin("d09_lsh_cosine", "id_a", Some("id_b"), 234L, 37641386L)
-  }
-  test("d10 LSH cluster assignment is pinned") {
-    pin("d10_lsh_clusters", "vec_id", Some("cluster_id"), 500L, 124826433L)
-  }
+  // d04/d09/d10 left this suite in round 12: their pipelines became
+  // exact-oracle (md5-digit simhash replay; coordinate-sign LSH replay),
+  // so the driver's DuckDB compare now pins them far harder than a
+  // checksum could.
   test("approximate index search results are pinned") {
     val pins = Seq(
       ("v09_ivf_nprobe", "vec_id", 10L, 1894L),

@@ -114,6 +114,41 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("simhashMd5Pairs is COMPLETE at the declared radius (brute-force cross-check)") {
+    // same contract as simhashPairs, over the oracle-replayable md5-digit
+    // signatures the d04 driver query uses
+    val docs = graft.engine.Tables.t(spark, sfDir, "documents")
+    val sigs = Dedup.simhashMd5Signatures(docs, col("text"), col("doc_id"))
+    val brute = sigs.as("a").join(sigs.as("b"), col("a.id") < col("b.id"))
+      .withColumn("h", bit_count(col("a.sig").bitwiseXOR(col("b.sig"))))
+      .filter(col("h") <= 8)
+      .select(col("a.id"), col("b.id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Dedup.simhashMd5Pairs(docs, col("text"), col("doc_id"), 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    assert(blocked === brute,
+      s"blocking missed ${(brute -- blocked).size} of ${brute.size} pairs " +
+        s"/ produced ${(blocked -- brute).size} extras")
+  }
+
+  test("lshCosineCoordPairs at the d09 driver config: subset + useful recall") {
+    // the coordinate-sign variant d09 ships: precision 1.0 by verification;
+    // recall is whatever the axis-aligned family gives at this config —
+    // asserted above a floor so bucketing degradation (e.g. a biased
+    // coordinate making buckets collapse) fails the build
+    val emb = graft.engine.Tables.t(spark, sfDir, "embeddings")
+    val exact = Dedup.embeddingDupPairs(emb, col("embedding"), col("vec_id"), 0.35)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.lshCosineCoordPairs(emb, col("embedding"), col("vec_id"),
+        0.35, dim = 64, nPlanes = 4, nTables = 16)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh.subsetOf(exact))
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.8, s"coord-LSH recall $recall over ${exact.size} exact pairs")
+  }
+
   test("embedding LSH cosine pairs ⊆ exact pairs, on sf0.001") {
     val emb = graft.engine.Tables.t(spark, sfDir, "embeddings")
     val exact = Dedup.embeddingDupPairs(emb, col("embedding"), col("vec_id"), 0.3)
