@@ -585,6 +585,33 @@ object GeoGrid {
     spark.udf.register("h3HexAreaM2", (r: Int) => H3.hexAreaM2Of(r))
     spark.udf.register("h3HexAreaKm2", (r: Int) => H3.hexAreaKm2Of(r))
     spark.udf.register("h3EdgeAngle", (r: Int) => H3.edgeAngle(r))
+    // H3 geometric core (H3Core: icosahedral projection + grid traversal;
+    // reference h3ToGeo.cpp / geoToH3.cpp / h3kRing.cpp / h3HexRing.cpp /
+    // h3Distance.cpp / h3Line.cpp / h3GetFaces.cpp / h3PointDist.cpp —
+    // note the reference's h3Distance returns gridPathCellsSize, i.e.
+    // grid distance + 1)
+    spark.udf.register("geoToH3",
+      (lon: Double, lat: Double, res: Int) => H3Core.geoToH3(lon, lat, res))
+    spark.udf.register("h3ToGeo", (h: Long) => H3Core.h3ToGeo(h))
+    spark.udf.register("h3kRing", (h: Long, k: Int) => H3Core.kRing(h, k).sorted)
+    spark.udf.register("h3HexRing", (h: Long, k: Int) => H3Core.hexRing(h, k).sorted)
+    spark.udf.register("h3Distance",
+      (a: Long, b: Long) => H3Core.gridDistance(a, b) + 1L)
+    spark.udf.register("h3Line", (a: Long, b: Long) => H3Core.h3Line(a, b))
+    spark.udf.register("h3GetFaces", (h: Long) => H3Core.getFaces(h))
+    spark.udf.register("h3IndexesAreNeighbors",
+      (a: Long, b: Long) => if (H3Core.areNeighbors(a, b)) 1 else 0)
+    val earthKm = 6371.007180918475
+    def haversineRads(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+      val (p1, p2) = (math.toRadians(lat1), math.toRadians(lat2))
+      val sl = math.sin((p2 - p1) / 2); val so = math.sin(math.toRadians(lon2 - lon1) / 2)
+      2 * math.asin(math.min(1.0, math.sqrt(sl * sl + math.cos(p1) * math.cos(p2) * so * so)))
+    }
+    spark.udf.register("h3PointDistRads", haversineRads _)
+    spark.udf.register("h3PointDistKm",
+      (a: Double, b: Double, c: Double, d: Double) => haversineRads(a, b, c, d) * earthKm)
+    spark.udf.register("h3PointDistM",
+      (a: Double, b: Double, c: Double, d: Double) => haversineRads(a, b, c, d) * earthKm * 1000.0)
     // S2
     spark.udf.register("geoToS2", (lon: Double, lat: Double) => S2.geoToS2(lon, lat))
     spark.udf.register("s2ToGeo", (id: Long) => S2.s2ToGeo(id))

@@ -702,6 +702,43 @@ object RelationalQueries {
     // (h3*.cpp) — the oracle recomputes the dates with DuckDB strftime
     // (same C %-grammar) and the H3 cells with plain bit arithmetic on
     // the published index layout.
+    // H3 geometric core end-to-end (geoToH3/h3ToGeo/h3kRing/h3HexRing,
+    // reference h3ToGeo.cpp + h3kRing.cpp): drive the 16 published golden
+    // coordinates (reference test 01906/01042/02293 fixtures, res 0-15)
+    // through the projection and ring traversal; the oracle holds the
+    // reference's own published outputs (indexes, 3-dp centers, ring
+    // sizes and element checksums of its golden arrays) as literals.
+    "q67_h3_geometry" -> ((s, dir) => {
+      val golden = Seq(
+        (1, -173.6412167681162, -14.130272474941535, 0),
+        (2, 59.48137613600854, 58.020407687755686, 1),
+        (3, 172.68095885060296, -83.6576608516349, 2),
+        (4, -94.46556851304558, -69.1999982492279, 3),
+        (5, -8.188263637093279, -55.856179102736284, 4),
+        (6, 77.25594891852249, 47.39278564360122, 5),
+        (7, 135.11348004704536, 36.60778126579667, 6),
+        (8, 39.28534828967223, 49.07710003066973, 7),
+        (9, 124.71163478198051, -27.481172161567258, 8),
+        (10, -147.4887686066785, 76.73237945824442, 9),
+        (11, 86.63291906118863, -25.52526285188784, 10),
+        (12, 23.27751790712118, 13.126101362212724, 11),
+        (13, -70.40163237204142, -63.12562536833242, 12),
+        (14, 15.642428355535966, 40.285813505163574, 13),
+        (15, -76.53411447979884, 54.5560449693637, 14),
+        (16, 8.19906334981474, 67.69370966550179, 15))
+      val s0 = s
+      import s0.implicits._
+      golden.toDF("id", "lon", "lat", "res")
+        .selectExpr("id", "geoToH3(lon, lat, res) AS h")
+        .selectExpr("id", "h",
+          "round(h3ToGeo(h)._1, 3) AS lon_c",
+          "round(h3ToGeo(h)._2, 3) AS lat_c",
+          "size(h3kRing(h, id)) AS kring_n",
+          "aggregate(h3kRing(h, id), 0L, (acc, x) -> (acc + pmod(x, 1000000007L)) % 1000000007L) AS kring_sum",
+          "IF(id = 1, NULL, size(h3HexRing(h, id))) AS hexring_n",
+          "IF(id = 1, NULL, aggregate(h3HexRing(h, id), 0L, (acc, x) -> (acc + pmod(x, 1000000007L)) % 1000000007L)) AS hexring_sum")
+        .orderBy(col("id"))
+    }),
     "q63_datetime_h3" -> ((s, dir) => {
       t(s, dir, "orders").filter(col("o_orderkey") <= 500)
         .withColumn("ts", col("o_orderdate").cast("timestamp"))
@@ -1060,6 +1097,31 @@ object RelationalQueries {
              CAST(42 AS INT) AS dflt
       FROM part WHERE p_partkey <= 400
       ORDER BY p_partkey""",
+    // q67 oracle: the reference's own published outputs for these inputs —
+    // golden indexes + 3-dp centers from 01906_h3_to_geo, ring sizes and
+    // element checksums (sum mod 1e9+7) of the golden ring arrays in
+    // 01042_h3_k_ring / 02293_h3_hex_ring (the res-0 index has no hexRing
+    // row in the reference fixture → NULLs).
+    "q67_h3_geometry" -> """
+      SELECT * FROM (VALUES
+        (1, 579205133326352383, -173.641, -14.13, 7, 69462309, CAST(NULL AS INT), CAST(NULL AS BIGINT)),
+        (2, 581263419093549055, 59.481, 58.02, 19, 643202062, 12, 729273611),
+        (3, 589753847883235327, 172.681, -83.658, 37, 129480388, 18, 677492126),
+        (4, 594082350283882495, -94.466, -69.2, 61, 462124737, 24, 800203817),
+        (5, 598372386957426687, -8.188, -55.856, 91, 634929245, 30, 138318640),
+        (6, 599542359671177215, 77.256, 47.393, 127, 993551371, 36, 906759170),
+        (7, 604296355086598143, 135.113, 36.608, 169, 485697270, 42, 264425979),
+        (8, 608785214872748031, 39.285, 49.077, 217, 216532937, 48, 367015236),
+        (9, 615732192485572607, 124.712, -27.481, 271, 73882111, 54, 9405590),
+        (10, 617056794467368959, -147.489, 76.732, 331, 83900459, 60, 958367127),
+        (11, 624586477873168383, 86.633, -25.525, 397, 647739649, 66, 97979590),
+        (12, 627882919484481535, 23.278, 13.126, 469, 858261364, 72, 298227352),
+        (13, 634600058503392255, -70.402, -63.126, 547, 725461505, 78, 914256874),
+        (14, 635544851677385791, 15.642, 40.286, 631, 177719818, 84, 185695923),
+        (15, 639763125756281263, -76.534, 54.556, 721, 408355152, 90, 17704209),
+        (16, 644178757620501158, 8.199, 67.694, 817, 891025928, 96, 680191964)
+      ) AS t(id, h, lon_c, lat_c, kring_n, kring_sum, hexring_n, hexring_sum)
+      ORDER BY id""",
     "q63_datetime_h3" -> """
       WITH o AS (
         SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS ts,

@@ -1,0 +1,214 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.H3Core
+
+/** Every expected value below is copied from the reference's OWN
+  * stateless-test outputs (tests/queries/0_stateless/00926_geo_to_h3,
+  * 01906_h3_to_geo, 01042_h3_k_ring, 02293_h3_hex_ring,
+  * 02293_h3_distance, 02293_h3_line, 02021_h3_get_faces,
+  * 01070_h3_indexes_are_neighbors) — the geometric H3 core is pinned
+  * against the reference's golden vectors, not our own output. Ring
+  * goldens over 7+ cells are pinned as (size, sum mod 1e9+7) of the
+  * published arrays.
+  */
+class H3CoreSpec extends AnyFunSuite {
+
+  test("geoToH3 matches 00926 goldens (Moscow points, res 14/15)") {
+    assert(H3Core.geoToH3(37.63098076, 55.77922738, 15) === 644325529094369568L)
+    assert(H3Core.geoToH3(37.66018300, 55.76324100, 15) === 644325528627451570L)
+    assert(H3Core.geoToH3(37.59813500, 55.72076200, 15) === 644325528491955313L)
+    assert(H3Core.geoToH3(37.59813500, 55.72076201, 15) === 644325528491955313L)
+    assert(H3Core.geoToH3(37.59813500, 55.72076200, 14) === 639821928864584823L)
+  }
+
+  private val golden1906: Seq[(Long, Double, Double, Int)] = Seq(
+    // (index, lon, lat, res) — the reference's h3ToGeo output at 3 dp,
+    // and the res used in its geoToH3 round-trip block
+    (579205133326352383L, -173.641, -14.130, 0),
+    (581263419093549055L, 59.481, 58.020, 1),
+    (589753847883235327L, 172.681, -83.658, 2),
+    (594082350283882495L, -94.466, -69.200, 3),
+    (598372386957426687L, -8.188, -55.856, 4),
+    (599542359671177215L, 77.256, 47.393, 5),
+    (604296355086598143L, 135.113, 36.608, 6),
+    (608785214872748031L, 39.285, 49.077, 7),
+    (615732192485572607L, 124.712, -27.481, 8),
+    (617056794467368959L, -147.489, 76.732, 9),
+    (624586477873168383L, 86.633, -25.525, 10),
+    (627882919484481535L, 23.278, 13.126, 11),
+    (634600058503392255L, -70.402, -63.126, 12),
+    (635544851677385791L, 15.642, 40.286, 13),
+    (639763125756281263L, -76.534, 54.556, 14),
+    (644178757620501158L, 8.199, 67.694, 15))
+
+  test("h3ToGeo matches 01906 goldens at 3 decimals") {
+    for ((h, lonExp, latExp, _) <- golden1906) {
+      val (lon, lat) = H3Core.h3ToGeo(h)
+      assert(math.abs(lon - lonExp) < 0.0005, s"lon of $h")
+      assert(math.abs(lat - latExp) < 0.0005, s"lat of $h")
+    }
+  }
+
+  test("geoToH3(h3ToGeo(h), res) round-trips to the exact golden index") {
+    for ((h, _, _, res) <- golden1906) {
+      val (lon, lat) = H3Core.h3ToGeo(h)
+      assert(H3Core.geoToH3(lon, lat, res) === h, s"round-trip of $h")
+    }
+  }
+
+  private val kRingGolden: Seq[(Long, Int, Int, Long)] = Seq(
+    // (index, k, size, sum mod 1e9+7) of the 01042 reference arrays
+    (579205133326352383L, 1, 7, 69462309L),
+    (581263419093549055L, 2, 19, 643202062L),
+    (589753847883235327L, 3, 37, 129480388L),
+    (594082350283882495L, 4, 61, 462124737L),
+    (598372386957426687L, 5, 91, 634929245L),
+    (599542359671177215L, 6, 127, 993551371L),
+    (604296355086598143L, 7, 169, 485697270L),
+    (608785214872748031L, 8, 217, 216532937L),
+    (615732192485572607L, 9, 271, 73882111L),
+    (617056794467368959L, 10, 331, 83900459L),
+    (624586477873168383L, 11, 397, 647739649L),
+    (627882919484481535L, 12, 469, 858261364L),
+    (634600058503392255L, 13, 547, 725461505L),
+    (635544851677385791L, 14, 631, 177719818L),
+    (639763125756281263L, 15, 721, 408355152L),
+    (644178757620501158L, 16, 817, 891025928L))
+
+  test("h3kRing matches 01042 golden sets (size + element checksum)") {
+    // plus the two literal selects in the test file
+    val r1 = H3Core.kRing(581276613233082367L, 1).sorted
+    assert(r1.toSeq === Seq(581250224954015743L, 581259021047037951L,
+      581267817140060159L, 581276613233082367L, 581500913605148671L,
+      581518505791193087L, 581764796395814911L))
+    assert(H3Core.kRing(581276613233082367L, 0).toSeq === Seq(581276613233082367L))
+    for ((h, k, n, sum) <- kRingGolden) {
+      val ring = H3Core.kRing(h, k)
+      assert(ring.length === n, s"kRing($h, $k) size")
+      val s = ring.foldLeft(0L)((acc, c) => (acc + c % 1000000007L) % 1000000007L)
+      assert(s === sum, s"kRing($h, $k) checksum")
+    }
+  }
+
+  private val hexRingGolden: Seq[(Long, Int, Int, Long)] = Seq(
+    (581276613233082367L, 1, 6, 513341744L),
+    (581263419093549055L, 2, 12, 729273611L),
+    (589753847883235327L, 3, 18, 677492126L),
+    (594082350283882495L, 4, 24, 800203817L),
+    (598372386957426687L, 5, 30, 138318640L),
+    (599542359671177215L, 6, 36, 906759170L),
+    (604296355086598143L, 7, 42, 264425979L),
+    (608785214872748031L, 8, 48, 367015236L),
+    (615732192485572607L, 9, 54, 9405590L),
+    (617056794467368959L, 10, 60, 958367127L),
+    (624586477873168383L, 11, 66, 97979590L),
+    (627882919484481535L, 12, 72, 298227352L),
+    (634600058503392255L, 13, 78, 914256874L),
+    (635544851677385791L, 14, 84, 185695923L),
+    (639763125756281263L, 15, 90, 17704209L),
+    (644178757620501158L, 16, 96, 680191964L))
+
+  test("h3HexRing matches 02293 golden sets (size + element checksum)") {
+    assert(H3Core.hexRing(581276613233082367L, 0).toSeq === Seq(581276613233082367L))
+    for ((h, k, n, sum) <- hexRingGolden) {
+      val ring = H3Core.hexRing(h, k)
+      assert(ring.length === n, s"hexRing($h, $k) size")
+      val s = ring.foldLeft(0L)((acc, c) => (acc + c % 1000000007L) % 1000000007L)
+      assert(s === sum, s"hexRing($h, $k) checksum")
+    }
+  }
+
+  private val distGolden: Seq[(String, String, Int)] = Seq(
+    // 02293_h3_distance: CH h3Distance = gridPathCellsSize = distance + 1
+    ("830631fffffffff", "830780fffffffff", 7),
+    ("830631fffffffff", "830783fffffffff", 7),
+    ("830631fffffffff", "83079dfffffffff", 7),
+    ("830631fffffffff", "830799fffffffff", 7),
+    ("830631fffffffff", "8306f5fffffffff", 7),
+    ("830631fffffffff", "8306e6fffffffff", 7),
+    ("830631fffffffff", "8306e4fffffffff", 7),
+    ("830631fffffffff", "830701fffffffff", 7),
+    ("830631fffffffff", "830700fffffffff", 7),
+    ("830631fffffffff", "830706fffffffff", 7),
+    ("830631fffffffff", "830733fffffffff", 8),
+    ("8301a6fffffffff", "830014fffffffff", 9),
+    ("8301a6fffffffff", "830033fffffffff", 9),
+    ("8301a6fffffffff", "830031fffffffff", 9),
+    ("8301a6fffffffff", "830022fffffffff", 9),
+    ("8301a6fffffffff", "830020fffffffff", 9),
+    ("8301a6fffffffff", "830024fffffffff", 9),
+    ("8301a6fffffffff", "830120fffffffff", 9),
+    ("8301a6fffffffff", "830124fffffffff", 9),
+    ("8301a6fffffffff", "8308cdfffffffff", 9),
+    ("8301a5fffffffff", "831059fffffffff", 13),
+    ("8301a5fffffffff", "830b2dfffffffff", 13),
+    ("8301a5fffffffff", "830b29fffffffff", 13),
+    ("8301a5fffffffff", "830b76fffffffff", 13),
+    ("8301a5fffffffff", "830b43fffffffff", 13),
+    ("8301a5fffffffff", "830b4efffffffff", 13),
+    ("8301a5fffffffff", "830b48fffffffff", 13),
+    ("8301a5fffffffff", "830b49fffffffff", 13))
+
+  test("h3Distance (= gridPathCellsSize) matches 02293 goldens") {
+    for ((a, b, exp) <- distGolden) {
+      val ha = java.lang.Long.parseUnsignedLong(a, 16)
+      val hb = java.lang.Long.parseUnsignedLong(b, 16)
+      assert(H3Core.gridDistance(ha, hb) + 1 === exp, s"distance $a -> $b")
+    }
+  }
+
+  test("h3Line length = h3Distance and steps are neighbors (02293 contract)") {
+    for ((a, b, exp) <- distGolden.take(12)) {
+      val ha = java.lang.Long.parseUnsignedLong(a, 16)
+      val hb = java.lang.Long.parseUnsignedLong(b, 16)
+      val line = H3Core.h3Line(ha, hb)
+      assert(line.length === exp, s"line length $a -> $b")
+      assert(line.head === ha && line.last === hb)
+      for (i <- 1 until line.length)
+        assert(H3Core.areNeighbors(line(i - 1), line(i)), s"step $i of $a -> $b")
+    }
+  }
+
+  test("h3GetFaces matches 02021 goldens") {
+    def faces(hex: String): Seq[Int] =
+      H3Core.getFaces(java.lang.Long.parseUnsignedLong(hex, 16)).toSeq
+    assert(faces("804dfffffffffff") === Seq(2, 3, 7, 8, 12))
+    assert(faces("8167bffffffffff") === Seq(7, 12))
+    assert(faces("85283473fffffff") === Seq(7))
+  }
+
+  test("h3IndexesAreNeighbors matches 01070 goldens") {
+    assert(!H3Core.areNeighbors(617420388352917503L, 617420388352655359L))
+    assert(H3Core.areNeighbors(617420388351344639L, 617420388352655359L))
+    assert(!H3Core.areNeighbors(617420388351344639L, 617420388351344639L))
+  }
+
+  test("base-cell derivation is self-consistent") {
+    // every res-0 cell center maps back to itself
+    for (bc <- 0 until 122) {
+      val h = H3Core.makeIndex(0, bc)
+      val (lon, lat) = H3Core.h3ToGeo(h)
+      assert(H3Core.geoToH3(lon, lat, 0) === h, s"res-0 round-trip of bc $bc")
+    }
+    // neighbor symmetry
+    for (bc <- 0 until 122; d <- 1 to 6) {
+      val nb = H3Core.baseCellNeighborTable(bc)(d)
+      if (nb != 127 && nb != bc)
+        assert(H3Core.baseCellNeighborTable(nb).contains(bc),
+          s"asymmetric neighbor $bc -> $nb")
+    }
+  }
+
+  test("kRing ring sizes follow hexagon/pentagon structure") {
+    // non-pentagon res-2 cell: ring k has 6k cells
+    val h = H3Core.geoToH3(8.0, 48.0, 2)
+    val dists = H3Core.kRingDistances(h, 3)
+    for (k <- 1 to 3)
+      assert(dists.count(_._2 == k) === 6 * k, s"ring $k size")
+    // pentagon: 5 first-ring neighbors
+    val pent = H3Core.makeIndex(0, 4)
+    assert(H3Core.kRing(pent, 1).length === 6) // pentagon + 5 neighbors
+  }
+}
