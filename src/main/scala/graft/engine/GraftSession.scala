@@ -39,6 +39,7 @@ object GraftSession {
     graft.functions.GraftFunctions.registerAll(spark)
     graft.functions.ClickHouseCompat.install(spark)
     graft.multimodal.Connections.installNative(spark) // SQL getObject()
+    graft.operators.Dictionaries.install(spark) // dictGet<T> name surface
     QueryLog.install(spark) // system.query_log analog
     spark
   }

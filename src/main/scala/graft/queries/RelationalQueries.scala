@@ -702,6 +702,38 @@ object RelationalQueries {
     // (h3*.cpp) — the oracle recomputes the dates with DuckDB strftime
     // (same C %-grammar) and the H3 cells with plain bit arithmetic on
     // the published index layout.
+    // Named-dictionary catalog end-to-end (FunctionsExternalDictionaries
+    // .cpp + src/Dictionaries/): CREATE-DICTIONARY-shaped registration of
+    // nation (flat layout) and a nations→regions hierarchy, then the
+    // typed SQL getters + OrDefault + OrNull + dictHas + the hierarchy
+    // family resolved BY NAME over customer rows. Oracle: plain joins.
+    "q68_dictionary" -> ((s, dir) => {
+      import graft.operators.Dictionaries
+      val nation = t(s, dir, "nation")
+      val region = t(s, dir, "region")
+      Dictionaries.create("nat", nation, "n_nationkey",
+        Map("n_name" -> "String", "n_regionkey" -> "UInt64"))
+      val hier = nation
+        .selectExpr("CAST(n_nationkey + 1 AS BIGINT) AS id",
+          "CAST(n_regionkey + 101 AS BIGINT) AS parent")
+        .unionByName(region.selectExpr(
+          "CAST(r_regionkey + 101 AS BIGINT) AS id", "CAST(0 AS BIGINT) AS parent"))
+      Dictionaries.create("geo", hier, "id",
+        Map("parent" -> "UInt64"), hierarchical = Some("parent"))
+      t(s, dir, "customer").filter(col("c_custkey") <= 200)
+        .selectExpr("c_custkey",
+          "dictGetString('nat', 'n_name', CAST(c_nationkey AS BIGINT)) AS nat_name",
+          "dictGetUInt64('nat', 'n_regionkey', CAST(c_nationkey AS BIGINT)) AS region_key",
+          "dictGetStringOrDefault('nat', 'n_name', CAST(c_custkey * 1000 + 500 AS BIGINT), 'none') AS missing_name",
+          "dictGetUInt64OrDefault('nat', 'n_regionkey', CAST(c_custkey * 1000 + 500 AS BIGINT), 99L) AS missing_region",
+          "dictGetOrNull('nat', 'n_name', CAST(c_nationkey AS BIGINT)) AS name_or_null",
+          "CAST(dictHas('nat', CAST(c_nationkey AS BIGINT)) AS INT) AS has_key",
+          "size(dictGetHierarchy('geo', CAST(c_nationkey + 1 AS BIGINT))) AS hier_len",
+          "CAST(dictIsIn('geo', CAST(c_nationkey + 1 AS BIGINT), CAST(c_custkey % 5 + 101 AS BIGINT)) AS INT) AS in_region",
+          "size(dictGetChildren('geo', CAST(c_custkey % 5 + 101 AS BIGINT))) AS region_nations",
+          "size(dictGetDescendants('geo', CAST(c_custkey % 5 + 101 AS BIGINT), 0)) AS region_desc")
+        .orderBy(col("c_custkey"))
+    }),
     // H3 geometric core end-to-end (geoToH3/h3ToGeo/h3kRing/h3HexRing,
     // reference h3ToGeo.cpp + h3kRing.cpp): drive the 16 published golden
     // coordinates (reference test 01906/01042/02293 fixtures, res 0-15)
@@ -1097,6 +1129,28 @@ object RelationalQueries {
              CAST(42 AS INT) AS dflt
       FROM part WHERE p_partkey <= 400
       ORDER BY p_partkey""",
+    // q68 oracle: the dictionary semantics replayed with plain joins —
+    // typed getters are key→attribute lookups, OrDefault covers the
+    // guaranteed-missing custkey*1000 keys, the hierarchy chain is
+    // nation→region→root (length 2), and children/descendants of a
+    // region node count its nations.
+    "q68_dictionary" -> """
+      SELECT c.c_custkey,
+             n.n_name AS nat_name,
+             CAST(n.n_regionkey AS BIGINT) AS region_key,
+             'none' AS missing_name,
+             CAST(99 AS BIGINT) AS missing_region,
+             n.n_name AS name_or_null,
+             CAST(1 AS INT) AS has_key,
+             CAST(2 AS INT) AS hier_len,
+             CAST(CASE WHEN n.n_regionkey = c.c_custkey % 5 THEN 1 ELSE 0 END AS INT) AS in_region,
+             CAST((SELECT count(1) FROM nation n2
+                   WHERE n2.n_regionkey = c.c_custkey % 5) AS INT) AS region_nations,
+             CAST((SELECT count(1) FROM nation n2
+                   WHERE n2.n_regionkey = c.c_custkey % 5) AS INT) AS region_desc
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+      WHERE c.c_custkey <= 200
+      ORDER BY c.c_custkey""",
     // q67 oracle: the reference's own published outputs for these inputs —
     // golden indexes + 3-dp centers from 01906_h3_to_geo, ring sizes and
     // element checksums (sum mod 1e9+7) of the golden ring arrays in

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dictionaries
+
+/** Named-dictionary catalog + dictGet<T> SQL-name surface
+  * (FunctionsExternalDictionaries.cpp semantics: typed defaults on
+  * missing keys, per-row OrDefault, NULL for OrNull, hierarchy walk
+  * terminating at 0).
+  */
+class DictionariesSpec extends SparkSpec {
+
+  private def q1(exprStr: String): Any =
+    spark.sql(s"SELECT $exprStr").head().get(0)
+
+  test("typed getters, defaults and dictHas") {
+    val s0 = spark
+    import s0.implicits._
+    Dictionaries.create("dtest",
+      Seq((1L, "alpha", 10L, 1.5, java.sql.Date.valueOf("2024-03-01")),
+        (2L, "beta", 20L, 2.5, java.sql.Date.valueOf("2024-03-02")))
+        .toDF("id", "name", "num", "score", "day"),
+      "id",
+      Map("name" -> "String", "num" -> "UInt64", "score" -> "Float64",
+        "day" -> "Date"))
+    assert(q1("dictGetString('dtest', 'name', 1L)") === "alpha")
+    assert(q1("dictGetUInt64('dtest', 'num', 2L)") === 20L)
+    assert(q1("dictGetFloat64('dtest', 'score', 1L)") === 1.5)
+    assert(q1("CAST(dictGetDate('dtest', 'day', 2L) AS STRING)") === "2024-03-02")
+    // missing key → type default
+    assert(q1("dictGetString('dtest', 'name', 9L)") === "")
+    assert(q1("dictGetUInt64('dtest', 'num', 9L)") === 0L)
+    assert(q1("dictGetFloat64('dtest', 'score', 9L)") === 0.0)
+    // missing key → caller default
+    assert(q1("dictGetStringOrDefault('dtest', 'name', 9L, 'x')") === "x")
+    assert(q1("dictGetUInt64OrDefault('dtest', 'num', 9L, 7L)") === 7L)
+    assert(q1("dictGetOrNull('dtest', 'name', 9L)") === null)
+    assert(q1("dictHas('dtest', 1L)") === 1)
+    assert(q1("dictHas('dtest', 9L)") === 0)
+    Dictionaries.drop("dtest")
+  }
+
+  test("hierarchy walk, dictIsIn, children and descendants") {
+    val s0 = spark
+    import s0.implicits._
+    // 1..4 are leaves under 10/11; 10,11 under 100; 100 is the root
+    Dictionaries.create("htest",
+      Seq((1L, 10L), (2L, 10L), (3L, 11L), (4L, 11L), (10L, 100L),
+        (11L, 100L), (100L, 0L)).toDF("id", "parent"),
+      "id", Map("parent" -> "UInt64"), hierarchical = Some("parent"))
+    assert(q1("dictGetHierarchy('htest', 1L)") === Seq(1L, 10L, 100L))
+    assert(q1("dictGetHierarchy('htest', 100L)") === Seq(100L))
+    assert(q1("dictIsIn('htest', 1L, 100L)") === 1)
+    assert(q1("dictIsIn('htest', 1L, 11L)") === 0)
+    assert(q1("dictGetChildren('htest', 100L)") === Seq(10L, 11L))
+    assert(q1("dictGetDescendants('htest', 100L, 1)") === Seq(10L, 11L))
+    assert(q1("dictGetDescendants('htest', 100L, 0)") === Seq(1L, 2L, 3L, 4L, 10L, 11L))
+    assert(q1("dictGetDescendants('htest', 10L, 0)") === Seq(1L, 2L))
+    Dictionaries.drop("htest")
+  }
+
+  test("unknown dictionary and attribute raise") {
+    intercept[Exception] {
+      spark.sql("SELECT dictGetString('nope', 'a', 1L)").collect()
+    }
+  }
+}
