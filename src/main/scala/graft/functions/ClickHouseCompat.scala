@@ -59,29 +59,6 @@ object ClickHouseCompat {
     "toDateTime64OrZero(s STRING) RETURNS TIMESTAMP RETURN " +
       "coalesce(try_cast(s AS TIMESTAMP), timestamp_seconds(0))",
     "toDateTime32(s STRING) RETURNS TIMESTAMP RETURN CAST(s AS TIMESTAMP)",
-    "parseDateTimeBestEffortOrZero(s STRING) RETURNS TIMESTAMP RETURN " +
-      "coalesce(try_cast(s AS TIMESTAMP), timestamp_seconds(0))",
-    "parseDateTime32BestEffort(s STRING) RETURNS TIMESTAMP RETURN CAST(s AS TIMESTAMP)",
-    "parseDateTime32BestEffortOrNull(s STRING) RETURNS TIMESTAMP RETURN " +
-      "try_cast(s AS TIMESTAMP)",
-    "parseDateTime32BestEffortOrZero(s STRING) RETURNS TIMESTAMP RETURN " +
-      "coalesce(try_cast(s AS TIMESTAMP), timestamp_seconds(0))",
-    "parseDateTime64BestEffort(s STRING) RETURNS TIMESTAMP RETURN CAST(s AS TIMESTAMP)",
-    "parseDateTime64BestEffortOrNull(s STRING) RETURNS TIMESTAMP RETURN " +
-      "try_cast(s AS TIMESTAMP)",
-    "parseDateTime64BestEffortOrZero(s STRING) RETURNS TIMESTAMP RETURN " +
-      "coalesce(try_cast(s AS TIMESTAMP), timestamp_seconds(0))",
-    // US variants accept M/d/yyyy forms before the ISO fallback
-    "parseDateTimeBestEffortUS(s STRING) RETURNS TIMESTAMP RETURN " +
-      "coalesce(try_to_timestamp(s, 'M/d/yyyy H:m:s'), " +
-      "try_to_timestamp(s, 'M/d/yyyy'), try_cast(s AS TIMESTAMP))",
-    "parseDateTimeBestEffortUSOrNull(s STRING) RETURNS TIMESTAMP RETURN " +
-      "coalesce(try_to_timestamp(s, 'M/d/yyyy H:m:s'), " +
-      "try_to_timestamp(s, 'M/d/yyyy'), try_cast(s AS TIMESTAMP))",
-    "parseDateTimeBestEffortUSOrZero(s STRING) RETURNS TIMESTAMP RETURN " +
-      "coalesce(try_to_timestamp(s, 'M/d/yyyy H:m:s'), " +
-      "try_to_timestamp(s, 'M/d/yyyy'), try_cast(s AS TIMESTAMP), " +
-      "timestamp_seconds(0))",
     // Modified Julian Day: days since 1858-11-17
     "toModifiedJulianDay(s STRING) RETURNS INT RETURN " +
       "datediff(CAST(s AS DATE), DATE '1858-11-17')",
@@ -823,8 +800,6 @@ object ClickHouseCompat {
     "toDateTime(s STRING) RETURNS TIMESTAMP RETURN CAST(s AS TIMESTAMP)",
     "toDateTime64(s STRING) RETURNS TIMESTAMP RETURN CAST(s AS TIMESTAMP)",
     "toDate32(s STRING) RETURNS DATE RETURN CAST(s AS DATE)",
-    "parseDateTimeBestEffort(s STRING) RETURNS TIMESTAMP RETURN CAST(s AS TIMESTAMP)",
-    "parseDateTimeBestEffortOrNull(s STRING) RETURNS TIMESTAMP RETURN try_cast(s AS TIMESTAMP)",
     // Spark's pattern language IS the Joda-style one, so the
     // InJodaSyntax pair maps directly (the MySQL-%-style formatDateTime
     // already exists with its documented pattern deviation)
@@ -1290,12 +1265,6 @@ object ClickHouseCompat {
         "try_to_timestamp(s, f)",
       "parseDateTimeInJodaSyntaxOrZero(s STRING, f STRING) RETURNS TIMESTAMP RETURN " +
         "coalesce(try_to_timestamp(s, f), timestamp_seconds(0))",
-      "parseDateTime64BestEffortUS(s STRING) RETURNS TIMESTAMP RETURN " +
-        "parseDateTimeBestEffortUS(s)",
-      "parseDateTime64BestEffortUSOrNull(s STRING) RETURNS TIMESTAMP RETURN " +
-        "parseDateTimeBestEffortUSOrNull(s)",
-      "parseDateTime64BestEffortUSOrZero(s STRING) RETURNS TIMESTAMP RETURN " +
-        "coalesce(parseDateTimeBestEffortUSOrNull(s), timestamp_seconds(0))",
       "fromModifiedJulianDayOrNull(n BIGINT) RETURNS STRING RETURN " +
         "IF(n BETWEEN -678941 AND 2973483, fromModifiedJulianDay(n), NULL)",
       "makeDate32(y INT, m INT, d INT) RETURNS DATE RETURN make_date(y, m, d)",
@@ -1940,6 +1909,9 @@ object ClickHouseCompat {
   }
 
   def installNative(spark: SparkSession): Unit = {
+    // best-effort datetime scanner (replaces the former try_cast macros;
+    // must precede the SQL-macro pass so macro bodies can reference it)
+    BestEffortDateTime.install(spark)
     // ---- tranche 15 natives ----
     locally {
       import Tranche15._

@@ -702,6 +702,32 @@ object RelationalQueries {
     // (h3*.cpp) — the oracle recomputes the dates with DuckDB strftime
     // (same C %-grammar) and the H3 cells with plain bit arithmetic on
     // the published index layout.
+    // Best-effort datetime scanner end-to-end (parseDateTimeBestEffort.cpp
+    // behavior port, golden-asserted in BestEffortDateTimeSpec): a mixed
+    // column cycling through 6 formats — ISO, DD/MM/YYYY, compact
+    // YYYYMMDDhhmmss, RFC-2822 with a +0330 zone, unix seconds and
+    // DD-Mon-YY — parsed by the scanner; the oracle computes the expected
+    // instants arithmetically per format branch.
+    "q69_datetime_parse" -> ((s, dir) => {
+      t(s, dir, "orders").filter(col("o_orderkey") <= 3000)
+        .withColumn("base", expr(
+          "CAST(o_orderdate AS TIMESTAMP) + make_interval(0, 0, 0, 0, 0, 0, o_orderkey % 86399)"))
+        .withColumn("fmt", expr("CAST(o_orderkey % 6 AS INT)"))
+        .withColumn("s", expr("""
+          CASE fmt
+            WHEN 0 THEN date_format(base, 'yyyy-MM-dd HH:mm:ss')
+            WHEN 1 THEN date_format(base, 'dd/MM/yyyy')
+            WHEN 2 THEN date_format(base, 'yyyyMMddHHmmss')
+            WHEN 3 THEN concat('Mon, ', date_format(base, 'dd MMM yyyy HH:mm:ss'), ' +0330')
+            WHEN 4 THEN CAST(unix_timestamp(base) AS STRING)
+            ELSE date_format(base, 'dd-MMM-yy')
+          END"""))
+        .selectExpr("o_orderkey", "fmt", "s",
+          "parseDateTimeBestEffort(s) AS parsed",
+          "parseDateTimeBestEffortOrNull(concat(s, ' q#')) AS bad_null",
+          "parseDateTimeBestEffortUS(date_format(base, 'MM/dd/yyyy HH:mm:ss')) AS parsed_us")
+        .orderBy(col("o_orderkey"))
+    }),
     // Named-dictionary catalog end-to-end (FunctionsExternalDictionaries
     // .cpp + src/Dictionaries/): CREATE-DICTIONARY-shaped registration of
     // nation (flat layout) and a nations→regions hierarchy, then the
@@ -1129,6 +1155,36 @@ object RelationalQueries {
              CAST(42 AS INT) AS dflt
       FROM part WHERE p_partkey <= 400
       ORDER BY p_partkey""",
+    // q69 oracle: the expected instant per format branch, computed
+    // arithmetically — date-only formats land on midnight, the RFC-2822
+    // +0330 zone subtracts 3h30m, unix seconds round-trip exactly.
+    "q69_datetime_parse" -> """
+      WITH o AS (
+        SELECT o_orderkey,
+               CAST(o_orderdate AS TIMESTAMP)
+                 + (o_orderkey % 86399) * INTERVAL 1 SECOND AS base,
+               CAST(o_orderkey % 6 AS INT) AS fmt
+        FROM orders WHERE o_orderkey <= 3000)
+      SELECT o_orderkey, fmt,
+             CASE fmt
+               WHEN 0 THEN strftime(base, '%Y-%m-%d %H:%M:%S')
+               WHEN 1 THEN strftime(base, '%d/%m/%Y')
+               WHEN 2 THEN strftime(base, '%Y%m%d%H%M%S')
+               WHEN 3 THEN 'Mon, ' || strftime(base, '%d %b %Y %H:%M:%S') || ' +0330'
+               WHEN 4 THEN CAST(CAST(epoch(base) AS BIGINT) AS VARCHAR)
+               ELSE strftime(base, '%d-%b-%y')
+             END AS s,
+             CASE fmt
+               WHEN 0 THEN base
+               WHEN 1 THEN date_trunc('day', base)
+               WHEN 2 THEN base
+               WHEN 3 THEN base - INTERVAL 3 HOUR - INTERVAL 30 MINUTE
+               WHEN 4 THEN base
+               ELSE date_trunc('day', base)
+             END AS parsed,
+             CAST(NULL AS TIMESTAMP) AS bad_null,
+             base AS parsed_us
+      FROM o ORDER BY o_orderkey""",
     // q68 oracle: the dictionary semantics replayed with plain joins —
     // typed getters are key→attribute lookups, OrDefault covers the
     // guaranteed-missing custkey*1000 keys, the hierarchy chain is
