@@ -1912,6 +1912,7 @@ object ClickHouseCompat {
     // best-effort datetime scanner (replaces the former try_cast macros;
     // must precede the SQL-macro pass so macro bodies can reference it)
     BestEffortDateTime.install(spark)
+    Blake3Md4.install(spark) // MD4 + BLAKE3 digests (published-vector pinned)
     // ---- tranche 15 natives ----
     locally {
       import Tranche15._

@@ -13,9 +13,9 @@ import org.apache.spark.sql.functions._
   * `tests/queries/3_ai_core_support/00009_mqai_objecturl_getObject.sql`).
   *
   * The catalog is real (register/drop/list, provider + credential refs),
-  * and so is the fetch for file/http(s)/presigned-s3; only gs (and
-  * credential-less s3) remain behind a deterministic stub boundary —
-  * no cloud SDK exists in this environment.
+  * and so is the fetch for every scheme: file/http(s) via the JDK,
+  * s3 AND gs via the pure-JDK SigV4 presigner (GCS's XML API accepts
+  * AWS4-HMAC-SHA256 with HMAC interop keys) — no SDK, no stub path.
   */
 object Connections {
 
@@ -204,19 +204,27 @@ object Connections {
     * style, scheme declared in the connection's endpoint) use path-style
     * addressing; the default AWS endpoint uses virtual-hosted https.
     */
-  private def s3Fetch(
+  /** s3:// and gs:// share the one SigV4 presigner: AWS uses
+    * virtual-hosted buckets on amazonaws.com, GCS uses path-style on
+    * storage.googleapis.com (its XML API accepts AWS4-HMAC-SHA256 with
+    * HMAC interop keys, service name "s3"). An explicit connection
+    * endpoint overrides the host either way (minio / fake-gcs tests).
+    */
+  private def objectStoreFetch(
       conn: Connection, url: String, c: ObjectStoreCredentials): Array[Byte] = {
-    val rest = url.stripPrefix("s3://")
+    val isGs = url.startsWith("gs://")
+    val rest = url.stripPrefix("s3://").stripPrefix("gs://")
     val slash = rest.indexOf('/')
     if (slash <= 0 || slash == rest.length - 1)
-      throw new IllegalArgumentException(s"s3 url needs bucket/key: $url")
+      throw new IllegalArgumentException(s"object url needs bucket/key: $url")
     val bucket = rest.substring(0, slash)
     val key = rest.substring(slash) // keeps the leading '/'
     val (scheme, host, path) =
       if (conn.endpoint.nonEmpty) {
         val sch = if (conn.endpoint.startsWith("http://")) "http" else "https"
         (sch, endpointAuthority(conn.endpoint), s"/$bucket$key")
-      } else ("https", s"$bucket.s3.${c.region}.amazonaws.com", key)
+      } else if (isGs) ("https", "storage.googleapis.com", s"/$bucket$key")
+      else ("https", s"$bucket.s3.${c.region}.amazonaws.com", key)
     val amzDate = java.time.format.DateTimeFormatter
       .ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(java.time.ZoneOffset.UTC)
       .format(java.time.Instant.now())
@@ -224,14 +232,14 @@ object Connections {
       c.secretAccessKey, c.sessionToken, amzDate, 300, scheme))
   }
 
-  /** Default fetcher: REAL for everything the JVM can serve without an
-    * SDK — `file://` and bare local paths via java.nio, `http(s)://` via
-    * the JDK http client (capped + retried, [[httpFetch]]), and `s3://`
-    * via pure-JDK SigV4 presigning over that same http client whenever
-    * the connection's `credentialRef` resolves in the credential store.
-    * Credential-less s3 and gs return a deterministic fake payload
-    * behind the stub boundary below — a deployment registers credentials
-    * (s3) or swaps [[fetcher]] for the provider SDK call (gs).
+  /** Default fetcher: REAL for every scheme — `file://` and bare local
+    * paths via java.nio, `http(s)://` via the JDK http client (capped +
+    * retried, [[httpFetch]]), `s3://` via pure-JDK SigV4 presigning over
+    * that same client, and `gs://` via the SAME SigV4 signer against the
+    * GCS XML API (which accepts AWS4-HMAC-SHA256 with HMAC interop
+    * keys — no SDK needed). Object-store URLs whose connection has no
+    * registered credentials fail fast with a configuration error; there
+    * is no stub path left.
     */
   @volatile var fetcher: (Connection, String) => Array[Byte] =
     (conn, url) => {
@@ -244,14 +252,14 @@ object Connections {
           java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
         case None if url.startsWith("http://") || url.startsWith("https://") =>
           httpFetch(url)
-        case None if url.startsWith("s3://") &&
-            credStore.contains(conn.credentialRef) =>
-          s3Fetch(conn, url, credStore(conn.credentialRef))
+        case None if url.startsWith("s3://") || url.startsWith("gs://") =>
+          val creds = credStore.getOrElse(conn.credentialRef,
+            throw new NonRetryableFetchException(
+              s"connection '${conn.name}' has no registered credentials " +
+                s"(credentialRef='${conn.credentialRef}') for $url"))
+          objectStoreFetch(conn, url, creds)
         case None =>
-          // ===== STUB BOUNDARY ===== deterministic fake for
-          // credential-less s3 and for gs (no GCS signer yet)
-          s"${conn.provider}:${conn.name}:$url".getBytes("UTF-8")
-          // ===== END STUB BOUNDARY =====
+          throw new NonRetryableFetchException(s"unsupported scheme: $url")
       }
     }
 

@@ -1000,7 +1000,9 @@ object RelationalQueries {
         "xxHash64(CAST(1 AS TINYINT), CAST(2 AS TINYINT), CAST(3 AS TINYINT)) AS xx64_chain",
         "murmurHash2_32('foo') AS mm2_32",
         "murmurHash3_32('foo') AS mm3_32",
-        "xxHash32('ABC') AS xx32")
+        "xxHash32('ABC') AS xx32",
+        "hex(MD4('message digest')) AS md4_hex",
+        "hex(BLAKE3('The quick brown fox jumps over the lazy dog')) AS b3_hex")
     }),
     // Higher-order array functions end-to-end: the ClickHouse lambda
     // surface (arrayMap/arrayFilter/arrayCount/arrayFirst/arraySum/
@@ -1300,7 +1302,9 @@ object RelationalQueries {
              CAST(-4718000591466899914 AS BIGINT) AS xx64_chain,
              CAST(2414502773 AS BIGINT) AS mm2_32,
              CAST(4138058784 AS BIGINT) AS mm3_32,
-             CAST(2154901205 AS BIGINT) AS xx32""",
+             CAST(2154901205 AS BIGINT) AS xx32,
+             upper('d9130a8164549fe818874806e1c7014b') AS md4_hex,
+             upper('2f1514181aadccd913abd94cfa592701a5686ab23f8df1dff1b74710febc6d4a') AS b3_hex""",
     // DuckDB's own list lambdas mirror each higher-order call; qs is
     // sorted so arrayEnumerateDense's first-appearance order equals
     // ascending-distinct order on both engines.

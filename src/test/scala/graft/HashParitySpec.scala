@@ -229,4 +229,34 @@ class HashParitySpec extends SparkSpec {
       "arrayFirstOrNull(x -> x > 9, array(1, 2, 3))").head()
     assert(r.getInt(0) === 2 && r.getInt(1) === 3 && r.isNullAt(2))
   }
+  test("MD4 matches the RFC 1320 appendix vectors") {
+    def h(x: String) = graft.functions.Blake3Md4.md4(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(h("") === "31d6cfe0d16ae931b73c59d7e0c089c0")
+    assert(h("a") === "bde52cb31de33e46245e05fbdbd6fb24")
+    assert(h("abc") === "a448017aaf21d8525fc10ae87aa6729d")
+    assert(h("message digest") === "d9130a8164549fe818874806e1c7014b")
+    assert(h("abcdefghijklmnopqrstuvwxyz") === "d79e1c308aa5bbcdeea8ed63df412da9")
+  }
+
+  test("BLAKE3 matches the published test vectors (incl. the chunk tree)") {
+    def h(b: Array[Byte]) = graft.functions.Blake3Md4.blake3(b)
+      .map("%02x".format(_)).mkString
+    def pat(n: Int) = Array.tabulate[Byte](n)(i => (i % 251).toByte)
+    assert(h(Array.emptyByteArray)
+      === "af1349b9f5f9a1a6a0404dea36dcc9499bcb25c9adc112b7cc9a93cae41f3262")
+    assert(h("abc".getBytes("UTF-8"))
+      === "6437b3ac38465133ffb63b75273a8db548c558465d79db03fd359c6cd5bd9d85")
+    assert(h("The quick brown fox jumps over the lazy dog".getBytes("UTF-8"))
+      === "2f1514181aadccd913abd94cfa592701a5686ab23f8df1dff1b74710febc6d4a")
+    // official vector inputs: bytes i % 251 — 1024 = multi-block single
+    // chunk; 1025/2048 exercise the parent tree + ROOT placement
+    assert(h(pat(1024))
+      === "42214739f095a406f3fc83deb889744ac00df831c10daa55189b5d121c855af7")
+    assert(h(pat(1025))
+      === "d00278ae47eb27b34faecf67b4fe263f82d5412916c1ffd97c8cb7fb814b8444")
+    assert(h(pat(2048))
+      === "e776b6028c7cd22a4d0ba182a8bf62205d2ef576467e838ed6f2529b85fba24a")
+  }
+
 }

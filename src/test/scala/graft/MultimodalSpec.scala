@@ -232,9 +232,9 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("getObject http(s): real JDK fetch — payload, 5xx retry, 4xx fail-fast") {
-    // s3/gs parity stays deferred behind the documented stub boundary
-    // (no cloud SDK in-sandbox); http(s) is real (ref getObject.cpp +
-    // 00009_mqai_objecturl_getObject.sql)
+    // http(s) is real (ref getObject.cpp +
+    // 00009_mqai_objecturl_getObject.sql); s3/gs are real too via the
+    // SigV4 presigner (separate tests below)
     import com.sun.net.httpserver.{HttpExchange, HttpServer}
     import graft.multimodal.Connections
     val server =
@@ -281,4 +281,59 @@ class MultimodalSpec extends SparkSpec {
       Connections.drop("web")
     }
   }
+  test("getObject gs:// signs with SigV4 HMAC interop against the XML API") {
+    // a local fake-GCS XML endpoint: asserts the request is a SigV4
+    // presigned GET (AWS4-HMAC-SHA256 + signature present — the signer
+    // itself is pinned to published AWS vectors in SigV4Spec) and serves
+    // the object path-style, exactly how storage.googleapis.com accepts
+    // HMAC interop keys
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    import graft.multimodal.Connections
+    val server =
+      HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    @volatile var seenQuery: String = null
+    server.createContext("/b1/media/clip.bin", (ex: HttpExchange) => {
+      seenQuery = ex.getRequestURI.getRawQuery
+      val body = "gcs-payload".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, body.length.toLong)
+      ex.getResponseBody.write(body); ex.close()
+    })
+    server.start()
+    val port = server.getAddress.getPort
+    try {
+      Connections.registerCredentials("gcs-hmac",
+        Connections.ObjectStoreCredentials(
+          "GOOG1EXAMPLEKEY", "hmac-interop-secret", region = "auto"))
+      Connections.create("gcs", "GCP",
+        endpoint = s"http://127.0.0.1:$port", credentialRef = "gcs-hmac")
+      val got = Seq("gs://b1/media/clip.bin").toDF("url")
+        .select(Connections.getObject(spark, "gcs")(col("url")).as("obj"))
+        .head().getAs[Array[Byte]](0)
+      assert(new String(got, "UTF-8") === "gcs-payload")
+      assert(seenQuery != null)
+      assert(seenQuery.contains("X-Amz-Algorithm=AWS4-HMAC-SHA256"))
+      assert(seenQuery.contains("X-Amz-Signature="))
+      assert(seenQuery.contains("GOOG1EXAMPLEKEY"))
+      assert(seenQuery.contains("auto%2Fs3%2Faws4_request"))
+    } finally {
+      server.stop(0)
+      Connections.drop("gcs")
+      Connections.dropCredentials("gcs-hmac")
+    }
+  }
+
+  test("credential-less object-store fetch fails fast — no stub payload") {
+    import graft.multimodal.Connections
+    try {
+      Connections.create("nocreds", "GCP")
+      val ex = intercept[Exception] {
+        Seq("gs://bucket/obj").toDF("url")
+          .select(Connections.getObject(spark, "nocreds")(col("url")))
+          .collect()
+      }
+      assert(ex.getMessage.contains("credentials") ||
+        ex.getCause != null && ex.getCause.getMessage.contains("credentials"))
+    } finally Connections.drop("nocreds")
+  }
+
 }

@@ -80,11 +80,14 @@ class SigV4Spec extends AnyFunSuite {
       assert(seenQuery.contains("X-Amz-Algorithm=AWS4-HMAC-SHA256"))
       assert(seenQuery.contains("X-Amz-Credential=test-access%2F"))
       assert(seenQuery.contains("X-Amz-SignedHeaders=host"))
-      // without credentials the same url degrades to the documented stub
+      // without credentials the same url fails fast (round 12: the stub
+      // payload path is gone — missing credentials is a config error)
       Connections.create("nocred", "AWS")
-      val stub = Connections.fetcher(
-        Connections.list.find(_.name == "nocred").get, "s3://bkt/data/obj.bin")
-      assert(new String(stub, "UTF-8") === "AWS:nocred:s3://bkt/data/obj.bin")
+      val ex = intercept[java.io.IOException] {
+        Connections.fetcher(
+          Connections.list.find(_.name == "nocred").get, "s3://bkt/data/obj.bin")
+      }
+      assert(ex.getMessage.contains("credentials"))
     } finally {
       server.stop(0)
       Connections.drop("minio"); Connections.drop("nocred")

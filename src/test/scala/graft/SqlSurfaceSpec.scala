@@ -69,12 +69,18 @@ class SqlSurfaceSpec extends SparkSpec {
   }
 
   test("getObject through a registered connection") {
+    // round 12: the stub path is gone — a credential-less object-store
+    // connection is a fail-fast configuration error, and an unknown
+    // connection still raises at plan time
     graft.multimodal.Connections.create("s3_conn", "AWS", "s3.amazonaws.com")
     import spark.implicits._
-    val out = Seq("s3://b/k1").toDF("url")
-      .select(graft.multimodal.Connections.getObject(spark, "s3_conn")(col("url")))
-      .head().getAs[Array[Byte]](0)
-    assert(new String(out, "UTF-8") === "AWS:s3_conn:s3://b/k1")
+    val ex = intercept[Exception] {
+      Seq("s3://b/k1").toDF("url")
+        .select(graft.multimodal.Connections.getObject(spark, "s3_conn")(col("url")))
+        .head()
+    }
+    assert(ex.getMessage.contains("credentials") ||
+      (ex.getCause != null && ex.getCause.getMessage.contains("credentials")))
     intercept[IllegalArgumentException] {
       graft.multimodal.Connections.getObject(spark, "nope")(col("url"))
     }
