@@ -119,7 +119,13 @@ object ChHash {
     "gccMurmurHash" -> Spec(gccMurmurHash, None, intHash64Combine),
     "murmurHash3_32" -> Spec(b => murmurHash3_32(b), None, intHash32Combine),
     "murmurHash3_64" -> Spec(murmurHash3_64, None, intHash64Combine),
-    "halfMD5" -> Spec(halfMD5, None, halfMD5Combine))
+    "halfMD5" -> Spec(halfMD5, None, halfMD5Combine),
+    // round-12 tail (FunctionsHashing.h:711/1681/771): metro shares the
+    // int-pod path like city/farm; wyHash64 combines by re-hashing
+    // h1||h2; xxh3 hashes pod bytes directly
+    "metroHash64" -> Spec(HashTail.metroHash64, Some(x => intHash64(x)), hash128to64),
+    "wyHash64" -> Spec(HashTail.wyHash64, None, HashTail.wyHash64Combine),
+    "xxh3" -> Spec(HashTail.xxh3_64, None, hash128to64))
 
   def supported(dt: DataType): Boolean = dt match {
     case StringType | BinaryType | ByteType | ShortType | IntegerType |

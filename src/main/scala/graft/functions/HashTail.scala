@@ -1,0 +1,284 @@
+package graft.functions
+
+/** The final three value-exact hash ports: metroHash64 (public
+  * Apache-2.0 libmetrohash `metrohash64_1`, which the reference vendors
+  * at `contrib/libmetrohash/src/metrohash64.cpp:256` and binds in
+  * `FunctionsHashing.h:711`), wyHash64 (public wyhash "final" with the
+  * default `_wyp` secret, `FunctionsHashing.h:1681`) and xxh3 (XXH3
+  * 64-bit one-shot with the default secret, `FunctionsHashing.h:771`).
+  * All pinned against the reference's own stateless-test outputs
+  * (00751/02286/02481/02184) in HashParitySpec.
+  */
+object HashTail {
+
+  @inline private def le64(b: Array[Byte], i: Int): Long = {
+    var v = 0L; var j = 0
+    while (j < 8) { v |= (b(i + j) & 0xffL) << (8 * j); j += 1 }
+    v
+  }
+  @inline private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+  @inline private def le16(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8)
+  @inline private def rotr(x: Long, r: Int): Long = java.lang.Long.rotateRight(x, r)
+  @inline private def rotl(x: Long, r: Int): Long = java.lang.Long.rotateLeft(x, r)
+  @inline private def umulHi(a: Long, b: Long): Long =
+    Math.multiplyHigh(a, b) + ((a >> 63) & b) + ((b >> 63) & a)
+
+  // ------------------------------------------------------------------
+  // metroHash64 (metrohash64_1, seed 0)
+  // ------------------------------------------------------------------
+  def metroHash64(data: Array[Byte]): Long = {
+    val k0 = 0xC83A91E1L; val k1 = 0x8648DBDBL
+    val k2 = 0x7BDEC03BL; val k3 = 0x2F5870A5L
+    val len = data.length
+    var ptr = 0
+    var hash = (0L + k2) * k0 + len
+    if (len >= 32) {
+      var v0 = hash; var v1 = hash; var v2 = hash; var v3 = hash
+      while (len - ptr >= 32) {
+        v0 += le64(data, ptr) * k0; ptr += 8; v0 = rotr(v0, 29) + v2
+        v1 += le64(data, ptr) * k1; ptr += 8; v1 = rotr(v1, 29) + v3
+        v2 += le64(data, ptr) * k2; ptr += 8; v2 = rotr(v2, 29) + v0
+        v3 += le64(data, ptr) * k3; ptr += 8; v3 = rotr(v3, 29) + v1
+      }
+      v2 ^= rotr(((v0 + v3) * k0) + v1, 33) * k1
+      v3 ^= rotr(((v1 + v2) * k1) + v0, 33) * k0
+      v0 ^= rotr(((v0 + v2) * k0) + v3, 33) * k1
+      v1 ^= rotr(((v1 + v3) * k1) + v2, 33) * k0
+      hash += v0 ^ v1
+    }
+    if (len - ptr >= 16) {
+      var v0 = hash + le64(data, ptr) * k0; ptr += 8; v0 = rotr(v0, 33) * k1
+      var v1 = hash + le64(data, ptr) * k1; ptr += 8; v1 = rotr(v1, 33) * k2
+      v0 ^= rotr(v0 * k0, 35) + v1
+      v1 ^= rotr(v1 * k3, 35) + v0
+      hash += v1
+    }
+    if (len - ptr >= 8) {
+      hash += le64(data, ptr) * k3; ptr += 8
+      hash ^= rotr(hash, 33) * k1
+    }
+    if (len - ptr >= 4) {
+      hash += le32(data, ptr) * k3; ptr += 4
+      hash ^= rotr(hash, 15) * k1
+    }
+    if (len - ptr >= 2) {
+      hash += le16(data, ptr) * k3; ptr += 2
+      hash ^= rotr(hash, 13) * k1
+    }
+    if (len - ptr >= 1) {
+      hash += (data(ptr) & 0xffL) * k3
+      hash ^= rotr(hash, 25) * k1
+    }
+    hash ^= rotr(hash, 33)
+    hash *= k0
+    hash ^= rotr(hash, 33)
+    hash
+  }
+
+  // ------------------------------------------------------------------
+  // wyHash64 (wyhash final, default secret, seed 0)
+  // ------------------------------------------------------------------
+  private val wyp = Array(0xa0761d6478bd642fL, 0xe7037ed1a0b428dbL,
+    0x8ebc6af09c88c6e3L, 0x589965cc75374cc3L)
+
+  @inline private def wymix(a0: Long, b0: Long): Long = {
+    val lo = a0 * b0
+    val hi = umulHi(a0, b0)
+    lo ^ hi
+  }
+  @inline private def wyr3(b: Array[Byte], i: Int, k: Int): Long =
+    ((b(i) & 0xffL) << 16) | ((b(i + (k >> 1)) & 0xffL) << 8) | (b(i + k - 1) & 0xffL)
+
+  def wyHash64(data: Array[Byte]): Long = {
+    val len = data.length
+    var seed = 0L ^ wyp(0)
+    var a = 0L; var b = 0L
+    if (len <= 16) {
+      if (len >= 4) {
+        a = (le32(data, 0) << 32) | le32(data, (len >> 3) << 2)
+        b = (le32(data, len - 4) << 32) | le32(data, len - 4 - ((len >> 3) << 2))
+      } else if (len > 0) { a = wyr3(data, 0, len); b = 0L }
+    } else {
+      var i = len; var p = 0
+      if (i > 48) {
+        var see1 = seed; var see2 = seed
+        while (i > 48) {
+          seed = wymix(le64(data, p) ^ wyp(1), le64(data, p + 8) ^ seed)
+          see1 = wymix(le64(data, p + 16) ^ wyp(2), le64(data, p + 24) ^ see1)
+          see2 = wymix(le64(data, p + 32) ^ wyp(3), le64(data, p + 40) ^ see2)
+          p += 48; i -= 48
+        }
+        seed ^= see1 ^ see2
+      }
+      while (i > 16) {
+        seed = wymix(le64(data, p) ^ wyp(1), le64(data, p + 8) ^ seed)
+        i -= 16; p += 16
+      }
+      a = le64(data, p + i - 16); b = le64(data, p + i - 8)
+    }
+    wymix(wyp(1) ^ len, wymix(a ^ wyp(1), b ^ seed))
+  }
+
+  /** The reference's wyHash64 combineHashes: wyhash over h1||h2 LE. */
+  def wyHash64Combine(h1: Long, h2: Long): Long = {
+    val buf = new Array[Byte](16)
+    var i = 0
+    while (i < 8) { buf(i) = ((h1 >>> (8 * i)) & 0xff).toByte; i += 1 }
+    while (i < 16) { buf(i) = ((h2 >>> (8 * (i - 8))) & 0xff).toByte; i += 1 }
+    wyHash64(buf)
+  }
+
+  // ------------------------------------------------------------------
+  // xxh3 64-bit one-shot, default secret, seed 0
+  // ------------------------------------------------------------------
+  private val kSecret: Array[Byte] = Array(
+    0xb8, 0xfe, 0x6c, 0x39, 0x23, 0xa4, 0x4b, 0xbe, 0x7c, 0x01, 0x81, 0x2c, 0xf7, 0x21, 0xad, 0x1c,
+    0xde, 0xd4, 0x6d, 0xe9, 0x83, 0x90, 0x97, 0xdb, 0x72, 0x40, 0xa4, 0xa4, 0xb7, 0xb3, 0x67, 0x1f,
+    0xcb, 0x79, 0xe6, 0x4e, 0xcc, 0xc0, 0xe5, 0x78, 0x82, 0x5a, 0xd0, 0x7d, 0xcc, 0xff, 0x72, 0x21,
+    0xb8, 0x08, 0x46, 0x74, 0xf7, 0x43, 0x24, 0x8e, 0xe0, 0x35, 0x90, 0xe6, 0x81, 0x3a, 0x26, 0x4c,
+    0x3c, 0x28, 0x52, 0xbb, 0x91, 0xc3, 0x00, 0xcb, 0x88, 0xd0, 0x65, 0x8b, 0x1b, 0x53, 0x2e, 0xa3,
+    0x71, 0x64, 0x48, 0x97, 0xa2, 0x0d, 0xf9, 0x4e, 0x38, 0x19, 0xef, 0x46, 0xa9, 0xde, 0xac, 0xd8,
+    0xa8, 0xfa, 0x76, 0x3f, 0xe3, 0x9c, 0x34, 0x3f, 0xf9, 0xdc, 0xbb, 0xc7, 0xc7, 0x0b, 0x4f, 0x1d,
+    0x8a, 0x51, 0xe0, 0x4b, 0xcd, 0xb4, 0x59, 0x31, 0xc8, 0x9f, 0x7e, 0xc9, 0xd9, 0x78, 0x73, 0x64,
+    0xea, 0xc5, 0xac, 0x83, 0x34, 0xd3, 0xeb, 0xc3, 0xc5, 0x81, 0xa0, 0xff, 0xfa, 0x13, 0x63, 0xeb,
+    0x17, 0x0d, 0xdd, 0x51, 0xb7, 0xf0, 0xda, 0x49, 0xd3, 0x16, 0x55, 0x26, 0x29, 0xd4, 0x68, 0x9e,
+    0x2b, 0x16, 0xbe, 0x58, 0x7d, 0x47, 0xa1, 0xfc, 0x8f, 0xf8, 0xb8, 0xd1, 0x7a, 0xd0, 0x31, 0xce,
+    0x45, 0xcb, 0x3a, 0x8f, 0x95, 0x16, 0x04, 0x28, 0xaf, 0xd7, 0xfb, 0xca, 0xbb, 0x4b, 0x40, 0x7e)
+    .map(_.toByte)
+
+  private val P64_1 = 0x9E3779B185EBCA87L
+  private val P64_2 = 0xC2B2AE3D27D4EB4FL
+  private val P64_3 = 0x165667B19E3779F9L
+  private val P64_4 = 0x85EBCA77C2B2AE63L
+  private val P64_5 = 0x27D4EB2F165667C5L
+  private val P32_1 = 0x9E3779B1L
+  private val P32_2 = 0x85EBCA77L
+  private val P32_3 = 0xC2B2AE3DL
+
+  @inline private def mul128fold64(a: Long, b: Long): Long =
+    (a * b) ^ umulHi(a, b)
+  @inline private def xxh64Avalanche(h0: Long): Long = {
+    var h = h0
+    h ^= h >>> 33; h *= P64_2; h ^= h >>> 29; h *= P64_3; h ^= h >>> 32
+    h
+  }
+  @inline private def xxh3Avalanche(h0: Long): Long = {
+    var h = h0
+    h ^= h >>> 37; h *= 0x165667919E3779F9L; h ^= h >>> 32
+    h
+  }
+  @inline private def rrmxmx(h0: Long, len: Long): Long = {
+    var h = h0
+    h ^= rotl(h, 49) ^ rotl(h, 24)
+    h *= 0x9FB21C651E98DF25L
+    h ^= (h >>> 35) + len
+    h *= 0x9FB21C651E98DF25L
+    h ^ (h >>> 28)
+  }
+  @inline private def sec64(i: Int): Long = le64(kSecret, i)
+  @inline private def sec32(i: Int): Long = le32(kSecret, i)
+
+  private def mix16B(b: Array[Byte], in: Int, secOff: Int): Long =
+    mul128fold64(le64(b, in) ^ sec64(secOff), le64(b, in + 8) ^ sec64(secOff + 8))
+
+  def xxh3_64(b: Array[Byte]): Long = {
+    val len = b.length
+    if (len == 0)
+      xxh64Avalanche(0L ^ sec64(56) ^ sec64(64))
+    else if (len <= 3) {
+      val c1 = b(0) & 0xffL
+      val c2 = b(len >> 1) & 0xffL
+      val c3 = b(len - 1) & 0xffL
+      val combined = (c1 << 16) | (c2 << 24) | c3 | (len.toLong << 8)
+      xxh64Avalanche(combined ^ (sec32(0) ^ sec32(4)))
+    } else if (len <= 8) {
+      val in1 = le32(b, 0)
+      val in2 = le32(b, len - 4)
+      val bitflip = sec64(8) ^ sec64(16)
+      val input64 = in2 + (in1 << 32)
+      rrmxmx(input64 ^ bitflip, len.toLong)
+    } else if (len <= 16) {
+      val bitflip1 = sec64(24) ^ sec64(32)
+      val bitflip2 = sec64(40) ^ sec64(48)
+      val inLo = le64(b, 0) ^ bitflip1
+      val inHi = le64(b, len - 8) ^ bitflip2
+      val acc = len.toLong + java.lang.Long.reverseBytes(inLo) + inHi +
+        mul128fold64(inLo, inHi)
+      xxh3Avalanche(acc)
+    } else if (len <= 128) {
+      var acc = len.toLong * P64_1
+      if (len > 32) {
+        if (len > 64) {
+          if (len > 96) {
+            acc += mix16B(b, 48, 96)
+            acc += mix16B(b, len - 64, 112)
+          }
+          acc += mix16B(b, 32, 64)
+          acc += mix16B(b, len - 48, 80)
+        }
+        acc += mix16B(b, 16, 32)
+        acc += mix16B(b, len - 32, 48)
+      }
+      acc += mix16B(b, 0, 0)
+      acc += mix16B(b, len - 16, 16)
+      xxh3Avalanche(acc)
+    } else if (len <= 240) {
+      var acc = len.toLong * P64_1
+      val nbRounds = len / 16
+      var i = 0
+      while (i < 8) { acc += mix16B(b, 16 * i, 16 * i); i += 1 }
+      acc = xxh3Avalanche(acc)
+      while (i < nbRounds) { acc += mix16B(b, 16 * i, 16 * (i - 8) + 3); i += 1 }
+      acc += mix16B(b, len - 16, 192 - 16 - 17)
+      xxh3Avalanche(acc)
+    } else hashLong(b)
+  }
+
+  private def hashLong(b: Array[Byte]): Long = {
+    val len = b.length
+    val acc = Array(P32_3, P64_1, P64_2, P64_3, P64_4, P32_2, P64_5, P32_1)
+    @inline def accumulate512(inOff: Int, secOff: Int): Unit = {
+      var i = 0
+      while (i < 8) {
+        val dataVal = le64(b, inOff + 8 * i)
+        val dataKey = dataVal ^ sec64(secOff + 8 * i)
+        acc(i ^ 1) += dataVal
+        acc(i) += (dataKey & 0xffffffffL) * (dataKey >>> 32)
+        i += 1
+      }
+    }
+    @inline def scramble(): Unit = {
+      var i = 0
+      while (i < 8) {
+        acc(i) = (acc(i) ^ (acc(i) >>> 47) ^ sec64(128 + 8 * i)) * P32_1
+        i += 1
+      }
+    }
+    val stripesPerBlock = (192 - 64) / 8 // 16
+    val blockLen = 64 * stripesPerBlock
+    val nbBlocks = (len - 1) / blockLen
+    var n = 0
+    while (n < nbBlocks) {
+      var s = 0
+      while (s < stripesPerBlock) { accumulate512(n * blockLen + 64 * s, 8 * s); s += 1 }
+      scramble()
+      n += 1
+    }
+    val nbStripes = ((len - 1) - blockLen * nbBlocks) / 64
+    var s = 0
+    while (s < nbStripes) { accumulate512(nbBlocks * blockLen + 64 * s, 8 * s); s += 1 }
+    accumulate512(len - 64, 192 - 64 - 7) // last stripe
+    // merge
+    var result = len.toLong * P64_1
+    var i = 0
+    while (i < 4) {
+      result += mul128fold64(acc(2 * i) ^ sec64(11 + 16 * i),
+        acc(2 * i + 1) ^ sec64(11 + 16 * i + 8))
+      i += 1
+    }
+    xxh3Avalanche(result)
+  }
+}

@@ -1002,6 +1002,9 @@ object RelationalQueries {
         "murmurHash3_32('foo') AS mm3_32",
         "xxHash32('ABC') AS xx32",
         "hex(MD4('message digest')) AS md4_hex",
+        "metroHash64(123456) AS metro_int",
+        "wyHash64('qwerty') AS wy_q",
+        "xxh3('ClickHouse') AS x3_ch",
         "hex(BLAKE3('The quick brown fox jumps over the lazy dog')) AS b3_hex")
     }),
     // Higher-order array functions end-to-end: the ClickHouse lambda
@@ -1304,6 +1307,9 @@ object RelationalQueries {
              CAST(4138058784 AS BIGINT) AS mm3_32,
              CAST(2154901205 AS BIGINT) AS xx32,
              upper('d9130a8164549fe818874806e1c7014b') AS md4_hex,
+             CAST(-5067632665394241483 AS BIGINT) AS metro_int,
+             CAST(-7884841976753629594 AS BIGINT) AS wy_q,
+             CAST(-437425199370926807 AS BIGINT) AS x3_ch,
              upper('2f1514181aadccd913abd94cfa592701a5686ab23f8df1dff1b74710febc6d4a') AS b3_hex""",
     // DuckDB's own list lambdas mirror each higher-order call; qs is
     // sorted so arrayEnumerateDense's first-appearance order equals

@@ -259,4 +259,31 @@ class HashParitySpec extends SparkSpec {
       === "e776b6028c7cd22a4d0ba182a8bf62205d2ef576467e838ed6f2529b85fba24a")
   }
 
+  test("metroHash64 / wyHash64 / xxh3 match the reference stateless goldens") {
+    // 00751_hashing_ints / 02286_function_wyhash / 02481_xxh3 /
+    // 02184_hash_functions_and_ip_types expected outputs
+    def u(x: Long) = java.lang.Long.toUnsignedString(x)
+    val ipv4 = Array[Byte](0x04, 0x03, 0x02, 0x01)
+    val ipv6 = Array(0xfe, 0x80, 0, 0, 0, 0, 0, 0, 0, 0x62, 0x5a, 0xff,
+      0xfe, 0xd1, 0xda, 0xf0).map(_.toByte)
+    import graft.functions.HashTail._
+    assert(u(wyHash64("".getBytes)) === "4808886099364463827")
+    assert(u(wyHash64(" ".getBytes)) === "10557035923789874751")
+    assert(u(wyHash64("qwerty".getBytes)) === "10561902096955922022")
+    assert(u(wyHash64(ipv4)) === "13096729196120951355")
+    assert(u(wyHash64(ipv6)) === "18071806066582739916")
+    assert(u(metroHash64(ipv6)) === "15333045864940909774")
+    assert(u(xxh3_64("ClickHouse".getBytes)) === "18009318874338624809")
+    assert(u(xxh3_64(ipv4)) === "14355428563589734825")
+    assert(u(xxh3_64(ipv6)) === "4051340969481364358")
+    assert(u(xxh3_64(Array.emptyByteArray)) === "3244421341483603138")
+    // SQL names resolve through the variadic front; metro shares the
+    // int-pod path (00751: metroHash64(123456) = cityHash64(123456))
+    val r = spark.sql("""SELECT metroHash64(123456), wyHash64('qwerty'),
+      xxh3('ClickHouse')""").head()
+    assert(u(r.getLong(0)) === "13379111408315310133")
+    assert(u(r.getLong(1)) === "10561902096955922022")
+    assert(u(r.getLong(2)) === "18009318874338624809")
+  }
+
 }
