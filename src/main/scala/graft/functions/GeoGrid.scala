@@ -601,6 +601,32 @@ object GeoGrid {
     spark.udf.register("h3GetFaces", (h: Long) => H3Core.getFaces(h))
     spark.udf.register("h3IndexesAreNeighbors",
       (a: Long, b: Long) => if (H3Core.areNeighbors(a, b)) 1 else 0)
+    // boundary / area / exact-edge / unidirectional-edge tranche
+    // (h3ToGeoBoundary.cpp, h3CellAreaM2.cpp, h3ExactEdgeLengthM.cpp,
+    // h3GetUnidirectionalEdge.cpp and friends — H3Core boundary machinery)
+    spark.udf.register("h3ToGeoBoundary", (h: Long) => H3Core.cellBoundaryDeg(h))
+    spark.udf.register("h3CellAreaRads2", (h: Long) => H3Core.cellAreaRads2(h))
+    spark.udf.register("h3CellAreaM2", (h: Long) =>
+      H3Core.cellAreaRads2(h) * H3Core.EarthRadiusKm * H3Core.EarthRadiusKm * 1.0e6)
+    spark.udf.register("h3ExactEdgeLengthRads", (e: Long) => H3Core.exactEdgeLengthRads(e))
+    spark.udf.register("h3ExactEdgeLengthKm", (e: Long) =>
+      H3Core.exactEdgeLengthRads(e) * H3Core.EarthRadiusKm)
+    spark.udf.register("h3ExactEdgeLengthM", (e: Long) =>
+      H3Core.exactEdgeLengthRads(e) * H3Core.EarthRadiusKm * 1000.0)
+    spark.udf.register("h3GetUnidirectionalEdge",
+      (a: Long, b: Long) => H3Core.edgeFromCells(a, b))
+    spark.udf.register("h3GetOriginIndexFromUnidirectionalEdge",
+      (e: Long) => H3Core.edgeOrigin(e))
+    spark.udf.register("h3GetDestinationIndexFromUnidirectionalEdge",
+      (e: Long) => H3Core.edgeDestination(e))
+    spark.udf.register("h3GetIndexesFromUnidirectionalEdge",
+      (e: Long) => (H3Core.edgeOrigin(e), H3Core.edgeDestination(e)))
+    spark.udf.register("h3GetUnidirectionalEdgesFromHexagon",
+      (h: Long) => H3Core.edgesFromCell(h))
+    spark.udf.register("h3GetUnidirectionalEdgeBoundary",
+      (e: Long) => H3Core.edgeBoundaryDeg(e))
+    spark.udf.register("h3UnidirectionalEdgeIsValid",
+      (e: Long) => if (H3Core.edgeIsValid(e)) 1 else 0)
     val earthKm = 6371.007180918475
     def haversineRads(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
       val (p1, p2) = (math.toRadians(lat1), math.toRadians(lat2))

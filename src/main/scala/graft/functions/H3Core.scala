@@ -1123,6 +1123,223 @@ object H3Core {
     out.toArray
   }
 
+  // ---------------------------------------------------------------- //
+  // cell boundary (published _faceIjkToCellBoundary shape): the cell's
+  // vertices live on an aperture 3-3r substrate grid (plus a 7r step for
+  // Class III); each vertex folds onto its own face, and a Class III
+  // cell edge that crosses an icosahedron edge gains the intersection
+  // point as an extra boundary vertex.
+  // ---------------------------------------------------------------- //
+  def downAp3(c: IJK): IJK =
+    normalize(IJK(2, 0, 1) * c.i + IJK(1, 2, 0) * c.j + IJK(0, 1, 2) * c.k)
+  def downAp3r(c: IJK): IJK =
+    normalize(IJK(2, 1, 0) * c.i + IJK(0, 2, 1) * c.j + IJK(1, 0, 2) * c.k)
+
+  private val vertsCII = Array(IJK(2, 1, 0), IJK(1, 2, 0), IJK(0, 2, 1),
+    IJK(0, 1, 2), IJK(1, 0, 2), IJK(2, 0, 1))
+  private val vertsCIII = Array(IJK(5, 4, 0), IJK(1, 5, 0), IJK(0, 5, 4),
+    IJK(0, 1, 5), IJK(4, 0, 5), IJK(5, 0, 1))
+
+  /** face pair → quadrant (1=IJ, 2=KI, 3=JK), inverted from the
+    * faceNeighbors table. */
+  private lazy val adjacentFaceDir: Map[(Int, Int), Int] =
+    (for (f <- 0 until 20; q <- 1 to 3)
+      yield (f, faceNeighbors(f)(q)._1) -> q).toMap
+
+  /** Substrate center + adjusted res + the (pentagon: 5) 6 vertex
+    * coordinates of the cell, all on the home-face substrate grid. */
+  private def faceIjkToVerts(fijk: FaceIJK, res: Int, pent: Boolean): (FaceIJK, Int, Array[FaceIJK]) = {
+    var coord = fijk.coord
+    coord = downAp3(coord)
+    coord = downAp3r(coord)
+    var adjRes = res
+    if (res % 2 == 1) { coord = downAp7r(coord); adjRes += 1 }
+    val table = if (res % 2 == 1) vertsCIII else vertsCII
+    val n = if (pent) 5 else 6
+    val verts = (0 until n).map(v =>
+      FaceIJK(fijk.face, normalize(coord + table(v)))).toArray
+    (FaceIJK(fijk.face, coord), adjRes, verts)
+  }
+
+  /** Cell boundary vertices, (lat, lon) radians, `start`/`length` over
+    * the canonical vertex numbering (full cell: 0, 6). */
+  def cellBoundary(h: Long, start: Int, length: Int): Array[(Double, Double)] = {
+    val res = resolution(h)
+    val fijk0 = h3ToFaceIJK(h)
+    val pent = GeoGrid.H3.isPentagon(h)
+    if (pent) return pentBoundary(fijk0, res)
+    val (centerIJK, adjRes, fijkVerts) = faceIjkToVerts(fijk0, res, pent = false)
+    val out = mutable.ArrayBuffer.empty[(Double, Double)]
+    val additional = if (length == 6) 1 else 0
+    var lastFace = -1
+    var lastOverage = 0
+    var vert = start
+    while (vert < start + length + additional) {
+      val v = vert % 6
+      var fijk = fijkVerts(v)
+      val (overage, adj) = adjustOverage(fijk, adjRes, pentLeading4 = false, substrate = true)
+      fijk = adj
+      if (res % 2 == 1 && vert > start && fijk.face != lastFace && lastOverage != 1) {
+        // the cell edge crossed an icosahedron edge: add the intersection
+        val lastV = (v + 5) % 6
+        val (x0, y0) = ijkToHex2d(fijkVerts(lastV).coord)
+        val (x1, y1) = ijkToHex2d(fijkVerts(v).coord)
+        val maxDim = maxDimByCIIres(adjRes).toDouble
+        val e0 = (3.0 * maxDim, 0.0)
+        val e1 = (-1.5 * maxDim, 3.0 * Sin60 * maxDim)
+        val e2 = (-1.5 * maxDim, -3.0 * Sin60 * maxDim)
+        val face2 = if (lastFace == centerIJK.face) fijk.face else lastFace
+        val (p2, p3) = adjacentFaceDir((centerIJK.face, face2)) match {
+          case 1 => (e0, e1) // IJ
+          case 3 => (e1, e2) // JK
+          case _ => (e2, e0) // KI
+        }
+        // segment intersection in the center face's hex2d plane
+        val s1x = x1 - x0; val s1y = y1 - y0
+        val s2x = p3._1 - p2._1; val s2y = p3._2 - p2._2
+        val t = (s2x * (y0 - p2._2) - s2y * (x0 - p2._1)) /
+          (-s2x * s1y + s1x * s2y)
+        val ix = x0 + t * s1x; val iy = y0 + t * s1y
+        val atVertex = (math.abs(ix - x0) < 1e-9 && math.abs(iy - y0) < 1e-9) ||
+          (math.abs(ix - x1) < 1e-9 && math.abs(iy - y1) < 1e-9)
+        if (!atVertex)
+          out += hex2dToGeo(centerIJK.face, ix, iy, adjRes, substrate = true)
+      }
+      if (vert < start + 6) {
+        val (x, y) = ijkToHex2d(fijk.coord)
+        out += hex2dToGeo(fijk.face, x, y, adjRes, substrate = true)
+      }
+      lastFace = fijk.face
+      lastOverage = overage
+      vert += 1
+    }
+    out.toArray
+  }
+
+  /** Pentagon boundary: every vertex folds (possibly repeatedly) onto
+    * its face; Class III distortion vertices are added per edge like the
+    * hexagon path, using each edge's own face pair. */
+  private def pentBoundary(fijk0: FaceIJK, res: Int): Array[(Double, Double)] = {
+    val (centerIJK, adjRes, fijkVerts0) = faceIjkToVerts(fijk0, res, pent = true)
+    locally(centerIJK)
+    val out = mutable.ArrayBuffer.empty[(Double, Double)]
+    val adjusted = fijkVerts0.map { fv =>
+      var f = fv
+      var guard = 0
+      var again = true
+      while (again && guard < 5) {
+        val (ov, adj) = adjustOverage(f, adjRes, pentLeading4 = false, substrate = true)
+        f = adj
+        again = ov == 2
+        guard += 1
+      }
+      f
+    }
+    for (v <- 0 until 5) {
+      val (x, y) = ijkToHex2d(adjusted(v).coord)
+      out += hex2dToGeo(adjusted(v).face, x, y, adjRes, substrate = true)
+    }
+    out.toArray
+  }
+
+  /** h3ToGeoBoundary: degrees, (lat, lon) pairs — the reference's tuple
+    * order for boundaries. */
+  def cellBoundaryDeg(h: Long): Array[(Double, Double)] =
+    cellBoundary(h, 0, 6).map { case (lat, lon) =>
+      (math.toDegrees(lat), math.toDegrees(lon)) }
+
+  // ---------------------------------------------------------------- //
+  // areas and exact edge lengths
+  // ---------------------------------------------------------------- //
+  private def distRads(a: (Double, Double), b: (Double, Double)): Double =
+    geoDistRads(a._1, a._2, b._1, b._2)
+
+  /** Spherical triangle area via l'Huilier. */
+  private def triangleArea(a: (Double, Double), b: (Double, Double),
+      c: (Double, Double)): Double = {
+    val e1 = distRads(a, b); val e2 = distRads(b, c); val e3 = distRads(c, a)
+    val s = (e1 + e2 + e3) / 2
+    val t = math.sqrt(math.max(0.0,
+      math.tan(s / 2) * math.tan((s - e1) / 2) *
+        math.tan((s - e2) / 2) * math.tan((s - e3) / 2)))
+    4 * math.atan(t)
+  }
+
+  val EarthRadiusKm = 6371.007180918475
+
+  def cellAreaRads2(h: Long): Double = {
+    val verts = cellBoundary(h, 0, 6)
+    val fijk = h3ToFaceIJK(h)
+    val center = faceIJKToGeo(fijk, resolution(h))
+    var area = 0.0
+    for (i <- verts.indices)
+      area += triangleArea(verts(i), verts((i + 1) % verts.length), center)
+    area
+  }
+
+  // ---------------------------------------------------------------- //
+  // unidirectional edges (mode-2 indexes, direction in bits 56-58)
+  // ---------------------------------------------------------------- //
+  private def edgeMode(h: Long): Int = ((h >>> 59) & 0xFL).toInt
+  private def edgeDir(h: Long): Int = ((h >>> 56) & 7L).toInt
+  private def withMode(h: Long, m: Int): Long =
+    (h & ~(0xFL << 59)) | (m.toLong << 59)
+  private def withDir(h: Long, d: Int): Long =
+    (h & ~(7L << 56)) | (d.toLong << 56)
+
+  def edgeFromCells(origin: Long, dest: Long): Long = {
+    var d = 1
+    while (d <= 6) {
+      val (nb, _) = neighborRotations(origin, d, 0)
+      if (nb == dest && nb != 0L) return withDir(withMode(origin, 2), d)
+      d += 1
+    }
+    0L
+  }
+  def edgeOrigin(edge: Long): Long =
+    if (edgeMode(edge) != 2) 0L else withDir(withMode(edge, 1), 0)
+  def edgeDestination(edge: Long): Long = {
+    if (edgeMode(edge) != 2) return 0L
+    val (nb, _) = neighborRotations(edgeOrigin(edge), edgeDir(edge), 0)
+    nb
+  }
+  def edgeIsValid(edge: Long): Boolean = {
+    if (edgeMode(edge) != 2) return false
+    val d = edgeDir(edge)
+    if (d < 1 || d > 6) return false
+    val origin = edgeOrigin(edge)
+    if (!GeoGrid.H3.isValid(origin)) return false
+    !(isPentagonBase(baseCellOf(origin)) && GeoGrid.H3.isPentagon(origin) && d == KDigit)
+  }
+  def edgesFromCell(h: Long): Array[Long] =
+    (1 to 6).map(d => withDir(withMode(h, 2), d)).toArray
+
+  /** First boundary vertex of the edge shared with the `dir` neighbor
+    * (published directionToVertexNum ordering). */
+  private val dirToVertexHex = Array(-1, 3, 1, 2, 5, 4, 0)
+
+  def edgeBoundaryDeg(edge: Long): Array[(Double, Double)] = {
+    if (edgeMode(edge) != 2) return Array.empty
+    val origin = edgeOrigin(edge)
+    if (!GeoGrid.H3.isValid(origin)) return Array.empty
+    val start = dirToVertexHex(edgeDir(edge))
+    if (start < 0) return Array.empty
+    cellBoundary(origin, start, 2).map { case (lat, lon) =>
+      (math.toDegrees(lat), math.toDegrees(lon)) }
+  }
+
+  def exactEdgeLengthRads(edge: Long): Double = {
+    if (edgeMode(edge) != 2) return 0.0
+    val origin = edgeOrigin(edge)
+    if (!GeoGrid.H3.isValid(origin)) return 0.0
+    val start = dirToVertexHex(edgeDir(edge))
+    if (start < 0) return 0.0
+    val verts = cellBoundary(origin, start, 2)
+    var len = 0.0
+    for (i <- 0 until verts.length - 1) len += distRads(verts(i), verts(i + 1))
+    len
+  }
+
   /** Faces a cell intersects (h3GetFaces): the face of the cell center
     * plus faces of its boundary-adjacent neighbors' centers — exact for
     * the published semantics via vertex sampling: take the face of each

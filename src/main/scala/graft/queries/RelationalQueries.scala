@@ -794,7 +794,12 @@ object RelationalQueries {
           "size(h3kRing(h, id)) AS kring_n",
           "aggregate(h3kRing(h, id), 0L, (acc, x) -> (acc + pmod(x, 1000000007L)) % 1000000007L) AS kring_sum",
           "IF(id = 1, NULL, size(h3HexRing(h, id))) AS hexring_n",
-          "IF(id = 1, NULL, aggregate(h3HexRing(h, id), 0L, (acc, x) -> (acc + pmod(x, 1000000007L)) % 1000000007L)) AS hexring_sum")
+          "IF(id = 1, NULL, aggregate(h3HexRing(h, id), 0L, (acc, x) -> (acc + pmod(x, 1000000007L)) % 1000000007L)) AS hexring_sum",
+          "size(h3ToGeoBoundary(h)) AS bnd_n",
+          "round(h3ToGeoBoundary(h)[0]._1, 2) AS bnd0_lat",
+          "round(h3ToGeoBoundary(h)[0]._2, 2) AS bnd0_lon",
+          "CAST(h3UnidirectionalEdgeIsValid(h3GetUnidirectionalEdgesFromHexagon(h)[2]) AS INT) AS edge_valid",
+          "CAST(array_contains(h3kRing(h, 1), h3GetDestinationIndexFromUnidirectionalEdge(h3GetUnidirectionalEdgesFromHexagon(h)[2])) AS INT) AS edge_dest_in_ring")
         .orderBy(col("id"))
     }),
     "q63_datetime_h3" -> ((s, dir) => {
@@ -1219,23 +1224,24 @@ object RelationalQueries {
     // row in the reference fixture → NULLs).
     "q67_h3_geometry" -> """
       SELECT * FROM (VALUES
-        (1, 579205133326352383, -173.641, -14.13, 7, 69462309, CAST(NULL AS INT), CAST(NULL AS BIGINT)),
-        (2, 581263419093549055, 59.481, 58.02, 19, 643202062, 12, 729273611),
-        (3, 589753847883235327, 172.681, -83.658, 37, 129480388, 18, 677492126),
-        (4, 594082350283882495, -94.466, -69.2, 61, 462124737, 24, 800203817),
-        (5, 598372386957426687, -8.188, -55.856, 91, 634929245, 30, 138318640),
-        (6, 599542359671177215, 77.256, 47.393, 127, 993551371, 36, 906759170),
-        (7, 604296355086598143, 135.113, 36.608, 169, 485697270, 42, 264425979),
-        (8, 608785214872748031, 39.285, 49.077, 217, 216532937, 48, 367015236),
-        (9, 615732192485572607, 124.712, -27.481, 271, 73882111, 54, 9405590),
-        (10, 617056794467368959, -147.489, 76.732, 331, 83900459, 60, 958367127),
-        (11, 624586477873168383, 86.633, -25.525, 397, 647739649, 66, 97979590),
-        (12, 627882919484481535, 23.278, 13.126, 469, 858261364, 72, 298227352),
-        (13, 634600058503392255, -70.402, -63.126, 547, 725461505, 78, 914256874),
-        (14, 635544851677385791, 15.642, 40.286, 631, 177719818, 84, 185695923),
-        (15, 639763125756281263, -76.534, 54.556, 721, 408355152, 90, 17704209),
-        (16, 644178757620501158, 8.199, 67.694, 817, 891025928, 96, 680191964)
-      ) AS t(id, h, lon_c, lat_c, kring_n, kring_sum, hexring_n, hexring_sum)
+        (1, 579205133326352383, -173.641, -14.13, 7, 69462309, CAST(NULL AS INT), CAST(NULL AS BIGINT), 6, -25.6, -170.62, 1, 1),
+        (2, 581263419093549055, 59.481, 58.02, 19, 643202062, 12, 729273611, 6, 57.16, 51.15, 1, 1),
+        (3, 589753847883235327, 172.681, -83.658, 37, 129480388, 18, 677492126, 6, -82.25, 167.18, 1, 1),
+        (4, 594082350283882495, -94.466, -69.2, 61, 462124737, 24, 800203817, 6, -69.7, -95.63, 1, 1),
+        (5, 598372386957426687, -8.188, -55.856, 91, 634929245, 30, 138318640, 6, -55.65, -8.35, 1, 1),
+        (6, 599542359671177215, 77.256, 47.393, 127, 993551371, 36, 906759170, 6, 47.4, 77.11, 1, 1),
+        (7, 604296355086598143, 135.113, 36.608, 169, 485697270, 42, 264425979, 6, 36.59, 135.14, 1, 1),
+        (8, 608785214872748031, 39.285, 49.077, 217, 216532937, 48, 367015236, 6, 49.07, 39.27, 1, 1),
+        (9, 615732192485572607, 124.712, -27.481, 271, 73882111, 54, 9405590, 6, -27.48, 124.71, 1, 1),
+        (10, 617056794467368959, -147.489, 76.732, 331, 83900459, 60, 958367127, 6, 76.73, -147.49, 1, 1),
+        (11, 624586477873168383, 86.633, -25.525, 397, 647739649, 66, 97979590, 6, -25.52, 86.63, 1, 1),
+        (12, 627882919484481535, 23.278, 13.126, 469, 858261364, 72, 298227352, 6, 13.13, 23.28, 1, 1),
+        (13, 634600058503392255, -70.402, -63.126, 547, 725461505, 78, 914256874, 6, -63.13, -70.4, 1, 1),
+        (14, 635544851677385791, 15.642, 40.286, 631, 177719818, 84, 185695923, 6, 40.29, 15.64, 1, 1),
+        (15, 639763125756281263, -76.534, 54.556, 721, 408355152, 90, 17704209, 6, 54.56, -76.53, 1, 1),
+        (16, 644178757620501158, 8.199, 67.694, 817, 891025928, 96, 680191964, 6, 67.69, 8.2, 1, 1)
+      ) AS t(id, h, lon_c, lat_c, kring_n, kring_sum, hexring_n, hexring_sum,
+             bnd_n, bnd0_lat, bnd0_lon, edge_valid, edge_dest_in_ring)
       ORDER BY id""",
     "q63_datetime_h3" -> """
       WITH o AS (

@@ -211,4 +211,95 @@ class H3CoreSpec extends AnyFunSuite {
     val pent = H3Core.makeIndex(0, 4)
     assert(H3Core.kRing(pent, 1).length === 6) // pentagon + 5 neighbors
   }
+  private val boundaryGolden: Seq[(Long, Seq[(Double, Double)])] = Seq(
+    (579205133326352383L, Seq((-25.6,-170.62),(-16.51,-161.63),(-5.76,-165.42),(-3.97,-176.06),(-11.55,175.99),(-22.2,177.52))),
+    (581263419093549055L, Seq((57.16,51.15),(53.75,56.29),(54.26,64.16),(58.32,68.26),(62.11,63.44),(61.44,53.98))),
+    (589753847883235327L, Seq((-82.25,167.18),(-83.42,158.01),(-84.94,162.09),(-85,-178.6),(-83.47,-172.41),(-82.25,179.49))),
+    (594082350283882495L, Seq((-69.7,-95.63),(-69.78,-93.83),(-69.27,-92.7),(-68.69,-93.35),(-68.62,-95.06),(-69.12,-96.2))),
+    (598372386957426687L, Seq((-55.65,-8.35),(-55.83,-8.61),(-56.04,-8.45),(-56.06,-8.02),(-55.88,-7.76),(-55.68,-7.93))),
+    (599542359671177215L, Seq((47.4,77.11),(47.32,77.17),(47.3,77.31),(47.38,77.4),(47.47,77.34),(47.48,77.2))),
+    (604296355086598143L, Seq((36.59,135.14),(36.62,135.14),(36.64,135.11),(36.62,135.08),(36.59,135.08),(36.58,135.11))),
+    (608785214872748031L, Seq((49.07,39.27),(49.06,39.28),(49.07,39.3),(49.08,39.3),(49.09,39.29),(49.09,39.27))),
+    (615732192485572607L, Seq((-27.48,124.71),(-27.48,124.72),(-27.48,124.71),(-27.48,124.71),(-27.48,124.71),(-27.49,124.71))),
+    (617056794467368959L, Seq((76.73,-147.49),(76.73,-147.5),(76.73,-147.49),(76.73,-147.49),(76.73,-147.48),(76.73,-147.48))),
+    (624586477873168383L, Seq((-25.52,86.63),(-25.53,86.63),(-25.53,86.63),(-25.53,86.63),(-25.52,86.63),(-25.52,86.63))),
+    (627882919484481535L, Seq((13.13,23.28),(13.13,23.28),(13.13,23.28),(13.13,23.28),(13.13,23.28),(13.13,23.28))),
+    (634600058503392255L, Seq((-63.13,-70.4),(-63.13,-70.4),(-63.13,-70.4),(-63.13,-70.4),(-63.13,-70.4),(-63.13,-70.4))),
+    (635544851677385791L, Seq((40.29,15.64),(40.29,15.64),(40.29,15.64),(40.29,15.64),(40.29,15.64),(40.29,15.64))),
+    (639763125756281263L, Seq((54.56,-76.53),(54.56,-76.53),(54.56,-76.53),(54.56,-76.53),(54.56,-76.53),(54.56,-76.53))),
+    (644178757620501158L, Seq((67.69,8.2),(67.69,8.2),(67.69,8.2),(67.69,8.2),(67.69,8.2),(67.69,8.2))))
+
+  test("h3ToGeoBoundary matches 02006 goldens at 2 decimals") {
+    for ((h, exp) <- boundaryGolden) {
+      val got = H3Core.cellBoundaryDeg(h)
+      assert(got.length === exp.length, s"vertex count of $h")
+      for (((gLat, gLon), (eLat, eLon)) <- got.zip(exp)) {
+        assert(math.abs(gLat - eLat) < 0.005, s"lat of $h")
+        val dLon = math.abs(gLon - eLon)
+        assert(math.min(dLon, 360 - dLon) < 0.005, s"lon of $h")
+      }
+    }
+  }
+
+  test("unidirectional edge family matches 02292 goldens") {
+    val e = 1248204388774707199L
+    val corrupt = 1248204388774707197L
+    val sf = java.lang.Long.parseUnsignedLong("85283473fffffff", 16)
+    val sfNb = java.lang.Long.parseUnsignedLong("85283477fffffff", 16)
+    assert(H3Core.edgeFromCells(sf, sfNb) === e)
+    assert(H3Core.edgeFromCells(sf, sf) === 0L)
+    assert(H3Core.edgeOrigin(e) === 599686042433355775L)
+    assert(H3Core.edgeOrigin(corrupt) === 599686042433355773L)
+    assert(H3Core.edgeOrigin(599686042433355775L) === 0L) // mode-1 input
+    assert(H3Core.edgeDestination(e) === 599686043507097599L)
+    assert(H3Core.edgeDestination(corrupt) === 599686043507097597L)
+    assert(H3Core.edgeDestination(599686042433355773L) === 0L)
+    assert(H3Core.edgesFromCell(e).toSeq === Seq(1248204388774707199L,
+      1320261982812635135L, 1392319576850563071L, 1464377170888491007L,
+      1536434764926418943L, 1608492358964346879L))
+    assert(H3Core.edgeIsValid(e))
+    assert(!H3Core.edgeIsValid(corrupt))
+    // edge boundary: the exact published vertex pair
+    val b = H3Core.edgeBoundaryDeg(e)
+    assert(b.length === 2)
+    assert(math.abs(b(0)._1 - 37.42012867767779) < 1e-9)
+    assert(math.abs(b(0)._2 - -122.03773496427027) < 1e-9)
+    assert(math.abs(b(1)._1 - 37.33755608435299) < 1e-9)
+    assert(math.abs(b(1)._2 - -122.090428929044) < 1e-9)
+    assert(H3Core.edgeBoundaryDeg(599686042433355773L).isEmpty)
+  }
+
+  private val edgeLenGoldenM: Seq[(Long, Double)] = Seq(
+    (1232301846085763071L, 489555.6), (1238219417666453503L, 192390.78),
+    (1242009915283734527L, 66919.13), (1298057039473278975L, 1263609.66),
+    (1304359440123691007L, 480744.03), (1310277011704381439L, 195449.63),
+    (1370114633511206911L, 1263609.66), (1376417034161618943L, 461806.97),
+    (1382334605742309375L, 190087.7), (1442172227549134847L, 1263609.66),
+    (1448474628199546879L, 465419.72), (1458182628678041599L, 64819.7),
+    (1514229821587062783L, 1263609.66), (1530240222715969535L, 69636.42),
+    (1598506838100279295L, 195627.47), (1602297816753897471L, 67660.86))
+
+  test("h3ExactEdgeLengthM matches 02165 goldens at 2 decimals") {
+    for ((e, want) <- edgeLenGoldenM) {
+      val m = H3Core.exactEdgeLengthRads(e) * H3Core.EarthRadiusKm * 1000.0
+      assert(math.abs(m - want) < 0.005, s"edge $e")
+    }
+  }
+
+  test("h3CellArea within 1e-6 relative of 02160 goldens") {
+    // the reference prints bit-exact decimals; our boundary pipeline
+    // reproduces vertices to ~1e-11 degrees, which bounds the area to
+    // ~1e-7 relative — asserted at 1e-6
+    val areaGolden = Seq(
+      (579205133326352383L, 4106166334463.92), (599542359671177215L, 302748289.64),
+      (608785214872748031L, 4984621.69), (627882919484481535L, 2335.88),
+      (644178757620501158L, 0.6))
+    for ((h, want) <- areaGolden) {
+      val m2 = H3Core.cellAreaRads2(h) * H3Core.EarthRadiusKm * H3Core.EarthRadiusKm * 1e6
+      // the golden itself is printed at 2 decimals, so allow that on top
+      // of the relative bound
+      assert(math.abs(m2 - want) < 0.006 + want * 1e-6, s"area of $h: $m2 vs $want")
+    }
+  }
+
 }
