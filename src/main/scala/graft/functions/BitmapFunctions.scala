@@ -60,4 +60,43 @@ object BitmapFunctions {
     * surface parity.
     */
   def bitmapToArray(a: Column): Column = a
+
+  // ---- bitmap GROUP aggregates (fold a column of bitmaps) -------------
+  // AggregateFunctionGroupBitmap.cpp registers groupBitmapAnd/Or/Xor:
+  // fold the group's bitmap states with ∩ / ∪ / symmetric difference and
+  // return the CARDINALITY (the -State combinator returns the bitmap).
+  // The group state here is the collected list of member arrays — the
+  // same per-group payload the reference's RoaringBitmap fold carries —
+  // and the fold itself is a codegen'd higher-order `aggregate`.
+
+  /** groupBitmapOrState: ∪-fold of the group's bitmaps. */
+  def groupBitmapOrState(bm: Column): Column =
+    array_sort(array_distinct(flatten(collect_list(bm))))
+
+  /** groupBitmapAndState: ∩-fold (null seed ⇒ first bitmap). */
+  def groupBitmapAndState(bm: Column): Column =
+    aggregate(
+      collect_list(bm),
+      lit(null).cast("array<bigint>"),
+      (a, x) => when(a.isNull, x).otherwise(array_sort(array_intersect(a, x))))
+
+  /** groupBitmapXorState: symmetric-difference fold — an id survives iff
+    * it appears in an ODD number of the group's bitmaps (the reference's
+    * `rb_xor` chain has the same parity semantics).
+    */
+  def groupBitmapXorState(bm: Column): Column =
+    aggregate(
+      collect_list(bm),
+      array().cast("array<bigint>"),
+      (a, x) => array_sort(array_union(array_except(a, x), array_except(x, a))))
+
+  /** groupBitmapOr — cardinality of the ∪-fold (what ClickHouse returns). */
+  def groupBitmapOr(bm: Column): Column = size(groupBitmapOrState(bm)).cast("long")
+
+  /** groupBitmapAnd — cardinality of the ∩-fold. */
+  def groupBitmapAnd(bm: Column): Column =
+    coalesce(size(groupBitmapAndState(bm)), lit(0)).cast("long")
+
+  /** groupBitmapXor — cardinality of the parity fold. */
+  def groupBitmapXor(bm: Column): Column = size(groupBitmapXorState(bm)).cast("long")
 }

@@ -155,4 +155,22 @@ object Combinators {
   def maxMap(df: DataFrame, groupCols: Seq[String], m: Column,
       out: String = "max_map"): DataFrame =
     aggMap(df, groupCols, m, c => max(c), out)
+
+  def sumMap(df: DataFrame, groupCols: Seq[String], m: Column,
+      out: String = "sum_map"): DataFrame =
+    aggMap(df, groupCols, m, c => sum(c), out)
+
+  // Name-parity aliases (registerAggregateFunctions.cpp): the
+  // `-WithOverflow` forms keep the argument type and let it wrap — the
+  // long/double sums here have the identical wrap for integer inputs —
+  // and the `*MappedArrays` names are the reference's own aliases for
+  // the (keys[], values[]) two-array calling convention.
+  def sumMapWithOverflow(df: DataFrame, groupCols: Seq[String], m: Column,
+      out: String = "sum_map"): DataFrame = sumMap(df, groupCols, m, out)
+  def sumMappedArrays(df: DataFrame, groupCols: Seq[String], m: Column,
+      out: String = "sum_map"): DataFrame = sumMap(df, groupCols, m, out)
+  def minMappedArrays(df: DataFrame, groupCols: Seq[String], m: Column,
+      out: String = "min_map"): DataFrame = minMap(df, groupCols, m, out)
+  def maxMappedArrays(df: DataFrame, groupCols: Seq[String], m: Column,
+      out: String = "max_map"): DataFrame = maxMap(df, groupCols, m, out)
 }

@@ -63,6 +63,9 @@ object Dictionaries {
   }
 
   def drop(name: String): Unit = registry.remove(name)
+
+  /** Catalog lookup for the `dictionary('name')` table function. */
+  def describe(name: String): Dict = dict(name)
   def names: Seq[String] = registry.keys.toSeq.sorted
   def exists(name: String): Boolean = registry.contains(name)
 

@@ -174,6 +174,123 @@ object EventQueries {
           "round(mss._2, 4) AS p_low",
           "round(mss._3, 4) AS p_high")
     }),
+    // ---- round-12 aggregate-registry closure (AggregateTail) ----
+    // skewSamp/kurtSamp (AggregateFunctionStatisticsSimple.h:173-200):
+    // population central moments over the SAMPLE variance — exercised
+    // through the registered SQL fronts; skew_pop cross-checks the same
+    // front against e43's explicit-formula form.
+    "e61_moments_samp" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(expr("skewSamp(value)").as("__ss"),
+          expr("kurtSamp(value)").as("__ks"),
+          expr("skewPop(value)").as("__sp"),
+          expr("kurtPop(value)").as("__kp"))
+        .select(col("event_type"),
+          round(col("__ss"), 4).as("skew_samp"),
+          round(col("__ks"), 4).as("kurt_samp"),
+          round(col("__sp"), 4).as("skew_pop"),
+          round(col("__kp"), 4).as("kurt_pop"))
+        .orderBy(col("event_type"))
+    }),
+    // Exact-quantile tail (QuantileExact.h ExactLow/ExactHigh/
+    // ExactExclusive, QuantileExactWeighted.h): the element-select and
+    // ceil-threshold rules the interpolating quantileExact does NOT
+    // cover. Weighted uses a deterministic int weight.
+    "e62_quantile_exact_tail" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("quantileExactLow(value, 0.5D)").as("qel_med"),
+          expr("quantileExactLow(value, 0.25D)").as("qel_25"),
+          expr("quantileExactHigh(value, 0.5D)").as("qeh_med"),
+          expr("quantileExactHigh(value, 0.75D)").as("qeh_75"),
+          expr("quantileExactExclusive(value, 0.25D)").as("__qex"),
+          expr("quantileExactWeighted(value, event_id % 5 + 1, 0.5D)").as("qew_med"))
+        .select(col("event_type"), col("qel_med"), col("qel_25"),
+          col("qeh_med"), col("qeh_75"),
+          round(col("__qex"), 4).as("qex_25"), col("qew_med"))
+        .orderBy(col("event_type"))
+    }),
+    // groupArrayLast(3) over explicit (ts, event_id) order +
+    // groupArraySample(2, seed=42) via the md5-rank deterministic
+    // sampler (documented deviation from the reference's private pcg
+    // reservoir — same uniform-n-sample contract, replayable by any
+    // engine with md5).
+    "e63_group_array_tail" -> ((s, dir) => {
+      val A = graft.functions.AggregateTail
+      events(s, dir)
+        .filter(col("user_id") < 20)
+        .groupBy(col("user_id"))
+        .agg(
+          A.groupArrayLast(col("event_type"),
+            struct(col("ts"), col("event_id")), 3).as("__last3"),
+          A.groupArraySample(col("event_type"), 2, 42L).as("__samp2"))
+        .select(col("user_id"),
+          array_join(col("__last3"), ",").as("last3"),
+          array_join(col("__samp2"), ",").as("samp2"))
+        .orderBy(col("user_id"))
+    }),
+    // anyHeavy (Boyer–Moore vote, exact under a strict majority — the
+    // engineered column gives 'major' an ~80% share per bucket) +
+    // maxIntersections[Position] in their collect-and-fold aggregate
+    // form (the window-sweep form is e15; both must agree).
+    "e64_heavy_sweep" -> ((s, dir) => {
+      val A = graft.functions.AggregateTail
+      events(s, dir)
+        .filter(col("user_id") < 50)
+        .withColumn("__maj",
+          when(col("event_id") % 10 < 8, lit("major")).otherwise(col("event_type")))
+        .withColumn("__s", tsSec)
+        .withColumn("__e", tsSec + col("value"))
+        .groupBy(col("user_id"))
+        .agg(A.anyHeavy(col("__maj")).as("heavy"),
+          A.maxIntersections(col("__s"), col("__e")).as("max_open"),
+          round(A.maxIntersectionsPosition(col("__s"), col("__e")), 4).as("max_pos"))
+        .orderBy(col("user_id"))
+    }),
+    // covarPopMatrix / covarSampMatrix (AggregateFunctionVarianceMatrix
+    // .cpp) — upper triangle exploded to (i, j, cov_pop, cov_samp) rows,
+    // day-scaled time column so 4-dp rounding is stable in Float64.
+    "e65_covar_matrix" -> ((s, dir) => {
+      val ev = events(s, dir).select(
+        col("value").as("c0"),
+        (col("user_id") % 10).cast("double").as("c1"),
+        (unix_micros(col("ts").cast("timestamp")) / lit(86400e6) - 20000)
+          .as("c2"))
+      val cols = Seq("c0", "c1", "c2")
+      val pairs = for {
+        i <- cols.indices; j <- cols.indices if j >= i
+      } yield (i, j)
+      val exprs = pairs.flatMap { case (i, j) =>
+        Seq(round(covar_pop(col(cols(i)), col(cols(j))), 4).as(s"p_${i}_$j"),
+          round(covar_samp(col(cols(i)), col(cols(j))), 4).as(s"s_${i}_$j"))
+      }
+      val row = ev.agg(exprs.head, exprs.tail: _*)
+      val entries = array(pairs.map { case (i, j) =>
+        struct(lit(i).as("i"), lit(j).as("j"),
+          col(s"p_${i}_$j").as("cov_pop"), col(s"s_${i}_$j").as("cov_samp"))
+      }: _*)
+      row.select(explode(entries).as("e"))
+        .select(col("e.i").as("i"), col("e.j").as("j"),
+          col("e.cov_pop").as("cov_pop"), col("e.cov_samp").as("cov_samp"))
+        .orderBy(col("i"), col("j"))
+    }),
+    // groupBitmapAnd/Or/Xor (AggregateFunctionGroupBitmap.cpp): fold the
+    // per-slot user bitmaps of each event type with ∩ / ∪ / parity and
+    // return cardinalities. Slots overlap in value space (user_id % 500
+    // collides across user_id % 4 slots), so ∩ is non-trivial.
+    "e66_bitmap_group_fold" -> ((s, dir) => {
+      val B = graft.functions.BitmapFunctions
+      events(s, dir)
+        .groupBy(col("event_type"), (col("user_id") % 4).as("__slot"))
+        .agg(B.bitmapBuild(col("user_id") % 500).as("__bm"))
+        .groupBy(col("event_type"))
+        .agg(B.groupBitmapAnd(col("__bm")).as("and_card"),
+          B.groupBitmapOr(col("__bm")).as("or_card"),
+          B.groupBitmapXor(col("__bm")).as("xor_card"))
+        .orderBy(col("event_type"))
+    }),
     "e59_sum_count_single" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -968,6 +1085,138 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // round-12 aggregate-registry closure: the oracle replays the EXACT
+    // arithmetic shape of AggregateTail (Moments.h raw-sum forms,
+    // QuantileExact index rules, ceil-threshold weighted scan) so both
+    // engines round the same Float64.
+    "e61_moments_samp" -> """
+      WITH g AS (
+        SELECT event_type, CAST(count(1) AS DOUBLE) AS n,
+               sum(value) AS s1, sum(value * value) AS s2,
+               sum(value * value * value) AS s3,
+               sum(value * value * value * value) AS s4
+        FROM events GROUP BY 1),
+      m AS (SELECT event_type,
+              (s3 - (3 * s2 - 2 * s1 * s1 / n) * s1 / n) / n AS m3,
+              (s4 - (4 * s3 - (6 * s2 - 3 * s1 * s1 / n) * s1 / n) * s1 / n) / n AS m4,
+              greatest((s2 - s1 * s1 / n) / n, 0) AS vp,
+              greatest((s2 - s1 * s1 / n) / (n - 1), 0) AS vs
+            FROM g)
+      SELECT event_type,
+             round(m3 / pow(vs, 1.5), 4) AS skew_samp,
+             round(m4 / pow(vs, 2), 4) AS kurt_samp,
+             round(m3 / pow(vp, 1.5), 4) AS skew_pop,
+             round(m4 / pow(vp, 2), 4) AS kurt_pop
+      FROM m ORDER BY event_type""",
+    "e62_quantile_exact_tail" -> """
+      WITH g AS (
+        SELECT event_type, list_sort(list(value)) AS arr,
+               CAST(count(1) AS BIGINT) AS s
+        FROM events GROUP BY 1),
+      q AS (SELECT event_type, arr, s,
+              CASE WHEN s % 2 = 1 THEN s // 2 ELSE s // 2 - 1 END AS il_med,
+              CAST(floor(0.25 * s) AS BIGINT) AS il_25,
+              s // 2 AS ih_med,
+              CAST(floor(0.75 * s) AS BIGINT) AS ih_75,
+              0.25 * (s + 1) AS h,
+              CAST(floor(0.25 * (s + 1)) AS BIGINT) AS hn
+            FROM g),
+      wsrc AS (SELECT event_type, value,
+                      CAST(event_id % 5 + 1 AS DOUBLE) AS wt FROM events),
+      cumw AS (SELECT event_type, value,
+                      sum(wt) OVER (PARTITION BY event_type ORDER BY value) AS cw
+               FROM wsrc),
+      tot AS (SELECT event_type, sum(wt) AS t FROM wsrc GROUP BY 1),
+      qew AS (SELECT c.event_type, min(c.value) AS qew_med
+              FROM cumw c JOIN tot t ON c.event_type = t.event_type
+              WHERE c.cw >= ceil(t.t * 0.5) GROUP BY 1)
+      SELECT q.event_type,
+             arr[il_med + 1] AS qel_med,
+             arr[il_25 + 1] AS qel_25,
+             arr[ih_med + 1] AS qeh_med,
+             arr[ih_75 + 1] AS qeh_75,
+             round(CASE WHEN hn >= s THEN arr[s]
+                        WHEN hn < 1 THEN arr[1]
+                        ELSE arr[hn] + (h - hn) * (arr[hn + 1] - arr[hn])
+                   END, 4) AS qex_25,
+             w.qew_med
+      FROM q JOIN qew w ON q.event_type = w.event_type
+      ORDER BY q.event_type""",
+    "e63_group_array_tail" -> """
+      WITH g AS (
+        SELECT user_id,
+               list(event_type ORDER BY ts, event_id) AS seq,
+               list(event_type ORDER BY md5(event_type || '#42'), event_type)
+                 AS sh
+        FROM events WHERE user_id < 20 GROUP BY user_id)
+      SELECT user_id,
+             array_to_string(list_slice(seq, greatest(len(seq) - 2, 1),
+               len(seq)), ',') AS last3,
+             array_to_string(list_slice(sh, 1, 2), ',') AS samp2
+      FROM g ORDER BY user_id""",
+    "e64_heavy_sweep" -> """
+      WITH f AS (
+        SELECT user_id, event_id, value,
+               CASE WHEN event_id % 10 < 8 THEN 'major' ELSE event_type END
+                 AS maj,
+               epoch_us(ts) / 1000000.0 AS s,
+               epoch_us(ts) / 1000000.0 + value AS e
+        FROM events WHERE user_id < 50),
+      hv AS (SELECT user_id, maj, count(1) AS c FROM f GROUP BY 1, 2),
+      tot AS (SELECT user_id, count(1) AS t FROM f GROUP BY 1),
+      heavy AS (SELECT h.user_id, min(h.maj) AS heavy
+                FROM hv h JOIN tot t ON h.user_id = t.user_id
+                WHERE 2 * h.c > t.t GROUP BY 1),
+      pts AS (SELECT user_id, s AS p, 1 AS delta FROM f
+              UNION ALL SELECT user_id, e AS p, -1 AS delta FROM f),
+      sw AS (SELECT user_id, p,
+               sum(delta) OVER (PARTITION BY user_id ORDER BY p, delta
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
+             FROM pts),
+      mx AS (SELECT user_id, max(open) AS max_open FROM sw GROUP BY 1),
+      pos AS (SELECT w.user_id, min(w.p) AS mp
+              FROM sw w JOIN mx m
+                ON w.user_id = m.user_id AND w.open = m.max_open
+              GROUP BY 1)
+      SELECT h.user_id, h.heavy, CAST(m.max_open AS BIGINT) AS max_open,
+             round(p.mp, 4) AS max_pos
+      FROM heavy h JOIN mx m ON h.user_id = m.user_id
+      JOIN pos p ON h.user_id = p.user_id
+      ORDER BY h.user_id""",
+    "e65_covar_matrix" -> """
+      WITH ev AS (SELECT value AS c0,
+                         CAST(user_id % 10 AS DOUBLE) AS c1,
+                         epoch_us(ts) / 86400000000.0 - 20000 AS c2
+                  FROM events),
+      m AS (SELECT
+              round(covar_pop(c0, c0), 4) AS p00, round(covar_samp(c0, c0), 4) AS s00,
+              round(covar_pop(c0, c1), 4) AS p01, round(covar_samp(c0, c1), 4) AS s01,
+              round(covar_pop(c0, c2), 4) AS p02, round(covar_samp(c0, c2), 4) AS s02,
+              round(covar_pop(c1, c1), 4) AS p11, round(covar_samp(c1, c1), 4) AS s11,
+              round(covar_pop(c1, c2), 4) AS p12, round(covar_samp(c1, c2), 4) AS s12,
+              round(covar_pop(c2, c2), 4) AS p22, round(covar_samp(c2, c2), 4) AS s22
+            FROM ev)
+      SELECT 0 AS i, 0 AS j, p00 AS cov_pop, s00 AS cov_samp FROM m
+      UNION ALL SELECT 0, 1, p01, s01 FROM m
+      UNION ALL SELECT 0, 2, p02, s02 FROM m
+      UNION ALL SELECT 1, 1, p11, s11 FROM m
+      UNION ALL SELECT 1, 2, p12, s12 FROM m
+      UNION ALL SELECT 2, 2, p22, s22 FROM m
+      ORDER BY i, j""",
+    "e66_bitmap_group_fold" -> """
+      WITH m AS (SELECT DISTINCT event_type, user_id % 4 AS slot,
+                        user_id % 500 AS v FROM events),
+      ns AS (SELECT event_type, count(DISTINCT slot) AS nslots
+             FROM m GROUP BY 1),
+      cnt AS (SELECT event_type, v, count(1) AS c FROM m GROUP BY 1, 2)
+      SELECT c.event_type,
+             CAST(sum(CASE WHEN c.c = n.nslots THEN 1 ELSE 0 END) AS BIGINT)
+               AS and_card,
+             CAST(count(1) AS BIGINT) AS or_card,
+             CAST(sum(CASE WHEN c.c % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS xor_card
+      FROM cnt c JOIN ns n ON c.event_type = n.event_type
+      GROUP BY 1 ORDER BY 1""",
     // Greedy non-overlapping A→B chain count == number of A-run → B-run
     // boundaries in the run-length encoding of the condition-event stream
     // (extra A's inside a run are ignored by the automaton, extra B's

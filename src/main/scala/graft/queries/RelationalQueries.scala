@@ -452,6 +452,34 @@ object RelationalQueries {
         .orderBy(col("n"))
     }),
 
+    // Round-12 TVF closure (TableFunctionFactory tail with a single-JVM
+    // meaning): values() inline rows, format('JSONEachRow') inline parse,
+    // zeros(), merge('regexp') union-by-name with the _table virtual
+    // column — composed into one relational result the oracle replays
+    // with VALUES / UNION ALL. (view()/explain()/dictionary()/
+    // executable()/null() are spec-covered — no stable SQL-shaped
+    // output: plans, process stdout, empty sets.)
+    "q70_tvf_closure" -> ((s, dir) => {
+      val T = graft.sources.TableFunctions
+      t(s, dir, "nation").createOrReplaceTempView("__tvf_nation")
+      t(s, dir, "region").createOrReplaceTempView("__tvf_region")
+      val merged = T.merge(s, "__tvf_(nation|region)")
+        .groupBy(col("_table")).agg(count(lit(1)).as("n"))
+        .agg(sum(col("n")).cast("long").as("merged_rows"),
+          count(lit(1)).as("merged_tables"))
+      val vals = T.values(s, "k BIGINT, v STRING",
+        Seq(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c")))
+      val fmt = T.format(s, "JSONEachRow",
+        "{\"k\":1,\"w\":10}\n{\"k\":2,\"w\":20}\n{\"k\":3,\"w\":30}")
+      val zeros = T.zeros(s, 5)
+        .agg(sum(col("zero")).cast("long").as("zsum"), count(lit(1)).as("zn"))
+      vals.join(fmt, "k")
+        .agg(count(lit(1)).as("nv"), sum(col("w")).cast("long").as("wsum"),
+          max(col("v")).as("vmax"))
+        .crossJoin(zeros)
+        .crossJoin(merged)
+    }),
+
     // dictGet over a broadcast dictionary (nation key → name).
     "q39_dict_get" -> ((s, dir) => {
       val nation = t(s, dir, "nation")
@@ -1761,6 +1789,19 @@ object RelationalQueries {
       SELECT n, sq_mod FROM (
         SELECT range AS n, (range * range) % 7 AS sq_mod FROM range(0, 1000))
       WHERE sq_mod > 2 ORDER BY n""",
+    "q70_tvf_closure" -> """
+      WITH v(k, v) AS (VALUES (1, 'a'), (2, 'b'), (3, 'c')),
+           f(k, w) AS (VALUES (1, 10), (2, 20), (3, 30)),
+           z AS (SELECT CAST(0 AS BIGINT) AS zero FROM range(5)),
+           m AS (SELECT count(1) AS n FROM nation
+                 UNION ALL SELECT count(1) FROM region)
+      SELECT count(1) AS nv, CAST(sum(f.w) AS BIGINT) AS wsum,
+             max(v.v) AS vmax,
+             (SELECT CAST(sum(zero) AS BIGINT) FROM z) AS zsum,
+             (SELECT count(1) FROM z) AS zn,
+             (SELECT CAST(sum(n) AS BIGINT) FROM m) AS merged_rows,
+             (SELECT count(1) FROM m) AS merged_tables
+      FROM v JOIN f ON v.k = f.k""",
     "q39_dict_get" -> """
       SELECT c_custkey, n_name AS nation_name,
              'unknown' AS nation_or_default,

@@ -71,4 +71,159 @@ object TableFunctions {
       case other => throw new IllegalArgumentException(s"unsupported format $other")
     }
   }
+
+  // ---- round-12 TVF closure (TableFunctionFactory registrations with a
+  // single-JVM meaning; cluster/remote/JDBC/lake formats are documented
+  // out — no cluster, no drivers, no egress in scope) ----
+
+  /** `values('structure', row, row, ...)` (`TableFunctionValues.cpp`):
+    * inline literal rows under an explicit DDL schema.
+    */
+  def values(spark: SparkSession, schemaDdl: String,
+      rows: Seq[Seq[Any]]): DataFrame = {
+    val schema = StructType.fromDDL(schemaDdl)
+    val rs = rows.map(r => org.apache.spark.sql.Row.fromSeq(r))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rs).asJava), schema)
+  }
+
+  /** `null('structure')` (`TableFunctionNull.cpp`): a Null-engine table —
+    * reads yield zero rows, writes are discarded; the schema is real so
+    * downstream plans resolve.
+    */
+  def nullTable(spark: SparkSession, schemaDdl: String): DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType.fromDDL(schemaDdl))
+
+  /** `format('Format', 'data')` (`TableFunctionFormat.cpp`): parse an
+    * inline data literal with the named input format. The formats with a
+    * Spark-native parser are mapped (JSONEachRow/CSV[WithNames]/
+    * TSV[WithNames]); the reference's remaining ~50 exotic formats are a
+    * documented deviation (SURVEY §2.2).
+    */
+  def format(spark: SparkSession, formatName: String, data: String): DataFrame = {
+    val lines = spark.createDataset(data.split("\n").toSeq.filter(_.nonEmpty))(
+      org.apache.spark.sql.Encoders.STRING)
+    formatName.toLowerCase match {
+      case "jsoneachrow" | "ndjson" | "jsonlines" => spark.read.json(lines)
+      case "csv" => spark.read.option("inferSchema", "true").csv(lines)
+      case "csvwithnames" =>
+        spark.read.option("header", "true").option("inferSchema", "true").csv(lines)
+      case "tsv" | "tabseparated" =>
+        spark.read.option("sep", "\t").option("inferSchema", "true").csv(lines)
+      case "tsvwithnames" | "tabseparatedwithnames" =>
+        spark.read.option("sep", "\t").option("header", "true")
+          .option("inferSchema", "true").csv(lines)
+      case other => throw new IllegalArgumentException(
+        s"format(): unsupported input format $other")
+    }
+  }
+
+  /** `view(SELECT ...)` (`TableFunctionView.cpp`): subquery as a table. */
+  def view(spark: SparkSession, sql: String): DataFrame = spark.sql(sql)
+
+  /** `viewIfPermitted(SELECT ... ELSE null('structure'))`: the
+    * permission-gated view — single-user sandbox is always permitted, so
+    * the ELSE branch only fires when the query itself cannot resolve.
+    */
+  def viewIfPermitted(spark: SparkSession, sql: String,
+      elseSchemaDdl: String): DataFrame =
+    try view(spark, sql)
+    catch { case _: org.apache.spark.sql.AnalysisException =>
+      nullTable(spark, elseSchemaDdl) }
+
+  /** `merge('tables_regexp')` (`TableFunctionMerge.cpp`): union of every
+    * catalog table whose name matches, with the `_table` virtual column;
+    * structures are merged by name, absent columns NULL-filled — the
+    * reference's Merge-engine read semantics.
+    */
+  def merge(spark: SparkSession, tablesRegexp: String): DataFrame = {
+    val re = tablesRegexp.r
+    val names = spark.catalog.listTables().collect()
+      .map(_.name).filter(n => re.pattern.matcher(n).matches()).sorted
+    require(names.nonEmpty, s"merge(): no tables match '$tablesRegexp'")
+    names.map(n => spark.table(n).withColumn("_table", lit(n)))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** `dictionary('name')` (`TableFunctionDictionary.cpp`): the rows of a
+    * named dictionary from the CREATE DICTIONARY catalog.
+    */
+  def dictionary(spark: SparkSession, name: String): DataFrame = {
+    val d = graft.operators.Dictionaries.describe(name)
+    val attrNames = d.attrTypes.keys.toSeq.sorted
+    // declared CH type → engine column type (same collapse the typed
+    // dictGet<T> fronts use: ints → BIGINT, floats → DOUBLE, rest STRING)
+    def ddl(t: String): String = t match {
+      case t1 if t1.startsWith("UInt") || t1.startsWith("Int") => "BIGINT"
+      case t1 if t1.startsWith("Float") => "DOUBLE"
+      case _ => "STRING"
+    }
+    val keys = d.attrs.values.flatMap(_.keys).toSeq.distinct.sorted
+    val rows = keys.map { k =>
+      org.apache.spark.sql.Row.fromSeq(
+        k +: attrNames.map { a =>
+          (d.attrs(a).get(k), ddl(d.attrTypes(a))) match {
+            case (None, _)            => null
+            case (Some(v: Number), "BIGINT") => v.longValue()
+            case (Some(v: Number), "DOUBLE") => v.doubleValue()
+            case (Some(v), "BIGINT")  => v.toString.toLong
+            case (Some(v), "DOUBLE")  => v.toString.toDouble
+            case (Some(v), _)         => v.toString
+          }
+        })
+    }
+    val schema = StructType.fromDDL(
+      (s"${d.keyCol} BIGINT" +:
+        attrNames.map(a => s"$a ${ddl(d.attrTypes(a))}")).mkString(", "))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+  }
+
+  /** `explain(SELECT ...)` (`TableFunctionExplain.cpp`): the optimized
+    * plan as rows — one line per row, like the reference's
+    * `EXPLAIN ... FORMAT TSV` table form.
+    */
+  def explain(spark: SparkSession, sql: String): DataFrame = {
+    val lines = spark.sql(sql).queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode).split("\n").toSeq
+    spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING).toDF("explain")
+  }
+
+  /** `executable('cmd', 'structure')` (`TableFunctionExecutable.cpp`):
+    * run the script once, parse its TSV stdout under the declared
+    * schema. Like the reference, the process runs on the serving node
+    * (here: the driver) and is bounded by the script's output size; for
+    * per-row transforms use [[graft.functions.ExecutableUdf]] which
+    * pipes inside the executors.
+    */
+  def executable(spark: SparkSession, cmd: Seq[String],
+      schemaDdl: String): DataFrame = {
+    val proc = new ProcessBuilder(
+      scala.jdk.CollectionConverters.SeqHasAsJava(cmd).asJava)
+      .redirectErrorStream(false).start()
+    val out = new String(proc.getInputStream.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    require(proc.waitFor() == 0, s"executable(): ${cmd.head} exited non-zero")
+    val schema = StructType.fromDDL(schemaDdl)
+    val rows = out.split("\n").toSeq.filter(_.nonEmpty).map { line =>
+      val parts = line.split("\t", -1)
+      org.apache.spark.sql.Row.fromSeq(schema.fields.zipWithIndex.map {
+        case (f, i) =>
+          val v = parts(i)
+          f.dataType match {
+            case org.apache.spark.sql.types.LongType    => v.toLong
+            case org.apache.spark.sql.types.IntegerType => v.toInt
+            case org.apache.spark.sql.types.DoubleType  => v.toDouble
+            case _                                      => v
+          }
+      }.toSeq)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+  }
 }

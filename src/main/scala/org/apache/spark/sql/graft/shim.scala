@@ -13,6 +13,15 @@ object shim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** EAGER Column → Expression conversion. `expression` returns a lazy
+    * `ColumnNodeExpression` wrapper that only Dataset-side resolution
+    * unwraps; expressions injected through the FUNCTION REGISTRY (the
+    * ClickHouse-named aggregate fronts) need the real catalyst tree up
+    * front so the analyzer can resolve the inner function calls.
+    */
+  def expressionEager(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** DataFrame over a raw logical plan (`Dataset.ofRows` is
     * `private[sql]`) — used by optimizer rules that graft an index-scan
     * sub-plan into an existing query tree.

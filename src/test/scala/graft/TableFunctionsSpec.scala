@@ -48,6 +48,65 @@ class TableFunctionsSpec extends SparkSpec {
     assert(TableFunctions.file(spark, pq).count() === 2)
   }
 
+  test("values / null / format: inline sources parse under the schema") {
+    val v = TableFunctions.values(spark, "k BIGINT, v STRING",
+      Seq(Seq(1L, "a"), Seq(2L, "b")))
+    assert(v.schema.map(_.name) === Seq("k", "v") && v.count() === 2)
+
+    val nul = TableFunctions.nullTable(spark, "a INT, b STRING")
+    assert(nul.count() === 0 && nul.schema.map(_.name) === Seq("a", "b"))
+    // downstream plans resolve against the Null-engine schema
+    assert(nul.filter($"a" > 0).select($"b").count() === 0)
+
+    val j = TableFunctions.format(spark, "JSONEachRow",
+      "{\"k\":1,\"w\":10}\n{\"k\":2,\"w\":20}")
+    assert(j.agg(sum($"w")).head().getLong(0) === 30L)
+    val c = TableFunctions.format(spark, "CSVWithNames", "a,b\n1,x\n2,y")
+    assert(c.columns.toSeq === Seq("a", "b") && c.count() === 2)
+    val tsv = TableFunctions.format(spark, "TSVWithNames", "a\tb\n1\tx")
+    assert(tsv.columns.toSeq === Seq("a", "b") && tsv.count() === 1)
+  }
+
+  test("view / explain / merge table functions") {
+    assert(TableFunctions.view(spark, "SELECT 1 AS x").head().getInt(0) === 1)
+    val ex = TableFunctions.explain(spark, "SELECT 1 AS x")
+    assert(ex.columns.toSeq === Seq("explain") && ex.count() > 0)
+    // viewIfPermitted falls back to the null table on a bad query
+    val fb = TableFunctions.viewIfPermitted(spark, "SELECT no_such_col FROM t",
+      "x INT")
+    assert(fb.count() === 0 && fb.columns.toSeq === Seq("x"))
+
+    Seq((1L, "a")).toDF("id", "s").createOrReplaceTempView("__m_one")
+    Seq((2L, 9.5)).toDF("id", "d").createOrReplaceTempView("__m_two")
+    val m = TableFunctions.merge(spark, "__m_(one|two)")
+    assert(m.count() === 2)
+    assert(m.columns.toSet === Set("id", "s", "d", "_table"))
+    // absent columns NULL-fill, virtual _table names the source
+    val r = m.orderBy($"id").collect()
+    assert(r(0).getAs[String]("_table") === "__m_one" && r(1).isNullAt(r(1).fieldIndex("s")))
+  }
+
+  test("dictionary('name') TVF: typed rows from the CREATE DICTIONARY catalog") {
+    import graft.operators.Dictionaries
+    Dictionaries.create("tvfdict",
+      Seq((1L, "one", 1.5), (2L, "two", 2.5)).toDF("k", "name", "w"),
+      "k", Map("name" -> "String", "w" -> "Float64"))
+    try {
+      val d = TableFunctions.dictionary(spark, "tvfdict").orderBy($"k")
+      assert(d.columns.toSeq === Seq("k", "name", "w"))
+      val rows = d.collect()
+      assert(rows(0).getLong(0) === 1L && rows(0).getString(1) === "one"
+        && rows(0).getDouble(2) === 1.5)
+    } finally Dictionaries.drop("tvfdict")
+  }
+
+  test("executable('cmd', structure) TVF: TSV stdout under the schema") {
+    val d = TableFunctions.executable(spark,
+      Seq("/bin/sh", "-c", "printf '1\\tx\\n2\\ty\\n'"), "id BIGINT, s STRING")
+    assert(d.orderBy($"id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((1L, "x"), (2L, "y")))
+  }
+
   test("system.parts: footer stats match the table (rows, min/max)") {
     import graft.sources.SystemParts
     val dir = java.nio.file.Files.createTempDirectory("parts").toString
