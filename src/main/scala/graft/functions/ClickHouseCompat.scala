@@ -2055,6 +2055,7 @@ object ClickHouseCompat {
     HashParity.install(spark)
     DateTimeFormat.install(spark)
     GeoGrid.install(spark)
+    Geometry.install(spark) // boost::geometry polygon family
   }
 
   /** Install all aliases (CREATE OR REPLACE, idempotent); returns names

@@ -830,6 +830,44 @@ object RelationalQueries {
           "CAST(array_contains(h3kRing(h, 1), h3GetDestinationIndexFromUnidirectionalEdge(h3GetUnidirectionalEdgesFromHexagon(h)[2])) AS INT) AS edge_dest_in_ring")
         .orderBy(col("id"))
     }),
+    // Polygon algebra end-to-end (boost::geometry family; reference
+    // polygonsIntersection.cpp / polygonsUnion.cpp / polygonsSymDifference
+    // .cpp / polygonsWithin.cpp / polygonArea.cpp / polygonConvexHull.cpp):
+    // a 25×25 grid of axis-aligned rectangle pairs drives the
+    // Martinez–Rueda clipper through disjoint / touching / overlapping /
+    // nested / identical configurations; the oracle recomputes every
+    // measure analytically (rectangle algebra in SQL; Van Oosterom–
+    // Strackee spherical excess + haversine for the spherical columns).
+    "q71_polygon_algebra" -> ((s, dir) => {
+      val grid = s.range(0, 25).selectExpr("id AS i")
+        .crossJoin(s.range(0, 25).selectExpr("id AS j"))
+        .selectExpr("i", "j",
+          "CAST(i % 5 AS DOUBLE) AS ax0", "CAST(i DIV 5 AS DOUBLE) AS ay0",
+          "CAST(i % 5 + 2 + i % 3 AS DOUBLE) AS ax1",
+          "CAST(i DIV 5 + 1 + i % 4 AS DOUBLE) AS ay1",
+          "CAST(j % 5 AS DOUBLE) AS bx0", "CAST(j DIV 5 AS DOUBLE) AS by0",
+          "CAST(j % 5 + 2 + j % 3 AS DOUBLE) AS bx1",
+          "CAST(j DIV 5 + 1 + j % 4 AS DOUBLE) AS by1")
+      def pt(x: String, y: String) = s"struct($x AS px, $y AS py)"
+      val A = s"array(array(array(${pt("ax0","ay0")}, ${pt("ax0","ay1")}, ${pt("ax1","ay1")}, ${pt("ax1","ay0")})))"
+      val B = s"array(array(array(${pt("bx0","by0")}, ${pt("bx0","by1")}, ${pt("bx1","by1")}, ${pt("bx1","by0")})))"
+      val A5 = s"array(array(array(${pt("ax0","ay0")}, ${pt("ax0","ay1")}, ${pt("ax1","ay1")}, ${pt("ax1","ay0")}, ${pt("(ax0+ax1)/2","(ay0+ay1)/2")})))"
+      grid.selectExpr("i", "j",
+        s"polygonAreaCartesian($A) AS area_a",
+        s"polygonPerimeterCartesian($A) AS perim_a",
+        s"polygonAreaCartesian(polygonsIntersectionCartesian($A, $B)) AS inter_area",
+        s"polygonAreaCartesian(polygonsUnionCartesian($A, $B)) AS union_area",
+        s"polygonAreaCartesian(polygonsSymDifferenceCartesian($A, $B)) AS symdiff_area",
+        s"CAST(polygonsWithinCartesian($A, $B) AS INT) AS within_ab",
+        s"CAST(polygonsEqualsCartesian($A, $B) AS INT) AS eq_ab",
+        s"round(polygonsDistanceCartesian($A, $B), 9) AS dist_ab",
+        s"polygonAreaCartesian(array(polygonConvexHullCartesian($A5))) AS hull_area",
+        s"size(polygonsIntersectionCartesian($A, $B)) AS inter_n",
+        s"round(polygonAreaSpherical($A), 9) AS area_sph",
+        s"round(polygonPerimeterSpherical($A), 9) AS perim_sph",
+        s"round(polygonsDistanceSpherical(array(array(array(${pt("ax0","ay0")}))), array(array(array(${pt("bx1 + 20D","by1 + 30D")})))), 9) AS dist_sph")
+        .orderBy(col("i"), col("j"))
+    }),
     "q63_datetime_h3" -> ((s, dir) => {
       t(s, dir, "orders").filter(col("o_orderkey") <= 500)
         .withColumn("ts", col("o_orderdate").cast("timestamp"))
@@ -1271,6 +1309,63 @@ object RelationalQueries {
       ) AS t(id, h, lon_c, lat_c, kring_n, kring_sum, hexring_n, hexring_sum,
              bnd_n, bnd0_lat, bnd0_lon, edge_valid, edge_dest_in_ring)
       ORDER BY id""",
+    // q71 oracle: rectangle algebra recomputed analytically; the spherical
+    // columns replay the exact great-circle formulas (Van Oosterom–Strackee
+    // triangle fan for area; haversine for lengths) over the same grid.
+    "q71_polygon_algebra" -> """
+      WITH g AS (
+        SELECT t1.i AS i, t2.j AS j,
+          CAST(t1.i % 5 AS DOUBLE) AS ax0, CAST(t1.i // 5 AS DOUBLE) AS ay0,
+          CAST(t1.i % 5 + 2 + t1.i % 3 AS DOUBLE) AS ax1,
+          CAST(t1.i // 5 + 1 + t1.i % 4 AS DOUBLE) AS ay1,
+          CAST(t2.j % 5 AS DOUBLE) AS bx0, CAST(t2.j // 5 AS DOUBLE) AS by0,
+          CAST(t2.j % 5 + 2 + t2.j % 3 AS DOUBLE) AS bx1,
+          CAST(t2.j // 5 + 1 + t2.j % 4 AS DOUBLE) AS by1
+        FROM generate_series(0, 24) t1(i), generate_series(0, 24) t2(j)),
+      m AS (
+        SELECT *,
+          GREATEST(0, LEAST(ax1, bx1) - GREATEST(ax0, bx0)) AS iw,
+          GREATEST(0, LEAST(ay1, by1) - GREATEST(ay0, by0)) AS ih,
+          (ax1 - ax0) * (ay1 - ay0) AS aa,
+          (bx1 - bx0) * (by1 - by0) AS ab
+        FROM g),
+      u AS (
+        SELECT *,
+          cos(radians(ay0))*cos(radians(ax0)) AS p0x, cos(radians(ay0))*sin(radians(ax0)) AS p0y, sin(radians(ay0)) AS p0z,
+          cos(radians(ay1))*cos(radians(ax0)) AS p1x, cos(radians(ay1))*sin(radians(ax0)) AS p1y, sin(radians(ay1)) AS p1z,
+          cos(radians(ay1))*cos(radians(ax1)) AS p2x, cos(radians(ay1))*sin(radians(ax1)) AS p2y, sin(radians(ay1)) AS p2z,
+          cos(radians(ay0))*cos(radians(ax1)) AS p3x, cos(radians(ay0))*sin(radians(ax1)) AS p3y, sin(radians(ay0)) AS p3z
+        FROM m)
+      SELECT i, j,
+        aa AS area_a,
+        2 * ((ax1 - ax0) + (ay1 - ay0)) AS perim_a,
+        CASE WHEN iw > 0 AND ih > 0 THEN iw * ih ELSE NULL END AS inter_area,
+        aa + ab - CASE WHEN iw > 0 AND ih > 0 THEN iw * ih ELSE 0 END AS union_area,
+        CASE WHEN ax0 = bx0 AND ay0 = by0 AND ax1 = bx1 AND ay1 = by1 THEN NULL
+             ELSE aa + ab - 2 * (CASE WHEN iw > 0 AND ih > 0 THEN iw * ih ELSE 0 END)
+        END AS symdiff_area,
+        CAST(CASE WHEN ax0 >= bx0 AND ax1 <= bx1 AND ay0 >= by0 AND ay1 <= by1 THEN 1 ELSE 0 END AS INT) AS within_ab,
+        CAST(CASE WHEN ax0 = bx0 AND ay0 = by0 AND ax1 = bx1 AND ay1 = by1 THEN 1 ELSE 0 END AS INT) AS eq_ab,
+        round(sqrt(pow(GREATEST(0, bx0 - ax1, ax0 - bx1), 2)
+                 + pow(GREATEST(0, by0 - ay1, ay0 - by1), 2)), 9) AS dist_ab,
+        aa AS hull_area,
+        CAST(CASE WHEN iw > 0 AND ih > 0 THEN 1 ELSE 0 END AS INT) AS inter_n,
+        round(abs(
+            2 * atan2(p0x*(p1y*p2z - p1z*p2y) + p0y*(p1z*p2x - p1x*p2z) + p0z*(p1x*p2y - p1y*p2x),
+                      1 + (p0x*p1x + p0y*p1y + p0z*p1z) + (p1x*p2x + p1y*p2y + p1z*p2z) + (p2x*p0x + p2y*p0y + p2z*p0z))
+          + 2 * atan2(p0x*(p2y*p3z - p2z*p3y) + p0y*(p2z*p3x - p2x*p3z) + p0z*(p2x*p3y - p2y*p3x),
+                      1 + (p0x*p2x + p0y*p2y + p0z*p2z) + (p2x*p3x + p2y*p3y + p2z*p3z) + (p3x*p0x + p3y*p0y + p3z*p0z))
+          ), 9) AS area_sph,
+        round(
+            2 * asin(sqrt(pow(sin(radians(ay1 - ay0) / 2), 2)))
+          + 2 * asin(sqrt(pow(sin(radians(ay1 - ay1) / 2), 2) + cos(radians(ay1)) * cos(radians(ay1)) * pow(sin(radians(ax1 - ax0) / 2), 2)))
+          + 2 * asin(sqrt(pow(sin(radians(ay0 - ay1) / 2), 2)))
+          + 2 * asin(sqrt(pow(sin(radians(ay0 - ay0) / 2), 2) + cos(radians(ay0)) * cos(radians(ay0)) * pow(sin(radians(ax0 - ax1) / 2), 2)))
+          , 9) AS perim_sph,
+        round(2 * asin(sqrt(pow(sin(radians((by1 + 30) - ay0) / 2), 2)
+          + cos(radians(ay0)) * cos(radians(by1 + 30)) * pow(sin(radians((bx1 + 20) - ax0) / 2), 2))), 9) AS dist_sph
+      FROM u
+      ORDER BY i, j""",
     "q63_datetime_h3" -> """
       WITH o AS (
         SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS ts,

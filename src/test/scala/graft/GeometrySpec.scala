@@ -1,0 +1,274 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Geometry, PolygonClip}
+import graft.functions.PolygonClip.{Intersection, MultiPoly, Union, Xor}
+
+/** Every pinned value below is the reference's OWN stateless-test output
+  * (tests/queries/0_stateless/01300_wkt, 01300_read_wkt, 01300_svg,
+  * 01300_polygon_convex_hull, 01301_polygons_within, 01302_polygons_distance,
+  * 01303_polygons_equals, 01304_polygons_sym_difference, 01305_polygons_union,
+  * 01306_polygons_intersection, 01307_polygon_perimeter, 01308_polygon_area).
+  * Boolean-op ring goldens are compared in canonical form (closed rings,
+  * boost orientation, rotated to the smallest vertex) because boost's
+  * starting vertex inside a ring is an implementation detail; the vertex
+  * coordinates themselves must match exactly (Cartesian) or at the golden's
+  * own printed rounding (Spherical).
+  */
+class GeometrySpec extends AnyFunSuite {
+
+  private def mp(rings: Seq[Seq[(Double, Double)]]*): MultiPoly =
+    rings.map(p => p.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq
+
+  private def canon(m: MultiPoly): Seq[Seq[Seq[(Double, Double)]]] =
+    PolygonClip.canonical(m).map(_.map(_.toList).toList).toList
+
+  // the 01300..01308 shared fixtures
+  private val heptagon = mp(Seq(Seq(
+    (0.0, 0.0), (0.0, 3.0), (1.0, 2.9), (2.0, 2.6), (2.6, 2.0), (2.9, 1.0), (3.0, 0.0), (0.0, 0.0))))
+  private val square14 = mp(Seq(Seq(
+    (1.0, 1.0), (1.0, 4.0), (4.0, 4.0), (4.0, 1.0), (1.0, 1.0))))
+
+  // ---- WKT ----------------------------------------------------------------
+
+  test("wkt goldens (01300_wkt)") {
+    assert(Geometry.wktPoint((0.0, 0.0)) === "POINT(0 0)")
+    assert(Geometry.wktRing(IndexedSeq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)))
+      === "POLYGON((0 0,10 0,10 10,0 10))")
+    assert(Geometry.wktPolygon(IndexedSeq(
+      IndexedSeq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)),
+      IndexedSeq((4.0, 4.0), (5.0, 4.0), (5.0, 5.0), (4.0, 5.0))))
+      === "POLYGON((0 0,10 0,10 10,0 10,0 0),(4 4,5 4,5 5,4 5,4 4))")
+    assert(Geometry.wktMulti(mp(
+      Seq(Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)),
+        Seq((4.0, 4.0), (5.0, 4.0), (5.0, 5.0), (4.0, 5.0))),
+      Seq(Seq((-10.0, -10.0), (-10.0, -9.0), (-9.0, 10.0)))))
+      === "MULTIPOLYGON(((0 0,10 0,10 10,0 10,0 0),(4 4,5 4,5 5,4 5,4 4)),((-10 -10,-10 -9,-9 10,-10 -10)))")
+  }
+
+  test("readWKT goldens (01300_read_wkt)") {
+    assert(Geometry.parseWktPoint("POINT(0 0)") === ((0.0, 0.0)))
+    assert(Geometry.parseWktPolygon("POLYGON((1 0,10 0,10 10,0 10,1 0))")
+      === IndexedSeq(IndexedSeq((1.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (1.0, 0.0))))
+    assert(Geometry.parseWktPolygon("POLYGON((0 0,10 0,10 10,0 10,0 0),(4 4,5 4,5 5,4 5,4 4))").length === 2)
+    val m = Geometry.parseWktMulti(
+      "MULTIPOLYGON(((2 0,10 0,10 10,0 10,2 0),(4 4,5 4,5 5,4 5,4 4)),((-10 -10,-10 -9,-9 10,-10 -10)))")
+    assert(m.length === 2)
+    assert(m(0).length === 2)
+    assert(m(1)(0).head === ((-10.0, -10.0)))
+    assert(Geometry.parseWktRing("POLYGON((1 0,10 0,10 10,0 10,1 0))").length === 5)
+    // round trip
+    assert(Geometry.wktMulti(m) ===
+      "MULTIPOLYGON(((2 0,10 0,10 10,0 10,2 0),(4 4,5 4,5 5,4 5,4 4)),((-10 -10,-10 -9,-9 10,-10 -10)))")
+  }
+
+  test("svg goldens (01300_svg)") {
+    assert(Geometry.svgPoint((0.0, 0.0), "") === """<circle cx="0" cy="0" r="5" style=""/>""")
+    assert(Geometry.svgPoint((0.0, 0.0), "b") === """<circle cx="0" cy="0" r="5" style="b"/>""")
+    assert(Geometry.svgRing(
+      IndexedSeq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)), "")
+      === """<polygon points="0,0 0,10 10,10 10,0 0,0" style=""/>""")
+    assert(Geometry.svgPolygon(IndexedSeq(
+      IndexedSeq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)),
+      IndexedSeq((4.0, 4.0), (5.0, 4.0), (5.0, 5.0), (4.0, 5.0))), "")
+      === """<g fill-rule="evenodd"><path d="M 0,0 L 0,10 L 10,10 L 10,0 L 0,0M 4,4 L 5,4 L 5,5 L 4,5 L 4,4 z " style=""/></g>""")
+    assert(Geometry.svgMulti(mp(
+      Seq(Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)),
+        Seq((4.0, 4.0), (5.0, 4.0), (5.0, 5.0), (4.0, 5.0))),
+      Seq(Seq((-10.0, -10.0), (-10.0, -9.0), (-9.0, 10.0)))), "b")
+      === """<g fill-rule="evenodd"><path d="M 0,0 L 0,10 L 10,10 L 10,0 L 0,0M 4,4 L 5,4 L 5,5 L 4,5 L 4,4 z " style="b"/></g>""" +
+        """<g fill-rule="evenodd"><path d="M -10,-10 L -10,-9 L -9,10 L -10,-10 z " style="b"/></g>""")
+  }
+
+  // ---- Cartesian measures -------------------------------------------------
+
+  test("polygonAreaCartesian / perimeter goldens (01308, 01307)") {
+    assert(Geometry.areaCartesian(mp(Seq(Seq(
+      (0.0, 0.0), (0.0, 5.0), (5.0, 5.0), (5.0, 0.0))))) === 25.0)
+    assert(Geometry.perimeterCartesian(mp(Seq(Seq(
+      (0.0, 0.0), (0.0, 5.0), (5.0, 5.0), (5.0, 0.0), (0.0, 0.0))))) === 20.0)
+    // holes subtract
+    assert(Geometry.areaCartesian(mp(Seq(
+      Seq((0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0)),
+      Seq((4.0, 4.0), (5.0, 4.0), (5.0, 5.0), (4.0, 5.0))))) === 99.0)
+  }
+
+  test("polygonConvexHullCartesian golden (01300_polygon_convex_hull)") {
+    val hull = Geometry.convexHull(mp(Seq(Seq(
+      (0.0, 0.0), (0.0, 5.0), (5.0, 5.0), (5.0, 0.0), (2.0, 3.0)))))
+    assert(hull === IndexedSeq(IndexedSeq(
+      (0.0, 0.0), (0.0, 5.0), (5.0, 5.0), (5.0, 0.0), (0.0, 0.0))))
+  }
+
+  test("polygonsEqualsCartesian goldens (01303)") {
+    assert(!Geometry.equalsCartesian(heptagon, square14))
+    assert(Geometry.equalsCartesian(
+      mp(Seq(Seq((1.0, 1.0), (1.0, 4.0), (4.0, 4.0), (4.0, 1.0)))),
+      square14))
+  }
+
+  test("polygonsDistanceCartesian goldens (01302)") {
+    assert(Geometry.distanceCartesian(heptagon, square14) === 0.0)
+    assert(Geometry.distanceCartesian(
+      mp(Seq(Seq((0.0, 0.0), (0.0, 0.1), (0.1, 0.1), (0.1, 0.0)))),
+      square14) === 1.2727922061357855)
+  }
+
+  // ---- Cartesian boolean ops ---------------------------------------------
+
+  test("polygonsIntersectionCartesian goldens (01306)") {
+    val out = PolygonClip.clip(heptagon, square14, Intersection)
+    val golden = mp(Seq(Seq(
+      (1.0, 2.9), (2.0, 2.6), (2.6, 2.0), (2.9, 1.0), (1.0, 1.0), (1.0, 2.9))))
+    assert(canon(out) === canon(golden))
+    // disjoint square → empty
+    val disjoint = PolygonClip.clip(heptagon,
+      mp(Seq(Seq((3.0, 3.0), (3.0, 4.0), (4.0, 4.0), (4.0, 3.0), (3.0, 3.0)))),
+      Intersection)
+    assert(disjoint.isEmpty)
+  }
+
+  test("polygonsUnionCartesian golden (01305)") {
+    val out = PolygonClip.clip(heptagon, square14, Union)
+    val golden = mp(Seq(Seq(
+      (1.0, 2.9), (1.0, 4.0), (4.0, 4.0), (4.0, 1.0), (2.9, 1.0), (3.0, 0.0),
+      (0.0, 0.0), (0.0, 3.0), (1.0, 2.9))))
+    assert(canon(out) === canon(golden))
+  }
+
+  test("polygonsSymDifferenceCartesian golden (01304)") {
+    val out = PolygonClip.clip(heptagon, square14, Xor)
+    val golden = mp(
+      Seq(Seq((1.0, 2.9), (1.0, 1.0), (2.9, 1.0), (3.0, 0.0), (0.0, 0.0), (0.0, 3.0), (1.0, 2.9))),
+      Seq(Seq((1.0, 2.9), (1.0, 4.0), (4.0, 4.0), (4.0, 1.0), (2.9, 1.0), (2.6, 2.0), (2.0, 2.6), (1.0, 2.9))))
+    // the result pinches at (1,2.9) and (2.9,1): boost splits it into two
+    // touching rings, the sweep walk may emit the equivalent outer+hole
+    // decomposition — compare as REGIONS (xor of the two must be empty)
+    // and pin the exact vertex set and area identity
+    assert(PolygonClip.clip(out, golden, Xor).isEmpty)
+    assert(vertexSetOf(out) === vertexSetOf(golden))
+    val areaId = Geometry.areaCartesian(heptagon) + Geometry.areaCartesian(square14) -
+      2.0 * Geometry.areaCartesian(PolygonClip.clip(heptagon, square14, Intersection))
+    assert(math.abs(Geometry.areaCartesian(out) - areaId) < 1e-12)
+  }
+
+  private def vertexSetOf(m: MultiPoly): Set[(Double, Double)] =
+    m.flatMap(_.flatMap(identity)).toSet
+
+  test("polygonsWithinCartesian goldens (01301)") {
+    assert(!Geometry.withinCartesian(heptagon, square14))
+    assert(Geometry.withinCartesian(
+      mp(Seq(Seq((2.0, 2.0), (2.0, 3.0), (3.0, 3.0), (3.0, 2.0)))),
+      square14))
+  }
+
+  test("clipper degeneracies: shared edges, corner touch, hole filling") {
+    val a = mp(Seq(Seq((0.0, 0.0), (0.0, 2.0), (2.0, 2.0), (2.0, 0.0))))
+    val b = mp(Seq(Seq((2.0, 0.0), (2.0, 2.0), (4.0, 2.0), (4.0, 0.0))))
+    assert(PolygonClip.clip(a, b, Intersection).isEmpty)
+    val u = PolygonClip.clip(a, b, Union)
+    assert(Geometry.areaCartesian(u) === 8.0)
+    assert(u.length === 1)
+    assert(Geometry.areaCartesian(PolygonClip.clip(a, b, Xor)) === 8.0)
+
+    val c = mp(Seq(Seq((1.0, 1.0), (1.0, 2.0), (2.0, 2.0), (2.0, 1.0))))
+    val corner = mp(Seq(Seq((2.0, 2.0), (2.0, 3.0), (3.0, 3.0), (3.0, 2.0))))
+    assert(PolygonClip.clip(c, corner, Intersection).isEmpty)
+    assert(Geometry.areaCartesian(PolygonClip.clip(c, corner, Union)) === 2.0)
+
+    // square with a hole, unioned with exactly the hole → full square
+    val holed = mp(Seq(
+      Seq((0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0)),
+      Seq((4.0, 4.0), (5.0, 4.0), (5.0, 5.0), (4.0, 5.0))))
+    val plug = mp(Seq(Seq((4.0, 4.0), (4.0, 5.0), (5.0, 5.0), (5.0, 4.0))))
+    assert(Geometry.areaCartesian(holed) === 99.0)
+    assert(Geometry.areaCartesian(PolygonClip.clip(holed, plug, Union)) === 100.0)
+    assert(PolygonClip.clip(holed, plug, Intersection).isEmpty)
+    assert(Geometry.areaCartesian(PolygonClip.clip(holed, plug, Xor)) === 100.0)
+    // identical polygons: intersection = itself, xor = empty
+    assert(Geometry.areaCartesian(PolygonClip.clip(holed, holed, Intersection)) === 99.0)
+    assert(PolygonClip.clip(holed, holed, Xor).isEmpty)
+    assert(Geometry.equalsCartesian(holed, holed))
+  }
+
+  // ---- Spherical ----------------------------------------------------------
+
+  private val brusselsA = mp(Seq(Seq(
+    (4.3613577, 50.8651821), (4.349556, 50.8535879), (4.3602419, 50.8435626),
+    (4.3830299, 50.8428851), (4.3904543, 50.8564867), (4.3613148, 50.8651279))))
+  private val brusselsB = mp(Seq(Seq(
+    (4.346693, 50.858306), (4.367945, 50.852455), (4.366227, 50.840809),
+    (4.344961, 50.833264), (4.338074, 50.848677), (4.346693, 50.858306))))
+
+  test("polygonAreaSpherical golden (01308: Brussels hexagon, 14 dp)") {
+    val a = Geometry.areaSpherical(brusselsB)
+    assert(math.abs(a - 9.387704e-8) < 5.1e-15, s"got $a")
+  }
+
+  test("polygonsDistanceSpherical golden (01302: Athens→Brussels great circle)") {
+    val d = Geometry.distanceSpherical(
+      mp(Seq(Seq((23.725750, 37.971536)))),
+      mp(Seq(Seq((4.3826169, 50.8119483)))))
+    assert(math.abs(d - 0.3274195462417724) < 1e-12, s"got $d")
+  }
+
+  test("polygonsWithinSpherical goldens (01301)") {
+    assert(!Geometry.withinSpherical(brusselsA, brusselsB))
+    assert(Geometry.withinSpherical(
+      mp(Seq(Seq((4.3501568, 50.8518269), (4.3444920, 50.8439961),
+        (4.3565941, 50.8443213), (4.3501568, 50.8518269)))),
+      mp(Seq(Seq((4.3679450, 50.8524550), (4.3466930, 50.8583060),
+        (4.3380740, 50.8486770), (4.3449610, 50.8332640),
+        (4.3662270, 50.8408090), (4.3679450, 50.8524550))))))
+  }
+
+  private def vertexSet6(m: MultiPoly): Set[(Double, Double)] =
+    m.flatMap(_.flatMap(_.map(p =>
+      (math.rint(p._1 * 1e6) / 1e6, math.rint(p._2 * 1e6) / 1e6)))).toSet
+
+  test("polygonsIntersectionSpherical golden (01306: Brussels pair, 6 dp)") {
+    val out = Geometry.clipSpherical(brusselsA, brusselsB, Intersection)
+    assert(out.length === 1)
+    val golden = Set(
+      (4.366605, 50.843374), (4.360242, 50.843563), (4.349556, 50.853588),
+      (4.35268, 50.856658), (4.367945, 50.852455))
+    assert(vertexSet6(out) === golden)
+    // disjoint polygon on the other side of the planet → empty
+    assert(Geometry.clipSpherical(brusselsB,
+      mp(Seq(Seq((25.0010, 136.9987), (17.7500, 142.5000), (11.3733, 142.5917)))),
+      Intersection).isEmpty)
+  }
+
+  test("polygonsUnionSpherical golden (01305: Brussels pair, 6 dp)") {
+    val out = Geometry.clipSpherical(brusselsA, brusselsB, Union)
+    val golden = Set(
+      (4.366605, 50.843374), (4.366227, 50.840809), (4.344961, 50.833264),
+      (4.338074, 50.848677), (4.346693, 50.858306), (4.35268, 50.856658),
+      (4.361358, 50.865182), (4.361315, 50.865128), (4.390454, 50.856487),
+      (4.38303, 50.842885))
+    assert(vertexSet6(out) === golden)
+    // inclusion–exclusion invariant on the sphere
+    val ai = Geometry.areaSpherical(Geometry.clipSpherical(brusselsA, brusselsB, Intersection))
+    val au = Geometry.areaSpherical(out)
+    val aa = Geometry.areaSpherical(brusselsA)
+    val ab = Geometry.areaSpherical(brusselsB)
+    assert(math.abs(aa + ab - (au + ai)) < 1e-18)
+  }
+
+  test("polygonsSymDifferenceSpherical golden (01304: ±rects, 4 dp vertex set)") {
+    val subject = mp(
+      Seq(Seq((10.0, 10.0), (10.0, 40.0), (40.0, 40.0), (40.0, 10.0), (10.0, 10.0))),
+      Seq(Seq((-10.0, -10.0), (-10.0, -40.0), (-40.0, -40.0), (-40.0, -10.0), (-10.0, -10.0))))
+    val clip = mp(Seq(Seq((-20.0, -20.0), (-20.0, 20.0), (20.0, 20.0), (20.0, -20.0), (-20.0, -20.0))))
+    val out = Geometry.clipSpherical(subject, clip, Xor)
+    val got = out.flatMap(_.flatMap(_.map(p =>
+      (math.rint(p._1 * 1e4) / 1e4, math.rint(p._2 * 1e4) / 1e4)))).toSet
+    val golden = Set(
+      (-20.0, -10.3067), (-20.0, -20.0), (-10.0, -20.8791), (-10.0, -40.0),
+      (-40.0, -40.0), (-40.0, -10.0), (20.0, 10.3067), (20.0, -20.0),
+      (-10.0, -10.0), (-20.0, 20.0), (10.0, 20.8791), (10.0, 10.0),
+      (20.0, 20.0), (10.0, 40.0), (40.0, 40.0), (40.0, 10.0))
+    assert(got === golden)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** SQL-surface wiring for the polygon family: literal
+  * `array(array(array(struct(x, y))))` values must coerce into the UDFs'
+  * tuple-encoded MultiPolygon inputs, and results must round-trip through
+  * WKT (reference tests 01300–01308 exercised at the SQL layer).
+  */
+class GeometrySqlSpec extends SparkSpec {
+
+  private val squareA =
+    "array(array(array(struct(0D,0D), struct(0D,2D), struct(2D,2D), struct(2D,0D))))"
+  private val squareB =
+    "array(array(array(struct(1D,1D), struct(1D,3D), struct(3D,3D), struct(3D,1D))))"
+
+  test("cartesian polygon SQL surface") {
+    val r = spark.sql(
+      s"""SELECT
+         |  polygonAreaCartesian($squareA) AS area,
+         |  polygonPerimeterCartesian($squareA) AS perim,
+         |  polygonAreaCartesian(polygonsIntersectionCartesian($squareA, $squareB)) AS inter,
+         |  polygonAreaCartesian(polygonsUnionCartesian($squareA, $squareB)) AS uni,
+         |  polygonAreaCartesian(polygonsSymDifferenceCartesian($squareA, $squareB)) AS sym,
+         |  CAST(polygonsWithinCartesian($squareA, $squareB) AS INT) AS within_ab,
+         |  CAST(polygonsEqualsCartesian($squareA, $squareA) AS INT) AS eq_aa,
+         |  polygonsDistanceCartesian($squareA, $squareB) AS dist,
+         |  wkt(polygonsIntersectionCartesian($squareA, $squareB)) AS iwkt
+         |""".stripMargin + "").head()
+    assert(r.getDouble(0) === 4.0)
+    assert(r.getDouble(1) === 8.0)
+    assert(r.getDouble(2) === 1.0)
+    assert(r.getDouble(3) === 7.0)
+    assert(r.getDouble(4) === 6.0)
+    assert(r.getInt(5) === 0)
+    assert(r.getInt(6) === 1)
+    assert(r.getDouble(7) === 0.0)
+    assert(r.getString(8) === "MULTIPOLYGON(((1 1,1 2,2 2,2 1,1 1)))")
+  }
+
+  test("readWKT round-trip and svg in SQL") {
+    val r = spark.sql(
+      """SELECT
+        |  wkt(readWKTMultiPolygon('MULTIPOLYGON(((0 0,10 0,10 10,0 10,0 0),(4 4,5 4,5 5,4 5,4 4)))')) AS rt,
+        |  readWKTPoint('POINT(2 3)') AS p,
+        |  size(readWKTRing('POLYGON((1 0,10 0,10 10,0 10,1 0))')) AS rn,
+        |  svgPoint(struct(0D, 0D), 'b') AS sp
+        |""".stripMargin).head()
+    assert(r.getString(0) === "MULTIPOLYGON(((0 0,10 0,10 10,0 10,0 0),(4 4,5 4,5 5,4 5,4 4)))")
+    assert(r.getStruct(1) === Row(2.0, 3.0))
+    assert(r.getInt(2) === 5)
+    assert(r.getString(3) === """<circle cx="0" cy="0" r="5" style="b"/>""")
+  }
+
+  test("spherical polygon SQL surface") {
+    val r = spark.sql(
+      s"""SELECT
+         |  round(polygonAreaSpherical($squareA), 9) AS asph,
+         |  round(polygonPerimeterSpherical($squareA), 9) AS psph,
+         |  round(polygonsDistanceSpherical(
+         |    array(array(array(struct(23.72575D, 37.971536D)))),
+         |    array(array(array(struct(4.3826169D, 50.8119483D))))), 12) AS dsph,
+         |  CAST(polygonsWithinSpherical($squareA,
+         |    array(array(array(struct(-1D,-1D), struct(-1D,4D), struct(4D,4D), struct(4D,-1D))))) AS INT) AS wsph,
+         |  size(polygonsUnionSpherical($squareA, $squareB)) AS usph
+         |""".stripMargin).head()
+    assert(r.getDouble(0) > 0.0012 && r.getDouble(0) < 0.00122) // ~4 deg^2 in sr
+    assert(r.getDouble(1) > 0.139 && r.getDouble(1) < 0.140)
+    assert(r.getDouble(2) === 0.327419546242)
+    assert(r.getInt(3) === 1)
+    assert(r.getInt(4) === 1)
+  }
+}
