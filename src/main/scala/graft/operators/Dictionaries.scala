@@ -222,5 +222,79 @@ object Dictionaries {
     spark.udf.register("dictGetChildren", (d: String, k: Long) => children(d, k))
     spark.udf.register("dictGetDescendants",
       (d: String, k: Long, lvl: Int) => descendants(d, k, lvl))
+    // polygon-dictionary fronts (the reference overloads dictGet on a
+    // tuple key at analysis time; Spark UDF names are monomorphic, so the
+    // point-keyed lookups carry their own names — documented deviation)
+    spark.udf.register("dictGetPoint",
+      (d: String, a: String, x: Double, y: Double) =>
+        polyGet(d, a, x, y).map(toStr).orNull)
+    spark.udf.register("dictGetPointOrDefault",
+      (d: String, a: String, x: Double, y: Double, dflt: String) =>
+        polyGet(d, a, x, y).map(toStr).getOrElse(dflt))
+    spark.udf.register("dictGetPointUInt64OrDefault",
+      (d: String, a: String, x: Double, y: Double, dflt: Long) =>
+        polyGet(d, a, x, y).map(toLong).getOrElse(dflt))
+    spark.udf.register("dictHasPoint",
+      (d: String, x: Double, y: Double) =>
+        if (polyFind(d, x, y).isDefined) 1 else 0)
   }
+
+  // ---- polygon dictionaries ----------------------------------------------
+  // Reference `src/Dictionaries/PolygonDictionary.cpp` (layout POLYGON):
+  // the key is a MultiPolygon per row and lookup is by point containment.
+  // The reference's own 01037 fixtures resolve ties (point inside several
+  // polygons) to the SMALLEST containing polygon ("Click East" beats the
+  // enclosing "Click" cross) — entries are kept area-sorted so the first
+  // containment hit is the answer. Broadcast-sized by the same contract as
+  // the flat layouts; the unbounded-size path is operators/SpatialJoin.
+
+  import graft.functions.{Geometry, PolygonClip}
+
+  final case class PolyDict(
+      attrTypes: Map[String, String],
+      entries: IndexedSeq[(PolygonClip.MultiPoly, Map[String, Any])])
+
+  private val polyRegistry = TrieMap.empty[String, PolyDict]
+
+  /** CREATE DICTIONARY … LAYOUT(POLYGON): `keyCol` holds the MultiPolygon
+    * (`array(array(array(struct(double, double))))`), the remaining
+    * declared attributes are payload.
+    */
+  def createPolygon(
+      name: String,
+      df: DataFrame,
+      keyCol: String,
+      attrTypes: Map[String, String]): Unit = {
+    val cols = keyCol +: attrTypes.keys.toSeq
+    val rows = df.selectExpr(cols.map(c => s"`$c`"): _*).collect()
+    val entries = rows.iterator.map { r =>
+      val mp: PolygonClip.MultiPoly = r.getSeq[scala.collection.Seq[Any]](0).map { poly =>
+        poly.map {
+          case ring: scala.collection.Seq[_] =>
+            ring.map {
+              case p: org.apache.spark.sql.Row => (p.getDouble(0), p.getDouble(1))
+            }.toIndexedSeq
+        }.toIndexedSeq
+      }.toIndexedSeq
+      val attrs = attrTypes.keys.map(a => a -> r.get(cols.indexOf(a))).toMap
+      (mp, attrs)
+    }.toIndexedSeq
+    val sorted = entries.sortBy { case (mp, _) => Geometry.areaCartesian(mp) }
+    polyRegistry(name) = PolyDict(attrTypes, sorted)
+  }
+
+  def dropPolygon(name: String): Unit = polyRegistry.remove(name)
+
+  private def polyFind(name: String, x: Double, y: Double): Option[Map[String, Any]] = {
+    val d = polyRegistry.getOrElse(name,
+      throw new IllegalArgumentException(s"Polygon dictionary '$name' does not exist"))
+    d.entries.collectFirst {
+      case (mp, attrs) if Geometry.pointInMulti((x, y), mp) => attrs
+    }
+  }
+
+  private def polyGet(name: String, attr: String, x: Double, y: Double): Option[Any] =
+    polyFind(name, x, y).map(_.getOrElse(attr,
+      throw new IllegalArgumentException(
+        s"Polygon dictionary '$name' has no attribute '$attr'")))
 }

@@ -868,6 +868,39 @@ object RelationalQueries {
         s"round(polygonsDistanceSpherical(array(array(array(${pt("ax0","ay0")}))), array(array(array(${pt("bx1 + 20D","by1 + 30D")})))), 9) AS dist_sph")
         .orderBy(col("i"), col("j"))
     }),
+    // Bucketed point-in-polygon join + polygon-dictionary semantics
+    // (reference src/Dictionaries/PolygonDictionaryIndexEach.cpp grid
+    // index re-expressed as a cell equi-join; fixtures are the
+    // reference's own 01037 polygon-dictionary shapes): 1600 points on a
+    // .25-offset grid (never on a polygon boundary) reverse-geocode
+    // against the six 01037 polygons with smallest-area-wins ties; the
+    // oracle recomputes containment analytically per shape.
+    "q72_spatial_join" -> ((s, dir) => {
+      val s0 = s
+      import s0.implicits._
+      val polyDf = Seq(
+        ("Click", 42L,
+          "MULTIPOLYGON(((1 3,1 1,3 1,3 -1,1 -1,1 -3,-1 -3,-1 -1,-3 -1,-3 1,-1 1,-1 3)),((5 5,5 1,7 1,7 7,1 7,1 5)))"),
+        ("House", 314159L,
+          "MULTIPOLYGON(((5 5,5 -5,-5 -5,-5 5),(1 3,1 1,3 1,3 -1,1 -1,1 -3,-1 -3,-1 -1,-3 -1,-3 1,-1 1,-1 3)))"),
+        ("Click East", 421L, "MULTIPOLYGON(((3 1,0 1,0 -1,3 -1)))"),
+        ("Click North", 422L, "MULTIPOLYGON(((-1 1,1 1,1 3,-1 3)))"),
+        ("Click South", 423L, "MULTIPOLYGON(((-3 1,-3 -1,0 -1,0 1)))"),
+        ("Click West", 424L, "MULTIPOLYGON(((-1 -1,1 -1,1 -3,-1 -3)))"))
+        .toDF("name", "value", "w")
+        .selectExpr("name", "value", "readWKTMultiPolygon(w) AS poly")
+      val pts = s.range(0, 1600).selectExpr("id",
+        "CAST(id % 40 AS DOUBLE) * 0.5 - 10 + 0.25 AS x",
+        "CAST(id DIV 40 AS DOUBLE) * 0.5 - 10 + 0.25 AS y")
+      graft.operators.SpatialJoin
+        .pointInPolygonJoin(pts, "x", "y", polyDf, "poly", 2.0, smallestOnly = true)
+        .groupBy(col("name"), col("value"))
+        .agg(count(lit(1)).as("cnt"), sum(col("id")).as("sum_id"),
+          round(sum(col("x") + col("y")), 6).as("sum_xy"))
+        .selectExpr("name", "value", "CAST(cnt AS BIGINT) AS cnt",
+          "CAST(sum_id AS BIGINT) AS sum_id", "sum_xy")
+        .orderBy(col("name"))
+    }),
     "q63_datetime_h3" -> ((s, dir) => {
       t(s, dir, "orders").filter(col("o_orderkey") <= 500)
         .withColumn("ts", col("o_orderdate").cast("timestamp"))
@@ -1366,6 +1399,47 @@ object RelationalQueries {
           + cos(radians(ay0)) * cos(radians(by1 + 30)) * pow(sin(radians((bx1 + 20) - ax0) / 2), 2))), 9) AS dist_sph
       FROM u
       ORDER BY i, j""",
+    // q72 oracle: containment recomputed analytically per 01037 shape
+    // (all probe points sit at .25/.75 fractions, never on a boundary, so
+    // open/closed edges are equivalent); ties resolved smallest-area
+    // first: North/West (4) < East/South (6) < Click (40) < House (80).
+    "q72_spatial_join" -> """
+      WITH p AS (
+        SELECT i AS id,
+               CAST(i % 40 AS DOUBLE) * 0.5 - 10 + 0.25 AS x,
+               CAST(i // 40 AS DOUBLE) * 0.5 - 10 + 0.25 AS y
+        FROM generate_series(0, 1599) t(i)),
+      c AS (
+        SELECT *,
+          (abs(x) < 3 AND abs(y) < 1) OR (abs(x) < 1 AND abs(y) < 3) AS in_cross,
+          (x > 5 AND x < 7 AND y > 1 AND y < 7) OR (x > 1 AND x < 7 AND y > 5 AND y < 7) AS in_l
+        FROM p),
+      named AS (
+        SELECT id, x, y,
+          CASE
+            WHEN x > -1 AND x < 1 AND y > 1 AND y < 3 THEN 'Click North'
+            WHEN x > -1 AND x < 1 AND y > -3 AND y < -1 THEN 'Click West'
+            WHEN x > 0 AND x < 3 AND y > -1 AND y < 1 THEN 'Click East'
+            WHEN x > -3 AND x < 0 AND y > -1 AND y < 1 THEN 'Click South'
+            WHEN in_cross OR in_l THEN 'Click'
+            WHEN abs(x) < 5 AND abs(y) < 5 AND NOT in_cross THEN 'House'
+          END AS name,
+          CASE
+            WHEN x > -1 AND x < 1 AND y > 1 AND y < 3 THEN 422
+            WHEN x > -1 AND x < 1 AND y > -3 AND y < -1 THEN 424
+            WHEN x > 0 AND x < 3 AND y > -1 AND y < 1 THEN 421
+            WHEN x > -3 AND x < 0 AND y > -1 AND y < 1 THEN 423
+            WHEN in_cross OR in_l THEN 42
+            WHEN abs(x) < 5 AND abs(y) < 5 AND NOT in_cross THEN 314159
+          END AS value
+        FROM c)
+      SELECT name, CAST(value AS BIGINT) AS value,
+             CAST(count(1) AS BIGINT) AS cnt,
+             CAST(sum(id) AS BIGINT) AS sum_id,
+             round(sum(x + y), 6) AS sum_xy
+      FROM named WHERE name IS NOT NULL
+      GROUP BY name, value
+      ORDER BY name""",
     "q63_datetime_h3" -> """
       WITH o AS (
         SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS ts,

@@ -1,0 +1,96 @@
+package graft
+
+import graft.operators.{Dictionaries, SpatialJoin}
+
+/** Polygon dictionary + bucketed spatial join, pinned to the reference's
+  * own 01037_polygon_dicts_simple_functions fixtures: 6 polygons (a
+  * plus-shaped "Click" with an attached L, a "House" square whose hole is
+  * the plus, and four small direction rectangles) probed at 13 points.
+  * Expected name/value pairs are copied from the published .ans goldens —
+  * including the tie rule (a point inside several polygons resolves to
+  * the SMALLEST containing polygon: "Click East" beats the enclosing
+  * cross).
+  */
+class PolygonDictSpec extends SparkSpec {
+
+  private val polyWkt = Seq(
+    ("Click", 42L,
+      "MULTIPOLYGON(((1 3,1 1,3 1,3 -1,1 -1,1 -3,-1 -3,-1 -1,-3 -1,-3 1,-1 1,-1 3)),((5 5,5 1,7 1,7 7,1 7,1 5)))"),
+    ("House", 314159L,
+      "MULTIPOLYGON(((5 5,5 -5,-5 -5,-5 5),(1 3,1 1,3 1,3 -1,1 -1,1 -3,-1 -3,-1 -1,-3 -1,-3 1,-1 1,-1 3)))"),
+    ("Click East", 421L, "MULTIPOLYGON(((3 1,0 1,0 -1,3 -1)))"),
+    ("Click North", 422L, "MULTIPOLYGON(((-1 1,1 1,1 3,-1 3)))"),
+    ("Click South", 423L, "MULTIPOLYGON(((-3 1,-3 -1,0 -1,0 1)))"),
+    ("Click West", 424L, "MULTIPOLYGON(((-1 -1,1 -1,1 -3,-1 -3)))"))
+
+  // (x, y, row default name, row default value, expected name, expected value)
+  private val golden = Seq(
+    (-100.0, -42.0, "dd", 44L, "dd", 44L),
+    (-1.0, 0.0, "ffb", 772L, "Click South", 423L),
+    (-0.1, 0.0, "aay", 113L, "Click South", 423L),
+    (0.0, -2.0, "ffd", 774L, "Click West", 424L),
+    (0.0, -1.1, "aat", 115L, "Click West", 424L),
+    (0.0, 1.1, "aaz", 114L, "Click North", 422L),
+    (0.0, 2.0, "ffc", 773L, "Click North", 422L),
+    (0.1, 0.0, "aax", 112L, "Click East", 421L),
+    (0.99, 2.99, "ee", 66L, "Click North", 422L),
+    (1.0, 0.0, "ffa", 771L, "Click East", 421L),
+    (3.0, 3.0, "bb", 22L, "House", 314159L),
+    (5.0, 6.0, "cc", 33L, "Click", 42L),
+    (7.01, 7.01, "ee", 55L, "ee", 55L))
+
+  private def registerDict(): Unit = {
+    val s = spark
+    import s.implicits._
+    val df = polyWkt.toDF("name", "value", "w")
+      .selectExpr("readWKTMultiPolygon(w) AS key", "name", "value")
+    Dictionaries.createPolygon("geo01037", df, "key",
+      Map("name" -> "String", "value" -> "UInt64"))
+  }
+
+  test("polygon dictionary matches the 01037 goldens (incl. smallest-wins ties)") {
+    registerDict()
+    val rows = spark.sql(
+      golden.map { case (x, y, ds, di, _, _) =>
+        s"SELECT ${x}D AS x, ${y}D AS y, '$ds' AS def_s, ${di}L AS def_i"
+      }.mkString(" UNION ALL "))
+      .selectExpr("x", "y",
+        "dictGetPointOrDefault('geo01037', 'name', x, y, def_s) AS name",
+        "dictGetPointUInt64OrDefault('geo01037', 'value', x, y, def_i) AS value",
+        "dictGetPoint('geo01037', 'name', x, y) AS name_or_null",
+        "dictHasPoint('geo01037', x, y) AS has")
+      .collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getString(2), r.getLong(3),
+        Option(r.getString(4)), r.getInt(5)))
+      .sortBy(t => (t._1, t._2))
+    val expected = golden.sortBy(t => (t._1, t._2))
+    for ((got, exp) <- rows.zip(expected)) {
+      assert(got._3 === exp._5, s"name at (${exp._1},${exp._2})")
+      assert(got._4 === exp._6, s"value at (${exp._1},${exp._2})")
+      val inDict = exp._5 != exp._3 || exp._6 != exp._4 // default ≠ answer → found
+      assert((got._6 == 1) === inDict || (got._5.isDefined == inDict),
+        s"has at (${exp._1},${exp._2})")
+    }
+  }
+
+  test("SpatialJoin agrees with the dictionary lookup on the same fixtures") {
+    registerDict()
+    val s = spark
+    import s.implicits._
+    val polyDf = polyWkt.toDF("name", "value", "w")
+      .selectExpr("name", "value", "readWKTMultiPolygon(w) AS poly")
+    val pts = golden.map(t => (t._1, t._2)).toDF("x", "y")
+    val joined = SpatialJoin
+      .pointInPolygonJoin(pts, "x", "y", polyDf, "poly", 2.0, smallestOnly = true)
+      .selectExpr("x", "y", "name").collect()
+      .map(r => ((r.getDouble(0), r.getDouble(1)), r.getString(2))).toMap
+    for ((x, y, _, _, expName, _) <- golden) {
+      val dictAnswer = spark.sql(
+        s"SELECT dictGetPoint('geo01037', 'name', ${x}D, ${y}D)").head().getString(0)
+      assert(joined.get((x, y)) === Option(dictAnswer),
+        s"join vs dict at ($x,$y)")
+      if (expName != "dd" && expName != "ee") // the two not-found rows
+        assert(joined((x, y)) === expName)
+    }
+  }
+}
