@@ -76,6 +76,34 @@ object TableFunctions {
   // single-JVM meaning; cluster/remote/JDBC/lake formats are documented
   // out — no cluster, no drivers, no egress in scope) ----
 
+  /** `url('http(s)://…', 'Format')` (`TableFunctionURL.cpp`): fetch the
+    * resource and parse it with the named input format (same format map as
+    * [[format]]). The fetch is one stream (exactly the reference's
+    * single-URL semantics); the parsed frame then distributes normally.
+    * At 100 TB the right source is a DFS path via [[file]] — a single URL
+    * is by definition a single-reader bottleneck in any engine.
+    */
+  def url(spark: SparkSession, u: String, formatName: String): DataFrame = {
+    val bytes = graft.multimodal.Connections.httpFetch(u)
+    format(spark, formatName,
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** `s3('endpoint/bucket/key', 'Format')` via a registered CONNECTION
+    * (`TableFunctionS3.cpp`): the object is fetched through the SigV4
+    * path of [[graft.multimodal.Connections]] and parsed like [[url]].
+    */
+  def s3(spark: SparkSession, connectionName: String, u: String,
+      formatName: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val bytes = spark.range(1)
+      .select(graft.multimodal.Connections
+        .getObject(spark, connectionName)(lit(u)).as("b"))
+      .head().getAs[Array[Byte]]("b")
+    format(spark, formatName,
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   /** `values('structure', row, row, ...)` (`TableFunctionValues.cpp`):
     * inline literal rows under an explicit DDL schema.
     */

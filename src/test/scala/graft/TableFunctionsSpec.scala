@@ -198,4 +198,44 @@ class TableFunctionsSpec extends SparkSpec {
     val actual = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     assert(total === actual)
   }
+
+  test("url(...) TVF: fetch + format parse (TableFunctionURL.cpp)") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val server =
+      HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/data.csv", (ex: HttpExchange) => {
+      val body = "a,b\n1,x\n2,y\n".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, body.length.toLong)
+      ex.getResponseBody.write(body); ex.close()
+    })
+    server.createContext("/rows.json", (ex: HttpExchange) => {
+      val body = "{\"k\":1,\"v\":\"p\"}\n{\"k\":2,\"v\":\"q\"}\n".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, body.length.toLong)
+      ex.getResponseBody.write(body); ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val csv = TableFunctions.url(spark, s"$base/data.csv", "CSVWithNames")
+      assert(csv.columns.toSeq === Seq("a", "b"))
+      assert(csv.count() === 2)
+      val json = TableFunctions.url(spark, s"$base/rows.json", "JSONEachRow")
+      assert(json.select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+        === Set((1L, "p"), (2L, "q")))
+    } finally server.stop(0)
+  }
+
+  test("s3(...) TVF: fetch through a CONNECTION + format parse (TableFunctionS3.cpp)") {
+    import graft.multimodal.Connections
+    val dir = java.nio.file.Files.createTempDirectory("tvf-s3").toFile
+    val f = new java.io.File(dir, "t.tsv")
+    java.nio.file.Files.writeString(f.toPath, "c1\tc2\n7\tzz\n")
+    Connections.create("tvfs3", "fs", "file://" + dir.getAbsolutePath)
+    try {
+      val df = TableFunctions.s3(spark, "tvfs3",
+        "file://" + f.getAbsolutePath, "TSVWithNames")
+      assert(df.columns.toSeq === Seq("c1", "c2"))
+      assert(df.head().getInt(0) === 7 || df.head().getLong(0) === 7L)
+    } finally Connections.drop("tvfs3")
+  }
 }
