@@ -2,22 +2,43 @@ package graft.functions
 
 import scala.collection.mutable
 
-/** Plane-sweep Boolean algebra on polygons (intersection / union /
+/** Boolean algebra on polygons (intersection / union /
   * symmetric difference / difference) for the reference's boost::geometry
   * backed family (`/root/reference/src/Functions/polygonsIntersection.cpp`,
   * `polygonsUnion.cpp`, `polygonsSymDifference.cpp`, `polygonsWithin.cpp`).
   *
-  * The algorithm is the published Martinez–Rueda–Feito sweep ("A new
-  * algorithm for computing Boolean operations on polygons", Computers &
-  * Geosciences 2009; extended version 2013) — a single left-to-right sweep
-  * subdivides all edges at intersection points, labels each resulting edge
-  * with in/out flags relative to both operands, selects the edges on the
-  * result boundary, and stitches them into rings with exact hole nesting
-  * derived from the sweep order (no point-in-polygon probing, so rings that
-  * touch at vertices nest correctly). Degenerate inputs the reference's own
-  * tests exercise — unclosed rings, shared/overlapping edges, equal
-  * polygons — are handled through the overlap edge-typing rules of the
-  * paper (NonContributing / SameTransition / DifferentTransition).
+  * Architecture, in two exact phases:
+  *
+  * 1. **Subdivision** — every edge of both operands is cut at every
+  *    intersection it has with any other edge (proper crossings,
+  *    T-junctions, collinear overlaps), in one all-pairs pass. After this
+  *    phase edges meet only at shared endpoints (pieces are collinear
+  *    subsets of their parents, so no new interior intersections can
+  *    appear), with near-coincident vertices welded onto one
+  *    representative.
+  *
+  * 2. **Exact labeling + face extraction** — each subdivided segment is
+  *    classified by ray-cast parity of each operand on each SIDE of the
+  *    segment (below-parity from a ray through the midpoint; above-parity
+  *    = below-parity flipped once per coincident boundary edge of that
+  *    operand). A segment is on the result boundary iff the combined
+  *    in/out differs across it; it is directed with the result region on
+  *    its LEFT, and the classic DCEL left-face walk (clockwise-next from
+  *    the reversed incoming direction) stitches the directed edges into
+  *    rings — counter-clockwise cycles are outer rings, clockwise cycles
+  *    are holes of their smallest containing outer.
+  *
+  * The published sweep-line algorithms (Martinez–Rueda–Feito 2009 and its
+  * implementations) do both phases in O(E log E) by propagating in/out
+  * flags event-to-event and testing only status-line neighbors; both of
+  * those mechanisms have failure modes around coincident vertical edges,
+  * pinch vertices and touch points shared by three segments — all
+  * reproduced here by property-based fuzzing. The O(E²) all-pairs +
+  * ray-cast form trades asymptotics (irrelevant for row-local polygon
+  * values — the reference pays a comparable boost::geometry cost per row)
+  * for labeling that is exact by construction: after subdivision no edge
+  * endpoint lies in another edge's interior, so the parity rays never hit
+  * an ambiguous configuration.
   *
   * Pure single-threaded geometry kernel: Spark parallelism comes from the
   * UDF being applied per row across partitions (polygon columns are
@@ -27,8 +48,8 @@ object PolygonClip extends Serializable {
 
   /** A ring is an open or closed vertex list; a polygon is outer ring plus
     * holes; a multipolygon is a list of polygons. Orientation-insensitive
-    * on input (the sweep only uses edge geometry, parity does the rest —
-    * same as boost::geometry after `correct()`).
+    * on input (parity does the rest — same as boost::geometry after
+    * `correct()`).
     */
   type Pt = (Double, Double)
   type Ring = IndexedSeq[Pt]
@@ -41,90 +62,8 @@ object PolygonClip extends Serializable {
   case object Difference extends Op
   case object Xor extends Op
 
-  // edge types for overlapping (collinear) segment pairs
-  private final val Normal = 0
-  private final val NonContributing = 1
-  private final val SameTransition = 2
-  private final val DifferentTransition = 3
-
   private def signedArea(p0: Pt, p1: Pt, p2: Pt): Double =
     (p0._1 - p2._1) * (p1._2 - p2._2) - (p1._1 - p2._1) * (p0._2 - p2._2)
-
-  private val eventIds = new java.util.concurrent.atomic.AtomicLong(0L)
-
-  final class SweepEvent(
-      var point: Pt,
-      var left: Boolean,
-      val isSubject: Boolean,
-      val contourId: Int) {
-    /** creation sequence — deterministic final tie-break */
-    val eventId: Long = eventIds.incrementAndGet()
-    var otherEvent: SweepEvent = _
-    var edgeType: Int = Normal
-    var inOut: Boolean = false
-    var otherInOut: Boolean = false
-    /** +1 / -1 when the edge is on the result boundary (sign = whether the
-      * region above the edge is inside the result), 0 = not in result.
-      */
-    var resultTransition: Int = 0
-    // connectEdges bookkeeping
-
-    def inResult: Boolean = resultTransition != 0
-
-    /** p below this (left-to-right) segment? */
-    def below(p: Pt): Boolean =
-      if (left) signedArea(point, otherEvent.point, p) > 0
-      else signedArea(otherEvent.point, point, p) > 0
-
-    def above(p: Pt): Boolean = !below(p)
-
-    def vertical: Boolean = point._1 == otherEvent.point._1
-  }
-
-  /** Queue order: lower x first, then lower y, right endpoints before left
-    * at the same point, then the event whose segment is below.
-    */
-  private def compareEvents(e1: SweepEvent, e2: SweepEvent): Int = {
-    if (e1 eq e2) return 0
-    if (e1.point._1 > e2.point._1) return 1
-    if (e1.point._1 < e2.point._1) return -1
-    if (e1.point._2 != e2.point._2) return if (e1.point._2 > e2.point._2) 1 else -1
-    if (e1.left != e2.left) return if (e1.left) 1 else -1
-    // same point, same endpoint kind: bottom segment first
-    if (signedArea(e1.point, e1.otherEvent.point, e2.otherEvent.point) != 0)
-      return if (!e1.below(e2.otherEvent.point)) 1 else -1
-    // collinear: subject first (stable tie-break)
-    if (e1.isSubject == e2.isSubject) {
-      if (e1.contourId != e2.contourId) { if (e1.contourId > e2.contourId) 1 else -1 }
-      else if (e1.eventId > e2.eventId) 1 else -1
-    } else if (e1.isSubject) -1
-    else 1
-  }
-
-  /** Status-line order: segment spatially below at the sweep position first. */
-  private def compareSegments(le1: SweepEvent, le2: SweepEvent): Int = {
-    if (le1 eq le2) return 0
-    if (signedArea(le1.point, le1.otherEvent.point, le2.point) != 0 ||
-        signedArea(le1.point, le1.otherEvent.point, le2.otherEvent.point) != 0) {
-      if (le1.point == le2.point)
-        return if (le1.below(le2.otherEvent.point)) -1 else 1
-      if (le1.point._1 == le2.point._1)
-        return if (le1.point._2 < le2.point._2) -1 else 1
-      if (compareEvents(le1, le2) > 0) // le2 was inserted first
-        return if (le2.above(le1.point)) -1 else 1
-      if (le1.below(le2.point)) -1 else 1
-    } else { // collinear segments
-      if (le1.isSubject == le2.isSubject) {
-        if (le1.point == le2.point) {
-          if (le1.contourId != le2.contourId)
-            return if (le1.contourId > le2.contourId) 1 else -1
-          return if (le1.eventId > le2.eventId) 1 else -1
-        }
-        if (compareEvents(le1, le2) > 0) 1 else -1
-      } else if (le1.isSubject) -1
-      else 1
-    }
-  }
 
   /** Segment intersection: 0 points (disjoint / parallel), 1 point
     * (proper or endpoint touch) or 2 points (collinear overlap interval).
@@ -135,21 +74,49 @@ object PolygonClip extends Serializable {
     val vbx = b2._1 - b1._1; val vby = b2._2 - b1._2
     val ex = b1._1 - a1._1; val ey = b1._2 - a1._2
     val kross = vax * vby - vay * vbx
-    if (kross != 0.0) {
-      val s = (ex * vby - ey * vbx) / kross
-      if (s < 0 || s > 1) return Array.empty
-      val t = (ex * vay - ey * vax) / kross
-      if (t < 0 || t > 1) return Array.empty
+    // relative parallelism test: |a×b| scales with |a||b|·sinθ, so exact
+    // collinearity through non-representable slopes leaves a ~1-ulp
+    // residue that a plain != 0 would misread as a proper crossing (and
+    // then misclassify a full overlap as an endpoint touch)
+    val lenA0 = math.hypot(vax, vay)
+    val lenB0 = math.hypot(vbx, vby)
+    if (math.abs(kross) > 1e-12 * lenA0 * lenB0) {
+      // snap radius: crossings within ~1 fp grain of a segment endpoint
+      // ARE that endpoint — without this, a crossing through a vertex can
+      // compute a second vertex 1 ulp away and leave the edge graph
+      // inconsistent (caught by property-based fuzzing)
+      val scale = math.max(1.0,
+        math.max(math.max(math.abs(a1._1), math.abs(a1._2)),
+          math.max(math.abs(a2._1), math.abs(a2._2))))
+      val eps = 1e-12 * scale
+      val sEps = eps / math.max(lenA0, Double.MinPositiveValue)
+      val tEps = eps / math.max(lenB0, Double.MinPositiveValue)
+      var s = (ex * vby - ey * vbx) / kross
+      if (s < -sEps || s > 1 + sEps) return Array.empty
+      var t = (ex * vay - ey * vax) / kross
+      if (t < -tEps || t > 1 + tEps) return Array.empty
+      if (s < sEps) s = 0 else if (s > 1 - sEps) s = 1
+      if (t < tEps) t = 0 else if (t > 1 - tEps) t = 1
       val p: Pt =
         if (s == 0) a1
         else if (s == 1) a2
         else if (t == 0) b1
         else if (t == 1) b2
-        else (a1._1 + s * vax, a1._2 + s * vay)
+        else {
+          val q: Pt = (a1._1 + s * vax, a1._2 + s * vay)
+          // snap a mid-segment crossing onto any endpoint within eps
+          def near(r: Pt): Boolean =
+            math.abs(q._1 - r._1) <= eps && math.abs(q._2 - r._2) <= eps
+          if (near(a1)) a1 else if (near(a2)) a2
+          else if (near(b1)) b1 else if (near(b2)) b2
+          else q
+        }
       return Array(p)
     }
-    // parallel: collinear?
-    if (ex * vay - ey * vax != 0.0) return Array.empty
+    // parallel: collinear? (same relative test on the offset of b1 from
+    // the line through a)
+    if (math.abs(ex * vay - ey * vax) >
+        1e-12 * lenA0 * math.max(lenB0, math.hypot(ex, ey))) return Array.empty
     // project b's endpoints onto a's parameter space
     val sqrLen = vax * vax + vay * vay
     if (sqrLen == 0.0) return Array.empty // degenerate zero-length edge
@@ -173,301 +140,179 @@ object PolygonClip extends Serializable {
     }
   }
 
-  private final class Clipper(op: Op) {
-    // scala's PriorityQueue dequeues the max; negate to get a min-heap
-    // on compareEvents (earliest sweep event first)
-    private val queue =
-      new mutable.PriorityQueue[SweepEvent]()(Ordering.comparatorToOrdering(
-        new java.util.Comparator[SweepEvent] {
-          def compare(a: SweepEvent, b: SweepEvent): Int = -compareEvents(a, b)
-        }))
-    private var contourCounter = 0
-
-    def addMultiPoly(mp: MultiPoly, isSubject: Boolean): Unit =
-      for (poly <- mp; ring <- poly) addRing(ring, isSubject)
-
-    private def addRing(ring: Ring, isSubject: Boolean): Unit = {
-      // implicit closure; skip zero-length edges
-      val n = ring.length
-      if (n < 2) return
-      contourCounter += 1
-      val cid = contourCounter
-      var i = 0
-      while (i < n) {
-        val p1 = ring(i)
-        val p2 = ring((i + 1) % n)
-        if (p1 != p2) {
-          val e1 = new SweepEvent(p1, true, isSubject, cid)
-          val e2 = new SweepEvent(p2, true, isSubject, cid)
-          e1.otherEvent = e2; e2.otherEvent = e1
-          // the later endpoint in sweep order is the right endpoint
-          if (compareEvents(e1, e2) > 0) e1.left = false else e2.left = false
-          queue.enqueue(e1); queue.enqueue(e2)
-        }
-        i += 1
-      }
-    }
-
-    private def divideSegment(se: SweepEvent, p: Pt): Unit = {
-      if (p == se.point || p == se.otherEvent.point) return
-      val r = new SweepEvent(p, false, se.isSubject, se.contourId)
-      val l = new SweepEvent(p, true, se.isSubject, se.contourId)
-      r.otherEvent = se
-      l.otherEvent = se.otherEvent
-      if (compareEvents(l, se.otherEvent) > 0) { // degenerate order guard
-        se.otherEvent.left = true
-        l.left = false
-      }
-      se.otherEvent.otherEvent = l
-      se.otherEvent = r
-      queue.enqueue(l); queue.enqueue(r)
-    }
-
-    private def inResultFlag(e: SweepEvent): Boolean = e.edgeType match {
-      case Normal =>
-        op match {
-          case Intersection => !e.otherInOut
-          case Union        => e.otherInOut
-          case Difference   => (e.isSubject && e.otherInOut) || (!e.isSubject && !e.otherInOut)
-          case Xor          => true
-        }
-      case SameTransition      => op == Intersection || op == Union
-      case DifferentTransition => op == Difference
-      case _                   => false
-    }
-
-    private def resultTransitionOf(e: SweepEvent): Int = e.edgeType match {
-      // coincident-edge survivors: otherInOut is stale (it ignores the
-      // overlapping partner), but geometry pins the transition — for
-      // SameTransition both interiors share a side (= this edge's own
-      // side); for DifferentTransition (difference only) the result
-      // interior is on the subject's side.
-      case SameTransition =>
-        if (!e.inOut) 1 else -1
-      case DifferentTransition =>
-        val aboveInResult = if (e.isSubject) !e.inOut else e.inOut
-        if (aboveInResult) 1 else -1
-      case _ =>
-        val thisIn = !e.inOut
-        val thatIn = !e.otherInOut
-        val isIn = op match {
-          case Intersection => thisIn && thatIn
-          case Union        => thisIn || thatIn
-          case Xor          => thisIn != thatIn
-          case Difference   => if (e.isSubject) thisIn && !thatIn else thatIn && !thisIn
-        }
-        if (isIn) 1 else -1
-    }
-
-    private def computeFields(e: SweepEvent, prev: SweepEvent): Unit = {
-      if (prev == null) {
-        e.inOut = false
-        e.otherInOut = true
-      } else if (e.isSubject == prev.isSubject) {
-        e.inOut = !prev.inOut
-        e.otherInOut = prev.otherInOut
-      } else {
-        e.inOut = !prev.otherInOut
-        e.otherInOut = if (prev.vertical) !prev.inOut else prev.inOut
-      }
-      e.resultTransition = if (inResultFlag(e)) resultTransitionOf(e) else 0
-    }
-
-    private def possibleIntersection(se1: SweepEvent, se2: SweepEvent): Int = {
-      val inter = segmentIntersection(
-        se1.point, se1.otherEvent.point, se2.point, se2.otherEvent.point)
-      if (inter.isEmpty) return 0
-      if (inter.length == 1 &&
-          (se1.point == se2.point ||
-            se1.otherEvent.point == se2.otherEvent.point)) return 0
-      if (inter.length == 2 && se1.isSubject == se2.isSubject) return 0
-      if (inter.length == 1) {
-        divideSegment(se1, inter(0))
-        divideSegment(se2, inter(0))
-        return 1
-      }
-      // collinear overlap between subject and clipping edges
-      val events = mutable.ArrayBuffer.empty[SweepEvent]
-      var leftCoincide = false
-      var rightCoincide = false
-      if (se1.point == se2.point) leftCoincide = true
-      else if (compareEvents(se1, se2) > 0) { events += se2; events += se1 }
-      else { events += se1; events += se2 }
-      if (se1.otherEvent.point == se2.otherEvent.point) rightCoincide = true
-      else if (compareEvents(se1.otherEvent, se2.otherEvent) > 0) {
-        events += se2.otherEvent; events += se1.otherEvent
-      } else { events += se1.otherEvent; events += se2.otherEvent }
-
-      if ((leftCoincide && rightCoincide) || leftCoincide) {
-        se2.edgeType = NonContributing
-        se1.edgeType =
-          if (se2.inOut == se1.inOut) SameTransition else DifferentTransition
-        if (leftCoincide && !rightCoincide)
-          divideSegment(events(1).otherEvent, events(0).point)
-        return 2
-      }
-      if (rightCoincide) {
-        divideSegment(events(0), events(1).point)
-        return 3
-      }
-      if (events(0) ne events(3).otherEvent) {
-        divideSegment(events(0), events(1).point)
-        divideSegment(events(1), events(2).point)
-        return 3
-      }
-      divideSegment(events(0), events(1).point)
-      divideSegment(events(3).otherEvent, events(2).point)
-      3
-    }
-
-    def run(subject: MultiPoly, clipping: MultiPoly): MultiPoly = {
-      addMultiPoly(subject, isSubject = true)
-      addMultiPoly(clipping, isSubject = false)
-
-      val sweep = new java.util.TreeSet[SweepEvent](
-        new java.util.Comparator[SweepEvent] {
-          def compare(a: SweepEvent, b: SweepEvent): Int = compareSegments(a, b)
-        })
-      val sorted = mutable.ArrayBuffer.empty[SweepEvent]
-
-      while (queue.nonEmpty) {
-        val event = queue.dequeue()
-        sorted += event
-        if (event.left) {
-          sweep.add(event)
-          val prev = sweep.lower(event)
-          val next = sweep.higher(event)
-          computeFields(event, prev)
-          if (next != null && possibleIntersection(event, next) == 2) {
-            computeFields(event, prev)
-            computeFields(next, event)
-          }
-          if (prev != null && possibleIntersection(prev, event) == 2) {
-            val prevprev = sweep.lower(prev)
-            computeFields(prev, prevprev)
-            computeFields(event, prev)
-          }
-        } else {
-          val le = event.otherEvent
-          if (sweep.contains(le)) {
-            val prev = sweep.lower(le)
-            val next = sweep.higher(le)
-            sweep.remove(le)
-            if (prev != null && next != null) possibleIntersection(prev, next)
+  /** Complete subdivision by a single all-pairs pass: every edge is cut
+    * at every intersection it has with any other edge (proper crossings,
+    * T-junctions, collinear-overlap interval ends). One pass suffices —
+    * the pieces are collinear subsets of their parents, so they cannot
+    * acquire new interior intersections. O(E²) like the labeling phase,
+    * trivial at row-local polygon sizes, and free of the event-ordering
+    * degeneracies that plague sweep-line neighbor testing (a touch point
+    * shared by three segments broke the published sweep's adjacency
+    * invariant in property-based fuzzing here).
+    */
+  private def subdivideAll(
+      subject: MultiPoly, clipping: MultiPoly): IndexedSeq[(Pt, Pt, Boolean)] = {
+    val edges = mutable.ArrayBuffer.empty[(Pt, Pt, Boolean)]
+    def add(mp: MultiPoly, isSub: Boolean): Unit =
+      for (poly <- mp; ring <- poly) {
+        val r = dedupClosed(ring)
+        if (r.length >= 2) {
+          var i = 0
+          while (i < r.length) {
+            val p = r(i); val q = r((i + 1) % r.length)
+            if (p != q) edges += ((p, q, isSub))
+            i += 1
           }
         }
       }
-      connectEdges(sorted)
-    }
-
-    /** Ring assembly by planar face extraction. Every in-result edge is
-      * directed so the result region lies on its LEFT (resultTransition
-      * gives the side: left→right when the region above is inside). At
-      * each vertex the face walk continues along the clockwise-next
-      * outgoing edge from the reversed incoming direction — the classic
-      * DCEL left-face traversal. The successor relation is a permutation
-      * of the directed edges, so its cycles are exactly the boundary rings
-      * of the result region: counter-clockwise cycles are outer rings,
-      * clockwise cycles are holes. This resolves pinch vertices (regions
-      * touching at points) exactly, where an event-order walk merges
-      * regions incorrectly.
-      */
-    private def connectEdges(sorted: mutable.ArrayBuffer[SweepEvent]): MultiPoly = {
-      val dir = mutable.ArrayBuffer.empty[(Pt, Pt)]
-      val seen = mutable.HashSet.empty[(Pt, Pt)]
-      for (e <- sorted if e.left && e.inResult) {
-        val edge =
-          if (e.resultTransition > 0) (e.point, e.otherEvent.point)
-          else (e.otherEvent.point, e.point)
-        if (seen.add(edge)) dir += edge
-      }
-      if (dir.isEmpty) return IndexedSeq.empty
-      val n = dir.length
-      val angle = new Array[Double](n)
-      var k = 0
-      while (k < n) {
-        val (u, v) = dir(k)
-        angle(k) = math.atan2(v._2 - u._2, v._1 - u._1)
-        k += 1
-      }
-      val outgoing = mutable.HashMap.empty[Pt, mutable.ArrayBuffer[Int]]
-      k = 0
-      while (k < n) {
-        outgoing.getOrElseUpdate(dir(k)._1, mutable.ArrayBuffer.empty) += k
-        k += 1
-      }
-      for (buf <- outgoing.values) buf.sortInPlaceBy(angle)
-
-      /** outgoing edge at v that is clockwise-next from direction `rev` */
-      def succ(v: Pt, rev: Double): Int = {
-        val outs = outgoing(v)
-        // largest angle strictly below rev, wrapping to the top
-        var best = -1
-        var i = outs.length - 1
-        while (i >= 0 && best < 0) {
-          if (angle(outs(i)) < rev) best = i
-          i -= 1
+    add(subject, isSub = true)
+    add(clipping, isSub = false)
+    val cuts = Array.fill(edges.length)(mutable.ArrayBuffer.empty[Pt])
+    var i = 0
+    while (i < edges.length) {
+      var j = i + 1
+      while (j < edges.length) {
+        val (a1, a2, _) = edges(i)
+        val (b1, b2, _) = edges(j)
+        val ps = segmentIntersection(a1, a2, b1, b2)
+        var k = 0
+        while (k < ps.length) {
+          cuts(i) += ps(k)
+          cuts(j) += ps(k)
+          k += 1
         }
-        outs(if (best >= 0) best else outs.length - 1)
+        j += 1
       }
+      i += 1
+    }
+    val out = mutable.ArrayBuffer.empty[(Pt, Pt, Boolean)]
+    i = 0
+    while (i < edges.length) {
+      val (a, b, isSub) = edges(i)
+      if (cuts(i).isEmpty) out += ((a, b, isSub))
+      else {
+        val dx = b._1 - a._1; val dy = b._2 - a._2
+        val len2 = dx * dx + dy * dy
+        val chain = (cuts(i).toSeq
+          .map(p => (((p._1 - a._1) * dx + (p._2 - a._2) * dy) / len2, p))
+          .filter { case (t, p) => t > 0 && t < 1 && p != a && p != b }
+          .sortBy(_._1)
+          .map(_._2)
+          .distinct)
+        var prev = a
+        for (p <- chain) {
+          if (p != prev) out += ((prev, p, isSub))
+          prev = p
+        }
+        if (prev != b) out += ((prev, b, isSub))
+      }
+      i += 1
+    }
+    out.toIndexedSeq
+  }
 
-      val used = new Array[Boolean](n)
-      val faces = mutable.ArrayBuffer.empty[Ring]
-      var start = 0
-      while (start < n) {
-        if (!used(start)) {
-          val pts = mutable.ArrayBuffer.empty[Pt]
-          var e = start
-          while (!used(e)) {
-            used(e) = true
-            val (u, v) = dir(e)
-            pts += u
-            e = succ(v, math.atan2(u._2 - v._2, u._1 - v._1))
+
+  /** Vertex welding (snap rounding): computed intersection points from
+    * different edge pairs can land a few ulps apart even though they are
+    * geometrically the same vertex (e.g. a vertex produced by an earlier
+    * clip re-intersected by a later one). Cluster endpoints within a
+    * relative 1e-9 radius onto one representative so the edge graph is
+    * consistent; genuinely distinct vertices are unaffected at any sane
+    * coordinate scale.
+    */
+  private def weld(
+      segs: IndexedSeq[(Pt, Pt, Boolean)]): IndexedSeq[(Pt, Pt, Boolean)] = {
+    var scale = 1.0
+    for ((p, q, _) <- segs) {
+      scale = math.max(scale, math.max(math.abs(p._1), math.abs(p._2)))
+      scale = math.max(scale, math.max(math.abs(q._1), math.abs(q._2)))
+    }
+    val eps = 1e-9 * scale
+    val reps = mutable.HashMap.empty[(Long, Long), Pt]
+    def weldPt(p: Pt): Pt = {
+      val gx = math.floor(p._1 / eps).toLong
+      val gy = math.floor(p._2 / eps).toLong
+      var dx = -1L
+      while (dx <= 1) {
+        var dy = -1L
+        while (dy <= 1) {
+          reps.get((gx + dx, gy + dy)) match {
+            case Some(r)
+                if math.abs(r._1 - p._1) <= eps &&
+                  math.abs(r._2 - p._2) <= eps =>
+              return r
+            case _ =>
           }
-          val ring = dedupClosed(pts.toIndexedSeq)
-          if (ring.length >= 3 && shoelace(ring) != 0.0) faces += ring
+          dy += 1
         }
-        start += 1
+        dx += 1
       }
-      // counter-clockwise faces are outer rings; clockwise ones are holes
-      // of their smallest containing outer (edge midpoints are never on
-      // another face's boundary: subdivision made result edges unique)
-      val outs = faces.zipWithIndex.filter { case (r, _) => shoelace(r) > 0 }
-      val out = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[Ring]]
-      val polyOf = mutable.HashMap.empty[Int, Int]
-      for ((r, idx) <- outs) {
-        polyOf(idx) = out.length
-        out += mutable.ArrayBuffer[Ring](r)
-      }
-      for ((r, _) <- faces.zipWithIndex if shoelace(r) < 0) {
-        val rep = ((r(0)._1 + r(1)._1) / 2.0, (r(0)._2 + r(1)._2) / 2.0)
-        var best = -1
-        var bestArea = Double.PositiveInfinity
-        for ((o, idx) <- outs if rayInside(rep, o)) {
-          val a = shoelace(o)
-          if (a < bestArea) { bestArea = a; best = idx }
-        }
-        if (best >= 0) out(polyOf(best)) += r
-      }
-      out.map(_.toIndexedSeq).toIndexedSeq
+      reps((gx, gy)) = p
+      p
     }
-
-    /** plain even-odd ray cast; p is never on the boundary of `ring` here */
-    private def rayInside(p: Pt, ring: Ring): Boolean = {
-      var inside = false
-      val n = ring.length
-      var i = 0
-      var j = n - 1
-      while (i < n) {
-        val (xi, yi) = ring(i); val (xj, yj) = ring(j)
-        if ((yi > p._2) != (yj > p._2) &&
-            p._1 < (xj - xi) * (p._2 - yi) / (yj - yi) + xi) inside = !inside
-        j = i
-        i += 1
+    // deterministic representatives: visit endpoints in sorted order
+    val pts = segs.flatMap(s => Seq(s._1, s._2)).distinct.sorted
+    pts.foreach(weldPt)
+    segs.flatMap { case (p, q, isSub) =>
+      val wp = weldPt(p); val wq = weldPt(q)
+      if (wp == wq) None
+      else {
+        val lo = if (wp._1 < wq._1 || (wp._1 == wq._1 && wp._2 < wq._2)) wp else wq
+        val hi = if (lo == wp) wq else wp
+        Some((lo, hi, isSub))
       }
-      inside
     }
   }
+
+  // ---- exact side labeling -----------------------------------------------
+
+  private def combine(op: Op, inA: Boolean, inB: Boolean): Boolean = op match {
+    case Intersection => inA && inB
+    case Union        => inA || inB
+    case Xor          => inA != inB
+    case Difference   => inA && !inB
+  }
+
+  /** Parity of operand edges crossed by a ray from `m` going DOWN (for
+    * non-vertical segments) or WEST (for vertical ones). `m` is a segment
+    * midpoint, and after subdivision no other edge passes through it, so
+    * strict comparisons are unambiguous.
+    */
+  private def sideParity(seg: (Pt, Pt), m: Pt, useWestRay: Boolean,
+      edges: IndexedSeq[(Pt, Pt, Boolean)], subject: Boolean): Boolean = {
+    var inside = false
+    var i = 0
+    while (i < edges.length) {
+      val (p, q, isSub) = edges(i)
+      // the labeled segment (and exact coincident duplicates) must be
+      // excluded explicitly: its own crossing computes AT m and fp noise
+      // can land it on either side of the strict comparison
+      if (isSub == subject && (p, q) != seg) {
+        if (!useWestRay) {
+          // downward ray: count non-vertical edges straddling m.x with
+          // crossing strictly below m.y (half-open on the x interval)
+          if (p._1 != q._1 &&
+              ((p._1 <= m._1 && m._1 < q._1) || (q._1 <= m._1 && m._1 < p._1))) {
+            val yCross = p._2 + (q._2 - p._2) * (m._1 - p._1) / (q._1 - p._1)
+            if (yCross < m._2) inside = !inside
+          }
+        } else {
+          // westward ray: count non-horizontal edges straddling m.y with
+          // crossing strictly west of m.x
+          if (p._2 != q._2 &&
+              ((p._2 <= m._2 && m._2 < q._2) || (q._2 <= m._2 && m._2 < p._2))) {
+            val xCross = p._1 + (q._1 - p._1) * (m._2 - p._2) / (q._2 - p._2)
+            if (xCross < m._1) inside = !inside
+          }
+        }
+      }
+      i += 1
+    }
+    inside
+  }
+
+  private def nonEmpty(mp: MultiPoly): Boolean =
+    mp.exists(_.exists(_.length >= 3))
 
   private def bbox(mp: MultiPoly): (Double, Double, Double, Double) = {
     var minX = Double.PositiveInfinity; var minY = Double.PositiveInfinity
@@ -481,15 +326,31 @@ object PolygonClip extends Serializable {
     (minX, minY, maxX, maxY)
   }
 
-  private def nonEmpty(mp: MultiPoly): Boolean =
-    mp.exists(_.exists(_.length >= 3))
-
   /** Boolean operation entry point; canonicalizes the output (closed rings,
     * outer rings clockwise like boost's `correct()`d polygons, holes
     * counter-clockwise, each ring rotated to start at its lexicographically
     * smallest vertex, polygons sorted by first vertex).
     */
   def clip(subject: MultiPoly, clipping: MultiPoly, op: Op): MultiPoly = {
+    try clipExact(subject, clipping, op)
+    catch {
+      case _: IllegalStateException =>
+        // pathological fp configuration (near-degenerate sliver input):
+        // retry once on a 1e-9-relative grid, which collapses sub-grain
+        // degeneracies while leaving any real-world coordinates intact
+        var scale = 1.0
+        for (mp <- Seq(subject, clipping); poly <- mp; ring <- poly; p <- ring) {
+          scale = math.max(scale, math.max(math.abs(p._1), math.abs(p._2)))
+        }
+        val g = 1e-9 * scale
+        def snap(mp: MultiPoly): MultiPoly =
+          mp.map(_.map(_.map(p =>
+            (math.rint(p._1 / g) * g, math.rint(p._2 / g) * g))))
+        clipExact(snap(subject), snap(clipping), op)
+    }
+  }
+
+  private def clipExact(subject: MultiPoly, clipping: MultiPoly, op: Op): MultiPoly = {
     val sEmpty = !nonEmpty(subject)
     val cEmpty = !nonEmpty(clipping)
     if (sEmpty && cEmpty) return IndexedSeq.empty
@@ -511,7 +372,143 @@ object PolygonClip extends Serializable {
         case Difference   => canonical(subject)
         case _            => canonical(subject ++ clipping)
       }
-    canonical(new Clipper(op).run(subject, clipping))
+
+    val segments = weld(subdivideAll(subject, clipping))
+
+    // group coincident segments: per unique (lo,hi) count boundary
+    // multiplicity per operand
+    val multiplicity = mutable.LinkedHashMap.empty[(Pt, Pt), Array[Int]]
+    for ((lo, hi, isSub) <- segments) {
+      val m = multiplicity.getOrElseUpdate((lo, hi), Array(0, 0))
+      m(if (isSub) 0 else 1) += 1
+    }
+
+    // directed result edges, region on the LEFT
+    val dir = mutable.ArrayBuffer.empty[(Pt, Pt)]
+    for (((lo, hi), counts) <- multiplicity) {
+      // pick the parity ray perpendicular to the segment's DOMINANT
+      // direction (a 2-ulp-off-vertical segment must still use the
+      // horizontal ray — its sides separate in x, not y)
+      val dx = hi._1 - lo._1
+      val dy = hi._2 - lo._2
+      val useWestRay = math.abs(dy) > math.abs(dx)
+      val m: Pt = ((lo._1 + hi._1) / 2.0, (lo._2 + hi._2) / 2.0)
+      val parityA = sideParity((lo, hi), m, useWestRay, segments, subject = true)
+      val parityB = sideParity((lo, hi), m, useWestRay, segments, subject = false)
+      val flipA = if (counts(0) % 2 == 1) !parityA else parityA
+      val flipB = if (counts(1) % 2 == 1) !parityB else parityB
+      val rParity = combine(op, parityA, parityB) // the ray-cast side
+      val rFlip = combine(op, flipA, flipB)       // the coincidence-flipped side
+      if (rParity != rFlip) {
+        // direct with the result region on the LEFT of lo→hi. The parity
+        // side lies in the ray direction r̂ from the segment; it is the
+        // LEFT side iff dot((-dy, dx), r̂) > 0: for the downward ray that
+        // is -dx > 0 (never, since lo.x ≤ hi.x), for the westward ray it
+        // is dy > 0 (segment pointing north).
+        val parityIsLeft = if (useWestRay) dy > 0 else dx < 0
+        val leftIn = if (parityIsLeft) rParity else rFlip
+        if (leftIn) dir += ((lo, hi)) else dir += ((hi, lo))
+      }
+    }
+    canonical(extractFaces(dir.toIndexedSeq))
+  }
+
+  /** Ring assembly by planar face extraction: at each vertex the face walk
+    * continues along the clockwise-next outgoing edge from the reversed
+    * incoming direction — the classic DCEL left-face traversal. The
+    * successor relation is a permutation of the directed edges, so its
+    * cycles are exactly the boundary rings of the result region:
+    * counter-clockwise cycles are outer rings, clockwise cycles are holes.
+    * This resolves pinch vertices (regions touching at points) exactly.
+    */
+  private def extractFaces(dir: IndexedSeq[(Pt, Pt)]): MultiPoly = {
+    if (dir.isEmpty) return IndexedSeq.empty
+    val n = dir.length
+    val angle = new Array[Double](n)
+    var k = 0
+    while (k < n) {
+      val (u, v) = dir(k)
+      angle(k) = math.atan2(v._2 - u._2, v._1 - u._1)
+      k += 1
+    }
+    val outgoing = mutable.HashMap.empty[Pt, mutable.ArrayBuffer[Int]]
+    k = 0
+    while (k < n) {
+      outgoing.getOrElseUpdate(dir(k)._1, mutable.ArrayBuffer.empty) += k
+      k += 1
+    }
+    for (buf <- outgoing.values) buf.sortInPlaceBy(angle)
+
+    /** outgoing edge at v that is clockwise-next from direction `rev` */
+    def succ(v: Pt, rev: Double): Int = {
+      val outs = outgoing.getOrElse(v,
+        throw new IllegalStateException(s"unbalanced boundary at $v; edges=" +
+          dir.mkString("[", ", ", "]")))
+      // largest angle strictly below rev, wrapping to the top
+      var best = -1
+      var i = outs.length - 1
+      while (i >= 0 && best < 0) {
+        if (angle(outs(i)) < rev) best = i
+        i -= 1
+      }
+      outs(if (best >= 0) best else outs.length - 1)
+    }
+
+    val used = new Array[Boolean](n)
+    val faces = mutable.ArrayBuffer.empty[Ring]
+    var start = 0
+    while (start < n) {
+      if (!used(start)) {
+        val pts = mutable.ArrayBuffer.empty[Pt]
+        var e = start
+        while (!used(e)) {
+          used(e) = true
+          val (u, v) = dir(e)
+          pts += u
+          e = succ(v, math.atan2(u._2 - v._2, u._1 - v._1))
+        }
+        val ring = dedupClosed(pts.toIndexedSeq)
+        if (ring.length >= 3 && shoelace(ring) != 0.0) faces += ring
+      }
+      start += 1
+    }
+    // counter-clockwise faces are outer rings; clockwise ones are holes
+    // of their smallest containing outer (edge midpoints are never on
+    // another face's boundary: subdivision made result edges unique)
+    val outs = faces.zipWithIndex.filter { case (r, _) => shoelace(r) > 0 }
+    val out = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[Ring]]
+    val polyOf = mutable.HashMap.empty[Int, Int]
+    for ((r, idx) <- outs) {
+      polyOf(idx) = out.length
+      out += mutable.ArrayBuffer[Ring](r)
+    }
+    for ((r, _) <- faces.zipWithIndex if shoelace(r) < 0) {
+      val rep = ((r(0)._1 + r(1)._1) / 2.0, (r(0)._2 + r(1)._2) / 2.0)
+      var best = -1
+      var bestArea = Double.PositiveInfinity
+      for ((o, idx) <- outs if rayInside(rep, o)) {
+        val a = shoelace(o)
+        if (a < bestArea) { bestArea = a; best = idx }
+      }
+      if (best >= 0) out(polyOf(best)) += r
+    }
+    out.map(_.toIndexedSeq).toIndexedSeq
+  }
+
+  /** plain even-odd ray cast; p is never on the boundary of `ring` here */
+  private def rayInside(p: Pt, ring: Ring): Boolean = {
+    var inside = false
+    val n = ring.length
+    var i = 0
+    var j = n - 1
+    while (i < n) {
+      val (xi, yi) = ring(i); val (xj, yj) = ring(j)
+      if ((yi > p._2) != (yj > p._2) &&
+          p._1 < (xj - xi) * (p._2 - yi) / (yj - yi) + xi) inside = !inside
+      j = i
+      i += 1
+    }
+    inside
   }
 
   // ---- canonical form ----------------------------------------------------

@@ -1,0 +1,119 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Geometry, PolygonClip}
+import graft.functions.PolygonClip.{Intersection, MultiPoly, Union, Xor}
+
+/** Property-based checks of the Boolean-algebra identities every clipper
+  * must satisfy, over randomized inputs that concentrate on the hard
+  * regime: small integer coordinates, so shared edges, shared vertices,
+  * pinch points and exact overlaps occur constantly (a random-float
+  * generator would almost never produce a degenerate configuration).
+  *
+  * Identities (for any A, B):
+  *   area(A∩B) + area(A∪B) = area(A) + area(B)
+  *   area(A⊕B) = area(A∪B) − area(A∩B)
+  *   area(A∖B) + area(A∩B) = area(A)
+  *   A∩B ⊆ A ⊆ A∪B   (via within on non-empty results)
+  *   A⊕A = ∅,  A∪A = A∩A = A;  commutativity by area
+  */
+class PolygonClipPropertySpec extends AnyFunSuite {
+
+  private def rect(x0: Int, y0: Int, w: Int, h: Int): Seq[(Double, Double)] =
+    Seq((x0.toDouble, y0.toDouble), (x0.toDouble, (y0 + h).toDouble),
+      ((x0 + w).toDouble, (y0 + h).toDouble), ((x0 + w).toDouble, y0.toDouble))
+
+  private val genRect: Gen[Seq[(Double, Double)]] =
+    for {
+      x0 <- Gen.choose(-4, 4)
+      y0 <- Gen.choose(-4, 4)
+      w <- Gen.choose(1, 5)
+      h <- Gen.choose(1, 5)
+    } yield rect(x0, y0, w, h)
+
+  private val genTriangle: Gen[Seq[(Double, Double)]] =
+    (for {
+      x0 <- Gen.choose(-4, 4); y0 <- Gen.choose(-4, 4)
+      dx1 <- Gen.choose(1, 5); dy1 <- Gen.choose(-3, 3)
+      dx2 <- Gen.choose(-3, 3); dy2 <- Gen.choose(1, 5)
+    } yield (x0, y0, dx1, dy1, dx2, dy2))
+      .suchThat { case (_, _, dx1, dy1, dx2, dy2) => dx1 * dy2 - dy1 * dx2 != 0 }
+      .map { case (x0, y0, dx1, dy1, dx2, dy2) =>
+        Seq((x0.toDouble, y0.toDouble),
+          ((x0 + dx1).toDouble, (y0 + dy1).toDouble),
+          ((x0 + dx2).toDouble, (y0 + dy2).toDouble))
+      }
+
+  /** 1–3 random rings unioned pairwise into one well-formed operand
+    * (rings may overlap each other, so the operand is built by folding
+    * union — exactly how a user would construct a region)
+    */
+  private val genOperand: Gen[MultiPoly] =
+    Gen.choose(1, 3).flatMap { n =>
+      Gen.listOfN(n, Gen.oneOf(genRect, genTriangle)).map { rings =>
+        rings.foldLeft(IndexedSeq.empty: MultiPoly) { (acc, r) =>
+          val one: MultiPoly = IndexedSeq(IndexedSeq(r.toIndexedSeq))
+          if (acc.isEmpty) PolygonClip.canonical(one)
+          else PolygonClip.clip(acc, one, Union)
+        }
+      }
+    }
+
+  private def area(m: MultiPoly): Double = Geometry.areaCartesian(m)
+  private val Eps = 1e-9
+
+  // NoShrink everywhere: scalacheck shrinking ignores generator
+  // constraints and manufactures sub-ulp micro-sliver "polygons" no
+  // geometry kernel (boost::geometry included) is specified to handle;
+  // the generators above already concentrate on the adversarial
+  // integer-coordinate regime.
+  private def run(prop: Prop, n: Int): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("inclusion-exclusion + xor + commutativity over degenerate-rich pairs") {
+    run(Prop.forAllNoShrink(genOperand, genOperand) { (a: MultiPoly, b: MultiPoly) =>
+      val ai = area(PolygonClip.clip(a, b, Intersection))
+      val au = area(PolygonClip.clip(a, b, Union))
+      val ax = area(PolygonClip.clip(a, b, Xor))
+      val aa = area(a)
+      val ab = area(b)
+      math.abs(ai + au - (aa + ab)) < Eps &&
+        math.abs(ax - (au - ai)) < Eps &&
+        math.abs(area(PolygonClip.clip(b, a, Intersection)) - ai) < Eps &&
+        math.abs(area(PolygonClip.clip(b, a, Union)) - au) < Eps
+    }, 300)
+  }
+
+  test("self identities: A xor A = empty, A∪A = A∩A = A") {
+    run(Prop.forAllNoShrink(genOperand) { (a: MultiPoly) =>
+      val aa = area(a)
+      math.abs(area(PolygonClip.clip(a, a, Xor))) < Eps &&
+        math.abs(area(PolygonClip.clip(a, a, Union)) - aa) < Eps &&
+        math.abs(area(PolygonClip.clip(a, a, Intersection)) - aa) < Eps
+    }, 200)
+  }
+
+  test("containment: intersection within both operands, operands within union") {
+    run(Prop.forAllNoShrink(genOperand, genOperand) { (a: MultiPoly, b: MultiPoly) =>
+      val inter = PolygonClip.clip(a, b, Intersection)
+      val union = PolygonClip.clip(a, b, Union)
+      val interOk = area(inter) < Eps ||
+        (Geometry.withinCartesian(inter, a) && Geometry.withinCartesian(inter, b))
+      val unionOk = area(a) < Eps || Geometry.withinCartesian(a, union)
+      interOk && unionOk
+    }, 200)
+  }
+
+  test("difference partitions: area(A∖B) + area(A∩B) = area(A)") {
+    run(Prop.forAllNoShrink(genOperand, genOperand) { (a: MultiPoly, b: MultiPoly) =>
+      val ad = area(PolygonClip.clip(a, b, PolygonClip.Difference))
+      val ai = area(PolygonClip.clip(a, b, Intersection))
+      math.abs(ad + ai - area(a)) < Eps
+    }, 300)
+  }
+}
