@@ -892,13 +892,23 @@ object RelationalQueries {
       val pts = s.range(0, 1600).selectExpr("id",
         "CAST(id % 40 AS DOUBLE) * 0.5 - 10 + 0.25 AS x",
         "CAST(id DIV 40 AS DOUBLE) * 0.5 - 10 + 0.25 AS y")
+      // the same fixtures as a LAYOUT(POLYGON) dictionary: the broadcast
+      // lookup must agree with the distributed join on every row
+      // (smallest-area tie rule on both paths)
+      graft.operators.Dictionaries.createPolygon("geo_q72", polyDf
+        .selectExpr("poly AS key", "name", "value"),
+        "key", Map("name" -> "String", "value" -> "UInt64"))
       graft.operators.SpatialJoin
         .pointInPolygonJoin(pts, "x", "y", polyDf, "poly", 2.0, smallestOnly = true)
+        .withColumn("dict_name",
+          expr("dictGetPointOrDefault('geo_q72', 'name', x, y, 'none')"))
         .groupBy(col("name"), col("value"))
         .agg(count(lit(1)).as("cnt"), sum(col("id")).as("sum_id"),
-          round(sum(col("x") + col("y")), 6).as("sum_xy"))
+          round(sum(col("x") + col("y")), 6).as("sum_xy"),
+          sum(when(col("dict_name") === col("name"), 1L).otherwise(0L)).as("dict_agree"))
         .selectExpr("name", "value", "CAST(cnt AS BIGINT) AS cnt",
-          "CAST(sum_id AS BIGINT) AS sum_id", "sum_xy")
+          "CAST(sum_id AS BIGINT) AS sum_id", "sum_xy",
+          "CAST(dict_agree AS BIGINT) AS dict_agree")
         .orderBy(col("name"))
     }),
     "q63_datetime_h3" -> ((s, dir) => {
@@ -1436,7 +1446,8 @@ object RelationalQueries {
       SELECT name, CAST(value AS BIGINT) AS value,
              CAST(count(1) AS BIGINT) AS cnt,
              CAST(sum(id) AS BIGINT) AS sum_id,
-             round(sum(x + y), 6) AS sum_xy
+             round(sum(x + y), 6) AS sum_xy,
+             CAST(count(1) AS BIGINT) AS dict_agree
       FROM named WHERE name IS NOT NULL
       GROUP BY name, value
       ORDER BY name""",
