@@ -911,6 +911,35 @@ object RelationalQueries {
           "CAST(dict_agree AS BIGINT) AS dict_agree")
         .orderBy(col("name"))
     }),
+    // Skew-salted join correctness (RelationalOps.saltedJoin; the
+    // reference leans on shard-level rebalancing, Spark-side the explicit
+    // tool is key salting): a deliberately hot 3-key join must produce
+    // exactly the plain-join aggregate.
+    "q73_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .selectExpr("l_orderkey", "l_quantity", "l_orderkey % 3 AS hot")
+      val dim = s.range(0, 3).selectExpr("id AS hotkey", "concat('grp_', id) AS grp")
+      graft.operators.RelationalOps
+        .saltedJoin(li, dim, col("hot"), col("hotkey"), saltFactor = 8)
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("qty"))
+        .selectExpr("grp", "CAST(cnt AS BIGINT) AS cnt",
+          "CAST(round(qty, 2) AS DOUBLE) AS qty")
+        .orderBy(col("grp"))
+    }),
+    // system.parts consistency (sources/SystemParts over parquet footers,
+    // reference system.parts): footer-derived totals and column stats
+    // must equal what a full scan computes.
+    "q74_system_parts" -> ((s, dir) => {
+      graft.sources.SystemParts
+        .parts(s, s"$dir/lineitem.parquet", statCols = Seq("l_orderkey"))
+        .agg(
+          sum(col("rows")).as("nrows"),
+          min(expr("CAST(min_values['l_orderkey'] AS BIGINT)")).as("min_ok"),
+          max(expr("CAST(max_values['l_orderkey'] AS BIGINT)")).as("max_ok"))
+        .selectExpr("CAST(nrows AS BIGINT) AS nrows",
+          "CAST(min_ok AS BIGINT) AS min_ok", "CAST(max_ok AS BIGINT) AS max_ok")
+    }),
     "q63_datetime_h3" -> ((s, dir) => {
       t(s, dir, "orders").filter(col("o_orderkey") <= 500)
         .withColumn("ts", col("o_orderdate").cast("timestamp"))
@@ -1451,6 +1480,18 @@ object RelationalQueries {
       FROM named WHERE name IS NOT NULL
       GROUP BY name, value
       ORDER BY name""",
+    "q73_salted_join" -> """
+      SELECT concat('grp_', CAST(l_orderkey % 3 AS VARCHAR)) AS grp,
+             CAST(count(1) AS BIGINT) AS cnt,
+             CAST(round(sum(l_quantity), 2) AS DOUBLE) AS qty
+      FROM lineitem
+      GROUP BY 1
+      ORDER BY grp""",
+    "q74_system_parts" -> """
+      SELECT CAST(count(1) AS BIGINT) AS nrows,
+             CAST(min(l_orderkey) AS BIGINT) AS min_ok,
+             CAST(max(l_orderkey) AS BIGINT) AS max_ok
+      FROM lineitem""",
     "q63_datetime_h3" -> """
       WITH o AS (
         SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS ts,
