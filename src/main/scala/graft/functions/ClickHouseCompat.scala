@@ -2056,6 +2056,7 @@ object ClickHouseCompat {
     DateTimeFormat.install(spark)
     GeoGrid.install(spark)
     Geometry.install(spark) // boost::geometry polygon family
+    ThetaSketch.install(spark) // KMV sketch + uniqTheta set algebra
   }
 
   /** Install all aliases (CREATE OR REPLACE, idempotent); returns names

@@ -940,6 +940,59 @@ object RelationalQueries {
         .selectExpr("CAST(nrows AS BIGINT) AS nrows",
           "CAST(min_ok AS BIGINT) AS min_ok", "CAST(max_ok AS BIGINT) AS max_ok")
     }),
+    // KMV theta-sketch distinct counting + set algebra (functions/
+    // ThetaSketch; reference uniqTheta + uniqThetaUnion/Intersect/Not):
+    // two order-parity cohorts of part keys, sketched at the default k
+    // and at a deliberately small k=256; every estimate must sit inside
+    // its published error envelope of the EXACT cohort algebra, which
+    // the oracle recomputes. Gates, not raw estimates, so the row is
+    // stable at every scale factor.
+    "q75_theta_sketch" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val smallAgg = org.apache.spark.sql.functions
+        .udaf(new graft.functions.ThetaSketch.ThetaAgg(256))
+      val sk = li
+        .selectExpr("CAST(l_partkey AS STRING) AS pk", "l_orderkey % 2 AS coh")
+        .groupBy(col("coh"))
+        .agg(expr("uniqThetaSketch(pk)").as("s"), smallAgg(col("pk")).as("s256"))
+      val a = sk.filter(col("coh") === 0).selectExpr(
+        "s.theta AS ta", "s.hashes AS ha", "s256.theta AS ta2", "s256.hashes AS ha2")
+      val b = sk.filter(col("coh") === 1).selectExpr(
+        "s.theta AS tb", "s.hashes AS hb", "s256.theta AS tb2", "s256.hashes AS hb2")
+      val ex = li
+        .selectExpr("l_partkey",
+          "CAST(l_orderkey % 2 = 0 AS INT) AS ia",
+          "CAST(l_orderkey % 2 = 1 AS INT) AS ib")
+        .groupBy(col("l_partkey"))
+        .agg(max(col("ia")).as("ina"), max(col("ib")).as("inb"))
+        .agg(sum(col("ina")).as("exact_a"), sum(col("inb")).as("exact_b"),
+          count(lit(1)).as("exact_union"),
+          sum(col("ina") * col("inb")).as("exact_inter"),
+          sum(col("ina") * (lit(1) - col("inb"))).as("exact_anotb"))
+      def gate(est: String, exact: String, tol: Double, slack: Long) =
+        s"CAST(abs($est - $exact) <= greatest($exact * $tol, ${slack}L) AS INT)"
+      a.crossJoin(b).crossJoin(ex).selectExpr(
+        "CAST(exact_a AS BIGINT) AS exact_a",
+        "CAST(exact_b AS BIGINT) AS exact_b",
+        "CAST(exact_union AS BIGINT) AS exact_union",
+        "CAST(exact_inter AS BIGINT) AS exact_inter",
+        "CAST(exact_anotb AS BIGINT) AS exact_anotb",
+        gate("uniqThetaEstimate(ta, ha)", "exact_a", 0.05, 10) + " AS g_a",
+        gate("uniqThetaEstimate(tb, hb)", "exact_b", 0.05, 10) + " AS g_b",
+        gate("uniqThetaEstimate(uniqThetaUnion(ta, ha, tb, hb).theta, uniqThetaUnion(ta, ha, tb, hb).hashes)",
+          "exact_union", 0.05, 10) + " AS g_union",
+        gate("uniqThetaEstimate(uniqThetaIntersect(ta, ha, tb, hb).theta, uniqThetaIntersect(ta, ha, tb, hb).hashes)",
+          "exact_inter", 0.20, 20) + " AS g_inter",
+        gate("uniqThetaEstimate(uniqThetaNot(ta, ha, tb, hb).theta, uniqThetaNot(ta, ha, tb, hb).hashes)",
+          "exact_anotb", 0.20, 20) + " AS g_anotb",
+        gate("uniqThetaEstimate(ta2, ha2)", "exact_a", 0.20, 20) + " AS g_a_256",
+        gate("uniqThetaEstimate(uniqThetaUnion(ta2, ha2, tb2, hb2).theta, uniqThetaUnion(ta2, ha2, tb2, hb2).hashes)",
+          "exact_union", 0.20, 20) + " AS g_union_256",
+        gate("uniqThetaEstimate(uniqThetaIntersect(ta2, ha2, tb2, hb2).theta, uniqThetaIntersect(ta2, ha2, tb2, hb2).hashes)",
+          "exact_inter", 0.30, 100) + " AS g_inter_256",
+        gate("uniqThetaEstimate(uniqThetaNot(ta2, ha2, tb2, hb2).theta, uniqThetaNot(ta2, ha2, tb2, hb2).hashes)",
+          "exact_anotb", 0.30, 100) + " AS g_anotb_256")
+    }),
     "q63_datetime_h3" -> ((s, dir) => {
       t(s, dir, "orders").filter(col("o_orderkey") <= 500)
         .withColumn("ts", col("o_orderdate").cast("timestamp"))
@@ -1480,6 +1533,26 @@ object RelationalQueries {
       FROM named WHERE name IS NOT NULL
       GROUP BY name, value
       ORDER BY name""",
+    // q75 oracle: exact cohort set algebra; the sketch gates are verified
+    // claims (estimate within the published KMV error envelope) so the
+    // oracle asserts them as 1.
+    "q75_theta_sketch" -> """
+      WITH f AS (
+        SELECT l_partkey,
+               max(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS ina,
+               max(CASE WHEN l_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS inb
+        FROM lineitem GROUP BY l_partkey)
+      SELECT CAST(sum(ina) AS BIGINT) AS exact_a,
+             CAST(sum(inb) AS BIGINT) AS exact_b,
+             CAST(count(1) AS BIGINT) AS exact_union,
+             CAST(sum(ina * inb) AS BIGINT) AS exact_inter,
+             CAST(sum(ina * (1 - inb)) AS BIGINT) AS exact_anotb,
+             CAST(1 AS INT) AS g_a, CAST(1 AS INT) AS g_b,
+             CAST(1 AS INT) AS g_union, CAST(1 AS INT) AS g_inter,
+             CAST(1 AS INT) AS g_anotb,
+             CAST(1 AS INT) AS g_a_256, CAST(1 AS INT) AS g_union_256,
+             CAST(1 AS INT) AS g_inter_256, CAST(1 AS INT) AS g_anotb_256
+      FROM f""",
     "q73_salted_join" -> """
       SELECT concat('grp_', CAST(l_orderkey % 3 AS VARCHAR)) AS grp,
              CAST(count(1) AS BIGINT) AS cnt,

@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.ThetaSketch
+import graft.functions.ThetaSketch.{State, ThetaAgg}
+
+/** KMV theta sketch: exact below k, bounded error above k (~1/√k),
+  * and the set-algebra contracts of the reference's
+  * uniqThetaUnion/Intersect/Not over sketch states.
+  */
+class ThetaSketchSpec extends AnyFunSuite {
+
+  private def sketchOf(values: Iterable[String], k: Int): State = {
+    val agg = new ThetaAgg(k)
+    var buf = agg.zero
+    for (v <- values) buf = agg.reduce(buf, v)
+    agg.finish(buf)
+  }
+
+  test("exact mode below k; duplicates collapse") {
+    val s = sketchOf((1 to 1000).map(_.toString) ++ (1 to 1000).map(_.toString), 4096)
+    assert(s.theta === 1.0)
+    assert(ThetaSketch.estimate(s) === 1000L)
+  }
+
+  test("estimation mode: 100k distinct at k=1024 within 10%") {
+    val s = sketchOf((1 to 100000).map(i => s"v$i"), 1024)
+    assert(s.theta < 1.0)
+    assert(s.hashes.length === 1024)
+    val est = ThetaSketch.estimate(s)
+    assert(math.abs(est - 100000.0) / 100000.0 < 0.10, s"est=$est")
+  }
+
+  test("set algebra: disjoint union adds, intersection empties") {
+    val a = sketchOf((1 to 5000).map(i => s"a$i"), 1024)
+    val b = sketchOf((1 to 5000).map(i => s"b$i"), 1024)
+    val u = ThetaSketch.union(a, b, 1024)
+    assert(math.abs(ThetaSketch.estimate(u) - 10000.0) / 10000.0 < 0.10)
+    val i = ThetaSketch.intersect(a, b, 1024)
+    assert(ThetaSketch.estimate(i) === 0L)
+  }
+
+  test("set algebra: overlap estimates for union/intersect/not") {
+    // |A| = 20k, |B| = 20k, |A∩B| = 10k
+    val a = sketchOf((1 to 20000).map(i => s"x$i"), 2048)
+    val b = sketchOf((10001 to 30000).map(i => s"x$i"), 2048)
+    val u = ThetaSketch.estimate(ThetaSketch.union(a, b, 2048)).toDouble
+    val i = ThetaSketch.estimate(ThetaSketch.intersect(a, b, 2048)).toDouble
+    val d = ThetaSketch.estimate(ThetaSketch.aNotB(a, b, 2048)).toDouble
+    assert(math.abs(u - 30000) / 30000 < 0.10, s"union=$u")
+    assert(math.abs(i - 10000) / 10000 < 0.20, s"inter=$i")
+    assert(math.abs(d - 10000) / 10000 < 0.20, s"not=$d")
+    // inclusion–exclusion coherence between the estimators themselves
+    assert(math.abs((i + d) - 20000.0) / 20000.0 < 0.2)
+  }
+
+  test("exact sketches: set algebra is exact") {
+    val a = sketchOf((1 to 300).map(i => s"k$i"), 4096)
+    val b = sketchOf((201 to 500).map(i => s"k$i"), 4096)
+    assert(ThetaSketch.estimate(ThetaSketch.union(a, b)) === 500L)
+    assert(ThetaSketch.estimate(ThetaSketch.intersect(a, b)) === 100L)
+    assert(ThetaSketch.estimate(ThetaSketch.aNotB(a, b)) === 200L)
+    assert(ThetaSketch.estimate(ThetaSketch.aNotB(b, a)) === 200L)
+  }
+
+  test("merge associativity: split-and-merge equals one-shot") {
+    val all = (1 to 50000).map(i => s"m$i")
+    val agg = new ThetaAgg(1024)
+    val parts = all.grouped(7000).map(g => {
+      var b = agg.zero
+      g.foreach(v => b = agg.reduce(b, v))
+      b
+    }).toSeq
+    val merged = agg.finish(parts.reduce((x, y) => agg.merge(x, y)))
+    val oneShot = sketchOf(all, 1024)
+    assert(merged.theta === oneShot.theta)
+    assert(merged.hashes.toSeq === oneShot.hashes.toSeq)
+  }
+}
