@@ -813,6 +813,31 @@ object ClickHouseCompat {
       "exists(res, r -> h RLIKE r)",
     "multiMatchAnyIndex(h STRING, res ARRAY<STRING>) RETURNS BIGINT RETURN " +
       "coalesce(array_position(transform(res, r -> h RLIKE r), true), 0)",
+    "multiMatchAllIndices(h STRING, res ARRAY<STRING>) RETURNS ARRAY<BIGINT> RETURN " +
+      "filter(transform(sequence(1, size(res)), " +
+      "i -> IF(h RLIKE element_at(res, CAST(i AS INT)), CAST(i AS BIGINT), " +
+      "CAST(NULL AS BIGINT))), x -> x IS NOT NULL)",
+    // toDateTimeComponents: the reference's tuple of calendar parts
+    "toDateTimeComponents(t TIMESTAMP) RETURNS " +
+      "STRUCT<year: INT, month: INT, day: INT, hour: INT, minute: INT, second: INT> RETURN " +
+      "named_struct('year', CAST(year(t) AS INT), 'month', CAST(month(t) AS INT), " +
+      "'day', CAST(day(t) AS INT), 'hour', CAST(hour(t) AS INT), " +
+      "'minute', CAST(minute(t) AS INT), 'second', CAST(second(t) AS INT))",
+    // accurateCast family: ANSI-strict semantics over the string display
+    // form (same polymorphic-return deviation as reinterpret): OrNull is
+    // try_cast, the plain form raises on any lossy conversion
+    "accurateCastOrNull(v STRING, t STRING) RETURNS STRING RETURN CASE " +
+      "WHEN t IN ('UInt8','UInt16','UInt32','UInt64','Int8','Int16','Int32','Int64') THEN " +
+      " CAST(try_cast(v AS DECIMAL(38,0)) AS STRING) " +
+      "WHEN t IN ('Float32','Float64') THEN CAST(try_cast(v AS DOUBLE) AS STRING) " +
+      "WHEN t = 'Date' THEN CAST(try_cast(v AS DATE) AS STRING) " +
+      "WHEN t = 'DateTime' THEN CAST(try_cast(v AS TIMESTAMP) AS STRING) " +
+      "ELSE v END",
+    "accurateCast(v STRING, t STRING) RETURNS STRING RETURN " +
+      "coalesce(accurateCastOrNull(v, t), " +
+      "raise_error(concat('accurateCast: cannot convert ', v, ' to ', t)))",
+    "accurateCastOrDefault(v STRING, t STRING, d STRING) RETURNS STRING RETURN " +
+      "coalesce(accurateCastOrNull(v, t), d)",
     // extractAll: whole-match extraction (the reference extracts the
     // first capture group when one exists — pass group-0-style patterns)
     "extractAll(h STRING, re STRING) RETURNS ARRAY<STRING> RETURN " +
@@ -2011,6 +2036,30 @@ object ClickHouseCompat {
         java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime) / 1000L)
     spark.udf.register("jumpConsistentHash",
       (k: Long, b: Int) => Tranche10.jumpConsistentHash(k, b))
+    for (n <- Seq("kostikConsistentHash", "yandexConsistentHash"))
+      spark.udf.register(n, (x: Long, b: Int) => KostikConsistentHash(x, b))
+    // arrayPartialShuffle(arr, limit, seed): Fisher–Yates cut off after
+    // `limit` positions (0 = full shuffle) — the reference documents the
+    // permutation itself as unspecified, only the contract matters:
+    // first `limit` elements are a uniform sample, tail preserves the
+    // rest, deterministic per seed
+    spark.udf.register("arrayPartialShuffle",
+      (arr: Seq[String], limit: Int, seed: Long) => {
+        if (arr == null) null
+        else {
+          val a = arr.toArray
+          val n = a.length
+          val lim = if (limit <= 0 || limit > n) n else limit
+          val rnd = new java.util.Random(seed)
+          var i = 0
+          while (i < lim && i < n - 1) {
+            val j = i + rnd.nextInt(n - i)
+            val t = a(i); a(i) = a(j); a(j) = t
+            i += 1
+          }
+          a.toSeq
+        }
+      })
     spark.udf.register("mortonEncode",
       (x: Long, y: Long) => Tranche10.mortonEncode(x, y))
     spark.udf.register("mortonDecode", (z: Long) => Tranche10.mortonDecode(z))

@@ -282,3 +282,57 @@ object HashTail {
     xxh3Avalanche(result)
   }
 }
+
+/** `kostikConsistentHash` (alias `yandexConsistentHash`) — port of the
+  * reference's public consistent-hashing contrib
+  * (`/root/reference/contrib/consistent-hashing/consistent_hashing.cpp`,
+  * uint16-block variant used by `kostikConsistentHash.cpp`): maps a
+  * 64-bit hash onto `n ≤ 32768` buckets such that growing `n` only moves
+  * ~1/n of the keys. Pinned to the reference's 00580 goldens.
+  */
+object KostikConsistentHash extends Serializable {
+
+  private def bitCount(v: Long): Int =
+    64 - java.lang.Long.numberOfLeadingZeros(v)
+
+  /** exact scheme for n = 2^k buckets */
+  private def forPow2(a: Int, b: Int, c: Int, k2: Int): Int = {
+    val cBlock = c & (k2 - 1)
+    if (cBlock < 2) return cBlock
+    val y = bitCount(cBlock.toLong) - 1
+    val y2 = 1 << y
+    val useA = java.lang.Integer.bitCount(cBlock) % 2 == 0
+    val ab = (if (useA) a else b) & (y2 - 1)
+    y2 + ab
+  }
+
+  private def asteriskBits(a: Int, b: Int, c: Int, d: Int, k: Int): Long = {
+    var shift = 16 - k
+    var res: Long = (d.toLong << shift) | (c.toLong >> k)
+    shift += 1
+    res <<= shift
+    res |= (b >> (k - 1)).toLong
+    res <<= shift
+    res |= (a >> (k - 1)).toLong
+    res
+  }
+
+  def apply(x: Long, n: Int): Int = {
+    require(n > 0, "Can't map consistently to a zero values")
+    if (n == 1) return 0
+    val a = (x & 0xffffL).toInt
+    val b = ((x >>> 16) & 0xffffL).toInt
+    val c = ((x >>> 32) & 0xffffL).toInt
+    val d = ((x >>> 48) & 0xffffL).toInt
+    val k = bitCount((n - 1).toLong)
+    val k2 = 1 << k
+    val large = forPow2(a, b, c, k2)
+    if (large < n) return large
+    val k21 = 1 << (k - 1)
+    val s = java.lang.Long.remainderUnsigned(
+      asteriskBits(a, b, c, d, k), large.toLong * (large + 1))
+    val large2 = (s / k2 + k21).toInt
+    if (large2 < n) large2
+    else forPow2(a, b, c, k21)
+  }
+}

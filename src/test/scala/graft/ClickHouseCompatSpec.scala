@@ -956,4 +956,45 @@ class ClickHouseCompatSpec extends SparkSpec {
     assert(r0.getString(0) === "::")
     assert(r0.getString(1) === "ffff:ffff:ffff:ffff:ffff:ffff:ffff:ffff")
   }
+
+  test("tranche-17: kostikConsistentHash goldens, multiMatchAllIndices, partial shuffle, accurateCast, datetime components") {
+    def q1(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
+    // reference 00580_consistent_hashing_functions goldens
+    // (16045690984833335023 as a signed 64-bit literal)
+    val x = java.lang.Long.parseUnsignedLong("16045690984833335023")
+    import graft.functions.KostikConsistentHash
+    assert(KostikConsistentHash(x, 1) === 0)
+    assert(KostikConsistentHash(x, 2) === 1)
+    assert(KostikConsistentHash(x, 3) === 1)
+    assert(KostikConsistentHash(x, 4) === 3)
+    assert(KostikConsistentHash(x, 173) === 111)
+    assert(KostikConsistentHash(x, 255) === 173)
+    assert(KostikConsistentHash(x, 120) === 111)
+    assert(q1(s"kostikConsistentHash(${x}L, 255)") === 173)
+    assert(q1(s"yandexConsistentHash(${x}L, 173)") === 111)
+
+    assert(q1("multiMatchAllIndices('abcdef', array('z', 'abc', 'q', 'def'))")
+      .asInstanceOf[scala.collection.Seq[Long]].toSeq === Seq(2L, 4L))
+    assert(q1("multiMatchAllIndices('xyz', array('a', 'b'))")
+      .asInstanceOf[scala.collection.Seq[Long]].toSeq === Seq.empty)
+
+    val shuffled = q1("arrayPartialShuffle(array('a','b','c','d','e','f'), 0, 42L)")
+      .asInstanceOf[scala.collection.Seq[String]].toSeq
+    assert(shuffled.sorted === Seq("a", "b", "c", "d", "e", "f"))
+    assert(q1("arrayPartialShuffle(array('a','b','c','d','e','f'), 0, 42L)")
+      .asInstanceOf[scala.collection.Seq[String]].toSeq === shuffled) // deterministic
+    val partial = q1("arrayPartialShuffle(array('a','b','c','d','e','f'), 2, 7L)")
+      .asInstanceOf[scala.collection.Seq[String]].toSeq
+    assert(partial.sorted === Seq("a", "b", "c", "d", "e", "f"))
+
+    assert(q1("accurateCast('123', 'UInt32')") === "123")
+    assert(q1("accurateCastOrNull('12x', 'UInt32')") === null)
+    assert(q1("accurateCastOrDefault('12x', 'UInt32', '7')") === "7")
+    assert(q1("accurateCastOrNull('1.5', 'Float64')") === "1.5")
+
+    val comp = spark.sql(
+      "SELECT toDateTimeComponents(TIMESTAMP '1997-03-15 10:20:30') AS c").head().getStruct(0)
+    assert((comp.getInt(0), comp.getInt(1), comp.getInt(2),
+      comp.getInt(3), comp.getInt(4), comp.getInt(5)) === ((1997, 3, 15, 10, 20, 30)))
+  }
 }
