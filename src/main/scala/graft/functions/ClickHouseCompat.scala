@@ -2106,6 +2106,7 @@ object ClickHouseCompat {
     GeoGrid.install(spark)
     Geometry.install(spark) // boost::geometry polygon family
     ThetaSketch.install(spark) // KMV sketch + uniqTheta set algebra
+    TldLists.install(spark) // custom TLD lists + *Custom subdomain family
   }
 
   /** Install all aliases (CREATE OR REPLACE, idempotent); returns names
