@@ -95,7 +95,7 @@ object TableFunctions {
     */
   def s3(spark: SparkSession, connectionName: String, u: String,
       formatName: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.lit
     val bytes = spark.range(1)
       .select(graft.multimodal.Connections
         .getObject(spark, connectionName)(lit(u)).as("b"))
