@@ -1,0 +1,43 @@
+package graft.functions
+
+/** `bitSlice(s, offset[, length])` (reference `src/Functions/bitSlice.cpp`,
+  * goldens 02154_bit_slice_for_string): bit-level substring of a byte
+  * string. `offset` is 1-based in bits (negative counts from the end);
+  * `length` in bits (negative = leave that many bits off the end; absent
+  * = to the end). The result is zero-padded at the END to whole bytes —
+  * exactly the semantics the 02154 golden grid pins (`bin(bitSlice(s,o))`
+  * = `substring(bin(s), o)` + zero padding).
+  */
+object BitOps extends Serializable {
+
+  /** len == Int.MaxValue encodes the missing-length (to the end) form */
+  def bitSlice(s: Array[Byte], offset: Int, len: Int): Array[Byte] = {
+    if (s == null) return null
+    val totalBits = s.length * 8
+    var start =
+      if (offset > 0) offset - 1
+      else if (offset < 0) totalBits + offset
+      else 0
+    if (start < 0) start = 0
+    if (start >= totalBits) return Array.empty
+    val n =
+      if (len == Int.MaxValue) totalBits - start
+      else if (len >= 0) math.min(len, totalBits - start)
+      else math.max(0, totalBits - start + len)
+    if (n <= 0) return Array.empty
+    val out = new Array[Byte]((n + 7) / 8)
+    var i = 0
+    while (i < n) {
+      val src = start + i
+      if (((s(src >> 3) >> (7 - (src & 7))) & 1) == 1)
+        out(i >> 3) = (out(i >> 3) | (1 << (7 - (i & 7)))).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** bit string of a byte array (the reference's `bin`) — test helper */
+  def bin(b: Array[Byte]): String =
+    b.map(x => String.format("%8s",
+      Integer.toBinaryString(x & 0xff)).replace(' ', '0')).mkString
+}

@@ -2107,6 +2107,24 @@ object ClickHouseCompat {
     Geometry.install(spark) // boost::geometry polygon family
     ThetaSketch.install(spark) // KMV sketch + uniqTheta set algebra
     TldLists.install(spark) // custom TLD lists + *Custom subdomain family
+    // bitSlice: 2- and 3-arg forms share one name via a registry builder
+    // that pads the missing length (Spark scala UDFs are fixed-arity)
+    spark.udf.register("bitSlice3Internal",
+      (s: Array[Byte], off: Int, len: Int) => BitOps.bitSlice(s, off, len))
+    locally {
+      import org.apache.spark.sql.catalyst.FunctionIdentifier
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+      import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier("bitSlice"),
+        new ExpressionInfo(getClass.getName, "bitSlice"),
+        (children: Seq[Expression]) => {
+          val full =
+            if (children.size == 2) children :+ Literal(Int.MaxValue)
+            else children
+          UnresolvedFunction("bitSlice3Internal", full, isDistinct = false)
+        })
+    }
   }
 
   /** Install all aliases (CREATE OR REPLACE, idempotent); returns names

@@ -1018,4 +1018,32 @@ class ClickHouseCompatSpec extends SparkSpec {
       === "bbc.co.uk")
     graft.functions.TldLists.drop("psl")
   }
+
+  test("tranche-17c: bitSlice (02154 golden grid)") {
+    import graft.functions.BitOps
+    val hello = "Hello\u0000".getBytes("ISO-8859-1")
+    val full = BitOps.bin(hello)
+    assert(full === "010010000110010101101100011011000110111100000000")
+    // offsets 1..16: bin(bitSlice(s, o)) = substring(bin(s), o) zero-padded
+    // to whole bytes at the END (the 02154 reference grid)
+    for (off <- 1 to 16) {
+      val got = BitOps.bin(BitOps.bitSlice(hello, off, Int.MaxValue))
+      val expBits = full.substring(off - 1)
+      val pad = (8 - expBits.length % 8) % 8
+      assert(got === expBits + "0" * pad, s"offset $off")
+    }
+    // negative offsets count from the end
+    assert(BitOps.bin(BitOps.bitSlice(hello, -1, Int.MaxValue)) === "00000000")
+    assert(BitOps.bin(BitOps.bitSlice(hello, -9, Int.MaxValue)) === "1000000000000000".substring(0, 16))
+    // explicit + negative lengths
+    assert(BitOps.bin(BitOps.bitSlice(hello, 1, 8)) === "01001000")
+    assert(BitOps.bin(BitOps.bitSlice(hello, 3, 5)) === "00100000")
+    assert(BitOps.bin(BitOps.bitSlice(hello, 1, -40)) === "01001000")
+    // SQL surface: both arities resolve to the same kernel
+    def q1(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
+    val b2 = q1("bitSlice(CAST('Hi' AS BINARY), 2)").asInstanceOf[Array[Byte]]
+    assert(BitOps.bin(b2) === BitOps.bin(BitOps.bitSlice("Hi".getBytes, 2, Int.MaxValue)))
+    val b3 = q1("bitSlice(CAST('Hi' AS BINARY), 2, 5)").asInstanceOf[Array[Byte]]
+    assert(BitOps.bin(b3) === BitOps.bin(BitOps.bitSlice("Hi".getBytes, 2, 5)))
+  }
 }
