@@ -102,4 +102,14 @@ class PlanRegressionSpec extends SparkSpec {
       }
     assert(offenders.isEmpty, s"unexpected CartesianProduct in: $offenders")
   }
+
+  test("q72 spatial join: broadcast equi-join on cell, no cartesian, map-side rank-1 prune") {
+    val p = plan("q72_spatial_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), "cartesian crept into the spatial join")
+    assert(!p.contains("CartesianProduct"))
+    // smallest-area winner: Spark's WindowGroupLimit prunes to rank 1
+    // BEFORE the per-point shuffle (Partial) and again after (Final)
+    assert(p.contains("WindowGroupLimit"), "rank-1 prune missing")
+  }
 }
