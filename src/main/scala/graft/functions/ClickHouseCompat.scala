@@ -823,12 +823,26 @@ object ClickHouseCompat {
       "named_struct('year', CAST(year(t) AS INT), 'month', CAST(month(t) AS INT), " +
       "'day', CAST(day(t) AS INT), 'hour', CAST(hour(t) AS INT), " +
       "'minute', CAST(minute(t) AS INT), 'second', CAST(second(t) AS INT))",
-    // accurateCast family: ANSI-strict semantics over the string display
-    // form (same polymorphic-return deviation as reinterpret): OrNull is
-    // try_cast, the plain form raises on any lossy conversion
+    // accurateCast family: strict semantics over the string display form
+    // (same polymorphic-return deviation as reinterpret): integer targets
+    // reject non-integer text (no silent rounding) and enforce the exact
+    // type bounds like the reference; OrNull yields NULL, the plain form
+    // raises
     "accurateCastOrNull(v STRING, t STRING) RETURNS STRING RETURN CASE " +
       "WHEN t IN ('UInt8','UInt16','UInt32','UInt64','Int8','Int16','Int32','Int64') THEN " +
-      " CAST(try_cast(v AS DECIMAL(38,0)) AS STRING) " +
+      " (CASE WHEN v NOT RLIKE '^-?[0-9]+$' THEN CAST(NULL AS STRING) " +
+      Seq("UInt8" -> ("0", "255"), "UInt16" -> ("0", "65535"),
+        "UInt32" -> ("0", "4294967295"),
+        "UInt64" -> ("0", "18446744073709551615"),
+        "Int8" -> ("-128", "127"), "Int16" -> ("-32768", "32767"),
+        "Int32" -> ("-2147483648", "2147483647"),
+        "Int64" -> ("-9223372036854775808", "9223372036854775807"))
+        .map { case (n, (lo, hi)) =>
+          s"WHEN t = '$n' THEN IF(try_cast(v AS DECIMAL(38,0)) " +
+            s"BETWEEN ${lo} AND ${hi}, " +
+            "CAST(try_cast(v AS DECIMAL(38,0)) AS STRING), CAST(NULL AS STRING)) "
+        }.mkString +
+      " ELSE CAST(NULL AS STRING) END) " +
       "WHEN t IN ('Float32','Float64') THEN CAST(try_cast(v AS DOUBLE) AS STRING) " +
       "WHEN t = 'Date' THEN CAST(try_cast(v AS DATE) AS STRING) " +
       "WHEN t = 'DateTime' THEN CAST(try_cast(v AS TIMESTAMP) AS STRING) " +

@@ -991,6 +991,16 @@ class ClickHouseCompatSpec extends SparkSpec {
     assert(q1("accurateCastOrNull('12x', 'UInt32')") === null)
     assert(q1("accurateCastOrDefault('12x', 'UInt32', '7')") === "7")
     assert(q1("accurateCastOrNull('1.5', 'Float64')") === "1.5")
+    // strict: no silent rounding, exact type bounds (reference errors)
+    assert(q1("accurateCastOrNull('12.5', 'UInt32')") === null)
+    assert(q1("accurateCastOrNull('256', 'UInt8')") === null)
+    assert(q1("accurateCastOrNull('255', 'UInt8')") === "255")
+    assert(q1("accurateCastOrNull('-1', 'UInt64')") === null)
+    assert(q1("accurateCastOrNull('-128', 'Int8')") === "-128")
+    assert(q1("accurateCastOrNull('-129', 'Int8')") === null)
+    assert(q1("accurateCastOrNull('18446744073709551615', 'UInt64')")
+      === "18446744073709551615")
+    assert(q1("accurateCastOrNull('18446744073709551616', 'UInt64')") === null)
 
     val comp = spark.sql(
       "SELECT toDateTimeComponents(TIMESTAMP '1997-03-15 10:20:30') AS c").head().getStruct(0)
