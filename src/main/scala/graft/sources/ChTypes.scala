@@ -1,0 +1,171 @@
+package graft.sources
+
+import org.apache.spark.sql.types._
+
+/** ClickHouse-style type names for the format surface.
+  *
+  * The reference's formats print a declared type per column
+  * (`WithNamesAndTypes` headers, JSON/XML `meta`, `fts_index()` schema —
+  * ref `src/DataTypes/DataTypeFactory.cpp`). Spark's type lattice is
+  * narrower (no unsigned ints, 38-digit decimal cap), so the mapping is:
+  *
+  *  - engine type -> display name uses the SIGNED default (Long ->
+  *    "Int64"); a column that semantically carries a reference unsigned /
+  *    exotic type declares it via the `ch_type` field-metadata key, which
+  *    this mapper honors verbatim — the same convention the dictionary
+  *    catalog uses for declared attribute types.
+  *  - display name -> engine type (typed format headers, `structure`
+  *    arguments) parses the full reference grammar: Nullable/
+  *    LowCardinality wrappers, Array/Tuple/Map composites, Decimal
+  *    aliases, Enum8/16 (collapse to String), FixedString, DateTime64.
+  *    UInt64 lands on LongType (wrap-around beyond 2^63-1 is the engine's
+  *    documented two's-complement view, same as the hash surface).
+  */
+object ChTypes {
+
+  /** Field-metadata key carrying a declared reference type name. */
+  val MetaKey = "ch_type"
+
+  def chName(f: StructField): String =
+    if (f.metadata.contains(MetaKey)) f.metadata.getString(MetaKey)
+    else chName(f.dataType, f.nullable)
+
+  /** Default display name; `nullable` wraps scalar types in Nullable(). */
+  def chName(dt: DataType, nullable: Boolean = false): String = {
+    val base = dt match {
+      case ByteType => "Int8"
+      case ShortType => "Int16"
+      case IntegerType => "Int32"
+      case LongType => "Int64"
+      case FloatType => "Float32"
+      case DoubleType => "Float64"
+      case StringType => "String"
+      case BinaryType => "String"
+      case BooleanType => "Bool"
+      case DateType => "Date"
+      case _: TimestampType => "DateTime"
+      case d: DecimalType => s"Decimal(${d.precision}, ${d.scale})"
+      case a: ArrayType => s"Array(${chName(a.elementType, a.containsNull)})"
+      case m: MapType =>
+        s"Map(${chName(m.keyType)}, ${chName(m.valueType, m.valueContainsNull)})"
+      case s: StructType =>
+        s"Tuple(${s.fields.map(f => chName(f.dataType, f.nullable)).mkString(", ")})"
+      case other => other.simpleString
+    }
+    // Composite types cannot be Nullable in the reference either.
+    dt match {
+      case _: ArrayType | _: MapType | _: StructType => base
+      case _ if nullable => s"Nullable($base)"
+      case _ => base
+    }
+  }
+
+  /** Parse a reference type name to (engine type, nullable). */
+  def toSpark(ch: String): (DataType, Boolean) = {
+    val s = ch.trim
+    def inner(name: String): String = {
+      val i = s.indexOf('(')
+      require(i >= 0 && s.endsWith(")"), s"malformed type: $s")
+      s.substring(i + 1, s.length - 1)
+    }
+    // split top-level commas of e.g. "Tuple(UInt64, Date)"
+    def splitArgs(args: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      var depth = 0; var q = false; var start = 0
+      var i = 0
+      while (i < args.length) {
+        args.charAt(i) match {
+          case '\'' => q = !q
+          case '(' if !q => depth += 1
+          case ')' if !q => depth -= 1
+          case ',' if !q && depth == 0 =>
+            out += args.substring(start, i); start = i + 1
+          case _ =>
+        }
+        i += 1
+      }
+      out += args.substring(start)
+      out.result().map(_.trim).filter(_.nonEmpty)
+    }
+
+    if (s.startsWith("Nullable(")) {
+      val (t, _) = toSpark(inner("Nullable")); (t, true)
+    } else if (s.startsWith("LowCardinality(")) {
+      toSpark(inner("LowCardinality"))
+    } else if (s.startsWith("Array(")) {
+      val (e, n) = toSpark(inner("Array")); (ArrayType(e, n), false)
+    } else if (s.startsWith("Map(")) {
+      val Seq(k, v) = splitArgs(inner("Map")).map(toSpark)
+      (MapType(k._1, v._1, v._2), false)
+    } else if (s.startsWith("Tuple(")) {
+      val parts = splitArgs(inner("Tuple")).map(toSpark)
+      val fields = parts.zipWithIndex.map { case ((t, n), i) =>
+        StructField(s"_${i + 1}", t, n)
+      }
+      (StructType(fields.toArray), false)
+    } else if (s.startsWith("Enum8(") || s.startsWith("Enum16(") ||
+        s.startsWith("FixedString(")) {
+      (StringType, false)
+    } else if (s.startsWith("DateTime64")) {
+      (TimestampType, false)
+    } else if (s.startsWith("DateTime")) {
+      (TimestampType, false)
+    } else if (s.startsWith("Decimal32(")) {
+      (DecimalType(9, inner("Decimal32").trim.toInt), false)
+    } else if (s.startsWith("Decimal64(")) {
+      (DecimalType(18, inner("Decimal64").trim.toInt), false)
+    } else if (s.startsWith("Decimal128(")) {
+      (DecimalType(38, inner("Decimal128").trim.toInt), false)
+    } else if (s.startsWith("Decimal(")) {
+      val Seq(p, sc) = splitArgs(inner("Decimal"))
+      (DecimalType(math.min(p.toInt, 38), sc.toInt), false)
+    } else s match {
+      case "Int8" => (ByteType, false)
+      case "Int16" => (ShortType, false)
+      case "Int32" => (IntegerType, false)
+      case "Int64" | "Int128" | "Int256" => (LongType, false)
+      case "UInt8" => (ShortType, false)
+      case "UInt16" => (IntegerType, false)
+      case "UInt32" => (LongType, false)
+      case "UInt64" | "UInt128" | "UInt256" => (LongType, false)
+      case "Float32" => (FloatType, false)
+      case "Float64" => (DoubleType, false)
+      case "String" | "UUID" | "IPv4" | "IPv6" | "JSON" | "Object('json')" =>
+        (StringType, false)
+      case "Bool" | "Boolean" => (BooleanType, false)
+      case "Date" | "Date32" => (DateType, false)
+      case "Nothing" => (NullType, false)
+      case other => throw new IllegalArgumentException(s"unsupported type: $other")
+    }
+  }
+
+  /** Parse a reference `structure` string: `"n UInt64, d Date, s String"`. */
+  def structure(ddl: String): StructType = {
+    val out = Array.newBuilder[StructField]
+    var depth = 0; var start = 0; var q = false
+    val parts = Seq.newBuilder[String]
+    var i = 0
+    while (i < ddl.length) {
+      ddl.charAt(i) match {
+        case '\'' => q = !q
+        case '(' if !q => depth += 1
+        case ')' if !q => depth -= 1
+        case ',' if !q && depth == 0 =>
+          parts += ddl.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    parts += ddl.substring(start)
+    parts.result().map(_.trim).filter(_.nonEmpty).foreach { col =>
+      val sp = col.indexWhere(_.isWhitespace)
+      require(sp > 0, s"malformed structure column: '$col'")
+      val name = col.substring(0, sp)
+      val tpe = col.substring(sp + 1).trim
+      val (dt, nullable) = toSpark(tpe)
+      out += StructField(name, dt, nullable,
+        new MetadataBuilder().putString(MetaKey, tpe).build())
+    }
+    StructType(out.result())
+  }
+}

@@ -1,0 +1,406 @@
+package graft.sources
+
+import java.time.{Instant, LocalDate, LocalDateTime, ZoneOffset}
+import java.time.format.DateTimeFormatter
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Text serialization kernel for the reference's I/O formats.
+  *
+  * The reference factors every text format over a small set of per-value
+  * "escaping rules" (ref `src/Formats/FormatSettings.h` EscapingRule and
+  * `src/IO/WriteHelpers.h`): Escaped (TSV), Quoted (Values), CSV, JSON,
+  * XML, Raw. Composite values (Array/Tuple/Map) always render their
+  * elements with the Quoted rule and the composite text is then escaped
+  * as one unit by the outer rule. This object is a faithful pure-Scala
+  * port of those rules, pinned byte-for-byte to the reference's own
+  * format goldens (`tests/queries/0_stateless/00309_formats.reference`
+  * and friends) in FormatsSpec.
+  *
+  * Everything here is static and Serializable so row rendering runs
+  * inside `mapPartitions` on executors — formatting is distributed; only
+  * framed presentation formats (JSON/XML/Pretty) assemble on the driver.
+  */
+object FormatCodec {
+
+  private val dateTimeFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+
+  // ---------------------------------------------------------------- escapes
+
+  /** TSV escape (`writeEscapedString`): \b \f \n \r \t \0 \' \\ . */
+  def escapeEscaped(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\b' => sb.append("\\b")
+        case '\f' => sb.append("\\f")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case '\u0000' => sb.append("\\0")
+        case '\\' => sb.append("\\\\")
+        case '\'' => sb.append("\\'")
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Values-style quoted string: same escapes, wrapped in single quotes. */
+  def quoteString(s: String): String = "'" + escapeEscaped(s) + "'"
+
+  /** CSV quoting (`writeCSVString`): wrap in double quotes, double them. */
+  def quoteCsv(s: String): String = "\"" + s.replace("\"", "\"\"") + "\""
+
+  /** JSON string body (`writeJSONString` defaults): shortcuts for the
+    * usual escapes, `\/` for the forward slash, uppercase `\uXXXX` for
+    * remaining control characters.
+    */
+  def escapeJson(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '/' => sb.append("\\/")
+        case '\b' => sb.append("\\b")
+        case '\f' => sb.append("\\f")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case _ if c < 0x20 => sb.append(f"\\u${c.toInt}%04X")
+        case _ => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** XML text element (`writeXMLStringForTextElement`): only `<` and `&`. */
+  def escapeXml(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;")
+
+  // ----------------------------------------------------------- scalar texts
+
+  /** Shortest-form float text, matching the reference's fmt-style output:
+    * integral doubles drop the point, scientific uses a bare lowercase e.
+    */
+  def floatText(d: Double): String = {
+    if (d.isNaN) "nan"
+    else if (d.isPosInfinity) "inf"
+    else if (d.isNegInfinity) "-inf"
+    else {
+      val repr = java.lang.Double.toString(d)
+      val e = repr.indexOf('E')
+      if (e < 0) {
+        if (repr.endsWith(".0")) repr.dropRight(2) else repr
+      } else {
+        val exp = repr.substring(e + 1).toInt
+        val mant = repr.substring(0, e)
+        if (exp > -5 && exp < 16) {
+          new java.math.BigDecimal(mant)
+            .scaleByPowerOfTen(exp).stripTrailingZeros.toPlainString
+        } else {
+          val m = if (mant.endsWith(".0")) mant.dropRight(2) else mant
+          s"${m}e$exp"
+        }
+      }
+    }
+  }
+
+  def floatText(f: Float): String = floatText(f.toDouble)
+
+  def decimalText(d: java.math.BigDecimal): String = {
+    val stripped = d.stripTrailingZeros
+    if (stripped.scale < 0) stripped.setScale(0).toPlainString
+    else stripped.toPlainString
+  }
+
+  def dateText(v: Any): String = v match {
+    case d: java.sql.Date => d.toLocalDate.toString
+    case d: LocalDate => d.toString
+    case i: Integer => LocalDate.ofEpochDay(i.longValue).toString
+    case other => String.valueOf(other)
+  }
+
+  def dateTimeText(v: Any): String = v match {
+    case t: java.sql.Timestamp =>
+      LocalDateTime.ofInstant(t.toInstant, ZoneOffset.UTC).format(dateTimeFmt)
+    case t: Instant => LocalDateTime.ofInstant(t, ZoneOffset.UTC).format(dateTimeFmt)
+    case t: LocalDateTime => t.format(dateTimeFmt)
+    case other => String.valueOf(other)
+  }
+
+  /** The plain (unescaped, unquoted) text of a scalar value. */
+  def scalarText(v: Any, dt: DataType): String = (v, dt) match {
+    case (null, _) => "\\N"
+    case (d: java.lang.Double, _) => floatText(d.doubleValue)
+    case (f: java.lang.Float, _) => floatText(f.floatValue)
+    case (d: java.math.BigDecimal, _) => decimalText(d)
+    case (d: BigDecimal, _) => decimalText(d.underlying)
+    case (b: java.lang.Boolean, _) => if (b) "true" else "false"
+    case (v1, DateType) => dateText(v1)
+    case (v1, _: TimestampType) => dateTimeText(v1)
+    case (b: Array[Byte], _) => new String(b, "UTF-8")
+    case (v1, _) => String.valueOf(v1)
+  }
+
+  private def isNumeric(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+        DoubleType | _: DecimalType => true
+    case _ => false
+  }
+
+  /** Composite/nested text form: elements use the Quoted rule
+    * (`[1,'a']`, `(10,'2000-01-11')`, `{'k':1}`) — the form the goldens
+    * show inside TSV/CSV/Pretty/Markdown cells.
+    */
+  def nestedText(v: Any, dt: DataType): String = dt match {
+    case _ if v == null => "NULL"
+    case a: ArrayType =>
+      val items = v match {
+        case s: scala.collection.Seq[_] => s
+        case arr: Array[_] => arr.toSeq
+      }
+      items.map(x => quotedText(x, a.elementType)).mkString("[", ",", "]")
+    case s: StructType =>
+      val r = v.asInstanceOf[Row]
+      s.fields.zipWithIndex
+        .map { case (f, i) => quotedText(r.get(i), f.dataType) }
+        .mkString("(", ",", ")")
+    case m: MapType =>
+      val entries = v.asInstanceOf[scala.collection.Map[Any, Any]]
+      entries.map { case (k, x) =>
+        quotedText(k, m.keyType) + ":" + quotedText(x, m.valueType)
+      }.mkString("{", ",", "}")
+    case _ => scalarText(v, dt)
+  }
+
+  /** Quoted-rule text of any value (Values format / nested elements). */
+  def quotedText(v: Any, dt: DataType): String = dt match {
+    case _ if v == null => "NULL"
+    case _: ArrayType | _: StructType | _: MapType => nestedText(v, dt)
+    case StringType | BinaryType => quoteString(scalarText(v, dt))
+    case DateType | _: TimestampType => "'" + scalarText(v, dt) + "'"
+    case _ => scalarText(v, dt)
+  }
+
+  /** Escaped-rule (TSV) text of any value. */
+  def escapedText(v: Any, dt: DataType): String = dt match {
+    case _ if v == null => "\\N"
+    case _: ArrayType | _: StructType | _: MapType => nestedText(v, dt)
+    case StringType | BinaryType => escapeEscaped(scalarText(v, dt))
+    case _ => scalarText(v, dt)
+  }
+
+  /** Raw-rule text: no escaping at all (TabSeparatedRaw). */
+  def rawText(v: Any, dt: DataType): String = dt match {
+    case _ if v == null => "\\N"
+    case _: ArrayType | _: StructType | _: MapType => nestedText(v, dt)
+    case _ => scalarText(v, dt)
+  }
+
+  /** CSV-rule text: numbers/bools bare, everything else CSV-quoted.
+    * Top-level Tuples flatten to comma-joined CSV fields
+    * (SerializationTuple::serializeTextCSV — golden `00309_formats`).
+    */
+  def csvText(v: Any, dt: DataType): String = dt match {
+    case _ if v == null => "\\N"
+    case _ if isNumeric(dt) => scalarText(v, dt)
+    case BooleanType => scalarText(v, dt)
+    case s: StructType =>
+      val r = v.asInstanceOf[Row]
+      s.fields.zipWithIndex
+        .map { case (f, i) => csvText(r.get(i), f.dataType) }.mkString(",")
+    case _: ArrayType | _: MapType => quoteCsv(nestedText(v, dt))
+    case _ => quoteCsv(scalarText(v, dt))
+  }
+
+  /** Pretty/Markdown cell text: nested quoted form, no outer escaping. */
+  def plainText(v: Any, dt: DataType): String = dt match {
+    case _ if v == null => "\\N"
+    case _: ArrayType | _: StructType | _: MapType => nestedText(v, dt)
+    case _ => scalarText(v, dt)
+  }
+
+  // ------------------------------------------------------------- JSON rule
+
+  /** Does this declared type print as a quoted JSON number? The reference
+    * quotes 64-bit+ integers by default
+    * (`output_format_json_quote_64bit_integers = 1`).
+    */
+  private def quotes64(ch: String): Boolean = ch match {
+    case "Int64" | "UInt64" | "Int128" | "UInt128" | "Int256" | "UInt256" => true
+    case _ => false
+  }
+
+  /** JSON value text. `ch` is the declared reference type name of this
+    * value (drives 64-bit quoting); nested calls peel it structurally.
+    */
+  def jsonText(v: Any, dt: DataType, ch: String, quote64: Boolean): String = {
+    def chInner(prefix: String): String =
+      if (ch.startsWith(prefix + "(") && ch.endsWith(")"))
+        ch.substring(prefix.length + 1, ch.length - 1)
+      else ""
+    dt match {
+      case _ if v == null => "null"
+      case a: ArrayType =>
+        val items = v match {
+          case s: scala.collection.Seq[_] => s
+          case arr: Array[_] => arr.toSeq
+        }
+        items.map(x => jsonText(x, a.elementType, chInner("Array"), quote64))
+          .mkString("[", ",", "]")
+      case s: StructType =>
+        val r = v.asInstanceOf[Row]
+        val inner = chInner("Tuple")
+        val parts = if (inner.isEmpty) s.fields.map(_ => "")
+          else splitTop(inner).toArray.padTo(s.fields.length, "")
+        s.fields.zipWithIndex.map { case (f, i) =>
+          jsonText(r.get(i), f.dataType, parts(i).trim, quote64)
+        }.mkString("[", ",", "]")
+      case m: MapType =>
+        val inner = splitTop(chInner("Map"))
+        val vCh = if (inner.length == 2) inner(1).trim else ""
+        v.asInstanceOf[scala.collection.Map[Any, Any]].map { case (k, x) =>
+          "\"" + escapeJson(scalarText(k, m.keyType)) + "\":" +
+            jsonText(x, m.valueType, vCh, quote64)
+        }.mkString("{", ",", "}")
+      case StringType | BinaryType | DateType | _: TimestampType =>
+        "\"" + escapeJson(scalarText(v, dt)) + "\""
+      case BooleanType => scalarText(v, dt)
+      case FloatType | DoubleType =>
+        val d = v match {
+          case x: java.lang.Double => x.doubleValue
+          case x: java.lang.Float => x.floatValue.toDouble
+        }
+        if (d.isNaN || d.isInfinite) "null" else scalarText(v, dt)
+      case LongType if quote64 && (ch.isEmpty || quotes64(ch)) =>
+        "\"" + String.valueOf(v) + "\""
+      case _ if isNumeric(dt) && quote64 && quotes64(ch) =>
+        "\"" + scalarText(v, dt) + "\""
+      case _ => scalarText(v, dt)
+    }
+  }
+
+  /** Split a type-argument list at top-level commas. */
+  def splitTop(args: String): Seq[String] = {
+    if (args.isEmpty) return Seq.empty
+    val out = Seq.newBuilder[String]
+    var depth = 0; var q = false; var start = 0
+    var i = 0
+    while (i < args.length) {
+      args.charAt(i) match {
+        case '\'' => q = !q
+        case '(' if !q => depth += 1
+        case ')' if !q => depth -= 1
+        case ',' if !q && depth == 0 =>
+          out += args.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += args.substring(start)
+    out.result().map(_.trim)
+  }
+
+  // ------------------------------------------------------------- XML rule
+
+  def xmlText(v: Any, dt: DataType): String = dt match {
+    case _ if v == null => "\\N"
+    case a: ArrayType =>
+      val items = v match {
+        case s: scala.collection.Seq[_] => s
+        case arr: Array[_] => arr.toSeq
+      }
+      items.map(x => "<elem>" + xmlText(x, a.elementType) + "</elem>")
+        .mkString("<array>", "", "</array>")
+    case s: StructType =>
+      val r = v.asInstanceOf[Row]
+      s.fields.zipWithIndex
+        .map { case (f, i) => "<elem>" + xmlText(r.get(i), f.dataType) + "</elem>" }
+        .mkString("<tuple>", "", "</tuple>")
+    case m: MapType =>
+      escapeXml(nestedText(v, dt))
+    case _ => escapeXml(scalarText(v, dt))
+  }
+
+  // --------------------------------------------------------------- parsing
+
+  /** Unescape a TSV (Escaped-rule) field. */
+  def unescapeEscaped(s: String): String = {
+    if (s.indexOf('\\') < 0) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        i += 1
+        s.charAt(i) match {
+          case 'b' => sb.append('\b')
+          case 'f' => sb.append('\f')
+          case 'n' => sb.append('\n')
+          case 'r' => sb.append('\r')
+          case 't' => sb.append('\t')
+          case '0' => sb.append('\u0000')
+          case 'N' => sb.append("\\N") // caller handles NULL before this
+          case other => sb.append(other)
+        }
+      } else sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Parse a scalar text into the engine value for `dt`. */
+  def parseScalar(text: String, dt: DataType): Any = dt match {
+    case ByteType => text.trim.toByte
+    case ShortType => text.trim.toShort
+    case IntegerType => text.trim.toInt
+    case LongType => java.lang.Long.parseUnsignedLong(text.trim)
+    case FloatType => text.trim.toFloat
+    case DoubleType => text.trim.toDouble
+    case d: DecimalType =>
+      new java.math.BigDecimal(text.trim).setScale(d.scale)
+    case BooleanType => text.trim match {
+      case "1" | "true" | "True" => true
+      case "0" | "false" | "False" => false
+      case other => throw new IllegalArgumentException(s"bad Bool: $other")
+    }
+    case DateType => java.sql.Date.valueOf(LocalDate.parse(text.trim))
+    case _: TimestampType =>
+      java.sql.Timestamp.from(
+        LocalDateTime.parse(text.trim.replace(' ', 'T')).toInstant(ZoneOffset.UTC))
+    case StringType => text
+    case BinaryType => text.getBytes("UTF-8")
+    case NullType => null
+    case other =>
+      throw new IllegalArgumentException(s"cannot parse scalar as $other")
+  }
+
+  /** Default (zero) value for NULL-as-default input semantics. */
+  def defaultValue(dt: DataType): Any = dt match {
+    case ByteType => 0.toByte
+    case ShortType => 0.toShort
+    case IntegerType => 0
+    case LongType => 0L
+    case FloatType => 0f
+    case DoubleType => 0d
+    case d: DecimalType => java.math.BigDecimal.ZERO.setScale(d.scale)
+    case BooleanType => false
+    case StringType => ""
+    case BinaryType => Array.emptyByteArray
+    case DateType => java.sql.Date.valueOf(LocalDate.ofEpochDay(0))
+    case _: TimestampType => java.sql.Timestamp.from(Instant.EPOCH)
+    case a: ArrayType => Seq.empty
+    case m: MapType => Map.empty
+    case s: StructType =>
+      Row.fromSeq(s.fields.toSeq.map(f => defaultValue(f.dataType)))
+    case _ => null
+  }
+}

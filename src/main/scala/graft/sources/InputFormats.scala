@@ -1,0 +1,647 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import FormatCodec._
+
+/** The reference's input-format surface (ref `src/Processors/Formats/
+  * Impl/ * RowInputFormat.cpp`): text/binary payloads parsed into
+  * DataFrames against a declared `structure` (CH-style `"n UInt64, d
+  * Date"`), a typed header (`WithNamesAndTypes`), or all-String columns.
+  *
+  * Inline data (the `format()` / `url()` / `file()` table-function path)
+  * is parsed driver-side — it arrived as one buffer by construction.
+  * Line-wise formats also expose the schema so the same per-line
+  * converters can run under `mapPartitions` for large file reads
+  * (`file()` keeps Spark-native readers for Parquet/ORC/JSON/CSV; these
+  * parsers cover the reference-only formats).
+  *
+  * NULL into a non-nullable column takes the type default — the
+  * reference's `input_format_null_as_default=0` + column-default
+  * semantics collapse to type defaults here (no DDL DEFAULT exprs;
+  * documented deviation). Pinned to `01034_JSONCompactEachRow`,
+  * `00306_insert_values_and_expressions`, `01014_format_custom_
+  * separated`, `02322_sql_insert_format` (MySQLDump) goldens in
+  * FormatsSpec.
+  */
+object InputFormats {
+
+  private val mapper = new ObjectMapper()
+
+  // ------------------------------------------------------------- utilities
+
+  /** Split at top-level occurrences of `sep` (quotes and brackets nest). */
+  def topSplit(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var q = false; var start = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (q) {
+        if (c == '\\') i += 1
+        else if (c == '\'') q = false
+      } else c match {
+        case '\'' => q = true
+        case '(' | '[' | '{' => depth += 1
+        case ')' | ']' | '}' => depth -= 1
+        case `sep` if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result()
+  }
+
+  /** Unquote a Values-style '...' literal (backslash escapes). */
+  def unquote(s0: String): String = {
+    val s = s0.trim
+    if (s.length >= 2 && s.head == '\'' && s.last == '\'')
+      unescapeEscaped(s.substring(1, s.length - 1))
+    else s
+  }
+
+  /** Parse a Values-rule literal into an engine value for `dt`. Throws
+    * on anything that is not a plain literal (caller may fall back to
+    * expression evaluation, mirroring
+    * `input_format_values_interpret_expressions`).
+    */
+  def parseLiteral(text0: String, dt: DataType): Any = {
+    val text = text0.trim
+    if (text.equalsIgnoreCase("NULL")) return null
+    dt match {
+      case a: ArrayType =>
+        require(text.startsWith("[") && text.endsWith("]"), s"not an array: $text")
+        val body = text.substring(1, text.length - 1).trim
+        if (body.isEmpty) Seq.empty
+        else topSplit(body, ',').map(t => parseLiteral(t, a.elementType))
+      case s: StructType =>
+        require(text.startsWith("(") && text.endsWith(")"), s"not a tuple: $text")
+        val parts = topSplit(text.substring(1, text.length - 1), ',')
+        require(parts.length == s.fields.length, s"tuple arity: $text")
+        Row.fromSeq(parts.zip(s.fields.toSeq).map { case (t, f) =>
+          parseLiteral(t, f.dataType)
+        })
+      case m: MapType =>
+        require(text.startsWith("{") && text.endsWith("}"), s"not a map: $text")
+        val body = text.substring(1, text.length - 1).trim
+        if (body.isEmpty) Map.empty
+        else topSplit(body, ',').map { kv =>
+          val Seq(k, v) = topSplit(kv, ':')
+          parseLiteral(k, m.keyType) -> parseLiteral(v, m.valueType)
+        }.toMap
+      case StringType | BinaryType =>
+        require(text.startsWith("'") && text.endsWith("'"), s"not a string: $text")
+        val s1 = unquote(text)
+        if (dt == BinaryType) s1.getBytes("UTF-8") else s1
+      case DateType | _: TimestampType => parseScalar(unquote(text), dt)
+      case _ =>
+        require(text.nonEmpty && "+-0123456789.".contains(text.charAt(0)),
+          s"not a numeric literal: $text")
+        parseScalar(text, dt)
+    }
+  }
+
+  /** Parse an Escaped/Raw/CSV text field into `dt` (TSV/CSV cells). */
+  def parseField(raw0: String, dt: DataType, rule: String): Any = {
+    val raw = rule match {
+      case "Raw" => raw0
+      case "CSV" =>
+        val t = raw0.trim
+        if (t.length >= 2 && t.head == '"' && t.last == '"')
+          t.substring(1, t.length - 1).replace("\"\"", "\"")
+        else t
+      case "Quoted" => return parseLiteral(raw0, dt)
+      case _ => // Escaped
+        if (raw0 == "\\N") return null
+        unescapeEscaped(raw0)
+    }
+    if (rule == "CSV" && raw == "\\N") return null
+    dt match {
+      case _: ArrayType | _: StructType | _: MapType => parseLiteral(raw, dt)
+      case _ => parseScalar(raw, dt)
+    }
+  }
+
+  /** Fill nulls headed into non-nullable fields with type defaults. */
+  private def settle(v: Any, f: StructField): Any =
+    if (v == null && !f.nullable) defaultValue(f.dataType) else v
+
+  private def toDf(spark: SparkSession, rows: Seq[Row], schema: StructType): DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+
+  private def allStrings(n: Int): StructType =
+    StructType((1 to n).map(i => StructField(s"c$i", StringType, nullable = true)))
+
+  // ----------------------------------------------------------- JSON values
+
+  private def jsonToValue(node: JsonNode, f: StructField): Any = {
+    if (node == null || node.isNull) return null
+    f.dataType match {
+      case a: ArrayType =>
+        val elemField = StructField("e", a.elementType, a.containsNull)
+        (0 until node.size).map(i => settleElem(jsonToValue(node.get(i), elemField), a))
+      case s: StructType =>
+        if (node.isArray)
+          Row.fromSeq(s.fields.zipWithIndex.toSeq.map { case (sf, i) =>
+            settle(jsonToValue(node.get(i), sf), sf)
+          })
+        else
+          Row.fromSeq(s.fields.toSeq.map(sf =>
+            settle(jsonToValue(node.get(sf.name), sf), sf)))
+      case m: MapType =>
+        val vf = StructField("v", m.valueType, m.valueContainsNull)
+        val it = node.fields()
+        val out = scala.collection.mutable.LinkedHashMap.empty[Any, Any]
+        while (it.hasNext) {
+          val e = it.next()
+          out += parseScalar(e.getKey, m.keyType) -> jsonToValue(e.getValue, vf)
+        }
+        out.toMap
+      case StringType => if (node.isTextual) node.asText else node.toString
+      case BinaryType => node.asText.getBytes("UTF-8")
+      case BooleanType =>
+        if (node.isBoolean) node.asBoolean else node.asText.trim == "1"
+      case dt =>
+        // the reference coerces quoted numbers ("2") and bare numbers alike
+        parseScalar(node.asText, dt)
+    }
+  }
+
+  private def settleElem(v: Any, a: ArrayType): Any =
+    if (v == null && !a.containsNull) defaultValue(a.elementType) else v
+
+  // ----------------------------------------------------------------- parse
+
+  /** Parse `data` in the named input format. `structure` is the CH-style
+    * column declaration; formats with typed headers may omit it.
+    */
+  def parse(
+      spark: SparkSession,
+      data: String,
+      format: String,
+      structure: Option[String] = None,
+      settings: OutputFormats.Settings = OutputFormats.Settings()): DataFrame = {
+    val f = OutputFormats.canon(format)
+    val declared: Option[StructType] = structure.map(ChTypes.structure)
+
+    def lines: Seq[String] = data.split("\n", -1).toSeq.filter(_.nonEmpty)
+
+    def lineWise(
+        rule: String,
+        sep: Char,
+        withNames: Boolean,
+        withTypes: Boolean): DataFrame = {
+      var rest = lines
+      var names: Option[Seq[String]] = None
+      var types: Option[Seq[String]] = None
+      if (withNames) {
+        names = Some(rest.head.split(sep).toSeq.map(n =>
+          parseField(n, StringType, rule).asInstanceOf[String]))
+        rest = rest.tail
+        if (withTypes) {
+          types = Some(rest.head.split(sep).toSeq.map(t =>
+            parseField(t, StringType, rule).asInstanceOf[String]))
+          rest = rest.tail
+        }
+      }
+      val schema: StructType = (declared, names, types) match {
+        case (Some(st), Some(ns), _) =>
+          // header names select/reorder the declared columns
+          StructType(ns.map(n => st(st.fieldIndex(n))))
+        case (Some(st), None, _) => st
+        case (None, Some(ns), Some(ts)) =>
+          StructType(ns.zip(ts).map { case (n, t) =>
+            val (dt, nullable) = ChTypes.toSpark(t)
+            StructField(n, dt, nullable,
+              new MetadataBuilder().putString(ChTypes.MetaKey, t).build())
+          })
+        case (None, Some(ns), None) =>
+          StructType(ns.map(n => StructField(n, StringType, nullable = true)))
+        case (None, None, _) =>
+          allStrings(if (rest.isEmpty) 0
+            else splitFields(rest.head, sep, rule).length)
+      }
+      val rows = rest.map { line =>
+        val parts = splitFields(line, sep, rule)
+        Row.fromSeq(schema.fields.zipWithIndex.toSeq.map { case (fld, i) =>
+          if (i < parts.length) settle(parseField(parts(i), fld.dataType, rule), fld)
+          else settle(null, fld)
+        })
+      }
+      toDf(spark, rows, schema)
+    }
+
+    f match {
+      case "tabseparated" => lineWise("Escaped", '\t', withNames = false, withTypes = false)
+      case "tabseparatedwithnames" => lineWise("Escaped", '\t', withNames = true, withTypes = false)
+      case "tabseparatedwithnamesandtypes" => lineWise("Escaped", '\t', withNames = true, withTypes = true)
+      case "tabseparatedraw" => lineWise("Raw", '\t', withNames = false, withTypes = false)
+      case "tabseparatedrawwithnames" => lineWise("Raw", '\t', withNames = true, withTypes = false)
+      case "tabseparatedrawwithnamesandtypes" => lineWise("Raw", '\t', withNames = true, withTypes = true)
+      case "csv" => lineWise("CSV", ',', withNames = false, withTypes = false)
+      case "csvwithnames" => lineWise("CSV", ',', withNames = true, withTypes = false)
+      case "csvwithnamesandtypes" => lineWise("CSV", ',', withNames = true, withTypes = true)
+
+      case "tskv" =>
+        val schema = declared.getOrElse {
+          // infer String columns from the union of keys, first-seen order
+          val keys = scala.collection.mutable.LinkedHashSet.empty[String]
+          lines.foreach(_.split('\t').foreach { tok =>
+            val eq = unescapedEq(tok)
+            if (eq > 0) keys += unescapeEscaped(tok.substring(0, eq)).replace("\\=", "=")
+          })
+          StructType(keys.toSeq.map(k => StructField(k, StringType, nullable = true)))
+        }
+        val rows = lines.map { line =>
+          val kv = scala.collection.mutable.HashMap.empty[String, String]
+          line.split('\t').foreach { tok =>
+            val eq = unescapedEq(tok)
+            if (eq > 0) {
+              val k = tok.substring(0, eq).replace("\\=", "=")
+              kv += unescapeEscaped(k) -> tok.substring(eq + 1)
+            }
+          }
+          Row.fromSeq(schema.fields.toSeq.map { fld =>
+            kv.get(fld.name) match {
+              case Some(v) => settle(parseField(v, fld.dataType, "Escaped"), fld)
+              case None => settle(null, fld)
+            }
+          })
+        }
+        toDf(spark, rows, schema)
+
+      case "jsoneachrow" | "ndjson" | "jsonlines" =>
+        val schema = declared.getOrElse {
+          return spark.read.json(
+            spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING))
+        }
+        val rows = lines.map { line =>
+          val node = mapper.readTree(line)
+          Row.fromSeq(schema.fields.toSeq.map(fld =>
+            settle(jsonToValue(node.get(fld.name), fld), fld)))
+        }
+        toDf(spark, rows, schema)
+
+      case "jsoncompacteachrow" | "jsoncompacteachrowwithnames" |
+          "jsoncompacteachrowwithnamesandtypes" =>
+        // rows may be packed without newlines: [..][..] — brace-match
+        val chunks = jsonChunks(data, '[', ']')
+        var rest = chunks
+        var names: Option[Seq[String]] = None
+        var types: Option[Seq[String]] = None
+        if (f.endsWith("withnames") || f.endsWith("withnamesandtypes")) {
+          val nNode = mapper.readTree(rest.head)
+          names = Some((0 until nNode.size).map(i => nNode.get(i).asText))
+          rest = rest.tail
+          if (f.endsWith("withnamesandtypes")) {
+            val tNode = mapper.readTree(rest.head)
+            types = Some((0 until tNode.size).map(i => tNode.get(i).asText))
+            rest = rest.tail
+          }
+        }
+        val schema: StructType = (declared, names, types) match {
+          case (Some(st), Some(ns), _) => StructType(ns.map(n => st(st.fieldIndex(n))))
+          case (Some(st), None, _) => st
+          case (None, Some(ns), Some(ts)) =>
+            StructType(ns.zip(ts).map { case (nm, t) =>
+              val (dt, nullable) = ChTypes.toSpark(t)
+              StructField(nm, dt, nullable,
+                new MetadataBuilder().putString(ChTypes.MetaKey, t).build())
+            })
+          case (None, Some(ns), None) =>
+            StructType(ns.map(nm => StructField(nm, StringType, nullable = true)))
+          case (None, None, _) =>
+            throw new IllegalArgumentException(
+              "JSONCompactEachRow needs structure or a names header")
+        }
+        val rows = rest.map { chunk =>
+          val node = mapper.readTree(chunk)
+          Row.fromSeq(schema.fields.zipWithIndex.toSeq.map { case (fld, i) =>
+            settle(jsonToValue(node.get(i), fld), fld)
+          })
+        }
+        toDf(spark, rows, schema)
+
+      case "values" =>
+        val schema = declared.getOrElse(throw new IllegalArgumentException(
+          "Values needs structure"))
+        val body = data.trim.stripSuffix(";")
+        val tuples = topSplit(body, ',').map(_.trim).filter(_.nonEmpty)
+        val rows = tuples.map { t =>
+          require(t.startsWith("(") && t.endsWith(")"), s"bad Values tuple: $t")
+          val parts = topSplit(t.substring(1, t.length - 1), ',')
+          require(parts.length == schema.fields.length, s"arity mismatch: $t")
+          try {
+            Row.fromSeq(parts.zip(schema.fields.toSeq).map { case (p, fld) =>
+              settle(parseLiteral(p, fld.dataType), fld)
+            })
+          } catch { case _: Exception =>
+            // expression fallback (input_format_values_interpret_expressions):
+            // evaluate the tuple through the engine — compat functions are
+            // registered in the session catalog, so toDate/concat/… resolve.
+            val projected = parts.zip(schema.fields.toSeq)
+              .map { case (p, fld) =>
+                s"CAST((${rewriteChExpr(p)}) AS ${fld.dataType.sql}) AS `${fld.name}`"
+              }.mkString(", ")
+            val r = spark.sql(s"SELECT $projected").collect()(0)
+            Row.fromSeq(schema.fields.zipWithIndex.toSeq.map { case (fld, i) =>
+              settle(r.get(i), fld)
+            })
+          }
+        }
+        toDf(spark, rows, schema)
+
+      case "lineasstring" =>
+        val name = declared.map(_.fields(0).name).getOrElse("line")
+        val schema = StructType(Seq(StructField(name, StringType, nullable = false)))
+        toDf(spark, data.split("\n", -1).toSeq.dropRight(
+          if (data.endsWith("\n")) 1 else 0).map(Row(_)), schema)
+
+      case "jsonasstring" =>
+        val name = declared.map(_.fields(0).name).getOrElse("json")
+        val schema = StructType(Seq(StructField(name, StringType, nullable = false)))
+        toDf(spark, jsonChunks(stripSquare(data), '{', '}').map(Row(_)), schema)
+
+      case "rawblob" =>
+        val name = declared.map(_.fields(0).name).getOrElse("raw_blob")
+        val dt = declared.map(_.fields(0).dataType).getOrElse(BinaryType)
+        val v: Any = dt match {
+          case BinaryType => data.getBytes("UTF-8")
+          case _ => data
+        }
+        toDf(spark, Seq(Row(v)),
+          StructType(Seq(StructField(name, dt, nullable = false))))
+
+      case "regexp" =>
+        val schema = declared.getOrElse(throw new IllegalArgumentException(
+          "Regexp needs structure"))
+        val re = settings.customFieldDelimiter.r // pattern carried in settings
+        val rows = lines.flatMap { line =>
+          re.findFirstMatchIn(line).map { m =>
+            Row.fromSeq(schema.fields.zipWithIndex.toSeq.map { case (fld, i) =>
+              settle(parseField(m.group(i + 1), fld.dataType,
+                settings.customEscapingRule), fld)
+            })
+          }
+        }
+        toDf(spark, rows, schema)
+
+      case "customseparated" =>
+        val schema = declared.getOrElse(throw new IllegalArgumentException(
+          "CustomSeparated needs structure"))
+        var body = data
+        if (settings.customResultBeforeDelimiter.nonEmpty &&
+            body.startsWith(settings.customResultBeforeDelimiter))
+          body = body.substring(settings.customResultBeforeDelimiter.length)
+        if (settings.customResultAfterDelimiter.nonEmpty) {
+          val at = body.lastIndexOf(settings.customResultAfterDelimiter)
+          if (at >= 0) body = body.substring(0, at)
+        }
+        val rowAfter = settings.customRowAfterDelimiter
+        val rowSep =
+          (rowAfter + settings.customRowBetweenDelimiter +
+            settings.customRowBeforeDelimiter).replace("\n\n", "\n")
+        val rawRows = (if (rowSep.nonEmpty) body.split(java.util.regex.Pattern
+            .quote(rowSep), -1).toSeq
+          else Seq(body))
+          .map(_.stripPrefix(settings.customRowBeforeDelimiter))
+          .map(r => if (rowAfter.nonEmpty) r.stripSuffix(rowAfter) else r)
+          .filter(_.nonEmpty)
+        val rows = rawRows.map { r =>
+          val parts = r.split(java.util.regex.Pattern
+            .quote(settings.customFieldDelimiter), -1)
+          Row.fromSeq(schema.fields.zipWithIndex.toSeq.map { case (fld, i) =>
+            settle(parseField(parts(i), fld.dataType,
+              settings.customEscapingRule), fld)
+          })
+        }
+        toDf(spark, rows, schema)
+
+      case "mysqldump" | "sqlinsert" =>
+        // extract INSERT/REPLACE ... VALUES tuple lists; column list and
+        // literal shapes give names/types (ref MySQLDumpRowInputFormat.cpp)
+        val stmtRe =
+          """(?is)(?:INSERT|REPLACE)\s+INTO\s+\S+\s*(\([^)]*\))?\s*VALUES\s*(.*?);""".r
+        val matches = stmtRe.findAllMatchIn(data).toSeq
+        require(matches.nonEmpty, "MySQLDump: no INSERT statements found")
+        val colNames: Option[Seq[String]] =
+          Option(matches.head.group(1)).map(g =>
+            g.stripPrefix("(").stripSuffix(")").split(',').toSeq
+              .map(_.trim.stripPrefix("`").stripSuffix("`")))
+        val tuples = matches.flatMap(m =>
+          topSplit(m.group(2), ',').map(_.trim).filter(_.nonEmpty))
+        val parsed = tuples.map { t =>
+          require(t.startsWith("(") && t.endsWith(")"), s"bad tuple: $t")
+          topSplit(t.substring(1, t.length - 1), ',').map(_.trim)
+        }
+        val width = parsed.headOption.map(_.length).getOrElse(0)
+        val schema = declared.getOrElse {
+          def isLong(s: String) = s.nonEmpty &&
+            s.matches("[+-]?[0-9]+")
+          def isDouble(s: String) = s.nonEmpty &&
+            s.matches("[+-]?[0-9]*\\.[0-9]+(?:[eE][+-]?[0-9]+)?")
+          StructType((0 until width).map { i =>
+            val vals = parsed.map(_(i))
+            val dt =
+              if (vals.forall(isLong)) LongType
+              else if (vals.forall(v => isLong(v) || isDouble(v))) DoubleType
+              else StringType
+            StructField(colNames.map(_(i)).getOrElse(s"c${i + 1}"), dt,
+              nullable = true)
+          })
+        }
+        val rows = parsed.map { parts =>
+          Row.fromSeq(schema.fields.zipWithIndex.toSeq.map { case (fld, i) =>
+            val p = parts(i)
+            val v =
+              if (p.equalsIgnoreCase("NULL")) null
+              else fld.dataType match {
+                case StringType => unquote(p)
+                case dt => parseLiteral(p, dt)
+              }
+            settle(v, fld)
+          })
+        }
+        toDf(spark, rows, schema)
+
+      case "rowbinary" =>
+        RowBinaryFormat.read(spark, data.getBytes("ISO-8859-1"), declared,
+          withNames = false, withTypes = false)
+      case "rowbinarywithnames" =>
+        RowBinaryFormat.read(spark, data.getBytes("ISO-8859-1"), declared,
+          withNames = true, withTypes = false)
+      case "rowbinarywithnamesandtypes" =>
+        RowBinaryFormat.read(spark, data.getBytes("ISO-8859-1"), declared,
+          withNames = true, withTypes = true)
+
+      case other =>
+        throw new IllegalArgumentException(s"unsupported input format: $other")
+    }
+  }
+
+  /** Parse binary payloads (RowBinary*, RawBLOB) from real bytes. */
+  def parseBytes(
+      spark: SparkSession,
+      bytes: Array[Byte],
+      format: String,
+      structure: Option[String] = None): DataFrame =
+    OutputFormats.canon(format) match {
+      case "rowbinary" =>
+        RowBinaryFormat.read(spark, bytes, structure.map(ChTypes.structure),
+          withNames = false, withTypes = false)
+      case "rowbinarywithnames" =>
+        RowBinaryFormat.read(spark, bytes, structure.map(ChTypes.structure),
+          withNames = true, withTypes = false)
+      case "rowbinarywithnamesandtypes" =>
+        RowBinaryFormat.read(spark, bytes, structure.map(ChTypes.structure),
+          withNames = true, withTypes = true)
+      case "rawblob" =>
+        val name = structure.map(ChTypes.structure)
+          .map(_.fields(0).name).getOrElse("raw_blob")
+        toDf(spark, Seq(Row(bytes)),
+          StructType(Seq(StructField(name, BinaryType, nullable = false))))
+      case _ => parse(spark, new String(bytes, "UTF-8"), format, structure)
+    }
+
+  // --------------------------------------------------------------- helpers
+
+  private def splitFields(line: String, sep: Char, rule: String): Array[String] =
+    if (rule == "CSV") {
+      // respect quotes
+      val out = Array.newBuilder[String]
+      val sb = new StringBuilder
+      var inQ = false
+      var i = 0
+      while (i < line.length) {
+        val c = line.charAt(i)
+        if (inQ) {
+          if (c == '"') {
+            if (i + 1 < line.length && line.charAt(i + 1) == '"') { sb.append('"'); i += 1 }
+            else inQ = false
+            if (!inQ) sb.append('"') // keep closing quote; parseField strips
+          } else sb.append(c)
+        } else if (c == '"') { inQ = true; sb.append(c) }
+        else if (c == sep) { out += sb.toString; sb.clear() }
+        else sb.append(c)
+        i += 1
+      }
+      out += sb.toString
+      out.result()
+    } else line.split(sep.toString, -1)
+
+  /** Rewrite reference expression syntax to engine SQL for the Values
+    * expression fallback: `[a,b]` array literals become `array(a,b)` and
+    * `expr[i]` subscripts become the 1-based `element_at(expr, i)` (the
+    * reference's arrayElement semantics — Spark's native `expr[i]` is
+    * 0-based, so a plain passthrough would silently shift).
+    */
+  def rewriteChExpr(expr0: String): String = {
+    // pass 1: bracket groups that are literals (no base expression before)
+    def isBaseEnd(c: Char): Boolean =
+      c.isLetterOrDigit || c == '_' || c == ')' || c == ']'
+    def pass(s: String): String = {
+      var i = 0; var q = false
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (q) { if (c == '\\') i += 1 else if (c == '\'') q = false }
+        else if (c == '\'') q = true
+        else if (c == '[') {
+          // find matching ]
+          var depth = 1; var j = i + 1; var q2 = false
+          while (j < s.length && depth > 0) {
+            val cj = s.charAt(j)
+            if (q2) { if (cj == '\\') j += 1 else if (cj == '\'') q2 = false }
+            else if (cj == '\'') q2 = true
+            else if (cj == '[') depth += 1
+            else if (cj == ']') depth -= 1
+            j += 1
+          }
+          val inner = s.substring(i + 1, j - 1)
+          var k = i - 1
+          while (k >= 0 && s.charAt(k) == ' ') k -= 1
+          if (k >= 0 && isBaseEnd(s.charAt(k))) {
+            // subscript: scan back over the base expression
+            var b = k
+            while (b >= 0 && {
+              val cb = s.charAt(b)
+              if (cb == ')' || cb == ']') {
+                // skip balanced group
+                val close = cb
+                val open = if (cb == ')') '(' else '['
+                var d = 0; var done = false
+                while (b >= 0 && !done) {
+                  val cb2 = s.charAt(b)
+                  if (cb2 == close) d += 1
+                  else if (cb2 == open) { d -= 1; if (d == 0) done = true }
+                  b -= 1
+                }
+                true
+              } else if (cb.isLetterOrDigit || cb == '_' || cb == '.') {
+                b -= 1; true
+              } else false
+            }) {}
+            val base = s.substring(b + 1, k + 1)
+            return pass(s.substring(0, b + 1) +
+              s"element_at(${pass(base)}, ${pass(inner)})" + s.substring(j))
+          } else {
+            return pass(s.substring(0, i) + s"array(${pass(inner)})" + s.substring(j))
+          }
+        }
+        i += 1
+      }
+      s
+    }
+    pass(expr0)
+  }
+
+  /** Index of the first '=' not escaped by a backslash; -1 if none. */
+  private def unescapedEq(tok: String): Int = {
+    var i = 0
+    while (i < tok.length) {
+      val c = tok.charAt(i)
+      if (c == '\\') i += 1
+      else if (c == '=') return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Split concatenated top-level JSON values delimited by open/close. */
+  private def jsonChunks(data: String, open: Char, close: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var inStr = false; var start = -1
+    var i = 0
+    while (i < data.length) {
+      val c = data.charAt(i)
+      if (inStr) {
+        if (c == '\\') i += 1
+        else if (c == '"') inStr = false
+      } else if (c == '"') inStr = true
+      else if (c == open || c == '{' || c == '[') {
+        if (depth == 0 && c == open) start = i
+        if (depth > 0 || c == open) depth += 1
+      } else if (c == close || c == '}' || c == ']') {
+        if (depth > 0) {
+          depth -= 1
+          if (depth == 0 && start >= 0) {
+            out += data.substring(start, i + 1); start = -1
+          }
+        }
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** JSONAsString also accepts `[ {...}, {...} ]` — strip the brackets. */
+  private def stripSquare(data: String): String = {
+    val t = data.trim
+    if (t.startsWith("[") && t.endsWith("]")) t.substring(1, t.length - 1) else t
+  }
+}

@@ -1,0 +1,187 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+import FormatCodec.plainText
+
+/** The Pretty terminal-table family — Pretty / PrettyCompact /
+  * PrettySpace, each with NoEscapes and MonoBlock variants, UTF-8 or
+  * ASCII grid charset, optional row numbers, `pretty_max_rows`
+  * truncation with the `Showed first N.` footer.
+  *
+  * Faithful port of the reference's renderers
+  * (`src/Processors/Formats/Impl/PrettyBlockOutputFormat.cpp`,
+  * `PrettyCompactBlockOutputFormat.cpp`,
+  * `PrettySpaceBlockOutputFormat.cpp`): cell = ' ' + value + ' ' padded
+  * to the block-wide column width, right-aligned for numeric types;
+  * header names bold (`\e[1m`) unless NoEscapes; data arrives in blocks
+  * of `Settings.blockSize` rows and every block renders its own frame
+  * (MonoBlock squashes all blocks into one). Pinned byte-for-byte to
+  * `00405_pretty_formats.reference` + `01509_output_format_pretty_row_
+  * numbers.reference` in FormatsSpec.
+  *
+  * Presentation format — driver-side by design, like `df.show()`.
+  */
+object PrettyFormat {
+
+  private val RowNumberWidth = 7 // "10000. " — ref PrettyBlockOutputFormat.h:34
+
+  private def alignRight(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+        DoubleType | _: DecimalType | BooleanType => true
+    case _ => false
+  }
+
+  private def width(s: String): Int = s.codePointCount(0, s.length)
+
+  def write(df: DataFrame, format: String, s: OutputFormats.Settings): String = {
+    val f = format.toLowerCase
+    val kind =
+      if (f.startsWith("prettycompact")) "compact"
+      else if (f.startsWith("prettyspace")) "space"
+      else "block"
+    val mono = f.contains("monoblock")
+    val color = !f.contains("noescapes") && s.prettyColor
+
+    val schema = df.schema
+    // total_rows semantics: blocks past max_rows are dropped but counted.
+    val taken = df.take(s.prettyMaxRows + 1)
+    val truncated = taken.length > s.prettyMaxRows
+    val rows = taken.take(s.prettyMaxRows)
+
+    val blocks: Seq[Array[Row]] =
+      if (mono) Seq(rows)
+      else rows.grouped(math.max(1, s.blockSize)).toSeq
+
+    val sb = new StringBuilder
+    var totalRows = 0
+    blocks.foreach { block =>
+      renderBlock(sb, schema, block, kind, color, s, totalRows)
+      totalRows += block.length
+    }
+    if (truncated) {
+      if (kind == "space") sb.append(s"\nShowed first ${s.prettyMaxRows}.\n")
+      else sb.append(s"  Showed first ${s.prettyMaxRows}.\n")
+    }
+    sb.toString
+  }
+
+  private def renderBlock(
+      sb: StringBuilder,
+      schema: StructType,
+      rows: Array[Row],
+      kind: String,
+      color: Boolean,
+      s: OutputFormats.Settings,
+      rowOffset: Int): Unit = {
+    val ascii = s.prettyAscii
+    val nullText = if (ascii) "NULL" else "ᴺᵁᴸᴸ"
+    val fields = schema.fields
+    val n = fields.length
+
+    val cells: Array[Array[String]] = rows.map { r =>
+      fields.zipWithIndex.map { case (fld, i) =>
+        if (r.isNullAt(i)) nullText else plainText(r.get(i), fld.dataType)
+      }
+    }
+    val nameW = fields.map(f => width(f.name))
+    val widths = Array.tabulate(n) { i =>
+      val vw = if (cells.isEmpty) 0 else cells.map(c => width(c(i))).max
+      math.max(nameW(i), vw)
+    }
+    val right = fields.map(f => alignRight(f.dataType))
+
+    val bold = if (color) "[1m" else ""
+    val reset = if (color) "[0m" else ""
+    def blank(): Unit = if (s.prettyRowNumbers) sb.append(" " * RowNumberWidth)
+    def rowNum(i: Int): Unit = if (s.prettyRowNumbers) {
+      val t = s"${rowOffset + i + 1}. "
+      sb.append(" " * math.max(0, RowNumberWidth - t.length)).append(t)
+    }
+    def pad(v: String, w: Int, alignR: Boolean): String = {
+      val p = " " * math.max(0, w - width(v))
+      if (alignR) p + v else v + p
+    }
+    def sep(l: String, d: String, m: String, r: String): String =
+      widths.map(w => d * (w + 2)).mkString(l, m, r) + "\n"
+
+    kind match {
+      case "block" =>
+        val (tl, td, tm, tr) = if (ascii) ("+", "-", "+", "+") else ("┏", "━", "┳", "┓")
+        val (hl, hd, hm, hr) = if (ascii) ("+", "-", "+", "+") else ("┡", "━", "╇", "┩")
+        val (ml, md, mm, mr) = if (ascii) ("+", "-", "+", "+") else ("├", "─", "┼", "┤")
+        val (bl, bd, bm, br) = if (ascii) ("+", "-", "+", "+") else ("└", "─", "┴", "┘")
+        val bar = if (ascii) "|" else "│"
+        val boldBar = if (ascii) "|" else "┃"
+        blank(); sb.append(sep(tl, td, tm, tr))
+        blank()
+        sb.append(boldBar).append(" ")
+        fields.zipWithIndex.foreach { case (fld, i) =>
+          if (i != 0) sb.append(" ").append(boldBar).append(" ")
+          val fill = " " * (widths(i) - nameW(i))
+          sb.append(bold)
+          if (right(i)) sb.append(fill).append(fld.name)
+          else sb.append(fld.name).append(fill)
+          sb.append(reset)
+        }
+        sb.append(" ").append(boldBar).append("\n")
+        blank(); sb.append(sep(hl, hd, hm, hr))
+        cells.zipWithIndex.foreach { case (c, ri) =>
+          if (ri != 0) { blank(); sb.append(sep(ml, md, mm, mr)) }
+          rowNum(ri)
+          sb.append(bar)
+          (0 until n).foreach { i =>
+            if (i != 0) sb.append(bar)
+            sb.append(" ").append(pad(c(i), widths(i), right(i))).append(" ")
+          }
+          sb.append(bar).append("\n")
+        }
+        blank(); sb.append(sep(bl, bd, bm, br))
+
+      case "compact" =>
+        val (tl, tm, tr) = if (ascii) ("+", "+", "+") else ("┌", "┬", "┐")
+        val (bl, bm, br) = if (ascii) ("+", "+", "+") else ("└", "┴", "┘")
+        val dash = if (ascii) "-" else "─"
+        val bar = if (ascii) "|" else "│"
+        blank()
+        sb.append(tl).append(dash)
+        fields.zipWithIndex.foreach { case (fld, i) =>
+          if (i != 0) sb.append(dash).append(tm).append(dash)
+          val fill = dash * (widths(i) - nameW(i))
+          if (right(i)) sb.append(fill).append(bold).append(fld.name).append(reset)
+          else sb.append(bold).append(fld.name).append(reset).append(fill)
+        }
+        sb.append(dash).append(tr).append("\n")
+        cells.zipWithIndex.foreach { case (c, ri) =>
+          rowNum(ri)
+          sb.append(bar)
+          (0 until n).foreach { i =>
+            if (i != 0) sb.append(bar)
+            sb.append(" ").append(pad(c(i), widths(i), right(i))).append(" ")
+          }
+          sb.append(bar).append("\n")
+        }
+        blank()
+        sb.append(widths.map(w => dash * (w + 2)).mkString(bl, bm, br)).append("\n")
+
+      case "space" =>
+        blank()
+        fields.zipWithIndex.foreach { case (fld, i) =>
+          sb.append(if (i == 0) " " else "   ")
+          val fill = " " * (widths(i) - nameW(i))
+          if (right(i)) sb.append(fill).append(bold).append(fld.name).append(reset)
+          else sb.append(bold).append(fld.name).append(reset).append(fill)
+        }
+        sb.append("\n\n")
+        cells.zipWithIndex.foreach { case (c, ri) =>
+          rowNum(ri)
+          (0 until n).foreach { i =>
+            if (i != 0) sb.append(" ")
+            sb.append(" ").append(pad(c(i), widths(i), right(i))).append(" ")
+          }
+          sb.append("\n")
+        }
+    }
+  }
+}

@@ -1,0 +1,297 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** RowBinary[WithNames[AndTypes]] — the reference's compact binary row
+  * format (ref `src/Processors/Formats/Impl/BinaryRowInputFormat.cpp` /
+  * `RowOutputFormat.cpp`, serialization per
+  * `src/DataTypes/Serializations/SerializationNumber.cpp` etc.):
+  * little-endian fixed-width numbers, LEB128 varint-prefixed strings,
+  * Date as UInt16 days, DateTime as UInt32 seconds, Array as varint
+  * count + elements, Tuple flat, Nullable as a 1-byte flag, Map as
+  * varint count + alternating keys/values.
+  *
+  * Field widths follow the DECLARED reference type (`ch_type` field
+  * metadata / typed header) so UInt8 really is one byte; without a
+  * declaration the engine default applies (Long -> Int64, 8 bytes).
+  * Byte-parity with the reference is asserted in FormatsSpec against
+  * the leading RowBinary sections of `00309_formats.reference`.
+  */
+object RowBinaryFormat {
+
+  // ------------------------------------------------------------------ write
+
+  private def writeVarint(out: ByteArrayOutputStream, value0: Long): Unit = {
+    var value = value0
+    while ((value & ~0x7fL) != 0) {
+      out.write(((value & 0x7f) | 0x80).toInt)
+      value >>>= 7
+    }
+    out.write(value.toInt)
+  }
+
+  private def writeFixed(out: ByteArrayOutputStream, v: Long, bytes: Int): Unit = {
+    var i = 0
+    while (i < bytes) {
+      out.write(((v >> (8 * i)) & 0xff).toInt)
+      i += 1
+    }
+  }
+
+  private def chWidth(ch: String): Option[Int] = ch match {
+    case "UInt8" | "Int8" | "Enum8" => Some(1)
+    case "UInt16" | "Int16" | "Enum16" => Some(2)
+    case "UInt32" | "Int32" => Some(4)
+    case "UInt64" | "Int64" => Some(8)
+    case _ => None
+  }
+
+  private def chInner(ch: String, prefix: String): String =
+    if (ch.startsWith(prefix + "(") && ch.endsWith(")"))
+      ch.substring(prefix.length + 1, ch.length - 1).trim
+    else ""
+
+  def writeValue(out: ByteArrayOutputStream, v: Any, dt: DataType, ch: String): Unit = {
+    val nullable = ch.startsWith("Nullable(")
+    val chBase = if (nullable) chInner(ch, "Nullable") else ch
+    if (nullable) {
+      if (v == null) { out.write(1); return }
+      out.write(0)
+    } else if (v == null) {
+      // null without a Nullable declaration: serialize the type default,
+      // the reference's input_format_null_as_default write-side analogue
+      writeValue(out, FormatCodec.defaultValue(dt), dt, chBase)
+      return
+    }
+    dt match {
+      case ByteType => writeFixed(out, v.asInstanceOf[Byte].toLong, 1)
+      case ShortType =>
+        writeFixed(out, v.asInstanceOf[Short].toLong, chWidth(chBase).getOrElse(2))
+      case IntegerType =>
+        writeFixed(out, v.asInstanceOf[Int].toLong, chWidth(chBase).getOrElse(4))
+      case LongType =>
+        writeFixed(out, v.asInstanceOf[Long], chWidth(chBase).getOrElse(8))
+      case FloatType =>
+        writeFixed(out, java.lang.Float.floatToIntBits(v.asInstanceOf[Float]).toLong, 4)
+      case DoubleType =>
+        writeFixed(out, java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]), 8)
+      case BooleanType => out.write(if (v.asInstanceOf[Boolean]) 1 else 0)
+      case DateType =>
+        val days = v match {
+          case d: java.sql.Date => d.toLocalDate.toEpochDay
+          case d: LocalDate => d.toEpochDay
+          case i: Integer => i.longValue
+        }
+        writeFixed(out, days, 2)
+      case _: TimestampType =>
+        val secs = v match {
+          case t: java.sql.Timestamp => t.getTime / 1000
+          case t: java.time.Instant => t.getEpochSecond
+        }
+        writeFixed(out, secs, 4)
+      case StringType =>
+        val b = String.valueOf(v).getBytes("UTF-8")
+        writeVarint(out, b.length.toLong); out.write(b)
+      case BinaryType =>
+        val b = v.asInstanceOf[Array[Byte]]
+        writeVarint(out, b.length.toLong); out.write(b)
+      case d: DecimalType =>
+        val unscaled = (v match {
+          case x: java.math.BigDecimal => x
+          case x: BigDecimal => x.underlying
+        }).setScale(d.scale).unscaledValue
+        val bytes = if (d.precision <= 9) 4 else if (d.precision <= 18) 8 else 16
+        val buf = new Array[Byte](bytes)
+        val src = unscaled.toByteArray // big-endian two's complement
+        val signFill: Byte = if (unscaled.signum < 0) -1 else 0
+        java.util.Arrays.fill(buf, signFill)
+        var i = 0
+        while (i < math.min(bytes, src.length)) {
+          buf(i) = src(src.length - 1 - i); i += 1
+        }
+        out.write(buf)
+      case a: ArrayType =>
+        val items = v match {
+          case s: scala.collection.Seq[_] => s
+          case arr: Array[_] => arr.toSeq
+        }
+        writeVarint(out, items.size.toLong)
+        val elemCh = chInner(chBase, "Array")
+        items.foreach(x => writeValue(out, x, a.elementType, elemCh))
+      case s: StructType =>
+        val r = v.asInstanceOf[Row]
+        val inner = FormatCodec.splitTop(chInner(chBase, "Tuple"))
+        s.fields.zipWithIndex.foreach { case (f, i) =>
+          writeValue(out, r.get(i), f.dataType,
+            if (i < inner.length) inner(i) else "")
+        }
+      case m: MapType =>
+        val entries = v.asInstanceOf[scala.collection.Map[Any, Any]]
+        writeVarint(out, entries.size.toLong)
+        val inner = FormatCodec.splitTop(chInner(chBase, "Map"))
+        val (kCh, vCh) =
+          if (inner.length == 2) (inner(0), inner(1)) else ("", "")
+        entries.foreach { case (k, x) =>
+          writeValue(out, k, m.keyType, kCh)
+          writeValue(out, x, m.valueType, vCh)
+        }
+      case other =>
+        throw new IllegalArgumentException(s"RowBinary: unsupported type $other")
+    }
+  }
+
+  def write(df: DataFrame, withNames: Boolean, withTypes: Boolean): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val fields = df.schema.fields
+    val chNames = fields.map(ChTypes.chName)
+    if (withNames) {
+      writeVarint(out, fields.length.toLong)
+      fields.foreach { f =>
+        val b = f.name.getBytes("UTF-8")
+        writeVarint(out, b.length.toLong); out.write(b)
+      }
+      if (withTypes) chNames.foreach { t =>
+        val b = t.getBytes("UTF-8")
+        writeVarint(out, b.length.toLong); out.write(b)
+      }
+    }
+    df.collect().foreach { r =>
+      fields.zipWithIndex.foreach { case (f, i) =>
+        writeValue(out, r.get(i), f.dataType, chNames(i))
+      }
+    }
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------------- read
+
+  private final class Reader(bytes: Array[Byte]) {
+    val buf: ByteBuffer = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def varint(): Long = {
+      var shift = 0; var out = 0L
+      var b = 0
+      do {
+        b = buf.get() & 0xff
+        out |= (b & 0x7fL) << shift
+        shift += 7
+      } while ((b & 0x80) != 0)
+      out
+    }
+    def fixed(n: Int): Long = {
+      var out = 0L; var i = 0
+      while (i < n) { out |= (buf.get() & 0xffL) << (8 * i); i += 1 }
+      out
+    }
+    def signedFixed(n: Int): Long = {
+      val raw = fixed(n)
+      val shift = 64 - 8 * n
+      if (n >= 8) raw else (raw << shift) >> shift
+    }
+    def str(): String = {
+      val len = varint().toInt
+      val b = new Array[Byte](len); buf.get(b); new String(b, "UTF-8")
+    }
+    def hasRemaining: Boolean = buf.hasRemaining
+  }
+
+  private def readValue(in: Reader, dt: DataType, ch: String): Any = {
+    val nullable = ch.startsWith("Nullable(")
+    val chBase = if (nullable) chInner(ch, "Nullable") else ch
+    if (nullable) {
+      val flag = in.buf.get()
+      if (flag == 1) return null
+    }
+    dt match {
+      case ByteType => in.signedFixed(1).toByte
+      case ShortType => in.signedFixed(chWidth(chBase).getOrElse(2)) match {
+        case v if chBase == "UInt8" => (v & 0xff).toShort
+        case v => v.toShort
+      }
+      case IntegerType => chBase match {
+        case "UInt16" => (in.fixed(2) & 0xffff).toInt
+        case _ => in.signedFixed(chWidth(chBase).getOrElse(4)).toInt
+      }
+      case LongType => chBase match {
+        case "UInt32" => in.fixed(4) & 0xffffffffL
+        case _ => in.signedFixed(chWidth(chBase).getOrElse(8))
+      }
+      case FloatType => java.lang.Float.intBitsToFloat(in.fixed(4).toInt)
+      case DoubleType => java.lang.Double.longBitsToDouble(in.fixed(8))
+      case BooleanType => in.fixed(1) != 0
+      case DateType => java.sql.Date.valueOf(LocalDate.ofEpochDay(in.fixed(2)))
+      case _: TimestampType => new java.sql.Timestamp(in.fixed(4) * 1000L)
+      case StringType => in.str()
+      case BinaryType =>
+        val len = in.varint().toInt
+        val b = new Array[Byte](len); in.buf.get(b); b
+      case d: DecimalType =>
+        val bytes = if (d.precision <= 9) 4 else if (d.precision <= 18) 8 else 16
+        val raw = new Array[Byte](bytes); in.buf.get(raw)
+        val be = raw.reverse
+        new java.math.BigDecimal(new java.math.BigInteger(be), d.scale)
+      case a: ArrayType =>
+        val nItems = in.varint().toInt
+        val elemCh = chInner(chBase, "Array")
+        Seq.fill(nItems)(readValue(in, a.elementType, elemCh))
+      case s: StructType =>
+        val inner = FormatCodec.splitTop(chInner(chBase, "Tuple"))
+        Row.fromSeq(s.fields.zipWithIndex.toSeq.map { case (f, i) =>
+          readValue(in, f.dataType, if (i < inner.length) inner(i) else "")
+        })
+      case m: MapType =>
+        val nItems = in.varint().toInt
+        val inner = FormatCodec.splitTop(chInner(chBase, "Map"))
+        val (kCh, vCh) = if (inner.length == 2) (inner(0), inner(1)) else ("", "")
+        Seq.fill(nItems)(
+          (readValue(in, m.keyType, kCh), readValue(in, m.valueType, vCh))).toMap
+      case other =>
+        throw new IllegalArgumentException(s"RowBinary: unsupported type $other")
+    }
+  }
+
+  /** Parse RowBinary bytes. For the WithNamesAndTypes form the schema is
+    * self-describing; otherwise pass the declared `structure`.
+    */
+  def read(
+      spark: SparkSession,
+      bytes: Array[Byte],
+      structure: Option[StructType],
+      withNames: Boolean,
+      withTypes: Boolean): DataFrame = {
+    val in = new Reader(bytes)
+    val schema: StructType =
+      if (withNames) {
+        val n = in.varint().toInt
+        val names = Seq.fill(n)(in.str())
+        if (withTypes) {
+          val types = Seq.fill(n)(in.str())
+          StructType(names.zip(types).map { case (nm, t) =>
+            val (dt, nullable) = ChTypes.toSpark(t)
+            StructField(nm, dt, nullable,
+              new MetadataBuilder().putString(ChTypes.MetaKey, t).build())
+          })
+        } else {
+          val st = structure.getOrElse(
+            throw new IllegalArgumentException("RowBinaryWithNames needs structure"))
+          StructType(names.map(nm => st(st.fieldIndex(nm))))
+        }
+      } else structure.getOrElse(
+        throw new IllegalArgumentException("RowBinary needs structure"))
+
+    val chNames = schema.fields.map(ChTypes.chName)
+    val rows = Seq.newBuilder[Row]
+    while (in.hasRemaining) {
+      rows += Row.fromSeq(schema.fields.zipWithIndex.toSeq.map { case (f, i) =>
+        readValue(in, f.dataType, chNames(i))
+      })
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows.result()).asJava), schema)
+  }
+}

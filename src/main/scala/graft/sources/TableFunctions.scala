@@ -68,7 +68,11 @@ object TableFunctions {
       case "json"    => spark.read.json(path)
       case "orc"     => spark.read.orc(path)
       case "parquet" => spark.read.parquet(path)
-      case other => throw new IllegalArgumentException(s"unsupported format $other")
+      case _ =>
+        // reference-only formats (Values/TSKV/RowBinary*/MySQLDump/…):
+        // single local file through the format parsers
+        val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+        InputFormats.parseBytes(spark, bytes, fmt, None)
     }
   }
 
@@ -85,7 +89,10 @@ object TableFunctions {
     */
   def url(spark: SparkSession, u: String, formatName: String): DataFrame = {
     val bytes = graft.multimodal.Connections.httpFetch(u)
-    format(spark, formatName,
+    if (OutputFormats.canon(formatName).startsWith("rowbinary") ||
+        OutputFormats.canon(formatName) == "rawblob")
+      InputFormats.parseBytes(spark, bytes, formatName, None)
+    else format(spark, formatName,
       new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
   }
 
@@ -125,16 +132,22 @@ object TableFunctions {
       new java.util.ArrayList[org.apache.spark.sql.Row](),
       StructType.fromDDL(schemaDdl))
 
-  /** `format('Format', 'data')` (`TableFunctionFormat.cpp`): parse an
-    * inline data literal with the named input format. The formats with a
-    * Spark-native parser are mapped (JSONEachRow/CSV[WithNames]/
-    * TSV[WithNames]); the reference's remaining ~50 exotic formats are a
-    * documented deviation (SURVEY §2.2).
+  /** `format('Format', 'data'[, 'structure'])` (`TableFunctionFormat
+    * .cpp`): parse an inline data literal with the named input format.
+    * Without a declared structure, the five formats with a Spark-native
+    * schema-inferring reader keep it (JSONEachRow/CSV[WithNames]/
+    * TSV[WithNames]); every other reference format — Values, TSKV,
+    * JSONCompactEachRow[WithNames[AndTypes]], typed CSV/TSV headers,
+    * CustomSeparated, Regexp, LineAsString, JSONAsString, MySQLDump,
+    * RowBinary*, RawBLOB — routes through [[InputFormats]].
     */
-  def format(spark: SparkSession, formatName: String, data: String): DataFrame = {
+  def format(spark: SparkSession, formatName: String, data: String,
+      structure: String = ""): DataFrame = {
     val lines = spark.createDataset(data.split("\n").toSeq.filter(_.nonEmpty))(
       org.apache.spark.sql.Encoders.STRING)
-    formatName.toLowerCase match {
+    if (structure.nonEmpty)
+      InputFormats.parse(spark, data, formatName, Some(structure))
+    else formatName.toLowerCase match {
       case "jsoneachrow" | "ndjson" | "jsonlines" => spark.read.json(lines)
       case "csv" => spark.read.option("inferSchema", "true").csv(lines)
       case "csvwithnames" =>
@@ -144,8 +157,7 @@ object TableFunctions {
       case "tsvwithnames" | "tabseparatedwithnames" =>
         spark.read.option("sep", "\t").option("header", "true")
           .option("inferSchema", "true").csv(lines)
-      case other => throw new IllegalArgumentException(
-        s"format(): unsupported input format $other")
+      case _ => InputFormats.parse(spark, data, formatName, None)
     }
   }
 

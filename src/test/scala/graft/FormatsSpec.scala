@@ -1,0 +1,304 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+import graft.sources.{ChTypes, FormatCodec, InputFormats, OutputFormats, RowBinaryFormat}
+import graft.sources.OutputFormats.{Settings => S}
+
+/** Output/input format parity, pinned to the reference's OWN stateless
+  * goldens: `00309_formats`, `00231_format_vertical_raw`,
+  * `01231_markdown_format`, `01550_type_map_formats`,
+  * `02322_sql_insert_format`, `01034_JSONCompactEachRow`,
+  * `00306_insert_values_and_expressions`, `01014_format_custom_separated`,
+  * `02417_json_object_each_row_format`, `01633_limit_fuzz` (Values),
+  * `00310_tskv`. Expected strings below are the goldens' own bytes
+  * (the 00309 frames carry the single n=10 row; the 256-row of the
+  * golden exercises raw invalid-UTF-8 byte passthrough, which a JVM
+  * String engine cannot represent — documented deviation).
+  */
+class FormatsSpec extends SparkSpec {
+
+  private def chField(name: String, dt: DataType, ch: String,
+      nullable: Boolean = false): StructField =
+    StructField(name, dt, nullable,
+      new MetadataBuilder().putString(ChTypes.MetaKey, ch).build())
+
+  private def df(schema: StructType, rows: Row*): DataFrame =
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+
+  // ---- the 00309 frame, row 1 (n=10) --------------------------------------
+
+  private lazy val f309: DataFrame = {
+    val schema = StructType(Seq(
+      chField("n", LongType, "UInt64"),
+      chField("d", DateType, "Date"),
+      chField("arr", ArrayType(LongType, containsNull = false), "Array(UInt64)"),
+      chField("s", StringType, "String"),
+      chField("tuple", StructType(Seq(
+        StructField("_1", LongType, nullable = false),
+        StructField("_2", DateType, nullable = false))), "Tuple(UInt64, Date)")))
+    val s1 = (1 to 9).map(_.toChar).mkString
+    val d = java.sql.Date.valueOf("2000-01-11")
+    df(schema, Row(10L, d, (0L to 9L).toSeq, s1, Row(10L, d)))
+  }
+
+  private val ctl7 = "\u0001\u0002\u0003\u0004\u0005\u0006\u0007" // raw in TSV
+
+  test("00309: TabSeparatedWithNamesAndTypes") {
+    val expected =
+      "n\td\tarr\ts\ttuple\n" +
+        "UInt64\tDate\tArray(UInt64)\tString\tTuple(UInt64, Date)\n" +
+        s"10\t2000-01-11\t[0,1,2,3,4,5,6,7,8,9]\t$ctl7\\b\\t\t(10,'2000-01-11')\n"
+    assert(OutputFormats.write(f309, "TabSeparatedWithNamesAndTypes") === expected)
+  }
+
+  test("00309: TabSeparatedRaw") {
+    val expected =
+      s"10\t2000-01-11\t[0,1,2,3,4,5,6,7,8,9]\t$ctl7\b\t\t(10,'2000-01-11')\n"
+    assert(OutputFormats.write(f309, "TabSeparatedRaw") === expected)
+  }
+
+  test("00309: CSV — tuple flattens to element fields") {
+    val expected =
+      "10,\"2000-01-11\",\"[0,1,2,3,4,5,6,7,8,9]\"," +
+        s""""$ctl7\b\t",10,"2000-01-11"""" + "\n"
+    assert(OutputFormats.write(f309, "CSV") === expected)
+  }
+
+  test("00309: JSON framed") {
+    val expected =
+      "{\n\t\"meta\":\n\t[\n" +
+        "\t\t{\n\t\t\t\"name\": \"n\",\n\t\t\t\"type\": \"UInt64\"\n\t\t},\n" +
+        "\t\t{\n\t\t\t\"name\": \"d\",\n\t\t\t\"type\": \"Date\"\n\t\t},\n" +
+        "\t\t{\n\t\t\t\"name\": \"arr\",\n\t\t\t\"type\": \"Array(UInt64)\"\n\t\t},\n" +
+        "\t\t{\n\t\t\t\"name\": \"s\",\n\t\t\t\"type\": \"String\"\n\t\t},\n" +
+        "\t\t{\n\t\t\t\"name\": \"tuple\",\n\t\t\t\"type\": \"Tuple(UInt64, Date)\"\n\t\t}\n" +
+        "\t],\n\n\t\"data\":\n\t[\n" +
+        "\t\t{\n" +
+        "\t\t\t\"n\": \"10\",\n" +
+        "\t\t\t\"d\": \"2000-01-11\",\n" +
+        "\t\t\t\"arr\": [\"0\",\"1\",\"2\",\"3\",\"4\",\"5\",\"6\",\"7\",\"8\",\"9\"],\n" +
+        "\t\t\t\"s\": \"\\u0001\\u0002\\u0003\\u0004\\u0005\\u0006\\u0007\\b\\t\",\n" +
+        "\t\t\t\"tuple\": [\"10\",\"2000-01-11\"]\n" +
+        "\t\t}\n" +
+        "\t],\n\n\t\"rows\": 1,\n\n\t\"rows_before_limit_at_least\": 1\n}\n"
+    assert(OutputFormats.write(f309, "JSON",
+      S(rowsBeforeLimit = Some(1))) === expected)
+  }
+
+  test("00309: JSONCompact framed") {
+    val out = OutputFormats.write(f309, "JSONCompact", S(rowsBeforeLimit = Some(1)))
+    assert(out.contains(
+      "\t\t[\"10\", \"2000-01-11\", [\"0\",\"1\",\"2\",\"3\",\"4\",\"5\",\"6\",\"7\",\"8\",\"9\"], " +
+        "\"\\u0001\\u0002\\u0003\\u0004\\u0005\\u0006\\u0007\\b\\t\", [\"10\",\"2000-01-11\"]]"))
+    assert(out.endsWith("\t\"rows\": 1,\n\n\t\"rows_before_limit_at_least\": 1\n}\n"))
+  }
+
+  test("00309: XML framed") {
+    val expected =
+      "<?xml version='1.0' encoding='UTF-8' ?>\n<result>\n\t<meta>\n\t\t<columns>\n" +
+        "\t\t\t<column>\n\t\t\t\t<name>n</name>\n\t\t\t\t<type>UInt64</type>\n\t\t\t</column>\n" +
+        "\t\t\t<column>\n\t\t\t\t<name>d</name>\n\t\t\t\t<type>Date</type>\n\t\t\t</column>\n" +
+        "\t\t\t<column>\n\t\t\t\t<name>arr</name>\n\t\t\t\t<type>Array(UInt64)</type>\n\t\t\t</column>\n" +
+        "\t\t\t<column>\n\t\t\t\t<name>s</name>\n\t\t\t\t<type>String</type>\n\t\t\t</column>\n" +
+        "\t\t\t<column>\n\t\t\t\t<name>tuple</name>\n\t\t\t\t<type>Tuple(UInt64, Date)</type>\n\t\t\t</column>\n" +
+        "\t\t</columns>\n\t</meta>\n\t<data>\n\t\t<row>\n" +
+        "\t\t\t<n>10</n>\n" +
+        "\t\t\t<d>2000-01-11</d>\n" +
+        "\t\t\t<arr><array><elem>0</elem><elem>1</elem><elem>2</elem><elem>3</elem><elem>4</elem><elem>5</elem><elem>6</elem><elem>7</elem><elem>8</elem><elem>9</elem></array></arr>\n" +
+        s"\t\t\t<s>$ctl7\b\t</s>\n" +
+        "\t\t\t<tuple><tuple><elem>10</elem><elem>2000-01-11</elem></tuple></tuple>\n" +
+        "\t\t</row>\n\t</data>\n\t<rows>1</rows>\n" +
+        "\t<rows_before_limit_at_least>1</rows_before_limit_at_least>\n</result>\n"
+    assert(OutputFormats.write(f309, "XML", S(rowsBeforeLimit = Some(1))) === expected)
+  }
+
+  test("00309: RowBinary row bytes match the reference golden") {
+    val golden =
+      "0a00000000000000d72a0a000000000000000001000000000000000200000000000000" +
+        "030000000000000004000000000000000500000000000000060000000000000007000000" +
+        "0000000008000000000000000900000000000000090102030405060708090a00000000000000d72a"
+    val bytes = OutputFormats.writeBytes(f309, "RowBinary")
+    assert(bytes.map("%02x".format(_)).mkString === golden)
+  }
+
+  test("00309: RowBinaryWithNamesAndTypes header bytes match the golden") {
+    val goldenHeader =
+      "05016e0164036172720173057475706c650655496e74363404446174650d4172726179" +
+        "2855496e7436342906537472696e67135475706c652855496e7436342c204461746529"
+    val bytes = OutputFormats.writeBytes(f309, "RowBinaryWithNamesAndTypes")
+    assert(bytes.take(goldenHeader.length / 2).map("%02x".format(_)).mkString
+      === goldenHeader)
+    // and the self-describing reader round-trips it
+    val back = InputFormats.parseBytes(spark, bytes, "RowBinaryWithNamesAndTypes")
+    assert(back.columns.toSeq === Seq("n", "d", "arr", "s", "tuple"))
+    val r = back.head()
+    assert(r.getLong(0) === 10L)
+    assert(r.getDate(1).toString === "2000-01-11")
+    assert(r.getSeq[Long](2) === (0L to 9L).toSeq)
+    assert(r.getString(3) === (1 to 9).map(_.toChar).mkString)
+    assert(r.getStruct(4).getLong(0) === 10L)
+  }
+
+  test("RowBinary round-trips nullable / decimal / map / float columns") {
+    val schema = StructType(Seq(
+      chField("a", ShortType, "UInt8"),
+      chField("b", StringType, "Nullable(String)", nullable = true),
+      chField("c", DecimalType(9, 2), "Decimal(9, 2)"),
+      chField("m", MapType(StringType, LongType, valueContainsNull = false),
+        "Map(String, UInt64)"),
+      chField("f", DoubleType, "Float64")))
+    val in = df(schema,
+      Row(7.toShort, "hi", new java.math.BigDecimal("12.34"), Map("k" -> 1L), 2.5),
+      Row(255.toShort, null, new java.math.BigDecimal("-0.01"), Map.empty[String, Long], -1.0))
+    val bytes = RowBinaryFormat.write(in, withNames = true, withTypes = true)
+    val back = RowBinaryFormat.read(spark, bytes, None, withNames = true, withTypes = true)
+    assert(back.collect().map(_.toString).toSeq === in.collect().map(_.toString).toSeq)
+  }
+
+  // ---- Vertical (00231) ---------------------------------------------------
+
+  test("00231: Vertical raw values") {
+    val schema = StructType(Seq(chField("x", StringType, "String")))
+    val d = df(schema, Row("a\tb\nc\td"))
+    assert(OutputFormats.write(d, "Vertical") === "Row 1:\n──────\nx: a\tb\nc\td\n")
+  }
+
+  test("Vertical pads names to align values") {
+    val schema = StructType(Seq(
+      chField("id", LongType, "UInt64"), chField("name", StringType, "String")))
+    val d = df(schema, Row(1L, "x"))
+    assert(OutputFormats.write(d, "Vertical") ===
+      "Row 1:\n──────\nid:   1\nname: x\n")
+  }
+
+  // ---- Markdown (01231) ---------------------------------------------------
+
+  test("01231: Markdown") {
+    val schema = StructType(Seq(
+      chField("id", IntegerType, "UInt32"),
+      chField("name", StringType, "String"),
+      chField("array", ArrayType(IntegerType, containsNull = false), "Array(Int32)"),
+      chField("nullable", StringType, "Nullable(String)", nullable = true),
+      chField("low_cardinality", StringType, "LowCardinality(String)"),
+      chField("decimal", DecimalType(9, 6), "Decimal32(6)")))
+    def dec(s: String) = new java.math.BigDecimal(s).setScale(6)
+    val d = df(schema,
+      Row(1, "name1", Seq(1, 2, 3), "Some long string", "name1", dec("1.11")),
+      Row(2, "name2", Seq(4, 5, 60000), null, "Another long string", dec("222.222222")),
+      Row(30000, "One more long string", Seq(7, 8, 9), "name3", "name3", dec("3.33")))
+    val expected =
+      "| id | name | array | nullable | low_cardinality | decimal |\n" +
+        "|-:|:-|:-|:-|:-|-:|\n" +
+        "| 1 | name1 | [1,2,3] | Some long string | name1 | 1.11 |\n" +
+        "| 2 | name2 | [4,5,60000] | \\N | Another long string | 222.222222 |\n" +
+        "| 30000 | One more long string | [7,8,9] | name3 | name3 | 3.33 |\n"
+    assert(OutputFormats.write(d, "Markdown") === expected)
+  }
+
+  // ---- Values (01633 output shape; 00306 input) ---------------------------
+
+  test("Values output: single line of comma-joined tuples") {
+    val schema = StructType(Seq(
+      chField("number", LongType, "UInt64"), chField("k", ShortType, "UInt8")))
+    val d = df(schema, Row(1025L, 1.toShort), Row(1026L, 1.toShort), Row(1027L, 1.toShort))
+    assert(OutputFormats.write(d, "Values") === "(1025,1),(1026,1),(1027,1)\n")
+  }
+
+  test("00306: Values input — literals and interpreted expressions") {
+    val structure =
+      "i UInt64, s String, u UUID, d Date, t DateTime, a Array(UInt32)"
+    val data =
+      "(1, 'Hello', 'ab41bdd6-5cd4-11e7-907b-a6006ad3dba0', '2016-01-01', " +
+        "'2016-01-02 03:04:05', [1, 2, 3]), " +
+        "(1 + 1, concat('Hello', ', world'), " +
+        "toUUID('00000000-0000-0000-0000-000000000000'), " +
+        "toDate('2016-01-01') + 1, " +
+        "toStartOfMinute(toDateTime('2016-01-02 03:04:05')), [[0,1],[2]][1]), " +
+        "(4, 'World', 'ab41bdd6-5cd4-11e7-907b-a6006ad3dba0', '2016-01-04', " +
+        "'2016-12-11 10:09:08', [3,2,1])"
+    val out = InputFormats.parse(spark, data, "Values", Some(structure))
+      .orderBy("i").collect()
+    assert(out.length === 3)
+    // golden row: 1  Hello  ab41…  2016-01-01  2016-01-02 03:04:05  [1,2,3]
+    assert(out(0).getLong(0) === 1L)
+    assert(out(0).getString(1) === "Hello")
+    assert(out(0).getString(2) === "ab41bdd6-5cd4-11e7-907b-a6006ad3dba0")
+    assert(out(0).getDate(3).toString === "2016-01-01")
+    assert(FormatCodec.dateTimeText(out(0).getTimestamp(4)) === "2016-01-02 03:04:05")
+    assert(out(0).getSeq[Long](5) === Seq(1L, 2L, 3L))
+    // golden row: 2  Hello, world  0000…  2016-01-02  2016-01-02 03:04:00  [0,1]
+    assert(out(1).getLong(0) === 2L)
+    assert(out(1).getString(1) === "Hello, world")
+    assert(out(1).getString(2) === "00000000-0000-0000-0000-000000000000")
+    assert(out(1).getDate(3).toString === "2016-01-02")
+    assert(FormatCodec.dateTimeText(out(1).getTimestamp(4)) === "2016-01-02 03:04:00")
+    assert(out(1).getSeq[Long](5) === Seq(0L, 1L))
+    // golden row: 4  World  …  2016-01-04  2016-12-11 10:09:08  [3,2,1]
+    assert(out(2).getLong(0) === 4L)
+    assert(out(2).getSeq[Long](5) === Seq(3L, 2L, 1L))
+  }
+
+  test("rewriteChExpr: array literals and 1-based subscripts") {
+    assert(InputFormats.rewriteChExpr("[1, 2, 3]") === "array(1, 2, 3)")
+    assert(InputFormats.rewriteChExpr("[[0,1],[2]][1]") ===
+      "element_at(array(array(0,1),array(2)), 1)")
+    assert(InputFormats.rewriteChExpr("f(x)[2]") === "element_at(f(x), 2)")
+    assert(InputFormats.rewriteChExpr("'a[1]'") === "'a[1]'")
+  }
+
+  // ---- TSKV (00310 input; 01550 output shape) -----------------------------
+
+  test("00310: TSKV input unescapes \\= in values; output escapes names only") {
+    val parsed = InputFormats.parse(spark,
+      "tskv\ttext=can contain \\= symbol\n", "TSKV", Some("text String"))
+    assert(parsed.head().getString(0) === "can contain = symbol")
+
+    val schema = StructType(Seq(
+      chField("a=b", StringType, "String"), chField("v", LongType, "UInt64")))
+    val out = OutputFormats.write(df(schema, Row("x=y", 1L)), "TSKV")
+    assert(out === "a\\=b=x=y\tv=1\n")
+  }
+
+  // ---- Map columns across formats (01550) ---------------------------------
+
+  private lazy val mapDf: DataFrame = {
+    val schema = StructType(Seq(
+      chField("m", MapType(StringType, LongType, valueContainsNull = false),
+        "Map(String, UInt32)"),
+      chField("m1", MapType(StringType, DateType, valueContainsNull = false),
+        "Map(String, Date)"),
+      chField("m2", MapType(StringType, ArrayType(LongType, containsNull = false),
+        valueContainsNull = false), "Map(String, Array(UInt32))")))
+    def d(s: String) = java.sql.Date.valueOf(s)
+    df(schema,
+      Row(Map("k1" -> 1L, "k2" -> 2L, "k3" -> 3L), Map("k1" -> d("2020-05-05")),
+        Map("k1" -> Seq.empty[Long], "k2" -> Seq(7L, 8L))),
+      Row(Map("k1" -> 10L, "k3" -> 30L), Map("k2" -> d("2020-06-06")),
+        Map.empty[String, Seq[Long]]))
+  }
+
+  test("01550: maps in JSONEachRow / CSV / TSV / TSKV") {
+    assert(OutputFormats.write(mapDf, "JSONEachRow") ===
+      """{"m":{"k1":1,"k2":2,"k3":3},"m1":{"k1":"2020-05-05"},"m2":{"k1":[],"k2":[7,8]}}""" + "\n" +
+        """{"m":{"k1":10,"k3":30},"m1":{"k2":"2020-06-06"},"m2":{}}""" + "\n")
+    assert(OutputFormats.write(mapDf, "CSV") ===
+      "\"{'k1':1,'k2':2,'k3':3}\",\"{'k1':'2020-05-05'}\",\"{'k1':[],'k2':[7,8]}\"\n" +
+        "\"{'k1':10,'k3':30}\",\"{'k2':'2020-06-06'}\",\"{}\"\n")
+    assert(OutputFormats.write(mapDf, "TSV") ===
+      "{'k1':1,'k2':2,'k3':3}\t{'k1':'2020-05-05'}\t{'k1':[],'k2':[7,8]}\n" +
+        "{'k1':10,'k3':30}\t{'k2':'2020-06-06'}\t{}\n")
+    assert(OutputFormats.write(mapDf, "TSKV") ===
+      "m={'k1':1,'k2':2,'k3':3}\tm1={'k1':'2020-05-05'}\tm2={'k1':[],'k2':[7,8]}\n" +
+        "m={'k1':10,'k3':30}\tm1={'k2':'2020-06-06'}\tm2={}\n")
+  }
+
+  test("01550: maps in framed JSON") {
+    val out = OutputFormats.write(mapDf, "JSON")
+    assert(out.contains("\"type\": \"Map(String, UInt32)\""))
+    assert(out.contains("\t\t\t\"m\": {\"k1\":1,\"k2\":2,\"k3\":3},"))
+    assert(out.contains("\t\t\t\"m2\": {}\n"))
+    assert(out.endsWith("\t\"rows\": 2\n}\n"))
+  }
+}

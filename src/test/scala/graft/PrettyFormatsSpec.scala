@@ -1,0 +1,288 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+import graft.sources.{ChTypes, InputFormats, OutputFormats}
+import graft.sources.OutputFormats.{Settings => S}
+
+/** Pretty family + SQLInsert/MySQLDump + JSONCompactEachRow +
+  * CustomSeparated + JSONObjectEachRow parity, pinned to the reference's
+  * own goldens (`00405_pretty_formats`, `02322_sql_insert_format`,
+  * `01034_JSONCompactEachRow`, `01014_format_custom_separated`,
+  * `02417_json_object_each_row_format`, `02293_formats_json_columns`).
+  */
+class PrettyFormatsSpec extends SparkSpec {
+
+  private def chField(name: String, dt: DataType, ch: String,
+      nullable: Boolean = false): StructField =
+    StructField(name, dt, nullable,
+      new MetadataBuilder().putString(ChTypes.MetaKey, ch).build())
+
+  private def df(schema: StructType, rows: Row*): DataFrame =
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+
+  private def b(s: String) = "\u001b[1m" + s + "\u001b[0m"
+
+  /** The 00405 query: hello, world=toString(hello), tuple=(hello,world),
+    * sometimes_nulls=nullIf(hello%3,0); 10 rows, max_block_size=5.
+    */
+  private lazy val p405: DataFrame = {
+    val schema = StructType(Seq(
+      chField("hello", LongType, "UInt64"),
+      chField("world", StringType, "String"),
+      chField("tuple", StructType(Seq(
+        StructField("_1", LongType, nullable = false),
+        StructField("_2", StringType, nullable = false))), "Tuple(UInt64, String)"),
+      chField("sometimes_nulls", LongType, "Nullable(UInt64)", nullable = true)))
+    val rows = (0L to 9L).map { i =>
+      Row(i, i.toString, Row(i, i.toString),
+        if (i % 3 == 0) null else java.lang.Long.valueOf(i % 3))
+    }
+    df(schema, rows: _*)
+  }
+
+  private def rowLine(i: Long): String = {
+    val nulls = if (i % 3 == 0) "ᴺᵁᴸᴸ" else (i % 3).toString
+    s"│     $i │ $i     │ ($i,'$i') │ ${" " * (15 - nulls.codePointCount(0, nulls.length))}$nulls │"
+  }
+
+  test("00405: Pretty — two blocks of five, golden bytes") {
+    val top = "┏━━━━━━━┳━━━━━━━┳━━━━━━━━━┳━━━━━━━━━━━━━━━━━┓"
+    val hdr = s"┃ ${b("hello")} ┃ ${b("world")} ┃ ${b("tuple  ")} ┃ ${b("sometimes_nulls")} ┃"
+    val mid = "┡━━━━━━━╇━━━━━━━╇━━━━━━━━━╇━━━━━━━━━━━━━━━━━┩"
+    val sep = "├───────┼───────┼─────────┼─────────────────┤"
+    val bot = "└───────┴───────┴─────────┴─────────────────┘"
+    def block(rows: Seq[Long]): String =
+      (Seq(top, hdr, mid) ++
+        rows.map(rowLine).flatMap(l => Seq(l, sep)).dropRight(1) :+ bot)
+        .mkString("", "\n", "\n")
+    val expected = block(0L to 4L) + block(5L to 9L)
+    assert(OutputFormats.write(p405, "Pretty", S(blockSize = 5)) === expected)
+  }
+
+  test("00405: PrettyCompact — names embedded in the top border") {
+    val top = s"┌─${b("hello")}─┬─${b("world")}─┬─${b("tuple")}───┬─${b("sometimes_nulls")}─┐"
+    val bot = "└───────┴───────┴─────────┴─────────────────┘"
+    def block(rows: Seq[Long]): String =
+      (top +: rows.map(rowLine) :+ bot).mkString("", "\n", "\n")
+    val expected = block(0L to 4L) + block(5L to 9L)
+    assert(OutputFormats.write(p405, "PrettyCompact", S(blockSize = 5)) === expected)
+  }
+
+  test("00405: PrettyCompactMonoBlock — one block") {
+    val top = s"┌─${b("hello")}─┬─${b("world")}─┬─${b("tuple")}───┬─${b("sometimes_nulls")}─┐"
+    val bot = "└───────┴───────┴─────────┴─────────────────┘"
+    val expected = (top +: (0L to 9L).map(rowLine) :+ bot).mkString("", "\n", "\n")
+    assert(OutputFormats.write(p405, "PrettyCompactMonoBlock", S(blockSize = 5)) === expected)
+  }
+
+  test("00405: PrettySpace — golden layout") {
+    def srow(i: Long): String = {
+      val nulls = if (i % 3 == 0) "ᴺᵁᴸᴸ" else (i % 3).toString
+      s"     $i   $i       ($i,'$i')   ${" " * (15 - nulls.codePointCount(0, nulls.length))}$nulls "
+    }
+    def block(rows: Seq[Long]): String =
+      (Seq(s" ${b("hello")}   ${b("world")}   ${b("tuple")}     ${b("sometimes_nulls")}", "") ++
+        rows.map(srow)).mkString("", "\n", "\n")
+    val expected = block(0L to 4L) + block(5L to 9L)
+    assert(OutputFormats.write(p405, "PrettySpace", S(blockSize = 5)) === expected)
+  }
+
+  test("00405: NoEscapes variants drop the bold codes") {
+    val colored = OutputFormats.write(p405, "PrettyCompact", S(blockSize = 5))
+    val plain = OutputFormats.write(p405, "PrettyCompactNoEscapes", S(blockSize = 5))
+    assert(plain === colored.replace("\u001b[1m", "").replace("\u001b[0m", ""))
+  }
+
+  test("00405: pretty_max_rows truncation with Showed-first footer") {
+    val out = OutputFormats.write(p405, "PrettyCompact",
+      S(blockSize = 5, prettyMaxRows = 6))
+    assert(out.contains("│     5 │ 5     │ (5,'5') │               2 │"))
+    assert(!out.contains("(6,'6')"))
+    assert(out.endsWith("└───────┴───────┴─────────┴─────────────────┘\n  Showed first 6.\n"))
+    val space = OutputFormats.write(p405, "PrettySpace",
+      S(blockSize = 5, prettyMaxRows = 6))
+    assert(space.endsWith("     5   5       (5,'5')                 2 \n\nShowed first 6.\n"))
+  }
+
+  test("00405: ASCII charset grid and NULL text") {
+    val out = OutputFormats.write(p405, "Pretty",
+      S(blockSize = 5, prettyMaxRows = 6, prettyAscii = true))
+    assert(out.startsWith(
+      "+-------+-------+---------+-----------------+\n" +
+        s"| ${b("hello")} | ${b("world")} | ${b("tuple  ")} | ${b("sometimes_nulls")} |\n" +
+        "+-------+-------+---------+-----------------+\n" +
+        "|     0 | 0     | (0,'0') |            NULL |\n" +
+        "+-------+-------+---------+-----------------+\n"))
+    assert(out.endsWith("  Showed first 6.\n"))
+    val compact = OutputFormats.write(p405, "PrettyCompact",
+      S(blockSize = 5, prettyAscii = true))
+    assert(compact.startsWith(
+      s"+-${b("hello")}-+-${b("world")}-+-${b("tuple")}---+-${b("sometimes_nulls")}-+\n" +
+        "|     0 | 0     | (0,'0') |            NULL |\n"))
+  }
+
+  test("01509: row numbers prefix each data row") {
+    val schema = StructType(Seq(chField("number", LongType, "UInt64")))
+    val d = df(schema, (0L to 9L).map(Row(_)): _*)
+    val out = OutputFormats.write(d, "PrettyCompact", S(prettyRowNumbers = true))
+    assert(out.contains(s"       ┌─${b("number")}─┐"))
+    assert(out.contains("    1. │      0 │"))
+    assert(out.contains("   10. │      9 │"))
+    assert(out.endsWith("       └────────┘\n"))
+  }
+
+  // ---- SQLInsert (02322) --------------------------------------------------
+
+  private lazy val xyz: DataFrame = {
+    val schema = StructType(Seq(
+      chField("x", LongType, "UInt64"), chField("y", LongType, "UInt64"),
+      chField("z", StringType, "String")))
+    df(schema, (0L to 4L).map(i => Row(i, i % 3, "Hello")): _*)
+  }
+
+  test("02322: SQLInsert setting variants match the golden") {
+    assert(OutputFormats.write(xyz, "SQLInsert") ===
+      "INSERT INTO table (`x`, `y`, `z`) VALUES (0, 0, 'Hello'), (1, 1, 'Hello'), " +
+        "(2, 2, 'Hello'), (3, 0, 'Hello'), (4, 1, 'Hello');\n")
+    assert(OutputFormats.write(xyz, "SQLInsert", S(sqlInsertMaxBatchSize = 2)) ===
+      "INSERT INTO table (`x`, `y`, `z`) VALUES (0, 0, 'Hello'), (1, 1, 'Hello');\n" +
+        "INSERT INTO table (`x`, `y`, `z`) VALUES (2, 2, 'Hello'), (3, 0, 'Hello');\n" +
+        "INSERT INTO table (`x`, `y`, `z`) VALUES (4, 1, 'Hello');\n")
+    assert(OutputFormats.write(xyz, "SQLInsert",
+      S(sqlInsertIncludeColumnNames = false)) ===
+      "INSERT INTO table VALUES (0, 0, 'Hello'), (1, 1, 'Hello'), (2, 2, 'Hello'), " +
+        "(3, 0, 'Hello'), (4, 1, 'Hello');\n")
+    assert(OutputFormats.write(xyz, "SQLInsert", S(sqlInsertUseReplace = true)) ===
+      "REPLACE INTO table (`x`, `y`, `z`) VALUES (0, 0, 'Hello'), (1, 1, 'Hello'), " +
+        "(2, 2, 'Hello'), (3, 0, 'Hello'), (4, 1, 'Hello');\n")
+    assert(OutputFormats.write(xyz, "SQLInsert",
+      S(sqlInsertTableName = "test", sqlInsertQuoteNames = false)) ===
+      "INSERT INTO test (x, y, z) VALUES (0, 0, 'Hello'), (1, 1, 'Hello'), " +
+        "(2, 2, 'Hello'), (3, 0, 'Hello'), (4, 1, 'Hello');\n")
+  }
+
+  test("02322: SQLInsert → MySQLDump round-trip") {
+    val dump = OutputFormats.write(xyz, "SQLInsert",
+      S(sqlInsertMaxBatchSize = 2, sqlInsertQuoteNames = false))
+    val back = InputFormats.parse(spark, dump, "MySQLDump")
+    assert(back.columns.toSeq === Seq("x", "y", "z"))
+    assert(back.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      === (0L to 4L).map(i => (i, i % 3, "Hello")))
+  }
+
+  // ---- JSONCompactEachRow (01034) -----------------------------------------
+
+  test("01034: JSONCompactEachRow output incl. names/types headers") {
+    val schema = StructType(Seq(
+      chField("value", ShortType, "UInt8"), chField("name", StringType, "String")))
+    val d = df(schema, Row(1.toShort, "a"), Row(2.toShort, "b"), Row(3.toShort, "c"))
+    assert(OutputFormats.write(d, "JSONCompactEachRow") ===
+      "[1, \"a\"]\n[2, \"b\"]\n[3, \"c\"]\n")
+    assert(OutputFormats.write(d, "JSONCompactEachRowWithNamesAndTypes") ===
+      "[\"value\", \"name\"]\n[\"UInt8\", \"String\"]\n[1, \"a\"]\n[2, \"b\"]\n[3, \"c\"]\n")
+    assert(OutputFormats.write(d, "JSONCompactEachRowWithNames") ===
+      "[\"value\", \"name\"]\n[1, \"a\"]\n[2, \"b\"]\n[3, \"c\"]\n")
+  }
+
+  test("01034: JSONCompactEachRow input with nulls → type defaults") {
+    val structure = "v1 String, v2 UInt8, v3 UInt16, v4 UInt8"
+    val out = InputFormats.parse(spark,
+      "[\"first\", 1, \"2\", null] [\"second\", 2, null, 6]",
+      "JSONCompactEachRow", Some(structure)).collect()
+    assert(out.map(_.toString).toSeq ===
+      Seq("[first,1,2,0]", "[second,2,0,6]"))
+  }
+
+  test("01034: JSONCompactEachRowWithNamesAndTypes input is self-describing") {
+    val data =
+      "[\"v1\", \"v2\", \"v3\", \"v4\"][\"String\",\"UInt8\",\"UInt16\",\"UInt8\"]" +
+        "[\"first\", 1, \"2\", null][\"second\", 2, null, 6]"
+    val out = InputFormats.parse(spark, data, "JSONCompactEachRowWithNamesAndTypes")
+    assert(out.columns.toSeq === Seq("v1", "v2", "v3", "v4"))
+    assert(out.schema.fields.map(f => ChTypes.chName(f)).toSeq ===
+      Seq("String", "UInt8", "UInt16", "UInt8"))
+    assert(out.collect().map(_.toString).toSeq ===
+      Seq("[first,1,2,0]", "[second,2,0,6]"))
+  }
+
+  // ---- CustomSeparated (01014) --------------------------------------------
+
+  test("01014: CustomSeparated output with CSV escaping and delimiters") {
+    val schema = StructType(Seq(
+      chField("n", LongType, "UInt64"), chField("d", DateType, "Date"),
+      chField("s", StringType, "String")))
+    def day(s: String) = java.sql.Date.valueOf(s)
+    val d = df(schema,
+      Row(0L, day("2019-09-24"), "hello"), Row(1L, day("2019-09-25"), "world"),
+      Row(2L, day("2019-09-26"), "custom"), Row(3L, day("2019-09-27"), "separated"))
+    val s = S(customEscapingRule = "CSV", customFieldDelimiter = "\t|\t",
+      customRowBeforeDelimiter = "||", customRowAfterDelimiter = "\t||",
+      customRowBetweenDelimiter = "\n",
+      customResultBeforeDelimiter = "========== result ==========\n",
+      customResultAfterDelimiter = "\n============================\n")
+    val expected =
+      "========== result ==========\n" +
+        "||0\t|\t\"2019-09-24\"\t|\t\"hello\"\t||\n" +
+        "||1\t|\t\"2019-09-25\"\t|\t\"world\"\t||\n" +
+        "||2\t|\t\"2019-09-26\"\t|\t\"custom\"\t||\n" +
+        "||3\t|\t\"2019-09-27\"\t|\t\"separated\"\t||\n" +
+        "============================\n"
+    assert(OutputFormats.write(d, "CustomSeparated", s) === expected)
+  }
+
+  test("01014: CustomSeparated input with mixed quoting and end marker") {
+    val data =
+      "0, \"2019-09-24\", \"hello\"\n1, 2019-09-25, \"world\"\n" +
+        "2, \"2019-09-26\", custom\n3, 2019-09-27, separated\nend\n"
+    val s = S(customEscapingRule = "CSV", customFieldDelimiter = ", ",
+      customRowAfterDelimiter = "\n", customRowBetweenDelimiter = "",
+      customResultAfterDelimiter = "end\n")
+    val out = InputFormats.parse(spark, data, "CustomSeparated",
+      Some("n UInt64, d Date, s String"), s).orderBy("n").collect()
+    assert(out.map(r => (r.getLong(0), r.getDate(1).toString, r.getString(2))).toSeq ===
+      Seq((0L, "2019-09-24", "hello"), (1L, "2019-09-25", "world"),
+        (2L, "2019-09-26", "custom"), (3L, "2019-09-27", "separated")))
+  }
+
+  // ---- JSONObjectEachRow (02417) / JSONColumns (02293) --------------------
+
+  test("02417: JSONObjectEachRow") {
+    val schema = StructType(Seq(
+      chField("number", LongType, "UInt64"), chField("str", StringType, "String"),
+      chField("arr", ArrayType(LongType, containsNull = false), "Array(UInt64)")))
+    val d = df(schema,
+      Row(0L, "Hello", Seq.empty[Long]), Row(1L, "Hello", Seq(0L)),
+      Row(2L, "Hello", Seq(0L, 1L)))
+    assert(OutputFormats.write(d, "JSONObjectEachRow") ===
+      "{\n" +
+        "\t\"row_1\": {\"number\":\"0\",\"str\":\"Hello\",\"arr\":[]},\n" +
+        "\t\"row_2\": {\"number\":\"1\",\"str\":\"Hello\",\"arr\":[\"0\"]},\n" +
+        "\t\"row_3\": {\"number\":\"2\",\"str\":\"Hello\",\"arr\":[\"0\",\"1\"]}\n" +
+        "}\n")
+  }
+
+  test("02293: JSONColumns and JSONCompactColumns") {
+    val schema = StructType(Seq(
+      chField("a", IntegerType, "UInt32"), chField("b", StringType, "String")))
+    val d = df(schema, Row(0, "String"), Row(1, "String"))
+    assert(OutputFormats.write(d, "JSONColumns") ===
+      "{\n\t\"a\": [0, 1],\n\t\"b\": [\"String\", \"String\"]\n}\n")
+    assert(OutputFormats.write(d, "JSONCompactColumns") ===
+      "[\n\t[0, 1],\n\t[\"String\", \"String\"]\n]\n")
+  }
+
+  // ---- distributed lines() ------------------------------------------------
+
+  test("lines(): distributed row rendering matches driver write()") {
+    val d = spark.range(0, 1000).toDF("n")
+      .repartition(8)
+    val viaLines = OutputFormats.lines(d, "CSV").collect().sorted.toSeq
+    val viaWrite = OutputFormats.write(d, "CSV").split("\n").toSeq.sorted
+    assert(viaLines === viaWrite)
+    // headers stay a single leading partition
+    val withHdr = OutputFormats.lines(d, "CSVWithNames")
+    assert(withHdr.first() === "\"n\"")
+  }
+}
