@@ -25,7 +25,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ VectorQueries.queries ++ TextQueries.queries ++
-      DedupQueries.queries ++ EventQueries.queries ++ PipelineQueries.queries
+      DedupQueries.queries ++ EventQueries.queries ++ PipelineQueries.queries ++
+      FormatQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for ops whose semantics are not
@@ -33,5 +34,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ VectorQueries.oracles ++ TextQueries.oracles ++
-      DedupQueries.oracles ++ EventQueries.oracles ++ PipelineQueries.oracles
+      DedupQueries.oracles ++ EventQueries.oracles ++ PipelineQueries.oracles ++
+      FormatQueries.oracles
 }

@@ -24,11 +24,13 @@ object ExecutableUdf {
     * appended row-by-row.
     *
     * Contract (same as the reference's row-streamed executable
-    * functions): the command must emit one output line per input line AS
-    * IT STREAMS (line-buffered filters — awk/sed/python -u). Commands
-    * that buffer the whole input before emitting (sort, uniq -c) exceed
-    * the bounded in-flight row buffer and deadlock by design — use a
-    * dedicated aggregation instead.
+    * functions): the command must emit exactly one output line per input
+    * line, in input order. Buffering is safe: the in-flight row queue
+    * grows only as fast as the command consumes stdin, so a
+    * block-buffered filter (awk/sed defaults) holds a few KiB of rows
+    * and even a fully-buffering command (sort) completes — at
+    * O(partition rows) heap, so prefer a dedicated aggregation for
+    * those.
     */
   def pipe(
       df: DataFrame,
@@ -52,18 +54,38 @@ object ExecutableUdf {
           new java.io.InputStreamReader(proc.getInputStream, "UTF-8"))
 
         // writer thread: stream rows in, buffer them for re-join
+        // Unbounded on purpose: backpressure comes from the stdin PIPE
+        // (the writer blocks on write when the child stalls), so the
+        // queue only ever holds rows the child has consumed but not yet
+        // answered — bounded by the child's internal buffering for
+        // streaming filters. A bounded queue here deadlocks three-way
+        // once the child block-buffers more output than the queue holds
+        // rows (awk's 64 KiB stdout buffer vs a 1024-row cap did exactly
+        // that): writer stuck on put(), reader stuck on readLine(),
+        // child waiting for input. A fully-buffering command (sort)
+        // now costs O(partition rows) heap instead of hanging.
         val inflight: java.util.concurrent.BlockingQueue[AnyRef] =
-          new java.util.concurrent.LinkedBlockingQueue[AnyRef](1024)
+          new java.util.concurrent.LinkedBlockingQueue[AnyRef]()
         val END = new Object
+        // the writer consumes the upstream iterator, so it needs this
+        // task's context (memory manager for columnar scans), and any
+        // failure must surface on the task thread instead of leaving it
+        // blocked on the queue forever
+        val taskContext = org.apache.spark.TaskContext.get()
+        @volatile var writerError: Throwable = null
         val writer = new Thread(() => {
+          if (taskContext != null)
+            org.apache.spark.sql.graft.shim.setTaskContext(taskContext)
           try {
             rows.foreach { r =>
               inflight.put(r)
               stdin.write(inIdx.map(i => String.valueOf(r.get(i))).mkString("\t"))
               stdin.newLine()
             }
+          } catch {
+            case t: Throwable => writerError = t
           } finally {
-            stdin.close()
+            try stdin.close() catch { case _: java.io.IOException => () }
             inflight.put(END)
           }
         }, "executable-udf-writer")
@@ -78,14 +100,21 @@ object ExecutableUdf {
             val in = inflight.take()
             if (in eq END) {
               done = true
+              if (writerError != null) throw writerError
               require(stdout.readLine() == null,
                 s"executable UDF '$command' emitted more lines than input rows")
               proc.waitFor()
               return
             }
             val line = stdout.readLine()
-            require(line != null,
-              s"executable UDF '$command' emitted fewer lines than input rows")
+            if (line == null) {
+              // EOF with rows outstanding: either the writer died (its
+              // error wins) or the process really under-produced
+              writer.join(10000)
+              if (writerError != null) throw writerError
+              throw new IllegalArgumentException(
+                s"executable UDF '$command' emitted fewer lines than input rows")
+            }
             val parts = line.split("\t", -1)
             require(parts.length == outTypes.length,
               s"executable UDF '$command' emitted ${parts.length} fields, " +

@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables.t
+import graft.sources.{InputFormats, OutputFormats}
+
+/** Driver-checked queries for the I/O format surface (SURVEY §2.2).
+  *
+  * q76 proves the format codecs end-to-end the only way a SQL oracle
+  * can: every format is a WRITE → PARSE round trip over the same orders
+  * slice, and the aggregate of each round-tripped frame must equal the
+  * aggregate DuckDB computes directly from parquet. A format that drops
+  * a row, mangles an escape, shifts a date, or loses float precision
+  * breaks its row. q77 drives the executable-UDF pipe (ExecutableUdf)
+  * through a real `awk` process with a closed-form oracle.
+  */
+object FormatQueries {
+
+  private val fmtStructure =
+    "o_orderkey Int64, o_custkey Int64, o_totalprice Float64, " +
+      "o_orderdate DateTime, o_orderpriority String"
+
+  private def slice(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") <= 500)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+        "o_orderpriority")
+      .orderBy("o_orderkey")
+
+  private def agg(s: SparkSession, fmt: String, df: DataFrame): DataFrame =
+    df.agg(
+      count(lit(1)).as("cnt"),
+      sum(col("o_orderkey")).as("key_sum"),
+      sum(col("o_totalprice")).as("price_sum"),
+      min(col("o_orderdate")).cast("string").as("first_day"))
+      .selectExpr(s"'$fmt' AS fmt", "CAST(cnt AS BIGINT) AS cnt",
+        "CAST(key_sum AS BIGINT) AS key_sum",
+        "CAST(round(price_sum, 2) AS DOUBLE) AS price_sum", "first_day")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_format_roundtrip" -> ((s, dir) => {
+      val base = slice(s, dir)
+      val frames = Seq(
+        "csv_typed" -> InputFormats.parse(s,
+          OutputFormats.write(base, "CSVWithNamesAndTypes"),
+          "CSVWithNamesAndTypes"),
+        "custom_separated" -> InputFormats.parse(s,
+          OutputFormats.write(base, "CustomSeparated"),
+          "CustomSeparated", Some(fmtStructure)),
+        "json_compact_typed" -> InputFormats.parse(s,
+          OutputFormats.write(base, "JSONCompactEachRowWithNamesAndTypes"),
+          "JSONCompactEachRowWithNamesAndTypes"),
+        "json_each_row" -> InputFormats.parse(s,
+          OutputFormats.write(base, "JSONEachRow"),
+          "JSONEachRow", Some(fmtStructure)),
+        "mysql_dump" -> InputFormats.parse(s,
+          OutputFormats.write(base, "SQLInsert"),
+          "MySQLDump", Some(fmtStructure)),
+        "row_binary" -> InputFormats.parseBytes(s,
+          OutputFormats.writeBytes(base, "RowBinaryWithNamesAndTypes"),
+          "RowBinaryWithNamesAndTypes"),
+        "tskv" -> InputFormats.parse(s,
+          OutputFormats.write(base, "TSKV"), "TSKV", Some(fmtStructure)),
+        "tsv_typed" -> InputFormats.parse(s,
+          OutputFormats.write(base, "TabSeparatedWithNamesAndTypes"),
+          "TabSeparatedWithNamesAndTypes"),
+        "values" -> InputFormats.parse(s,
+          OutputFormats.write(base, "Values"), "Values", Some(fmtStructure)))
+      frames.map { case (name, df) => agg(s, name, df) }
+        .reduce(_.unionAll(_))
+        .orderBy("fmt")
+    }),
+
+    // Executable (process) UDF through a real pipe: one long-lived awk
+    // per partition doubling the key and scaling the quantity.
+    "q77_executable_udf" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 300)
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+      val piped = graft.functions.ExecutableUdf.pipe(
+        li,
+        "awk -F'\\t' '{print ($1*2)\"\\t\"($3*10)}'",
+        Seq("l_orderkey", "l_returnflag", "l_quantity"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doubled BIGINT, qty10 BIGINT"))
+      piped.groupBy(col("l_returnflag").as("grp"))
+        .agg(count(lit(1)).as("cnt"), sum(col("doubled")).as("dbl_sum"),
+          sum(col("qty10")).as("qty_sum"))
+        .selectExpr("grp", "CAST(cnt AS BIGINT) AS cnt",
+          "CAST(dbl_sum AS BIGINT) AS dbl_sum",
+          "CAST(qty_sum AS BIGINT) AS qty_sum")
+        .orderBy("grp")
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "q76_format_roundtrip" -> """
+      WITH base AS (
+        SELECT CAST(count(1) AS BIGINT) AS cnt,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS price_sum,
+               CAST(min(o_orderdate) AS VARCHAR) AS first_day
+        FROM orders WHERE o_orderkey <= 500),
+      fmts AS (
+        SELECT unnest(['csv_typed', 'custom_separated', 'json_compact_typed',
+                       'json_each_row', 'mysql_dump', 'row_binary', 'tskv',
+                       'tsv_typed', 'values']) AS fmt)
+      SELECT fmt, cnt, key_sum, price_sum, first_day
+      FROM fmts CROSS JOIN base
+      ORDER BY fmt""",
+    "q77_executable_udf" -> """
+      SELECT l_returnflag AS grp,
+             CAST(count(1) AS BIGINT) AS cnt,
+             CAST(sum(l_orderkey * 2) AS BIGINT) AS dbl_sum,
+             CAST(sum(CAST(l_quantity * 10 AS BIGINT)) AS BIGINT) AS qty_sum
+      FROM lineitem WHERE l_orderkey <= 300
+      GROUP BY l_returnflag
+      ORDER BY grp""")
+}

@@ -44,6 +44,7 @@ object ChTypes {
       case BooleanType => "Bool"
       case DateType => "Date"
       case _: TimestampType => "DateTime"
+      case TimestampNTZType => "DateTime"
       case d: DecimalType => s"Decimal(${d.precision}, ${d.scale})"
       case a: ArrayType => s"Array(${chName(a.elementType, a.containsNull)})"
       case m: MapType =>

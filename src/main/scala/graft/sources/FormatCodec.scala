@@ -146,6 +146,7 @@ object FormatCodec {
     case (b: java.lang.Boolean, _) => if (b) "true" else "false"
     case (v1, DateType) => dateText(v1)
     case (v1, _: TimestampType) => dateTimeText(v1)
+    case (v1, TimestampNTZType) => dateTimeText(v1)
     case (b: Array[Byte], _) => new String(b, "UTF-8")
     case (v1, _) => String.valueOf(v1)
   }
@@ -186,7 +187,8 @@ object FormatCodec {
     case _ if v == null => "NULL"
     case _: ArrayType | _: StructType | _: MapType => nestedText(v, dt)
     case StringType | BinaryType => quoteString(scalarText(v, dt))
-    case DateType | _: TimestampType => "'" + scalarText(v, dt) + "'"
+    case DateType | _: TimestampType | TimestampNTZType =>
+      "'" + scalarText(v, dt) + "'"
     case _ => scalarText(v, dt)
   }
 
@@ -271,7 +273,8 @@ object FormatCodec {
           "\"" + escapeJson(scalarText(k, m.keyType)) + "\":" +
             jsonText(x, m.valueType, vCh, quote64)
         }.mkString("{", ",", "}")
-      case StringType | BinaryType | DateType | _: TimestampType =>
+      case StringType | BinaryType | DateType | _: TimestampType |
+          TimestampNTZType =>
         "\"" + escapeJson(scalarText(v, dt)) + "\""
       case BooleanType => scalarText(v, dt)
       case FloatType | DoubleType =>
@@ -376,6 +379,7 @@ object FormatCodec {
     case _: TimestampType =>
       java.sql.Timestamp.from(
         LocalDateTime.parse(text.trim.replace(' ', 'T')).toInstant(ZoneOffset.UTC))
+    case TimestampNTZType => LocalDateTime.parse(text.trim.replace(' ', 'T'))
     case StringType => text
     case BinaryType => text.getBytes("UTF-8")
     case NullType => null
@@ -397,6 +401,7 @@ object FormatCodec {
     case BinaryType => Array.emptyByteArray
     case DateType => java.sql.Date.valueOf(LocalDate.ofEpochDay(0))
     case _: TimestampType => java.sql.Timestamp.from(Instant.EPOCH)
+    case TimestampNTZType => LocalDateTime.ofEpochSecond(0, 0, ZoneOffset.UTC)
     case a: ArrayType => Seq.empty
     case m: MapType => Map.empty
     case s: StructType =>

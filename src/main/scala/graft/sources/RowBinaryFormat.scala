@@ -94,6 +94,9 @@ object RowBinaryFormat {
           case t: java.time.Instant => t.getEpochSecond
         }
         writeFixed(out, secs, 4)
+      case TimestampNTZType =>
+        writeFixed(out, v.asInstanceOf[java.time.LocalDateTime]
+          .toEpochSecond(java.time.ZoneOffset.UTC), 4)
       case StringType =>
         val b = String.valueOf(v).getBytes("UTF-8")
         writeVarint(out, b.length.toLong); out.write(b)
@@ -225,6 +228,8 @@ object RowBinaryFormat {
       case BooleanType => in.fixed(1) != 0
       case DateType => java.sql.Date.valueOf(LocalDate.ofEpochDay(in.fixed(2)))
       case _: TimestampType => new java.sql.Timestamp(in.fixed(4) * 1000L)
+      case TimestampNTZType =>
+        java.time.LocalDateTime.ofEpochSecond(in.fixed(4), 0, java.time.ZoneOffset.UTC)
       case StringType => in.str()
       case BinaryType =>
         val len = in.varint().toInt

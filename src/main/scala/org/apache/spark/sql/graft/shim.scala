@@ -38,4 +38,13 @@ object shim {
     */
   def waitListenerBus(sc: org.apache.spark.SparkContext): Unit =
     sc.listenerBus.waitUntilEmpty()
+
+  /** Propagate the task context onto a helper thread
+    * (`TaskContext.setTaskContext` is `private[spark]`). Spark's own
+    * PipedRDD does exactly this for its stdin-writer thread; without it,
+    * consuming a columnar-scan iterator from the helper thread NPEs on
+    * the missing per-task memory manager.
+    */
+  def setTaskContext(tc: org.apache.spark.TaskContext): Unit =
+    org.apache.spark.TaskContext.setTaskContext(tc)
 }

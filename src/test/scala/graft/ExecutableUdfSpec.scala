@@ -41,3 +41,19 @@ class ExecutableUdfSpec extends SparkSpec {
     assert(msgs(ex).exists(_.contains("fields")), ex.toString)
   }
 }
+
+class ExecutableUdfParquetSpec extends SparkSpec {
+  test("pipe over a parquet-backed frame with post-aggregation") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .filter(org.apache.spark.sql.functions.col("l_orderkey") <= 300)
+      .select("l_orderkey", "l_returnflag", "l_quantity")
+    val out = ExecutableUdf.pipe(li,
+      """awk -F'\t' '{print ($1*2)"\t"($3*10)}'""",
+      Seq("l_orderkey", "l_returnflag", "l_quantity"),
+      new StructType().add("doubled", LongType).add("qty10", LongType))
+    val agg = out.groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.sum("doubled").as("d"))
+      .collect()
+    assert(agg.nonEmpty)
+  }
+}
