@@ -1952,6 +1952,11 @@ object ClickHouseCompat {
     // must precede the SQL-macro pass so macro bodies can reference it)
     BestEffortDateTime.install(spark)
     Blake3Md4.install(spark) // MD4 + BLAKE3 digests (published-vector pinned)
+    // stem(lang, word): Snowball en/ru/fr ports (ref src/Functions/stem.cpp;
+    // 01890 golden-pinned). Other libstemmer languages: identity, §2.9.
+    spark.udf.register("stem", (lang: String, word: String) =>
+      if (lang == null || word == null) null
+      else SnowballStem.stem(lang, word))
     // ---- tranche 15 natives ----
     locally {
       import Tranche15._

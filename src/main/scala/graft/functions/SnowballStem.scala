@@ -1,0 +1,528 @@
+package graft.functions
+
+/** Snowball stemmers — the reference's `stem(language, word)` NLP
+  * function (ref `src/Functions/stem.cpp`, backed by libstemmer_c).
+  * The Snowball algorithms are published specs (snowballstem.org);
+  * this is a from-scratch Scala port of the English (Porter2), Russian
+  * and French stemmers, pinned to the reference's own `01890_stem`
+  * golden in ClickHouseCompatSpec. Other libstemmer languages remain
+  * documented out (IMPLEMENTATION §2.9).
+  */
+object SnowballStem {
+
+  def stem(lang: String, word: String): String = lang.toLowerCase match {
+    case "en" | "english" => english(word.toLowerCase)
+    case "ru" | "russian" => russian(word.toLowerCase)
+    case "fr" | "french" => french(word.toLowerCase)
+    case _ => word // unsupported language: identity (documented deviation)
+  }
+
+  // ------------------------------------------------------------- English
+
+  private val enVowels = "aeiouy".toSet
+
+  private def enIsShortSyllable(w: String, i: Int): Boolean = {
+    // short syllable ending at index i (inclusive of the non-vowel)
+    if (i == 1) enVowels(w(0)) && !enVowels(w(1))
+    else if (i >= 2)
+      enVowels(w(i - 1)) && !enVowels(w(i)) && !"wxY".contains(w(i)) &&
+        !enVowels(w(i - 2))
+    else false
+  }
+
+  def english(word0: String): String = {
+    if (word0.length <= 2) return word0
+    var w = word0.replace("'", "'")
+    // exceptional forms
+    val exceptional = Map(
+      "skis" -> "ski", "skies" -> "sky", "dying" -> "die", "lying" -> "lie",
+      "tying" -> "tie", "idly" -> "idl", "gently" -> "gentl", "ugly" -> "ugli",
+      "early" -> "earli", "only" -> "onli", "singly" -> "singl")
+    if (exceptional.contains(w)) return exceptional(w)
+    if (Set("sky", "news", "howe", "atlas", "cosmos", "bias", "andes")(w)) return w
+
+    // strip leading apostrophe, mark consonant y
+    if (w.startsWith("'")) w = w.substring(1)
+    val marked = new StringBuilder
+    for (i <- 0 until w.length) {
+      val c = w.charAt(i)
+      if (c == 'y' && (i == 0 || enVowels(w.charAt(i - 1)))) marked.append('Y')
+      else marked.append(c)
+    }
+    w = marked.toString
+
+    val r1 =
+      if (w.startsWith("gener")) 5
+      else if (w.startsWith("commun")) 6
+      else if (w.startsWith("arsen")) 5
+      else {
+        var i = 0
+        while (i < w.length && !enVowels(w.charAt(i).toLower)) i += 1
+        while (i < w.length && enVowels(w.charAt(i).toLower)) i += 1
+        if (i < w.length) i + 1 else w.length
+      }
+    val r2 = {
+      var i = r1
+      while (i < w.length && !enVowels(w.charAt(i).toLower)) i += 1
+      while (i < w.length && enVowels(w.charAt(i).toLower)) i += 1
+      if (i < w.length) i + 1 else w.length
+    }
+    def inR1(suffixLen: Int): Boolean = w.length - suffixLen >= r1
+    def inR2(suffixLen: Int): Boolean = w.length - suffixLen >= r2
+
+    // step 0
+    for (suf <- Seq("'s'", "'s", "'")) {
+      if (w.endsWith(suf)) { w = w.dropRight(suf.length) }
+    }
+
+    // step 1a
+    if (w.endsWith("sses")) w = w.dropRight(2)
+    else if (w.endsWith("ied") || w.endsWith("ies")) {
+      w = if (w.length - 3 > 1) w.dropRight(2) else w.dropRight(1)
+    } else if (w.endsWith("ss") || w.endsWith("us")) ()
+    else if (w.endsWith("s") && w.length >= 3 &&
+        w.substring(0, w.length - 2).exists(c => enVowels(c.toLower)))
+      w = w.dropRight(1)
+
+    if (Set("inning", "outing", "canning", "herring", "earring",
+        "proceed", "exceed", "succeed")(w)) return w.toLowerCase
+
+    def containsVowel(s: String): Boolean = s.exists(c => enVowels(c.toLower))
+    val doubles = Set("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+    def isShortWord: Boolean =
+      r1 >= w.length && w.length >= 2 && enIsShortSyllable(w, w.length - 1)
+
+    // step 1b
+    val onEdRemoved = () => {
+      if (w.endsWith("at") || w.endsWith("bl") || w.endsWith("iz")) w += "e"
+      else if (w.length >= 2 && doubles(w.takeRight(2))) w = w.dropRight(1)
+      else if (isShortWord) w += "e"
+    }
+    if (w.endsWith("eedly")) { if (inR1(5)) w = w.dropRight(3) }
+    else if (w.endsWith("eed")) { if (inR1(3)) w = w.dropRight(1) }
+    else if (w.endsWith("edly") && containsVowel(w.dropRight(4))) {
+      w = w.dropRight(4); onEdRemoved()
+    } else if (w.endsWith("ingly") && containsVowel(w.dropRight(5))) {
+      w = w.dropRight(5); onEdRemoved()
+    } else if (w.endsWith("ed") && containsVowel(w.dropRight(2))) {
+      w = w.dropRight(2); onEdRemoved()
+    } else if (w.endsWith("ing") && containsVowel(w.dropRight(3))) {
+      w = w.dropRight(3); onEdRemoved()
+    }
+
+    // step 1c
+    if (w.length > 2 && (w.last == 'y' || w.last == 'Y') &&
+        !enVowels(w.charAt(w.length - 2).toLower))
+      w = w.dropRight(1) + "i"
+
+    // step 2 (in R1)
+    val step2: Seq[(String, String)] = Seq(
+      "ization" -> "ize", "ational" -> "ate", "fulness" -> "ful",
+      "ousness" -> "ous", "iveness" -> "ive", "tional" -> "tion",
+      "biliti" -> "ble", "lessli" -> "less", "entli" -> "ent",
+      "ation" -> "ate", "alism" -> "al", "aliti" -> "al", "ousli" -> "ous",
+      "iviti" -> "ive", "fulli" -> "ful", "enci" -> "ence", "anci" -> "ance",
+      "abli" -> "able", "izer" -> "ize", "ator" -> "ate", "alli" -> "al",
+      "bli" -> "ble", "ogi" -> "og", "li" -> "")
+    var done2 = false
+    for ((suf, rep) <- step2 if !done2) {
+      if (w.endsWith(suf)) {
+        done2 = true
+        if (inR1(suf.length)) {
+          if (suf == "ogi") {
+            if (w.length > 3 && w.charAt(w.length - 4) == 'l')
+              w = w.dropRight(3) + rep
+          } else if (suf == "li") {
+            if (w.length > 2 && "cdeghkmnrt".contains(w.charAt(w.length - 3)))
+              w = w.dropRight(2)
+          } else w = w.dropRight(suf.length) + rep
+        }
+      }
+    }
+
+    // step 3 (in R1)
+    val step3: Seq[(String, String)] = Seq(
+      "ational" -> "ate", "tional" -> "tion", "alize" -> "al",
+      "icate" -> "ic", "iciti" -> "ic", "ative" -> "", "ical" -> "ic",
+      "ness" -> "", "ful" -> "")
+    var done3 = false
+    for ((suf, rep) <- step3 if !done3) {
+      if (w.endsWith(suf)) {
+        done3 = true
+        if (inR1(suf.length)) {
+          if (suf == "ative") { if (inR2(5)) w = w.dropRight(5) }
+          else w = w.dropRight(suf.length) + rep
+        }
+      }
+    }
+
+    // step 4 (in R2)
+    val step4 = Seq("ement", "ance", "ence", "able", "ible", "ment", "ant",
+      "ent", "ism", "ate", "iti", "ous", "ive", "ize", "ion", "al", "er", "ic")
+    var done4 = false
+    for (suf <- step4 if !done4) {
+      if (w.endsWith(suf)) {
+        done4 = true
+        if (inR2(suf.length)) {
+          if (suf == "ion") {
+            if (w.length > 3 && "st".contains(w.charAt(w.length - 4)))
+              w = w.dropRight(3)
+          } else w = w.dropRight(suf.length)
+        }
+      }
+    }
+
+    // step 5
+    if (w.endsWith("e")) {
+      if (inR2(1)) w = w.dropRight(1)
+      else if (inR1(1) && !(w.length >= 3 && enIsShortSyllable(w, w.length - 2)) &&
+          !(w.length == 2 && enVowels(w.charAt(0)) && !enVowels(w.charAt(1))))
+        w = w.dropRight(1)
+    } else if (w.endsWith("l") && inR2(1) && w.length >= 2 &&
+        w.charAt(w.length - 2) == 'l')
+      w = w.dropRight(1)
+
+    w.toLowerCase
+  }
+
+  // ------------------------------------------------------------- Russian
+
+  private val ruVowels = "аеиоуыэюя".toSet
+
+  def russian(word: String): String = {
+    var w = word.replace('ё', 'е')
+    val rvStart = {
+      val i = w.indexWhere(ruVowels)
+      if (i < 0) w.length else i + 1
+    }
+    val r1 = {
+      var i = 0
+      while (i < w.length && !ruVowels(w.charAt(i))) i += 1
+      while (i < w.length && ruVowels(w.charAt(i))) i += 1
+      if (i < w.length) i + 1 else w.length
+    }
+    val r2 = {
+      var i = r1
+      while (i < w.length && !ruVowels(w.charAt(i))) i += 1
+      while (i < w.length && ruVowels(w.charAt(i))) i += 1
+      if (i < w.length) i + 1 else w.length
+    }
+    def inRV(sufLen: Int): Boolean = w.length - sufLen >= rvStart
+    def inR2(sufLen: Int): Boolean = w.length - sufLen >= r2
+
+    // group-1 endings must be preceded by а or я (the а/я is kept)
+    def tryRemove(sufs: Seq[String], group1: Set[String]): Boolean = {
+      for (suf <- sufs.sortBy(-_.length)) {
+        if (w.endsWith(suf) && inRV(suf.length)) {
+          if (group1(suf)) {
+            val p = w.length - suf.length - 1
+            if (p >= 0 && (w.charAt(p) == 'а' || w.charAt(p) == 'я')) {
+              w = w.dropRight(suf.length); return true
+            }
+          } else { w = w.dropRight(suf.length); return true }
+        }
+      }
+      false
+    }
+
+    val perfGerund1 = Set("в", "вши", "вшись")
+    val perfGerund = Seq("в", "вши", "вшись", "ив", "ивши", "ившись", "ыв",
+      "ывши", "ывшись")
+    val adjective = Seq("ее", "ие", "ые", "ое", "ими", "ыми", "ей", "ий",
+      "ый", "ой", "ем", "им", "ым", "ом", "его", "ого", "ему", "ому", "их",
+      "ых", "ую", "юю", "ая", "яя", "ою", "ею")
+    val participle1 = Set("ем", "нн", "вш", "ющ", "щ")
+    val participle = Seq("ем", "нн", "вш", "ющ", "щ", "ивш", "ывш", "ующ")
+    val verb1 = Set("ла", "на", "ете", "йте", "ли", "й", "л", "ем", "н",
+      "ло", "но", "ет", "ют", "ны", "ть", "ешь", "нно")
+    val verb = Seq("ла", "на", "ете", "йте", "ли", "й", "л", "ем", "н",
+      "ло", "но", "ет", "ют", "ны", "ть", "ешь", "нно", "ила", "ыла", "ена",
+      "ейте", "уйте", "ите", "или", "ыли", "ей", "уй", "ил", "ыл", "им",
+      "ым", "ен", "ило", "ыло", "ено", "ят", "ует", "уют", "ит", "ыт",
+      "ены", "ить", "ыть", "ишь", "ую", "ю")
+    val noun = Seq("а", "ев", "ов", "ие", "ье", "е", "иями", "ями", "ами",
+      "еи", "ии", "и", "ией", "ей", "ой", "ий", "й", "иям", "ям", "ием",
+      "ем", "ам", "ом", "о", "у", "ах", "иях", "ях", "ы", "ь", "ию", "ью",
+      "ю", "ия", "ья", "я")
+
+    // step 1
+    if (!tryRemove(perfGerund, perfGerund1)) {
+      if (w.endsWith("ся") && inRV(2)) w = w.dropRight(2)
+      else if (w.endsWith("сь") && inRV(2)) w = w.dropRight(2)
+      var adjectival = false
+      for (suf <- adjective.sortBy(-_.length) if !adjectival) {
+        if (w.endsWith(suf) && inRV(suf.length)) {
+          w = w.dropRight(suf.length); adjectival = true
+          tryRemove(participle, participle1)
+        }
+      }
+      if (!adjectival) {
+        if (!tryRemove(verb, verb1)) tryRemove(noun, Set.empty)
+      }
+    }
+    // step 2
+    if (w.endsWith("и") && inRV(1)) w = w.dropRight(1)
+    // step 3
+    for (suf <- Seq("ость", "ост")) {
+      if (w.endsWith(suf) && inR2(suf.length)) {
+        w = w.dropRight(suf.length)
+      }
+    }
+    // step 4
+    if (w.endsWith("нн")) w = w.dropRight(1)
+    else {
+      var sup = false
+      for (suf <- Seq("ейше", "ейш") if !sup) {
+        if (w.endsWith(suf) && inRV(suf.length)) {
+          w = w.dropRight(suf.length); sup = true
+        }
+      }
+      if (w.endsWith("нн")) w = w.dropRight(1)
+      else if (w.endsWith("ь") && inRV(1)) w = w.dropRight(1)
+    }
+    w
+  }
+
+  // -------------------------------------------------------------- French
+
+  private val frVowels = "aeiouyâàëéêèïîôûù".toSet
+
+  def french(word: String): String = {
+    var w = word
+    // mark u/i between vowels, y next to a vowel, u after q as consonants
+    val sb = new StringBuilder(w)
+    for (i <- w.indices) {
+      val c = w.charAt(i)
+      val prevV = i > 0 && frVowels(sb.charAt(i - 1).toLower)
+      val nextV = i + 1 < w.length && frVowels(w.charAt(i + 1))
+      if ((c == 'u' || c == 'i') && prevV && nextV)
+        sb.setCharAt(i, c.toUpper)
+      else if (c == 'y' && (prevV || nextV)) sb.setCharAt(i, 'Y')
+      else if (c == 'u' && i > 0 && sb.charAt(i - 1) == 'q')
+        sb.setCharAt(i, 'U')
+    }
+    w = sb.toString
+    def isV(c: Char): Boolean = frVowels(c) // marked I U Y are consonants
+
+    val rvStart = {
+      if (w.length >= 3 && isV(w.charAt(0)) && isV(w.charAt(1))) 3
+      else if (w.startsWith("par") || w.startsWith("col") || w.startsWith("tap")) 3
+      else {
+        var i = 1
+        while (i < w.length && !isV(w.charAt(i))) i += 1
+        if (i < w.length) i + 1 else w.length
+      }
+    }
+    def r(from: Int): Int = {
+      var i = from
+      while (i < w.length && !isV(w.charAt(i))) i += 1
+      while (i < w.length && isV(w.charAt(i))) i += 1
+      while (i < w.length && !isV(w.charAt(i))) i += 1
+      if (i < w.length) i + 1 else w.length
+    }
+    val r1 = {
+      var i = 0
+      while (i < w.length && !isV(w.charAt(i))) i += 1
+      while (i < w.length && isV(w.charAt(i))) i += 1
+      if (i < w.length) i + 1 else w.length
+    }
+    val r2 = {
+      var i = r1
+      while (i < w.length && !isV(w.charAt(i))) i += 1
+      while (i < w.length && isV(w.charAt(i))) i += 1
+      if (i < w.length) i + 1 else w.length
+    }
+    def inRV(l: Int): Boolean = w.length - l >= rvStart
+    def inR1(l: Int): Boolean = w.length - l >= r1
+    def inR2(l: Int): Boolean = w.length - l >= r2
+
+    var changed = false
+    var foundMent = false
+
+    // ---- step 1: standard suffix removal (longest match)
+    def step1(): Unit = {
+      val sufs = Seq(
+        "issements", "issement", "atrices", "atrice", "ateurs", "ations",
+        "logies", "usions", "utions", "ements", "amment", "emment",
+        "ments", "ances", "iqUes", "ismes", "ables", "istes", "ateur",
+        "ation", "logie", "usion", "ution", "ences", "ement", "euses",
+        "ance", "iqUe", "isme", "able", "iste", "ence", "ités", "ives",
+        "eaux", "euse", "ment", "eux", "ité", "ive", "ifs", "aux", "if")
+      val suf = sufs.find(w.endsWith)
+      suf match {
+        case None => ()
+        case Some(s) => s match {
+          case "ance" | "iqUe" | "isme" | "able" | "iste" | "eux" |
+              "ances" | "iqUes" | "ismes" | "ables" | "istes" =>
+            if (inR2(s.length)) { w = w.dropRight(s.length); changed = true }
+          case "atrice" | "ateur" | "ation" | "atrices" | "ateurs" | "ations" =>
+            if (inR2(s.length)) {
+              w = w.dropRight(s.length); changed = true
+              if (w.endsWith("ic")) {
+                if (inR2(2)) w = w.dropRight(2)
+                else w = w.dropRight(2) + "iqU"
+              }
+            }
+          case "logie" | "logies" =>
+            if (inR2(s.length)) {
+              w = w.dropRight(s.length) + "log"; changed = true
+            }
+          case "usion" | "ution" | "usions" | "utions" =>
+            if (inR2(s.length)) {
+              w = w.dropRight(s.length) + "u"; changed = true
+            }
+          case "ence" | "ences" =>
+            if (inR2(s.length)) {
+              w = w.dropRight(s.length) + "ent"; changed = true
+            }
+          case "ement" | "ements" =>
+            if (inRV(s.length)) { w = w.dropRight(s.length); changed = true }
+            if (changed) {
+              if (w.endsWith("iv") && inR2(2)) {
+                w = w.dropRight(2)
+                if (w.endsWith("at") && inR2(4)) w = w.dropRight(2)
+              } else if (w.endsWith("eus")) {
+                if (inR2(3)) w = w.dropRight(3)
+                else if (inR1(3)) w = w.dropRight(3) + "eux"
+              } else if (w.endsWith("abl") && inR2(3))
+                w = w.dropRight(3)
+              else if (w.endsWith("iqU") && inR2(3))
+                w = w.dropRight(3)
+              else if (w.endsWith("ièr") && inRV(3))
+                w = w.dropRight(3) + "i"
+              else if (w.endsWith("Ièr") && inRV(3))
+                w = w.dropRight(3) + "i"
+            }
+          case "ité" | "ités" =>
+            if (inR2(s.length)) {
+              w = w.dropRight(s.length); changed = true
+              if (w.endsWith("abil")) {
+                if (inR2(4)) w = w.dropRight(4)
+                else w = w.dropRight(4) + "abl"
+              } else if (w.endsWith("ic")) {
+                if (inR2(2)) w = w.dropRight(2)
+                else w = w.dropRight(2) + "iqU"
+              } else if (w.endsWith("iv") && inR2(2))
+                w = w.dropRight(2)
+            }
+          case "if" | "ive" | "ifs" | "ives" =>
+            if (inR2(s.length)) {
+              w = w.dropRight(s.length); changed = true
+              if (w.endsWith("at") && inR2(2)) {
+                w = w.dropRight(2)
+                if (w.endsWith("ic")) {
+                  if (inR2(4)) w = w.dropRight(2)
+                  else w = w.dropRight(2) + "iqU"
+                }
+              }
+            }
+          case "eaux" => w = w.dropRight(1); changed = true
+          case "aux" =>
+            if (inR1(3)) { w = w.dropRight(2) + "l"; changed = true }
+          case "euse" | "euses" =>
+            if (inR2(s.length)) { w = w.dropRight(s.length); changed = true }
+            else if (inR1(s.length)) {
+              w = w.dropRight(s.length) + "eux"; changed = true
+            }
+          case "issement" | "issements" =>
+            if (inR1(s.length) && w.length > s.length &&
+                !isV(w.charAt(w.length - s.length - 1))) {
+              w = w.dropRight(s.length); changed = true
+            }
+          case "amment" =>
+            if (inRV(6)) { w = w.dropRight(6) + "ant"; foundMent = true }
+          case "emment" =>
+            if (inRV(6)) { w = w.dropRight(6) + "ent"; foundMent = true }
+          case "ment" | "ments" =>
+            val l = s.length
+            if (inRV(l) && w.length > l && isV(w.charAt(w.length - l - 1)) &&
+                w.length - l - 1 >= rvStart) {
+              w = w.dropRight(l); foundMent = true
+            }
+          case _ => ()
+        }
+      }
+    }
+    step1()
+
+    // ---- steps 2a / 2b
+    var changed2 = false
+    if (!changed || foundMent) {
+      // step 2a: verb suffixes beginning i, preceded by a non-vowel, in RV
+      val i2a = Seq("issaIent", "issantes", "iraIent", "issante", "issants",
+        "issions", "irions", "issais", "issait", "issant", "issent",
+        "issiez", "issons", "irais", "irait", "irent", "iriez", "irons",
+        "iront", "isses", "issez", "îmes", "îtes", "irai", "iras", "irez",
+        "isse", "ies", "ira", "ît", "ie", "ir", "is", "it", "i")
+      val m = i2a.find(s => w.endsWith(s) && inRV(s.length) &&
+        w.length - s.length - 1 >= rvStart &&
+        !isV(w.charAt(w.length - s.length - 1)) &&
+        w.charAt(w.length - s.length - 1) != 'H')
+      m match {
+        case Some(s) => w = w.dropRight(s.length); changed2 = true
+        case None =>
+          // step 2b
+          val b1 = Seq("eraIent", "erions", "èrent", "erais", "erait",
+            "eriez", "erons", "eront", "erai", "eras", "erez", "ées", "era",
+            "iez", "ée", "és", "er", "ez", "é")
+          val b2 = Seq("assions", "assiez", "assent", "antes", "aIent",
+            "asses", "âmes", "âtes", "ante", "ants", "asse", "ais", "ait",
+            "ant", "ât", "ai", "as", "a")
+          val all = (b1.map(_ -> 1) ++ b2.map(_ -> 2) ++ Seq("ions" -> 0))
+            .sortBy(-_._1.length)
+          val hit = all.find { case (s, _) => w.endsWith(s) && inRV(s.length) }
+          hit match {
+            case Some(("ions", _)) =>
+              if (inR2(4)) { w = w.dropRight(4); changed2 = true }
+            case Some((s, 1)) => w = w.dropRight(s.length); changed2 = true
+            case Some((s, 2)) =>
+              w = w.dropRight(s.length); changed2 = true
+              if (w.endsWith("e") && inRV(1)) w = w.dropRight(1)
+            case _ => ()
+          }
+      }
+    }
+
+    if (changed || changed2 || foundMent) {
+      // step 3
+      if (w.endsWith("Y")) w = w.dropRight(1) + "i"
+      else if (w.endsWith("ç")) w = w.dropRight(1) + "c"
+    } else {
+      // step 4
+      if (w.endsWith("s") && w.length >= 2 &&
+          !"aiouès".contains(w.charAt(w.length - 2)) &&
+          !(w.length >= 3 && w.charAt(w.length - 2) == 'i' &&
+            w.charAt(w.length - 3) == 'H'))
+        w = w.dropRight(1)
+      if (w.endsWith("ion") && inR2(3) && w.length > 3 &&
+          "st".contains(w.charAt(w.length - 4)))
+        w = w.dropRight(3)
+      else {
+        val hit = Seq("ière", "Ière", "ier", "Ier").find(s =>
+          w.endsWith(s) && inRV(s.length))
+        hit match {
+          case Some(s) => w = w.dropRight(s.length) + "i"
+          case None =>
+            if (w.endsWith("e") && inRV(1)) w = w.dropRight(1)
+            else if (w.endsWith("ë") && inRV(1) && w.length >= 3 &&
+                w.substring(w.length - 3, w.length - 1) == "gu")
+              w = w.dropRight(1)
+        }
+      }
+    }
+
+    // step 5: undouble
+    for (suf <- Seq("enn", "onn", "ett", "ell", "eill")) {
+      if (w.endsWith(suf)) w = w.dropRight(1)
+    }
+    // step 6: un-accent a final closed syllable
+    {
+      var i = w.length - 1
+      while (i >= 0 && !isV(w.charAt(i))) i -= 1
+      if (i >= 0 && i < w.length - 1 &&
+          (w.charAt(i) == 'é' || w.charAt(i) == 'è'))
+        w = w.substring(0, i) + "e" + w.substring(i + 1)
+    }
+    w.toLowerCase
+  }
+}

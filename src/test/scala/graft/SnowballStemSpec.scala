@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.SnowballStem.{english, french, russian, stem}
+
+/** Pinned to the reference's own `01890_stem` golden (en/ru/fr), plus
+  * published Porter2 sample pairs for the English edge steps.
+  */
+class SnowballStemSpec extends AnyFunSuite {
+
+  test("01890 golden: English") {
+    val golden = Seq(
+      "given" -> "given", "combinatorial" -> "combinatori",
+      "collection" -> "collect", "possibility" -> "possibl",
+      "studied" -> "studi", "commonplace" -> "commonplac",
+      "packing" -> "pack")
+    for ((in, out) <- golden) assert(english(in) === out, s"stem('en', '$in')")
+  }
+
+  test("01890 golden: Russian") {
+    val golden = Seq(
+      "комбинаторной" -> "комбинаторн", "получила" -> "получ",
+      "ограничена" -> "огранич", "конечной" -> "конечн",
+      "максимальной" -> "максимальн", "суммарный" -> "суммарн",
+      "стоимостью" -> "стоимост")
+    for ((in, out) <- golden) assert(russian(in) === out, s"stem('ru', '$in')")
+  }
+
+  test("01890 golden: French") {
+    val golden = Seq(
+      "remplissage" -> "remplissag", "valeur" -> "valeur",
+      "maximiser" -> "maximis", "dépasser" -> "dépass",
+      "intensivement" -> "intens", "étudié" -> "étudi",
+      "peuvent" -> "peuvent")
+    for ((in, out) <- golden) assert(french(in) === out, s"stem('fr', '$in')")
+  }
+
+  test("Porter2 sample pairs (published vocabulary)") {
+    val pairs = Seq(
+      "running" -> "run", "conditional" -> "condit", "relational" -> "relat",
+      "happiness" -> "happi", "valley" -> "valley", "sky" -> "sky",
+      "dying" -> "die", "agreed" -> "agre", "hopeful" -> "hope",
+      "ties" -> "tie", "cries" -> "cri", "gas" -> "gas", "this" -> "this")
+    for ((in, out) <- pairs) assert(english(in) === out, s"stem('en', '$in')")
+  }
+
+  test("unsupported language is identity") {
+    assert(stem("xx", "word") === "word")
+  }
+}
