@@ -159,10 +159,16 @@ object ChTypes {
     }
     parts += ddl.substring(start)
     parts.result().map(_.trim).filter(_.nonEmpty).foreach { col =>
-      val sp = col.indexWhere(_.isWhitespace)
-      require(sp > 0, s"malformed structure column: '$col'")
-      val name = col.substring(0, sp)
-      val tpe = col.substring(sp + 1).trim
+      val (name, tpe) =
+        if (col.startsWith("`")) {
+          val close = col.indexOf('`', 1)
+          require(close > 0, s"malformed structure column: '$col'")
+          (col.substring(1, close), col.substring(close + 1).trim)
+        } else {
+          val sp = col.indexWhere(_.isWhitespace)
+          require(sp > 0, s"malformed structure column: '$col'")
+          (col.substring(0, sp), col.substring(sp + 1).trim)
+        }
       val (dt, nullable) = toSpark(tpe)
       out += StructField(name, dt, nullable,
         new MetadataBuilder().putString(MetaKey, tpe).build())

@@ -470,6 +470,13 @@ object InputFormats {
         }
         toDf(spark, rows, schema)
 
+      case "template" | "templateignorespaces" =>
+        TemplateFormat.parse(spark, data,
+          declared.getOrElse(throw new IllegalArgumentException(
+            "Template needs structure")),
+          settings, settings.templateResultset, settings.templateRow,
+          ignoreSpaces = f == "templateignorespaces")
+
       case "rowbinary" =>
         RowBinaryFormat.read(spark, data.getBytes("ISO-8859-1"), declared,
           withNames = false, withTypes = false)

@@ -31,6 +31,8 @@ object OutputFormats {
   case class Settings(
       blockSize: Int = 8192,
       prettyMaxRows: Int = 10000,
+      prettyMaxValueWidth: Int = 10000,
+      prettyMaxColumnPadWidth: Int = 250,
       prettyAscii: Boolean = false,
       prettyRowNumbers: Boolean = false,
       prettyColor: Boolean = true,
@@ -47,7 +49,9 @@ object OutputFormats {
       customRowAfterDelimiter: String = "\n",
       customRowBetweenDelimiter: String = "",
       customResultBeforeDelimiter: String = "",
-      customResultAfterDelimiter: String = "")
+      customResultAfterDelimiter: String = "",
+      templateResultset: String = "",
+      templateRow: String = "")
 
   private case class Col(name: String, dt: DataType, ch: String, idx: Int)
 
@@ -313,6 +317,8 @@ object OutputFormats {
         }
         sb.toString
       case p if p.startsWith("pretty") => PrettyFormat.write(df, format, s)
+      case "template" =>
+        TemplateFormat.write(df, s, s.templateResultset, s.templateRow)
       case "null" => ""
       case _ if isRowFormat(f) =>
         val render = rowRenderer(schema, format, s)

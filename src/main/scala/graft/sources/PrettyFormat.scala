@@ -80,28 +80,44 @@ object PrettyFormat {
     val fields = schema.fields
     val n = fields.length
 
-    val cells: Array[Array[String]] = rows.map { r =>
+    val bold = if (color) "\u001b[1m" else ""
+    val reset = if (color) "\u001b[0m" else ""
+    // max_value_width truncation: keep the first maxValueWidth code
+    // points, append a red-bold ellipsis, and drop the trailing cell
+    // space (ref PrettyBlockOutputFormat::writeValueWithPadding).
+    val ellipsis = {
+      val glyph = if (ascii) "~" else "\u22ef"
+      if (color) "\u001b[31;1m" + glyph + "\u001b[0m" else glyph
+    }
+    // cell text, its display width, and whether it was truncated
+    val cells: Array[Array[(String, Int, Boolean)]] = rows.map { r =>
       fields.zipWithIndex.map { case (fld, i) =>
-        if (r.isNullAt(i)) nullText else plainText(r.get(i), fld.dataType)
+        val t = if (r.isNullAt(i)) nullText else plainText(r.get(i), fld.dataType)
+        val wd = width(t)
+        if (wd > s.prettyMaxValueWidth) {
+          val cut = t.substring(0,
+            t.offsetByCodePoints(0, s.prettyMaxValueWidth))
+          (cut + ellipsis, s.prettyMaxValueWidth, true)
+        } else (t, wd, false)
       }
     }
-    val nameW = fields.map(f => width(f.name))
+    val nameW = fields.map(f => math.min(s.prettyMaxColumnPadWidth, width(f.name)))
     val widths = Array.tabulate(n) { i =>
-      val vw = if (cells.isEmpty) 0 else cells.map(c => width(c(i))).max
+      val vw = if (cells.isEmpty) 0
+        else cells.map(c => math.min(s.prettyMaxColumnPadWidth, c(i)._2)).max
       math.max(nameW(i), vw)
     }
     val right = fields.map(f => alignRight(f.dataType))
-
-    val bold = if (color) "[1m" else ""
-    val reset = if (color) "[0m" else ""
     def blank(): Unit = if (s.prettyRowNumbers) sb.append(" " * RowNumberWidth)
     def rowNum(i: Int): Unit = if (s.prettyRowNumbers) {
       val t = s"${rowOffset + i + 1}. "
       sb.append(" " * math.max(0, RowNumberWidth - t.length)).append(t)
     }
-    def pad(v: String, w: Int, alignR: Boolean): String = {
-      val p = " " * math.max(0, w - width(v))
-      if (alignR) p + v else v + p
+    def cell(c: Array[(String, Int, Boolean)], i: Int): String = {
+      val (t, wd, trunc) = c(i)
+      val p = " " * math.max(0, widths(i) - wd)
+      val body = if (right(i)) p + t else t + p
+      " " + body + (if (trunc) "" else " ")
     }
     def sep(l: String, d: String, m: String, r: String): String =
       widths.map(w => d * (w + 2)).mkString(l, m, r) + "\n"
@@ -133,7 +149,7 @@ object PrettyFormat {
           sb.append(bar)
           (0 until n).foreach { i =>
             if (i != 0) sb.append(bar)
-            sb.append(" ").append(pad(c(i), widths(i), right(i))).append(" ")
+            sb.append(cell(c, i))
           }
           sb.append(bar).append("\n")
         }
@@ -158,7 +174,7 @@ object PrettyFormat {
           sb.append(bar)
           (0 until n).foreach { i =>
             if (i != 0) sb.append(bar)
-            sb.append(" ").append(pad(c(i), widths(i), right(i))).append(" ")
+            sb.append(cell(c, i))
           }
           sb.append(bar).append("\n")
         }
@@ -178,7 +194,7 @@ object PrettyFormat {
           rowNum(ri)
           (0 until n).foreach { i =>
             if (i != 0) sb.append(" ")
-            sb.append(" ").append(pad(c(i), widths(i), right(i))).append(" ")
+            sb.append(cell(c, i))
           }
           sb.append("\n")
         }

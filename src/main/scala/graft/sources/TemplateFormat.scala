@@ -1,0 +1,326 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import FormatCodec._
+
+/** The Template / TemplateIgnoreSpaces formats (ref
+  * `src/Processors/Formats/Impl/TemplateBlockOutputFormat.cpp` /
+  * `TemplateRowInputFormat.cpp`): user-supplied resultset and row
+  * templates with `${column:EscapingRule}` placeholders, `$$` for a
+  * literal dollar, and a configurable between-rows delimiter.
+  *
+  * Output supports the resultset placeholders `data`, `totals`, `min`,
+  * `max`, `rows`, `rows_before_limit`, `rows_read`; row placeholders
+  * reference columns by name, `backquoted`/"quoted" name, or position
+  * index, with rules None/Escaped/Quoted/CSV/JSON/XML/Raw. Input
+  * re-parses the same shapes; per-rule field scanners are
+  * delimiter-safe (a quoted CSV/Quoted/JSON value may contain the
+  * literal delimiter that follows it). Pinned to the reference's own
+  * `00937_template_output_format` / `00938_template_input_format`
+  * goldens in TemplateFormatSpec.
+  */
+object TemplateFormat {
+
+  /** literal text followed by an optional placeholder (name, rule). */
+  case class Piece(literal: String, name: Option[String], rule: String)
+
+  /** Parse a template into pieces; the final piece has no placeholder. */
+  def parseTemplate(t: String): Seq[Piece] = {
+    val out = Seq.newBuilder[Piece]
+    val lit = new StringBuilder
+    var i = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (c == '$' && i + 1 < t.length && t.charAt(i + 1) == '$') {
+        lit.append('$'); i += 2
+      } else if (c == '$' && i + 1 < t.length && t.charAt(i + 1) == '{') {
+        val end = t.indexOf('}', i + 2)
+        require(end > 0, s"unterminated placeholder in template: $t")
+        val body = t.substring(i + 2, end)
+        val colon = {
+          // a quoted name may contain ':'
+          if (body.startsWith("`")) body.indexOf(':', body.indexOf('`', 1) + 1)
+          else if (body.startsWith("\"")) body.indexOf(':', body.indexOf('"', 1) + 1)
+          else body.lastIndexOf(':')
+        }
+        val (rawName, rule) =
+          if (colon >= 0) (body.substring(0, colon), body.substring(colon + 1))
+          else (body, "Escaped")
+        val name = rawName.trim match {
+          case n if n.startsWith("`") && n.endsWith("`") && n.length >= 2 =>
+            n.substring(1, n.length - 1)
+          case n if n.startsWith("\"") && n.endsWith("\"") && n.length >= 2 =>
+            n.substring(1, n.length - 1)
+          case n => n
+        }
+        out += Piece(lit.toString, Some(name),
+          if (rule.trim.isEmpty) "None" else rule.trim)
+        lit.clear()
+        i = end + 1
+      } else { lit.append(c); i += 1 }
+    }
+    out += Piece(lit.toString, None, "")
+    out.result()
+  }
+
+  // ------------------------------------------------------------------ write
+
+  private def renderValue(v: Any, dt: DataType, ch: String, rule: String): String =
+    rule match {
+      case "Escaped" => escapedText(v, dt)
+      case "Quoted" => quotedText(v, dt)
+      case "CSV" => csvText(v, dt)
+      case "JSON" => jsonText(v, dt, ch, quote64 = true)
+      case "XML" => xmlText(v, dt)
+      case _ => rawText(v, dt) // None / Raw
+    }
+
+  def renderRow(schema: StructType, template: Seq[Piece]): Row => String = {
+    val fields = schema.fields
+    val chNames = fields.map(ChTypes.chName)
+    r => template.map { p =>
+      p.name match {
+        case None => p.literal
+        case Some(n) =>
+          val idx =
+            if (n.forall(_.isDigit) && n.nonEmpty) n.toInt
+            else schema.fieldIndex(n)
+          p.literal + renderValue(r.get(idx), fields(idx).dataType,
+            chNames(idx), p.rule)
+      }
+    }.mkString
+  }
+
+  /** Render the full resultset. `totals`/`min`/`max` feed the matching
+    * placeholders (the reference fills them from WITH TOTALS /
+    * extremes).
+    */
+  def write(
+      df: DataFrame,
+      s: OutputFormats.Settings,
+      resultsetTemplate: String,
+      rowTemplate: String,
+      totals: Option[Row] = None,
+      minRow: Option[Row] = None,
+      maxRow: Option[Row] = None,
+      rowsBeforeLimit: Option[Long] = None,
+      rowsRead: Option[Long] = None): String = {
+    val rows = df.collect()
+    val rowFn = renderRow(df.schema, parseTemplate(rowTemplate))
+    val data = rows.map(rowFn).mkString(s.customRowBetweenDelimiter match {
+      case "" => "\n"
+      case d => d
+    })
+    parseTemplate(resultsetTemplate).map { p =>
+      p.name match {
+        case None => p.literal
+        case Some("data") => p.literal + data
+        case Some("totals") => p.literal + totals.map(rowFn).getOrElse("")
+        case Some("min") => p.literal + minRow.map(rowFn).getOrElse("")
+        case Some("max") => p.literal + maxRow.map(rowFn).getOrElse("")
+        case Some("rows") => p.literal + rows.length.toString
+        case Some("rows_before_limit") =>
+          p.literal + rowsBeforeLimit.getOrElse(rows.length.toLong).toString
+        case Some("rows_read") =>
+          p.literal + rowsRead.getOrElse(rows.length.toLong).toString
+        case Some(other) =>
+          throw new IllegalArgumentException(
+            s"Template: unknown resultset placeholder $$${other}")
+      }
+    }.mkString
+  }
+
+  // ------------------------------------------------------------------- read
+
+  /** Scan one field starting at `pos` under `rule`; the value may
+    * contain the literal delimiter that follows (quoted CSV/Quoted/JSON
+    * values), so quote-aware scanners run first and only the Escaped/
+    * Raw/None rules fall back to delimiter search.
+    */
+  private def scanField(s: String, pos: Int, rule: String, delim: String): Int =
+    rule match {
+      case "Quoted" if pos < s.length && s.charAt(pos) == '\'' =>
+        var i = pos + 1
+        while (i < s.length && s.charAt(i) != '\'') {
+          if (s.charAt(i) == '\\') i += 1
+          i += 1
+        }
+        i + 1
+      case "CSV" if pos < s.length && s.charAt(pos) == '"' =>
+        var i = pos + 1
+        var done = false
+        while (i < s.length && !done) {
+          if (s.charAt(i) == '"') {
+            if (i + 1 < s.length && s.charAt(i + 1) == '"') i += 1
+            else done = true
+          }
+          i += 1
+        }
+        i
+      case "JSON" =>
+        val c = if (pos < s.length) s.charAt(pos) else ' '
+        if (c == '"') {
+          var i = pos + 1
+          while (i < s.length && s.charAt(i) != '"') {
+            if (s.charAt(i) == '\\') i += 1
+            i += 1
+          }
+          i + 1
+        } else if (c == '[' || c == '{') {
+          var depth = 0; var i = pos; var q = false
+          var done = false
+          while (i < s.length && !done) {
+            val ci = s.charAt(i)
+            if (q) { if (ci == '\\') i += 1 else if (ci == '"') q = false }
+            else if (ci == '"') q = true
+            else if (ci == '[' || ci == '{') depth += 1
+            else if (ci == ']' || ci == '}') { depth -= 1; if (depth == 0) done = true }
+            i += 1
+          }
+          i
+        } else {
+          var i = pos
+          while (i < s.length && "+-0123456789.eEnulltrufalse".indexOf(s.charAt(i)) >= 0) i += 1
+          i
+        }
+      case _ =>
+        // Escaped / Raw / None / unquoted Quoted/CSV: up to the delimiter
+        val at = if (delim.isEmpty) s.length else s.indexOf(delim, pos)
+        if (at < 0) s.length else at
+    }
+
+  private def parseValue(raw: String, fld: StructField, rule: String): Any =
+    rule match {
+      case "Quoted" => InputFormats.parseLiteral(raw, fld.dataType)
+      case "CSV" => InputFormats.parseField(raw, fld.dataType, "CSV")
+      case "JSON" =>
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(raw)
+        if (node == null || node.isNull) null
+        else fld.dataType match {
+          case StringType => if (node.isTextual) node.asText else node.toString
+          case dt => parseScalar(node.asText, dt)
+        }
+      case "Raw" | "None" => InputFormats.parseField(raw, fld.dataType, "Raw")
+      case _ => InputFormats.parseField(raw, fld.dataType, "Escaped")
+    }
+
+  /** Parse Template input. `ignoreSpaces` = the TemplateIgnoreSpaces
+    * variant: whitespace around literals/placeholders is skipped.
+    */
+  def parse(
+      spark: SparkSession,
+      data: String,
+      structure: StructType,
+      s: OutputFormats.Settings,
+      resultsetTemplate: String,
+      rowTemplate: String,
+      ignoreSpaces: Boolean = false): DataFrame = {
+    val rs = parseTemplate(resultsetTemplate)
+    val dataIdx = rs.indexWhere(_.name.contains("data"))
+    require(dataIdx >= 0, "Template input needs a ${data} placeholder")
+    // region before/after ${data}: match leading literals lazily, trailing
+    // literals from the end (non-data placeholders are wildcards)
+    var start = 0
+    for (p <- rs.take(dataIdx + 1)) {
+      val lit = if (ignoreSpaces) p.literal.trim else p.literal
+      if (lit.nonEmpty) {
+        val at = data.indexOf(lit, start)
+        require(at >= 0, s"Template: prefix literal not found: '$lit'")
+        start = at + lit.length
+      }
+    }
+    var end = data.length
+    for (p <- rs.drop(dataIdx).reverse) {
+      val lit = if (ignoreSpaces) p.literal.trim else p.literal
+      val isDataPiece = p.name.contains("data")
+      val effective = if (isDataPiece) "" else lit
+      if (effective.nonEmpty) {
+        val at = data.lastIndexOf(effective, end - 1)
+        require(at >= start, s"Template: suffix literal not found: '$effective'")
+        end = at
+      }
+    }
+    var body = data.substring(start, end)
+    if (ignoreSpaces) body = body.trim
+
+    val between = s.customRowBetweenDelimiter match {
+      case "" => "\n"
+      case d => d
+    }
+    val rowPieces = parseTemplate(rowTemplate)
+
+    // rows parse SEQUENTIALLY (a row's quoted values may contain the
+    // between-delimiter — the reference's TemplateRowInputFormat also
+    // advances by template matching, never by splitting)
+    def skipWs(raw: String, p0: Int): Int = {
+      var p = p0
+      if (ignoreSpaces) while (p < raw.length && raw.charAt(p).isWhitespace) p += 1
+      p
+    }
+    def parseRow(raw: String, startPos: Int): (Row, Int) = {
+      val values = new Array[Any](structure.fields.length)
+      var pos = startPos
+      for ((p, pi) <- rowPieces.zipWithIndex) {
+        val lit = if (ignoreSpaces) p.literal.trim else p.literal
+        if (lit.nonEmpty) {
+          pos = skipWs(raw, pos)
+          require(raw.startsWith(lit, pos),
+            s"Template: row literal mismatch at $pos: expected '$lit'")
+          pos += lit.length
+        }
+        p.name match {
+          case None => ()
+          case Some(n) if n.isEmpty && p.rule == "None" =>
+            // bare ${} / ${:}: consumes nothing (whitespace handled by
+            // skipWs under IgnoreSpaces)
+            ()
+          case Some(n) =>
+            pos = skipWs(raw, pos)
+            // stop delimiter: the first NON-empty literal among the
+            // remaining pieces (adjacent placeholders have empty
+            // literals), else the between-rows delimiter
+            val nextLit0 = rowPieces.drop(pi + 1).map(_.literal)
+              .map(l => if (ignoreSpaces) l.trim else l)
+              .find(_.nonEmpty).getOrElse("")
+            val stopDelim = if (nextLit0.nonEmpty) nextLit0 else between
+            val stop = scanField(raw, pos, p.rule, stopDelim)
+            val token = raw.substring(pos, stop)
+            pos = stop
+            if (n.nonEmpty) {
+              val idx =
+                if (n.forall(_.isDigit)) n.toInt else structure.fieldIndex(n)
+              val fld = structure.fields(idx)
+              val v = parseValue(token, fld, p.rule)
+              values(idx) =
+                if (v == null && !fld.nullable) defaultValue(fld.dataType) else v
+            }
+        }
+      }
+      for (i <- structure.fields.indices if values(i) == null &&
+          !structure.fields(i).nullable)
+        values(i) = defaultValue(structure.fields(i).dataType)
+      (Row.fromSeq(values.toSeq), pos)
+    }
+
+    val rows = Seq.newBuilder[Row]
+    var pos = skipWs(body, 0)
+    while (pos < body.length) {
+      val (row, after) = parseRow(body, pos)
+      rows += row
+      var p = skipWs(body, after)
+      if (p < body.length) {
+        if (body.startsWith(between, p)) p += between.length
+        else if (!ignoreSpaces && between.startsWith(body.substring(p)))
+          p = body.length // trailing partial delimiter at end of body
+        else require(skipWs(body, p) >= body.length,
+          s"Template: expected row delimiter at $p")
+      }
+      pos = skipWs(body, p)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows.result()).asJava), structure)
+  }
+}

@@ -133,6 +133,28 @@ class PrettyFormatsSpec extends SparkSpec {
     assert(out.endsWith("       └────────┘\n"))
   }
 
+  test("01293: pretty_max_value_width truncation with red ellipsis") {
+    val schema = StructType(Seq(
+      chField("x", StringType, "String"), chField("y", StringType, "String")))
+    val d = df(schema, Row("\u043f\u0440\u0438\u0432\u0435\u0442", "\u043c\u0438\u0440"))
+    val red = "\u001b[31;1m\u22ef\u001b[0m"
+    // golden: column width = min(max_value_width, value width); truncated
+    // cells keep no trailing space before the bar
+    assert(OutputFormats.write(d, "Pretty", S(prettyMaxValueWidth = 5)) ===
+      "\u250f\u2501\u2501\u2501\u2501\u2501\u2501\u2501\u2533\u2501\u2501\u2501\u2501\u2501\u2513\n" +
+        s"\u2503 ${b("x    ")} \u2503 ${b("y  ")} \u2503\n" +
+        "\u2521\u2501\u2501\u2501\u2501\u2501\u2501\u2501\u2547\u2501\u2501\u2501\u2501\u2501\u2529\n" +
+        s"\u2502 \u043f\u0440\u0438\u0432\u0435$red\u2502 \u043c\u0438\u0440 \u2502\n" +
+        "\u2514\u2500\u2500\u2500\u2500\u2500\u2500\u2500\u2534\u2500\u2500\u2500\u2500\u2500\u2518\n")
+    assert(OutputFormats.write(d, "PrettyCompact", S(prettyMaxValueWidth = 5)) ===
+      s"\u250c\u2500${b("x")}\u2500\u2500\u2500\u2500\u2500\u252c\u2500${b("y")}\u2500\u2500\u2500\u2510\n" +
+        s"\u2502 \u043f\u0440\u0438\u0432\u0435$red\u2502 \u043c\u0438\u0440 \u2502\n" +
+        "\u2514\u2500\u2500\u2500\u2500\u2500\u2500\u2500\u2534\u2500\u2500\u2500\u2500\u2500\u2518\n")
+    assert(OutputFormats.write(d, "PrettySpace", S(prettyMaxValueWidth = 5)) ===
+      s" ${b("x")}       ${b("y")}  \n\n" +
+        s" \u043f\u0440\u0438\u0432\u0435$red  \u043c\u0438\u0440 \n")
+  }
+
   // ---- SQLInsert (02322) --------------------------------------------------
 
   private lazy val xyz: DataFrame = {

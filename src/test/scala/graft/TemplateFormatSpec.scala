@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+import graft.sources.{ChTypes, InputFormats, OutputFormats, TemplateFormat}
+import graft.sources.OutputFormats.{Settings => S}
+
+/** Template / TemplateIgnoreSpaces parity, pinned to the reference's own
+  * `00937_template_output_format` and `00938_template_input_format`
+  * goldens (same table, same templates, same between-delimiter).
+  */
+class TemplateFormatSpec extends SparkSpec {
+
+  private def chField(name: String, dt: DataType, ch: String): StructField =
+    StructField(name, dt, nullable = false,
+      new MetadataBuilder().putString(ChTypes.MetaKey, ch).build())
+
+  private val schema = StructType(Seq(
+    chField("s1", StringType, "String"), chField("s2", StringType, "String"),
+    chField("s 3", StringType, "String"), chField("s 4", StringType, "String"),
+    chField("n", LongType, "UInt64"), chField("d", DateType, "Date")))
+
+  private def day(s: String) = java.sql.Date.valueOf(s)
+
+  private lazy val data: DataFrame = spark.createDataFrame(
+    java.util.Arrays.asList(
+      Row("qwe,rty", "as\"df'gh", "", "zx\ncv\tbn m", 123L, day("2016-01-01")),
+      Row("as\"df'gh", "", "zx\ncv\tbn m", "qwe,rty", 456L, day("2016-01-02")),
+      Row("zx\ncv\tbn m", "qwe,rty", "as\"df'gh", "", 789L, day("2016-01-04")),
+      Row("", "zx\ncv\tbn m", "qwe,rty", "as\"df'gh", 9876543210L,
+        day("2016-01-03"))),
+    schema)
+
+  private val rowTemplate =
+    "n:\t${n:JSON}, s1:\t${0:Escaped}, s2:\t${s2:Quoted}, s3:\t${`s 3`:JSON}, " +
+      "s4:\t${\"s 4\":CSV}, d:\t${d:Escaped}, n:\t${n:Raw}\t"
+  private val resultsetTemplate =
+    "{prefix} \n${data:None}\n------\n${totals:}\n------\n${min}\n------\n" +
+      "${max}\n${rows:Escaped} rows\nbefore limit ${rows_before_limit:XML}\n" +
+      "read ${rows_read:Escaped} $$ suffix $$"
+
+  test("00937: Template output with totals/extremes placeholders") {
+    val out = TemplateFormat.write(
+      data.orderBy("n"),
+      S(customRowBetweenDelimiter = ";\n"),
+      resultsetTemplate, rowTemplate,
+      totals = Some(Row("", "", "", "", 0L, day("1970-01-01"))),
+      minRow = Some(Row("", "", "", "", 123L, day("2016-01-01"))),
+      maxRow = Some(Row("zx\ncv\tbn m", "zx\ncv\tbn m", "zx\ncv\tbn m",
+        "zx\ncv\tbn m", 9876543210L, day("2016-01-04"))),
+      rowsBeforeLimit = Some(4), rowsRead = Some(4))
+    val expected =
+      "{prefix} \n" +
+        "n:\t\"123\", s1:\tqwe,rty, s2:\t'as\"df\\'gh', s3:\t\"\", s4:\t\"zx\ncv\tbn m\", d:\t2016-01-01, n:\t123\t;\n" +
+        "n:\t\"456\", s1:\tas\"df\\'gh, s2:\t'', s3:\t\"zx\\ncv\\tbn m\", s4:\t\"qwe,rty\", d:\t2016-01-02, n:\t456\t;\n" +
+        "n:\t\"789\", s1:\tzx\\ncv\\tbn m, s2:\t'qwe,rty', s3:\t\"as\\\"df'gh\", s4:\t\"\", d:\t2016-01-04, n:\t789\t;\n" +
+        "n:\t\"9876543210\", s1:\t, s2:\t'zx\\ncv\\tbn m', s3:\t\"qwe,rty\", s4:\t\"as\"\"df'gh\", d:\t2016-01-03, n:\t9876543210\t\n" +
+        "------\n" +
+        "n:\t\"0\", s1:\t, s2:\t'', s3:\t\"\", s4:\t\"\", d:\t1970-01-01, n:\t0\t\n" +
+        "------\n" +
+        "n:\t\"123\", s1:\t, s2:\t'', s3:\t\"\", s4:\t\"\", d:\t2016-01-01, n:\t123\t\n" +
+        "------\n" +
+        "n:\t\"9876543210\", s1:\tzx\\ncv\\tbn m, s2:\t'zx\\ncv\\tbn m', s3:\t\"zx\\ncv\\tbn m\", s4:\t\"zx\ncv\tbn m\", d:\t2016-01-04, n:\t9876543210\t\n" +
+        "4 rows\n" +
+        "before limit 4\n" +
+        "read 4 $ suffix $"
+    assert(out === expected)
+  }
+
+  test("00938: Template input round-trips the escaping golden") {
+    val inputRow =
+      "n:\t${n:Escaped}, s1:\t${0:Escaped}\t, s2:\t${1:Quoted}, " +
+        "s3:\t${s 3:JSON}, s4:\t${3:CSV}, d:\t${d:Escaped}\t"
+    val inputResultset = "{prefix} \n${data}\n $$ suffix $$\n"
+    val payload =
+      "{prefix} \n" +
+        "n:\t123, s1:\tqwe,rty\t, s2:\t'as\"df\\'gh', s3:\t\"\", s4:\t\"zx\ncv\tbn m\", d:\t2016-01-01\t;\n" +
+        "n:\t456, s1:\tas\"df\\'gh\t, s2:\t'', s3:\t\"zx\\ncv\\tbn m\", s4:\t\"qwe,rty\", d:\t2016-01-02\t;\n" +
+        "n:\t9876543210, s1:\t\t, s2:\t'zx\\ncv\\tbn m', s3:\t\"qwe,rty\", s4:\t\"as\"\"df'gh\", d:\t2016-01-03\t;\n" +
+        "n:\t789, s1:\tzx\\ncv\\tbn m\t, s2:\t'qwe,rty', s3:\t\"as\\\"df'gh\", s4:\t\"\", d:\t2016-01-04\t\n" +
+        " $ suffix $\n"
+    val parsed = TemplateFormat.parse(spark, payload, schema,
+      S(customRowBetweenDelimiter = ";\n"), inputResultset, inputRow)
+      .orderBy("n").collect()
+    val expected = data.orderBy("n").collect()
+    assert(parsed.map(_.toString).toSeq === expected.map(_.toString).toSeq)
+  }
+
+  test("write -> parse identity through the format dispatch") {
+    val s = S(customRowBetweenDelimiter = "\n",
+      templateResultset = "<<\n${data}\n>>",
+      templateRow = "${0:Quoted}|${1:Quoted}|${2:Quoted}|${3:Quoted}|" +
+        "${4:Quoted}|${5:Quoted}")
+    val out = OutputFormats.write(data, "Template", s)
+    assert(out.startsWith("<<\n") && out.endsWith("\n>>"))
+    val back = InputFormats.parse(spark, out, "Template",
+      Some("s1 String, s2 String, `s 3` String, `s 4` String, n UInt64, d Date"),
+      s)
+    assert(back.orderBy("n").collect().map(_.toString).toSeq ===
+      data.orderBy("n").collect().map(_.toString).toSeq)
+  }
+
+  test("TemplateIgnoreSpaces parses a JSON-shaped payload") {
+    val small = StructType(Seq(
+      chField("a", LongType, "UInt64"), chField("b", StringType, "String")))
+    val payload =
+      "{ \"data\" : [\n  {\"a\" : \"1\", \"b\" : \"x\"} ,\n" +
+        "  {\"a\" : \"2\", \"b\" : \"y\"}\n] }"
+    val parsed = TemplateFormat.parse(spark, payload, small,
+      S(customRowBetweenDelimiter = ","),
+      "{${:}\"data\"${:}:${:}[${data}]${:}}",
+      "{${:}\"a\"${:}:${:}${a:JSON}${:},${:}\"b\"${:}:${:}${b:JSON}${:}}",
+      ignoreSpaces = true).orderBy("a").collect()
+    assert(parsed.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "x"), (2L, "y")))
+  }
+}
