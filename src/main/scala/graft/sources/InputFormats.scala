@@ -381,12 +381,73 @@ object InputFormats {
       case "regexp" =>
         val schema = declared.getOrElse(throw new IllegalArgumentException(
           "Regexp needs structure"))
-        val re = settings.customFieldDelimiter.r // pattern carried in settings
+        val re = settings.regexpPattern.r
         val rows = lines.flatMap { line =>
-          re.findFirstMatchIn(line).map { m =>
-            Row.fromSeq(schema.fields.zipWithIndex.toSeq.map { case (fld, i) =>
-              settle(parseField(m.group(i + 1), fld.dataType,
-                settings.customEscapingRule), fld)
+          re.findFirstMatchIn(line) match {
+            case Some(m) => Some(
+              Row.fromSeq(schema.fields.zipWithIndex.toSeq.map { case (fld, i) =>
+                settle(parseField(m.group(i + 1), fld.dataType,
+                  settings.regexpEscapingRule), fld)
+              }))
+            case None if settings.regexpSkipUnmatched => None
+            case None => throw new IllegalArgumentException(
+              s"Regexp: line does not match: '$line'")
+          }
+        }
+        toDf(spark, rows, schema)
+
+      case "jsoncolumns" | "jsoncompactcolumns" =>
+        // column-oriented chunks; rows = concat across chunks, absent
+        // columns NULL-filled (ref JSONColumnsBlockInputFormatBase.cpp)
+        val open = if (f == "jsoncolumns") '{' else '['
+        val close = if (f == "jsoncolumns") '}' else ']'
+        val chunks = jsonChunks(data, open, close).map(mapper.readTree)
+        val colNames: Seq[String] =
+          if (f == "jsoncolumns") {
+            val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+            declared.foreach(_.fields.foreach(fl => seen += fl.name))
+            chunks.foreach { ch =>
+              val it = ch.fieldNames()
+              while (it.hasNext) {
+                val n = it.next()
+                if (declared.isEmpty) seen += n
+              }
+            }
+            seen.toSeq
+          } else {
+            val width = declared.map(_.fields.length)
+              .getOrElse(chunks.map(_.size).foldLeft(0)(math.max))
+            (1 to width).map(i => declared.map(_.fields(i - 1).name)
+              .getOrElse(s"c$i"))
+          }
+        val schema = declared.getOrElse {
+          // infer Int64/Float64/String per column from the JSON values
+          StructType(colNames.map { n =>
+            val vals = chunks.flatMap { ch =>
+              val node = if (f == "jsoncolumns") ch.get(n)
+                else ch.get(colNames.indexOf(n))
+              if (node == null) Seq.empty
+              else (0 until node.size).map(node.get)
+            }
+            val dt =
+              if (vals.nonEmpty && vals.forall(v => v.isIntegralNumber)) LongType
+              else if (vals.nonEmpty && vals.forall(_.isNumber)) DoubleType
+              else StringType
+            StructField(n, dt, nullable = true)
+          })
+        }
+        val rows = chunks.flatMap { ch =>
+          val cols: Seq[JsonNode] = schema.fields.toSeq.zipWithIndex.map {
+            case (fld, i) =>
+              if (f == "jsoncolumns") ch.get(fld.name)
+              else ch.get(i)
+          }
+          val nRows = cols.map(c => if (c == null) 0 else c.size)
+            .foldLeft(0)(math.max)
+          (0 until nRows).map { ri =>
+            Row.fromSeq(schema.fields.toSeq.zip(cols).map { case (fld, c) =>
+              if (c == null || ri >= c.size) settle(null, fld)
+              else settle(jsonToValue(c.get(ri), fld), fld)
             })
           }
         }

@@ -51,7 +51,12 @@ object OutputFormats {
       customResultBeforeDelimiter: String = "",
       customResultAfterDelimiter: String = "",
       templateResultset: String = "",
-      templateRow: String = "")
+      templateRow: String = "",
+      regexpPattern: String = "",
+      regexpEscapingRule: String = "Raw",
+      regexpSkipUnmatched: Boolean = false,
+      rowsRead: Option[Long] = None,
+      bytesRead: Option[Long] = None)
 
   private case class Col(name: String, dt: DataType, ch: String, idx: Int)
 
@@ -262,6 +267,33 @@ object OutputFormats {
           "\t" + rows.map(r => jsonText(r.get(c.idx), c.dt, c.ch, s.quote64BitIntegers))
             .mkString("[", ", ", "]")
         }.mkString("[\n", ",\n", "\n]\n")
+      case "jsoncolumnswithmetadata" =>
+        val rows = df.collect()
+        val sb = new StringBuilder
+        sb.append("{\n\t\"meta\":\n\t[\n")
+        sb.append(cs.map(c =>
+          "\t\t{\n\t\t\t\"name\": \"" + escapeJson(c.name) +
+            "\",\n\t\t\t\"type\": \"" + escapeJson(c.ch) + "\"\n\t\t}")
+          .mkString(",\n"))
+        sb.append("\n\t],\n\n\t\"data\":\n\t{\n")
+        sb.append(cs.map { c =>
+          "\t\t\"" + escapeJson(c.name) + "\": " +
+            rows.map(r => jsonText(r.get(c.idx), c.dt, c.ch, s.quote64BitIntegers))
+              .mkString("[", ", ", "]")
+        }.mkString(",\n"))
+        sb.append("\n\t},\n\n\t\"rows\": " + rows.length)
+        s.rowsBeforeLimit.foreach(n =>
+          sb.append(",\n\n\t\"rows_before_limit_at_least\": " + n))
+        if (s.rowsRead.nonEmpty || s.bytesRead.nonEmpty) {
+          sb.append(",\n\n\t\"statistics\":\n\t{\n")
+          sb.append(Seq(
+            s.rowsRead.map(v => "\t\t\"rows_read\": " + v),
+            s.bytesRead.map(v => "\t\t\"bytes_read\": " + v)).flatten
+            .mkString(",\n"))
+          sb.append("\n\t}")
+        }
+        sb.append("\n}\n")
+        sb.toString
       case "jsonobjecteachrow" =>
         val rows = df.collect()
         rows.zipWithIndex.map { case (r, i) =>
@@ -330,6 +362,56 @@ object OutputFormats {
         throw new IllegalArgumentException(s"unsupported output format: $other")
     }
   }
+
+  /** Distributed export: write a row-wise format to `path` with Spark's
+    * text writer — the 100 TB path (every partition renders and writes
+    * its own split; headers land in their own leading split via
+    * `lines`). Framed presentation formats refuse: they are terminal
+    * output by design.
+    */
+  def save(df: DataFrame, path: String, format: String,
+      s: Settings = Settings()): Unit = {
+    require(isRowFormat(format),
+      s"save(): $format is a framed presentation format — use write()")
+    lines(df, format, s).write.text(path)
+  }
+
+  /** The supported format registry — the `system.formats` view. */
+  def formats: Seq[(String, Boolean, Boolean)] = Seq(
+    // (name, is_input, is_output)
+    ("TabSeparated", true, true), ("TabSeparatedRaw", true, true),
+    ("TabSeparatedWithNames", true, true),
+    ("TabSeparatedWithNamesAndTypes", true, true),
+    ("TabSeparatedRawWithNames", true, true),
+    ("TabSeparatedRawWithNamesAndTypes", true, true),
+    ("CSV", true, true), ("CSVWithNames", true, true),
+    ("CSVWithNamesAndTypes", true, true), ("TSKV", true, true),
+    ("Values", true, true), ("Markdown", false, true),
+    ("SQLInsert", false, true), ("MySQLDump", true, false),
+    ("Vertical", false, true), ("XML", false, true),
+    ("JSON", false, true), ("JSONCompact", false, true),
+    ("JSONStrings", false, true), ("JSONColumns", true, true),
+    ("JSONCompactColumns", true, true), ("JSONColumnsWithMetadata", false, true),
+    ("JSONEachRow", true, true), ("JSONStringsEachRow", false, true),
+    ("JSONCompactEachRow", true, true),
+    ("JSONCompactEachRowWithNames", true, true),
+    ("JSONCompactEachRowWithNamesAndTypes", true, true),
+    ("JSONCompactStringsEachRow", false, true),
+    ("JSONObjectEachRow", false, true), ("JSONAsString", true, false),
+    ("Pretty", false, true), ("PrettyCompact", false, true),
+    ("PrettySpace", false, true), ("PrettyNoEscapes", false, true),
+    ("PrettyCompactNoEscapes", false, true),
+    ("PrettySpaceNoEscapes", false, true),
+    ("PrettyCompactMonoBlock", false, true),
+    ("RowBinary", true, true), ("RowBinaryWithNames", true, true),
+    ("RowBinaryWithNamesAndTypes", true, true),
+    ("LineAsString", true, true), ("RawBLOB", true, true),
+    ("Regexp", true, false), ("CustomSeparated", true, true),
+    ("Template", true, true), ("TemplateIgnoreSpaces", true, false),
+    ("Null", false, true),
+    // Spark-native columnar readers/writers (the reference's
+    // Parquet/ORC/Avro/Arrow stream formats)
+    ("Parquet", true, true), ("ORC", true, true), ("JSONLines", true, true))
 
   /** Binary output formats → raw bytes. */
   def writeBytes(df: DataFrame, format: String, s: Settings = Settings()): Array[Byte] =

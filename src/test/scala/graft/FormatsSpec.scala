@@ -301,4 +301,74 @@ class FormatsSpec extends SparkSpec {
     assert(out.contains("\t\t\t\"m2\": {}\n"))
     assert(out.endsWith("\t\"rows\": 2\n}\n"))
   }
+
+  // ---- Regexp (01508) / JSONColumns input (02293) / metadata / save ------
+
+  test("01508: Regexp input with Raw escaping") {
+    val out = InputFormats.parse(spark,
+      "abc\\ separator Hello, world!\n", "Regexp", Some("a String, b String"),
+      S(regexpPattern = "^(.+?) separator (.+?)$"))
+    assert(out.head().toSeq === Seq("abc\\", "Hello, world!"))
+  }
+
+  test("02293: JSONColumns input — union of chunk columns, NULL-filled") {
+    val data =
+      "{\n \"b\": [1, 2, 3],\n \"a\": [3, 2, 1]\n}\n" +
+        "{\n \"c\": [1, 2, 3]\n}\n{\n}\n" +
+        "{\n \"a\": [],\n \"d\": []\n}\n{\n \"d\": [\"String\"]\n}"
+    val out = InputFormats.parse(spark, data, "JSONColumns")
+    assert(out.columns.toSeq === Seq("b", "a", "c", "d"))
+    assert(out.count() === 7)
+    val rows = out.collect().map(_.toString).toSeq
+    assert(rows.take(3) === Seq("[1,3,null,null]", "[2,2,null,null]", "[3,1,null,null]"))
+    assert(rows.last === "[null,null,null,String]")
+    // declared structure keeps only the named columns
+    val narrowed = InputFormats.parse(spark, data, "JSONColumns",
+      Some("a Int64, t String"))
+    assert(narrowed.columns.toSeq === Seq("a", "t"))
+    assert(narrowed.collect().map(_.getAs[Any]("a")).toSeq.take(3) === Seq(3L, 2L, 1L))
+  }
+
+  test("JSONCompactColumns round-trip") {
+    val schema = StructType(Seq(
+      chField("a", IntegerType, "UInt32"), chField("b", StringType, "String")))
+    val d = df(schema, Row(1, "x"), Row(2, "y"))
+    val out = OutputFormats.write(d, "JSONCompactColumns")
+    val back = InputFormats.parse(spark, out, "JSONCompactColumns",
+      Some("a UInt32, b String"))
+    assert(back.collect().map(_.toString).toSeq === d.collect().map(_.toString).toSeq)
+  }
+
+  test("02293: JSONColumnsWithMetadata output shape") {
+    val schema = StructType(Seq(
+      chField("sum", LongType, "UInt64"), chField("avg", DoubleType, "Float64")))
+    val d = df(schema, Row(1L, 1.0), Row(2L, 2.0), Row(3L, 3.0), Row(4L, 2.0))
+    val out = OutputFormats.write(d, "JSONColumnsWithMetadata",
+      S(rowsRead = Some(5), bytesRead = Some(20)))
+    assert(out.contains("\t\"meta\":"))
+    assert(out.contains("\t\t\"sum\": [\"1\", \"2\", \"3\", \"4\"]"))
+    assert(out.contains("\t\t\"avg\": [1, 2, 3, 2]"))
+    assert(out.contains("\t\"rows\": 4"))
+    assert(out.contains("\t\t\"rows_read\": 5,\n\t\t\"bytes_read\": 20"))
+  }
+
+  test("save(): distributed export writes one file set per partition") {
+    val dir = java.nio.file.Files.createTempDirectory("fmt-save").toString + "/out"
+    val d = spark.range(0, 100, 1, 4).toDF("n")
+    OutputFormats.save(d, dir, "JSONEachRow")
+    val back = spark.read.textFile(dir).collect().sorted
+    assert(back.length === 100)
+    assert(back.head === "{\"n\":\"0\"}")
+    intercept[IllegalArgumentException] {
+      OutputFormats.save(d, dir + "2", "Pretty")
+    }
+  }
+
+  test("formats registry covers inputs and outputs") {
+    val fs = OutputFormats.formats
+    assert(fs.size >= 50)
+    assert(fs.count(_._2) >= 25 && fs.count(_._3) >= 35)
+    // every listed text input format actually parses
+    assert(fs.filter(f => f._2).map(_._1).contains("MySQLDump"))
+  }
 }
