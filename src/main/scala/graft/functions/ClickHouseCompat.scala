@@ -1957,6 +1957,13 @@ object ClickHouseCompat {
     spark.udf.register("stem", (lang: String, word: String) =>
       if (lang == null || word == null) null
       else SnowballStem.stem(lang, word))
+    // lemmatize/synonyms over the NlpDictionaries catalog (ref
+    // src/Functions/{lemmatize,synonyms}.cpp; dictionaries are
+    // user-registered, same as the reference's server-config files)
+    spark.udf.register("lemmatize", (dict: String, word: String) =>
+      NlpDictionaries.lemmatize(dict, word))
+    spark.udf.register("synonyms", (ext: String, token: String) =>
+      NlpDictionaries.synonyms(ext, token))
     // ---- tranche 15 natives ----
     locally {
       import Tranche15._

@@ -1,0 +1,59 @@
+package graft.functions
+
+import scala.collection.concurrent.TrieMap
+
+/** User-registered NLP dictionaries — the reference's `lemmatize` and
+  * `synonyms` functions (ref `src/Functions/lemmatize.cpp`,
+  * `src/Functions/synonyms.cpp`; backing stores configured by the user
+  * as server-side dictionary files, `src/Interpreters/Lemmatizers.cpp` /
+  * `SynonymsExtensions.cpp` — a PLAIN synonyms extension is a text file
+  * of tab/space-separated synonym groups, one per line).
+  *
+  * Engine analog: dictionaries register by name through this catalog
+  * (same pattern as the custom-TLD lists and the CREATE DICTIONARY
+  * catalog). `synonyms` returns the group containing the token, or an
+  * empty array when absent — exactly the reference's miss behavior.
+  * `lemmatize` maps through the named word→lemma table; unknown words
+  * pass through unchanged (the reference's RdrLemmatizer rule models
+  * are binary artifacts; a plain lookup is the documented analog).
+  */
+object NlpDictionaries {
+
+  private val lemmas = TrieMap.empty[String, Map[String, String]]
+  private val synsets = TrieMap.empty[String, Seq[Seq[String]]]
+
+  def createLemmaDict(name: String, wordToLemma: Map[String, String]): Unit =
+    lemmas(name) = wordToLemma
+
+  /** Plain-format synonyms extension: one group per line. */
+  def createSynonymsExtension(name: String, groups: Seq[Seq[String]]): Unit =
+    synsets(name) = groups
+
+  /** Parse the reference's plain file format (whitespace-separated). */
+  def createSynonymsExtensionPlain(name: String, text: String): Unit =
+    createSynonymsExtension(name,
+      text.split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+        .map(_.split("\\s+").toSeq))
+
+  def dropLemmaDict(name: String): Unit = lemmas.remove(name)
+  def dropSynonymsExtension(name: String): Unit = synsets.remove(name)
+
+  def lemmatize(dict: String, word: String): String = {
+    if (word == null) return null
+    lemmas.get(dict) match {
+      case Some(m) => m.getOrElse(word, word)
+      case None => throw new IllegalArgumentException(
+        s"lemmatize: no lemmatizer registered under '$dict'")
+    }
+  }
+
+  def synonyms(extension: String, token: String): Seq[String] = {
+    if (token == null) return Seq.empty
+    synsets.get(extension) match {
+      case Some(groups) =>
+        groups.find(_.contains(token)).getOrElse(Seq.empty)
+      case None => throw new IllegalArgumentException(
+        s"synonyms: no extension registered under '$extension'")
+    }
+  }
+}

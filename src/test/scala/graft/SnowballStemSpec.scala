@@ -49,3 +49,24 @@ class SnowballStemSpec extends AnyFunSuite {
     assert(stem("xx", "word") === "word")
   }
 }
+
+class NlpDictionariesSpec extends AnyFunSuite {
+  import graft.functions.NlpDictionaries._
+
+  test("lemmatize maps through the named dictionary; unknown words pass") {
+    createLemmaDict("en_lemma", Map("wolves" -> "wolf", "ran" -> "run"))
+    assert(lemmatize("en_lemma", "wolves") === "wolf")
+    assert(lemmatize("en_lemma", "table") === "table")
+    intercept[IllegalArgumentException](lemmatize("nope", "x"))
+    dropLemmaDict("en_lemma")
+  }
+
+  test("synonyms: plain-format groups, empty array on miss") {
+    createSynonymsExtensionPlain("en_syn",
+      "important big critical crucial essential\nhappy cheerful glad\n")
+    assert(synonyms("en_syn", "big") ===
+      Seq("important", "big", "critical", "crucial", "essential"))
+    assert(synonyms("en_syn", "unrelated") === Seq.empty)
+    dropSynonymsExtension("en_syn")
+  }
+}
