@@ -1964,6 +1964,9 @@ object ClickHouseCompat {
       NlpDictionaries.lemmatize(dict, word))
     spark.udf.register("synonyms", (ext: String, token: String) =>
       NlpDictionaries.synonyms(ext, token))
+    // formatRow / formatRowNoNewline over the format surface (variadic
+    // Catalyst expressions — ref src/Functions/formatRow.cpp)
+    FormatRow.install(spark)
     // ---- tranche 15 natives ----
     locally {
       import Tranche15._

@@ -244,7 +244,11 @@ object FormatCodec {
   /** JSON value text. `ch` is the declared reference type name of this
     * value (drives 64-bit quoting); nested calls peel it structurally.
     */
-  def jsonText(v: Any, dt: DataType, ch: String, quote64: Boolean): String = {
+  def jsonText(v: Any, dt: DataType, ch0: String, quote64: Boolean): String = {
+    val ch =
+      if (ch0.startsWith("Nullable(") && ch0.endsWith(")"))
+        ch0.substring(9, ch0.length - 1)
+      else ch0
     def chInner(prefix: String): String =
       if (ch.startsWith(prefix + "(") && ch.endsWith(")"))
         ch.substring(prefix.length + 1, ch.length - 1)

@@ -202,16 +202,22 @@ object OutputFormats {
     * their frame here. `Values` joins rows with "," on a single line;
     * `SQLInsert` batches rows into INSERT statements.
     */
-  def write(df: DataFrame, format: String, s: Settings = Settings()): String = {
-    val schema = df.schema
+  def write(df: DataFrame, format: String, s: Settings = Settings()): String =
+    writeRows(df.schema, df.collect(), format, s)
+
+  /** Rows-based core of [[write]] — also the engine behind the
+    * `formatRow` scalar function, which renders outside any DataFrame.
+    */
+  def writeRows(schema: StructType, rows0: Array[Row], format: String,
+      s: Settings = Settings()): String = {
     val cs = cols(schema)
     val f = canon(format)
     f match {
       case "values" =>
         val render = rowRenderer(schema, format, s)
-        df.collect().map(render).mkString("", ",", "\n")
+        rows0.map(render).mkString("", ",", "\n")
       case "sqlinsert" =>
-        val rows = df.collect()
+        val rows = rows0
         val names =
           if (!s.sqlInsertIncludeColumnNames) ""
           else cs.map(c => if (s.sqlInsertQuoteNames) s"`${c.name}`" else c.name)
@@ -223,7 +229,7 @@ object OutputFormats {
             .mkString(s"$verb ${s.sqlInsertTableName}$names VALUES ", ", ", ";\n")
         }.mkString
       case "json" | "jsoncompact" | "jsonstrings" =>
-        val rows = df.collect()
+        val rows = rows0
         val sb = new StringBuilder
         sb.append("{\n\t\"meta\":\n\t[\n")
         sb.append(cs.map(c =>
@@ -255,20 +261,20 @@ object OutputFormats {
         sb.append("\n}\n")
         sb.toString
       case "jsoncolumns" =>
-        val rows = df.collect()
+        val rows = rows0
         cs.map { c =>
           "\t\"" + escapeJson(c.name) + "\": " +
             rows.map(r => jsonText(r.get(c.idx), c.dt, c.ch, s.quote64BitIntegers))
               .mkString("[", ", ", "]")
         }.mkString("{\n", ",\n", "\n}\n")
       case "jsoncompactcolumns" =>
-        val rows = df.collect()
+        val rows = rows0
         cs.map { c =>
           "\t" + rows.map(r => jsonText(r.get(c.idx), c.dt, c.ch, s.quote64BitIntegers))
             .mkString("[", ", ", "]")
         }.mkString("[\n", ",\n", "\n]\n")
       case "jsoncolumnswithmetadata" =>
-        val rows = df.collect()
+        val rows = rows0
         val sb = new StringBuilder
         sb.append("{\n\t\"meta\":\n\t[\n")
         sb.append(cs.map(c =>
@@ -295,7 +301,7 @@ object OutputFormats {
         sb.append("\n}\n")
         sb.toString
       case "jsonobjecteachrow" =>
-        val rows = df.collect()
+        val rows = rows0
         rows.zipWithIndex.map { case (r, i) =>
           "\t\"row_" + (i + 1) + "\": " +
             cs.map(c => "\"" + escapeJson(c.name) + "\":" +
@@ -303,7 +309,7 @@ object OutputFormats {
               .mkString("{", ",", "}")
         }.mkString("{\n", ",\n", "\n}\n")
       case "xml" =>
-        val rows = df.collect()
+        val rows = rows0
         val sb = new StringBuilder
         sb.append("<?xml version='1.0' encoding='UTF-8' ?>\n<result>\n")
         sb.append("\t<meta>\n\t\t<columns>\n")
@@ -331,7 +337,7 @@ object OutputFormats {
         sb.append("</result>\n")
         sb.toString
       case "vertical" =>
-        val rows = df.collect()
+        val rows = rows0
         val widths = cs.map(c => c.name.codePointCount(0, c.name.length))
         val maxW = if (widths.isEmpty) 0 else widths.max
         val sb = new StringBuilder
@@ -348,15 +354,16 @@ object OutputFormats {
           if (i < rows.length - 1) sb.append("\n")
         }
         sb.toString
-      case p if p.startsWith("pretty") => PrettyFormat.write(df, format, s)
+      case p if p.startsWith("pretty") => PrettyFormat.writeRows(schema, rows0, s, format)
       case "template" =>
-        TemplateFormat.write(df, s, s.templateResultset, s.templateRow)
+        TemplateFormat.writeRows(schema, rows0, s, s.templateResultset,
+          s.templateRow)
       case "null" => ""
       case _ if isRowFormat(f) =>
         val render = rowRenderer(schema, format, s)
         val hdr = headerLines(schema, format, s)
         val ftr = footerLines(schema, format, s)
-        val body = df.collect().map(render)
+        val body = rows0.map(render)
         ((hdr ++ body ++ ftr).mkString("", "\n", "\n"))
       case other =>
         throw new IllegalArgumentException(s"unsupported output format: $other")

@@ -35,7 +35,11 @@ object PrettyFormat {
 
   private def width(s: String): Int = s.codePointCount(0, s.length)
 
-  def write(df: DataFrame, format: String, s: OutputFormats.Settings): String = {
+  def write(df: DataFrame, format: String, s: OutputFormats.Settings): String =
+    writeRows(df.schema, df.take(s.prettyMaxRows + 1), s, format)
+
+  def writeRows(schema: StructType, taken: Array[Row],
+      s: OutputFormats.Settings, format: String): String = {
     val f = format.toLowerCase
     val kind =
       if (f.startsWith("prettycompact")) "compact"
@@ -44,9 +48,7 @@ object PrettyFormat {
     val mono = f.contains("monoblock")
     val color = !f.contains("noescapes") && s.prettyColor
 
-    val schema = df.schema
     // total_rows semantics: blocks past max_rows are dropped but counted.
-    val taken = df.take(s.prettyMaxRows + 1)
     val truncated = taken.length > s.prettyMaxRows
     val rows = taken.take(s.prettyMaxRows)
 

@@ -106,9 +106,22 @@ object TemplateFormat {
       minRow: Option[Row] = None,
       maxRow: Option[Row] = None,
       rowsBeforeLimit: Option[Long] = None,
+      rowsRead: Option[Long] = None): String =
+    writeRows(df.schema, df.collect(), s, resultsetTemplate, rowTemplate,
+      totals, minRow, maxRow, rowsBeforeLimit, rowsRead)
+
+  def writeRows(
+      schema: StructType,
+      rows: Array[Row],
+      s: OutputFormats.Settings,
+      resultsetTemplate: String,
+      rowTemplate: String,
+      totals: Option[Row] = None,
+      minRow: Option[Row] = None,
+      maxRow: Option[Row] = None,
+      rowsBeforeLimit: Option[Long] = None,
       rowsRead: Option[Long] = None): String = {
-    val rows = df.collect()
-    val rowFn = renderRow(df.schema, parseTemplate(rowTemplate))
+    val rowFn = renderRow(schema, parseTemplate(rowTemplate))
     val data = rows.map(rowFn).mkString(s.customRowBetweenDelimiter match {
       case "" => "\n"
       case d => d

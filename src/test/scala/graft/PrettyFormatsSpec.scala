@@ -307,4 +307,34 @@ class PrettyFormatsSpec extends SparkSpec {
     val withHdr = OutputFormats.lines(d, "CSVWithNames")
     assert(withHdr.first() === "\"n\"")
   }
+
+  // ---- formatRow (01420) --------------------------------------------------
+
+  test("01420: formatRow / formatRowNoNewline across formats") {
+    val q = "select %s from (select id as number, 'good' as good " +
+      "from range(3)) order by number"
+    def rows(expr: String): Seq[String] =
+      spark.sql(q.format(expr)).collect().map(_.getString(0)).toSeq
+    assert(rows("formatRow('CSV', number, good)") ===
+      Seq("0,\"good\"\n", "1,\"good\"\n", "2,\"good\"\n"))
+    assert(rows("formatRowNoNewline('CSV', number, good)") ===
+      Seq("0,\"good\"", "1,\"good\"", "2,\"good\""))
+    assert(rows("formatRow('TSV', number, good)") ===
+      Seq("0\tgood\n", "1\tgood\n", "2\tgood\n"))
+    assert(rows("formatRowNoNewline('JSONEachRow', number, good)") ===
+      Seq("{\"number\":\"0\",\"good\":\"good\"}",
+        "{\"number\":\"1\",\"good\":\"good\"}",
+        "{\"number\":\"2\",\"good\":\"good\"}"))
+    assert(rows("formatRowNoNewline('JSONCompactEachRow', number, good)") ===
+      Seq("[\"0\", \"good\"]", "[\"1\", \"good\"]", "[\"2\", \"good\"]"))
+    assert(rows("formatRowNoNewline('Values', number, good)") ===
+      Seq("(0,'good')", "(1,'good')", "(2,'good')"))
+    assert(rows("formatRowNoNewline('TSKV', number, good)") ===
+      Seq("number=0\tgood=good", "number=1\tgood=good", "number=2\tgood=good"))
+    // framed formats render their whole frame around the one row
+    val vert = rows("formatRow('Vertical', number, good)")
+    assert(vert.head === "Row 1:\n\u2500\u2500\u2500\u2500\u2500\u2500\nnumber: 0\ngood:   good\n")
+    // unknown format fails loudly (reference error 73)
+    intercept[Exception](rows("formatRow('aaa', number)"))
+  }
 }
