@@ -288,6 +288,32 @@ object InputFormats {
         }
         toDf(spark, rows, schema)
 
+      case "json" | "jsoncompact" =>
+        // framed JSON as INPUT (ref JSONRowInputFormat.cpp): the meta
+        // block is self-describing — declared structure optional
+        val root = mapper.readTree(data)
+        val meta = root.get("meta")
+        val schema = declared.getOrElse {
+          require(meta != null, "JSON input needs meta or structure")
+          StructType((0 until meta.size).map { i =>
+            val m = meta.get(i)
+            val (dt, nullable) = ChTypes.toSpark(m.get("type").asText)
+            StructField(m.get("name").asText, dt, nullable,
+              new MetadataBuilder()
+                .putString(ChTypes.MetaKey, m.get("type").asText).build())
+          })
+        }
+        val dataNode = root.get("data")
+        require(dataNode != null && dataNode.isArray, "JSON input: no data array")
+        val rows = (0 until dataNode.size).map { i =>
+          val node = dataNode.get(i)
+          Row.fromSeq(schema.fields.zipWithIndex.toSeq.map { case (fld, j) =>
+            val v = if (node.isArray) node.get(j) else node.get(fld.name)
+            settle(jsonToValue(v, fld), fld)
+          })
+        }
+        toDf(spark, rows, schema)
+
       case "jsoncompacteachrow" | "jsoncompacteachrowwithnames" |
           "jsoncompacteachrowwithnamesandtypes" =>
         // rows may be packed without newlines: [..][..] — brace-match

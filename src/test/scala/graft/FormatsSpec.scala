@@ -371,4 +371,21 @@ class FormatsSpec extends SparkSpec {
     // every listed text input format actually parses
     assert(fs.filter(f => f._2).map(_._1).contains("MySQLDump"))
   }
+
+  test("framed JSON / JSONCompact round-trip as input (self-describing meta)") {
+    val schema = StructType(Seq(
+      chField("n", LongType, "UInt64"), chField("s", StringType, "String"),
+      chField("d", DateType, "Date")))
+    val d = df(schema,
+      Row(1L, "a,b", java.sql.Date.valueOf("2020-01-01")),
+      Row(2L, "x\ty", java.sql.Date.valueOf("2020-06-15")))
+    for (fmt <- Seq("JSON", "JSONCompact")) {
+      val out = OutputFormats.write(d, fmt)
+      val back = InputFormats.parse(spark, out, fmt)
+      assert(back.schema.fields.map(ChTypes.chName).toSeq ===
+        Seq("UInt64", "String", "Date"), fmt)
+      assert(back.collect().map(_.toString).toSeq ===
+        d.collect().map(_.toString).toSeq, fmt)
+    }
+  }
 }
