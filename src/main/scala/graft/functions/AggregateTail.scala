@@ -98,7 +98,7 @@ object AggregateTail {
   // ---- exact quantile variants ---------------------------------------
 
   private def sortedArr(c: Column): Column =
-    array_sort(collect_list(c.cast("double")))
+    sort_array(collect_list(c.cast("double")))
 
   /** quantileExactLow — python `median_low` rule at level 0.5, else
     * sorted[trunc(level·size)] (QuantileExact.h:262-299, 0-based).
@@ -154,18 +154,26 @@ object AggregateTail {
     * map crosses the threshold at the identical value).
     */
   def quantileExactWeighted(c: Column, w: Column, level: Double): Column = {
-    val pairs = array_sort(collect_list(struct(
+    val pairs = sort_array(collect_list(struct(
       c.cast("double").as("x"), w.cast("double").as("w"))))
     val total = aggregate(pairs, lit(0.0), (a, p) => a + p.getField("w"))
     val threshold = ceil(total * lit(level))
+    // The threshold rides in the fold's ZERO accumulator. Referencing it
+    // directly inside the merge lambda inlines its whole derivation —
+    // another aggregate over the sorted array — into the per-element
+    // body, turning the scan O(n² log n); at sf0.1 that was a 25-minute
+    // single task. The zero expression evaluates once per group.
     aggregate(
       pairs,
-      struct(lit(0.0).as("cum"), lit(null).cast("double").as("res")),
+      struct(lit(0.0).as("cum"), threshold.as("thr"),
+        lit(null).cast("double").as("res")),
       (acc, p) => {
         val cum = acc.getField("cum") + p.getField("w")
         struct(
           cum.as("cum"),
-          when(acc.getField("res").isNull && cum >= threshold, p.getField("x"))
+          acc.getField("thr").as("thr"),
+          when(acc.getField("res").isNull && cum >= acc.getField("thr"),
+            p.getField("x"))
             .otherwise(acc.getField("res")).as("res"))
       },
       acc => coalesce(acc.getField("res"),
@@ -181,7 +189,7 @@ object AggregateTail {
     * ascending by `ord` (oldest kept → newest).
     */
   def groupArrayLast(c: Column, ord: Column, n: Int): Column = {
-    val arr = array_sort(collect_list(struct(ord.as("o"), c.as("v"))))
+    val arr = sort_array(collect_list(struct(ord.as("o"), c.as("v"))))
     transform(
       slice(arr, greatest(size(arr) - n + 1, lit(1)), lit(n)),
       p => p.getField("v"))
@@ -195,7 +203,7 @@ object AggregateTail {
     * over the value set, and replayable by any engine with md5.
     */
   def groupArraySample(c: Column, n: Int, seed: Long): Column = {
-    val arr = array_sort(collect_list(struct(
+    val arr = sort_array(collect_list(struct(
       md5(concat(c.cast("string"), lit("#" + seed))).as("h"), c.as("v"))))
     transform(slice(arr, 1, n), p => p.getField("v"))
   }
@@ -241,7 +249,7 @@ object AggregateTail {
     * the point where the max was set.
     */
   private def sweep(start: Column, end: Column): Column = {
-    val pts = array_sort(flatten(collect_list(array(
+    val pts = sort_array(flatten(collect_list(array(
       struct(start.cast("double").as("p"), lit(1L).as("d")),
       struct(end.cast("double").as("p"), lit(-1L).as("d"))))))
     aggregate(

@@ -76,6 +76,29 @@ object TableFunctions {
     }
   }
 
+  /** `INSERT INTO FUNCTION file('path', 'Format') SELECT …`
+    * (`TableFunctionFile.cpp` write side, the 02322 shape): columnar
+    * formats go through Spark's native writers; row-wise reference
+    * formats render distributed via [[OutputFormats.save]]; framed /
+    * binary formats land as one local file (they are single-stream by
+    * construction).
+    */
+  def fileWrite(df: DataFrame, path: String, format: String,
+      settings: OutputFormats.Settings = OutputFormats.Settings()): Unit = {
+    val f = format.toLowerCase
+    f match {
+      case "parquet" => df.write.mode("overwrite").parquet(path)
+      case "orc" => df.write.mode("overwrite").orc(path)
+      case "json" if path.endsWith(".jsonl") =>
+        df.write.mode("overwrite").json(path)
+      case _ if OutputFormats.isRowFormat(f) && !path.contains(".") =>
+        OutputFormats.save(df, path, format, settings)
+      case _ =>
+        java.nio.file.Files.write(java.nio.file.Paths.get(path),
+          OutputFormats.writeBytes(df, format, settings))
+    }
+  }
+
   // ---- round-12 TVF closure (TableFunctionFactory registrations with a
   // single-JVM meaning; cluster/remote/JDBC/lake formats are documented
   // out — no cluster, no drivers, no egress in scope) ----

@@ -238,4 +238,20 @@ class TableFunctionsSpec extends SparkSpec {
       assert(df.head().getInt(0) === 7 || df.head().getLong(0) === 7L)
     } finally Connections.drop("tvfs3")
   }
+
+  test("fileWrite: the INSERT INTO FUNCTION file(...) shape round-trips") {
+    val dir = java.nio.file.Files.createTempDirectory("tf-filewrite")
+    val d = spark.range(0, 5).selectExpr("id AS x", "id % 3 AS y",
+      "'Hello' AS z")
+    // single-file SQLInsert -> MySQLDump (the 02322 flow)
+    val sqlPath = dir.resolve("d.sql").toString
+    TableFunctions.fileWrite(d, sqlPath, "SQLInsert")
+    val back = TableFunctions.file(spark, sqlPath, "MySQLDump")
+    assert(back.count() === 5 && back.columns.toSeq === Seq("x", "y", "z"))
+    // distributed TSKV directory
+    val tskvDir = dir.resolve("tskvdir").toString
+    TableFunctions.fileWrite(d, tskvDir, "TSKV")
+    val lines = spark.read.textFile(tskvDir).collect()
+    assert(lines.length === 5 && lines.forall(_.startsWith("x=")))
+  }
 }
