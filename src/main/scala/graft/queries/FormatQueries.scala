@@ -9,7 +9,7 @@ import graft.sources.{InputFormats, OutputFormats}
 /** Driver-checked queries for the I/O format surface (SURVEY §2.2).
   *
   * q76 proves the format codecs end-to-end the only way a SQL oracle
-  * can: every format is a WRITE → PARSE round trip over the same orders
+  * can: twelve formats each WRITE → PARSE round trip the same orders
   * slice, and the aggregate of each round-tripped frame must equal the
   * aggregate DuckDB computes directly from parquet. A format that drops
   * a row, mangles an escape, shifts a date, or loses float precision
@@ -61,6 +61,20 @@ object FormatQueries {
         "row_binary" -> InputFormats.parseBytes(s,
           OutputFormats.writeBytes(base, "RowBinaryWithNamesAndTypes"),
           "RowBinaryWithNamesAndTypes"),
+        "json_framed" -> InputFormats.parse(s,
+          OutputFormats.write(base, "JSON"), "JSON"),
+        "jsoncolumns" -> InputFormats.parse(s,
+          OutputFormats.write(base, "JSONColumns"), "JSONColumns",
+          Some(fmtStructure)),
+        "template" -> {
+          val ts = OutputFormats.Settings(
+            templateResultset = "== result ==\n${data}\n== end ==",
+            templateRow = "${o_orderkey:CSV}|${o_custkey:Quoted}|" +
+              "${o_totalprice:JSON}|${o_orderdate:Quoted}|${o_orderpriority:CSV}",
+            customRowBetweenDelimiter = ";\n")
+          InputFormats.parse(s, OutputFormats.write(base, "Template", ts),
+            "Template", Some(fmtStructure), ts)
+        },
         "tskv" -> InputFormats.parse(s,
           OutputFormats.write(base, "TSKV"), "TSKV", Some(fmtStructure)),
         "tsv_typed" -> InputFormats.parse(s,
@@ -104,7 +118,8 @@ object FormatQueries {
         FROM orders WHERE o_orderkey <= 500),
       fmts AS (
         SELECT unnest(['csv_typed', 'custom_separated', 'json_compact_typed',
-                       'json_each_row', 'mysql_dump', 'row_binary', 'tskv',
+                       'json_each_row', 'json_framed', 'jsoncolumns',
+                       'mysql_dump', 'row_binary', 'template', 'tskv',
                        'tsv_typed', 'values']) AS fmt)
       SELECT fmt, cnt, key_sum, price_sum, first_day
       FROM fmts CROSS JOIN base
