@@ -1967,6 +1967,25 @@ object ClickHouseCompat {
     // formatRow / formatRowNoNewline over the format surface (variadic
     // Catalyst expressions — ref src/Functions/formatRow.cpp)
     FormatRow.install(spark)
+    // region (geobase) dictionary family over the RegionDictionaries
+    // catalog (ref FunctionsEmbeddedDictionaries.h; hierarchies are
+    // user-registered, same as the reference's geobase files)
+    locally {
+      import RegionDictionaries._
+      spark.udf.register("regionToCity", (id: Long) => regionToCity(id))
+      spark.udf.register("regionToArea", (id: Long) => regionToArea(id))
+      spark.udf.register("regionToDistrict", (id: Long) => regionToDistrict(id))
+      spark.udf.register("regionToCountry", (id: Long) => regionToCountry(id))
+      spark.udf.register("regionToContinent", (id: Long) => regionToContinent(id))
+      spark.udf.register("regionToTopContinent",
+        (id: Long) => regionToTopContinent(id))
+      spark.udf.register("regionToPopulation",
+        (id: Long) => regionToPopulation(id))
+      spark.udf.register("regionIn", (l: Long, r: Long) => regionIn(l, r))
+      spark.udf.register("regionHierarchy", (id: Long) => regionHierarchy(id))
+      spark.udf.register("regionToName",
+        (id: Long, lang: String) => regionToName(id, lang))
+    }
     // ---- tranche 15 natives ----
     locally {
       import Tranche15._

@@ -1,0 +1,114 @@
+package graft.functions
+
+import scala.annotation.tailrec
+import scala.collection.concurrent.TrieMap
+
+/** The embedded region (geobase) dictionary family — `regionToCity`,
+  * `regionToArea`, `regionToDistrict`, `regionToCountry`,
+  * `regionToContinent`, `regionToTopContinent`, `regionToPopulation`,
+  * `regionIn`, `regionHierarchy`, `regionToName` (ref
+  * `src/Functions/FunctionsEmbeddedDictionaries.h:459-470`,
+  * `src/Dictionaries/Embedded/RegionsHierarchy.h`).
+  *
+  * The reference loads these from user-configured Yandex-geobase text
+  * files (`path_to_regions_hierarchy_file`); the engine analog registers
+  * hierarchies by name through this catalog — same pattern as the
+  * custom-TLD lists and the NLP dictionaries. Region types follow the
+  * published geobase enum (`GeodataProviders/Types.h`): Continent = 1,
+  * Country = 3, District = 4, Area = 5, City = 6. Lookups climb the
+  * parent chain to the FIRST region of the target type (TopContinent:
+  * the LAST continent before the root), return 0 for unknown ids, and
+  * `regionIn` is reflexive — all exactly the reference's contracts.
+  */
+object RegionDictionaries {
+
+  val Continent = 1
+  val Country = 3
+  val District = 4
+  val Area = 5
+  val City = 6
+
+  case class Region(id: Long, parent: Long, tpe: Int, population: Long)
+
+  private val hierarchies = TrieMap.empty[String, Map[Long, Region]]
+  private val names = TrieMap.empty[String, Map[Long, String]]
+
+  /** Register a hierarchy; "" is the default geobase. */
+  def createHierarchy(name: String, entries: Seq[Region]): Unit =
+    hierarchies(name) = entries.map(r => r.id -> r).toMap
+
+  /** Register per-language region names (`regions_names_*.txt` analog). */
+  def createNames(lang: String, byId: Map[Long, String]): Unit =
+    names(lang) = byId
+
+  def dropHierarchy(name: String): Unit = hierarchies.remove(name)
+
+  private def hierarchy(geobase: String): Map[Long, Region] =
+    hierarchies.getOrElse(geobase, throw new IllegalArgumentException(
+      s"regionTo*: no region hierarchy registered under '$geobase'"))
+
+  /** Climb to the first region of `tpe` (self included); 0 if none. */
+  private def toType(id: Long, tpe: Int, geobase: String): Long = {
+    val h = hierarchy(geobase)
+    @tailrec def climb(cur: Long, hops: Int): Long =
+      if (cur == 0 || hops > h.size) 0L
+      else h.get(cur) match {
+        case None => 0L
+        case Some(r) if r.tpe == tpe => r.id
+        case Some(r) => climb(r.parent, hops + 1)
+      }
+    climb(id, 0)
+  }
+
+  def regionToCity(id: Long, geobase: String = ""): Long = toType(id, City, geobase)
+  def regionToArea(id: Long, geobase: String = ""): Long = toType(id, Area, geobase)
+  def regionToDistrict(id: Long, geobase: String = ""): Long = toType(id, District, geobase)
+  def regionToCountry(id: Long, geobase: String = ""): Long = toType(id, Country, geobase)
+  def regionToContinent(id: Long, geobase: String = ""): Long = toType(id, Continent, geobase)
+
+  /** The LAST continent on the way to the root. */
+  def regionToTopContinent(id: Long, geobase: String = ""): Long = {
+    val h = hierarchy(geobase)
+    @tailrec def climb(cur: Long, last: Long, hops: Int): Long =
+      if (cur == 0 || hops > h.size) last
+      else h.get(cur) match {
+        case None => last
+        case Some(r) =>
+          climb(r.parent, if (r.tpe == Continent) r.id else last, hops + 1)
+      }
+    climb(id, 0L, 0)
+  }
+
+  def regionToPopulation(id: Long, geobase: String = ""): Long =
+    hierarchy(geobase).get(id).map(_.population).getOrElse(0L)
+
+  /** Is `lhs` inside `rhs` (reflexive)? */
+  def regionIn(lhs: Long, rhs: Long, geobase: String = ""): Boolean = {
+    val h = hierarchy(geobase)
+    @tailrec def climb(cur: Long, hops: Int): Boolean =
+      if (cur == rhs) true
+      else if (cur == 0 || hops > h.size) false
+      else climb(h.get(cur).map(_.parent).getOrElse(0L), hops + 1)
+    climb(lhs, 0)
+  }
+
+  /** The chain from the region up to the root, self first. */
+  def regionHierarchy(id: Long, geobase: String = ""): Seq[Long] = {
+    val h = hierarchy(geobase)
+    val out = Seq.newBuilder[Long]
+    var cur = id
+    var hops = 0
+    while (cur != 0 && hops <= h.size && h.contains(cur)) {
+      out += cur
+      cur = h(cur).parent
+      hops += 1
+    }
+    out.result()
+  }
+
+  /** Region display name in `lang` ('' for unknown ids — the
+    * reference's empty-string contract).
+    */
+  def regionToName(id: Long, lang: String = "ru"): String =
+    names.get(lang).flatMap(_.get(id)).getOrElse("")
+}

@@ -70,3 +70,46 @@ class NlpDictionariesSpec extends AnyFunSuite {
     dropSynonymsExtension("en_syn")
   }
 }
+
+class RegionDictionariesSpec extends AnyFunSuite {
+  import graft.functions.RegionDictionaries._
+
+  // Eurasia(1) > Europe-as-continent(2) > Country(3) > Area(5) > City(6),
+  // plus a district between country and area — the geobase shape
+  private val fixture = Seq(
+    Region(10001L, 0L, Continent, 0L),           // top continent
+    Region(10002L, 10001L, Continent, 0L),       // nested continent
+    Region(20L, 10002L, Country, 10000000L),
+    Region(30L, 20L, District, 0L),
+    Region(40L, 30L, Area, 500000L),
+    Region(50L, 40L, City, 250000L),
+    Region(60L, 50L, 7, 1000L))                  // sub-city entity
+
+  test("regionTo* climb the parent chain to the right type") {
+    createHierarchy("", fixture)
+    createNames("en", Map(20L -> "Country20", 50L -> "City50"))
+    assert(regionToCity(60L) === 50L)
+    assert(regionToCity(50L) === 50L)
+    assert(regionToCity(20L) === 0L)
+    assert(regionToArea(60L) === 40L)
+    assert(regionToDistrict(60L) === 30L)
+    assert(regionToCountry(60L) === 20L)
+    assert(regionToContinent(60L) === 10002L) // first continent going up
+    assert(regionToTopContinent(60L) === 10001L) // last before the root
+    assert(regionToPopulation(20L) === 10000000L)
+    assert(regionToPopulation(999L) === 0L)
+    assert(regionIn(60L, 20L) && regionIn(20L, 20L) && !regionIn(20L, 60L))
+    assert(regionHierarchy(50L) === Seq(50L, 40L, 30L, 20L, 10002L, 10001L))
+    assert(regionToName(20L, "en") === "Country20")
+    assert(regionToName(999L, "en") === "")
+    assert(regionToCountry(999L) === 0L)
+    dropHierarchy("")
+  }
+
+  test("cycle in a malformed hierarchy terminates at 0") {
+    createHierarchy("", Seq(Region(1L, 2L, City, 0L), Region(2L, 1L, Area, 0L)))
+    assert(regionToCountry(1L) === 0L)
+    assert(!regionIn(1L, 99L))
+    dropHierarchy("")
+  }
+}
