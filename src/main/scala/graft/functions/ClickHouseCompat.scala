@@ -1967,6 +1967,48 @@ object ClickHouseCompat {
     // formatRow / formatRowNoNewline over the format surface (variadic
     // Catalyst expressions — ref src/Functions/formatRow.cpp)
     FormatRow.install(spark)
+    // detectLanguageMixed (ref src/Functions/FunctionsLanguageDetection
+    // — CLD2-backed in the reference): script-block classification per
+    // word with the same stopword-driven 'en'/'un' split detectLanguage
+    // uses for Latin text; returns language -> fraction. Documented
+    // heuristic analog (no CLD2 model in scope).
+    spark.udf.register("detectLanguageMixed", (s: String) => {
+      if (s == null) Map.empty[String, Float]
+      else {
+        val words = s.split("[^\\p{L}]+").filter(_.nonEmpty)
+        if (words.isEmpty) Map.empty[String, Float]
+        else {
+          val en = Set("the", "a", "an", "of", "and", "to", "in", "is",
+            "it", "that", "on", "for", "with", "as", "was", "at", "by")
+          val langs = words.map { w =>
+            val c = w.codePointAt(0)
+            java.lang.Character.UnicodeScript.of(c) match {
+              case java.lang.Character.UnicodeScript.CYRILLIC => "ru"
+              case java.lang.Character.UnicodeScript.HAN => "zh"
+              case java.lang.Character.UnicodeScript.HIRAGANA |
+                  java.lang.Character.UnicodeScript.KATAKANA => "ja"
+              case java.lang.Character.UnicodeScript.HANGUL => "ko"
+              case java.lang.Character.UnicodeScript.ARABIC => "ar"
+              case java.lang.Character.UnicodeScript.HEBREW => "he"
+              case java.lang.Character.UnicodeScript.GREEK => "el"
+              case java.lang.Character.UnicodeScript.DEVANAGARI => "hi"
+              case java.lang.Character.UnicodeScript.THAI => "th"
+              case java.lang.Character.UnicodeScript.LATIN => "latin"
+              case _ => "un"
+            }
+          }
+          val latinWords = words.zip(langs).collect { case (w, "latin") => w }
+          val latinLang =
+            if (latinWords.nonEmpty &&
+              latinWords.count(w => en(w.toLowerCase)).toDouble /
+                latinWords.length >= 0.03) "en"
+            else "un"
+          langs.map(l => if (l == "latin") latinLang else l)
+            .groupBy(identity)
+            .map { case (l, g) => l -> g.length.toFloat / langs.length }
+        }
+      }
+    })
     // region (geobase) dictionary family over the RegionDictionaries
     // catalog (ref FunctionsEmbeddedDictionaries.h; hierarchies are
     // user-registered, same as the reference's geobase files)

@@ -388,4 +388,21 @@ class FormatsSpec extends SparkSpec {
         d.collect().map(_.toString).toSeq, fmt)
     }
   }
+
+  test("02157/01232: LineAsString output raw; JSONAsString brace-matched objects") {
+    val schema = StructType(Seq(chField("x", StringType, "String")))
+    // 02157: no escaping at all on output
+    assert(OutputFormats.write(df(schema, Row("Hello \\ World")), "LineAsString")
+      === "Hello \\ World\n")
+    // 01232: objects split on matching braces, quotes/escapes respected,
+    // nested maps and braces inside strings kept verbatim
+    val payload =
+      "{\n \"id\" : 1,\n \"string\" : \"123{{{\\\"\\\\\",\n \"map\": {\"a\" : 1}\n},\n" +
+        "{\n \"id\" : 2,\n \"string\" : \"{another\\\"\\n string}}\",\n \"map\" : {\"z\" : 1}\n}"
+    val out = InputFormats.parse(spark, payload, "JSONAsString").collect()
+    assert(out.length === 2)
+    assert(out(0).getString(0).startsWith("{") && out(0).getString(0).endsWith("}"))
+    assert(out(0).getString(0).contains("123{{{"))
+    assert(out(1).getString(0).contains("{another"))
+  }
 }

@@ -113,3 +113,18 @@ class RegionDictionariesSpec extends AnyFunSuite {
     dropHierarchy("")
   }
 }
+
+class DetectLanguageMixedSpec extends SparkSpec {
+  test("detectLanguageMixed: script + stopword fractions") {
+    val r = spark.sql(
+      "SELECT detectLanguageMixed('the cat sat on the mat Привет мир') AS m")
+      .head().getMap[String, Float](0)
+    assert(math.abs(r("en") - 0.75f) < 1e-6)
+    assert(math.abs(r("ru") - 0.25f) < 1e-6)
+    val zh = spark.sql("SELECT detectLanguageMixed('你好 世界') AS m")
+      .head().getMap[String, Float](0)
+    assert(math.abs(zh("zh") - 1.0f) < 1e-6)
+    assert(spark.sql("SELECT detectLanguageMixed('') AS m")
+      .head().getMap[String, Float](0).isEmpty)
+  }
+}
