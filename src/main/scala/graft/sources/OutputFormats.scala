@@ -228,7 +228,7 @@ object OutputFormats {
             .mkString("(", ", ", ")"))
             .mkString(s"$verb ${s.sqlInsertTableName}$names VALUES ", ", ", ";\n")
         }.mkString
-      case "json" | "jsoncompact" | "jsonstrings" =>
+      case "json" | "jsoncompact" | "jsonstrings" | "jsoncompactstrings" =>
         val rows = rows0
         val sb = new StringBuilder
         sb.append("{\n\t\"meta\":\n\t[\n")
@@ -245,6 +245,10 @@ object OutputFormats {
           }
           case "jsoncompact" => rows.map { r =>
             cs.map(c => jsonText(r.get(c.idx), c.dt, c.ch, s.quote64BitIntegers))
+              .mkString("\t\t[", ", ", "]")
+          }
+          case "jsoncompactstrings" => rows.map { r =>
+            cs.map(c => "\"" + escapeJson(plainText(r.get(c.idx), c.dt)) + "\"")
               .mkString("\t\t[", ", ", "]")
           }
           case _ => rows.map { r =>
@@ -397,7 +401,8 @@ object OutputFormats {
     ("SQLInsert", false, true), ("MySQLDump", true, false),
     ("Vertical", false, true), ("XML", false, true),
     ("JSON", false, true), ("JSONCompact", false, true),
-    ("JSONStrings", false, true), ("JSONColumns", true, true),
+    ("JSONStrings", false, true), ("JSONCompactStrings", false, true),
+    ("JSONColumns", true, true),
     ("JSONCompactColumns", true, true), ("JSONColumnsWithMetadata", false, true),
     ("JSONEachRow", true, true), ("JSONStringsEachRow", false, true),
     ("JSONCompactEachRow", true, true),

@@ -405,4 +405,12 @@ class FormatsSpec extends SparkSpec {
     assert(out(0).getString(0).contains("123{{{"))
     assert(out(1).getString(0).contains("{another"))
   }
+
+  test("JSONCompactStrings: framed compact rows with stringified values") {
+    val schema = StructType(Seq(
+      chField("n", LongType, "UInt64"), chField("s", StringType, "String")))
+    val out = OutputFormats.write(df(schema, Row(7L, "x")), "JSONCompactStrings")
+    assert(out.contains("\t\t[\"7\", \"x\"]"))
+    assert(out.contains("\"rows\": 1"))
+  }
 }

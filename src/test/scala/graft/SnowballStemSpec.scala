@@ -128,3 +128,28 @@ class DetectLanguageMixedSpec extends SparkSpec {
       .head().getMap[String, Float](0).isEmpty)
   }
 }
+
+class NlpSqlSurfaceSpec extends SparkSpec {
+  test("stem/lemmatize/synonyms/regionTo* resolve as SQL functions") {
+    assert(spark.sql("SELECT stem('en', 'possibility') AS s").head().getString(0)
+      === "possibl")
+    graft.functions.NlpDictionaries.createLemmaDict("sqlt", Map("wolves" -> "wolf"))
+    graft.functions.NlpDictionaries.createSynonymsExtensionPlain("sqlt",
+      "big large huge\n")
+    assert(spark.sql("SELECT lemmatize('sqlt', 'wolves') AS l").head().getString(0)
+      === "wolf")
+    assert(spark.sql("SELECT synonyms('sqlt', 'large') AS g")
+      .head().getSeq[String](0) === Seq("big", "large", "huge"))
+    graft.functions.RegionDictionaries.createHierarchy("", Seq(
+      graft.functions.RegionDictionaries.Region(1L, 0L, 1, 0L),
+      graft.functions.RegionDictionaries.Region(2L, 1L, 3, 0L),
+      graft.functions.RegionDictionaries.Region(3L, 2L, 6, 0L)))
+    assert(spark.sql("SELECT regionToCountry(3) AS c").head().getLong(0) === 2L)
+    assert(spark.sql("SELECT regionIn(3, 1) AS i").head().getBoolean(0))
+    assert(spark.sql("SELECT regionHierarchy(3) AS h").head().getSeq[Long](0)
+      === Seq(3L, 2L, 1L))
+    graft.functions.NlpDictionaries.dropLemmaDict("sqlt")
+    graft.functions.NlpDictionaries.dropSynonymsExtension("sqlt")
+    graft.functions.RegionDictionaries.dropHierarchy("")
+  }
+}
