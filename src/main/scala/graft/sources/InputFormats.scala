@@ -389,7 +389,7 @@ object InputFormats {
         toDf(spark, data.split("\n", -1).toSeq.dropRight(
           if (data.endsWith("\n")) 1 else 0).map(Row(_)), schema)
 
-      case "jsonasstring" =>
+      case "jsonasstring" | "jsonasobject" =>
         val name = declared.map(_.fields(0).name).getOrElse("json")
         val schema = StructType(Seq(StructField(name, StringType, nullable = false)))
         toDf(spark, jsonChunks(stripSquare(data), '{', '}').map(Row(_)), schema)
@@ -479,7 +479,7 @@ object InputFormats {
         }
         toDf(spark, rows, schema)
 
-      case "customseparated" =>
+      case "customseparated" | "customseparatedignorespaces" =>
         val schema = declared.getOrElse(throw new IllegalArgumentException(
           "CustomSeparated needs structure"))
         var body = data

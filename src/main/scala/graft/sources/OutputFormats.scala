@@ -410,6 +410,7 @@ object OutputFormats {
     ("JSONCompactEachRowWithNamesAndTypes", true, true),
     ("JSONCompactStringsEachRow", false, true),
     ("JSONObjectEachRow", false, true), ("JSONAsString", true, false),
+    ("JSONAsObject", true, false), ("CustomSeparatedIgnoreSpaces", true, false),
     ("Pretty", false, true), ("PrettyCompact", false, true),
     ("PrettySpace", false, true), ("PrettyNoEscapes", false, true),
     ("PrettyCompactNoEscapes", false, true),
