@@ -9,7 +9,7 @@ import graft.sources.{InputFormats, OutputFormats}
 /** Driver-checked queries for the I/O format surface (SURVEY §2.2).
   *
   * q76 proves the format codecs end-to-end the only way a SQL oracle
-  * can: twelve formats each WRITE → PARSE round trip the same orders
+  * can: thirteen formats each WRITE → PARSE round trip the same orders
   * slice, and the aggregate of each round-tripped frame must equal the
   * aggregate DuckDB computes directly from parquet. A format that drops
   * a row, mangles an escape, shifts a date, or loses float precision
@@ -55,6 +55,8 @@ object FormatQueries {
         "json_each_row" -> InputFormats.parse(s,
           OutputFormats.write(base, "JSONEachRow"),
           "JSONEachRow", Some(fmtStructure)),
+        "native" -> InputFormats.parseBytes(s,
+          OutputFormats.writeBytes(base, "Native"), "Native"),
         "mysql_dump" -> InputFormats.parse(s,
           OutputFormats.write(base, "SQLInsert"),
           "MySQLDump", Some(fmtStructure)),
@@ -119,7 +121,7 @@ object FormatQueries {
       fmts AS (
         SELECT unnest(['csv_typed', 'custom_separated', 'json_compact_typed',
                        'json_each_row', 'json_framed', 'jsoncolumns',
-                       'mysql_dump', 'row_binary', 'template', 'tskv',
+                       'mysql_dump', 'native', 'row_binary', 'template', 'tskv',
                        'tsv_typed', 'values']) AS fmt)
       SELECT fmt, cnt, key_sum, price_sum, first_day
       FROM fmts CROSS JOIN base

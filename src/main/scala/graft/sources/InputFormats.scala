@@ -586,6 +586,7 @@ object InputFormats {
       format: String,
       structure: Option[String] = None): DataFrame =
     OutputFormats.canon(format) match {
+      case "native" => NativeFormat.read(spark, bytes)
       case "rowbinary" =>
         RowBinaryFormat.read(spark, bytes, structure.map(ChTypes.structure),
           withNames = false, withTypes = false)

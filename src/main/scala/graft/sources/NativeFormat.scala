@@ -1,0 +1,263 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+import java.time.{LocalDate, LocalDateTime, ZoneOffset}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** The Native block format — the reference's own columnar wire/file
+  * format (ref `src/Formats/NativeWriter.cpp:81-131` /
+  * `NativeReader.cpp`; the `Native` FORMAT file path serializes with
+  * `client_revision = 0`, so no custom-serialization marker byte).
+  *
+  * Block layout: varint n_columns, varint n_rows, then per column:
+  * varint-length name, varint-length type string, column data in bulk —
+  * numbers as contiguous little-endian values, String as per-value
+  * varint+bytes, Date as UInt16 days, DateTime as UInt32 seconds,
+  * Nullable as the full null-map byte vector FIRST then the nested
+  * values (defaults in null slots), Array as n_rows cumulative UInt64
+  * offsets then the flattened elements
+  * (`SerializationNullable/SerializationArray` bulk streams).
+  *
+  * Scope: the scalar/Nullable/Array(scalar) lattice the engine's format
+  * surface uses; deeper nesting is a documented deviation. Round-trip
+  * pinned in FormatsSpec; one block per write (the reference emits one
+  * block per chunk — readers accept any block count, and [[read]]
+  * concatenates).
+  */
+object NativeFormat {
+
+  private def writeVarint(out: ByteArrayOutputStream, value0: Long): Unit = {
+    var value = value0
+    while ((value & ~0x7fL) != 0) {
+      out.write(((value & 0x7f) | 0x80).toInt); value >>>= 7
+    }
+    out.write(value.toInt)
+  }
+
+  private def writeFixed(out: ByteArrayOutputStream, v: Long, bytes: Int): Unit = {
+    var i = 0
+    while (i < bytes) { out.write(((v >> (8 * i)) & 0xff).toInt); i += 1 }
+  }
+
+  private def writeStr(out: ByteArrayOutputStream, s: String): Unit = {
+    val b = s.getBytes("UTF-8"); writeVarint(out, b.length.toLong); out.write(b)
+  }
+
+  private def scalarWidth(dt: DataType, ch: String): Int = ch match {
+    case "UInt8" | "Int8" | "Bool" => 1
+    case "UInt16" | "Int16" | "Date" => 2
+    case "UInt32" | "Int32" | "DateTime" => 4
+    case _ => dt match {
+      case ByteType | BooleanType => 1
+      case ShortType => 2
+      case IntegerType => 4
+      case LongType | DoubleType => 8
+      case FloatType => 4
+      case DateType => 2
+      case _: TimestampType | TimestampNTZType => 4
+      case _ => 8
+    }
+  }
+
+  private def toBits(v: Any, dt: DataType): Long = dt match {
+    case ByteType => v.asInstanceOf[Byte].toLong
+    case ShortType => v.asInstanceOf[Short].toLong
+    case IntegerType => v.asInstanceOf[Int].toLong
+    case LongType => v.asInstanceOf[Long]
+    case FloatType => java.lang.Float.floatToIntBits(v.asInstanceOf[Float]).toLong
+    case DoubleType => java.lang.Double.doubleToLongBits(v.asInstanceOf[Double])
+    case BooleanType => if (v.asInstanceOf[Boolean]) 1L else 0L
+    case DateType => v match {
+      case d: java.sql.Date => d.toLocalDate.toEpochDay
+      case d: LocalDate => d.toEpochDay
+    }
+    case _: TimestampType => v match {
+      case t: java.sql.Timestamp => t.getTime / 1000
+      case t: java.time.Instant => t.getEpochSecond
+    }
+    case TimestampNTZType =>
+      v.asInstanceOf[LocalDateTime].toEpochSecond(ZoneOffset.UTC)
+    case other => throw new IllegalArgumentException(s"Native: $other")
+  }
+
+  private def writeScalarColumn(out: ByteArrayOutputStream, values: Seq[Any],
+      dt: DataType, ch: String): Unit = dt match {
+    case StringType => values.foreach(v => writeStr(out, String.valueOf(v)))
+    case BinaryType => values.foreach { v =>
+      val b = v.asInstanceOf[Array[Byte]]
+      writeVarint(out, b.length.toLong); out.write(b)
+    }
+    case d: DecimalType =>
+      val bytes = if (d.precision <= 9) 4 else if (d.precision <= 18) 8 else 16
+      values.foreach { v =>
+        val unscaled = (v match {
+          case x: java.math.BigDecimal => x
+          case x: BigDecimal => x.underlying
+        }).setScale(d.scale).unscaledValue
+        val buf = new Array[Byte](bytes)
+        val src = unscaled.toByteArray
+        java.util.Arrays.fill(buf, if (unscaled.signum < 0) (-1).toByte else 0.toByte)
+        var i = 0
+        while (i < math.min(bytes, src.length)) {
+          buf(i) = src(src.length - 1 - i); i += 1
+        }
+        out.write(buf)
+      }
+    case _ =>
+      val w = scalarWidth(dt, ch)
+      values.foreach(v => writeFixed(out, toBits(v, dt), w))
+  }
+
+  private def default(dt: DataType): Any = FormatCodec.defaultValue(dt)
+
+  def write(df: DataFrame): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val fields = df.schema.fields
+    val rows = df.collect()
+    writeVarint(out, fields.length.toLong)
+    writeVarint(out, rows.length.toLong)
+    fields.zipWithIndex.foreach { case (f, i) =>
+      val ch = ChTypes.chName(f)
+      writeStr(out, f.name)
+      writeStr(out, ch)
+      val values = rows.toSeq.map(_.get(i))
+      val chBase =
+        if (ch.startsWith("Nullable(")) ch.substring(9, ch.length - 1) else ch
+      if (ch.startsWith("Nullable(")) {
+        values.foreach(v => out.write(if (v == null) 1 else 0))
+        writeScalarColumn(out,
+          values.map(v => if (v == null) default(f.dataType) else v),
+          f.dataType, chBase)
+      } else f.dataType match {
+        case a: ArrayType =>
+          val items = values.map {
+            case null => Seq.empty[Any]
+            case s: scala.collection.Seq[_] => s.toSeq
+            case arr: Array[_] => arr.toSeq
+          }
+          var cum = 0L
+          items.foreach { it => cum += it.size; writeFixed(out, cum, 8) }
+          val elemCh =
+            if (chBase.startsWith("Array(") && chBase.endsWith(")"))
+              chBase.substring(6, chBase.length - 1)
+            else ""
+          writeScalarColumn(out, items.flatten, a.elementType, elemCh)
+        case dt =>
+          writeScalarColumn(out,
+            values.map(v => if (v == null) default(dt) else v), dt, chBase)
+      }
+    }
+    out.toByteArray
+  }
+
+  // -------------------------------------------------------------------- read
+
+  private final class Reader(bytes: Array[Byte]) {
+    val buf: ByteBuffer = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def varint(): Long = {
+      var shift = 0; var out = 0L; var b = 0
+      do {
+        b = buf.get() & 0xff; out |= (b & 0x7fL) << shift; shift += 7
+      } while ((b & 0x80) != 0)
+      out
+    }
+    def fixed(n: Int): Long = {
+      var out = 0L; var i = 0
+      while (i < n) { out |= (buf.get() & 0xffL) << (8 * i); i += 1 }
+      out
+    }
+    def signedFixed(n: Int): Long = {
+      val raw = fixed(n); val shift = 64 - 8 * n
+      if (n >= 8) raw else (raw << shift) >> shift
+    }
+    def str(): String = {
+      val len = varint().toInt
+      val b = new Array[Byte](len); buf.get(b); new String(b, "UTF-8")
+    }
+    def hasRemaining: Boolean = buf.hasRemaining
+  }
+
+  private def readScalar(in: Reader, dt: DataType, ch: String): Any = dt match {
+    case StringType => in.str()
+    case BinaryType =>
+      val len = in.varint().toInt
+      val b = new Array[Byte](len); in.buf.get(b); b
+    case d: DecimalType =>
+      val bytes = if (d.precision <= 9) 4 else if (d.precision <= 18) 8 else 16
+      val raw = new Array[Byte](bytes); in.buf.get(raw)
+      new java.math.BigDecimal(new java.math.BigInteger(raw.reverse), d.scale)
+    case ByteType => in.signedFixed(1).toByte
+    case ShortType =>
+      if (ch == "UInt8") (in.fixed(1) & 0xff).toShort
+      else in.signedFixed(scalarWidth(dt, ch)).toShort
+    case IntegerType =>
+      if (ch == "UInt16") (in.fixed(2) & 0xffff).toInt
+      else in.signedFixed(scalarWidth(dt, ch)).toInt
+    case LongType =>
+      if (ch == "UInt32") in.fixed(4) & 0xffffffffL
+      else in.signedFixed(scalarWidth(dt, ch))
+    case FloatType => java.lang.Float.intBitsToFloat(in.fixed(4).toInt)
+    case DoubleType => java.lang.Double.longBitsToDouble(in.fixed(8))
+    case BooleanType => in.fixed(1) != 0
+    case DateType => java.sql.Date.valueOf(LocalDate.ofEpochDay(in.fixed(2)))
+    case _: TimestampType => new java.sql.Timestamp(in.fixed(4) * 1000L)
+    case TimestampNTZType =>
+      LocalDateTime.ofEpochSecond(in.fixed(4), 0, ZoneOffset.UTC)
+    case other => throw new IllegalArgumentException(s"Native: $other")
+  }
+
+  /** Parse one or more Native blocks; the first block's header is the
+    * schema (self-describing, like the reference's reader).
+    */
+  def read(spark: SparkSession, bytes: Array[Byte]): DataFrame = {
+    val in = new Reader(bytes)
+    var schema: StructType = null
+    val rows = Seq.newBuilder[Row]
+    while (in.hasRemaining) {
+      val nCols = in.varint().toInt
+      val nRows = in.varint().toInt
+      val colValues = new Array[Seq[Any]](nCols)
+      val fields = new Array[StructField](nCols)
+      for (c <- 0 until nCols) {
+        val name = in.str()
+        val ch = in.str()
+        val (dt, nullable) = ChTypes.toSpark(ch)
+        fields(c) = StructField(name, dt, nullable,
+          new MetadataBuilder().putString(ChTypes.MetaKey, ch).build())
+        val chBase =
+          if (ch.startsWith("Nullable(")) ch.substring(9, ch.length - 1) else ch
+        colValues(c) =
+          if (ch.startsWith("Nullable(")) {
+            val nulls = (0 until nRows).map(_ => in.buf.get() == 1)
+            val vals = (0 until nRows).map(_ => readScalar(in, dt, chBase))
+            nulls.zip(vals).map { case (isNull, v) => if (isNull) null else v }
+          } else dt match {
+            case a: ArrayType =>
+              val offsets = (0 until nRows).map(_ => in.fixed(8))
+              val elemCh =
+                if (chBase.startsWith("Array(") && chBase.endsWith(")"))
+                  chBase.substring(6, chBase.length - 1)
+                else ""
+              val total = offsets.lastOption.getOrElse(0L).toInt
+              val flat = (0 until total).map(_ =>
+                readScalar(in, a.elementType, elemCh))
+              val starts = 0L +: offsets.dropRight(1)
+              starts.zip(offsets).map { case (s0, e0) =>
+                flat.slice(s0.toInt, e0.toInt)
+              }
+            case dt1 => (0 until nRows).map(_ => readScalar(in, dt1, chBase))
+          }
+      }
+      if (schema == null) schema = StructType(fields)
+      for (r <- 0 until nRows)
+        rows += Row.fromSeq((0 until nCols).map(c => colValues(c)(r)))
+    }
+    require(schema != null, "Native: empty input")
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows.result()).asJava), schema)
+  }
+}

@@ -416,6 +416,7 @@ object OutputFormats {
     ("PrettyCompactNoEscapes", false, true),
     ("PrettySpaceNoEscapes", false, true),
     ("PrettyCompactMonoBlock", false, true),
+    ("Native", true, true),
     ("RowBinary", true, true), ("RowBinaryWithNames", true, true),
     ("RowBinaryWithNamesAndTypes", true, true),
     ("LineAsString", true, true), ("RawBLOB", true, true),
@@ -429,6 +430,7 @@ object OutputFormats {
   /** Binary output formats → raw bytes. */
   def writeBytes(df: DataFrame, format: String, s: Settings = Settings()): Array[Byte] =
     canon(format) match {
+      case "native" => NativeFormat.write(df)
       case "rowbinary" => RowBinaryFormat.write(df, withNames = false, withTypes = false)
       case "rowbinarywithnames" => RowBinaryFormat.write(df, withNames = true, withTypes = false)
       case "rowbinarywithnamesandtypes" =>

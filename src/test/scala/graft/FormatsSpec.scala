@@ -413,4 +413,28 @@ class FormatsSpec extends SparkSpec {
     assert(out.contains("\t\t[\"7\", \"x\"]"))
     assert(out.contains("\"rows\": 1"))
   }
+
+  test("Native: columnar block round-trip incl. Nullable and Array columns") {
+    val schema = StructType(Seq(
+      chField("n", LongType, "UInt64"),
+      chField("s", StringType, "String"),
+      chField("opt", StringType, "Nullable(String)", nullable = true),
+      chField("arr", ArrayType(LongType, containsNull = false), "Array(UInt64)"),
+      chField("d", DateType, "Date"),
+      chField("f", DoubleType, "Float64")))
+    val d = df(schema,
+      Row(1L, "a", "x", Seq(1L, 2L), java.sql.Date.valueOf("2020-01-01"), 1.5),
+      Row(2L, "b", null, Seq.empty[Long], java.sql.Date.valueOf("2021-06-15"), -2.25),
+      Row(3L, "c", "z", Seq(7L), java.sql.Date.valueOf("1970-01-01"), 0.0))
+    val bytes = OutputFormats.writeBytes(d, "Native")
+    // header: 6 columns, 3 rows
+    assert((bytes(0) & 0xff) === 6 && (bytes(1) & 0xff) === 3)
+    val back = InputFormats.parseBytes(spark, bytes, "Native")
+    assert(back.schema.fields.map(ChTypes.chName).toSeq ===
+      schema.fields.map(ChTypes.chName).toSeq)
+    assert(back.collect().map(_.toString).toSeq === d.collect().map(_.toString).toSeq)
+    // two concatenated blocks read as one frame
+    val twice = bytes ++ bytes
+    assert(InputFormats.parseBytes(spark, twice, "Native").count() === 6)
+  }
 }
