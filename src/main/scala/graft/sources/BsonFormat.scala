@@ -1,0 +1,212 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+import java.time.{LocalDate, LocalDateTime, ZoneOffset}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** BSONEachRow — one BSON document per row (ref
+  * `src/Processors/Formats/Impl/BSONEachRow{RowOutput,RowInput}Format
+  * .cpp`, type codes `src/Formats/BSONTypes.h`; the BSON wire format is
+  * the published MongoDB spec). Mapping follows the reference:
+  * Int8/16/32 + Date → INT32, Int64-class + DateTime → INT64 (epoch
+  * seconds), floats → DOUBLE, Bool → BOOL, String → STRING
+  * (length-prefixed, NUL-terminated), NULL → NULL_VALUE, Array →
+  * ARRAY subdocument with "0","1",… keys. Scalar/Array(scalar)
+  * lattice; deeper nesting documented out. Round-trip pinned in
+  * FormatsSpec.
+  */
+object BsonFormat {
+
+  private val TDouble = 0x01
+  private val TString = 0x02
+  private val TArray = 0x04
+  private val TBool = 0x08
+  private val TNull = 0x0a
+  private val TInt32 = 0x10
+  private val TInt64 = 0x12
+
+  private def i32(out: ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >> 8) & 0xff)
+    out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+  }
+
+  private def i64(out: ByteArrayOutputStream, v: Long): Unit = {
+    var i = 0
+    while (i < 8) { out.write(((v >> (8 * i)) & 0xff).toInt); i += 1 }
+  }
+
+  private def cstr(out: ByteArrayOutputStream, s: String): Unit = {
+    out.write(s.getBytes("UTF-8")); out.write(0)
+  }
+
+  private def writeElement(out: ByteArrayOutputStream, name: String, v: Any,
+      dt: DataType): Unit = {
+    if (v == null) { out.write(TNull); cstr(out, name); return }
+    dt match {
+      case ByteType | ShortType | IntegerType =>
+        out.write(TInt32); cstr(out, name)
+        i32(out, v match {
+          case b: java.lang.Byte => b.intValue
+          case s: java.lang.Short => s.intValue
+          case i: java.lang.Integer => i.intValue
+        })
+      case DateType =>
+        out.write(TInt32); cstr(out, name)
+        i32(out, (v match {
+          case d: java.sql.Date => d.toLocalDate.toEpochDay
+          case d: LocalDate => d.toEpochDay
+        }).toInt)
+      case LongType =>
+        out.write(TInt64); cstr(out, name); i64(out, v.asInstanceOf[Long])
+      case _: TimestampType =>
+        out.write(TInt64); cstr(out, name)
+        i64(out, v.asInstanceOf[java.sql.Timestamp].getTime / 1000)
+      case TimestampNTZType =>
+        out.write(TInt64); cstr(out, name)
+        i64(out, v.asInstanceOf[LocalDateTime].toEpochSecond(ZoneOffset.UTC))
+      case FloatType =>
+        out.write(TDouble); cstr(out, name)
+        i64(out, java.lang.Double.doubleToLongBits(v.asInstanceOf[Float].toDouble))
+      case DoubleType =>
+        out.write(TDouble); cstr(out, name)
+        i64(out, java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]))
+      case BooleanType =>
+        out.write(TBool); cstr(out, name)
+        out.write(if (v.asInstanceOf[Boolean]) 1 else 0)
+      case StringType =>
+        out.write(TString); cstr(out, name)
+        val b = String.valueOf(v).getBytes("UTF-8")
+        i32(out, b.length + 1); out.write(b); out.write(0)
+      case a: ArrayType =>
+        out.write(TArray); cstr(out, name)
+        val items = v match {
+          case s: scala.collection.Seq[_] => s.toSeq
+          case arr: Array[_] => arr.toSeq
+        }
+        val sub = new ByteArrayOutputStream()
+        items.zipWithIndex.foreach { case (x, i) =>
+          writeElement(sub, i.toString, x, a.elementType)
+        }
+        i32(out, 4 + sub.size + 1)
+        sub.writeTo(out); out.write(0)
+      case other =>
+        throw new IllegalArgumentException(s"BSONEachRow: unsupported $other")
+    }
+  }
+
+  def write(df: DataFrame): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val fields = df.schema.fields
+    df.collect().foreach { r =>
+      val doc = new ByteArrayOutputStream()
+      fields.zipWithIndex.foreach { case (f, i) =>
+        writeElement(doc, f.name, r.get(i), f.dataType)
+      }
+      i32(out, 4 + doc.size + 1)
+      doc.writeTo(out)
+      out.write(0)
+    }
+    out.toByteArray
+  }
+
+  // -------------------------------------------------------------------- read
+
+  private def readElements(buf: ByteBuffer): Map[String, Any] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+    var t = buf.get() & 0xff
+    while (t != 0) {
+      val name = {
+        val sb = new StringBuilder
+        var c = buf.get()
+        while (c != 0) { sb.append(c.toChar); c = buf.get() }
+        sb.toString
+      }
+      val v: Any = t match {
+        case TDouble => java.lang.Double.longBitsToDouble(buf.getLong)
+        case TString =>
+          val len = buf.getInt
+          val b = new Array[Byte](len - 1); buf.get(b); buf.get()
+          new String(b, "UTF-8")
+        case TArray =>
+          val start = buf.position()
+          val size = buf.getInt
+          val inner = readElements(buf)
+          require(buf.position() == start + size, "BSON: bad array size")
+          inner.values.toSeq
+        case TBool => buf.get() == 1
+        case TNull => null
+        case TInt32 => buf.getInt
+        case TInt64 => buf.getLong
+        case other =>
+          throw new IllegalArgumentException(s"BSONEachRow: type 0x$other%02x")
+      }
+      out += name -> v
+      t = buf.get() & 0xff
+    }
+    scala.collection.immutable.SeqMap.from(out)
+  }
+
+  private def coerce(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (x: Int, ByteType) => x.toByte
+    case (x: Int, ShortType) => x.toShort
+    case (x: Int, IntegerType) => x
+    case (x: Int, LongType) => x.toLong
+    case (x: Int, DateType) => java.sql.Date.valueOf(LocalDate.ofEpochDay(x.toLong))
+    case (x: Long, LongType) => x
+    case (x: Long, IntegerType) => x.toInt
+    case (x: Long, _: TimestampType) => new java.sql.Timestamp(x * 1000L)
+    case (x: Long, TimestampNTZType) =>
+      LocalDateTime.ofEpochSecond(x, 0, ZoneOffset.UTC)
+    case (x: Double, DoubleType) => x
+    case (x: Double, FloatType) => x.toFloat
+    case (x: Boolean, BooleanType) => x
+    case (x: String, StringType) => x
+    case (x: Seq[_], a: ArrayType) => x.map(e => coerce(e, a.elementType))
+    case (x, StringType) => String.valueOf(x)
+    case (x, other) =>
+      throw new IllegalArgumentException(s"BSONEachRow: cannot read $x as $other")
+  }
+
+  def read(spark: SparkSession, bytes: Array[Byte],
+      structure: Option[StructType]): DataFrame = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val docs = Seq.newBuilder[Map[String, Any]]
+    while (buf.hasRemaining) {
+      val start = buf.position()
+      val size = buf.getInt
+      docs += readElements(buf)
+      require(buf.position() == start + size, "BSON: bad document size")
+    }
+    val parsed = docs.result()
+    val schema = structure.getOrElse {
+      val keys = scala.collection.mutable.LinkedHashSet.empty[String]
+      parsed.foreach(_.keys.foreach(keys += _))
+      StructType(keys.toSeq.map { k =>
+        val dt = parsed.flatMap(_.get(k)).collectFirst {
+          case _: Int => LongType
+          case _: Long => LongType
+          case _: Double => DoubleType
+          case _: Boolean => BooleanType
+          case _: Seq[_] => ArrayType(LongType)
+          case _: String => StringType
+        }.getOrElse(StringType)
+        StructField(k, dt, nullable = true)
+      })
+    }
+    val rows = parsed.map { m =>
+      Row.fromSeq(schema.fields.toSeq.map { f =>
+        m.get(f.name) match {
+          case Some(v) => coerce(v, f.dataType)
+          case None => null
+        }
+      })
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+  }
+}

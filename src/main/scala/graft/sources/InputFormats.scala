@@ -587,6 +587,8 @@ object InputFormats {
       structure: Option[String] = None): DataFrame =
     OutputFormats.canon(format) match {
       case "native" => NativeFormat.read(spark, bytes)
+      case "bsoneachrow" =>
+        BsonFormat.read(spark, bytes, structure.map(ChTypes.structure))
       case "rowbinary" =>
         RowBinaryFormat.read(spark, bytes, structure.map(ChTypes.structure),
           withNames = false, withTypes = false)

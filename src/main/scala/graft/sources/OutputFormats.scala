@@ -416,7 +416,7 @@ object OutputFormats {
     ("PrettyCompactNoEscapes", false, true),
     ("PrettySpaceNoEscapes", false, true),
     ("PrettyCompactMonoBlock", false, true),
-    ("Native", true, true),
+    ("Native", true, true), ("BSONEachRow", true, true),
     ("RowBinary", true, true), ("RowBinaryWithNames", true, true),
     ("RowBinaryWithNamesAndTypes", true, true),
     ("LineAsString", true, true), ("RawBLOB", true, true),
@@ -431,6 +431,7 @@ object OutputFormats {
   def writeBytes(df: DataFrame, format: String, s: Settings = Settings()): Array[Byte] =
     canon(format) match {
       case "native" => NativeFormat.write(df)
+      case "bsoneachrow" => BsonFormat.write(df)
       case "rowbinary" => RowBinaryFormat.write(df, withNames = false, withTypes = false)
       case "rowbinarywithnames" => RowBinaryFormat.write(df, withNames = true, withTypes = false)
       case "rowbinarywithnamesandtypes" =>

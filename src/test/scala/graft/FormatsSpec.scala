@@ -437,4 +437,27 @@ class FormatsSpec extends SparkSpec {
     val twice = bytes ++ bytes
     assert(InputFormats.parseBytes(spark, twice, "Native").count() === 6)
   }
+
+  test("BSONEachRow: one document per row, round-trip with declared structure") {
+    val schema = StructType(Seq(
+      chField("n", LongType, "Int64"),
+      chField("s", StringType, "String"),
+      chField("opt", StringType, "Nullable(String)", nullable = true),
+      chField("arr", ArrayType(LongType, containsNull = false), "Array(Int64)"),
+      chField("b", BooleanType, "Bool"),
+      chField("f", DoubleType, "Float64")))
+    val d = df(schema,
+      Row(1L, "a", "x", Seq(1L, 2L), true, 1.5),
+      Row(2L, "b\u00e9ta", null, Seq.empty[Long], false, -2.25))
+    val bytes = OutputFormats.writeBytes(d, "BSONEachRow")
+    // first document: int32 size then type byte 0x12 (INT64) + "n\0"
+    assert((bytes(4) & 0xff) === 0x12 && bytes(5) === 'n'.toByte && bytes(6) === 0)
+    val back = InputFormats.parseBytes(spark, bytes, "BSONEachRow",
+      Some("n Int64, s String, opt Nullable(String), arr Array(Int64), b Bool, f Float64"))
+    assert(back.collect().map(_.toString).toSeq === d.collect().map(_.toString).toSeq)
+    // self-describing read (schema from the documents)
+    val inferred = InputFormats.parseBytes(spark, bytes, "BSONEachRow")
+    assert(inferred.columns.toSeq === Seq("n", "s", "opt", "arr", "b", "f"))
+    assert(inferred.count() === 2)
+  }
 }
