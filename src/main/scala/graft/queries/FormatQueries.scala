@@ -9,7 +9,7 @@ import graft.sources.{InputFormats, OutputFormats}
 /** Driver-checked queries for the I/O format surface (SURVEY §2.2).
   *
   * q76 proves the format codecs end-to-end the only way a SQL oracle
-  * can: thirteen formats each WRITE → PARSE round trip the same orders
+  * can: fourteen formats each WRITE → PARSE round trip the same orders
   * slice, and the aggregate of each round-tripped frame must equal the
   * aggregate DuckDB computes directly from parquet. A format that drops
   * a row, mangles an escape, shifts a date, or loses float precision
@@ -43,6 +43,9 @@ object FormatQueries {
     "q76_format_roundtrip" -> ((s, dir) => {
       val base = slice(s, dir)
       val frames = Seq(
+        "bson_each_row" -> InputFormats.parseBytes(s,
+          OutputFormats.writeBytes(base, "BSONEachRow"), "BSONEachRow",
+          Some(fmtStructure)),
         "csv_typed" -> InputFormats.parse(s,
           OutputFormats.write(base, "CSVWithNamesAndTypes"),
           "CSVWithNamesAndTypes"),
@@ -119,7 +122,7 @@ object FormatQueries {
                CAST(min(o_orderdate) AS VARCHAR) AS first_day
         FROM orders WHERE o_orderkey <= 500),
       fmts AS (
-        SELECT unnest(['csv_typed', 'custom_separated', 'json_compact_typed',
+        SELECT unnest(['bson_each_row', 'csv_typed', 'custom_separated', 'json_compact_typed',
                        'json_each_row', 'json_framed', 'jsoncolumns',
                        'mysql_dump', 'native', 'row_binary', 'template', 'tskv',
                        'tsv_typed', 'values']) AS fmt)
