@@ -119,10 +119,12 @@ object BsonFormat {
     var t = buf.get() & 0xff
     while (t != 0) {
       val name = {
-        val sb = new StringBuilder
+        // cstring bytes decoded as one UTF-8 string (mirrors cstr() on write;
+        // per-byte toChar would mangle multi-byte names)
+        val bs = new ByteArrayOutputStream()
         var c = buf.get()
-        while (c != 0) { sb.append(c.toChar); c = buf.get() }
-        sb.toString
+        while (c != 0) { bs.write(c); c = buf.get() }
+        new String(bs.toByteArray, "UTF-8")
       }
       val v: Any = t match {
         case TDouble => java.lang.Double.longBitsToDouble(buf.getLong)

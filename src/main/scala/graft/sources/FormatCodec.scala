@@ -369,7 +369,14 @@ object FormatCodec {
     case ByteType => text.trim.toByte
     case ShortType => text.trim.toShort
     case IntegerType => text.trim.toInt
-    case LongType => java.lang.Long.parseUnsignedLong(text.trim)
+    case LongType =>
+      // signed Int64 first (the engine default); unsigned only for the
+      // UInt64 upper half, which overflows the signed parse
+      val t = text.trim
+      if (t.startsWith("-")) t.toLong
+      else try t.toLong catch {
+        case _: NumberFormatException => java.lang.Long.parseUnsignedLong(t)
+      }
     case FloatType => text.trim.toFloat
     case DoubleType => text.trim.toDouble
     case d: DecimalType =>

@@ -190,7 +190,16 @@ object InputFormats {
     val f = OutputFormats.canon(format)
     val declared: Option[StructType] = structure.map(ChTypes.structure)
 
-    def lines: Seq[String] = data.split("\n", -1).toSeq.filter(_.nonEmpty)
+    // Strip only the empty fragment a terminal newline produces: an interior
+    // empty line is a real row (single String column, empty value) and the
+    // reference preserves it on round-trip.
+    def lines: Seq[String] = {
+      val all = data.split("\n", -1).toSeq
+      if (all.nonEmpty && all.last.isEmpty) all.dropRight(1) else all
+    }
+    // JSONEachRow/TSKV/Regexp skip blank lines (the reference skips
+    // inter-row whitespace there); TSV/CSV keep them as real rows.
+    def nonEmptyLines: Seq[String] = lines.filter(_.nonEmpty)
 
     def lineWise(
         rule: String,
@@ -201,11 +210,13 @@ object InputFormats {
       var names: Option[Seq[String]] = None
       var types: Option[Seq[String]] = None
       if (withNames) {
-        names = Some(rest.head.split(sep).toSeq.map(n =>
+        // quote-aware split: a quoted name/type may contain the separator
+        // (e.g. "Decimal(18, 2)" in a CSV types row)
+        names = Some(splitFields(rest.head, sep, rule).toSeq.map(n =>
           parseField(n, StringType, rule).asInstanceOf[String]))
         rest = rest.tail
         if (withTypes) {
-          types = Some(rest.head.split(sep).toSeq.map(t =>
+          types = Some(splitFields(rest.head, sep, rule).toSeq.map(t =>
             parseField(t, StringType, rule).asInstanceOf[String]))
           rest = rest.tail
         }
@@ -252,13 +263,13 @@ object InputFormats {
         val schema = declared.getOrElse {
           // infer String columns from the union of keys, first-seen order
           val keys = scala.collection.mutable.LinkedHashSet.empty[String]
-          lines.foreach(_.split('\t').foreach { tok =>
+          nonEmptyLines.foreach(_.split('\t').foreach { tok =>
             val eq = unescapedEq(tok)
             if (eq > 0) keys += unescapeEscaped(tok.substring(0, eq)).replace("\\=", "=")
           })
           StructType(keys.toSeq.map(k => StructField(k, StringType, nullable = true)))
         }
-        val rows = lines.map { line =>
+        val rows = nonEmptyLines.map { line =>
           val kv = scala.collection.mutable.HashMap.empty[String, String]
           line.split('\t').foreach { tok =>
             val eq = unescapedEq(tok)
@@ -279,9 +290,9 @@ object InputFormats {
       case "jsoneachrow" | "ndjson" | "jsonlines" =>
         val schema = declared.getOrElse {
           return spark.read.json(
-            spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING))
+            spark.createDataset(nonEmptyLines)(org.apache.spark.sql.Encoders.STRING))
         }
-        val rows = lines.map { line =>
+        val rows = nonEmptyLines.map { line =>
           val node = mapper.readTree(line)
           Row.fromSeq(schema.fields.toSeq.map(fld =>
             settle(jsonToValue(node.get(fld.name), fld), fld)))
@@ -408,7 +419,7 @@ object InputFormats {
         val schema = declared.getOrElse(throw new IllegalArgumentException(
           "Regexp needs structure"))
         val re = settings.regexpPattern.r
-        val rows = lines.flatMap { line =>
+        val rows = nonEmptyLines.flatMap { line =>
           re.findFirstMatchIn(line) match {
             case Some(m) => Some(
               Row.fromSeq(schema.fields.zipWithIndex.toSeq.map { case (fld, i) =>

@@ -112,11 +112,10 @@ object TableFunctions {
     */
   def url(spark: SparkSession, u: String, formatName: String): DataFrame = {
     val bytes = graft.multimodal.Connections.httpFetch(u)
-    if (OutputFormats.canon(formatName).startsWith("rowbinary") ||
-        OutputFormats.canon(formatName) == "rawblob")
-      InputFormats.parseBytes(spark, bytes, formatName, None)
-    else format(spark, formatName,
-      new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+    // parseBytes handles every binary format (RowBinary*, RawBLOB, Native,
+    // BSONEachRow) and falls back to the text parse for the rest — routing
+    // through it unconditionally avoids lossy UTF-8 decode of binary payloads
+    InputFormats.parseBytes(spark, bytes, formatName, None)
   }
 
   /** `s3('endpoint/bucket/key', 'Format')` via a registered CONNECTION

@@ -460,4 +460,43 @@ class FormatsSpec extends SparkSpec {
     assert(inferred.columns.toSeq === Seq("n", "s", "opt", "arr", "b", "f"))
     assert(inferred.count() === 2)
   }
+
+  test("signed Int64 parses in every text path (negative values)") {
+    // ADVICE r13: parseUnsignedLong threw on '-'; Int64 is the default int
+    assert(FormatCodec.parseScalar("-42", LongType) === -42L)
+    assert(FormatCodec.parseScalar("9223372036854775807", LongType) === Long.MaxValue)
+    // UInt64 upper half still round-trips via the unsigned fallback
+    assert(FormatCodec.parseScalar("18446744073709551615", LongType) === -1L)
+    val back = InputFormats.parse(spark, "-7\tx\n", "TabSeparated",
+      Some("n Int64, s String"))
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((-7L, "x")))
+    val j = InputFormats.parse(spark, "{\"n\": -9, \"s\": \"y\"}\n",
+      "JSONEachRow", Some("n Int64, s String"))
+    assert(j.collect().head.getLong(0) === -9L)
+  }
+
+  test("interior empty line is a row; terminal newline fragment is not") {
+    val back = InputFormats.parse(spark, "a\n\nb\n", "TabSeparated",
+      Some("s String"))
+    assert(back.collect().map(_.getString(0)).toSeq === Seq("a", "", "b"))
+  }
+
+  test("CSV typed header: quoted type containing the separator splits correctly") {
+    val data = "\"d\"\n\"Decimal(18, 2)\"\n\"1.50\"\n"
+    val back = InputFormats.parse(spark, data, "CSVWithNamesAndTypes")
+    assert(back.schema.fields(0).name === "d")
+    assert(back.schema.fields(0).dataType === DecimalType(18, 2))
+    assert(back.collect().head.getDecimal(0).toPlainString === "1.50")
+  }
+
+  test("BSONEachRow: non-ASCII element names decode as UTF-8") {
+    val schema = StructType(Seq(chField("col\u00e9", LongType, "Int64")))
+    val d = df(schema, Row(5L))
+    val bytes = OutputFormats.writeBytes(d, "BSONEachRow")
+    val back = InputFormats.parseBytes(spark, bytes, "BSONEachRow",
+      Some("col\u00e9 Int64"))
+    assert(back.columns.toSeq === Seq("col\u00e9"))
+    assert(back.collect().head.getLong(0) === 5L)
+  }
 }
