@@ -72,16 +72,31 @@ object Bench {
 
     // SPARK_GRAFT_BENCH_ONLY=d01_exact_dedup,d08_contamination : restrict the
     // timed set (bisection / local iteration). SPARK_GRAFT_BENCH_ORDER=
-    // alpha|reverse : per-family schedule-order guard — reverse runs the
-    // v/t/q families BEFORE the d-family so cross-query cache pressure can't
-    // silently tax one family; the order is recorded in the output JSON.
+    // interleave|alpha|reverse. Default "interleave" round-robins across the
+    // query families (d/e/h/p/q/t/v prefixes, alphabetical within a family)
+    // so every family samples the WHOLE run window: ambient pressure (the
+    // driver's Verify/DuckDB tear-down overlapping the bench) or cumulative
+    // in-JVM state can then shift the total but never silently tax one
+    // family — which is exactly what produced the r11 d-family and r13
+    // t-family "regressions" on untouched code (both vanished in an idle
+    // environment; r14 bisection: t-family isolated = faster than r11,
+    // full-alpha local = faster than r11, only the driver-ambient alpha run
+    // drifted). alpha/reverse remain for A/B bisection; the order is
+    // recorded in the output JSON.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val orderMode = sys.env.getOrElse("SPARK_GRAFT_BENCH_ORDER", "alpha")
+    val orderMode = sys.env.getOrElse("SPARK_GRAFT_BENCH_ORDER", "interleave")
     val allNames = SparkEntry.queries.keys.toSeq.sorted
     val names = {
       val base = only.fold(allNames)(s => allNames.filter(s.contains))
-      if (orderMode == "reverse") base.reverse else base
+      orderMode match {
+        case "reverse" => base.reverse
+        case "alpha" => base
+        case _ => // interleave: round-robin across first-letter families
+          val fams = base.groupBy(_.take(1)).toSeq.sortBy(_._1).map(_._2)
+          val maxLen = if (fams.isEmpty) 0 else fams.map(_.length).max
+          (0 until maxLen).flatMap(i => fams.flatMap(_.lift(i)))
+      }
     }
     val timeSplit = sys.env.contains("SPARK_GRAFT_BENCH_SPLIT")
     // Every query is timed TWICE back-to-back (identical isolation); the

@@ -26,7 +26,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ VectorQueries.queries ++ TextQueries.queries ++
       DedupQueries.queries ++ EventQueries.queries ++ PipelineQueries.queries ++
-      FormatQueries.queries
+      FormatQueries.queries ++ NlpQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for ops whose semantics are not
@@ -35,5 +35,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ VectorQueries.oracles ++ TextQueries.oracles ++
       DedupQueries.oracles ++ EventQueries.oracles ++ PipelineQueries.oracles ++
-      FormatQueries.oracles
+      FormatQueries.oracles ++ NlpQueries.oracles
 }

@@ -84,6 +84,8 @@ object TextSearch {
     // schema preserved) instead of crashing on an empty reduce.
     if (terms.isEmpty)
       return df.withColumn(scoreName, lit(0.0)).filter(lit(false)).limit(k)
+    if (terms.length > ManyTermsThreshold)
+      return textSearchManyTerms(df, textCol, terms, k, operator, scoreName, tieBreak)
     val stats = collectStats(df, textCol, terms)
     val toks = text.tokenize(textCol)
     val matched = operator.toUpperCase match {
@@ -92,6 +94,67 @@ object TextSearch {
     }
     df.filter(matched)
       .withColumn(scoreName, bm25Score(textCol, terms, stats))
+      .orderBy(col(scoreName).desc +: tieBreak: _*)
+      .limit(k)
+  }
+
+  /** Above this many distinct query terms, per-term scan expressions lose
+    * to the exploded-postings plan below (the reference's index path has
+    * the same crossover: `MergeTreeTextSearchManager.cpp` scores only
+    * postings-matched rows instead of testing every term on every row).
+    */
+  val ManyTermsThreshold = 32
+
+  /** Many-term BM25: explode tokens, keep only query terms, count per
+    * (row, term), broadcast the per-term doc-freqs back, sum components
+    * per row. O(corpus tokens + matches) instead of
+    * O(rows × terms × tokens) — the shape that survives a full document
+    * used as the query string (t15: hundreds of distinct terms).
+    * Scores are exactly the per-term-expression path's BM25 (same stats,
+    * same formula; only FP summation order differs).
+    */
+  private def textSearchManyTerms(
+      df: DataFrame,
+      textCol: Column,
+      terms: Seq[String],
+      k: Int,
+      operator: String,
+      scoreName: String,
+      tieBreak: Seq[Column]): DataFrame = {
+    val toks = text.tokenize(textCol)
+    val statsRow = df.agg(count(lit(1)).as("n"),
+      avg(size(toks).cast("double")).as("avgdl")).head()
+    val n = statsRow.getAs[Long]("n")
+    val avgDl = statsRow.getAs[Double]("avgdl")
+    val rid = "__graft_ts_rid"
+    // id assigned directly over the (deterministic) source scan; both the
+    // exploded branch and the final join recompute the same ids
+    val base = df.withColumn(rid, monotonically_increasing_id())
+    val exploded = base
+      .select(col(rid), size(toks).cast("double").as("__dl"),
+        explode(toks).as("__tok"))
+      .where(col("__tok").isInCollection(terms))
+    val counts = exploded.groupBy(col(rid), col("__tok"))
+      .agg(count(lit(1)).cast("double").as("__tf"), first(col("__dl")).as("__dl"))
+    // per-term document frequency: tiny (≤ |terms| rows) → broadcast back
+    val dfPerTerm = counts.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
+    val scored = counts.join(broadcast(dfPerTerm), "__tok")
+      .withColumn("__comp",
+        log(lit(1.0) + (lit(n.toDouble) - col("__df") + 0.5) / (col("__df") + 0.5)) *
+          col("__tf") * (K1 + 1.0) /
+          (col("__tf") + lit(K1) *
+            (lit(1.0 - B) + lit(B) * col("__dl") / avgDl)))
+    val perDoc0 = scored.groupBy(col(rid))
+      .agg(sum(col("__comp")).as(scoreName), count(lit(1)).as("__nterms"))
+    val perDoc = operator.toUpperCase match {
+      // AND: every query term present (a term absent from the whole
+      // corpus leaves no row with the full count — result empty, same as
+      // the per-term path's conjunction)
+      case "AND" => perDoc0.where(col("__nterms") === terms.length)
+      case _ => perDoc0
+    }
+    base.join(perDoc.select(col(rid), col(scoreName)), Seq(rid), "inner")
+      .drop(rid)
       .orderBy(col(scoreName).desc +: tieBreak: _*)
       .limit(k)
   }

@@ -9,9 +9,11 @@ import graft.sources.{InputFormats, OutputFormats}
 /** Driver-checked queries for the I/O format surface (SURVEY §2.2).
   *
   * q76 proves the format codecs end-to-end the only way a SQL oracle
-  * can: fourteen formats each WRITE → PARSE round trip the same orders
-  * slice, and the aggregate of each round-tripped frame must equal the
-  * aggregate DuckDB computes directly from parquet. A format that drops
+  * can: sixteen rows each WRITE → PARSE round trip the same orders
+  * slice (fifteen formats driver-side plus one DISTRIBUTED
+  * save()/readLines TSV file-set pass), and the aggregate of each
+  * round-tripped frame must equal the aggregate DuckDB computes
+  * directly from parquet. A format that drops
   * a row, mangles an escape, shifts a date, or loses float precision
   * breaks its row. q77 drives the executable-UDF pipe (ExecutableUdf)
   * through a real `awk` process with a closed-form oracle.
@@ -60,6 +62,9 @@ object FormatQueries {
           "JSONEachRow", Some(fmtStructure)),
         "native" -> InputFormats.parseBytes(s,
           OutputFormats.writeBytes(base, "Native"), "Native"),
+        "msgpack" -> InputFormats.parseBytes(s,
+          OutputFormats.writeBytes(base, "MsgPack"), "MsgPack",
+          Some(fmtStructure)),
         "mysql_dump" -> InputFormats.parse(s,
           OutputFormats.write(base, "SQLInsert"),
           "MySQLDump", Some(fmtStructure)),
@@ -86,7 +91,15 @@ object FormatQueries {
           OutputFormats.write(base, "TabSeparatedWithNamesAndTypes"),
           "TabSeparatedWithNamesAndTypes"),
         "values" -> InputFormats.parse(s,
-          OutputFormats.write(base, "Values"), "Values", Some(fmtStructure)))
+          OutputFormats.write(base, "Values"), "Values", Some(fmtStructure)),
+        // the DISTRIBUTED path: multi-partition save() to a TSV file set,
+        // read back with mapPartitions readLines (no driver round-trip)
+        "save_tsv" -> {
+          val dir = java.nio.file.Files
+            .createTempDirectory("graft_q76_save").resolve("tsv").toString
+          OutputFormats.save(base.repartition(4), dir, "TSV")
+          InputFormats.readLines(s.read.textFile(dir), "TSV", fmtStructure)
+        })
       frames.map { case (name, df) => agg(s, name, df) }
         .reduce(_.unionAll(_))
         .orderBy("fmt")
@@ -123,9 +136,9 @@ object FormatQueries {
         FROM orders WHERE o_orderkey <= 500),
       fmts AS (
         SELECT unnest(['bson_each_row', 'csv_typed', 'custom_separated', 'json_compact_typed',
-                       'json_each_row', 'json_framed', 'jsoncolumns',
-                       'mysql_dump', 'native', 'row_binary', 'template', 'tskv',
-                       'tsv_typed', 'values']) AS fmt)
+                       'json_each_row', 'json_framed', 'jsoncolumns', 'msgpack',
+                       'mysql_dump', 'native', 'row_binary', 'save_tsv', 'template',
+                       'tskv', 'tsv_typed', 'values']) AS fmt)
       SELECT fmt, cnt, key_sum, price_sum, first_day
       FROM fmts CROSS JOIN base
       ORDER BY fmt""",

@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.{NlpDictionaries, RegionDictionaries}
+
+/** Driver-checked rows for the NLP / region-dictionary / formatRow
+  * fronts (SURVEY §2 rows 89–92): `stem` (ref `src/Functions/stem.cpp`),
+  * `lemmatize`/`synonyms` (ref `src/Functions/{lemmatize,synonyms}.cpp`),
+  * the geobase `regionTo*` family (ref
+  * `src/Functions/FunctionsEmbeddedDictionaries.h`), `detectLanguage`,
+  * and `formatRow[NoNewline]` (ref `src/Functions/formatRow.cpp`).
+  *
+  * DuckDB cannot stem or hold a geobase, so q78 uses the replay-oracle
+  * pattern (same as d04/d09): Spark computes each function over a fixed
+  * deterministic input list; the oracle replays the expected values —
+  * the reference's own 01890_stem and 01420_formatRow goldens plus the
+  * dictionary fixtures pinned in SnowballStemSpec — from a VALUES list.
+  * A drifting stemmer step, dictionary lookup, or format renderer breaks
+  * the hash.
+  */
+object NlpQueries {
+
+  /** (id, kind, input) — expected outputs are pinned in [[oracles]]. */
+  private val inputs: Seq[(Long, String, String)] = Seq(
+    // 01890 golden: English Porter2
+    (1L, "stem_en", "given"), (2L, "stem_en", "combinatorial"),
+    (3L, "stem_en", "collection"), (4L, "stem_en", "possibility"),
+    (5L, "stem_en", "studied"), (6L, "stem_en", "commonplace"),
+    (7L, "stem_en", "packing"),
+    // 01890 golden: Russian
+    (8L, "stem_ru", "комбинаторной"), (9L, "stem_ru", "получила"),
+    (10L, "stem_ru", "ограничена"), (11L, "stem_ru", "конечной"),
+    (12L, "stem_ru", "максимальной"), (13L, "stem_ru", "суммарный"),
+    (14L, "stem_ru", "стоимостью"),
+    // 01890 golden: French
+    (15L, "stem_fr", "remplissage"), (16L, "stem_fr", "valeur"),
+    (17L, "stem_fr", "maximiser"), (18L, "stem_fr", "dépasser"),
+    (19L, "stem_fr", "intensivement"), (20L, "stem_fr", "étudié"),
+    (21L, "stem_fr", "peuvent"),
+    // lemmatize over a registered dictionary; unknown word passes through
+    (22L, "lemma", "wolves"), (23L, "lemma", "ran"), (24L, "lemma", "table"),
+    // synonyms: plain-format extension groups; miss -> empty
+    (25L, "syn", "big"), (26L, "syn", "cheerful"), (27L, "syn", "unrelated"),
+    // geobase climbs: city 60 -> country 20 (named), unknown id -> ''
+    (28L, "region_country", "60"), (29L, "region_country", "50"),
+    (30L, "region_city", "60"), (31L, "region_country", "999"),
+    // detectLanguage stopword heuristic ('un' = reference unknown code)
+    (32L, "lang", "the cat sat on the mat"), (33L, "lang", "zzz qqq xyz"),
+    // 01420 formatRow golden shapes (number, 'good')
+    (34L, "fmt_csv", "0"), (35L, "fmt_tskv", "1"),
+    (36L, "fmt_json", "2"), (37L, "fmt_values", "3"))
+
+  private def installFixtures(): Unit = {
+    NlpDictionaries.createLemmaDict("q78_lemma",
+      Map("wolves" -> "wolf", "ran" -> "run"))
+    NlpDictionaries.createSynonymsExtensionPlain("q78_syn",
+      "important big critical crucial essential\nhappy cheerful glad\n")
+    // the geobase shape: continent > continent > country > district > area
+    // > city > sub-city (same fixture RegionDictionariesSpec pins)
+    import RegionDictionaries._
+    createHierarchy("", Seq(
+      Region(10001L, 0L, Continent, 0L), Region(10002L, 10001L, Continent, 0L),
+      Region(20L, 10002L, Country, 10000000L), Region(30L, 20L, District, 0L),
+      Region(40L, 30L, Area, 500000L), Region(50L, 40L, City, 250000L),
+      Region(60L, 50L, 7, 1000L)))
+    createNames("en", Map(20L -> "Country20", 50L -> "City50"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q78_nlp_replay" -> ((s, _) => {
+      installFixtures()
+      import s.implicits._
+      inputs.toDF("id", "kind", "input")
+        .selectExpr("id", "kind", "input",
+          "try_cast(input AS BIGINT) AS number", "'good' AS good")
+        .selectExpr("id", "kind", "input",
+          """CASE kind
+               WHEN 'stem_en' THEN stem('en', input)
+               WHEN 'stem_ru' THEN stem('ru', input)
+               WHEN 'stem_fr' THEN stem('fr', input)
+               WHEN 'lemma' THEN lemmatize('q78_lemma', input)
+               WHEN 'syn' THEN concat_ws('|', synonyms('q78_syn', input))
+               WHEN 'region_country' THEN regionToName(regionToCountry(number), 'en')
+               WHEN 'region_city' THEN regionToName(regionToCity(number), 'en')
+               WHEN 'lang' THEN detectLanguage(input)
+               WHEN 'fmt_csv' THEN formatRowNoNewline('CSV', number, good)
+               WHEN 'fmt_tskv' THEN formatRowNoNewline('TSKV', number, good)
+               WHEN 'fmt_json' THEN formatRowNoNewline('JSONEachRow', number, good)
+               WHEN 'fmt_values' THEN formatRowNoNewline('Values', number, good)
+             END AS out""")
+        .orderBy("id")
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "q78_nlp_replay" -> """
+      SELECT CAST(id AS BIGINT) AS id, kind, input, out
+      FROM (VALUES
+        (1, 'stem_en', 'given', 'given'),
+        (2, 'stem_en', 'combinatorial', 'combinatori'),
+        (3, 'stem_en', 'collection', 'collect'),
+        (4, 'stem_en', 'possibility', 'possibl'),
+        (5, 'stem_en', 'studied', 'studi'),
+        (6, 'stem_en', 'commonplace', 'commonplac'),
+        (7, 'stem_en', 'packing', 'pack'),
+        (8, 'stem_ru', 'комбинаторной', 'комбинаторн'),
+        (9, 'stem_ru', 'получила', 'получ'),
+        (10, 'stem_ru', 'ограничена', 'огранич'),
+        (11, 'stem_ru', 'конечной', 'конечн'),
+        (12, 'stem_ru', 'максимальной', 'максимальн'),
+        (13, 'stem_ru', 'суммарный', 'суммарн'),
+        (14, 'stem_ru', 'стоимостью', 'стоимост'),
+        (15, 'stem_fr', 'remplissage', 'remplissag'),
+        (16, 'stem_fr', 'valeur', 'valeur'),
+        (17, 'stem_fr', 'maximiser', 'maximis'),
+        (18, 'stem_fr', 'dépasser', 'dépass'),
+        (19, 'stem_fr', 'intensivement', 'intens'),
+        (20, 'stem_fr', 'étudié', 'étudi'),
+        (21, 'stem_fr', 'peuvent', 'peuvent'),
+        (22, 'lemma', 'wolves', 'wolf'),
+        (23, 'lemma', 'ran', 'run'),
+        (24, 'lemma', 'table', 'table'),
+        (25, 'syn', 'big', 'important|big|critical|crucial|essential'),
+        (26, 'syn', 'cheerful', 'happy|cheerful|glad'),
+        (27, 'syn', 'unrelated', ''),
+        (28, 'region_country', '60', 'Country20'),
+        (29, 'region_country', '50', 'Country20'),
+        (30, 'region_city', '60', 'City50'),
+        (31, 'region_country', '999', ''),
+        (32, 'lang', 'the cat sat on the mat', 'en'),
+        (33, 'lang', 'zzz qqq xyz', 'un'),
+        (34, 'fmt_csv', '0', '0,"good"'),
+        (35, 'fmt_tskv', '1', 'number=1' || chr(9) || 'good=good'),
+        (36, 'fmt_json', '2', '{"number":"2","good":"good"}'),
+        (37, 'fmt_values', '3', '(3,''good'')')
+      ) AS t(id, kind, input, out)
+      ORDER BY id""")
+}

@@ -600,6 +600,8 @@ object InputFormats {
       case "native" => NativeFormat.read(spark, bytes)
       case "bsoneachrow" =>
         BsonFormat.read(spark, bytes, structure.map(ChTypes.structure))
+      case "msgpack" =>
+        MsgPackFormat.read(spark, bytes, structure.map(ChTypes.structure))
       case "rowbinary" =>
         RowBinaryFormat.read(spark, bytes, structure.map(ChTypes.structure),
           withNames = false, withTypes = false)
@@ -616,6 +618,51 @@ object InputFormats {
           StructType(Seq(StructField(name, BinaryType, nullable = false))))
       case _ => parse(spark, new String(bytes, "UTF-8"), format, structure)
     }
+
+  /** Distributed line-wise parse: every line of `ds` (e.g.
+    * `spark.read.textFile` over a [[OutputFormats.save]] directory) runs
+    * through the same per-line converters as [[parse]], under
+    * `mapPartitions` — no driver materialization, so a multi-TB export
+    * reads back with full parallelism. Headerless row formats only
+    * (a header line has no cross-partition meaning in a file set).
+    */
+  def readLines(
+      ds: org.apache.spark.sql.Dataset[String],
+      format: String,
+      structure: String): DataFrame = {
+    val schema = ChTypes.structure(structure)
+    val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema))
+    OutputFormats.canon(format) match {
+      case "jsoneachrow" | "ndjson" | "jsonlines" =>
+        ds.mapPartitions { it =>
+          val m = new ObjectMapper()
+          it.filter(_.nonEmpty).map { line =>
+            val node = m.readTree(line)
+            Row.fromSeq(schema.fields.toSeq.map(fld =>
+              settle(jsonToValue(node.get(fld.name), fld), fld)))
+          }
+        }(enc)
+      case f @ ("tabseparated" | "tabseparatedraw" | "csv") =>
+        val (rule, sep) = f match {
+          case "tabseparated" => ("Escaped", '\t')
+          case "tabseparatedraw" => ("Raw", '\t')
+          case _ => ("CSV", ',')
+        }
+        ds.mapPartitions { it =>
+          it.map { line =>
+            val parts = splitFields(line, sep, rule)
+            Row.fromSeq(schema.fields.zipWithIndex.toSeq.map { case (fld, i) =>
+              if (i < parts.length)
+                settle(parseField(parts(i), fld.dataType, rule), fld)
+              else settle(null, fld)
+            })
+          }
+        }(enc)
+      case other => throw new IllegalArgumentException(
+        s"readLines: headerless row format required, got $other")
+    }
+  }
 
   // --------------------------------------------------------------- helpers
 

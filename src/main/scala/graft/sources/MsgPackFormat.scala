@@ -1,0 +1,278 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.ByteBuffer
+import java.time.{Instant, LocalDate, LocalDateTime, ZoneOffset}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** MsgPack — one MessagePack value per column, rows flat-concatenated
+  * with no row framing (ref `src/Processors/Formats/Impl/
+  * MsgPackRowOutputFormat.cpp:44-230` / `MsgPackRowInputFormat.cpp`;
+  * wire encoding per the published MessagePack spec).
+  *
+  * Type mapping mirrors the reference: unsigned ints (UInt8/16/32/64,
+  * Date as UInt16 days, DateTime as UInt32 seconds) pack through the
+  * uint family, signed ints through int/uint minimal encoding,
+  * Float32/64 as float32/float64, String/FixedString as **bin** (the
+  * reference's default `output_format_msgpack_uuid_representation`
+  * path packs strings as bin, not str), Array as array, Tuple as a
+  * flat array, Map as map, Nullable NULL as nil.
+  *
+  * The payload is self-delimiting but carries no column names or
+  * types, so reading requires the declared `structure` — exactly the
+  * reference's contract (`01098_msgpack_format` round-trips through a
+  * typed table).
+  */
+object MsgPackFormat {
+
+  // ------------------------------------------------------------------ write
+
+  private def be(out: ByteArrayOutputStream, v: Long, bytes: Int): Unit = {
+    var i = bytes - 1
+    while (i >= 0) { out.write(((v >> (8 * i)) & 0xff).toInt); i -= 1 }
+  }
+
+  /** msgpack-c `pack_imp_uint64`: minimal unsigned encoding. */
+  private def packUnsigned(out: ByteArrayOutputStream, v: Long): Unit =
+    if (v >= 0 && v < 128) out.write(v.toInt)
+    else if (java.lang.Long.compareUnsigned(v, 256L) < 0) { out.write(0xcc); be(out, v, 1) }
+    else if (java.lang.Long.compareUnsigned(v, 65536L) < 0) { out.write(0xcd); be(out, v, 2) }
+    else if (java.lang.Long.compareUnsigned(v, 0x100000000L) < 0) { out.write(0xce); be(out, v, 4) }
+    else { out.write(0xcf); be(out, v, 8) }
+
+  /** msgpack-c `pack_imp_int64`: fixint / int8-64 for negatives, the
+    * unsigned family for non-negatives.
+    */
+  private def packSigned(out: ByteArrayOutputStream, v: Long): Unit =
+    if (v >= 0) packUnsigned(out, v)
+    else if (v >= -32) out.write((v & 0xff).toInt)          // negative fixint
+    else if (v >= Byte.MinValue) { out.write(0xd0); be(out, v, 1) }
+    else if (v >= Short.MinValue) { out.write(0xd1); be(out, v, 2) }
+    else if (v >= Int.MinValue) { out.write(0xd2); be(out, v, 4) }
+    else { out.write(0xd3); be(out, v, 8) }
+
+  private def packBin(out: ByteArrayOutputStream, b: Array[Byte]): Unit = {
+    if (b.length < 256) { out.write(0xc4); be(out, b.length.toLong, 1) }
+    else if (b.length < 65536) { out.write(0xc5); be(out, b.length.toLong, 2) }
+    else { out.write(0xc6); be(out, b.length.toLong, 4) }
+    out.write(b)
+  }
+
+  private def packArrayHeader(out: ByteArrayOutputStream, n: Int): Unit =
+    if (n <= 15) out.write(0x90 | n)
+    else if (n < 65536) { out.write(0xdc); be(out, n.toLong, 2) }
+    else { out.write(0xdd); be(out, n.toLong, 4) }
+
+  private def packMapHeader(out: ByteArrayOutputStream, n: Int): Unit =
+    if (n <= 15) out.write(0x80 | n)
+    else if (n < 65536) { out.write(0xde); be(out, n.toLong, 2) }
+    else { out.write(0xdf); be(out, n.toLong, 4) }
+
+  private def unsignedCh(ch: String): Boolean =
+    ch.startsWith("UInt") || ch == "Date" || ch == "DateTime" ||
+      ch.startsWith("DateTime(")
+
+  def writeValue(out: ByteArrayOutputStream, v: Any, dt: DataType, ch: String): Unit = {
+    val chBase =
+      if (ch.startsWith("Nullable(")) ch.substring("Nullable(".length, ch.length - 1).trim
+      else ch
+    if (v == null) { out.write(0xc0); return }
+    dt match {
+      case ByteType => packSigned(out, v.asInstanceOf[Byte].toLong)
+      case ShortType =>
+        if (unsignedCh(chBase)) packUnsigned(out, v.asInstanceOf[Short].toLong & 0xffffL)
+        else packSigned(out, v.asInstanceOf[Short].toLong)
+      case IntegerType =>
+        if (unsignedCh(chBase)) packUnsigned(out, v.asInstanceOf[Int].toLong & 0xffffffffL)
+        else packSigned(out, v.asInstanceOf[Int].toLong)
+      case LongType =>
+        if (unsignedCh(chBase)) packUnsigned(out, v.asInstanceOf[Long])
+        else packSigned(out, v.asInstanceOf[Long])
+      case BooleanType => packUnsigned(out, if (v.asInstanceOf[Boolean]) 1L else 0L)
+      case FloatType =>
+        out.write(0xca)
+        be(out, java.lang.Float.floatToIntBits(v.asInstanceOf[Float]).toLong & 0xffffffffL, 4)
+      case DoubleType =>
+        out.write(0xcb)
+        be(out, java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]), 8)
+      case _: DecimalType =>
+        // Decimal32/64 pack the scaled integer (ref :133-140)
+        packSigned(out, v.asInstanceOf[java.math.BigDecimal].unscaledValue().longValueExact())
+      case DateType =>
+        packUnsigned(out, v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay)
+      case _: TimestampType =>
+        packUnsigned(out, v.asInstanceOf[java.sql.Timestamp].toInstant.getEpochSecond)
+      case TimestampNTZType =>
+        packUnsigned(out, v.asInstanceOf[LocalDateTime].toEpochSecond(ZoneOffset.UTC))
+      case StringType => packBin(out, v.asInstanceOf[String].getBytes("UTF-8"))
+      case BinaryType => packBin(out, v.asInstanceOf[Array[Byte]])
+      case a: ArrayType =>
+        val xs = v.asInstanceOf[scala.collection.Seq[Any]]
+        val inner =
+          if (chBase.startsWith("Array(") && chBase.endsWith(")"))
+            chBase.substring("Array(".length, chBase.length - 1).trim
+          else ""
+        packArrayHeader(out, xs.length)
+        xs.foreach(x => writeValue(out, x, a.elementType, inner))
+      case s: StructType =>
+        val r = v.asInstanceOf[Row]
+        packArrayHeader(out, s.fields.length)
+        s.fields.zipWithIndex.foreach { case (f, i) =>
+          writeValue(out, r.get(i), f.dataType, "")
+        }
+      case m: MapType =>
+        val mp = v.asInstanceOf[scala.collection.Map[Any, Any]]
+        packMapHeader(out, mp.size)
+        mp.foreach { case (k, mv) =>
+          writeValue(out, k, m.keyType, "")
+          writeValue(out, mv, m.valueType, "")
+        }
+      case other =>
+        throw new IllegalArgumentException(s"MsgPack: unsupported type $other")
+    }
+  }
+
+  def write(df: DataFrame): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val fields = df.schema.fields
+    val chs = fields.map(ChTypes.chName)
+    df.collect().foreach { r =>
+      var i = 0
+      while (i < fields.length) {
+        writeValue(out, r.get(i), fields(i).dataType, chs(i))
+        i += 1
+      }
+    }
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------------- read
+
+  /** Decode one MessagePack value into a neutral representation:
+    * Long / Double / Boolean / Array[Byte] / Seq / Map / null.
+    */
+  private def readValue(buf: ByteBuffer): Any = {
+    val t = buf.get() & 0xff
+    def bytes(n: Int): Array[Byte] = { val b = new Array[Byte](n); buf.get(b); b }
+    def uint(n: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < n) { v = (v << 8) | (buf.get() & 0xffL); i += 1 }
+      v
+    }
+    def sint(n: Int): Long = {
+      val raw = uint(n)
+      val shift = 64 - 8 * n
+      (raw << shift) >> shift
+    }
+    def arr(n: Int): Seq[Any] = (0 until n).map(_ => readValue(buf))
+    def map(n: Int): Map[Any, Any] =
+      (0 until n).map(_ => readValue(buf) -> readValue(buf)).toMap
+    t match {
+      case v if v < 0x80 => v.toLong                          // positive fixint
+      case v if v >= 0xe0 => (v - 256).toLong                 // negative fixint
+      case v if (v & 0xf0) == 0x80 => map(v & 0x0f)           // fixmap
+      case v if (v & 0xf0) == 0x90 => arr(v & 0x0f)           // fixarray
+      case v if (v & 0xe0) == 0xa0 => bytes(v & 0x1f)         // fixstr
+      case 0xc0 => null
+      case 0xc2 => false
+      case 0xc3 => true
+      case 0xc4 => bytes(uint(1).toInt)                       // bin8
+      case 0xc5 => bytes(uint(2).toInt)                       // bin16
+      case 0xc6 => bytes(uint(4).toInt)                       // bin32
+      case 0xca => java.lang.Float.intBitsToFloat(uint(4).toInt).toDouble
+      case 0xcb => java.lang.Double.longBitsToDouble(uint(8))
+      case 0xcc => uint(1)
+      case 0xcd => uint(2)
+      case 0xce => uint(4)
+      case 0xcf => uint(8)                                    // uint64 (may wrap)
+      case 0xd0 => sint(1)
+      case 0xd1 => sint(2)
+      case 0xd2 => sint(4)
+      case 0xd3 => sint(8)
+      case 0xd9 => bytes(uint(1).toInt)                       // str8
+      case 0xda => bytes(uint(2).toInt)
+      case 0xdb => bytes(uint(4).toInt)
+      case 0xdc => arr(uint(2).toInt)
+      case 0xdd => arr(uint(4).toInt)
+      case 0xde => map(uint(2).toInt)
+      case 0xdf => map(uint(4).toInt)
+      case other =>
+        throw new IllegalArgumentException(
+          f"MsgPack: unsupported format byte 0x$other%02x")
+    }
+  }
+
+  private def asLong(v: Any): Long = v match {
+    case l: Long => l
+    case d: Double => d.toLong
+    case b: Boolean => if (b) 1L else 0L
+    case other => throw new IllegalArgumentException(s"MsgPack: not an int: $other")
+  }
+
+  /** Coerce a decoded value into the declared Spark type (the reference
+    * inserts through the target column type the same way).
+    */
+  private def coerce(v: Any, dt: DataType): Any = {
+    if (v == null) return null
+    dt match {
+      case ByteType => asLong(v).toByte
+      case ShortType => asLong(v).toShort
+      case IntegerType => asLong(v).toInt
+      case LongType => asLong(v)
+      case BooleanType => v match {
+        case b: Boolean => b
+        case other => asLong(other) != 0L
+      }
+      case FloatType => v match {
+        case d: Double => d.toFloat
+        case other => asLong(other).toFloat
+      }
+      case DoubleType => v match {
+        case d: Double => d
+        case other => asLong(other).toDouble
+      }
+      case d: DecimalType =>
+        new java.math.BigDecimal(java.math.BigInteger.valueOf(asLong(v)), d.scale)
+      case DateType => java.sql.Date.valueOf(LocalDate.ofEpochDay(asLong(v)))
+      case _: TimestampType =>
+        java.sql.Timestamp.from(Instant.ofEpochSecond(asLong(v)))
+      case TimestampNTZType =>
+        LocalDateTime.ofEpochSecond(asLong(v), 0, ZoneOffset.UTC)
+      case StringType => v match {
+        case b: Array[Byte] => new String(b, "UTF-8")
+        case other => String.valueOf(other)
+      }
+      case BinaryType => v.asInstanceOf[Array[Byte]]
+      case a: ArrayType =>
+        v.asInstanceOf[Seq[Any]].map(coerce(_, a.elementType))
+      case s: StructType =>
+        val xs = v.asInstanceOf[Seq[Any]]
+        Row.fromSeq(s.fields.toSeq.zip(xs).map { case (f, x) => coerce(x, f.dataType) })
+      case m: MapType =>
+        v.asInstanceOf[Map[Any, Any]].map { case (k, mv) =>
+          coerce(k, m.keyType) -> coerce(mv, m.valueType)
+        }
+      case other =>
+        throw new IllegalArgumentException(s"MsgPack: unsupported type $other")
+    }
+  }
+
+  def read(spark: SparkSession, data: Array[Byte], structure: Option[StructType]): DataFrame = {
+    val schema = structure.getOrElse(throw new IllegalArgumentException(
+      "MsgPack input needs a declared structure (no names/types on the wire)"))
+    val buf = ByteBuffer.wrap(data)
+    val rows = Seq.newBuilder[Row]
+    while (buf.hasRemaining) {
+      rows += Row.fromSeq(schema.fields.toSeq.map { f =>
+        val v = coerce(readValue(buf), f.dataType)
+        if (v == null && !f.nullable) FormatCodec.defaultValue(f.dataType) else v
+      })
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows.result()).asJava), schema)
+  }
+}

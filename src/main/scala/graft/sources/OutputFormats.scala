@@ -417,6 +417,7 @@ object OutputFormats {
     ("PrettySpaceNoEscapes", false, true),
     ("PrettyCompactMonoBlock", false, true),
     ("Native", true, true), ("BSONEachRow", true, true),
+    ("MsgPack", true, true),
     ("RowBinary", true, true), ("RowBinaryWithNames", true, true),
     ("RowBinaryWithNamesAndTypes", true, true),
     ("LineAsString", true, true), ("RawBLOB", true, true),
@@ -432,6 +433,7 @@ object OutputFormats {
     canon(format) match {
       case "native" => NativeFormat.write(df)
       case "bsoneachrow" => BsonFormat.write(df)
+      case "msgpack" => MsgPackFormat.write(df)
       case "rowbinary" => RowBinaryFormat.write(df, withNames = false, withTypes = false)
       case "rowbinarywithnames" => RowBinaryFormat.write(df, withNames = true, withTypes = false)
       case "rowbinarywithnamesandtypes" =>

@@ -499,4 +499,43 @@ class FormatsSpec extends SparkSpec {
     assert(back.columns.toSeq === Seq("col\u00e9"))
     assert(back.collect().head.getLong(0) === 5L)
   }
+
+  test("MsgPack: minimal encodings, reference type mapping, round-trip") {
+    val schema = StructType(Seq(
+      chField("u8", IntegerType, "UInt8"),
+      chField("i64", LongType, "Int64"),
+      chField("f", DoubleType, "Float64"),
+      chField("s", StringType, "String"),
+      chField("opt", StringType, "Nullable(String)", nullable = true),
+      chField("arr", ArrayType(LongType, containsNull = false), "Array(UInt32)"),
+      chField("d", DateType, "Date")))
+    val d = df(schema,
+      Row(255, -100000000000L, 10000.0000001, "String", null,
+        Seq(1L, 2L, 3L), java.sql.Date.valueOf("2021-12-19")),
+      Row(4, 42L, 42.42, "Another", "x", Seq.empty[Long],
+        java.sql.Date.valueOf("1970-02-12")))
+    val bytes = OutputFormats.writeBytes(d, "MsgPack")
+    // 255 as UInt8 -> 0xcc 0xff; -100000000000 needs int64 -> 0xd3
+    assert((bytes(0) & 0xff) === 0xcc && (bytes(1) & 0xff) === 0xff)
+    assert((bytes(2) & 0xff) === 0xd3)
+    val back = InputFormats.parseBytes(spark, bytes, "MsgPack",
+      Some("u8 UInt8, i64 Int64, f Float64, s String, opt Nullable(String), " +
+        "arr Array(UInt32), d Date"))
+    assert(back.collect().map(_.toString).toSeq === d.collect().map(_.toString).toSeq)
+    // strings pack as bin (0xc4), per the reference's default
+    assert(bytes.indexOfSlice("String".getBytes("UTF-8")) > 0)
+    assert((bytes(bytes.indexOfSlice("String".getBytes("UTF-8")) - 2) & 0xff) === 0xc4)
+  }
+
+  test("readLines: distributed TSV file-set parse matches the driver parse") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_readlines")
+      .resolve("tsv").toString
+    val d = spark.range(0, 100).selectExpr("id AS n", "concat('s', id) AS s")
+    OutputFormats.save(d.repartition(4), dir, "TSV")
+    val back = InputFormats.readLines(spark.read.textFile(dir), "TSV",
+      "n Int64, s String")
+    assert(back.count() === 100)
+    assert(back.agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0) === 4950L)
+    assert(back.filter("s = 's7'").count() === 1)
+  }
 }
