@@ -67,6 +67,28 @@ object JdkMediaCodec extends Multimodal.MediaCodec {
       }
   }
 
+  /** Exact decoded-pixel checksum: Σ(r+g+b) over all pixels. PNG/BMP/GIF
+    * are lossless, so this round-trips the encoder exactly (q80's oracle
+    * replays it in closed form). Non-image payloads delegate to the stub.
+    */
+  override def pixelChecksum(bytes: Array[Byte]): Long =
+    readImage(bytes) match {
+      case Some(img) =>
+        var s = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        s
+      case None => Multimodal.StubCodec.pixelChecksum(bytes)
+    }
+
   /** True image resize (bilinear); output re-encoded as PNG. Non-image
     * payloads fall back to the stub transform.
     */

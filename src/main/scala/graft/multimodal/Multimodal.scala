@@ -41,6 +41,11 @@ object Multimodal {
     def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte]
     def featurize(bytes: Array[Byte], dim: Int): Array[Float]
     def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]]
+    /** Deterministic decoded-content checksum: for images, Σ(r+g+b) over
+      * every decoded pixel — lossless formats round-trip it exactly, which
+      * makes the decode path oracle-checkable (q80).
+      */
+    def pixelChecksum(bytes: Array[Byte]): Long
   }
 
   /** The out-of-the-box codec: real JDK-backed media handling with a
@@ -92,6 +97,14 @@ object Multimodal {
     /** STUB: sample n frame payloads from a "video" payload. */
     override def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] =
       (0 until n).map(i => resize(bytes, i + 1, 0))
+
+    /** STUB: byte-sum stands in for a pixel sum. */
+    override def pixelChecksum(bytes: Array[Byte]): Long = {
+      var s = 0L
+      var i = 0
+      while (i < bytes.length) { s += bytes(i) & 0xff; i += 1 }
+      s
+    }
   }
   // ===== END STUB BOUNDARY =====
 
@@ -169,6 +182,26 @@ object Multimodal {
         else codec.sampleFrames(bytes, nFrames).zipWithIndex.iterator.map {
           case (frame, i) => Row.fromSeq(r.toSeq :+ i :+ frame)
         }
+      }
+    }(enc)
+  }
+
+  /** Decoded-pixel checksum column: binary → Σ(r+g+b) over every decoded
+    * pixel (lossless formats make this exact — the oracle-checkable probe
+    * of the real decode path). Partition-wise, no shuffle.
+    */
+  def withPixelChecksum(df: DataFrame, binCol: String,
+      outCol: String = "pix_sum"): DataFrame = {
+    val schema = df.schema.add(outCol, LongType)
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(schema))
+    val idx = df.schema.fieldIndex(binCol)
+    val codec = currentCodec
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val s: java.lang.Long =
+          if (bytes == null) null else Long.box(codec.pixelChecksum(bytes))
+        Row.fromSeq(r.toSeq :+ s)
       }
     }(enc)
   }

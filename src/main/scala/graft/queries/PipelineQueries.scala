@@ -65,6 +65,44 @@ object PipelineQueries {
         .orderBy(col("skey"), col("doc_id"))
         .limit(20)
     }),
+
+    // Multimodal decode under the driver gate: deterministic PNGs fetched
+    // through a file-scheme CONNECTION (ref `getObject.cpp:53-60`), decoded
+    // with the REAL JDK codec (format/width/height + exact pixel checksum).
+    // PNG is lossless, so the oracle replays Σ(r+g+b) in closed form from
+    // the generator formula pixel(x,y) = (x*7 + y*13 + i*31) % 256.
+    "q80_multimodal_decode" -> ((s, _) => {
+      import graft.multimodal.{Connections, Multimodal}
+      val imgDir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_q80_imgs")
+      java.nio.file.Files.createDirectories(imgDir)
+      (1 to 4).foreach { i =>
+        val f = imgDir.resolve(s"img_$i.png")
+        if (!java.nio.file.Files.exists(f)) {
+          val w = 16 + i; val h = 8 + i
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          for (y <- 0 until h; x <- 0 until w) {
+            val v = (x * 7 + y * 13 + i * 31) % 256
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          }
+          javax.imageio.ImageIO.write(img, "png", f.toFile)
+        }
+      }
+      Connections.create("q80_fs", "FS")
+      import s.implicits._
+      val fetched = (1 to 4).map(i =>
+          (i.toLong, s"file://${imgDir.resolve(s"img_$i.png")}"))
+        .toDF("img_id", "url")
+        .select(col("img_id"),
+          Connections.getObject(s, "q80_fs")(col("url")).as("bytes"))
+      val decoded = Multimodal.withPixelChecksum(
+        Multimodal.withDecodedMeta(fetched, "bytes"), "bytes")
+      decoded.select(col("img_id"), col("meta.format").as("fmt"),
+          col("meta.width").as("w"), col("meta.height").as("h"),
+          col("pix_sum"))
+        .orderBy("img_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -103,5 +141,17 @@ object PipelineQueries {
       SELECT doc_id, md5('seed42-' || CAST(doc_id AS VARCHAR)) AS skey
       FROM documents
       ORDER BY skey, doc_id LIMIT 20""",
+    // closed-form replay of the PNG generator: Σ over pixels of 3·v where
+    // v = (x·7 + y·13 + i·31) % 256, image i is (16+i)×(8+i)
+    "q80_multimodal_decode" -> """
+      SELECT CAST(i AS BIGINT) AS img_id, 'png' AS fmt,
+             CAST(16 + i AS INT) AS w, CAST(8 + i AS INT) AS h,
+             CAST(sum(3 * ((x.g * 7 + y.g * 13 + i * 31) % 256)) AS BIGINT)
+               AS pix_sum
+      FROM (SELECT unnest([1, 2, 3, 4]) AS i) imgs
+      JOIN generate_series(0, 25) x(g) ON x.g < 16 + i
+      JOIN generate_series(0, 17) y(g) ON y.g < 8 + i
+      GROUP BY i
+      ORDER BY img_id""",
   )
 }

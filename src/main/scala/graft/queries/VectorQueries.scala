@@ -474,6 +474,43 @@ object VectorQueries {
     // flake them, while a broken graph/probe/re-rank path (recall → ~0)
     // always trips.
     "v33_recall_gates" -> ((s, dir) => recallGates(s, dir)),
+    // HNSW in EXACT mode: ef ≥ corpus makes the greedy search exhaustive
+    // over each part's (connected) graph, so the result is the brute-force
+    // top-K — same upgrade v20/v21/v22 gave IVFSQ/IVFPQ/BinaryIVF. Shares
+    // v01's DuckDB oracle; the approximate-ef modes stay rows-only.
+    "v34_hnsw_exact" -> ((s, dir) => {
+      val n = emb(s, dir).count().toInt
+      HnswIndex.search(s, hnswDir(s, dir), queryVec(s, dir), 10, ef = n)
+        .select(col("id").as("vec_id"),
+          round(col("d").cast("double"), 3).as("d"))
+        .orderBy(col("vec_id"))
+    }),
+    // system.vector_indices / vector_index_segments under the driver gate
+    // (ref `StorageSystemVIs.cpp:37-61`, `StorageSystemVIsWithPart.cpp`):
+    // build (or reuse) the IVF index, then assert catalog state — index
+    // row status/type/metric/row-count plus per-segment counts — against
+    // a DuckDB oracle that derives the row count from the same parquet.
+    "q79_vector_index_catalog" -> ((s, dir) => {
+      val _ = ivfDir(s, dir) // ensure built + registered
+      val name = s"ivf_embeddings_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val vi = IvfIndex.Catalog.asDataFrame(s)
+        .filter(col("name") === name)
+        .select(col("indexType").as("index_type"), col("metric"),
+          col("status"), col("nRows").as("total_rows"))
+      val segs = IvfIndex.Catalog.segmentsDataFrame(s)
+        .filter(col("indexName") === name)
+        .agg(count(lit(1)).as("n_segments"),
+          sum(col("nRows")).as("seg_rows"),
+          sum(when(col("state").isin("BUILT", "SMALL_PART"), 1L)
+            .otherwise(0L)).as("built_segments"))
+      vi.crossJoin(segs)
+        .select(lit("ivf_embeddings").as("name"), col("index_type"),
+          col("metric"), col("status"),
+          col("total_rows").cast("long").as("total_rows"),
+          col("n_segments").cast("long").as("n_segments"),
+          col("seg_rows").cast("long").as("seg_rows"),
+          col("built_segments").cast("long").as("built_segments"))
+    }),
     // arrayDistance scalar family as projection columns (not top-K).
     "v07_distance_family" -> ((s, dir) => {
       val q = queryVec(s, dir)
@@ -547,6 +584,21 @@ object VectorQueries {
         FROM embeddings
         ORDER BY list_distance(embedding, $qv0), vec_id LIMIT 10)
       ORDER BY vec_id""",
+    // v34: exhaustive-ef HNSW is exact — same brute-force oracle as v01
+    "v34_hnsw_exact" -> s"""
+      SELECT * FROM (
+        SELECT vec_id, round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) AS d
+        FROM embeddings
+        ORDER BY list_distance(embedding, $qv0), vec_id LIMIT 10)
+      ORDER BY vec_id""",
+    "q79_vector_index_catalog" -> """
+      SELECT 'ivf_embeddings' AS name, 'IVFFLAT' AS index_type,
+             'l2' AS metric, 'BUILT' AS status,
+             CAST(count(1) AS BIGINT) AS total_rows,
+             CAST(16 AS BIGINT) AS n_segments,
+             CAST(count(1) AS BIGINT) AS seg_rows,
+             CAST(16 AS BIGINT) AS built_segments
+      FROM embeddings""",
     "v02_cosine_topk" -> s"""
       SELECT * FROM (
         SELECT vec_id,

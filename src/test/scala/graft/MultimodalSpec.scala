@@ -14,6 +14,7 @@ class MultimodalSpec extends SparkSpec {
       override def resize(b: Array[Byte], w: Int, h: Int) = Array[Byte](7)
       override def featurize(b: Array[Byte], dim: Int) = Array.fill(dim)(0.5f)
       override def sampleFrames(b: Array[Byte], n: Int) = Seq(Array[Byte](9))
+      override def pixelChecksum(b: Array[Byte]) = 11L
     }
     try {
       Multimodal.installCodec(FixedCodec)
