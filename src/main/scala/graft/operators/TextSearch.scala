@@ -31,9 +31,16 @@ object TextSearch {
   def queryTerms(query: String): Seq[String] =
     query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq
 
-  /** One pass over the corpus: N, avgdl, and df for the query terms only. */
-  def collectStats(df: DataFrame, textCol: Column, terms: Seq[String]): Bm25Stats = {
-    val toks = text.tokenize(textCol)
+  /** One pass over the corpus: N, avgdl, and df for the query terms only.
+    * The text is tokenized ONCE into a projected column — per-term
+    * aggregates reference the attribute, not a per-term re-tokenization
+    * (a 26-term query was paying 26 regexp splits per row before r14).
+    */
+  def collectStats(df: DataFrame, textCol: Column, terms: Seq[String]): Bm25Stats =
+    statsFromTokens(
+      df.select(text.tokenize(textCol).as("__graft_toks")), col("__graft_toks"), terms)
+
+  private def statsFromTokens(df: DataFrame, toks: Column, terms: Seq[String]): Bm25Stats = {
     val dfAggs = terms.zipWithIndex.map { case (t, i) =>
       sum(when(array_contains(toks, t), 1L).otherwise(0L)).as(s"df_$i")
     }
@@ -51,8 +58,13 @@ object TextSearch {
     * expressions (codegen'd): tf via a filtered token count, dl via token
     * count; the per-term idf is a literal folded at plan time.
     */
-  def bm25Score(textCol: Column, terms: Seq[String], stats: Bm25Stats): Column = {
-    val toks = text.tokenize(textCol)
+  def bm25Score(textCol: Column, terms: Seq[String], stats: Bm25Stats): Column =
+    bm25ScoreTokens(text.tokenize(textCol), terms, stats)
+
+  /** Same scoring over an already-tokenized column (the attribute form —
+    * one tokenize per row no matter how many terms reference it).
+    */
+  def bm25ScoreTokens(toks: Column, terms: Seq[String], stats: Bm25Stats): Column = {
     val dl = size(toks).cast("double")
     val perTerm = terms.map { t =>
       val dfT = stats.docFreq.getOrElse(t, 0L)
@@ -86,14 +98,18 @@ object TextSearch {
       return df.withColumn(scoreName, lit(0.0)).filter(lit(false)).limit(k)
     if (terms.length > ManyTermsThreshold)
       return textSearchManyTerms(df, textCol, terms, k, operator, scoreName, tieBreak)
+    // tokenize once per row: match + score reference the projected column
+    val tname = "__graft_toks"
+    val withT = df.withColumn(tname, text.tokenize(textCol))
+    val tcol = col(tname)
     val stats = collectStats(df, textCol, terms)
-    val toks = text.tokenize(textCol)
     val matched = operator.toUpperCase match {
-      case "AND" => terms.map(t => array_contains(toks, t)).reduce(_ && _)
-      case _     => terms.map(t => array_contains(toks, t)).reduce(_ || _)
+      case "AND" => terms.map(t => array_contains(tcol, t)).reduce(_ && _)
+      case _     => terms.map(t => array_contains(tcol, t)).reduce(_ || _)
     }
-    df.filter(matched)
-      .withColumn(scoreName, bm25Score(textCol, terms, stats))
+    withT.filter(matched)
+      .withColumn(scoreName, bm25ScoreTokens(tcol, terms, stats))
+      .drop(tname)
       .orderBy(col(scoreName).desc +: tieBreak: _*)
       .limit(k)
   }
@@ -202,7 +218,9 @@ object TextSearch {
     val terms = nlq.scoredTerms
     if (terms.isEmpty && nlq.mustNot.isEmpty)
       return df.withColumn(scoreName, lit(0.0)).filter(lit(false)).limit(k)
-    val toks = text.tokenize(textCol)
+    val tname = "__graft_toks"
+    val withT = df.withColumn(tname, text.tokenize(textCol))
+    val toks = col(tname)
     val joined = concat(lit(" "), array_join(toks, " "), lit(" "))
     val phraseConds = nlq.phrases.map(p =>
       joined.contains(" " + p.mkString(" ") + " "))
@@ -215,8 +233,9 @@ object TextSearch {
     val matched = (phraseConds ++ mustConds ++ notConds ++ shouldCond)
       .reduceOption(_ && _).getOrElse(lit(true))
     val stats = collectStats(df, textCol, terms)
-    df.filter(matched)
-      .withColumn(scoreName, bm25Score(textCol, terms, stats))
+    withT.filter(matched)
+      .withColumn(scoreName, bm25ScoreTokens(toks, terms, stats))
+      .drop(tname)
       .orderBy(col(scoreName).desc +: tieBreak: _*)
       .limit(k)
   }

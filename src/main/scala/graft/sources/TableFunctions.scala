@@ -110,12 +110,23 @@ object TableFunctions {
     * At 100 TB the right source is a DFS path via [[file]] — a single URL
     * is by definition a single-reader bottleneck in any engine.
     */
+  /** Fetched-payload dispatch shared by [[url]] and [[s3]]: BINARY formats
+    * (RowBinary*, RawBLOB, Native, BSONEachRow, MsgPack) go straight to
+    * [[InputFormats.parseBytes]] — a UTF-8 decode would mangle them — and
+    * text formats keep [[format]]'s schema-inference path.
+    */
+  private def parseFetched(spark: SparkSession, bytes: Array[Byte],
+      formatName: String): DataFrame = {
+    val c = OutputFormats.canon(formatName)
+    if (c.startsWith("rowbinary") || c == "rawblob" || c == "native" ||
+        c == "bsoneachrow" || c == "msgpack")
+      InputFormats.parseBytes(spark, bytes, formatName, None)
+    else format(spark, formatName,
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   def url(spark: SparkSession, u: String, formatName: String): DataFrame = {
-    val bytes = graft.multimodal.Connections.httpFetch(u)
-    // parseBytes handles every binary format (RowBinary*, RawBLOB, Native,
-    // BSONEachRow) and falls back to the text parse for the rest — routing
-    // through it unconditionally avoids lossy UTF-8 decode of binary payloads
-    InputFormats.parseBytes(spark, bytes, formatName, None)
+    parseFetched(spark, graft.multimodal.Connections.httpFetch(u), formatName)
   }
 
   /** `s3('endpoint/bucket/key', 'Format')` via a registered CONNECTION
@@ -129,8 +140,7 @@ object TableFunctions {
       .select(graft.multimodal.Connections
         .getObject(spark, connectionName)(lit(u)).as("b"))
       .head().getAs[Array[Byte]]("b")
-    format(spark, formatName,
-      new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+    parseFetched(spark, bytes, formatName)
   }
 
   /** `values('structure', row, row, ...)` (`TableFunctionValues.cpp`):

@@ -222,6 +222,17 @@ class TableFunctionsSpec extends SparkSpec {
       val json = TableFunctions.url(spark, s"$base/rows.json", "JSONEachRow")
       assert(json.select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
         === Set((1L, "p"), (2L, "q")))
+      // binary formats route through parseBytes (ADVICE r13: a UTF-8
+      // decode corrupted Native payloads before dispatch)
+      val src = Seq((5L, "né"), (6L, "m")).toDF("k", "v")
+      val nativeBytes = graft.sources.OutputFormats.writeBytes(src, "Native")
+      server.createContext("/blk.native", (ex: HttpExchange) => {
+        ex.sendResponseHeaders(200, nativeBytes.length.toLong)
+        ex.getResponseBody.write(nativeBytes); ex.close()
+      })
+      val nat = TableFunctions.url(spark, s"$base/blk.native", "Native")
+      assert(nat.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+        === Set((5L, "né"), (6L, "m")))
     } finally server.stop(0)
   }
 
