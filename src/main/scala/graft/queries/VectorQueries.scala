@@ -485,6 +485,36 @@ object VectorQueries {
           round(col("d").cast("double"), 3).as("d"))
         .orderBy(col("vec_id"))
     }),
+    // HNSWSQ/HNSWPQ in exact mode: exhaustive-ef quantized graph search
+    // feeds the full corpus into the exact re-rank (v21's 1<<20-reorder
+    // trick over the graph path) — shares v01's brute oracle.
+    "v35_hnswsq_exact" -> ((s, dir) => {
+      val n = emb(s, dir).count().toInt
+      HnswIndex.searchTwoStage(s, hnswSqDir(s, dir), emb(s, dir),
+          "vec_id", "embedding", queryVec(s, dir), 10,
+          numReorder = n, ef = n, "l2", "d", Seq(col("vec_id")))
+        .select(col("vec_id"), round(col("d").cast("double"), 3).as("d"))
+        .orderBy(col("vec_id"))
+    }),
+    "v36_hnswpq_exact" -> ((s, dir) => {
+      val n = emb(s, dir).count().toInt
+      HnswIndex.searchTwoStage(s, hnswPqDir(s, dir), emb(s, dir),
+          "vec_id", "embedding", queryVec(s, dir), 10,
+          numReorder = n, ef = n, "l2", "d", Seq(col("vec_id")))
+        .select(col("vec_id"), round(col("d").cast("double"), 3).as("d"))
+        .orderBy(col("vec_id"))
+    }),
+    // BinaryHNSW with exhaustive ef: Hamming distances are exact on the
+    // graph itself, so full-ef search IS brute force — shares v22's
+    // hex-digit-popcount oracle.
+    "v37_binary_hnsw_exact" -> ((s, dir) => {
+      val q = bvecs(s, dir).filter(col("doc_id") === 0)
+        .select("bvec").head().getAs[Array[Byte]](0)
+      val n = bvecs(s, dir).count().toInt
+      BinaryHnswIndex.search(s, bhnswDir(s, dir), q, 10, ef = n)
+        .select(col("id").as("doc_id"), col("d").cast("double").as("d"))
+        .orderBy(col("doc_id"))
+    }),
     // system.vector_indices / vector_index_segments under the driver gate
     // (ref `StorageSystemVIs.cpp:37-61`, `StorageSystemVIsWithPart.cpp`):
     // build (or reuse) the IVF index, then assert catalog state — index
@@ -584,13 +614,37 @@ object VectorQueries {
         FROM embeddings
         ORDER BY list_distance(embedding, $qv0), vec_id LIMIT 10)
       ORDER BY vec_id""",
-    // v34: exhaustive-ef HNSW is exact — same brute-force oracle as v01
+    // v34-v36: exhaustive-ef HNSW (flat/SQ/PQ re-ranked) is exact — same
+    // brute-force oracle as v01
     "v34_hnsw_exact" -> s"""
       SELECT * FROM (
         SELECT vec_id, round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) AS d
         FROM embeddings
         ORDER BY list_distance(embedding, $qv0), vec_id LIMIT 10)
       ORDER BY vec_id""",
+    "v35_hnswsq_exact" -> s"""
+      SELECT * FROM (
+        SELECT vec_id, round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) AS d
+        FROM embeddings
+        ORDER BY list_distance(embedding, $qv0), vec_id LIMIT 10)
+      ORDER BY vec_id""",
+    "v36_hnswpq_exact" -> s"""
+      SELECT * FROM (
+        SELECT vec_id, round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) AS d
+        FROM embeddings
+        ORDER BY list_distance(embedding, $qv0), vec_id LIMIT 10)
+      ORDER BY vec_id""",
+    "v37_binary_hnsw_exact" -> """
+      WITH q AS (SELECT md5(text) AS qh FROM documents WHERE doc_id = 0),
+      d AS (SELECT doc_id, md5(text) AS h FROM documents)
+      SELECT * FROM (
+        SELECT doc_id,
+          CAST(list_sum(list_transform(range(1, 33), i ->
+            bit_count(xor(strpos('0123456789abcdef', substring(h, CAST(i AS INTEGER), 1)) - 1,
+                          strpos('0123456789abcdef', substring(qh, CAST(i AS INTEGER), 1)) - 1)))) AS DOUBLE) AS d
+        FROM d CROSS JOIN q
+        ORDER BY d, doc_id LIMIT 10)
+      ORDER BY doc_id""",
     "q79_vector_index_catalog" -> """
       SELECT 'ivf_embeddings' AS name, 'IVFFLAT' AS index_type,
              'l2' AS metric, 'BUILT' AS status,
