@@ -213,6 +213,7 @@ object OutputFormats {
     val cs = cols(schema)
     val f = canon(format)
     f match {
+      case "prometheus" => PrometheusFormat.write(schema, rows0)
       case "values" =>
         val render = rowRenderer(schema, format, s)
         rows0.map(render).mkString("", ",", "\n")
@@ -417,7 +418,7 @@ object OutputFormats {
     ("PrettySpaceNoEscapes", false, true),
     ("PrettyCompactMonoBlock", false, true),
     ("Native", true, true), ("BSONEachRow", true, true),
-    ("MsgPack", true, true),
+    ("MsgPack", true, true), ("Prometheus", false, true),
     ("RowBinary", true, true), ("RowBinaryWithNames", true, true),
     ("RowBinaryWithNamesAndTypes", true, true),
     ("LineAsString", true, true), ("RawBLOB", true, true),

@@ -1,0 +1,167 @@
+package graft.sources
+
+import scala.collection.immutable.SortedMap
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+/** Prometheus text exposition output (ref `src/Processors/Formats/Impl/
+  * PrometheusTextOutputFormat.cpp:1-330`; wire grammar per the published
+  * Prometheus exposition-format spec).
+  *
+  * Input contract mirrors the reference: required columns `name`
+  * (string) and `value` (number); optional `help`/`type` (string),
+  * `timestamp` (number; 0 or NULL = omitted), `labels`
+  * (map<string,string>). Consecutive rows with the same `name` form one
+  * metric: `# HELP` / `# TYPE` headers (first non-empty wins, newlines
+  * in help become spaces), label sets rendered sorted by key with
+  * escaped values, and for histogram/summary types the bucket fix-ups
+  * the reference applies — rows sorted by numeric `le`/`quantile`,
+  * `sum`/`count` pseudo-labels become `_sum`/`_count` suffixed lines
+  * (sum before count), `le` rows get the `_bucket` suffix, and a
+  * histogram's `+Inf` bucket and `_count` synthesize each other.
+  * Pinned to the reference's own `02267_output_format_prometheus`
+  * golden in PrometheusFormatSpec.
+  */
+object PrometheusFormat {
+
+  private case class RowVal(
+      value: String, timestamp: String, var labels: SortedMap[String, String])
+
+  private def esc(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '"' => sb.append("\\\"")
+      case '\n' => sb.append("\\n")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  private def numText(v: Any, dt: DataType): String = v match {
+    case null => ""
+    case d: java.lang.Double if d.isNaN => "nan"
+    case d: java.lang.Double if d.isInfinite =>
+      if (d > 0) "inf" else "-inf"
+    case f: java.lang.Float if f.isNaN => "nan"
+    case f: java.lang.Float if f.isInfinite => if (f > 0) "inf" else "-inf"
+    case other => FormatCodec.scalarText(other, dt)
+  }
+
+  def write(df: DataFrame): String = write(df.schema, df.collect())
+
+  def write(schema: StructType, rows: Array[org.apache.spark.sql.Row]): String = {
+    def posOf(n: String): Option[Int] =
+      schema.fields.indexWhere(_.name == n) match {
+        case -1 => None
+        case i => Some(i)
+      }
+    val namePos = posOf("name").getOrElse(throw new IllegalArgumentException(
+      "Column 'name' is required for output format 'Prometheus'"))
+    val valuePos = posOf("value").getOrElse(throw new IllegalArgumentException(
+      "Column 'value' is required for output format 'Prometheus'"))
+    val helpPos = posOf("help")
+    val typePos = posOf("type")
+    val tsPos = posOf("timestamp")
+    val labelsPos = posOf("labels")
+
+    val out = new StringBuilder
+
+    var curName = ""
+    var curHelp = ""
+    var curType = ""
+    var curVals = Vector.empty[RowVal]
+
+    def flush(): Unit = {
+      if (curName.nonEmpty && curVals.nonEmpty) {
+        if (curHelp.nonEmpty) out.append(s"# HELP $curName $curHelp\n")
+        if (curType.nonEmpty) out.append(s"# TYPE $curName $curType\n")
+        val useBuckets = curType == "histogram" || curType == "summary"
+        var vals = curVals
+        if (useBuckets) {
+          val bucketLabel = if (curType == "histogram") "le" else "quantile"
+          // rows with plain labels first (by numeric bucket value), then
+          // _sum, then _count (fixupBucketLabels ordering)
+          def rank(v: RowVal): Int =
+            if (v.labels.contains("sum")) 1
+            else if (v.labels.contains("count")) 2
+            else 0
+          def bucketNum(v: RowVal): Double =
+            v.labels.get(bucketLabel)
+              .flatMap(s => scala.util.Try(
+                if (s == "+Inf") Double.PositiveInfinity else s.toDouble).toOption)
+              .getOrElse(0.0)
+          vals = vals.sortBy(v => (rank(v), bucketNum(v)))
+          if (curType == "histogram") {
+            // +Inf bucket and _count must both exist and agree
+            val infB = vals.find(v => v.labels.get("le").contains("+Inf"))
+            val cntB = vals.find(_.labels.contains("count"))
+            (infB, cntB) match {
+              case (Some(inf), None) =>
+                vals = vals :+ inf.copy(labels = SortedMap("count" -> ""))
+              case (None, Some(cnt)) =>
+                vals = vals :+ cnt.copy(labels = SortedMap("le" -> "+Inf"))
+              case _ =>
+            }
+            // re-sort so the synthesized row lands in its place
+            vals = vals.sortBy(v => (rank(v), bucketNum(v)))
+          }
+        }
+        vals.foreach { v =>
+          out.append(curName)
+          if (useBuckets) {
+            if (v.labels.contains("sum")) { out.append("_sum"); v.labels -= "sum" }
+            if (v.labels.contains("count")) { out.append("_count"); v.labels -= "count" }
+            if (v.labels.contains("le")) out.append("_bucket")
+          }
+          if (v.labels.nonEmpty)
+            out.append(v.labels.map { case (k, lv) => s"""$k="${esc(lv)}"""" }
+              .mkString("{", ",", "}"))
+          out.append(' ')
+          out.append(v.value match {
+            case "nan" => "NaN"
+            case "inf" => "+Inf"
+            case "-inf" => "-Inf"
+            case other => other
+          })
+          if (v.timestamp.nonEmpty) { out.append(' '); out.append(v.timestamp) }
+          out.append('\n')
+        }
+        out.append('\n')
+      }
+      curName = ""; curHelp = ""; curType = ""; curVals = Vector.empty
+    }
+
+    rows.foreach { r =>
+      val name = String.valueOf(r.get(namePos))
+      if (name != curName) { flush(); curName = name }
+      helpPos.foreach { i =>
+        if (!r.isNullAt(i) && curHelp.isEmpty)
+          curHelp = r.getString(i).replace('\n', ' ')
+      }
+      typePos.foreach { i =>
+        if (!r.isNullAt(i) && curType.isEmpty) curType = r.getString(i)
+      }
+      val value = numText(r.get(valuePos), schema.fields(valuePos).dataType)
+      val ts = tsPos match {
+        case Some(i) if !r.isNullAt(i) =>
+          val raw = r.get(i)
+          val isZero = raw match {
+            case n: Number => n.doubleValue == 0.0
+            case _ => false
+          }
+          if (isZero) "" else numText(raw, schema.fields(i).dataType)
+        case _ => ""
+      }
+      val labels = labelsPos match {
+        case Some(i) if !r.isNullAt(i) =>
+          SortedMap.from(r.getMap[String, String](i))
+        case _ => SortedMap.empty[String, String]
+      }
+      curVals = curVals :+ RowVal(value, ts, labels)
+    }
+    flush()
+    out.toString
+  }
+}

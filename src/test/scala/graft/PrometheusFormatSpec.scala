@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.sources.{OutputFormats, PrometheusFormat}
+
+/** Pinned to the reference's own `02267_output_format_prometheus`
+  * golden: metric grouping, HELP/TYPE headers, sorted label sets with
+  * escaping, histogram/summary bucket fix-ups (le/quantile ordering,
+  * _sum/_count suffix lines, +Inf ↔ _count synthesis), Inf value
+  * rendering, and zero/NULL timestamp omission.
+  */
+class PrometheusFormatSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("type", StringType, nullable = true),
+    StructField("help", StringType, nullable = true),
+    StructField("labels", MapType(StringType, StringType), nullable = true),
+    StructField("value", DoubleType, nullable = false),
+    StructField("timestamp", DoubleType, nullable = true)))
+
+  private def df(rows: Row*) =
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows.toSeq).asJava), schema)
+
+  test("02267 golden: full metric family output") {
+    // the reference test's first SELECT, already ORDER BY name, value
+    val d = df(
+      Row("http_request_duration_seconds", "histogram",
+        "A histogram of the request duration.", Map("le" -> "0.05"), 24054.0, 0.0),
+      Row("http_request_duration_seconds", "histogram", "",
+        Map("le" -> "0.1"), 33444.0, 0.0),
+      Row("http_request_duration_seconds", "histogram", "",
+        Map("sum" -> ""), 53423.0, 0.0),
+      Row("http_request_duration_seconds", "histogram", "",
+        Map("le" -> "0.2"), 100392.0, 0.0),
+      Row("http_request_duration_seconds", "histogram", "",
+        Map("le" -> "0.5"), 129389.0, 0.0),
+      Row("http_request_duration_seconds", "histogram", "",
+        Map("le" -> "1"), 133988.0, 0.0),
+      Row("http_request_duration_seconds", "histogram", "",
+        Map("le" -> "+Inf"), 144320.0, 0.0),
+      Row("http_requests_total", "counter", "",
+        Map("method" -> "post", "code" -> "400"), 3.0, 1395066363000.0),
+      Row("http_requests_total", "counter", "Total number of HTTP requests",
+        Map("method" -> "post", "code" -> "200"), 1027.0, 1395066363000.0),
+      Row("metric_without_timestamp_and_labels", "", "",
+        Map.empty[String, String], 12.47, 0.0),
+      Row("msdos_file_access_time_seconds", "", "",
+        Map("path" -> "C:\\DIR\\FILE.TXT",
+          "error" -> "Cannot find file:\n\"FILE.TXT\""), 1458255915.0, 0.0),
+      Row("rpc_duration_seconds", "summary", "",
+        Map("count" -> ""), 2693.0, 0.0),
+      Row("rpc_duration_seconds", "summary",
+        "A summary of the RPC duration in seconds.",
+        Map("quantile" -> "0.01"), 3102.0, 0.0),
+      Row("rpc_duration_seconds", "summary", "",
+        Map("quantile" -> "0.05"), 3272.0, 0.0),
+      Row("rpc_duration_seconds", "summary", "",
+        Map("quantile" -> "0.5"), 4773.0, 0.0),
+      Row("rpc_duration_seconds", "summary", "",
+        Map("quantile" -> "0.9"), 9001.0, 0.0),
+      Row("rpc_duration_seconds", "summary", "",
+        Map("quantile" -> "0.99"), 76656.0, 0.0),
+      Row("rpc_duration_seconds", "summary", "",
+        Map("sum" -> ""), 1.7560473e7, 0.0),
+      Row("something_weird", "", "",
+        Map("problem" -> "division by zero"), Double.PositiveInfinity,
+        -3982045.0))
+    val expected =
+      """# HELP http_request_duration_seconds A histogram of the request duration.
+        |# TYPE http_request_duration_seconds histogram
+        |http_request_duration_seconds_bucket{le="0.05"} 24054
+        |http_request_duration_seconds_bucket{le="0.1"} 33444
+        |http_request_duration_seconds_bucket{le="0.2"} 100392
+        |http_request_duration_seconds_bucket{le="0.5"} 129389
+        |http_request_duration_seconds_bucket{le="1"} 133988
+        |http_request_duration_seconds_bucket{le="+Inf"} 144320
+        |http_request_duration_seconds_sum 53423
+        |http_request_duration_seconds_count 144320
+        |
+        |# HELP http_requests_total Total number of HTTP requests
+        |# TYPE http_requests_total counter
+        |http_requests_total{code="400",method="post"} 3 1395066363000
+        |http_requests_total{code="200",method="post"} 1027 1395066363000
+        |
+        |metric_without_timestamp_and_labels 12.47
+        |
+        |msdos_file_access_time_seconds{error="Cannot find file:\n\"FILE.TXT\"",path="C:\\DIR\\FILE.TXT"} 1458255915
+        |
+        |# HELP rpc_duration_seconds A summary of the RPC duration in seconds.
+        |# TYPE rpc_duration_seconds summary
+        |rpc_duration_seconds{quantile="0.01"} 3102
+        |rpc_duration_seconds{quantile="0.05"} 3272
+        |rpc_duration_seconds{quantile="0.5"} 4773
+        |rpc_duration_seconds{quantile="0.9"} 9001
+        |rpc_duration_seconds{quantile="0.99"} 76656
+        |rpc_duration_seconds_sum 17560473
+        |rpc_duration_seconds_count 2693
+        |
+        |something_weird{problem="division by zero"} +Inf -3982045
+        |""".stripMargin
+    assert(OutputFormats.write(d, "Prometheus") === expected + "\n")
+  }
+
+  test("02267 golden: NULL help/type/timestamp omitted, no labels column") {
+    val s2 = StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("value", LongType, nullable = false),
+      StructField("help", StringType, nullable = true),
+      StructField("type", StringType, nullable = true),
+      StructField("timestamp", LongType, nullable = true)))
+    val rows = (0L until 5L).map { n =>
+      Row(s"metric$n", n,
+        if (n % 2 == 0) s"info $n" else null,
+        if (n % 3 == 0) "counter" else null,
+        if (n == 2L) 1395066363000L else null)
+    }
+    val d = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), s2)
+    val expected =
+      """# HELP metric0 info 0
+        |# TYPE metric0 counter
+        |metric0 0
+        |
+        |metric1 1
+        |
+        |# HELP metric2 info 2
+        |metric2 2 1395066363000
+        |
+        |# TYPE metric3 counter
+        |metric3 3
+        |
+        |# HELP metric4 info 4
+        |metric4 4
+        |""".stripMargin
+    assert(PrometheusFormat.write(d) === expected + "\n")
+  }
+
+  test("missing required column fails loudly") {
+    import spark.implicits._
+    val d = Seq(("m", 1.0)).toDF("name", "v")
+    intercept[IllegalArgumentException](PrometheusFormat.write(d))
+  }
+}
