@@ -9,8 +9,8 @@ import graft.sources.{InputFormats, OutputFormats}
 /** Driver-checked queries for the I/O format surface (SURVEY §2.2).
   *
   * q76 proves the format codecs end-to-end the only way a SQL oracle
-  * can: sixteen rows each WRITE → PARSE round trip the same orders
-  * slice (fifteen formats driver-side plus one DISTRIBUTED
+  * can: seventeen rows each WRITE → PARSE round trip the same orders
+  * slice (sixteen formats driver-side plus one DISTRIBUTED
   * save()/readLines TSV file-set pass), and the aggregate of each
   * round-tripped frame must equal the aggregate DuckDB computes
   * directly from parquet. A format that drops
@@ -73,6 +73,9 @@ object FormatQueries {
           "RowBinaryWithNamesAndTypes"),
         "json_framed" -> InputFormats.parse(s,
           OutputFormats.write(base, "JSON"), "JSON"),
+        "json_object" -> InputFormats.parse(s,
+          OutputFormats.write(base, "JSONObjectEachRow"),
+          "JSONObjectEachRow", Some(fmtStructure)),
         "jsoncolumns" -> InputFormats.parse(s,
           OutputFormats.write(base, "JSONColumns"), "JSONColumns",
           Some(fmtStructure)),
@@ -136,7 +139,7 @@ object FormatQueries {
         FROM orders WHERE o_orderkey <= 500),
       fmts AS (
         SELECT unnest(['bson_each_row', 'csv_typed', 'custom_separated', 'json_compact_typed',
-                       'json_each_row', 'json_framed', 'jsoncolumns', 'msgpack',
+                       'json_each_row', 'json_framed', 'json_object', 'jsoncolumns', 'msgpack',
                        'mysql_dump', 'native', 'row_binary', 'save_tsv', 'template',
                        'tskv', 'tsv_typed', 'values']) AS fmt)
       SELECT fmt, cnt, key_sum, price_sum, first_day

@@ -287,6 +287,48 @@ object InputFormats {
         }
         toDf(spark, rows, schema)
 
+      case "jsonobjecteachrow" =>
+        // one outer object; each field's value is a row object (ref
+        // JSONObjectEachRowRowInputFormat.cpp; the object-name key joins
+        // the row only via column_for_object_name — plumbed through
+        // Settings.jsonObjectEachRowColumnForObjectName)
+        val root = mapper.readTree(data)
+        require(root != null && root.isObject,
+          "JSONObjectEachRow input expects a single JSON object")
+        val entries = {
+          val it = root.fields()
+          val b = Seq.newBuilder[(String, JsonNode)]
+          while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+          b.result()
+        }
+        val nameCol = settings.jsonObjectEachRowColumnForObjectName
+        val schema = declared.getOrElse {
+          val keys = scala.collection.mutable.LinkedHashSet.empty[String]
+          entries.foreach { case (_, n) =>
+            val it = n.fieldNames(); while (it.hasNext) keys += it.next()
+          }
+          StructType(
+            (if (nameCol.nonEmpty) Seq(StructField(nameCol, StringType, nullable = true))
+             else Nil) ++
+              keys.toSeq.map(k => StructField(k, StringType, nullable = true)))
+        }
+        if (nameCol.nonEmpty)
+          require(schema.fieldNames.contains(nameCol),
+            s"Column name '$nameCol' from column_for_object_name doesn't exist in header")
+        val rows = entries.map { case (key, node) =>
+          Row.fromSeq(schema.fields.toSeq.map { fld =>
+            if (nameCol.nonEmpty && fld.name == nameCol) key
+            else settle(jsonToValue(node.get(fld.name), fld), fld)
+          })
+        }
+        toDf(spark, rows, schema)
+
+      case "hivetext" =>
+        // Hive's default text layout: the CSV reader machinery with the
+        //  fields delimiter (ref HiveTextRowInputFormat.cpp — a
+        // CSVRowInputFormat parameterized by hive_text.fields_delimiter)
+        lineWise("CSV", '\u0001', withNames = false, withTypes = false)
+
       case "jsoneachrow" | "ndjson" | "jsonlines" =>
         val schema = declared.getOrElse {
           return spark.read.json(

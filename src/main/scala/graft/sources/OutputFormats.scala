@@ -54,6 +54,7 @@ object OutputFormats {
       templateRow: String = "",
       regexpPattern: String = "",
       regexpEscapingRule: String = "Raw",
+      jsonObjectEachRowColumnForObjectName: String = "",
       regexpSkipUnmatched: Boolean = false,
       rowsRead: Option[Long] = None,
       bytesRead: Option[Long] = None)
@@ -410,7 +411,8 @@ object OutputFormats {
     ("JSONCompactEachRowWithNames", true, true),
     ("JSONCompactEachRowWithNamesAndTypes", true, true),
     ("JSONCompactStringsEachRow", false, true),
-    ("JSONObjectEachRow", false, true), ("JSONAsString", true, false),
+    ("JSONObjectEachRow", true, true), ("JSONAsString", true, false),
+    ("HiveText", true, false),
     ("JSONAsObject", true, false), ("CustomSeparatedIgnoreSpaces", true, false),
     ("Pretty", false, true), ("PrettyCompact", false, true),
     ("PrettySpace", false, true), ("PrettyNoEscapes", false, true),

@@ -538,4 +538,36 @@ class FormatsSpec extends SparkSpec {
     assert(back.agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0) === 4950L)
     assert(back.filter("s = 's7'").count() === 1)
   }
+
+  test("JSONObjectEachRow round-trip as input; object name via setting") {
+    val schema = StructType(Seq(
+      chField("n", LongType, "Int64"),
+      chField("s", StringType, "String")))
+    val d = df(schema, Row(1L, "a"), Row(2L, "b"))
+    val out = OutputFormats.write(d, "JSONObjectEachRow")
+    val back = InputFormats.parse(spark, out, "JSONObjectEachRow",
+      Some("n Int64, s String"))
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "a"), (2L, "b")))
+    // object keys land in the named column when requested
+    val s2 = OutputFormats.Settings(jsonObjectEachRowColumnForObjectName = "rk")
+    val withKey = InputFormats.parse(spark, out, "JSONObjectEachRow",
+      Some("rk String, n Int64, s String"), s2)
+    assert(withKey.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("row_1", 1L), ("row_2", 2L)))
+    // self-describing read (union of row-object keys)
+    val inferred = InputFormats.parse(spark, out, "JSONObjectEachRow")
+    assert(inferred.columns.toSeq === Seq("n", "s"))
+    assert(inferred.count() === 2)
+  }
+
+  test("HiveText input: \\x01-delimited rows against a declared structure") {
+    val data = "7\u0001zz\u00012021-12-19\n8\u0001\\N\u00012021-12-20\n"
+    val back = InputFormats.parse(spark, data, "HiveText",
+      Some("n Int64, s Nullable(String), d Date"))
+    val rows = back.collect()
+    assert(rows(0).getLong(0) === 7L && rows(0).getString(1) === "zz")
+    assert(rows(1).isNullAt(1))
+    assert(rows(0).getDate(2).toString === "2021-12-19")
+  }
 }
