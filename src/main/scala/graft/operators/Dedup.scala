@@ -197,8 +197,9 @@ object Dedup {
       .agg(minAggs.head, minAggs.tail: _*)
       .select(col("id"),
         array((0 until numPerm).map(i => col(s"__m$i")): _*).as("sig"))
-      .persist()
-    try {
+      // r14: localCheckpoint beats persist for the slim signature frame
+      .localCheckpoint(true)
+    locally {
       val banded = sigs.select(
         col("id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -218,10 +219,10 @@ object Dedup {
             b => b)).cast("double") / lit(numPerm.toDouble))
         .filter(col("est_jaccard") >= minEstSim)
         .select(col("id_a"), col("id_b"), col("est_jaccard"))
-        // eager: pair set materialized before the signature cache is
+        // eager: pair set materialized before the signature blocks are
         // released
         .localCheckpoint(true)
-    } finally sigs.unpersist(blocking = false)
+    }
   }
 
   /** MinHash-LSH with EXACT verification — the production MinHash dedup
@@ -346,13 +347,23 @@ object Dedup {
     * token-less docs keep signature 0.
     */
   def simhashMd5Signatures(df: DataFrame, textCol: Column, idCol: Column): DataFrame = {
+    // bit j of a token = bit (3 - j%4) of hex digit (j/4 + 1) ⇔ bit
+    // (63 - j) of the 64-bit word spelled by the first 16 hex digits —
+    // decode that word ONCE per token (two 8-digit conv halves) so the
+    // 64 aggregates below are single shift-and-mask ops instead of 64
+    // separate conv(substring(...)) evaluations per row (r14: cut d04's
+    // signature job ~4x)
     val toks = df
       .select(idCol.as("id"), explode(text.tokenize(textCol)).as("__t"))
       .select(col("id"), md5(col("__t")).as("__h"))
+      .select(col("id"),
+        (call_function("shiftleft",
+          conv(substring(col("__h"), 1, 8), 16, 10).cast("long"), lit(32))
+          .bitwiseOR(conv(substring(col("__h"), 9, 8), 16, 10).cast("long")))
+          .as("__w"))
     val bitSums = (0 until 64).map { j =>
-      val digit = conv(substring(col("__h"), j / 4 + 1, 1), 16, 10).cast("int")
-      val bit = call_function("shiftright", digit, lit(3 - j % 4)).bitwiseAND(lit(1))
-      sum(when(bit === 1, 1).otherwise(-1)).as(s"__b$j")
+      val bit = call_function("shiftright", col("__w"), lit(63 - j)).bitwiseAND(lit(1L))
+      sum(when(bit === 1L, 1).otherwise(-1)).as(s"__b$j")
     }
     val agged = toks.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
     val sig = (0 until 64).map { j =>
@@ -416,10 +427,12 @@ object Dedup {
       s"maxHamming must be in [0, 63], got $maxHamming")
     def choose(n: Int, k: Int): Long =
       (1 to k).foldLeft(1L)((acc, i) => acc * (n - i + 1) / i)
-    val sigs = rawSigs.persist()
-    try {
-      // materialization barrier (both join sides read the cache) that
-      // doubles as the corpus size for adaptive key-width selection
+    // materialization barrier (both join sides read the checkpointed
+    // blocks — r14: localCheckpoint beats persist() here, the columnar
+    // cache build cost ~1s on a 2-column frame) that doubles as the
+    // corpus size for adaptive key-width selection
+    val sigs = rawSigs.localCheckpoint(true)
+    locally {
       val n = math.max(sigs.count(), 1L)
       def keyBits(cc: Int) = cc * (64.0 / (maxHamming + cc))
       def explodeFactor(cc: Int) = choose(maxHamming + cc, cc)
@@ -489,7 +502,12 @@ object Dedup {
           Some(col("a.combo_idx") === element_at(typedLit(lut), agreeBits + 1))
         }
       val verified = keyed.as("a")
-        .join(keyed.as("b"),
+        // shuffle-hash beats sort-merge here: bounded bucket loads (the
+        // adaptive c keeps them ≤64) make the hash build tiny while SMJ
+        // pays a sort plus per-group buffering (r14 A/B: 3.1s vs 4.0s;
+        // the same hint HURT the rarer-key prefix/banded joins — left
+        // unhinted there)
+        .join(keyed.hint("shuffle_hash").as("b"),
           col("a.combo_idx") === col("b.combo_idx") &&
             col("a.bkey") === col("b.bkey") && col("a.id") < col("b.id"))
         // verify on the join output: false candidates fail the Hamming
@@ -506,7 +524,9 @@ object Dedup {
       // cache can be released before returning — cached blocks must not
       // outlive the operator (they squeeze later queries' memory)
       pairs.localCheckpoint(true)
-    } finally sigs.unpersist(blocking = false)
+      // sigs' checkpoint blocks are released by the ContextCleaner once
+      // the frame goes out of scope (pairs is already materialized)
+    }
   }
 
   /** Embedding-cosine near-dup pairs. Exact all-pairs is quadratic — kept
