@@ -39,7 +39,7 @@ object PlanDump {
       "e29_bitmap" -> "bitmap set algebra: collect_set partial-merge build, array-kernel ops — all codegen, no UDF",
       "q48_sample" -> "SAMPLE clause: deterministic hash-range filter pushed into the scan stage, no shuffle",
       "e34_mann_whitney" -> "rank statistic on the distributed prefix sum: rangepartitioning, no SinglePartition window",
-      "d04_simhash" -> "SimHash pairs: adaptive chunk-combination blocking; Hamming verify + first-agreeing-combo filter both map-side on the join output — no pair-dedup shuffle",
+      "d04_simhash" -> "SimHash pairs: adaptive chunk-combination blocking over a localCheckpoint barrier; shuffle-hash bucket self-join (bounded bucket loads — no sort); Hamming verify + first-agreeing-combo filter both map-side on the join output — no pair-dedup shuffle",
       "d09_lsh_cosine" -> "LSH cosine pairs: bucket self-join; cosine verify on the join output so only slim verified pairs shuffle",
       "p01_pack_sequences" -> "sequence packing: range-partitioned two-phase prefix sum, no SinglePartition window",
       "q53_url_ip" -> "URL/IP scalar decomposition: all compat functions codegen into the scan/agg stages",
@@ -49,7 +49,10 @@ object PlanDump {
       "q20_with_fill" -> "WITH FILL as union + broadcast LEFT ANTI: the generated series meets only the data's in-window keys (both bounded by the series length) — the data never reshuffles on the fill key; full-outer would force a both-sides sort-merge",
       "d11_sketch_hashes" -> "document sketch gates: CRC32-C SimHash/MinHash computed inside the scan stage, pair joins shuffle only slim (id, sketch) rows",
       "v33_recall_gates" -> "driver-checked ANN recall gates: each approximate path's top-K intersects the exact top-K via broadcast semi-joins, one union of 9 single-row gate legs",
-      "q72_spatial_join" -> "bucketed point-in-polygon join: polygons explode to covering grid cells, points hash to their cell, broadcast equi-join on cell + exact containment verify — no cartesian anywhere; smallest-area winner via one window over the slim candidate set")
+      "q72_spatial_join" -> "bucketed point-in-polygon join: polygons explode to covering grid cells, points hash to their cell, broadcast equi-join on cell + exact containment verify — no cartesian anywhere; smallest-area winner via one window over the slim candidate set",
+      "t15_textsearch_subquery" -> "textsearch with a full document as the query: tokens projected ONCE per row (match + all per-term scores reference the attribute — 26 regexp splits per row collapsed to 1); above 32 terms the plan switches to the exploded-postings shape",
+      "v34_hnsw_exact" -> "exhaustive-ef HNSW: same per-part single-task graph scans as v11, exact by construction — the oracle-checkable twin of the approximate path",
+      "q80_multimodal_decode" -> "multimodal decode: executor-side getObject fetch + JDK codec decode under mapPartitions — partitioning preserved, no shuffle, no driver byte traffic")
     val sb = new StringBuilder
     sb.append("# PLANS — headline physical plans (generated by graft.tools.PlanDump)\n")
     sb.append(s"\nScale factor dir: `$sfDir`. Regenerate: " +
