@@ -112,14 +112,16 @@ object InputFormats {
       case "CSV" =>
         val t = raw0.trim
         if (t.length >= 2 && t.head == '"' && t.last == '"')
+          // a QUOTED "\N" is the literal two-char string — only the
+          // UNQUOTED token below means NULL (ref CSV serialization)
           t.substring(1, t.length - 1).replace("\"\"", "\"")
+        else if (t == "\\N") return null
         else t
       case "Quoted" => return parseLiteral(raw0, dt)
       case _ => // Escaped
         if (raw0 == "\\N") return null
         unescapeEscaped(raw0)
     }
-    if (rule == "CSV" && raw == "\\N") return null
     dt match {
       case _: ArrayType | _: StructType | _: MapType => parseLiteral(raw, dt)
       case _ => parseScalar(raw, dt)
@@ -201,12 +203,31 @@ object InputFormats {
     // inter-row whitespace there); TSV/CSV keep them as real rows.
     def nonEmptyLines: Seq[String] = lines.filter(_.nonEmpty)
 
+    // CSV records may span physical lines (a quoted field holds the
+    // newline, ref CSVRowInputFormat's quote-state reader) — split on
+    // newlines OUTSIDE double quotes only.
+    def csvRecords: Seq[String] = {
+      val out = Seq.newBuilder[String]
+      val sb = new StringBuilder
+      var inQ = false
+      var i = 0
+      while (i < data.length) {
+        val c = data.charAt(i)
+        if (c == '"') { inQ = !inQ; sb.append(c) }
+        else if (c == '\n' && !inQ) { out += sb.toString; sb.clear() }
+        else sb.append(c)
+        i += 1
+      }
+      if (sb.nonEmpty) out += sb.toString
+      out.result()
+    }
+
     def lineWise(
         rule: String,
         sep: Char,
         withNames: Boolean,
         withTypes: Boolean): DataFrame = {
-      var rest = lines
+      var rest = if (rule == "CSV") csvRecords else lines
       var names: Option[Seq[String]] = None
       var types: Option[Seq[String]] = None
       if (withNames) {
@@ -566,9 +587,12 @@ object InputFormats {
       case "mysqldump" | "sqlinsert" =>
         // extract INSERT/REPLACE ... VALUES tuple lists; column list and
         // literal shapes give names/types (ref MySQLDumpRowInputFormat.cpp)
+        // statement boundaries via the quote-aware splitter — a ';'
+        // inside a quoted literal is not a terminator
         val stmtRe =
-          """(?is)(?:INSERT|REPLACE)\s+INTO\s+\S+\s*(\([^)]*\))?\s*VALUES\s*(.*?);""".r
-        val matches = stmtRe.findAllMatchIn(data).toSeq
+          """(?is)\A(?:INSERT|REPLACE)\s+INTO\s+\S+\s*(\([^)]*\))?\s*VALUES\s*(.*)\z""".r
+        val matches = topSplit(data, ';').map(_.trim).filter(_.nonEmpty)
+          .flatMap(stmt => stmtRe.findFirstMatchIn(stmt))
         require(matches.nonEmpty, "MySQLDump: no INSERT statements found")
         val colNames: Option[Seq[String]] =
           Option(matches.head.group(1)).map(g =>

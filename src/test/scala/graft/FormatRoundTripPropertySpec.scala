@@ -1,0 +1,124 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+import graft.sources.{ChTypes, InputFormats, OutputFormats}
+
+/** Seeded randomized round-trip property over every input+output format:
+  * write(frame) → parse → the exact same rows, across a value pool built
+  * from the classes that have historically broken codecs (negative
+  * Int64, UInt64 upper half, empty strings, interior newlines/tabs/
+  * separators/quotes, non-ASCII, \\N lookalikes, empty arrays, NULLs,
+  * extreme doubles). Every ADVICE-class format bug to date (signed-parse
+  * crash, empty-line drop, quote-blind header split, byte-mangled BSON
+  * names) would have failed here.
+  */
+class FormatRoundTripPropertySpec extends SparkSpec {
+
+  private def chField(name: String, dt: DataType, ch: String,
+      nullable: Boolean = false): StructField =
+    StructField(name, dt, nullable,
+      new MetadataBuilder().putString(ChTypes.MetaKey, ch).build())
+
+  private val schema = StructType(Seq(
+    chField("i", LongType, "Int64"),
+    chField("u", LongType, "UInt64"),
+    chField("f", DoubleType, "Float64"),
+    chField("s", StringType, "String"),
+    chField("ns", StringType, "Nullable(String)", nullable = true),
+    chField("arr", ArrayType(LongType, containsNull = false), "Array(Int64)"),
+    chField("d", DateType, "Date")))
+
+  private val structure =
+    "i Int64, u UInt64, f Float64, s String, ns Nullable(String), " +
+      "arr Array(Int64), d Date"
+
+  private val trickyStrings = Seq(
+    "", "plain", "with space", "tab\there", "newline\nhere", "quote\"q",
+    "apost'q", "comma,sep", "pipe|bar", "back\\slash", "\\N", "né日本語",
+    "=equals", "{brace}", "[bracket]", "semi;colon", "a\tb\nc")
+
+  private val trickyLongs = Seq(0L, 1L, -1L, 42L, -9223372036854775808L,
+    9223372036854775807L, -100000000000L, 255L)
+
+  // -0.0 excluded: Jackson parses the written "-0" as integer zero and
+  // the sign is numerically irrelevant (-0.0 == 0.0)
+  private val trickyDoubles = Seq(0.0, -0.5, 1.5, -2.25, 1e300, -1e-300,
+    12.47, 1.7560473e7, -3982045.0)
+
+  private def randRow(rnd: Random): Row = Row(
+    trickyLongs(rnd.nextInt(trickyLongs.length)),
+    math.abs(trickyLongs(rnd.nextInt(trickyLongs.length))),
+    trickyDoubles(rnd.nextInt(trickyDoubles.length)),
+    trickyStrings(rnd.nextInt(trickyStrings.length)),
+    if (rnd.nextBoolean()) null else trickyStrings(rnd.nextInt(trickyStrings.length)),
+    Seq.fill(rnd.nextInt(4))(trickyLongs(rnd.nextInt(trickyLongs.length))),
+    java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(rnd.nextInt(30000).toLong)))
+
+  private def frame(rows: Seq[Row]): DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+
+  private def canonical(df: DataFrame): Seq[String] =
+    df.collect().toSeq.map { r =>
+      (0 until r.length).map { i =>
+        val v = r.get(i)
+        v match {
+          case null => "NULL"
+          case d: Double => f"$d%.6g"
+          case s: Seq[_] => s.mkString("[", ",", "]")
+          case other => String.valueOf(other)
+        }
+      }.mkString("|")
+    }
+
+  // text round-trip formats (binary ones below); each (format, needsStructure)
+  private val textFormats = Seq(
+    "TabSeparated" -> true, "TabSeparatedWithNames" -> true,
+    "TabSeparatedWithNamesAndTypes" -> false,
+    "CSV" -> true, "CSVWithNames" -> true, "CSVWithNamesAndTypes" -> false,
+    "TSKV" -> true, "JSONEachRow" -> true,
+    "JSONCompactEachRowWithNamesAndTypes" -> false,
+    "JSON" -> false, "JSONColumns" -> true, "JSONObjectEachRow" -> true,
+    "Values" -> true, "SQLInsert/MySQLDump" -> true)
+
+  test("seeded random rows round-trip through every text format") {
+    val rnd = new Random(20260814L)
+    (1 to 12).foreach { trial =>
+      val rows = Seq.fill(1 + rnd.nextInt(6))(randRow(rnd))
+      val d = frame(rows)
+      val want = canonical(d)
+      textFormats.foreach { case (fmt, needsStructure) =>
+        val (wfmt, rfmt) = fmt match {
+          case "SQLInsert/MySQLDump" => ("SQLInsert", "MySQLDump")
+          case other => (other, other)
+        }
+        val out = OutputFormats.write(d, wfmt)
+        val back = InputFormats.parse(spark, out, rfmt,
+          if (needsStructure) Some(structure) else None)
+        assert(canonical(back) === want, s"trial $trial format $fmt:\n$out")
+      }
+    }
+  }
+
+  test("seeded random rows round-trip through every binary format") {
+    val rnd = new Random(77L)
+    (1 to 12).foreach { trial =>
+      val rows = Seq.fill(1 + rnd.nextInt(6))(randRow(rnd))
+      val d = frame(rows)
+      val want = canonical(d)
+      Seq("Native" -> false, "RowBinaryWithNamesAndTypes" -> false,
+        "BSONEachRow" -> true, "MsgPack" -> true).foreach {
+        case (fmt, needsStructure) =>
+          val bytes = OutputFormats.writeBytes(d, fmt)
+          val back = InputFormats.parseBytes(spark, bytes, fmt,
+            if (needsStructure) Some(structure) else None)
+          assert(canonical(back) === want, s"trial $trial format $fmt")
+      }
+    }
+  }
+}
