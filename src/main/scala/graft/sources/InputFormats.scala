@@ -691,6 +691,10 @@ object InputFormats {
     * `mapPartitions` — no driver materialization, so a multi-TB export
     * reads back with full parallelism. Headerless row formats only
     * (a header line has no cross-partition meaning in a file set).
+    * CSV caveat: a quoted field holding a newline spans two PHYSICAL
+    * lines, which a line-oriented distributed read cannot reassemble —
+    * use TSV (newlines escape to \n) for exports that may contain
+    * them, or the driver-side [[parse]] which is quote-state-aware.
     */
   def readLines(
       ds: org.apache.spark.sql.Dataset[String],

@@ -84,7 +84,8 @@ class FormatRoundTripPropertySpec extends SparkSpec {
     "TSKV" -> true, "JSONEachRow" -> true,
     "JSONCompactEachRowWithNamesAndTypes" -> false,
     "JSON" -> false, "JSONColumns" -> true, "JSONObjectEachRow" -> true,
-    "Values" -> true, "SQLInsert/MySQLDump" -> true)
+    "Values" -> true, "SQLInsert/MySQLDump" -> true,
+    "CustomSeparated" -> true)
 
   test("seeded random rows round-trip through every text format") {
     val rnd = new Random(20260814L)
