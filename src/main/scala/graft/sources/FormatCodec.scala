@@ -215,6 +215,10 @@ object FormatCodec {
     case _ if v == null => "\\N"
     case _ if isNumeric(dt) => scalarText(v, dt)
     case BooleanType => scalarText(v, dt)
+    // tuples FLATTEN to element fields (ref 00309 CSV golden:
+    // `...,10,"2000-01-11"` — SerializationTuple emits each element as
+    // its own CSV field); the CSV READER consumes the same number of
+    // cells per tuple column (InputFormats.lineWise)
     case s: StructType =>
       val r = v.asInstanceOf[Row]
       s.fields.zipWithIndex

@@ -98,6 +98,11 @@ object InputFormats {
         val s1 = unquote(text)
         if (dt == BinaryType) s1.getBytes("UTF-8") else s1
       case DateType | _: TimestampType => parseScalar(unquote(text), dt)
+      case BooleanType => text.toLowerCase match {
+        case "true" | "1" => true
+        case "false" | "0" => false
+        case other => throw new IllegalArgumentException(s"not a Bool: $other")
+      }
       case _ =>
         require(text.nonEmpty && "+-0123456789.".contains(text.charAt(0)),
           s"not a numeric literal: $text")
@@ -259,12 +264,37 @@ object InputFormats {
           allStrings(if (rest.isEmpty) 0
             else splitFields(rest.head, sep, rule).length)
       }
+      // CSV tuples are written FLATTENED to element fields (00309
+      // golden), so the reader consumes one cell per flattened leaf —
+      // recursive for nested tuples; arrays/maps stay one quoted cell
+      def consumeCsv(dt: DataType, parts: Array[String], idx: Int): (Any, Int) =
+        dt match {
+          case st: StructType =>
+            var i = idx
+            val vals = st.fields.toSeq.map { f =>
+              val (v, ni) = consumeCsv(f.dataType, parts, i)
+              i = ni
+              v
+            }
+            (Row.fromSeq(vals), i)
+          case _ =>
+            (if (idx < parts.length) parseField(parts(idx), dt, rule) else null,
+              idx + 1)
+        }
       val rows = rest.map { line =>
         val parts = splitFields(line, sep, rule)
-        Row.fromSeq(schema.fields.zipWithIndex.toSeq.map { case (fld, i) =>
-          if (i < parts.length) settle(parseField(parts(i), fld.dataType, rule), fld)
-          else settle(null, fld)
-        })
+        if (rule == "CSV") {
+          var i = 0
+          Row.fromSeq(schema.fields.toSeq.map { fld =>
+            val (v, ni) = consumeCsv(fld.dataType, parts, i)
+            i = ni
+            settle(v, fld)
+          })
+        } else
+          Row.fromSeq(schema.fields.zipWithIndex.toSeq.map { case (fld, i) =>
+            if (i < parts.length) settle(parseField(parts(i), fld.dataType, rule), fld)
+            else settle(null, fld)
+          })
       }
       toDf(spark, rows, schema)
     }

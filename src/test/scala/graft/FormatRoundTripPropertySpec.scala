@@ -122,4 +122,77 @@ class FormatRoundTripPropertySpec extends SparkSpec {
       }
     }
   }
+
+  // ---- wide-type lattice: narrow ints, Bool, DateTime, Decimal, Map, Tuple
+  private val schema2 = StructType(Seq(
+    chField("i8", ByteType, "Int8"),
+    chField("i16", ShortType, "Int16"),
+    chField("i32", IntegerType, "Int32"),
+    chField("bl", BooleanType, "Bool"),
+    chField("ts", TimestampType, "DateTime"),
+    chField("dec", DecimalType(18, 2), "Decimal(18, 2)"),
+    chField("m", MapType(StringType, LongType, valueContainsNull = false),
+      "Map(String, Int64)"),
+    chField("tup", StructType(Seq(
+      StructField("_1", LongType, nullable = false),
+      StructField("_2", StringType, nullable = false))), "Tuple(Int64, String)")))
+
+  private val structure2 =
+    "i8 Int8, i16 Int16, i32 Int32, bl Bool, ts DateTime, dec Decimal(18, 2), " +
+      "m Map(String, Int64), tup Tuple(Int64, String)"
+
+  private def randRow2(rnd: Random): Row = Row(
+    Seq(0, 1, -1, 127, -128)(rnd.nextInt(5)).toByte,
+    Seq(0, -32768, 32767, 300)(rnd.nextInt(4)).toShort,
+    Seq(0, Int.MinValue, Int.MaxValue, -7)(rnd.nextInt(4)),
+    rnd.nextBoolean(),
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(rnd.nextInt(2000000000).toLong)),
+    new java.math.BigDecimal(java.math.BigInteger.valueOf(rnd.nextInt(2000000) - 1000000), 2),
+    (0 until rnd.nextInt(3)).map(i => s"k$i" -> trickyLongs(rnd.nextInt(trickyLongs.length))).toMap,
+    Row(trickyLongs(rnd.nextInt(trickyLongs.length)), Seq("a", "b,c", "d'e")(rnd.nextInt(3))))
+
+  private def canonical2(df: DataFrame): Seq[String] =
+    df.collect().toSeq.map { r =>
+      (0 until r.length).map { i =>
+        r.get(i) match {
+          case null => "NULL"
+          case m: scala.collection.Map[_, _] =>
+            m.map { case (k, v) => s"$k=$v" }.toSeq.sorted.mkString("{", ",", "}")
+          case d: java.math.BigDecimal => d.toPlainString
+          case other => String.valueOf(other)
+        }
+      }.mkString("|")
+    }
+
+  test("wide-type rows (narrow ints, Bool, DateTime, Decimal, Map, Tuple) round-trip") {
+    val rnd = new Random(991L)
+    val fmts = Seq(
+      ("TabSeparatedWithNamesAndTypes", false, false),
+      ("CSVWithNamesAndTypes", false, false),
+      ("JSONEachRow", true, false),
+      ("JSONCompactEachRowWithNamesAndTypes", false, false),
+      ("Values", true, false),
+      ("RowBinaryWithNamesAndTypes", false, true),
+      ("MsgPack", true, true))
+    (1 to 10).foreach { trial =>
+      val rows = Seq.fill(1 + rnd.nextInt(5))(randRow2(rnd))
+      val d = spark.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+          .SeqHasAsJava(rows).asJava), schema2)
+      val want = canonical2(d)
+      fmts.foreach { case (fmt, needsStructure, binary) =>
+        val back =
+          try {
+            if (binary) InputFormats.parseBytes(spark, OutputFormats.writeBytes(d, fmt),
+              fmt, if (needsStructure) Some(structure2) else None)
+            else InputFormats.parse(spark, OutputFormats.write(d, fmt), fmt,
+              if (needsStructure) Some(structure2) else None)
+          } catch { case e: Throwable =>
+            fail(s"trial $trial format $fmt threw: ${e.getMessage}\npayload:\n" +
+              (if (binary) "<binary>" else OutputFormats.write(d, fmt)))
+          }
+        assert(canonical2(back) === want, s"trial $trial format $fmt")
+      }
+    }
+  }
 }
