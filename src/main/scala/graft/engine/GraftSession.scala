@@ -40,6 +40,7 @@ object GraftSession {
     graft.functions.ClickHouseCompat.install(spark)
     graft.multimodal.Connections.installNative(spark) // SQL getObject()
     graft.operators.Dictionaries.install(spark) // dictGet<T> name surface
+    graft.operators.JoinSetStorage.install(spark) // joinGet / inSet surface
     QueryLog.install(spark) // system.query_log analog
     spark
   }

@@ -927,6 +927,30 @@ object RelationalQueries {
           "CAST(round(qty, 2) AS DOUBLE) AS qty")
         .orderBy(col("grp"))
     }),
+    // ENGINE = Join / ENGINE = Set storage analogs under the driver gate
+    // (ref StorageJoin.cpp / StorageSet.cpp / FunctionJoinGet.cpp):
+    // nation registered as an ANY-LEFT Join table, even nation keys as a
+    // Set table; customers look their nation name up with joinGet and
+    // filter through inSet; a joinGetOrNull miss pins the NULL path.
+    "q81_join_storage" -> ((s, dir) => {
+      graft.operators.JoinSetStorage.createJoin("q81_nations",
+        t(s, dir, "nation").select(col("n_nationkey"), col("n_name")),
+        "n_nationkey")
+      graft.operators.JoinSetStorage.createSet("q81_even_nations",
+        t(s, dir, "nation").filter(col("n_nationkey") % 2 === 0)
+          .select(col("n_nationkey")))
+      t(s, dir, "customer")
+        .selectExpr(
+          "joinGet('q81_nations', 'n_name', c_nationkey) AS nation",
+          "c_nationkey")
+        .where(expr("inSet('q81_even_nations', c_nationkey)"))
+        .groupBy(col("nation"))
+        .agg(count(lit(1)).as("cnt"),
+          max(expr("joinGetOrNull('q81_nations', 'n_name', 9999)")).as("missing"))
+        .selectExpr("nation", "CAST(cnt AS BIGINT) AS cnt",
+          "CAST(missing AS STRING) AS missing")
+        .orderBy(col("nation"))
+    }),
     // system.parts consistency (sources/SystemParts over parquet footers,
     // reference system.parts): footer-derived totals and column stats
     // must equal what a full scan computes.
@@ -1560,6 +1584,14 @@ object RelationalQueries {
       FROM lineitem
       GROUP BY 1
       ORDER BY grp""",
+    "q81_join_storage" -> """
+      SELECT n.n_name AS nation,
+             CAST(count(1) AS BIGINT) AS cnt,
+             CAST(NULL AS VARCHAR) AS missing
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE c.c_nationkey % 2 = 0
+      GROUP BY nation
+      ORDER BY nation""",
     "q74_system_parts" -> """
       SELECT CAST(count(1) AS BIGINT) AS nrows,
              CAST(min(l_orderkey) AS BIGINT) AS min_ok,

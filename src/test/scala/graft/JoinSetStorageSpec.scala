@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.JoinSetStorage
+
+/** ENGINE = Join / Set semantics pinned to the reference's
+  * 00561_storage_join and 01080_join_get_null behaviors: ANY keeps the
+  * first row per key, NULL keys never join, joinGet misses yield the
+  * value column's type default, joinGetOrNull NULL.
+  */
+class JoinSetStorageSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ANY-first, NULL-key skip, default/null miss semantics (00561/01080)") {
+    val schema = StructType(Seq(
+      StructField("user_id", IntegerType, nullable = true),
+      StructField("name", StringType, nullable = false),
+      StructField("score", LongType, nullable = false)))
+    val d = spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.List.of(
+        Row(Integer.valueOf(2), "a", 10L),
+        Row(Integer.valueOf(2), "dup-ignored", 99L), // ANY: first wins
+        Row(Integer.valueOf(6), "b", 20L),
+        Row(null, "d", 30L))),                       // NULL key never joins
+      schema)
+    JoinSetStorage.createJoin("tj", d, "user_id")
+    try {
+      assert(JoinSetStorage.joinGetRaw("tj", "name", 2L) === Some("a"))
+      assert(JoinSetStorage.joinGetRaw("tj", "name", 7L) === None)
+      // SQL surface: default on miss, NULL with OrNull (01080 golden:
+      // joinGet(...) != '' keeps only present keys)
+      val hit = spark.sql("SELECT joinGet('tj', 'name', 2) AS n").head().getString(0)
+      assert(hit === "a")
+      val miss = spark.sql("SELECT joinGet('tj', 'name', 404) AS n").head().getString(0)
+      assert(miss === "")
+      assert(spark.sql("SELECT joinGetOrNull('tj', 'name', 404) AS n").head().isNullAt(0))
+      // DataFrame face: lookup columns attach without a shuffle
+      val looked = JoinSetStorage.joinWith(
+        Seq(2L, 6L, 404L).toDF("k"), "tj", col("k"))
+      val rows = looked.orderBy("k").collect()
+      assert(rows.map(r => Option(r.getAs[String]("name"))).toSeq ===
+        Seq(Some("a"), Some("b"), None))
+      assert(rows(0).getAs[Long]("score") === 10L)
+    } finally JoinSetStorage.dropJoin("tj")
+  }
+
+  test("Set table backs the IN predicate") {
+    JoinSetStorage.createSet("ts", Seq(1L, 3L, 5L).toDF("v"))
+    try {
+      assert(spark.sql("SELECT inSet('ts', 3) AS b").head().getBoolean(0))
+      assert(!spark.sql("SELECT inSet('ts', 4) AS b").head().getBoolean(0))
+      val kept = spark.range(0, 10).toDF("x")
+        .where(expr("inSet('ts', x)")).collect().map(_.getLong(0)).toSet
+      assert(kept === Set(1L, 3L, 5L))
+    } finally JoinSetStorage.dropSet("ts")
+  }
+
+  test("unknown tables fail loudly") {
+    intercept[IllegalArgumentException](JoinSetStorage.joinGetRaw("nope", "a", 1L))
+    intercept[Exception](
+      spark.sql("SELECT inSet('nope', 1)").collect())
+  }
+}
