@@ -21,10 +21,12 @@ import org.apache.spark.sql.types._
   * offsets then the flattened elements
   * (`SerializationNullable/SerializationArray` bulk streams).
   *
-  * Scope: the scalar/Nullable/Array(scalar) lattice the engine's format
-  * surface uses; deeper nesting is a documented deviation. Round-trip
-  * pinned in FormatsSpec; one block per write (the reference emits one
-  * block per chunk — readers accept any block count, and [[read]]
+  * Nesting is fully recursive (round 14): Array(Array(…)),
+  * Tuple (element columns in order), Map (the nested Array(Tuple(k,v))
+  * bulk shape — offsets, key column, value column), and Nullable at any
+  * depth, per `ISerialization::serializeBinaryBulk`. Round-trip pinned
+  * in FormatsSpec; one block per write (the reference emits one block
+  * per chunk — readers accept any block count, and [[read]]
   * concatenates).
   */
 object NativeFormat {
@@ -113,6 +115,68 @@ object NativeFormat {
 
   private def default(dt: DataType): Any = FormatCodec.defaultValue(dt)
 
+  private def chInner(ch: String, prefix: String): String =
+    if (ch.startsWith(prefix + "(") && ch.endsWith(")"))
+      ch.substring(prefix.length + 1, ch.length - 1).trim
+    else ""
+
+  private def chArgs(ch: String, prefix: String): Seq[String] =
+    InputFormats.topSplit(chInner(ch, prefix), ',').map(_.trim)
+
+  /** Fully recursive bulk column serialization, the reference's
+    * `ISerialization::serializeBinaryBulk` nesting model: Nullable =
+    * null-map then nested; Array = cumulative UInt64 offsets then the
+    * flattened NESTED column (recursion covers Array(Array), Tuple
+    * elements, …); Tuple = each element column in order; Map = the
+    * nested Array(Tuple(k, v)) — offsets, then key column, then value
+    * column (`SerializationMap`).
+    */
+  private def writeColumn(out: ByteArrayOutputStream, values: Seq[Any],
+      dt: DataType, ch: String): Unit = {
+    if (ch.startsWith("Nullable(")) {
+      values.foreach(v => out.write(if (v == null) 1 else 0))
+      writeColumn(out, values.map(v => if (v == null) default(dt) else v),
+        dt, chInner(ch, "Nullable"))
+      return
+    }
+    dt match {
+      case a: ArrayType =>
+        val items = values.map {
+          case null => Seq.empty[Any]
+          case s: scala.collection.Seq[_] => s.toSeq
+          case arr: Array[_] => arr.toSeq
+        }
+        var cum = 0L
+        items.foreach { it => cum += it.size; writeFixed(out, cum, 8) }
+        writeColumn(out, items.flatten, a.elementType, chInner(ch, "Array"))
+      case s: StructType =>
+        val tupleArgs = chArgs(ch, "Tuple")
+        s.fields.zipWithIndex.foreach { case (f, i) =>
+          writeColumn(out,
+            values.map {
+              case null => default(f.dataType)
+              case r: Row => r.get(i)
+            },
+            f.dataType, tupleArgs.lift(i).getOrElse(""))
+        }
+      case m: MapType =>
+        val args = chArgs(ch, "Map")
+        val entries = values.map {
+          case null => Seq.empty[(Any, Any)]
+          case mp: scala.collection.Map[_, _] => mp.toSeq
+        }
+        var cum = 0L
+        entries.foreach { e => cum += e.size; writeFixed(out, cum, 8) }
+        writeColumn(out, entries.flatten.map(_._1), m.keyType,
+          args.headOption.getOrElse(""))
+        writeColumn(out, entries.flatten.map(_._2), m.valueType,
+          args.lift(1).getOrElse(""))
+      case other =>
+        writeScalarColumn(out,
+          values.map(v => if (v == null) default(other) else v), other, ch)
+    }
+  }
+
   def write(df: DataFrame): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     val fields = df.schema.fields
@@ -123,32 +187,7 @@ object NativeFormat {
       val ch = ChTypes.chName(f)
       writeStr(out, f.name)
       writeStr(out, ch)
-      val values = rows.toSeq.map(_.get(i))
-      val chBase =
-        if (ch.startsWith("Nullable(")) ch.substring(9, ch.length - 1) else ch
-      if (ch.startsWith("Nullable(")) {
-        values.foreach(v => out.write(if (v == null) 1 else 0))
-        writeScalarColumn(out,
-          values.map(v => if (v == null) default(f.dataType) else v),
-          f.dataType, chBase)
-      } else f.dataType match {
-        case a: ArrayType =>
-          val items = values.map {
-            case null => Seq.empty[Any]
-            case s: scala.collection.Seq[_] => s.toSeq
-            case arr: Array[_] => arr.toSeq
-          }
-          var cum = 0L
-          items.foreach { it => cum += it.size; writeFixed(out, cum, 8) }
-          val elemCh =
-            if (chBase.startsWith("Array(") && chBase.endsWith(")"))
-              chBase.substring(6, chBase.length - 1)
-            else ""
-          writeScalarColumn(out, items.flatten, a.elementType, elemCh)
-        case dt =>
-          writeScalarColumn(out,
-            values.map(v => if (v == null) default(dt) else v), dt, chBase)
-      }
+      writeColumn(out, rows.toSeq.map(_.get(i)), f.dataType, ch)
     }
     out.toByteArray
   }
@@ -209,6 +248,40 @@ object NativeFormat {
     case other => throw new IllegalArgumentException(s"Native: $other")
   }
 
+  /** Recursive bulk column read — the mirror of [[writeColumn]]. */
+  private def readColumn(in: Reader, n: Int, dt: DataType, ch: String): Seq[Any] = {
+    if (ch.startsWith("Nullable(")) {
+      val nulls = (0 until n).map(_ => in.buf.get() == 1)
+      val vals = readColumn(in, n, dt, chInner(ch, "Nullable"))
+      return nulls.zip(vals).map { case (isNull, v) => if (isNull) null else v }
+    }
+    dt match {
+      case a: ArrayType =>
+        val offsets = (0 until n).map(_ => in.fixed(8))
+        val total = offsets.lastOption.getOrElse(0L).toInt
+        val flat = readColumn(in, total, a.elementType, chInner(ch, "Array"))
+        val starts = 0L +: offsets.dropRight(1)
+        starts.zip(offsets).map { case (s0, e0) => flat.slice(s0.toInt, e0.toInt) }
+      case s: StructType =>
+        val tupleArgs = chArgs(ch, "Tuple")
+        val cols = s.fields.zipWithIndex.map { case (f, i) =>
+          readColumn(in, n, f.dataType, tupleArgs.lift(i).getOrElse(""))
+        }
+        (0 until n).map(r => Row.fromSeq(cols.toSeq.map(_(r))))
+      case m: MapType =>
+        val args = chArgs(ch, "Map")
+        val offsets = (0 until n).map(_ => in.fixed(8))
+        val total = offsets.lastOption.getOrElse(0L).toInt
+        val ks = readColumn(in, total, m.keyType, args.headOption.getOrElse(""))
+        val vs = readColumn(in, total, m.valueType, args.lift(1).getOrElse(""))
+        val starts = 0L +: offsets.dropRight(1)
+        starts.zip(offsets).map { case (s0, e0) =>
+          (s0.toInt until e0.toInt).map(j => ks(j) -> vs(j)).toMap
+        }
+      case other => (0 until n).map(_ => readScalar(in, other, ch))
+    }
+  }
+
   /** Parse one or more Native blocks; the first block's header is the
     * schema (self-describing, like the reference's reader).
     */
@@ -227,29 +300,7 @@ object NativeFormat {
         val (dt, nullable) = ChTypes.toSpark(ch)
         fields(c) = StructField(name, dt, nullable,
           new MetadataBuilder().putString(ChTypes.MetaKey, ch).build())
-        val chBase =
-          if (ch.startsWith("Nullable(")) ch.substring(9, ch.length - 1) else ch
-        colValues(c) =
-          if (ch.startsWith("Nullable(")) {
-            val nulls = (0 until nRows).map(_ => in.buf.get() == 1)
-            val vals = (0 until nRows).map(_ => readScalar(in, dt, chBase))
-            nulls.zip(vals).map { case (isNull, v) => if (isNull) null else v }
-          } else dt match {
-            case a: ArrayType =>
-              val offsets = (0 until nRows).map(_ => in.fixed(8))
-              val elemCh =
-                if (chBase.startsWith("Array(") && chBase.endsWith(")"))
-                  chBase.substring(6, chBase.length - 1)
-                else ""
-              val total = offsets.lastOption.getOrElse(0L).toInt
-              val flat = (0 until total).map(_ =>
-                readScalar(in, a.elementType, elemCh))
-              val starts = 0L +: offsets.dropRight(1)
-              starts.zip(offsets).map { case (s0, e0) =>
-                flat.slice(s0.toInt, e0.toInt)
-              }
-            case dt1 => (0 until nRows).map(_ => readScalar(in, dt1, chBase))
-          }
+        colValues(c) = readColumn(in, nRows, dt, ch)
       }
       if (schema == null) schema = StructType(fields)
       for (r <- 0 until nRows)

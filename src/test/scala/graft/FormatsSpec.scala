@@ -570,4 +570,34 @@ class FormatsSpec extends SparkSpec {
     assert(rows(1).isNullAt(1))
     assert(rows(0).getDate(2).toString === "2021-12-19")
   }
+
+  test("Native: recursive nesting — Array(Array), Tuple, Map, Array(Nullable)") {
+    val schema = StructType(Seq(
+      chField("aa", ArrayType(ArrayType(LongType, containsNull = false),
+        containsNull = false), "Array(Array(Int64))"),
+      chField("tup", StructType(Seq(
+        StructField("_1", LongType, nullable = false),
+        StructField("_2", StringType, nullable = false))), "Tuple(Int64, String)"),
+      chField("m", MapType(StringType, LongType, valueContainsNull = false),
+        "Map(String, Int64)"),
+      chField("an", ArrayType(StringType, containsNull = true),
+        "Array(Nullable(String))")))
+    val d = df(schema,
+      Row(Seq(Seq(1L, 2L), Seq.empty[Long], Seq(3L)), Row(7L, "x"),
+        Map("a" -> 1L, "b" -> 2L), Seq("p", null, "q")),
+      Row(Seq.empty[Seq[Long]], Row(-1L, "né"), Map.empty[String, Long],
+        Seq.empty[String]))
+    val bytes = OutputFormats.writeBytes(d, "Native")
+    val back = InputFormats.parseBytes(spark, bytes, "Native")
+    assert(back.schema.fields.map(f => ChTypes.chName(f)).toSeq ===
+      Seq("Array(Array(Int64))", "Tuple(Int64, String)", "Map(String, Int64)",
+        "Array(Nullable(String))"))
+    val got = back.collect()
+    assert(got(0).getSeq[Seq[Long]](0) === Seq(Seq(1L, 2L), Seq.empty, Seq(3L)))
+    assert(got(0).getStruct(1).toSeq === Seq(7L, "x"))
+    assert(got(0).getMap[String, Long](2) === Map("a" -> 1L, "b" -> 2L))
+    assert(got(0).getSeq[String](3) === Seq("p", null, "q"))
+    assert(got(1).getStruct(1).getString(1) === "né")
+    assert(got(1).getSeq[Seq[Long]](0).isEmpty)
+  }
 }
