@@ -173,6 +173,7 @@ class FormatRoundTripPropertySpec extends SparkSpec {
       ("JSONCompactEachRowWithNamesAndTypes", false, false),
       ("Values", true, false),
       ("RowBinaryWithNamesAndTypes", false, true),
+      ("Native", false, true),
       ("MsgPack", true, true))
     (1 to 10).foreach { trial =>
       val rows = Seq.fill(1 + rnd.nextInt(5))(randRow2(rnd))
