@@ -200,6 +200,16 @@ object TableFunctions {
     * permission-gated view — single-user sandbox is always permitted, so
     * the ELSE branch only fires when the query itself cannot resolve.
     */
+  /** `input('structure')` (`TableFunctionInput.cpp`): the INSERT-payload
+    * transformer — the incoming stream parsed against the declared
+    * structure so the INSERT's SELECT can reshape it. Batch analog: the
+    * payload arrives as an argument and parses exactly like [[format]]
+    * with a mandatory structure.
+    */
+  def input(spark: SparkSession, structure: String, data: String,
+      formatName: String = "TSV"): DataFrame =
+    InputFormats.parse(spark, data, formatName, Some(structure))
+
   def viewIfPermitted(spark: SparkSession, sql: String,
       elseSchemaDdl: String): DataFrame =
     try view(spark, sql)

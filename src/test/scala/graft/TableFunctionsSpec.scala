@@ -265,4 +265,11 @@ class TableFunctionsSpec extends SparkSpec {
     val lines = spark.read.textFile(tskvDir).collect()
     assert(lines.length === 5 && lines.forall(_.startsWith("x=")))
   }
+
+  test("input(...) TVF: INSERT-payload transform against a declared structure") {
+    val d = TableFunctions.input(spark, "x UInt32, y String", "1\ta\n2\tb\n")
+    assert(d.columns.toSeq === Seq("x", "y"))
+    assert(d.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "a"), (2L, "b")))
+  }
 }
