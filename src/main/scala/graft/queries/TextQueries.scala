@@ -232,6 +232,35 @@ object TextQueries {
         .select(col("doc_id"), text.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))
     }),
+    // Repetition quality signal (Gopher-style, Rae et al. 2021 — public
+    // literature): fraction of tokens covered by the most frequent
+    // bigram. High values mark boilerplate/looping text; the standard
+    // pretraining-corpus filter alongside t05's quality blend. Exact
+    // shape: bigrams explode (token array materialized in its OWN
+    // projection — the CollapseProject trap), count per (doc, gram),
+    // max per doc — two doc-keyed shuffles, no pair joins.
+    "t18_repetition" -> ((s, dir) => {
+      val withT = t(s, dir, "documents")
+        .select(col("doc_id"), text.tokenize(col("text")).as("__t"))
+      val base = withT.select(col("doc_id"), size(col("__t")).as("n_tokens"))
+      val grams = withT.select(col("doc_id"),
+        when(size(col("__t")) >= 2,
+          transform(sequence(lit(1), size(col("__t")) - 1),
+            i => concat_ws(" ", element_at(col("__t"), i),
+              element_at(col("__t"), i + 1))))
+          .otherwise(array().cast("array<string>")).as("__g"))
+      val top = grams.select(col("doc_id"), explode(col("__g")).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"))
+      base.join(top, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          coalesce(col("top_c"), lit(0L)).cast("long").as("top_c"),
+          round(lit(2.0) * coalesce(col("top_c"), lit(0L)) /
+            greatest(col("n_tokens"), lit(1)), 4).as("rep_frac"))
+        .withColumn("flagged", col("rep_frac") > 0.2)
+        .orderBy(col("doc_id"))
+    }),
     // Document fingerprinting (md5 of normalized text).
     "t06_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -578,6 +607,27 @@ object TextQueries {
              (((len_num * ncs * ts + 500 * alpha * ts + 250 * m * ncs) * 20000
                + 1250 * ncs * ts) // (2 * 1250 * ncs * ts)) / 10000.0 AS quality
       FROM f ORDER BY doc_id""",
+    "t18_repetition" -> s"""
+      WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      g AS (SELECT doc_id, len(toks) AS n_tokens,
+              CASE WHEN len(toks) >= 2
+                THEN list_transform(range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i + 1])
+                ELSE [] END AS grams
+            FROM d),
+      c AS (SELECT doc_id, g AS gram, count(1) AS c
+            FROM (SELECT doc_id, unnest(grams) AS g FROM g)
+            GROUP BY doc_id, gram),
+      t AS (SELECT doc_id, max(c) AS top_c FROM c GROUP BY doc_id)
+      SELECT g.doc_id,
+             CAST(g.n_tokens AS BIGINT) AS n_tokens,
+             CAST(coalesce(t.top_c, 0) AS BIGINT) AS top_c,
+             round(2.0 * coalesce(t.top_c, 0) / greatest(g.n_tokens, 1), 4)
+               AS rep_frac,
+             round(2.0 * coalesce(t.top_c, 0) / greatest(g.n_tokens, 1), 4) > 0.2
+               AS flagged
+      FROM g LEFT JOIN t ON g.doc_id = t.doc_id
+      ORDER BY g.doc_id""",
     "t06_fingerprint" -> """
       SELECT doc_id,
              md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
