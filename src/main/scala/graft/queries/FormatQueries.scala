@@ -9,9 +9,10 @@ import graft.sources.{InputFormats, OutputFormats}
 /** Driver-checked queries for the I/O format surface (SURVEY §2.2).
   *
   * q76 proves the format codecs end-to-end the only way a SQL oracle
-  * can: seventeen rows each WRITE → PARSE round trip the same orders
-  * slice (sixteen formats driver-side plus one DISTRIBUTED
-  * save()/readLines TSV file-set pass), and the aggregate of each
+  * can: nineteen rows each WRITE → PARSE round trip the same orders
+  * slice (eighteen formats driver-side — including the schema-driven
+  * Protobuf/ProtobufList pair — plus one DISTRIBUTED save()/readLines
+  * TSV file-set pass), and the aggregate of each
   * round-tripped frame must equal the aggregate DuckDB computes
   * directly from parquet. A format that drops
   * a row, mangles an escape, shifts a date, or loses float precision
@@ -23,6 +24,32 @@ object FormatQueries {
   private val fmtStructure =
     "o_orderkey Int64, o_custkey Int64, o_totalprice Float64, " +
       "o_orderdate DateTime, o_orderpriority String"
+
+  /** uint32 dates carry epoch-seconds (the reference's DateTime↔uint32
+    * protobuf mapping); int64/double/string map directly.
+    */
+  private val protoSchema =
+    """syntax = "proto3";
+      |message Order {
+      |  int64 o_orderkey = 1;
+      |  int64 o_custkey = 2;
+      |  double o_totalprice = 3;
+      |  uint64 o_orderdate = 4;
+      |  string o_orderpriority = 5;
+      |};""".stripMargin
+
+  private val protoListSchema =
+    """syntax = "proto3";
+      |message Envelope {
+      |  message Order {
+      |    int64 o_orderkey = 1;
+      |    int64 o_custkey = 2;
+      |    double o_totalprice = 3;
+      |    uint64 o_orderdate = 4;
+      |    string o_orderpriority = 5;
+      |  };
+      |  repeated Order rows = 1;
+      |};""".stripMargin
 
   private def slice(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -68,6 +95,23 @@ object FormatQueries {
         "mysql_dump" -> InputFormats.parse(s,
           OutputFormats.write(base, "SQLInsert"),
           "MySQLDump", Some(fmtStructure)),
+        // schema-driven wire formats: the .proto compiled by the in-tree
+        // parser, rows varint-delimited (Protobuf) / envelope-framed
+        // (ProtobufList)
+        "protobuf" -> {
+          val ps = OutputFormats.Settings(
+            formatSchemaSource = protoSchema, formatSchemaMessage = "Order")
+          InputFormats.parseBytes(s,
+            OutputFormats.writeBytes(base, "Protobuf", ps), "Protobuf",
+            Some(fmtStructure), ps)
+        },
+        "protobuf_list" -> {
+          val ps = OutputFormats.Settings(
+            formatSchemaSource = protoListSchema, formatSchemaMessage = "Order")
+          InputFormats.parseBytes(s,
+            OutputFormats.writeBytes(base, "ProtobufList", ps), "ProtobufList",
+            Some(fmtStructure), ps)
+        },
         "row_binary" -> InputFormats.parseBytes(s,
           OutputFormats.writeBytes(base, "RowBinaryWithNamesAndTypes"),
           "RowBinaryWithNamesAndTypes"),
@@ -140,8 +184,8 @@ object FormatQueries {
       fmts AS (
         SELECT unnest(['bson_each_row', 'csv_typed', 'custom_separated', 'json_compact_typed',
                        'json_each_row', 'json_framed', 'json_object', 'jsoncolumns', 'msgpack',
-                       'mysql_dump', 'native', 'row_binary', 'save_tsv', 'template',
-                       'tskv', 'tsv_typed', 'values']) AS fmt)
+                       'mysql_dump', 'native', 'protobuf', 'protobuf_list', 'row_binary',
+                       'save_tsv', 'template', 'tskv', 'tsv_typed', 'values']) AS fmt)
       SELECT fmt, cnt, key_sum, price_sum, first_day
       FROM fmts CROSS JOIN base
       ORDER BY fmt""",

@@ -691,9 +691,15 @@ object InputFormats {
       spark: SparkSession,
       bytes: Array[Byte],
       format: String,
-      structure: Option[String] = None): DataFrame =
+      structure: Option[String] = None,
+      settings: OutputFormats.Settings = OutputFormats.Settings()): DataFrame =
     OutputFormats.canon(format) match {
       case "native" => NativeFormat.read(spark, bytes)
+      case p @ ("protobuf" | "protobufsingle" | "protobuflist") =>
+        ProtobufFormat.read(spark, bytes, settings.formatSchemaSource,
+          settings.formatSchemaMessage, p,
+          ChTypes.structure(structure.getOrElse(throw new IllegalArgumentException(
+            "Protobuf input needs a declared structure"))))
       case "bsoneachrow" =>
         BsonFormat.read(spark, bytes, structure.map(ChTypes.structure))
       case "msgpack" =>

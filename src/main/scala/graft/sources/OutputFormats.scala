@@ -57,7 +57,11 @@ object OutputFormats {
       jsonObjectEachRowColumnForObjectName: String = "",
       regexpSkipUnmatched: Boolean = false,
       rowsRead: Option[Long] = None,
-      bytesRead: Option[Long] = None)
+      bytesRead: Option[Long] = None,
+      // Protobuf family: the .proto source + root message name (the
+      // reference's `format_schema = 'file:Message'` setting)
+      formatSchemaSource: String = "",
+      formatSchemaMessage: String = "")
 
   private case class Col(name: String, dt: DataType, ch: String, idx: Int)
 
@@ -421,6 +425,8 @@ object OutputFormats {
     ("PrettyCompactMonoBlock", false, true),
     ("Native", true, true), ("BSONEachRow", true, true),
     ("MsgPack", true, true), ("Prometheus", false, true),
+    ("Protobuf", true, true), ("ProtobufSingle", true, true),
+    ("ProtobufList", true, true),
     ("RowBinary", true, true), ("RowBinaryWithNames", true, true),
     ("RowBinaryWithNamesAndTypes", true, true),
     ("LineAsString", true, true), ("RawBLOB", true, true),
@@ -437,6 +443,8 @@ object OutputFormats {
       case "native" => NativeFormat.write(df)
       case "bsoneachrow" => BsonFormat.write(df)
       case "msgpack" => MsgPackFormat.write(df)
+      case p @ ("protobuf" | "protobufsingle" | "protobuflist") =>
+        ProtobufFormat.write(df, s.formatSchemaSource, s.formatSchemaMessage, p)
       case "rowbinary" => RowBinaryFormat.write(df, withNames = false, withTypes = false)
       case "rowbinarywithnames" => RowBinaryFormat.write(df, withNames = true, withTypes = false)
       case "rowbinarywithnamesandtypes" =>
