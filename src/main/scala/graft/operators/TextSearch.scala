@@ -143,9 +143,13 @@ object TextSearch {
     val n = statsRow.getAs[Long]("n")
     val avgDl = statsRow.getAs[Double]("avgdl")
     val rid = "__graft_ts_rid"
-    // id assigned directly over the (deterministic) source scan; both the
-    // exploded branch and the final join recompute the same ids
+    // monotonically_increasing_id is only stable if the input's partition
+    // splits and row order are deterministic — NOT guaranteed downstream
+    // of a shuffle. Materialize the id assignment ONCE (the Dedup barrier
+    // pattern) so the exploded branch and the final join read the SAME
+    // ids instead of independently recomputing them.
     val base = df.withColumn(rid, monotonically_increasing_id())
+      .localCheckpoint(true)
     val exploded = base
       .select(col(rid), size(toks).cast("double").as("__dl"),
         explode(toks).as("__tok"))

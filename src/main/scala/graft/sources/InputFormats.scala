@@ -56,6 +56,44 @@ object InputFormats {
     out.result()
   }
 
+  /** Remove SQL comments outside quoted literals — `-- line`, `# line`,
+    * and slash-star block styles — so statement splitting and INSERT
+    * matching see only code. Real mysqldump output interleaves both
+    * styles with the data statements (the reference skips them before
+    * keyword matching, MySQLDumpRowInputFormat.cpp::skipWhitespaceIfAny /
+    * readComment); an apostrophe inside a comment must not flip the
+    * splitter's quote state. Quote chars: ' " and backtick (MySQL
+    * identifier quoting), backslash escapes honored inside ' and ".
+    */
+  def stripSqlComments(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    var q: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (q != 0) {
+        sb.append(c)
+        if (c == '\\' && q != '`' && i + 1 < s.length) {
+          sb.append(s.charAt(i + 1)); i += 1
+        } else if (c == q) q = 0
+        i += 1
+      } else if (c == '\'' || c == '"' || c == '`') {
+        q = c; sb.append(c); i += 1
+      } else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+        while (i < s.length && s.charAt(i) != '\n') i += 1 // keep the \n
+      } else if (c == '#') {
+        while (i < s.length && s.charAt(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+        i += 2
+        while (i + 1 < s.length &&
+            !(s.charAt(i) == '*' && s.charAt(i + 1) == '/')) i += 1
+        i = math.min(i + 2, s.length)
+        sb.append(' ') // comment is a token separator
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Unquote a Values-style '...' literal (backslash escapes). */
   def unquote(s0: String): String = {
     val s = s0.trim
@@ -281,7 +319,20 @@ object InputFormats {
             (if (idx < parts.length) parseField(parts(idx), dt, rule) else null,
               idx + 1)
         }
-      val rows = rest.map { line =>
+      // Blank-line policy: a blank line can only be a real row when the
+      // schema is a single String column (the empty-string round-trip
+      // case); for a wider or typed schema it's a separator/trailing
+      // artifact — parsing it as a row of empty fields would throw on the
+      // first numeric column. The reference is strict here (a blank line
+      // mid-stream errors with "expected tab"); we take the lenient
+      // skip, which also restores pre-r14 behavior for "\n\n"-terminated
+      // payloads.
+      val dataLines =
+        if (schema.fields.length > 1 ||
+            schema.fields.exists(_.dataType != StringType))
+          rest.filter(_.nonEmpty)
+        else rest
+      val rows = dataLines.map { line =>
         val parts = splitFields(line, sep, rule)
         if (rule == "CSV") {
           var i = 0
@@ -618,10 +669,14 @@ object InputFormats {
         // extract INSERT/REPLACE ... VALUES tuple lists; column list and
         // literal shapes give names/types (ref MySQLDumpRowInputFormat.cpp)
         // statement boundaries via the quote-aware splitter — a ';'
-        // inside a quoted literal is not a terminator
+        // inside a quoted literal is not a terminator. Comments are
+        // stripped FIRST: mysqldump interleaves '-- Dumping data...' and
+        // '/*!40101 ... */' with the data, and an apostrophe inside a
+        // comment would otherwise corrupt the splitter's quote state.
         val stmtRe =
           """(?is)\A(?:INSERT|REPLACE)\s+INTO\s+\S+\s*(\([^)]*\))?\s*VALUES\s*(.*)\z""".r
-        val matches = topSplit(data, ';').map(_.trim).filter(_.nonEmpty)
+        val matches = topSplit(stripSqlComments(data), ';')
+          .map(_.trim).filter(_.nonEmpty)
           .flatMap(stmt => stmtRe.findFirstMatchIn(stmt))
         require(matches.nonEmpty, "MySQLDump: no INSERT statements found")
         val colNames: Option[Seq[String]] =

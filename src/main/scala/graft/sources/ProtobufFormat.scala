@@ -58,7 +58,11 @@ object ProtobufFormat {
     lazy val byNorm: Map[String, Int] =
       values.map { case (n, v) => n.toLowerCase -> v }.toMap
     lazy val byNumber: Map[Int, String] =
-      values.reverse.toMap.map(_.swap) // first declaration wins
+      // first declaration wins for aliased numbers (allow_alias) — fold in
+      // declaration order, inserting only absent numbers
+      values.foldLeft(Map.empty[Int, String]) { case (m, (n, v)) =>
+        if (m.contains(v)) m else m + (v -> n)
+      }
   }
 
   final case class Schema(syntax: String,

@@ -600,4 +600,46 @@ class FormatsSpec extends SparkSpec {
     assert(got(1).getStruct(1).getString(1) === "né")
     assert(got(1).getSeq[Seq[Long]](0).isEmpty)
   }
+
+  test("MySQLDump: '--' and '/*...*/' comments around/inside statements") {
+    // the shape real mysqldump output has: header comments, conditional
+    // /*!40101*/ statements, a '-- Dumping data' banner WITH an
+    // apostrophe, then the INSERT (ref MySQLDumpRowInputFormat.cpp
+    // skips both comment styles before keyword matching)
+    val dump =
+      """-- MySQL dump 10.13  Distrib 8.0
+        |/*!40101 SET @saved_cs_client = @@character_set_client */;
+        |-- Dumping data for table `t` — it's the one we want
+        |INSERT INTO `t` (`a`, `b`) VALUES (1,'x'),(2,'y\'s');
+        |/* trailing block
+        |   comment */
+        |""".stripMargin
+    val back = InputFormats.parse(spark, dump, "MySQLDump")
+    assert(back.columns.toSeq === Seq("a", "b"))
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "x"), (2L, "y's")))
+    // a quoted literal containing '--' is NOT a comment
+    val lit = InputFormats.parse(spark,
+      "INSERT INTO t (a) VALUES ('a -- not a comment'),('b # neither');",
+      "MySQLDump")
+    assert(lit.collect().map(_.getString(0)).toSeq ===
+      Seq("a -- not a comment", "b # neither"))
+  }
+
+  test("blank lines are skipped for multi-column / typed schemas") {
+    // "\n\n"-terminated payload with an Int column: the blank line must
+    // not become a row of empty fields (NumberFormatException)
+    val back = InputFormats.parse(spark, "1\tx\n\n2\ty\n\n",
+      "TabSeparated", Some("n Int64, s String"))
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "x"), (2L, "y")))
+    val csv = InputFormats.parse(spark, "n,s\n1,x\n\n2,y\n",
+      "CSVWithNames", Some("n Int64, s String"))
+    assert(csv.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "x"), (2L, "y")))
+    // single String column keeps the empty-row round-trip contract
+    val s1 = InputFormats.parse(spark, "a\n\nb\n", "TabSeparated",
+      Some("s String"))
+    assert(s1.collect().map(_.getString(0)).toSeq === Seq("a", "", "b"))
+  }
 }

@@ -128,6 +128,32 @@ class ProtobufFormatSpec extends SparkSpec {
       Seq("Second", "Third", "First", "First", "Second"))
   }
 
+  test("enum allow_alias: number decodes to the FIRST declared name") {
+    val schema = ChTypes.structure("x String")
+    val proto =
+      """syntax = "proto3";
+        |message AliasMessage
+        |{
+        |  enum State
+        |  {
+        |    option allow_alias = true;
+        |    UNKNOWN = 0;
+        |    RUNNING = 1;
+        |    STARTED = 1;
+        |    ACTIVE = 1;
+        |    DONE = 2;
+        |  };
+        |  State x = 1;
+        |};""".stripMargin
+    val base = df(schema, Row("STARTED"), Row("DONE"))
+    val bytes = ProtobufFormat.write(base, proto, "AliasMessage", "protobuf")
+    // decode is deterministic first-declaration-wins: 1 → RUNNING, not
+    // whichever alias a hash-map iteration happened to keep
+    val back = ProtobufFormat.read(spark, bytes, proto, "AliasMessage",
+      "protobuf", schema)
+    assert(back.collect().toSeq.map(_.getString(0)) === Seq("RUNNING", "DONE"))
+  }
+
   // ------------------------------------------------------------- framings
 
   test("ProtobufSingle: one bare message, >1 row refuses (error 546 analog)") {

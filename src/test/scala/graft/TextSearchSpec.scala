@@ -133,5 +133,16 @@ class TextSearchSpec extends SparkSpec {
     // AND through the many-terms path: no doc holds all 40 terms
     assert(TextSearch.textSearch(docs, col("text"), query, 10, "AND",
       "bm25_score", Seq(col("doc_id"))).count() === 0)
+
+    // same query over a SHUFFLED input: monotonically_increasing_id rows
+    // downstream of a repartition are only safe because the id frame is
+    // materialized once (the r14 ADVICE scenario — ids recomputed per
+    // branch joined rows to wrong scores)
+    val shuffled = docs.repartition(7, col("text"))
+    val fastShuffled = TextSearch.textSearch(shuffled, col("text"), query,
+        60, "OR", "bm25_score", Seq(col("doc_id")))
+      .select(col("doc_id"), round(col("bm25_score"), 6).as("s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(fastShuffled === slow)
   }
 }
