@@ -152,6 +152,25 @@ object FormatQueries {
         .orderBy("fmt")
     }),
 
+    // input() TVF (ref src/TableFunctions/TableFunctionInput.cpp): the
+    // INSERT-payload transform front — a typed payload parsed against the
+    // declared structure, then reshaped by the INSERT's SELECT before
+    // landing. The payload exercises real CSV quoting (a comma INSIDE a
+    // quoted tag field) and feeds a join against a real table, the exact
+    // "INSERT INTO t SELECT ... FROM input(...)" flow.
+    "q82_input_tvf" -> ((s, dir) => {
+      val payload = (0 until 25).map { i =>
+        s"""$i,"tag,${i % 3}",${(i * 37) % 11}"""
+      }.mkString("", "\n", "\n")
+      graft.sources.TableFunctions.input(s,
+          "nk Int64, tag String, qty Int64", payload, "CSV")
+        .join(t(s, dir, "nation"), col("nk") === col("n_nationkey"))
+        .groupBy(col("tag"))
+        .agg(count(lit(1)).as("n"), sum(col("qty")).cast("long").as("qty_sum"),
+          min(col("n_name")).as("first_nation"))
+        .orderBy(col("tag"))
+    }),
+
     // Executable (process) UDF through a real pipe: one long-lived awk
     // per partition doubling the key and scaling the quantity.
     "q77_executable_udf" -> ((s, dir) => {
@@ -189,6 +208,15 @@ object FormatQueries {
       SELECT fmt, cnt, key_sum, price_sum, first_day
       FROM fmts CROSS JOIN base
       ORDER BY fmt""",
+    "q82_input_tvf" -> """
+      WITH p AS (SELECT range AS nk,
+                        'tag,' || CAST(range % 3 AS VARCHAR) AS tag,
+                        (range * 37) % 11 AS qty
+                 FROM range(0, 25))
+      SELECT tag, count(1) AS n, CAST(sum(qty) AS BIGINT) AS qty_sum,
+             min(n_name) AS first_nation
+      FROM p JOIN nation ON nk = n_nationkey
+      GROUP BY tag ORDER BY tag""",
     "q77_executable_udf" -> """
       SELECT l_returnflag AS grp,
              CAST(count(1) AS BIGINT) AS cnt,
