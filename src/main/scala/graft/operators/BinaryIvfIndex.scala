@@ -150,6 +150,20 @@ object BinaryIvfIndex {
         .map(_.getAs[Array[Byte]](1))
     })
 
+  /** The Hamming probe set [[search]] uses — public for replay oracles
+    * (same contract as [[IvfIndex.probeSet]]).
+    */
+  def probeSet(
+      spark: SparkSession,
+      indexDir: String,
+      qvec: Array[Byte],
+      nprobe: Int): Seq[Int] = {
+    val centroids = loadCentroids(spark, indexDir)
+    centroids.zipWithIndex
+      .map { case (c, i) => (VectorKernels.hammingBits(c, qvec), i) }
+      .sortBy(_._1).take(math.min(nprobe, centroids.length)).map(_._2).toSeq
+  }
+
   /** Hamming nprobe search over the pruned lists (exact within probes). */
   def search(
       spark: SparkSession,
@@ -162,10 +176,7 @@ object BinaryIvfIndex {
       tieBreak: Seq[Column] = Nil,
       deletes: Option[DataFrame] = None): DataFrame = {
     val meta = loadMeta(indexDir)
-    val centroids = loadCentroids(spark, indexDir)
-    val probes = centroids.zipWithIndex
-      .map { case (c, i) => (VectorKernels.hammingBits(c, qvec), i) }
-      .sortBy(_._1).take(math.min(nprobe, centroids.length)).map(_._2)
+    val probes = probeSet(spark, indexDir, qvec, nprobe)
 
     val pruned0 = spark.read.parquet(s"$indexDir/lists")
       .filter(col("list_id").isin(probes.toIndexedSeq: _*))

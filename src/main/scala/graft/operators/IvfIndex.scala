@@ -396,6 +396,26 @@ object IvfIndex {
         .map(_.getSeq[Float](1).toArray)
     })
 
+  /** The probe set [[search]] uses for this query: the nprobe nearest
+    * centroid lists under the index metric. Public so a replay oracle can
+    * restrict an external engine's top-K to the SAME lists — nprobe
+    * search is deterministic given the trained centroids (ref
+    * `MergeTreeVSManager.cpp:278-335` computes the same fixed probe set).
+    */
+  def probeSet(
+      spark: SparkSession,
+      indexDir: String,
+      qvec: Seq[Float],
+      nprobe: Int,
+      metricOverride: Option[String] = None): Seq[Int] = {
+    val centroids = loadCentroids(spark, indexDir)
+    val metric = metricOverride.getOrElse(loadMeta(indexDir).metric)
+    val q = qvec.toArray
+    centroids.zipWithIndex
+      .map { case (c, i) => (centroidDist(metric, c, q), i) }
+      .sortBy(_._1).take(math.min(nprobe, centroids.length)).map(_._2).toSeq
+  }
+
   /** nprobe search: probe the nearest nprobe centroid lists, scan only
     * those partitions (file-level pruning via the `list_id=` dirs),
     * brute-force exact distances within, global top-K merge.
@@ -415,14 +435,9 @@ object IvfIndex {
       distName: String = "d",
       tieBreak: Seq[Column] = Nil,
       deletes: Option[DataFrame] = None): DataFrame = {
-    val centroids = loadCentroids(spark, indexDir)
     val metric = metricOverride.getOrElse(loadMeta(indexDir).metric)
-    val q = qvec.toArray
-    val probes = centroids.zipWithIndex
-      .map { case (c, i) => (centroidDist(metric, c, q), i) }
-      .sortBy(_._1).take(math.min(nprobe, centroids.length)).map(_._2)
-
-    searchLists(spark, indexDir, qvec, k, probes.toSeq, metric, preFilter,
+    val probes = probeSet(spark, indexDir, qvec, nprobe, metricOverride)
+    searchLists(spark, indexDir, qvec, k, probes, metric, preFilter,
       distName, tieBreak, deletes)
   }
 
