@@ -6,6 +6,11 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
+    // Enable the replay-oracle side channel for THIS dir only (see
+    // VectorQueries.captureReplay): queries export their index decision
+    // sets as DuckDB VALUES while running under Verify; Bench and specs
+    // never pay the export.
+    System.setProperty("graft.replay.dir", sfDir)
     // optional 3rd arg: comma-separated query-name filter for fast local
     // iteration (the driver passes exactly two args — all queries)
     val only: Option[Set[String]] = args.lift(2).map(_.split(',').toSet)

@@ -1,0 +1,101 @@
+package graft.multimodal
+
+import java.net.{InetAddress, InetSocketAddress}
+import java.nio.file.{Files, Path}
+
+import scala.collection.concurrent.TrieMap
+
+/** Loopback HTTP object store — verification infrastructure that
+  * closed-loops the remote-scheme `getObject` paths (ref
+  * `src/Functions/getObject.cpp:53-60`, test
+  * `tests/queries/3_ai_core_support/00009_mqai_objecturl_getObject.sql`)
+  * with ZERO egress: a JDK `HttpServer` bound to 127.0.0.1 serves a
+  * directory of fixture files under two buckets:
+  *
+  *  - `/imgs/<name>` — plain HTTP GET (the http(s) CONNECTION path);
+  *  - `/s3imgs/<name>` — requires AND VERIFIES SigV4 presign query
+  *    params: the handler recomputes the signature with [[SigV4]] from
+  *    the request's own Host header, path, and X-Amz-* params and 403s
+  *    on any mismatch — so a fetch only succeeds if the client-side
+  *    presigner produced a canonically correct URL for THIS host:port
+  *    (path-style, port in the host header — the bug classes a
+  *    vector-only unit test can't catch). Algorithm correctness against
+  *    AWS's published vectors is pinned separately in SigV4Spec.
+  *
+  * One server per fixture dir per JVM; never part of the engine's own
+  * read path.
+  */
+object LoopbackObjectStore {
+
+  private val servers = TrieMap.empty[String, Int]
+
+  /** Start (or reuse) the server for `dir`; returns the bound port. */
+  def port(dir: Path, creds: Connections.ObjectStoreCredentials): Int =
+    servers.getOrElseUpdate(dir.toString, start(dir, creds))
+
+  private def queryParams(raw: String): Map[String, String] =
+    if (raw == null || raw.isEmpty) Map.empty
+    else raw.split('&').toSeq.flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => Some(k ->
+          java.net.URLDecoder.decode(v, java.nio.charset.StandardCharsets.UTF_8))
+        case _ => None
+      }
+    }.toMap
+
+  /** Extract X-Amz-Signature from a presigned URL's query string. */
+  private def signatureOf(url: String): String =
+    url.split('?').lift(1).map(queryParams).flatMap(_.get("X-Amz-Signature"))
+      .getOrElse("")
+
+  private def start(dir: Path, creds: Connections.ObjectStoreCredentials): Int = {
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new InetSocketAddress(InetAddress.getLoopbackAddress, 0), 0)
+    srv.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      try {
+        val path = ex.getRequestURI.getPath
+        val (bucket, name) = path.stripPrefix("/").split("/", 2) match {
+          case Array(b, n) => (b, n)
+          case _ => ("", "")
+        }
+        // basename-sanitize: the fixture dir is flat
+        val file = dir.resolve(new java.io.File(name).getName)
+        def respond(code: Int, body: Array[Byte]): Unit = {
+          ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length.toLong)
+          if (body.nonEmpty) ex.getResponseBody.write(body)
+          ex.close()
+        }
+        if (bucket == "s3imgs") {
+          // verify the presign: recompute the signature for this exact
+          // Host header + path from the request's own X-Amz-* params
+          val p = queryParams(ex.getRequestURI.getRawQuery)
+          val host = Option(ex.getRequestHeaders.getFirst("Host")).getOrElse("")
+          val ok = (for {
+            sig <- p.get("X-Amz-Signature")
+            date <- p.get("X-Amz-Date")
+            exp <- p.get("X-Amz-Expires")
+            cred <- p.get("X-Amz-Credential")
+          } yield {
+            val expected = signatureOf(SigV4.presignGet(host, path,
+              creds.region, "s3", creds.accessKeyId, creds.secretAccessKey,
+              p.getOrElse("X-Amz-Security-Token", ""), date, exp.toLong))
+            cred.startsWith(creds.accessKeyId + "/") && sig == expected
+          }).getOrElse(false)
+          if (!ok) respond(403, "SignatureDoesNotMatch".getBytes)
+          else if (!Files.exists(file)) respond(404, Array.empty)
+          else respond(200, Files.readAllBytes(file))
+        } else if (bucket == "imgs") {
+          if (!Files.exists(file)) respond(404, Array.empty)
+          else respond(200, Files.readAllBytes(file))
+        } else respond(404, Array.empty)
+      } catch {
+        case _: Throwable =>
+          try { ex.sendResponseHeaders(500, -1); ex.close() } catch { case _: Throwable => }
+      }
+    })
+    srv.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8,
+      r => { val t = new Thread(r, "graft-loopback-http"); t.setDaemon(true); t }))
+    srv.start()
+    srv.getAddress.getPort
+  }
+}

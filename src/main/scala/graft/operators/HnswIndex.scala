@@ -110,6 +110,32 @@ object HnswIndex {
       }.toSeq
     }
 
+    /** The full layer-0 ef-beam — the pre-truncation candidate pool, i.e.
+      * the index's WHOLE decision for a query (the reference's stage-1
+      * result set before the k-cut, `MergeTreeVSManager.cpp:449-460`
+      * stage split). Same entry-point descent and beam as [[search]];
+      * the only difference is no `take(k)`. Exported by the replay
+      * oracles so DuckDB can recompute the exact top-K restricted to the
+      * pool — pinning kernel/rounding/tie-break parity of everything
+      * downstream of graph traversal.
+      */
+    def searchPool(q: Array[Float], k: Int, ef: Int): Seq[(Long, Float, Array[Float])] = {
+      if (ids.isEmpty) return Nil
+      var ep = entryPoint
+      var layer = maxLayerOf(entryPoint)
+      while (layer > 0) {
+        ep = (searchLayer(q, Seq(ep), 1, layer).dequeueAll: Seq[(Float, Int)]).minBy(_._1)._2
+        layer -= 1
+      }
+      val found = searchLayer(q, Seq(ep), math.max(ef, k), 0)
+      (found.dequeueAll: Seq[(Float, Int)])
+        .sortBy(x => (x._1, ids(x._2)))
+        .map { case (d, i) =>
+          val out = if (metric.equalsIgnoreCase("cosine")) d else math.sqrt(d).toFloat
+          (ids(i), out, vecs(i))
+        }.toSeq
+    }
+
     /** Exact scoring without graph traversal — the "exact-over-bitmap"
       * regime the reference uses for selective filters (per-part brute
       * force over the filter bitmap instead of a masked graph walk,
@@ -679,6 +705,93 @@ object HnswIndex {
       .orderBy(col("d"), col("id"))
       .limit(k)
   }
+
+  /** Replay-oracle export: the union of every part's layer-0 ef-beam
+    * (each part's pre-truncation candidate pool, [[Graph.searchPool]]),
+    * plus ALL small-part rows (they are brute-forced exactly, so every
+    * one is a "candidate"). Emits `(id, d, vec)` where `vec` is the
+    * STORED point (dequantized codes for HNSWSQ/HNSWPQ) — quantized
+    * replay oracles recompute distances from it. The global top-K over
+    * this pool equals [[search]]'s merged result: search takes each
+    * part's top-k from the same beam by the same `(d, id)` order, and an
+    * element outside a part's top-k has k pool elements ahead of it, so
+    * it can never enter the global top-k.
+    *
+    * Verification side channel only (driver collects it into DuckDB
+    * VALUES); never on the engine's own search path.
+    */
+  def candidatePool(
+      spark: SparkSession,
+      indexDir: String,
+      qvec: Seq[Float],
+      k: Int,
+      ef: Int,
+      metric: String = "l2"): DataFrame = {
+    import spark.implicits._
+    val q = qvec.toArray
+    val root = new org.apache.hadoop.fs.Path(s"$indexDir/graph")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partDirs =
+      (if (fs.exists(root)) fs.listStatus(root).toSeq else Seq.empty)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("part_id="))
+        .map(_.getPath)
+    val smallPath = new org.apache.hadoop.fs.Path(s"$indexDir/smallparts")
+    val hasSmall = fs.exists(smallPath)
+    require(partDirs.nonEmpty || hasSmall,
+      s"no graph partitions or small parts under $indexDir")
+    val decode = decoder(spark, indexDir, fs)
+    val perPart = partDirs.map { p =>
+      val pid = p.getName.stripPrefix("part_id=").toInt
+      decode match {
+        case Some(dec) =>
+          spark.read.schema(GraphSchemaQuant).parquet(p.toString)
+            .select(col("node_idx"), col("id"), col("qvec"), col("neighbors"))
+            .as[(Int, Long, Array[Byte], Seq[Seq[Int]])]
+            .coalesce(1)
+            .mapPartitions { rows =>
+              val nodes = rows.map { case (ni, id, codes, nbrs) =>
+                GraphNode(ni, id, dec(codes), nbrs)
+              }
+              val g = loadGraph(s"$indexDir#$pid", nodes, metric)
+              g.searchPool(q, k, ef).iterator
+            }
+        case None =>
+          spark.read.schema(GraphSchemaFlat).parquet(p.toString)
+            .select(col("node_idx"), col("id"), col("vec"), col("neighbors"))
+            .as[GraphNode]
+            .coalesce(1)
+            .mapPartitions { rows =>
+              val g = loadGraph(s"$indexDir#$pid", rows, metric)
+              g.searchPool(q, k, ef).iterator
+            }
+      }
+    }
+    val smallHits: Option[DataFrame] =
+      if (!hasSmall) None
+      else Some(spark.read.schema(SmallPartsSchema).parquet(smallPath.toString)
+        .select(col("id"),
+          graft.functions.distances.distance(metric)(col("vec"), typedLit(q.toSeq))
+            .as("d"),
+          col("vec")))
+    val graphHits: Option[DataFrame] =
+      if (partDirs.isEmpty) None
+      else Some(perPart.reduce(_ union _).toDF("id", "d", "vec"))
+    (graphHits.toSeq ++ smallHits.toSeq).reduce(_ unionAll _)
+  }
+
+  /** Stage-1 candidate ids of [[searchTwoStage]] — the quantized graph's
+    * decision set before the exact re-rank (same export role as
+    * [[SqIndex.stage1Candidates]]/[[PqIndex.stage1Candidates]]).
+    */
+  def stage1Candidates(
+      spark: SparkSession,
+      indexDir: String,
+      qvec: Seq[Float],
+      numReorder: Int,
+      ef: Int,
+      metric: String = "l2"): DataFrame =
+    search(spark, indexDir, qvec, numReorder, math.max(ef, numReorder), metric)
+      .select(col("id"))
 
   /** Filtered ANN search whose accept set is computed AT EXECUTION TIME —
     * the Spark analog of the reference's per-part `performPrefilter`

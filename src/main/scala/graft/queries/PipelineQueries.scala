@@ -23,6 +23,31 @@ object PipelineQueries {
   private def bucketSql(idExpr: String): String =
     s"(CAST(('0x' || substr(md5(CAST($idExpr AS VARCHAR)), 1, 8)) AS BIGINT) % 100)"
 
+  /** Deterministic PNG fixtures shared by q80 (file scheme) and q83
+    * (loopback http + s3 schemes): image i is (16+i)×(8+i) with
+    * pixel(x,y) = (x·7 + y·13 + i·31) % 256 on all three channels —
+    * PNG is lossless, so the oracle replays Σ(r+g+b) in closed form.
+    */
+  private def pngFixtures(): java.nio.file.Path = {
+    val imgDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_q80_imgs")
+    java.nio.file.Files.createDirectories(imgDir)
+    (1 to 4).foreach { i =>
+      val f = imgDir.resolve(s"img_$i.png")
+      if (!java.nio.file.Files.exists(f)) {
+        val w = 16 + i; val h = 8 + i
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) {
+          val v = (x * 7 + y * 13 + i * 31) % 256
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        }
+        javax.imageio.ImageIO.write(img, "png", f.toFile)
+      }
+    }
+    imgDir
+  }
+
   val queries: Map[String, Q] = Map(
     // Concat-then-chunk sequence packing at a 2048-token budget over the
     // doc_id-ordered corpus: per-doc chunk placement via the distributed
@@ -73,22 +98,7 @@ object PipelineQueries {
     // the generator formula pixel(x,y) = (x*7 + y*13 + i*31) % 256.
     "q80_multimodal_decode" -> ((s, _) => {
       import graft.multimodal.{Connections, Multimodal}
-      val imgDir = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_q80_imgs")
-      java.nio.file.Files.createDirectories(imgDir)
-      (1 to 4).foreach { i =>
-        val f = imgDir.resolve(s"img_$i.png")
-        if (!java.nio.file.Files.exists(f)) {
-          val w = 16 + i; val h = 8 + i
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          for (y <- 0 until h; x <- 0 until w) {
-            val v = (x * 7 + y * 13 + i * 31) % 256
-            img.setRGB(x, y, (v << 16) | (v << 8) | v)
-          }
-          javax.imageio.ImageIO.write(img, "png", f.toFile)
-        }
-      }
+      val imgDir = pngFixtures()
       Connections.create("q80_fs", "FS")
       import s.implicits._
       val fetched = (1 to 4).map(i =>
@@ -101,6 +111,45 @@ object PipelineQueries {
       decoded.select(col("img_id"), col("meta.format").as("fmt"),
           col("meta.width").as("w"), col("meta.height").as("h"),
           col("pix_sum"))
+        .orderBy("img_id")
+    }),
+
+    // Remote-scheme getObject under the driver gate (ref
+    // `getObject.cpp:53-60`, test `3_ai_core_support/00009_mqai_
+    // objecturl_getObject.sql`): the same PNG fixtures fetched through a
+    // LOOPBACK http server — two rows over a plain http(s) CONNECTION
+    // (endpoint-pinned to the loopback host), two rows as `s3://` URLs
+    // through the real SigV4 presigner against a custom endpoint
+    // (path-style + port-in-host), with the server VERIFYING the
+    // signature before serving (403 on mismatch). Zero egress; same
+    // closed-form pixel-checksum oracle as q80.
+    "q83_multimodal_remote" -> ((s, _) => {
+      import graft.multimodal.{Connections, LoopbackObjectStore, Multimodal}
+      val imgDir = pngFixtures()
+      val creds = Connections.ObjectStoreCredentials(
+        "GRAFTTESTACCESSKEY", "graft-test-secret-key", region = "us-east-1")
+      val port = LoopbackObjectStore.port(imgDir, creds)
+      Connections.registerCredentials("q83_creds", creds)
+      Connections.create("q83_http", "HTTP",
+        endpoint = s"http://127.0.0.1:$port")
+      Connections.create("q83_s3", "AWS",
+        endpoint = s"http://127.0.0.1:$port", credentialRef = "q83_creds")
+      import s.implicits._
+      val httpRows = Seq(1L, 2L)
+        .map(i => (i, s"http://127.0.0.1:$port/imgs/img_$i.png"))
+        .toDF("img_id", "url")
+        .select(col("img_id"), lit("http").as("scheme"),
+          Connections.getObject(s, "q83_http")(col("url")).as("bytes"))
+      val s3Rows = Seq(3L, 4L)
+        .map(i => (i, s"s3://s3imgs/img_$i.png"))
+        .toDF("img_id", "url")
+        .select(col("img_id"), lit("s3").as("scheme"),
+          Connections.getObject(s, "q83_s3")(col("url")).as("bytes"))
+      val decoded = Multimodal.withPixelChecksum(
+        Multimodal.withDecodedMeta(httpRows.unionAll(s3Rows), "bytes"), "bytes")
+      decoded.select(col("img_id"), col("scheme"),
+          col("meta.format").as("fmt"), col("meta.width").as("w"),
+          col("meta.height").as("h"), col("pix_sum"))
         .orderBy("img_id")
     }),
   )
@@ -145,6 +194,20 @@ object PipelineQueries {
     // v = (x·7 + y·13 + i·31) % 256, image i is (16+i)×(8+i)
     "q80_multimodal_decode" -> """
       SELECT CAST(i AS BIGINT) AS img_id, 'png' AS fmt,
+             CAST(16 + i AS INT) AS w, CAST(8 + i AS INT) AS h,
+             CAST(sum(3 * ((x.g * 7 + y.g * 13 + i * 31) % 256)) AS BIGINT)
+               AS pix_sum
+      FROM (SELECT unnest([1, 2, 3, 4]) AS i) imgs
+      JOIN generate_series(0, 25) x(g) ON x.g < 16 + i
+      JOIN generate_series(0, 17) y(g) ON y.g < 8 + i
+      GROUP BY i
+      ORDER BY img_id""",
+    // same closed form; rows 1-2 arrive over plain http, 3-4 over
+    // SigV4-presigned s3:// against the loopback endpoint
+    "q83_multimodal_remote" -> """
+      SELECT CAST(i AS BIGINT) AS img_id,
+             CASE WHEN i <= 2 THEN 'http' ELSE 's3' END AS scheme,
+             'png' AS fmt,
              CAST(16 + i AS INT) AS w, CAST(8 + i AS INT) AS h,
              CAST(sum(3 * ((x.g * 7 + y.g * 13 + i * 31) % 256)) AS BIGINT)
                AS pix_sum

@@ -40,15 +40,24 @@ object VectorQueries {
     * own exact kernels. Captured when the query runs; [[oracles]] merges
     * the snapshot (Verify runs every query BEFORE dumping
     * oracle_sql.json). If a query never ran in this JVM its entry is
-    * absent → the driver falls back to the rows-only check. Memoized per
-    * (query, dir) so Bench's timed runs pay the export once.
+    * absent → the driver falls back to the rows-only check.
+    *
+    * GATED on the `graft.replay.dir` system property, which only
+    * [[graft.Verify]] sets (to its single sfDir): Bench's timed runs pay
+    * ZERO export cost (the r15 run-1 numbers for v09/v14/v15/v16 included
+    * the one-off export jobs), and a JVM that runs the query fns against
+    * several dirs (specs at sf0.001 + anything else) can never overwrite
+    * one dir's VALUES with another's — only the dir Verify is dumping
+    * captures at all.
     */
+  private[graft] val ReplayDirProp = "graft.replay.dir"
   private val replayOracles =
     scala.collection.concurrent.TrieMap.empty[String, String]
   private val replayMemo =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
   private def captureReplay(name: String, dir: String)(mk: => String): Unit =
-    replayOracles.put(name, replayMemo.getOrElseUpdate((name, dir), mk))
+    if (sys.props.get(ReplayDirProp).contains(dir))
+      replayOracles.put(name, replayMemo.getOrElseUpdate((name, dir), mk))
 
   /** One IVF index per sf dir, built lazily and reused across queries
     * (the reference builds indexes once per part, not per query).
@@ -260,10 +269,28 @@ object VectorQueries {
         .select(col("doc_id"), col("d").cast("double").as("d"))
         .orderBy(col("doc_id"))
     }),
-    // HNSW-FLAT graph index search (per-partition graphs + global merge);
-    // approximate — recall verified in ScalaTest; rows-only here.
+    // HNSW-FLAT graph index search (per-partition graphs + global merge).
+    // EXACT candidate-pool replay oracle since round 16: each part's
+    // pre-truncation ef-beam (the index's whole decision, ref
+    // MergeTreeVSManager.cpp:449-460 stage split) is exported as VALUES
+    // and DuckDB recomputes the exact top-K restricted to the pool —
+    // pinning kernel/rounding/tie-break parity; graph-traversal quality
+    // itself stays covered by the v33 recall gates + HnswIndexSpec.
     "v11_hnsw_search" -> ((s, dir) => {
-      HnswIndex.search(s, hnswDir(s, dir), queryVec(s, dir), 10, ef = 128)
+      val idx = hnswDir(s, dir)
+      val q = queryVec(s, dir)
+      captureReplay("v11_hnsw_search", dir) {
+        val pool = HnswIndex.candidatePool(s, idx, q, 10, ef = 128)
+          .select("id").collect().map(_.getLong(0)).distinct.sorted
+        s"""WITH pool(vec_id) AS (VALUES ${pool.map(i => s"($i)").mkString(",")})
+          SELECT * FROM (
+            SELECT e.vec_id,
+                   round(CAST(list_distance(e.embedding, $qv0) AS DOUBLE), 3) AS d
+            FROM embeddings e JOIN pool USING (vec_id)
+            ORDER BY list_distance(e.embedding, $qv0), e.vec_id LIMIT 10)
+          ORDER BY vec_id"""
+      }
+      HnswIndex.search(s, idx, q, 10, ef = 128)
         .select(col("id").as("vec_id"), round(col("d").cast("double"), 3).as("d"))
         .orderBy(col("vec_id"))
     }),
@@ -316,17 +343,57 @@ object VectorQueries {
         .orderBy(col("vec_id"))
     }),
     // HNSWSQ: graph index over int8-quantized vectors (4x smaller graph
-    // files); approximate — rows-only, recall in HnswIndexSpec.
+    // files). EXACT replay oracle since round 16: the reported distances
+    // are to the DEQUANTIZED points, so the export carries each pool
+    // candidate's dequantized vector and DuckDB recomputes the same
+    // quantized-space top-K — verifying the SQ decode + kernel +
+    // tie-break, given the index's decision (pool + codes). Recall vs
+    // exact floats stays in HnswIndexSpec + v33.
     "v17_hnswsq" -> ((s, dir) => {
-      HnswIndex.search(s, hnswSqDir(s, dir), queryVec(s, dir), 10, ef = 128)
+      val idx = hnswSqDir(s, dir)
+      val q = queryVec(s, dir)
+      captureReplay("v17_hnswsq", dir) {
+        val pool = HnswIndex.candidatePool(s, idx, q, 10, ef = 128)
+          .select("id", "vec").collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1)))
+          .sortBy(_._1)
+        val rows = pool.map { case (id, dq) =>
+          s"($id,[${dq.mkString(",")}])"
+        }.mkString(",")
+        s"""WITH pool(vec_id, dq) AS (VALUES $rows)
+          SELECT * FROM (
+            SELECT vec_id,
+                   round(CAST(list_distance(CAST(dq AS FLOAT[]), $qv0) AS DOUBLE), 3) AS d
+            FROM pool
+            ORDER BY list_distance(CAST(dq AS FLOAT[]), $qv0), vec_id LIMIT 10)
+          ORDER BY vec_id"""
+      }
+      HnswIndex.search(s, idx, q, 10, ef = 128)
         .select(col("id").as("vec_id"), round(col("d").cast("double"), 3).as("d"))
         .orderBy(col("vec_id"))
     }),
     // HNSWPQ: product-quantized graph + two-stage exact re-rank (the
-    // intended read path for PQ graphs); rows-only, recall in spec.
+    // intended read path for PQ graphs). EXACT replay oracle since round
+    // 16: stage 2 is exact top-K over the stage-1 candidate set, so the
+    // candidate ids (the quantized graph's whole decision — the v14/v16
+    // pattern) are exported and DuckDB re-ranks them with its own exact
+    // kernel. Recall in spec + v33.
     "v19_hnswpq" -> ((s, dir) => {
-      HnswIndex.searchTwoStage(s, hnswPqDir(s, dir), emb(s, dir),
-          "vec_id", "embedding", queryVec(s, dir), 10,
+      val idx = hnswPqDir(s, dir)
+      val q = queryVec(s, dir)
+      captureReplay("v19_hnswpq", dir) {
+        val cands = HnswIndex.stage1Candidates(s, idx, q,
+            numReorder = 60, ef = 256).collect().map(_.getLong(0)).sorted
+        s"""WITH cand(vec_id) AS (VALUES ${cands.map(c => s"($c)").mkString(",")})
+          SELECT * FROM (
+            SELECT e.vec_id,
+                   round(CAST(list_distance(e.embedding, $qv0) AS DOUBLE), 3) AS d
+            FROM embeddings e JOIN cand USING (vec_id)
+            ORDER BY list_distance(e.embedding, $qv0), e.vec_id LIMIT 10)
+          ORDER BY vec_id"""
+      }
+      HnswIndex.searchTwoStage(s, idx, emb(s, dir),
+          "vec_id", "embedding", q, 10,
           numReorder = 60, ef = 256, "l2", "d", Seq(col("vec_id")))
         .select(col("vec_id"), round(col("d").cast("double"), 3).as("d"))
         .orderBy(col("vec_id"))
@@ -391,12 +458,34 @@ object VectorQueries {
         .orderBy(col("doc_id"))
     }),
     // BinaryHNSW: graph search over bit vectors (L2² of 0/1 floats ==
-    // Hamming, reusing the whole HNSW machinery); rows-only, recall +
+    // Hamming, reusing the whole HNSW machinery). EXACT replay oracle
+    // since round 16: pool export + restricted Hamming top-K recomputed
+    // from md5 hex digits (the v10/v22 kernel-parity trick) — binary SQ
+    // dequantization is exact (0→0, 255→1.0f), so beam distances ARE
+    // true Hamming and the pool top-K equals the merged result. Recall +
     // integer-exact distances in BinaryHnswSpec.
     "v18_binary_hnsw" -> ((s, dir) => {
+      val idx = bhnswDir(s, dir)
       val q = bvecs(s, dir).filter(col("doc_id") === 0)
         .select("bvec").head().getAs[Array[Byte]](0)
-      BinaryHnswIndex.search(s, bhnswDir(s, dir), q, 10, ef = 128)
+      captureReplay("v18_binary_hnsw", dir) {
+        val pool = HnswIndex.candidatePool(s, idx,
+            BinaryHnswIndex.bitsToFloats(q).toSeq, 10, ef = 128)
+          .select("id").collect().map(_.getLong(0)).distinct.sorted
+        s"""WITH pool(doc_id) AS (VALUES ${pool.map(i => s"($i)").mkString(",")}),
+          q AS (SELECT md5(text) AS qh FROM documents WHERE doc_id = 0),
+          h AS (SELECT doc_id, md5(text) AS h
+                FROM documents JOIN pool USING (doc_id))
+          SELECT * FROM (
+            SELECT doc_id,
+              CAST(list_sum(list_transform(range(1, 33), i ->
+                bit_count(xor(strpos('0123456789abcdef', substring(h, CAST(i AS INTEGER), 1)) - 1,
+                              strpos('0123456789abcdef', substring(qh, CAST(i AS INTEGER), 1)) - 1)))) AS DOUBLE) AS d
+            FROM h CROSS JOIN q
+            ORDER BY d, doc_id LIMIT 10)
+          ORDER BY doc_id"""
+      }
+      BinaryHnswIndex.search(s, idx, q, 10, ef = 128)
         .select(col("id").as("doc_id"), col("d").cast("double").as("d"))
         .orderBy(col("doc_id"))
     }),
@@ -426,12 +515,33 @@ object VectorQueries {
     }),
     // batch_distance THROUGH the HNSW graphs: one graph load per part
     // serves the whole batch (the reference's batch path amortizes
-    // per-part index instances the same way). Approximate (graph
-    // search) → rows-only; HnswIndexSpec asserts batch ≡ the same
-    // graph's single-query searches exactly.
+    // per-part index instances the same way). EXACT replay oracle since
+    // round 16: per-query candidate pools exported, DuckDB recomputes
+    // each query's restricted top-5. HnswIndexSpec additionally asserts
+    // batch ≡ the same graph's single-query searches exactly.
     "v31_batch_hnsw" -> ((s, dir) => {
+      val idx = hnswDir(s, dir)
       val qs = Seq(queryVec(s, dir, 0), queryVec(s, dir, 1), queryVec(s, dir, 2))
-      HnswIndex.batchSearch(s, hnswDir(s, dir), qs, 5, ef = 128,
+      captureReplay("v31_batch_hnsw", dir) {
+        val rows = qs.zipWithIndex.flatMap { case (q, qi) =>
+          HnswIndex.candidatePool(s, idx, q, 5, ef = 128)
+            .select("id").collect().map(_.getLong(0)).distinct.sorted
+            .map(id => s"($qi,$id)")
+        }.mkString(",")
+        s"""WITH pool(query_idx, vec_id) AS (VALUES $rows),
+          q AS (SELECT 0 AS query_idx, $qv0 AS qv
+                UNION ALL SELECT 1, $qv1
+                UNION ALL SELECT 2, $qv2)
+          SELECT p.query_idx, p.vec_id,
+                 round(CAST(list_distance(e.embedding, q.qv) AS DOUBLE), 3) AS d
+          FROM pool p
+          JOIN embeddings e ON e.vec_id = p.vec_id
+          JOIN q ON q.query_idx = p.query_idx
+          QUALIFY row_number() OVER (PARTITION BY p.query_idx
+            ORDER BY list_distance(e.embedding, q.qv), p.vec_id) <= 5
+          ORDER BY p.query_idx, p.vec_id"""
+      }
+      HnswIndex.batchSearch(s, idx, qs, 5, ef = 128,
           tieBreak = Seq(col("id")))
         .select(col("query_idx"), col("id").as("vec_id"),
           round(col("d").cast("double"), 3).as("d"))
@@ -466,7 +576,11 @@ object VectorQueries {
     // task picks masked-traversal / exact-over-bitmap / overflow from
     // the materialized mask. Approximate → rows-only; the
     // Catalyst-rewrite twin is plan- and no-job-asserted in
-    // TopKRewriteSpec.
+    // TopKRewriteSpec. EXACT replay oracle since round 16: the final
+    // stage is exact top-K over (filter ∧ candidate set), so exporting
+    // the candidate ids lets DuckDB recompute the same restricted
+    // filtered top-K (the pool rows are already accept-masked; the
+    // label predicate is repeated in the oracle for faithfulness).
     "v26_prefilter_hnsw" -> ((s, dir) => {
       val e = emb(s, dir)
       val idxDir = hnswDir(s, dir)
@@ -480,6 +594,17 @@ object VectorQueries {
           efCap = 4096, metric = "l2", acceptDf = acceptDf,
           maxIds = 2 << 20, nRowsTotal = nRows)
         .select(col("id").as("vec_id"))
+      captureReplay("v26_prefilter_hnsw", dir) {
+        val pool = cand.collect().map(_.getLong(0)).distinct.sorted
+        s"""WITH pool(vec_id) AS (VALUES ${pool.map(i => s"($i)").mkString(",")})
+          SELECT * FROM (
+            SELECT e.vec_id,
+                   round(CAST(list_distance(e.embedding, $qv0) AS DOUBLE), 3) AS d
+            FROM embeddings e JOIN pool USING (vec_id)
+            WHERE e.label = 3
+            ORDER BY list_distance(e.embedding, $qv0), e.vec_id LIMIT 10)
+          ORDER BY vec_id"""
+      }
       VectorSearch.topK(
           e.filter(col("label") === 3).join(cand, Seq("vec_id"), "left_semi"),
           col("embedding"), qv, 10, "l2", None, "d", Seq(col("vec_id")))

@@ -64,6 +64,8 @@ object InputFormats {
     * readComment); an apostrophe inside a comment must not flip the
     * splitter's quote state. Quote chars: ' " and backtick (MySQL
     * identifier quoting), backslash escapes honored inside ' and ".
+    * `--` starts a comment only when followed by whitespace or EOL
+    * (MySQL's rule — `1--2` is an expression, not a comment).
     */
   def stripSqlComments(s: String): String = {
     val sb = new StringBuilder(s.length)
@@ -79,7 +81,8 @@ object InputFormats {
         i += 1
       } else if (c == '\'' || c == '"' || c == '`') {
         q = c; sb.append(c); i += 1
-      } else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+      } else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-' &&
+          (i + 2 >= s.length || s.charAt(i + 2).isWhitespace)) {
         while (i < s.length && s.charAt(i) != '\n') i += 1 // keep the \n
       } else if (c == '#') {
         while (i < s.length && s.charAt(i) != '\n') i += 1

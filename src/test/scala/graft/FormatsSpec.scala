@@ -624,6 +624,12 @@ class FormatsSpec extends SparkSpec {
       "MySQLDump")
     assert(lit.collect().map(_.getString(0)).toSeq ===
       Seq("a -- not a comment", "b # neither"))
+    // MySQL's rule: '--' is a comment only when followed by whitespace
+    // or EOL — an unquoted double-dash inside an expression (1--2) must
+    // NOT swallow the rest of the line
+    assert(InputFormats.stripSqlComments("SELECT 1--2") === "SELECT 1--2")
+    assert(InputFormats.stripSqlComments("SELECT 1 -- two\n") === "SELECT 1 \n")
+    assert(InputFormats.stripSqlComments("SELECT 1 --") === "SELECT 1 ")
   }
 
   test("blank lines are skipped for multi-column / typed schemas") {

@@ -28,9 +28,12 @@ class NoOracleStabilitySpec extends SparkSpec {
   // d04/d09/d10 left this suite in round 12, v09/v14/v15/v16 in round
   // 15: their pipelines became exact-oracle (md5-digit simhash replay;
   // coordinate-sign LSH replay; IVF assignment/probe-set + stage-1
-  // candidate replay), so the driver's DuckDB compare now pins them far
-  // harder than a checksum could. Only the genuinely path-dependent
-  // HNSW ef-limited modes remain here.
+  // candidate replay). Round 16 gave the remaining HNSW ef-limited
+  // modes candidate-pool replay oracles too (the pre-truncation ef-beam
+  // exported as VALUES; DuckDB exact-top-Ks within it) — those pin
+  // kernel/rounding/tie-break parity given the traversal's decision,
+  // while THESE sf0.001 pins + the v33 recall gates keep covering the
+  // traversal itself.
   test("approximate index search results are pinned") {
     val pins = Seq(
       ("v11_hnsw_search", "vec_id", 10L, 2031L),
