@@ -95,7 +95,14 @@ object LoopbackObjectStore {
     })
     srv.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8,
       r => { val t = new Thread(r, "graft-loopback-http"); t.setDaemon(true); t }))
-    srv.start()
+    // start() spawns the HTTP-Dispatcher thread, which inherits the
+    // CREATING thread's daemon status — start from a daemon thread or
+    // the dispatcher pins the JVM open after main returns (Verify/Bench
+    // would hang on exit)
+    val starter = new Thread(() => srv.start(), "graft-loopback-start")
+    starter.setDaemon(true)
+    starter.start()
+    starter.join()
     srv.getAddress.getPort
   }
 }

@@ -337,4 +337,40 @@ class MultimodalSpec extends SparkSpec {
     } finally Connections.drop("nocreds")
   }
 
+  test("LoopbackObjectStore verifies SigV4 presigns: wrong secret -> 403") {
+    // the q83 server recomputes the signature from the request's own
+    // Host/path/X-Amz-* params — a presign made with the WRONG secret
+    // must 403 (fail-fast NonRetryable), the right one must serve bytes
+    import graft.multimodal.{Connections, LoopbackObjectStore}
+    val dir = java.nio.file.Files.createTempDirectory("graft-loopback-spec")
+    java.nio.file.Files.write(dir.resolve("obj.bin"), "s3-payload".getBytes)
+    val good = Connections.ObjectStoreCredentials("LOOPAK", "loop-secret")
+    val port = LoopbackObjectStore.port(dir, good)
+    try {
+      Connections.registerCredentials("loop_good", good)
+      Connections.registerCredentials("loop_bad",
+        Connections.ObjectStoreCredentials("LOOPAK", "WRONG-secret"))
+      Connections.create("loopok", "AWS",
+        endpoint = s"http://127.0.0.1:$port", credentialRef = "loop_good")
+      Connections.create("loopbad", "AWS",
+        endpoint = s"http://127.0.0.1:$port", credentialRef = "loop_bad")
+      val got = Seq("s3://s3imgs/obj.bin").toDF("url")
+        .select(Connections.getObject(spark, "loopok")(col("url")).as("obj"))
+        .head().getAs[Array[Byte]](0)
+      assert(new String(got, "UTF-8") === "s3-payload")
+      val ex = intercept[org.apache.spark.SparkException] {
+        Seq("s3://s3imgs/obj.bin").toDF("url")
+          .select(Connections.getObject(spark, "loopbad")(col("url")))
+          .head()
+      }
+      assert(ex.getCause != null && ex.getCause.getMessage.contains("403"))
+      // plain-bucket leg serves without a signature
+      assert(new String(Connections.httpFetch(
+        s"http://127.0.0.1:$port/imgs/obj.bin"), "UTF-8") === "s3-payload")
+    } finally {
+      Seq("loopok", "loopbad").foreach(Connections.drop)
+      Seq("loop_good", "loop_bad").foreach(Connections.dropCredentials)
+    }
+  }
+
 }
