@@ -196,4 +196,184 @@ class FormatRoundTripPropertySpec extends SparkSpec {
       }
     }
   }
+
+  // ---- Protobuf: randomized SCHEMAS as well as values — the scalar-kind
+  // grid (varint/zigzag/fixed of both widths, float/double, bool, string),
+  // random field numbers incl. multi-byte keys (>15), singular/repeated
+  // labels, proto2 vs proto3, [packed] both ways, an enum field, across
+  // all three framings. The r14/r15 Protobuf bugs (aliased-enum decode,
+  // signed-varint width) were all one random schema away.
+  private case class PbKind(kind: String, ch: String,
+      gen: Random => Any, repeatable: Boolean = true)
+
+  private def pbKinds: Seq[PbKind] = {
+    val i32 = Seq(0, 1, -1, 42, Int.MinValue, Int.MaxValue)
+    val i64 = Seq(0L, 1L, -1L, Long.MinValue, Long.MaxValue, 255L, -100000000000L)
+    val u32 = Seq(0L, 1L, 255L, 2147483648L, 4294967295L)
+    val f32 = Seq(0.0f, -0.5f, 1.5f, 3.14159f, 1e30f, -1e-30f)
+    val f64 = Seq(0.0, -0.5, 1.5, 1e300, -1e-300, 12.47)
+    Seq(
+      PbKind("int32", "Int32", r => i32(r.nextInt(i32.length))),
+      PbKind("sint32", "Int32", r => i32(r.nextInt(i32.length))),
+      PbKind("sfixed32", "Int32", r => i32(r.nextInt(i32.length))),
+      PbKind("int64", "Int64", r => i64(r.nextInt(i64.length))),
+      PbKind("sint64", "Int64", r => i64(r.nextInt(i64.length))),
+      PbKind("sfixed64", "Int64", r => i64(r.nextInt(i64.length))),
+      PbKind("fixed64", "UInt64", r => i64(r.nextInt(i64.length))),
+      PbKind("uint32", "UInt32", r => u32(r.nextInt(u32.length))),
+      PbKind("uint64", "UInt64", r => i64(r.nextInt(i64.length))),
+      PbKind("bool", "Bool", r => r.nextBoolean(), repeatable = false),
+      PbKind("float", "Float32", r => f32(r.nextInt(f32.length))),
+      PbKind("double", "Float64", r => f64(r.nextInt(f64.length))),
+      PbKind("string", "String",
+        r => trickyStrings(r.nextInt(trickyStrings.length))))
+  }
+
+  test("seeded random Protobuf schemas and values round-trip across framings") {
+    val rnd = new Random(8253L)
+    (1 to 15).foreach { trial =>
+      val proto3 = rnd.nextBoolean()
+      val nFields = 3 + rnd.nextInt(5)
+      // unique field numbers spanning 1-byte and multi-byte keys
+      val numbers = rnd.shuffle((1 to 15) ++ Seq(16, 100, 300, 2047, 53))
+        .distinct.take(nFields + 1)
+      val picked = Seq.fill(nFields)(pbKinds(rnd.nextInt(pbKinds.length)))
+        .zipWithIndex.map { case (k, i) =>
+          val rep = k.repeatable && rnd.nextInt(3) == 0
+          (k, s"f$i", numbers(i), rep,
+            // proto2 repeated numerics sometimes opt into [packed=true]
+            rep && k.kind != "string" && !proto3 && rnd.nextBoolean())
+        }
+      val protoFields = picked.map { case (k, name, num, rep, packed) =>
+        val label = if (rep) "repeated " else if (proto3) "" else "optional "
+        val opt = if (packed) " [packed=true]" else ""
+        s"  $label${k.kind} $name = $num$opt;"
+      }.mkString("\n")
+      val enumNum = numbers(nFields)
+      val proto =
+        s"""syntax = "${if (proto3) "proto3" else "proto2"}";
+           |message M {
+           |  enum Color { RED = 0; GREEN = 1; BLUE = 2; }
+           |$protoFields
+           |  ${if (proto3) "" else "optional "}Color col = $enumNum;
+           |}""".stripMargin
+      val structure = picked.map { case (k, name, _, rep, _) =>
+        s"$name ${if (rep) s"Array(${k.ch})" else k.ch}"
+      }.mkString(", ") + ", col Enum8('RED' = 0, 'GREEN' = 1, 'BLUE' = 2)"
+      val st = ChTypes.structure(structure)
+      val colors = Seq("RED", "GREEN", "BLUE")
+      val rows = Seq.fill(1 + rnd.nextInt(4)) {
+        Row.fromSeq(picked.map { case (k, _, _, rep, _) =>
+          if (rep) Seq.fill(rnd.nextInt(4))(k.gen(rnd)) else k.gen(rnd)
+        } :+ colors(rnd.nextInt(3)))
+      }
+      val d = spark.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+          .SeqHasAsJava(rows).asJava), st)
+      val want = canonical(d)
+      Seq("protobuf", "protobuflist").foreach { framing =>
+        val bytes = graft.sources.ProtobufFormat.write(d, proto, "M", framing)
+        val back = graft.sources.ProtobufFormat.read(
+          spark, bytes, proto, "M", framing, st)
+        assert(canonical(back) === want,
+          s"trial $trial framing $framing\nschema:\n$proto")
+      }
+      // single-message framing: first row only
+      val one = d.limit(1)
+      val bytes1 = graft.sources.ProtobufFormat.write(one, proto, "M",
+        "protobufsingle")
+      val back1 = graft.sources.ProtobufFormat.read(
+        spark, bytes1, proto, "M", "protobufsingle", st)
+      assert(canonical(back1) === canonical(one), s"trial $trial single")
+    }
+  }
+
+  // ---- Prometheus (writer-only format): semantic parse-back — every
+  // written line must decode to exactly the input's (name, sorted
+  // labels, value text, timestamp), through a test-local parser of the
+  // exposition grammar (escape-aware). Histogram/summary fix-ups stay
+  // pinned by the reference golden in PrometheusFormatSpec.
+  private def parseExposition(text: String): Seq[(String, Map[String, String], String, String)] =
+    text.split('\n').toSeq.filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
+      val braceAt = line.indexOf('{')
+      val spaceAt = line.indexOf(' ')
+      if (braceAt < 0 || (spaceAt >= 0 && spaceAt < braceAt)) {
+        val parts = line.substring(spaceAt + 1).split(' ')
+        (line.substring(0, spaceAt), Map.empty[String, String],
+          parts(0), if (parts.length > 1) parts(1) else "")
+      } else {
+        val name = line.substring(0, braceAt)
+        var labels = Map.empty[String, String]
+        var i = braceAt + 1
+        while (line.charAt(i) != '}') {
+          val eq = line.indexOf('=', i)
+          val k = line.substring(i, eq)
+          assert(line.charAt(eq + 1) == '"', s"bad label in: $line")
+          val sb = new StringBuilder
+          var j = eq + 2 // first char of the quoted value
+          while (line.charAt(j) != '"') {
+            if (line.charAt(j) == '\\') {
+              line.charAt(j + 1) match {
+                case 'n' => sb.append('\n')
+                case c => sb.append(c) // \\ and \" unescape to the char
+              }
+              j += 2
+            } else { sb.append(line.charAt(j)); j += 1 }
+          }
+          labels += (k -> sb.toString)
+          i = if (line.charAt(j + 1) == ',') j + 2 else j + 1
+        }
+        val parts = line.substring(i + 2).split(' ')
+        (name, labels, parts(0), if (parts.length > 1) parts(1) else "")
+      }
+    }
+
+  test("seeded random Prometheus metrics: written lines parse back to the inputs") {
+    val rnd = new Random(42261L)
+    val pschema = StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("value", DoubleType, nullable = false),
+      StructField("timestamp", LongType, nullable = true),
+      StructField("labels",
+        MapType(StringType, StringType, valueContainsNull = false),
+        nullable = true)))
+    val values = Seq(0.0, 1.0, -2.5, 1.75e5, Double.NaN,
+      Double.PositiveInfinity, Double.NegativeInfinity, 12.47)
+    (1 to 12).foreach { trial =>
+      val nMetrics = 1 + rnd.nextInt(4)
+      val rows = (0 until nMetrics).flatMap { m =>
+        val metric = s"graft_metric_$m"
+        Seq.fill(1 + rnd.nextInt(3)) {
+          val labels = (0 until rnd.nextInt(3)).map { li =>
+            s"l$li" -> trickyStrings(rnd.nextInt(trickyStrings.length))
+          }.toMap
+          val ts = Seq(null, java.lang.Long.valueOf(0L),
+            java.lang.Long.valueOf(1395066363000L))(rnd.nextInt(3))
+          Row(metric, values(rnd.nextInt(values.length)), ts,
+            if (labels.isEmpty && rnd.nextBoolean()) null else labels)
+        }
+      }
+      val d = spark.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+          .SeqHasAsJava(rows).asJava), pschema)
+      val got = parseExposition(OutputFormats.write(d, "Prometheus"))
+      assert(got.length === rows.length, s"trial $trial line count")
+      rows.zip(got).foreach { case (r, (name, labels, value, ts)) =>
+        assert(name === r.getString(0), s"trial $trial name")
+        val wantLabels = Option(r.getMap[String, String](3))
+          .map(_.toMap).getOrElse(Map.empty)
+        assert(labels === wantLabels, s"trial $trial labels for $name")
+        val v = r.getDouble(1)
+        val wantValue =
+          if (v.isNaN) "NaN"
+          else if (v.isPosInfinity) "+Inf"
+          else if (v.isNegInfinity) "-Inf"
+          else graft.sources.FormatCodec.scalarText(v, DoubleType)
+        assert(value === wantValue, s"trial $trial value for $name")
+        val wantTs =
+          if (r.isNullAt(2) || r.getLong(2) == 0L) "" else r.getLong(2).toString
+        assert(ts === wantTs, s"trial $trial timestamp for $name")
+      }
+    }
+  }
 }
