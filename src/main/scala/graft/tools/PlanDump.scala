@@ -52,7 +52,11 @@ object PlanDump {
       "q72_spatial_join" -> "bucketed point-in-polygon join: polygons explode to covering grid cells, points hash to their cell, broadcast equi-join on cell + exact containment verify — no cartesian anywhere; smallest-area winner via one window over the slim candidate set",
       "t15_textsearch_subquery" -> "textsearch with a full document as the query: tokens projected ONCE per row (match + all per-term scores reference the attribute — 26 regexp splits per row collapsed to 1); above 32 terms the plan switches to the exploded-postings shape",
       "v34_hnsw_exact" -> "exhaustive-ef HNSW: same per-part single-task graph scans as v11, exact by construction — the oracle-checkable twin of the approximate path",
-      "q80_multimodal_decode" -> "multimodal decode: executor-side getObject fetch + JDK codec decode under mapPartitions — partitioning preserved, no shuffle, no driver byte traffic")
+      "q80_multimodal_decode" -> "multimodal decode: executor-side getObject fetch + JDK codec decode under mapPartitions — partitioning preserved, no shuffle, no driver byte traffic",
+      "q82_input_tvf" -> "input() TVF: the INSERT payload parses to an in-memory relation (LocalTableScan) that joins/aggregates like any source — transform runs BEFORE the sink, one broadcast join, no extra shuffle",
+      "q83_multimodal_remote" -> "remote-scheme getObject: http and SigV4-presigned s3 fetches run per-row inside the projection (executor-side; loopback server verifies the signature) — same no-shuffle shape as q80's file scheme",
+      "v09_ivf_nprobe" -> "nprobe-IVF search: scan restricted to the probed list_id= partitions (PartitionFilters), scoring + TakeOrdered as v01. NOTE replay-oracle side channel: under Verify ONLY (graft.replay.dir property), the first run also exports the row->list assignment + probe set as DuckDB VALUES — memoized per (query, dir), never in Bench's timed path (gated off), never in the search plan below",
+      "v19_hnswpq" -> "HNSWPQ two-stage: per-part quantized graph scans (stage 1, ADC distances on dequantized codes) -> broadcast semi-join exact re-rank (stage 2). Replay oracle exports the stage-1 candidate ids under Verify only — the plan below is the engine's own path")
     val sb = new StringBuilder
     sb.append("# PLANS — headline physical plans (generated by graft.tools.PlanDump)\n")
     sb.append(s"\nScale factor dir: `$sfDir`. Regenerate: " +

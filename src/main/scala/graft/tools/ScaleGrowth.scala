@@ -1,0 +1,141 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-growth measurement for the dedup/ANN families: synthesizes an
+  * N× corpus from the sf0.1 documents/embeddings tables and times the
+  * headline queries at each factor, printing per-factor seconds and the
+  * growth ratios. The 2×-of-baseline gate at a single SF cannot see a
+  * super-linear term; this tool provides the measured curve
+  * (IMPLEMENTATION.md publishes the results).
+  *
+  * Synthesis preserves the DUPLICATE DENSITY per replica so the workload
+  * grows linearly in rows, not quadratically in near-dup pairs:
+  *
+  *  - documents: replica i rewrites text through a bijective character
+  *    substitution (letters rotated by i mod 26, digits by i mod 10;
+  *    replica 0 = identity). Token boundaries are untouched, so each
+  *    replica's shingle/Jaccard structure is EXACTLY the original's,
+  *    while cross-replica tokens (hence 3-gram shingles) almost never
+  *    collide — factors must stay < 26. SimHash signatures rehash per
+  *    replica (statistically similar density, not bit-identical).
+  *  - embeddings: replica i sign-flips each dimension by a murmur3 hash
+  *    of (i, dim). |s|=1 per dim keeps every within-replica L2/cosine
+  *    EXACTLY (the whole replica shares one flip pattern); cross-replica
+  *    cosines drop to ~0 (random half-agreement of signs).
+  *
+  * Usage: ScaleGrowth [baseDir] [factors-csv] [workDir]
+  * Index builds (v08's IVF) run in the untimed warm pass, mirroring
+  * Bench's build-at-insert-time policy.
+  */
+object ScaleGrowth {
+
+  private val Queries = Seq("d02_ngram_jaccard", "d03_minhash_lsh",
+    "d04_simhash", "d09_lsh_cosine", "v08_ivf_exact")
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factors = args.lift(1).map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(1, 10, 20))
+    val workRoot = args.lift(2).getOrElse("/tmp/graft_scale")
+    require(factors.forall(f => f >= 1 && f < 26), "factors must be in [1, 26)")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.engine.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.engine.GraftSession.install(spark)
+
+    def synth(factor: Int): String = {
+      if (factor == 1) return baseDir
+      val out = s"$workRoot/x$factor"
+      val marker = java.nio.file.Paths.get(s"$out/_DONE")
+      if (java.nio.file.Files.exists(marker)) return out
+      val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+      val embs = spark.read.parquet(s"$baseDir/embeddings.parquet")
+      val letters = ('a' to 'z').mkString
+      val digits = ('0' to '9').mkString
+      def rot(s: String, k: Int): String = s.drop(k) + s.take(k)
+      val docReplicas = (0 until factor).map { i =>
+        val mapped =
+          if (i == 0) col("text")
+          else translate(lower(col("text")),
+            letters + digits, rot(letters, i % 26) + rot(digits, i % 10))
+        docs.select(
+          (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+          mapped.as("text"), col("lang"), col("source"), col("n_chars"))
+      }
+      docReplicas.reduce(_ unionAll _)
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$out/documents.parquet")
+      val embReplicas = (0 until factor).map { i =>
+        val flipped =
+          if (i == 0) col("embedding")
+          else transform(col("embedding"),
+            (x, j) => when(pmod(hash(lit(i), j), lit(2)) === 0, x).otherwise(-x))
+        embs.select(
+          (col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+          flipped.as("embedding"), col("label"))
+      }
+      embReplicas.reduce(_ unionAll _)
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$out/embeddings.parquet")
+      java.nio.file.Files.createFile(marker)
+      out
+    }
+
+    // d09 with nPlanes grown by log2(factor): the scale-correct
+    // parameterization (constant expected bucket occupancy — candidate
+    // pairs stay linear in rows). The SparkEntry query pins nPlanes=4
+    // for its oracle; at 100 TB the caller sets nPlanes ≈ log2(n) -
+    // log2(targetBucketSize) and this row measures that policy.
+    def d09Scaled(factor: Int): (SparkSession, String) => DataFrame = {
+      val extra = math.max(0,
+        (math.log(factor.toDouble) / math.log(2.0)).round.toInt)
+      (s, dir) =>
+        graft.operators.Dedup.lshCosineCoordPairs(
+          graft.engine.Tables.t(s, dir, "embeddings"),
+          col("embedding"), col("vec_id"),
+          minCosSim = 0.35, dim = 64, nPlanes = 4 + extra, nTables = 16)
+    }
+
+    val results = factors.map { f =>
+      val dir = synth(f)
+      val perQuery = (Queries.map(n => n -> graft.SparkEntry.queries(n)) :+
+          ("d09_lsh_cosine_scaled" -> d09Scaled(f))).map { case (name, fn) =>
+        // untimed warm: JIT + page cache + index builds (v08)
+        try fn(spark, dir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[scale] warm $name@x$f failed: ${e.getMessage}") }
+        def once(): Double = {
+          spark.catalog.clearCache(); System.gc()
+          val t0 = System.nanoTime()
+          fn(spark, dir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val t = math.min(once(), once()) // best-of-2 warm
+        System.err.println(f"[scale] x$f $name $t%.2f s")
+        name -> t
+      }
+      f -> perQuery
+    }
+    val base = results.head._2.toMap
+    val json = results.map { case (f, qs) =>
+      val entries = qs.map { case (n, t) =>
+        val ratio = t / math.max(base(n), 1e-9)
+        s""""$n":{"sec":${f"$t%.3f"},"ratio":${f"$ratio%.2f"}}"""
+      }.mkString(",")
+      s""""x$f":{$entries}"""
+    }.mkString("{", ",", "}")
+    println(json)
+    spark.stop()
+  }
+}
