@@ -9,10 +9,10 @@ import graft.sources.{InputFormats, OutputFormats}
 /** Driver-checked queries for the I/O format surface (SURVEY §2.2).
   *
   * q76 proves the format codecs end-to-end the only way a SQL oracle
-  * can: nineteen rows each WRITE → PARSE round trip the same orders
-  * slice (eighteen formats driver-side — including the schema-driven
-  * Protobuf/ProtobufList pair — plus one DISTRIBUTED save()/readLines
-  * TSV file-set pass), and the aggregate of each
+  * can: twenty rows each WRITE → PARSE round trip the same orders
+  * slice (nineteen formats driver-side — including the schema-driven
+  * Protobuf/ProtobufList pair and CapnProto — plus one DISTRIBUTED
+  * save()/readLines TSV file-set pass), and the aggregate of each
   * round-tripped frame must equal the aggregate DuckDB computes
   * directly from parquet. A format that drops
   * a row, mangles an escape, shifts a date, or loses float precision
@@ -104,6 +104,25 @@ object FormatQueries {
           InputFormats.parseBytes(s,
             OutputFormats.writeBytes(base, "Protobuf", ps), "Protobuf",
             Some(fmtStructure), ps)
+        },
+        // Cap'n Proto (ref CapnProtoRow{Input,Output}Format.cpp, 02030
+        // round-trips): message-per-row segment framing, DateTime as
+        // uint32 epoch seconds — the in-tree schema parser + wire codec
+        "capnproto" -> {
+          val cs = OutputFormats.Settings(
+            formatSchemaSource =
+              """@0xabcdef0123456701;
+                |struct Order {
+                |  o_orderkey @0 : Int64;
+                |  o_custkey @1 : Int64;
+                |  o_totalprice @2 : Float64;
+                |  o_orderdate @3 : UInt32;
+                |  o_orderpriority @4 : Text;
+                |}""".stripMargin,
+            formatSchemaMessage = "Order")
+          InputFormats.parseBytes(s,
+            OutputFormats.writeBytes(base, "CapnProto", cs), "CapnProto",
+            Some(fmtStructure), cs)
         },
         "protobuf_list" -> {
           val ps = OutputFormats.Settings(
@@ -201,7 +220,7 @@ object FormatQueries {
                CAST(min(o_orderdate) AS VARCHAR) AS first_day
         FROM orders WHERE o_orderkey <= 500),
       fmts AS (
-        SELECT unnest(['bson_each_row', 'csv_typed', 'custom_separated', 'json_compact_typed',
+        SELECT unnest(['bson_each_row', 'capnproto', 'csv_typed', 'custom_separated', 'json_compact_typed',
                        'json_each_row', 'json_framed', 'json_object', 'jsoncolumns', 'msgpack',
                        'mysql_dump', 'native', 'protobuf', 'protobuf_list', 'row_binary',
                        'save_tsv', 'template', 'tskv', 'tsv_typed', 'values']) AS fmt)

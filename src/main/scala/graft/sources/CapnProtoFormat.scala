@@ -74,7 +74,7 @@ object CapnProtoFormat {
       val c = text.charAt(i)
       if (c == '#') { while (i < n && text.charAt(i) != '\n') i += 1 }
       else if (c.isWhitespace) i += 1
-      else if (c.isLetterOrDigit || c == '_' || c == '@') {
+      else if (c.isLetterOrDigit || c == '_') {
         val start = i
         i += 1
         while (i < n && (text.charAt(i).isLetterOrDigit ||
@@ -348,6 +348,7 @@ object CapnProtoFormat {
     case d: java.time.LocalDate => d.toEpochDay
     case t: java.sql.Timestamp => t.toInstant.getEpochSecond
     case t: java.time.Instant => t.getEpochSecond
+    case t: java.time.LocalDateTime => t.toEpochSecond(java.time.ZoneOffset.UTC)
     case d: java.math.BigDecimal => d.unscaledValue.longValue
     case d: BigDecimal => d.underlying.unscaledValue.longValue
     case s: String => s.trim.toLong
@@ -431,7 +432,9 @@ object CapnProtoFormat {
   }
 
   private def seqOf(v: Any): Seq[Any] = v match {
-    case s: Seq[_] => s
+    // collection.Seq, not default immutable.Seq — Spark rows carry
+    // mutable.ArraySeq for array columns
+    case s: scala.collection.Seq[_] => s.toSeq
     case a: Array[_] => a.toSeq
     case other => Seq(other)
   }
@@ -464,6 +467,8 @@ object CapnProtoFormat {
     case TInt(64, _) | TFloat(64) => 5
     case TText | TData | TList(_) => 6
     case TStruct(_) => 7
+    case other => throw new IllegalArgumentException(
+      s"CapnProto: bad list element type $other")
   }
 
   private def writeList(sc: CSchema, seg: Seg, ptrPos: Int, elem: CT,
@@ -509,7 +514,10 @@ object CapnProtoFormat {
     }
   }
 
-  /** Look up a member of a Spark Row / value by struct field name. */
+  /** Look up a member of a Spark Row / value by struct field name; an
+    * UNNAMED CH Tuple (Spark names `_1`, `_2`, …) falls back to position
+    * — the reference maps unnamed tuple elements positionally.
+    */
   private def memberOf(v: Any, st: Option[StructType], name: String,
       idx: Int): (Any, String) = v match {
     case r: Row =>
@@ -517,8 +525,10 @@ object CapnProtoFormat {
       schema match {
         case Some(s) =>
           val i = s.fields.indexWhere(_.name.equalsIgnoreCase(name))
-          if (i < 0) (null, "")
-          else (r.get(i), ChTypes.chName(s.fields(i)))
+          if (i >= 0) (r.get(i), ChTypes.chName(s.fields(i)))
+          else if (idx < s.fields.length && s.fields(idx).name == s"_${idx + 1}")
+            (r.get(idx), ChTypes.chName(s.fields(idx)))
+          else (null, "")
         case None =>
           if (idx < r.length) (r.get(idx), "") else (null, "")
       }
@@ -822,8 +832,12 @@ object CapnProtoFormat {
     if (v == null) return null
     (dt, v) match {
       case (st: StructType, mm: mutable.LinkedHashMap[String @unchecked, Any @unchecked]) =>
-        Row.fromSeq(st.fields.toSeq.map { c =>
-          mm.collectFirst { case (k, x) if k.equalsIgnoreCase(c.name) => x } match {
+        val entries = mm.toSeq
+        Row.fromSeq(st.fields.toSeq.zipWithIndex.map { case (c, i) =>
+          mm.collectFirst { case (k, x) if k.equalsIgnoreCase(c.name) => x }
+            .orElse( // unnamed CH Tuple (_1, _2, …): positional
+              if (c.name == s"_${i + 1}" && i < entries.length)
+                Some(entries(i)._2) else None) match {
             case Some(x) => coerce(x, c.dataType, ChTypes.chName(c))
             case None => if (c.nullable) null else FormatCodec.defaultValue(c.dataType)
           }

@@ -758,6 +758,11 @@ object InputFormats {
           settings.formatSchemaMessage, p,
           ChTypes.structure(structure.getOrElse(throw new IllegalArgumentException(
             "Protobuf input needs a declared structure"))))
+      case "capnproto" =>
+        CapnProtoFormat.read(spark, bytes, settings.formatSchemaSource,
+          settings.formatSchemaMessage,
+          ChTypes.structure(structure.getOrElse(throw new IllegalArgumentException(
+            "CapnProto input needs a declared structure"))))
       case "bsoneachrow" =>
         BsonFormat.read(spark, bytes, structure.map(ChTypes.structure))
       case "msgpack" =>

@@ -426,7 +426,7 @@ object OutputFormats {
     ("Native", true, true), ("BSONEachRow", true, true),
     ("MsgPack", true, true), ("Prometheus", false, true),
     ("Protobuf", true, true), ("ProtobufSingle", true, true),
-    ("ProtobufList", true, true),
+    ("ProtobufList", true, true), ("CapnProto", true, true),
     ("RowBinary", true, true), ("RowBinaryWithNames", true, true),
     ("RowBinaryWithNamesAndTypes", true, true),
     ("LineAsString", true, true), ("RawBLOB", true, true),
@@ -445,6 +445,8 @@ object OutputFormats {
       case "msgpack" => MsgPackFormat.write(df)
       case p @ ("protobuf" | "protobufsingle" | "protobuflist") =>
         ProtobufFormat.write(df, s.formatSchemaSource, s.formatSchemaMessage, p)
+      case "capnproto" =>
+        CapnProtoFormat.write(df, s.formatSchemaSource, s.formatSchemaMessage)
       case "rowbinary" => RowBinaryFormat.write(df, withNames = false, withTypes = false)
       case "rowbinarywithnames" => RowBinaryFormat.write(df, withNames = true, withTypes = false)
       case "rowbinarywithnamesandtypes" =>

@@ -106,6 +106,21 @@ class FormatRoundTripPropertySpec extends SparkSpec {
     }
   }
 
+  // CapnProto needs a schema: the suite's column lattice expressed as a
+  // message + the {value,null} union for the Nullable(String) column
+  private val capnpSchema =
+    """@0xfeedfeedfeedfeed;
+      |struct NS { union { value @0 : Text; null @1 : Void; } }
+      |struct R {
+      |  i @0 : Int64;
+      |  u @1 : UInt64;
+      |  f @2 : Float64;
+      |  s @3 : Text;
+      |  ns @4 : NS;
+      |  arr @5 : List(Int64);
+      |  d @6 : UInt16;
+      |}""".stripMargin
+
   test("seeded random rows round-trip through every binary format") {
     val rnd = new Random(77L)
     (1 to 12).foreach { trial =>
@@ -120,6 +135,12 @@ class FormatRoundTripPropertySpec extends SparkSpec {
             if (needsStructure) Some(structure) else None)
           assert(canonical(back) === want, s"trial $trial format $fmt")
       }
+      val cs = OutputFormats.Settings(formatSchemaSource = capnpSchema,
+        formatSchemaMessage = "R")
+      val back = InputFormats.parseBytes(spark,
+        OutputFormats.writeBytes(d, "CapnProto", cs), "CapnProto",
+        Some(structure), cs)
+      assert(canonical(back) === want, s"trial $trial format CapnProto")
     }
   }
 
