@@ -32,10 +32,13 @@ object VectorQueries {
   private def emb(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
 
   /** Replay-oracle side channel for the deterministic approximate modes
-    * (v09 nprobe-IVF, v14 IVFSQ, v15 BinaryIVF, v16 IVFPQ): given the
+    * (v09 nprobe-IVF, v14 IVFSQ, v15 BinaryIVF, v16 IVFPQ — and since
+    * round 16 the HNSW ef-limited modes v11/v17/v18/v19/v26/v31 via the
+    * candidate-pool export): given the
     * Spark-trained index artifacts, the search decision is a FIXED set —
-    * the per-row list assignment plus the probe set (IVF), or the stage-1
-    * candidate ids (SQ/PQ re-rank) — so the query fn exports that set as
+    * the per-row list assignment plus the probe set (IVF), the stage-1
+    * candidate ids (SQ/PQ re-rank), or the pre-truncation ef-beam
+    * (HNSW) — so the query fn exports that set as
     * literal VALUES and DuckDB recomputes the restricted top-K with its
     * own exact kernels. Captured when the query runs; [[oracles]] merges
     * the snapshot (Verify runs every query BEFORE dumping
@@ -776,14 +779,16 @@ object VectorQueries {
   /** Gates sit ≥ 2 hits below the observed sf0.01/sf0.1 minima (measured
     * hits@10: ivf_nprobe 5/7 — nprobe=4 of 16 on near-random vectors is
     * genuinely lossy — hnsw 10/10, ivfsq 10/10, ivfpq 10/8, hnswsq 10/9,
-    * hnswpq 10/8, binary 10/10, prefilter 10/10), while a broken path
-    * (wrong metric, dead probes, corrupt graph) lands near the random
-    * baseline of ~0.2 expected hits. NoOracleStabilitySpec re-asserts the
-    * measured values.
+    * hnswpq 10/8, binary_ivf 10/7 — nprobe=8 of 16 over 16-byte Hamming
+    * codes is the second genuinely-lossy mode; the sf0.1 minimum was
+    * re-measured in round 16 — binary_hnsw 10/10, prefilter 10/10),
+    * while a broken path (wrong metric, dead probes, corrupt graph)
+    * lands near the random baseline of ~0.2 expected hits.
+    * NoOracleStabilitySpec re-asserts the measured values.
     */
   private val recallMinHits: Map[String, Int] = Map(
     "ivf_nprobe" -> 3, "hnsw" -> 8, "ivfsq" -> 8, "ivfpq" -> 6,
-    "hnswsq" -> 7, "hnswpq" -> 6, "binary_ivf" -> 8, "binary_hnsw" -> 8,
+    "hnswsq" -> 7, "hnswpq" -> 6, "binary_ivf" -> 5, "binary_hnsw" -> 8,
     "prefilter_hnsw" -> 8)
 
   /** One gate row per approximate index path: intersect its top-10 ids
