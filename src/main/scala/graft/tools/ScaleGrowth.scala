@@ -32,7 +32,11 @@ import org.apache.spark.sql.functions._
 object ScaleGrowth {
 
   private val Queries = Seq("d02_ngram_jaccard", "d03_minhash_lsh",
-    "d04_simhash", "d09_lsh_cosine", "v08_ivf_exact")
+    "d04_simhash", "d09_lsh_cosine", "v08_ivf_exact",
+    // the search surface: FTS-indexed BM25 top-K (bucket-pruned postings
+    // scan — growth bounded by bucket-file size, not corpus scans) and
+    // hybrid fusion (FTS leg + dense leg); index builds in the warm pass
+    "t07_fts_topk", "h03_hybrid_fts")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
