@@ -763,6 +763,8 @@ object InputFormats {
           settings.formatSchemaMessage,
           ChTypes.structure(structure.getOrElse(throw new IllegalArgumentException(
             "CapnProto input needs a declared structure"))))
+      case "arrow" => ArrowFormat.read(spark, bytes, stream = false)
+      case "arrowstream" => ArrowFormat.read(spark, bytes, stream = true)
       case "bsoneachrow" =>
         BsonFormat.read(spark, bytes, structure.map(ChTypes.structure))
       case "msgpack" =>

@@ -427,6 +427,7 @@ object OutputFormats {
     ("MsgPack", true, true), ("Prometheus", false, true),
     ("Protobuf", true, true), ("ProtobufSingle", true, true),
     ("ProtobufList", true, true), ("CapnProto", true, true),
+    ("Arrow", true, true), ("ArrowStream", true, true),
     ("RowBinary", true, true), ("RowBinaryWithNames", true, true),
     ("RowBinaryWithNamesAndTypes", true, true),
     ("LineAsString", true, true), ("RawBLOB", true, true),
@@ -447,6 +448,8 @@ object OutputFormats {
         ProtobufFormat.write(df, s.formatSchemaSource, s.formatSchemaMessage, p)
       case "capnproto" =>
         CapnProtoFormat.write(df, s.formatSchemaSource, s.formatSchemaMessage)
+      case "arrow" => ArrowFormat.write(df, stream = false)
+      case "arrowstream" => ArrowFormat.write(df, stream = true)
       case "rowbinary" => RowBinaryFormat.write(df, withNames = false, withTypes = false)
       case "rowbinarywithnames" => RowBinaryFormat.write(df, withNames = true, withTypes = false)
       case "rowbinarywithnamesandtypes" =>

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.sources.{ArrowFormat, ChTypes, InputFormats, OutputFormats}
+
+/** Arrow / ArrowStream — IPC file (magic + footer) and stream framings
+  * via the arrow-java library Spark already ships (reference
+  * `Arrow{BlockInputFormat,BlockOutputFormat}.cpp`, goldens
+  * `0_stateless/00900_long_arrow_*`). Round-trips are self-describing:
+  * no declared structure needed on read.
+  */
+class ArrowFormatSpec extends SparkSpec {
+
+  private def df(schema: StructType, rows: Row*) =
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows.toSeq).asJava), schema)
+
+  private val schema = StructType(Seq(
+    StructField("i8", ByteType, nullable = false),
+    StructField("i16", ShortType, nullable = false),
+    StructField("i32", IntegerType, nullable = false),
+    StructField("i64", LongType, nullable = false),
+    StructField("f32", FloatType, nullable = false),
+    StructField("f64", DoubleType, nullable = false),
+    StructField("bl", BooleanType, nullable = false),
+    StructField("s", StringType, nullable = false),
+    StructField("ns", StringType, nullable = true),
+    StructField("bin", BinaryType, nullable = false),
+    StructField("d", DateType, nullable = false),
+    StructField("ts", TimestampType, nullable = false),
+    StructField("dec", DecimalType(18, 2), nullable = false),
+    StructField("arr", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("sarr", ArrayType(StringType, containsNull = true), nullable = false),
+    StructField("farr", ArrayType(FloatType, containsNull = false), nullable = false)))
+
+  private def rows = Seq(
+    Row(1.toByte, 2.toShort, 3, 4L, 1.5f, 2.5, true, "hello", null,
+      Array[Byte](1, 2, 3), java.sql.Date.valueOf("2000-01-06"),
+      java.sql.Timestamp.from(java.time.Instant.parse("2000-06-01T19:42:42.123456Z")),
+      new java.math.BigDecimal("12345.67"),
+      Seq(1L, -2L, 3L), Seq("a", null, "né日本語"), Seq(0.5f, -0.25f)),
+    Row((-128).toByte, (-32768).toShort, Int.MinValue, Long.MinValue,
+      -0.0f, 1e300, false, "tab\there", "x",
+      Array.empty[Byte], java.sql.Date.valueOf("1970-01-01"),
+      java.sql.Timestamp.from(java.time.Instant.parse("1970-01-01T00:00:00Z")),
+      new java.math.BigDecimal("-0.01"),
+      Seq.empty[Long], Seq.empty[String], Seq(3.14f)))
+
+  private def canon(r: Row): Seq[Any] =
+    (0 until r.length).map { i =>
+      r.get(i) match {
+        case b: Array[Byte] => b.toSeq
+        case other => other
+      }
+    }
+
+  test("ArrowStream: full type lattice round-trips self-describing") {
+    val base = df(schema, rows: _*)
+    val bytes = ArrowFormat.write(base, stream = true)
+    val back = ArrowFormat.read(spark, bytes, stream = true)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.collect().toSeq.map(canon) === base.collect().toSeq.map(canon))
+  }
+
+  test("Arrow file format: magic + footer framing round-trips") {
+    val base = df(schema, rows: _*)
+    val bytes = ArrowFormat.write(base, stream = false)
+    // IPC file magic at both ends
+    assert(new String(bytes.take(6), "US-ASCII") === "ARROW1")
+    assert(new String(bytes.takeRight(6), "US-ASCII") === "ARROW1")
+    val back = ArrowFormat.read(spark, bytes, stream = false)
+    assert(back.collect().toSeq.map(canon) === base.collect().toSeq.map(canon))
+  }
+
+  test("multi-batch round-trip (more rows than one 1024-row batch)") {
+    import spark.implicits._
+    val base = spark.range(3000)
+      .select($"id", ($"id" * 2).as("dbl"), $"id".cast("string").as("s"))
+    val bytes = ArrowFormat.write(base, stream = true)
+    val back = ArrowFormat.read(spark, bytes, stream = true)
+    assert(back.count() === 3000)
+    assert(back.agg(org.apache.spark.sql.functions.sum($"dbl")).head().getLong(0)
+      === (0L until 3000L).map(_ * 2).sum)
+  }
+
+  test("empty frame round-trips schema-only") {
+    val base = df(schema)
+    Seq(true, false).foreach { stream =>
+      val back = ArrowFormat.read(spark,
+        ArrowFormat.write(base, stream), stream)
+      assert(back.count() === 0)
+      assert(back.schema.fieldNames.toSeq === schema.fieldNames.toSeq)
+    }
+  }
+
+  test("TimestampNTZ maps to tz-less arrow timestamp and back") {
+    val st = StructType(Seq(StructField("t", TimestampNTZType, nullable = false)))
+    val base = df(st, Row(java.time.LocalDateTime.parse("2001-02-03T04:05:06.000007")))
+    Seq(true, false).foreach { stream =>
+      val back = ArrowFormat.read(spark, ArrowFormat.write(base, stream), stream)
+      assert(back.schema.fields(0).dataType === TimestampNTZType)
+      assert(back.head().getAs[java.time.LocalDateTime](0) ===
+        java.time.LocalDateTime.parse("2001-02-03T04:05:06.000007"))
+    }
+  }
+
+  test("wired through OutputFormats/InputFormats; registry rows present") {
+    val st = ChTypes.structure("n UInt64, s String")
+    val base = df(st, Row(1L, "a"), Row(2L, "b"))
+    Seq("Arrow", "ArrowStream").foreach { fmt =>
+      val back = InputFormats.parseBytes(spark,
+        OutputFormats.writeBytes(base, fmt), fmt)
+      assert(back.collect().toSeq === base.collect().toSeq, fmt)
+      assert(OutputFormats.formats.exists(f => f._1 == fmt && f._2 && f._3))
+    }
+  }
+}

@@ -128,7 +128,8 @@ class FormatRoundTripPropertySpec extends SparkSpec {
       val d = frame(rows)
       val want = canonical(d)
       Seq("Native" -> false, "RowBinaryWithNamesAndTypes" -> false,
-        "BSONEachRow" -> true, "MsgPack" -> true).foreach {
+        "BSONEachRow" -> true, "MsgPack" -> true,
+        "Arrow" -> false, "ArrowStream" -> false).foreach {
         case (fmt, needsStructure) =>
           val bytes = OutputFormats.writeBytes(d, fmt)
           val back = InputFormats.parseBytes(spark, bytes, fmt,
