@@ -884,6 +884,23 @@ object CapnProtoFormat {
     }
   }
 
+  /** Column-name lookup with the reference's FLATTENED-nested mapping
+    * (CapnProtoSchema.cpp, test 00823): a CH column `a_b_c` reaches the
+    * capnp path `a.b.c` — greedy descent through struct members whose
+    * name is a `_`-delimited prefix.
+    */
+  private def lookup(mm: mutable.LinkedHashMap[String, Any],
+      name: String): Option[Any] =
+    mm.collectFirst { case (k, x) if k.equalsIgnoreCase(name) => x }
+      .orElse {
+        val lower = name.toLowerCase
+        mm.collectFirst {
+          case (k, sub: mutable.LinkedHashMap[String @unchecked, Any @unchecked])
+              if lower.startsWith(k.toLowerCase + "_") =>
+            lookup(sub, name.substring(k.length + 1))
+        }.flatten
+      }
+
   def read(spark: SparkSession, bytes: Array[Byte], schemaText: String,
       messageName: String, structure: StructType): DataFrame = {
     val sc = parseSchema(schemaText)
@@ -898,7 +915,7 @@ object CapnProtoFormat {
             .asInstanceOf[mutable.LinkedHashMap[String, Any]]
         }
       Row.fromSeq(structure.fields.toSeq.map { c =>
-        mm.collectFirst { case (k, x) if k.equalsIgnoreCase(c.name) => x } match {
+        lookup(mm, c.name) match {
           case Some(x) => coerce(x, c.dataType, ChTypes.chName(c))
           case None =>
             if (c.nullable) null else FormatCodec.defaultValue(c.dataType)

@@ -254,6 +254,66 @@ class CapnProtoFormatSpec extends SparkSpec {
     assert(got(1).getString(0) === "" && got(1).isNullAt(1))
   }
 
+  test("INTEROP golden: bytes produced by the real capnp library decode " +
+      "exactly (00823_capnproto_input)") {
+    // The reference test pipes this exact payload — serialized by the
+    // official Cap'n Proto library — into a flattened-nested table and
+    // its .reference pins the decode. Decoding it here proves wire +
+    // LAYOUT parity with the official compiler for a 3-level nested
+    // schema (payload + expectation from
+    // tests/queries/0_stateless/00823_capnproto_input.{sh,reference}).
+    val proto =
+      """@0x803231eaa402b968;
+        |struct NestedNestedOne { nestednestednumber @0 : UInt64; }
+        |struct NestedNestedTwo { nestednestedtext @0 : Text; }
+        |struct NestedOne
+        |{
+        |    nestednestedone @0 : NestedNestedOne;
+        |    nestednestedtwo @1 : NestedNestedTwo;
+        |    nestednumber @2: UInt64;
+        |}
+        |struct NestedTwo
+        |{
+        |    nestednestedone @0 : NestedNestedOne;
+        |    nestednestedtwo @1 : NestedNestedTwo;
+        |    nestedtext @2 : Text;
+        |}
+        |struct CapnProto
+        |{
+        |    number @0 : UInt64;
+        |    string @1 : Text;
+        |    nestedone @2 : NestedOne;
+        |    nestedtwo @3 : NestedTwo;
+        |    nestedthree @4 : NestedNestedTwo;
+        |}""".stripMargin
+    val hex =
+      "0000000015000000000000000100040001000000000000000d00000012000000" +
+      "0c00000001000200200000000000030034000000000001003200000000000000" +
+      "0500000000000000040000000100000004000000000001000300000000000000" +
+      "0100000012000000340000000000000008000000010000000800000000000100" +
+      "0000000000000000060000000000000001000000120000003700000000000000" +
+      "01000000120000003900000000000000"
+    val bytes = hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val structure = ChTypes.structure(
+      "number UInt64, string String, " +
+        "nestedone_nestednumber UInt64, " +
+        "nestedone_nestednestedone_nestednestednumber UInt64, " +
+        "nestedone_nestednestedtwo_nestednestedtext String, " +
+        "nestedtwo_nestednestedtwo_nestednestedtext String, " +
+        "nestedtwo_nestednestedone_nestednestednumber UInt64, " +
+        "nestedtwo_nestedtext String")
+    val back = CapnProtoFormat.read(spark, bytes, proto, "CapnProto", structure)
+    val r = back.head()
+    // .reference: 1  2  5  3  4  7  6  (nestedtwo_nestedtext empty)
+    assert(r.getLong(0) === 1L)
+    assert(r.getString(1) === "2")
+    assert(r.getLong(2) === 5L)
+    assert(r.getLong(3) === 3L)
+    assert(r.getString(4) === "4")
+    assert(r.getString(5) === "7")
+    assert(r.getLong(6) === 6L)
+  }
+
   test("garbage segment table errors cleanly (02402 overflow shape)") {
     val structure = ChTypes.structure("x UInt64")
     val proto = "@0x1; struct M { x @0 : UInt64; }"
