@@ -152,6 +152,41 @@ object PipelineQueries {
           col("meta.height").as("h"), col("pix_sum"))
         .orderBy("img_id")
     }),
+
+    // ENGINE = FileLog under the driver gate (ref StorageFileLog.cpp,
+    // tests 02022-02026): a two-phase append/copy dance over a fresh
+    // temp directory — phase 1 consumes the initial file, phase 2
+    // consumes ONLY the appended tail plus a fresh copy's full content
+    // (per-file byte offsets; copies are new inodes, appends deliver
+    // once). Fresh dirs per invocation keep the query idempotent; the
+    // oracle replays the closed form.
+    "q84_filelog" -> ((s, _) => {
+      import graft.streaming.FileLogEngine
+      import java.nio.file.{Files, StandardOpenOption}
+      import java.nio.charset.StandardCharsets
+      val dir = Files.createTempDirectory("graft-q84")
+      val a = dir.resolve("a.csv")
+      def put(lines: Seq[String]): Unit =
+        Files.write(a, lines.mkString("", "\n", "\n")
+            .getBytes(StandardCharsets.UTF_8),
+          StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      val name = s"q84_${System.nanoTime()}"
+      put((1 to 20).map(i => s"$i,${i * 3}"))
+      val t = FileLogEngine.create(name, dir.toString, "CSV",
+        "k UInt64, v UInt64")
+      val phase1 = t.consume(s).select(lit(1).as("phase"), col("k"), col("v"))
+        .localCheckpoint(true) // materialize BEFORE the files change
+      put((21 to 30).map(i => s"$i,${i * 3}"))
+      Files.copy(a, dir.resolve("b.csv"))
+      val phase2 = t.consume(s).select(lit(2).as("phase"), col("k"), col("v"))
+        .localCheckpoint(true)
+      FileLogEngine.drop(name)
+      phase1.unionAll(phase2)
+        .groupBy(col("phase"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("k_sum"), sum(col("v")).as("v_sum"))
+        .orderBy(col("phase"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -216,5 +251,20 @@ object PipelineQueries {
       JOIN generate_series(0, 17) y(g) ON y.g < 8 + i
       GROUP BY i
       ORDER BY img_id""",
+    // phase 1 = rows 1..20 of a.csv; phase 2 = a's appended 21..30 plus
+    // the b.csv copy's full 1..30 (new inode ⇒ full delivery)
+    "q84_filelog" -> """
+      WITH r AS (SELECT range AS k FROM range(1, 31)),
+      p1 AS (SELECT k FROM r WHERE k <= 20),
+      p2 AS (SELECT k FROM r WHERE k > 20 UNION ALL SELECT k FROM r)
+      SELECT 1 AS phase, CAST(count(1) AS BIGINT) AS n,
+             CAST(sum(k) AS BIGINT) AS k_sum,
+             CAST(sum(3 * k) AS BIGINT) AS v_sum
+      FROM p1
+      UNION ALL
+      SELECT 2, CAST(count(1) AS BIGINT), CAST(sum(k) AS BIGINT),
+             CAST(sum(3 * k) AS BIGINT)
+      FROM p2
+      ORDER BY phase""",
   )
 }

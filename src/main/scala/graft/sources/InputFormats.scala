@@ -835,6 +835,33 @@ object InputFormats {
     }
   }
 
+  /** Parse ONE record line of a headerless row format into the declared
+    * schema — the per-record entry point [[graft.streaming.FileLogEngine]]
+    * uses inside its range-read tasks (same branches as [[readLines]]).
+    */
+  def parseLine(line: String, format: String,
+      schema: org.apache.spark.sql.types.StructType): Row =
+    OutputFormats.canon(format) match {
+      case "jsoneachrow" | "ndjson" | "jsonlines" =>
+        val node = new ObjectMapper().readTree(line)
+        Row.fromSeq(schema.fields.toSeq.map(fld =>
+          settle(jsonToValue(node.get(fld.name), fld), fld)))
+      case f @ ("tabseparated" | "tabseparatedraw" | "csv") =>
+        val (rule, sep) = f match {
+          case "tabseparated" => ("Escaped", '\t')
+          case "tabseparatedraw" => ("Raw", '\t')
+          case _ => ("CSV", ',')
+        }
+        val parts = splitFields(line, sep, rule)
+        Row.fromSeq(schema.fields.zipWithIndex.toSeq.map { case (fld, i) =>
+          if (i < parts.length)
+            settle(parseField(parts(i), fld.dataType, rule), fld)
+          else settle(null, fld)
+        })
+      case other => throw new IllegalArgumentException(
+        s"parseLine: headerless row format required, got $other")
+    }
+
   // --------------------------------------------------------------- helpers
 
   private def splitFields(line: String, sep: Char, rule: String): Array[String] =

@@ -1,0 +1,207 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{ChTypes, InputFormats}
+
+/** `ENGINE = FileLog(dir, format)` — the reference's broker-less
+  * streaming engine (`src/Storages/FileLog/StorageFileLog.cpp`, tests
+  * `0_stateless/02022-02026_storage_filelog*`): a directory of row-format
+  * files consumed as an append-only stream with PER-FILE BYTE OFFSETS —
+  * each poll delivers only records appended since the last poll, new
+  * files are picked up, renames do NOT re-deliver (files are tracked by
+  * inode, the reference's DirectoryWatcher semantics), deletions drop
+  * the remainder, and offsets persist across a detach/attach (metadata
+  * directory).
+  *
+  * Spark shape: the poll is a tiny driver-side directory listing (names,
+  * sizes, inodes — never file contents); the DELIVERY is distributed —
+  * the new `[offset, lastNewline)` range of every file becomes one task
+  * that reads just that byte range and parses it with the row-format
+  * parsers ([[InputFormats]]). A consume is therefore one narrow scan
+  * over exactly the appended bytes: at 100 TB/day of appends the work
+  * per poll is proportional to the NEW data, like the reference's.
+  * Partial trailing lines (a concurrent writer mid-record) stay
+  * unconsumed until the newline arrives — record-boundary delivery, as
+  * the reference's ReadBufferFromFileLog.
+  *
+  * Virtual columns `_filename` / `_offset` (test 02025) ride every row.
+  */
+object FileLogEngine {
+
+  case class FileMeta(key: String, name: String, offset: Long)
+
+  /** One FileLog table. `metaDir` persists offsets (detach/attach = drop
+    * and re-create the Table over the same metaDir).
+    */
+  final class Table(
+      val name: String,
+      val dir: String,
+      val format: String,
+      val structure: String,
+      val metaDir: String) {
+
+    private val metaFile = Paths.get(metaDir, "offsets.tsv")
+
+    private def loadOffsets(): Map[String, FileMeta] =
+      if (!Files.exists(metaFile)) Map.empty
+      else Files.readAllLines(metaFile, StandardCharsets.UTF_8).asScala
+        .filter(_.nonEmpty)
+        .map { l =>
+          val Array(k, n, o) = l.split("\t", 3)
+          k -> FileMeta(k, n, o.toLong)
+        }.toMap
+
+    private def saveOffsets(m: Map[String, FileMeta]): Unit = {
+      Files.createDirectories(metaFile.getParent)
+      Files.write(metaFile,
+        m.values.toSeq.sortBy(_.key)
+          .map(f => s"${f.key}\t${f.name}\t${f.offset}")
+          .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    }
+
+    private def inodeKey(p: Path): String =
+      Files.readAttributes(p, classOf[java.nio.file.attribute.BasicFileAttributes])
+        .fileKey() match {
+        case null => p.toAbsolutePath.toString // non-POSIX fallback
+        case k => k.toString
+      }
+
+    /** Byte offset of the char AFTER the last '\n' in [from, size) —
+      * records past it are incomplete and stay for the next poll.
+      */
+    private def lastCompleteOffset(p: Path, from: Long, size: Long): Long = {
+      if (size <= from) return from
+      val ch = java.nio.channels.FileChannel.open(p, StandardOpenOption.READ)
+      try {
+        var end = size
+        val buf = java.nio.ByteBuffer.allocate(8192)
+        var found = -1L
+        var pos = size
+        while (found < 0 && pos > from) {
+          val start = math.max(from, pos - buf.capacity())
+          buf.clear(); buf.limit((pos - start).toInt)
+          ch.read(buf, start)
+          var i = buf.limit() - 1
+          while (i >= 0 && found < 0) {
+            if (buf.get(i) == '\n') found = start + i + 1
+            i -= 1
+          }
+          pos = start
+        }
+        if (found < 0) from else found
+      } finally ch.close()
+    }
+
+    /** Poll: deliver every record appended since the last poll. The
+      * returned frame carries the declared structure plus `_filename`
+      * and `_offset` (byte offset of the record's first byte — the
+      * reference's virtual columns, test 02025).
+      */
+    def consume(spark: SparkSession): DataFrame = {
+      val offsets = loadOffsets()
+      val files = Files.list(Paths.get(dir)).iterator().asScala
+        .filter(Files.isRegularFile(_)).toSeq.sortBy(_.getFileName.toString)
+      val ranges = files.flatMap { p =>
+        val key = inodeKey(p)
+        val size = Files.size(p)
+        val from = offsets.get(key).map(_.offset).getOrElse(0L)
+        val to = lastCompleteOffset(p, from, size)
+        if (to > from) Some((key, p.toAbsolutePath.toString,
+          p.getFileName.toString, from, to))
+        else None
+      }
+      val newOffsets = offsets.filter { case (k, _) =>
+        // keep state only for files that still exist (inode gone = file
+        // deleted; its unread remainder is dropped, like the reference)
+        files.exists(p => inodeKey(p) == k)
+      } ++ files.map { p =>
+        val key = inodeKey(p)
+        val size = Files.size(p)
+        val from = offsets.get(key).map(_.offset).getOrElse(0L)
+        key -> FileMeta(key, p.getFileName.toString,
+          math.max(from, lastCompleteOffset(p, from, size)))
+      }.toMap
+      saveOffsets(newOffsets)
+
+      val st = ChTypes.structure(structure)
+      val fullSchema = st
+        .add("_filename", org.apache.spark.sql.types.StringType, nullable = false)
+        .add("_offset", org.apache.spark.sql.types.LongType, nullable = false)
+      if (ranges.isEmpty)
+        return spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), fullSchema)
+
+      val fmt = format
+      import spark.implicits._
+      val fullEnc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+        org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(fullSchema))
+      // one task per (file, range): reads ONLY the appended bytes, parses
+      // each newline-framed record with the row-format parser in-task
+      spark.createDataset(ranges).toDF(
+          "key", "path", "fname", "from", "to")
+        .repartition(math.min(ranges.length, 32), col("key"))
+        .mapPartitions { it =>
+          it.flatMap { r =>
+            val (path, fname, from, to) =
+              (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))
+            val ch = java.nio.channels.FileChannel.open(
+              Paths.get(path), StandardOpenOption.READ)
+            val bytes =
+              try {
+                val bb = java.nio.ByteBuffer.allocate((to - from).toInt)
+                var read = 0
+                while (read < bb.capacity()) {
+                  val n = ch.read(bb, from + read)
+                  if (n < 0) read = bb.capacity() else read += n
+                }
+                bb.array()
+              } finally ch.close()
+            val text = new String(bytes, StandardCharsets.UTF_8)
+            var off = from
+            text.split("\n", -1).iterator.filter(_.nonEmpty).map { line =>
+              val lineStart = off
+              off += line.getBytes(StandardCharsets.UTF_8).length + 1
+              val base = InputFormats.parseLine(line, fmt, st)
+              org.apache.spark.sql.Row.fromSeq(
+                base.toSeq ++ Seq(fname, lineStart))
+            }
+          }
+        }(fullEnc)
+        .toDF(fullSchema.fieldNames: _*)
+    }
+  }
+
+  private val registry = TrieMap.empty[String, Table]
+
+  /** `CREATE TABLE name (...) ENGINE = FileLog('dir/', 'CSV')`. */
+  def create(name: String, dir: String, format: String, structure: String,
+      metaDir: Option[String] = None): Table = {
+    val meta = metaDir.getOrElse(
+      Files.createTempDirectory(s"graft-filelog-$name").toString)
+    val t = new Table(name, dir, format, structure, meta)
+    registry.put(name, t)
+    t
+  }
+
+  def lookup(name: String): Option[Table] = registry.get(name)
+  def drop(name: String): Unit = registry.remove(name)
+
+  /** DETACH/ATTACH: a new Table over the same metadata dir resumes from
+    * the persisted offsets (the reference's StorageFileLog meta path).
+    */
+  def attach(name: String, dir: String, format: String, structure: String,
+      metaDir: String): Table = {
+    val t = new Table(name, dir, format, structure, metaDir)
+    registry.put(name, t)
+    t
+  }
+}

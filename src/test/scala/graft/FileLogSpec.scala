@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.FileLogEngine
+
+/** ENGINE = FileLog — offset-tailing directory stream (reference
+  * `StorageFileLog.cpp`, tests `0_stateless/02022-02026_storage_filelog*`):
+  * appends deliver once, new files are picked up, renames do NOT
+  * re-deliver (inode identity), offsets survive detach/attach, and the
+  * `_filename`/`_offset` virtual columns ride every row.
+  */
+class FileLogSpec extends SparkSpec {
+
+  private def append(p: Path, lines: Seq[String]): Unit =
+    Files.write(p, (lines.mkString("", "\n", "\n")).getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+
+  private def ks(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select(col("k").cast("long")).collect().map(_.getLong(0)).toSeq.sorted
+
+  test("02023 shape: appends deliver once; copies are new; renames are not; deletes drop") {
+    val dir = Files.createTempDirectory("graft-filelog")
+    val a = dir.resolve("a.txt")
+    append(a, (1 to 20).map(i => s"$i,$i"))
+    val t = FileLogEngine.create("flog1", dir.toString, "CSV", "k UInt64, v UInt64")
+
+    assert(ks(t.consume(spark)) === (1L to 20L))
+
+    // copy = NEW inode → delivered in full; a.txt itself already consumed
+    Files.copy(a, dir.resolve("b.txt"))
+    assert(ks(t.consume(spark)) === (1L to 20L))
+
+    // append to a; copy a twice; RENAME b (same inode — nothing new);
+    // delete one copy before the poll
+    append(a, (100 to 120).map(i => s"$i,$i"))
+    Files.copy(a, dir.resolve("c.txt"))
+    Files.copy(a, dir.resolve("d.txt"))
+    Files.move(dir.resolve("b.txt"), dir.resolve("j.txt"))
+    Files.delete(dir.resolve("d.txt"))
+    val got = ks(t.consume(spark))
+    // a's new 21 rows + c's 41 (fresh inode, full content); d deleted; j none
+    assert(got === ((1L to 20L) ++ (100L to 120L) ++ (100L to 120L)).sorted)
+  }
+
+  test("02022 shape: single file incremental tail with partial-line holdback") {
+    val dir = Files.createTempDirectory("graft-filelog-one")
+    val a = dir.resolve("a.txt")
+    append(a, (1 to 5).map(i => s"$i,${i * 2}"))
+    val t = FileLogEngine.create("flog2", dir.toString, "CSV", "k UInt64, v UInt64")
+    assert(t.consume(spark).count() === 5)
+    assert(t.consume(spark).count() === 0) // nothing new
+    // a partial record (no trailing newline) must NOT be delivered yet
+    Files.write(a, "6,".getBytes, StandardOpenOption.APPEND)
+    assert(t.consume(spark).count() === 0)
+    Files.write(a, "12\n7,14\n".getBytes, StandardOpenOption.APPEND)
+    val got = t.consume(spark).select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(got.toSeq === Seq((6L, 12L), (7L, 14L)))
+  }
+
+  test("02025 shape: _filename and _offset virtual columns") {
+    val dir = Files.createTempDirectory("graft-filelog-virt")
+    append(dir.resolve("x.csv"), Seq("1,10", "2,20"))
+    val t = FileLogEngine.create("flog3", dir.toString, "CSV", "k UInt64, v UInt64")
+    val got = t.consume(spark)
+      .select("k", "_filename", "_offset").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq === Seq((1L, "x.csv", 0L), (2L, "x.csv", 5L)))
+  }
+
+  test("offsets persist across detach/attach (02023 tail)") {
+    val dir = Files.createTempDirectory("graft-filelog-meta")
+    val a = dir.resolve("a.txt")
+    append(a, (1 to 3).map(i => s"$i,$i"))
+    val t = FileLogEngine.create("flog4", dir.toString, "CSV", "k UInt64, v UInt64")
+    assert(t.consume(spark).count() === 3)
+    val meta = t.metaDir
+    FileLogEngine.drop("flog4") // DETACH
+    append(a, Seq("4,4", "5,5"))
+    val t2 = FileLogEngine.attach("flog4", dir.toString, "CSV",
+      "k UInt64, v UInt64", meta)
+    assert(ks(t2.consume(spark)) === Seq(4L, 5L)) // resumes, no re-delivery
+  }
+
+  test("02024 shape: FileLog feeding an incremental sink (the MV flow)") {
+    val dir = Files.createTempDirectory("graft-filelog-mv")
+    val sink = Files.createTempDirectory("graft-filelog-sink").resolve("t").toString
+    val a = dir.resolve("a.txt")
+    append(a, (1 to 10).map(i => s"$i,$i"))
+    val t = FileLogEngine.create("flog5", dir.toString, "CSV", "k UInt64, v UInt64")
+    // each poll appends its delivery to the target table — INSERT SELECT
+    // from the stream, the reference's MV pattern
+    t.consume(spark).select("k", "v").write.mode("append").parquet(sink)
+    append(a, (11 to 15).map(i => s"$i,$i"))
+    t.consume(spark).select("k", "v").write.mode("append").parquet(sink)
+    val total = spark.read.parquet(sink)
+    assert(total.count() === 15)
+    assert(total.agg(sum("k")).head().getLong(0) === (1L to 15L).sum)
+  }
+
+  test("JSONEachRow format variant") {
+    val dir = Files.createTempDirectory("graft-filelog-json")
+    append(dir.resolve("a.jsonl"),
+      Seq("""{"k": 1, "v": "x"}""", """{"k": 2, "v": "y"}"""))
+    val t = FileLogEngine.create("flog6", dir.toString, "JSONEachRow",
+      "k UInt64, v String")
+    val got = t.consume(spark).select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(got.toSeq === Seq((1L, "x"), (2L, "y")))
+  }
+}
