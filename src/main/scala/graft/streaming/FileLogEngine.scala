@@ -105,6 +105,12 @@ object FileLogEngine {
       * returned frame carries the declared structure plus `_filename`
       * and `_offset` (byte offset of the record's first byte — the
       * reference's virtual columns, test 02025).
+      *
+      * The delivery is MATERIALIZED (localCheckpoint) before offsets
+      * commit: the returned frame stays valid however late the caller
+      * reads it, even after the files mutate — one poll = one
+      * consistent batch, the engine contract the reference's MV flow
+      * relies on.
       */
     def consume(spark: SparkSession): DataFrame = {
       val offsets = loadOffsets()
@@ -119,64 +125,71 @@ object FileLogEngine {
           p.getFileName.toString, from, to))
         else None
       }
-      val newOffsets = offsets.filter { case (k, _) =>
-        // keep state only for files that still exist (inode gone = file
-        // deleted; its unread remainder is dropped, like the reference)
-        files.exists(p => inodeKey(p) == k)
-      } ++ files.map { p =>
-        val key = inodeKey(p)
-        val size = Files.size(p)
-        val from = offsets.get(key).map(_.offset).getOrElse(0L)
-        key -> FileMeta(key, p.getFileName.toString,
-          math.max(from, lastCompleteOffset(p, from, size)))
-      }.toMap
-      saveOffsets(newOffsets)
-
       val st = ChTypes.structure(structure)
       val fullSchema = st
         .add("_filename", org.apache.spark.sql.types.StringType, nullable = false)
         .add("_offset", org.apache.spark.sql.types.LongType, nullable = false)
-      if (ranges.isEmpty)
-        return spark.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](), fullSchema)
-
-      val fmt = format
-      import spark.implicits._
-      val fullEnc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
-        org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(fullSchema))
-      // one task per (file, range): reads ONLY the appended bytes, parses
-      // each newline-framed record with the row-format parser in-task
-      spark.createDataset(ranges).toDF(
-          "key", "path", "fname", "from", "to")
-        .repartition(math.min(ranges.length, 32), col("key"))
-        .mapPartitions { it =>
-          it.flatMap { r =>
-            val (path, fname, from, to) =
-              (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))
-            val ch = java.nio.channels.FileChannel.open(
-              Paths.get(path), StandardOpenOption.READ)
-            val bytes =
-              try {
-                val bb = java.nio.ByteBuffer.allocate((to - from).toInt)
-                var read = 0
-                while (read < bb.capacity()) {
-                  val n = ch.read(bb, from + read)
-                  if (n < 0) read = bb.capacity() else read += n
+      val delivered: DataFrame =
+        if (ranges.isEmpty)
+          spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), fullSchema)
+        else {
+          val fmt = format
+          import spark.implicits._
+          val fullEnc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+            org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(fullSchema))
+          // one task per (file, range): reads ONLY the appended bytes,
+          // parses each newline-framed record with the row-format parser
+          // in-task — then MATERIALIZES, so the batch is consistent even
+          // though the files keep growing underneath
+          spark.createDataset(ranges).toDF(
+              "key", "path", "fname", "from", "to")
+            .repartition(math.min(ranges.length, 32), col("key"))
+            .mapPartitions { it =>
+              it.flatMap { r =>
+                val (path, fname, from, to) =
+                  (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))
+                val ch = java.nio.channels.FileChannel.open(
+                  Paths.get(path), StandardOpenOption.READ)
+                val bytes =
+                  try {
+                    val bb = java.nio.ByteBuffer.allocate((to - from).toInt)
+                    var read = 0
+                    while (read < bb.capacity()) {
+                      val n = ch.read(bb, from + read)
+                      if (n < 0) read = bb.capacity() else read += n
+                    }
+                    bb.array()
+                  } finally ch.close()
+                val text = new String(bytes, StandardCharsets.UTF_8)
+                var off = from
+                text.split("\n", -1).iterator.filter(_.nonEmpty).map { line =>
+                  val lineStart = off
+                  off += line.getBytes(StandardCharsets.UTF_8).length + 1
+                  val base = InputFormats.parseLine(line, fmt, st)
+                  org.apache.spark.sql.Row.fromSeq(
+                    base.toSeq ++ Seq(fname, lineStart))
                 }
-                bb.array()
-              } finally ch.close()
-            val text = new String(bytes, StandardCharsets.UTF_8)
-            var off = from
-            text.split("\n", -1).iterator.filter(_.nonEmpty).map { line =>
-              val lineStart = off
-              off += line.getBytes(StandardCharsets.UTF_8).length + 1
-              val base = InputFormats.parseLine(line, fmt, st)
-              org.apache.spark.sql.Row.fromSeq(
-                base.toSeq ++ Seq(fname, lineStart))
-            }
-          }
-        }(fullEnc)
-        .toDF(fullSchema.fieldNames: _*)
+              }
+            }(fullEnc)
+            .toDF(fullSchema.fieldNames: _*)
+            .localCheckpoint(true)
+        }
+      // offsets commit AFTER the batch materialized — to EXACTLY the
+      // `to` bounds that were delivered (never a fresh stat: bytes
+      // appended during the read stay unconsumed for the next poll);
+      // a failed read throws before this point and re-delivers next time
+      val deliveredTo = ranges.map(r => r._1 -> r._5).toMap
+      val newOffsets = files.map { p =>
+        val key = inodeKey(p)
+        val from = offsets.get(key).map(_.offset).getOrElse(0L)
+        key -> FileMeta(key, p.getFileName.toString,
+          math.max(from, deliveredTo.getOrElse(key, from)))
+      }.toMap
+      // state for vanished inodes drops with them (file deleted = its
+      // unread remainder is dropped, like the reference)
+      saveOffsets(newOffsets)
+      delivered
     }
   }
 
