@@ -27,11 +27,15 @@ import scala.collection.concurrent.TrieMap
   */
 object LoopbackObjectStore {
 
-  private val servers = TrieMap.empty[String, Int]
+  // keyed by (dir, credentials): a reused server verifies presigns
+  // against the creds it was STARTED with — a second caller with
+  // different creds must get its own server, not baffling 403s
+  private val servers =
+    TrieMap.empty[(String, Connections.ObjectStoreCredentials), Int]
 
-  /** Start (or reuse) the server for `dir`; returns the bound port. */
+  /** Start (or reuse) the server for `(dir, creds)`; returns the port. */
   def port(dir: Path, creds: Connections.ObjectStoreCredentials): Int =
-    servers.getOrElseUpdate(dir.toString, start(dir, creds))
+    servers.getOrElseUpdate((dir.toString, creds), start(dir, creds))
 
   private def queryParams(raw: String): Map[String, String] =
     if (raw == null || raw.isEmpty) Map.empty

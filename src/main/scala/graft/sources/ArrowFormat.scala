@@ -59,7 +59,7 @@ object ArrowFormat {
     }
     f.dataType match {
       case ArrayType(et, containsNull) =>
-        new Field(f.name, FieldType.nullable(ArrowType.List.INSTANCE),
+        new Field(f.name, new FieldType(f.nullable, ArrowType.List.INSTANCE, null),
           Seq(new Field("item",
             new FieldType(containsNull, prim(et), null), null)).asJava)
       case dt =>

@@ -257,7 +257,11 @@ object CapnProtoFormat {
     case other => throw new IllegalArgumentException(s"no data size for $other")
   }
 
-  private val layouts = TrieMap.empty[(Int, String), CLayout]
+  // keyed by the schema VALUE (CSchema is a case class — structural
+  // equality): identical schema texts share entries, distinct schemas
+  // can never collide (an identity-hash key could, silently corrupting
+  // slot offsets, and would also grow per parse call)
+  private val layouts = TrieMap.empty[(CSchema, String), CLayout]
 
   /** First-fit hole-packed data-section layout — the published compiler
     * algorithm: one tracked hole per power-of-two size below a word;
@@ -267,7 +271,7 @@ object CapnProtoFormat {
     * member is declared.
     */
   def layoutOf(sc: CSchema, name: String): CLayout =
-    layouts.getOrElseUpdate((System.identityHashCode(sc), name), {
+    layouts.getOrElseUpdate((sc, name), {
       val d = sc.structOf(name)
       var dataWords = 0
       var ptrWords = 0
@@ -413,8 +417,15 @@ object CapnProtoFormat {
       ch: String): Unit = {
     // a null STRUCT value must still serialize when the struct is the
     // nullable {value,null} shape — the null TAG is data, a zero pointer
-    // would read back as the value member's default instead of NULL
-    if (v == null && !t.isInstanceOf[TStruct]) return // null pointer = default
+    // would read back as the value member's default instead of NULL.
+    // Any OTHER null stays a zero pointer (reads back as defaults) —
+    // recursing into a default struct would never terminate on a
+    // self-referential schema.
+    val nullableStruct = t match {
+      case TStruct(n) => nullableShape(sc, n).isDefined
+      case _ => false
+    }
+    if (v == null && !nullableStruct) return // null pointer = default
     t match {
       case TText =>
         val b = stringOf(v).getBytes("UTF-8")

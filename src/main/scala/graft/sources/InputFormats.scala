@@ -843,7 +843,7 @@ object InputFormats {
       schema: org.apache.spark.sql.types.StructType): Row =
     OutputFormats.canon(format) match {
       case "jsoneachrow" | "ndjson" | "jsonlines" =>
-        val node = new ObjectMapper().readTree(line)
+        val node = mapper.readTree(line) // shared mapper — per-record hot path
         Row.fromSeq(schema.fields.toSeq.map(fld =>
           settle(jsonToValue(node.get(fld.name), fld), fld)))
       case f @ ("tabseparated" | "tabseparatedraw" | "csv") =>

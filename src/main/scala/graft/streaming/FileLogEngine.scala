@@ -36,6 +36,13 @@ import graft.sources.{ChTypes, InputFormats}
   */
 object FileLogEngine {
 
+  /** Per-file byte cap per poll (the reference's bounded-batch poll —
+    * its max_block_size family): a huge backlog delivers over several
+    * polls; also bounds the per-task buffer (and keeps the range far
+    * from Int overflow).
+    */
+  val MaxPollBytesPerFile: Long = 64L * 1024 * 1024
+
   case class FileMeta(key: String, name: String, offset: Long)
 
   /** One FileLog table. `metaDir` persists offsets (detach/attach = drop
@@ -82,14 +89,20 @@ object FileLogEngine {
       if (size <= from) return from
       val ch = java.nio.channels.FileChannel.open(p, StandardOpenOption.READ)
       try {
-        var end = size
         val buf = java.nio.ByteBuffer.allocate(8192)
         var found = -1L
         var pos = size
         while (found < 0 && pos > from) {
           val start = math.max(from, pos - buf.capacity())
           buf.clear(); buf.limit((pos - start).toInt)
-          ch.read(buf, start)
+          // positional read can return short — loop until the region is
+          // full (stale bytes from the previous iteration would
+          // otherwise be scanned as if they were file content)
+          var off = 0
+          while (off < buf.limit()) {
+            val n = ch.read(buf, start + off)
+            if (n < 0) off = buf.limit() else off += n
+          }
           var i = buf.limit() - 1
           while (i >= 0 && found < 0) {
             if (buf.get(i) == '\n') found = start + i + 1
@@ -114,17 +127,26 @@ object FileLogEngine {
       */
     def consume(spark: SparkSession): DataFrame = {
       val offsets = loadOffsets()
-      val files = Files.list(Paths.get(dir)).iterator().asScala
-        .filter(Files.isRegularFile(_)).toSeq.sortBy(_.getFileName.toString)
-      val ranges = files.flatMap { p =>
+      val listing = Files.list(Paths.get(dir))
+      val files =
+        try listing.iterator().asScala
+          .filter(Files.isRegularFile(_)).toSeq.sortBy(_.getFileName.toString)
+        finally listing.close() // directory stream = one fd per poll otherwise
+      // ONE stat pass: (key, path, name, from, to) snapshot drives both
+      // the delivery and the offset commit — no re-stat later (a file
+      // deleted mid-poll must not fail the commit). `to` is capped at
+      // MaxPollBytesPerFile (rolled back to a record boundary), the
+      // reference's bounded-batch poll: a monster backlog delivers over
+      // several polls instead of one >2 GiB task buffer.
+      val snapshot = files.map { p =>
         val key = inodeKey(p)
         val size = Files.size(p)
         val from = offsets.get(key).map(_.offset).getOrElse(0L)
-        val to = lastCompleteOffset(p, from, size)
-        if (to > from) Some((key, p.toAbsolutePath.toString,
-          p.getFileName.toString, from, to))
-        else None
+        val capped = math.min(size, from + MaxPollBytesPerFile)
+        val to = lastCompleteOffset(p, from, capped)
+        (key, p.toAbsolutePath.toString, p.getFileName.toString, from, to)
       }
+      val ranges = snapshot.filter { case (_, _, _, from, to) => to > from }
       val st = ChTypes.structure(structure)
       val fullSchema = st
         .add("_filename", org.apache.spark.sql.types.StringType, nullable = false)
@@ -163,12 +185,19 @@ object FileLogEngine {
                   } finally ch.close()
                 val text = new String(bytes, StandardCharsets.UTF_8)
                 var off = from
-                text.split("\n", -1).iterator.filter(_.nonEmpty).map { line =>
+                // advance the byte counter for EVERY segment (a blank
+                // line still consumes its newline byte — filtering first
+                // would shift every later record's _offset), emit only
+                // non-empty records
+                text.split("\n", -1).iterator.flatMap { line =>
                   val lineStart = off
                   off += line.getBytes(StandardCharsets.UTF_8).length + 1
-                  val base = InputFormats.parseLine(line, fmt, st)
-                  org.apache.spark.sql.Row.fromSeq(
-                    base.toSeq ++ Seq(fname, lineStart))
+                  if (line.isEmpty) None
+                  else {
+                    val base = InputFormats.parseLine(line, fmt, st)
+                    Some(org.apache.spark.sql.Row.fromSeq(
+                      base.toSeq ++ Seq(fname, lineStart)))
+                  }
                 }
               }
             }(fullEnc)
@@ -176,18 +205,15 @@ object FileLogEngine {
             .localCheckpoint(true)
         }
       // offsets commit AFTER the batch materialized — to EXACTLY the
-      // `to` bounds that were delivered (never a fresh stat: bytes
-      // appended during the read stay unconsumed for the next poll);
-      // a failed read throws before this point and re-delivers next time
-      val deliveredTo = ranges.map(r => r._1 -> r._5).toMap
-      val newOffsets = files.map { p =>
-        val key = inodeKey(p)
-        val from = offsets.get(key).map(_.offset).getOrElse(0L)
-        key -> FileMeta(key, p.getFileName.toString,
-          math.max(from, deliveredTo.getOrElse(key, from)))
+      // `to` bounds that were delivered, from the snapshot (never a
+      // fresh stat: bytes appended during the read stay unconsumed, and
+      // a file deleted mid-poll cannot fail the commit); a failed read
+      // throws before this point and re-delivers next time. State for
+      // vanished inodes drops with them (file deleted = its unread
+      // remainder is dropped, like the reference).
+      val newOffsets = snapshot.map { case (key, _, name, from, to) =>
+        key -> FileMeta(key, name, math.max(from, to))
       }.toMap
-      // state for vanished inodes drops with them (file deleted = its
-      // unread remainder is dropped, like the reference)
       saveOffsets(newOffsets)
       delivered
     }

@@ -72,6 +72,17 @@ class FileLogSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, "x.csv", 0L), (2L, "x.csv", 5L)))
   }
 
+  test("_offset stays byte-exact past blank lines") {
+    val dir = Files.createTempDirectory("graft-filelog-blank")
+    // "1,10\n" (5) + "\n" (1) + "2,20\n" -> record 2 starts at byte 6
+    append(dir.resolve("x.csv"), Seq("1,10", "", "2,20"))
+    val t = FileLogEngine.create("flog7", dir.toString, "CSV", "k UInt64, v UInt64")
+    val got = t.consume(spark)
+      .select("k", "_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 0L), (2L, 6L)))
+  }
+
   test("offsets persist across detach/attach (02023 tail)") {
     val dir = Files.createTempDirectory("graft-filelog-meta")
     val a = dir.resolve("a.txt")
