@@ -755,13 +755,28 @@ object VectorQueries {
           sum(col("nRows")).as("seg_rows"),
           sum(when(col("state").isin("BUILT", "SMALL_PART"), 1L)
             .otherwise(0L)).as("built_segments"))
-      vi.crossJoin(segs)
+      // VIEventLog analog (ref VIEventLog.cpp): a memoized build logs
+      // exactly one BUILD_START + one BUILD_FINISH for this index name
+      // per JVM, and never an error — pinned by the oracle
+      val events = IvfIndex.Catalog.eventLogDataFrame(s)
+        .filter(col("indexName") === name)
+        .agg(
+          sum(when(col("event") === "BUILD_START", 1L).otherwise(0L))
+            .as("build_starts"),
+          sum(when(col("event") === "BUILD_FINISH", 1L).otherwise(0L))
+            .as("build_finishes"),
+          sum(when(col("event") === "BUILD_ERROR", 1L).otherwise(0L))
+            .as("build_errors"))
+      vi.crossJoin(segs).crossJoin(events)
         .select(lit("ivf_embeddings").as("name"), col("index_type"),
           col("metric"), col("status"),
           col("total_rows").cast("long").as("total_rows"),
           col("n_segments").cast("long").as("n_segments"),
           col("seg_rows").cast("long").as("seg_rows"),
-          col("built_segments").cast("long").as("built_segments"))
+          col("built_segments").cast("long").as("built_segments"),
+          col("build_starts").cast("long").as("build_starts"),
+          col("build_finishes").cast("long").as("build_finishes"),
+          col("build_errors").cast("long").as("build_errors"))
     }),
     // arrayDistance scalar family as projection columns (not top-K).
     "v07_distance_family" -> ((s, dir) => {
@@ -881,7 +896,10 @@ object VectorQueries {
              CAST(count(1) AS BIGINT) AS total_rows,
              CAST(16 AS BIGINT) AS n_segments,
              CAST(count(1) AS BIGINT) AS seg_rows,
-             CAST(16 AS BIGINT) AS built_segments
+             CAST(16 AS BIGINT) AS built_segments,
+             CAST(1 AS BIGINT) AS build_starts,
+             CAST(1 AS BIGINT) AS build_finishes,
+             CAST(0 AS BIGINT) AS build_errors
       FROM embeddings""",
     "v02_cosine_topk" -> s"""
       SELECT * FROM (
