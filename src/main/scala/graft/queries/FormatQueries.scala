@@ -9,11 +9,11 @@ import graft.sources.{InputFormats, OutputFormats}
 /** Driver-checked queries for the I/O format surface (SURVEY §2.2).
   *
   * q76 proves the format codecs end-to-end the only way a SQL oracle
-  * can: twenty-one rows each WRITE → PARSE round trip the same orders
-  * slice (twenty formats driver-side — including the schema-driven
-  * Protobuf/ProtobufList pair, CapnProto, and the Arrow IPC stream —
-  * plus one DISTRIBUTED save()/readLines TSV file-set pass), and the
-  * aggregate of each
+  * can: twenty-two rows each WRITE → PARSE round trip the same orders
+  * slice (twenty-one formats driver-side — including the schema-driven
+  * Protobuf/ProtobufList pair, CapnProto, the Arrow IPC stream, and
+  * the Avro container — plus one DISTRIBUTED save()/readLines TSV
+  * file-set pass), and the aggregate of each
   * round-tripped frame must equal the aggregate DuckDB computes
   * directly from parquet. A format that drops
   * a row, mangles an escape, shifts a date, or loses float precision
@@ -139,6 +139,10 @@ object FormatQueries {
         // (ref ArrowBlockOutputFormat.cpp); self-describing read
         "arrow_stream" -> InputFormats.parseBytes(s,
           OutputFormats.writeBytes(base, "ArrowStream"), "ArrowStream"),
+        // Avro container via the Avro Java library (ref
+        // AvroRowOutputFormat.cpp); schema travels in the header
+        "avro" -> InputFormats.parseBytes(s,
+          OutputFormats.writeBytes(base, "Avro"), "Avro"),
         "json_framed" -> InputFormats.parse(s,
           OutputFormats.write(base, "JSON"), "JSON"),
         "json_object" -> InputFormats.parse(s,
@@ -225,7 +229,7 @@ object FormatQueries {
                CAST(min(o_orderdate) AS VARCHAR) AS first_day
         FROM orders WHERE o_orderkey <= 500),
       fmts AS (
-        SELECT unnest(['arrow_stream', 'bson_each_row', 'capnproto', 'csv_typed', 'custom_separated', 'json_compact_typed',
+        SELECT unnest(['arrow_stream', 'avro', 'bson_each_row', 'capnproto', 'csv_typed', 'custom_separated', 'json_compact_typed',
                        'json_each_row', 'json_framed', 'json_object', 'jsoncolumns', 'msgpack',
                        'mysql_dump', 'native', 'protobuf', 'protobuf_list', 'row_binary',
                        'save_tsv', 'template', 'tskv', 'tsv_typed', 'values']) AS fmt)

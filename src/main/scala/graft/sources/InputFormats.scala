@@ -765,6 +765,7 @@ object InputFormats {
             "CapnProto input needs a declared structure"))))
       case "arrow" => ArrowFormat.read(spark, bytes, stream = false)
       case "arrowstream" => ArrowFormat.read(spark, bytes, stream = true)
+      case "avro" => AvroFormat.read(spark, bytes)
       case "bsoneachrow" =>
         BsonFormat.read(spark, bytes, structure.map(ChTypes.structure))
       case "msgpack" =>

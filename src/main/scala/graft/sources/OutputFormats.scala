@@ -428,6 +428,7 @@ object OutputFormats {
     ("Protobuf", true, true), ("ProtobufSingle", true, true),
     ("ProtobufList", true, true), ("CapnProto", true, true),
     ("Arrow", true, true), ("ArrowStream", true, true),
+    ("Avro", true, true),
     ("RowBinary", true, true), ("RowBinaryWithNames", true, true),
     ("RowBinaryWithNamesAndTypes", true, true),
     ("LineAsString", true, true), ("RawBLOB", true, true),
@@ -450,6 +451,7 @@ object OutputFormats {
         CapnProtoFormat.write(df, s.formatSchemaSource, s.formatSchemaMessage)
       case "arrow" => ArrowFormat.write(df, stream = false)
       case "arrowstream" => ArrowFormat.write(df, stream = true)
+      case "avro" => AvroFormat.write(df)
       case "rowbinary" => RowBinaryFormat.write(df, withNames = false, withTypes = false)
       case "rowbinarywithnames" => RowBinaryFormat.write(df, withNames = true, withTypes = false)
       case "rowbinarywithnamesandtypes" =>

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.sources.{AvroFormat, ChTypes, InputFormats, OutputFormats}
+
+/** Avro object-container format — written/read via the Avro Java library
+  * (the spark-avro CONNECTOR is not on this classpath), self-describing
+  * round-trips (reference `AvroRowInputFormat.cpp` semantics).
+  */
+class AvroFormatSpec extends SparkSpec {
+
+  private def df(schema: StructType, rows: Row*) =
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows.toSeq).asJava), schema)
+
+  private val schema = StructType(Seq(
+    StructField("i8", ByteType, nullable = false),
+    StructField("i16", ShortType, nullable = false),
+    StructField("i32", IntegerType, nullable = false),
+    StructField("i64", LongType, nullable = false),
+    StructField("f32", FloatType, nullable = false),
+    StructField("f64", DoubleType, nullable = false),
+    StructField("bl", BooleanType, nullable = false),
+    StructField("s", StringType, nullable = false),
+    StructField("ns", StringType, nullable = true),
+    StructField("bin", BinaryType, nullable = false),
+    StructField("d", DateType, nullable = false),
+    StructField("ts", TimestampType, nullable = false),
+    StructField("dec", DecimalType(18, 2), nullable = false),
+    StructField("arr", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("narr", ArrayType(StringType, containsNull = true), nullable = false)))
+
+  private def rows = Seq(
+    Row(1.toByte, 2.toShort, 3, Long.MinValue, 1.5f, -2.5, true, "né日本語",
+      null, Array[Byte](9, 8), java.sql.Date.valueOf("2000-01-06"),
+      java.sql.Timestamp.from(java.time.Instant.parse("2000-06-01T19:42:42.123456Z")),
+      new java.math.BigDecimal("-12345.67"),
+      Seq(1L, -2L), Seq("a", null)),
+    Row((-128).toByte, 32767.toShort, -7, 0L, 0.0f, 1e300, false, "",
+      "x", Array.empty[Byte], java.sql.Date.valueOf("1970-01-01"),
+      java.sql.Timestamp.from(java.time.Instant.parse("1970-01-01T00:00:00Z")),
+      new java.math.BigDecimal("0.01"),
+      Seq.empty[Long], Seq.empty[String]))
+
+  private def canon(r: Row): Seq[Any] =
+    (0 until r.length).map {
+      i => r.get(i) match {
+        case b: Array[Byte] => b.toSeq
+        case other => other
+      }
+    }
+
+  test("type lattice round-trips self-describing (schema travels in header)") {
+    val base = df(schema, rows: _*)
+    val bytes = AvroFormat.write(base)
+    // Avro container magic
+    assert(new String(bytes.take(4), "US-ASCII") === "Obj")
+    val back = AvroFormat.read(spark, bytes)
+    assert(back.schema.fields.map(f => (f.name, f.dataType, f.nullable)).toSeq
+      === schema.fields.map(f => (f.name, f.dataType, f.nullable)).toSeq)
+    assert(back.collect().toSeq.map(canon) === base.collect().toSeq.map(canon))
+  }
+
+  test("TimestampNTZ maps to local-timestamp-micros and back") {
+    val st = StructType(Seq(StructField("t", TimestampNTZType, nullable = false)))
+    val base = df(st, Row(java.time.LocalDateTime.parse("2001-02-03T04:05:06.000007")))
+    val back = AvroFormat.read(spark, AvroFormat.write(base))
+    assert(back.schema.fields(0).dataType === TimestampNTZType)
+    assert(back.head().getAs[java.time.LocalDateTime](0) ===
+      java.time.LocalDateTime.parse("2001-02-03T04:05:06.000007"))
+  }
+
+  test("wired through OutputFormats/InputFormats; registry row present") {
+    val st = ChTypes.structure("n UInt64, s String")
+    val base = df(st, Row(1L, "a"), Row(2L, "b,c"))
+    val back = InputFormats.parseBytes(spark,
+      OutputFormats.writeBytes(base, "Avro"), "Avro")
+    assert(back.collect().toSeq === base.collect().toSeq)
+    assert(OutputFormats.formats.exists(f => f._1 == "Avro" && f._2 && f._3))
+  }
+}

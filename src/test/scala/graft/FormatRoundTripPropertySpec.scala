@@ -129,7 +129,7 @@ class FormatRoundTripPropertySpec extends SparkSpec {
       val want = canonical(d)
       Seq("Native" -> false, "RowBinaryWithNamesAndTypes" -> false,
         "BSONEachRow" -> true, "MsgPack" -> true,
-        "Arrow" -> false, "ArrowStream" -> false).foreach {
+        "Arrow" -> false, "ArrowStream" -> false, "Avro" -> false).foreach {
         case (fmt, needsStructure) =>
           val bytes = OutputFormats.writeBytes(d, fmt)
           val back = InputFormats.parseBytes(spark, bytes, fmt,
