@@ -174,12 +174,12 @@ object PipelineQueries {
       put((1 to 20).map(i => s"$i,${i * 3}"))
       val t = FileLogEngine.create(name, dir.toString, "CSV",
         "k UInt64, v UInt64")
+      // consume() returns an already-MATERIALIZED batch (its contract),
+      // so later file mutations can't reach phase1's rows
       val phase1 = t.consume(s).select(lit(1).as("phase"), col("k"), col("v"))
-        .localCheckpoint(true) // materialize BEFORE the files change
       put((21 to 30).map(i => s"$i,${i * 3}"))
       Files.copy(a, dir.resolve("b.csv"))
       val phase2 = t.consume(s).select(lit(2).as("phase"), col("k"), col("v"))
-        .localCheckpoint(true)
       FileLogEngine.drop(name)
       phase1.unionAll(phase2)
         .groupBy(col("phase"))

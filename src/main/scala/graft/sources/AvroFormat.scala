@@ -32,7 +32,7 @@ import org.apache.spark.sql.types._
   */
 object AvroFormat {
 
-  private def toAvroField(f: StructField): ASchema.Field = {
+  private def toAvroField(f: StructField, safeName: String): ASchema.Field = {
     def prim(dt: DataType): ASchema = dt match {
       case ByteType =>
         val s = ASchema.create(ASchema.Type.INT); s.addProp("graftType", "byte"); s
@@ -64,13 +64,38 @@ object AvroFormat {
       ASchema.createUnion(java.util.List.of(
         ASchema.create(ASchema.Type.NULL), s))
     val base = prim(f.dataType)
-    new ASchema.Field(f.name, if (f.nullable) nullable(base) else base,
+    val fld = new ASchema.Field(safeName,
+      if (f.nullable) nullable(base) else base,
       null, if (f.nullable) ASchema.Field.NULL_DEFAULT_VALUE else null)
+    if (safeName != f.name) fld.addProp("graftName", f.name)
+    fld
   }
 
-  private def recordSchema(st: StructType): ASchema =
+  /** Avro identifiers are ASCII `[A-Za-z_][A-Za-z0-9_]*` — a Spark
+    * column like `sum(k)` must not make the writer throw (no other
+    * codec in the registry rejects names). Sanitized names are
+    * collision-deduped; the original rides the `graftName` field prop
+    * and the reader restores it.
+    */
+  private def recordSchema(st: StructType): ASchema = {
+    val taken = mutable.Set.empty[String]
+    val fields = st.fields.map { f =>
+      val base0 = f.name.map(c =>
+        if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+            (c >= '0' && c <= '9') || c == '_') c else '_')
+      val base =
+        if (base0.isEmpty || !(base0.head.isLetter && base0.head < 128) &&
+            base0.head != '_') "_" + base0
+        else base0
+      var safe = base
+      var i = 1
+      while (taken.contains(safe)) { safe = s"${base}_$i"; i += 1 }
+      taken += safe
+      toAvroField(f, safe)
+    }
     ASchema.createRecord("graft_row", null, "graft", false,
-      st.fields.map(toAvroField).toSeq.asJava)
+      fields.toSeq.asJava)
+  }
 
   private def nonNull(s: ASchema): ASchema =
     if (s.getType == ASchema.Type.UNION)
@@ -113,12 +138,13 @@ object AvroFormat {
     val writer = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](schema))
     writer.create(schema, out)
+    val avroFields = schema.getFields.asScala.toArray // positional: order = st.fields
     try df.collect().foreach { r =>
       val rec = new GenericData.Record(schema)
-      st.fields.zipWithIndex.foreach { case (f, i) =>
-        rec.put(f.name,
+      st.fields.indices.foreach { i =>
+        rec.put(i,
           if (r.isNullAt(i)) null
-          else toAvroValue(r.get(i), schema.getField(f.name).schema()))
+          else toAvroValue(r.get(i), avroFields(i).schema()))
       }
       writer.append(rec)
     } finally writer.close()
@@ -199,12 +225,15 @@ object AvroFormat {
       val schema = reader.getSchema
       st = StructType(schema.getFields.asScala.toSeq.map { f =>
         val (dt, n) = toSparkType(f.schema())
-        StructField(f.name, dt, n)
+        // restore the original Spark column name when it was sanitized
+        StructField(Option(f.getProp("graftName")).getOrElse(f.name), dt, n)
       })
+      val fields = schema.getFields.asScala.toSeq
       while (reader.hasNext) {
         val rec = reader.next()
-        rows += Row.fromSeq(schema.getFields.asScala.toSeq.map(f =>
-          toSparkValue(rec.get(f.name), f.schema())))
+        rows += Row.fromSeq(fields.zipWithIndex.map { case (f, i) =>
+          toSparkValue(rec.get(i), f.schema())
+        })
       }
     } finally reader.close()
     spark.createDataFrame(

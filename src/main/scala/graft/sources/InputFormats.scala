@@ -836,32 +836,44 @@ object InputFormats {
     }
   }
 
-  /** Parse ONE record line of a headerless row format into the declared
-    * schema — the per-record entry point [[graft.streaming.FileLogEngine]]
-    * uses inside its range-read tasks (same branches as [[readLines]]).
+  /** Resolve a headerless row format to a `line => Row` closure ONCE —
+    * the per-record entry point [[graft.streaming.FileLogEngine]] hoists
+    * to one resolution per task (same branches as [[readLines]]; format
+    * dispatch and field-list prep are not paid per record).
     */
-  def parseLine(line: String, format: String,
-      schema: org.apache.spark.sql.types.StructType): Row =
+  def lineParser(format: String,
+      schema: org.apache.spark.sql.types.StructType): String => Row =
     OutputFormats.canon(format) match {
       case "jsoneachrow" | "ndjson" | "jsonlines" =>
-        val node = mapper.readTree(line) // shared mapper — per-record hot path
-        Row.fromSeq(schema.fields.toSeq.map(fld =>
-          settle(jsonToValue(node.get(fld.name), fld), fld)))
+        val fields = schema.fields.toSeq
+        line => {
+          val node = mapper.readTree(line)
+          Row.fromSeq(fields.map(fld =>
+            settle(jsonToValue(node.get(fld.name), fld), fld)))
+        }
       case f @ ("tabseparated" | "tabseparatedraw" | "csv") =>
         val (rule, sep) = f match {
           case "tabseparated" => ("Escaped", '\t')
           case "tabseparatedraw" => ("Raw", '\t')
           case _ => ("CSV", ',')
         }
-        val parts = splitFields(line, sep, rule)
-        Row.fromSeq(schema.fields.zipWithIndex.toSeq.map { case (fld, i) =>
-          if (i < parts.length)
-            settle(parseField(parts(i), fld.dataType, rule), fld)
-          else settle(null, fld)
-        })
+        val fields = schema.fields.zipWithIndex.toSeq
+        line => {
+          val parts = splitFields(line, sep, rule)
+          Row.fromSeq(fields.map { case (fld, i) =>
+            if (i < parts.length)
+              settle(parseField(parts(i), fld.dataType, rule), fld)
+            else settle(null, fld)
+          })
+        }
       case other => throw new IllegalArgumentException(
-        s"parseLine: headerless row format required, got $other")
+        s"lineParser: headerless row format required, got $other")
     }
+
+  /** One-off convenience over [[lineParser]]. */
+  def parseLine(line: String, format: String,
+      schema: org.apache.spark.sql.types.StructType): Row =
+    lineParser(format, schema)(line)
 
   // --------------------------------------------------------------- helpers
 

@@ -57,20 +57,28 @@ object FileLogEngine {
 
     private val metaFile = Paths.get(metaDir, "offsets.tsv")
 
+    // key and name are URL-encoded in the metadata file: a tab or
+    // newline in a FILENAME must not corrupt the offset store (which
+    // would wedge the table on every later poll, across detach/attach)
+    private def enc(s: String): String =
+      java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)
+    private def dec(s: String): String =
+      java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
+
     private def loadOffsets(): Map[String, FileMeta] =
       if (!Files.exists(metaFile)) Map.empty
       else Files.readAllLines(metaFile, StandardCharsets.UTF_8).asScala
         .filter(_.nonEmpty)
         .map { l =>
           val Array(k, n, o) = l.split("\t", 3)
-          k -> FileMeta(k, n, o.toLong)
+          dec(k) -> FileMeta(dec(k), dec(n), o.toLong)
         }.toMap
 
     private def saveOffsets(m: Map[String, FileMeta]): Unit = {
       Files.createDirectories(metaFile.getParent)
       Files.write(metaFile,
         m.values.toSeq.sortBy(_.key)
-          .map(f => s"${f.key}\t${f.name}\t${f.offset}")
+          .map(f => s"${enc(f.key)}\t${enc(f.name)}\t${f.offset}")
           .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8),
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     }
@@ -96,14 +104,15 @@ object FileLogEngine {
           val start = math.max(from, pos - buf.capacity())
           buf.clear(); buf.limit((pos - start).toInt)
           // positional read can return short — loop until the region is
-          // full (stale bytes from the previous iteration would
-          // otherwise be scanned as if they were file content)
+          // full; on EOF (file truncated concurrently) scan only what
+          // was actually read, never stale bytes from a prior iteration
           var off = 0
-          while (off < buf.limit()) {
+          var eof = false
+          while (!eof && off < buf.limit()) {
             val n = ch.read(buf, start + off)
-            if (n < 0) off = buf.limit() else off += n
+            if (n < 0) eof = true else off += n
           }
-          var i = buf.limit() - 1
+          var i = off - 1
           while (i >= 0 && found < 0) {
             if (buf.get(i) == '\n') found = start + i + 1
             i -= 1
@@ -125,7 +134,11 @@ object FileLogEngine {
       * consistent batch, the engine contract the reference's MV flow
       * relies on.
       */
-    def consume(spark: SparkSession): DataFrame = {
+    def consume(spark: SparkSession): DataFrame = synchronized {
+      // synchronized: concurrent polls on one Table would both read the
+      // old offsets (double delivery) and the later whole-map
+      // saveOffsets would erase the other poll's advance — the
+      // reference serializes consumption per table the same way
       val offsets = loadOffsets()
       val listing = Files.list(Paths.get(dir))
       val files =
@@ -133,19 +146,30 @@ object FileLogEngine {
           .filter(Files.isRegularFile(_)).toSeq.sortBy(_.getFileName.toString)
         finally listing.close() // directory stream = one fd per poll otherwise
       // ONE stat pass: (key, path, name, from, to) snapshot drives both
-      // the delivery and the offset commit — no re-stat later (a file
-      // deleted mid-poll must not fail the commit). `to` is capped at
-      // MaxPollBytesPerFile (rolled back to a record boundary), the
-      // reference's bounded-batch poll: a monster backlog delivers over
-      // several polls instead of one >2 GiB task buffer.
-      val snapshot = files.map { p =>
-        val key = inodeKey(p)
-        val size = Files.size(p)
-        val from = offsets.get(key).map(_.offset).getOrElse(0L)
-        val capped = math.min(size, from + MaxPollBytesPerFile)
-        val to = lastCompleteOffset(p, from, capped)
-        (key, p.toAbsolutePath.toString, p.getFileName.toString, from, to)
-      }
+      // the delivery and the offset commit — no re-stat later, and a
+      // file deleted between the listing and the stat is SKIPPED (the
+      // documented delete tolerance), never a poll failure. Hard links
+      // (two names, one inode) deliver once: distinct by inode key.
+      // `to` is capped at MaxPollBytesPerFile (rolled back to a record
+      // boundary), the reference's bounded-batch poll; a single RECORD
+      // larger than the cap escapes it (scan to true EOF) so an
+      // oversized line progresses instead of wedging the file.
+      val snapshot = files.flatMap { p =>
+        scala.util.Try {
+          val key = inodeKey(p)
+          val size = Files.size(p)
+          val from = offsets.get(key).map(_.offset).getOrElse(0L)
+          val capped = math.min(size, from + MaxPollBytesPerFile)
+          val to = {
+            val t = lastCompleteOffset(p, from, capped)
+            if (t == from && capped < size) lastCompleteOffset(p, from, size)
+            else t
+          }
+          require(to - from <= Int.MaxValue - 8,
+            s"FileLog: single record over ${Int.MaxValue} bytes in $p")
+          (key, p.toAbsolutePath.toString, p.getFileName.toString, from, to)
+        }.toOption // vanished mid-poll → skip this file this round
+      }.distinctBy(_._1)
       val ranges = snapshot.filter { case (_, _, _, from, to) => to > from }
       val st = ChTypes.structure(structure)
       val fullSchema = st
@@ -184,20 +208,20 @@ object FileLogEngine {
                     bb.array()
                   } finally ch.close()
                 val text = new String(bytes, StandardCharsets.UTF_8)
+                val parse = InputFormats.lineParser(fmt, st) // once per range
                 var off = from
                 // advance the byte counter for EVERY segment (a blank
                 // line still consumes its newline byte — filtering first
                 // would shift every later record's _offset), emit only
-                // non-empty records
-                text.split("\n", -1).iterator.flatMap { line =>
+                // non-empty records; a trailing '\r' (CRLF writer) is
+                // part of the byte count but not of the record
+                text.split("\n", -1).iterator.flatMap { raw =>
                   val lineStart = off
-                  off += line.getBytes(StandardCharsets.UTF_8).length + 1
+                  off += raw.getBytes(StandardCharsets.UTF_8).length + 1
+                  val line = if (raw.endsWith("\r")) raw.dropRight(1) else raw
                   if (line.isEmpty) None
-                  else {
-                    val base = InputFormats.parseLine(line, fmt, st)
-                    Some(org.apache.spark.sql.Row.fromSeq(
-                      base.toSeq ++ Seq(fname, lineStart)))
-                  }
+                  else Some(org.apache.spark.sql.Row.fromSeq(
+                    parse(line).toSeq ++ Seq(fname, lineStart)))
                 }
               }
             }(fullEnc)

@@ -73,6 +73,17 @@ class AvroFormatSpec extends SparkSpec {
       java.time.LocalDateTime.parse("2001-02-03T04:05:06.000007"))
   }
 
+  test("non-identifier column names sanitize on write, restore on read") {
+    val st = StructType(Seq(
+      StructField("sum(k)", LongType, nullable = false),
+      StructField("sum_k_", LongType, nullable = false), // collides post-sanitize
+      StructField("né 日本", StringType, nullable = false)))
+    val base = df(st, Row(1L, 2L, "v"))
+    val back = AvroFormat.read(spark, AvroFormat.write(base))
+    assert(back.schema.fieldNames.toSeq === Seq("sum(k)", "sum_k_", "né 日本"))
+    assert(back.head() === Row(1L, 2L, "v"))
+  }
+
   test("wired through OutputFormats/InputFormats; registry row present") {
     val st = ChTypes.structure("n UInt64, s String")
     val base = df(st, Row(1L, "a"), Row(2L, "b,c"))

@@ -113,6 +113,35 @@ class FileLogSpec extends SparkSpec {
     assert(total.agg(sum("k")).head().getLong(0) === (1L to 15L).sum)
   }
 
+  test("CRLF records parse clean; the \\r byte stays in the offset math") {
+    val dir = Files.createTempDirectory("graft-filelog-crlf")
+    Files.write(dir.resolve("w.csv"), "1,x\r\n2,y\r\n".getBytes("UTF-8"),
+      StandardOpenOption.CREATE)
+    val t = FileLogEngine.create("flog8", dir.toString, "CSV", "k UInt64, v String")
+    val got = t.consume(spark).select("k", "v", "_offset").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq === Seq((1L, "x", 0L), (2L, "y", 5L)))
+  }
+
+  test("hard links deliver once (inode identity)") {
+    val dir = Files.createTempDirectory("graft-filelog-link")
+    val a = dir.resolve("a.csv")
+    append(a, Seq("1,1", "2,2"))
+    try Files.createLink(dir.resolve("alias.csv"), a)
+    catch { case _: UnsupportedOperationException => cancel("no hard links") }
+    val t = FileLogEngine.create("flog9", dir.toString, "CSV", "k UInt64, v UInt64")
+    assert(t.consume(spark).count() === 2) // once, not twice
+  }
+
+  test("a tab in a filename cannot corrupt the offset store") {
+    val dir = Files.createTempDirectory("graft-filelog-tabname")
+    append(dir.resolve("a\tb.csv"), Seq("1,1"))
+    val t = FileLogEngine.create("flog10", dir.toString, "CSV", "k UInt64, v UInt64")
+    assert(t.consume(spark).count() === 1)
+    append(dir.resolve("a\tb.csv"), Seq("2,2"))
+    assert(t.consume(spark).count() === 1) // offsets survived the reload
+  }
+
   test("JSONEachRow format variant") {
     val dir = Files.createTempDirectory("graft-filelog-json")
     append(dir.resolve("a.jsonl"),
