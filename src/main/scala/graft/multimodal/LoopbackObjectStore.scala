@@ -69,9 +69,13 @@ object LoopbackObjectStore {
           if (body.nonEmpty) ex.getResponseBody.write(body)
           ex.close()
         }
-        if (bucket == "s3imgs") {
+        if (bucket == "s3imgs" || bucket == "gsimgs") {
           // verify the presign: recompute the signature for this exact
-          // Host header + path from the request's own X-Amz-* params
+          // Host header + path from the request's own X-Amz-* params.
+          // `gsimgs` models the GCS XML API's AWS4-HMAC-SHA256 interop
+          // path (ref getObject.cpp:53-60's gs:// branch) — same
+          // verification, separate bucket so the q83 rows exercise the
+          // engine's isGs routing end-to-end.
           val p = queryParams(ex.getRequestURI.getRawQuery)
           val host = Option(ex.getRequestHeaders.getFirst("Host")).getOrElse("")
           val ok = (for {
@@ -85,7 +89,23 @@ object LoopbackObjectStore {
               p.getOrElse("X-Amz-Security-Token", ""), date, exp.toLong))
             cred.startsWith(creds.accessKeyId + "/") && sig == expected
           }).getOrElse(false)
+          // a once-valid presign must not verify forever: reject when
+          // X-Amz-Date + X-Amz-Expires is past (60 s skew tolerance),
+          // mirroring S3's AccessDenied on expired presigns — catches
+          // client-side expiry/clock bugs a signature check alone can't
+          val expired = (for {
+            date <- p.get("X-Amz-Date")
+            exp <- p.get("X-Amz-Expires").flatMap(_.toLongOption)
+          } yield scala.util.Try {
+            val signedAt = java.time.Instant.from(
+              java.time.format.DateTimeFormatter
+                .ofPattern("yyyyMMdd'T'HHmmss'Z'")
+                .withZone(java.time.ZoneOffset.UTC).parse(date))
+            java.time.Instant.now().isAfter(
+              signedAt.plusSeconds(exp).plusSeconds(60))
+          }.getOrElse(true)).getOrElse(true) // unparseable date = expired
           if (!ok) respond(403, "SignatureDoesNotMatch".getBytes)
+          else if (expired) respond(403, "AccessDenied: Request has expired".getBytes)
           else if (!Files.exists(file)) respond(404, Array.empty)
           else respond(200, Files.readAllBytes(file))
         } else if (bucket == "imgs") {

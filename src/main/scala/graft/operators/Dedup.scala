@@ -769,6 +769,29 @@ object Dedup {
     (0 until nTables).map(_ => rnd.shuffle((0 until dim).toList).take(nPlanes))
   }
 
+  /** Sentinel for [[lshCosineCoordPairs]]' `nPlanes`: derive the plane
+    * count from the corpus size instead of pinning it.
+    */
+  val AutoPlanes: Int = 0
+
+  /** The scale-safe plane-count policy: enough sign bits that the
+    * EXPECTED bucket occupancy n / 2^nPlanes stays ≤ 128 rows, i.e.
+    * `max(4, ceil(log2(n / 128)))` — equivalently 4 planes at n ≈ 2k
+    * (the sf0.1 corpus) growing by one per corpus doubling. Candidate
+    * pairs per bucket are quadratic in occupancy, so a FIXED nPlanes
+    * turns super-linear as the corpus grows (ScaleGrowth measured 23.6×
+    * work at 20× data for nPlanes=4, near-flat for this policy) — the
+    * reference likewise sizes LSH structures by corpus. Exposed so
+    * oracles/tests can replay the derived count.
+    */
+  def scaledPlaneCount(n: Long): Int = {
+    val target = 128.0
+    // the 1e-9 slack keeps exact powers of two from rounding UP when
+    // the double log ratio lands a hair above the integer
+    math.max(4, math.ceil(math.log(math.max(1L, n) / target) /
+      math.log(2.0) - 1e-9).toInt)
+  }
+
   /** Random-hyperplane LSH blocking with AXIS-ALIGNED planes (the
     * coordinate-sampling member of the sign-random-projection family):
     * bucket bit i of table t is `sign(v[k_{t,i}])` for a seeded choice of
@@ -779,6 +802,13 @@ object Dedup {
     * operator into an exact-oracle one. Same join/verify discipline as
     * [[lshCosinePairs]]: candidates meet only inside (table, bucket)
     * groups; cosine is verified map-side before any pair row shuffles.
+    *
+    * `nPlanes` defaults to [[AutoPlanes]]: a cheap count of the corpus
+    * (a pruned-scan COUNT job — parquet answers it from footer metadata)
+    * feeds [[scaledPlaneCount]], so the as-shipped default is the
+    * measured-near-flat parameterization at any scale. Pin `nPlanes`
+    * explicitly (as the d09/d10 replay oracles do) for bit-replayable
+    * bucketing across engines.
     */
   def lshCosineCoordPairs(
       df: DataFrame,
@@ -786,10 +816,12 @@ object Dedup {
       idCol: Column,
       minCosSim: Double,
       dim: Int,
-      nPlanes: Int = 4,
+      nPlanes: Int = AutoPlanes,
       nTables: Int = 16,
       seed: Long = 42L): DataFrame = {
-    val planes = lshCoordPlanes(dim, nPlanes, nTables, seed)
+    val effPlanes = math.min(math.min(dim, 62), // ≤ dim coords, bits fit a Long
+      if (nPlanes == AutoPlanes) scaledPlaneCount(df.count()) else nPlanes)
+    val planes = lshCoordPlanes(dim, effPlanes, nTables, seed)
     val tables = planes.zipWithIndex.map { case (coords, t) =>
       val bucketBits = coords.zipWithIndex.map { case (k, i) =>
         when(element_at(vecCol, k + 1) > lit(0f), lit(1L << i)).otherwise(lit(0L))

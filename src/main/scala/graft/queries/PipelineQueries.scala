@@ -24,7 +24,7 @@ object PipelineQueries {
     s"(CAST(('0x' || substr(md5(CAST($idExpr AS VARCHAR)), 1, 8)) AS BIGINT) % 100)"
 
   /** Deterministic PNG fixtures shared by q80 (file scheme) and q83
-    * (loopback http + s3 schemes): image i is (16+i)×(8+i) with
+    * (loopback http + s3 + gs schemes): image i is (16+i)×(8+i) with
     * pixel(x,y) = (x·7 + y·13 + i·31) % 256 on all three channels —
     * PNG is lossless, so the oracle replays Σ(r+g+b) in closed form.
     */
@@ -32,7 +32,7 @@ object PipelineQueries {
     val imgDir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft_q80_imgs")
     java.nio.file.Files.createDirectories(imgDir)
-    (1 to 4).foreach { i =>
+    (1 to 6).foreach { i =>
       val f = imgDir.resolve(s"img_$i.png")
       if (!java.nio.file.Files.exists(f)) {
         val w = 16 + i; val h = 8 + i
@@ -120,8 +120,10 @@ object PipelineQueries {
     // LOOPBACK http server — two rows over a plain http(s) CONNECTION
     // (endpoint-pinned to the loopback host), two rows as `s3://` URLs
     // through the real SigV4 presigner against a custom endpoint
-    // (path-style + port-in-host), with the server VERIFYING the
-    // signature before serving (403 on mismatch). Zero egress; same
+    // (path-style + port-in-host), and two rows as `gs://` URLs through
+    // the SAME presigner via the isGs route (GCS XML API HMAC interop,
+    // ref getObject.cpp:53-60) — with the server VERIFYING signature AND
+    // expiry before serving (403 on mismatch). Zero egress; same
     // closed-form pixel-checksum oracle as q80.
     "q83_multimodal_remote" -> ((s, _) => {
       import graft.multimodal.{Connections, LoopbackObjectStore, Multimodal}
@@ -134,6 +136,8 @@ object PipelineQueries {
         endpoint = s"http://127.0.0.1:$port")
       Connections.create("q83_s3", "AWS",
         endpoint = s"http://127.0.0.1:$port", credentialRef = "q83_creds")
+      Connections.create("q83_gs", "GCS",
+        endpoint = s"http://127.0.0.1:$port", credentialRef = "q83_creds")
       import s.implicits._
       val httpRows = Seq(1L, 2L)
         .map(i => (i, s"http://127.0.0.1:$port/imgs/img_$i.png"))
@@ -145,8 +149,14 @@ object PipelineQueries {
         .toDF("img_id", "url")
         .select(col("img_id"), lit("s3").as("scheme"),
           Connections.getObject(s, "q83_s3")(col("url")).as("bytes"))
+      val gsRows = Seq(5L, 6L)
+        .map(i => (i, s"gs://gsimgs/img_$i.png"))
+        .toDF("img_id", "url")
+        .select(col("img_id"), lit("gs").as("scheme"),
+          Connections.getObject(s, "q83_gs")(col("url")).as("bytes"))
       val decoded = Multimodal.withPixelChecksum(
-        Multimodal.withDecodedMeta(httpRows.unionAll(s3Rows), "bytes"), "bytes")
+        Multimodal.withDecodedMeta(
+          httpRows.unionAll(s3Rows).unionAll(gsRows), "bytes"), "bytes")
       decoded.select(col("img_id"), col("scheme"),
           col("meta.format").as("fmt"), col("meta.width").as("w"),
           col("meta.height").as("h"), col("pix_sum"))
@@ -181,11 +191,64 @@ object PipelineQueries {
       Files.copy(a, dir.resolve("b.csv"))
       val phase2 = t.consume(s).select(lit(2).as("phase"), col("k"), col("v"))
       FileLogEngine.drop(name)
+      // both batches are materialized, so the data dir and the table's
+      // offset metaDir can go now — repeated bench/verify cycles must
+      // not accumulate temp directories
+      for (root <- Seq(dir, java.nio.file.Paths.get(t.metaDir))) {
+        val s2 = Files.walk(root)
+        try s2.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+        finally s2.close()
+      }
       phase1.unionAll(phase2)
         .groupBy(col("phase"))
         .agg(count(lit(1)).as("n"),
           sum(col("k")).as("k_sum"), sum(col("v")).as("v_sum"))
         .orderBy(col("phase"))
+    }),
+
+    // FileLog → MATERIALIZED VIEW flow (ref 02024_storage_filelog_mv.sh):
+    // each poll's delivery runs through the MV's SELECT transform and
+    // APPENDS to the target table; the query aggregates over the TARGET,
+    // so the oracle pins exactly-once accumulation across polls (poll 1 =
+    // a.csv rows 1..12; poll 2 = a's appended 13..25 tail + new-inode
+    // b.csv rows 100..110 — nothing re-delivered, nothing dropped).
+    "q85_filelog_mv" -> ((s, _) => {
+      import graft.streaming.FileLogEngine
+      import java.nio.file.{Files, StandardOpenOption}
+      import java.nio.charset.StandardCharsets
+      val dir = Files.createTempDirectory("graft-q85")
+      val sinkRoot = Files.createTempDirectory("graft-q85-sink")
+      val sink = sinkRoot.resolve("mv_target").toString
+      def put(f: String, lines: Seq[String]): Unit =
+        Files.write(dir.resolve(f), lines.mkString("", "\n", "\n")
+            .getBytes(StandardCharsets.UTF_8),
+          StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      val name = s"q85_${System.nanoTime()}"
+      put("a.csv", (1 to 12).map(i => s"$i,${i * 7}"))
+      val t = FileLogEngine.create(name, dir.toString, "CSV",
+        "k UInt64, v UInt64")
+      // the MV's SELECT transform (k, v, k+v AS s) applied per poll,
+      // INSERT SELECT into the target — the reference's TO-table pattern
+      def mvInsert(): Unit = t.consume(s)
+        .select(col("k"), col("v"), (col("k") + col("v")).as("sv"))
+        .write.mode("append").parquet(sink)
+      mvInsert()
+      put("a.csv", (13 to 25).map(i => s"$i,${i * 7}"))
+      put("b.csv", (100 to 110).map(i => s"$i,${i * 7}"))
+      mvInsert()
+      val total = s.read.parquet(sink)
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
+          sum(col("v")).as("v_sum"), sum(col("sv")).as("sv_sum"))
+        .localCheckpoint(true) // materialize before the dirs go
+      FileLogEngine.drop(name)
+      for (root <- Seq(dir, sinkRoot, java.nio.file.Paths.get(t.metaDir))) {
+        val s2 = Files.walk(root)
+        try s2.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+        finally s2.close()
+      }
+      total
     }),
   )
 
@@ -238,15 +301,17 @@ object PipelineQueries {
       GROUP BY i
       ORDER BY img_id""",
     // same closed form; rows 1-2 arrive over plain http, 3-4 over
-    // SigV4-presigned s3:// against the loopback endpoint
+    // SigV4-presigned s3://, 5-6 over gs:// (same HMAC presign, GCS XML
+    // interop route) — all against the loopback endpoint
     "q83_multimodal_remote" -> """
       SELECT CAST(i AS BIGINT) AS img_id,
-             CASE WHEN i <= 2 THEN 'http' ELSE 's3' END AS scheme,
+             CASE WHEN i <= 2 THEN 'http'
+                  WHEN i <= 4 THEN 's3' ELSE 'gs' END AS scheme,
              'png' AS fmt,
              CAST(16 + i AS INT) AS w, CAST(8 + i AS INT) AS h,
              CAST(sum(3 * ((x.g * 7 + y.g * 13 + i * 31) % 256)) AS BIGINT)
                AS pix_sum
-      FROM (SELECT unnest([1, 2, 3, 4]) AS i) imgs
+      FROM (SELECT unnest([1, 2, 3, 4, 5, 6]) AS i) imgs
       JOIN generate_series(0, 25) x(g) ON x.g < 16 + i
       JOIN generate_series(0, 17) y(g) ON y.g < 8 + i
       GROUP BY i
@@ -266,5 +331,15 @@ object PipelineQueries {
              CAST(sum(3 * k) AS BIGINT)
       FROM p2
       ORDER BY phase""",
+    // the MV target accumulates a.csv's 1..25 (two polls, no overlap)
+    // plus b.csv's 100..110, each transformed (v=7k, sv=k+v=8k)
+    "q85_filelog_mv" -> """
+      WITH r AS (SELECT range AS k FROM range(1, 26)
+                 UNION ALL SELECT range FROM range(100, 111))
+      SELECT CAST(count(1) AS BIGINT) AS n,
+             CAST(sum(k) AS BIGINT) AS k_sum,
+             CAST(sum(7 * k) AS BIGINT) AS v_sum,
+             CAST(sum(8 * k) AS BIGINT) AS sv_sum
+      FROM r""",
   )
 }

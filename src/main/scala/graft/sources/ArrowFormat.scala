@@ -176,6 +176,9 @@ object ArrowFormat {
       mk: (VectorSchemaRoot, ByteArrayOutputStream) => org.apache.arrow.vector.ipc.ArrowWriter): Array[Byte] = {
     val st = df.schema
     val schema = new ArrowSchema(st.fields.map(toArrowField).toSeq.asJava)
+    // driver-bounded by contract: this writer renders an in-memory
+    // Array[Byte] (FORMAT output, same shape as the other ~30 writers);
+    // the distributed path is save()/readLines over a file set
     val rows = df.collect().toSeq
     val allocator = new RootAllocator()
     val root = VectorSchemaRoot.create(schema, allocator)

@@ -139,6 +139,8 @@ object AvroFormat {
       new GenericDatumWriter[GenericRecord](schema))
     writer.create(schema, out)
     val avroFields = schema.getFields.asScala.toArray // positional: order = st.fields
+    // driver-bounded by contract: in-memory Array[Byte] FORMAT output;
+    // the distributed path is save()/readLines over a file set
     try df.collect().foreach { r =>
       val rec = new GenericData.Record(schema)
       st.fields.indices.foreach { i =>

@@ -35,7 +35,10 @@ import org.apache.spark.sql.types._
   * Unions beyond the `{value, null}` nullable pattern do not overlap
   * members (the tests need none); a schema requiring member overlap
   * would lay out differently from the official compiler but the codec
-  * stays self-consistent.
+  * stays self-consistent: the writer sets the discriminant to the one
+  * active (non-null) member and writes only its slot, and the reader
+  * emits only the tagged member — a write → read round trip preserves
+  * every tag (CapnProtoFormatSpec "general union").
   */
 object CapnProtoFormat {
 
@@ -585,9 +588,28 @@ object CapnProtoFormat {
         }
       case None =>
         val st = v match { case r: Row => Option(r.schema); case _ => None }
+        // general (non-nullable-shape) union: exactly ONE member is
+        // active — the last one carrying a non-null value (all-null =
+        // the tag-0 member at its default). Write only that member and
+        // set its discriminant: the read side emits only the tagged
+        // member, so writing every slot with a zero discriminant would
+        // silently drop tag>=1 members on a write→read round trip.
+        val activeUnion: Option[CField] = {
+          val members = d.fields.zipWithIndex.filter(_._1.inUnion)
+          if (members.isEmpty) None
+          else members.reverse.collectFirst {
+            case (f, i) if memberOf(v, st, f.name, i)._1 != null => f
+          }.orElse(members.headOption.map(_._1))
+        }
+        activeUnion.foreach { f =>
+          if (lay.discOffset >= 0)
+            seg.orBits(dataAt.toLong * 64 + lay.discOffset.toLong * 16, 16,
+              lay.tags(f.name).toLong)
+        }
         d.fields.zipWithIndex.foreach { case (f, i) =>
           val (mv, mch) = memberOf(v, st, f.name, i)
           f.tpe match {
+            case _ if f.inUnion && !activeUnion.contains(f) => ()
             case TVoid => ()
             case t =>
               val slot = lay.slots(f.name)
@@ -620,6 +642,8 @@ object CapnProtoFormat {
     val sc = parseSchema(schemaText)
     val root = sc.structOf(messageName).fullName
     val out = new java.io.ByteArrayOutputStream()
+    // driver-bounded by contract: in-memory Array[Byte] FORMAT output;
+    // the distributed path is save()/readLines over a file set
     df.collect().foreach { row =>
       val seg = new Seg
       seg.alloc(1)

@@ -148,14 +148,19 @@ object FileLogEngine {
       // ONE stat pass: (key, path, name, from, to) snapshot drives both
       // the delivery and the offset commit — no re-stat later, and a
       // file deleted between the listing and the stat is SKIPPED (the
-      // documented delete tolerance), never a poll failure. Hard links
-      // (two names, one inode) deliver once: distinct by inode key.
-      // `to` is capped at MaxPollBytesPerFile (rolled back to a record
-      // boundary), the reference's bounded-batch poll; a single RECORD
-      // larger than the cap escapes it (scan to true EOF) so an
+      // documented delete tolerance), never a poll failure. Only
+      // CONFIRMED deletion (NoSuchFileException) is tolerated: any other
+      // stat/scan error (permission flap, I/O error) fails the WHOLE
+      // poll before offsets commit, so a transient error can never drop
+      // a file's persisted offset and re-deliver it from byte 0 — the
+      // reference likewise only drops per-inode metadata on removal.
+      // Hard links (two names, one inode) deliver once: distinct by
+      // inode key. `to` is capped at MaxPollBytesPerFile (rolled back to
+      // a record boundary), the reference's bounded-batch poll; a single
+      // RECORD larger than the cap escapes it (scan to true EOF) so an
       // oversized line progresses instead of wedging the file.
       val snapshot = files.flatMap { p =>
-        scala.util.Try {
+        try {
           val key = inodeKey(p)
           val size = Files.size(p)
           val from = offsets.get(key).map(_.offset).getOrElse(0L)
@@ -167,8 +172,13 @@ object FileLogEngine {
           }
           require(to - from <= Int.MaxValue - 8,
             s"FileLog: single record over ${Int.MaxValue} bytes in $p")
-          (key, p.toAbsolutePath.toString, p.getFileName.toString, from, to)
-        }.toOption // vanished mid-poll → skip this file this round
+          Some((key, p.toAbsolutePath.toString, p.getFileName.toString, from, to))
+        } catch {
+          // vanished between the listing and the stat/scan → skip this
+          // round; its offset entry drops with it (deletion contract)
+          case _: java.nio.file.NoSuchFileException => None
+          case _: java.io.FileNotFoundException => None
+        }
       }.distinctBy(_._1)
       val ranges = snapshot.filter { case (_, _, _, from, to) => to > from }
       val st = ChTypes.structure(structure)

@@ -112,10 +112,31 @@ object ScaleGrowth {
           minCosSim = 0.35, dim = 64, nPlanes = 4 + extra, nTables = 16)
     }
 
+    // d10 with the ENGINE-DEFAULT parameterization (nPlanes =
+    // AutoPlanes → scaledPlaneCount(n)): LSH pairs + star-contraction
+    // clustering end-to-end — proves the CLUSTER stage is also
+    // near-linear once candidate generation is scale-parameterized
+    // (d10's pinned nPlanes=4 row measures the oracle twin, which goes
+    // super-linear by the same candidate-pair growth as d09-fixed).
+    def d10Scaled: (SparkSession, String) => DataFrame = (s, dir) => {
+      val emb = graft.engine.Tables.t(s, dir, "embeddings")
+      val pairs = graft.operators.Dedup.lshCosineCoordPairs(
+          emb, col("embedding"), col("vec_id"),
+          minCosSim = 0.35, dim = 64, nTables = 16)
+        .select(col("id_a"), col("id_b"))
+      val labels = graft.operators.Dedup.connectedComponents(pairs)
+      emb.select(col("vec_id"))
+        .join(labels, emb("vec_id") === labels("id"), "left")
+        .select(col("vec_id"),
+          org.apache.spark.sql.functions.coalesce(
+            col("cluster_id"), col("vec_id")).as("cluster_id"))
+    }
+
     val results = factors.map { f =>
       val dir = synth(f)
-      val perQuery = (Queries.map(n => n -> graft.SparkEntry.queries(n)) :+
-          ("d09_lsh_cosine_scaled" -> d09Scaled(f))).map { case (name, fn) =>
+      val perQuery = (Queries.map(n => n -> graft.SparkEntry.queries(n)) ++
+          Seq("d09_lsh_cosine_scaled" -> d09Scaled(f),
+            "d10_lsh_clusters_scaled" -> d10Scaled)).map { case (name, fn) =>
         // untimed warm: JIT + page cache + index builds (v08)
         try fn(spark, dir).count()
         catch { case e: Throwable =>

@@ -226,6 +226,41 @@ class CapnProtoFormatSpec extends SparkSpec {
     assert(!got(2).isNullAt(0) && got(2).getLong(0) === 0L)
   }
 
+  test("general union: the ACTIVE member round-trips, tag >= 1 included") {
+    // beyond the {value,null} nullable shape: the writer must set the
+    // discriminant to the one active (non-null) member and write only
+    // its slot — the reader emits only the tagged member, so a zero
+    // discriminant would silently drop every tag>=1 member on a
+    // write -> read round trip
+    val proto =
+      """@0x9999999999999992;
+        |struct U {
+        |  a @0 : UInt64;
+        |  union {
+        |    num @1 : UInt64;
+        |    txt @2 : Text;
+        |  }
+        |}
+        |struct M {
+        |  u @0 : U;
+        |}""".stripMargin
+    val structure = StructType(Seq(
+      StructField("u", StructType(Seq(
+        StructField("a", LongType, nullable = false),
+        StructField("num", LongType, nullable = true),
+        StructField("txt", StringType, nullable = true))), nullable = false)))
+    val base = df(structure,
+      Row(Row(7L, 42L, null)), // tag 0 active
+      Row(Row(8L, null, "hi")), // tag 1 active — the previously-dropped case
+      Row(Row(9L, null, null))) // all-null = tag-0 member at its default
+    val bytes = CapnProtoFormat.write(base, proto, "M")
+    val back = CapnProtoFormat.read(spark, bytes, proto, "M", structure)
+    val got = back.collect().map(_.getStruct(0))
+    assert(got(0).getLong(0) === 7L && got(0).getLong(1) === 42L && got(0).isNullAt(2))
+    assert(got(1).getLong(0) === 8L && got(1).isNullAt(1) && got(1).getString(2) === "hi")
+    assert(got(2).getLong(0) === 9L && got(2).getLong(1) === 0L && got(2).isNullAt(2))
+  }
+
   test("Nullable(Text) union (02030 low_cardinality shape)") {
     val proto =
       """@0x9999999999999993;

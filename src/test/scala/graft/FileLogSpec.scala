@@ -123,6 +123,36 @@ class FileLogSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, "x", 0L), (2L, "y", 5L)))
   }
 
+  test("a failing file FAILS the poll without committing offsets; recovery resumes") {
+    // injection: a single record over the Int.MaxValue require (sparse
+    // file — a newline only past 2 GiB). Before the fix this require was
+    // swallowed by Try(...).toOption, silently skipping the file forever
+    // AND rebuilding the offset map without any file that erred — a
+    // TRANSIENT stat/scan error would reset a healthy file to byte 0
+    // (duplicate delivery). Now any non-deletion error aborts the poll
+    // BEFORE offsets commit, so the committed state never regresses.
+    val dir = Files.createTempDirectory("graft-filelog-err")
+    val a = dir.resolve("a.csv")
+    append(a, Seq("1,1", "2,2"))
+    val t = FileLogEngine.create("flog11", dir.toString, "CSV",
+      "k UInt64, v UInt64")
+    assert(ks(t.consume(spark)) === Seq(1L, 2L))
+    append(a, Seq("3,3"))
+    val big = dir.resolve("big.csv")
+    val ch = java.nio.channels.FileChannel.open(big,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    try ch.write(java.nio.ByteBuffer.wrap("9,9\n".getBytes),
+      2500000000L) // sparse: 2.5 GB of hole, then the only newline
+    finally ch.close()
+    intercept[IllegalArgumentException] { t.consume(spark) }
+    // the failed poll committed nothing: after removing the bad file,
+    // a.csv resumes from its COMMITTED offset — the appended row
+    // delivers exactly once, never rows 1-2 again from byte 0
+    Files.delete(big)
+    assert(ks(t.consume(spark)) === Seq(3L))
+    assert(t.consume(spark).count() === 0)
+  }
+
   test("hard links deliver once (inode identity)") {
     val dir = Files.createTempDirectory("graft-filelog-link")
     val a = dir.resolve("a.csv")

@@ -373,4 +373,36 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("LoopbackObjectStore rejects EXPIRED presigns; gs:// leg round-trips") {
+    import graft.multimodal.{Connections, LoopbackObjectStore, SigV4}
+    val dir = java.nio.file.Files.createTempDirectory("graft-loopback-exp")
+    java.nio.file.Files.write(dir.resolve("g.bin"), "gs-payload".getBytes)
+    val creds = Connections.ObjectStoreCredentials("LOOPAK2", "loop-secret-2")
+    val port = LoopbackObjectStore.port(dir, creds)
+    try {
+      // a once-valid presign must NOT verify forever: correctly signed,
+      // but X-Amz-Date + X-Amz-Expires is past (beyond the 60 s skew)
+      val staleDate = java.time.format.DateTimeFormatter
+        .ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.now().minusSeconds(3600))
+      val staleUrl = SigV4.presignGet(s"127.0.0.1:$port", "/gsimgs/g.bin",
+        creds.region, "s3", creds.accessKeyId, creds.secretAccessKey, "",
+        staleDate, 300, "http")
+      val ex = intercept[Exception] { Connections.httpFetch(staleUrl) }
+      assert(ex.getMessage.contains("403"), s"expected 403, got: $ex")
+      // the engine's gs:// route (isGs → path-style presign against the
+      // connection endpoint) serves end-to-end against the gsimgs bucket
+      Connections.registerCredentials("loop_gs", creds)
+      Connections.create("loopgs", "GCS",
+        endpoint = s"http://127.0.0.1:$port", credentialRef = "loop_gs")
+      val got = Seq("gs://gsimgs/g.bin").toDF("url")
+        .select(Connections.getObject(spark, "loopgs")(col("url")).as("obj"))
+        .head().getAs[Array[Byte]](0)
+      assert(new String(got, "UTF-8") === "gs-payload")
+    } finally {
+      Connections.drop("loopgs")
+      Connections.dropCredentials("loop_gs")
+    }
+  }
+
 }

@@ -149,6 +149,31 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.8, s"coord-LSH recall $recall over ${exact.size} exact pairs")
   }
 
+  test("lshCosineCoordPairs AutoPlanes default = the scaled-plane policy") {
+    // the engine default derives nPlanes from the corpus (constant
+    // expected bucket occupancy — the parameterization ScaleGrowth
+    // measured near-flat); pinning nPlanes stays available for
+    // bit-replayable oracles. The auto run must equal the pinned run at
+    // the derived count exactly (same seed → same coordinate choices).
+    import graft.operators.Dedup
+    assert(Dedup.scaledPlaneCount(100) === 4) // floor
+    assert(Dedup.scaledPlaneCount(2048) === 4) // sf0.1-ish corpus
+    assert(Dedup.scaledPlaneCount(4096) === 5) // +1 per doubling
+    assert(Dedup.scaledPlaneCount(40000) === 9) // the 20x ScaleGrowth corpus
+    assert(Dedup.scaledPlaneCount(128L << 30) === 30) // 100 TB-ish rows
+    val emb = graft.engine.Tables.t(spark, sfDir, "embeddings")
+    val derived = Dedup.scaledPlaneCount(emb.count())
+    def pairs(np: Int) = Dedup.lshCosineCoordPairs(emb, col("embedding"),
+        col("vec_id"), 0.35, dim = 64, nPlanes = np, nTables = 16)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = Dedup.lshCosineCoordPairs(emb, col("embedding"),
+        col("vec_id"), 0.35, dim = 64)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto === pairs(derived))
+  }
+
   test("embedding LSH cosine pairs ⊆ exact pairs, on sf0.001") {
     val emb = graft.engine.Tables.t(spark, sfDir, "embeddings")
     val exact = Dedup.embeddingDupPairs(emb, col("embedding"), col("vec_id"), 0.3)
