@@ -106,6 +106,13 @@ object Graft {
         minCosSim: Double): DataFrame =
       Dedup.lshCosinePairs(df, vecCol, idCol, minCosSim)
 
+    /** Axis-aligned-plane variant: engine-replayable bucketing and the
+      * scale-safe AutoPlanes default (nPlanes from the corpus count).
+      */
+    def lshCosineCoordPairs(vecCol: Column, idCol: Column,
+        minCosSim: Double, dim: Int): DataFrame =
+      Dedup.lshCosineCoordPairs(df, vecCol, idCol, minCosSim, dim)
+
     def dedupClusters(idA: Column, idB: Column): DataFrame =
       Dedup.connectedComponents(df.select(idA, idB))
 

@@ -28,6 +28,18 @@ object PipelineQueries {
     * pixel(x,y) = (x·7 + y·13 + i·31) % 256 on all three channels —
     * PNG is lossless, so the oracle replays Σ(r+g+b) in closed form.
     */
+  /** Recursive temp-dir delete for the FileLog queries (q84/q85): their
+    * batches are materialized before cleanup, so repeated bench/verify
+    * cycles must not accumulate data/meta temp directories.
+    */
+  private def rmTree(roots: java.nio.file.Path*): Unit =
+    roots.foreach { root =>
+      val s = java.nio.file.Files.walk(root)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally s.close()
+    }
+
   private def pngFixtures(): java.nio.file.Path = {
     val imgDir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft_q80_imgs")
@@ -191,15 +203,7 @@ object PipelineQueries {
       Files.copy(a, dir.resolve("b.csv"))
       val phase2 = t.consume(s).select(lit(2).as("phase"), col("k"), col("v"))
       FileLogEngine.drop(name)
-      // both batches are materialized, so the data dir and the table's
-      // offset metaDir can go now — repeated bench/verify cycles must
-      // not accumulate temp directories
-      for (root <- Seq(dir, java.nio.file.Paths.get(t.metaDir))) {
-        val s2 = Files.walk(root)
-        try s2.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.deleteIfExists(p))
-        finally s2.close()
-      }
+      rmTree(dir, java.nio.file.Paths.get(t.metaDir))
       phase1.unionAll(phase2)
         .groupBy(col("phase"))
         .agg(count(lit(1)).as("n"),
@@ -242,12 +246,7 @@ object PipelineQueries {
           sum(col("v")).as("v_sum"), sum(col("sv")).as("sv_sum"))
         .localCheckpoint(true) // materialize before the dirs go
       FileLogEngine.drop(name)
-      for (root <- Seq(dir, sinkRoot, java.nio.file.Paths.get(t.metaDir))) {
-        val s2 = Files.walk(root)
-        try s2.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.deleteIfExists(p))
-        finally s2.close()
-      }
+      rmTree(dir, sinkRoot, java.nio.file.Paths.get(t.metaDir))
       total
     }),
   )

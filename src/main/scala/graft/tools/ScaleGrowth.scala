@@ -97,20 +97,16 @@ object ScaleGrowth {
       out
     }
 
-    // d09 with nPlanes grown by log2(factor): the scale-correct
-    // parameterization (constant expected bucket occupancy — candidate
-    // pairs stay linear in rows). The SparkEntry query pins nPlanes=4
-    // for its oracle; at 100 TB the caller sets nPlanes ≈ log2(n) -
-    // log2(targetBucketSize) and this row measures that policy.
-    def d09Scaled(factor: Int): (SparkSession, String) => DataFrame = {
-      val extra = math.max(0,
-        (math.log(factor.toDouble) / math.log(2.0)).round.toInt)
-      (s, dir) =>
-        graft.operators.Dedup.lshCosineCoordPairs(
-          graft.engine.Tables.t(s, dir, "embeddings"),
-          col("embedding"), col("vec_id"),
-          minCosSim = 0.35, dim = 64, nPlanes = 4 + extra, nTables = 16)
-    }
+    // d09 at the ENGINE DEFAULT (nPlanes omitted → AutoPlanes →
+    // scaledPlaneCount(corpus count)): constant expected bucket
+    // occupancy, candidate pairs linear in rows. The SparkEntry query
+    // pins nPlanes=4 for its bit-replayable oracle; this row measures
+    // exactly what a caller gets as shipped.
+    def d09Scaled: (SparkSession, String) => DataFrame = (s, dir) =>
+      graft.operators.Dedup.lshCosineCoordPairs(
+        graft.engine.Tables.t(s, dir, "embeddings"),
+        col("embedding"), col("vec_id"),
+        minCosSim = 0.35, dim = 64, nTables = 16)
 
     // d10 with the ENGINE-DEFAULT parameterization (nPlanes =
     // AutoPlanes → scaledPlaneCount(n)): LSH pairs + star-contraction
@@ -135,7 +131,7 @@ object ScaleGrowth {
     val results = factors.map { f =>
       val dir = synth(f)
       val perQuery = (Queries.map(n => n -> graft.SparkEntry.queries(n)) ++
-          Seq("d09_lsh_cosine_scaled" -> d09Scaled(f),
+          Seq("d09_lsh_cosine_scaled" -> d09Scaled,
             "d10_lsh_clusters_scaled" -> d10Scaled)).map { case (name, fn) =>
         // untimed warm: JIT + page cache + index builds (v08)
         try fn(spark, dir).count()
