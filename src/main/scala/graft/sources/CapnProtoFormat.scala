@@ -587,19 +587,37 @@ object CapnProtoFormat {
           }
         }
       case None =>
+        // a bare (non-Row) column value can only map to the {value,null}
+        // 2-member union — the reference rejects "fake nullable" targets
+        // (3-member unions, plain value/null fields) with
+        // CAPN_PROTO_BAD_CAST (02030_capnp_fake_nullable)
+        v match {
+          case null | _: Row | _: scala.collection.Map[_, _] => ()
+          case other => throw new IllegalArgumentException(
+            s"CapnProto: cannot write a bare ${other.getClass.getSimpleName} " +
+              s"into struct '$name' — Nullable maps only to the 2-member " +
+              "{value,null} union (ref 02030 fake_nullable, CAPN_PROTO_BAD_CAST)")
+        }
         val st = v match { case r: Row => Option(r.schema); case _ => None }
         // general (non-nullable-shape) union: exactly ONE member is
-        // active — the last one carrying a non-null value (all-null =
-        // the tag-0 member at its default). Write only that member and
-        // set its discriminant: the read side emits only the tagged
-        // member, so writing every slot with a zero discriminant would
-        // silently drop tag>=1 members on a write→read round trip.
+        // active. More than one non-null member is ambiguous — the
+        // reference rejects it (02030_capnp_unnamed_union,
+        // CAPN_PROTO_BAD_CAST); all-null = the tag-0 member at its
+        // default. Write only the active member and set its
+        // discriminant: the read side emits only the tagged member, so
+        // writing every slot with a zero discriminant would silently
+        // drop tag>=1 members on a write→read round trip.
         val activeUnion: Option[CField] = {
-          val members = d.fields.zipWithIndex.filter(_._1.inUnion)
-          if (members.isEmpty) None
-          else members.reverse.collectFirst {
-            case (f, i) if memberOf(v, st, f.name, i)._1 != null => f
-          }.orElse(members.headOption.map(_._1))
+          val nonNull = d.fields.zipWithIndex.filter { case (f, i) =>
+            f.inUnion && memberOf(v, st, f.name, i)._1 != null
+          }.map(_._1)
+          if (nonNull.length > 1) throw new IllegalArgumentException(
+            s"CapnProto: ${nonNull.map(_.name).mkString(", ")} are all " +
+              s"non-null but are members of one union in '$name' — a union " +
+              "holds exactly one active member (ref 02030 unnamed_union, " +
+              "CAPN_PROTO_BAD_CAST)")
+          nonNull.lastOption
+            .orElse(d.fields.find(_.inUnion))
         }
         activeUnion.foreach { f =>
           if (lay.discOffset >= 0)

@@ -261,6 +261,60 @@ class CapnProtoFormatSpec extends SparkSpec {
     assert(got(2).getLong(0) === 9L && got(2).getLong(1) === 0L && got(2).isNullAt(2))
   }
 
+  test("02030 error pins: ambiguous union writes and fake-nullable targets rejected") {
+    // the reference answers all three shapes with CAPN_PROTO_BAD_CAST
+    // (02030_capnp_format.sh:115-117); silent member-dropping or
+    // every-member-writes would corrupt the wire instead
+    val unionProto =
+      """@0x9999999999999991;
+        |struct M {
+        |  union {
+        |    a @0 : UInt64;
+        |    b @1 : Text;
+        |  }
+        |}""".stripMargin
+    val st1 = StructType(Seq(
+      StructField("a", LongType, nullable = true),
+      StructField("b", StringType, nullable = true)))
+    // two non-null union members in one row = ambiguous (02030:115)
+    val ex1 = intercept[IllegalArgumentException] {
+      CapnProtoFormat.write(df(st1, Row(5L, "5")), unionProto, "M")
+    }
+    assert(ex1.getMessage.contains("one active member"))
+    // ...but one-active-at-a-time rows write fine through the same schema
+    val ok = CapnProtoFormat.read(spark,
+      CapnProtoFormat.write(df(st1, Row(5L, null), Row(null, "x")),
+        unionProto, "M"), unionProto, "M", st1).collect()
+    assert(ok(0).getLong(0) === 5L && ok(0).isNullAt(1))
+    assert(ok(1).isNullAt(0) && ok(1).getString(1) === "x")
+
+    val fakeProto =
+      """@0x9999999999999990;
+        |struct FakeNullable1 {
+        |  union {
+        |    value @0 : Text;
+        |    null @1 : Void;
+        |    trash @2 : Text;
+        |  }
+        |}
+        |struct FakeNullable2 {
+        |  value @0 : Text;
+        |  null @1 : Void;
+        |}
+        |struct M1 { nullable1 @0 : FakeNullable1; }
+        |struct M2 { nullable2 @0 : FakeNullable2; }""".stripMargin
+    // a Nullable column may only map to the 2-member {value,null} union:
+    // a 3-member union (02030:116) and plain value/null FIELDS
+    // (02030:117) both reject the bare value
+    for ((msg, col) <- Seq("M1" -> "nullable1", "M2" -> "nullable2")) {
+      val st = StructType(Seq(StructField(col, StringType, nullable = true)))
+      val ex = intercept[IllegalArgumentException] {
+        CapnProtoFormat.write(df(st, Row("x")), fakeProto, msg)
+      }
+      assert(ex.getMessage.contains("{value,null}"), s"$msg: ${ex.getMessage}")
+    }
+  }
+
   test("Nullable(Text) union (02030 low_cardinality shape)") {
     val proto =
       """@0x9999999999999993;
