@@ -720,6 +720,15 @@ object Dedup {
   /** Scale path for embedding near-dup: sign of r random hyperplane
     * projections → bucket; pairs meet only within a bucket. Recall is
     * tunable via number of hash tables (repeat with different seeds).
+    *
+    * The defaults are tuned for recall at the test corpus size; at a
+    * growing corpus, grow `nPlanes` ≈ log2(n) − log2(targetBucketRows)
+    * to hold bucket occupancy (candidate pairs linear in rows) and grow
+    * `nTables` to hold recall — gaussian-plane recall per table is
+    * (1 − θ/π)^nPlanes, so added planes must be compensated with more
+    * tables. [[lshCosineCoordPairs]] automates the occupancy half via
+    * its [[AutoPlanes]] default and is the engine's documented scale
+    * path (its axis-aligned buckets are also engine-replayable).
     */
   def lshCosinePairs(
       df: DataFrame,
