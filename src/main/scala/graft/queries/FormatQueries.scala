@@ -135,8 +135,12 @@ object FormatQueries {
         "row_binary" -> InputFormats.parseBytes(s,
           OutputFormats.writeBytes(base, "RowBinaryWithNamesAndTypes"),
           "RowBinaryWithNamesAndTypes"),
-        // Arrow IPC stream via the arrow-java library Spark ships
-        // (ref ArrowBlockOutputFormat.cpp); self-describing read
+        // Arrow IPC — both framings — via the arrow-java library Spark
+        // ships (ref ArrowBlockOutputFormat.cpp): the random-access FILE
+        // format (footer + magic) and the stream format; both reads
+        // self-describing
+        "arrow" -> InputFormats.parseBytes(s,
+          OutputFormats.writeBytes(base, "Arrow"), "Arrow"),
         "arrow_stream" -> InputFormats.parseBytes(s,
           OutputFormats.writeBytes(base, "ArrowStream"), "ArrowStream"),
         // Avro container via the Avro Java library (ref
@@ -229,7 +233,7 @@ object FormatQueries {
                CAST(min(o_orderdate) AS VARCHAR) AS first_day
         FROM orders WHERE o_orderkey <= 500),
       fmts AS (
-        SELECT unnest(['arrow_stream', 'avro', 'bson_each_row', 'capnproto', 'csv_typed', 'custom_separated', 'json_compact_typed',
+        SELECT unnest(['arrow', 'arrow_stream', 'avro', 'bson_each_row', 'capnproto', 'csv_typed', 'custom_separated', 'json_compact_typed',
                        'json_each_row', 'json_framed', 'json_object', 'jsoncolumns', 'msgpack',
                        'mysql_dump', 'native', 'protobuf', 'protobuf_list', 'row_binary',
                        'save_tsv', 'template', 'tskv', 'tsv_typed', 'values']) AS fmt)
