@@ -107,11 +107,16 @@ object Graft {
       Dedup.lshCosinePairs(df, vecCol, idCol, minCosSim)
 
     /** Axis-aligned-plane variant: engine-replayable bucketing and the
-      * scale-safe AutoPlanes default (nPlanes from the corpus count).
+      * scale-safe AutoPlanes default (nPlanes derived from a count of
+      * this frame — one extra job; pass `nPlanes` explicitly when the
+      * frame is an expensive derived plan or when bit-replayable
+      * bucketing across engines is needed).
       */
     def lshCosineCoordPairs(vecCol: Column, idCol: Column,
-        minCosSim: Double, dim: Int): DataFrame =
-      Dedup.lshCosineCoordPairs(df, vecCol, idCol, minCosSim, dim)
+        minCosSim: Double, dim: Int, nPlanes: Int = Dedup.AutoPlanes,
+        nTables: Int = 16, seed: Long = 42L): DataFrame =
+      Dedup.lshCosineCoordPairs(df, vecCol, idCol, minCosSim, dim,
+        nPlanes, nTables, seed)
 
     def dedupClusters(idA: Column, idB: Column): DataFrame =
       Dedup.connectedComponents(df.select(idA, idB))

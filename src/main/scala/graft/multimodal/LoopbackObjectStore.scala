@@ -81,12 +81,12 @@ object LoopbackObjectStore {
           val ok = (for {
             sig <- p.get("X-Amz-Signature")
             date <- p.get("X-Amz-Date")
-            exp <- p.get("X-Amz-Expires")
+            exp <- p.get("X-Amz-Expires").flatMap(_.toLongOption) // junk = 403, not 500
             cred <- p.get("X-Amz-Credential")
           } yield {
             val expected = signatureOf(SigV4.presignGet(host, path,
               creds.region, "s3", creds.accessKeyId, creds.secretAccessKey,
-              p.getOrElse("X-Amz-Security-Token", ""), date, exp.toLong))
+              p.getOrElse("X-Amz-Security-Token", ""), date, exp))
             cred.startsWith(creds.accessKeyId + "/") && sig == expected
           }).getOrElse(false)
           // a once-valid presign must not verify forever: reject when

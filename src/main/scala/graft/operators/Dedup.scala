@@ -812,12 +812,15 @@ object Dedup {
     * [[lshCosinePairs]]: candidates meet only inside (table, bucket)
     * groups; cosine is verified map-side before any pair row shuffles.
     *
-    * `nPlanes` defaults to [[AutoPlanes]]: a cheap count of the corpus
-    * (a pruned-scan COUNT job — parquet answers it from footer metadata)
-    * feeds [[scaledPlaneCount]], so the as-shipped default is the
-    * measured-near-flat parameterization at any scale. Pin `nPlanes`
-    * explicitly (as the d09/d10 replay oracles do) for bit-replayable
-    * bucketing across engines.
+    * `nPlanes` defaults to [[AutoPlanes]]: a count of the input feeds
+    * [[scaledPlaneCount]], so the as-shipped default is the
+    * measured-near-flat parameterization at any scale. The count is one
+    * extra Spark job at call time — footer-metadata-cheap for a bare
+    * parquet table, but a derived frame (joins/filters upstream)
+    * executes its plan once for the count and again for the LSH job:
+    * for those, persist the input or pin `nPlanes` explicitly. Pinning
+    * (as the d09/d10 replay oracles do) is also what makes the
+    * bucketing bit-replayable across engines.
     */
   def lshCosineCoordPairs(
       df: DataFrame,

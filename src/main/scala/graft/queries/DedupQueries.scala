@@ -14,6 +14,25 @@ object DedupQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** d10's cluster assembly — coord-LSH pairs → large/small-star
+    * connected components → one label per vector (singletons label
+    * themselves). Shared with ScaleGrowth's engine-default measurement
+    * row so the measured pipeline IS the query's: the d10 query pins
+    * `nPlanes = 4` for its bit-replayable oracle; pass
+    * [[Dedup.AutoPlanes]] for the shipped scale-safe default.
+    */
+  def lshClusterLabels(emb: DataFrame, nPlanes: Int): DataFrame = {
+    val pairs = Dedup.lshCosineCoordPairs(emb, col("embedding"),
+        col("vec_id"), minCosSim = 0.35, dim = 64, nPlanes = nPlanes,
+        nTables = 16)
+      .select(col("id_a"), col("id_b"))
+    val labels = Dedup.connectedComponents(pairs)
+    emb.select(col("vec_id"))
+      .join(labels, emb("vec_id") === labels("id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: canonical doc per fingerprint group.
     "d01_exact_dedup" -> ((s, dir) => {
@@ -109,18 +128,9 @@ object DedupQueries {
     // d07 becomes at 100 TB (candidate generation swaps from the exact
     // all-pairs join to bucketed LSH); exact oracle since round 12 — the
     // recursive-CTE min-label closure runs over the REPLAYED LSH pair set.
-    "d10_lsh_clusters" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val pairs = Dedup.lshCosineCoordPairs(emb, col("embedding"), col("vec_id"),
-          minCosSim = 0.35, dim = 64, nPlanes = 4, nTables = 16)
-        .select(col("id_a"), col("id_b"))
-      val labels = Dedup.connectedComponents(pairs)
-      emb.select(col("vec_id"))
-        .join(labels, emb("vec_id") === labels("id"), "left")
-        .select(col("vec_id"),
-          coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
-        .orderBy(col("vec_id"))
-    }),
+    "d10_lsh_clusters" -> ((s, dir) =>
+      lshClusterLabels(t(s, dir, "embeddings"), nPlanes = 4)
+        .orderBy(col("vec_id"))),
     // The reference's scalar document-sketch grid (FunctionsStringHash:
     // ngram/wordShingle SimHash/MinHash, value-exact CRC32-C port —
     // golden-asserted in StringSketchHashSpec) driven end-to-end: every

@@ -23,11 +23,6 @@ object PipelineQueries {
   private def bucketSql(idExpr: String): String =
     s"(CAST(('0x' || substr(md5(CAST($idExpr AS VARCHAR)), 1, 8)) AS BIGINT) % 100)"
 
-  /** Deterministic PNG fixtures shared by q80 (file scheme) and q83
-    * (loopback http + s3 + gs schemes): image i is (16+i)×(8+i) with
-    * pixel(x,y) = (x·7 + y·13 + i·31) % 256 on all three channels —
-    * PNG is lossless, so the oracle replays Σ(r+g+b) in closed form.
-    */
   /** Recursive temp-dir delete for the FileLog queries (q84/q85): their
     * batches are materialized before cleanup, so repeated bench/verify
     * cycles must not accumulate data/meta temp directories.
@@ -40,6 +35,11 @@ object PipelineQueries {
       finally s.close()
     }
 
+  /** Deterministic PNG fixtures shared by q80 (file scheme) and q83
+    * (loopback http + s3 + gs schemes): image i is (16+i)×(8+i) with
+    * pixel(x,y) = (x·7 + y·13 + i·31) % 256 on all three channels —
+    * PNG is lossless, so the oracle replays Σ(r+g+b) in closed form.
+    */
   private def pngFixtures(): java.nio.file.Path = {
     val imgDir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft_q80_imgs")

@@ -146,19 +146,28 @@ object FileLogEngine {
           .filter(Files.isRegularFile(_)).toSeq.sortBy(_.getFileName.toString)
         finally listing.close() // directory stream = one fd per poll otherwise
       // ONE stat pass: (key, path, name, from, to) snapshot drives both
-      // the delivery and the offset commit — no re-stat later, and a
-      // file deleted between the listing and the stat is SKIPPED (the
-      // documented delete tolerance), never a poll failure. Only
-      // CONFIRMED deletion (NoSuchFileException) is tolerated: any other
-      // stat/scan error (permission flap, I/O error) fails the WHOLE
-      // poll before offsets commit, so a transient error can never drop
-      // a file's persisted offset and re-deliver it from byte 0 — the
-      // reference likewise only drops per-inode metadata on removal.
+      // the delivery and the offset commit — no re-stat later. Per-file
+      // error policy, by failure class:
+      //  - CONFIRMED deletion (NoSuchFileException): file skipped this
+      //    round, its offset entry drops with it — the documented
+      //    delete tolerance, never a poll failure;
+      //  - PERMANENT per-file condition (a single record over the 2 GiB
+      //    task-buffer bound — retrying can never fix it): the file is
+      //    QUARANTINED, not the table: it joins the snapshot with an
+      //    empty range so its committed offset is PRESERVED (never reset
+      //    to 0), delivers nothing, and warns loudly every poll; other
+      //    files keep streaming;
+      //  - anything else (permission flap, I/O error — presumed
+      //    TRANSIENT): the whole poll fails BEFORE offsets commit, so a
+      //    flap can never drop a file's offset and re-deliver from
+      //    byte 0 — the reference likewise only drops per-inode metadata
+      //    on removal.
       // Hard links (two names, one inode) deliver once: distinct by
       // inode key. `to` is capped at MaxPollBytesPerFile (rolled back to
       // a record boundary), the reference's bounded-batch poll; a single
-      // RECORD larger than the cap escapes it (scan to true EOF) so an
-      // oversized line progresses instead of wedging the file.
+      // RECORD larger than the cap (but under the bound) escapes it
+      // (scan to true EOF) so an oversized line progresses instead of
+      // wedging the file.
       val snapshot = files.flatMap { p =>
         try {
           val key = inodeKey(p)
@@ -170,9 +179,12 @@ object FileLogEngine {
             if (t == from && capped < size) lastCompleteOffset(p, from, size)
             else t
           }
-          require(to - from <= Int.MaxValue - 8,
-            s"FileLog: single record over ${Int.MaxValue} bytes in $p")
-          Some((key, p.toAbsolutePath.toString, p.getFileName.toString, from, to))
+          val quarantined = to - from > Int.MaxValue - 8
+          if (quarantined) System.err.println(
+            s"[filelog] QUARANTINED $p: single record over ${Int.MaxValue - 8} " +
+              s"bytes at offset $from — offset preserved, file skipped until fixed")
+          Some((key, p.toAbsolutePath.toString, p.getFileName.toString, from,
+            if (quarantined) from else to))
         } catch {
           // vanished between the listing and the stat/scan → skip this
           // round; its offset entry drops with it (deletion contract)

@@ -114,19 +114,12 @@ object ScaleGrowth {
     // near-linear once candidate generation is scale-parameterized
     // (d10's pinned nPlanes=4 row measures the oracle twin, which goes
     // super-linear by the same candidate-pair growth as d09-fixed).
-    def d10Scaled: (SparkSession, String) => DataFrame = (s, dir) => {
-      val emb = graft.engine.Tables.t(s, dir, "embeddings")
-      val pairs = graft.operators.Dedup.lshCosineCoordPairs(
-          emb, col("embedding"), col("vec_id"),
-          minCosSim = 0.35, dim = 64, nTables = 16)
-        .select(col("id_a"), col("id_b"))
-      val labels = graft.operators.Dedup.connectedComponents(pairs)
-      emb.select(col("vec_id"))
-        .join(labels, emb("vec_id") === labels("id"), "left")
-        .select(col("vec_id"),
-          org.apache.spark.sql.functions.coalesce(
-            col("cluster_id"), col("vec_id")).as("cluster_id"))
-    }
+    // Same assembly as the d10 query itself (DedupQueries.lshClusterLabels)
+    // so the measured pipeline cannot drift from the shipped one.
+    def d10Scaled: (SparkSession, String) => DataFrame = (s, dir) =>
+      graft.queries.DedupQueries.lshClusterLabels(
+        graft.engine.Tables.t(s, dir, "embeddings"),
+        graft.operators.Dedup.AutoPlanes)
 
     val results = factors.map { f =>
       val dir = synth(f)

@@ -123,14 +123,16 @@ class FileLogSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, "x", 0L), (2L, "y", 5L)))
   }
 
-  test("a failing file FAILS the poll without committing offsets; recovery resumes") {
-    // injection: a single record over the Int.MaxValue require (sparse
-    // file — a newline only past 2 GiB). Before the fix this require was
-    // swallowed by Try(...).toOption, silently skipping the file forever
-    // AND rebuilding the offset map without any file that erred — a
-    // TRANSIENT stat/scan error would reset a healthy file to byte 0
-    // (duplicate delivery). Now any non-deletion error aborts the poll
-    // BEFORE offsets commit, so the committed state never regresses.
+  test("a poisoned file is QUARANTINED per-file: offsets preserved, table flows") {
+    // injection: a single record over the 2 GiB task-buffer bound
+    // (sparse file — its only newline past 2.5 GB). The r16 code
+    // swallowed this in Try(...).toOption — silently skipping the file
+    // forever AND rebuilding the offset map without any file that
+    // erred, so a TRANSIENT stat/scan error could reset a healthy file
+    // to byte 0 (duplicate delivery). Contract now: transient errors
+    // fail the poll before offsets commit; this PERMANENT condition
+    // quarantines only the poisoned file (offset preserved, loud
+    // warning) while the rest of the table keeps streaming.
     val dir = Files.createTempDirectory("graft-filelog-err")
     val a = dir.resolve("a.csv")
     append(a, Seq("1,1", "2,2"))
@@ -144,12 +146,18 @@ class FileLogSpec extends SparkSpec {
     try ch.write(java.nio.ByteBuffer.wrap("9,9\n".getBytes),
       2500000000L) // sparse: 2.5 GB of hole, then the only newline
     finally ch.close()
-    intercept[IllegalArgumentException] { t.consume(spark) }
-    // the failed poll committed nothing: after removing the bad file,
-    // a.csv resumes from its COMMITTED offset — the appended row
-    // delivers exactly once, never rows 1-2 again from byte 0
-    Files.delete(big)
+    // the poisoned file must not wedge the table: a's append delivers,
+    // big delivers nothing and its offset stays 0 (never "consumed")
     assert(ks(t.consume(spark)) === Seq(3L))
+    assert(t.consume(spark).count() === 0)
+    // operator fixes the file in place (same inode): because the
+    // quarantine preserved offset 0, the repaired content delivers in
+    // full — nothing was skipped-and-committed during the bad polls
+    val fix = java.nio.channels.FileChannel.open(big,
+      StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
+    try fix.write(java.nio.ByteBuffer.wrap("9,9\n".getBytes))
+    finally fix.close()
+    assert(ks(t.consume(spark)) === Seq(9L))
     assert(t.consume(spark).count() === 0)
   }
 
