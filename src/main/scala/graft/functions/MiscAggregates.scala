@@ -171,27 +171,52 @@ object MiscAggregates {
     val k = xCols.size
     val xs = xCols.map(_.cast("double"))
     val y = labelCol.cast("double")
-    val data = df.select((xs :+ y).zipWithIndex.map { case (c, i) => c.as(s"_$i") }: _*)
-      .persist()
-    val n = data.count().toDouble
+    // MLlib's own shape for iterative GD (treeAggregate over one cached
+    // primitive-array RDD): with literal weights in a DataFrame plan,
+    // EVERY iteration is a new plan — 30 rounds of Catalyst analysis +
+    // whole-stage-codegen compilation dominated the runtime (measured
+    // ~2.5 s at sf0.1 vs ~0.5 s for the actual arithmetic). The cached
+    // vector form runs each step as one closure-only job. na.drop
+    // matches the SQL semantics the plan form had (a null feature made
+    // z — hence every gradient term of that row — null, dropping the
+    // row from all sums).
+    val vecs = df.select((xs :+ y).zipWithIndex.map { case (c, i) => c.as(s"_$i") }: _*)
+      .na.drop()
+      .rdd.map { r =>
+        val a = new Array[Double](k + 1)
+        var i = 0; while (i <= k) { a(i) = r.getDouble(i); i += 1 }
+        a
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = vecs.count().toDouble
     var w = new Array[Double](k)
     var b = 0.0
     var it = 0
     while (it < iters) {
-      val z = (0 until k).map(i => col(s"_$i") * lit(w(i))).foldLeft(lit(b): Column)(_ + _)
-      val err = lit(1.0) / (lit(1.0) + exp(-z)) - col(s"_$k")
-      val gradAggs = (0 until k).map(i => sum(err * col(s"_$i")).as(s"g_$i")) :+
-        sum(err).as("g_b")
-      val g = data.agg(gradAggs.head, gradAggs.tail: _*).head() // bounded row
-      for (i <- 0 until k) w(i) -= lr * g.getAs[Double](s"g_$i") / n
-      b -= lr * g.getAs[Double]("g_b") / n
+      val wB = w.clone(); val bB = b // stable task-closure copies
+      val (gw, gb) = vecs.treeAggregate((new Array[Double](k), 0.0))(
+        seqOp = { case ((acc, accB), v) =>
+          var z = bB; var i = 0
+          while (i < k) { z += v(i) * wB(i); i += 1 }
+          val err = 1.0 / (1.0 + math.exp(-z)) - v(k)
+          i = 0; while (i < k) { acc(i) += err * v(i); i += 1 }
+          (acc, accB + err)
+        },
+        combOp = { case ((a1, b1), (a2, b2)) =>
+          var i = 0; while (i < k) { a1(i) += a2(i); i += 1 }
+          (a1, b1 + b2)
+        })
+      for (i <- 0 until k) w(i) -= lr * gw(i) / n
+      b -= lr * gb / n
       it += 1
     }
-    val zFin = (0 until k).map(i => col(s"_$i") * lit(w(i))).foldLeft(lit(b): Column)(_ + _)
-    val acc = data.agg(
-      avg(when((zFin > 0).cast("double") === col(s"_$k"), 1.0).otherwise(0.0)).as("acc"))
-      .head().getAs[Double]("acc")
-    data.unpersist()
+    val wF = w.clone(); val bF = b
+    val kk = k
+    val acc = vecs.map { v =>
+      var z = bF; var i = 0
+      while (i < kk) { z += v(i) * wF(i); i += 1 }
+      if ((if (z > 0) 1.0 else 0.0) == v(kk)) 1L else 0L
+    }.fold(0L)(_ + _) / n
+    vecs.unpersist(blocking = false)
     val cols = (0 until k).map(i => lit(w(i)).as(s"w${i + 1}")) :+
       lit(b).as("intercept") :+ lit(acc).as("accuracy")
     val spark = df.sparkSession
