@@ -145,6 +145,64 @@ class FormatRoundTripPropertySpec extends SparkSpec {
     }
   }
 
+  test("CapnProto general union: seeded one-active-member rows round-trip") {
+    // beyond the {value,null} nullable shape: a 3-member union where a
+    // random member (or none) is active per row — the writer must tag
+    // exactly that member and the reader must surface only it
+    val proto =
+      """@0xfeedfeedfeedfee1;
+        |struct U {
+        |  tag @0 : Int64;
+        |  union {
+        |    num @1 : Int64;
+        |    txt @2 : Text;
+        |    arr @3 : List(Int64);
+        |  }
+        |}""".stripMargin
+    val st = StructType(Seq(
+      StructField("tag", LongType, nullable = false),
+      StructField("num", LongType, nullable = true),
+      StructField("txt", StringType, nullable = true),
+      StructField("arr", ArrayType(LongType, containsNull = false),
+        nullable = true)))
+    val rnd = new Random(4242L)
+    (1 to 8).foreach { trial =>
+      val rows = (1 to (2 + rnd.nextInt(5))).map { i =>
+        rnd.nextInt(4) match {
+          case 0 => Row(i.toLong,
+            trickyLongs(rnd.nextInt(trickyLongs.length)), null, null)
+          case 1 => Row(i.toLong, null,
+            trickyStrings(rnd.nextInt(trickyStrings.length)), null)
+          case 2 => Row(i.toLong, null, null,
+            Seq.fill(rnd.nextInt(4))(trickyLongs(rnd.nextInt(trickyLongs.length))))
+          case _ => Row(i.toLong, null, null, null) // all-null = tag-0 default
+        }
+      }
+      val d = spark.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+          .SeqHasAsJava(rows).asJava), st)
+      val cs = OutputFormats.Settings(formatSchemaSource = proto,
+        formatSchemaMessage = "U")
+      val back = graft.sources.CapnProtoFormat.read(spark,
+        graft.sources.CapnProtoFormat.write(d, proto, "U"), proto, "U", st)
+      val got = back.collect().sortBy(_.getLong(0))
+      rows.zip(got).foreach { case (in, out) =>
+        assert(out.getLong(0) === in.getLong(0), s"trial $trial tag")
+        // all-null input decodes as the tag-0 member at its default (0)
+        val expNum: Any =
+          if (in.isNullAt(1) && in.isNullAt(2) && in.isNullAt(3)) 0L
+          else if (in.isNullAt(1)) null else in.getLong(1)
+        assert((if (out.isNullAt(1)) null else out.getLong(1)) === expNum,
+          s"trial $trial num")
+        assert((if (out.isNullAt(2)) null else out.getString(2)) ===
+          (if (in.isNullAt(2)) null else in.getString(2)), s"trial $trial txt")
+        val expArr = if (in.isNullAt(3)) null else in.getSeq[Long](3)
+        val gotArr = if (out.isNullAt(3)) null else out.getSeq[Long](3)
+        assert(gotArr === expArr, s"trial $trial arr")
+      }
+    }
+  }
+
   // ---- wide-type lattice: narrow ints, Bool, DateTime, Decimal, Map, Tuple
   private val schema2 = StructType(Seq(
     chField("i8", ByteType, "Int8"),
