@@ -43,7 +43,18 @@ object FileLogEngine {
     */
   val MaxPollBytesPerFile: Long = 64L * 1024 * 1024
 
-  case class FileMeta(key: String, name: String, offset: Long)
+  /** Per-inode consumption state. `offset` = first unconsumed byte;
+    * `scanned` = newline-scan high-water mark: bytes in
+    * [offset, scanned) are KNOWN to contain no '\n', so the next poll
+    * scans only [scanned, size) — without it, a growing partial record
+    * (a newline-less file) would be re-scanned from `offset` on every
+    * poll, breaking the poll-is-O(new data) contract (the reference's
+    * forward read buffer remembers its position the same way).
+    */
+  case class FileMeta(key: String, name: String, offset: Long,
+      scanned: Long = -1L) {
+    def scanFloor: Long = math.max(offset, scanned)
+  }
 
   /** One FileLog table. `metaDir` persists offsets (detach/attach = drop
     * and re-create the Table over the same metaDir).
@@ -70,15 +81,19 @@ object FileLogEngine {
       else Files.readAllLines(metaFile, StandardCharsets.UTF_8).asScala
         .filter(_.nonEmpty)
         .map { l =>
-          val Array(k, n, o) = l.split("\t", 3)
-          dec(k) -> FileMeta(dec(k), dec(n), o.toLong)
+          // 4th column (scan high-water mark) is optional: metadata
+          // written before it existed loads with scanned = -1 (unknown)
+          val parts = l.split("\t", 4)
+          val scanned = if (parts.length >= 4) parts(3).toLong else -1L
+          dec(parts(0)) -> FileMeta(dec(parts(0)), dec(parts(1)),
+            parts(2).toLong, scanned)
         }.toMap
 
     private def saveOffsets(m: Map[String, FileMeta]): Unit = {
       Files.createDirectories(metaFile.getParent)
       Files.write(metaFile,
         m.values.toSeq.sortBy(_.key)
-          .map(f => s"${enc(f.key)}\t${enc(f.name)}\t${f.offset}")
+          .map(f => s"${enc(f.key)}\t${enc(f.name)}\t${f.offset}\t${f.scanned}")
           .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8),
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     }
@@ -172,19 +187,33 @@ object FileLogEngine {
         try {
           val key = inodeKey(p)
           val size = Files.size(p)
-          val from = offsets.get(key).map(_.offset).getOrElse(0L)
+          val meta = offsets.get(key)
+          val from = meta.map(_.offset).getOrElse(0L)
+          // bytes in [from, scanned) are KNOWN newline-free from prior
+          // polls — the scan floor keeps a growing partial record from
+          // being re-scanned from `from` every poll (O(new bytes), not
+          // O(partial length), per poll). A shrunken file (truncation /
+          // in-place replacement) voids the claim: reset to `from`.
+          val storedScan = meta.map(_.scanned).getOrElse(-1L)
+          val floor = if (storedScan > size) from else math.max(from, storedScan)
           val capped = math.min(size, from + MaxPollBytesPerFile)
-          val to = {
-            val t = lastCompleteOffset(p, from, capped)
-            if (t == from && capped < size) lastCompleteOffset(p, from, size)
-            else t
+          // position AFTER the last '\n' in [lo, hi), or -1 if none
+          def lastNl(lo: Long, hi: Long): Long =
+            if (hi <= lo) -1L
+            else { val r = lastCompleteOffset(p, lo, hi); if (r == lo) -1L else r }
+          val (nl, scannedTo) = {
+            val n1 = lastNl(floor, capped)
+            if (n1 >= 0) (n1, capped)
+            else (lastNl(math.max(floor, capped), size), size)
           }
+          val to = if (nl >= 0) nl else from
           val quarantined = to - from > Int.MaxValue - 8
           if (quarantined) System.err.println(
-            s"[filelog] QUARANTINED $p: single record over ${Int.MaxValue - 8} " +
-              s"bytes at offset $from — offset preserved, file skipped until fixed")
+            s"[filelog] QUARANTINED $p: deliverable batch over " +
+              s"${Int.MaxValue - 8} bytes at offset $from — offset " +
+              "preserved, file skipped until fixed")
           Some((key, p.toAbsolutePath.toString, p.getFileName.toString, from,
-            if (quarantined) from else to))
+            if (quarantined) from else to, scannedTo))
         } catch {
           // vanished between the listing and the stat/scan → skip this
           // round; its offset entry drops with it (deletion contract)
@@ -192,7 +221,10 @@ object FileLogEngine {
           case _: java.io.FileNotFoundException => None
         }
       }.distinctBy(_._1)
-      val ranges = snapshot.filter { case (_, _, _, from, to) => to > from }
+      val ranges = snapshot.collect {
+        case (key, path, name, from, to, _) if to > from =>
+          (key, path, name, from, to)
+      }
       val st = ChTypes.structure(structure)
       val fullSchema = st
         .add("_filename", org.apache.spark.sql.types.StringType, nullable = false)
@@ -257,8 +289,8 @@ object FileLogEngine {
       // throws before this point and re-delivers next time. State for
       // vanished inodes drops with them (file deleted = its unread
       // remainder is dropped, like the reference).
-      val newOffsets = snapshot.map { case (key, _, name, from, to) =>
-        key -> FileMeta(key, name, math.max(from, to))
+      val newOffsets = snapshot.map { case (key, _, name, from, to, scanned) =>
+        key -> FileMeta(key, name, math.max(from, to), scanned)
       }.toMap
       saveOffsets(newOffsets)
       delivered

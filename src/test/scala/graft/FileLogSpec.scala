@@ -161,6 +161,40 @@ class FileLogSpec extends SparkSpec {
     assert(t.consume(spark).count() === 0)
   }
 
+  test("a growing partial record is scanned once: high-water mark persists") {
+    // poll cost must be O(new bytes) even for a newline-less file: the
+    // scan high-water mark (offsets.tsv column 4) records how far the
+    // newline search got, so the next poll resumes there instead of
+    // re-scanning the whole partial record from `offset` every time
+    val dir = Files.createTempDirectory("graft-filelog-partial")
+    val a = dir.resolve("a.csv")
+    Files.write(a, "hello\n".getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE)
+    val t = FileLogEngine.create("flog12", dir.toString, "CSV", "s String")
+    def metaCols(): (Long, Long) = {
+      val l = Files.readAllLines(Paths.get(t.metaDir, "offsets.tsv")).get(0)
+      val p = l.split("\t")
+      (p(2).toLong, p(3).toLong)
+    }
+    assert(t.consume(spark).count() === 1)
+    assert(metaCols() === ((6L, 6L)))
+    val junk = Array.fill[Byte](1 << 20)('x')
+    Files.write(a, junk, StandardOpenOption.APPEND)
+    assert(t.consume(spark).count() === 0) // partial record held back
+    assert(metaCols() === ((6L, 6L + (1 << 20)))) // offset intact, scan advanced
+    Files.write(a, junk, StandardOpenOption.APPEND)
+    assert(t.consume(spark).count() === 0)
+    assert(metaCols() === ((6L, 6L + 2 * (1 << 20))))
+    // the newline finally arrives: the WHOLE record (both junk chunks)
+    // delivers as one row from the preserved offset
+    Files.write(a, "tail\n".getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.APPEND)
+    val got = t.consume(spark).select("s").collect()
+    assert(got.length === 1)
+    assert(got(0).getString(0).length === 2 * (1 << 20) + 4)
+    assert(t.consume(spark).count() === 0)
+  }
+
   test("hard links deliver once (inode identity)") {
     val dir = Files.createTempDirectory("graft-filelog-link")
     val a = dir.resolve("a.csv")
