@@ -176,21 +176,25 @@ object MiscAggregates {
     // EVERY iteration is a new plan — 30 rounds of Catalyst analysis +
     // whole-stage-codegen compilation dominated the runtime (measured
     // ~2.5 s at sf0.1 vs ~0.5 s for the actual arithmetic). The cached
-    // vector form runs each step as one closure-only job. na.drop
-    // matches the SQL semantics the plan form had (a null feature made
-    // z — hence every gradient term of that row — null, dropping the
-    // row from all sums).
-    val vecs = df.select((xs :+ y).zipWithIndex.map { case (c, i) => c.as(s"_$i") }: _*)
-      .na.drop()
+    // vector form runs each step as one closure-only job. Null handling
+    // replicates the plan form EXACTLY: a null feature nulled z — hence
+    // every gradient term of that row (sums skip it) — but the row still
+    // counted in n (a plain count) and in the accuracy denominator
+    // (otherwise(0.0) made it non-null-incorrect). So: gradients and
+    // correct-counts over the na.drop'd vectors, normalized by the FULL
+    // row count.
+    val proj = df.select((xs :+ y).zipWithIndex.map { case (c, i) => c.as(s"_$i") }: _*)
+    val n = proj.count().toDouble
+    val vecs = proj.na.drop()
       .rdd.map { r =>
         val a = new Array[Double](k + 1)
         var i = 0; while (i <= k) { a(i) = r.getDouble(i); i += 1 }
         a
       }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = vecs.count().toDouble
+    vecs.count() // materialize the cache before the iteration jobs
     var w = new Array[Double](k)
     var b = 0.0
-    var it = 0
+    var it = if (n == 0) iters else 0 // empty input: weights stay 0, like the plan form
     while (it < iters) {
       val wB = w.clone(); val bB = b // stable task-closure copies
       val (gw, gb) = vecs.treeAggregate((new Array[Double](k), 0.0))(
@@ -211,11 +215,15 @@ object MiscAggregates {
     }
     val wF = w.clone(); val bF = b
     val kk = k
-    val acc = vecs.map { v =>
-      var z = bF; var i = 0
-      while (i < kk) { z += v(i) * wF(i); i += 1 }
-      if ((if (z > 0) 1.0 else 0.0) == v(kk)) 1L else 0L
-    }.fold(0L)(_ + _) / n
+    // null-feature rows score as incorrect (they're in n but not vecs),
+    // matching the plan form's otherwise(0.0); empty input → 0.0
+    val acc =
+      if (n == 0) 0.0
+      else vecs.map { v =>
+        var z = bF; var i = 0
+        while (i < kk) { z += v(i) * wF(i); i += 1 }
+        if ((if (z > 0) 1.0 else 0.0) == v(kk)) 1L else 0L
+      }.fold(0L)(_ + _) / n
     vecs.unpersist(blocking = false)
     val cols = (0 until k).map(i => lit(w(i)).as(s"w${i + 1}")) :+
       lit(b).as("intercept") :+ lit(acc).as("accuracy")

@@ -50,11 +50,12 @@ object FileLogEngine {
     * (a newline-less file) would be re-scanned from `offset` on every
     * poll, breaking the poll-is-O(new data) contract (the reference's
     * forward read buffer remembers its position the same way).
+    * Observed SHRINKING voids the mark (reset to `offset`); an in-place
+    * rewrite that keeps the size ≥ the mark is outside FileLog's
+    * append-only stream contract, as in the reference.
     */
   case class FileMeta(key: String, name: String, offset: Long,
-      scanned: Long = -1L) {
-    def scanFloor: Long = math.max(offset, scanned)
-  }
+      scanned: Long = -1L)
 
   /** One FileLog table. `metaDir` persists offsets (detach/attach = drop
     * and re-create the Table over the same metaDir).
@@ -104,6 +105,39 @@ object FileLogEngine {
         case null => p.toAbsolutePath.toString // non-POSIX fallback
         case k => k.toString
       }
+
+    /** Byte offset of the char AFTER the FIRST '\n' in [from, size), or
+      * -1 if none — the boundary of exactly ONE record, used when that
+      * record alone overflows the per-poll byte cap (forward scan: the
+      * boundary is near `from`-side growth, and the bytes below `from`
+      * are already known newline-free).
+      */
+    private def firstRecordEnd(p: Path, from: Long, size: Long): Long = {
+      if (size <= from) return -1L
+      val ch = java.nio.channels.FileChannel.open(p, StandardOpenOption.READ)
+      try {
+        val buf = java.nio.ByteBuffer.allocate(8192)
+        var pos = from
+        while (pos < size) {
+          val end = math.min(size, pos + buf.capacity())
+          buf.clear(); buf.limit((end - pos).toInt)
+          var off = 0
+          var eof = false
+          while (!eof && off < buf.limit()) {
+            val n = ch.read(buf, pos + off)
+            if (n < 0) eof = true else off += n
+          }
+          var i = 0
+          while (i < off) {
+            if (buf.get(i) == '\n') return pos + i + 1
+            i += 1
+          }
+          if (eof) return -1L // concurrent truncation: scan what existed
+          pos = end
+        }
+        -1L
+      } finally ch.close()
+    }
 
     /** Byte offset of the char AFTER the last '\n' in [from, size) —
       * records past it are incomplete and stay for the next poll.
@@ -201,19 +235,32 @@ object FileLogEngine {
           def lastNl(lo: Long, hi: Long): Long =
             if (hi <= lo) -1L
             else { val r = lastCompleteOffset(p, lo, hi); if (r == lo) -1L else r }
+          // normal batch: last newline inside the cap window. Cap escape:
+          // the FIRST record alone overflows the cap — deliver exactly
+          // that one record (first newline past the cap, FORWARD scan),
+          // so a multi-record backlog over the cap streams out in capped
+          // batches instead of arriving as one giant range.
           val (nl, scannedTo) = {
             val n1 = lastNl(floor, capped)
             if (n1 >= 0) (n1, capped)
-            else (lastNl(math.max(floor, capped), size), size)
+            else {
+              val f1 = firstRecordEnd(p, math.max(floor, capped), size)
+              if (f1 >= 0) (f1, f1) else (-1L, size)
+            }
           }
           val to = if (nl >= 0) nl else from
+          // a SINGLE record over the task-buffer bound is undeliverable —
+          // quarantine the file: offset preserved, scan mark held just
+          // below the boundary newline so every poll re-detects it and
+          // warns (an O(8KB) forward scan), other files keep flowing
           val quarantined = to - from > Int.MaxValue - 8
           if (quarantined) System.err.println(
-            s"[filelog] QUARANTINED $p: deliverable batch over " +
-              s"${Int.MaxValue - 8} bytes at offset $from — offset " +
-              "preserved, file skipped until fixed")
+            s"[filelog] QUARANTINED $p: single record of ${to - from} bytes " +
+              s"at offset $from exceeds the ${Int.MaxValue - 8}-byte task " +
+              "bound — offset preserved, file skipped until fixed")
           Some((key, p.toAbsolutePath.toString, p.getFileName.toString, from,
-            if (quarantined) from else to, scannedTo))
+            if (quarantined) from else to,
+            if (quarantined) nl - 1 else scannedTo))
         } catch {
           // vanished between the listing and the stat/scan → skip this
           // round; its offset entry drops with it (deletion contract)

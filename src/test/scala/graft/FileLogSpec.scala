@@ -195,6 +195,34 @@ class FileLogSpec extends SparkSpec {
     assert(t.consume(spark).count() === 0)
   }
 
+  test("a backlog whose FIRST record overflows the poll cap streams in bounded batches") {
+    // one 70 MiB record followed by ordinary rows: the cap escape must
+    // deliver exactly the one over-cap record (first newline past the
+    // cap), then resume normal capped batches — NOT treat the whole
+    // backlog up to its last newline as one giant range (which would
+    // have quarantined a perfectly deliverable multi-record file had it
+    // crossed 2 GiB)
+    val dir = Files.createTempDirectory("graft-filelog-bigrec")
+    val a = dir.resolve("a.csv")
+    val ch = java.nio.channels.FileChannel.open(a,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    try {
+      val chunk = java.nio.ByteBuffer.wrap(Array.fill[Byte](1 << 20)('x'))
+      (0 until 70).foreach { _ => chunk.rewind(); ch.write(chunk) }
+      ch.write(java.nio.ByteBuffer.wrap(
+        ("\n" + (1 to 10).map(i => s"row$i").mkString("\n") + "\n").getBytes))
+    } finally ch.close()
+    val t = FileLogEngine.create("flog13", dir.toString, "CSV", "s String")
+    // poll 1: exactly the giant record (cap-escape, one record only)
+    val first = t.consume(spark).select("s").collect()
+    assert(first.length === 1)
+    assert(first(0).getString(0).length === 70 * (1 << 20))
+    // poll 2: the rest of the backlog as a normal capped batch
+    val rest = t.consume(spark).select("s").collect().map(_.getString(0)).sorted
+    assert(rest.toSeq === (1 to 10).map(i => s"row$i").sorted)
+    assert(t.consume(spark).count() === 0)
+  }
+
   test("hard links deliver once (inode identity)") {
     val dir = Files.createTempDirectory("graft-filelog-link")
     val a = dir.resolve("a.csv")

@@ -181,8 +181,6 @@ class FormatRoundTripPropertySpec extends SparkSpec {
       val d = spark.createDataFrame(
         new java.util.ArrayList[Row](scala.jdk.CollectionConverters
           .SeqHasAsJava(rows).asJava), st)
-      val cs = OutputFormats.Settings(formatSchemaSource = proto,
-        formatSchemaMessage = "U")
       val back = graft.sources.CapnProtoFormat.read(spark,
         graft.sources.CapnProtoFormat.write(d, proto, "U"), proto, "U", st)
       val got = back.collect().sortBy(_.getLong(0))
