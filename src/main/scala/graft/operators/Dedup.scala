@@ -717,6 +717,42 @@ object Dedup {
         round(col("n_matched").cast("double") / col("n_shingles").cast("double"), 4))
   }
 
+  /** Span-level (substring) duplication report — the SEQUENCE-level
+    * dedup step of LLM training pipelines, complementing the doc-level
+    * family above (public method: Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better"; Dolma's
+    * paragraph/span dedup): hash every n-token window of every doc,
+    * count each window's occurrences CORPUS-WIDE with multiplicity (a
+    * span repeated inside one doc is still a duplicated span), report
+    * per doc how many of its windows are duplicated. A pipeline then
+    * drops or masks the flagged spans. Docs shorter than n tokens have
+    * no windows and no row.
+    *
+    * Scale shape: no text ever shuffles — each doc reduces to 8-byte
+    * window hashes; one shuffle keyed on the hash (a count window over
+    * hash groups — groups are duplicate sets, naturally small, and a
+    * pathological boilerplate span only grows ONE group), then one
+    * groupBy the doc id over slim (id, flag) rows.
+    */
+  def spanDupReport(
+      df: DataFrame,
+      textCol: Column,
+      idCol: Column,
+      n: Int = 8): DataFrame = {
+    val sh = df.select(idCol.as("id"),
+      explode(hashShingles(
+        transform(text.tokenize(textCol), w => graft.functions.SparkHash.xxh64(w)),
+        n)).as("shash"))
+    val occurrences = count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("shash")))
+    sh.withColumn("__c", occurrences)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("__c") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        round(col("n_dup").cast("double") / col("n_windows").cast("double"), 4))
+  }
+
   /** Scale path for embedding near-dup: sign of r random hyperplane
     * projections → bucket; pairs meet only within a bucket. Recall is
     * tunable via number of hash tables (repeat with different seeds).

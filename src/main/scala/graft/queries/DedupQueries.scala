@@ -165,6 +165,17 @@ object DedupQueries {
           col("overlap"))
         .orderBy(col("doc_id"))
     }),
+    // Span-level (substring) duplication — the sequence-level dedup step
+    // (Lee et al. 2022 / Dolma): per doc, how many of its 8-token
+    // windows occur more than once corpus-wide. Exact oracle: DuckDB
+    // replays the windows as joined token strings (identical equality
+    // classes to the 64-bit window hashes).
+    "d12_span_dups" -> ((s, dir) =>
+      Dedup.spanDupReport(t(s, dir, "documents"), col("text"),
+          col("doc_id"), n = 8)
+        .select(col("id").as("doc_id"), col("n_windows"), col("n_dup"),
+          col("dup_frac"))
+        .orderBy(col("doc_id"))),
   )
 
   private val toksSql =
@@ -359,5 +370,22 @@ object DedupQueries {
       SELECT doc_id, n AS n_shingles, m AS n_matched,
              round(CAST(m AS DOUBLE) / CAST(n AS DOUBLE), 4) AS overlap
       FROM agg WHERE m > 0 ORDER BY doc_id""",
+    // windows as joined token strings; multiplicity KEPT (no distinct) —
+    // an intra-doc repeat is a duplicated span
+    "d12_span_dups" -> s"""
+      WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      w AS (SELECT doc_id, unnest(
+              [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+               toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+               toks[i+6] || ' ' || toks[i+7]
+               for i in range(1, len(toks) - 6)]) AS s
+            FROM d),
+      c AS (SELECT s, count(1) AS cnt FROM w GROUP BY 1)
+      SELECT doc_id, CAST(count(1) AS BIGINT) AS n_windows,
+             CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+             round(CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+                   CAST(count(1) AS DOUBLE), 4) AS dup_frac
+      FROM w JOIN c USING (s)
+      GROUP BY doc_id ORDER BY doc_id""",
   )
 }

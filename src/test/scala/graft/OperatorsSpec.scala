@@ -149,6 +149,28 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.8, s"coord-LSH recall $recall over ${exact.size} exact pairs")
   }
 
+  test("spanDupReport flags exactly the shared and self-repeated n-token spans") {
+    import spark.implicits._
+    val docs = Seq(
+      // doc 1: 10 tokens -> 3 windows; window i=1 also appears in doc 2
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      // doc 2: 11 tokens -> 4 windows; window i=2 == doc 1's i=1
+      (2L, "prefix alpha beta gamma delta epsilon zeta eta theta diff suffix"),
+      // doc 3: nothing shared
+      (3L, "totally unrelated words nothing shared here at all today friend"),
+      // doc 4: an 8-token span repeated back-to-back (intra-doc dup):
+      // 16 tokens -> 9 windows, the first and last are identical
+      (4L, "a b c d e f g h a b c d e f g h"),
+      // doc 5: shorter than n -> no windows, no row
+      (5L, "too short for any window")).toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .spanDupReport(docs, col("text"), col("doc_id"), n = 8)
+      .select("id", "n_windows", "n_dup").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      1L -> ((3L, 1L)), 2L -> ((4L, 1L)), 3L -> ((3L, 0L)), 4L -> ((9L, 2L))))
+  }
+
   test("lshCosineCoordPairs AutoPlanes default = the scaled-plane policy") {
     // the engine default derives nPlanes from the corpus (constant
     // expected bucket occupancy — the parameterization ScaleGrowth
