@@ -739,10 +739,16 @@ object Dedup {
       textCol: Column,
       idCol: Column,
       n: Int = 8): DataFrame = {
-    val sh = df.select(idCol.as("id"),
-      explode(hashShingles(
-        transform(text.tokenize(textCol), w => graft.functions.SparkHash.xxh64(w)),
-        n)).as("shash"))
+    // token-hash array materialized as a bound column BEFORE the window
+    // expansion: hashShingles reads element_at 8× per window, and an
+    // inlined transform(...) subtree would be re-evaluated per access
+    // (the whole tokenize+hash per element_at — measured 28 s instead
+    // of ~1 s at sf0.1), same discipline as contaminationReport
+    val sh = df
+      .select(idCol.as("id"),
+        transform(text.tokenize(textCol),
+          w => graft.functions.SparkHash.xxh64(w)).as("__th"))
+      .select(col("id"), explode(hashShingles(col("__th"), n)).as("shash"))
     val occurrences = count(lit(1)).over(
       org.apache.spark.sql.expressions.Window.partitionBy(col("shash")))
     sh.withColumn("__c", occurrences)
