@@ -177,52 +177,71 @@ object MiscAggregates {
     // whole-stage-codegen compilation dominated the runtime (measured
     // ~2.5 s at sf0.1 vs ~0.5 s for the actual arithmetic). The cached
     // vector form runs each step as one closure-only job. Null handling
-    // replicates the plan form EXACTLY: a null feature nulled z — hence
-    // every gradient term of that row (sums skip it) — but the row still
+    // replicates the plan form: a null feature nulled z — hence every
+    // gradient term of that row (sums skip it) — but the row still
     // counted in n (a plain count) and in the accuracy denominator
     // (otherwise(0.0) made it non-null-incorrect). So: gradients and
-    // correct-counts over the na.drop'd vectors, normalized by the FULL
+    // correct-counts over the complete vectors, normalized by the FULL
     // row count.
-    val proj = df.select((xs :+ y).zipWithIndex.map { case (c, i) => c.as(s"_$i") }: _*)
-    val n = proj.count().toDouble
-    val vecs = proj.na.drop()
+    // ONE cached pass builds everything: (isComplete, vector) rows —
+    // count() = n (ALL rows), the complete ones feed the gradients.
+    val rows = df
+      .select((xs :+ y).zipWithIndex.map { case (c, i) => c.as(s"_$i") }: _*)
       .rdd.map { r =>
         val a = new Array[Double](k + 1)
-        var i = 0; while (i <= k) { a(i) = r.getDouble(i); i += 1 }
-        a
+        var ok = true
+        var i = 0
+        while (i <= k) {
+          if (r.isNullAt(i)) ok = false else a(i) = r.getDouble(i)
+          i += 1
+        }
+        (ok, a)
       }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    vecs.count() // materialize the cache before the iteration jobs
+    val n = rows.count().toDouble // materializes the cache
+    // the iterated cache holds bare arrays: running the 30 gradient jobs
+    // through a filter+map view over the tuple cache costs ~30% per job
+    // (measured); one in-memory repack then releasing the tuple cache
+    // keeps iteration at raw-array speed
+    val vecs = rows.filter(_._1).map(_._2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nComplete = vecs.count() // repacks from rows' cache
+    rows.unpersist(blocking = false)
     var w = new Array[Double](k)
     var b = 0.0
-    var it = if (n == 0) iters else 0 // empty input: weights stay 0, like the plan form
-    while (it < iters) {
-      val wB = w.clone(); val bB = b // stable task-closure copies
-      val (gw, gb) = vecs.treeAggregate((new Array[Double](k), 0.0))(
-        seqOp = { case ((acc, accB), v) =>
-          var z = bB; var i = 0
-          while (i < k) { z += v(i) * wB(i); i += 1 }
-          val err = 1.0 / (1.0 + math.exp(-z)) - v(k)
-          i = 0; while (i < k) { acc(i) += err * v(i); i += 1 }
-          (acc, accB + err)
-        },
-        combOp = { case ((a1, b1), (a2, b2)) =>
-          var i = 0; while (i < k) { a1(i) += a2(i); i += 1 }
-          (a1, b1 + b2)
-        })
-      for (i <- 0 until k) w(i) -= lr * gw(i) / n
-      b -= lr * gb / n
-      it += 1
+    if (n > 0 && nComplete > 0) {
+      var it = 0
+      while (it < iters) {
+        val wB = w.clone(); val bB = b // stable task-closure copies
+        val (gw, gb) = vecs.treeAggregate((new Array[Double](k), 0.0))(
+          seqOp = { case ((acc, accB), v) =>
+            var z = bB; var i = 0
+            while (i < k) { z += v(i) * wB(i); i += 1 }
+            val err = 1.0 / (1.0 + math.exp(-z)) - v(k)
+            i = 0; while (i < k) { acc(i) += err * v(i); i += 1 }
+            (acc, accB + err)
+          },
+          combOp = { case ((a1, b1), (a2, b2)) =>
+            var i = 0; while (i < k) { a1(i) += a2(i); i += 1 }
+            (a1, b1 + b2)
+          })
+        for (i <- 0 until k) w(i) -= lr * gw(i) / n
+        b -= lr * gb / n
+        it += 1
+      }
     }
     val wF = w.clone(); val bF = b
     val kk = k
-    // null-feature rows score as incorrect (they're in n but not vecs),
-    // matching the plan form's otherwise(0.0); empty input → 0.0
+    // incomplete (null-carrying) rows score as incorrect (they're in n
+    // but not vecs), matching the plan form's otherwise(0.0); empty
+    // input → 0.0. NaN z predicts 1.0 — Spark SQL's ordering puts NaN
+    // above every value, so the plan form's `z > 0` was TRUE for NaN
+    // (reachable via NaN features, which na-handling does not drop).
     val acc =
       if (n == 0) 0.0
       else vecs.map { v =>
         var z = bF; var i = 0
         while (i < kk) { z += v(i) * wF(i); i += 1 }
-        if ((if (z > 0) 1.0 else 0.0) == v(kk)) 1L else 0L
+        if ((if (z > 0 || z.isNaN) 1.0 else 0.0) == v(kk)) 1L else 0L
       }.fold(0L)(_ + _) / n
     vecs.unpersist(blocking = false)
     val cols = (0 until k).map(i => lit(w(i)).as(s"w${i + 1}")) :+
