@@ -58,7 +58,8 @@ object PlanDump {
       "v09_ivf_nprobe" -> "nprobe-IVF search: scan restricted to the probed list_id= partitions (PartitionFilters), scoring + TakeOrdered as v01. NOTE replay-oracle side channel: under Verify ONLY (graft.replay.dir property), the first run also exports the row->list assignment + probe set as DuckDB VALUES — memoized per (query, dir), never in Bench's timed path (gated off), never in the search plan below",
       "v19_hnswpq" -> "HNSWPQ two-stage: per-part quantized graph scans (stage 1, ADC distances on dequantized codes) -> broadcast semi-join exact re-rank (stage 2). Replay oracle exports the stage-1 candidate ids under Verify only — the plan below is the engine's own path",
       "q84_filelog" -> "ENGINE = FileLog poll: the appended byte ranges become a tiny repartitioned frame whose tasks read+parse ONLY the new bytes (mapPartitions), materialized as one consistent batch — no corpus scan, poll cost is O(new data)",
-      "q85_filelog_mv" -> "FileLog -> MV flow (02024): each poll's materialized batch runs the MV transform and APPENDS to a parquet target; the aggregate reads the TARGET (a plain parquet scan) — exactly-once accumulation verified by the oracle, stream work stays O(new data)")
+      "q85_filelog_mv" -> "FileLog -> MV flow (02024): each poll's materialized batch runs the MV transform and APPENDS to a parquet target; the aggregate reads the TARGET (a plain parquet scan) — exactly-once accumulation verified by the oracle, stream work stays O(new data)",
+      "d12_span_dups" -> "span-level (substring) dedup: token-hash array bound ONCE in the Project below the window explode (an inlined transform would re-evaluate per element_at — 40x slower, caught in r17); only 8-byte hashes shuffle — one hash-keyed count window + one id groupBy, no text movement")
     val sb = new StringBuilder
     sb.append("# PLANS — headline physical plans (generated by graft.tools.PlanDump)\n")
     sb.append(s"\nScale factor dir: `$sfDir`. Regenerate: " +
