@@ -121,6 +121,10 @@ object Graft {
     def dedupClusters(idA: Column, idB: Column): DataFrame =
       Dedup.connectedComponents(df.select(idA, idB))
 
+    /** Per-doc duplicated n-token-window report (sequence-level dedup). */
+    def spanDupReport(textCol: Column, idCol: Column, n: Int = 8): DataFrame =
+      Dedup.spanDupReport(df, textCol, idCol, n)
+
     // ---- training-pipeline ops (Packing) ----
     def packSequences(idCol: Column, nTokensCol: Column,
         budget: Long): DataFrame =
