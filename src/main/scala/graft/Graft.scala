@@ -121,6 +121,16 @@ object Graft {
     def dedupClusters(idA: Column, idB: Column): DataFrame =
       Dedup.connectedComponents(df.select(idA, idB))
 
+    /** New-batch-vs-seen-corpus MinHash-LSH near-dup pairs (cross-side
+      * band-bucket candidates, exact-Jaccard verified) — the streaming
+      * ingest dedup shape. `df` is the new batch.
+      */
+    def minhashLshIncrementalPairs(seen: DataFrame, textCol: Column,
+        idCol: Column, seenTextCol: Column, seenIdCol: Column,
+        minSim: Double = 0.5): DataFrame =
+      Dedup.minhashLshIncrementalPairs(df, seen, textCol, idCol,
+        seenTextCol, seenIdCol, minSim = minSim)
+
     /** Per-doc duplicated n-token-window report (sequence-level dedup). */
     def spanDupReport(textCol: Column, idCol: Column, n: Int = 8): DataFrame =
       Dedup.spanDupReport(df, textCol, idCol, n)

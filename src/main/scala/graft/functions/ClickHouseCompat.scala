@@ -1952,6 +1952,10 @@ object ClickHouseCompat {
     // must precede the SQL-macro pass so macro bodies can reference it)
     BestEffortDateTime.install(spark)
     Blake3Md4.install(spark) // MD4 + BLAKE3 digests (published-vector pinned)
+    // Int128/UInt128/Int256/UInt256 — order-preserving binary encoding +
+    // wraparound arithmetic, pinned to the reference's 01440 goldens
+    // (ref src/DataTypes/DataTypeFactory.cpp:270-293)
+    WideInt.install(spark)
     // stem(lang, word): Snowball en/ru/fr ports (ref src/Functions/stem.cpp;
     // 01890 golden-pinned). Other libstemmer languages: identity, §2.9.
     spark.udf.register("stem", (lang: String, word: String) =>

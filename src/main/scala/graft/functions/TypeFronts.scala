@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
   *  - **IPv6** → 16-byte binary with strict parse (no DNS fallback) and
   *    RFC 5952 canonical text form.
   *
-  * Documented deviations (IMPLEMENTATION.md §types): Decimal256 and
-  * (U)Int256 are out of scope — Spark's DecimalType caps at 38 digits;
-  * LowCardinality needs no surface (Parquet dictionary encoding).
+  * Documented deviations (IMPLEMENTATION.md §types): Decimal256 is out
+  * of scope — Spark's DecimalType caps at 38 digits. (U)Int128/
+  * (U)Int256 live in [[WideInt]] (order-preserving binary encoding,
+  * 01440-golden-pinned). LowCardinality needs no surface (Parquet
+  * dictionary encoding).
   */
 object TypeFronts {
 

@@ -293,6 +293,84 @@ object Dedup {
     } finally exploded.unpersist(blocking = false)
   }
 
+  /** Incremental MinHash-LSH — dedup a NEW batch against the already-seen
+    * corpus, the streaming-ingest production shape (a crawl snapshot
+    * arrives; only new-vs-seen near-dups matter, the seen side is already
+    * internally deduped). Candidates are generated ONLY across sides: the
+    * new batch's band buckets hash-join the seen side's band buckets —
+    * never new×new or seen×seen — then each candidate's TRUE n-gram
+    * Jaccard is verified, exactly like [[minhashLshVerifiedPairs]].
+    *
+    * Scale shape: at 100 TB the seen side's (band, bucket) table is a
+    * persisted artifact (append-only, bucketed by `bucket`), so a new
+    * batch costs signatures over the BATCH plus a bucket-join pruned to
+    * shared buckets — O(batch) work against an arbitrarily large corpus,
+    * never a corpus rescan. Here both sides are computed in-plan; the
+    * join/verify topology is the one that persists.
+    *
+    * Returns (new_id, seen_id, jaccard).
+    */
+  def minhashLshIncrementalPairs(
+      newDocs: DataFrame,
+      seen: DataFrame,
+      textCol: Column,
+      idCol: Column,
+      seenTextCol: Column,
+      seenIdCol: Column,
+      n: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      minSim: Double = 0.5): DataFrame = {
+    val numPerm = bands * rowsPerBand
+    def explodedOf(df: DataFrame, tc: Column, ic: Column): DataFrame = df
+      .select(ic.as("id"),
+        transform(text.tokenize(tc), t => graft.functions.SparkHash.xxh64(t)).as("__th"))
+      .select(col("id"), explode(array_distinct(hashShingles(col("__th"), n))).as("shash"))
+    // same signature/banding pipeline as the self-join path — min()
+    // partial-aggregates map-side; the only shuffle carries numPerm longs
+    // per doc (see minhashLshVerifiedPairs for the optimizer-barrier notes)
+    def bandedOf(exploded: DataFrame): DataFrame = {
+      val minAggs = (0 until numPerm).map(i =>
+        min(graft.functions.SparkHash.xxh64(lit(i), col("shash"))).as(s"__m$i"))
+      exploded.groupBy("id")
+        .agg(minAggs.head, minAggs.tail: _*)
+        .select(col("id"),
+          array((0 until numPerm).map(i => col(s"__m$i")): _*).as("sig"))
+        .select(col("id"),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)),
+            b => hash(slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)), b))))
+        .withColumnRenamed("col", "bucket")
+        .withColumnRenamed("pos", "band")
+    }
+    val newExploded = explodedOf(newDocs, textCol, idCol).persist()
+    val seenExploded = explodedOf(seen, seenTextCol, seenIdCol).persist()
+    try {
+      val cand = bandedOf(newExploded).as("a")
+        .join(bandedOf(seenExploded).as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+        .select(col("a.id").as("new_id"), col("b.id").as("seen_id"))
+        .dropDuplicates("new_id", "seen_id")
+      def setsOf(exploded: DataFrame): DataFrame = exploded.groupBy("id")
+        .agg(collect_set(col("shash")).as("sh"), count(lit(1)).as("n_sh"))
+      cand
+        .join(setsOf(newExploded).select(col("id").as("new_id"),
+          col("sh").as("sa"), col("n_sh").as("na")), Seq("new_id"))
+        .join(setsOf(seenExploded).select(col("id").as("seen_id"),
+          col("sh").as("sb"), col("n_sh").as("nb")), Seq("seen_id"))
+        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+        .withColumn("jaccard",
+          col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter")).cast("double"))
+        .filter(col("jaccard") >= minSim)
+        .select(col("new_id"), col("seen_id"), col("jaccard"))
+        // eager: pair set materialized before the shingle caches release
+        .localCheckpoint(true)
+    } finally {
+      newExploded.unpersist(blocking = false)
+      seenExploded.unpersist(blocking = false)
+    }
+  }
+
   /** 64-bit SimHash of the token multiset: per bit j, sum +1/-1 over token
     * hashes; bit set iff the sum is positive. Computed entirely with
     * higher-order functions (stays in codegen, no UDF, no explode).

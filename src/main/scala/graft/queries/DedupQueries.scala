@@ -165,6 +165,23 @@ object DedupQueries {
           col("overlap"))
         .orderBy(col("doc_id"))
     }),
+    // Incremental MinHash-LSH: the new batch (doc_id >= 250) near-dup'd
+    // against the seen corpus (doc_id < 250) — candidates meet only in
+    // cross-side band-bucket joins, then exact-Jaccard verification. Same
+    // recall argument as d03 (all qualifying pairs sit at jaccard >= 0.8
+    // where b=16/r=4 banding miss is <= 2.1e-4), so the oracle is the
+    // exact cross-side 3-gram Jaccard join.
+    "d13_incremental_lsh" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.minhashLshIncrementalPairs(
+          docs.filter(col("doc_id") >= 250),
+          docs.filter(col("doc_id") < 250),
+          col("text"), col("doc_id"), col("text"), col("doc_id"),
+          n = 3, bands = 16, rowsPerBand = 4, minSim = 0.5)
+        .select(col("new_id"), col("seen_id"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("new_id"), col("seen_id"))
+    }),
     // Span-level (substring) duplication — the sequence-level dedup step
     // (Lee et al. 2022 / Dolma): per doc, how many of its 8-token
     // windows occur more than once corpus-wide. Exact oracle: DuckDB
@@ -370,6 +387,27 @@ object DedupQueries {
       SELECT doc_id, n AS n_shingles, m AS n_matched,
              round(CAST(m AS DOUBLE) / CAST(n AS DOUBLE), 4) AS overlap
       FROM agg WHERE m > 0 ORDER BY doc_id""",
+    // d13 = verified incremental MinHash-LSH: exact cross-side (new ×
+    // seen) 3-gram Jaccard join — the d02 oracle restricted to pairs
+    // that straddle the doc_id-250 split.
+    "d13_incremental_lsh" -> s"""
+      WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      sh AS (SELECT doc_id, unnest(list_distinct(
+               [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                for i in range(1, len(toks) - 1)])) AS s
+             FROM d),
+      sizes AS (SELECT doc_id, count(1) AS n FROM sh GROUP BY 1),
+      pairs AS (SELECT a.doc_id AS new_id, b.doc_id AS seen_id, count(1) AS inter
+                FROM sh a JOIN sh b ON a.s = b.s
+                WHERE a.doc_id >= 250 AND b.doc_id < 250
+                GROUP BY 1, 2)
+      SELECT new_id, seen_id,
+             round(CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE), 4) AS jaccard
+      FROM pairs p
+      JOIN sizes sa ON p.new_id = sa.doc_id
+      JOIN sizes sb ON p.seen_id = sb.doc_id
+      WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5
+      ORDER BY new_id, seen_id""",
     // windows as joined token strings; multiplicity KEPT (no distinct) —
     // an intra-doc repeat is a duplicated span
     "d12_span_dups" -> s"""

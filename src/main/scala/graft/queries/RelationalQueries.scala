@@ -1086,6 +1086,34 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Wide integers end-to-end (ref DataTypeFactory.cpp:270-293,
+    // 01440_big_int_* tests): Int128/UInt128/Int256/UInt256 construction,
+    // wraparound conversion, exact arithmetic, truncating intDiv/modulo,
+    // shifts, cross-width least/greatest — and the order-preserving
+    // binary encoding, proven by `ord`: Spark-native ORDER BY on the raw
+    // BINARY column must equal DuckDB's numeric rank over HUGEINT.
+    "q86_wide_integers" -> ((s, dir) => {
+      t(s, dir, "part").filter(col("p_partkey") <= 200)
+        .withColumn("wv", expr(
+          "widePlus(wideMultiply(toInt128(CAST(p_partkey % 5 AS INT) - 2), " +
+            "toInt128('1000000000000000000000')), toInt128(p_partkey))"))
+        .withColumn("ord",
+          row_number().over(Window.orderBy(col("wv"), col("p_partkey"))))
+        .selectExpr("p_partkey",
+          "wideToString(wideMultiply(toInt128(p_partkey), toInt128('123456789012345678901234567890'))) AS i128_mul",
+          "wideToString(widePlus(toInt128(p_partkey), toInt128('-170141183460469231731687303715884105600'))) AS i128_sum",
+          "wideToString(toUInt128(-1L - p_partkey)) AS u128_wrap",
+          "wideToString(wideMultiply(toInt256(p_partkey), toInt256('99999999999999999999999999999999999'))) AS i256_mul",
+          "wideToString(toUInt256(-1L - p_partkey)) AS u256_wrap",
+          "wideToString(wideIntDiv(toInt128(0L - p_partkey * 1000003L), 7)) AS idiv",
+          "wideToString(wideModulo(toInt128(0L - p_partkey * 1000003L), 7)) AS imod",
+          "wideToString(wideBitShiftLeft(toInt128(1), CAST(p_partkey % 120 AS INT))) AS shl",
+          "wideToString(wideGreatest(toInt128(p_partkey * 137438953471L), toInt128('13743895347100'))) AS gmax",
+          "wideToString(wideLeast(toUInt128(p_partkey * 100000000000L), toUInt256('10000000000000'))) AS lmin",
+          "ord")
+        .orderBy(col("p_partkey"))
+    }),
+
     // Scalar tranche 6 end-to-end: URL decomposition + IP containment
     // (ClickHouseCompat SQL functions) over deterministic synthetic
     // URLs/IPs derived from customer columns; the oracle recomputes the
@@ -1361,6 +1389,30 @@ object RelationalQueries {
                AS sublimit_card,
              CAST(least(7, greatest(0, len(bf) - 3)) AS BIGINT) AS sub_card
       FROM g ORDER BY l_returnflag""",
+    // q86 oracle: DuckDB HUGEINT (int128) recomputes every Int128 value
+    // exactly; UInt128 wraps are (2^128-1) - n in UHUGEINT; the UInt256
+    // wrap (2^256-1-n) exceeds HUGEINT so it is rebuilt digit-exactly by
+    // string concatenation (no borrow past the last 3 digits for n<=935);
+    // `ord` re-ranks numerically over HUGEINT, pinning the engine's
+    // order-preserving binary encoding.
+    "q86_wide_integers" -> """
+      SELECT p_partkey,
+             CAST(p_partkey::HUGEINT * '123456789012345678901234567890'::HUGEINT AS VARCHAR) AS i128_mul,
+             CAST(p_partkey::HUGEINT + ('-170141183460469231731687303715884105600'::HUGEINT) AS VARCHAR) AS i128_sum,
+             CAST('340282366920938463463374607431768211455'::UHUGEINT - p_partkey::UHUGEINT AS VARCHAR) AS u128_wrap,
+             CAST(p_partkey::HUGEINT * '99999999999999999999999999999999999'::HUGEINT AS VARCHAR) AS i256_mul,
+             CONCAT('115792089237316195423570985008687907853269984665640564039457584007913129639',
+                    LPAD(CAST(935 - p_partkey AS VARCHAR), 3, '0')) AS u256_wrap,
+             CAST(((0 - p_partkey * 1000003)::HUGEINT) // (7::HUGEINT) AS VARCHAR) AS idiv,
+             CAST(((0 - p_partkey * 1000003)::HUGEINT) % (7::HUGEINT) AS VARCHAR) AS imod,
+             CAST((1::HUGEINT << (p_partkey % 120)) AS VARCHAR) AS shl,
+             CAST(greatest(p_partkey::HUGEINT * 137438953471::HUGEINT, 13743895347100::HUGEINT) AS VARCHAR) AS gmax,
+             CAST(least(p_partkey::HUGEINT * 100000000000::HUGEINT, 10000000000000::HUGEINT) AS VARCHAR) AS lmin,
+             CAST(row_number() OVER (ORDER BY
+               (p_partkey % 5 - 2)::HUGEINT * '1000000000000000000000'::HUGEINT
+                 + p_partkey::HUGEINT, p_partkey) AS INT) AS ord
+      FROM part WHERE p_partkey <= 200
+      ORDER BY p_partkey""",
     "q64_scalar_tranche15" -> """
       SELECT p_partkey,
              CAST(p_size AS DOUBLE) = 2 AS eq2,

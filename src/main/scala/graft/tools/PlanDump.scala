@@ -59,7 +59,9 @@ object PlanDump {
       "v19_hnswpq" -> "HNSWPQ two-stage: per-part quantized graph scans (stage 1, ADC distances on dequantized codes) -> broadcast semi-join exact re-rank (stage 2). Replay oracle exports the stage-1 candidate ids under Verify only — the plan below is the engine's own path",
       "q84_filelog" -> "ENGINE = FileLog poll: the appended byte ranges become a tiny repartitioned frame whose tasks read+parse ONLY the new bytes (mapPartitions), materialized as one consistent batch — no corpus scan, poll cost is O(new data)",
       "q85_filelog_mv" -> "FileLog -> MV flow (02024): each poll's materialized batch runs the MV transform and APPENDS to a parquet target; the aggregate reads the TARGET (a plain parquet scan) — exactly-once accumulation verified by the oracle, stream work stays O(new data)",
-      "d12_span_dups" -> "span-level (substring) dedup: token-hash array bound ONCE in the Project below the window explode (an inlined transform would re-evaluate per element_at — 40x slower, caught in r17); only 8-byte hashes shuffle — one hash-keyed count window + one id groupBy, no text movement")
+      "d12_span_dups" -> "span-level (substring) dedup: token-hash array bound ONCE in the Project below the window explode (an inlined transform would re-evaluate per element_at — 40x slower, caught in r17); only 8-byte hashes shuffle — one hash-keyed count window + one id groupBy, no text movement",
+      "d13_incremental_lsh" -> "incremental MinHash-LSH (new batch vs seen corpus): candidates meet ONLY in the cross-side band-bucket hash join (never new×new/seen×seen); signatures partial-aggregate map-side (numPerm longs per doc is all that shuffles); exact-Jaccard verify joins the slim candidate set back to per-doc shingle sets — at 100 TB the seen side's buckets are a persisted artifact, cost stays O(batch)",
+      "q86_wide_integers" -> "Int128/256 wide integers: construction/arithmetic are scalar UDFs inside the scan-stage projection (one stage, no shuffle beyond the final sort); the `ord` window sorts the raw BINARY column — the order-preserving encoding makes Spark's native BinaryType comparator the numeric comparator, so wide ORDER BY/min/max/GROUP BY need no UDF calls at all")
     val sb = new StringBuilder
     sb.append("# PLANS — headline physical plans (generated by graft.tools.PlanDump)\n")
     sb.append(s"\nScale factor dir: `$sfDir`. Regenerate: " +

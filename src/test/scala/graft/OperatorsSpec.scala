@@ -75,6 +75,27 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} exact pairs")
   }
 
+  test("incremental minhash LSH = exact cross-side pairs on sf0.001 docs") {
+    // the d13 contract: new-batch (doc_id >= 250) vs seen (doc_id < 250)
+    // candidates come ONLY from cross-side bucket joins; verified output
+    // must equal the exact cross-side 3-gram-Jaccard pair set (banding
+    // recall ~1 at this corpus's similarity margins)
+    val docs = graft.engine.Tables.t(spark, sfDir, "documents")
+    val exactCross = Dedup.ngramJaccardPairs(docs, col("text"), col("doc_id"), 3, 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a < 250) != (b < 250) }
+      .map { case (a, b) => if (a >= 250) (a, b) else (b, a) } // (new, seen)
+      .toSet
+    val inc = Dedup.minhashLshIncrementalPairs(
+        docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
+        col("text"), col("doc_id"), col("text"), col("doc_id"),
+        minSim = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactCross.nonEmpty)
+    assert(inc === exactCross)
+  }
+
   test("simhash: identical texts collide, near texts are close in hamming") {
     val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "the quick brown fox jumps over the lazy dog"),

@@ -1,0 +1,187 @@
+package graft
+
+import java.math.BigInteger
+
+import graft.functions.WideInt
+
+/** Wide-integer family (Int128/UInt128/Int256/UInt256) pinned to the
+  * reference's own test goldens:
+  *  - tests/queries/0_stateless/01440_big_int_arithm.{sql,reference}
+  *  - tests/queries/0_stateless/01440_big_int_shift.{sql,reference}
+  *  - tests/queries/0_stateless/01440_big_int_least_greatest.{sql,reference}
+  *  - tests/queries/0_stateless/01440_big_int_exotic_casts.{sql,reference}
+  */
+class WideIntSpec extends SparkSpec {
+
+  private def q1(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
+  private def s1(sql: String): String = q1(sql).asInstanceOf[String]
+
+  test("01440_big_int_arithm: value + promoted-type matrix") {
+    // select (toInt128(-1) + toInt8(1)) x, ... — every narrow second arg
+    // (Int8..Int64, UInt8..UInt64) promotes to the wide lead type; the
+    // reference prints x=0 / type Int128|Int256 (01440 reference lines
+    // 1-11), minus gives -2, mul by 1 gives -1, intDiv(-1,-1)=1,
+    // divide yields Float64.
+    for (lead <- Seq("Int128", "Int256")) {
+      assert(s1(s"wideToString(widePlus(to$lead(-1), 1))") === "0")
+      assert(s1(s"wideTypeName(widePlus(to$lead(-1), 1))") === lead)
+      assert(s1(s"wideToString(wideMinus(to$lead(-1), 1))") === "-2")
+      assert(s1(s"wideToString(wideMultiply(to$lead(-1), 1))") === "-1")
+      assert(s1(s"wideToString(wideIntDiv(to$lead(-1), -1))") === "1")
+      assert(q1(s"wideDivide(to$lead(-1), -1)") === 1.0)
+      assert(q1(s"wideDivide(to$lead(-1), 1)") === -1.0)
+    }
+    // wide × wide promotion rows (01440 reference: Int128 op Int256 →
+    // Int256; Int128 op UInt256 → Int256)
+    assert(s1("wideTypeName(widePlus(toInt128(-1), toInt128(1)))") === "Int128")
+    assert(s1("wideTypeName(widePlus(toInt128(-1), toInt256(1)))") === "Int256")
+    assert(s1("wideTypeName(widePlus(toInt128(-1), toUInt256(1)))") === "Int256")
+    assert(s1("wideToString(widePlus(toInt128(-1), toUInt256(1)))") === "0")
+    assert(s1("wideTypeName(widePlus(toInt256(-1), toInt128(1)))") === "Int256")
+    // unsigned × unsigned keeps unsigned
+    assert(s1("wideTypeName(widePlus(toUInt128(1), toUInt128(2)))") === "UInt128")
+    assert(s1("wideTypeName(widePlus(toUInt128(1), toUInt256(2)))") === "UInt256")
+  }
+
+  test("01440_big_int_shift: shiftLeft/shiftRight round-trips at width") {
+    // SELECT bitShiftLeft(toInt128(1), number) x, bitShiftRight(x, number) y
+    // FROM numbers(127): x = 2^n, y = 1, types stay the lead type.
+    val i128 = spark.range(127).selectExpr(
+      "id",
+      "wideToString(wideBitShiftLeft(toInt128(1), CAST(id AS INT))) AS x",
+      "wideToString(wideBitShiftRight(wideBitShiftLeft(toInt128(1), CAST(id AS INT)), CAST(id AS INT))) AS y",
+      "wideTypeName(wideBitShiftLeft(toInt128(1), CAST(id AS INT))) AS tx")
+      .collect()
+    i128.foreach { r =>
+      val n = r.getLong(0).toInt
+      assert(r.getString(1) === BigInteger.ONE.shiftLeft(n).toString, s"n=$n")
+      assert(r.getString(2) === "1", s"n=$n")
+      assert(r.getString(3) === "Int128")
+    }
+    val u256 = spark.range(256).selectExpr(
+      "id",
+      "wideToString(wideBitShiftLeft(toUInt256(1), CAST(id AS INT))) AS x",
+      "wideToString(wideBitShiftRight(wideBitShiftLeft(toUInt256(1), CAST(id AS INT)), CAST(id AS INT))) AS y")
+      .collect()
+    u256.foreach { r =>
+      val n = r.getLong(0).toInt
+      assert(r.getString(1) === BigInteger.ONE.shiftLeft(n).toString, s"n=$n")
+      assert(r.getString(2) === "1", s"n=$n")
+    }
+    // shifting past the width wraps to zero (the low bits are gone)
+    assert(s1("wideToString(wideBitShiftLeft(toInt128(1), 128))") === "0")
+  }
+
+  test("01440_big_int_least_greatest golden rows") {
+    // least(toInt8(127), toInt128(128)) = 127 ... (reference line 1)
+    assert(s1("wideToString(wideLeast(127, toInt128(0)))") === "0")
+    assert(s1("wideToString(wideLeast(127, toInt128(128)))") === "127")
+    assert(s1("wideToString(wideLeast(-128, toInt128(-129)))") === "-129")
+    assert(s1("wideToString(wideGreatest(127, toInt128(128)))") === "128")
+    assert(s1("wideToString(wideGreatest(-128, toInt128(0)))") === "0")
+    assert(s1("wideTypeName(wideGreatest(127, toInt128(0)))") === "Int128")
+    // Int64 extremes vs just-out-of-range Int128 values (reference line 3)
+    assert(s1("wideToString(wideLeast(9223372036854775807L, toInt128('9223372036854775808')))")
+      === "9223372036854775807")
+    assert(s1("wideToString(wideGreatest(9223372036854775807L, toInt128('9223372036854775808')))")
+      === "9223372036854775808")
+    assert(s1("wideToString(wideLeast(-9223372036854775808L, toInt128('-9223372036854775809')))")
+      === "-9223372036854775809")
+    // UInt64 max vs UInt256 (reference line 6)
+    assert(s1("wideToString(wideLeast(toUInt128('18446744073709551615'), toUInt256('18446744073709551616')))")
+      === "18446744073709551615")
+    assert(s1("wideTypeName(wideLeast(toUInt128('18446744073709551615'), toUInt256('18446744073709551616')))")
+      === "UInt256")
+  }
+
+  test("01440_big_int_exotic_casts: wraparound reinterpret conversions") {
+    // toUInt256 of a negative wraps modulo 2^256 (reference block 3:
+    // toUInt256(y) of negative y)
+    assert(s1("wideToString(toUInt256(-5))") ===
+      BigInteger.ONE.shiftLeft(256).subtract(BigInteger.valueOf(5)).toString)
+    // reinterpret: low 128 bits of (2^200 + 5) are 5
+    assert(s1("wideToString(toInt128(wideBitShiftLeft(toUInt256(1), 200)))") === "0")
+    assert(s1("wideToString(toInt128(widePlus(wideBitShiftLeft(toUInt256(1), 200), 5)))") === "5")
+    // Int128 -1 reinterpreted as UInt256 is 2^256 - 1 (sign-extends the
+    // value first — the numeric value is -1, then wraps mod 2^256)
+    assert(s1("wideToString(toUInt256(toInt128(-1)))") ===
+      BigInteger.ONE.shiftLeft(256).subtract(BigInteger.ONE).toString)
+    // round trip of in-range values is identity (reference blocks 1-2)
+    for (n <- 0 until 10) {
+      val y = n.toLong * n * n
+      assert(s1(s"wideToString(toInt128($y))") === y.toString)
+      assert(s1(s"wideToString(toInt256(toInt128($y)))") === y.toString)
+      assert(s1(s"wideToString(toUInt256(toInt256($y)))") === y.toString)
+    }
+  }
+
+  test("wraparound arithmetic at the type boundaries") {
+    val i128Max = "170141183460469231731687303715884105727"
+    val i128Min = "-170141183460469231731687303715884105728"
+    assert(s1(s"wideToString(widePlus(toInt128('$i128Max'), 1))") === i128Min)
+    assert(s1(s"wideToString(wideMinus(toInt128('$i128Min'), 1))") === i128Max)
+    assert(s1(s"wideToString(wideNegate(toInt128('$i128Min')))") === i128Min) // -MIN wraps to MIN
+    assert(s1("wideToString(wideNegate(toUInt256(1)))") === "-1")
+    assert(s1("wideTypeName(wideNegate(toUInt256(1)))") === "Int256")
+    val u128Max = "340282366920938463463374607431768211455"
+    assert(s1(s"wideToString(widePlus(toUInt128('$u128Max'), toUInt128(1)))") === "0")
+    // multiplication wrap: (2^64)^2 mod 2^128 = 0
+    assert(s1("wideToString(wideMultiply(toUInt128('18446744073709551616'), toUInt128('18446744073709551616')))")
+      === "0")
+  }
+
+  test("intDiv/modulo truncate toward zero; divide is Float64") {
+    assert(s1("wideToString(wideIntDiv(toInt128(-7), 2))") === "-3")
+    assert(s1("wideToString(wideModulo(toInt128(-7), 3))") === "-1")
+    assert(s1("wideToString(wideModulo(toInt128(7), -3))") === "1")
+    assert(q1("wideDivide(toInt128(1), 2)") === 0.5)
+    assertThrows[Exception](q1("wideToString(wideIntDiv(toInt128(1), 0))"))
+  }
+
+  test("string conversions: OrNull / OrZero, parse extremes") {
+    assert(q1("toInt128OrNull('not a number')") === null)
+    assert(s1("wideToString(toInt128OrZero('junk'))") === "0")
+    assert(s1("wideToString(toInt128OrNull('-170141183460469231731687303715884105728'))")
+      === "-170141183460469231731687303715884105728")
+    assert(s1("wideToString(toUInt256('115792089237316195423570985008687907853269984665640564039457584007913129639935'))")
+      === "115792089237316195423570985008687907853269984665640564039457584007913129639935")
+  }
+
+  test("conversions out: wideToInt64 low bits, wideToFloat64") {
+    assert(q1("wideToInt64(toInt128(-1))") === -1L)
+    // 2^64 + 7 → low 64 bits are 7
+    assert(q1("wideToInt64(widePlus(wideBitShiftLeft(toInt128(1), 64), 7))") === 7L)
+    assert(q1("wideToFloat64(toInt256('1000000000000000000000'))") === 1e21)
+  }
+
+  test("encoding is order-preserving: Spark-native ORDER BY/min/max work") {
+    val values = Seq(
+      "-170141183460469231731687303715884105728", "-99999999999999999999",
+      "-1", "0", "1", "99999999999999999999",
+      "170141183460469231731687303715884105727")
+    val shuffled = scala.util.Random.shuffle(values)
+    import spark.implicits._
+    val df = shuffled.toDF("s").selectExpr("toInt128(s) AS v")
+    val sorted = df.orderBy("v").selectExpr("wideToString(v) AS s")
+      .collect().map(_.getString(0)).toSeq
+    assert(sorted === values)
+    val agg = df.selectExpr("wideToString(min(v)) AS lo", "wideToString(max(v)) AS hi").head()
+    assert(agg.getString(0) === values.head)
+    assert(agg.getString(1) === values.last)
+    // property sweep: 200 random 128-bit values — byte order == numeric order
+    val rnd = new scala.util.Random(42)
+    val big = Seq.fill(200)(new BigInteger(127, rnd.self)
+      .subtract(BigInteger.ONE.shiftLeft(126)))
+    val enc = big.map(v => WideInt.encode(v, WideInt.Int128))
+    val byBytes = enc.sortWith { (a, b) =>
+      java.util.Arrays.compareUnsigned(a, b) < 0
+    }.map(b => WideInt.decode(b)._1)
+    assert(byBytes === big.sorted)
+  }
+
+  test("null propagation") {
+    assert(q1("widePlus(toInt128(1), CAST(NULL AS BIGINT))") === null)
+    assert(q1("toInt128(CAST(NULL AS STRING))") === null)
+    assert(q1("wideToString(CAST(NULL AS BINARY))") === null)
+  }
+}

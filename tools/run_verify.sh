@@ -19,5 +19,5 @@ done
 rm -rf "$OUT"
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8} java $ADD_OPENS -Xmx8g \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
-  graft.Verify "$SF" "$OUT"
+  graft.Verify "$SF" "$OUT" ${3:+"$3"}
 python3 tools/check_correctness.py "$SF" "$OUT"
