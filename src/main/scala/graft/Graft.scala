@@ -135,6 +135,13 @@ object Graft {
     def spanDupReport(textCol: Column, idCol: Column, n: Int = 8): DataFrame =
       Dedup.spanDupReport(df, textCol, idCol, n)
 
+    /** Corpus-wide span removal + reassembly (the C4 line-dedup rule):
+      * keep only the globally first occurrence of each n-token span.
+      */
+    def corpusSpanDedup(textCol: Column, idCol: Column,
+        n: Int = 10): DataFrame =
+      Dedup.corpusSpanDedup(df, textCol, idCol, n)
+
     // ---- training-pipeline ops (Packing) ----
     def packSequences(idCol: Column, nTokensCol: Column,
         budget: Long): DataFrame =
@@ -148,6 +155,13 @@ object Graft {
         fractions: Map[String, Int], defaultPct: Int = 100): DataFrame =
       Packing.stratifiedSampleByHash(df, strataCol, idCol,
         fractions, defaultPct)
+
+    /** Temperature-scaled source mixing: p_s ∝ n_s^alpha quotas +
+      * id-hash Bernoulli selection (integer-exact at alpha = 0.5).
+      */
+    def temperatureMix(strataCol: Column, idCol: Column, budget: Long,
+        alpha: Double = 0.5): DataFrame =
+      Packing.temperatureMix(df, strataCol, idCol, budget, alpha)
 
     def seededShuffle(idCol: Column, seed: String): DataFrame =
       Packing.seededShuffle(df, idCol, seed)

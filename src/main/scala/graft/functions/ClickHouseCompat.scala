@@ -1245,8 +1245,9 @@ object ClickHouseCompat {
       "toIPv6OrZero(s STRING) RETURNS STRING RETURN coalesce(toIPv6OrNull(s), '::')")
     // Decimal32/64/128 fronts at the widest Spark-expressible scale per
     // size (9/18/38 digits; the scale argument rounds — Spark DECIMAL
-    // type scale is fixed per signature). Decimal256 stays documented
-    // out of scope (38-digit engine cap).
+    // type scale is fixed per signature). toDecimal256 is the REAL
+    // 256-bit scaled decimal in [[WideDecimal]] (past the 38-digit
+    // DecimalType cap), registered by installNative.
     // round-to-s with a non-foldable scale (Spark round() requires a
     // literal): half-away-from-zero via floor, the reference's rounding.
     def r(v: String) =
@@ -1956,6 +1957,9 @@ object ClickHouseCompat {
     // wraparound arithmetic, pinned to the reference's 01440 goldens
     // (ref src/DataTypes/DataTypeFactory.cpp:270-293)
     WideInt.install(spark)
+    // Decimal256 — 256-bit scaled decimal past Spark's 38-digit cap
+    // (same encoding idea; checked overflow, CH scale rules)
+    WideDecimal.install(spark)
     // stem(lang, word): Snowball en/ru/fr ports (ref src/Functions/stem.cpp;
     // 01890 golden-pinned). Other libstemmer languages: identity, §2.9.
     spark.udf.register("stem", (lang: String, word: String) =>

@@ -273,5 +273,46 @@ object WideInt {
       val (v, _) = decode(x.asInstanceOf[Array[Byte]])
       java.lang.Double.valueOf(v.doubleValue)
     }), DoubleType)
+
+    // sum over a wide column — result keeps the (promoted) input kind and
+    // wraps mod 2^width like every other wide op (the reference:
+    // sum(Int128) is Int128). Empty/all-null group → null (Spark's sum
+    // contract; the reference returns 0 — callers coalesce if they need
+    // that). Wrapping eagerly per step is sound: x ↦ x mod 2^bits is a
+    // ring homomorphism, so partial/merge order cannot change the result.
+    udfs.register("wideSum", org.apache.spark.sql.functions.udaf(WideSumAgg))
   }
+}
+
+/** Aggregator behind `wideSum` (buffer = running tagged encoding; empty
+  * array = "no input yet").
+  */
+object WideSumAgg extends org.apache.spark.sql.expressions.Aggregator[
+    Array[Byte], Array[Byte], Array[Byte]] {
+  import WideInt.{decode, encode}
+
+  override def zero: Array[Byte] = Array.emptyByteArray
+
+  private def add(acc: Array[Byte], x: Array[Byte]): Array[Byte] =
+    if (x == null || x.isEmpty) acc
+    else if (acc.isEmpty) x
+    else {
+      val (va, ka) = decode(acc)
+      val (vb, kb) = decode(x)
+      val kind =
+        if (ka.bits >= kb.bits && (ka.signed || !kb.signed)) ka
+        else if (kb.bits >= ka.bits && (kb.signed || !ka.signed)) kb
+        else if (math.max(ka.bits, kb.bits) == 128) WideInt.Int128
+        else WideInt.Int256
+      encode(va.add(vb), kind)
+    }
+
+  override def reduce(b: Array[Byte], a: Array[Byte]): Array[Byte] = add(b, a)
+  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = add(b1, b2)
+  override def finish(r: Array[Byte]): Array[Byte] =
+    if (r.isEmpty) null else r
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+    org.apache.spark.sql.Encoders.BINARY
+  override def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+    org.apache.spark.sql.Encoders.BINARY
 }

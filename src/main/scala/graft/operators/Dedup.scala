@@ -371,6 +371,60 @@ object Dedup {
     }
   }
 
+  /** Corpus-wide span REMOVAL + document reassembly — the C4 rule
+    * (Raffel et al. 2020 §2.2: "we discarded all but one of any
+    * three-sentence span occurring more than once in the data set"),
+    * over non-overlapping n-token spans (this corpus has no newline/
+    * sentence structure; on line-structured data the same topology runs
+    * with lines as the unit). d12's [[spanDupReport]] REPORTS window
+    * duplication; this operator actually removes: a span survives iff
+    * its (doc id, span position) is the globally FIRST occurrence of
+    * that span text, and each document is reassembled from its
+    * survivors. Returns (id, n_spans, n_kept, cleaned_text) for every
+    * input document (token-less docs keep n_spans = 0, cleaned = "").
+    *
+    * Scale shape: first-occurrence is a groupBy(span) with a
+    * min(struct(doc, pos)) PARTIAL aggregate — map-side combine absorbs
+    * boilerplate-span skew, where a `PARTITION BY span` window would
+    * funnel every copy of a hot span into one task — then one equi-join
+    * back on the span and one doc-id groupBy to reassemble. Three
+    * shuffles total, none carrying more than the exploded span text.
+    */
+  def corpusSpanDedup(
+      df: DataFrame,
+      textCol: Column,
+      idCol: Column,
+      n: Int = 10): DataFrame = {
+    val toks = df.select(idCol.as("id"), text.tokenize(textCol).as("__t"))
+    val nSpans = expr(s"(size(__t) + ${n - 1}) div $n")
+    val exploded = toks
+      .select(col("id"),
+        posexplode(when(nSpans >= 1,
+          transform(sequence(lit(0), (nSpans - 1).cast("int")),
+            i => array_join(slice(col("__t"), i * n + lit(1), lit(n)), " ")))
+          .otherwise(array())))
+      .withColumnRenamed("pos", "span_no")
+      .withColumnRenamed("col", "s")
+    val firsts = exploded.groupBy("s")
+      .agg(min(struct(col("id"), col("span_no"))).as("first"))
+    val kept = exploded.join(firsts, Seq("s"))
+      .withColumn("keep",
+        struct(col("id"), col("span_no")) === col("first"))
+    val perDoc = kept.groupBy("id").agg(
+      count(lit(1)).as("n_spans"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+      array_join(
+        transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("span_no"), col("s"))))),
+          x => x.getField("s")), " ").as("cleaned_text"))
+    df.select(idCol.as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
   /** 64-bit SimHash of the token multiset: per bit j, sum +1/-1 over token
     * hashes; bit set iff the sum is positive. Computed entirely with
     * higher-order functions (stays in codegen, no UDF, no explode).

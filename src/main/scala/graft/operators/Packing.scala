@@ -97,6 +97,55 @@ object Packing {
     df.filter(hashBucket(idCol, 100) < pct)
   }
 
+  /** Temperature-scaled source mixing — the multilingual-pretraining
+    * sampling rule (mT5 / XLM-R: sample source s with p_s ∝ n_s^α,
+    * α < 1 flattening the source distribution so head sources stop
+    * drowning the tail). Given a document budget, each source gets
+    * quota_s = budget·w_s / Σw and a per-row keep-rate
+    * rate_s = min(1, quota_s / n_s); rows are selected by id-hash
+    * Bernoulli (same [[hashBucket]] as the other mixing ops) — the
+    * shuffle-free 100 TB shape: no per-source top-k sort, membership is
+    * a pure function of the id so appending data never flips an
+    * existing row's fate.
+    *
+    * α = 0.5 (the common choice) computes w_s = floor(sqrt(n_s)) and
+    * keeps EVERY step in integer arithmetic (IEEE sqrt is correctly
+    * rounded, floor/sums/divisions exact) — deterministic across
+    * engines, which is what lets the p05 oracle replay it bit-exactly.
+    * Other α use floor(n^α) (libm pow — deterministic per engine, not
+    * pinned cross-engine).
+    *
+    * Adds `__rate_ppm` (the source's parts-per-million keep rate) to the
+    * selected rows. The per-source rate table is one small aggregate
+    * broadcast back onto the corpus — source cardinality is dozens, the
+    * same dictionary-sized-structure posture as the other mixing ops.
+    */
+  def temperatureMix(
+      df: DataFrame,
+      strataCol: Column,
+      idCol: Column,
+      budget: Long,
+      alpha: Double = 0.5): DataFrame = {
+    val w =
+      if (alpha == 0.5) floor(sqrt(col("__n").cast("double"))).cast("long")
+      else floor(pow(col("__n").cast("double"), alpha)).cast("long")
+    val counts = df.groupBy(strataCol.as("__stratum"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", greatest(w, lit(1L)))
+    // Σw via an integer window over the tiny rate table (exact, order-free)
+    val rates = counts
+      .withColumn("__wsum",
+        sum(col("__w")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))))
+      .withColumn("__quota", expr(s"(__w * CAST($budget AS BIGINT)) div __wsum"))
+      .withColumn("__rate_ppm",
+        least(lit(1000000L), expr("(__quota * 1000000) div __n")))
+      .select(col("__stratum"), col("__rate_ppm"))
+    df.join(broadcast(rates), strataCol === col("__stratum"))
+      .filter(hashBucket(idCol, 1000000) < col("__rate_ppm"))
+      .drop("__stratum")
+  }
+
   /** Seeded global shuffle for training order: sort by the md5 of
     * (seed, id). Deterministic across runs and engines; at scale the
     * sort is the usual range-repartition + local sort, and downstream

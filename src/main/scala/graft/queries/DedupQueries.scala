@@ -182,6 +182,17 @@ object DedupQueries {
           round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("new_id"), col("seen_id"))
     }),
+    // Corpus-level line/span REMOVAL (the C4 rule): all but the globally
+    // first occurrence of each non-overlapping 10-token span are dropped
+    // and documents reassembled from their survivors — the destructive
+    // counterpart of d12's report. Exact oracle: DuckDB rebuilds the
+    // identical span strings, first-occurrence positions and reassembly.
+    "d14_line_dedup" -> ((s, dir) =>
+      Dedup.corpusSpanDedup(t(s, dir, "documents"), col("text"),
+          col("doc_id"), n = 10)
+        .select(col("id").as("doc_id"), col("n_spans"), col("n_kept"),
+          col("cleaned_text"))
+        .orderBy(col("doc_id"))),
     // Span-level (substring) duplication — the sequence-level dedup step
     // (Lee et al. 2022 / Dolma): per doc, how many of its 8-token
     // windows occur more than once corpus-wide. Exact oracle: DuckDB
@@ -408,6 +419,30 @@ object DedupQueries {
       JOIN sizes sb ON p.seen_id = sb.doc_id
       WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5
       ORDER BY new_id, seen_id""",
+    // d14: spans rebuilt as 10-token strings; first occurrence = min of
+    // (doc_id * 1e6 + span_no) — equivalent to the engine's
+    // struct(doc, pos) ordering since span_no < 1e6 everywhere here.
+    "d14_line_dedup" -> s"""
+      WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      sp AS (SELECT doc_id,
+               unnest(range((len(toks) + 9) // 10)) AS span_no,
+               unnest([array_to_string(toks[i : i + 9], ' ')
+                       for i in range(1, len(toks) + 1, 10)]) AS s
+             FROM d),
+      f AS (SELECT s, min(doc_id * 1000000 + span_no) AS fpos
+            FROM sp GROUP BY s),
+      k AS (SELECT sp.doc_id, sp.span_no, sp.s,
+                   (sp.doc_id * 1000000 + sp.span_no = f.fpos) AS keep
+            FROM sp JOIN f USING (s)),
+      g AS (SELECT doc_id, CAST(count(1) AS BIGINT) AS n_spans,
+                   CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   string_agg(CASE WHEN keep THEN s END, ' ' ORDER BY span_no) AS txt
+            FROM k GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(g.n_spans, 0) AS n_spans,
+             coalesce(g.n_kept, 0) AS n_kept,
+             coalesce(g.txt, '') AS cleaned_text
+      FROM documents d LEFT JOIN g USING (doc_id)
+      ORDER BY d.doc_id""",
     // windows as joined token strings; multiplicity KEPT (no distinct) —
     // an intra-doc repeat is a duplicated span
     "d12_span_dups" -> s"""

@@ -91,6 +91,19 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"))
     }),
+    // Temperature-scaled source mixing (p_s ∝ n_s^0.5, the mT5/XLM-R
+    // flattening rule) with a 200-doc budget: per-lang integer-exact
+    // quota/rate derivation + id-hash Bernoulli selection. The oracle
+    // replays every step (floor-sqrt weights, integer division chain,
+    // md5 bucket) bit-exactly.
+    "p05_temperature_mix" -> ((s, dir) => {
+      Packing.temperatureMix(t(s, dir, "documents"), col("lang"),
+          col("doc_id"), budget = 200L, alpha = 0.5)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_selected"),
+          max(col("__rate_ppm")).as("rate_ppm"))
+        .orderBy(col("lang"))
+    }),
     // Seeded global shuffle for training order: first 20 docs of the
     // 'seed42' permutation, shuffle key included so the oracle pins the
     // exact order (TakeOrderedAndProject, no global window).
@@ -287,6 +300,26 @@ object PipelineQueries {
       SELECT doc_id, md5('seed42-' || CAST(doc_id AS VARCHAR)) AS skey
       FROM documents
       ORDER BY skey, doc_id LIMIT 20""",
+    // p05: the integer-exact temperature derivation — w = floor(sqrt(n))
+    // (min 1), W = Σw, quota = (w*200)//W, rate_ppm = min(1e6,
+    // quota*1e6//n) — then the same md5 bucket at 1e6 granularity.
+    "p05_temperature_mix" -> s"""
+      WITH c AS (SELECT lang, CAST(count(1) AS BIGINT) AS n
+                 FROM documents GROUP BY 1),
+      w AS (SELECT lang, n,
+                   greatest(CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT), 1) AS w
+            FROM c),
+      r AS (SELECT lang, n,
+                   least(1000000,
+                     ((w * 200) // (SELECT sum(w) FROM w)) * 1000000 // n)
+                     AS rate_ppm
+            FROM w)
+      SELECT d.lang, CAST(count(1) AS BIGINT) AS n_selected,
+             CAST(max(r.rate_ppm) AS BIGINT) AS rate_ppm
+      FROM documents d JOIN r ON d.lang = r.lang
+      WHERE (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             % 1000000) < r.rate_ppm
+      GROUP BY d.lang ORDER BY d.lang""",
     // closed-form replay of the PNG generator: Σ over pixels of 3·v where
     // v = (x·7 + y·13 + i·31) % 256, image i is (16+i)×(8+i)
     "q80_multimodal_decode" -> """

@@ -1110,7 +1110,41 @@ object RelationalQueries {
           "wideToString(wideBitShiftLeft(toInt128(1), CAST(p_partkey % 120 AS INT))) AS shl",
           "wideToString(wideGreatest(toInt128(p_partkey * 137438953471L), toInt128('13743895347100'))) AS gmax",
           "wideToString(wideLeast(toUInt128(p_partkey * 100000000000L), toUInt256('10000000000000'))) AS lmin",
+          "wideToString(wideSum(toInt128(p_partkey * 1000000000000000L)) OVER ()) AS wsum",
           "ord")
+        .orderBy(col("p_partkey"))
+    }),
+
+    // Decimal256 end-to-end (ref DataTypeFactory.cpp:270-293; 76-digit
+    // precision past Spark's 38-digit DecimalType): exact construction
+    // from strings/ints, CH scale rules (+/- max(S), * sums S, / keeps
+    // Sa truncating), trimmed text form, >38-digit carries (oracle
+    // rebuilds those digit-exactly by concatenation), and `dord` pins
+    // the order-preserving encoding against DuckDB's numeric rank.
+    "q87_decimal256" -> ((s, dir) => {
+      // p >= 1: the oracle rebuilds the >38-digit columns by string
+      // concatenation, which only equals the numeric text form for a
+      // non-zero leading digit
+      t(s, dir, "part")
+        .filter(col("p_partkey") >= 1 && col("p_partkey") <= 200)
+        .withColumn("dv", expr(
+          "toDecimal256(CAST(CAST(p_partkey % 7 AS INT) - 3 AS STRING) || '.' " +
+            "|| lpad(CAST(p_partkey AS STRING), 3, '0'), 3)"))
+        .withColumn("dord",
+          row_number().over(Window.orderBy(col("dv"), col("p_partkey"))))
+        .selectExpr("p_partkey",
+          "wideDecToString(toDecimal256(p_partkey, 7)) AS d7",
+          "wideDecToString(wideDecPlus(toDecimal256(CAST(p_partkey AS STRING) || '.25', 2), " +
+            "toDecimal256(p_partkey, 4))) AS dsum",
+          "wideDecToString(wideDecMultiply(toDecimal256(CAST(p_partkey AS STRING) || '.5', 1), " +
+            "toDecimal256('2.05', 2))) AS dmul",
+          "wideDecToString(wideDecDivide(toDecimal256(CAST(0 - p_partkey AS STRING) || '.0', 1), " +
+            "toDecimal256('3', 0))) AS ddiv",
+          "wideDecToString(toDecimal256(CAST(p_partkey AS STRING) || repeat('0', 40) || '.5', 1)) AS dbig",
+          "wideDecToString(wideDecPlus(toDecimal256(CAST(p_partkey AS STRING) || repeat('0', 40), 0), " +
+            "toDecimal256(p_partkey, 0))) AS dbigsum",
+          "CAST(wideDecScale(wideDecMultiply(toDecimal256('1.5', 1), toDecimal256(p_partkey, 2))) AS INT) AS dscale",
+          "dord")
         .orderBy(col("p_partkey"))
     }),
 
@@ -1408,10 +1442,42 @@ object RelationalQueries {
              CAST((1::HUGEINT << (p_partkey % 120)) AS VARCHAR) AS shl,
              CAST(greatest(p_partkey::HUGEINT * 137438953471::HUGEINT, 13743895347100::HUGEINT) AS VARCHAR) AS gmax,
              CAST(least(p_partkey::HUGEINT * 100000000000::HUGEINT, 10000000000000::HUGEINT) AS VARCHAR) AS lmin,
+             CAST(sum(p_partkey::HUGEINT * 1000000000000000::HUGEINT) OVER () AS VARCHAR) AS wsum,
              CAST(row_number() OVER (ORDER BY
                (p_partkey % 5 - 2)::HUGEINT * '1000000000000000000000'::HUGEINT
                  + p_partkey::HUGEINT, p_partkey) AS INT) AS ord
       FROM part WHERE p_partkey <= 200
+      ORDER BY p_partkey""",
+    // q87 oracle: in-range decimals recomputed with DuckDB DECIMAL and
+    // trimmed to the engine's CH text form (rtrim of fractional zeros is
+    // safe — DuckDB always prints a '.' at scale > 0); the truncating
+    // division is replayed in integer space with `//` (trunc toward
+    // zero); >38-digit values are rebuilt digit-exactly by string
+    // concatenation (no carry: p <= 999 against 40 zeros).
+    "q87_decimal256" -> """
+      WITH v AS (
+        SELECT p_partkey,
+               ((0 - p_partkey * 10) // 3) AS dv10
+        FROM part WHERE p_partkey >= 1 AND p_partkey <= 200)
+      SELECT p_partkey,
+             CAST(p_partkey AS VARCHAR) AS d7,
+             rtrim(rtrim(CAST(CAST(CAST(p_partkey AS VARCHAR) || '.25' AS DECIMAL(18,2))
+                   + CAST(p_partkey AS DECIMAL(18,4)) AS VARCHAR), '0'), '.') AS dsum,
+             rtrim(rtrim(CAST(CAST(CAST(p_partkey AS VARCHAR) || '.5' AS DECIMAL(18,1))
+                   * CAST('2.05' AS DECIMAL(3,2)) AS VARCHAR), '0'), '.') AS dmul,
+             (CASE WHEN dv10 < 0 THEN '-' ELSE '' END)
+               || CAST(abs(dv10) // 10 AS VARCHAR)
+               || (CASE WHEN abs(dv10) % 10 = 0 THEN ''
+                        ELSE '.' || CAST(abs(dv10) % 10 AS VARCHAR) END) AS ddiv,
+             CAST(p_partkey AS VARCHAR) || repeat('0', 40) || '.5' AS dbig,
+             CAST(p_partkey AS VARCHAR) || repeat('0', 37)
+               || lpad(CAST(p_partkey AS VARCHAR), 3, '0') AS dbigsum,
+             CAST(3 AS INT) AS dscale,
+             CAST(row_number() OVER (ORDER BY
+               CAST(CAST(p_partkey % 7 - 3 AS VARCHAR) || '.'
+                    || lpad(CAST(p_partkey AS VARCHAR), 3, '0') AS DECIMAL(10,3)),
+               p_partkey) AS INT) AS dord
+      FROM v
       ORDER BY p_partkey""",
     "q64_scalar_tranche15" -> """
       SELECT p_partkey,

@@ -108,9 +108,27 @@ object NativeFormat {
         }
         out.write(buf)
       }
+    case LongType if wideWidth(ch).isDefined =>
+      // Int128/Int256 wire framing: the reference serializes 16/32 LE
+      // bytes per value; the engine carries the column at Int64
+      // precision, sign/zero-extended out (see RowBinaryFormat notes)
+      val w = wideWidth(ch).get
+      values.foreach { v =>
+        val lv = v.asInstanceOf[Long]
+        writeFixed(out, lv, 8)
+        val fill = if (lv < 0 && ch.startsWith("Int")) 0xff else 0x00
+        var i = 8
+        while (i < w) { out.write(fill); i += 1 }
+      }
     case _ =>
       val w = scalarWidth(dt, ch)
       values.foreach(v => writeFixed(out, toBits(v, dt), w))
+  }
+
+  private def wideWidth(ch: String): Option[Int] = ch match {
+    case "Int128" | "UInt128" => Some(16)
+    case "Int256" | "UInt256" => Some(32)
+    case _ => None
   }
 
   private def default(dt: DataType): Any = FormatCodec.defaultValue(dt)
@@ -237,7 +255,14 @@ object NativeFormat {
       else in.signedFixed(scalarWidth(dt, ch)).toInt
     case LongType =>
       if (ch == "UInt32") in.fixed(4) & 0xffffffffL
-      else in.signedFixed(scalarWidth(dt, ch))
+      else if (wideWidth(ch).isDefined) {
+        // low 8 LE bytes = the wraparound Int64 value; consume the rest
+        // so the column stream stays aligned
+        val lo = in.fixed(8)
+        var i = 8
+        while (i < wideWidth(ch).get) { in.buf.get(); i += 1 }
+        lo
+      } else in.signedFixed(scalarWidth(dt, ch))
     case FloatType => java.lang.Float.intBitsToFloat(in.fixed(4).toInt)
     case DoubleType => java.lang.Double.longBitsToDouble(in.fixed(8))
     case BooleanType => in.fixed(1) != 0

@@ -51,6 +51,32 @@ object RowBinaryFormat {
     case _ => None
   }
 
+  /** Wire width of the wide integer types (the reference serializes
+    * Int128/Int256 as 16/32 little-endian bytes — framing MUST honor
+    * that or every later column in the row is misread). The engine
+    * carries wide columns at Int64 precision (ChTypes maps them to
+    * LongType); the value crosses the wire through the engine's
+    * standard wraparound conversion (low 64 bits, sign-extended out).
+    */
+  private def wideWidth(ch: String): Option[Int] = ch match {
+    case "Int128" | "UInt128" => Some(16)
+    case "Int256" | "UInt256" => Some(32)
+    case _ => None
+  }
+
+  /** Wire byte width of a Decimal by its DECLARED precision (the
+    * reference: ≤9 → 4, ≤18 → 8, ≤38 → 16, ≤76 → 32). The declared
+    * `ch` wins over the Spark precision (which caps at 38) so a
+    * Decimal(40, 2) column frames as the 32 bytes the reference wrote.
+    */
+  private def decimalWidth(chBase: String, sparkPrecision: Int): Int = {
+    val p = chInner(chBase, "Decimal") match {
+      case "" => sparkPrecision
+      case args => FormatCodec.splitTop(args).head.trim.toInt
+    }
+    if (p <= 9) 4 else if (p <= 18) 8 else if (p <= 38) 16 else 32
+  }
+
   private def chInner(ch: String, prefix: String): String =
     if (ch.startsWith(prefix + "(") && ch.endsWith(")"))
       ch.substring(prefix.length + 1, ch.length - 1).trim
@@ -74,6 +100,14 @@ object RowBinaryFormat {
         writeFixed(out, v.asInstanceOf[Short].toLong, chWidth(chBase).getOrElse(2))
       case IntegerType =>
         writeFixed(out, v.asInstanceOf[Int].toLong, chWidth(chBase).getOrElse(4))
+      case LongType if wideWidth(chBase).isDefined =>
+        val w = wideWidth(chBase).get
+        val lv = v.asInstanceOf[Long]
+        writeFixed(out, lv, 8)
+        // sign-extend signed wide types; zero-extend unsigned
+        val fill = if (lv < 0 && chBase.startsWith("Int")) 0xff else 0x00
+        var i = 8
+        while (i < w) { out.write(fill); i += 1 }
       case LongType =>
         writeFixed(out, v.asInstanceOf[Long], chWidth(chBase).getOrElse(8))
       case FloatType =>
@@ -108,7 +142,7 @@ object RowBinaryFormat {
           case x: java.math.BigDecimal => x
           case x: BigDecimal => x.underlying
         }).setScale(d.scale).unscaledValue
-        val bytes = if (d.precision <= 9) 4 else if (d.precision <= 18) 8 else 16
+        val bytes = decimalWidth(chBase, d.precision)
         val buf = new Array[Byte](bytes)
         val src = unscaled.toByteArray // big-endian two's complement
         val signFill: Byte = if (unscaled.signum < 0) -1 else 0
@@ -221,6 +255,13 @@ object RowBinaryFormat {
       }
       case LongType => chBase match {
         case "UInt32" => in.fixed(4) & 0xffffffffL
+        case w if wideWidth(w).isDefined =>
+          // low 8 LE bytes are the wraparound Int64 value; consume the
+          // full declared width so the NEXT column stays aligned
+          val lo = in.fixed(8)
+          var i = 8
+          while (i < wideWidth(w).get) { in.buf.get(); i += 1 }
+          lo
         case _ => in.signedFixed(chWidth(chBase).getOrElse(8))
       }
       case FloatType => java.lang.Float.intBitsToFloat(in.fixed(4).toInt)
@@ -235,7 +276,7 @@ object RowBinaryFormat {
         val len = in.varint().toInt
         val b = new Array[Byte](len); in.buf.get(b); b
       case d: DecimalType =>
-        val bytes = if (d.precision <= 9) 4 else if (d.precision <= 18) 8 else 16
+        val bytes = decimalWidth(chBase, d.precision)
         val raw = new Array[Byte](bytes); in.buf.get(raw)
         val be = raw.reverse
         new java.math.BigDecimal(new java.math.BigInteger(be), d.scale)

@@ -61,7 +61,10 @@ object PlanDump {
       "q85_filelog_mv" -> "FileLog -> MV flow (02024): each poll's materialized batch runs the MV transform and APPENDS to a parquet target; the aggregate reads the TARGET (a plain parquet scan) — exactly-once accumulation verified by the oracle, stream work stays O(new data)",
       "d12_span_dups" -> "span-level (substring) dedup: token-hash array bound ONCE in the Project below the window explode (an inlined transform would re-evaluate per element_at — 40x slower, caught in r17); only 8-byte hashes shuffle — one hash-keyed count window + one id groupBy, no text movement",
       "d13_incremental_lsh" -> "incremental MinHash-LSH (new batch vs seen corpus): candidates meet ONLY in the cross-side band-bucket hash join (never new×new/seen×seen); signatures partial-aggregate map-side (numPerm longs per doc is all that shuffles); exact-Jaccard verify joins the slim candidate set back to per-doc shingle sets — at 100 TB the seen side's buckets are a persisted artifact, cost stays O(batch)",
-      "q86_wide_integers" -> "Int128/256 wide integers: construction/arithmetic are scalar UDFs inside the scan-stage projection (one stage, no shuffle beyond the final sort); the `ord` window sorts the raw BINARY column — the order-preserving encoding makes Spark's native BinaryType comparator the numeric comparator, so wide ORDER BY/min/max/GROUP BY need no UDF calls at all")
+      "q86_wide_integers" -> "Int128/256 wide integers: construction/arithmetic are scalar UDFs inside the scan-stage projection (one stage, no shuffle beyond the final sort); the `ord` window sorts the raw BINARY column — the order-preserving encoding makes Spark's native BinaryType comparator the numeric comparator, so wide ORDER BY/min/max/GROUP BY need no UDF calls at all",
+      "d14_line_dedup" -> "corpus-level span REMOVAL (C4 rule): first-occurrence = groupBy(span) min(struct(doc,pos)) PARTIAL aggregate — map-side combine absorbs boilerplate-span skew where a PARTITION BY span window would funnel every copy of a hot span into one task; one equi-join back + one doc groupBy reassembles",
+      "p05_temperature_mix" -> "temperature source mixing: the per-source rate table is one tiny aggregate broadcast back onto the corpus; selection is id-hash Bernoulli inside the scan stage — no per-source sort, no top-k, membership stable under appends",
+      "q87_decimal256" -> "Decimal256 (76-digit) scalars: construction/arithmetic in the scan-stage projection; `dord` sorts the raw BINARY — within one scale the offset-binary encoding makes native BinaryType order numeric order, same design as the wide ints")
     val sb = new StringBuilder
     sb.append("# PLANS — headline physical plans (generated by graft.tools.PlanDump)\n")
     sb.append(s"\nScale factor dir: `$sfDir`. Regenerate: " +

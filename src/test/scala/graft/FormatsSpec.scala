@@ -157,6 +157,36 @@ class FormatsSpec extends SparkSpec {
     assert(back.collect().map(_.toString).toSeq === in.collect().map(_.toString).toSeq)
   }
 
+  test("RowBinary/Native frame Int128/Int256/Decimal(76) at the reference widths") {
+    // the reference serializes Int128/Int256 as 16/32 LE bytes and
+    // Decimal(76) as 32 — a wrong width misreads EVERY later column, so
+    // the framing is what this pins (values carry at Int64 precision via
+    // the engine's wraparound conversion; see RowBinaryFormat notes)
+    val schema = StructType(Seq(
+      chField("w", LongType, "Int128"),
+      chField("s", StringType, "String"),
+      chField("u", LongType, "UInt256"),
+      chField("d", DecimalType(38, 2), "Decimal(76, 2)"),
+      chField("t", IntegerType, "Int32")))
+    val in = df(schema,
+      Row(-5L, "mid", 9L, new java.math.BigDecimal("12.34"), 42),
+      Row(Long.MaxValue, "x", 0L, new java.math.BigDecimal("-0.01"), -7))
+    val bytes = RowBinaryFormat.write(in, withNames = false, withTypes = false)
+    // per row: 16 (Int128) + 1+len (String varint) + 32 (UInt256) +
+    // 32 (Decimal(76)) + 4 (Int32)
+    assert(bytes.length === (16 + 4 + 32 + 32 + 4) + (16 + 2 + 32 + 32 + 4))
+    // -5 as Int128: low 8 bytes LE of -5, then 8 bytes of 0xff sign fill
+    assert(bytes(7) === -1.toByte && bytes(8) === -1.toByte && bytes(15) === -1.toByte)
+    assert(bytes(0) === (-5).toByte)
+    val back = RowBinaryFormat.read(spark, bytes, Some(schema),
+      withNames = false, withTypes = false)
+    assert(back.collect().map(_.toString).toSeq === in.collect().map(_.toString).toSeq)
+    // Native: same framing contract, bulk columns
+    val nat = OutputFormats.writeBytes(in, "Native")
+    val natBack = InputFormats.parseBytes(spark, nat, "Native")
+    assert(natBack.collect().map(_.toString).toSeq === in.collect().map(_.toString).toSeq)
+  }
+
   // ---- Vertical (00231) ---------------------------------------------------
 
   test("00231: Vertical raw values") {

@@ -71,6 +71,49 @@ class PipelineOpsSpec extends SparkSpec {
 
   // ---- chunking ----
 
+  test("corpusSpanDedup keeps only globally-first span occurrences") {
+    val ten = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, ten + " k1 k2"),          // spans: [ten], [k1 k2]
+      (2L, ten + " x1 x2"),          // span 0 dups doc 1's span 0
+      (3L, "!!!"),                   // token-less
+      (4L, ten + " " + ten))         // intra-doc repeat: span 1 dups span 0
+      .toDF("doc_id", "text")
+    val got = Dedup.corpusSpanDedup(docs, col("text"), col("doc_id"), n = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) === ((2L, 2L, ten + " k1 k2")))
+    assert(got(2L) === ((2L, 1L, "x1 x2")))
+    assert(got(3L) === ((0L, 0L, "")))
+    assert(got(4L) === ((2L, 0L, ""))) // both spans = doc 1's span 0
+  }
+
+  test("temperatureMix: integer-exact rates, hash-deterministic selection") {
+    import graft.operators.Packing
+    // strata: 'big' 100 docs, 'small' 4 docs; budget 52 at alpha 0.5:
+    // w = floor(sqrt(n)) = (10, 2), W = 12, quota = (10*52/12, 2*52/12)
+    // = (43, 8), rate_ppm = (430000, min(1e6, 2000000) = 1e6)
+    val docs = ((1 to 100).map(i => (i.toLong, "big")) ++
+      (101 to 104).map(i => (i.toLong, "small"))).toDF("doc_id", "lang")
+    val sel = Packing.temperatureMix(docs, col("lang"), col("doc_id"),
+        budget = 52L, alpha = 0.5)
+      .select("doc_id", "lang", "__rate_ppm").collect()
+    val rates = sel.map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(rates("small") === 1000000L)
+    assert(rates.get("big").forall(_ === 430000L))
+    assert(sel.count(_.getString(1) == "small") === 4) // rate 1e6 keeps all
+    // independent replay of the md5-bucket selection for the 'big' side
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(id: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 1000000L
+    }
+    val expectedBig = (1 to 100).map(_.toLong).filter(bucket(_) < 430000L).toSet
+    val gotBig = sel.filter(_.getString(1) == "big").map(_.getLong(0)).toSet
+    assert(gotBig === expectedBig)
+  }
+
   test("chunk emits sliding windows with a short tail") {
     val df = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" "))).toDF("id", "text")
     val got = TextPipeline.chunk(df, col("text"), col("id"), chunkSize = 4, stride = 3)

@@ -1,0 +1,99 @@
+package graft
+
+/** Decimal256 pinned to the reference's decimal goldens:
+  *  - tests/queries/0_stateless/01440_big_int_exotic_casts.{sql,reference}
+  *    (toDecimal256(y, 7) prints the integer value bare — trailing
+  *    fractional zeros trimmed)
+  *  - tests/queries/0_stateless/00700_decimal_arithm semantics: + - * /
+  *    scale rules, checked overflow.
+  */
+class WideDecimalSpec extends SparkSpec {
+
+  private def s1(sql: String): String =
+    spark.sql(s"SELECT $sql").head().getString(0)
+  private def q1(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
+
+  test("01440_big_int_exotic_casts: toDecimal256(y, 7) prints y bare") {
+    // SELECT toUInt32(number*number)*number y, ..., toDecimal256(y, 7):
+    // the reference prints the cube values 0,1,8,...,729 with no
+    // fractional tail at every decimal width
+    for (n <- 0 until 10) {
+      val y = n.toLong * n * n
+      assert(s1(s"wideDecToString(toDecimal256($y, 7))") === y.toString)
+      // negative block: toInt32(number*number) * -1
+      assert(s1(s"wideDecToString(toDecimal256(${-n.toLong * n}, 7))")
+        === (-n.toLong * n).toString)
+      // UInt256-sourced y takes the wide-operand path
+      assert(s1(s"wideDecToString(toDecimal256(toUInt256($y), 7))") === y.toString)
+    }
+  }
+
+  test("text form trims fractional zeros only") {
+    assert(s1("wideDecToString(toDecimal256('123.456', 3))") === "123.456")
+    assert(s1("wideDecToString(toDecimal256('123.450', 3))") === "123.45")
+    assert(s1("wideDecToString(toDecimal256('-3.50', 2))") === "-3.5")
+    assert(s1("wideDecToString(toDecimal256('0.000', 3))") === "0")
+    assert(s1("wideDecToString(toDecimal256('100', 0))") === "100")
+    assert(s1("wideDecToString(toDecimal256('1.005', 2))") === "1.01") // HALF_UP
+  }
+
+  test("beyond Spark's 38-digit cap: 76-digit values round-trip") {
+    val seventy = "9" * 70
+    assert(s1(s"wideDecToString(toDecimal256('$seventy.25', 2))") === s"$seventy.25")
+    // 75 integer digits + 1 fractional = precision 76, still in range
+    val v75 = "1" + "0" * 74
+    assert(s1(s"wideDecToString(toDecimal256('$v75.5', 1))") === s"$v75.5")
+    // one more digit overflows: checked, not wrapped
+    assertThrows[Exception](s1(s"wideDecToString(wideDecMultiply(" +
+      s"toDecimal256('$v75', 0), toDecimal256('100', 0)))"))
+  }
+
+  test("scale rules: + - max(S), * sums S, / keeps Sa and truncates") {
+    assert(s1("wideDecToString(wideDecPlus(toDecimal256('1.25', 2), toDecimal256('0.5', 1)))")
+      === "1.75")
+    assert(q1("wideDecScale(wideDecPlus(toDecimal256('1.25', 2), toDecimal256('0.5', 1)))")
+      === 2)
+    assert(s1("wideDecToString(wideDecMinus(toDecimal256('1', 0), toDecimal256('0.75', 2)))")
+      === "0.25")
+    assert(s1("wideDecToString(wideDecMultiply(toDecimal256('1.5', 1), toDecimal256('2.05', 2)))")
+      === "3.075")
+    assert(q1("wideDecScale(wideDecMultiply(toDecimal256('1.5', 1), toDecimal256('2.05', 2)))")
+      === 3)
+    assert(s1("wideDecToString(wideDecDivide(toDecimal256('7.00', 2), toDecimal256('2', 0)))")
+      === "3.5")
+    // truncation toward zero, both signs
+    assert(s1("wideDecToString(wideDecDivide(toDecimal256('1.0', 1), toDecimal256('3', 0)))")
+      === "0.3")
+    assert(s1("wideDecToString(wideDecDivide(toDecimal256('-1.0', 1), toDecimal256('3', 0)))")
+      === "-0.3")
+    // integer operands act as scale-0 decimals
+    assert(s1("wideDecToString(wideDecPlus(toDecimal256('0.5', 1), 2))") === "2.5")
+    assert(s1("wideDecToString(wideDecNegate(toDecimal256('1.2', 1)))") === "-1.2")
+    assert(s1("wideDecToString(wideDecAbs(toDecimal256('-1.2', 1)))") === "1.2")
+  }
+
+  test("OrNull / OrZero, null propagation, double operand rejection") {
+    assert(q1("toDecimal256OrNull('junk', 2)") === null)
+    assert(s1("wideDecToString(toDecimal256OrZero('junk', 2))") === "0")
+    assert(q1("wideDecPlus(toDecimal256('1', 0), CAST(NULL AS BIGINT))") === null)
+    // a DOUBLE reaches arithmetic only through an explicit conversion
+    assertThrows[Exception](
+      q1("wideDecPlus(toDecimal256('1', 0), CAST(0.1 AS DOUBLE))"))
+    assert(s1("wideDecToString(toDecimal256(CAST(0.1 AS DOUBLE), 2))") === "0.1")
+  }
+
+  test("encoding is order-preserving within one scale") {
+    import spark.implicits._
+    val values = Seq("-99999999999999999999999999999999999999999999.99",
+      "-1.5", "-0.01", "0", "0.01", "2.5",
+      "99999999999999999999999999999999999999999999.99")
+    val sorted = scala.util.Random.shuffle(values).toDF("s")
+      .selectExpr("toDecimal256(s, 2) AS d")
+      .orderBy("d").selectExpr("wideDecToString(d)")
+      .collect().map(_.getString(0)).toSeq
+    assert(sorted === Seq(
+      "-99999999999999999999999999999999999999999999.99",
+      "-1.5", "-0.01", "0", "0.01", "2.5",
+      "99999999999999999999999999999999999999999999.99"))
+  }
+}

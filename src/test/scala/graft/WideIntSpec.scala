@@ -179,6 +179,33 @@ class WideIntSpec extends SparkSpec {
     assert(byBytes === big.sorted)
   }
 
+  test("wideSum: wraparound group sum keeping the input kind") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    val df = Seq(("a", 1L), ("a", 2L), ("b", -5L)).toDF("g", "x")
+    val got = df.groupBy("g")
+      .agg(expr("wideToString(wideSum(toInt128(x * 1000000000000000000)))").as("s"),
+        expr("wideTypeName(wideSum(toInt128(x)))").as("t"))
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(got("a") === (("3000000000000000000", "Int128")))
+    assert(got("b") === (("-5000000000000000000", "Int128")))
+    // sums that overflow Int64 accumulate exactly
+    val big = spark.range(1, 1001)
+      .selectExpr("wideToString(wideSum(wideMultiply(toInt128(id), 92233720368547758L))) AS s")
+      .head().getString(0)
+    assert(big === new BigInteger("92233720368547758")
+      .multiply(BigInteger.valueOf(1000L * 1001 / 2)).toString)
+    // wraparound at the type boundary: max + 1 ≡ min
+    val wrapped = spark.range(2).selectExpr(
+      "CASE WHEN id = 0 THEN toInt128('170141183460469231731687303715884105727') " +
+        "ELSE toInt128(1) END AS v")
+      .selectExpr("wideToString(wideSum(v))")
+      .head().getString(0)
+    assert(wrapped === "-170141183460469231731687303715884105728")
+    // empty/all-null group → null (Spark sum contract)
+    assert(spark.sql("SELECT wideSum(CAST(NULL AS BINARY))").head().get(0) === null)
+  }
+
   test("null propagation") {
     assert(q1("widePlus(toInt128(1), CAST(NULL AS BIGINT))") === null)
     assert(q1("toInt128(CAST(NULL AS STRING))") === null)
