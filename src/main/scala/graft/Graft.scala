@@ -142,6 +142,11 @@ object Graft {
         n: Int = 10): DataFrame =
       Dedup.corpusSpanDedup(df, textCol, idCol, n)
 
+    /** Gopher quality-filter rules (per-rule booleans + keep flag). */
+    def gopherRules(textCol: Column, idCol: Column, minWords: Long = 50L,
+        maxWords: Long = 100000L): DataFrame =
+      TextPipeline.gopherRules(df, textCol, idCol, minWords, maxWords)
+
     // ---- training-pipeline ops (Packing) ----
     def packSequences(idCol: Column, nTokensCol: Column,
         budget: Long): DataFrame =

@@ -92,7 +92,11 @@ object WideDecimal {
     case n: java.math.BigDecimal => Dec(n.unscaledValue, n.scale)
     case s: String =>
       val d = new JBigDecimal(s.trim)
-      Dec(d.unscaledValue, math.max(d.scale, 0))
+      // scientific notation parses to a NEGATIVE scale ("1e2" = unscaled
+      // 1, scale -2): rescale to an integer-valued scale-0 decimal
+      // rather than clamping (which would silently drop the exponent)
+      if (d.scale >= 0) Dec(d.unscaledValue, d.scale)
+      else Dec(d.unscaledValue.multiply(BigInteger.TEN.pow(-d.scale)), 0)
     case other => throw new IllegalArgumentException(
       s"Decimal256 operand of unsupported type ${other.getClass.getName}" +
         " (convert doubles explicitly with toDecimal256(x, scale))")
@@ -132,6 +136,19 @@ object WideDecimal {
     }
   }
 
+  /** convert, with an unparsable STRING becoming null (the OrNull /
+    * OrZero contract); binary wide values route through convert, not
+    * toString (a stringified Array[Byte] is "[B@..." and would silently
+    * null out exactly the values the plain front accepts).
+    */
+  def tryConvert(x: AnyRef, scale: Int): Array[Byte] =
+    try convert(x match {
+      case _: Array[Byte] => x
+      case _: Number => x
+      case other => other.toString
+    }, scale)
+    catch { case _: NumberFormatException => null }
+
   // ---- registration ----
 
   private def u1[R](f: AnyRef => R): UDF1[AnyRef, R] =
@@ -153,14 +170,16 @@ object WideDecimal {
     }), BinaryType)
     udfs.register("toDecimal256OrNull", u2 { (x: AnyRef, s: AnyRef) =>
       if (x == null || s == null) null
-      else try convert(x.toString, operand(s).toBigDecimal.intValueExact)
-      catch { case _: NumberFormatException => null }
+      else tryConvert(x, operand(s).toBigDecimal.intValueExact)
     }, BinaryType)
     udfs.register("toDecimal256OrZero", u2 { (x: AnyRef, s: AnyRef) =>
-      val scale = operand(s).toBigDecimal.intValueExact
-      if (x == null) encode(Dec(BigInteger.ZERO, scale))
-      else try convert(x.toString, scale)
-      catch { case _: NumberFormatException => encode(Dec(BigInteger.ZERO, scale)) }
+      if (s == null) null
+      else {
+        val scale = operand(s).toBigDecimal.intValueExact
+        if (x == null) encode(Dec(BigInteger.ZERO, scale))
+        else Option(tryConvert(x, scale))
+          .getOrElse(encode(Dec(BigInteger.ZERO, scale)))
+      }
     }, BinaryType)
 
     def addLike(sign: Int): (AnyRef, AnyRef) => Array[Byte] = (a, b) => {

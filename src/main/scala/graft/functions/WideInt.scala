@@ -163,14 +163,12 @@ object WideInt {
     encode(v, kind)
   }
 
-  def convertOrNull(s: String, kind: Kind): Array[Byte] =
-    try { if (s == null) null else encode(new BigInteger(s.trim), kind) }
+  /** convert, with an unparsable STRING becoming null (the OrNull /
+    * OrZero contract); non-string operand errors still propagate.
+    */
+  def tryConvert(x: AnyRef, kind: Kind): Array[Byte] =
+    try convert(x, kind)
     catch { case _: NumberFormatException => null }
-
-  def convertOrZero(s: String, kind: Kind): Array[Byte] = {
-    val v = convertOrNull(s, kind)
-    if (v == null) encode(BigInteger.ZERO, kind) else v
-  }
 
   // ---- registration ----
 
@@ -188,14 +186,19 @@ object WideInt {
     def nullSafe2[R >: Null](f: (AnyRef, AnyRef) => R): (AnyRef, AnyRef) => R =
       (a, b) => if (a == null || b == null) null else f(a, b)
 
+    // OrNull/OrZero accept every operand shape the plain front does —
+    // numerics and wide binaries route through convert (a toString of an
+    // Array[Byte] is "[B@..." and would silently null out exactly the
+    // values the non-Or variant accepts); only an unparsable STRING is
+    // the null/zero case, matching the reference's parse-failure contract
     Seq(Int128, UInt128, Int256, UInt256).foreach { k =>
       udfs.register(s"to${k.name}", u1(nullSafe1(convert(_, k))), BinaryType)
       udfs.register(s"to${k.name}OrNull",
-        u1(nullSafe1(x => convertOrNull(x.toString, k))), BinaryType)
+        u1(nullSafe1(tryConvert(_, k))), BinaryType)
       udfs.register(s"to${k.name}OrZero",
         u1 { x: AnyRef =>
           if (x == null) encode(BigInteger.ZERO, k)
-          else convertOrZero(x.toString, k)
+          else Option(tryConvert(x, k)).getOrElse(encode(BigInteger.ZERO, k))
         }, BinaryType)
     }
 

@@ -397,6 +397,9 @@ object Dedup {
       n: Int = 10): DataFrame = {
     val toks = df.select(idCol.as("id"), text.tokenize(textCol).as("__t"))
     val nSpans = expr(s"(size(__t) + ${n - 1}) div $n")
+    // persisted: the span frame feeds BOTH the first-occurrence
+    // aggregate and the join back (same reason the LSH ops persist
+    // their exploded shingles — tokenize+explode is the dominant cost)
     val exploded = toks
       .select(col("id"),
         posexplode(when(nSpans >= 1,
@@ -405,24 +408,29 @@ object Dedup {
           .otherwise(array())))
       .withColumnRenamed("pos", "span_no")
       .withColumnRenamed("col", "s")
-    val firsts = exploded.groupBy("s")
-      .agg(min(struct(col("id"), col("span_no"))).as("first"))
-    val kept = exploded.join(firsts, Seq("s"))
-      .withColumn("keep",
-        struct(col("id"), col("span_no")) === col("first"))
-    val perDoc = kept.groupBy("id").agg(
-      count(lit(1)).as("n_spans"),
-      sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
-      array_join(
-        transform(
-          array_sort(collect_list(when(col("keep"),
-            struct(col("span_no"), col("s"))))),
-          x => x.getField("s")), " ").as("cleaned_text"))
-    df.select(idCol.as("id")).join(perDoc, Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+      .persist()
+    try {
+      val firsts = exploded.groupBy("s")
+        .agg(min(struct(col("id"), col("span_no"))).as("first"))
+      val kept = exploded.join(firsts, Seq("s"))
+        .withColumn("keep",
+          struct(col("id"), col("span_no")) === col("first"))
+      val perDoc = kept.groupBy("id").agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("span_no"), col("s"))))),
+            x => x.getField("s")), " ").as("cleaned_text"))
+      df.select(idCol.as("id")).join(perDoc, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+        // eager: materialized before the span cache is released
+        .localCheckpoint(true)
+    } finally exploded.unpersist(blocking = false)
   }
 
   /** 64-bit SimHash of the token multiset: per bit j, sum +1/-1 over token

@@ -12,6 +12,55 @@ import graft.functions.text
   */
 object TextPipeline {
 
+  /** The Gopher quality-filter rule set (Rae et al. 2021, Appendix A1 —
+    * public literature; also the C4/Dolma filtering stage), as per-rule
+    * boolean flags plus the conjunctive keep decision:
+    *
+    *  - word count in [minWords, maxWords];
+    *  - mean word length in [3, 10] characters — evaluated as the
+    *    INTEGER comparison 3·n ≤ Σlen ≤ 10·n (no float division, so
+    *    the oracle replays it bit-exactly);
+    *  - symbol-to-word ratio (`#`, `…`) ≤ 0.1 → 10·symbols ≤ n;
+    *  - ≥ 90% of words contain a letter → 10·alpha ≥ 9·n;
+    *  - at least 2 stopwords present (the Gopher "contains at least two
+    *    of a small stop list" rule).
+    *
+    * The bullet-line / ellipsis-line rules need line structure this
+    * corpus lacks (documented out; the line unit is what d14 spans
+    * stand in for). Pure per-row column math — codegen, no shuffle.
+    */
+  def gopherRules(
+      df: DataFrame,
+      textCol: Column,
+      idCol: Column,
+      minWords: Long = 50L,
+      maxWords: Long = 100000L): DataFrame = {
+    val stats = df.select(
+      idCol.as("id"),
+      text.tokenize(textCol).as("__t"),
+      (length(textCol) - length(translate(textCol, "#…", "")))
+        .cast("long").as("__sym"))
+      .select(col("id"), col("__sym"),
+        size(col("__t")).cast("long").as("n_words"),
+        aggregate(transform(col("__t"), t => length(t).cast("long")),
+          lit(0L), (a, b) => a + b).as("__chars"),
+        size(filter(col("__t"), t => t.rlike("[a-z]")))
+          .cast("long").as("__alpha"),
+        size(filter(col("__t"),
+          t => t.isin(text.englishStopwords.map(lit(_)): _*)))
+          .cast("long").as("__sw"))
+    stats.select(col("id"), col("n_words"),
+      col("n_words").between(minWords, maxWords).as("word_count_ok"),
+      (col("__chars") >= col("n_words") * 3L &&
+        col("__chars") <= col("n_words") * 10L).as("mean_wlen_ok"),
+      (col("__sym") * 10L <= col("n_words")).as("symbol_ok"),
+      (col("__alpha") * 10L >= col("n_words") * 9L).as("alpha_ok"),
+      (col("__sw") >= 2L).as("stopword_ok"))
+      .withColumn("keep",
+        col("word_count_ok") && col("mean_wlen_ok") && col("symbol_ok") &&
+          col("alpha_ok") && col("stopword_ok"))
+  }
+
   /** Sliding-window token chunking: tokens [s, s+size) for
     * s = 1, 1+stride, ... while s <= token count (the last chunk may be
     * shorter; stride < size gives overlapping chunks). Output one row per

@@ -232,6 +232,18 @@ object TextQueries {
         .select(col("doc_id"), text.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))
     }),
+    // The Gopher FILTER RULE SET (Rae et al. 2021 Appendix A1) as
+    // per-rule booleans + the conjunctive keep flag — every rule an
+    // integer comparison (no float division), so the oracle replays it
+    // bit-exactly. Complements t05's blended score and t18's repetition
+    // signal; together these are the pretraining quality-filter stage.
+    "t19_gopher_rules" -> ((s, dir) =>
+      graft.operators.TextPipeline.gopherRules(
+          t(s, dir, "documents"), col("text"), col("doc_id"),
+          minWords = 30L, maxWords = 100000L)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))),
+
     // Repetition quality signal (Gopher-style, Rae et al. 2021 — public
     // literature): fraction of tokens covered by the most frequent
     // bigram. High values mark boilerplate/looping text; the standard
@@ -607,6 +619,34 @@ object TextQueries {
              (((len_num * ncs * ts + 500 * alpha * ts + 250 * m * ncs) * 20000
                + 1250 * ncs * ts) // (2 * 1250 * ncs * ts)) / 10000.0 AS quality
       FROM f ORDER BY doc_id""",
+    // t19: every rule an integer comparison over token stats; the
+    // stopword list is the engine's englishStopwords inlined
+    "t19_gopher_rules" -> s"""
+      WITH d AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+      m AS (SELECT doc_id,
+              CAST(len(toks) AS BIGINT) AS n_words,
+              CAST(coalesce(list_aggregate(
+                list_transform(toks, x -> len(x)), 'sum'), 0) AS BIGINT) AS chars,
+              CAST(len(list_filter(toks,
+                x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha,
+              CAST(len(list_filter(toks, x -> list_contains(
+                ['the','a','an','of','and','to','in','is','it','that',
+                 'on','for','with','as','was','at','by'], x))) AS BIGINT) AS sw,
+              CAST(length(text) - length(replace(replace(text, '#', ''),
+                '…', '')) AS BIGINT) AS sym
+            FROM d)
+      SELECT doc_id, n_words,
+             n_words BETWEEN 30 AND 100000 AS word_count_ok,
+             chars >= 3 * n_words AND chars <= 10 * n_words AS mean_wlen_ok,
+             10 * sym <= n_words AS symbol_ok,
+             10 * alpha >= 9 * n_words AS alpha_ok,
+             sw >= 2 AS stopword_ok,
+             (n_words BETWEEN 30 AND 100000)
+               AND chars >= 3 * n_words AND chars <= 10 * n_words
+               AND 10 * sym <= n_words
+               AND 10 * alpha >= 9 * n_words
+               AND sw >= 2 AS keep
+      FROM m ORDER BY doc_id""",
     "t18_repetition" -> s"""
       WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
       g AS (SELECT doc_id, len(toks) AS n_tokens,

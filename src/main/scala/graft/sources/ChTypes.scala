@@ -61,6 +61,34 @@ object ChTypes {
     }
   }
 
+  /** Wire byte width of the wide integer types — the reference
+    * serializes Int128/Int256 as 16/32 little-endian bytes; a wrong
+    * width misreads every later column of a row/block. Shared by the
+    * RowBinary and Native codecs so they cannot diverge.
+    */
+  def wideWidth(ch: String): Option[Int] = ch match {
+    case "Int128" | "UInt128" => Some(16)
+    case "Int256" | "UInt256" => Some(32)
+    case _ => None
+  }
+
+  /** Wire byte width of a Decimal column by its DECLARED type name
+    * (≤9 → 4, ≤18 → 8, ≤38 → 16, ≤76 → 32). The declaration wins over
+    * the Spark precision (which caps at 38) so Decimal(76, 2) /
+    * Decimal256(2) frame as the 32 bytes the reference writes.
+    */
+  def decimalWireWidth(ch: String, sparkPrecision: Int): Int = {
+    val p =
+      if (ch.startsWith("Decimal32(")) 9
+      else if (ch.startsWith("Decimal64(")) 18
+      else if (ch.startsWith("Decimal128(")) 38
+      else if (ch.startsWith("Decimal256(")) 76
+      else if (ch.startsWith("Decimal(") && ch.endsWith(")"))
+        ch.substring(8, ch.length - 1).split(',').head.trim.toInt
+      else sparkPrecision
+    if (p <= 9) 4 else if (p <= 18) 8 else if (p <= 38) 16 else 32
+  }
+
   /** Parse a reference type name to (engine type, nullable). */
   def toSpark(ch: String): (DataType, Boolean) = {
     val s = ch.trim
@@ -117,6 +145,10 @@ object ChTypes {
       (DecimalType(18, inner("Decimal64").trim.toInt), false)
     } else if (s.startsWith("Decimal128(")) {
       (DecimalType(38, inner("Decimal128").trim.toInt), false)
+    } else if (s.startsWith("Decimal256(")) {
+      // Spark value precision caps at 38; the declared name is kept in
+      // the ch_type metadata so the binary codecs frame 32 bytes
+      (DecimalType(38, math.min(inner("Decimal256").trim.toInt, 38)), false)
     } else if (s.startsWith("Decimal(")) {
       val Seq(p, sc) = splitArgs(inner("Decimal"))
       (DecimalType(math.min(p.toInt, 38), sc.toInt), false)

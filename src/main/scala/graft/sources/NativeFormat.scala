@@ -93,7 +93,7 @@ object NativeFormat {
       writeVarint(out, b.length.toLong); out.write(b)
     }
     case d: DecimalType =>
-      val bytes = if (d.precision <= 9) 4 else if (d.precision <= 18) 8 else 16
+      val bytes = ChTypes.decimalWireWidth(ch, d.precision)
       values.foreach { v =>
         val unscaled = (v match {
           case x: java.math.BigDecimal => x
@@ -125,11 +125,8 @@ object NativeFormat {
       values.foreach(v => writeFixed(out, toBits(v, dt), w))
   }
 
-  private def wideWidth(ch: String): Option[Int] = ch match {
-    case "Int128" | "UInt128" => Some(16)
-    case "Int256" | "UInt256" => Some(32)
-    case _ => None
-  }
+  // shared with RowBinaryFormat via ChTypes so the codecs cannot diverge
+  private def wideWidth(ch: String): Option[Int] = ChTypes.wideWidth(ch)
 
   private def default(dt: DataType): Any = FormatCodec.defaultValue(dt)
 
@@ -243,7 +240,7 @@ object NativeFormat {
       val len = in.varint().toInt
       val b = new Array[Byte](len); in.buf.get(b); b
     case d: DecimalType =>
-      val bytes = if (d.precision <= 9) 4 else if (d.precision <= 18) 8 else 16
+      val bytes = ChTypes.decimalWireWidth(ch, d.precision)
       val raw = new Array[Byte](bytes); in.buf.get(raw)
       new java.math.BigDecimal(new java.math.BigInteger(raw.reverse), d.scale)
     case ByteType => in.signedFixed(1).toByte

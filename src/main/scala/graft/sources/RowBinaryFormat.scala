@@ -51,31 +51,14 @@ object RowBinaryFormat {
     case _ => None
   }
 
-  /** Wire width of the wide integer types (the reference serializes
-    * Int128/Int256 as 16/32 little-endian bytes — framing MUST honor
-    * that or every later column in the row is misread). The engine
-    * carries wide columns at Int64 precision (ChTypes maps them to
-    * LongType); the value crosses the wire through the engine's
-    * standard wraparound conversion (low 64 bits, sign-extended out).
-    */
-  private def wideWidth(ch: String): Option[Int] = ch match {
-    case "Int128" | "UInt128" => Some(16)
-    case "Int256" | "UInt256" => Some(32)
-    case _ => None
-  }
-
-  /** Wire byte width of a Decimal by its DECLARED precision (the
-    * reference: ≤9 → 4, ≤18 → 8, ≤38 → 16, ≤76 → 32). The declared
-    * `ch` wins over the Spark precision (which caps at 38) so a
-    * Decimal(40, 2) column frames as the 32 bytes the reference wrote.
-    */
-  private def decimalWidth(chBase: String, sparkPrecision: Int): Int = {
-    val p = chInner(chBase, "Decimal") match {
-      case "" => sparkPrecision
-      case args => FormatCodec.splitTop(args).head.trim.toInt
-    }
-    if (p <= 9) 4 else if (p <= 18) 8 else if (p <= 38) 16 else 32
-  }
+  // Wide-integer / Decimal wire widths live in [[ChTypes]] (shared with
+  // NativeFormat so the two codecs cannot diverge). The engine carries
+  // wide columns at Int64 precision (ChTypes maps them to LongType); the
+  // value crosses the wire through the engine's standard wraparound
+  // conversion (low 64 bits in, sign/zero-extended out).
+  private def wideWidth(ch: String): Option[Int] = ChTypes.wideWidth(ch)
+  private def decimalWidth(chBase: String, sparkPrecision: Int): Int =
+    ChTypes.decimalWireWidth(chBase, sparkPrecision)
 
   private def chInner(ch: String, prefix: String): String =
     if (ch.startsWith(prefix + "(") && ch.endsWith(")"))

@@ -181,10 +181,17 @@ class FormatsSpec extends SparkSpec {
     val back = RowBinaryFormat.read(spark, bytes, Some(schema),
       withNames = false, withTypes = false)
     assert(back.collect().map(_.toString).toSeq === in.collect().map(_.toString).toSeq)
-    // Native: same framing contract, bulk columns
+    // Native: same framing contract, bulk columns — and the Decimal
+    // width must come from the DECLARED precision here too (it reads
+    // 32 bytes for Decimal(76), not the Spark-precision 16)
     val nat = OutputFormats.writeBytes(in, "Native")
     val natBack = InputFormats.parseBytes(spark, nat, "Native")
     assert(natBack.collect().map(_.toString).toSeq === in.collect().map(_.toString).toSeq)
+    // the Decimal256(S) alias spelling maps like Decimal(76, S)
+    assert(ChTypes.toSpark("Decimal256(2)")._1 === DecimalType(38, 2))
+    assert(ChTypes.decimalWireWidth("Decimal256(2)", 38) === 32)
+    assert(ChTypes.decimalWireWidth("Decimal(76, 2)", 38) === 32)
+    assert(ChTypes.decimalWireWidth("Decimal(9, 2)", 38) === 4)
   }
 
   // ---- Vertical (00231) ---------------------------------------------------

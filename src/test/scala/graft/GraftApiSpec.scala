@@ -46,6 +46,21 @@ class GraftApiSpec extends SparkSpec {
     assert(clusters.columns.toSet === Set("id", "cluster_id"))
   }
 
+  test("fluent r17 additions: incremental LSH, span removal, gopher, temperature mix") {
+    val inc = docs.filter($"doc_id" >= 250).minhashLshIncrementalPairs(
+      docs.filter($"doc_id" < 250), col("text"), col("doc_id"),
+      col("text"), col("doc_id"))
+    assert(inc.columns.toSet === Set("new_id", "seen_id", "jaccard"))
+    val cleaned = docs.corpusSpanDedup(col("text"), col("doc_id"))
+    assert(cleaned.columns.toSet ===
+      Set("id", "n_spans", "n_kept", "cleaned_text"))
+    assert(cleaned.count() === docs.count()) // every doc kept, maybe empty
+    val rules = docs.gopherRules(col("text"), col("doc_id"), minWords = 30L)
+    assert(rules.columns.contains("keep"))
+    val mix = docs.temperatureMix(col("lang"), col("doc_id"), budget = 100L)
+    assert(mix.count() <= docs.count() && mix.count() > 0)
+  }
+
   test("fluent training-pipeline ops") {
     val packed = docs.packSequences(col("doc_id"),
       graft.functions.text.tokenCount(col("text")), budget = 1024L)

@@ -75,6 +75,13 @@ class WideDecimalSpec extends SparkSpec {
   test("OrNull / OrZero, null propagation, double operand rejection") {
     assert(q1("toDecimal256OrNull('junk', 2)") === null)
     assert(s1("wideDecToString(toDecimal256OrZero('junk', 2))") === "0")
+    // binary wide operands convert (not stringify-to-junk-then-null)
+    assert(s1("wideDecToString(toDecimal256OrNull(toUInt256(5), 2))") === "5")
+    assert(s1("wideDecToString(toDecimal256OrZero(toInt128(-7), 1))") === "-7")
+    // a null scale is null, not an NPE
+    assert(q1("toDecimal256OrZero('1.5', CAST(NULL AS INT))") === null)
+    // scientific-notation string operands keep their exponent
+    assert(s1("wideDecToString(wideDecPlus(toDecimal256('100', 0), '1e2'))") === "200")
     assert(q1("wideDecPlus(toDecimal256('1', 0), CAST(NULL AS BIGINT))") === null)
     // a DOUBLE reaches arithmetic only through an explicit conversion
     assertThrows[Exception](

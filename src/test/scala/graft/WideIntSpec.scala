@@ -141,6 +141,9 @@ class WideIntSpec extends SparkSpec {
   test("string conversions: OrNull / OrZero, parse extremes") {
     assert(q1("toInt128OrNull('not a number')") === null)
     assert(s1("wideToString(toInt128OrZero('junk'))") === "0")
+    // binary wide operands convert (reinterpret), not stringify-to-null
+    assert(s1("wideToString(toInt128OrNull(toUInt256(5)))") === "5")
+    assert(s1("wideToString(toInt256OrZero(toInt128(-9)))") === "-9")
     assert(s1("wideToString(toInt128OrNull('-170141183460469231731687303715884105728'))")
       === "-170141183460469231731687303715884105728")
     assert(s1("wideToString(toUInt256('115792089237316195423570985008687907853269984665640564039457584007913129639935'))")
