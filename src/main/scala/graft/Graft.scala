@@ -147,6 +147,17 @@ object Graft {
         maxWords: Long = 100000L): DataFrame =
       TextPipeline.gopherRules(df, textCol, idCol, minWords, maxWords)
 
+    /** Canonical-URL dedup groups: normalize each URL to its dedup key
+      * and keep group stats (the crawl-pipeline URL-dedup stage).
+      */
+    def urlDedupGroups(urlCol: Column, idCol: Column): DataFrame = {
+      import org.apache.spark.sql.functions.{col, count, lit, min}
+      df.select(idCol.as("id"),
+          graft.functions.text.urlCanonicalKey(urlCol).as("url_key"))
+        .groupBy(col("url_key"))
+        .agg(count(lit(1)).as("n_urls"), min(col("id")).as("canonical_id"))
+    }
+
     // ---- training-pipeline ops (Packing) ----
     def packSequences(idCol: Column, nTokensCol: Column,
         budget: Long): DataFrame =

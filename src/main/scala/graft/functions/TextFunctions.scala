@@ -99,4 +99,35 @@ object text {
     */
   def fingerprint(c: Column): Column =
     md5(regexp_replace(trim(lower(c)), "\\s+", " "))
+
+  /** Canonical URL dedup key — the crawl-pipeline URL-normalization
+    * stage (RFC 3986 case rules + the common-crawl conventions):
+    * lowercase scheme and host, strip a leading `www.`, drop the
+    * scheme-default port (:80 / :443), drop the fragment, drop tracking
+    * parameters (`utm_*`, ref, fbclid, gclid), sort the surviving query
+    * parameters, strip a trailing path slash. Two URLs that differ only
+    * in those dimensions share a key. Pure column expressions (one
+    * codegen projection, DuckDB-mirrorable for the d15 oracle); a URL
+    * that doesn't parse as scheme://host... canonicalizes to itself
+    * lowercased (deterministic, never null).
+    */
+  def urlCanonicalKey(c: Column): Column = {
+    val noFrag = regexp_replace(c, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)", 1))
+    val host0 = regexp_replace(hostPort, "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(host0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host0, ":443$", ""))
+      .otherwise(host0)
+    val path0 = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]+(/[^?]*)?", 1)
+    val path = when(path0 === "/", lit(""))
+      .otherwise(regexp_replace(path0, "/$", ""))
+    val query0 = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val params = filter(split(query0, "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[^=]*|ref|fbclid|gclid)="))
+    val query = array_join(array_sort(params), "&")
+    val canon = concat(scheme, lit("://"), host, path,
+      when(query === "", lit("")).otherwise(concat(lit("?"), query)))
+    when(scheme === "", lower(noFrag)).otherwise(canon)
+  }
 }

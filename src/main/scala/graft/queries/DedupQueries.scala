@@ -193,6 +193,29 @@ object DedupQueries {
         .select(col("id").as("doc_id"), col("n_spans"), col("n_kept"),
           col("cleaned_text"))
         .orderBy(col("doc_id"))),
+    // URL canonical-key dedup — the crawl-pipeline normalization stage:
+    // deterministic URL variants (case, www, default port, tracking
+    // params, fragment, trailing slash) synthesized from customer rows
+    // must all collapse to one canonical key per (nation, item). The
+    // oracle is CLOSED-FORM: it states the exact canonical string, so
+    // any normalization defect hash-fails the round.
+    "d15_url_dedup" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .withColumn("url", expr(
+          "concat(CASE WHEN c_custkey % 3 = 0 THEN 'HTTP://WWW.Shop' ELSE 'http://shop' END, " +
+            "c_nationkey, '.Example.com', " +
+            "CASE WHEN c_custkey % 2 = 0 THEN ':80' ELSE '' END, " +
+            "'/Item/', c_custkey % 40, " +
+            "CASE WHEN c_custkey % 4 = 0 THEN '/' ELSE '' END, " +
+            "'?b=2&a=1', " +
+            "CASE WHEN c_custkey % 5 = 0 THEN '&utm_source=mail&gclid=g1' ELSE '' END, " +
+            "CASE WHEN c_custkey % 7 = 0 THEN '#sec2' ELSE '' END)"))
+        .select(col("c_custkey"),
+          graft.functions.text.urlCanonicalKey(col("url")).as("url_key"))
+        .groupBy(col("url_key"))
+        .agg(count(lit(1)).as("n_urls"), min(col("c_custkey")).as("canonical_id"))
+        .orderBy(col("url_key"))
+    }),
     // Span-level (substring) duplication — the sequence-level dedup step
     // (Lee et al. 2022 / Dolma): per doc, how many of its 8-token
     // windows occur more than once corpus-wide. Exact oracle: DuckDB
@@ -419,6 +442,16 @@ object DedupQueries {
       JOIN sizes sb ON p.seen_id = sb.doc_id
       WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5
       ORDER BY new_id, seen_id""",
+    // d15: the closed-form canonical key — every synthesized variant
+    // must normalize to exactly this string
+    "d15_url_dedup" -> """
+      WITH k AS (SELECT c_custkey,
+        'http://shop' || c_nationkey || '.example.com/Item/'
+          || (c_custkey % 40) || '?a=1&b=2' AS url_key
+        FROM customer)
+      SELECT url_key, CAST(count(1) AS BIGINT) AS n_urls,
+             min(c_custkey) AS canonical_id
+      FROM k GROUP BY url_key ORDER BY url_key""",
     // d14: spans rebuilt as 10-token strings; first occurrence = min of
     // (doc_id * 1e6 + span_no) — equivalent to the engine's
     // struct(doc, pos) ordering since span_no < 1e6 everywhere here.

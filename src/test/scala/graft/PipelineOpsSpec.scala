@@ -114,6 +114,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(gotBig === expectedBig)
   }
 
+  test("urlCanonicalKey: case/www/port/fragment/tracking/slash rules") {
+    import graft.functions.text
+    def k(u: String): String =
+      Seq(u).toDF("u").select(text.urlCanonicalKey(col("u"))).head().getString(0)
+    assert(k("HTTP://WWW.Ex.COM:80/A/?b=2&utm_x=1&a=1#f") === "http://ex.com/A?a=1&b=2")
+    assert(k("https://ex.com:443/p") === "https://ex.com/p")
+    assert(k("https://ex.com:8443/p") === "https://ex.com:8443/p") // non-default kept
+    assert(k("http://ex.com") === "http://ex.com")
+    assert(k("http://ex.com/") === "http://ex.com")
+    assert(k("http://ex.com/?gclid=g&fbclid=f&ref=r") === "http://ex.com")
+    assert(k("not a url") === "not a url") // unparsable: lowercased identity
+    assert(k("Not A URL#x") === "not a url")
+  }
+
   test("chunk emits sliding windows with a short tail") {
     val df = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" "))).toDF("id", "text")
     val got = TextPipeline.chunk(df, col("text"), col("id"), chunkSize = 4, stride = 3)

@@ -209,6 +209,35 @@ class WideIntSpec extends SparkSpec {
     assert(spark.sql("SELECT wideSum(CAST(NULL AS BINARY))").head().get(0) === null)
   }
 
+  test("01457_int256_hashing shapes: GROUP BY / JOIN / uniq on wide keys") {
+    // the reference hashes/compares wide values natively; here the
+    // order-preserving BinaryType encoding makes GROUP BY / JOIN USING /
+    // distinct-counting work through stock Catalyst operators
+    for (fn <- Seq("toUInt256", "toInt256", "toInt128")) {
+      val g = spark.sql(
+        s"SELECT wideToString(k) FROM (SELECT $fn(123) AS k) GROUP BY k")
+        .collect().map(_.getString(0)).toSeq
+      assert(g === Seq("123"), fn)
+      val j = spark.sql(
+        s"""SELECT wideToString(a.k) FROM (SELECT $fn(123) AS k) a
+            JOIN (SELECT $fn(123) AS k) b ON a.k = b.k""")
+        .collect().map(_.getString(0)).toSeq
+      assert(j === Seq("123"), fn)
+      // the arrayEnumerateUniq leg's semantics (equality classes over
+      // wide array elements) via Spark-native array_distinct — the
+      // registered arrayEnumerateUniq keeps its typed DOUBLE signature
+      val u = spark.sql(
+        s"SELECT size(array_distinct(array($fn(123), $fn(456), $fn(123))))")
+        .head().getInt(0)
+      assert(u === 2, fn)
+      // distinct count over wide values
+      val d = spark.range(100)
+        .selectExpr(s"$fn(id % 7) AS k")
+        .selectExpr("count(DISTINCT k) AS n").head().getLong(0)
+      assert(d === 7L, fn)
+    }
+  }
+
   test("null propagation") {
     assert(q1("widePlus(toInt128(1), CAST(NULL AS BIGINT))") === null)
     assert(q1("toInt128(CAST(NULL AS STRING))") === null)
