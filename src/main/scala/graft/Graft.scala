@@ -149,14 +149,10 @@ object Graft {
 
     /** Canonical-URL dedup groups: normalize each URL to its dedup key
       * and keep group stats (the crawl-pipeline URL-dedup stage).
+      * Null-URL rows are excluded from grouping.
       */
-    def urlDedupGroups(urlCol: Column, idCol: Column): DataFrame = {
-      import org.apache.spark.sql.functions.{col, count, lit, min}
-      df.select(idCol.as("id"),
-          graft.functions.text.urlCanonicalKey(urlCol).as("url_key"))
-        .groupBy(col("url_key"))
-        .agg(count(lit(1)).as("n_urls"), min(col("id")).as("canonical_id"))
-    }
+    def urlDedupGroups(urlCol: Column, idCol: Column): DataFrame =
+      Dedup.urlDedupGroups(df, urlCol, idCol)
 
     // ---- training-pipeline ops (Packing) ----
     def packSequences(idCol: Column, nTokensCol: Column,

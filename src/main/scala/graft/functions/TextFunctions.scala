@@ -128,6 +128,9 @@ object text {
     val query = array_join(array_sort(params), "&")
     val canon = concat(scheme, lit("://"), host, path,
       when(query === "", lit("")).otherwise(concat(lit("?"), query)))
-    when(scheme === "", lower(noFrag)).otherwise(canon)
+    // no scheme OR an empty authority (scheme:///path, http:///x): fall
+    // back to the lowercased identity — collapsing every empty-authority
+    // URL to bare "scheme://" would merge distinct documents
+    when(scheme === "" || host === "", lower(noFrag)).otherwise(canon)
   }
 }

@@ -94,9 +94,19 @@ object WideDecimal {
       val d = new JBigDecimal(s.trim)
       // scientific notation parses to a NEGATIVE scale ("1e2" = unscaled
       // 1, scale -2): rescale to an integer-valued scale-0 decimal
-      // rather than clamping (which would silently drop the exponent)
+      // rather than clamping (which would silently drop the exponent).
+      // Overflow-check BEFORE materializing 10^exp — an adversarial
+      // '1e500000000' would otherwise allocate a ~200 MB BigInteger per
+      // row (or hit BigInteger's own range error) before encode's
+      // 76-digit require could fire; -scale as Long dodges Int.MinValue.
       if (d.scale >= 0) Dec(d.unscaledValue, d.scale)
-      else Dec(d.unscaledValue.multiply(BigInteger.TEN.pow(-d.scale)), 0)
+      else {
+        val exp = -d.scale.toLong
+        require(d.unscaledValue.signum == 0 ||
+          exp + d.unscaledValue.abs.toString.length <= MaxPrecision,
+          s"Decimal math overflow: exponent $exp exceeds $MaxPrecision digits")
+        Dec(d.unscaledValue.multiply(BigInteger.TEN.pow(exp.toInt)), 0)
+      }
     case other => throw new IllegalArgumentException(
       s"Decimal256 operand of unsupported type ${other.getClass.getName}" +
         " (convert doubles explicitly with toDecimal256(x, scale))")

@@ -163,12 +163,15 @@ object WideInt {
     encode(v, kind)
   }
 
-  /** convert, with an unparsable STRING becoming null (the OrNull /
-    * OrZero contract); non-string operand errors still propagate.
+  /** convert, with any unconvertible VALUE becoming null (the OrNull /
+    * OrZero contract): unparsable strings (NumberFormatException),
+    * NaN/Infinity doubles and malformed binaries (both
+    * IllegalArgumentException, of which NumberFormatException is a
+    * subclass) — matching the pre-r17 behavior and WideDecimal's fronts.
     */
   def tryConvert(x: AnyRef, kind: Kind): Array[Byte] =
     try convert(x, kind)
-    catch { case _: NumberFormatException => null }
+    catch { case _: IllegalArgumentException => null }
 
   // ---- registration ----
 

@@ -433,6 +433,19 @@ object Dedup {
     } finally exploded.unpersist(blocking = false)
   }
 
+  /** Canonical-URL dedup groups — the crawl-pipeline URL-dedup stage:
+    * normalize each URL to its [[graft.functions.text.urlCanonicalKey]]
+    * and keep per-group stats (count + canonical = min id). Rows with a
+    * NULL url are EXCLUDED — grouping them would merge every URL-less
+    * document into one "dup group" a keep-the-canonical consumer would
+    * then mass-delete. One codegen projection + one key groupBy.
+    */
+  def urlDedupGroups(df: DataFrame, urlCol: Column, idCol: Column): DataFrame =
+    df.select(idCol.as("id"), text.urlCanonicalKey(urlCol).as("url_key"))
+      .filter(col("url_key").isNotNull)
+      .groupBy(col("url_key"))
+      .agg(count(lit(1)).as("n_urls"), min(col("id")).as("canonical_id"))
+
   /** 64-bit SimHash of the token multiset: per bit j, sum +1/-1 over token
     * hashes; bit set iff the sum is positive. Computed entirely with
     * higher-order functions (stays in codegen, no UDF, no explode).

@@ -210,10 +210,7 @@ object DedupQueries {
             "'?b=2&a=1', " +
             "CASE WHEN c_custkey % 5 = 0 THEN '&utm_source=mail&gclid=g1' ELSE '' END, " +
             "CASE WHEN c_custkey % 7 = 0 THEN '#sec2' ELSE '' END)"))
-        .select(col("c_custkey"),
-          graft.functions.text.urlCanonicalKey(col("url")).as("url_key"))
-        .groupBy(col("url_key"))
-        .agg(count(lit(1)).as("n_urls"), min(col("c_custkey")).as("canonical_id"))
+        .transform(Dedup.urlDedupGroups(_, col("url"), col("c_custkey")))
         .orderBy(col("url_key"))
     }),
     // Span-level (substring) duplication — the sequence-level dedup step

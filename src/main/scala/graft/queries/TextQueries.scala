@@ -630,8 +630,8 @@ object TextQueries {
               CAST(len(list_filter(toks,
                 x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha,
               CAST(len(list_filter(toks, x -> list_contains(
-                ['the','a','an','of','and','to','in','is','it','that',
-                 'on','for','with','as','was','at','by'], x))) AS BIGINT) AS sw,
+                ['the','be','to','of','and','that','have','with'], x)))
+                AS BIGINT) AS sw,
               CAST(length(text) - length(replace(replace(text, '#', ''),
                 '…', '')) AS BIGINT) AS sym
             FROM d)
@@ -639,12 +639,12 @@ object TextQueries {
              n_words BETWEEN 30 AND 100000 AS word_count_ok,
              chars >= 3 * n_words AND chars <= 10 * n_words AS mean_wlen_ok,
              10 * sym <= n_words AS symbol_ok,
-             10 * alpha >= 9 * n_words AS alpha_ok,
+             5 * alpha >= 4 * n_words AS alpha_ok,
              sw >= 2 AS stopword_ok,
              (n_words BETWEEN 30 AND 100000)
                AND chars >= 3 * n_words AND chars <= 10 * n_words
                AND 10 * sym <= n_words
-               AND 10 * alpha >= 9 * n_words
+               AND 5 * alpha >= 4 * n_words
                AND sw >= 2 AS keep
       FROM m ORDER BY doc_id""",
     "t18_repetition" -> s"""

@@ -147,8 +147,13 @@ object ChTypes {
       (DecimalType(38, inner("Decimal128").trim.toInt), false)
     } else if (s.startsWith("Decimal256(")) {
       // Spark value precision caps at 38; the declared name is kept in
-      // the ch_type metadata so the binary codecs frame 32 bytes
-      (DecimalType(38, math.min(inner("Decimal256").trim.toInt, 38)), false)
+      // the ch_type metadata so the binary codecs frame 32 bytes. A
+      // scale past 38 cannot be VALUE-represented — clamping it would
+      // silently misread every value by a power of ten, so reject.
+      val sc = inner("Decimal256").trim.toInt
+      require(sc <= 38,
+        s"Decimal256($sc): scale > 38 exceeds the engine's DecimalType cap")
+      (DecimalType(38, sc), false)
     } else if (s.startsWith("Decimal(")) {
       val Seq(p, sc) = splitArgs(inner("Decimal"))
       (DecimalType(math.min(p.toInt, 38), sc.toInt), false)

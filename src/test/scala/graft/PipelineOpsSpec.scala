@@ -126,6 +126,15 @@ class PipelineOpsSpec extends SparkSpec {
     assert(k("http://ex.com/?gclid=g&fbclid=f&ref=r") === "http://ex.com")
     assert(k("not a url") === "not a url") // unparsable: lowercased identity
     assert(k("Not A URL#x") === "not a url")
+    // empty authority: identity, NOT collapsed to bare "scheme://"
+    assert(k("file:///etc/a") === "file:///etc/a")
+    assert(k("file:///etc/b") === "file:///etc/b")
+    // null-URL rows are excluded from dedup groups
+    import graft.operators.Dedup
+    val withNull = Seq((1L, "http://ex.com/a"), (2L, null), (3L, null))
+      .toDF("id", "u")
+    val groups = Dedup.urlDedupGroups(withNull, col("u"), col("id"))
+    assert(groups.count() === 1)
   }
 
   test("chunk emits sliding windows with a short tail") {

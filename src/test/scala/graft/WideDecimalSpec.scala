@@ -82,6 +82,10 @@ class WideDecimalSpec extends SparkSpec {
     assert(q1("toDecimal256OrZero('1.5', CAST(NULL AS INT))") === null)
     // scientific-notation string operands keep their exponent
     assert(s1("wideDecToString(wideDecPlus(toDecimal256('100', 0), '1e2'))") === "200")
+    // ...but an adversarial exponent overflows FAST (no 10^5e8 alloc)
+    assertThrows[Exception](
+      q1("wideDecPlus(toDecimal256('1', 0), '1e500000000')"))
+    assert(q1("toDecimal256OrNull('NaN', 2)") === null)
     assert(q1("wideDecPlus(toDecimal256('1', 0), CAST(NULL AS BIGINT))") === null)
     // a DOUBLE reaches arithmetic only through an explicit conversion
     assertThrows[Exception](

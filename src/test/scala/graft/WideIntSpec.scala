@@ -144,6 +144,9 @@ class WideIntSpec extends SparkSpec {
     // binary wide operands convert (reinterpret), not stringify-to-null
     assert(s1("wideToString(toInt128OrNull(toUInt256(5)))") === "5")
     assert(s1("wideToString(toInt256OrZero(toInt128(-9)))") === "-9")
+    // unconvertible VALUES (not just strings) are the null/zero case
+    assert(q1("toInt128OrNull(CAST('NaN' AS DOUBLE))") === null)
+    assert(s1("wideToString(toInt128OrZero(CAST('Infinity' AS DOUBLE)))") === "0")
     assert(s1("wideToString(toInt128OrNull('-170141183460469231731687303715884105728'))")
       === "-170141183460469231731687303715884105728")
     assert(s1("wideToString(toUInt256('115792089237316195423570985008687907853269984665640564039457584007913129639935'))")
