@@ -142,6 +142,14 @@ object Graft {
         n: Int = 10): DataFrame =
       Dedup.corpusSpanDedup(df, textCol, idCol, n)
 
+    /** Span-level decontamination: drop every token covered by an
+      * n-gram that appears in the benchmark frame, reassemble docs
+      * (GPT-3 appendix C). `df` is the training corpus.
+      */
+    def decontaminateSpans(bench: DataFrame, textCol: Column,
+        idCol: Column, benchTextCol: Column, n: Int = 13): DataFrame =
+      Dedup.decontaminateSpans(df, bench, textCol, idCol, benchTextCol, n)
+
     /** Gopher quality-filter rules (per-rule booleans + keep flag). */
     def gopherRules(textCol: Column, idCol: Column, minWords: Long = 50L,
         maxWords: Long = 100000L): DataFrame =

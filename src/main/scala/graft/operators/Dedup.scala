@@ -870,6 +870,68 @@ object Dedup {
         round(col("n_matched").cast("double") / col("n_shingles").cast("double"), 4))
   }
 
+  /** Span-level DECONTAMINATION — remove benchmark-overlapping n-gram
+    * spans from training documents (the GPT-3 appendix-C recipe, Brown
+    * et al. 2020: training text matching a benchmark 13-gram is
+    * removed; d08's [[contaminationReport]] is the read-only audit,
+    * this op actually cleans). A training token is dropped iff it is
+    * covered by ANY n-token window whose text appears among the
+    * benchmark's n-grams; the document is reassembled from the
+    * survivors. Returns (id, n_tokens, n_removed, cleaned_text) for
+    * every training document.
+    *
+    * Scale shape: the benchmark n-gram set is distinct-projected and
+    * met in a hash join keyed on the window text (at real benchmark
+    * sizes it broadcasts); covered positions explode only from MATCHED
+    * windows (≤ n rows each, and only contaminated docs produce any),
+    * then one anti-join drops covered tokens and one doc-id groupBy
+    * reassembles. No all-pairs anything.
+    */
+  def decontaminateSpans(
+      corpus: DataFrame,
+      bench: DataFrame,
+      textCol: Column,
+      idCol: Column,
+      benchTextCol: Column,
+      n: Int = 13): DataFrame = {
+    def windows(df: DataFrame, t: Column, id: Column): DataFrame = df
+      .select(id.as("id"), text.tokenize(t).as("__t"))
+      .select(col("id"),
+        posexplode(when(size(col("__t")) >= n,
+          transform(sequence(lit(1), size(col("__t")) - (n - 1)),
+            i => array_join(slice(col("__t"), i, lit(n)), " ")))
+          .otherwise(array())))
+      .withColumnRenamed("pos", "wpos0") // 0-based window offset
+      .withColumnRenamed("col", "w")
+    val benchGrams = windows(bench, benchTextCol, idCol)
+      .select("w").distinct()
+    // matched windows -> the token positions they cover (1-based)
+    val covered = windows(corpus, textCol, idCol)
+      .join(benchGrams, Seq("w")) // inner: only contaminated windows
+      .select(col("id"),
+        explode(sequence(col("wpos0") + 1, col("wpos0") + n)).as("p"))
+      .distinct()
+    val toks = corpus
+      .select(idCol.as("id"), text.tokenize(textCol).as("__t"))
+      .select(col("id"), size(col("__t")).cast("long").as("n_tokens"),
+        posexplode(col("__t")))
+      .select(col("id"), col("n_tokens"),
+        (col("pos") + 1).as("p"), col("col").as("tok"))
+    val kept = toks.join(covered, Seq("id", "p"), "left_anti")
+    val perDoc = kept.groupBy("id")
+      .agg(first(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+          struct(col("p"), col("tok")))), x => x.getField("tok")), " ")
+          .as("cleaned_text"))
+    corpus.select(idCol.as("id"),
+        size(text.tokenize(textCol)).cast("long").as("__nt"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"), col("__nt").as("n_tokens"),
+        (col("__nt") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
   /** Span-level (substring) duplication report — the SEQUENCE-level
     * dedup step of LLM training pipelines, complementing the doc-level
     * family above (public method: Lee et al. 2022 "Deduplicating

@@ -213,6 +213,21 @@ object DedupQueries {
         .transform(Dedup.urlDedupGroups(_, col("url"), col("c_custkey")))
         .orderBy(col("url_key"))
     }),
+    // Span-level DECONTAMINATION (GPT-3 appendix C): training docs
+    // (doc_id >= 50) lose every token covered by an 8-gram that appears
+    // in the benchmark slice (doc_id < 50) and are reassembled — the
+    // destructive counterpart of d08's contamination report. Exact
+    // oracle replays windows/coverage/reassembly in DuckDB.
+    "d16_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminateSpans(
+          docs.filter(col("doc_id") >= 50),
+          docs.filter(col("doc_id") < 50),
+          col("text"), col("doc_id"), col("text"), n = 8)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_removed"),
+          col("cleaned_text"))
+        .orderBy(col("doc_id"))
+    }),
     // Span-level (substring) duplication — the sequence-level dedup step
     // (Lee et al. 2022 / Dolma): per doc, how many of its 8-token
     // windows occur more than once corpus-wide. Exact oracle: DuckDB
@@ -439,6 +454,36 @@ object DedupQueries {
       JOIN sizes sb ON p.seen_id = sb.doc_id
       WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5
       ORDER BY new_id, seen_id""",
+    // d16: benchmark 8-grams -> covered positions (window start + 0..7)
+    // -> anti-join tokens -> ordered reassembly
+    "d16_decontaminate" -> s"""
+      WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      bw AS (SELECT DISTINCT unnest([array_to_string(toks[i : i + 7], ' ')
+               for i in range(1, len(toks) - 6)]) AS w
+             FROM d WHERE doc_id < 50 AND len(toks) >= 8),
+      cw AS (SELECT doc_id,
+               unnest(range(1, len(toks) - 6)) AS s,
+               unnest([array_to_string(toks[i : i + 7], ' ')
+                       for i in range(1, len(toks) - 6)]) AS w
+             FROM d WHERE doc_id >= 50 AND len(toks) >= 8),
+      cov AS (SELECT DISTINCT cw.doc_id, cw.s + o.off AS p
+              FROM cw JOIN bw USING (w)
+              CROSS JOIN (SELECT unnest(range(0, 8)) AS off) o),
+      tok AS (SELECT doc_id,
+                unnest(range(1, len(toks) + 1)) AS p,
+                unnest(toks) AS tok
+              FROM d WHERE doc_id >= 50),
+      kept AS (SELECT t.doc_id, t.p, t.tok
+               FROM tok t ANTI JOIN cov c
+                 ON t.doc_id = c.doc_id AND t.p = c.p),
+      g AS (SELECT doc_id, CAST(count(1) AS BIGINT) AS n_kept,
+              string_agg(tok, ' ' ORDER BY p) AS txt
+            FROM kept GROUP BY doc_id)
+      SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens,
+             CAST(len(d.toks) - coalesce(g.n_kept, 0) AS BIGINT) AS n_removed,
+             coalesce(g.txt, '') AS cleaned_text
+      FROM d LEFT JOIN g USING (doc_id)
+      WHERE d.doc_id >= 50 ORDER BY d.doc_id""",
     // d15: the closed-form canonical key — every synthesized variant
     // must normalize to exactly this string
     "d15_url_dedup" -> """

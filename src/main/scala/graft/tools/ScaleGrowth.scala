@@ -34,7 +34,8 @@ object ScaleGrowth {
   private val Queries = Seq("d01_exact_dedup", "d02_ngram_jaccard",
     "d03_minhash_lsh", "d04_simhash", "d07_dup_clusters",
     "d10_lsh_clusters", "d09_lsh_cosine", "d12_span_dups",
-    "d13_incremental_lsh", "d14_line_dedup", "v08_ivf_exact",
+    "d13_incremental_lsh", "d14_line_dedup", "d16_decontaminate",
+    "v08_ivf_exact",
     // the search surface: FTS-indexed BM25 top-K (bucket-pruned postings
     // scan — growth bounded by bucket-file size, not corpus scans) and
     // hybrid fusion (FTS leg + dense leg); index builds in the warm pass

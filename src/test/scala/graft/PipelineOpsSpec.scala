@@ -71,6 +71,24 @@ class PipelineOpsSpec extends SparkSpec {
 
   // ---- chunking ----
 
+  test("decontaminateSpans removes exactly the covered token positions") {
+    import graft.operators.Dedup
+    val gram = (1 to 8).map(i => s"g$i").mkString(" ") // the shared 8-gram
+    val train = Seq(
+      (1L, s"alpha beta $gram gamma delta"),  // tokens 3..10 covered
+      (2L, "clean text with no overlap at all here okay"),
+      (3L, gram))                             // fully covered
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, s"intro $gram outro")).toDF("doc_id", "text")
+    val got = Dedup.decontaminateSpans(train, bench,
+        col("text"), col("doc_id"), col("text"), n = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) === ((12L, 8L, "alpha beta gamma delta")))
+    assert(got(2L) === ((9L, 0L, "clean text with no overlap at all here okay")))
+    assert(got(3L) === ((8L, 8L, "")))
+  }
+
   test("corpusSpanDedup keeps only globally-first span occurrences") {
     val ten = (1 to 10).map(i => s"tok$i").mkString(" ")
     val docs = Seq(
