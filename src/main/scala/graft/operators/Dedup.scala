@@ -894,42 +894,64 @@ object Dedup {
       idCol: Column,
       benchTextCol: Column,
       n: Int = 13): DataFrame = {
-    def windows(df: DataFrame, t: Column, id: Column): DataFrame = df
-      .select(id.as("id"), text.tokenize(t).as("__t"))
-      .select(col("id"),
-        posexplode(when(size(col("__t")) >= n,
-          transform(sequence(lit(1), size(col("__t")) - (n - 1)),
-            i => array_join(slice(col("__t"), i, lit(n)), " ")))
-          .otherwise(array())))
-      .withColumnRenamed("pos", "wpos0") // 0-based window offset
-      .withColumnRenamed("col", "w")
-    val benchGrams = windows(bench, benchTextCol, idCol)
-      .select("w").distinct()
-    // matched windows -> the token positions they cover (1-based)
-    val covered = windows(corpus, textCol, idCol)
-      .join(benchGrams, Seq("w")) // inner: only contaminated windows
-      .select(col("id"),
-        explode(sequence(col("wpos0") + 1, col("wpos0") + n)).as("p"))
+    // benchmark examples SHORTER than n contribute their whole token
+    // sequence as one gram (the appendix-C rule "for examples shorter
+    // than 13 words we use the whole example") — without this, short
+    // benchmark answers verbatim in the corpus would silently survive.
+    // A k-token gram string only ever equals another k-token string, so
+    // grams of different k can share one join key.
+    val benchToks = bench
+      .select(text.tokenize(benchTextCol).as("__t"))
+      .filter(size(col("__t")) >= 1)
+    val benchGrams = benchToks
+      .select(explode(when(size(col("__t")) >= n,
+        transform(sequence(lit(1), size(col("__t")) - (n - 1)),
+          i => array_join(slice(col("__t"), i, lit(n)), " ")))
+        .otherwise(array(array_join(col("__t"), " ")))).as("w"))
       .distinct()
-    val toks = corpus
-      .select(idCol.as("id"), text.tokenize(textCol).as("__t"))
-      .select(col("id"), size(col("__t")).cast("long").as("n_tokens"),
-        posexplode(col("__t")))
-      .select(col("id"), col("n_tokens"),
-        (col("pos") + 1).as("p"), col("col").as("tok"))
-    val kept = toks.join(covered, Seq("id", "p"), "left_anti")
-    val perDoc = kept.groupBy("id")
-      .agg(first(col("n_tokens")).as("n_tokens"),
-        count(lit(1)).as("n_kept"),
-        array_join(transform(array_sort(collect_list(
-          struct(col("p"), col("tok")))), x => x.getField("tok")), " ")
-          .as("cleaned_text"))
-    corpus.select(idCol.as("id"),
-        size(text.tokenize(textCol)).cast("long").as("__nt"))
-      .join(perDoc, Seq("id"), "left")
-      .select(col("id"), col("__nt").as("n_tokens"),
-        (col("__nt") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
-        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+    // the distinct gram LENGTHS actually present (≤ n values, driver-
+    // bounded like the other dictionary-sized loads; normally just {n})
+    val ks = benchToks
+      .select(least(size(col("__t")), lit(n)).as("k")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    // tokenized corpus persisted: it feeds one window pass per k plus
+    // the token explode + the final count (same discipline as
+    // corpusSpanDedup — tokenize is the dominant per-row cost)
+    val toksDf = corpus
+      .select(idCol.as("id"), text.tokenize(textCol).as("__t")).persist()
+    try {
+      def coveredAt(k: Int): DataFrame = toksDf
+        .select(col("id"),
+          posexplode(when(size(col("__t")) >= k,
+            transform(sequence(lit(1), size(col("__t")) - (k - 1)),
+              i => array_join(slice(col("__t"), i, lit(k)), " ")))
+            .otherwise(array())))
+        .withColumnRenamed("pos", "wpos0")
+        .withColumnRenamed("col", "w")
+        .join(benchGrams, Seq("w")) // inner: only contaminated windows
+        .select(col("id"),
+          explode(sequence(col("wpos0") + 1, col("wpos0") + k)).as("p"))
+      val covered = ks.map(coveredAt).reduceOption(_ unionByName _)
+        .map(_.distinct())
+        .getOrElse(toksDf.sparkSession.emptyDataFrame
+          .withColumn("id", lit(0L)).withColumn("p", lit(0)).limit(0))
+      val toks = toksDf
+        .select(col("id"), posexplode(col("__t")))
+        .select(col("id"), (col("pos") + 1).as("p"), col("col").as("tok"))
+      val kept = toks.join(covered, Seq("id", "p"), "left_anti")
+      val perDoc = kept.groupBy("id")
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(transform(array_sort(collect_list(
+            struct(col("p"), col("tok")))), x => x.getField("tok")), " ")
+            .as("cleaned_text"))
+      toksDf.select(col("id"), size(col("__t")).cast("long").as("__nt"))
+        .join(perDoc, Seq("id"), "left")
+        .select(col("id"), col("__nt").as("n_tokens"),
+          (col("__nt") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+          coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+        // eager: materialized before the token cache releases
+        .localCheckpoint(true)
+    } finally toksDf.unpersist(blocking = false)
   }
 
   /** Span-level (substring) duplication report — the SEQUENCE-level

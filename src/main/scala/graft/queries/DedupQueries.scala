@@ -458,17 +458,22 @@ object DedupQueries {
     // -> anti-join tokens -> ordered reassembly
     "d16_decontaminate" -> s"""
       WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
-      bw AS (SELECT DISTINCT unnest([array_to_string(toks[i : i + 7], ' ')
-               for i in range(1, len(toks) - 6)]) AS w
-             FROM d WHERE doc_id < 50 AND len(toks) >= 8),
-      cw AS (SELECT doc_id,
-               unnest(range(1, len(toks) - 6)) AS s,
-               unnest([array_to_string(toks[i : i + 7], ' ')
-                       for i in range(1, len(toks) - 6)]) AS w
-             FROM d WHERE doc_id >= 50 AND len(toks) >= 8),
+      bw AS (SELECT DISTINCT unnest(CASE WHEN len(toks) >= 8
+               THEN [array_to_string(toks[i : i + 7], ' ')
+                     for i in range(1, len(toks) - 6)]
+               ELSE [array_to_string(toks, ' ')] END) AS w
+             FROM d WHERE doc_id < 50 AND len(toks) >= 1),
+      ks AS (SELECT DISTINCT least(len(toks), 8) AS k
+             FROM d WHERE doc_id < 50 AND len(toks) >= 1),
+      cw AS (SELECT d.doc_id, ks.k,
+               unnest(range(1, len(toks) - ks.k + 2)) AS s,
+               unnest([array_to_string(toks[i : i + ks.k - 1], ' ')
+                       for i in range(1, len(toks) - ks.k + 2)]) AS w
+             FROM d CROSS JOIN ks
+             WHERE doc_id >= 50 AND len(toks) >= ks.k),
       cov AS (SELECT DISTINCT cw.doc_id, cw.s + o.off AS p
               FROM cw JOIN bw USING (w)
-              CROSS JOIN (SELECT unnest(range(0, 8)) AS off) o),
+              JOIN (SELECT unnest(range(0, 8)) AS off) o ON o.off < cw.k),
       tok AS (SELECT doc_id,
                 unnest(range(1, len(toks) + 1)) AS p,
                 unnest(toks) AS tok

@@ -87,6 +87,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(1L) === ((12L, 8L, "alpha beta gamma delta")))
     assert(got(2L) === ((9L, 0L, "clean text with no overlap at all here okay")))
     assert(got(3L) === ((8L, 8L, "")))
+    // SHORT benchmark examples (< n tokens) use the WHOLE example as
+    // the gram (the appendix-C rule) — verbatim short answers must not
+    // slip through. A bench frame with a DIFFERENT id column name works
+    // (only its text column is touched).
+    val shortBench = Seq((7L, "secret answer phrase")).toDF("example_id", "q")
+    val train2 = Seq(
+      (1L, "intro secret answer phrase outro"),   // 3-gram covered
+      (2L, "secret answer other phrase here"))    // NOT contiguous — kept
+      .toDF("doc_id", "text")
+    val got2 = Dedup.decontaminateSpans(train2, shortBench,
+        col("text"), col("doc_id"), col("q"), n = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getString(3)))).toMap
+    assert(got2(1L) === ((3L, "intro outro")))
+    assert(got2(2L) === ((0L, "secret answer other phrase here")))
   }
 
   test("corpusSpanDedup keeps only globally-first span occurrences") {
