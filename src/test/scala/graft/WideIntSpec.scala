@@ -241,6 +241,36 @@ class WideIntSpec extends SparkSpec {
     }
   }
 
+  test("02560_with_fill_int256_int: WITH FILL over wide-integer keys") {
+    // SELECT (number*2)::Int128 FROM numbers(10) ORDER BY 1 WITH FILL
+    // FROM 3 TO 8 → 0,2,3,4,5,6,7,8,10,12,14,16,18 (reference golden).
+    // The engine recipe: decode the wide key to Int64, fill, re-encode —
+    // ordering stays on the wide binary (order-preserving encoding).
+    import graft.operators.RelationalOps
+    for (fn <- Seq("toInt128", "toInt256", "toUInt128", "toUInt256")) {
+      val evens = spark.range(10).selectExpr(s"$fn(id * 2) AS w")
+      val filled = RelationalOps.withFillStep(
+          evens.selectExpr("wideToInt64(w) AS k"), "k", 3L, 8L, 1L, Seq.empty)
+        .selectExpr(s"$fn(k) AS w")
+        .orderBy("w")
+        .selectExpr("wideToString(w)")
+        .collect().map(_.getString(0)).toSeq
+      assert(filled === Seq("0", "2", "3", "4", "5", "6", "7", "8",
+        "10", "12", "14", "16", "18"), fn)
+    }
+    // negative FROM on the signed kinds (second golden block, -3 TO 5)
+    val neg = RelationalOps.withFillStep(
+        spark.range(10).selectExpr("toInt128(id * 2) AS w")
+          .selectExpr("wideToInt64(w) AS k"), "k", -3L, 5L, 1L, Seq.empty)
+      .selectExpr("toInt128(k) AS w").orderBy("w")
+      .selectExpr("wideToString(w)").collect().map(_.getString(0)).toSeq
+    assert(neg === Seq("-3", "-2", "-1", "0", "1", "2", "3", "4",
+      "6", "8", "10", "12", "14", "16", "18"))
+    // (the reference ERRORS on a negative FROM with unsigned kinds —
+    // serverError 69; the engine recipe decodes to SIGNED Int64 first,
+    // so the analogous misuse surfaces at the user's toUInt* re-encode)
+  }
+
   test("null propagation") {
     assert(q1("widePlus(toInt128(1), CAST(NULL AS BIGINT))") === null)
     assert(q1("toInt128(CAST(NULL AS STRING))") === null)
