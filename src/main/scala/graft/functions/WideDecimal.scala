@@ -146,10 +146,15 @@ object WideDecimal {
     }
   }
 
-  /** convert, with an unparsable STRING becoming null (the OrNull /
-    * OrZero contract); binary wide values route through convert, not
-    * toString (a stringified Array[Byte] is "[B@..." and would silently
-    * null out exactly the values the plain front accepts).
+  /** convert, with an unconvertible VALUE becoming null (the OrNull /
+    * OrZero contract): unparsable strings (NumberFormatException) AND
+    * >76-digit overflow (encode's require throws plain
+    * IllegalArgumentException, of which NumberFormatException is a
+    * subclass) — 00700_to_decimal_or_something returns 0/NULL on
+    * overflow, same as WideInt.tryConvert. Binary wide values route
+    * through convert, not toString (a stringified Array[Byte] is
+    * "[B@..." and would silently null out exactly the values the plain
+    * front accepts).
     */
   def tryConvert(x: AnyRef, scale: Int): Array[Byte] =
     try convert(x match {
@@ -157,7 +162,7 @@ object WideDecimal {
       case _: Number => x
       case other => other.toString
     }, scale)
-    catch { case _: NumberFormatException => null }
+    catch { case _: IllegalArgumentException => null }
 
   // ---- registration ----
 

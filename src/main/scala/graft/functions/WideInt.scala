@@ -210,11 +210,17 @@ object WideInt {
       u2(nullSafe2(binop(_, _)(_.subtract(_)))), BinaryType)
     udfs.register("wideMultiply",
       u2(nullSafe2(binop(_, _)(_.multiply(_)))), BinaryType)
-    // `/` on wide ints is Float64 in the reference (01440 golden).
+    // `/` on wide ints is Float64 in the reference (01440 golden), so a
+    // zero divisor follows IEEE double division: ±inf by the sign of the
+    // dividend, NaN for 0/0 — never an exception.
     udfs.register("wideDivide", u2(nullSafe2 { (a, b) =>
       val va = operand(a)._1; val vb = operand(b)._1
       java.lang.Double.valueOf(
-        new java.math.BigDecimal(va)
+        if (vb.signum == 0) {
+          if (va.signum == 0) Double.NaN
+          else if (va.signum > 0) Double.PositiveInfinity
+          else Double.NegativeInfinity
+        } else new java.math.BigDecimal(va)
           .divide(new java.math.BigDecimal(vb), java.math.MathContext.DECIMAL64)
           .doubleValue)
     }), DoubleType)

@@ -441,8 +441,14 @@ object Dedup {
     * then mass-delete. One codegen projection + one key groupBy.
     */
   def urlDedupGroups(df: DataFrame, urlCol: Column, idCol: Column): DataFrame =
-    df.select(idCol.as("id"), text.urlCanonicalKey(urlCol).as("url_key"))
-      .filter(col("url_key").isNotNull)
+    // Filter on the RAW url, not the projected key: the key expression
+    // is never null for a non-null url (concat/CASE over it), and
+    // filtering after the projection makes Catalyst substitute the
+    // whole ~30-regex canonicalization tree into the Filter node —
+    // this order keeps the tree exactly once in the plan and lets the
+    // isnotnull push to the scan.
+    df.filter(urlCol.isNotNull)
+      .select(idCol.as("id"), text.urlCanonicalKey(urlCol).as("url_key"))
       .groupBy(col("url_key"))
       .agg(count(lit(1)).as("n_urls"), min(col("id")).as("canonical_id"))
 

@@ -141,7 +141,10 @@ object Packing {
       .withColumn("__rate_ppm",
         least(lit(1000000L), expr("(__quota * 1000000) div __n")))
       .select(col("__stratum"), col("__rate_ppm"))
-    df.join(broadcast(rates), strataCol === col("__stratum"))
+    // Null-safe join key: groupBy already collects NULL strata into their
+    // own group, so <=> gives a NULL stratum a quota like any other —
+    // a plain === would silently drop every NULL-stratum row.
+    df.join(broadcast(rates), strataCol <=> col("__stratum"))
       .filter(hashBucket(idCol, 1000000) < col("__rate_ppm"))
       .drop("__stratum")
   }

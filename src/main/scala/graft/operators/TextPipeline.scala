@@ -20,7 +20,11 @@ object TextPipeline {
     *  - mean word length in [3, 10] characters — evaluated as the
     *    INTEGER comparison 3·n ≤ Σlen ≤ 10·n (no float division, so
     *    the oracle replays it bit-exactly);
-    *  - symbol-to-word ratio (`#`, `…`) ≤ 0.1 → 10·symbols ≤ n;
+    *  - symbol-to-word ratio ≤ 0.1 for EACH symbol class separately
+    *    ("either the hash symbol or the ellipsis", Rae et al. A1):
+    *    10·hashes ≤ n AND 10·ellipses ≤ n, where ellipses counts both
+    *    the `…` codepoint and the three-dot `...` form (non-overlapping
+    *    exact-3 matches — Java regex and RE2 agree);
     *  - ≥ 80% of words contain a letter → 5·alpha ≥ 4·n (the paper's
     *    threshold);
     *  - at least 2 of the paper's stop list {the, be, to, of, and,
@@ -43,9 +47,12 @@ object TextPipeline {
     val stats = df.select(
       idCol.as("id"),
       text.tokenize(textCol).as("__t"),
-      (length(textCol) - length(translate(textCol, "#…", "")))
-        .cast("long").as("__sym"))
-      .select(col("id"), col("__sym"),
+      (length(textCol) - length(translate(textCol, "#", "")))
+        .cast("long").as("__hash"),
+      ((length(textCol) - length(translate(textCol, "…", ""))) +
+        regexp_count(textCol, lit("\\.{3}")))
+        .cast("long").as("__ellipsis"))
+      .select(col("id"), col("__hash"), col("__ellipsis"),
         size(col("__t")).cast("long").as("n_words"),
         aggregate(transform(col("__t"), t => length(t).cast("long")),
           lit(0L), (a, b) => a + b).as("__chars"),
@@ -58,7 +65,8 @@ object TextPipeline {
       col("n_words").between(minWords, maxWords).as("word_count_ok"),
       (col("__chars") >= col("n_words") * 3L &&
         col("__chars") <= col("n_words") * 10L).as("mean_wlen_ok"),
-      (col("__sym") * 10L <= col("n_words")).as("symbol_ok"),
+      (col("__hash") * 10L <= col("n_words") &&
+        col("__ellipsis") * 10L <= col("n_words")).as("symbol_ok"),
       (col("__alpha") * 5L >= col("n_words") * 4L).as("alpha_ok"),
       (col("__sw") >= 2L).as("stopword_ok"))
       .withColumn("keep",

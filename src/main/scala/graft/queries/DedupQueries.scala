@@ -131,6 +131,22 @@ object DedupQueries {
     "d10_lsh_clusters" -> ((s, dir) =>
       lshClusterLabels(t(s, dir, "embeddings"), nPlanes = 4)
         .orderBy(col("vec_id"))),
+    // The ENGINE-DEFAULT LSH path: same operator as d09 but with
+    // `nPlanes = AutoPlanes` — the shipped scale-safe parameterization
+    // (plane count derived from a corpus count so expected bucket
+    // occupancy stays ≤128). d09/d10 pin nPlanes=4 for their replays;
+    // this row hashes what a caller of the DEFAULT actually gets. The
+    // oracle recomputes the plane count from count(*) with the same
+    // formula and gates each bucket bit on it — coordinate lists for
+    // any count are PREFIXES of the full seeded shuffle, so the full
+    // 62-coordinate lists are embedded and sliced by the derived count.
+    "d17_lsh_autoplanes" -> ((s, dir) => {
+      Dedup.lshCosineCoordPairs(t(s, dir, "embeddings"), col("embedding"),
+          col("vec_id"), minCosSim = 0.35, dim = 64)
+        .select(col("id_a"), col("id_b"),
+          round(col("cos_sim").cast("double"), 3).as("cos_sim"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     // The reference's scalar document-sketch grid (FunctionsStringHash:
     // ngram/wordShingle SimHash/MinHash, value-exact CRC32-C port —
     // golden-asserted in StringSketchHashSpec) driven end-to-end: every
@@ -302,8 +318,47 @@ object DedupQueries {
       ORDER BY id_a, id_b"""
   }
 
+  /** d17 oracle CTEs: the AutoPlanes variant of [[lshCoordCtes]]. The
+    * plane count is computed IN SQL from count(*) with the engine's
+    * formula (min(62, max(4, ceil(log2(n/128) - 1e-9)))); each table's
+    * FULL 62-coordinate seeded shuffle is embedded and bit i only
+    * contributes when i < p — `take(p)` of a shuffle is a prefix, so
+    * slicing replays [[graft.operators.Dedup.lshCoordPlanes]] exactly
+    * for whatever count the corpus produces at any SF.
+    */
+  private val lshAutoCoordCtes: String = {
+    val planes = graft.operators.Dedup.lshCoordPlanes(
+      dim = 64, nPlanes = 62, nTables = 16, seed = 42L)
+    val branches = planes.zipWithIndex.map { case (coords, t) =>
+      val bits = coords.zipWithIndex.map { case (k, i) =>
+        s"(CASE WHEN $i < p.p AND embedding[${k + 1}] > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS tbl, $bits AS bucket FROM embeddings, params p"
+    }.mkString("\n        UNION ALL\n        ")
+    s"""params AS (
+        SELECT LEAST(62, GREATEST(4,
+          CAST(ceil(log2(count(*) / 128.0) - 1e-9) AS INT))) AS p
+        FROM embeddings),
+      buckets AS (
+        $branches),
+      cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+               FROM buckets a JOIN buckets b
+                 ON a.tbl = b.tbl AND a.bucket = b.bucket
+                AND a.vec_id < b.vec_id),
+      lshpairs AS (
+        SELECT id_a, id_b,
+               round(CAST(list_cosine_similarity(x.embedding, y.embedding)
+                     AS DOUBLE), 3) AS cos_sim
+        FROM cand JOIN embeddings x ON x.vec_id = id_a
+                  JOIN embeddings y ON y.vec_id = id_b
+        WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.35)"""
+  }
+
   val oracles: Map[String, String] = Map(
     "d04_simhash" -> simhashMd5Sql,
+    "d17_lsh_autoplanes" -> s"""
+      WITH $lshAutoCoordCtes
+      SELECT id_a, id_b, cos_sim FROM lshpairs ORDER BY id_a, id_b""",
     "d09_lsh_cosine" -> s"""
       WITH $lshCoordCtes
       SELECT id_a, id_b, cos_sim FROM lshpairs ORDER BY id_a, id_b""",

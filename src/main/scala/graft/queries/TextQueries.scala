@@ -632,18 +632,23 @@ object TextQueries {
               CAST(len(list_filter(toks, x -> list_contains(
                 ['the','be','to','of','and','that','have','with'], x)))
                 AS BIGINT) AS sw,
-              CAST(length(text) - length(replace(replace(text, '#', ''),
-                '…', '')) AS BIGINT) AS sym
+              CAST(length(text) - length(replace(text, '#', ''))
+                AS BIGINT) AS hashes,
+              CAST(length(text) - length(replace(text, '…', ''))
+                AS BIGINT)
+                + CAST(len(regexp_extract_all(text, '\\.\\.\\.'))
+                AS BIGINT) AS ellipses
             FROM d)
       SELECT doc_id, n_words,
              n_words BETWEEN 30 AND 100000 AS word_count_ok,
              chars >= 3 * n_words AND chars <= 10 * n_words AS mean_wlen_ok,
-             10 * sym <= n_words AS symbol_ok,
+             10 * hashes <= n_words AND 10 * ellipses <= n_words
+               AS symbol_ok,
              5 * alpha >= 4 * n_words AS alpha_ok,
              sw >= 2 AS stopword_ok,
              (n_words BETWEEN 30 AND 100000)
                AND chars >= 3 * n_words AND chars <= 10 * n_words
-               AND 10 * sym <= n_words
+               AND 10 * hashes <= n_words AND 10 * ellipses <= n_words
                AND 5 * alpha >= 4 * n_words
                AND sw >= 2 AS keep
       FROM m ORDER BY doc_id""",

@@ -72,6 +72,35 @@ object ChTypes {
     case _ => None
   }
 
+  /** STRICT decode of a wide (Int128/UInt128/Int256/UInt256) wire value
+    * onto the engine's Int64 carrier. `lo` is the low 8 LE bytes as a
+    * Long; `hi` the remaining wire bytes (LE order). The LongType
+    * carrier is lossless exactly when the high bytes are a sign
+    * extension (signed kinds) / zero fill (unsigned kinds — which also
+    * admits the documented UInt64-style two's-complement view of
+    * [2^63, 2^64)) of the low 8. Anything else is a genuinely wide
+    * value that a silent wrap would corrupt, so throw: reading wrong
+    * data quietly is the one unacceptable outcome. (A BinaryType
+    * carrier using the WideInt tagged encoding was considered and
+    * rejected: it would leak the internal encoding into every text
+    * format that shares the type mapping. Export such columns via
+    * toString on the writer side to move them losslessly.)
+    */
+  def wideLongStrict(lo: Long, hi: Array[Byte], ch: String): Long = {
+    val fill: Byte = if (ch.startsWith("Int") && lo < 0) -1 else 0
+    var i = 0
+    while (i < hi.length) {
+      if (hi(i) != fill) throw new IllegalArgumentException(
+        s"$ch value exceeds the engine's Int64 carrier (high wire bytes " +
+          hi.map(b => f"$b%02x").mkString +
+          s" are not a ${if (fill == -1) "sign" else "zero"} extension " +
+          "of the low 8); re-export the column via toString to read it " +
+          "losslessly instead of silently wrapping")
+      i += 1
+    }
+    lo
+  }
+
   /** Wire byte width of a Decimal column by its DECLARED type name
     * (≤9 → 4, ≤18 → 8, ≤38 → 16, ≤76 → 32). The declaration wins over
     * the Spark precision (which caps at 38) so Decimal(76, 2) /

@@ -253,12 +253,14 @@ object NativeFormat {
     case LongType =>
       if (ch == "UInt32") in.fixed(4) & 0xffffffffL
       else if (wideWidth(ch).isDefined) {
-        // low 8 LE bytes = the wraparound Int64 value; consume the rest
-        // so the column stream stays aligned
+        // low 8 LE bytes onto the Int64 carrier; the discarded high
+        // bytes must be a sign/zero extension or the read THROWS
+        // (ChTypes.wideLongStrict) — a silent wrap would corrupt
+        // genuinely wide values
         val lo = in.fixed(8)
-        var i = 8
-        while (i < wideWidth(ch).get) { in.buf.get(); i += 1 }
-        lo
+        val hi = new Array[Byte](wideWidth(ch).get - 8)
+        in.buf.get(hi)
+        ChTypes.wideLongStrict(lo, hi, ch)
       } else in.signedFixed(scalarWidth(dt, ch))
     case FloatType => java.lang.Float.intBitsToFloat(in.fixed(4).toInt)
     case DoubleType => java.lang.Double.longBitsToDouble(in.fixed(8))

@@ -239,12 +239,14 @@ object RowBinaryFormat {
       case LongType => chBase match {
         case "UInt32" => in.fixed(4) & 0xffffffffL
         case w if wideWidth(w).isDefined =>
-          // low 8 LE bytes are the wraparound Int64 value; consume the
-          // full declared width so the NEXT column stays aligned
+          // low 8 LE bytes onto the Int64 carrier; the discarded high
+          // bytes must be a sign/zero extension or the read THROWS
+          // (ChTypes.wideLongStrict) — a silent wrap would corrupt
+          // genuinely wide values
           val lo = in.fixed(8)
-          var i = 8
-          while (i < wideWidth(w).get) { in.buf.get(); i += 1 }
-          lo
+          val hi = new Array[Byte](wideWidth(w).get - 8)
+          in.buf.get(hi)
+          ChTypes.wideLongStrict(lo, hi, w)
         case _ => in.signedFixed(chWidth(chBase).getOrElse(8))
       }
       case FloatType => java.lang.Float.intBitsToFloat(in.fixed(4).toInt)

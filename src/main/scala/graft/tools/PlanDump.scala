@@ -67,7 +67,8 @@ object PlanDump {
       "q87_decimal256" -> "Decimal256 (76-digit) scalars: construction/arithmetic in the scan-stage projection; `dord` sorts the raw BINARY — within one scale the offset-binary encoding makes native BinaryType order numeric order, same design as the wide ints",
       "t19_gopher_rules" -> "Gopher filter rules: five integer-comparison rules + keep, all inside one codegen projection over the scan — zero shuffles, the filter stage costs what the scan costs",
       "d15_url_dedup" -> "canonical-URL dedup: the whole normalization (case/www/port/fragment/tracking/sort-params/slash) is regexp+array expressions in the scan-stage projection; one groupBy on the canonical key is the only shuffle — at crawl scale this is the cheapest dedup stage there is",
-      "d16_decontaminate" -> "span decontamination: benchmark grams distinct once (broadcastable), covered token positions explode ONLY from matched windows (contaminated docs), one anti-join on (doc, pos) + one reassembly groupBy — clean docs never explode coverage rows")
+      "d16_decontaminate" -> "span decontamination: benchmark grams distinct once (broadcastable), covered token positions explode ONLY from matched windows (contaminated docs), one anti-join on (doc, pos) + one reassembly groupBy — clean docs never explode coverage rows",
+      "d17_lsh_autoplanes" -> "the ENGINE-DEFAULT LSH path (nPlanes = AutoPlanes): one count job sizes the plane set so expected bucket occupancy stays <=128, then the same bucket self-join + map-side cosine verify as d09 — the default a user gets is the measured-near-flat parameterization, now oracle-hashed itself")
     val sb = new StringBuilder
     sb.append("# PLANS — headline physical plans (generated by graft.tools.PlanDump)\n")
     sb.append(s"\nScale factor dir: `$sfDir`. Regenerate: " +

@@ -194,6 +194,36 @@ class FormatsSpec extends SparkSpec {
     assert(ChTypes.decimalWireWidth("Decimal(9, 2)", 38) === 4)
   }
 
+  test("wide reads are STRICT: genuinely wide values throw, wrap views read") {
+    // 1 + 2^64 as Int128: low 8 LE bytes = 1, byte 8 = 0x01 — the high
+    // bytes are NOT a sign extension of the low 8, so a silent wrap
+    // would corrupt the value; the read must throw instead
+    val wideSchema = StructType(Seq(chField("w", LongType, "Int128")))
+    val genuinelyWide = new Array[Byte](16)
+    genuinelyWide(0) = 1; genuinelyWide(8) = 1
+    val e = intercept[IllegalArgumentException] {
+      RowBinaryFormat.read(spark, genuinelyWide, Some(wideSchema),
+        withNames = false, withTypes = false).collect()
+    }
+    assert(e.getMessage.contains("Int64 carrier"))
+    // UInt128 in [2^63, 2^64): zero high bytes — the documented
+    // UInt64-style two's-complement view, reads as the wrapped Long
+    val uSchema = StructType(Seq(chField("u", LongType, "UInt128")))
+    val wrapView = new Array[Byte](16)
+    java.util.Arrays.fill(wrapView, 0, 8, -1.toByte) // 2^64 - 1
+    val got = RowBinaryFormat.read(spark, wrapView, Some(uSchema),
+      withNames = false, withTypes = false).collect()
+    assert(got.head.getLong(0) === -1L)
+    // Native path shares the contract (same helper): write a fitting
+    // value, then corrupt the trailing high bytes into a genuine wide
+    val nat = OutputFormats.writeBytes(df(wideSchema, Row(1L)), "Native")
+    nat(nat.length - 8) = 1
+    val natWide = intercept[Exception] {
+      InputFormats.parseBytes(spark, nat, "Native").collect()
+    }
+    assert(natWide.getMessage.contains("Int64 carrier"))
+  }
+
   // ---- Vertical (00231) ---------------------------------------------------
 
   test("00231: Vertical raw values") {

@@ -147,6 +147,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(gotBig === expectedBig)
   }
 
+  test("temperatureMix: NULL strata form their own quota group, not a drop") {
+    import graft.operators.Packing
+    // 4 null-stratum docs + 4 'en' docs, budget big enough that every
+    // stratum keeps rate 1e6 — a plain === join key would silently drop
+    // the null side; <=> must keep all 8
+    val docs = ((1 to 4).map(i => (i.toLong, null: String)) ++
+      (5 to 8).map(i => (i.toLong, "en"))).toDF("doc_id", "lang")
+    val sel = Packing.temperatureMix(docs, col("lang"), col("doc_id"),
+      budget = 100L, alpha = 0.5).collect()
+    assert(sel.length === 8)
+    assert(sel.count(_.isNullAt(1)) === 4)
+  }
+
+  test("gopherRules: symbol classes separate; '...' counts as ellipsis") {
+    import graft.operators.TextPipeline
+    val filler = (1 to 60).map(_ => "the").mkString(" ") // 60 stopwords
+    val docs = Seq(
+      // 4 hashes + 4 '…' over 64 words: each class alone ≤ 0.1n (6.4),
+      // combined 8 > 6.4 — the paper applies the threshold PER CLASS,
+      // so this doc passes (the pooled rule would fail it)
+      (1L, filler + " a# b# c# d#… … … …"),
+      // 8 three-dot ellipses over 64 words: 80 > 64 → symbol_ok false
+      // (the '…'-only keep set would miss the '...' form entirely)
+      (2L, filler + " w... x... y... z... p... q... r... s..."),
+      // clean control
+      (3L, filler + " and some more plain words here"))
+      .toDF("doc_id", "text")
+    val got = TextPipeline.gopherRules(docs, col("text"), col("doc_id"),
+        minWords = 10L)
+      .collect().map(r => r.getLong(0) ->
+        r.getBoolean(r.fieldIndex("symbol_ok"))).toMap
+    assert(got(1L) === true)
+    assert(got(2L) === false)
+    assert(got(3L) === true)
+  }
+
   test("urlCanonicalKey: case/www/port/fragment/tracking/slash rules") {
     import graft.functions.text
     def k(u: String): String =

@@ -86,6 +86,14 @@ class WideDecimalSpec extends SparkSpec {
     assertThrows[Exception](
       q1("wideDecPlus(toDecimal256('1', 0), '1e500000000')"))
     assert(q1("toDecimal256OrNull('NaN', 2)") === null)
+    // >76-digit OVERFLOW is the null/zero case too (00700: OrZero/OrNull
+    // return 0/NULL on overflow — encode's require raises plain
+    // IllegalArgumentException, which tryConvert must catch)
+    assert(q1("toDecimal256OrNull('1" + "0" * 80 + "', 0)") === null)
+    assert(s1("wideDecToString(toDecimal256OrZero('1e100', 0))") === "0")
+    assert(q1("toDecimal256OrNull('1e100', 2)") === null)
+    // ...while the plain front still throws on the same input
+    assertThrows[Exception](q1("toDecimal256('1e100', 0)"))
     assert(q1("wideDecPlus(toDecimal256('1', 0), CAST(NULL AS BIGINT))") === null)
     // a DOUBLE reaches arithmetic only through an explicit conversion
     assertThrows[Exception](

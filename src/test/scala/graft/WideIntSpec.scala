@@ -136,6 +136,12 @@ class WideIntSpec extends SparkSpec {
     assert(s1("wideToString(wideModulo(toInt128(7), -3))") === "1")
     assert(q1("wideDivide(toInt128(1), 2)") === 0.5)
     assertThrows[Exception](q1("wideToString(wideIntDiv(toInt128(1), 0))"))
+    // `/` is Float64, so a zero divisor is IEEE: ±inf by dividend sign,
+    // NaN for 0/0 — never an exception (the reference's wide `/` golden)
+    assert(q1("wideDivide(toInt128(1), 0)") === Double.PositiveInfinity)
+    assert(q1("wideDivide(toInt128(-5), toUInt256(0))") === Double.NegativeInfinity)
+    assert(java.lang.Double.isNaN(
+      q1("wideDivide(toInt128(0), 0)").asInstanceOf[Double]))
   }
 
   test("string conversions: OrNull / OrZero, parse extremes") {
