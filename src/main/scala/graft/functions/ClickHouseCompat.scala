@@ -2198,6 +2198,7 @@ object ClickHouseCompat {
       r
     })
     TypeFronts.installNative(spark)
+    ScalarTranche18.install(spark) // frequency-ranked §2.9 residual head
     StringSketchHash.install(spark)
     HashParity.install(spark)
     DateTimeFormat.install(spark)

@@ -82,7 +82,7 @@ object WideDecimal {
   /** Operand view: Decimal256 binary, wide-int binary (scale 0), long/int
     * (scale 0), or string (parsed exactly). Doubles are rejected.
     */
-  private def operand(x: AnyRef): Dec = x match {
+  def operand(x: AnyRef): Dec = x match {
     case b: Array[Byte] if b.length == 2 + Bytes && b(0) == Tag => decode(b)
     case b: Array[Byte] => Dec(WideInt.decode(b)._1, 0) // wide int operand
     case n: java.lang.Long    => Dec(BigInteger.valueOf(n), 0)

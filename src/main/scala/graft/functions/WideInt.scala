@@ -115,7 +115,7 @@ object WideInt {
     * 64-bit (the reference promotes UInt64 operands to the wide signed
     * result the same way — 01440_big_int_arithm Int128+UInt64 → Int128).
     */
-  private def operand(x: AnyRef): (BigInteger, Option[Kind]) = x match {
+  def operand(x: AnyRef): (BigInteger, Option[Kind]) = x match {
     case b: Array[Byte] =>
       val (v, k) = decode(b); (v, Some(k))
     case n: java.lang.Long    => (BigInteger.valueOf(n), None)

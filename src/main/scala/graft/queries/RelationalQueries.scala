@@ -1148,6 +1148,38 @@ object RelationalQueries {
         .orderBy(col("p_partkey"))
     }),
 
+    // Scalar tranche 18 end-to-end: the frequency-ranked head of the
+    // §2.9 residual list. arrayJoin (the reference's row-multiplying
+    // "scalar", 884 call sites in its own test corpus) explodes p_name
+    // tokens; ranked enumerates, state init/finalize, decimal-overflow
+    // probe, tuple utilities, plan-time introspection, wide
+    // reinterpret/OrDefault tails — every column replayed exactly by
+    // the DuckDB oracle.
+    "q88_scalar_tranche18" -> ((s, dir) => {
+      val base = t(s, dir, "part").filter(col("p_partkey") <= 300)
+      base.createOrReplaceTempView("q88_probe") // for hasColumnInTable
+      base.selectExpr(
+        "p_partkey",
+        "arrayJoin(split(p_name, ' ')) AS w",
+        "arrayEnumerateUniqRanked(1, split(p_name, ' '), 1) AS occ_all",
+        "arrayEnumerateDenseRanked(1, split(p_name, ' '), 1) AS dense_all",
+        "finalizeAggregation(initializeAggregation('avgState', p_size)) AS avg1",
+        "isDecimalOverflow(CAST(p_retailprice AS DECIMAL(12,2)), 5) AS ovf5",
+        "getSubcolumn(named_struct('a', p_size, 'b', p_type), 'a') AS sub_a",
+        "tupleToNameValuePairs(named_struct('sz', CAST(p_size AS BIGINT), 'key', p_partkey)) AS nvp",
+        "flattenTuple(named_struct('x', p_size, 'y', named_struct('z', p_partkey))) AS flat",
+        "nested(array('k','v'), array(p_partkey, p_partkey + 1), array(p_size, p_size + 1)) AS nst",
+        "wideToString(reinterpretAsUInt256(p_partkey)) AS reint",
+        "wideToString(toInt128OrDefault(p_name, p_partkey)) AS wdflt",
+        "file('/graft_no_such_file', 'dflt') AS fdflt",
+        "isConstant(p_partkey) AS ic",
+        "isNullable(CAST(NULL AS INT)) AS inl",
+        "defaultValueOfTypeName('Int32') AS dv",
+        "hasColumnInTable('default', 'q88_probe', 'p_name') AS hct",
+        "indexHint(p_partkey > 0) AS ih")
+        .orderBy(col("p_partkey"), col("w"))
+    }),
+
     // Scalar tranche 6 end-to-end: URL decomposition + IP containment
     // (ClickHouseCompat SQL functions) over deterministic synthetic
     // URLs/IPs derived from customer columns; the oracle recomputes the
@@ -1498,6 +1530,41 @@ object RelationalQueries {
              CAST(42 AS INT) AS dflt
       FROM part WHERE p_partkey <= 400
       ORDER BY p_partkey""",
+    // q88 oracle: arrayJoin = unnest; occurrence index = count of equal
+    // tokens in the inclusive prefix; state init+finalize of a single
+    // value collapses arithmetically; struct field names mirror the
+    // engine's tuple-utility conventions (_1/_2 pairs, dotted flatten
+    // paths).
+    "q88_scalar_tranche18" -> """
+      WITH p AS (SELECT * FROM part WHERE p_partkey <= 300),
+      t AS (SELECT p_partkey, p_size, p_retailprice, p_type, p_name,
+                   string_split(p_name, ' ') AS toks FROM p)
+      SELECT p_partkey,
+             unnest(toks) AS w,
+             list_transform(range(1, len(toks) + 1),
+               i -> CAST(len(list_filter(toks[1:i], x -> x = toks[i])) AS INT))
+               AS occ_all,
+             list_transform(range(1, len(toks) + 1),
+               i -> CAST(len(list_distinct(
+                 toks[1:list_position(toks, toks[i])])) AS INT)) AS dense_all,
+             CAST(p_size AS DOUBLE) AS avg1,
+             length(CAST(CAST(round(p_retailprice * 100, 0) AS BIGINT)
+               AS VARCHAR)) > 5 AS ovf5,
+             p_size AS sub_a,
+             [{'_1': 'sz', '_2': CAST(p_size AS BIGINT)},
+              {'_1': 'key', '_2': p_partkey}] AS nvp,
+             {'x': p_size, 'y.z': p_partkey} AS flat,
+             [{'k': p_partkey, 'v': p_size},
+              {'k': p_partkey + 1, 'v': p_size + 1}] AS nst,
+             CAST(p_partkey AS VARCHAR) AS reint,
+             CAST(p_partkey AS VARCHAR) AS wdflt,
+             'dflt' AS fdflt,
+             CAST(0 AS SMALLINT) AS ic,
+             CAST(1 AS SMALLINT) AS inl,
+             CAST(0 AS INT) AS dv,
+             CAST(1 AS SMALLINT) AS hct,
+             true AS ih
+      FROM t ORDER BY p_partkey, w""",
     // q69 oracle: the expected instant per format branch, computed
     // arithmetically — date-only formats land on midnight, the RFC-2822
     // +0330 zone subtracts 3h30m, unix seconds round-trip exactly.

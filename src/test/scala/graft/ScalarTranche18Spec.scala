@@ -1,0 +1,175 @@
+package graft
+
+/** Scalar tranche 18 — the frequency-ranked head of the §2.9 residual
+  * list. Ranked enumerates are pinned to the reference's own goldens
+  * (tests/queries/0_stateless/00909_arrayEnumerateUniq.{sql,reference});
+  * the rest assert the reference semantics documented at each function.
+  */
+class ScalarTranche18Spec extends SparkSpec {
+
+  private def q1(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
+  private def s1(sql: String): String = String.valueOf(q1(sql))
+  private def arr(sql: String): String =
+    spark.sql(s"SELECT $sql").head().get(0).toString
+
+  test("00909: arrayEnumerateUniqRanked depth/zip/promotion goldens") {
+    // same as arrayEnumerateUniq
+    assert(arr("arrayEnumerateUniqRanked(1, array(1,2,1), 1)") ===
+      "ArraySeq(1, 1, 2)")
+    assert(arr("arrayEnumerateUniqRanked(array('a','b','c'))") ===
+      "ArraySeq(1, 1, 1)")
+    // zipped args
+    assert(arr("arrayEnumerateUniqRanked(1, array(1,1,2,2,1,1), 1, array(1,2,1,2,2,2), 1)") ===
+      "ArraySeq(1, 1, 1, 1, 2, 3)")
+    // depth-1 view of a depth-2 array: inner arrays compared as values
+    assert(arr("arrayEnumerateUniqRanked(1, array(array('a','b','a'),array('a','b','a'),array('c')), 1)") ===
+      "ArraySeq(1, 2, 1)")
+    // full depth 2, global within the row
+    assert(arr("arrayEnumerateUniqRanked(1, array(array(1,2,3),array(2,2,1),array(3)), 2)") ===
+      "ArraySeq(ArraySeq(1, 1, 1), ArraySeq(2, 3, 2), ArraySeq(2))")
+    assert(arr("arrayEnumerateUniqRanked(1, array(array('a','b','a'),array('a','b','a'),array('c')), 2)") ===
+      "ArraySeq(ArraySeq(1, 1, 2), ArraySeq(3, 2, 4), ArraySeq(1))")
+    // depth promotion: 1-d zipped against 2-d duplicates elements
+    assert(arr("arrayEnumerateUniqRanked(1, array(1,2,1), 1, array(array(1,2,3),array(2,2,1),array(3)), 2)") ===
+      "ArraySeq(ArraySeq(1, 1, 1), ArraySeq(1, 2, 1), ArraySeq(2))")
+    // clear_depth = 2: per-inner-array enumeration
+    assert(arr("arrayEnumerateUniqRanked(2, array(array(1,2,3),array(2,2,1),array(3)), 2)") ===
+      "ArraySeq(ArraySeq(1, 1, 1), ArraySeq(1, 2, 1), ArraySeq(1))")
+    assert(arr("arrayEnumerateUniqRanked(2, array(array('a','b','a'),array('a','b','a'),array('c')), 2)") ===
+      "ArraySeq(ArraySeq(1, 1, 2), ArraySeq(1, 1, 2), ArraySeq(1))")
+  }
+
+  test("00909: depth-3 'more' section + Dense goldens") {
+    val z = "array(array(array(1,2,3),array(1,2,3),array(1,2,3))," +
+      "array(array(1,2,3),array(1,2,3),array(1,2,3)),array(array(1,2)))"
+    assert(arr(s"arrayEnumerateUniqRanked(3, $z, 3)") ===
+      "ArraySeq(ArraySeq(ArraySeq(1, 1, 1), ArraySeq(1, 1, 1), ArraySeq(1, 1, 1)), " +
+        "ArraySeq(ArraySeq(1, 1, 1), ArraySeq(1, 1, 1), ArraySeq(1, 1, 1)), " +
+        "ArraySeq(ArraySeq(1, 1)))")
+    assert(arr(s"arrayEnumerateUniqRanked(2, $z, 3)") ===
+      "ArraySeq(ArraySeq(ArraySeq(1, 1, 1), ArraySeq(2, 2, 2), ArraySeq(3, 3, 3)), " +
+        "ArraySeq(ArraySeq(1, 1, 1), ArraySeq(2, 2, 2), ArraySeq(3, 3, 3)), " +
+        "ArraySeq(ArraySeq(1, 1)))")
+    assert(arr(s"arrayEnumerateUniqRanked(1, $z, 3)") ===
+      "ArraySeq(ArraySeq(ArraySeq(1, 1, 1), ArraySeq(2, 2, 2), ArraySeq(3, 3, 3)), " +
+        "ArraySeq(ArraySeq(4, 4, 4), ArraySeq(5, 5, 5), ArraySeq(6, 6, 6)), " +
+        "ArraySeq(ArraySeq(7, 7)))")
+    // defaults = (1, ..., full depth)
+    assert(arr(s"arrayEnumerateUniqRanked($z)") ===
+      arr(s"arrayEnumerateUniqRanked(1, $z, 3)"))
+    // mixed depths with clear_depth 2 (the 'more' golden)
+    assert(arr("arrayEnumerateUniqRanked(2, array(array(1,2,3),array(2,2,1),array(3)), 2, " +
+      s"$z, 3)") ===
+      "ArraySeq(ArraySeq(ArraySeq(1, 1, 1), ArraySeq(1, 1, 1), ArraySeq(1, 1, 1)), " +
+        "ArraySeq(ArraySeq(1, 1, 1), ArraySeq(2, 2, 2), ArraySeq(1, 1, 1)), " +
+        "ArraySeq(ArraySeq(1, 1)))")
+    // Dense goldens
+    assert(arr("arrayEnumerateDenseRanked(1, array(10,20,10,30), 1)") ===
+      "ArraySeq(1, 2, 1, 3)")
+    assert(arr(s"arrayEnumerateDenseRanked(2, $z, 2)") ===
+      "ArraySeq(ArraySeq(1, 1, 1), ArraySeq(1, 1, 1), ArraySeq(1))")
+    assert(arr(s"arrayEnumerateDenseRanked(1, $z, 2)") ===
+      "ArraySeq(ArraySeq(1, 1, 1), ArraySeq(1, 1, 1), ArraySeq(2))")
+    assert(arr(s"arrayEnumerateDenseRanked(1, $z, 1)") ===
+      "ArraySeq(1, 1, 2)")
+    // size mismatch throws like the reference
+    assertThrows[Exception](
+      q1("arrayEnumerateUniqRanked(1, array(1,2), 1, array(1,2,3), 1)"))
+  }
+
+  test("arrayJoin multiplies rows like the reference's operator") {
+    val rows = spark.sql(
+      "SELECT id, arrayJoin(array(id, id * 10)) AS v FROM range(3)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows === Seq((0L, 0L), (0L, 0L), (1L, 1L), (1L, 10L), (2L, 2L), (2L, 20L)))
+  }
+
+  test("file: strict read + OrDefault on missing") {
+    val f = java.nio.file.Files.createTempFile("graft-file", ".txt")
+    java.nio.file.Files.write(f, "hello\nworld".getBytes("UTF-8"))
+    try {
+      assert(s1(s"file('${f}')") === "hello\nworld")
+      assert(s1(s"file('${f}/nope', 'dflt')") === "dflt")
+      assertThrows[Exception](q1(s"file('${f}.missing')"))
+    } finally java.nio.file.Files.delete(f)
+  }
+
+  test("initializeAggregation / finalizeAggregation over engine states") {
+    assert(q1("finalizeAggregation(initializeAggregation('sumState', 7))") === 7)
+    assert(q1("finalizeAggregation(initializeAggregation('countState', 42))") === 1L)
+    assert(q1("finalizeAggregation(initializeAggregation('avgState', 3))") === 3.0)
+    // uniq state: single-item estimate is exactly 1; and the scalar
+    // state must merge with hll_union_agg (the engine's -Merge path)
+    assert(q1("finalizeAggregation(initializeAggregation('uniqState', 'x'))") === 1L)
+    val merged = spark.sql(
+      "SELECT finalizeAggregation(hll_union_agg(s)) FROM (" +
+        "SELECT initializeAggregation('uniqState', CAST(id % 5 AS STRING)) AS s " +
+        "FROM range(100))").head().getLong(0)
+    assert(merged === 5L)
+    // mixed merge with Spark's own hll_sketch_agg states over the same
+    // values must not double-count (byte/update compatibility)
+    val mixed = spark.sql(
+      "SELECT finalizeAggregation(hll_union_agg(s)) FROM (" +
+        "  SELECT initializeAggregation('uniqState', 'a') AS s" +
+        "  UNION ALL SELECT hll_sketch_agg(v) FROM (SELECT 'a' AS v))")
+      .head().getLong(0)
+    assert(mixed === 1L)
+  }
+
+  test("plan-time introspection: isConstant/isNullable/defaults/getSetting") {
+    assert(q1("isConstant(1 + 1)") === 1.toShort)
+    assert(q1("isConstant(id) FROM range(1)") === 0.toShort)
+    assert(q1("isNullable(CAST(NULL AS INT))") === 1.toShort)
+    assert(q1("isNullable(id) FROM range(1)") === 0.toShort)
+    assert(q1("defaultValueOfTypeName('Int32')") === 0)
+    assert(q1("defaultValueOfTypeName('String')") === "")
+    assert(q1("defaultValueOfTypeName('Nullable(UInt8)')") === null)
+    assert(q1("defaultValueOfArgumentType(id) FROM range(1)") === 0L)
+    spark.conf.set("graft.test.setting", "10")
+    assert(q1("getSetting('graft.test.setting')") === 10L)
+    assertThrows[Exception](q1("getSetting('graft.no.such.setting')"))
+    assert(q1("indexHint(1 > 0)") === true)
+    // randConstant: one value per query — constant across every row
+    val r = spark.sql(
+      "SELECT randConstant() AS a FROM range(64)").collect()
+    assert(r.map(_.getLong(0)).distinct.length === 1)
+    assert(r.head.getLong(0) >= 0L && r.head.getLong(0) < (1L << 32))
+  }
+
+  test("hasColumnInTable / getSubcolumn / tuple utilities") {
+    spark.sql("SELECT 1 AS x, 'a' AS y").createOrReplaceTempView("t18_probe")
+    assert(q1("hasColumnInTable('default', 't18_probe', 'x')") === 1.toShort)
+    assert(q1("hasColumnInTable('default', 't18_probe', 'nope')") === 0.toShort)
+    assertThrows[Exception](q1("hasColumnInTable('default', 't18_missing', 'x')"))
+    assert(q1("getSubcolumn(named_struct('a', 5, 'b', 'z'), 'a')") === 5)
+    assert(arr("tupleToNameValuePairs(named_struct('p', 1, 'q', 2))") ===
+      "ArraySeq([p,1], [q,2])")
+    assert(q1("flattenTuple(named_struct('a', 1, 'b', named_struct('c', 2, 'd', 3)))")
+      .toString === "[1,2,3]")
+    assert(arr("nested(array('k','v'), array(1,2), array('x','y'))") ===
+      "ArraySeq([1,x], [2,y])")
+    assertThrows[Exception](
+      q1("nested(array('k'), array(1), array(2))")) // name/arr count mismatch
+  }
+
+  test("isDecimalOverflow and the wide tails") {
+    assert(q1("isDecimalOverflow(CAST('123.45' AS DECIMAL(10,2)), 5)") === false)
+    assert(q1("isDecimalOverflow(CAST('123.45' AS DECIMAL(10,2)), 4)") === true)
+    assert(q1("isDecimalOverflow(CAST('123.45' AS DECIMAL(10,2)))") === false)
+    assert(q1("isDecimalOverflow(toDecimal256('1.23', 2), 2)") === true)
+    assert(q1("isDecimalOverflow(toDecimal256('1.23', 2), 3)") === false)
+    // reinterpret: string bytes little-endian ('1' = 0x31 = 49); numbers
+    // contribute their 8-byte image zero-extended into the wide target
+    assert(s1("wideToString(reinterpretAsInt128('1'))") === "49")
+    assert(s1("wideToString(reinterpretAsUInt256(CAST(-1 AS BIGINT)))") ===
+      "18446744073709551615")
+    assert(s1("wideToString(reinterpretAsUInt128('ab'))") ===
+      (98 * 256 + 97).toString)
+    // OrDefault fronts
+    assert(s1("wideToString(toInt128OrDefault('junk', 5))") === "5")
+    assert(s1("wideToString(toInt128OrDefault('7', 5))") === "7")
+    assert(s1("wideToString(toUInt256OrDefault('junk', toUInt256(9)))") === "9")
+    assert(s1("wideDecToString(toDecimal256OrDefault('junk', 2, 4))") === "4")
+    assert(s1("wideDecToString(toDecimal256OrDefault('1.5', 1, 4))") === "1.5")
+  }
+}
