@@ -222,7 +222,19 @@ object FileLogEngine {
           val key = inodeKey(p)
           val size = Files.size(p)
           val meta = offsets.get(key)
-          val from = meta.map(_.offset).getOrElse(0L)
+          // TRUNCATION / inode recycle: a stored offset past EOF means
+          // the bytes it claims no longer exist (logrotate copytruncate,
+          // or the inode number of a deleted file reused by a new one
+          // before any poll observed the deletion). The claim is void —
+          // restart the file from byte 0 (at-least-once on this edge;
+          // silently never delivering is the unacceptable alternative).
+          val stored = meta.map(_.offset).getOrElse(0L)
+          val from = if (stored > size) {
+            System.err.println(s"[filelog] $p shrank below its committed " +
+              s"offset ($size < $stored): truncation or inode reuse — " +
+              "restarting from byte 0")
+            0L
+          } else stored
           // bytes in [from, scanned) are KNOWN newline-free from prior
           // polls — the scan floor keeps a growing partial record from
           // being re-scanned from `from` every poll (O(new bytes), not

@@ -46,6 +46,72 @@ class FileLogSpec extends SparkSpec {
     assert(got === ((1L to 20L) ++ (100L to 120L) ++ (100L to 120L)).sorted)
   }
 
+  test("log ROTATION: rename + recreate same name, appends to both, exactly once") {
+    // the classic logrotate dance (the reference survives it via
+    // per-inode metadata, StorageFileLog.cpp DirectoryWatcher): mv the
+    // live file aside, recreate the same NAME fresh, keep appending to
+    // both — every record must deliver exactly once
+    val dir = Files.createTempDirectory("graft-filelog-rot")
+    val a = dir.resolve("app.log")
+    append(a, (1 to 10).map(i => s"$i,$i"))
+    val t = FileLogEngine.create("flogrot", dir.toString, "CSV", "k UInt64, v UInt64")
+    assert(ks(t.consume(spark)) === (1L to 10L))
+
+    // rotate: same inode under the new name, a FRESH inode under the old
+    Files.move(a, dir.resolve("app.log.1"))
+    append(a, (11 to 15).map(i => s"$i,$i"))
+    // appends continue on BOTH sides of the rotation
+    append(dir.resolve("app.log.1"), (16 to 18).map(i => s"$i,$i"))
+    append(a, (19 to 20).map(i => s"$i,$i"))
+    assert(ks(t.consume(spark)) === (11L to 20L)) // 1-10 never re-deliver
+    assert(t.consume(spark).count() === 0)
+
+    // second rotation round proves the offset store follows inodes, not
+    // names: app.log.1's inode keeps its high-water mark across renames
+    Files.delete(dir.resolve("app.log.1"))
+    Files.move(a, dir.resolve("app.log.1"))
+    append(a, Seq("21,21"))
+    assert(ks(t.consume(spark)) === Seq(21L))
+  }
+
+  test("log rotation: deleting the rotated-away file drops only ITS offsets") {
+    val dir = Files.createTempDirectory("graft-filelog-rotdel")
+    val a = dir.resolve("app.log")
+    append(a, (1 to 5).map(i => s"$i,$i"))
+    val t = FileLogEngine.create("flogrotdel", dir.toString, "CSV", "k UInt64, v UInt64")
+    assert(ks(t.consume(spark)) === (1L to 5L))
+
+    Files.move(a, dir.resolve("app.log.1"))
+    append(a, (6 to 8).map(i => s"$i,$i"))
+    assert(ks(t.consume(spark)) === (6L to 8L))
+
+    // the rotated file disappears (logrotate cleanup); the live file's
+    // offsets must be untouched and its tail still delivers exactly once
+    Files.delete(dir.resolve("app.log.1"))
+    append(a, (9 to 10).map(i => s"$i,$i"))
+    assert(ks(t.consume(spark)) === (9L to 10L))
+    assert(t.consume(spark).count() === 0)
+
+    // a brand-new file reusing the DELETED rotated name is a fresh inode:
+    // full content delivers
+    append(dir.resolve("app.log.1"), Seq("100,100"))
+    assert(ks(t.consume(spark)) === Seq(100L))
+  }
+
+  test("copytruncate: a file shrunk below its offset restarts from byte 0") {
+    val dir = Files.createTempDirectory("graft-filelog-trunc")
+    val a = dir.resolve("app.log")
+    append(a, (1 to 5).map(i => s"$i,$i"))
+    val t = FileLogEngine.create("flogtrunc", dir.toString, "CSV", "k UInt64, v UInt64")
+    assert(ks(t.consume(spark)) === (1L to 5L))
+    // logrotate copytruncate: same inode, size snaps to 0 — the stored
+    // offset's byte-claim is void; new content delivers from 0
+    Files.newByteChannel(a, StandardOpenOption.WRITE).truncate(0).close()
+    append(a, Seq("6,6"))
+    assert(ks(t.consume(spark)) === Seq(6L))
+    assert(t.consume(spark).count() === 0)
+  }
+
   test("02022 shape: single file incremental tail with partial-line holdback") {
     val dir = Files.createTempDirectory("graft-filelog-one")
     val a = dir.resolve("a.txt")
