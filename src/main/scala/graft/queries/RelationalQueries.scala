@@ -964,6 +964,24 @@ object RelationalQueries {
         .selectExpr("CAST(nrows AS BIGINT) AS nrows",
           "CAST(min_ok AS BIGINT) AS min_ok", "CAST(max_ok AS BIGINT) AS max_ok")
     }),
+    // system.tables / system.databases analogs (SystemCatalog; ref
+    // StorageSystemTables.cpp / StorageSystemDatabases.cpp — the r18
+    // sampled audit's one GAP): register two known views, then read
+    // them back through the catalog tables. Deterministic rows, exact
+    // VALUES oracle.
+    "q89_system_catalog" -> ((s, dir) => {
+      t(s, dir, "region").createOrReplaceTempView("q89_region_view")
+      t(s, dir, "nation").createOrReplaceTempView("q89_nation_view")
+      val tbl = graft.sources.SystemCatalog.tables(s)
+        .filter(col("name").startsWith("q89_"))
+        .select(col("database"), col("name"), col("engine"),
+          col("is_temporary"))
+      val db = graft.sources.SystemCatalog.databases(s)
+        .filter(col("name") === "default")
+        .select(lit("").as("database"), concat(lit("db:"), col("name")).as("name"),
+          col("engine"), lit(false).as("is_temporary"))
+      tbl.unionAll(db).orderBy(col("name"))
+    }),
     // KMV theta-sketch distinct counting + set algebra (functions/
     // ThetaSketch; reference uniqTheta + uniqThetaUnion/Intersect/Not):
     // two order-parity cohorts of part keys, sketched at the default k
@@ -1777,6 +1795,13 @@ object RelationalQueries {
       WHERE c.c_nationkey % 2 = 0
       GROUP BY nation
       ORDER BY nation""",
+    "q89_system_catalog" -> """
+      SELECT * FROM (VALUES
+        ('', 'db:default', 'Atomic', false),
+        ('', 'q89_nation_view', 'View', true),
+        ('', 'q89_region_view', 'View', true))
+        AS t(database, name, engine, is_temporary)
+      ORDER BY name""",
     "q74_system_parts" -> """
       SELECT CAST(count(1) AS BIGINT) AS nrows,
              CAST(min(l_orderkey) AS BIGINT) AS min_ok,

@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** `system.tables` / `system.databases` analogs (reference
+  * `src/Storages/System/StorageSystemTables.cpp` /
+  * `StorageSystemDatabases.cpp`): catalog introspection as ordinary
+  * DataFrames, so `SELECT name FROM system.tables WHERE database = ...`
+  * ports directly. The engine's catalog is Spark's — temp views report
+  * engine `View` (they are unmanaged projections), persisted tables
+  * report their type, mirroring how the reference reports the storage
+  * engine per table. Driver-side listing: catalogs are dictionary-sized
+  * (thousands of entries), never data-sized — the same posture as the
+  * reference's system tables, which materialize from in-memory metadata.
+  */
+object SystemCatalog {
+
+  val tablesSchema: StructType = StructType(Seq(
+    StructField("database", StringType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("engine", StringType, nullable = false),
+    StructField("is_temporary", BooleanType, nullable = false)))
+
+  val databasesSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("engine", StringType, nullable = false)))
+
+  private def df(spark: SparkSession, rows: Seq[Row], schema: StructType): DataFrame = {
+    val l = new java.util.ArrayList[Row](rows.length)
+    rows.foreach(l.add)
+    spark.createDataFrame(l, schema)
+  }
+
+  /** One row per catalog-visible table/view (temp views included, like
+    * the reference's is_temporary rows).
+    */
+  def tables(spark: SparkSession): DataFrame =
+    df(spark, spark.catalog.listTables().collect().toSeq.map { t =>
+      val engine = t.tableType match {
+        case "TEMPORARY" | "VIEW" => "View"
+        case other => Option(other).filter(_ != null).filter(_.nonEmpty).getOrElse("Table")
+      }
+      Row(Option(t.database).getOrElse(""), t.name, engine, t.isTemporary)
+    }, tablesSchema)
+
+  /** One row per database/namespace. */
+  def databases(spark: SparkSession): DataFrame =
+    df(spark, spark.catalog.listDatabases().collect().toSeq.map { d =>
+      Row(d.name, "Atomic") // the reference's default database engine
+    }, databasesSchema)
+}

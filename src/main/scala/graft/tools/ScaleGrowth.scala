@@ -25,7 +25,9 @@ import org.apache.spark.sql.functions._
   *    EXACTLY (the whole replica shares one flip pattern); cross-replica
   *    cosines drop to ~0 (random half-agreement of signs).
   *
-  * Usage: ScaleGrowth [baseDir] [factors-csv] [workDir]
+  * Usage: ScaleGrowth [baseDir] [factors-csv] [workDir] [query-filter-csv]
+  * (the 4th arg restricts the measured rows by name — substring match —
+  * for iterating on one curve without the full ~15 min sweep)
   * Index builds (v08's IVF) run in the untimed warm pass, mirroring
   * Bench's build-at-insert-time policy.
   */
@@ -46,6 +48,12 @@ object ScaleGrowth {
     val factors = args.lift(1).map(_.split(",").map(_.trim.toInt).toSeq)
       .getOrElse(Seq(1, 10, 20))
     val workRoot = args.lift(2).getOrElse("/tmp/graft_scale")
+    val filter: String => Boolean = args.lift(3) match {
+      case Some(csv) =>
+        val pats = csv.split(",").map(_.trim).filter(_.nonEmpty)
+        name => pats.exists(name.contains)
+      case None => _ => true
+    }
     require(factors.forall(f => f >= 1 && f < 26), "factors must be in [1, 26)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -123,11 +131,29 @@ object ScaleGrowth {
         graft.engine.Tables.t(s, dir, "embeddings"),
         graft.operators.Dedup.AutoPlanes)
 
+    // wide-integer arithmetic under aggregation load: construction +
+    // multiply are scalar UDFs (one BigInteger per row), wideSum is the
+    // Aggregator — this row measures whether the boxing overhead grows
+    // faster than the data (the comparator/shuffle side is native by
+    // the encoding design, so the UDF chain is the only suspect).
+    // 100× row amplification so arithmetic dominates fixed overhead
+    // (x1 ≈ 0.5M rows, x20 ≈ 10M rows of construct+multiply+sum)
+    def wideScaled: (SparkSession, String) => DataFrame = (s, dir) =>
+      graft.engine.Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(sequence(lit(1), lit(100))).as("rep"))
+        .groupBy(col("lang"))
+        .agg(expr("wideToString(wideSum(wideMultiply(toInt128(doc_id * 100 + rep), " +
+          "toInt128('1000000000000000000000'))))").as("ws"))
+
     val results = factors.map { f =>
       val dir = synth(f)
       val perQuery = (Queries.map(n => n -> graft.SparkEntry.queries(n)) ++
           Seq("d09_lsh_cosine_scaled" -> d09Scaled,
-            "d10_lsh_clusters_scaled" -> d10Scaled)).map { case (name, fn) =>
+            "d10_lsh_clusters_scaled" -> d10Scaled,
+            "wide_sum_groupby" -> wideScaled))
+        .filter { case (name, _) => filter(name) }
+        .map { case (name, fn) =>
         // untimed warm: JIT + page cache + index builds (v08)
         try fn(spark, dir).count()
         catch { case e: Throwable =>
@@ -142,7 +168,30 @@ object ScaleGrowth {
         System.err.println(f"[scale] x$f $name $t%.2f s")
         name -> t
       }
-      f -> perQuery
+      // ELASTICITY pass: the main rows measure WORK growth at fixed
+      // parallelism; these re-run d03/d13 with shuffle partitions scaled
+      // with the data (cpus × factor) — the closest a single box gets to
+      // multi-node elasticity evidence. Flat-or-better vs the fixed-
+      // partition row means the extra work parallelizes instead of
+      // serializing into the same partition count.
+      val elastic = Seq("d03_minhash_lsh", "d13_incremental_lsh")
+        .filter(n => filter(s"${n}_scaledparts")).map { name =>
+        val fn = graft.SparkEntry.queries(name)
+        spark.conf.set("spark.sql.shuffle.partitions", (cpus.toInt * f).toString)
+        try {
+          try fn(spark, dir).count() catch { case _: Throwable => }
+          def once(): Double = {
+            spark.catalog.clearCache(); System.gc()
+            val t0 = System.nanoTime()
+            fn(spark, dir).count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          val t = math.min(once(), once())
+          System.err.println(f"[scale] x$f $name@${cpus.toInt * f}parts $t%.2f s")
+          s"${name}_scaledparts" -> t
+        } finally spark.conf.set("spark.sql.shuffle.partitions", cpus)
+      }
+      f -> (perQuery ++ elastic)
     }
     val base = results.head._2.toMap
     val json = results.map { case (f, qs) =>
