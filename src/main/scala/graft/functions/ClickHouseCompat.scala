@@ -2199,6 +2199,7 @@ object ClickHouseCompat {
     })
     TypeFronts.installNative(spark)
     ScalarTranche18.install(spark) // frequency-ranked §2.9 residual head
+    ScalarTranche19.install(spark) // block-order family + fuzzy multi-regex
     StringSketchHash.install(spark)
     HashParity.install(spark)
     DateTimeFormat.install(spark)

@@ -64,7 +64,7 @@ object ScalarTranche18 {
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = kind match {
       case "isNullable" => ShortType // UInt8 convention
-      case "defaultValue" => child.dataType
+      case "defaultValue" | "zeroValue" => child.dataType
       case other => throw new IllegalArgumentException(other)
     }
     override def foldable: Boolean = true
@@ -72,7 +72,13 @@ object ScalarTranche18 {
     override def eval(input: InternalRow): Any = kind match {
       case "isNullable" => if (child.nullable) 1.toShort else 0.toShort
       case "defaultValue" =>
+        // the reference's Nullable(T) default IS NULL
         if (child.nullable) null else zeroOf(child.dataType)
+      case "zeroValue" =>
+        // the NON-null type zero, independent of Spark nullability —
+        // what the running family's "type default" means (a nullable
+        // parquet Int64 is still the reference's Int64, default 0)
+        zeroOf(child.dataType)
     }
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)

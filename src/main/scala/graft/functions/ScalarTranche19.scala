@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.Sum
+
+/** Scalar tranche 19 — the block-order family and the last cheap
+  * residuals:
+  *
+  *  - `neighbor` / `runningDifference[StartingWithFirstValue]` /
+  *    `runningAccumulate` (ref `src/Functions/neighbor.cpp`,
+  *    `runningDifference.h`, `runningAccumulate.cpp`): the reference
+  *    computes these over BLOCK order and deprecates them in favor of
+  *    window functions because that order is undefined. The engine gives
+  *    them a DEFINED order instead: a window ordered by
+  *    `monotonically_increasing_id()` — (partition index, row-in-
+  *    partition), i.e. layout order, the exact thing "block order" is
+  *    when it works. Registered as plan-time builders that expand to
+  *    pre-built WindowExpressions, so the names work WITHOUT an OVER
+  *    clause, like the reference. The window is unpartitioned —
+  *    single-partition execution, the same funnel the reference's
+  *    single-threaded block walk implies; for scale, use explicit
+  *    window functions with a real ORDER BY (q10/q11/e04).
+  *  - `replicate(x, arr)` (ref `src/Functions/replicate.cpp`): constant
+  *    array of `arr`'s shape — expands to `transform(arr, _ -> x)`.
+  *  - `fuzzBits(s, p)` (ref `src/Functions/fuzzBits.cpp`): each BIT of
+  *    the string flips independently with probability p.
+  *  - `detectLanguageUnknown`: the detectLanguage front that returns
+  *    'un' rather than throwing on undetectable input (ours already
+  *    does — alias).
+  */
+object ScalarTranche19 {
+
+  /** Layout-order window spec: order by monotonically_increasing_id =
+    * (partition index, row index) — deterministic for a fixed layout.
+    */
+  private def layoutSpec(frame: WindowFrame): WindowSpecDefinition =
+    WindowSpecDefinition(Nil,
+      SortOrder(MonotonicallyIncreasingID(), Ascending) :: Nil, frame)
+
+  def install(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def builder(name: String)(f: Seq[Expression] => Expression): Unit =
+      reg.registerFunction(FunctionIdentifier(name),
+        new ExpressionInfo(getClass.getName, name), f)
+
+    FuzzyRegex.install(spark)
+
+    // neighbor(col, offset[, default]): value at layout-row + offset;
+    // outside the relation -> explicit default, else the TYPE default
+    // (the reference's contract — 0 / '' / NULL-for-Nullable)
+    builder("neighbor") { cs =>
+      require(cs.length == 2 || cs.length == 3,
+        s"neighbor(column, offset[, default]): got ${cs.length} arguments")
+      val off = cs(1) match {
+        case e if e.foldable => e.eval(null).asInstanceOf[Number].intValue()
+        case _ => throw new IllegalArgumentException(
+          "neighbor: offset must be a constant")
+      }
+      val dflt = cs.lift(2).getOrElse(
+        ScalarTranche18.TypeIntrospection(cs.head, "zeroValue"))
+      val fn =
+        if (off >= 0) Lead(cs.head, Literal(off), dflt, ignoreNulls = false)
+        else Lag(cs.head, Literal(-off), dflt, ignoreNulls = false)
+      WindowExpression(fn, layoutSpec(UnspecifiedFrame))
+    }
+
+    // runningDifference: col - previous col in layout order; the first
+    // row is the TYPE default (0), per the reference
+    def lag1(c: Expression): Expression =
+      WindowExpression(Lag(c, Literal(1), Literal(null), ignoreNulls = false),
+        layoutSpec(UnspecifiedFrame))
+    builder("runningDifference") { cs =>
+      val prev = lag1(cs.head)
+      If(IsNull(prev),
+        ScalarTranche18.TypeIntrospection(cs.head, "zeroValue"),
+        Subtract(cs.head, prev))
+    }
+    builder("runningDifferenceStartingWithFirstValue") { cs =>
+      val prev = lag1(cs.head)
+      If(IsNull(prev), cs.head, Subtract(cs.head, prev))
+    }
+
+    // runningAccumulate(state): running fold of a -State column. The
+    // engine's scalar states (sumState/countState) fold by SUM — the
+    // running prefix aggregate in layout order.
+    builder("runningAccumulate") { cs =>
+      WindowExpression(Sum(cs.head).toAggregateExpression(),
+        layoutSpec(SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)))
+    }
+
+    // replicate(x, arr) -> transform(arr, _ -> x)
+    builder("replicate") { cs =>
+      val v = UnresolvedNamedLambdaVariable(Seq("__replicate_elem"))
+      UnresolvedFunction("transform",
+        Seq(cs(1), LambdaFunction(cs.head, Seq(v))), isDistinct = false)
+    }
+
+    // fuzzBits(s, prob): independent per-bit flips (ISO-8859-1 carries
+    // bytes byte-faithfully through the String surface, like the
+    // reinterpret family)
+    spark.udf.register("fuzzBits", (s: String, p: Double) => {
+      if (s == null) null
+      else {
+        require(p >= 0.0 && p <= 1.0, s"fuzzBits: probability $p out of [0,1]")
+        val rnd = java.util.concurrent.ThreadLocalRandom.current()
+        val bytes = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        var i = 0
+        while (i < bytes.length) {
+          var bit = 0
+          while (bit < 8) {
+            if (rnd.nextDouble() < p) bytes(i) = (bytes(i) ^ (1 << bit)).toByte
+            bit += 1
+          }
+          i += 1
+        }
+        new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+      }
+    })
+
+    // the non-throwing front IS our detectLanguage (it already returns
+    // 'un' for undetectable input) — alias by expansion
+    builder("detectLanguageUnknown")(cs =>
+      UnresolvedFunction("detectLanguage", cs, isDistinct = false))
+  }
+}

@@ -1198,6 +1198,29 @@ object RelationalQueries {
         .orderBy(col("p_partkey"), col("w"))
     }),
 
+    // Scalar tranche 19 end-to-end: the layout-order running family
+    // (neighbor/runningDifference/runningAccumulate — given a DEFINED
+    // order here: a sorted single partition, so the DuckDB window
+    // replay is exact) + approximate multi-regex (multiFuzzyMatch*,
+    // the from-scratch NFA engine) with a REAL cross-engine oracle:
+    // for literal patterns, fuzzy-substring match ≡ min sliding-window
+    // levenshtein ≤ d, which DuckDB computes directly.
+    "q90_scalar_tranche19" -> ((s, dir) => {
+      t(s, dir, "part").filter(col("p_partkey") <= 100)
+        .orderBy("p_partkey").coalesce(1)
+        .selectExpr(
+          "p_partkey",
+          "neighbor(p_partkey, 1) AS nxt",
+          "neighbor(p_partkey, -2, CAST(-1 AS BIGINT)) AS prv2",
+          "runningDifference(p_partkey) AS rd",
+          "runningDifferenceStartingWithFirstValue(CAST(p_size AS BIGINT)) AS rdf",
+          "CAST(runningAccumulate(initializeAggregation('sumState', p_size)) AS BIGINT) AS racc",
+          "replicate(p_size, array(1, 2, 3)) AS repl",
+          "multiFuzzyMatchAny(p_name, 1, array('chocolate', 'turquoise')) AS fz1",
+          "multiFuzzyMatchAllIndices(p_name, 2, array('lavender', 'metallic')) AS fzall")
+        .orderBy(col("p_partkey"))
+    }),
+
     // Scalar tranche 6 end-to-end: URL decomposition + IP containment
     // (ClickHouseCompat SQL functions) over deterministic synthetic
     // URLs/IPs derived from customer columns; the oracle recomputes the
@@ -1795,6 +1818,42 @@ object RelationalQueries {
       WHERE c.c_nationkey % 2 = 0
       GROUP BY nation
       ORDER BY nation""",
+    // q90 oracle: running family = lag/lead/sum windows over p_partkey
+    // (the engine's layout order IS p_partkey order — sorted single
+    // partition); fuzzy-literal match = min sliding-window levenshtein
+    // over window lengths |pattern| ± d.
+    "q90_scalar_tranche19" -> """
+      WITH p AS (SELECT p_partkey, p_name, p_size FROM part
+                 WHERE p_partkey <= 100),
+      fz AS (SELECT p_partkey, p_name, p_size,
+               list_min(flatten(list_transform(range(1, length(p_name) + 2),
+                 i -> list_transform([8, 9, 10],
+                   L -> levenshtein(substr(p_name, CAST(i AS INT), L), 'chocolate'))))) AS d_choc,
+               list_min(flatten(list_transform(range(1, length(p_name) + 2),
+                 i -> list_transform([8, 9, 10],
+                   L -> levenshtein(substr(p_name, CAST(i AS INT), L), 'turquoise'))))) AS d_turq,
+               list_min(flatten(list_transform(range(1, length(p_name) + 2),
+                 i -> list_transform([6, 7, 8, 9, 10],
+                   L -> levenshtein(substr(p_name, CAST(i AS INT), L), 'lavender'))))) AS d_lav,
+               list_min(flatten(list_transform(range(1, length(p_name) + 2),
+                 i -> list_transform([6, 7, 8, 9, 10],
+                   L -> levenshtein(substr(p_name, CAST(i AS INT), L), 'metallic'))))) AS d_met
+             FROM p)
+      SELECT p_partkey,
+             coalesce(lead(p_partkey, 1) OVER w, 0) AS nxt,
+             coalesce(lag(p_partkey, 2) OVER w, -1) AS prv2,
+             coalesce(p_partkey - lag(p_partkey, 1) OVER w, 0) AS rd,
+             CAST(coalesce(p_size - lag(p_size, 1) OVER w, p_size) AS BIGINT) AS rdf,
+             CAST(sum(p_size) OVER (ORDER BY p_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS racc,
+             [p_size, p_size, p_size] AS repl,
+             (d_choc <= 1 OR d_turq <= 1) AS fz1,
+             list_filter([CASE WHEN d_lav <= 2 THEN 1 ELSE 0 END,
+                          CASE WHEN d_met <= 2 THEN 2 ELSE 0 END],
+                         x -> x > 0) AS fzall
+      FROM fz
+      WINDOW w AS (ORDER BY p_partkey)
+      ORDER BY p_partkey""",
     "q89_system_catalog" -> """
       SELECT * FROM (VALUES
         ('', 'db:default', 'Atomic', false),

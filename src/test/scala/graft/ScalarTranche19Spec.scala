@@ -1,0 +1,90 @@
+package graft
+
+import graft.functions.FuzzyRegex
+
+/** Tranche 19: multiFuzzyMatch* pinned to the reference's own
+  * 00929_multi_match_edit_distance goldens (const- and non-const
+  * sections are identical value-wise; the const section is replayed
+  * here), plus the layout-order running family and the small residuals.
+  */
+class ScalarTranche19Spec extends SparkSpec {
+
+  private def fuzzy(h: String, d: Int, ps: String*): Boolean =
+    ps.map(FuzzyRegex.matches(h, _, d)).contains(true)
+
+  test("00929 goldens: multiFuzzyMatchAny edit-distance semantics") {
+    assert(!fuzzy("abc", 0, "a1c"))
+    assert(fuzzy("abc", 1, "a1c"))
+    assert(fuzzy("abc", 2, "a1c"))
+    assert(fuzzy("leftabcright", 1, "a1c"))
+    assert(fuzzy("hello some world", 0, "^hello.*world$"))
+    assert(fuzzy("hallo some world", 1, "^hello.*world$"))
+    assert(!fuzzy("halo some wrld", 2, "^hello.*world$")) // needs 3 edits
+    assert(fuzzy("halo some wrld", 2, "^hello.*world$", "^halo.*world$"))
+    assert(fuzzy("halo some wrld", 2, "^halo.*world$", "^hello.*world$"))
+    assert(fuzzy("halo some wrld", 3, "^hello.*world$"))
+    assert(fuzzy("http://hyperscan_is_nice.de/st", 2,
+      "http://hyperscan_is_nice.de/(st\\d\\d$|st\\d\\d\\.|st1[0-4]\\d|st150|st\\d$|gl|rz|ch)"))
+    assert(!fuzzy("string", 0, "zorro$", "^tring", "in$", "how.*", "it{2}", "works"))
+    assert(fuzzy("string", 1, "zorro$", "^tring", "ip$", "how.*", "it{2}", "works"))
+  }
+
+  test("00929 goldens: AnyIndex / AllIndices + error contracts") {
+    assert(q1("multiFuzzyMatchAnyIndex('string', 1, " +
+      "array('zorro$', '^tring', 'ip$', 'how.*', 'it{2}', 'works'))") === 2L)
+    assert(q1("multiFuzzyMatchAnyIndex('halo some wrld', 2, " +
+      "array('^hello.*world$', '^halo.*world$'))") === 2L)
+    assert(q1("multiFuzzyMatchAnyIndex('halo some wrld', 2, " +
+      "array('^halo.*world$', '^hello.*world$'))") === 1L)
+    assert(q1("multiFuzzyMatchAllIndices('halo some wrld', 2, " +
+      "array('some random string', '^halo.*world$', '^halo.*world$', " +
+      "'^halo.*world$', '^hallllo.*world$'))").toString ===
+      "ArraySeq(2, 3, 4)")
+    assert(q1("multiFuzzyMatchAllIndices('halo some wrld', 2, " +
+      "array('^halllllo.*world$', 'some random string'))").toString ===
+      "ArraySeq()")
+    // vectorscan contract: distance must be < every pattern's min width
+    assertThrows[Exception](q1("multiFuzzyMatchAny('abc', 3, array('a1c'))"))
+    assertThrows[Exception](
+      q1("multiFuzzyMatchAny('hello some world', 10, array('^hello.*world$'))"))
+    assertThrows[Exception](q1("multiFuzzyMatchAny('abc', -1, array('a1c'))"))
+    // ...but a distance under a LONG pattern's width is fine (golden)
+    assert(q1("multiFuzzyMatchAny('halo some wrld', 3, array('^hello.*world$'))")
+      === true)
+  }
+
+  private def q1(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
+
+  test("neighbor / runningDifference / runningAccumulate in layout order") {
+    import spark.implicits._
+    Seq((1L, 10L, 2.5), (2L, 13L, 4.0), (3L, 17L, 3.0))
+      .toDF("k", "v", "f").orderBy("k").coalesce(1)
+      .createOrReplaceTempView("t19_run")
+    val got = spark.sql(
+      """SELECT k,
+           neighbor(v, 1) AS nxt,
+           neighbor(v, -2, -1L) AS prv2,
+           runningDifference(v) AS rd,
+           runningDifferenceStartingWithFirstValue(v) AS rdf,
+           CAST(runningAccumulate(initializeAggregation('sumState', v)) AS BIGINT) AS racc
+         FROM t19_run ORDER BY k""").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === Seq(
+      (1L, 13L, -1L, 0L, 10L, 10L),   // first row: rd = type default 0
+      (2L, 17L, -1L, 3L, 3L, 23L),
+      (3L, 0L, 10L, 4L, 4L, 40L)))    // past the end: type default 0
+  }
+
+  test("replicate / fuzzBits / detectLanguageUnknown") {
+    assert(q1("replicate(5, array(1, 2, 3))").toString === "ArraySeq(5, 5, 5)")
+    assert(q1("replicate('x', array(1, 2))").toString === "ArraySeq(x, x)")
+    assert(q1("fuzzBits('ab', CAST(0.0 AS DOUBLE))") === "ab")
+    // p = 1 flips EVERY bit — deterministic: 'a'=0x61 -> 0x9E, 'b' -> 0x9D
+    assert(q1("fuzzBits('ab', CAST(1.0 AS DOUBLE))") ===
+      new String(Array(0x9e.toByte, 0x9d.toByte), "ISO-8859-1"))
+    assert(q1("length(fuzzBits(repeat('x', 40), CAST(0.5 AS DOUBLE)))") === 40)
+    assert(q1("detectLanguageUnknown('the quick brown fox and the lazy dog')")
+      === q1("detectLanguage('the quick brown fox and the lazy dog')"))
+  }
+}
