@@ -865,6 +865,27 @@ object ClickHouseCompat {
       "WHEN 'count' THEN CAST(size(a) AS DOUBLE) " +
       "WHEN 'uniqExact' THEN CAST(size(array_distinct(a)) AS DOUBLE) " +
       "ELSE raise_error(concat('arrayReduce: unsupported aggregate ', name)) END",
+    // arrayReduceInRanges (arrayReduceInRanges.cpp): the aggregate over
+    // each (start, length) slice — numeric aggregate names, same
+    // dispatch as arrayReduceNum; 1-based starts like the reference
+    // (a SQL UDF cannot be CALLED inside a lambda — the arrayReduceNum
+    // dispatch is inlined per slice)
+    "arrayReduceInRanges(name STRING, ranges ARRAY<STRUCT<_1: INT, _2: INT>>, " +
+      "a ARRAY<DOUBLE>) RETURNS ARRAY<DOUBLE> RETURN " +
+      "transform(ranges, r -> CASE name " +
+      "WHEN 'sum' THEN aggregate(slice(a, r._1, r._2), 0D, (acc, x) -> acc + x) " +
+      "WHEN 'min' THEN array_min(slice(a, r._1, r._2)) " +
+      "WHEN 'max' THEN array_max(slice(a, r._1, r._2)) " +
+      "WHEN 'avg' THEN aggregate(slice(a, r._1, r._2), 0D, (acc, x) -> acc + x) " +
+      "/ size(slice(a, r._1, r._2)) " +
+      "WHEN 'count' THEN CAST(size(slice(a, r._1, r._2)) AS DOUBLE) " +
+      "WHEN 'uniqExact' THEN CAST(size(array_distinct(slice(a, r._1, r._2))) AS DOUBLE) " +
+      "ELSE raise_error(concat('arrayReduceInRanges: unsupported aggregate ', name)) END)",
+    // partitionId (partitionId.cpp = MergeTreePartition::getID): the
+    // partition id string of a SINGLE simple key value is its text form
+    // (the shape the reference's own tests use; multi-column hashed ids
+    // are storage-internal)
+    "partitionId(x BIGINT) RETURNS STRING RETURN CAST(x AS STRING)",
     // ---- tranche 8: geo — ray-casting point-in-polygon
     //      (PointInPolygon.cpp; crossing-number over vertex pairs) ----
     "pointInPolygon(px DOUBLE, py DOUBLE, xs ARRAY<DOUBLE>, ys ARRAY<DOUBLE>) " +
@@ -1972,6 +1993,14 @@ object ClickHouseCompat {
       NlpDictionaries.lemmatize(dict, word))
     spark.udf.register("synonyms", (ext: String, token: String) =>
       NlpDictionaries.synonyms(ext, token))
+    // detectTonality / detectProgrammingLanguage: the reference's exact
+    // scoring machines over user-registered model weights (the embedded
+    // FrequencyHolder binaries are external artifacts — same
+    // catalog-registration posture as lemmatize)
+    spark.udf.register("detectTonality", (s: String) =>
+      NlpDictionaries.detectTonality(s))
+    spark.udf.register("detectProgrammingLanguage", (s: String) =>
+      NlpDictionaries.detectProgrammingLanguage(s))
     // formatRow / formatRowNoNewline over the format surface (variadic
     // Catalyst expressions — ref src/Functions/formatRow.cpp)
     FormatRow.install(spark)

@@ -56,4 +56,79 @@ object NlpDictionaries {
         s"synonyms: no extension registered under '$extension'")
     }
   }
+
+  // ---- detectTonality / detectProgrammingLanguage ---------------------
+  // (ref FunctionsTonalityClassification.cpp /
+  // FunctionsProgrammingClassification.cpp: the reference scores against
+  // FrequencyHolder dictionaries embedded as binary model resources —
+  // the MODELS are external artifacts here, registered by the user
+  // through this catalog like lemmatize's; the SCORING machines are the
+  // reference's, ported exactly.)
+
+  @volatile private var tonality: Option[Map[String, Double]] = None
+  @volatile private var programming: Option[Seq[(String, Map[String, Double])]] = None
+
+  /** Word → tonality weight (the reference's emotional dict scale,
+    * roughly -12..6).
+    */
+  def createTonalityDict(wordWeights: Map[String, Double]): Unit =
+    tonality = Some(wordWeights)
+  /** Per-language command-ngram weights; languages score in
+    * REGISTRATION order (first max wins ties, like the reference's
+    * holder iteration).
+    */
+  def createProgrammingFrequency(perLanguage: Seq[(String, Map[String, Double])]): Unit =
+    programming = Some(perLanguage)
+  def dropTonalityDict(): Unit = tonality = None
+  def dropProgrammingFrequency(): Unit = programming = None
+
+  /** Average word tonality, scaled to -1..1 exactly like the reference
+    * (positive averages divide by 6, negative by 12); 0 when no word of
+    * the text is in the dictionary.
+    */
+  def detectTonality(text: String): Float = {
+    val dict = tonality.getOrElse(throw new IllegalArgumentException(
+      "detectTonality: no tonality dictionary registered " +
+        "(NlpDictionaries.createTonalityDict)"))
+    if (text == null) return 0f
+    var weight = 0.0
+    var count = 0L
+    // split on ASCII whitespace AND punctuation, per the reference
+    text.split("[\\s\\p{Punct}]+").foreach { w =>
+      if (w.nonEmpty) dict.get(w).foreach { v => weight += v; count += 1 }
+    }
+    if (count == 0) 0f
+    else if (weight > 0) (weight / count / 6).toFloat
+    else (weight / count / 12).toFloat
+  }
+
+  /** Highest-weighted language over the text's command unigrams and
+    * CONCATENATED bigrams (the reference's exact keys); 'Undefined'
+    * when every language scores zero.
+    */
+  def detectProgrammingLanguage(text: String): String = {
+    val langs = programming.getOrElse(throw new IllegalArgumentException(
+      "detectProgrammingLanguage: no frequency dictionary registered " +
+        "(NlpDictionaries.createProgrammingFrequency)"))
+    if (text == null) return null
+    val freq = scala.collection.mutable.HashMap.empty[String, Double]
+    var prev: String = null
+    // commands split by whitespace only, per the reference
+    text.split("\\s+").foreach { cmd =>
+      if (cmd.nonEmpty) {
+        if (prev != null)
+          freq.update(prev + cmd, freq.getOrElse(prev + cmd, 0.0) + 1)
+        freq.update(cmd, freq.getOrElse(cmd, 0.0) + 1)
+        prev = cmd
+      }
+    }
+    var best = "Undefined"
+    var bestScore = 0.0
+    langs.foreach { case (lang, weights) =>
+      var score = 0.0
+      freq.foreach { case (k, c) => weights.get(k).foreach(score += c * _) }
+      if (score > bestScore) { bestScore = score; best = lang }
+    }
+    best
+  }
 }

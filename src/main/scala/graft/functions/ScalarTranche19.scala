@@ -47,6 +47,7 @@ object ScalarTranche19 {
         new ExpressionInfo(getClass.getName, name), f)
 
     FuzzyRegex.install(spark)
+    HashId.install(spark)
 
     // neighbor(col, offset[, default]): value at layout-row + offset;
     // outside the relation -> explicit default, else the TYPE default
@@ -124,5 +125,13 @@ object ScalarTranche19 {
     // 'un' for undetectable input) — alias by expansion
     builder("detectLanguageUnknown")(cs =>
       UnresolvedFunction("detectLanguage", cs, isDistinct = false))
+
+    // tid (src/Functions/serverConstants.cpp family): the executing
+    // thread's id — per-task introspection, like blockNumber
+    spark.udf.register("tid", () => Thread.currentThread().getId)
+
+    // caseWithExpression(x, w1, r1, ..., [else]) — the parser-internal
+    // form of CASE x WHEN; Catalyst has the exact twin
+    builder("caseWithExpression")(cs => CaseKeyWhen(cs.head, cs.tail))
   }
 }

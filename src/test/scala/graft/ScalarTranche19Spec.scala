@@ -76,6 +76,22 @@ class ScalarTranche19Spec extends SparkSpec {
       (3L, 0L, 10L, 4L, 4L, 40L)))    // past the end: type default 0
   }
 
+  test("02293 goldens: hashid (public hashids.org algorithm)") {
+    assert((0 to 4).map(n => q1(s"hashid(CAST($n AS BIGINT))")) ===
+      Seq("gY", "jR", "k5", "l5", "mO"))
+    assert((0 to 4).map(n =>
+      q1(s"hashid(CAST($n AS BIGINT), 's3cr3t', 16, 'abcdefghijklmnop')")) ===
+      Seq("pbgkmdljlpjoapne", "akemglnjepjpodba", "obmgndljgajpkeao",
+        "dldokmpjpgjgeanb", "nkdlpgajngjnobme"))
+    assert(q1("hashid(CAST(1234567890123456 AS BIGINT), 's3cr3t')") === "YQrvD5XGvbx")
+    assert(q1("hashid(CAST(1234567890123456 AS BIGINT), 's3cr3t2')") === "Bm3zaOq7zbp")
+    assert(q1("hashid(1L, hashid(2L))") === "oV") // hashid(2) = 'k5'
+    assert(q1("hashid(1L, 'k5')") === "oV")
+    assert(q1("hashid(1L, 'k5_othersalt')") === "6b")
+    // ref error 43: NULL salt rejects
+    assertThrows[Exception](q1("hashid(1024L, CAST(NULL AS STRING), 's3cr3t')"))
+  }
+
   test("replicate / fuzzBits / detectLanguageUnknown") {
     assert(q1("replicate(5, array(1, 2, 3))").toString === "ArraySeq(5, 5, 5)")
     assert(q1("replicate('x', array(1, 2))").toString === "ArraySeq(x, x)")
@@ -86,5 +102,37 @@ class ScalarTranche19Spec extends SparkSpec {
     assert(q1("length(fuzzBits(repeat('x', 40), CAST(0.5 AS DOUBLE)))") === 40)
     assert(q1("detectLanguageUnknown('the quick brown fox and the lazy dog')")
       === q1("detectLanguage('the quick brown fox and the lazy dog')"))
+    assert(q1("tid()").asInstanceOf[Long] > 0L)
+    assert(q1("partitionId(7L)") === "7")
+    assert(q1("arrayReduceInRanges('sum', array(struct(1, 3), struct(2, 3)), " +
+      "array(1D, 2D, 3D, 4D, 5D))").toString === "ArraySeq(6.0, 9.0)")
+    assert(q1("arrayReduceInRanges('max', array(struct(1, 5)), " +
+      "array(1D, 9D, 3D, 4D, 5D))").toString === "ArraySeq(9.0)")
+    assert(q1("caseWithExpression(2, 1, 'one', 2, 'two', 'other')") === "two")
+    assert(q1("caseWithExpression(9, 1, 'one', 2, 'two', 'other')") === "other")
+  }
+
+  test("detectTonality / detectProgrammingLanguage over registered models") {
+    import graft.functions.NlpDictionaries
+    NlpDictionaries.createTonalityDict(Map(
+      "good" -> 3.0, "great" -> 6.0, "bad" -> -6.0, "awful" -> -12.0))
+    try {
+      // avg weight / 6 for positive, / 12 for negative (the reference's
+      // -12..6 -> -1..1 scaling)
+      assert(q1("detectTonality('a good and great day')") === 0.75f) // (3+6)/2/6
+      assert(q1("detectTonality('an awful, bad thing')") === -0.75f) // (-18)/2/12
+      assert(q1("detectTonality('nothing known here')") === 0f)
+      // punctuation splits words: 'awful,' still hits the dict
+      assert(q1("detectTonality('awful.')") === -1.0f)
+    } finally NlpDictionaries.dropTonalityDict()
+    NlpDictionaries.createProgrammingFrequency(Seq(
+      "Scala" -> Map("def" -> 2.0, "val" -> 2.0, "defmain" -> 5.0),
+      "C++" -> Map("void" -> 2.0, "template" -> 3.0)))
+    try {
+      // bigram key is CONCATENATED prev+command, per the reference
+      assert(q1("detectProgrammingLanguage('def main = val x')") === "Scala")
+      assert(q1("detectProgrammingLanguage('template void f')") === "C++")
+      assert(q1("detectProgrammingLanguage('plain prose text')") === "Undefined")
+    } finally NlpDictionaries.dropProgrammingFrequency()
   }
 }
