@@ -498,7 +498,10 @@ object ScalarTranche18 {
       java.util.concurrent.ThreadLocalRandom.current().nextLong(1L << 32)))
     builder("getSetting") { cs =>
       val name = constStr(cs.head, "getSetting name")
-      val v = spark.conf.getOption(name).getOrElse(
+      // resolve against the ACTIVE session at analysis time, not the
+      // session install() captured — cloned/derived sessions see their
+      // own conf, like the reference's per-query settings
+      val v = SparkSession.active.conf.getOption(name).getOrElse(
         throw new IllegalArgumentException(s"Unknown setting '$name'"))
       // settings are typed in the reference; surface ints/bools as such
       scala.util.Try(Literal(v.toLong)).getOrElse(
@@ -510,10 +513,11 @@ object ScalarTranche18 {
       val db = constStr(cs.head, "database")
       val table = constStr(cs(1), "table")
       val column = constStr(cs(2), "column")
+      val session = SparkSession.active // analysis-time session, not install's
       val qualified =
-        if (db.isEmpty || db == "default" || db == spark.catalog.currentDatabase) table
+        if (db.isEmpty || db == "default" || db == session.catalog.currentDatabase) table
         else s"$db.$table"
-      val schema = spark.table(qualified).schema // throws if absent, like the ref
+      val schema = session.table(qualified).schema // throws if absent, like the ref
       Literal(if (schema.fieldNames.contains(column)) 1.toShort else 0.toShort)
     }
 
