@@ -869,17 +869,20 @@ object ClickHouseCompat {
     // each (start, length) slice — numeric aggregate names, same
     // dispatch as arrayReduceNum; 1-based starts like the reference
     // (a SQL UDF cannot be CALLED inside a lambda — the arrayReduceNum
-    // dispatch is inlined per slice)
+    // dispatch is inlined; the slice binds ONCE via a nested transform.
+    // Empty-slice semantics per the reference: aggregates over an empty
+    // range return the type default — sum/min/max/count/uniqExact 0 —
+    // except avg, which is NaN)
     "arrayReduceInRanges(name STRING, ranges ARRAY<STRUCT<_1: INT, _2: INT>>, " +
       "a ARRAY<DOUBLE>) RETURNS ARRAY<DOUBLE> RETURN " +
-      "transform(ranges, r -> CASE name " +
-      "WHEN 'sum' THEN aggregate(slice(a, r._1, r._2), 0D, (acc, x) -> acc + x) " +
-      "WHEN 'min' THEN array_min(slice(a, r._1, r._2)) " +
-      "WHEN 'max' THEN array_max(slice(a, r._1, r._2)) " +
-      "WHEN 'avg' THEN aggregate(slice(a, r._1, r._2), 0D, (acc, x) -> acc + x) " +
-      "/ size(slice(a, r._1, r._2)) " +
-      "WHEN 'count' THEN CAST(size(slice(a, r._1, r._2)) AS DOUBLE) " +
-      "WHEN 'uniqExact' THEN CAST(size(array_distinct(slice(a, r._1, r._2))) AS DOUBLE) " +
+      "transform(transform(ranges, r -> slice(a, r._1, r._2)), s -> CASE name " +
+      "WHEN 'sum' THEN aggregate(s, 0D, (acc, x) -> acc + x) " +
+      "WHEN 'min' THEN coalesce(array_min(s), 0D) " +
+      "WHEN 'max' THEN coalesce(array_max(s), 0D) " +
+      "WHEN 'avg' THEN IF(size(s) = 0, CAST('NaN' AS DOUBLE), " +
+      "aggregate(s, 0D, (acc, x) -> acc + x) / size(s)) " +
+      "WHEN 'count' THEN CAST(size(s) AS DOUBLE) " +
+      "WHEN 'uniqExact' THEN CAST(size(array_distinct(s)) AS DOUBLE) " +
       "ELSE raise_error(concat('arrayReduceInRanges: unsupported aggregate ', name)) END)",
     // partitionId (partitionId.cpp = MergeTreePartition::getID): the
     // partition id string of a SINGLE simple key value is its text form

@@ -63,7 +63,7 @@ object ScalarTranche18 {
   case class TypeIntrospection(child: Expression, kind: String)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = kind match {
-      case "isNullable" => ShortType // UInt8 convention
+      case "isNullable" | "isConstant" => ShortType // UInt8 convention
       case "defaultValue" | "zeroValue" => child.dataType
       case other => throw new IllegalArgumentException(other)
     }
@@ -71,6 +71,10 @@ object ScalarTranche18 {
     override def nullable: Boolean = kind == "defaultValue" && child.nullable
     override def eval(input: InternalRow): Any = kind match {
       case "isNullable" => if (child.nullable) 1.toShort else 0.toShort
+      case "isConstant" =>
+        // checked AFTER resolution (a registry builder sees unresolved
+        // children, where foldable is always false for function calls)
+        if (child.foldable) 1.toShort else 0.toShort
       case "defaultValue" =>
         // the reference's Nullable(T) default IS NULL
         if (child.nullable) null else zeroOf(child.dataType)
@@ -135,6 +139,23 @@ object ScalarTranche18 {
     override def nullSafeEval(v: Any): Any = mode match {
       case "hll" =>
         val bytes = v.asInstanceOf[Array[Byte]]
+        // a wide-int/Decimal256 binary is ALREADY final (min/max/any
+        // states over wide values are the value) — error loudly rather
+        // than feeding a tagged wide encoding to the sketch parser and
+        // returning garbage
+        val wideTagged = bytes.length match {
+          case 17 | 33 => (bytes(0) & 0xff) match {
+            case 0x10 | 0x11 | 0x20 | 0x21 => true
+            case _ => false
+          }
+          case 34 => bytes(0) == WideDecimal.Tag
+          case _ => false
+        }
+        if (wideTagged) throw new IllegalArgumentException(
+          "finalizeAggregation: binary value is a wide-integer/Decimal256 " +
+            "encoding, which is already final (min/max/any states over " +
+            "wide values need no finalize) — only HLL uniq states " +
+            "finalize from binary")
         Math.round(org.apache.datasketches.hll.HllSketch.heapify(
           org.apache.datasketches.memory.Memory.wrap(bytes)).getEstimate)
       case "avg" =>
@@ -477,8 +498,7 @@ object ScalarTranche18 {
     builder("arrayJoin")(cs => Explode(cs.head))
 
     // ---- plan-time introspection
-    builder("isConstant")(cs =>
-      Literal(if (cs.head.foldable) 1.toShort else 0.toShort))
+    builder("isConstant")(cs => TypeIntrospection(cs.head, "isConstant"))
     builder("isNullable")(cs => TypeIntrospection(cs.head, "isNullable"))
     builder("defaultValueOfArgumentType")(cs =>
       TypeIntrospection(cs.head, "defaultValue"))

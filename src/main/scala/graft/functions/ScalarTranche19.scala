@@ -50,8 +50,11 @@ object ScalarTranche19 {
     HashId.install(spark)
 
     // neighbor(col, offset[, default]): value at layout-row + offset;
-    // outside the relation -> explicit default, else the TYPE default
-    // (the reference's contract — 0 / '' / NULL-for-Nullable)
+    // outside the relation -> explicit default, else the NON-null type
+    // zero (0 / ''). Spark nullability is storage metadata, not the
+    // reference's Nullable TYPE — a parquet Int64 is still Int64, so
+    // its default is 0; pass an explicit NULL default for Nullable
+    // semantics.
     builder("neighbor") { cs =>
       require(cs.length == 2 || cs.length == 3,
         s"neighbor(column, offset[, default]): got ${cs.length} arguments")
@@ -68,20 +71,24 @@ object ScalarTranche19 {
       WindowExpression(fn, layoutSpec(UnspecifiedFrame))
     }
 
-    // runningDifference: col - previous col in layout order; the first
-    // row is the TYPE default (0), per the reference
-    def lag1(c: Expression): Expression =
-      WindowExpression(Lag(c, Literal(1), Literal(null), ignoreNulls = false),
+    // runningDifference: col - LAST NON-NULL col in layout order (the
+    // reference's 00653 golden: NULL rows emit NULL, non-null rows diff
+    // against the most recent non-null, the first non-null emits the
+    // type default 0) — lag with ignoreNulls = the last-non-null scan
+    def lagNonNull(c: Expression): Expression =
+      WindowExpression(Lag(c, Literal(1), Literal(null), ignoreNulls = true),
         layoutSpec(UnspecifiedFrame))
     builder("runningDifference") { cs =>
-      val prev = lag1(cs.head)
-      If(IsNull(prev),
-        ScalarTranche18.TypeIntrospection(cs.head, "zeroValue"),
-        Subtract(cs.head, prev))
+      val prev = lagNonNull(cs.head)
+      If(IsNull(cs.head), Literal.create(null, org.apache.spark.sql.types.NullType),
+        If(IsNull(prev),
+          ScalarTranche18.TypeIntrospection(cs.head, "zeroValue"),
+          Subtract(cs.head, prev)))
     }
     builder("runningDifferenceStartingWithFirstValue") { cs =>
-      val prev = lag1(cs.head)
-      If(IsNull(prev), cs.head, Subtract(cs.head, prev))
+      val prev = lagNonNull(cs.head)
+      If(IsNull(cs.head), Literal.create(null, org.apache.spark.sql.types.NullType),
+        If(IsNull(prev), cs.head, Subtract(cs.head, prev)))
     }
 
     // runningAccumulate(state): running fold of a -State column. The

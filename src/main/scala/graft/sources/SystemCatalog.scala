@@ -37,9 +37,12 @@ object SystemCatalog {
     */
   def tables(spark: SparkSession): DataFrame =
     df(spark, spark.catalog.listTables().collect().toSeq.map { t =>
+      // Spark's tableType enum is the closest engine analog: temp/perm
+      // views report "View" like the reference; persisted tables report
+      // their catalog type verbatim (MANAGED/EXTERNAL)
       val engine = t.tableType match {
         case "TEMPORARY" | "VIEW" => "View"
-        case other => Option(other).filter(_ != null).filter(_.nonEmpty).getOrElse("Table")
+        case other => other
       }
       Row(Option(t.database).getOrElse(""), t.name, engine, t.isTemporary)
     }, tablesSchema)

@@ -92,6 +92,40 @@ class ScalarTranche19Spec extends SparkSpec {
     assertThrows[Exception](q1("hashid(1024L, CAST(NULL AS STRING), 's3cr3t')"))
   }
 
+  test("00653 golden: runningDifference NULL handling (skip, don't reset)") {
+    import spark.implicits._
+    def rd(xs: Seq[Option[Int]]): Seq[Option[Long]] = {
+      xs.zipWithIndex.map { case (v, i) => (i.toLong, v.map(_.toLong)) }
+        .toDF("k", "x").orderBy("k").coalesce(1)
+        .createOrReplaceTempView("t19_rd")
+      spark.sql("SELECT runningDifference(x) AS d FROM t19_rd ORDER BY k")
+        .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    }
+    // the reference's 00653 golden rows, verbatim
+    assert(rd(Seq(Some(0), Some(1), Some(5), Some(10))) ===
+      Seq(Some(0L), Some(1L), Some(4L), Some(5L)))
+    assert(rd(Seq(Some(2), None, Some(3), None, Some(10))) ===
+      Seq(Some(0L), None, Some(1L), None, Some(7L)))
+    assert(rd(Seq(None, Some(1))) === Seq(None, Some(0L)))
+    assert(rd(Seq(None, None, Some(1), Some(3), None, None, Some(5))) ===
+      Seq(None, None, Some(0L), Some(2L), None, None, Some(2L)))
+  }
+
+  test("isConstant resolves AFTER analysis; finalize rejects wide binaries") {
+    // a constant expressed as a function call must report 1 (the
+    // builder-time foldable check saw an UnresolvedFunction = false)
+    assert(q1("isConstant(concat('a', 'b'))") === 1.toShort)
+    assert(q1("isConstant(1 + 1)") === 1.toShort)
+    // a wide binary is already final — loud error, never sketch garbage
+    assertThrows[Exception](
+      q1("finalizeAggregation(initializeAggregation('minState', toInt128(7)))"))
+    // empty-slice contracts: min/max 0, avg NaN
+    assert(q1("arrayReduceInRanges('min', array(struct(1, 0)), array(1D))")
+      .toString === "ArraySeq(0.0)")
+    assert(q1("arrayReduceInRanges('avg', array(struct(1, 0)), array(1D))")
+      .toString === "ArraySeq(NaN)")
+  }
+
   test("replicate / fuzzBits / detectLanguageUnknown") {
     assert(q1("replicate(5, array(1, 2, 3))").toString === "ArraySeq(5, 5, 5)")
     assert(q1("replicate('x', array(1, 2))").toString === "ArraySeq(x, x)")
