@@ -155,6 +155,14 @@ object Graft {
         maxWords: Long = 100000L): DataFrame =
       TextPipeline.gopherRules(df, textCol, idCol, minWords, maxWords)
 
+    /** LM quality score (CCNet-style perplexity-filter stage): mean
+      * stupid-backoff bigram probability per doc, self-scored — the
+      * model is a pair of count JOINS, never a driver structure.
+      */
+    def lmQualityScore(textCol: Column, idCol: Column,
+        alpha: Double = 0.4): DataFrame =
+      TextPipeline.lmQualityScore(df, textCol, idCol, alpha)
+
     /** Canonical-URL dedup groups: normalize each URL to its dedup key
       * and keep group stats (the crawl-pipeline URL-dedup stage).
       * Null-URL rows are excluded from grouping.

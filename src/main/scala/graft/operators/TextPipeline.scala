@@ -99,6 +99,80 @@ object TextPipeline {
         array_join(slice(col("__toks"), col("col"), lit(chunkSize)), " ").as("chunk_text"))
   }
 
+  /** Language-model quality score — the CCNet / Gopher perplexity-filter
+    * stage (Wenzek et al. 2020, Rae et al. 2021 — public literature):
+    * score each document by how predictable its tokens are under an
+    * n-gram LM with stupid backoff (Brants et al. 2007, α = 0.4). The
+    * reference corpus here is the scored corpus itself (self-scoring —
+    * boilerplate scores high, lorem-noise low); at 100 TB the reference
+    * side is a held-out sample and the count frames become persisted
+    * artifacts, exactly like the incremental-LSH posture.
+    *
+    * Spark-first shape — the MODEL IS A JOIN, never a driver-side
+    * structure: bigram counts and unigram counts are two groupBy frames;
+    * each token position joins its (prev, cur) count and backs off to
+    * α·unigram when unseen. Per-token probability
+    *   s_i = c2(prev,cur)/c1(prev)   if the bigram was seen
+    *       = 0.4 · c1(cur)/T         otherwise (stupid backoff)
+    * and the document score is mean(s_i) over positions 2..m — pure
+    * IEEE divisions and an average, so the DuckDB oracle replays it
+    * bit-exactly (no transcendental perplexity exponent in the pinned
+    * column; callers wanting classic PPL can exp/log the same frame).
+    * Single-token and token-less docs score NULL (no bigram positions).
+    */
+  def lmQualityScore(
+      df: DataFrame,
+      textCol: Column,
+      idCol: Column,
+      alpha: Double = 0.4,
+      reference: DataFrame = null): DataFrame = {
+    def positions(src: DataFrame): DataFrame =
+      src.select(idCol.as("id"), text.tokenize(textCol).as("__t"))
+        .select(col("id"), posexplode(col("__t")))
+        .select(col("id"), col("pos"), col("col").as("tok"))
+    // token positions, bound once below the explode (CollapseProject trap)
+    val toks = positions(df)
+      .persist() // feeds the count frames (self-scoring) AND the score join
+    try {
+      // count frames come from the REFERENCE corpus when given (the
+      // CCNet posture: a held-out/high-quality reference LM), else from
+      // the scored corpus itself
+      val refToks = if (reference == null) toks else positions(reference)
+      val total = math.max(refToks.count(), 1L)
+      val uni = refToks.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+      val bi = refToks.as("a")
+        .join(refToks.as("b"),
+          col("a.id") === col("b.id") && col("a.pos") + 1 === col("b.pos"))
+        .groupBy(col("a.tok").as("p"), col("b.tok").as("w"))
+        .agg(count(lit(1)).as("c2"))
+      val scored = toks.as("cur")
+        .join(toks.as("prv"),
+          col("cur.id") === col("prv.id") && col("prv.pos") === col("cur.pos") - 1)
+        .join(bi, col("prv.tok") === col("p") && col("cur.tok") === col("w"), "left")
+        .join(uni.withColumnRenamed("tok", "__pt").withColumnRenamed("c1", "c1p"),
+          col("prv.tok") === col("__pt"), "left")
+        .join(uni.withColumnRenamed("tok", "__ct").withColumnRenamed("c1", "c1c"),
+          col("cur.tok") === col("__ct"), "left")
+        .select(col("cur.id").as("id"),
+          // seen bigram: c2/c1(prev); else stupid backoff α·c1(cur)/T,
+          // with an unseen NEXT token counting one virtual occurrence
+          // (zero would poison the mean; a seen bigram implies a seen
+          // prev, so c1p is never null on the first branch)
+          when(col("c2").isNotNull,
+            col("c2").cast("double") / col("c1p").cast("double"))
+            .otherwise(lit(alpha) *
+              greatest(coalesce(col("c1c"), lit(0L)), lit(1L)).cast("double") /
+              lit(total.toDouble))
+            .as("__s"))
+      df.select(idCol.as("id")).join(
+          scored.groupBy("id").agg(avg(col("__s")).as("mean_tok_prob")),
+          Seq("id"), "left")
+        .select(col("id"), col("mean_tok_prob")) // raw; callers round ONCE
+        // eager: materialized before the token cache is released
+        .localCheckpoint(true)
+    } finally toks.unpersist(blocking = false)
+  }
+
   // RE2-compatible patterns (no lookarounds) — identical semantics under
   // Java regex (Spark) and RE2 (DuckDB oracle / Dolma-style pipelines).
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -244,6 +244,20 @@ object TextQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))),
 
+    // LM quality score — the CCNet/Gopher perplexity-filter stage
+    // (Wenzek et al. 2020): mean stupid-backoff bigram probability of
+    // each document, self-scored against the corpus. The model IS a
+    // join (bigram + unigram count frames), so the oracle recomputes
+    // the identical counts and IEEE divisions — no driver-side model,
+    // no transcendental in the pinned column.
+    "t20_lm_quality" -> ((s, dir) =>
+      graft.operators.TextPipeline.lmQualityScore(
+          t(s, dir, "documents"), col("text"), col("doc_id"))
+        .withColumnRenamed("id", "doc_id")
+        .select(col("doc_id"),
+          round(col("mean_tok_prob"), 4).as("mean_tok_prob"))
+        .orderBy(col("doc_id"))),
+
     // Repetition quality signal (Gopher-style, Rae et al. 2021 — public
     // literature): fraction of tokens covered by the most frequent
     // bigram. High values mark boilerplate/looping text; the standard
@@ -652,6 +666,37 @@ object TextQueries {
                AND 5 * alpha >= 4 * n_words
                AND sw >= 2 AS keep
       FROM m ORDER BY doc_id""",
+    // t20: bigram/unigram counts recomputed in SQL; prob = c2/c1(prev)
+    // when the bigram exists, else 0.4 * c1(cur)/T — the same IEEE
+    // divisions, averaged per doc
+    "t20_lm_quality" -> s"""
+      WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      pos AS (SELECT doc_id,
+                unnest(toks) AS tok,
+                unnest(range(1, len(toks) + 1)) AS pos
+              FROM d),
+      big AS (SELECT doc_id, pos, tok,
+                lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+              FROM pos),
+      uni AS (SELECT tok, count(*) AS c1 FROM pos GROUP BY tok),
+      bi AS (SELECT prev AS p, tok AS w, count(*) AS c2
+             FROM big WHERE prev IS NOT NULL GROUP BY 1, 2),
+      s AS (SELECT big.doc_id,
+              CASE WHEN bi.c2 IS NOT NULL
+                   THEN CAST(bi.c2 AS DOUBLE) / CAST(up.c1 AS DOUBLE)
+                   ELSE 0.4 * CAST(uc.c1 AS DOUBLE)
+                        / CAST((SELECT count(*) FROM pos) AS DOUBLE)
+              END AS sc
+            FROM big
+            LEFT JOIN bi ON bi.p = big.prev AND bi.w = big.tok
+            JOIN uni up ON up.tok = big.prev
+            JOIN uni uc ON uc.tok = big.tok
+            WHERE big.prev IS NOT NULL)
+      SELECT d.doc_id,
+             round(avg(s.sc), 4) AS mean_tok_prob
+      FROM d LEFT JOIN s ON s.doc_id = d.doc_id
+      GROUP BY d.doc_id
+      ORDER BY d.doc_id""",
     "t18_repetition" -> s"""
       WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
       g AS (SELECT doc_id, len(toks) AS n_tokens,

@@ -41,7 +41,10 @@ object ScaleGrowth {
     // the search surface: FTS-indexed BM25 top-K (bucket-pruned postings
     // scan — growth bounded by bucket-file size, not corpus scans) and
     // hybrid fusion (FTS leg + dense leg); index builds in the warm pass
-    "t07_fts_topk", "h03_hybrid_fts")
+    "t07_fts_topk", "h03_hybrid_fts",
+    // LM quality scoring: bigram-count self-join + score joins — the
+    // perplexity-filter stage's growth is the count-frame shuffles
+    "t20_lm_quality")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

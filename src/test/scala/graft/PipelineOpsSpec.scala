@@ -183,6 +183,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(3L) === true)
   }
 
+  test("lmQualityScore: hand-computed stupid-backoff means + backoff path") {
+    import graft.operators.TextPipeline
+    // corpus: uni a:3 b:3 c:1 z:1 (T=8); bi (a,b):3 (b,a):1 (b,c):1
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val got = TextPipeline.lmQualityScore(docs, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    // doc1: (a,b)=3/3, (b,a)=1/3, (a,b)=3/3 -> mean 7/9
+    assert(math.abs(got(1L).get - 7.0 / 9.0) < 1e-12)
+    // doc2: (a,b)=1, (b,c)=1/3 -> mean 2/3
+    assert(math.abs(got(2L).get - 2.0 / 3.0) < 1e-12)
+    assert(got(3L) === None) // single token: no bigram positions
+    // external reference: scored text has an UNSEEN bigram and an unseen
+    // token -> stupid backoff alpha*max(c1,1)/T fires
+    val ref = Seq((10L, "a b")).toDF("doc_id", "text") // T=2, c1(a)=c1(b)=1
+    val scored = Seq((1L, "a q")).toDF("doc_id", "text")
+    val bk = TextPipeline.lmQualityScore(scored, col("text"), col("doc_id"),
+      alpha = 0.4, reference = ref).collect()
+    // (a,q) unseen, q unseen -> 0.4 * 1 / 2 = 0.2
+    assert(math.abs(bk.head.getDouble(1) - 0.2) < 1e-12)
+  }
+
   test("urlCanonicalKey: case/www/port/fragment/tracking/slash rules") {
     import graft.functions.text
     def k(u: String): String =
