@@ -175,6 +175,13 @@ object Graft {
         budget: Long): DataFrame =
       Packing.packSequences(df, idCol, nTokensCol, budget)
 
+    /** Epoch-capped up-sampling mix: small sources repeat up to
+      * maxEpochs (the Llama-recipe counterpart of temperatureMix).
+      */
+    def epochCappedMix(strataCol: Column, idCol: Column, budget: Long,
+        maxEpochs: Int = 4, alpha: Double = 0.5): DataFrame =
+      Packing.epochCappedMix(df, strataCol, idCol, budget, maxEpochs, alpha)
+
     def deterministicSplit(idCol: Column, valPct: Int = 10,
         testPct: Int = 10): DataFrame =
       Packing.deterministicSplit(df, idCol, valPct, testPct)

@@ -149,6 +149,53 @@ object Packing {
       .drop("__stratum")
   }
 
+  /** Epoch-capped source mixing — the up-sampling counterpart of
+    * [[temperatureMix]] (the Llama/mT5 recipe: small high-quality
+    * sources REPEAT up to a cap instead of merely keeping all rows):
+    * temperature weights w_s = floor(n_s^α) set each source's share of
+    * the budget, but the quota is capped at n_s·maxEpochs so no source
+    * repeats more than maxEpochs times. The per-source rate (ppm, may
+    * exceed 1e6) splits into floor(rate/1e6) FULL copies of every row
+    * plus one extra copy for rows whose id-hash falls under the
+    * remainder — deterministic, shuffle-free, append-stable, every step
+    * integer arithmetic so the oracle replays it bit-exactly. Output
+    * carries `epoch` (0-based copy index, so a downstream seeded
+    * shuffle interleaves epochs) and `__rate_ppm`.
+    */
+  def epochCappedMix(
+      df: DataFrame,
+      strataCol: Column,
+      idCol: Column,
+      budget: Long,
+      maxEpochs: Int = 4,
+      alpha: Double = 0.5): DataFrame = {
+    require(maxEpochs >= 1, s"maxEpochs must be positive: $maxEpochs")
+    val w =
+      if (alpha == 0.5) floor(sqrt(col("__n").cast("double"))).cast("long")
+      else floor(pow(col("__n").cast("double"), alpha)).cast("long")
+    val counts = df.groupBy(strataCol.as("__stratum"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", greatest(w, lit(1L)))
+    val rates = counts
+      .withColumn("__wsum",
+        sum(col("__w")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))))
+      .withColumn("__quota",
+        least(expr(s"(__w * CAST($budget AS BIGINT)) div __wsum"),
+          expr(s"__n * CAST($maxEpochs AS BIGINT)")))
+      .withColumn("__rate_ppm", expr("(__quota * 1000000) div __n"))
+      .select(col("__stratum"), col("__rate_ppm"))
+    df.join(broadcast(rates), strataCol <=> col("__stratum"))
+      .withColumn("__copies",
+        expr("__rate_ppm div 1000000") +
+          when(hashBucket(idCol, 1000000) < col("__rate_ppm") % 1000000, 1L)
+            .otherwise(0L))
+      .filter(col("__copies") > 0) // sequence(0, -1) is an error, not empty
+      .withColumn("epoch",
+        explode(sequence(lit(0L), col("__copies") - 1L)))
+      .drop("__stratum", "__copies")
+  }
+
   /** Seeded global shuffle for training order: sort by the md5 of
     * (seed, id). Deterministic across runs and engines; at scale the
     * sort is the usual range-repartition + local sort, and downstream

@@ -96,6 +96,19 @@ object PipelineQueries {
     // quota/rate derivation + id-hash Bernoulli selection. The oracle
     // replays every step (floor-sqrt weights, integer division chain,
     // md5 bucket) bit-exactly.
+    // Epoch-capped up-sampling mix: budget 3x the corpus forces small
+    // languages ABOVE 1e6 ppm (real repetition) while the cap keeps
+    // every source <= 3 epochs; per-lang selected-copy counts + the
+    // rate pin the whole integer pipeline.
+    "p06_epoch_mix" -> ((s, dir) => {
+      Packing.epochCappedMix(t(s, dir, "documents"), col("lang"),
+          col("doc_id"), budget = 1500L, maxEpochs = 3, alpha = 0.5)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_copies"),
+          max(col("epoch")).as("max_epoch"),
+          max(col("__rate_ppm")).as("rate_ppm"))
+        .orderBy(col("lang"))
+    }),
     "p05_temperature_mix" -> ((s, dir) => {
       Packing.temperatureMix(t(s, dir, "documents"), col("lang"),
           col("doc_id"), budget = 200L, alpha = 0.5)
@@ -303,6 +316,31 @@ object PipelineQueries {
     // p05: the integer-exact temperature derivation — w = floor(sqrt(n))
     // (min 1), W = Σw, quota = (w*200)//W, rate_ppm = min(1e6,
     // quota*1e6//n) — then the same md5 bucket at 1e6 granularity.
+    // p06: same integer arithmetic; copies = rate div 1e6 + (hash <
+    // rate mod 1e6); rows explode via range(copies)
+    "p06_epoch_mix" -> s"""
+      WITH c AS (SELECT lang, CAST(count(1) AS BIGINT) AS n
+                 FROM documents GROUP BY 1),
+      w AS (SELECT lang, n,
+                   greatest(CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT), 1) AS w
+            FROM c),
+      r AS (SELECT lang, n,
+                   (least((w * 1500) // (SELECT sum(w) FROM w), n * 3)
+                     * 1000000) // n AS rate_ppm
+            FROM w),
+      copies AS (SELECT d.doc_id, d.lang, r.rate_ppm,
+                   (r.rate_ppm // 1000000)
+                   + (CASE WHEN (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                            % 1000000) < (r.rate_ppm % 1000000) THEN 1 ELSE 0 END)
+                     AS n_copies
+                 FROM documents d JOIN r ON d.lang = r.lang),
+      exploded AS (SELECT doc_id, lang, rate_ppm,
+                     unnest(range(0, CAST(n_copies AS BIGINT))) AS epoch
+                   FROM copies WHERE n_copies > 0)
+      SELECT lang, CAST(count(1) AS BIGINT) AS n_copies,
+             CAST(max(epoch) AS BIGINT) AS max_epoch,
+             CAST(max(rate_ppm) AS BIGINT) AS rate_ppm
+      FROM exploded GROUP BY lang ORDER BY lang""",
     "p05_temperature_mix" -> s"""
       WITH c AS (SELECT lang, CAST(count(1) AS BIGINT) AS n
                  FROM documents GROUP BY 1),

@@ -160,6 +160,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(sel.count(_.isNullAt(1)) === 4)
   }
 
+  test("epochCappedMix: repetition up to the cap, integer-exact rates") {
+    import graft.operators.Packing
+    // 'small' (4 rows) should hit the 2-epoch cap; 'big' (100 rows)
+    // takes the remaining budget below 1 epoch. w = (10, 2), W = 12;
+    // quota_small = min(2*60/12, 4*2) = min(10, 8) = 8 -> rate 2e6 ppm
+    // (every row exactly twice); quota_big = min(10*60/12, 200) = 50
+    // -> rate 500000 ppm (hash-selected half, single copies)
+    val docs = ((1 to 100).map(i => (i.toLong, "big")) ++
+      (101 to 104).map(i => (i.toLong, "small"))).toDF("doc_id", "lang")
+    val sel = Packing.epochCappedMix(docs, col("lang"), col("doc_id"),
+      budget = 60L, maxEpochs = 2).collect()
+    val small = sel.filter(_.getString(1) == "small")
+    assert(small.length === 8) // 4 rows x exactly 2 epochs
+    assert(small.map(r => (r.getLong(0), r.getLong(3))).toSet ===
+      (101 to 104).flatMap(i => Seq((i.toLong, 0L), (i.toLong, 1L))).toSet)
+    val big = sel.filter(_.getString(1) == "big")
+    assert(big.forall(_.getLong(3) === 0L)) // never repeats below 1 epoch
+    assert(big.map(_.getLong(0)).distinct.length === big.length)
+    // determinism: membership is a pure function of (id, rate) —
+    // rerunning reproduces the exact copy set
+    val again = Packing.epochCappedMix(docs, col("lang"), col("doc_id"),
+      budget = 60L, maxEpochs = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(again === sel.map(r => (r.getLong(0), r.getLong(3))).toSet)
+  }
+
   test("gopherRules: symbol classes separate; '...' counts as ellipsis") {
     import graft.operators.TextPipeline
     val filler = (1 to 60).map(_ => "the").mkString(" ") // 60 stopwords
