@@ -150,6 +150,14 @@ object Graft {
         idCol: Column, benchTextCol: Column, n: Int = 13): DataFrame =
       Dedup.decontaminateSpans(df, bench, textCol, idCol, benchTextCol, n)
 
+    /** Semantic (embedding-cosine) contamination report vs a benchmark
+      * frame — the paraphrase-leakage complement of the token-shingle
+      * contaminationReport. `df` is the corpus.
+      */
+    def semanticContamination(bench: DataFrame, vecCol: Column,
+        idCol: Column, minCosSim: Double): DataFrame =
+      Dedup.semanticContamination(df, bench, vecCol, idCol, minCosSim)
+
     /** Gopher quality-filter rules (per-rule booleans + keep flag). */
     def gopherRules(textCol: Column, idCol: Column, minWords: Long = 50L,
         maxWords: Long = 100000L): DataFrame =

@@ -706,6 +706,38 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
 
+  /** Semantic (embedding-level) contamination report — the cosine
+    * counterpart of [[contaminationReport]]'s token-shingle check: for
+    * each BENCHMARK vector, how many corpus vectors sit within
+    * `minCosSim` cosine, and the closest corpus cosine overall. Catches
+    * paraphrased/translated benchmark leakage that n-gram overlap
+    * misses (the standard complement in decontamination audits).
+    *
+    * Scale shape: the benchmark side is small by definition — it
+    * BROADCASTS, the corpus streams through one map-side
+    * cross-evaluation (flops linear in |corpus|·|bench|, no shuffle of
+    * vectors), and only the tiny per-benchmark aggregate shuffles. For
+    * benchmark sets too large to broadcast, block through
+    * [[lshCosineCoordPairs]] buckets instead.
+    */
+  def semanticContamination(
+      corpus: DataFrame,
+      bench: DataFrame,
+      vecCol: Column,
+      idCol: Column,
+      minCosSim: Double): DataFrame = {
+    val c = corpus.select(idCol.as("corpus_id"), vecCol.as("__cv"))
+    val b = bench.select(idCol.as("bench_id"), vecCol.as("__bv"))
+    c.crossJoin(broadcast(b))
+      .withColumn("cos_sim",
+        lit(1.0f) - graft.functions.distances.cosineDistance(col("__cv"), col("__bv")))
+      .groupBy(col("bench_id"))
+      .agg(
+        sum(when(col("cos_sim") >= minCosSim, 1L).otherwise(0L))
+          .as("n_contaminated"),
+        max(col("cos_sim")).as("max_cos"))
+  }
+
   /** Connected components over an undirected near-dup pair list — the
     * transitive-closure step that turns pairwise near-duplicates into
     * dedup CLUSTERS (canonical id = component minimum), so "keep one doc

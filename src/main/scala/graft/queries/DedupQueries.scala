@@ -169,6 +169,20 @@ object DedupQueries {
           "mha._1 = mhb._1 OR mha._2 = mhb._2 AS minhash_side_match")
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // SEMANTIC contamination: embedding-cosine containment of the
+    // benchmark slice (vec_id < 30) in the corpus (vec_id >= 30) — the
+    // paraphrase-leakage complement of d08's token-shingle check. The
+    // benchmark side broadcasts; the corpus streams map-side.
+    "d19_semantic_contamination" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Dedup.semanticContamination(
+          emb.filter(col("vec_id") >= 30),
+          emb.filter(col("vec_id") < 30),
+          col("embedding"), col("vec_id"), minCosSim = 0.35)
+        .select(col("bench_id"), col("n_contaminated"),
+          round(col("max_cos").cast("double"), 3).as("max_cos"))
+        .orderBy(col("bench_id"))
+    }),
     // Benchmark-contamination check: 5-gram overlap of each corpus doc
     // (doc_id >= 50) against the "benchmark" slice (doc_id < 50).
     "d08_contamination" -> ((s, dir) => {
@@ -356,6 +370,19 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "d04_simhash" -> simhashMd5Sql,
+    // d19: the same Float32-accumulated cosine kernel DuckDB's list_*
+    // functions use; count is integer-exact, max rounded at 3
+    "d19_semantic_contamination" -> """
+      SELECT b.vec_id AS bench_id,
+             CAST(sum(CASE WHEN list_cosine_similarity(c.embedding, b.embedding)
+                             >= 0.35 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated,
+             round(CAST(max(list_cosine_similarity(c.embedding, b.embedding))
+               AS DOUBLE), 3) AS max_cos
+      FROM embeddings b JOIN embeddings c
+        ON b.vec_id < 30 AND c.vec_id >= 30
+      GROUP BY b.vec_id
+      ORDER BY bench_id""",
     "d17_lsh_autoplanes" -> s"""
       WITH $lshAutoCoordCtes
       SELECT id_a, id_b, cos_sim FROM lshpairs ORDER BY id_a, id_b""",

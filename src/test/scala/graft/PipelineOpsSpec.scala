@@ -209,6 +209,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(3L) === true)
   }
 
+  test("semanticContamination: count + closest cosine per benchmark vector") {
+    import graft.operators.Dedup
+    val bench = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f))).toDF("id", "v")
+    val corpus = Seq(
+      (10L, Seq(1f, 0f)),     // identical to bench 1 (cos 1.0)
+      (11L, Seq(1f, 1f)),     // cos ~0.707 to both
+      (12L, Seq(-1f, 0f)))    // cos -1 to bench 1, 0 to bench 2
+      .toDF("id", "v")
+    val got = Dedup.semanticContamination(corpus, bench, col("v"), col("id"),
+        minCosSim = 0.7)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), math.round(r.getFloat(2) * 1000) / 1000.0))).toMap
+    assert(got(1L) === ((2L, 1.0)))     // 10 and 11 within 0.7; max = 1.0
+    assert(got(2L) === ((1L, 0.707)))   // only 11; max ~0.707
+  }
+
   test("lmQualityScore: hand-computed stupid-backoff means + backoff path") {
     import graft.operators.TextPipeline
     // corpus: uni a:3 b:3 c:1 z:1 (T=8); bi (a,b):3 (b,a):1 (b,c):1
