@@ -725,9 +725,13 @@ object Dedup {
       bench: DataFrame,
       vecCol: Column,
       idCol: Column,
-      minCosSim: Double): DataFrame = {
+      minCosSim: Double,
+      benchVecCol: Column = null, // defaults to vecCol (same schema)
+      benchIdCol: Column = null): DataFrame = {
     val c = corpus.select(idCol.as("corpus_id"), vecCol.as("__cv"))
-    val b = bench.select(idCol.as("bench_id"), vecCol.as("__bv"))
+    val b = bench.select(
+      Option(benchIdCol).getOrElse(idCol).as("bench_id"),
+      Option(benchVecCol).getOrElse(vecCol).as("__bv"))
     c.crossJoin(broadcast(b))
       .withColumn("cos_sim",
         lit(1.0f) - graft.functions.distances.cosineDistance(col("__cv"), col("__bv")))

@@ -126,27 +126,49 @@ object Packing {
       idCol: Column,
       budget: Long,
       alpha: Double = 0.5): DataFrame = {
-    val w =
-      if (alpha == 0.5) floor(sqrt(col("__n").cast("double"))).cast("long")
-      else floor(pow(col("__n").cast("double"), alpha)).cast("long")
-    val counts = df.groupBy(strataCol.as("__stratum"))
-      .agg(count(lit(1)).as("__n"))
-      .withColumn("__w", greatest(w, lit(1L)))
-    // Σw via an integer window over the tiny rate table (exact, order-free)
-    val rates = counts
-      .withColumn("__wsum",
-        sum(col("__w")).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(lit(1))))
-      .withColumn("__quota", expr(s"(__w * CAST($budget AS BIGINT)) div __wsum"))
-      .withColumn("__rate_ppm",
-        least(lit(1000000L), expr("(__quota * 1000000) div __n")))
-      .select(col("__stratum"), col("__rate_ppm"))
+    val rates = temperatureRates(df, strataCol, budget, alpha, epochCap = None)
     // Null-safe join key: groupBy already collects NULL strata into their
     // own group, so <=> gives a NULL stratum a quota like any other —
     // a plain === would silently drop every NULL-stratum row.
     df.join(broadcast(rates), strataCol <=> col("__stratum"))
       .filter(hashBucket(idCol, 1000000) < col("__rate_ppm"))
       .drop("__stratum")
+  }
+
+  /** The shared temperature-rate derivation (both mixers): w_s =
+    * floor(n_s^α), quota_s = (w_s·budget) div Σw — optionally capped at
+    * n_s·epochCap — and rate_ppm = (quota·1e6) div n. Without a cap the
+    * rate clamps to 1e6 (pure selection); with one it may exceed 1e6
+    * (repetition). Σw comes from an integer window over the tiny rate
+    * table (exact, order-free); every step integer arithmetic so the
+    * oracles replay it bit-exactly.
+    */
+  private def temperatureRates(
+      df: DataFrame,
+      strataCol: Column,
+      budget: Long,
+      alpha: Double,
+      epochCap: Option[Int]): DataFrame = {
+    val w =
+      if (alpha == 0.5) floor(sqrt(col("__n").cast("double"))).cast("long")
+      else floor(pow(col("__n").cast("double"), alpha)).cast("long")
+    val counts = df.groupBy(strataCol.as("__stratum"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", greatest(w, lit(1L)))
+    val rawQuota = expr(s"(__w * CAST($budget AS BIGINT)) div __wsum")
+    val quota = epochCap match {
+      case Some(m) => least(rawQuota, expr(s"__n * CAST($m AS BIGINT)"))
+      case None => rawQuota
+    }
+    val rate = expr("(__quota * 1000000) div __n")
+    counts
+      .withColumn("__wsum",
+        sum(col("__w")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))))
+      .withColumn("__quota", quota)
+      .withColumn("__rate_ppm",
+        if (epochCap.isDefined) rate else least(lit(1000000L), rate))
+      .select(col("__stratum"), col("__rate_ppm"))
   }
 
   /** Epoch-capped source mixing — the up-sampling counterpart of
@@ -170,21 +192,8 @@ object Packing {
       maxEpochs: Int = 4,
       alpha: Double = 0.5): DataFrame = {
     require(maxEpochs >= 1, s"maxEpochs must be positive: $maxEpochs")
-    val w =
-      if (alpha == 0.5) floor(sqrt(col("__n").cast("double"))).cast("long")
-      else floor(pow(col("__n").cast("double"), alpha)).cast("long")
-    val counts = df.groupBy(strataCol.as("__stratum"))
-      .agg(count(lit(1)).as("__n"))
-      .withColumn("__w", greatest(w, lit(1L)))
-    val rates = counts
-      .withColumn("__wsum",
-        sum(col("__w")).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(lit(1))))
-      .withColumn("__quota",
-        least(expr(s"(__w * CAST($budget AS BIGINT)) div __wsum"),
-          expr(s"__n * CAST($maxEpochs AS BIGINT)")))
-      .withColumn("__rate_ppm", expr("(__quota * 1000000) div __n"))
-      .select(col("__stratum"), col("__rate_ppm"))
+    val rates =
+      temperatureRates(df, strataCol, budget, alpha, epochCap = Some(maxEpochs))
     df.join(broadcast(rates), strataCol <=> col("__stratum"))
       .withColumn("__copies",
         expr("__rate_ppm div 1000000") +

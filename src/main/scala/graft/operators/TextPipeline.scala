@@ -114,11 +114,13 @@ object TextPipeline {
     * α·unigram when unseen. Per-token probability
     *   s_i = c2(prev,cur)/c1(prev)   if the bigram was seen
     *       = 0.4 · c1(cur)/T         otherwise (stupid backoff)
-    * and the document score is mean(s_i) over positions 2..m — pure
-    * IEEE divisions and an average, so the DuckDB oracle replays it
-    * bit-exactly (no transcendental perplexity exponent in the pinned
-    * column; callers wanting classic PPL can exp/log the same frame).
-    * Single-token and token-less docs score NULL (no bigram positions).
+    * and the document score is mean(s_i) over positions 2..m. Every
+    * per-token s_i is an exactly-replayable IEEE division (no
+    * transcendental in the pinned column; callers wanting classic PPL
+    * can exp/log the same frame); the final MEAN's floating sum is
+    * order-dependent across engines in its last ulp, which the oracle's
+    * 4-decimal rounding absorbs at any realistic margin. Single-token
+    * and token-less docs score NULL (no bigram positions).
     */
   def lmQualityScore(
       df: DataFrame,
@@ -130,47 +132,49 @@ object TextPipeline {
       src.select(idCol.as("id"), text.tokenize(textCol).as("__t"))
         .select(col("id"), posexplode(col("__t")))
         .select(col("id"), col("pos"), col("col").as("tok"))
-    // token positions, bound once below the explode (CollapseProject trap)
-    val toks = positions(df)
-      .persist() // feeds the count frames (self-scoring) AND the score join
-    try {
-      // count frames come from the REFERENCE corpus when given (the
-      // CCNet posture: a held-out/high-quality reference LM), else from
-      // the scored corpus itself
-      val refToks = if (reference == null) toks else positions(reference)
-      val total = math.max(refToks.count(), 1L)
-      val uni = refToks.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
-      val bi = refToks.as("a")
-        .join(refToks.as("b"),
-          col("a.id") === col("b.id") && col("a.pos") + 1 === col("b.pos"))
-        .groupBy(col("a.tok").as("p"), col("b.tok").as("w"))
-        .agg(count(lit(1)).as("c2"))
-      val scored = toks.as("cur")
-        .join(toks.as("prv"),
-          col("cur.id") === col("prv.id") && col("prv.pos") === col("cur.pos") - 1)
-        .join(bi, col("prv.tok") === col("p") && col("cur.tok") === col("w"), "left")
-        .join(uni.withColumnRenamed("tok", "__pt").withColumnRenamed("c1", "c1p"),
-          col("prv.tok") === col("__pt"), "left")
-        .join(uni.withColumnRenamed("tok", "__ct").withColumnRenamed("c1", "c1c"),
-          col("cur.tok") === col("__ct"), "left")
-        .select(col("cur.id").as("id"),
-          // seen bigram: c2/c1(prev); else stupid backoff α·c1(cur)/T,
-          // with an unseen NEXT token counting one virtual occurrence
-          // (zero would poison the mean; a seen bigram implies a seen
-          // prev, so c1p is never null on the first branch)
-          when(col("c2").isNotNull,
-            col("c2").cast("double") / col("c1p").cast("double"))
-            .otherwise(lit(alpha) *
-              greatest(coalesce(col("c1c"), lit(0L)), lit(1L)).cast("double") /
-              lit(total.toDouble))
-            .as("__s"))
-      df.select(idCol.as("id")).join(
-          scored.groupBy("id").agg(avg(col("__s")).as("mean_tok_prob")),
-          Seq("id"), "left")
-        .select(col("id"), col("mean_tok_prob")) // raw; callers round ONCE
-        // eager: materialized before the token cache is released
-        .localCheckpoint(true)
-    } finally toks.unpersist(blocking = false)
+    // The token frame feeds several consumers UNPERSISTED, on purpose:
+    // tokenize+posexplode is a scan-stage projection, and caching one
+    // was MEASURED 10× slower than recomputing in d16's identical
+    // situation (cache write + eager materialization dwarf the regex
+    // splits; at 100 TB a materialized token cache is exactly the
+    // footprint a recompute avoids). This also keeps the returned frame
+    // LAZY — the plan stays visible and construction costs nothing but
+    // the one count job below.
+    val toks: DataFrame = positions(df)
+    // count frames come from the REFERENCE corpus when given (the
+    // CCNet posture: a held-out/high-quality reference LM), else from
+    // the scored corpus itself
+    val refToks = if (reference == null) toks else positions(reference)
+    val total = math.max(refToks.count(), 1L)
+    val uni = refToks.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val bi = refToks.as("a")
+      .join(refToks.as("b"),
+        col("a.id") === col("b.id") && col("a.pos") + 1 === col("b.pos"))
+      .groupBy(col("a.tok").as("p"), col("b.tok").as("w"))
+      .agg(count(lit(1)).as("c2"))
+    val scored = toks.as("cur")
+      .join(toks.as("prv"),
+        col("cur.id") === col("prv.id") && col("prv.pos") === col("cur.pos") - 1)
+      .join(bi, col("prv.tok") === col("p") && col("cur.tok") === col("w"), "left")
+      .join(uni.withColumnRenamed("tok", "__pt").withColumnRenamed("c1", "c1p"),
+        col("prv.tok") === col("__pt"), "left")
+      .join(uni.withColumnRenamed("tok", "__ct").withColumnRenamed("c1", "c1c"),
+        col("cur.tok") === col("__ct"), "left")
+      .select(col("cur.id").as("id"),
+        // seen bigram: c2/c1(prev); else stupid backoff α·c1(cur)/T,
+        // with an unseen NEXT token counting one virtual occurrence
+        // (zero would poison the mean; a seen bigram implies a seen
+        // prev, so c1p is never null on the first branch)
+        when(col("c2").isNotNull,
+          col("c2").cast("double") / col("c1p").cast("double"))
+          .otherwise(lit(alpha) *
+            greatest(coalesce(col("c1c"), lit(0L)), lit(1L)).cast("double") /
+            lit(total.toDouble))
+          .as("__s"))
+    df.select(idCol.as("id")).join(
+        scored.groupBy("id").agg(avg(col("__s")).as("mean_tok_prob")),
+        Seq("id"), "left")
+      .select(col("id"), col("mean_tok_prob")) // raw; callers round ONCE
   }
 
   // RE2-compatible patterns (no lookarounds) — identical semantics under

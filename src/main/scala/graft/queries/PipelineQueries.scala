@@ -91,11 +91,6 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"))
     }),
-    // Temperature-scaled source mixing (p_s ∝ n_s^0.5, the mT5/XLM-R
-    // flattening rule) with a 200-doc budget: per-lang integer-exact
-    // quota/rate derivation + id-hash Bernoulli selection. The oracle
-    // replays every step (floor-sqrt weights, integer division chain,
-    // md5 bucket) bit-exactly.
     // Epoch-capped up-sampling mix: budget 3x the corpus forces small
     // languages ABOVE 1e6 ppm (real repetition) while the cap keeps
     // every source <= 3 epochs; per-lang selected-copy counts + the
@@ -109,6 +104,11 @@ object PipelineQueries {
           max(col("__rate_ppm")).as("rate_ppm"))
         .orderBy(col("lang"))
     }),
+    // Temperature-scaled source mixing (p_s ∝ n_s^0.5, the mT5/XLM-R
+    // flattening rule) with a 200-doc budget: per-lang integer-exact
+    // quota/rate derivation + id-hash Bernoulli selection. The oracle
+    // replays every step (floor-sqrt weights, integer division chain,
+    // md5 bucket) bit-exactly.
     "p05_temperature_mix" -> ((s, dir) => {
       Packing.temperatureMix(t(s, dir, "documents"), col("lang"),
           col("doc_id"), budget = 200L, alpha = 0.5)
@@ -333,7 +333,8 @@ object PipelineQueries {
                    + (CASE WHEN (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
                             % 1000000) < (r.rate_ppm % 1000000) THEN 1 ELSE 0 END)
                      AS n_copies
-                 FROM documents d JOIN r ON d.lang = r.lang),
+                 FROM documents d
+                 JOIN r ON d.lang IS NOT DISTINCT FROM r.lang),
       exploded AS (SELECT doc_id, lang, rate_ppm,
                      unnest(range(0, CAST(n_copies AS BIGINT))) AS epoch
                    FROM copies WHERE n_copies > 0)
@@ -354,7 +355,7 @@ object PipelineQueries {
             FROM w)
       SELECT d.lang, CAST(count(1) AS BIGINT) AS n_selected,
              CAST(max(r.rate_ppm) AS BIGINT) AS rate_ppm
-      FROM documents d JOIN r ON d.lang = r.lang
+      FROM documents d JOIN r ON d.lang IS NOT DISTINCT FROM r.lang
       WHERE (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
              % 1000000) < r.rate_ppm
       GROUP BY d.lang ORDER BY d.lang""",

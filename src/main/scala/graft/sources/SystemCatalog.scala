@@ -39,10 +39,12 @@ object SystemCatalog {
     df(spark, spark.catalog.listTables().collect().toSeq.map { t =>
       // Spark's tableType enum is the closest engine analog: temp/perm
       // views report "View" like the reference; persisted tables report
-      // their catalog type verbatim (MANAGED/EXTERNAL)
+      // their catalog type verbatim (MANAGED/EXTERNAL). tableType CAN
+      // be null (CatalogImpl.makeTable orNull for unloadable/V2 tables)
+      // and the schema declares engine non-nullable — guard.
       val engine = t.tableType match {
         case "TEMPORARY" | "VIEW" => "View"
-        case other => other
+        case other => Option(other).filter(_.nonEmpty).getOrElse("Table")
       }
       Row(Option(t.database).getOrElse(""), t.name, engine, t.isTemporary)
     }, tablesSchema)
