@@ -132,49 +132,48 @@ object TextPipeline {
       src.select(idCol.as("id"), text.tokenize(textCol).as("__t"))
         .select(col("id"), posexplode(col("__t")))
         .select(col("id"), col("pos"), col("col").as("tok"))
-    // The token frame feeds several consumers UNPERSISTED, on purpose:
-    // tokenize+posexplode is a scan-stage projection, and caching one
-    // was MEASURED 10× slower than recomputing in d16's identical
-    // situation (cache write + eager materialization dwarf the regex
-    // splits; at 100 TB a materialized token cache is exactly the
-    // footprint a recompute avoids). This also keeps the returned frame
-    // LAZY — the plan stays visible and construction costs nothing but
-    // the one count job below.
+    // The token frame feeds four consumers UNPERSISTED — MEASURED both
+    // ways at 20× data: persist+eager-checkpoint 5.77 s vs recompute
+    // 5.41 s (equal within ambient noise; tokenize+posexplode is a
+    // scan-stage projection, the d16 economics). At equal cost the lazy
+    // form wins: the returned frame keeps a live plan (PLANS.md shows
+    // the real join tree), no cache leaks across queries, and
+    // construction costs only the one count job below.
     val toks: DataFrame = positions(df)
     // count frames come from the REFERENCE corpus when given (the
     // CCNet posture: a held-out/high-quality reference LM), else from
     // the scored corpus itself
     val refToks = if (reference == null) toks else positions(reference)
     val total = math.max(refToks.count(), 1L)
-    val uni = refToks.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
-    val bi = refToks.as("a")
-      .join(refToks.as("b"),
-        col("a.id") === col("b.id") && col("a.pos") + 1 === col("b.pos"))
-      .groupBy(col("a.tok").as("p"), col("b.tok").as("w"))
-      .agg(count(lit(1)).as("c2"))
-    val scored = toks.as("cur")
-      .join(toks.as("prv"),
-        col("cur.id") === col("prv.id") && col("prv.pos") === col("cur.pos") - 1)
-      .join(bi, col("prv.tok") === col("p") && col("cur.tok") === col("w"), "left")
-      .join(uni.withColumnRenamed("tok", "__pt").withColumnRenamed("c1", "c1p"),
-        col("prv.tok") === col("__pt"), "left")
-      .join(uni.withColumnRenamed("tok", "__ct").withColumnRenamed("c1", "c1c"),
-        col("cur.tok") === col("__ct"), "left")
-      .select(col("cur.id").as("id"),
-        // seen bigram: c2/c1(prev); else stupid backoff α·c1(cur)/T,
-        // with an unseen NEXT token counting one virtual occurrence
-        // (zero would poison the mean; a seen bigram implies a seen
-        // prev, so c1p is never null on the first branch)
-        when(col("c2").isNotNull,
+      val uni = refToks.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+      val bi = refToks.as("a")
+        .join(refToks.as("b"),
+          col("a.id") === col("b.id") && col("a.pos") + 1 === col("b.pos"))
+        .groupBy(col("a.tok").as("p"), col("b.tok").as("w"))
+        .agg(count(lit(1)).as("c2"))
+      val scored = toks.as("cur")
+        .join(toks.as("prv"),
+          col("cur.id") === col("prv.id") && col("prv.pos") === col("cur.pos") - 1)
+        .join(bi, col("prv.tok") === col("p") && col("cur.tok") === col("w"), "left")
+        .join(uni.withColumnRenamed("tok", "__pt").withColumnRenamed("c1", "c1p"),
+          col("prv.tok") === col("__pt"), "left")
+        .join(uni.withColumnRenamed("tok", "__ct").withColumnRenamed("c1", "c1c"),
+          col("cur.tok") === col("__ct"), "left")
+        .select(col("cur.id").as("id"),
+          // seen bigram: c2/c1(prev); else stupid backoff α·c1(cur)/T,
+          // with an unseen NEXT token counting one virtual occurrence
+          // (zero would poison the mean; a seen bigram implies a seen
+          // prev, so c1p is never null on the first branch)
+          when(col("c2").isNotNull,
           col("c2").cast("double") / col("c1p").cast("double"))
           .otherwise(lit(alpha) *
             greatest(coalesce(col("c1c"), lit(0L)), lit(1L)).cast("double") /
             lit(total.toDouble))
           .as("__s"))
-    df.select(idCol.as("id")).join(
-        scored.groupBy("id").agg(avg(col("__s")).as("mean_tok_prob")),
-        Seq("id"), "left")
-      .select(col("id"), col("mean_tok_prob")) // raw; callers round ONCE
+      df.select(idCol.as("id")).join(
+          scored.groupBy("id").agg(avg(col("__s")).as("mean_tok_prob")),
+          Seq("id"), "left")
+        .select(col("id"), col("mean_tok_prob")) // raw; callers round ONCE
   }
 
   // RE2-compatible patterns (no lookarounds) — identical semantics under

@@ -250,9 +250,13 @@ object TextQueries {
     // join (bigram + unigram count frames), so the oracle recomputes
     // the identical counts and IEEE divisions — no driver-side model,
     // no transcendental in the pinned column.
+    // Scored docs only (single-token docs have no bigram positions and
+    // drop out) — which also keeps the row COUNT a function of the
+    // scoring join, so count()-based timing cannot elide the pipeline.
     "t20_lm_quality" -> ((s, dir) =>
       graft.operators.TextPipeline.lmQualityScore(
           t(s, dir, "documents"), col("text"), col("doc_id"))
+        .filter(col("mean_tok_prob").isNotNull)
         .withColumnRenamed("id", "doc_id")
         .select(col("doc_id"),
           round(col("mean_tok_prob"), 4).as("mean_tok_prob"))
@@ -692,11 +696,11 @@ object TextQueries {
             JOIN uni up ON up.tok = big.prev
             JOIN uni uc ON uc.tok = big.tok
             WHERE big.prev IS NOT NULL)
-      SELECT d.doc_id,
+      SELECT s.doc_id,
              round(avg(s.sc), 4) AS mean_tok_prob
-      FROM d LEFT JOIN s ON s.doc_id = d.doc_id
-      GROUP BY d.doc_id
-      ORDER BY d.doc_id""",
+      FROM s
+      GROUP BY s.doc_id
+      ORDER BY s.doc_id""",
     "t18_repetition" -> s"""
       WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
       g AS (SELECT doc_id, len(toks) AS n_tokens,
