@@ -178,6 +178,19 @@ object Graft {
     def urlDedupGroups(urlCol: Column, idCol: Column): DataFrame =
       Dedup.urlDedupGroups(df, urlCol, idCol)
 
+    /** SemDeDup (Abbas et al. 2023): embedding-cluster semantic dedup —
+      * within-cluster cosine dup groups, keep = lowest centroid
+      * similarity. `centroids` defaults to [[Dedup.seedCentroids]] at
+      * the scale-safe [[Dedup.autoCentroidCount]]; pass trained k-means
+      * centroids in production.
+      */
+    def semDeDup(vecCol: Column, idCol: Column, minCosSim: Double,
+        centroids: DataFrame = null): DataFrame =
+      Option(centroids) match {
+        case Some(c) => Dedup.semDeDup(df, vecCol, idCol, c, minCosSim)
+        case None => Dedup.semDeDup(df, vecCol, idCol, minCosSim)
+      }
+
     // ---- training-pipeline ops (Packing) ----
     def packSequences(idCol: Column, nTokensCol: Column,
         budget: Long): DataFrame =
@@ -208,6 +221,20 @@ object Graft {
 
     def seededShuffle(idCol: Column, seed: String): DataFrame =
       Packing.seededShuffle(df, idCol, seed)
+
+    /** DSIR importance scores against a target corpus (Xie et al. 2023):
+      * per-doc hashed-n-gram log-ratio + deterministic Gumbel key.
+      */
+    def dsirScores(target: DataFrame, textCol: Column, idCol: Column,
+        buckets: Int = 1024, seed: String = "dsir"): DataFrame =
+      Packing.dsirScores(df, target, textCol, idCol, buckets, seed)
+
+    /** DSIR Gumbel-top-k selection (sampling ∝ exp(score) without
+      * replacement) — `df` is the raw corpus to select from.
+      */
+    def dsirResample(target: DataFrame, textCol: Column, idCol: Column,
+        k: Int, buckets: Int = 1024, seed: String = "dsir"): DataFrame =
+      Packing.dsirResample(df, target, textCol, idCol, k, buckets, seed)
 
     /** LTTB downsampling of a (x, y) series held in this frame —
       * collected per group like the reference aggregate; rows out are

@@ -24,7 +24,12 @@ import org.apache.spark.sql.types._
   * values, so float accumulation gives bit-identical golden results.
   */
 object Metric extends Enumeration {
-  val L2, L2Squared, L1, Linf, Cosine, IP, Dot = Value
+  // CosineSim (appended — ids are codegen-stable) is the SIMILARITY twin
+  // of Cosine: the raw `cosineSim` kernel without the `1 − sim` distance
+  // wrap, for similarity-side consumers (SemDeDup, dup-pair thresholds)
+  // whose oracles compare similarities directly — the 1−(1−sim) Float32
+  // roundtrip costs a ulp, which flips knife-edge rounding boundaries.
+  val L2, L2Squared, L1, Linf, Cosine, IP, Dot, CosineSim = Value
 }
 
 /** Scalar distance between two float-vector columns.
@@ -169,6 +174,7 @@ object VectorKernels {
       case Metric.L1        => l1(a, b)
       case Metric.Linf      => linf(a, b)
       case Metric.Cosine    => 1.0f - cosineSim(a, b)
+      case Metric.CosineSim => cosineSim(a, b)
       case Metric.IP | Metric.Dot => dot(a, b)
     }
   }
@@ -304,6 +310,7 @@ object distances {
   def l1Distance(a: Column, b: Column): Column = mk(VectorDistance(asFloats(a), asFloats(b), Metric.L1))
   def linfDistance(a: Column, b: Column): Column = mk(VectorDistance(asFloats(a), asFloats(b), Metric.Linf))
   def cosineDistance(a: Column, b: Column): Column = mk(VectorDistance(asFloats(a), asFloats(b), Metric.Cosine))
+  def cosineSimilarity(a: Column, b: Column): Column = mk(VectorDistance(asFloats(a), asFloats(b), Metric.CosineSim))
   def dotProduct(a: Column, b: Column): Column = mk(VectorDistance(asFloats(a), asFloats(b), Metric.Dot))
   def hammingDistance(a: Column, b: Column): Column = mk(BinaryVectorDistance(ex(a), ex(b), jaccard = false))
   def jaccardDistance(a: Column, b: Column): Column = mk(BinaryVectorDistance(ex(a), ex(b), jaccard = true))

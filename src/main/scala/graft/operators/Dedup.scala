@@ -699,9 +699,12 @@ object Dedup {
       minCosSim: Double): DataFrame = {
     val a = df.select(idCol.as("id_a"), vecCol.as("__va"))
     val b = df.select(idCol.as("id_b"), vecCol.as("__vb"))
+    // Direct similarity kernel (not 1−distance): bit-identical to the
+    // oracle's list_cosine_similarity — the 1−(1−sim) roundtrip costs a
+    // Float32 ulp that can flip a knife-edge threshold or rounding.
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("cos_sim",
-        lit(1.0f) - graft.functions.distances.cosineDistance(col("__va"), col("__vb")))
+        graft.functions.distances.cosineSimilarity(col("__va"), col("__vb")))
       .filter(col("cos_sim") >= minCosSim)
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
@@ -734,12 +737,135 @@ object Dedup {
       Option(benchVecCol).getOrElse(vecCol).as("__bv"))
     c.crossJoin(broadcast(b))
       .withColumn("cos_sim",
-        lit(1.0f) - graft.functions.distances.cosineDistance(col("__cv"), col("__bv")))
+        graft.functions.distances.cosineSimilarity(col("__cv"), col("__bv")))
       .groupBy(col("bench_id"))
       .agg(
         sum(when(col("cos_sim") >= minCosSim, 1L).otherwise(0L))
           .as("n_contaminated"),
         max(col("cos_sim")).as("max_cos"))
+  }
+
+  /** Deterministic seed-centroid policy for [[semDeDup]]: the `k`
+    * lowest-id vectors become the cluster centroids. This is the
+    * oracle-replayable clustering plug (any engine derives the same k
+    * rows from the same table); production swaps in trained k-means
+    * centroids ([[IvfIndex]]'s Lloyd's/KMeans‖ trainer) — semDeDup's
+    * semantics are agnostic to how the centroid table was produced.
+    * Returns `(cluster_id, centroid)`, bounded at k rows (broadcast-
+    * sized by construction, like an IVF centroid table).
+    */
+  def seedCentroids(df: DataFrame, vecCol: Column, idCol: Column, k: Int): DataFrame =
+    df.select(idCol.cast("long").as("cluster_id"), vecCol.as("centroid"))
+      .orderBy(col("cluster_id"))
+      .limit(k)
+
+  /** Scale-safe centroid count for [[semDeDup]]'s default path: enough
+    * clusters that the EXPECTED cluster size stays ≤ `targetClusterSize`
+    * (128 — the same constant-occupancy policy as [[scaledPlaneCount]]),
+    * floored at 8 and capped at 65536 (the centroid table must stay
+    * broadcastable). semDeDup's pairwise stage is quadratic in cluster
+    * size, so a FIXED k goes quadratic with the corpus; k ∝ n keeps the
+    * per-cluster work constant and total work linear — the SemDeDup
+    * paper's own posture (50k clusters for LAION-440M).
+    */
+  def autoCentroidCount(n: Long, targetClusterSize: Long = 128L): Int =
+    math.min(65536L,
+      math.max(8L, (n + targetClusterSize - 1) / targetClusterSize)).toInt
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540) —
+    * embedding-level semantic dedup: assign every vector to its nearest
+    * centroid, find near-duplicate pairs ONLY within a cluster
+    * (`cos_sim >= minCosSim`), group them transitively, and within each
+    * duplicate group KEEP the member with the LOWEST cosine similarity
+    * to its cluster centroid (the paper's §3 keep rule — retain the
+    * cluster's "outlier", drop the redundant near-centroid copies; ties
+    * break on the lower id).
+    *
+    * Scale shape — the reason the recipe works at web scale: the
+    * centroid table broadcasts (k rows, IVF-sized), assignment is one
+    * map-side argmax absorbed by a partial aggregate (max of a
+    * (sim, -cluster) struct — map-side combine, no window), and the
+    * pairwise cosine join is keyed on `cluster_id`, so the quadratic
+    * blow-up is bounded by the largest CLUSTER, never the corpus.
+    * Components run over the sparse dup-pair graph
+    * ([[connectedComponents]] — driver union-find under 1M edges,
+    * large-star/small-star above).
+    *
+    * `centroids` contract: columns `(cluster_id, centroid)` — see
+    * [[seedCentroids]] for the deterministic policy, or feed trained
+    * k-means centroids.
+    *
+    * Returns one row per input vector:
+    * `(id, cluster_id, group_id, centroid_sim, keep)` where `group_id`
+    * is the dup-group label (own id for singletons) and `keep` is the
+    * retention verdict.
+    */
+  /** [[semDeDup]] default path: seed centroids with the scale-safe
+    * [[autoCentroidCount]] (k from a cheap corpus count — one extra
+    * `df.count()` pass, recomputed on non-deterministic inputs; pass
+    * explicit centroids to pin). Production quality improves with
+    * trained k-means centroids; the dedup semantics are identical.
+    */
+  def semDeDup(
+      df: DataFrame,
+      vecCol: Column,
+      idCol: Column,
+      minCosSim: Double): DataFrame =
+    semDeDup(df, vecCol, idCol,
+      seedCentroids(df, vecCol, idCol, autoCentroidCount(df.count())), minCosSim)
+
+  def semDeDup(
+      df: DataFrame,
+      vecCol: Column,
+      idCol: Column,
+      centroids: DataFrame,
+      minCosSim: Double): DataFrame = {
+    val base = df.select(idCol.as("id"), vecCol.as("__v"))
+    val cents = broadcast(
+      centroids.select(col("cluster_id").cast("long").as("__cid"),
+        col("centroid").as("__cv")))
+    // Nearest centroid per vector: map-side argmax via max(struct) — the
+    // struct orders by (csim desc via max, then lowest cluster id via the
+    // negated field); a window here would shuffle the corpus for nothing.
+    val assigned = base.crossJoin(cents)
+      .withColumn("__csim",
+        graft.functions.distances.cosineSimilarity(col("__v"), col("__cv")))
+      .groupBy(col("id"))
+      .agg(max(struct(col("__csim").as("s"), (-col("__cid")).as("nc"))).as("__m"))
+      .select(col("id"), (-col("__m.nc")).as("cluster_id"),
+        col("__m.s").as("centroid_sim"))
+    val withVec = assigned.join(base, "id")
+    // Within-cluster near-dup pairs: the join is keyed on cluster_id, so
+    // pairs only ever meet inside one cluster's partition.
+    val a = withVec.select(col("cluster_id").as("__ca"), col("id").as("id_a"),
+      col("__v").as("__va"))
+    val b = withVec.select(col("cluster_id").as("__cb"), col("id").as("id_b"),
+      col("__v").as("__vb"))
+    val pairs = a.join(b, col("__ca") === col("__cb") && col("id_a") < col("id_b"))
+      .filter(graft.functions.distances.cosineSimilarity(
+        col("__va"), col("__vb")) >= minCosSim)
+      .select(col("id_a"), col("id_b"))
+    val groups = connectedComponents(pairs)
+      .withColumnRenamed("cluster_id", "group_id")
+    val labeled = assigned
+      .join(groups, assigned("id") === groups("id"), "left")
+      .select(assigned("id"), col("cluster_id"), col("group_id"),
+        col("centroid_sim"))
+    // Keep rule: per dup group, argmin(centroid_sim, id) — one partial
+    // aggregate over the (small) grouped membership.
+    val kept = labeled.filter(col("group_id").isNotNull)
+      .groupBy(col("group_id"))
+      .agg(min(struct(col("centroid_sim").as("s"), col("id").as("i"))).as("__k"))
+      .select(col("group_id").as("__g"), col("__k.i").as("__kept_id"))
+    // kept is usually tiny (one row per dup group) but not BOUNDED —
+    // leave the broadcast decision to AQE rather than forcing a hint
+    // that could OOM on a pathological mostly-duplicate corpus.
+    labeled.join(kept, col("group_id") === col("__g"), "left")
+      .select(col("id"), col("cluster_id"),
+        coalesce(col("group_id"), col("id")).as("group_id"),
+        col("centroid_sim"),
+        (col("group_id").isNull || col("id") === col("__kept_id")).as("keep"))
   }
 
   /** Connected components over an undirected near-dup pair list — the
@@ -1081,7 +1207,7 @@ object Dedup {
       // times; flops are far cheaper than shuffling vectors per
       // candidate pair.
       .withColumn("cos_sim",
-        lit(1.0f) - graft.functions.distances.cosineDistance(col("a.__v"), col("b.__v")))
+        graft.functions.distances.cosineSimilarity(col("a.__v"), col("b.__v")))
       .filter(col("cos_sim") >= minCosSim)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos_sim"))
       .dropDuplicates("id_a", "id_b")
@@ -1166,7 +1292,7 @@ object Dedup {
         col("a.table_id") === col("b.table_id") &&
           col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .withColumn("cos_sim",
-        lit(1.0f) - graft.functions.distances.cosineDistance(col("a.__v"), col("b.__v")))
+        graft.functions.distances.cosineSimilarity(col("a.__v"), col("b.__v")))
       .filter(col("cos_sim") >= minCosSim)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos_sim"))
       .dropDuplicates("id_a", "id_b")

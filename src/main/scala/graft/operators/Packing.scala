@@ -205,6 +205,104 @@ object Packing {
       .drop("__stratum", "__copies")
   }
 
+  /** Hashed unigram+bigram features for [[dsirScores]] — the DSIR paper's
+    * feature space (Xie et al. 2023, "Data Selection for Language Models
+    * via Importance Resampling", arXiv:2302.03169 §3: hashed n-grams of
+    * the whitespace tokenization, bucketed). Buckets come from the same
+    * md5 hash as [[hashBucket]] so any engine replays the assignment.
+    * Returns an array<long> of bucket ids, one per gram (duplicates
+    * kept — feature counts are per-OCCURRENCE, a bag not a set).
+    */
+  def hashedGramBuckets(textCol: Column, buckets: Int): Column = {
+    val toks = graft.functions.text.tokenize(textCol)
+    val n = size(toks)
+    val bigrams = zip_with(
+      slice(toks, lit(1), greatest(n - 1, lit(0))),
+      slice(toks, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    transform(concat(toks, bigrams), g => hashBucket(g, buckets))
+  }
+
+  /** DSIR importance scores (Xie et al. 2023, arXiv:2302.03169): score
+    * each RAW document by how target-like its hashed n-gram bag is —
+    * `score(doc) = Σ_grams ln p_target(b) − ln p_raw(b)` where both
+    * distributions are Laplace-smoothed bucket frequencies
+    * `(count(b)+1) / (total+B)`. Selection then resamples by
+    * `score + Gumbel noise` ([[dsirResample]]); here the noise is the
+    * deterministic hash-Gumbel `−ln(−ln((hash(seed,id)+0.5)/1e6))` so
+    * re-runs (and the DuckDB oracle) reproduce the draw exactly —
+    * the same determinism posture as every other op in this file.
+    *
+    * Scale shape: both distribution tables are at most `buckets` rows —
+    * they BROADCAST; the per-doc score is one explode + broadcast-join +
+    * per-doc partial aggregate (one shuffle keyed on id). No pairwise
+    * anything: DSIR is the linear-cost alternative to classifier-based
+    * selection, which is exactly why it ran on full CommonCrawl in the
+    * paper.
+    *
+    * Returns `(id, n_grams, score, gumbel_key)` — one row per RAW doc
+    * with at least one gram.
+    */
+  def dsirScores(
+      raw: DataFrame,
+      target: DataFrame,
+      textCol: Column,
+      idCol: Column,
+      buckets: Int = 1024,
+      seed: String = "dsir"): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    // Per-(doc, bucket) counts — the raw corpus' grams explode ONCE; the
+    // raw distribution re-aggregates these (identical exchange subtree →
+    // Catalyst's ReuseExchange computes it once) and the score join sees
+    // one row per (doc, bucket) instead of one per gram occurrence.
+    val docBuckets = raw
+      .select(idCol.as("id"), explode(hashedGramBuckets(textCol, buckets)).as("__b"))
+      .groupBy(col("id"), col("__b")).agg(count(lit(1)).as("__n"))
+    val tCounts = target
+      .select(explode(hashedGramBuckets(textCol, buckets)).as("__b"))
+      .groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+    val rCounts = docBuckets.groupBy(col("__b")).agg(sum(col("__n")).as("__c"))
+    // Σc is exact integer; the smoothed log-ratio per bucket is two ln's
+    // of exact rationals. Missing buckets fall to the +1 numerator via
+    // the full join's coalesce.
+    val tTot = tCounts.agg(sum(col("__c")).as("__tt"))
+    val rTot = rCounts.agg(sum(col("__c")).as("__rt"))
+    val weights = tCounts.withColumnRenamed("__c", "__ct")
+      .join(rCounts.withColumnRenamed("__c", "__cr"), Seq("__b"), "full")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .select(col("__b"),
+        (log((coalesce(col("__ct"), lit(0L)) + 1L).cast("double") /
+             (col("__tt") + buckets).cast("double")) -
+         log((coalesce(col("__cr"), lit(0L)) + 1L).cast("double") /
+             (col("__rt") + buckets).cast("double"))).as("__w"))
+    docBuckets.join(broadcast(weights), Seq("__b"))
+      .groupBy(col("id"))
+      .agg(sum(col("__n")).as("n_grams"),
+        sum(col("__n").cast("double") * col("__w")).as("score"))
+      .withColumn("gumbel_key",
+        col("score") - log(-log(
+          (hashBucket(concat(lit(seed), lit("-"), col("id").cast("string")),
+            1000000).cast("double") + 0.5d) / 1000000.0d)))
+  }
+
+  /** DSIR top-k selection: Gumbel-top-k over [[dsirScores]]' keys ≡
+    * sampling k docs without replacement with probability ∝ exp(score)
+    * (the Gumbel-max trick — public folklore, see the DSIR paper §3.2's
+    * resampling step). `orderBy(...).limit(k)` is TakeOrderedAndProject:
+    * each partition ships only its local top-k, no global sort.
+    */
+  def dsirResample(
+      raw: DataFrame,
+      target: DataFrame,
+      textCol: Column,
+      idCol: Column,
+      k: Int,
+      buckets: Int = 1024,
+      seed: String = "dsir"): DataFrame =
+    dsirScores(raw, target, textCol, idCol, buckets, seed)
+      .orderBy(col("gumbel_key").desc, col("id"))
+      .limit(k)
+
   /** Seeded global shuffle for training order: sort by the md5 of
     * (seed, id). Deterministic across runs and engines; at scale the
     * sort is the usual range-repartition + local sort, and downstream

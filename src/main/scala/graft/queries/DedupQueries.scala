@@ -183,6 +183,25 @@ object DedupQueries {
           round(col("max_cos").cast("double"), 3).as("max_cos"))
         .orderBy(col("bench_id"))
     }),
+    // SemDeDup (Abbas et al. 2023) at the ENGINE DEFAULT: seed-centroid
+    // count derived from the corpus count (autoCentroidCount — expected
+    // cluster size ≤128, the scale-safe policy), nearest-centroid
+    // assignment, within-cluster cosine pairs, transitive dup groups,
+    // keep = lowest centroid-similarity member (the paper's
+    // keep-the-outlier rule). The oracle replays every stage — INCLUDING
+    // deriving k from count(*) with the engine's formula — so one static
+    // SQL replays the shipped default at any SF: argmax assignment
+    // (row_number over csim DESC), the cluster-keyed pair join,
+    // recursive min-label components, and the argmin keep rule — all on
+    // DuckDB's Float32 cosine kernel.
+    "d20_semdedup" -> ((s, dir) => {
+      Dedup.semDeDup(t(s, dir, "embeddings"), col("embedding"),
+          col("vec_id"), minCosSim = 0.35)
+        .select(col("id").as("vec_id"), col("cluster_id"), col("group_id"),
+          round(col("centroid_sim").cast("double"), 3).as("centroid_sim"),
+          col("keep"))
+        .orderBy(col("vec_id"))
+    }),
     // Benchmark-contamination check: 5-gram overlap of each corpus doc
     // (doc_id >= 50) against the "benchmark" slice (doc_id < 50).
     "d08_contamination" -> ((s, dir) => {
@@ -383,6 +402,56 @@ object DedupQueries {
         ON b.vec_id < 30 AND c.vec_id >= 30
       GROUP BY b.vec_id
       ORDER BY bench_id""",
+    // d20: full SemDeDup replay — seed centroids (vec_id < 8), argmax
+    // assignment, cluster-keyed pairs, recursive min-label groups,
+    // argmin(centroid_sim, id) keep rule.
+    "d20_semdedup" -> """
+      WITH RECURSIVE kk AS (
+        SELECT least(65536, greatest(8,
+          CAST(ceil(count(1) / 128.0) AS BIGINT))) AS k FROM embeddings),
+      cent AS (
+        SELECT vec_id AS cid, embedding AS cemb FROM (
+          SELECT vec_id, embedding,
+                 row_number() OVER (ORDER BY vec_id) AS rn FROM embeddings)
+        WHERE rn <= (SELECT k FROM kk)),
+      asg AS (
+        SELECT vec_id, cid, csim FROM (
+          SELECT e.vec_id, c.cid,
+                 list_cosine_similarity(e.embedding, c.cemb) AS csim,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.embedding, c.cemb) DESC,
+                            c.cid) AS rn
+          FROM embeddings e CROSS JOIN cent c)
+        WHERE rn = 1),
+      pairs AS (
+        SELECT x.vec_id AS id_a, y.vec_id AS id_b
+        FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id
+        JOIN embeddings ex ON ex.vec_id = x.vec_id
+        JOIN embeddings ey ON ey.vec_id = y.vec_id
+        WHERE list_cosine_similarity(ex.embedding, ey.embedding) >= 0.35),
+      edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      walk(node, comp) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.node
+        WHERE w.comp < e.v),
+      grp AS (SELECT node, min(comp) AS group_id FROM walk GROUP BY node),
+      kept AS (
+        SELECT group_id, vec_id AS kept_id FROM (
+          SELECT g.group_id, a.vec_id,
+                 row_number() OVER (PARTITION BY g.group_id
+                   ORDER BY a.csim, a.vec_id) AS rn
+          FROM grp g JOIN asg a ON a.vec_id = g.node)
+        WHERE rn = 1)
+      SELECT a.vec_id, a.cid AS cluster_id,
+             coalesce(g.group_id, a.vec_id) AS group_id,
+             round(CAST(a.csim AS DOUBLE), 3) AS centroid_sim,
+             (g.group_id IS NULL OR a.vec_id = k.kept_id) AS keep
+      FROM asg a
+      LEFT JOIN grp g ON g.node = a.vec_id
+      LEFT JOIN kept k ON k.group_id = g.group_id
+      ORDER BY a.vec_id""",
     "d17_lsh_autoplanes" -> s"""
       WITH $lshAutoCoordCtes
       SELECT id_a, id_b, cos_sim FROM lshpairs ORDER BY id_a, id_b""",

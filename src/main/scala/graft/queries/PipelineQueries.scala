@@ -117,6 +117,23 @@ object PipelineQueries {
           max(col("__rate_ppm")).as("rate_ppm"))
         .orderBy(col("lang"))
     }),
+    // DSIR importance resampling (Xie et al. 2023): score each raw doc
+    // (doc_id >= 50) by the Laplace-smoothed hashed-bigram log-ratio
+    // against the target slice (doc_id < 50), then Gumbel-top-40 with
+    // the deterministic hash-Gumbel draw. The oracle replays the full
+    // chain: tokenize, unigram+bigram md5 buckets, both smoothed
+    // distributions, the per-doc ln-sum and the Gumbel cut.
+    "p07_dsir" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Packing.dsirResample(
+          docs.filter(col("doc_id") >= 50),
+          docs.filter(col("doc_id") < 50),
+          col("text"), col("doc_id"), k = 40, buckets = 256, seed = "dsir")
+        .select(col("id").as("doc_id"), col("n_grams"),
+          round(col("score"), 4).as("score"),
+          round(col("gumbel_key"), 4).as("gumbel_key"))
+        .orderBy(col("doc_id"))
+    }),
     // Seeded global shuffle for training order: first 20 docs of the
     // 'seed42' permutation, shuffle key included so the oracle pins the
     // exact order (TakeOrderedAndProject, no global window).
@@ -313,6 +330,43 @@ object PipelineQueries {
       SELECT doc_id, md5('seed42-' || CAST(doc_id AS VARCHAR)) AS skey
       FROM documents
       ORDER BY skey, doc_id LIMIT 20""",
+    // p07: full DSIR replay — hashed unigram+bigram buckets (the same
+    // md5 bucket as the mixing ops), Laplace-smoothed target/raw bucket
+    // distributions, per-doc ln-ratio sum, deterministic hash-Gumbel
+    // key, top-40 cut on the raw key (ties doc_id).
+    "p07_dsir" -> s"""
+      WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      grams AS (
+        SELECT doc_id, unnest(toks ||
+          [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS g
+        FROM d),
+      gb AS (SELECT doc_id,
+               (CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 256) AS b
+             FROM grams),
+      tc AS (SELECT b, count(1) AS c FROM gb WHERE doc_id < 50 GROUP BY 1),
+      rc AS (SELECT b, count(1) AS c FROM gb WHERE doc_id >= 50 GROUP BY 1),
+      tt AS (SELECT sum(c) AS t FROM tc),
+      rt AS (SELECT sum(c) AS t FROM rc),
+      w AS (SELECT coalesce(tc.b, rc.b) AS b,
+              ln(CAST(coalesce(tc.c, 0) + 1 AS DOUBLE) /
+                 CAST((SELECT t FROM tt) + 256 AS DOUBLE))
+            - ln(CAST(coalesce(rc.c, 0) + 1 AS DOUBLE) /
+                 CAST((SELECT t FROM rt) + 256 AS DOUBLE)) AS w
+            FROM tc FULL JOIN rc ON tc.b = rc.b),
+      db AS (SELECT doc_id, b, CAST(count(1) AS BIGINT) AS n
+             FROM gb WHERE doc_id >= 50 GROUP BY 1, 2),
+      s AS (SELECT db.doc_id, CAST(sum(db.n) AS BIGINT) AS n_grams,
+              sum(CAST(db.n AS DOUBLE) * w.w) AS score
+            FROM db JOIN w ON db.b = w.b GROUP BY 1),
+      keyed AS (SELECT doc_id, n_grams, score,
+              score - ln(-ln(
+                (CAST(('0x' || substr(md5('dsir-' || CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 1000000 + 0.5) / 1000000.0)) AS gkey
+            FROM s)
+      SELECT doc_id, n_grams, round(score, 4) AS score,
+             round(gkey, 4) AS gumbel_key
+      FROM (SELECT * FROM keyed ORDER BY gkey DESC, doc_id LIMIT 40)
+      ORDER BY doc_id""",
     // p05: the integer-exact temperature derivation — w = floor(sqrt(n))
     // (min 1), W = Σw, quota = (w*200)//W, rate_ppm = min(1e6,
     // quota*1e6//n) — then the same md5 bucket at 1e6 granularity.

@@ -37,6 +37,11 @@ object ScaleGrowth {
     "d03_minhash_lsh", "d04_simhash", "d07_dup_clusters",
     "d10_lsh_clusters", "d09_lsh_cosine", "d12_span_dups",
     "d13_incremental_lsh", "d14_line_dedup", "d16_decontaminate",
+    // d20 runs the ENGINE DEFAULT (autoCentroidCount: k ∝ n, expected
+    // cluster ≤128) — per-cluster pairwise work constant, total linear;
+    // p07's distributions are ≤buckets rows, scoring one explode +
+    // broadcast join + partial agg — linear by construction
+    "d20_semdedup", "p07_dsir",
     "v08_ivf_exact",
     // the search surface: FTS-indexed BM25 top-K (bucket-pruned postings
     // scan — growth bounded by bucket-file size, not corpus scans) and

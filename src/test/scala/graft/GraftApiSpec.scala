@@ -76,6 +76,21 @@ class GraftApiSpec extends SparkSpec {
     assert(shuffled != shuffled.sorted)
   }
 
+  test("fluent r18 additions: semDeDup, DSIR") {
+    val sdd = emb.semDeDup(col("embedding"), col("vec_id"), minCosSim = 0.35)
+    assert(sdd.columns.toSet ===
+      Set("id", "cluster_id", "group_id", "centroid_sim", "keep"))
+    assert(sdd.count() === emb.count()) // one verdict row per vector
+    val scored = docs.filter($"doc_id" >= 50).dsirScores(
+      docs.filter($"doc_id" < 50), col("text"), col("doc_id"), buckets = 128)
+    assert(scored.columns.toSet ===
+      Set("id", "n_grams", "score", "gumbel_key"))
+    val picked = docs.filter($"doc_id" >= 50).dsirResample(
+      docs.filter($"doc_id" < 50), col("text"), col("doc_id"), k = 10,
+      buckets = 128)
+    assert(picked.count() === 10)
+  }
+
   test("fluent LTTB downsampling") {
     val ds = docs
       .lttbDownsample(col("doc_id") * 10, col("n_chars").cast("double"),

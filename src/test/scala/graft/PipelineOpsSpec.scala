@@ -461,4 +461,51 @@ class PipelineOpsSpec extends SparkSpec {
     assert(a !== c)                      // different seed, different order
     assert(a !== a.sorted)               // actually shuffled
   }
+
+  test("semDeDup: cluster-local groups, keep = lowest centroid similarity") {
+    // cluster 0 seeded by id 0 = [1,0]; cluster 1 by id 1 = [0,1].
+    // ids 0/2/3 are mutual near-dups in cluster 0 (cos > 0.99); id 4
+    // lands in cluster 1 but is NOT a dup of id 1 (cos ≈ 0.447).
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (2L, Array(1f, 0.1f)), (3L, Array(1f, 0.12f)),
+      (4L, Array(-1f, 0.5f))).toDF("vec_id", "embedding")
+    val out = Dedup.semDeDup(emb, col("embedding"), col("vec_id"),
+        Dedup.seedCentroids(emb, col("embedding"), col("vec_id"), k = 2),
+        minCosSim = 0.95)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    assert(out(0L) === ((0L, 0L, false)))  // dup group {0,2,3}, sim 1.0
+    assert(out(2L) === ((0L, 0L, false)))  // sim ≈ 0.995
+    assert(out(3L) === ((0L, 0L, true)))   // LOWEST centroid sim — kept
+    assert(out(1L) === ((1L, 1L, true)))   // singleton keeps itself
+    assert(out(4L) === ((1L, 4L, true)))   // assigned to 1, no dup pair
+    // centroid_sim ordering that drives the keep rule
+    val sims = Dedup.semDeDup(emb, col("embedding"), col("vec_id"),
+        Dedup.seedCentroids(emb, col("embedding"), col("vec_id"), k = 2),
+        minCosSim = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getFloat(3)).toMap
+    assert(sims(0L) === 1.0f)
+    assert(sims(2L) > sims(3L))
+  }
+
+  test("dsirScores: target-like docs outscore off-target, deterministic") {
+    import graft.operators.Packing
+    val target = Seq((1L, "spark shuffle partition spark shuffle partition"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (10L, "spark shuffle partition spark shuffle"),
+      (11L, "zebra giraffe lion hippo zebra")).toDF("doc_id", "text")
+    def run() = Packing.dsirScores(raw, target, col("text"), col("doc_id"),
+        buckets = 64, seed = "t")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val got = run()
+    assert(got(10L)._1 === 9L)            // 5 unigrams + 4 bigrams
+    assert(got(11L)._1 === 9L)
+    assert(got(10L)._2 > got(11L)._2)     // target-like wins
+    assert(got === run())                 // hash-deterministic
+    val picked = Packing.dsirResample(raw, target, col("text"), col("doc_id"),
+        k = 1, buckets = 64, seed = "t").collect()
+    assert(picked.length === 1)
+  }
 }
