@@ -171,6 +171,15 @@ object Graft {
         alpha: Double = 0.4): DataFrame =
       TextPipeline.lmQualityScore(df, textCol, idCol, alpha)
 
+    /** CCNet head/middle/tail buckets (Wenzek et al. 2020): per-language
+      * equal-count terciles of the LM quality score — keep head(+middle)
+      * for pretraining.
+      */
+    def perplexityBuckets(textCol: Column, idCol: Column, langCol: Column,
+        alpha: Double = 0.4, reference: DataFrame = null): DataFrame =
+      TextPipeline.perplexityBuckets(df, textCol, idCol, langCol, alpha,
+        reference)
+
     /** Canonical-URL dedup groups: normalize each URL to its dedup key
       * and keep group stats (the crawl-pipeline URL-dedup stage).
       * Null-URL rows are excluded from grouping.

@@ -334,6 +334,67 @@ object RelationalOps {
     withCums.drop("__pid")
   }
 
+  /** Distributed rank within a BOUNDED-cardinality key (languages,
+    * sources — dictionary-sized), in `orderCols` order: the keyed twin
+    * of [[partitionedRunningSum]]. A `Window.partitionBy(key)` puts each
+    * key's ENTIRE population into one task — the skew funnel that
+    * collapses on the head language at 100 TB; here rows range-partition
+    * by (key, order...), a map pass assigns local ranks, per-(partition,
+    * key) counts collect to the driver (bounded: partitions × keys),
+    * and the exclusive prefix joins back as a broadcast offset table.
+    *
+    * Adds `__rank` (1-based within key). Make `orderCols` a TOTAL order
+    * (unique tiebreak) or ranks depend on partition-internal arrival.
+    */
+  def keyedRank(df: DataFrame, keyCol: String, orderCols: Seq[Column]): DataFrame = {
+    import org.apache.spark.TaskContext
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val sortCols = col(keyCol) +: orderCols
+    val ranged = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val withRankSchema = StructType(df.schema.fields.toSeq
+      :+ StructField("__local_rank", LongType)
+      :+ StructField("__pid", IntegerType))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(withRankSchema))
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    val local = ranged.mapPartitions { rows =>
+      val pid = TaskContext.getPartitionId()
+      var curKey: Any = null; var started = false; var n = 0L
+      rows.map { r =>
+        val k = r.get(keyIdx)
+        if (!started || k != curKey) { curKey = k; n = 0L; started = true }
+        n += 1
+        Row.fromSeq(r.toSeq :+ n :+ pid)
+      }
+    }(enc).persist() // read once for the count pass, once for the join
+    // Per-(partition, key) counts — bounded collect by the key-cardinality
+    // contract — folded into exclusive prefix offsets per key.
+    val perPart = local.groupBy(col("__pid"), col(keyCol))
+      .agg(max(col("__local_rank")).as("__cnt"))
+      .collect()
+      .map(r => (r.getInt(0), r.get(1), r.getLong(2)))
+    val offRows = perPart.groupBy(_._2).toSeq.flatMap { case (_, parts) =>
+      var running = 0L
+      parts.sortBy(_._1).map { case (pid, k, cnt) =>
+        val off = running; running += cnt; Row(pid, k, off)
+      }
+    }
+    val spark = df.sparkSession
+    val offSchema = StructType(Seq(
+      StructField("__opid", IntegerType),
+      StructField("__okey", df.schema(keyIdx).dataType),
+      StructField("__ooff", LongType)))
+    val offDf = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(offRows).asJava, offSchema)
+    local.join(broadcast(offDf),
+        col("__pid") === col("__opid") && col(keyCol) <=> col("__okey"), "left")
+      .withColumn("__rank",
+        col("__local_rank") + coalesce(col("__ooff"), lit(0L)))
+      .drop("__local_rank", "__pid", "__opid", "__okey", "__ooff")
+  }
+
   /** SummingMergeTree FINAL (`SummingSortedAlgorithm.cpp`): rows with the
     * same key collapse to one row with the numeric columns summed; other
     * columns take an arbitrary surviving value (we pick min for

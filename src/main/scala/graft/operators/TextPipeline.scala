@@ -176,6 +176,56 @@ object TextPipeline {
         .select(col("id"), col("mean_tok_prob")) // raw; callers round ONCE
   }
 
+  /** CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
+    * §4.3, arXiv:1911.00359): per LANGUAGE, rank documents by LM quality
+    * ([[lmQualityScore]] — higher mean token probability = lower
+    * perplexity = more fluent) and split into equal-count terciles;
+    * CCNet keeps head(+middle) for pretraining. Unscorable docs
+    * (< 2 tokens → null score) rank last, landing in the tail.
+    *
+    * Determinism/scale notes: the rank key is the score ROUNDED at 6
+    * decimals (ties broken by id) so the per-engine last-ulp of a
+    * float mean can't flip an ordering; the within-language rank is
+    * [[RelationalOps.keyedRank]] — range-partitioned two-phase, NOT a
+    * per-language window, so the head language doesn't funnel into one
+    * task; the tercile split is the standard ntile rule (first n%3
+    * buckets get the extra row) computed in closed-form integer
+    * arithmetic from the rank and the per-language count, so any engine
+    * replays it exactly.
+    *
+    * Returns `(id, lang, mean_tok_prob, ppl_bucket)` with bucket ∈
+    * head/middle/tail.
+    */
+  def perplexityBuckets(
+      df: DataFrame,
+      textCol: Column,
+      idCol: Column,
+      langCol: Column,
+      alpha: Double = 0.4,
+      reference: DataFrame = null): DataFrame = {
+    val scored = lmQualityScore(df, textCol, idCol, alpha, reference)
+    val base = df.select(idCol.as("id"), langCol.as("lang"))
+      .join(scored, Seq("id"))
+      .withColumn("__s6", round(col("mean_tok_prob"), 6))
+    val ranked = RelationalOps.keyedRank(base, "lang",
+      Seq(col("__s6").desc_nulls_last, col("id").asc))
+    val counts = base.groupBy(col("lang").as("__clang"))
+      .agg(count(lit(1)).as("__n"))
+    val bucketNum = expr(
+      """CASE WHEN __rank <= ((__n div 3) + 1) * (__n % 3)
+        |     THEN (__rank - 1) div ((__n div 3) + 1) + 1
+        |     ELSE (__n % 3) +
+        |          (__rank - ((__n div 3) + 1) * (__n % 3) - 1)
+        |            div greatest(__n div 3, 1) + 1
+        |END""".stripMargin)
+    ranked.join(broadcast(counts), col("lang") <=> col("__clang"))
+      .withColumn("__b", bucketNum)
+      .select(col("id"), col("lang"), col("mean_tok_prob"),
+        when(col("__b") === 1, "head")
+          .when(col("__b") === 2, "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
+
   // RE2-compatible patterns (no lookarounds) — identical semantics under
   // Java regex (Spark) and RE2 (DuckDB oracle / Dolma-style pipelines).
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

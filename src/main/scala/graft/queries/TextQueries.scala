@@ -262,6 +262,21 @@ object TextQueries {
           round(col("mean_tok_prob"), 4).as("mean_tok_prob"))
         .orderBy(col("doc_id"))),
 
+    // CCNet head/middle/tail perplexity buckets (Wenzek et al. 2020):
+    // per-language equal-count terciles of the t20 LM score — CCNet's
+    // keep-head(+middle) corpus cut. Rank key = score rounded at 6
+    // (id tiebreak) so a per-engine float ulp can't flip an ordering;
+    // the within-language rank is the two-phase keyedRank (no
+    // per-language window task funnel); the tercile is the closed-form
+    // ntile rule, replayed by the oracle in integer arithmetic.
+    "t21_ppl_buckets" -> ((s, dir) =>
+      graft.operators.TextPipeline.perplexityBuckets(
+          t(s, dir, "documents"), col("text"), col("doc_id"), col("lang"))
+        .select(col("id").as("doc_id"), col("lang"),
+          round(col("mean_tok_prob"), 4).as("mean_tok_prob"),
+          col("ppl_bucket"))
+        .orderBy(col("doc_id"))),
+
     // Repetition quality signal (Gopher-style, Rae et al. 2021 — public
     // literature): fraction of tokens covered by the most frequent
     // bigram. High values mark boilerplate/looping text; the standard
@@ -701,6 +716,52 @@ object TextQueries {
       FROM s
       GROUP BY s.doc_id
       ORDER BY s.doc_id""",
+    // t21: the t20 score chain, then per-lang rank on round(score, 6)
+    // (DESC NULLS LAST, doc_id tiebreak) and the closed-form ntile(3)
+    // rule — first n%3 buckets take the extra row.
+    "t21_ppl_buckets" -> s"""
+      WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      pos AS (SELECT doc_id,
+                unnest(toks) AS tok,
+                unnest(range(1, len(toks) + 1)) AS pos
+              FROM d),
+      big AS (SELECT doc_id, pos, tok,
+                lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+              FROM pos),
+      uni AS (SELECT tok, count(*) AS c1 FROM pos GROUP BY tok),
+      bi AS (SELECT prev AS p, tok AS w, count(*) AS c2
+             FROM big WHERE prev IS NOT NULL GROUP BY 1, 2),
+      s AS (SELECT big.doc_id,
+              CASE WHEN bi.c2 IS NOT NULL
+                   THEN CAST(bi.c2 AS DOUBLE) / CAST(up.c1 AS DOUBLE)
+                   ELSE 0.4 * CAST(uc.c1 AS DOUBLE)
+                        / CAST((SELECT count(*) FROM pos) AS DOUBLE)
+              END AS sc
+            FROM big
+            LEFT JOIN bi ON bi.p = big.prev AND bi.w = big.tok
+            JOIN uni up ON up.tok = big.prev
+            JOIN uni uc ON uc.tok = big.tok
+            WHERE big.prev IS NOT NULL),
+      sc AS (SELECT d0.doc_id, d0.lang, avg(s.sc) AS score
+             FROM documents d0 LEFT JOIN s ON s.doc_id = d0.doc_id
+             GROUP BY 1, 2),
+      r AS (SELECT doc_id, lang, score,
+              row_number() OVER (PARTITION BY lang
+                ORDER BY round(score, 6) DESC NULLS LAST, doc_id) AS rk,
+              count(1) OVER (PARTITION BY lang) AS n
+            FROM sc),
+      b AS (SELECT doc_id, lang, score,
+              CASE WHEN rk <= ((n // 3) + 1) * (n % 3)
+                   THEN (rk - 1) // ((n // 3) + 1) + 1
+                   ELSE (n % 3) +
+                        (rk - ((n // 3) + 1) * (n % 3) - 1)
+                          // greatest(n // 3, 1) + 1
+              END AS bn
+            FROM r)
+      SELECT doc_id, lang, round(score, 4) AS mean_tok_prob,
+             CASE bn WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END AS ppl_bucket
+      FROM b ORDER BY doc_id""",
     "t18_repetition" -> s"""
       WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
       g AS (SELECT doc_id, len(toks) AS n_tokens,

@@ -48,8 +48,9 @@ object ScaleGrowth {
     // hybrid fusion (FTS leg + dense leg); index builds in the warm pass
     "t07_fts_topk", "h03_hybrid_fts",
     // LM quality scoring: bigram-count self-join + score joins — the
-    // perplexity-filter stage's growth is the count-frame shuffles
-    "t20_lm_quality")
+    // perplexity-filter stage's growth is the count-frame shuffles;
+    // t21 layers the keyed two-phase rank + tercile split on top
+    "t20_lm_quality", "t21_ppl_buckets")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

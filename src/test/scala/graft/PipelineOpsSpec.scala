@@ -489,6 +489,54 @@ class PipelineOpsSpec extends SparkSpec {
     assert(sims(2L) > sims(3L))
   }
 
+  test("keyedRank matches window row_number on random keyed data") {
+    import graft.operators.RelationalOps
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 500).map(i =>
+      (i.toLong, s"k${rnd.nextInt(7)}", rnd.nextInt(40)))
+    val df = rows.toDF("id", "key", "v").repartition(8)
+    val got = RelationalOps.keyedRank(df, "key",
+        Seq(col("v").desc, col("id").asc))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("v").desc, col("id").asc)
+    val exp = df.withColumn("rn", row_number().over(w))
+      .collect().map(r => r.getLong(0) -> r.getInt(3).toLong).toMap
+    assert(got === exp)
+  }
+
+  test("perplexityBuckets: equal-count per-lang terciles, fluent docs in head") {
+    import graft.operators.TextPipeline
+    // 6 'aa' docs: the repeated phrase is high-probability, the shuffled
+    // rare words are low — ntile(3) over 6 gives 2/2/2
+    val docs = Seq(
+      (1L, "aa", "the cat sat on the mat the cat sat on the mat"),
+      (2L, "aa", "the cat sat on the mat again today"),
+      (3L, "aa", "zx qw er ty ui op as df"),
+      (4L, "aa", "the cat sat on the mat"),
+      (5L, "aa", "qw zx ty er op ui df as"),
+      (6L, "aa", "cat the on sat mat the"),
+      (7L, "bb", "solo language doc")).toDF("doc_id", "lang", "text")
+    val rows = TextPipeline.perplexityBuckets(docs, col("text"),
+        col("doc_id"), col("lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]), r.getString(3)))
+    assert(rows.length === 7)
+    val aa = rows.filter(_._2 == "aa")
+    assert(aa.count(_._4 == "head") === 2)     // ntile(3) of 6 = 2/2/2
+    assert(aa.count(_._4 == "middle") === 2)
+    assert(aa.count(_._4 == "tail") === 2)
+    // buckets are consistent with score order: every head score >= every
+    // middle score >= every tail score (within the language)
+    def scoresOf(b: String) = aa.filter(_._4 == b).flatMap(_._3)
+    assert(scoresOf("head").min >= scoresOf("middle").max)
+    assert(scoresOf("middle").min >= scoresOf("tail").max)
+    // the repeated-phrase docs outrank the shuffled-rare-word gibberish
+    val byId = rows.map(r => r._1 -> r._4).toMap
+    assert(Set(byId(3L), byId(5L)).subsetOf(Set("middle", "tail")))
+    assert(byId(7L) === "head")     // single doc in 'bb': rank 1 of 1
+  }
+
   test("dsirScores: target-like docs outscore off-target, deterministic") {
     import graft.operators.Packing
     val target = Seq((1L, "spark shuffle partition spark shuffle partition"))
