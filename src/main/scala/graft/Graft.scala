@@ -118,6 +118,14 @@ object Graft {
       Dedup.lshCosineCoordPairs(df, vecCol, idCol, minCosSim, dim,
         nPlanes, nTables, seed)
 
+    /** Quality-aware dedup retention (SlimPajama/Dolma rule): group any
+      * near-dup pair feed transitively, keep the highest-quality member
+      * per group (ties on the lower id). `df` is the corpus.
+      */
+    def keepBestPerCluster(idCol: Column, qualityCol: Column,
+        pairs: DataFrame): DataFrame =
+      Dedup.keepBestPerCluster(df, idCol, qualityCol, pairs)
+
     def dedupClusters(idA: Column, idB: Column): DataFrame =
       Dedup.connectedComponents(df.select(idA, idB))
 

@@ -828,6 +828,12 @@ object Dedup {
     // Nearest centroid per vector: map-side argmax via max(struct) — the
     // struct orders by (csim desc via max, then lowest cluster id via the
     // negated field); a window here would shuffle the corpus for nothing.
+    // Persisted ON PURPOSE (the d16/t20 recompute-over-persist lesson
+    // cuts the other way here): four consumers read this frame — both
+    // sides of the pair self-join, the labeled output, and the keep
+    // rule — and recomputing it is a full n×k cosine sweep each time,
+    // not a scan-stage projection. The materialized rows are slim
+    // (id, cluster, sim — no vectors).
     val assigned = base.crossJoin(cents)
       .withColumn("__csim",
         graft.functions.distances.cosineSimilarity(col("__v"), col("__cv")))
@@ -835,6 +841,7 @@ object Dedup {
       .agg(max(struct(col("__csim").as("s"), (-col("__cid")).as("nc"))).as("__m"))
       .select(col("id"), (-col("__m.nc")).as("cluster_id"),
         col("__m.s").as("centroid_sim"))
+      .persist()
     val withVec = assigned.join(base, "id")
     // Within-cluster near-dup pairs: the join is keyed on cluster_id, so
     // pairs only ever meet inside one cluster's partition.
@@ -865,6 +872,42 @@ object Dedup {
       .select(col("id"), col("cluster_id"),
         coalesce(col("group_id"), col("id")).as("group_id"),
         col("centroid_sim"),
+        (col("group_id").isNull || col("id") === col("__kept_id")).as("keep"))
+  }
+
+  /** Quality-aware dedup retention — the SlimPajama/Dolma rule: given
+    * any near-dup PAIR feed (n-gram Jaccard, MinHash-LSH, SimHash,
+    * embedding cosine) and a per-document quality signal, group pairs
+    * transitively and KEEP the highest-quality member of each group
+    * (ties on the lower id); singletons keep themselves. The
+    * text-side counterpart of [[semDeDup]]'s keep rule — retention is a
+    * POLICY over clusters, orthogonal to how candidates were found.
+    *
+    * Scale shape: groups come from [[connectedComponents]] over the
+    * sparse pair graph; the keep rule is one max(struct) partial
+    * aggregate over the slim (id, group, quality) membership — nothing
+    * here touches document text.
+    *
+    * Returns one row per input doc: `(id, group_id, quality, keep)`.
+    */
+  def keepBestPerCluster(
+      df: DataFrame,
+      idCol: Column,
+      qualityCol: Column,
+      pairs: DataFrame): DataFrame = {
+    val groups = connectedComponents(pairs)
+      .withColumnRenamed("cluster_id", "group_id")
+    val base = df.select(idCol.as("id"), qualityCol.cast("long").as("quality"))
+    val labeled = base.join(groups, base("id") === groups("id"), "left")
+      .select(base("id"), col("group_id"), col("quality"))
+    val kept = labeled.filter(col("group_id").isNotNull)
+      .groupBy(col("group_id"))
+      .agg(max(struct(col("quality").as("q"), (-col("id")).as("ni"))).as("__k"))
+      .select(col("group_id").as("__g"), (-col("__k.ni")).as("__kept_id"))
+    labeled.join(kept, col("group_id") === col("__g"), "left")
+      .select(col("id"),
+        coalesce(col("group_id"), col("id")).as("group_id"),
+        col("quality"),
         (col("group_id").isNull || col("id") === col("__kept_id")).as("keep"))
   }
 

@@ -251,17 +251,23 @@ object Packing {
       buckets: Int = 1024,
       seed: String = "dsir"): DataFrame = {
     require(buckets > 0, s"buckets must be positive: $buckets")
-    // Per-(doc, bucket) counts — the raw corpus' grams explode ONCE; the
-    // raw distribution re-aggregates these (identical exchange subtree →
-    // Catalyst's ReuseExchange computes it once) and the score join sees
-    // one row per (doc, bucket) instead of one per gram occurrence.
+    // Per-(doc, bucket) counts, PERSISTED: the raw corpus' grams explode
+    // exactly once — this frame feeds the raw distribution, the raw
+    // total, and the score join, and recomputing it re-runs the gram
+    // explode each time (the plan showed it three times unpersisted).
+    // Materialized rows are slim and bounded: ≤ `buckets` rows per doc.
+    // The two distribution frames (≤ buckets rows each) persist for the
+    // same reason at no cost.
     val docBuckets = raw
       .select(idCol.as("id"), explode(hashedGramBuckets(textCol, buckets)).as("__b"))
       .groupBy(col("id"), col("__b")).agg(count(lit(1)).as("__n"))
+      .persist()
     val tCounts = target
       .select(explode(hashedGramBuckets(textCol, buckets)).as("__b"))
       .groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+      .persist()
     val rCounts = docBuckets.groupBy(col("__b")).agg(sum(col("__n")).as("__c"))
+      .persist()
     // Σc is exact integer; the smoothed log-ratio per bucket is two ln's
     // of exact rationals. Missing buckets fall to the +1 numerator via
     // the full join's coalesce.

@@ -204,9 +204,14 @@ object TextPipeline {
       alpha: Double = 0.4,
       reference: DataFrame = null): DataFrame = {
     val scored = lmQualityScore(df, textCol, idCol, alpha, reference)
+    // Persisted: three consumers (the range-partitioner's sample pass,
+    // the rank shuffle, the per-language counts) would each re-run the
+    // whole LM score chain — count-frame joins, not a scan projection.
+    // Materialized rows are slim (id, lang, score).
     val base = df.select(idCol.as("id"), langCol.as("lang"))
       .join(scored, Seq("id"))
       .withColumn("__s6", round(col("mean_tok_prob"), 6))
+      .persist()
     val ranked = RelationalOps.keyedRank(base, "lang",
       Seq(col("__s6").desc_nulls_last, col("id").asc))
     val counts = base.groupBy(col("lang").as("__clang"))

@@ -202,6 +202,21 @@ object DedupQueries {
           col("keep"))
         .orderBy(col("vec_id"))
     }),
+    // Quality-aware dedup retention (the SlimPajama/Dolma rule): the
+    // d02 exact 3-gram-Jaccard pair set grouped transitively, keep =
+    // highest n_chars per group (integer quality — no float anywhere),
+    // ties on the lower id; singletons keep themselves. The oracle
+    // replays pairs, the recursive min-label closure, and the argmax.
+    "d21_dedup_retention" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, col("text"), col("doc_id"),
+          n = 3, minSim = 0.5)
+        .select(col("id_a"), col("id_b"))
+      Dedup.keepBestPerCluster(docs, col("doc_id"), col("n_chars"), pairs)
+        .select(col("id").as("doc_id"), col("group_id"), col("quality"),
+          col("keep"))
+        .orderBy(col("doc_id"))
+    }),
     // Benchmark-contamination check: 5-gram overlap of each corpus doc
     // (doc_id >= 50) against the "benchmark" slice (doc_id < 50).
     "d08_contamination" -> ((s, dir) => {
@@ -402,6 +417,42 @@ object DedupQueries {
         ON b.vec_id < 30 AND c.vec_id >= 30
       GROUP BY b.vec_id
       ORDER BY bench_id""",
+    // d21: the d02 pair CTE + recursive min-label groups + argmax
+    // (quality DESC, id) keep rule — every step integer or exact.
+    "d21_dedup_retention" -> s"""
+      WITH RECURSIVE d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      sh AS (SELECT doc_id, unnest(list_distinct(
+               [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                for i in range(1, len(toks) - 1)])) AS s
+             FROM d),
+      sizes AS (SELECT doc_id, count(1) AS n FROM sh GROUP BY 1),
+      p0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(1) AS inter
+             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+      pairs AS (SELECT id_a, id_b FROM p0
+                JOIN sizes sa ON p0.id_a = sa.doc_id
+                JOIN sizes sb ON p0.id_b = sb.doc_id
+                WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE)
+                      >= 0.5),
+      edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      walk(node, comp) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.node
+        WHERE w.comp < e.v),
+      grp AS (SELECT node, min(comp) AS group_id FROM walk GROUP BY node),
+      q AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS quality FROM documents),
+      kept AS (SELECT group_id, node AS kept_id FROM (
+        SELECT g.group_id, g.node,
+               row_number() OVER (PARTITION BY g.group_id
+                 ORDER BY q.quality DESC, g.node) AS rn
+        FROM grp g JOIN q ON q.doc_id = g.node) WHERE rn = 1)
+      SELECT q.doc_id, coalesce(g.group_id, q.doc_id) AS group_id, q.quality,
+             (g.group_id IS NULL OR q.doc_id = k.kept_id) AS keep
+      FROM q LEFT JOIN grp g ON g.node = q.doc_id
+      LEFT JOIN kept k ON k.group_id = g.group_id
+      ORDER BY q.doc_id""",
     // d20: full SemDeDup replay — seed centroids (vec_id < 8), argmax
     // assignment, cluster-keyed pairs, recursive min-label groups,
     // argmin(centroid_sim, id) keep rule.

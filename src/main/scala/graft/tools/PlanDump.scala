@@ -73,7 +73,10 @@ object PlanDump {
       "t20_lm_quality" -> "LM quality score (CCNet perplexity-filter stage): the MODEL IS A JOIN — bigram/unigram count frames from two groupBys over slim (id, pos, token) rows, score = one left join + two unigram joins + a per-doc avg; nothing model-shaped ever reaches the driver, so the reference corpus can be 100 TB",
       "d19_semantic_contamination" -> "semantic contamination: the benchmark side BROADCASTS (BroadcastNestedLoopJoin — small by definition), the corpus streams one map-side cosine sweep, and only the tiny per-benchmark partial aggregate shuffles — no vector ever moves",
       "p06_epoch_mix" -> "epoch-capped up-sampling mix: the per-source rate table is one tiny aggregate broadcast back; repetition = explode(sequence(0, copies-1)) inside the scan stage — integer ppm arithmetic, no per-source sort, membership a pure function of the id",
-      "q90_scalar_tranche19" -> "scalar tranche 19: the running family (neighbor/runningDifference/runningAccumulate) is DELIBERATELY a single-partition window over layout order — the reference's block-order semantics ARE a serial walk; the deviation is documented at the builder, and scale users get real window functions (q10/q11/e04). The fuzzy multi-regex columns are scan-stage scalars (NFA simulation per row, no shuffle)")
+      "q90_scalar_tranche19" -> "scalar tranche 19: the running family (neighbor/runningDifference/runningAccumulate) is DELIBERATELY a single-partition window over layout order — the reference's block-order semantics ARE a serial walk; the deviation is documented at the builder, and scale users get real window functions (q10/q11/e04). The fuzzy multi-regex columns are scan-stage scalars (NFA simulation per row, no shuffle)",
+      "d20_semdedup" -> "SemDeDup at the engine default: centroid table broadcasts (BroadcastNestedLoopJoin), assignment is a map-side max(struct) partial agg — no window; the pairwise cosine join is keyed on cluster_id so the quadratic is bounded by the largest cluster; dup groups via the star-contraction CC; keep rule = one min(struct) partial agg over the slim grouped membership",
+      "p07_dsir" -> "DSIR importance resampling: both smoothed bucket distributions are <=buckets rows (BROADCAST joins), per-doc score = one gram explode + per-(doc,bucket) partial agg + broadcast weight join, selection = TakeOrderedAndProject on the Gumbel key — no pairwise stage anywhere, the linear-cost selection recipe",
+      "t21_ppl_buckets" -> "CCNet perplexity buckets: the t20 score chain, then the keyed two-phase rank — range repartition on (lang, score6 desc, id), local rank pass, bounded per-(partition, lang) count collect, broadcast offset join — no per-language window funnel; tercile split is closed-form integer arithmetic in the projection")
     val sb = new StringBuilder
     sb.append("# PLANS — headline physical plans (generated by graft.tools.PlanDump)\n")
     sb.append(s"\nScale factor dir: `$sfDir`. Regenerate: " +

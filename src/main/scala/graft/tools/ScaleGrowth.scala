@@ -42,6 +42,9 @@ object ScaleGrowth {
     // p07's distributions are ≤buckets rows, scoring one explode +
     // broadcast join + partial agg — linear by construction
     "d20_semdedup", "p07_dsir",
+    // d21 = the d02 pair feed + star-contraction CC + one max(struct)
+    // partial agg — the retention policy adds only slim-row work
+    "d21_dedup_retention",
     "v08_ivf_exact",
     // the search surface: FTS-indexed BM25 top-K (bucket-pruned postings
     // scan — growth bounded by bucket-file size, not corpus scans) and

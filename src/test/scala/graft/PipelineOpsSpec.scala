@@ -489,6 +489,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(sims(2L) > sims(3L))
   }
 
+  test("keepBestPerCluster: highest quality survives, ties on lower id") {
+    val docs = Seq(
+      (1L, 10L), (2L, 30L), (3L, 30L),  // cluster {1,2,3}: 2 wins tie vs 3
+      (4L, 99L),                         // singleton
+      (5L, 5L), (6L, 7L)).toDF("id", "q") // cluster {5,6}: 6 wins
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.keepBestPerCluster(docs, col("id"), col("q"), pairs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(3)))).toMap
+    assert(out(1L) === ((1L, false)))
+    assert(out(2L) === ((1L, true)))   // quality 30, lower id than 3
+    assert(out(3L) === ((1L, false)))
+    assert(out(4L) === ((4L, true)))   // singleton keeps itself
+    assert(out(5L) === ((5L, false)))
+    assert(out(6L) === ((5L, true)))
+  }
+
   test("keyedRank matches window row_number on random keyed data") {
     import graft.operators.RelationalOps
     val rnd = new scala.util.Random(11)
