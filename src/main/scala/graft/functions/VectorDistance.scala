@@ -238,7 +238,7 @@ object VectorKernels {
           d += q(i) * v; na += q(i) * q(i); nb += v * v; i += 1
         }
         1.0f - (d / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))).toFloat
-      case other =>
+      case other @ (Metric.L1 | Metric.Linf) =>
         // L1 / Linf over dequantized values
         var s = 0f
         while (i < codes.length) {
@@ -248,6 +248,11 @@ object VectorKernels {
           i += 1
         }
         s
+      case other =>
+        // the old catch-all would silently compute L1 for any metric
+        // appended to the enum later (CosineSim hit this) — fail loudly
+        throw new IllegalArgumentException(
+          s"sqDistance does not support metric $other")
     }
   }
 

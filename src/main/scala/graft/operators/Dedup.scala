@@ -884,9 +884,14 @@ object Dedup {
     * POLICY over clusters, orthogonal to how candidates were found.
     *
     * Scale shape: groups come from [[connectedComponents]] over the
-    * sparse pair graph; the keep rule is one max(struct) partial
-    * aggregate over the slim (id, group, quality) membership — nothing
-    * here touches document text.
+    * sparse pair graph; the keep rule is two partial aggregates plus one
+    * slim join over the (id, group, quality) membership — nothing here
+    * touches document text.
+    *
+    * Contract: ids must be integral ([[connectedComponents]] runs
+    * union-find/star-contraction over longs — non-numeric ids fail
+    * loudly at the cast); quality may be ANY orderable type, nulls rank
+    * lowest.
     *
     * Returns one row per input doc: `(id, group_id, quality, keep)`.
     */
@@ -897,13 +902,25 @@ object Dedup {
       pairs: DataFrame): DataFrame = {
     val groups = connectedComponents(pairs)
       .withColumnRenamed("cluster_id", "group_id")
-    val base = df.select(idCol.as("id"), qualityCol.cast("long").as("quality"))
+    val base = df.select(idCol.as("id"), qualityCol.as("quality"))
     val labeled = base.join(groups, base("id") === groups("id"), "left")
       .select(base("id"), col("group_id"), col("quality"))
-    val kept = labeled.filter(col("group_id").isNotNull)
+    // argmax(quality, tie min id) as two partial aggs + one slim join —
+    // no max(struct(q, -id)) trick, which would cast a non-numeric id
+    // to NULL (silently dropping every group member) and would force a
+    // numeric quality; this shape takes ANY orderable id/quality types.
+    // Null-safe quality match so an all-null-quality group still keeps
+    // its lowest id instead of keeping nobody.
+    val grouped = labeled.filter(col("group_id").isNotNull)
+    val best = grouped.groupBy(col("group_id"))
+      .agg(max(col("quality")).as("__bq"))
+      .select(col("group_id").as("__bg"), col("__bq"))
+    val kept = grouped
+      .join(best, col("group_id") === col("__bg") &&
+        col("quality") <=> col("__bq"))
       .groupBy(col("group_id"))
-      .agg(max(struct(col("quality").as("q"), (-col("id")).as("ni"))).as("__k"))
-      .select(col("group_id").as("__g"), (-col("__k.ni")).as("__kept_id"))
+      .agg(min(col("id")).as("__kept_id"))
+      .select(col("group_id").as("__g"), col("__kept_id"))
     labeled.join(kept, col("group_id") === col("__g"), "left")
       .select(col("id"),
         coalesce(col("group_id"), col("id")).as("group_id"),

@@ -95,13 +95,18 @@ case class TopKSearchRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
               case al: Alias if al.exprId == attrId(o.child) => al }
             vd <- al.child.collectFirst { case v: VectorDistance => v }
           } {
-            val isIp = vd.metric == graft.functions.Metric.IP ||
-              vd.metric == graft.functions.Metric.Dot
+            // Similarity-valued metrics (IP/Dot and the raw CosineSim
+            // kernel) rank DESC; distance metrics rank ASC.
+            val isSimilarity = vd.metric == graft.functions.Metric.IP ||
+              vd.metric == graft.functions.Metric.Dot ||
+              vd.metric == graft.functions.Metric.CosineSim
             val wrong =
-              if (isIp) o.direction == Ascending else o.direction == Descending
+              if (isSimilarity) o.direction == Ascending
+              else o.direction == Descending
             if (wrong) throw new IllegalArgumentException(
               s"ORDER BY direction does not match metric ${vd.metric}: " +
-                (if (isIp) "IP ranks by similarity — use ORDER BY ... DESC"
+                (if (isSimilarity)
+                   "similarity metrics rank by similarity — use ORDER BY ... DESC"
                  else "distance metrics rank ascending — use ORDER BY ... ASC") +
                 " (reference 00027_mqvs_check_order_by_for_metric_type)")
           }

@@ -212,7 +212,8 @@ object DedupQueries {
       val pairs = Dedup.ngramJaccardPairs(docs, col("text"), col("doc_id"),
           n = 3, minSim = 0.5)
         .select(col("id_a"), col("id_b"))
-      Dedup.keepBestPerCluster(docs, col("doc_id"), col("n_chars"), pairs)
+      Dedup.keepBestPerCluster(docs, col("doc_id"),
+          col("n_chars").cast("long"), pairs)
         .select(col("id").as("doc_id"), col("group_id"), col("quality"),
           col("keep"))
         .orderBy(col("doc_id"))

@@ -505,6 +505,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(6L) === ((5L, true)))
   }
 
+  test("keepBestPerCluster: fractional quality is not truncated") {
+    // a long-cast of quality would truncate every score to 0 and
+    // degenerate the keep rule to lowest-id — 0.70 must beat 0.31,
+    // and the 0.70 tie must break to the lower id
+    val docs = Seq(
+      (1L, 0.31), (2L, 0.70), (3L, 0.70), (9L, 0.99)).toDF("id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.keepBestPerCluster(docs, col("id"), col("q"), pairs)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out === Map(1L -> false, 2L -> true, 3L -> false, 9L -> true))
+  }
+
   test("keyedRank matches window row_number on random keyed data") {
     import graft.operators.RelationalOps
     val rnd = new scala.util.Random(11)

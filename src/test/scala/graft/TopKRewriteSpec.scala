@@ -334,6 +334,16 @@ class TopKRewriteSpec extends SparkSpec {
       .orderBy(col("d").asc).limit(5)
     val ex2 = intercept[Throwable] { ascIp.collect() }
     assert(msgs(ex2).exists(_.contains("DESC")), ex2.toString)
+    // CosineSim is a SIMILARITY: ASC rejected, DESC passes
+    val ascSim = emb.select(col("vec_id"),
+        distances.cosineSimilarity(col("embedding"), typedLit(qv)).as("s"))
+      .orderBy(col("s").asc).limit(5)
+    val ex3 = intercept[Throwable] { ascSim.collect() }
+    assert(msgs(ex3).exists(_.contains("DESC")), ex3.toString)
+    val descSim = emb.select(col("vec_id"),
+        distances.cosineSimilarity(col("embedding"), typedLit(qv)).as("s"))
+      .orderBy(col("s").desc).limit(5)
+    assert(descSim.collect().length === 5)
     // correct directions pass; the check can be disabled
     assert(topkDf(5).collect().length === 5)
     spark.conf.set("spark.graft.checkOrderByDirection", "false")
