@@ -759,14 +759,27 @@ object Dedup {
       .orderBy(col("cluster_id"))
       .limit(k)
 
-  /** Scale-safe centroid count for [[semDeDup]]'s default path: enough
-    * clusters that the EXPECTED cluster size stays ≤ `targetClusterSize`
-    * (128 — the same constant-occupancy policy as [[scaledPlaneCount]]),
+  /** Centroid count for [[semDeDup]]'s default path: enough clusters
+    * that the EXPECTED cluster size stays ≤ `targetClusterSize` (128 —
+    * the same constant-occupancy policy as [[scaledPlaneCount]]),
     * floored at 8 and capped at 65536 (the centroid table must stay
     * broadcastable). semDeDup's pairwise stage is quadratic in cluster
-    * size, so a FIXED k goes quadratic with the corpus; k ∝ n keeps the
-    * per-cluster work constant and total work linear — the SemDeDup
-    * paper's own posture (50k clusters for LAION-440M).
+    * size, so a FIXED k sends the WITHIN-CLUSTER join quadratic with
+    * the corpus; k ∝ n keeps the per-cluster pairwise work constant —
+    * the SemDeDup paper's own posture (50k clusters for LAION-440M).
+    *
+    * Honest cost accounting: the ASSIGNMENT stage is n×k cosine flops —
+    * the paper's own brute-force k-means-assign budget (they spend it
+    * on GPUs) — so with k ∝ n that term is n²/targetClusterSize and
+    * becomes the bottleneck long before the 65536 cap (above the cap
+    * the pairwise join takes over instead). At the n where n×k flops
+    * stop being affordable, keep this keep-rule machinery and swap the
+    * assignment: route each vector through an ANN structure over the
+    * CENTROID table (the repo's own [[HnswIndex]]/[[IvfIndex]] kernels
+    * — n·log k instead of n·k), or plug in hierarchical k-means
+    * assignment. The measured d20 curve (2.1× time at 20× data) sits in
+    * the regime where the broadcast crossJoin assignment is still the
+    * cheapest correct shape.
     */
   def autoCentroidCount(n: Long, targetClusterSize: Long = 128L): Int =
     math.min(65536L,
@@ -873,6 +886,10 @@ object Dedup {
         coalesce(col("group_id"), col("id")).as("group_id"),
         col("centroid_sim"),
         (col("group_id").isNull || col("id") === col("__kept_id")).as("keep"))
+    // the assignment cache stays live with the returned (lazy) frame —
+    // the partitionedRunningSum/t20 posture: a live plan over an eager
+    // checkpoint that would collapse PLANS.md's tree to an RDD scan;
+    // long-lived sessions can clearCache between pipeline stages
   }
 
   /** Quality-aware dedup retention — the SlimPajama/Dolma rule: given

@@ -268,19 +268,30 @@ object Packing {
       .persist()
     val rCounts = docBuckets.groupBy(col("__b")).agg(sum(col("__n")).as("__c"))
       .persist()
-    // Σc is exact integer; the smoothed log-ratio per bucket is two ln's
-    // of exact rationals. Missing buckets fall to the +1 numerator via
-    // the full join's coalesce.
-    val tTot = tCounts.agg(sum(col("__c")).as("__tt"))
-    val rTot = rCounts.agg(sum(col("__c")).as("__rt"))
+    // Totals are driver-collected from the tiny cached count frames
+    // (one row each): an EMPTY target would otherwise flow a NULL
+    // total into every weight and silently degrade selection to
+    // lowest-id order — fail loudly instead. Σc is exact integer; the
+    // smoothed log-ratio per bucket is two ln's of exact rationals.
+    // Missing buckets fall to the +1 numerator via the full join's
+    // coalesce.
+    val tTotRow = tCounts.agg(sum(col("__c"))).collect()(0)
+    require(!tTotRow.isNullAt(0) && tTotRow.getLong(0) > 0L,
+      "DSIR target corpus has no grams (empty target, or all target " +
+        "text tokenizes to nothing) — importance weights are undefined")
+    val tTot = tTotRow.getLong(0)
+    val rTot = Option(rCounts.agg(sum(col("__c"))).collect()(0))
+      .filterNot(_.isNullAt(0)).map(_.getLong(0)).getOrElse(0L)
     val weights = tCounts.withColumnRenamed("__c", "__ct")
       .join(rCounts.withColumnRenamed("__c", "__cr"), Seq("__b"), "full")
-      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
       .select(col("__b"),
         (log((coalesce(col("__ct"), lit(0L)) + 1L).cast("double") /
-             (col("__tt") + buckets).cast("double")) -
+             lit((tTot + buckets).toDouble)) -
          log((coalesce(col("__cr"), lit(0L)) + 1L).cast("double") /
-             (col("__rt") + buckets).cast("double"))).as("__w"))
+             lit((rTot + buckets).toDouble))).as("__w"))
+    // the gram caches stay live with the returned (lazy) frame — the
+    // partitionedRunningSum/t20 posture: live plan over eager
+    // checkpoint; all three frames are slim and bucket-bounded
     docBuckets.join(broadcast(weights), Seq("__b"))
       .groupBy(col("id"))
       .agg(sum(col("__n")).as("n_grams"),

@@ -369,30 +369,46 @@ object RelationalOps {
         Row.fromSeq(r.toSeq :+ n :+ pid)
       }
     }(enc).persist() // read once for the count pass, once for the join
-    // Per-(partition, key) counts — bounded collect by the key-cardinality
-    // contract — folded into exclusive prefix offsets per key.
-    val perPart = local.groupBy(col("__pid"), col(keyCol))
-      .agg(max(col("__local_rank")).as("__cnt"))
-      .collect()
-      .map(r => (r.getInt(0), r.get(1), r.getLong(2)))
-    val offRows = perPart.groupBy(_._2).toSeq.flatMap { case (_, parts) =>
-      var running = 0L
-      parts.sortBy(_._1).map { case (pid, k, cnt) =>
-        val off = running; running += cnt; Row(pid, k, off)
+    try {
+      // Per-(partition, key) counts — bounded collect by the
+      // key-cardinality contract, ENFORCED: take(cap+1) streams at most
+      // cap+1 rows to the driver (no silent OOM on a mistaken
+      // high-cardinality key), then fails loudly.
+      val cap = 1000000
+      val perPartRows = local.groupBy(col("__pid"), col(keyCol))
+        .agg(max(col("__local_rank")).as("__cnt"))
+        .take(cap + 1)
+      require(perPartRows.length <= cap,
+        s"keyedRank requires a bounded-cardinality key (dictionary-sized, " +
+          s"e.g. language/source): got more than $cap (partition, key) " +
+          "groups — was a document id passed as the key?")
+      val perPart = perPartRows.map(r => (r.getInt(0), r.get(1), r.getLong(2)))
+      val offRows = perPart.groupBy(_._2).toSeq.flatMap { case (_, parts) =>
+        var running = 0L
+        parts.sortBy(_._1).map { case (pid, k, cnt) =>
+          val off = running; running += cnt; Row(pid, k, off)
+        }
       }
+      val spark = df.sparkSession
+      val offSchema = StructType(Seq(
+        StructField("__opid", IntegerType),
+        StructField("__okey", df.schema(keyIdx).dataType),
+        StructField("__ooff", LongType)))
+      val offDf = spark.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(offRows).asJava, offSchema)
+      local.join(broadcast(offDf),
+          col("__pid") === col("__opid") && col(keyCol) <=> col("__okey"), "left")
+        .withColumn("__rank",
+          col("__local_rank") + coalesce(col("__ooff"), lit(0L)))
+        .drop("__local_rank", "__pid", "__opid", "__okey", "__ooff")
+    } catch {
+      case t: Throwable => local.unpersist(blocking = false); throw t
     }
-    val spark = df.sparkSession
-    val offSchema = StructType(Seq(
-      StructField("__opid", IntegerType),
-      StructField("__okey", df.schema(keyIdx).dataType),
-      StructField("__ooff", LongType)))
-    val offDf = spark.createDataFrame(
-      scala.jdk.CollectionConverters.SeqHasAsJava(offRows).asJava, offSchema)
-    local.join(broadcast(offDf),
-        col("__pid") === col("__opid") && col(keyCol) <=> col("__okey"), "left")
-      .withColumn("__rank",
-        col("__local_rank") + coalesce(col("__ooff"), lit(0L)))
-      .drop("__local_rank", "__pid", "__opid", "__okey", "__ooff")
+    // the local-rank cache stays live with the returned (lazy) frame —
+    // the partitionedRunningSum posture: a live plan (PLANS.md shows the
+    // real tree through InMemoryRelation) over an eager checkpoint that
+    // would collapse it to an opaque RDD scan; rows are slim (input
+    // columns + one long)
   }
 
   /** SummingMergeTree FINAL (`SummingSortedAlgorithm.cpp`): rows with the

@@ -181,7 +181,9 @@ object TextPipeline {
     * ([[lmQualityScore]] — higher mean token probability = lower
     * perplexity = more fluent) and split into equal-count terciles;
     * CCNet keeps head(+middle) for pretraining. Unscorable docs
-    * (< 2 tokens → null score) rank last, landing in the tail.
+    * (< 2 tokens → null score) rank last AND are forced to 'tail'
+    * unconditionally — in a language with fewer docs than buckets the
+    * ntile rank alone would put them in head/middle.
     *
     * Determinism/scale notes: the rank key is the score ROUNDED at 6
     * decimals (ties broken by id) so the per-engine last-ulp of a
@@ -207,7 +209,8 @@ object TextPipeline {
     // Persisted: three consumers (the range-partitioner's sample pass,
     // the rank shuffle, the per-language counts) would each re-run the
     // whole LM score chain — count-frame joins, not a scan projection.
-    // Materialized rows are slim (id, lang, score).
+    // Slim rows (id, lang, score); the cache stays live with the
+    // returned lazy frame (the house live-plan posture — see keyedRank).
     val base = df.select(idCol.as("id"), langCol.as("lang"))
       .join(scored, Seq("id"))
       .withColumn("__s6", round(col("mean_tok_prob"), 6))
@@ -223,10 +226,15 @@ object TextPipeline {
         |          (__rank - ((__n div 3) + 1) * (__n % 3) - 1)
         |            div greatest(__n div 3, 1) + 1
         |END""".stripMargin)
+    // Unscorable docs (null score) are ALWAYS 'tail', even when their
+    // language has fewer docs than buckets — a keep-head(+middle) cut
+    // must never retain empty/unscorable documents just because their
+    // language is small. Scorable docs take the ntile bucket.
     ranked.join(broadcast(counts), col("lang") <=> col("__clang"))
       .withColumn("__b", bucketNum)
       .select(col("id"), col("lang"), col("mean_tok_prob"),
-        when(col("__b") === 1, "head")
+        when(col("mean_tok_prob").isNull, "tail")
+          .when(col("__b") === 1, "head")
           .when(col("__b") === 2, "middle")
           .otherwise("tail").as("ppl_bucket"))
   }

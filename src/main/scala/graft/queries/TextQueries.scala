@@ -759,7 +759,8 @@ object TextQueries {
               END AS bn
             FROM r)
       SELECT doc_id, lang, round(score, 4) AS mean_tok_prob,
-             CASE bn WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+             CASE WHEN score IS NULL THEN 'tail'
+                  WHEN bn = 1 THEN 'head' WHEN bn = 2 THEN 'middle'
                   ELSE 'tail' END AS ppl_bucket
       FROM b ORDER BY doc_id""",
     "t18_repetition" -> s"""

@@ -544,12 +544,13 @@ class PipelineOpsSpec extends SparkSpec {
       (4L, "aa", "the cat sat on the mat"),
       (5L, "aa", "qw zx ty er op ui df as"),
       (6L, "aa", "cat the on sat mat the"),
-      (7L, "bb", "solo language doc")).toDF("doc_id", "lang", "text")
+      (7L, "bb", "solo language doc"),
+      (8L, "cc", "single")).toDF("doc_id", "lang", "text")
     val rows = TextPipeline.perplexityBuckets(docs, col("text"),
         col("doc_id"), col("lang"))
       .collect().map(r => (r.getLong(0), r.getString(1),
         Option(r.get(2)).map(_.asInstanceOf[Double]), r.getString(3)))
-    assert(rows.length === 7)
+    assert(rows.length === 8)
     val aa = rows.filter(_._2 == "aa")
     assert(aa.count(_._4 == "head") === 2)     // ntile(3) of 6 = 2/2/2
     assert(aa.count(_._4 == "middle") === 2)
@@ -563,6 +564,9 @@ class PipelineOpsSpec extends SparkSpec {
     val byId = rows.map(r => r._1 -> r._4).toMap
     assert(Set(byId(3L), byId(5L)).subsetOf(Set("middle", "tail")))
     assert(byId(7L) === "head")     // single doc in 'bb': rank 1 of 1
+    // an UNSCORABLE doc (1 token, null score) is forced to tail even
+    // as its language's only member — keep-head must never retain it
+    assert(byId(8L) === "tail")
   }
 
   test("dsirScores: target-like docs outscore off-target, deterministic") {
