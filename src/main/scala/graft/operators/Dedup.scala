@@ -768,18 +768,15 @@ object Dedup {
     * the corpus; k ∝ n keeps the per-cluster pairwise work constant —
     * the SemDeDup paper's own posture (50k clusters for LAION-440M).
     *
-    * Honest cost accounting: the ASSIGNMENT stage is n×k cosine flops —
-    * the paper's own brute-force k-means-assign budget (they spend it
-    * on GPUs) — so with k ∝ n that term is n²/targetClusterSize and
-    * becomes the bottleneck long before the 65536 cap (above the cap
-    * the pairwise join takes over instead). At the n where n×k flops
-    * stop being affordable, keep this keep-rule machinery and swap the
-    * assignment: route each vector through an ANN structure over the
-    * CENTROID table (the repo's own [[HnswIndex]]/[[IvfIndex]] kernels
-    * — n·log k instead of n·k), or plug in hierarchical k-means
-    * assignment. The measured d20 curve (2.1× time at 20× data) sits in
-    * the regime where the broadcast crossJoin assignment is still the
-    * cheapest correct shape.
+    * Honest cost accounting: [[semDeDup]]'s assignment is IVF-style
+    * two-level (⌈√k⌉ super-centroids route each vector to one member
+    * subset), so the stage costs n·2√k cosine flops — under k ∝ n that
+    * is n^1.5/√targetClusterSize, sub-quadratic but not linear (the
+    * flat n×k scan the paper budgets GPU time for would be
+    * n²/targetClusterSize). Past this regime, deepen the hierarchy
+    * (3-level = n^(4/3)) or route through a trained coarse quantizer /
+    * ANN graph over the centroid table ([[HnswIndex]] kernels —
+    * n·log k); the keep-rule machinery is unchanged by the router.
     */
   def autoCentroidCount(n: Long, targetClusterSize: Long = 128L): Int =
     math.min(65536L,
@@ -838,16 +835,46 @@ object Dedup {
     val cents = broadcast(
       centroids.select(col("cluster_id").cast("long").as("__cid"),
         col("centroid").as("__cv")))
-    // Nearest centroid per vector: map-side argmax via max(struct) — the
-    // struct orders by (csim desc via max, then lowest cluster id via the
-    // negated field); a window here would shuffle the corpus for nothing.
+    // Nearest-centroid assignment, IVF-style TWO-LEVEL (the FAISS coarse-
+    // quantizer shape, fully deterministic so the oracle replays it):
+    // the ⌈√k⌉ lowest-id centroids double as SUPER-centroids; each
+    // centroid routes to its nearest super (k×√k — tiny), each vector
+    // routes to its nearest super (n×√k) and then argmaxes over only
+    // that super's member centroids (n×k/√k expected) — n·2√k cosine
+    // flops total instead of the flat scan's n·k (45× at k=8k), at the
+    // cost of IVF's usual approximation: a vector may land on a
+    // neighboring cluster when its true-best centroid routed elsewhere
+    // (SemDeDup's clustering is a heuristic partition; the dedup
+    // semantics downstream are unchanged). Ties break on the lower id
+    // at every level; duplicate-vector supers are never selected (the
+    // same tie-break governs both routing argmaxes). Each argmax is a
+    // map-side max(struct) partial agg — no window shuffles the corpus.
+    val kCount = centroids.count()
+    val kPrime = math.max(1L, math.ceil(math.sqrt(kCount.toDouble)).toLong).toInt
+    val sups = broadcast(
+      centroids.select(col("cluster_id").cast("long").as("__sid"),
+          col("centroid").as("__sv"))
+        .orderBy(col("__sid")).limit(kPrime))
+    def routeToSuper(src: DataFrame, vec: String, out: String): DataFrame =
+      src.crossJoin(sups)
+        .withColumn("__ssim",
+          graft.functions.distances.cosineSimilarity(col(vec), col("__sv")))
+        .groupBy(src.columns.map(col).toSeq: _*)
+        .agg(max(struct(col("__ssim").as("s"), (-col("__sid")).as("ns"))).as("__sm"))
+        .withColumn(out, -col("__sm.ns"))
+        .drop("__sm")
+    // centroid → super membership (k rows, broadcast with the vectors)
+    val memb = broadcast(
+      routeToSuper(cents, "__cv", "__msid").select(col("__msid"),
+        col("__cid"), col("__cv")))
     // Persisted ON PURPOSE (the d16/t20 recompute-over-persist lesson
     // cuts the other way here): four consumers read this frame — both
     // sides of the pair self-join, the labeled output, and the keep
-    // rule — and recomputing it is a full n×k cosine sweep each time,
+    // rule — and recomputing it is a full n×√k cosine sweep each time,
     // not a scan-stage projection. The materialized rows are slim
     // (id, cluster, sim — no vectors).
-    val assigned = base.crossJoin(cents)
+    val assigned = routeToSuper(base, "__v", "__vsid")
+      .join(memb, col("__vsid") === col("__msid"))
       .withColumn("__csim",
         graft.functions.distances.cosineSimilarity(col("__v"), col("__cv")))
       .groupBy(col("id"))

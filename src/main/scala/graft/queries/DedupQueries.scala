@@ -185,15 +185,15 @@ object DedupQueries {
     }),
     // SemDeDup (Abbas et al. 2023) at the ENGINE DEFAULT: seed-centroid
     // count derived from the corpus count (autoCentroidCount — expected
-    // cluster size ≤128, the scale-safe policy), nearest-centroid
-    // assignment, within-cluster cosine pairs, transitive dup groups,
-    // keep = lowest centroid-similarity member (the paper's
-    // keep-the-outlier rule). The oracle replays every stage — INCLUDING
-    // deriving k from count(*) with the engine's formula — so one static
-    // SQL replays the shipped default at any SF: argmax assignment
-    // (row_number over csim DESC), the cluster-keyed pair join,
-    // recursive min-label components, and the argmin keep rule — all on
-    // DuckDB's Float32 cosine kernel.
+    // cluster size ≤128, the scale-safe policy), IVF-style TWO-LEVEL
+    // nearest-centroid assignment (√k super-centroids route vectors to
+    // a member subset — n·2√k flops, not n·k), within-cluster cosine
+    // pairs, transitive dup groups, keep = lowest centroid-similarity
+    // member (the paper's keep-the-outlier rule). The oracle replays
+    // every stage — INCLUDING deriving k and ⌈√k⌉ from count(*) with
+    // the engine's formulas and BOTH routing argmaxes — so one static
+    // SQL replays the shipped default at any SF, all on DuckDB's
+    // Float32 cosine kernel.
     "d20_semdedup" -> ((s, dir) => {
       Dedup.semDeDup(t(s, dir, "embeddings"), col("embedding"),
           col("vec_id"), minCosSim = 0.35)
@@ -466,14 +466,37 @@ object DedupQueries {
           SELECT vec_id, embedding,
                  row_number() OVER (ORDER BY vec_id) AS rn FROM embeddings)
         WHERE rn <= (SELECT k FROM kk)),
+      sup AS (
+        SELECT cid AS sid, cemb AS semb FROM (
+          SELECT cid, cemb, row_number() OVER (ORDER BY cid) AS rn FROM cent)
+        WHERE rn <= (SELECT CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT)
+                     FROM kk)),
+      c2s AS (
+        SELECT cid, cemb, sid FROM (
+          SELECT c.cid, c.cemb, s.sid,
+                 row_number() OVER (PARTITION BY c.cid
+                   ORDER BY list_cosine_similarity(c.cemb, s.semb) DESC,
+                            s.sid) AS rn
+          FROM cent c CROSS JOIN sup s)
+        WHERE rn = 1),
+      v2s AS (
+        SELECT vec_id, sid FROM (
+          SELECT e.vec_id, s.sid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.embedding, s.semb) DESC,
+                            s.sid) AS rn
+          FROM embeddings e CROSS JOIN sup s)
+        WHERE rn = 1),
       asg AS (
         SELECT vec_id, cid, csim FROM (
-          SELECT e.vec_id, c.cid,
-                 list_cosine_similarity(e.embedding, c.cemb) AS csim,
+          SELECT e.vec_id, m.cid,
+                 list_cosine_similarity(e.embedding, m.cemb) AS csim,
                  row_number() OVER (PARTITION BY e.vec_id
-                   ORDER BY list_cosine_similarity(e.embedding, c.cemb) DESC,
-                            c.cid) AS rn
-          FROM embeddings e CROSS JOIN cent c)
+                   ORDER BY list_cosine_similarity(e.embedding, m.cemb) DESC,
+                            m.cid) AS rn
+          FROM embeddings e
+          JOIN v2s ON v2s.vec_id = e.vec_id
+          JOIN c2s m ON m.sid = v2s.sid)
         WHERE rn = 1),
       pairs AS (
         SELECT x.vec_id AS id_a, y.vec_id AS id_b

@@ -38,11 +38,10 @@ object ScaleGrowth {
     "d10_lsh_clusters", "d09_lsh_cosine", "d12_span_dups",
     "d13_incremental_lsh", "d14_line_dedup", "d16_decontaminate",
     // d20 runs the ENGINE DEFAULT (autoCentroidCount: k ∝ n, expected
-    // cluster ≤128) — per-cluster pairwise work constant; NOTE the n×k
-    // assignment term is n²/128 under this policy (the paper's own
-    // k-means-assign budget; swap in ANN-over-centroids past this
-    // regime — see autoCentroidCount's docs), so the measured curve is
-    // the broadcast-assignment regime, not an asymptotic-linearity claim;
+    // cluster ≤128) — per-cluster pairwise work constant; assignment is
+    // the IVF-style two-level router (n·2√k flops — n^1.5/√128 under
+    // k ∝ n, sub-quadratic; see autoCentroidCount's docs for the
+    // deeper-hierarchy/ANN path beyond);
     // p07's distributions are ≤buckets rows, scoring one explode +
     // broadcast join + partial agg — linear by construction
     "d20_semdedup", "p07_dsir",
