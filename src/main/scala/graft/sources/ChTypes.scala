@@ -120,7 +120,9 @@ object ChTypes {
 
   /** Parse a reference type name to (engine type, nullable). */
   def toSpark(ch: String): (DataType, Boolean) = {
-    val s = ch.trim
+    // the reference's parser allows /* comments */ inside a type
+    // declaration (00477_parsing_data_types: `Array( /* Hello */ UInt32 )`)
+    val s = ch.replaceAll("/\\*([^*]|\\*[^/])*\\*/", " ").trim
     def inner(name: String): String = {
       val i = s.indexOf('(')
       require(i >= 0 && s.endsWith(")"), s"malformed type: $s")

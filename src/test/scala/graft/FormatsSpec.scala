@@ -189,6 +189,10 @@ class FormatsSpec extends SparkSpec {
     assert(natBack.collect().map(_.toString).toSeq === in.collect().map(_.toString).toSeq)
     // the Decimal256(S) alias spelling maps like Decimal(76, S)
     assert(ChTypes.toSpark("Decimal256(2)")._1 === DecimalType(38, 2))
+    // inline comments inside a type declaration parse (00477)
+    assert(ChTypes.toSpark("Array( /* Hello */ UInt32 /* World */ )")._1
+      === org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, false))
     assert(ChTypes.decimalWireWidth("Decimal256(2)", 38) === 32)
     assert(ChTypes.decimalWireWidth("Decimal(76, 2)", 38) === 32)
     assert(ChTypes.decimalWireWidth("Decimal(9, 2)", 38) === 4)
