@@ -769,8 +769,9 @@ object Dedup {
     * the SemDeDup paper's own posture (50k clusters for LAION-440M).
     *
     * Honest cost accounting: [[semDeDup]]'s assignment is IVF-style
-    * two-level (⌈√k⌉ super-centroids route each vector to one member
-    * subset), so the stage costs n·2√k cosine flops — under k ∝ n that
+    * two-level with nprobe=2 multi-probe (⌈√k⌉ super-centroids; each
+    * vector probes its top-2 supers' members), so the stage costs
+    * n·3√k cosine flops — under k ∝ n that
     * is n^1.5/√targetClusterSize, sub-quadratic but not linear (the
     * flat n×k scan the paper budgets GPU time for would be
     * n²/targetClusterSize). Past this regime, deepen the hierarchy
@@ -835,45 +836,54 @@ object Dedup {
     val cents = broadcast(
       centroids.select(col("cluster_id").cast("long").as("__cid"),
         col("centroid").as("__cv")))
-    // Nearest-centroid assignment, IVF-style TWO-LEVEL (the FAISS coarse-
-    // quantizer shape, fully deterministic so the oracle replays it):
-    // the ⌈√k⌉ lowest-id centroids double as SUPER-centroids; each
-    // centroid routes to its nearest super (k×√k — tiny), each vector
-    // routes to its nearest super (n×√k) and then argmaxes over only
-    // that super's member centroids (n×k/√k expected) — n·2√k cosine
-    // flops total instead of the flat scan's n·k (45× at k=8k), at the
-    // cost of IVF's usual approximation: a vector may land on a
-    // neighboring cluster when its true-best centroid routed elsewhere
+    // Nearest-centroid assignment, IVF-style TWO-LEVEL with MULTI-PROBE
+    // (the FAISS coarse-quantizer shape, fully deterministic so the
+    // oracle replays it): the ⌈√k⌉ lowest-id centroids double as
+    // SUPER-centroids; each centroid routes to its single nearest super
+    // (k×√k — tiny; memberships stay a PARTITION), each vector probes
+    // its TOP-2 supers (n×√k routing) and argmaxes over their member
+    // centroids (n·2·k/√k expected) — n·3√k cosine flops total instead
+    // of the flat scan's n·k (30× at k=8k), at the cost of IVF's usual
+    // approximation: a vector may land on a neighboring cluster when
+    // its true-best centroid routed outside both probed supers
     // (SemDeDup's clustering is a heuristic partition; the dedup
-    // semantics downstream are unchanged). Ties break on the lower id
-    // at every level; duplicate-vector supers are never selected (the
-    // same tie-break governs both routing argmaxes). Each argmax is a
-    // map-side max(struct) partial agg — no window shuffles the corpus.
+    // semantics downstream are unchanged; the router spec pins observed
+    // agreement with the flat argmax). Ties break on the lower id at
+    // every level; duplicate-vector supers are never probed ahead of
+    // their lower-id twin. The probe window partitions by VECTOR id —
+    // maximal cardinality, no skew funnel.
     val kCount = centroids.count()
     val kPrime = math.max(1L, math.ceil(math.sqrt(kCount.toDouble)).toLong).toInt
+    val probes = 2
     val sups = broadcast(
       centroids.select(col("cluster_id").cast("long").as("__sid"),
           col("centroid").as("__sv"))
         .orderBy(col("__sid")).limit(kPrime))
-    def routeToSuper(src: DataFrame, vec: String, out: String): DataFrame =
-      src.crossJoin(sups)
-        .withColumn("__ssim",
-          graft.functions.distances.cosineSimilarity(col(vec), col("__sv")))
-        .groupBy(src.columns.map(col).toSeq: _*)
-        .agg(max(struct(col("__ssim").as("s"), (-col("__sid")).as("ns"))).as("__sm"))
-        .withColumn(out, -col("__sm.ns"))
-        .drop("__sm")
-    // centroid → super membership (k rows, broadcast with the vectors)
+    // centroid → super membership (k rows, broadcast with the vectors):
+    // top-1 via max(struct) — a partition, not a cover
     val memb = broadcast(
-      routeToSuper(cents, "__cv", "__msid").select(col("__msid"),
-        col("__cid"), col("__cv")))
+      cents.crossJoin(sups)
+        .withColumn("__ssim",
+          graft.functions.distances.cosineSimilarity(col("__cv"), col("__sv")))
+        .groupBy(col("__cid"), col("__cv"))
+        .agg(max(struct(col("__ssim").as("s"), (-col("__sid")).as("ns"))).as("__sm"))
+        .select((-col("__sm.ns")).as("__msid"), col("__cid"), col("__cv")))
+    // vector → top-`probes` supers
+    val probeW = Window.partitionBy(col("id"))
+      .orderBy(col("__ssim").desc, col("__sid").asc)
+    val v2s = base.crossJoin(sups)
+      .withColumn("__ssim",
+        graft.functions.distances.cosineSimilarity(col("__v"), col("__sv")))
+      .withColumn("__rn", row_number().over(probeW))
+      .filter(col("__rn") <= probes)
+      .select(col("id"), col("__v"), col("__sid").as("__vsid"))
     // Persisted ON PURPOSE (the d16/t20 recompute-over-persist lesson
     // cuts the other way here): four consumers read this frame — both
     // sides of the pair self-join, the labeled output, and the keep
     // rule — and recomputing it is a full n×√k cosine sweep each time,
     // not a scan-stage projection. The materialized rows are slim
     // (id, cluster, sim — no vectors).
-    val assigned = routeToSuper(base, "__v", "__vsid")
+    val assigned = v2s
       .join(memb, col("__vsid") === col("__msid"))
       .withColumn("__csim",
         graft.functions.distances.cosineSimilarity(col("__v"), col("__cv")))

@@ -186,12 +186,13 @@ object DedupQueries {
     // SemDeDup (Abbas et al. 2023) at the ENGINE DEFAULT: seed-centroid
     // count derived from the corpus count (autoCentroidCount — expected
     // cluster size ≤128, the scale-safe policy), IVF-style TWO-LEVEL
-    // nearest-centroid assignment (√k super-centroids route vectors to
-    // a member subset — n·2√k flops, not n·k), within-cluster cosine
+    // nearest-centroid assignment with nprobe=2 multi-probe (√k
+    // super-centroids; vectors probe their top-2 supers' members —
+    // n·3√k flops, not n·k), within-cluster cosine
     // pairs, transitive dup groups, keep = lowest centroid-similarity
     // member (the paper's keep-the-outlier rule). The oracle replays
     // every stage — INCLUDING deriving k and ⌈√k⌉ from count(*) with
-    // the engine's formulas and BOTH routing argmaxes — so one static
+    // the engine's formulas and the full multi-probe routing — so one static
     // SQL replays the shipped default at any SF, all on DuckDB's
     // Float32 cosine kernel.
     "d20_semdedup" -> ((s, dir) => {
@@ -486,7 +487,7 @@ object DedupQueries {
                    ORDER BY list_cosine_similarity(e.embedding, s.semb) DESC,
                             s.sid) AS rn
           FROM embeddings e CROSS JOIN sup s)
-        WHERE rn = 1),
+        WHERE rn <= 2),
       asg AS (
         SELECT vec_id, cid, csim FROM (
           SELECT e.vec_id, m.cid,

@@ -39,7 +39,7 @@ object ScaleGrowth {
     "d13_incremental_lsh", "d14_line_dedup", "d16_decontaminate",
     // d20 runs the ENGINE DEFAULT (autoCentroidCount: k ∝ n, expected
     // cluster ≤128) — per-cluster pairwise work constant; assignment is
-    // the IVF-style two-level router (n·2√k flops — n^1.5/√128 under
+    // the IVF-style two-level multi-probe router (n·3√k flops — n^1.5 under
     // k ∝ n, sub-quadratic; see autoCentroidCount's docs for the
     // deeper-hierarchy/ANN path beyond);
     // p07's distributions are ≤buckets rows, scoring one explode +
