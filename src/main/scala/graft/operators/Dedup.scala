@@ -833,9 +833,6 @@ object Dedup {
       centroids: DataFrame,
       minCosSim: Double): DataFrame = {
     val base = df.select(idCol.as("id"), vecCol.as("__v"))
-    val cents = broadcast(
-      centroids.select(col("cluster_id").cast("long").as("__cid"),
-        col("centroid").as("__cv")))
     // Nearest-centroid assignment, IVF-style TWO-LEVEL with MULTI-PROBE
     // (the FAISS coarse-quantizer shape, fully deterministic so the
     // oracle replays it): the ⌈√k⌉ lowest-id centroids double as
@@ -852,31 +849,53 @@ object Dedup {
     // every level; duplicate-vector supers are never probed ahead of
     // their lower-id twin. The probe window partitions by VECTOR id —
     // maximal cardinality, no skew funnel.
-    val kCount = centroids.count()
-    val kPrime = math.max(1L, math.ceil(math.sqrt(kCount.toDouble)).toLong).toInt
+    // The centroid table is broadcast-sized BY CONTRACT (≤65536 rows) —
+    // collect it ONCE so (a) a non-deterministic centroid source
+    // (trained k-means, the documented production path) cannot produce
+    // inconsistent supers/membership across the plan's several centroid
+    // consumers, and (b) k comes from the row count with no extra jobs.
+    val centRows = centroids
+      .select(col("cluster_id").cast("long"), col("centroid"))
+      .collect()
+    require(centRows.nonEmpty, "semDeDup requires at least one centroid")
+    val kCount = centRows.length
+    val kPrime = math.max(1, math.ceil(math.sqrt(kCount.toDouble)).toInt)
     val probes = 2
-    val sups = broadcast(
-      centroids.select(col("cluster_id").cast("long").as("__sid"),
-          col("centroid").as("__sv"))
-        .orderBy(col("__sid")).limit(kPrime))
+    val centSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__cid",
+        org.apache.spark.sql.types.LongType),
+      centroids.schema.fields
+        .find(_.name == "centroid").get.copy(name = "__cv")))
+    val spark = df.sparkSession
+    def centDf(rows: Seq[org.apache.spark.sql.Row]) = broadcast(
+      spark.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, centSchema))
+    val centsB = centDf(centRows.toSeq)
+    val sups = centDf(centRows.sortBy(_.getLong(0)).take(kPrime).toSeq)
+      .select(col("__cid").as("__sid"), col("__cv").as("__sv"))
     // centroid → super membership (k rows, broadcast with the vectors):
     // top-1 via max(struct) — a partition, not a cover
     val memb = broadcast(
-      cents.crossJoin(sups)
+      centsB.crossJoin(sups)
         .withColumn("__ssim",
           graft.functions.distances.cosineSimilarity(col("__cv"), col("__sv")))
         .groupBy(col("__cid"), col("__cv"))
         .agg(max(struct(col("__ssim").as("s"), (-col("__sid")).as("ns"))).as("__sm"))
         .select((-col("__sm.ns")).as("__msid"), col("__cid"), col("__cv")))
-    // vector → top-`probes` supers
+    // vector → top-`probes` supers. The probe window sees only SLIM
+    // (id, super, sim) rows — the vector column is projected away
+    // before the rank shuffle and re-joined once afterwards, so the
+    // embeddings cross the exchange once (keyed by id), not √k times.
     val probeW = Window.partitionBy(col("id"))
       .orderBy(col("__ssim").desc, col("__sid").asc)
     val v2s = base.crossJoin(sups)
       .withColumn("__ssim",
         graft.functions.distances.cosineSimilarity(col("__v"), col("__sv")))
+      .select(col("id"), col("__sid"), col("__ssim"))
       .withColumn("__rn", row_number().over(probeW))
       .filter(col("__rn") <= probes)
-      .select(col("id"), col("__v"), col("__sid").as("__vsid"))
+      .select(col("id"), col("__sid").as("__vsid"))
+      .join(base, "id")
     // Persisted ON PURPOSE (the d16/t20 recompute-over-persist lesson
     // cuts the other way here): four consumers read this frame — both
     // sides of the pair self-join, the labeled output, and the keep

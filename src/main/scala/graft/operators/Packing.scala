@@ -275,13 +275,24 @@ object Packing {
     // smoothed log-ratio per bucket is two ln's of exact rationals.
     // Missing buckets fall to the +1 numerator via the full join's
     // coalesce.
-    val tTotRow = tCounts.agg(sum(col("__c"))).collect()(0)
-    require(!tTotRow.isNullAt(0) && tTotRow.getLong(0) > 0L,
-      "DSIR target corpus has no grams (empty target, or all target " +
-        "text tokenizes to nothing) — importance weights are undefined")
-    val tTot = tTotRow.getLong(0)
-    val rTot = Option(rCounts.agg(sum(col("__c"))).collect()(0))
-      .filterNot(_.isNullAt(0)).map(_.getLong(0)).getOrElse(0L)
+    val (tTot, rTot) =
+      try {
+        val tTotRow = tCounts.agg(sum(col("__c"))).collect()(0)
+        require(!tTotRow.isNullAt(0) && tTotRow.getLong(0) > 0L,
+          "DSIR target corpus has no grams (empty target, or all target " +
+            "text tokenizes to nothing) — importance weights are undefined")
+        (tTotRow.getLong(0),
+          Option(rCounts.agg(sum(col("__c"))).collect()(0))
+            .filterNot(_.isNullAt(0)).map(_.getLong(0)).getOrElse(0L))
+      } catch {
+        case t: Throwable =>
+          // failure path releases the caches — no frame is returned to
+          // hold them (mirrors keyedRank's error-path unpersist)
+          docBuckets.unpersist(blocking = false)
+          tCounts.unpersist(blocking = false)
+          rCounts.unpersist(blocking = false)
+          throw t
+      }
     val weights = tCounts.withColumnRenamed("__c", "__ct")
       .join(rCounts.withColumnRenamed("__c", "__cr"), Seq("__b"), "full")
       .select(col("__b"),

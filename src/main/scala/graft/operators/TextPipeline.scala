@@ -181,9 +181,10 @@ object TextPipeline {
     * ([[lmQualityScore]] — higher mean token probability = lower
     * perplexity = more fluent) and split into equal-count terciles;
     * CCNet keeps head(+middle) for pretraining. Unscorable docs
-    * (< 2 tokens → null score) rank last AND are forced to 'tail'
-    * unconditionally — in a language with fewer docs than buckets the
-    * ntile rank alone would put them in head/middle.
+    * (< 2 tokens → null score) never occupy a rank — terciles split the
+    * SCORABLE docs only (ranked nulls would both land in head for tiny
+    * languages and inflate the count, promoting bottom-tercile scorable
+    * docs) — and come back unconditionally as 'tail'.
     *
     * Determinism/scale notes: the rank key is the score ROUNDED at 6
     * decimals (ties broken by id) so the per-engine last-ulp of a
@@ -215,9 +216,16 @@ object TextPipeline {
       .join(scored, Seq("id"))
       .withColumn("__s6", round(col("mean_tok_prob"), 6))
       .persist()
-    val ranked = RelationalOps.keyedRank(base, "lang",
-      Seq(col("__s6").desc_nulls_last, col("id").asc))
-    val counts = base.groupBy(col("lang").as("__clang"))
+    // Terciles are computed over SCORABLE docs only: if unscorable docs
+    // occupied ranks they would inflate the per-language count and
+    // promote bottom-tercile scorable docs into head (a language with 3
+    // scorable + 6 unscorable docs would put ALL scorable docs in
+    // head). Unscorable docs bypass ranking entirely and union back in
+    // as tail.
+    val scorable = base.filter(col("__s6").isNotNull)
+    val ranked = RelationalOps.keyedRank(scorable, "lang",
+      Seq(col("__s6").desc, col("id").asc))
+    val counts = scorable.groupBy(col("lang").as("__clang"))
       .agg(count(lit(1)).as("__n"))
     val bucketNum = expr(
       """CASE WHEN __rank <= ((__n div 3) + 1) * (__n % 3)
@@ -226,17 +234,17 @@ object TextPipeline {
         |          (__rank - ((__n div 3) + 1) * (__n % 3) - 1)
         |            div greatest(__n div 3, 1) + 1
         |END""".stripMargin)
-    // Unscorable docs (null score) are ALWAYS 'tail', even when their
-    // language has fewer docs than buckets — a keep-head(+middle) cut
-    // must never retain empty/unscorable documents just because their
-    // language is small. Scorable docs take the ntile bucket.
-    ranked.join(broadcast(counts), col("lang") <=> col("__clang"))
+    val bucketed = ranked
+      .join(broadcast(counts), col("lang") <=> col("__clang"))
       .withColumn("__b", bucketNum)
       .select(col("id"), col("lang"), col("mean_tok_prob"),
-        when(col("mean_tok_prob").isNull, "tail")
-          .when(col("__b") === 1, "head")
+        when(col("__b") === 1, "head")
           .when(col("__b") === 2, "middle")
           .otherwise("tail").as("ppl_bucket"))
+    bucketed.unionByName(
+      base.filter(col("__s6").isNull)
+        .select(col("id"), col("lang"), col("mean_tok_prob"),
+          lit("tail").as("ppl_bucket")))
   }
 
   // RE2-compatible patterns (no lookarounds) — identical semantics under

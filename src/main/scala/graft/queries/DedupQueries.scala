@@ -455,13 +455,16 @@ object DedupQueries {
       FROM q LEFT JOIN grp g ON g.node = q.doc_id
       LEFT JOIN kept k ON k.group_id = g.group_id
       ORDER BY q.doc_id""",
-    // d20: full SemDeDup replay — seed centroids (vec_id < 8), argmax
-    // assignment, cluster-keyed pairs, recursive min-label groups,
+    // d20: full SemDeDup replay at the engine default — k from the
+    // autoCentroidCount formula CAPPED at the corpus count (seedCentroids
+    // yields min(k, n) rows and the engine sizes from actual rows),
+    // ⌈√k⌉ supers, the two-level multi-probe routing (both row_number
+    // argmaxes), cluster-keyed pairs, recursive min-label groups,
     // argmin(centroid_sim, id) keep rule.
     "d20_semdedup" -> """
       WITH RECURSIVE kk AS (
-        SELECT least(65536, greatest(8,
-          CAST(ceil(count(1) / 128.0) AS BIGINT))) AS k FROM embeddings),
+        SELECT least(count(1), least(65536, greatest(8,
+          CAST(ceil(count(1) / 128.0) AS BIGINT)))) AS k FROM embeddings),
       cent AS (
         SELECT vec_id AS cid, embedding AS cemb FROM (
           SELECT vec_id, embedding,

@@ -747,10 +747,10 @@ object TextQueries {
              GROUP BY 1, 2),
       r AS (SELECT doc_id, lang, score,
               row_number() OVER (PARTITION BY lang
-                ORDER BY round(score, 6) DESC NULLS LAST, doc_id) AS rk,
+                ORDER BY round(score, 6) DESC, doc_id) AS rk,
               count(1) OVER (PARTITION BY lang) AS n
-            FROM sc),
-      b AS (SELECT doc_id, lang, score,
+            FROM sc WHERE score IS NOT NULL),
+      b AS (SELECT doc_id,
               CASE WHEN rk <= ((n // 3) + 1) * (n % 3)
                    THEN (rk - 1) // ((n // 3) + 1) + 1
                    ELSE (n % 3) +
@@ -758,11 +758,12 @@ object TextQueries {
                           // greatest(n // 3, 1) + 1
               END AS bn
             FROM r)
-      SELECT doc_id, lang, round(score, 4) AS mean_tok_prob,
-             CASE WHEN score IS NULL THEN 'tail'
-                  WHEN bn = 1 THEN 'head' WHEN bn = 2 THEN 'middle'
+      SELECT sc.doc_id, sc.lang, round(sc.score, 4) AS mean_tok_prob,
+             CASE WHEN sc.score IS NULL THEN 'tail'
+                  WHEN b.bn = 1 THEN 'head' WHEN b.bn = 2 THEN 'middle'
                   ELSE 'tail' END AS ppl_bucket
-      FROM b ORDER BY doc_id""",
+      FROM sc LEFT JOIN b ON b.doc_id = sc.doc_id
+      ORDER BY sc.doc_id""",
     "t18_repetition" -> s"""
       WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
       g AS (SELECT doc_id, len(toks) AS n_tokens,

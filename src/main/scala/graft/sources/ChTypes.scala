@@ -66,7 +66,7 @@ object ChTypes {
     * width misreads every later column of a row/block. Shared by the
     * RowBinary and Native codecs so they cannot diverge.
     */
-  def wideWidth(ch: String): Option[Int] = ch match {
+  def wideWidth(ch0: String): Option[Int] = stripComments(ch0) match {
     case "Int128" | "UInt128" => Some(16)
     case "Int256" | "UInt256" => Some(32)
     case _ => None
@@ -106,7 +106,8 @@ object ChTypes {
     * the Spark precision (which caps at 38) so Decimal(76, 2) /
     * Decimal256(2) frame as the 32 bytes the reference writes.
     */
-  def decimalWireWidth(ch: String, sparkPrecision: Int): Int = {
+  def decimalWireWidth(ch0: String, sparkPrecision: Int): Int = {
+    val ch = stripComments(ch0)
     val p =
       if (ch.startsWith("Decimal32(")) 9
       else if (ch.startsWith("Decimal64(")) 18
@@ -118,11 +119,19 @@ object ChTypes {
     if (p <= 9) 4 else if (p <= 18) 8 else if (p <= 38) 16 else 32
   }
 
+  // The reference's parser allows slash-star comments inside a type
+  // declaration (00477_parsing_data_types). Strips them NON-GREEDILY
+  // (a comment body ending in '*' still terminates at the first
+  // close), and is shared by EVERY raw-type-string consumer here —
+  // toSpark and the wire-width helpers must see the same declaration
+  // or a commented Decimal would parse a schema yet misframe its
+  // bytes.
+  private def stripComments(ch: String): String =
+    ch.replaceAll("(?s)/\\*.*?\\*/", " ").trim
+
   /** Parse a reference type name to (engine type, nullable). */
   def toSpark(ch: String): (DataType, Boolean) = {
-    // the reference's parser allows /* comments */ inside a type
-    // declaration (00477_parsing_data_types: `Array( /* Hello */ UInt32 )`)
-    val s = ch.replaceAll("/\\*([^*]|\\*[^/])*\\*/", " ").trim
+    val s = stripComments(ch)
     def inner(name: String): String = {
       val i = s.indexOf('(')
       require(i >= 0 && s.endsWith(")"), s"malformed type: $s")

@@ -545,12 +545,15 @@ class PipelineOpsSpec extends SparkSpec {
       (5L, "aa", "qw zx ty er op ui df as"),
       (6L, "aa", "cat the on sat mat the"),
       (7L, "bb", "solo language doc"),
-      (8L, "cc", "single")).toDF("doc_id", "lang", "text")
+      (8L, "cc", "single"),
+      (9L, "dd", "the cat sat on the mat here"),
+      (10L, "dd", "cat sat mat the the on"),
+      (11L, "dd", "x")).toDF("doc_id", "lang", "text")
     val rows = TextPipeline.perplexityBuckets(docs, col("text"),
         col("doc_id"), col("lang"))
       .collect().map(r => (r.getLong(0), r.getString(1),
         Option(r.get(2)).map(_.asInstanceOf[Double]), r.getString(3)))
-    assert(rows.length === 8)
+    assert(rows.length === 11)
     val aa = rows.filter(_._2 == "aa")
     assert(aa.count(_._4 == "head") === 2)     // ntile(3) of 6 = 2/2/2
     assert(aa.count(_._4 == "middle") === 2)
@@ -567,6 +570,13 @@ class PipelineOpsSpec extends SparkSpec {
     // an UNSCORABLE doc (1 token, null score) is forced to tail even
     // as its language's only member — keep-head must never retain it
     assert(byId(8L) === "tail")
+    // unscorable docs do NOT occupy tercile ranks: 'dd' has 2 scorable
+    // + 1 unscorable — terciles split the 2 scorable (head, middle),
+    // the unscorable lands in tail (ranked, it would make n=3 and put
+    // both scorable docs in head/middle ANYWAY but inflate counts in
+    // bigger mixes — the 3+6 promotion case in the operator docs)
+    assert(Set(byId(9L), byId(10L)) === Set("head", "middle"))
+    assert(byId(11L) === "tail")
   }
 
   test("semDeDup two-level router: deterministic, high agreement with flat argmax") {
