@@ -89,7 +89,7 @@ object DedupQueries {
       Dedup.embeddingDupPairs(t(s, dir, "embeddings"), col("embedding"),
           col("vec_id"), minCosSim = 0.35)
         .select(col("id_a"), col("id_b"),
-          round(col("cos_sim").cast("double"), 3).as("cos_sim"))
+          (round(col("cos_sim").cast("double"), 3) + lit(0.0)).as("cos_sim"))
         .orderBy(col("id_a"), col("id_b"))
     }),
     // Dedup clusters = connected components over the near-dup pair graph
@@ -120,7 +120,7 @@ object DedupQueries {
       Dedup.lshCosineCoordPairs(t(s, dir, "embeddings"), col("embedding"),
           col("vec_id"), minCosSim = 0.35, dim = 64, nPlanes = 4, nTables = 16)
         .select(col("id_a"), col("id_b"),
-          round(col("cos_sim").cast("double"), 3).as("cos_sim"))
+          (round(col("cos_sim").cast("double"), 3) + lit(0.0)).as("cos_sim"))
         .orderBy(col("id_a"), col("id_b"))
     }),
     // End-to-end scale path for embedding dedup: LSH-blocked candidate
@@ -144,7 +144,7 @@ object DedupQueries {
       Dedup.lshCosineCoordPairs(t(s, dir, "embeddings"), col("embedding"),
           col("vec_id"), minCosSim = 0.35, dim = 64)
         .select(col("id_a"), col("id_b"),
-          round(col("cos_sim").cast("double"), 3).as("cos_sim"))
+          (round(col("cos_sim").cast("double"), 3) + lit(0.0)).as("cos_sim"))
         .orderBy(col("id_a"), col("id_b"))
     }),
     // The reference's scalar document-sketch grid (FunctionsStringHash:
@@ -180,7 +180,7 @@ object DedupQueries {
           emb.filter(col("vec_id") < 30),
           col("embedding"), col("vec_id"), minCosSim = 0.35)
         .select(col("bench_id"), col("n_contaminated"),
-          round(col("max_cos").cast("double"), 3).as("max_cos"))
+          (round(col("max_cos").cast("double"), 3) + lit(0.0)).as("max_cos"))
         .orderBy(col("bench_id"))
     }),
     // SemDeDup (Abbas et al. 2023) at the ENGINE DEFAULT: seed-centroid
@@ -199,7 +199,7 @@ object DedupQueries {
       Dedup.semDeDup(t(s, dir, "embeddings"), col("embedding"),
           col("vec_id"), minCosSim = 0.35)
         .select(col("id").as("vec_id"), col("cluster_id"), col("group_id"),
-          round(col("centroid_sim").cast("double"), 3).as("centroid_sim"),
+          (round(col("centroid_sim").cast("double"), 3) + lit(0.0)).as("centroid_sim"),
           col("keep"))
         .orderBy(col("vec_id"))
     }),
@@ -334,7 +334,7 @@ object DedupQueries {
       lshpairs AS (
         SELECT id_a, id_b,
                round(CAST(list_cosine_similarity(x.embedding, y.embedding)
-                     AS DOUBLE), 3) AS cos_sim
+                     AS DOUBLE), 3) + 0.0 AS cos_sim
         FROM cand JOIN embeddings x ON x.vec_id = id_a
                   JOIN embeddings y ON y.vec_id = id_b
         WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.35)"""
@@ -398,7 +398,7 @@ object DedupQueries {
       lshpairs AS (
         SELECT id_a, id_b,
                round(CAST(list_cosine_similarity(x.embedding, y.embedding)
-                     AS DOUBLE), 3) AS cos_sim
+                     AS DOUBLE), 3) + 0.0 AS cos_sim
         FROM cand JOIN embeddings x ON x.vec_id = id_a
                   JOIN embeddings y ON y.vec_id = id_b
         WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.35)"""
@@ -414,7 +414,7 @@ object DedupQueries {
                              >= 0.35 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_contaminated,
              round(CAST(max(list_cosine_similarity(c.embedding, b.embedding))
-               AS DOUBLE), 3) AS max_cos
+               AS DOUBLE), 3) + 0.0 AS max_cos
       FROM embeddings b JOIN embeddings c
         ON b.vec_id < 30 AND c.vec_id >= 30
       GROUP BY b.vec_id
@@ -525,7 +525,7 @@ object DedupQueries {
         WHERE rn = 1)
       SELECT a.vec_id, a.cid AS cluster_id,
              coalesce(g.group_id, a.vec_id) AS group_id,
-             round(CAST(a.csim AS DOUBLE), 3) AS centroid_sim,
+             round(CAST(a.csim AS DOUBLE), 3) + 0.0 AS centroid_sim,
              (g.group_id IS NULL OR a.vec_id = k.kept_id) AS keep
       FROM asg a
       LEFT JOIN grp g ON g.node = a.vec_id
@@ -624,7 +624,7 @@ object DedupQueries {
       ORDER BY doc_id""",
     "d05_embedding_dup" -> """
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 3) AS cos_sim
+             round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 3) + 0.0 AS cos_sim
       FROM embeddings a, embeddings b
       WHERE a.vec_id < b.vec_id
         AND list_cosine_similarity(a.embedding, b.embedding) >= 0.35

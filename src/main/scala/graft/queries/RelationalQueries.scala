@@ -1179,14 +1179,14 @@ object RelationalQueries {
       base.selectExpr(
         "p_partkey",
         "arrayJoin(split(p_name, ' ')) AS w",
-        "arrayEnumerateUniqRanked(1, split(p_name, ' '), 1) AS occ_all",
-        "arrayEnumerateDenseRanked(1, split(p_name, ' '), 1) AS dense_all",
+        "arrayEnumerateUniqRanked(1, split(p_name, ' '), 1) AS occ_raw",
+        "arrayEnumerateDenseRanked(1, split(p_name, ' '), 1) AS dense_raw",
         "finalizeAggregation(initializeAggregation('avgState', p_size)) AS avg1",
         "isDecimalOverflow(CAST(p_retailprice AS DECIMAL(12,2)), 5) AS ovf5",
         "getSubcolumn(named_struct('a', p_size, 'b', p_type), 'a') AS sub_a",
-        "tupleToNameValuePairs(named_struct('sz', CAST(p_size AS BIGINT), 'key', p_partkey)) AS nvp",
-        "flattenTuple(named_struct('x', p_size, 'y', named_struct('z', p_partkey))) AS flat",
-        "nested(array('k','v'), array(p_partkey, p_partkey + 1), array(p_size, p_size + 1)) AS nst",
+        "tupleToNameValuePairs(named_struct('sz', CAST(p_size AS BIGINT), 'key', p_partkey)) AS nvp_raw",
+        "flattenTuple(named_struct('x', p_size, 'y', named_struct('z', p_partkey))) AS flat_raw",
+        "nested(array('k','v'), array(p_partkey, p_partkey + 1), array(p_size, p_size + 1)) AS nst_raw",
         "wideToString(reinterpretAsUInt256(p_partkey)) AS reint",
         "wideToString(toInt128OrDefault(p_name, p_partkey)) AS wdflt",
         "file('/graft_no_such_file', 'dflt') AS fdflt",
@@ -1195,6 +1195,17 @@ object RelationalQueries {
         "defaultValueOfTypeName('Int32') AS dv",
         "hasColumnInTable('default', 'q88_probe', 'p_name') AS hct",
         "indexHint(p_partkey > 0) AS ih")
+        // Arrays/structs stringify for the oracle hash (q59 convention —
+        // the driver's sorted-rows comparator can't hold raw array cells).
+        .selectExpr(
+          "p_partkey", "w",
+          "array_join(transform(occ_raw, x -> CAST(x AS STRING)), ',') AS occ_all",
+          "array_join(transform(dense_raw, x -> CAST(x AS STRING)), ',') AS dense_all",
+          "avg1", "ovf5", "sub_a",
+          "array_join(transform(nvp_raw, p -> concat(p._1, '=', CAST(p._2 AS STRING))), ',') AS nvp",
+          "concat('x=', CAST(flat_raw.x AS STRING), ',y.z=', CAST(flat_raw.`y.z` AS STRING)) AS flat",
+          "array_join(transform(nst_raw, r -> concat(CAST(r.k AS STRING), ':', CAST(r.v AS STRING))), ',') AS nst",
+          "reint", "wdflt", "fdflt", "ic", "inl", "dv", "hct", "ih")
         .orderBy(col("p_partkey"), col("w"))
     }),
 
@@ -1215,9 +1226,9 @@ object RelationalQueries {
           "runningDifference(p_partkey) AS rd",
           "runningDifferenceStartingWithFirstValue(CAST(p_size AS BIGINT)) AS rdf",
           "CAST(runningAccumulate(initializeAggregation('sumState', p_size)) AS BIGINT) AS racc",
-          "replicate(p_size, array(1, 2, 3)) AS repl",
+          "array_join(transform(replicate(p_size, array(1, 2, 3)), x -> CAST(x AS STRING)), ',') AS repl",
           "multiFuzzyMatchAny(p_name, 1, array('chocolate', 'turquoise')) AS fz1",
-          "multiFuzzyMatchAllIndices(p_name, 2, array('lavender', 'metallic')) AS fzall")
+          "array_join(transform(multiFuzzyMatchAllIndices(p_name, 2, array('lavender', 'metallic')), x -> CAST(x AS STRING)), ',') AS fzall")
         .orderBy(col("p_partkey"))
     }),
 
@@ -1582,21 +1593,23 @@ object RelationalQueries {
                    string_split(p_name, ' ') AS toks FROM p)
       SELECT p_partkey,
              unnest(toks) AS w,
-             list_transform(range(1, len(toks) + 1),
-               i -> CAST(len(list_filter(toks[1:i], x -> x = toks[i])) AS INT))
-               AS occ_all,
-             list_transform(range(1, len(toks) + 1),
+             array_to_string(list_transform(range(1, len(toks) + 1),
+               i -> CAST(len(list_filter(toks[1:i], x -> x = toks[i])) AS VARCHAR)),
+               ',') AS occ_all,
+             array_to_string(list_transform(range(1, len(toks) + 1),
                i -> CAST(len(list_distinct(
-                 toks[1:list_position(toks, toks[i])])) AS INT)) AS dense_all,
+                 toks[1:list_position(toks, toks[i])])) AS VARCHAR)), ',') AS dense_all,
              CAST(p_size AS DOUBLE) AS avg1,
              length(CAST(CAST(round(p_retailprice * 100, 0) AS BIGINT)
                AS VARCHAR)) > 5 AS ovf5,
              p_size AS sub_a,
-             [{'_1': 'sz', '_2': CAST(p_size AS BIGINT)},
-              {'_1': 'key', '_2': p_partkey}] AS nvp,
-             {'x': p_size, 'y.z': p_partkey} AS flat,
-             [{'k': p_partkey, 'v': p_size},
-              {'k': p_partkey + 1, 'v': p_size + 1}] AS nst,
+             'sz=' || CAST(p_size AS VARCHAR) || ',key='
+               || CAST(p_partkey AS VARCHAR) AS nvp,
+             'x=' || CAST(p_size AS VARCHAR) || ',y.z='
+               || CAST(p_partkey AS VARCHAR) AS flat,
+             CAST(p_partkey AS VARCHAR) || ':' || CAST(p_size AS VARCHAR)
+               || ',' || CAST(p_partkey + 1 AS VARCHAR) || ':'
+               || CAST(p_size + 1 AS VARCHAR) AS nst,
              CAST(p_partkey AS VARCHAR) AS reint,
              CAST(p_partkey AS VARCHAR) AS wdflt,
              'dflt' AS fdflt,
@@ -1846,11 +1859,12 @@ object RelationalQueries {
              CAST(coalesce(p_size - lag(p_size, 1) OVER w, p_size) AS BIGINT) AS rdf,
              CAST(sum(p_size) OVER (ORDER BY p_partkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS racc,
-             [p_size, p_size, p_size] AS repl,
+             array_to_string([p_size, p_size, p_size], ',') AS repl,
              (d_choc <= 1 OR d_turq <= 1) AS fz1,
-             list_filter([CASE WHEN d_lav <= 2 THEN 1 ELSE 0 END,
-                          CASE WHEN d_met <= 2 THEN 2 ELSE 0 END],
-                         x -> x > 0) AS fzall
+             coalesce(array_to_string(list_filter(
+                          [CASE WHEN d_lav <= 2 THEN 1 ELSE 0 END,
+                           CASE WHEN d_met <= 2 THEN 2 ELSE 0 END],
+                          x -> x > 0), ','), '') AS fzall
       FROM fz
       WINDOW w AS (ORDER BY p_partkey)
       ORDER BY p_partkey""",

@@ -166,21 +166,21 @@ object VectorQueries {
     "v01_l2_topk" -> ((s, dir) => {
       VectorSearch.topK(emb(s, dir), col("embedding"), queryVec(s, dir), 10,
           "l2", None, "d", Seq(col("vec_id")))
-        .select(col("vec_id"), round(col("d").cast("double"), 3).as("d"))
+        .select(col("vec_id"), (round(col("d").cast("double"), 3) + lit(0.0)).as("d"))
         .orderBy(col("vec_id"))
     }),
     // Cosine metric (00014_* tests in the reference).
     "v02_cosine_topk" -> ((s, dir) => {
       VectorSearch.topK(emb(s, dir), col("embedding"), queryVec(s, dir, 1), 10,
           "cosine", None, "d", Seq(col("vec_id")))
-        .select(col("vec_id"), round(col("d").cast("double"), 3).as("d"))
+        .select(col("vec_id"), (round(col("d").cast("double"), 3) + lit(0.0)).as("d"))
         .orderBy(col("vec_id"))
     }),
     // IP metric ranks DESCENDING (larger inner product = closer).
     "v03_ip_topk" -> ((s, dir) => {
       VectorSearch.topK(emb(s, dir), col("embedding"), queryVec(s, dir, 2), 10,
           "ip", None, "d", Seq(col("vec_id")))
-        .select(col("vec_id"), round(col("d").cast("double"), 3).as("d"))
+        .select(col("vec_id"), (round(col("d").cast("double"), 3) + lit(0.0)).as("d"))
         .orderBy(col("vec_id"))
     }),
     // Pre-filter semantics: WHERE evaluated BEFORE the search → top-K is
@@ -188,7 +188,7 @@ object VectorQueries {
     "v04_prefilter_topk" -> ((s, dir) => {
       VectorSearch.topK(emb(s, dir), col("embedding"), queryVec(s, dir), 10,
           "l2", Some(col("label") === 3), "d", Seq(col("vec_id")))
-        .select(col("vec_id"), col("label"), round(col("d").cast("double"), 3).as("d"))
+        .select(col("vec_id"), col("label"), (round(col("d").cast("double"), 3) + lit(0.0)).as("d"))
         .orderBy(col("vec_id"))
     }),
     // batch_distance(): 3 query vectors, per-query top-5
@@ -197,7 +197,7 @@ object VectorQueries {
       val qs = Seq(queryVec(s, dir, 0), queryVec(s, dir, 1), queryVec(s, dir, 2))
       VectorSearch.batchTopK(emb(s, dir), col("embedding"), qs, 5, "l2", None,
           "d", Seq(col("vec_id")))
-        .select(col("query_idx"), col("vec_id"), round(col("d").cast("double"), 3).as("d"))
+        .select(col("query_idx"), col("vec_id"), (round(col("d").cast("double"), 3) + lit(0.0)).as("d"))
         .orderBy(col("query_idx"), col("vec_id"))
     }),
     // batch_distance THROUGH the IVF index: per-query probe lists, ONE
@@ -208,7 +208,7 @@ object VectorQueries {
       val qs = Seq(queryVec(s, dir, 0), queryVec(s, dir, 1), queryVec(s, dir, 2))
       IvfIndex.batchSearch(s, ivfDir(s, dir), qs, 5, nprobe = 16,
           distName = "d", tieBreak = Seq(col("vec_id")))
-        .select(col("query_idx"), col("vec_id"), round(col("d").cast("double"), 3).as("d"))
+        .select(col("query_idx"), col("vec_id"), (round(col("d").cast("double"), 3) + lit(0.0)).as("d"))
         .orderBy(col("query_idx"), col("vec_id"))
     }),
     // Two-stage search (test 00035): cheap stage-1 candidates, exact
@@ -216,7 +216,7 @@ object VectorQueries {
     "v06_two_stage" -> ((s, dir) => {
       VectorSearch.twoStageTopK(emb(s, dir), col("embedding"), queryVec(s, dir),
           10, 50, "l2", None, "d", Seq(col("vec_id")))
-        .select(col("vec_id"), round(col("d").cast("double"), 3).as("d"))
+        .select(col("vec_id"), (round(col("d").cast("double"), 3) + lit(0.0)).as("d"))
         .orderBy(col("vec_id"))
     }),
     // IVF index search, exhaustive probes (nprobe = nLists) → exact:
@@ -224,7 +224,7 @@ object VectorQueries {
     "v08_ivf_exact" -> ((s, dir) => {
       IvfIndex.search(s, ivfDir(s, dir), queryVec(s, dir), 10,
           nprobe = 16, None, None, "d", Seq(col("vec_id")))
-        .select(col("vec_id"), round(col("d").cast("double"), 3).as("d"))
+        .select(col("vec_id"), (round(col("d").cast("double"), 3) + lit(0.0)).as("d"))
         .orderBy(col("vec_id"))
     }),
     // IVF approximate search (nprobe=4 of 16 lists) — EXACT replay
@@ -246,14 +246,14 @@ object VectorQueries {
                    WHERE list_id IN (${probes.mkString(",")}))
           SELECT * FROM (
             SELECT e.vec_id,
-                   round(CAST(list_distance(e.embedding, $qv0) AS DOUBLE), 3) AS d
+                   round(CAST(list_distance(e.embedding, $qv0) AS DOUBLE), 3) + 0.0 AS d
             FROM embeddings e JOIN cand USING (vec_id)
             ORDER BY list_distance(e.embedding, $qv0), e.vec_id LIMIT 10)
           ORDER BY vec_id"""
       }
       IvfIndex.search(s, idx, q, 10,
           nprobe = 4, None, None, "d", Seq(col("vec_id")))
-        .select(col("vec_id"), round(col("d").cast("double"), 3).as("d"))
+        .select(col("vec_id"), (round(col("d").cast("double"), 3) + lit(0.0)).as("d"))
         .orderBy(col("vec_id"))
     }),
     // Binary vector search (FixedString → BinaryType): 16-byte vectors
@@ -288,13 +288,13 @@ object VectorQueries {
         s"""WITH pool(vec_id) AS (VALUES ${pool.map(i => s"($i)").mkString(",")})
           SELECT * FROM (
             SELECT e.vec_id,
-                   round(CAST(list_distance(e.embedding, $qv0) AS DOUBLE), 3) AS d
+                   round(CAST(list_distance(e.embedding, $qv0) AS DOUBLE), 3) + 0.0 AS d
             FROM embeddings e JOIN pool USING (vec_id)
             ORDER BY list_distance(e.embedding, $qv0), e.vec_id LIMIT 10)
           ORDER BY vec_id"""
       }
       HnswIndex.search(s, idx, q, 10, ef = 128)
-        .select(col("id").as("vec_id"), round(col("d").cast("double"), 3).as("d"))
+        .select(col("id").as("vec_id"), (round(col("d").cast("double"), 3) + lit(0.0)).as("d"))
         .orderBy(col("vec_id"))
     }),
     // Pre-filter INSIDE the IVF index search (reference tests
@@ -303,7 +303,7 @@ object VectorQueries {
     "v12_prefilter_ivf" -> ((s, dir) => {
       IvfIndex.search(s, ivfDir(s, dir), queryVec(s, dir), 10,
           nprobe = 16, None, Some(col("label") === 3), "d", Seq(col("vec_id")))
-        .select(col("vec_id"), col("label"), round(col("d").cast("double"), 3).as("d"))
+        .select(col("vec_id"), col("label"), (round(col("d").cast("double"), 3) + lit(0.0)).as("d"))
         .orderBy(col("vec_id"))
     }),
     // Lightweight-delete mask applied inside the IVF index search
@@ -317,7 +317,7 @@ object VectorQueries {
       IvfIndex.search(s, ivfDir(s, dir), queryVec(s, dir), 10,
           nprobe = 16, None, None, "d", Seq(col("vec_id")),
           deletes = Some(deleted))
-        .select(col("vec_id"), round(col("d").cast("double"), 3).as("d"))
+        .select(col("vec_id"), (round(col("d").cast("double"), 3) + lit(0.0)).as("d"))
         .orderBy(col("vec_id"))
     }),
     // IVFSQ (int8 scalar quantization) two-stage search: quantized
@@ -335,14 +335,14 @@ object VectorQueries {
         s"""WITH cand(vec_id) AS (VALUES ${cands.map(c => s"($c)").mkString(",")})
           SELECT * FROM (
             SELECT e.vec_id,
-                   round(CAST(list_distance(e.embedding, $qv0) AS DOUBLE), 3) AS d
+                   round(CAST(list_distance(e.embedding, $qv0) AS DOUBLE), 3) + 0.0 AS d
             FROM embeddings e JOIN cand USING (vec_id)
             ORDER BY list_distance(e.embedding, $qv0), e.vec_id LIMIT 10)
           ORDER BY vec_id"""
       }
       SqIndex.search(s, idx, emb(s, dir), q, 10,
           numReorder = 50, nprobe = 16, None, "d", Seq(col("vec_id")))
-        .select(col("vec_id"), round(col("d").cast("double"), 3).as("d"))
+        .select(col("vec_id"), (round(col("d").cast("double"), 3) + lit(0.0)).as("d"))
         .orderBy(col("vec_id"))
     }),
     // HNSWSQ: graph index over int8-quantized vectors (4x smaller graph
@@ -366,13 +366,13 @@ object VectorQueries {
         s"""WITH pool(vec_id, dq) AS (VALUES $rows)
           SELECT * FROM (
             SELECT vec_id,
-                   round(CAST(list_distance(CAST(dq AS FLOAT[]), $qv0) AS DOUBLE), 3) AS d
+                   round(CAST(list_distance(CAST(dq AS FLOAT[]), $qv0) AS DOUBLE), 3) + 0.0 AS d
             FROM pool
             ORDER BY list_distance(CAST(dq AS FLOAT[]), $qv0), vec_id LIMIT 10)
           ORDER BY vec_id"""
       }
       HnswIndex.search(s, idx, q, 10, ef = 128)
-        .select(col("id").as("vec_id"), round(col("d").cast("double"), 3).as("d"))
+        .select(col("id").as("vec_id"), (round(col("d").cast("double"), 3) + lit(0.0)).as("d"))
         .orderBy(col("vec_id"))
     }),
     // HNSWPQ: product-quantized graph + two-stage exact re-rank (the
@@ -390,7 +390,7 @@ object VectorQueries {
         s"""WITH cand(vec_id) AS (VALUES ${cands.map(c => s"($c)").mkString(",")})
           SELECT * FROM (
             SELECT e.vec_id,
-                   round(CAST(list_distance(e.embedding, $qv0) AS DOUBLE), 3) AS d
+                   round(CAST(list_distance(e.embedding, $qv0) AS DOUBLE), 3) + 0.0 AS d
             FROM embeddings e JOIN cand USING (vec_id)
             ORDER BY list_distance(e.embedding, $qv0), e.vec_id LIMIT 10)
           ORDER BY vec_id"""
@@ -398,7 +398,7 @@ object VectorQueries {
       HnswIndex.searchTwoStage(s, idx, emb(s, dir),
           "vec_id", "embedding", q, 10,
           numReorder = 60, ef = 256, "l2", "d", Seq(col("vec_id")))
-        .select(col("vec_id"), round(col("d").cast("double"), 3).as("d"))
+        .select(col("vec_id"), (round(col("d").cast("double"), 3) + lit(0.0)).as("d"))
         .orderBy(col("vec_id"))
     }),
     // IVFPQ: product quantization (m=8 bytes/vector, 32x vs float32) with
@@ -414,14 +414,14 @@ object VectorQueries {
         s"""WITH cand(vec_id) AS (VALUES ${cands.map(c => s"($c)").mkString(",")})
           SELECT * FROM (
             SELECT e.vec_id,
-                   round(CAST(list_distance(e.embedding, $qv0) AS DOUBLE), 3) AS d
+                   round(CAST(list_distance(e.embedding, $qv0) AS DOUBLE), 3) + 0.0 AS d
             FROM embeddings e JOIN cand USING (vec_id)
             ORDER BY list_distance(e.embedding, $qv0), e.vec_id LIMIT 10)
           ORDER BY vec_id"""
       }
       PqIndex.search(s, idx, emb(s, dir), q, 10,
           numReorder = 50, nprobe = 16, None, "d", Seq(col("vec_id")))
-        .select(col("vec_id"), round(col("d").cast("double"), 3).as("d"))
+        .select(col("vec_id"), (round(col("d").cast("double"), 3) + lit(0.0)).as("d"))
         .orderBy(col("vec_id"))
     }),
     // BinaryIVF: k-majority bit centroids + Hamming nprobe search
@@ -499,7 +499,7 @@ object VectorQueries {
     "v25_ivf_cosine_exact" -> ((s, dir) => {
       IvfIndex.search(s, ivfCosDir(s, dir), queryVec(s, dir, 1), 10,
           nprobe = 16, None, None, "d", Seq(col("vec_id")))
-        .select(col("vec_id"), round(col("d").cast("double"), 3).as("d"))
+        .select(col("vec_id"), (round(col("d").cast("double"), 3) + lit(0.0)).as("d"))
         .orderBy(col("vec_id"))
     }),
     // distance() over a JOINed table (reference
@@ -513,7 +513,7 @@ object VectorQueries {
       VectorSearch.topK(joined, col("embedding"), queryVec(s, dir), 10,
           "l2", None, "d", Seq(col("vec_id")))
         .select(col("vec_id"), col("lang"),
-          round(col("d").cast("double"), 3).as("d"))
+          (round(col("d").cast("double"), 3) + lit(0.0)).as("d"))
         .orderBy(col("vec_id"))
     }),
     // batch_distance THROUGH the HNSW graphs: one graph load per part
@@ -536,7 +536,7 @@ object VectorQueries {
                 UNION ALL SELECT 1, $qv1
                 UNION ALL SELECT 2, $qv2)
           SELECT p.query_idx, p.vec_id,
-                 round(CAST(list_distance(e.embedding, q.qv) AS DOUBLE), 3) AS d
+                 round(CAST(list_distance(e.embedding, q.qv) AS DOUBLE), 3) + 0.0 AS d
           FROM pool p
           JOIN embeddings e ON e.vec_id = p.vec_id
           JOIN q ON q.query_idx = p.query_idx
@@ -547,7 +547,7 @@ object VectorQueries {
       HnswIndex.batchSearch(s, idx, qs, 5, ef = 128,
           tieBreak = Seq(col("id")))
         .select(col("query_idx"), col("id").as("vec_id"),
-          round(col("d").cast("double"), 3).as("d"))
+          (round(col("d").cast("double"), 3) + lit(0.0)).as("d"))
         .orderBy(col("query_idx"), col("vec_id"))
     }),
     // Index-accelerated twin of v28 (same reference JOIN shape): the
@@ -558,7 +558,7 @@ object VectorQueries {
           broadcast(t(s, dir, "documents")), col("vec_id") === col("doc_id"),
           nprobe = 16, distName = "d", tieBreak = Seq(col("vec_id")))
         .select(col("vec_id"), col("lang"),
-          round(col("d").cast("double"), 3).as("d"))
+          (round(col("d").cast("double"), 3) + lit(0.0)).as("d"))
         .orderBy(col("vec_id"))
     }),
     // MSTG DDL stand-in (reference 00028_mqvs_index_mstg_build_search):
@@ -569,7 +569,7 @@ object VectorQueries {
       graft.operators.MstgIndex.search(s, mstgDir(s, dir),
           queryVec(s, dir), 10, params = Seq("alpha=4"),
           preFilter = None, distName = "d", tieBreak = Seq(col("vec_id")))
-        .select(col("vec_id"), round(col("d").cast("double"), 3).as("d"))
+        .select(col("vec_id"), (round(col("d").cast("double"), 3) + lit(0.0)).as("d"))
         .orderBy(col("vec_id"))
     }),
     // Pre-filtered HNSW search with the accept set computed AT EXECUTION
@@ -602,7 +602,7 @@ object VectorQueries {
         s"""WITH pool(vec_id) AS (VALUES ${pool.map(i => s"($i)").mkString(",")})
           SELECT * FROM (
             SELECT e.vec_id,
-                   round(CAST(list_distance(e.embedding, $qv0) AS DOUBLE), 3) AS d
+                   round(CAST(list_distance(e.embedding, $qv0) AS DOUBLE), 3) + 0.0 AS d
             FROM embeddings e JOIN pool USING (vec_id)
             WHERE e.label = 3
             ORDER BY list_distance(e.embedding, $qv0), e.vec_id LIMIT 10)
@@ -611,7 +611,7 @@ object VectorQueries {
       VectorSearch.topK(
           e.filter(col("label") === 3).join(cand, Seq("vec_id"), "left_semi"),
           col("embedding"), qv, 10, "l2", None, "d", Seq(col("vec_id")))
-        .select(col("vec_id"), round(col("d").cast("double"), 3).as("d"))
+        .select(col("vec_id"), (round(col("d").cast("double"), 3) + lit(0.0)).as("d"))
         .orderBy(col("vec_id"))
     }),
     // IVFSQ in EXACT mode: exhaustive probes + full re-rank. The true
@@ -622,14 +622,14 @@ object VectorQueries {
     "v20_ivfsq_exact" -> ((s, dir) => {
       SqIndex.search(s, sqDir(s, dir), emb(s, dir), queryVec(s, dir), 10,
           numReorder = 1 << 20, nprobe = 16, None, "d", Seq(col("vec_id")))
-        .select(col("vec_id"), round(col("d").cast("double"), 3).as("d"))
+        .select(col("vec_id"), (round(col("d").cast("double"), 3) + lit(0.0)).as("d"))
         .orderBy(col("vec_id"))
     }),
     // IVFPQ in EXACT mode (same argument as v20) — shares v08's oracle.
     "v21_ivfpq_exact" -> ((s, dir) => {
       PqIndex.search(s, pqDir(s, dir), emb(s, dir), queryVec(s, dir), 10,
           numReorder = 1 << 20, nprobe = 16, None, "d", Seq(col("vec_id")))
-        .select(col("vec_id"), round(col("d").cast("double"), 3).as("d"))
+        .select(col("vec_id"), (round(col("d").cast("double"), 3) + lit(0.0)).as("d"))
         .orderBy(col("vec_id"))
     }),
     // BinaryIVF with exhaustive probes: distances are true Hamming (the
@@ -652,7 +652,7 @@ object VectorQueries {
         .withColumn("d", graft.functions.distances.l2Distance(
           col("embedding"), typedLit(q)))
         .filter(col("d") < 10.0f)
-        .select(col("vec_id"), round(col("d").cast("double"), 3).as("d"))
+        .select(col("vec_id"), (round(col("d").cast("double"), 3) + lit(0.0)).as("d"))
         .orderBy(col("vec_id"))
     }),
     // Query vector from a SUBQUERY (reference 00025_mqvs_distance_with_
@@ -669,7 +669,7 @@ object VectorQueries {
           col("embedding"), col("qvec")))
         .orderBy(col("d"), col("vec_id"))
         .limit(10)
-        .select(col("vec_id"), round(col("d").cast("double"), 3).as("d"))
+        .select(col("vec_id"), (round(col("d").cast("double"), 3) + lit(0.0)).as("d"))
         .orderBy(col("vec_id"))
     }),
     // distance() whose query vector is GENERATED by a lambda expression
@@ -683,7 +683,7 @@ object VectorQueries {
         .withColumn("d", expr(
           "l2_distance(embedding, transform(sequence(1, 64), i -> CAST(i AS FLOAT) / 64))"))
         .orderBy(col("d"), col("vec_id")).limit(10)
-        .select(col("vec_id"), round(col("d").cast("double"), 3).as("d"))
+        .select(col("vec_id"), (round(col("d").cast("double"), 3) + lit(0.0)).as("d"))
         .orderBy(col("vec_id"))
     }),
     // Driver-checked recall gates for every approximate index path: each
@@ -704,7 +704,7 @@ object VectorQueries {
       val n = emb(s, dir).count().toInt
       HnswIndex.search(s, hnswDir(s, dir), queryVec(s, dir), 10, ef = n)
         .select(col("id").as("vec_id"),
-          round(col("d").cast("double"), 3).as("d"))
+          (round(col("d").cast("double"), 3) + lit(0.0)).as("d"))
         .orderBy(col("vec_id"))
     }),
     // HNSWSQ/HNSWPQ in exact mode: exhaustive-ef quantized graph search
@@ -715,7 +715,7 @@ object VectorQueries {
       HnswIndex.searchTwoStage(s, hnswSqDir(s, dir), emb(s, dir),
           "vec_id", "embedding", queryVec(s, dir), 10,
           numReorder = n, ef = n, "l2", "d", Seq(col("vec_id")))
-        .select(col("vec_id"), round(col("d").cast("double"), 3).as("d"))
+        .select(col("vec_id"), (round(col("d").cast("double"), 3) + lit(0.0)).as("d"))
         .orderBy(col("vec_id"))
     }),
     "v36_hnswpq_exact" -> ((s, dir) => {
@@ -723,7 +723,7 @@ object VectorQueries {
       HnswIndex.searchTwoStage(s, hnswPqDir(s, dir), emb(s, dir),
           "vec_id", "embedding", queryVec(s, dir), 10,
           numReorder = n, ef = n, "l2", "d", Seq(col("vec_id")))
-        .select(col("vec_id"), round(col("d").cast("double"), 3).as("d"))
+        .select(col("vec_id"), (round(col("d").cast("double"), 3) + lit(0.0)).as("d"))
         .orderBy(col("vec_id"))
     }),
     // BinaryHNSW with exhaustive ef: Hamming distances are exact on the
@@ -786,7 +786,7 @@ object VectorQueries {
           col("vec_id"),
           round(graft.functions.distances.l2Distance(col("embedding"), typedLit(q)).cast("double"), 3).as("l2"),
           round(graft.functions.distances.l1Distance(col("embedding"), typedLit(q)).cast("double"), 3).as("l1"),
-          round(graft.functions.distances.dotProduct(col("embedding"), typedLit(q)).cast("double"), 3).as("ip"))
+          (round(graft.functions.distances.dotProduct(col("embedding"), typedLit(q)).cast("double"), 3) + lit(0.0)).as("ip"))
         .orderBy(col("vec_id"))
     }),
   )
@@ -855,7 +855,7 @@ object VectorQueries {
       .mkString("", " UNION ALL ", " ORDER BY kind"),
     "v01_l2_topk" -> s"""
       SELECT * FROM (
-        SELECT vec_id, round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) AS d
+        SELECT vec_id, round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) + 0.0 AS d
         FROM embeddings
         ORDER BY list_distance(embedding, $qv0), vec_id LIMIT 10)
       ORDER BY vec_id""",
@@ -863,19 +863,19 @@ object VectorQueries {
     // brute-force oracle as v01
     "v34_hnsw_exact" -> s"""
       SELECT * FROM (
-        SELECT vec_id, round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) AS d
+        SELECT vec_id, round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) + 0.0 AS d
         FROM embeddings
         ORDER BY list_distance(embedding, $qv0), vec_id LIMIT 10)
       ORDER BY vec_id""",
     "v35_hnswsq_exact" -> s"""
       SELECT * FROM (
-        SELECT vec_id, round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) AS d
+        SELECT vec_id, round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) + 0.0 AS d
         FROM embeddings
         ORDER BY list_distance(embedding, $qv0), vec_id LIMIT 10)
       ORDER BY vec_id""",
     "v36_hnswpq_exact" -> s"""
       SELECT * FROM (
-        SELECT vec_id, round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) AS d
+        SELECT vec_id, round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) + 0.0 AS d
         FROM embeddings
         ORDER BY list_distance(embedding, $qv0), vec_id LIMIT 10)
       ORDER BY vec_id""",
@@ -904,19 +904,19 @@ object VectorQueries {
     "v02_cosine_topk" -> s"""
       SELECT * FROM (
         SELECT vec_id,
-               round(CAST(1.0 - list_cosine_similarity(embedding, $qv1) AS DOUBLE), 3) AS d
+               round(CAST(1.0 - list_cosine_similarity(embedding, $qv1) AS DOUBLE), 3) + 0.0 AS d
         FROM embeddings
         ORDER BY 1.0 - list_cosine_similarity(embedding, $qv1), vec_id LIMIT 10)
       ORDER BY vec_id""",
     "v03_ip_topk" -> s"""
       SELECT * FROM (
-        SELECT vec_id, round(CAST(list_inner_product(embedding, $qv2) AS DOUBLE), 3) AS d
+        SELECT vec_id, round(CAST(list_inner_product(embedding, $qv2) AS DOUBLE), 3) + 0.0 AS d
         FROM embeddings
         ORDER BY list_inner_product(embedding, $qv2) DESC, vec_id LIMIT 10)
       ORDER BY vec_id""",
     "v04_prefilter_topk" -> s"""
       SELECT * FROM (
-        SELECT vec_id, label, round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) AS d
+        SELECT vec_id, label, round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) + 0.0 AS d
         FROM embeddings
         WHERE label = 3
         ORDER BY list_distance(embedding, $qv0), vec_id LIMIT 10)
@@ -926,7 +926,7 @@ object VectorQueries {
         SELECT 0 AS query_idx, $qv0 AS qv
         UNION ALL SELECT 1, $qv1
         UNION ALL SELECT 2, $qv2)
-      SELECT query_idx, vec_id, round(CAST(list_distance(embedding, qv) AS DOUBLE), 3) AS d
+      SELECT query_idx, vec_id, round(CAST(list_distance(embedding, qv) AS DOUBLE), 3) + 0.0 AS d
       FROM embeddings, q
       QUALIFY row_number() OVER (PARTITION BY query_idx
         ORDER BY list_distance(embedding, qv), vec_id) <= 5
@@ -936,58 +936,58 @@ object VectorQueries {
         SELECT 0 AS query_idx, $qv0 AS qv
         UNION ALL SELECT 1, $qv1
         UNION ALL SELECT 2, $qv2)
-      SELECT query_idx, vec_id, round(CAST(list_distance(embedding, qv) AS DOUBLE), 3) AS d
+      SELECT query_idx, vec_id, round(CAST(list_distance(embedding, qv) AS DOUBLE), 3) + 0.0 AS d
       FROM embeddings, q
       QUALIFY row_number() OVER (PARTITION BY query_idx
         ORDER BY list_distance(embedding, qv), vec_id) <= 5
       ORDER BY query_idx, vec_id""",
     "v06_two_stage" -> s"""
       SELECT * FROM (
-        SELECT vec_id, round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) AS d
+        SELECT vec_id, round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) + 0.0 AS d
         FROM embeddings
         ORDER BY list_distance(embedding, $qv0), vec_id LIMIT 10)
       ORDER BY vec_id""",
     "v08_ivf_exact" -> s"""
       SELECT * FROM (
-        SELECT vec_id, round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) AS d
+        SELECT vec_id, round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) + 0.0 AS d
         FROM embeddings
         ORDER BY list_distance(embedding, $qv0), vec_id LIMIT 10)
       ORDER BY vec_id""",
     "v28_join_distance" -> s"""
       SELECT * FROM (
         SELECT vec_id, lang,
-               round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) AS d
+               round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) + 0.0 AS d
         FROM embeddings JOIN documents ON vec_id = doc_id
         ORDER BY list_distance(embedding, $qv0), vec_id LIMIT 10)
       ORDER BY vec_id""",
     "v30_join_distance_ivf" -> s"""
       SELECT * FROM (
         SELECT vec_id, lang,
-               round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) AS d
+               round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) + 0.0 AS d
         FROM embeddings JOIN documents ON vec_id = doc_id
         ORDER BY list_distance(embedding, $qv0), vec_id LIMIT 10)
       ORDER BY vec_id""",
     "v27_mstg_search" -> s"""
       SELECT * FROM (
-        SELECT vec_id, round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) AS d
+        SELECT vec_id, round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) + 0.0 AS d
         FROM embeddings
         ORDER BY list_distance(embedding, $qv0), vec_id LIMIT 10)
       ORDER BY vec_id""",
     "v12_prefilter_ivf" -> s"""
       SELECT * FROM (
-        SELECT vec_id, label, round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) AS d
+        SELECT vec_id, label, round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) + 0.0 AS d
         FROM embeddings
         WHERE label = 3
         ORDER BY list_distance(embedding, $qv0), vec_id LIMIT 10)
       ORDER BY vec_id""",
     "v23_range_search" -> s"""
-      SELECT vec_id, round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) AS d
+      SELECT vec_id, round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) + 0.0 AS d
       FROM embeddings
       WHERE list_distance(embedding, $qv0) < 10.0
       ORDER BY vec_id""",
     "v24_distance_subquery" -> s"""
       SELECT * FROM (
-        SELECT vec_id, round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) AS d
+        SELECT vec_id, round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) + 0.0 AS d
         FROM embeddings
         ORDER BY list_distance(embedding, $qv0), vec_id LIMIT 10)
       ORDER BY vec_id""",
@@ -996,26 +996,26 @@ object VectorQueries {
                    i -> CAST(i AS FLOAT) / 64) AS qv)
       SELECT * FROM (
         SELECT vec_id,
-               round(CAST(list_distance(embedding, (SELECT qv FROM q)) AS DOUBLE), 3) AS d
+               round(CAST(list_distance(embedding, (SELECT qv FROM q)) AS DOUBLE), 3) + 0.0 AS d
         FROM embeddings
         ORDER BY list_distance(embedding, (SELECT qv FROM q)), vec_id LIMIT 10)
       ORDER BY vec_id""",
     "v25_ivf_cosine_exact" -> s"""
       SELECT * FROM (
         SELECT vec_id,
-               round(CAST(1.0 - list_cosine_similarity(embedding, $qv1) AS DOUBLE), 3) AS d
+               round(CAST(1.0 - list_cosine_similarity(embedding, $qv1) AS DOUBLE), 3) + 0.0 AS d
         FROM embeddings
         ORDER BY 1.0 - list_cosine_similarity(embedding, $qv1), vec_id LIMIT 10)
       ORDER BY vec_id""",
     "v20_ivfsq_exact" -> s"""
       SELECT * FROM (
-        SELECT vec_id, round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) AS d
+        SELECT vec_id, round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) + 0.0 AS d
         FROM embeddings
         ORDER BY list_distance(embedding, $qv0), vec_id LIMIT 10)
       ORDER BY vec_id""",
     "v21_ivfpq_exact" -> s"""
       SELECT * FROM (
-        SELECT vec_id, round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) AS d
+        SELECT vec_id, round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) + 0.0 AS d
         FROM embeddings
         ORDER BY list_distance(embedding, $qv0), vec_id LIMIT 10)
       ORDER BY vec_id""",
@@ -1046,7 +1046,7 @@ object VectorQueries {
       ORDER BY doc_id""",
     "v13_lwd_index_search" -> s"""
       SELECT * FROM (
-        SELECT vec_id, round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) AS d
+        SELECT vec_id, round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) + 0.0 AS d
         FROM embeddings
         WHERE vec_id % 7 <> 0
         ORDER BY list_distance(embedding, $qv0), vec_id LIMIT 10)
@@ -1056,7 +1056,7 @@ object VectorQueries {
              round(CAST(list_distance(embedding, $qv0) AS DOUBLE), 3) AS l2,
              round(CAST(list_aggregate(list_transform(list_zip(embedding, $qv0),
                     p -> abs(p[1] - p[2])), 'sum') AS DOUBLE), 3) AS l1,
-             round(CAST(list_inner_product(embedding, $qv0) AS DOUBLE), 3) AS ip
+             round(CAST(list_inner_product(embedding, $qv0) AS DOUBLE), 3) + 0.0 AS ip
       FROM embeddings WHERE vec_id < 10 ORDER BY vec_id""",
   )
 }

@@ -1,10 +1,24 @@
 #!/usr/bin/env python3
-"""Local stand-in for the driver's correctness gate: load each Verify
-output parquet, run the matching oracle SQL in DuckDB over the same
-testdata dir, compare row count, schema (column names), and values
-(columns sorted by name, rows in produced order)."""
+"""Local stand-in for the driver's correctness gate, DRIVER-FAITHFUL:
+load each Verify output parquet, run the matching oracle SQL in DuckDB
+over the same testdata dir, then compare the way the driver does —
+columns sorted by name, every cell STRINGIFIED, rows SORTED by all
+columns, exact string equality.
+
+Faithfulness rules (each corresponds to a driver failure class that the
+round-18 local checker could not see):
+ - raw array / struct / dict cells are a hard FAIL on either side (the
+   driver's pandas sort_values crashes on them → ERR; queries must
+   stringify arrays per the q59 convention);
+ - a '-0.0' string on either side is a hard FAIL even when it compares
+   equal numerically (the driver hashes strings, so -0.0 vs 0.0 is a
+   hash mismatch; normalize with `+ 0.0` on both sides);
+ - rows are sorted AFTER stringification, so ordering cannot hide a
+   produced-order coincidence.
+"""
 import sys, os, json, glob
 import duckdb
+import numpy as np
 import pyarrow.parquet as pq
 import pandas as pd
 
@@ -15,6 +29,76 @@ con = duckdb.connect()
 for p in glob.glob(f"{sf_dir}/*.parquet"):
     name = os.path.basename(p).replace(".parquet", "")
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+
+def cell_str(v):
+    """One cell → the comparison string. Nested values are rejected
+    upstream; floats keep their shortest repr so -0.0 stays visible."""
+    import datetime
+    if v is None:
+        return "NULL"
+    if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+        return f"{v} 00:00:00"  # align DATE with midnight TIMESTAMP
+    if isinstance(v, (float, np.floating)):
+        if np.isnan(v):
+            return "NaN"
+        return repr(float(v))
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def normalize(df, side):
+    """Stringify every cell and sort rows by all columns.
+    Returns (frame, error) — error is a driver-class failure."""
+    out = {}
+    for c in df.columns:
+        g = df[c]
+        if str(g.dtype).startswith("datetime"):
+            gn = pd.to_datetime(g)
+            if getattr(gn.dt, "tz", None) is not None:
+                gn = gn.dt.tz_convert("UTC").dt.tz_localize(None)
+            out[c] = gn.astype("datetime64[us]").map(
+                lambda v: "NULL" if pd.isna(v) else str(v))
+            continue
+        if g.dtype == object:
+            bad = [v for v in g.head(50)
+                   if isinstance(v, (np.ndarray, list, tuple, dict))]
+            if bad:
+                return None, (f"ARRAY_CELL[{side}:{c}]: raw array/struct "
+                              "values crash the driver comparator - "
+                              "stringify per the q59 convention")
+        vals = []
+        for v in g:
+            if isinstance(v, (np.ndarray, list, tuple, dict)):
+                return None, (f"ARRAY_CELL[{side}:{c}]: raw array/struct "
+                              "values crash the driver comparator")
+            try:
+                if v is not None and not isinstance(v, (list, tuple, dict,
+                        np.ndarray)) and pd.isna(v):
+                    vals.append("NaN" if isinstance(v, (float, np.floating))
+                                else "NULL")
+                    continue
+            except (TypeError, ValueError):
+                pass
+            s = cell_str(v)
+            vals.append(s)
+        out[c] = vals
+    nf = pd.DataFrame(out, columns=list(df.columns))
+    negzero = [c for c in nf.columns if (nf[c] == "-0.0").any()]
+    if negzero:
+        return None, (f"NEG_ZERO[{side}:{','.join(negzero)}]: '-0.0' cell "
+                      "breaks the driver's string hash - normalize with + 0.0 "
+                      "on BOTH the query and the oracle")
+    if len(nf.columns):
+        nf = nf.sort_values(by=list(nf.columns),
+                            kind="mergesort").reset_index(drop=True)
+    return nf, None
+
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 results = {}
@@ -28,7 +112,9 @@ for qdir in sorted(glob.glob(f"{out_dir}/*")):
         continue
     got = pq.read_table(files[0]).to_pandas()
     if qname not in oracle:
-        results[qname] = f"ROWS_ONLY({len(got)})"
+        # rows-only queries still must not carry driver-breaking cells
+        _, err = normalize(got, "spark")
+        results[qname] = err if err else f"ROWS_ONLY({len(got)})"
         continue
     try:
         exp = con.execute(oracle[qname]).fetchdf()
@@ -43,33 +129,19 @@ for qdir in sorted(glob.glob(f"{out_dir}/*")):
     if len(got) != len(exp):
         results[qname] = f"ROWS: got {len(got)} exp {len(exp)}"
         continue
-    got = got.reset_index(drop=True)
-    exp = exp.reset_index(drop=True)
+    gn, gerr = normalize(got.reset_index(drop=True), "spark")
+    if gerr:
+        results[qname] = gerr
+        continue
+    en, eerr = normalize(exp.reset_index(drop=True), "oracle")
+    if eerr:
+        results[qname] = eerr
+        continue
     mismatch = None
-    for c in got.columns:
-        g, e = got[c], exp[c]
-        try:
-            if str(g.dtype).startswith("datetime") or str(e.dtype).startswith("datetime"):
-                gn = pd.to_datetime(g)
-                en = pd.to_datetime(e)
-                if getattr(gn.dt, "tz", None) is not None:
-                    gn = gn.dt.tz_convert("UTC").dt.tz_localize(None)
-                if getattr(en.dt, "tz", None) is not None:
-                    en = en.dt.tz_convert("UTC").dt.tz_localize(None)
-                eq = gn.astype("datetime64[ns]").equals(en.astype("datetime64[ns]"))
-            elif g.dtype == object or e.dtype == object:
-                try:
-                    gn = pd.to_datetime(g); en = pd.to_datetime(e)
-                    eq = gn.astype("datetime64[ns]").equals(en.astype("datetime64[ns]"))
-                except Exception:
-                    eq = g.astype(str).equals(e.astype(str))
-            else:
-                eq = ((g == e) | (g.isna() & e.isna())).all()
-        except Exception as ex:
-            eq = False
-        if not eq:
-            diffs = [(i, g.iloc[i], e.iloc[i]) for i in range(len(g))
-                     if str(g.iloc[i]) != str(e.iloc[i])][:3]
+    for c in gn.columns:
+        if not gn[c].equals(en[c]):
+            diffs = [(i, gn[c].iloc[i], en[c].iloc[i]) for i in range(len(gn))
+                     if gn[c].iloc[i] != en[c].iloc[i]][:3]
             mismatch = f"VAL[{c}]: {diffs}"
             break
     results[qname] = "OK" if mismatch is None else mismatch
@@ -80,3 +152,4 @@ for k, v in sorted(results.items()):
     flag = "PASS" if v == "OK" else ("SOFT" if str(v).startswith("ROWS_ONLY") else "FAIL")
     print(f"{flag} {k}: {v}")
 print(f"\n{ok} OK / {rows_only} rows-only / {len(results)} total")
+sys.exit(0 if ok + rows_only == len(results) else 1)
