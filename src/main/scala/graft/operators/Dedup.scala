@@ -856,8 +856,12 @@ object Dedup {
     // consumers, and (b) k comes from the row count with no extra jobs.
     val centRows = centroids
       .select(col("cluster_id").cast("long"), col("centroid"))
-      .collect()
+      .take(65537)
     require(centRows.nonEmpty, "semDeDup requires at least one centroid")
+    require(centRows.length <= 65536,
+      "semDeDup: centroid table exceeds the 65536-row broadcast contract - " +
+        "was the corpus passed instead of a centroid frame? Cluster first " +
+        "(e.g. KMeans) and pass the fitted centers.")
     val kCount = centRows.length
     val kPrime = math.max(1, math.ceil(math.sqrt(kCount.toDouble)).toInt)
     val probes = 2

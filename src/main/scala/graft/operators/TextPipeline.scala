@@ -222,29 +222,38 @@ object TextPipeline {
     // scorable + 6 unscorable docs would put ALL scorable docs in
     // head). Unscorable docs bypass ranking entirely and union back in
     // as tail.
-    val scorable = base.filter(col("__s6").isNotNull)
-    val ranked = RelationalOps.keyedRank(scorable, "lang",
-      Seq(col("__s6").desc, col("id").asc))
-    val counts = scorable.groupBy(col("lang").as("__clang"))
-      .agg(count(lit(1)).as("__n"))
-    val bucketNum = expr(
-      """CASE WHEN __rank <= ((__n div 3) + 1) * (__n % 3)
-        |     THEN (__rank - 1) div ((__n div 3) + 1) + 1
-        |     ELSE (__n % 3) +
-        |          (__rank - ((__n div 3) + 1) * (__n % 3) - 1)
-        |            div greatest(__n div 3, 1) + 1
-        |END""".stripMargin)
-    val bucketed = ranked
-      .join(broadcast(counts), col("lang") <=> col("__clang"))
-      .withColumn("__b", bucketNum)
-      .select(col("id"), col("lang"), col("mean_tok_prob"),
-        when(col("__b") === 1, "head")
-          .when(col("__b") === 2, "middle")
-          .otherwise("tail").as("ppl_bucket"))
-    bucketed.unionByName(
-      base.filter(col("__s6").isNull)
+    try {
+      val scorable = base.filter(col("__s6").isNotNull)
+      val ranked = RelationalOps.keyedRank(scorable, "lang",
+        Seq(col("__s6").desc, col("id").asc))
+      val counts = scorable.groupBy(col("lang").as("__clang"))
+        .agg(count(lit(1)).as("__n"))
+      val bucketNum = expr(
+        """CASE WHEN __rank <= ((__n div 3) + 1) * (__n % 3)
+          |     THEN (__rank - 1) div ((__n div 3) + 1) + 1
+          |     ELSE (__n % 3) +
+          |          (__rank - ((__n div 3) + 1) * (__n % 3) - 1)
+          |            div greatest(__n div 3, 1) + 1
+          |END""".stripMargin)
+      val bucketed = ranked
+        .join(broadcast(counts), col("lang") <=> col("__clang"))
+        .withColumn("__b", bucketNum)
         .select(col("id"), col("lang"), col("mean_tok_prob"),
-          lit("tail").as("ppl_bucket")))
+          when(col("__b") === 1, "head")
+            .when(col("__b") === 2, "middle")
+            .otherwise("tail").as("ppl_bucket"))
+      bucketed.unionByName(
+        base.filter(col("__s6").isNull)
+          .select(col("id"), col("lang"), col("mean_tok_prob"),
+            lit("tail").as("ppl_bucket")))
+    } catch {
+      // keyedRank can throw during plan construction (cardinality-cap
+      // require); release the cached slim frame rather than leaking it
+      // in a long-lived session — same posture as keyedRank itself.
+      case e: Throwable =>
+        base.unpersist(blocking = false)
+        throw e
+    }
   }
 
   // RE2-compatible patterns (no lookarounds) — identical semantics under

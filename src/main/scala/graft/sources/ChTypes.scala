@@ -120,14 +120,36 @@ object ChTypes {
   }
 
   // The reference's parser allows slash-star comments inside a type
-  // declaration (00477_parsing_data_types). Strips them NON-GREEDILY
-  // (a comment body ending in '*' still terminates at the first
-  // close), and is shared by EVERY raw-type-string consumer here —
-  // toSpark and the wire-width helpers must see the same declaration
-  // or a commented Decimal would parse a schema yet misframe its
-  // bytes.
-  private def stripComments(ch: String): String =
-    ch.replaceAll("(?s)/\\*.*?\\*/", " ").trim
+  // declaration (00477_parsing_data_types) but lexes them only OUTSIDE
+  // string literals — a '/*' inside Enum8('a/*b' = 1) is data, not a
+  // comment. Scans char-by-char: single-quoted segments (with
+  // backslash escapes, the reference's literal syntax) pass through
+  // verbatim; outside quotes a comment runs non-greedily to the first
+  // '*/'. Shared by EVERY raw-type-string consumer here — toSpark and
+  // the wire-width helpers must see the same declaration or a
+  // commented Decimal would parse a schema yet misframe its bytes.
+  private def stripComments(ch: String): String = {
+    val out = new java.lang.StringBuilder(ch.length)
+    var i = 0; var q = false
+    while (i < ch.length) {
+      val c = ch.charAt(i)
+      if (q) {
+        out.append(c)
+        if (c == '\\' && i + 1 < ch.length) { out.append(ch.charAt(i + 1)); i += 1 }
+        else if (c == '\'') q = false
+        i += 1
+      } else if (c == '\'') {
+        q = true; out.append(c); i += 1
+      } else if (c == '/' && i + 1 < ch.length && ch.charAt(i + 1) == '*') {
+        val close = ch.indexOf("*/", i + 2)
+        out.append(' ')
+        i = if (close < 0) ch.length else close + 2
+      } else {
+        out.append(c); i += 1
+      }
+    }
+    out.toString.trim
+  }
 
   /** Parse a reference type name to (engine type, nullable). */
   def toSpark(ch: String): (DataType, Boolean) = {

@@ -193,6 +193,13 @@ class FormatsSpec extends SparkSpec {
     assert(ChTypes.toSpark("Array( /* Hello */ UInt32 /* World */ )")._1
       === org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.LongType, false))
+    // ...but comment delimiters INSIDE a quoted literal are data, not
+    // comments (the reference lexes comments only outside strings) —
+    // an Enum value spelled 'a/*b' or '*/x' must survive the strip
+    assert(ChTypes.toSpark("Enum8('a/*b' = 1, '*/x' = 2) /* tail */")._1
+      === org.apache.spark.sql.types.StringType)
+    assert(ChTypes.toSpark("Enum8('it\\'s/*' = 1) /* real comment */")._1
+      === org.apache.spark.sql.types.StringType)
     assert(ChTypes.decimalWireWidth("Decimal256(2)", 38) === 32)
     assert(ChTypes.decimalWireWidth("Decimal(76, 2)", 38) === 32)
     assert(ChTypes.decimalWireWidth("Decimal(9, 2)", 38) === 4)

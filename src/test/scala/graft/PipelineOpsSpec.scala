@@ -489,6 +489,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(sims(2L) > sims(3L))
   }
 
+  test("semDeDup: oversized centroid table fails loudly, not with a driver OOM") {
+    // the documented contract is <=65536 broadcast-sized centroid rows;
+    // passing the corpus by mistake must throw before materializing it
+    val emb = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val oversized = spark.range(65537)
+      .select(col("id").as("cluster_id"),
+        array(lit(1f), lit(0f)).as("centroid"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.semDeDup(emb, col("embedding"), col("vec_id"), oversized,
+        minCosSim = 0.95).collect()
+    }
+    assert(e.getMessage.contains("65536"))
+  }
+
   test("keepBestPerCluster: highest quality survives, ties on lower id") {
     val docs = Seq(
       (1L, 10L), (2L, 30L), (3L, 30L),  // cluster {1,2,3}: 2 wins tie vs 3
