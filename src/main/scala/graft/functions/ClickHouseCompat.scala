@@ -2232,6 +2232,7 @@ object ClickHouseCompat {
     TypeFronts.installNative(spark)
     ScalarTranche18.install(spark) // frequency-ranked §2.9 residual head
     ScalarTranche19.install(spark) // block-order family + fuzzy multi-regex
+    ScalarTranche20.install(spark) // IN-operator function family + _CAST
     StringSketchHash.install(spark)
     HashParity.install(spark)
     DateTimeFormat.install(spark)

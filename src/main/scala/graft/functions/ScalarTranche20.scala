@@ -1,0 +1,161 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types.BooleanType
+
+/** Scalar tranche 20 — the IN-operator function family and `_CAST`.
+  *
+  * The reference registers the IN operator's function-call spellings as
+  * 16 scalar names (ref `src/Functions/in.cpp:33-48`, template axes
+  * <negative, global, null_is_skipped, ignore_set>):
+  *
+  *  - `in` / `notIn`: NULL handling via the default-nulls wrapper —
+  *    a NULL left operand yields NULL (pinned by the reference's own
+  *    01280_null_in golden: `count(in(NULL, []))` = 0 because count
+  *    skips NULLs); NULL elements of the set are never matched.
+  *  - `nullIn` / `notNullIn`: the transform_null_in forms — NULL is an
+  *    ordinary value, so the result is never NULL and
+  *    `nullIn(NULL, tuple(NULL))` = 1 (same golden: count = 1).
+  *  - `global*`: distributed-IN spellings; on a single engine the set
+  *    side is already global, so they alias the local forms — the same
+  *    collapse the reference itself performs on a non-distributed table.
+  *  - `*IgnoreSet`: type-analysis shims that never consult the set and
+  *    return a zero column (ref `in.cpp:54` comment) — BEFORE the
+  *    negation is applied, so `notInIgnoreSet` is also 0; the
+  *    null-skipped forms still pass NULL rows through the default-nulls
+  *    wrapper.
+  *
+  * The set argument follows the house tuple convention (tuple math =
+  * ARRAY, ClickHouseCompat): an ARRAY expression, with build-time
+  * support for `named_struct`/`array` literal shapes. Results are
+  * engine-idiomatic BOOLEAN (the reference's UInt8 0/1).
+  *
+  * `_CAST(x, 'TypeName')` (ref `src/Functions/CastOverloadResolver.cpp`)
+  * is the parser's internal cast spelling with a reference type name —
+  * a front over Catalyst `Cast` through the same `ChTypes.toSpark`
+  * mapping the format readers use.
+  */
+object ScalarTranche20 {
+
+  /** Membership core over an element list: null elements are skipped
+    * for the match itself but drive the nullAware NULL-operand branch.
+    */
+  private def inOverElems(
+      x: Expression,
+      elems: Seq[Expression],
+      negative: Boolean,
+      nullAware: Boolean): Expression = {
+    val nonNullElems = elems.filterNot {
+      case Literal(null, _) => true
+      case _ => false
+    }
+    val hasNullElem: Expression = elems
+      .map(e => IsNull(e): Expression)
+      .reduceOption(Or).getOrElse(Literal(false))
+    val base: Expression =
+      if (nonNullElems.isEmpty) Literal(false)
+      else Coalesce(Seq(In(x, nonNullElems), Literal(false)))
+    val core =
+      if (nullAware) If(IsNull(x), hasNullElem, base)
+      else If(IsNull(x), Literal.create(null, BooleanType), base)
+    if (negative) Not(core) else core
+  }
+
+  /** Membership core over an arbitrary ARRAY-typed set expression. */
+  private def inOverArray(
+      x: Expression,
+      set: Expression,
+      negative: Boolean,
+      nullAware: Boolean): Expression = {
+    val contains = Coalesce(Seq(
+      UnresolvedFunction("array_contains", Seq(set, x), isDistinct = false),
+      Literal(false)))
+    val core =
+      if (nullAware) {
+        val v = UnresolvedNamedLambdaVariable(Seq("e"))
+        val hasNullElem = Coalesce(Seq(
+          UnresolvedFunction("exists",
+            Seq(set, LambdaFunction(IsNull(v), Seq(v))), isDistinct = false),
+          Literal(false)))
+        If(IsNull(x), hasNullElem, contains)
+      } else If(IsNull(x), Literal.create(null, BooleanType), contains)
+    if (negative) Not(core) else core
+  }
+
+  private def inExpr(
+      cs: Seq[Expression],
+      negative: Boolean,
+      nullAware: Boolean): Expression = {
+    require(cs.length == 2, s"in-family functions take (x, set): got ${cs.length}")
+    val x = cs.head
+    cs(1) match {
+      case CreateArray(elems, _) => inOverElems(x, elems, negative, nullAware)
+      case ns: CreateNamedStruct => // tuple literal shape
+        inOverElems(x, ns.valExprs, negative, nullAware)
+      case set => inOverArray(x, set, negative, nullAware)
+    }
+  }
+
+  /** `in` alone is ALSO a Spark builtin that the Column API depends on:
+    * `Column.isin(...)` resolves through the registry as variadic
+    * `in(x, v1, v2, ...)`. Shadowing it with the strict 2-arg reference
+    * form would break every `.isin` call in the session, so `in` keeps
+    * Spark-native semantics (`In(x, rest)`) for every shape EXCEPT the
+    * reference's literal set spellings — `in(x, array(...))` /
+    * `in(x, tuple(...))` — which can't be produced by `.isin` with
+    * scalar values. A non-literal array set (`in(x, arr_col)`) therefore
+    * keeps builtin equality semantics; use `nullIn`/`globalIn` (no
+    * builtin conflict) for reference semantics over computed sets.
+    */
+  private def builtinCompatibleIn(cs: Seq[Expression]): Expression = cs match {
+    case Seq(x, CreateArray(elems, _)) =>
+      inOverElems(x, elems, negative = false, nullAware = false)
+    case Seq(x, ns: CreateNamedStruct) =>
+      inOverElems(x, ns.valExprs, negative = false, nullAware = false)
+    case _ =>
+      require(cs.length >= 2, s"in requires at least 2 arguments: got ${cs.length}")
+      In(cs.head, cs.tail)
+  }
+
+  /** The ignore-set shims: zero column regardless of the set or the
+    * negation; the null-skipped axis still NULL-masks NULL operands.
+    */
+  private def ignoreSetExpr(cs: Seq[Expression], nullAware: Boolean): Expression = {
+    require(cs.length == 2, s"in-family functions take (x, set): got ${cs.length}")
+    if (nullAware) Literal(false)
+    else If(IsNull(cs.head), Literal.create(null, BooleanType), Literal(false))
+  }
+
+  def install(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def builder(name: String)(f: Seq[Expression] => Expression): Unit =
+      reg.registerFunction(FunctionIdentifier(name),
+        new ExpressionInfo(getClass.getName, name), f)
+
+    for (global <- Seq(false, true)) {
+      val g = if (global) "global" else ""
+      def n(s: String) = if (global) s.capitalize else s
+      if (global)
+        builder("globalIn")(cs => inExpr(cs, negative = false, nullAware = false))
+      else
+        builder("in")(builtinCompatibleIn)
+      builder(s"$g${n("notIn")}")(cs => inExpr(cs, negative = true, nullAware = false))
+      builder(s"$g${n("nullIn")}")(cs => inExpr(cs, negative = false, nullAware = true))
+      builder(s"$g${n("notNullIn")}")(cs => inExpr(cs, negative = true, nullAware = true))
+      builder(s"$g${n("inIgnoreSet")}")(cs => ignoreSetExpr(cs, nullAware = false))
+      builder(s"$g${n("notInIgnoreSet")}")(cs => ignoreSetExpr(cs, nullAware = false))
+      builder(s"$g${n("nullInIgnoreSet")}")(cs => ignoreSetExpr(cs, nullAware = true))
+      builder(s"$g${n("notNullInIgnoreSet")}")(cs => ignoreSetExpr(cs, nullAware = true))
+    }
+
+    builder("_CAST") { cs =>
+      require(cs.length == 2, s"_CAST(x, 'TypeName'): got ${cs.length} arguments")
+      require(cs(1).foldable, "_CAST type name must be a constant string")
+      val (dt, _) = graft.sources.ChTypes.toSpark(String.valueOf(cs(1).eval(null)))
+      Cast(cs.head, dt)
+    }
+  }
+}

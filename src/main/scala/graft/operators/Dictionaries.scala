@@ -69,6 +69,37 @@ object Dictionaries {
   def names: Seq[String] = registry.keys.toSeq.sorted
   def exists(name: String): Boolean = registry.contains(name)
 
+  /** `system.dictionaries` analog (reference
+    * `src/Storages/System/StorageSystemDictionaries.cpp`, incl. the
+    * virtual `key` layout column of 01838): one row per registered
+    * dictionary with its key layout, attribute names/types (comma-joined
+    * — scalar cells, driver-comparator-safe) and hierarchy marker.
+    * Simple-key entries report `UInt64` (the registry's key domain);
+    * polygon-layout entries report `Polygon`.
+    */
+  def system(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types.{StructType, StructField, StringType, BooleanType}
+    val schema = StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("key", StringType, nullable = false),
+      StructField("attribute_names", StringType, nullable = false),
+      StructField("attribute_types", StringType, nullable = false),
+      StructField("hierarchical", BooleanType, nullable = false)))
+    val rows: Seq[org.apache.spark.sql.Row] =
+      registry.toSeq.map { case (n, d) =>
+        val as = d.attrTypes.keys.toSeq.sorted
+        org.apache.spark.sql.Row(n, "UInt64", as.mkString(","),
+          as.map(d.attrTypes).mkString(","), d.hierarchical.nonEmpty)
+      } ++ polyRegistry.toSeq.map { case (n, d) =>
+        val as = d.attrTypes.keys.toSeq.sorted
+        org.apache.spark.sql.Row(n, "Polygon", as.mkString(","),
+          as.map(d.attrTypes).mkString(","), false)
+      }
+    val l = new java.util.ArrayList[org.apache.spark.sql.Row](rows.length)
+    rows.sortBy(_.getString(0)).foreach(l.add)
+    spark.createDataFrame(l, schema)
+  }
+
   private def dict(name: String): Dict =
     registry.getOrElse(name,
       throw new IllegalArgumentException(s"Dictionary '$name' does not exist"))

@@ -128,52 +128,60 @@ object TextPipeline {
       idCol: Column,
       alpha: Double = 0.4,
       reference: DataFrame = null): DataFrame = {
-    def positions(src: DataFrame): DataFrame =
+    // Tokens are HASHED to longs at tokenize time (xxhash64) and the
+    // surface strings never leave the scan stage: every downstream
+    // shuffle key — the unigram/bigram groupBys and the three count
+    // joins — is a fixed-width long instead of a variable-width string,
+    // which at 100 TB is the difference between shuffling the corpus
+    // vocabulary and shuffling 8-byte keys. A 64-bit collision merges
+    // two vocabulary entries' counts (P ≈ |vocab|²/2⁶⁵ — negligible at
+    // any real vocabulary, and this is a scoring stage, not an exact
+    // operator). Bigrams come straight from the token ARRAY as adjacent
+    // pairs — a scan-stage lambda, NOT the former (id, pos) self-join,
+    // so the whole pair-forming shuffle is gone.
+    def hashedBigrams(src: DataFrame): DataFrame =
       src.select(idCol.as("id"), text.tokenize(textCol).as("__t"))
-        .select(col("id"), posexplode(col("__t")))
-        .select(col("id"), col("pos"), col("col").as("tok"))
-    // The token frame feeds four consumers UNPERSISTED — MEASURED both
-    // ways at 20× data: persist+eager-checkpoint 5.77 s vs recompute
-    // 5.41 s (equal within ambient noise; tokenize+posexplode is a
-    // scan-stage projection, the d16 economics). At equal cost the lazy
-    // form wins: the returned frame keeps a live plan (PLANS.md shows
-    // the real join tree), no cache leaks across queries, and
-    // construction costs only the one count job below.
-    val toks: DataFrame = positions(df)
+        .select(col("id"), explode(expr(
+          """filter(
+               transform(__t, (x, i) -> struct(
+                 CASE WHEN i > 0 THEN xxhash64(__t[i - 1]) END AS ph,
+                 xxhash64(x) AS wh)),
+               s -> s.ph IS NOT NULL)""")).as("bg"))
+        .select(col("id"), col("bg.ph").as("ph"), col("bg.wh").as("wh"))
+    def hashedToks(src: DataFrame): DataFrame =
+      src.select(text.tokenize(textCol).as("__t"))
+        .select(explode(expr("transform(__t, x -> xxhash64(x))")).as("th"))
     // count frames come from the REFERENCE corpus when given (the
     // CCNet posture: a held-out/high-quality reference LM), else from
     // the scored corpus itself
-    val refToks = if (reference == null) toks else positions(reference)
+    val refSrc = if (reference == null) df else reference
+    val refToks = hashedToks(refSrc)
     val total = math.max(refToks.count(), 1L)
-      val uni = refToks.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
-      val bi = refToks.as("a")
-        .join(refToks.as("b"),
-          col("a.id") === col("b.id") && col("a.pos") + 1 === col("b.pos"))
-        .groupBy(col("a.tok").as("p"), col("b.tok").as("w"))
-        .agg(count(lit(1)).as("c2"))
-      val scored = toks.as("cur")
-        .join(toks.as("prv"),
-          col("cur.id") === col("prv.id") && col("prv.pos") === col("cur.pos") - 1)
-        .join(bi, col("prv.tok") === col("p") && col("cur.tok") === col("w"), "left")
-        .join(uni.withColumnRenamed("tok", "__pt").withColumnRenamed("c1", "c1p"),
-          col("prv.tok") === col("__pt"), "left")
-        .join(uni.withColumnRenamed("tok", "__ct").withColumnRenamed("c1", "c1c"),
-          col("cur.tok") === col("__ct"), "left")
-        .select(col("cur.id").as("id"),
-          // seen bigram: c2/c1(prev); else stupid backoff α·c1(cur)/T,
-          // with an unseen NEXT token counting one virtual occurrence
-          // (zero would poison the mean; a seen bigram implies a seen
-          // prev, so c1p is never null on the first branch)
-          when(col("c2").isNotNull,
-          col("c2").cast("double") / col("c1p").cast("double"))
-          .otherwise(lit(alpha) *
-            greatest(coalesce(col("c1c"), lit(0L)), lit(1L)).cast("double") /
-            lit(total.toDouble))
-          .as("__s"))
-      df.select(idCol.as("id")).join(
-          scored.groupBy("id").agg(avg(col("__s")).as("mean_tok_prob")),
-          Seq("id"), "left")
-        .select(col("id"), col("mean_tok_prob")) // raw; callers round ONCE
+    val uni = refToks.groupBy(col("th")).agg(count(lit(1)).as("c1"))
+    val bi = hashedBigrams(refSrc)
+      .groupBy(col("ph").as("p"), col("wh").as("w"))
+      .agg(count(lit(1)).as("c2"))
+    val scored = hashedBigrams(df)
+      .join(bi, col("ph") === col("p") && col("wh") === col("w"), "left")
+      .join(uni.withColumnRenamed("th", "__pt").withColumnRenamed("c1", "c1p"),
+        col("ph") === col("__pt"), "left")
+      .join(uni.withColumnRenamed("th", "__ct").withColumnRenamed("c1", "c1c"),
+        col("wh") === col("__ct"), "left")
+      .select(col("id"),
+        // seen bigram: c2/c1(prev); else stupid backoff α·c1(cur)/T,
+        // with an unseen NEXT token counting one virtual occurrence
+        // (zero would poison the mean; a seen bigram implies a seen
+        // prev, so c1p is never null on the first branch)
+        when(col("c2").isNotNull,
+        col("c2").cast("double") / col("c1p").cast("double"))
+        .otherwise(lit(alpha) *
+          greatest(coalesce(col("c1c"), lit(0L)), lit(1L)).cast("double") /
+          lit(total.toDouble))
+        .as("__s"))
+    df.select(idCol.as("id")).join(
+        scored.groupBy("id").agg(avg(col("__s")).as("mean_tok_prob")),
+        Seq("id"), "left")
+      .select(col("id"), col("mean_tok_prob")) // raw; callers round ONCE
   }
 
   /** CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020

@@ -975,11 +975,13 @@ object RelationalQueries {
       val tbl = graft.sources.SystemCatalog.tables(s)
         .filter(col("name").startsWith("q89_"))
         .select(col("database"), col("name"), col("engine"),
-          col("is_temporary"))
+          col("is_temporary"), col("total_rows"), col("total_bytes"))
       val db = graft.sources.SystemCatalog.databases(s)
         .filter(col("name") === "default")
         .select(lit("").as("database"), concat(lit("db:"), col("name")).as("name"),
-          col("engine"), lit(false).as("is_temporary"))
+          col("engine"), lit(false).as("is_temporary"),
+          lit(null).cast("long").as("total_rows"),
+          lit(null).cast("long").as("total_bytes"))
       tbl.unionAll(db).orderBy(col("name"))
     }),
     // KMV theta-sketch distinct counting + set algebra (functions/
@@ -1229,6 +1231,29 @@ object RelationalQueries {
           "array_join(transform(replicate(p_size, array(1, 2, 3)), x -> CAST(x AS STRING)), ',') AS repl",
           "multiFuzzyMatchAny(p_name, 1, array('chocolate', 'turquoise')) AS fz1",
           "array_join(transform(multiFuzzyMatchAllIndices(p_name, 2, array('lavender', 'metallic')), x -> CAST(x AS STRING)), ',') AS fzall")
+        .orderBy(col("p_partkey"))
+    }),
+
+    // Scalar tranche 20 end-to-end: the IN-operator function family —
+    // null-masked in/notIn vs never-null nullIn/notNullIn (01280
+    // semantics), global* aliases, the *IgnoreSet zero-column shims —
+    // plus _CAST with reference type names. nullif(p_size % 10, 4)
+    // exercises the NULL-operand branch on real rows; nullable booleans
+    // surface as INT 0/1/NULL on both sides (driver-stable hash).
+    "q91_scalar_tranche20" -> ((s, dir) => {
+      t(s, dir, "part").filter(col("p_partkey") <= 200)
+        .selectExpr(
+          "p_partkey",
+          "CAST(in(p_size % 10, array(1, 3, 5)) AS INT) AS in_a",
+          "CAST(notIn(p_size % 10, array(1, 3, 5)) AS INT) AS notin_a",
+          "CAST(in(nullif(p_size % 10, 4), array(1, 3, 5)) AS INT) AS in_nl",
+          "CAST(nullIn(nullif(p_size % 10, 4), array(CAST(NULL AS INT), 1, 3, 5)) AS INT) AS nullin_a",
+          "CAST(notNullIn(nullif(p_size % 10, 4), array(CAST(NULL AS INT), 1, 3, 5)) AS INT) AS notnullin_a",
+          "CAST(globalIn(p_size % 10, array(2, 4)) AS INT) AS gin",
+          "CAST(inIgnoreSet(nullif(p_size % 10, 4), array(1)) AS INT) AS ign",
+          "CAST(nullInIgnoreSet(p_size % 10, array(1)) AS INT) AS nullign",
+          "_CAST(p_size, 'String') AS cs",
+          "_CAST(p_partkey % 7, 'Float64') AS cf")
         .orderBy(col("p_partkey"))
     }),
 
@@ -1868,12 +1893,37 @@ object RelationalQueries {
       FROM fz
       WINDOW w AS (ORDER BY p_partkey)
       ORDER BY p_partkey""",
+    // q91 oracle: IN-family semantics replayed with SQL three-valued
+    // logic — plain in/notIn inherit NULL-masking from SQL IN over a
+    // null-free set; nullIn branches on IS NULL (a NULL element in the
+    // engine's set only matters for a NULL operand); *IgnoreSet is the
+    // zero column with the null-skipped forms NULL-masked.
+    "q91_scalar_tranche20" -> """
+      WITH p AS (SELECT p_partkey, p_size, nullif(p_size % 10, 4) AS x
+                 FROM part WHERE p_partkey <= 200)
+      SELECT p_partkey,
+             CAST((p_size % 10) IN (1, 3, 5) AS INT) AS in_a,
+             CAST((p_size % 10) NOT IN (1, 3, 5) AS INT) AS notin_a,
+             CAST(x IN (1, 3, 5) AS INT) AS in_nl,
+             CAST(CASE WHEN x IS NULL THEN TRUE
+                       ELSE coalesce(x IN (1, 3, 5), FALSE) END AS INT) AS nullin_a,
+             CAST(NOT CASE WHEN x IS NULL THEN TRUE
+                       ELSE coalesce(x IN (1, 3, 5), FALSE) END AS INT) AS notnullin_a,
+             CAST((p_size % 10) IN (2, 4) AS INT) AS gin,
+             CAST(CASE WHEN x IS NULL THEN NULL ELSE FALSE END AS INT) AS ign,
+             CAST(FALSE AS INT) AS nullign,
+             CAST(p_size AS VARCHAR) AS cs,
+             CAST(p_partkey % 7 AS DOUBLE) AS cf
+      FROM p ORDER BY p_partkey""",
     "q89_system_catalog" -> """
       SELECT * FROM (VALUES
-        ('', 'db:default', 'Atomic', false),
-        ('', 'q89_nation_view', 'View', true),
-        ('', 'q89_region_view', 'View', true))
-        AS t(database, name, engine, is_temporary)
+        ('', 'db:default', 'Atomic', false,
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
+        ('', 'q89_nation_view', 'View', true,
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
+        ('', 'q89_region_view', 'View', true,
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)))
+        AS t(database, name, engine, is_temporary, total_rows, total_bytes)
       ORDER BY name""",
     "q74_system_parts" -> """
       SELECT CAST(count(1) AS BIGINT) AS nrows,

@@ -20,7 +20,14 @@ object SystemCatalog {
     StructField("database", StringType, nullable = false),
     StructField("name", StringType, nullable = false),
     StructField("engine", StringType, nullable = false),
-    StructField("is_temporary", BooleanType, nullable = false)))
+    StructField("is_temporary", BooleanType, nullable = false),
+    // the reference's metadata-known sizes (StorageSystemTables
+    // total_rows/total_bytes): NULL when the storage can't answer from
+    // metadata — for the engine that means catalog statistics (ANALYZE
+    // TABLE) when present, never a scan; views/temp views are lazy
+    // projections and always NULL, like the reference's View rows
+    StructField("total_rows", LongType, nullable = true),
+    StructField("total_bytes", LongType, nullable = true)))
 
   val databasesSchema: StructType = StructType(Seq(
     StructField("name", StringType, nullable = false),
@@ -46,7 +53,16 @@ object SystemCatalog {
         case "TEMPORARY" | "VIEW" => "View"
         case other => Option(other).filter(_.nonEmpty).getOrElse("Table")
       }
-      Row(Option(t.database).getOrElse(""), t.name, engine, t.isTemporary)
+      val stats =
+        if (t.isTemporary || engine == "View") None
+        else try {
+          spark.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(
+              t.name, Option(t.database))).stats
+        } catch { case _: Exception => None }
+      Row(Option(t.database).getOrElse(""), t.name, engine, t.isTemporary,
+        stats.flatMap(_.rowCount).map(_.toLong).orNull,
+        stats.map(_.sizeInBytes.toLong).orNull)
     }, tablesSchema)
 
   /** One row per database/namespace. */

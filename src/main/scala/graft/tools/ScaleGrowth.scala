@@ -146,6 +146,22 @@ object ScaleGrowth {
         graft.engine.Tables.t(s, dir, "embeddings"),
         graft.operators.Dedup.AutoPlanes)
 
+    // d21 over its PRODUCTION feed: the SparkEntry d21 row pipes
+    // keepBestPerCluster from d02's exact all-pairs join (the oracle
+    // twin — quadratic BY DESIGN), which dominates its measured curve.
+    // At 100 TB the documented feed is MinHash-LSH verified pairs
+    // (d03's machinery); this leg measures the retention policy over
+    // that feed so the policy's own growth is visible, expected ~d03's.
+    def d21Lsh: (SparkSession, String) => DataFrame = (s, dir) => {
+      val docs = graft.engine.Tables.t(s, dir, "documents")
+      val pairs = graft.operators.Dedup.minhashLshVerifiedPairs(docs,
+          col("text"), col("doc_id"), n = 3, bands = 16, rowsPerBand = 4,
+          minSim = 0.5)
+        .select(col("id_a"), col("id_b"))
+      graft.operators.Dedup.keepBestPerCluster(docs, col("doc_id"),
+        col("n_chars").cast("long"), pairs)
+    }
+
     // wide-integer arithmetic under aggregation load: construction +
     // multiply are scalar UDFs (one BigInteger per row), wideSum is the
     // Aggregator — this row measures whether the boxing overhead grows
@@ -166,6 +182,7 @@ object ScaleGrowth {
       val perQuery = (Queries.map(n => n -> graft.SparkEntry.queries(n)) ++
           Seq("d09_lsh_cosine_scaled" -> d09Scaled,
             "d10_lsh_clusters_scaled" -> d10Scaled,
+            "d21_retention_lsh" -> d21Lsh,
             "wide_sum_groupby" -> wideScaled))
         .filter { case (name, _) => filter(name) }
         .map { case (name, fn) =>

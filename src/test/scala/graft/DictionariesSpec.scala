@@ -41,6 +41,24 @@ class DictionariesSpec extends SparkSpec {
     Dictionaries.drop("dtest")
   }
 
+  test("system.dictionaries analog: key layout + attribute listing (01838)") {
+    val s0 = spark
+    import s0.implicits._
+    Dictionaries.create("systest",
+      Seq((1L, "a", 10L)).toDF("id", "name", "parent"),
+      "id", Map("name" -> "String", "parent" -> "UInt64"),
+      hierarchical = Some("parent"))
+    val row = Dictionaries.system(spark)
+      .filter(col("name") === "systest").head()
+    assert(row.getString(1) === "UInt64")        // simple key layout
+    assert(row.getString(2) === "name,parent")   // attribute names
+    assert(row.getString(3) === "String,UInt64") // attribute types
+    assert(row.getBoolean(4) === true)           // hierarchical
+    Dictionaries.drop("systest")
+    assert(!Dictionaries.system(spark).collect()
+      .exists(_.getString(0) == "systest"))
+  }
+
   test("hierarchy walk, dictIsIn, children and descendants") {
     val s0 = spark
     import s0.implicits._

@@ -1,0 +1,87 @@
+package graft
+
+/** Tranche 20: the IN-operator function family pinned to the
+  * reference's own 01280_null_in golden (count() skips NULLs, so the
+  * golden distinguishes a NULL result from a 0), plus the ignore-set
+  * zero-column contract and the `_CAST` type-name front.
+  */
+class ScalarTranche20Spec extends SparkSpec {
+
+  private def q1(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
+  private def cnt(expr: String): Long =
+    spark.sql(s"SELECT count($expr)").head().getLong(0)
+
+  test("01280 golden: in/notIn NULL-mask, nullIn/notNullIn never NULL") {
+    // SELECT count(in(NULL, [])) ... reference output: 0 0 1 1
+    assert(cnt("in(CAST(NULL AS INT), array())") === 0L)
+    assert(cnt("notIn(CAST(NULL AS INT), array())") === 0L)
+    assert(cnt("nullIn(CAST(NULL AS INT), array())") === 1L)
+    assert(cnt("notNullIn(CAST(NULL AS INT), array())") === 1L)
+    // SELECT count(in(NULL, tuple(NULL))) ... reference output: 0 0 1 1
+    assert(cnt("in(CAST(NULL AS INT), array(CAST(NULL AS INT)))") === 0L)
+    assert(cnt("notIn(CAST(NULL AS INT), array(CAST(NULL AS INT)))") === 0L)
+    assert(cnt("nullIn(CAST(NULL AS INT), array(CAST(NULL AS INT)))") === 1L)
+    assert(cnt("notNullIn(CAST(NULL AS INT), array(CAST(NULL AS INT)))") === 1L)
+    // the nullIn VALUES behind those counts
+    assert(q1("nullIn(CAST(NULL AS INT), array())") === false)
+    assert(q1("nullIn(CAST(NULL AS INT), array(CAST(NULL AS INT)))") === true)
+    assert(q1("notNullIn(CAST(NULL AS INT), array(CAST(NULL AS INT)))") === false)
+  }
+
+  test("membership: null elements never match in/notIn, do match nullIn") {
+    assert(q1("in(3, array(1, 3, 5))") === true)
+    assert(q1("in(2, array(1, 3, 5))") === false)
+    assert(q1("notIn(2, array(1, 3, 5))") === true)
+    // a NULL element is skipped, NOT a wildcard: 2 is simply absent
+    assert(q1("in(2, array(CAST(NULL AS INT), 3))") === false)
+    assert(q1("in(3, array(CAST(NULL AS INT), 3))") === true)
+    assert(q1("nullIn(2, array(CAST(NULL AS INT), 3))") === false)
+    // tuple-literal shape (named_struct) works like the reference's tuple()
+    assert(q1("in(3, named_struct('a', 1, 'b', 3))") === true)
+    assert(q1("in(2, named_struct('a', 1, 'b', 3))") === false)
+    // a non-literal ARRAY set works through the non-builtin spellings
+    // (in's computed-set shape keeps Spark-native semantics — see below)
+    assert(q1("globalIn(3, sequence(1, 5))") === true)
+    assert(q1("globalIn(9, sequence(1, 5))") === false)
+    assert(q1("nullIn(3, sequence(1, 5))") === true)
+  }
+
+  test("in stays builtin-compatible: Column.isin resolves through it") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // .isin is variadic in(x, v1, v2, ...) in the registry — the CH
+    // 2-arg set form must not shadow it
+    val got = Seq("a", "b", "c").toDF("s")
+      .filter(col("s").isin("a", "c")).collect().map(_.getString(0)).sorted
+    assert(got.toSeq === Seq("a", "c"))
+    val one = Seq(1, 2).toDF("n").filter(col("n").isin(2))
+      .collect().map(_.getInt(0)).toSeq
+    assert(one === Seq(2))
+    assert(q1("in(3, 1, 3, 5)") === true) // native variadic spelling
+  }
+
+  test("global* spellings alias the local forms") {
+    assert(q1("globalIn(3, array(1, 3))") === true)
+    assert(q1("globalNotIn(3, array(1, 3))") === false)
+    assert(q1("globalNullIn(CAST(NULL AS INT), array(CAST(NULL AS INT)))") === true)
+    assert(q1("globalNotNullIn(2, array(1, 3))") === true)
+  }
+
+  test("*IgnoreSet: zero column before negation; null-skipped forms NULL-mask") {
+    assert(q1("inIgnoreSet(3, array(3))") === false)
+    assert(q1("notInIgnoreSet(3, array(3))") === false) // NOT flipped: zero wins
+    assert(q1("nullInIgnoreSet(3, array(3))") === false)
+    assert(q1("notNullInIgnoreSet(CAST(NULL AS INT), array(3))") === false)
+    assert(q1("inIgnoreSet(CAST(NULL AS INT), array(3))") === null)
+    assert(cnt("inIgnoreSet(CAST(NULL AS INT), array(3))") === 0L)
+    assert(q1("globalInIgnoreSet(3, array(3))") === false)
+    assert(q1("globalNotInIgnoreSet(3, array(3))") === false)
+  }
+
+  test("_CAST: reference type names through the ChTypes mapping") {
+    assert(q1("_CAST(42, 'String')") === "42")
+    assert(q1("_CAST('3.5', 'Float64')") === 3.5d)
+    assert(q1("_CAST(7, 'Int64')") === 7L)
+    assert(q1("_CAST('1995-01-02', 'Date')").toString === "1995-01-02")
+  }
+}
