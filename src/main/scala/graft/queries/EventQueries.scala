@@ -833,8 +833,8 @@ object EventQueries {
           max(col("event_id")).as("__x1"))
         .filter(col("__x1") > col("__x0"))
         .select(col("user_id"),
-          round((col("__y1") - col("__y0")) / (col("__x1") - col("__x0")), 6)
-            .as("bounding_ratio"))
+          (round((col("__y1") - col("__y0")) / (col("__x1") - col("__x0")), 6)
+            + lit(0.0)).as("bounding_ratio"))
         .orderBy(col("user_id"))
     }),
     // covar/corr matrix (AggregateFunctionVarianceMatrix.cpp) over three
@@ -1418,7 +1418,7 @@ object EventQueries {
                min_by(value, event_id) AS y0, max_by(value, event_id) AS y1,
                min(event_id) AS x0, max(event_id) AS x1
         FROM events GROUP BY user_id)
-      SELECT user_id, round((y1 - y0) / (x1 - x0), 6) AS bounding_ratio
+      SELECT user_id, round((y1 - y0) / (x1 - x0), 6) + 0.0 AS bounding_ratio
       FROM g WHERE x1 > x0 ORDER BY user_id""",
     "e42_corr_matrix" -> """
       WITH ev AS (SELECT value AS c0,

@@ -70,7 +70,7 @@ object PlanDump {
       "d16_decontaminate" -> "span decontamination: benchmark grams distinct once (broadcastable), covered token positions explode ONLY from matched windows (contaminated docs), one anti-join on (doc, pos) + one reassembly groupBy — clean docs never explode coverage rows",
       "d17_lsh_autoplanes" -> "the ENGINE-DEFAULT LSH path (nPlanes = AutoPlanes): one count job sizes the plane set so expected bucket occupancy stays <=128, then the same bucket self-join + map-side cosine verify as d09 — the default a user gets is the measured-near-flat parameterization, now oracle-hashed itself",
       "q88_scalar_tranche18" -> "scalar tranche 18: arrayJoin resolves to a Generate (explode) over the scan — the row-multiplying front costs one generator, every other tranche-18 scalar (ranked enumerates, state init/finalize, introspection literals) stays inside the same projection; introspection folded to literals AT PLAN TIME (isConstant/isNullable/defaults never execute per-row)",
-      "t20_lm_quality" -> "LM quality score (CCNet perplexity-filter stage): the MODEL IS A JOIN — bigram/unigram count frames from two groupBys over slim (id, pos, token) rows, score = one left join + two unigram joins + a per-doc avg; nothing model-shaped ever reaches the driver, so the reference corpus can be 100 TB",
+      "t20_lm_quality" -> "LM quality score (CCNet perplexity-filter stage): the MODEL IS A JOIN — tokens hash to LONGS at tokenize time (xxhash64) and bigrams form as array-adjacent pairs in the scan stage (no (id,pos) self-join anywhere); bigram/unigram count frames from two groupBys over slim hashed rows, score = one left join + two unigram joins + a per-doc avg, every shuffle key an 8-byte long; nothing model-shaped ever reaches the driver, so the reference corpus can be 100 TB",
       "d19_semantic_contamination" -> "semantic contamination: the benchmark side BROADCASTS (BroadcastNestedLoopJoin — small by definition), the corpus streams one map-side cosine sweep, and only the tiny per-benchmark partial aggregate shuffles — no vector ever moves",
       "p06_epoch_mix" -> "epoch-capped up-sampling mix: the per-source rate table is one tiny aggregate broadcast back; repetition = explode(sequence(0, copies-1)) inside the scan stage — integer ppm arithmetic, no per-source sort, membership a pure function of the id",
       "q90_scalar_tranche19" -> "scalar tranche 19: the running family (neighbor/runningDifference/runningAccumulate) is DELIBERATELY a single-partition window over layout order — the reference's block-order semantics ARE a serial walk; the deviation is documented at the builder, and scale users get real window functions (q10/q11/e04). The fuzzy multi-regex columns are scan-stage scalars (NFA simulation per row, no shuffle)",
