@@ -64,7 +64,14 @@ object ScalarTranche20 {
     if (negative) Not(core) else core
   }
 
-  /** Membership core over an arbitrary ARRAY-typed set expression. */
+  /** Membership core over an arbitrary ARRAY-typed set expression.
+    * A NULL set argument follows each family's null posture: the
+    * default-nulls forms (in/notIn) yield NULL — any NULL argument
+    * NULL-masks the row, same as a NULL operand — while the
+    * transform_null_in forms never return NULL and treat a NULL set as
+    * empty (the reference's ColumnSet can't be NULL, so this edge is
+    * ours to define; empty is the non-surprising reading).
+    */
   private def inOverArray(
       x: Expression,
       set: Expression,
@@ -81,7 +88,8 @@ object ScalarTranche20 {
             Seq(set, LambdaFunction(IsNull(v), Seq(v))), isDistinct = false),
           Literal(false)))
         If(IsNull(x), hasNullElem, contains)
-      } else If(IsNull(x), Literal.create(null, BooleanType), contains)
+      } else If(Or(IsNull(x), IsNull(set)),
+        Literal.create(null, BooleanType), contains)
     if (negative) Not(core) else core
   }
 
@@ -109,6 +117,15 @@ object ScalarTranche20 {
     * scalar values. A non-literal array set (`in(x, arr_col)`) therefore
     * keeps builtin equality semantics; use `nullIn`/`globalIn` (no
     * builtin conflict) for reference semantics over computed sets.
+    *
+    * Blast radius of the literal-shape carve-out: the `x IN (...)`
+    * OPERATOR never reaches the registry (the parser builds `In`
+    * directly), so only the explicit function-call spelling
+    * `in(arr_col, array(...))` — native array-EQUALITY before this
+    * front — changes meaning, to element membership. That spelling is
+    * the reference's own IN semantics for its tests; native equality
+    * remains reachable as `arr_col IN (array(...))` or `arr_col =
+    * array(...)`.
     */
   private def builtinCompatibleIn(cs: Seq[Expression]): Expression = cs match {
     case Seq(x, CreateArray(elems, _)) =>

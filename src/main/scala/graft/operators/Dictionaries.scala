@@ -95,9 +95,7 @@ object Dictionaries {
         org.apache.spark.sql.Row(n, "Polygon", as.mkString(","),
           as.map(d.attrTypes).mkString(","), false)
       }
-    val l = new java.util.ArrayList[org.apache.spark.sql.Row](rows.length)
-    rows.sortBy(_.getString(0)).foreach(l.add)
-    spark.createDataFrame(l, schema)
+    graft.sources.SystemCatalog.df(spark, rows.sortBy(_.getString(0)), schema)
   }
 
   private def dict(name: String): Dict =

@@ -972,8 +972,7 @@ object RelationalQueries {
     "q89_system_catalog" -> ((s, dir) => {
       t(s, dir, "region").createOrReplaceTempView("q89_region_view")
       t(s, dir, "nation").createOrReplaceTempView("q89_nation_view")
-      val tbl = graft.sources.SystemCatalog.tables(s)
-        .filter(col("name").startsWith("q89_"))
+      val tbl = graft.sources.SystemCatalog.tables(s, _.startsWith("q89_"))
         .select(col("database"), col("name"), col("engine"),
           col("is_temporary"), col("total_rows"), col("total_bytes"))
       val db = graft.sources.SystemCatalog.databases(s)

@@ -33,17 +33,25 @@ object SystemCatalog {
     StructField("name", StringType, nullable = false),
     StructField("engine", StringType, nullable = false)))
 
-  private def df(spark: SparkSession, rows: Seq[Row], schema: StructType): DataFrame = {
+  /** Local rows → DataFrame (shared with the sibling system-table
+    * analogs, e.g. Dictionaries.system).
+    */
+  private[graft] def df(spark: SparkSession, rows: Seq[Row], schema: StructType): DataFrame = {
     val l = new java.util.ArrayList[Row](rows.length)
     rows.foreach(l.add)
     spark.createDataFrame(l, schema)
   }
 
   /** One row per catalog-visible table/view (temp views included, like
-    * the reference's is_temporary rows).
+    * the reference's is_temporary rows). `nameFilter` bounds the
+    * per-table stats lookups — getTableMetadata is one catalog
+    * round-trip per persisted table, so a caller that wants a few named
+    * tables should filter HERE, not on the returned frame.
     */
-  def tables(spark: SparkSession): DataFrame =
-    df(spark, spark.catalog.listTables().collect().toSeq.map { t =>
+  def tables(spark: SparkSession,
+      nameFilter: String => Boolean = _ => true): DataFrame =
+    df(spark, spark.catalog.listTables().collect().toSeq
+      .filter(t => nameFilter(t.name)).map { t =>
       // Spark's tableType enum is the closest engine analog: temp/perm
       // views report "View" like the reference; persisted tables report
       // their catalog type verbatim (MANAGED/EXTERNAL). tableType CAN

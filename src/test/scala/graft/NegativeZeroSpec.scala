@@ -41,7 +41,10 @@ class NegativeZeroSpec extends SparkSpec {
         val isNegZero = floatCols.map { c =>
           col(c).cast("string") === "-0.0"
         }.reduce(_ || _)
-        val n = df.select(floatCols.map(col): _*).where(isNegZero).count()
+        val n =
+          try df.select(floatCols.map(col): _*).where(isNegZero).count()
+          catch { case e: Throwable =>
+            fail(s"$name failed to execute at $dir: $e") }
         if (n > 0) offenders += s"$name@$dir ($n rows)"
       }
     }

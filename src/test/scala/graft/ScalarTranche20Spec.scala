@@ -44,6 +44,12 @@ class ScalarTranche20Spec extends SparkSpec {
     assert(q1("globalIn(3, sequence(1, 5))") === true)
     assert(q1("globalIn(9, sequence(1, 5))") === false)
     assert(q1("nullIn(3, sequence(1, 5))") === true)
+    // a NULL computed set: default-nulls forms NULL-mask (any NULL
+    // argument), transform_null_in forms treat it as empty
+    assert(q1("notIn(3, CAST(NULL AS ARRAY<INT>))") === null)
+    assert(q1("globalIn(3, CAST(NULL AS ARRAY<INT>))") === null)
+    assert(q1("nullIn(3, CAST(NULL AS ARRAY<INT>))") === false)
+    assert(q1("notNullIn(3, CAST(NULL AS ARRAY<INT>))") === true)
   }
 
   test("in stays builtin-compatible: Column.isin resolves through it") {

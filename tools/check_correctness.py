@@ -65,18 +65,12 @@ def normalize(df, side):
             out[c] = gn.astype("datetime64[us]").map(
                 lambda v: "NULL" if pd.isna(v) else str(v))
             continue
-        if g.dtype == object:
-            bad = [v for v in g.head(50)
-                   if isinstance(v, (np.ndarray, list, tuple, dict))]
-            if bad:
-                return None, (f"ARRAY_CELL[{side}:{c}]: raw array/struct "
-                              "values crash the driver comparator - "
-                              "stringify per the q59 convention")
         vals = []
         for v in g:
             if isinstance(v, (np.ndarray, list, tuple, dict)):
                 return None, (f"ARRAY_CELL[{side}:{c}]: raw array/struct "
-                              "values crash the driver comparator")
+                              "values crash the driver comparator - "
+                              "stringify per the q59 convention")
             try:
                 if v is not None and not isinstance(v, (list, tuple, dict,
                         np.ndarray)) and pd.isna(v):
@@ -89,7 +83,13 @@ def normalize(df, side):
             vals.append(s)
         out[c] = vals
     nf = pd.DataFrame(out, columns=list(df.columns))
-    negzero = [c for c in nf.columns if (nf[c] == "-0.0").any()]
+    # '-0.0' as a standalone rounded value, including INSIDE a
+    # q59-stringified composite ('1.0,-0.0') — but not '-0.01'.
+    # (map, not .str: an empty column has float64 dtype)
+    import re as _re
+    negz = _re.compile(r"-0\.0(?![0-9])")
+    negzero = [c for c in nf.columns
+               if nf[c].map(lambda s: bool(negz.search(str(s)))).any()]
     if negzero:
         return None, (f"NEG_ZERO[{side}:{','.join(negzero)}]: '-0.0' cell "
                       "breaks the driver's string hash - normalize with + 0.0 "
