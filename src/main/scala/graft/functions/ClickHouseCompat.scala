@@ -2233,6 +2233,7 @@ object ClickHouseCompat {
     ScalarTranche18.install(spark) // frequency-ranked §2.9 residual head
     ScalarTranche19.install(spark) // block-order family + fuzzy multi-regex
     ScalarTranche20.install(spark) // IN-operator function family + _CAST
+    ScalarTranche21.install(spark) // validateNestedArraySizes/globalVariable/getMacro/logTrace/buildId
     StringSketchHash.install(spark)
     HashParity.install(spark)
     DateTimeFormat.install(spark)

@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Scalar tranche 21 — the last honestly-implementable residual names:
+  *
+  *  - `validateNestedArraySizes(cond, arr1, arr2, …)` (ref
+  *    `src/Functions/validateNestedArraySizes.cpp`): where `cond` is
+  *    true the array arguments must share their per-row length or the
+  *    row THROWS with the reference's sizes-don't-match shape; returns
+  *    1 (true) otherwise — the Nested-structure invariant check.
+  *  - `globalVariable(name)` (ref `globalVariable.cpp:82-86`): the
+  *    MySQL-compat shim with the reference's exact 4-entry map
+  *    (max_allowed_packet 67108864, version '5.7.30', version_comment
+  *    '', transaction_isolation 'READ-UNCOMMITTED'), lowercased lookup,
+  *    unknown name → Int32 0.
+  *  - `getMacro(name)` (ref `getMacro.cpp`): server-config macro
+  *    lookup; the engine analog reads the ACTIVE session conf key
+  *    `graft.macros.<name>` at analysis time and throws on a missing
+  *    macro like the reference's Macros::getValue.
+  *  - `logTrace(msg)` (ref `logTrace.cpp`): logs the constant message
+  *    at TRACE and returns 0.
+  *  - `buildId()` (ref `buildId.cpp`): the engine has no ELF build
+  *    hash; returns `spark-<version>` — a stable per-build identifier,
+  *    documented analog.
+  */
+object ScalarTranche21 {
+
+  case class ValidateNestedArraySizes(children: Seq[Expression])
+      extends Expression with CodegenFallback {
+    require(children.length >= 3,
+      s"validateNestedArraySizes needs more than two arguments; passed ${children.length}")
+    override def dataType: DataType = BooleanType
+    override def nullable: Boolean = false
+    override def eval(input: InternalRow): Any = {
+      val cond = children.head.eval(input)
+      if (cond != null && cond.asInstanceOf[Boolean]) {
+        var first = -1
+        var i = 1
+        while (i < children.length) {
+          val v = children(i).eval(input)
+          val len = if (v == null) 0 else v.asInstanceOf[ArrayData].numElements()
+          if (i == 1) first = len
+          else if (len != first) throw new IllegalArgumentException(
+            s"Elements ${i - 1} and $i of Nested data structure (Array columns) " +
+              s"have different array sizes ($first and $len respectively)")
+          i += 1
+        }
+      }
+      true
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(children = newChildren)
+  }
+
+  private val globalVariables: Map[String, Any] = Map(
+    "max_allowed_packet" -> 67108864,
+    "version" -> "5.7.30",
+    "version_comment" -> "",
+    "transaction_isolation" -> "READ-UNCOMMITTED")
+
+  def install(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def builder(name: String)(f: Seq[Expression] => Expression): Unit =
+      reg.registerFunction(FunctionIdentifier(name),
+        new ExpressionInfo(getClass.getName, name), f)
+    def constStr(e: Expression, what: String): String = {
+      require(e.foldable, s"$what must be a constant string")
+      String.valueOf(e.eval(null))
+    }
+
+    builder("validateNestedArraySizes")(cs => ValidateNestedArraySizes(cs))
+
+    builder("globalVariable") { cs =>
+      require(cs.length == 1, "globalVariable(name)")
+      globalVariables.get(
+          constStr(cs.head, "globalVariable name").toLowerCase) match {
+        case Some(s: String) => Literal(UTF8String.fromString(s),
+          org.apache.spark.sql.types.StringType)
+        case Some(i: Int) => Literal(i)
+        case _ => Literal(0) // the reference's unknown-name Int32 0
+      }
+    }
+
+    builder("getMacro") { cs =>
+      require(cs.length == 1, "getMacro(name)")
+      val name = constStr(cs.head, "getMacro name")
+      val v = SparkSession.active.conf.getOption(s"graft.macros.$name")
+        .getOrElse(throw new IllegalArgumentException(
+          s"No macro '$name' in config (set graft.macros.$name)"))
+      Literal(UTF8String.fromString(v), org.apache.spark.sql.types.StringType)
+    }
+
+    builder("logTrace") { cs =>
+      require(cs.length == 1, "logTrace(message)")
+      org.slf4j.LoggerFactory.getLogger("FunctionLogTrace")
+        .trace(constStr(cs.head, "logTrace message"))
+      Literal(0.toShort)
+    }
+
+    builder("buildId") { _ =>
+      Literal(UTF8String.fromString(s"spark-${org.apache.spark.SPARK_VERSION}"),
+        org.apache.spark.sql.types.StringType)
+    }
+  }
+}

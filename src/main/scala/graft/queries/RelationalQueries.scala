@@ -1240,6 +1240,7 @@ object RelationalQueries {
     // exercises the NULL-operand branch on real rows; nullable booleans
     // surface as INT 0/1/NULL on both sides (driver-stable hash).
     "q91_scalar_tranche20" -> ((s, dir) => {
+      s.conf.set("graft.macros.q91", "m1") // getMacro reads the session conf
       t(s, dir, "part").filter(col("p_partkey") <= 200)
         .selectExpr(
           "p_partkey",
@@ -1252,7 +1253,14 @@ object RelationalQueries {
           "CAST(inIgnoreSet(nullif(p_size % 10, 4), array(1)) AS INT) AS ign",
           "CAST(nullInIgnoreSet(p_size % 10, array(1)) AS INT) AS nullign",
           "_CAST(p_size, 'String') AS cs",
-          "_CAST(p_partkey % 7, 'Float64') AS cf")
+          "_CAST(p_partkey % 7, 'Float64') AS cf",
+          // tranche 21 (buildId stays spec-only: its value is the build)
+          "validateNestedArraySizes(p_partkey % 2 = 0, array(p_size, p_size + 1), " +
+            "array(p_partkey, p_partkey + 1)) AS vns",
+          "CAST(globalVariable('max_allowed_packet') AS INT) AS gv",
+          "globalVariable('version') AS gvv",
+          "getMacro('q91') AS mac",
+          "CAST(logTrace('q91 row') AS INT) AS lt")
         .orderBy(col("p_partkey"))
     }),
 
@@ -1912,7 +1920,12 @@ object RelationalQueries {
              CAST(CASE WHEN x IS NULL THEN NULL ELSE FALSE END AS INT) AS ign,
              CAST(FALSE AS INT) AS nullign,
              CAST(p_size AS VARCHAR) AS cs,
-             CAST(p_partkey % 7 AS DOUBLE) AS cf
+             CAST(p_partkey % 7 AS DOUBLE) AS cf,
+             TRUE AS vns,
+             CAST(67108864 AS INT) AS gv,
+             '5.7.30' AS gvv,
+             'm1' AS mac,
+             CAST(0 AS INT) AS lt
       FROM p ORDER BY p_partkey""",
     "q89_system_catalog" -> """
       SELECT * FROM (VALUES

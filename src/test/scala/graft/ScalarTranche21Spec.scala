@@ -1,0 +1,48 @@
+package graft
+
+/** Tranche 21: the last honestly-implementable residual names — the
+  * Nested-invariant check, the MySQL-compat globalVariable map (pinned
+  * to the reference's exact 4 entries), config macros, logTrace,
+  * buildId.
+  */
+class ScalarTranche21Spec extends SparkSpec {
+
+  private def q1(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
+
+  test("validateNestedArraySizes: equal sizes pass, mismatch throws, false cond skips") {
+    assert(q1("validateNestedArraySizes(true, array(1, 2), array('a', 'b'))") === true)
+    assert(q1("validateNestedArraySizes(false, array(1, 2), array('a'))") === true)
+    val e = intercept[Exception] {
+      q1("validateNestedArraySizes(true, array(1, 2), array('a'))")
+    }
+    assert(e.getMessage.contains("different array sizes")
+      || e.getCause != null && e.getCause.getMessage.contains("different array sizes"))
+    // per-row condition: only flagged rows are validated
+    val rows = spark.sql(
+      """SELECT validateNestedArraySizes(id = 1, a, b) AS ok FROM VALUES
+        |  (0, array(1, 2), array(9)), (1, array(1), array(9))
+        |  AS t(id, a, b)""".stripMargin).collect()
+    assert(rows.forall(_.getBoolean(0)))
+  }
+
+  test("globalVariable: the reference's 4-entry map, lowercased, unknown -> 0") {
+    assert(q1("globalVariable('max_allowed_packet')") === 67108864)
+    assert(q1("globalVariable('VERSION')") === "5.7.30")
+    assert(q1("globalVariable('version_comment')") === "")
+    assert(q1("globalVariable('transaction_isolation')") === "READ-UNCOMMITTED")
+    assert(q1("globalVariable('no_such_variable')") === 0)
+  }
+
+  test("getMacro reads graft.macros.* from the active session conf") {
+    spark.conf.set("graft.macros.shard", "s1")
+    try assert(q1("getMacro('shard')") === "s1")
+    finally spark.conf.unset("graft.macros.shard")
+    assertThrows[Exception](q1("getMacro('missing_macro')"))
+  }
+
+  test("logTrace returns 0; buildId is a stable per-build string") {
+    assert(q1("logTrace('trace message')") === 0.toShort)
+    val b = q1("buildId()").toString
+    assert(b.startsWith("spark-") && b === q1("buildId()").toString)
+  }
+}
