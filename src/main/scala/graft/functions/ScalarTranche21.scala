@@ -37,6 +37,17 @@ object ScalarTranche21 {
       extends Expression with CodegenFallback {
     require(children.length >= 3,
       s"validateNestedArraySizes needs more than two arguments; passed ${children.length}")
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      if (children.head.dataType != BooleanType)
+        TypeCheckResult.TypeCheckFailure(
+          s"first argument must be BOOLEAN, got ${children.head.dataType.sql}")
+      else children.tail.zipWithIndex.collectFirst {
+        case (c, i) if !c.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+          TypeCheckResult.TypeCheckFailure(
+            s"argument ${i + 2} must be ARRAY, got ${c.dataType.sql}")
+      }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+    }
     override def dataType: DataType = BooleanType
     override def nullable: Boolean = false
     override def eval(input: InternalRow): Any = {
@@ -46,7 +57,11 @@ object ScalarTranche21 {
         var i = 1
         while (i < children.length) {
           val v = children(i).eval(input)
-          val len = if (v == null) 0 else v.asInstanceOf[ArrayData].numElements()
+          // a NULL array on a validated row is itself an invariant
+          // violation — name it rather than coercing to length 0
+          if (v == null) throw new IllegalArgumentException(
+            s"validateNestedArraySizes: array argument ${i + 1} is NULL on a validated row")
+          val len = v.asInstanceOf[ArrayData].numElements()
           if (i == 1) first = len
           else if (len != first) throw new IllegalArgumentException(
             s"Elements ${i - 1} and $i of Nested data structure (Array columns) " +
@@ -59,6 +74,31 @@ object ScalarTranche21 {
     override protected def withNewChildrenInternal(
         newChildren: IndexedSeq[Expression]): Expression =
       copy(children = newChildren)
+  }
+
+  /** Execution-time trace logging (the reference logs per executed
+    * block, `logTrace.cpp`; a per-row eval would flood, so this logs
+    * once per expression INSTANCE per task — the engine's closest unit
+    * of "block"). Non-foldable so constant folding can't reduce it to
+    * a plan-time literal and skip the execution-time side effect.
+    */
+  case class LogTraceExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = org.apache.spark.sql.types.ShortType
+    override def nullable: Boolean = false
+    override def foldable: Boolean = false
+    @transient private var logged = false
+    override def eval(input: InternalRow): Any = {
+      if (!logged) {
+        logged = true
+        val msg = child.eval(input)
+        org.slf4j.LoggerFactory.getLogger("FunctionLogTrace")
+          .trace(if (msg == null) "" else msg.toString)
+      }
+      0.toShort
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
   }
 
   private val globalVariables: Map[String, Any] = Map(
@@ -81,8 +121,8 @@ object ScalarTranche21 {
 
     builder("globalVariable") { cs =>
       require(cs.length == 1, "globalVariable(name)")
-      globalVariables.get(
-          constStr(cs.head, "globalVariable name").toLowerCase) match {
+      globalVariables.get(constStr(cs.head, "globalVariable name")
+          .toLowerCase(java.util.Locale.ROOT)) match {
         case Some(s: String) => Literal(UTF8String.fromString(s),
           org.apache.spark.sql.types.StringType)
         case Some(i: Int) => Literal(i)
@@ -101,9 +141,7 @@ object ScalarTranche21 {
 
     builder("logTrace") { cs =>
       require(cs.length == 1, "logTrace(message)")
-      org.slf4j.LoggerFactory.getLogger("FunctionLogTrace")
-        .trace(constStr(cs.head, "logTrace message"))
-      Literal(0.toShort)
+      LogTraceExpr(cs.head)
     }
 
     builder("buildId") { _ =>

@@ -33,7 +33,7 @@ class NegativeZeroSpec extends SparkSpec {
     for (dir <- sfDirs; (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val df =
         try fn(spark, dir)
-        catch { case e: Throwable => fail(s"$name failed to build at $dir: $e") }
+        catch { case e: Exception => fail(s"$name failed to build at $dir", e) }
       val floatCols = df.schema.fields.collect {
         case f if f.dataType == DoubleType || f.dataType == FloatType => f.name
       }
@@ -43,8 +43,8 @@ class NegativeZeroSpec extends SparkSpec {
         }.reduce(_ || _)
         val n =
           try df.select(floatCols.map(col): _*).where(isNegZero).count()
-          catch { case e: Throwable =>
-            fail(s"$name failed to execute at $dir: $e") }
+          catch { case e: Exception =>
+            fail(s"$name failed to execute at $dir", e) }
         if (n > 0) offenders += s"$name@$dir ($n rows)"
       }
     }

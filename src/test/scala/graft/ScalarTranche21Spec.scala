@@ -23,6 +23,12 @@ class ScalarTranche21Spec extends SparkSpec {
         |  (0, array(1, 2), array(9)), (1, array(1), array(9))
         |  AS t(id, a, b)""".stripMargin).collect()
     assert(rows.forall(_.getBoolean(0)))
+    // wrong-typed arguments fail at ANALYSIS, not mid-task (reference
+    // rejects non-UInt8/non-Array at type-check)
+    assertThrows[org.apache.spark.sql.AnalysisException](
+      q1("validateNestedArraySizes(1, array(1), array(2))"))
+    assertThrows[org.apache.spark.sql.AnalysisException](
+      q1("validateNestedArraySizes(true, 1, array(2))"))
   }
 
   test("globalVariable: the reference's 4-entry map, lowercased, unknown -> 0") {
