@@ -99,6 +99,28 @@ object Bench {
       }
     }
     val timeSplit = sys.env.contains("SPARK_GRAFT_BENCH_SPLIT")
+    // Ambient-noise sentinel (round 20): a FIXED constant-work CPU job —
+    // range → xxhash64 → 1-row partial agg; no I/O, no data shuffle — timed
+    // immediately before and after the query pass. Its drift measures the
+    // MACHINE (driver tear-down overlap, co-tenant pressure), never the
+    // engine: same-HEAD bench totals spread 109.7–130.4 s across round-19
+    // windows and needed manual adjudication every round. When the
+    // post/pre ratio exceeds 1.2× the window was degraded mid-run, so a
+    // THIRD timing pass runs and the reported statistic becomes min-of-3 —
+    // the extra pass re-samples every query outside the spike. Both
+    // sentinel times and the ratio are recorded in the output JSON.
+    def sentinelOnce(): Double = {
+      spark.catalog.clearCache()
+      System.gc()
+      val t0 = System.nanoTime()
+      spark.range(0L, 1L << 26, 1L, 64)
+        .selectExpr("xxhash64(id, id + 3) % 1024 AS h") // mod: no ANSI sum overflow
+        .agg(org.apache.spark.sql.functions.sum("h"))
+        .head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    sentinelOnce() // untimed: absorb the sentinel's own codegen/JIT
+    val sentinelPre = sentinelOnce()
     // Every query is timed TWICE back-to-back (identical isolation); the
     // REPORTED per-query number is min(run1, run2) — the noise-robust
     // statistic (rounds 15/16 both had warm deltas on untouched code
@@ -140,14 +162,27 @@ object Bench {
       }
       val r1 = once()
       val r2 = once()
-      (name, r1, r2)
+      (name, r1, r2, once _)
     }
-    val unstable = results.filter { case (_, r1, r2) =>
+    val sentinelPost = sentinelOnce()
+    val sentinelRatio = math.max(sentinelPost, sentinelPre) /
+      math.max(math.min(sentinelPost, sentinelPre), 1e-9)
+    // Degraded window → one more pass over every query, min-of-3.
+    val run3: Option[Map[String, Double]] =
+      if (sentinelRatio > 1.2) {
+        System.err.println(f"[bench] sentinel drifted ${sentinelRatio}%.2fx " +
+          f"($sentinelPre%.3f -> $sentinelPost%.3f s): taking a third pass")
+        Some(results.map { case (k, _, _, again) => k -> again() }.toMap)
+      } else None
+    val sentinelFinal = run3.map(_ => sentinelOnce())
+    val unstable = results.filter { case (_, r1, r2, _) =>
       val swing = math.max(r1, r2) / math.max(math.min(r1, r2), 1e-9)
       math.max(r1, r2) > 1.0 && ((r2 > r1 * 1.25 && r2 > 1.0) || swing > 2.0)
     }.map(_._1)
-    // Adjudication stat: per-query min of the two runs (see above).
-    val best = results.map { case (k, r1, r2) => k -> math.min(r1, r2) }
+    // Adjudication stat: per-query min of the two (or three) runs.
+    val best = results.map { case (k, r1, r2, _) =>
+      k -> math.min(math.min(r1, r2), run3.flatMap(_.get(k)).getOrElse(Double.MaxValue))
+    }
     def render(prec: String, shown: Seq[(String, Double)], full: Boolean): String = {
       val qs = shown
         .map { case (k, v) => "\"" + k + "\":" + prec.format(v) }
@@ -161,15 +196,26 @@ object Bench {
         if (!full) s""","unstable_count":${unstable.size}"""
         else {
           val q1 = results
-            .map { case (k, v, _) => "\"" + k + "\":" + prec.format(v) }
+            .map { case (k, v, _, _) => "\"" + k + "\":" + prec.format(v) }
             .mkString("{", ",", "}")
           val q2 = results
-            .map { case (k, _, v) => "\"" + k + "\":" + prec.format(v) }
+            .map { case (k, _, v, _) => "\"" + k + "\":" + prec.format(v) }
             .mkString("{", ",", "}")
+          val q3 = run3.fold("") { m =>
+            val s = results
+              .map { case (k, _, _, _) => "\"" + k + "\":" + prec.format(m(k)) }
+              .mkString("{", ",", "}")
+            s""","queries_run3":$s"""
+          }
           val us = unstable.map("\"" + _ + "\"").mkString("[", ",", "]")
-          s""","queries_run1":$q1,"queries_run2":$q2,"unstable":$us"""
+          s""","queries_run1":$q1,"queries_run2":$q2$q3,"unstable":$us"""
         }
-      s"""{"metric":"total","value":$total,"unit":"sec","stat":"min_of_2","order":"$orderMode","queries":$qs$run2$extra,"sf":"$sfDir"}"""
+      val stat = if (run3.isDefined) "min_of_3" else "min_of_2"
+      val sentinel = s""","sentinel_pre":${"%.3f".format(sentinelPre)}""" +
+        s""","sentinel_post":${"%.3f".format(sentinelPost)}""" +
+        s""","sentinel_ratio":${"%.3f".format(sentinelRatio)}""" +
+        sentinelFinal.fold("")(v => s""","sentinel_final":${"%.3f".format(v)}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","stat":"$stat"$sentinel,"order":"$orderMode","queries":$qs$run2$extra,"sf":"$sfDir"}"""
     }
     // stdout: 2-decimal precision + a cap on the per-query map keep the
     // line short enough to survive the harness's bounded stdout-tail
@@ -189,12 +235,14 @@ object Bench {
     // alone shows cold/warm alongside the min-of-2 adjudication total —
     // plus run-2 times for the flagged-unstable queries only (the full
     // two-run maps live in the committed BENCH.json).
-    val run2Map = results.map { case (k, _, v) => k -> v }.toMap
+    val run2Map = results.map { case (k, _, v, _) => k -> v }.toMap
     val qs2 = unstable.map(k => "\"" + k + "\":" + f"${run2Map(k)}%.2f")
       .mkString("{", ",", "}")
     val total1 = f"${results.map(_._2).sum}%.2f"
     val total2 = f"${results.map(_._3).sum}%.2f"
-    println(s"""{"metric":"runs_raw","run1_total":$total1,"run2_total":$total2,"unit":"sec","unstable_run2":$qs2}""")
+    val total3 = run3.fold("")(m => s""","run3_total":${f"${m.values.sum}%.2f"}""")
+    val sline = f""","sentinel_pre":$sentinelPre%.3f,"sentinel_post":$sentinelPost%.3f,"sentinel_ratio":$sentinelRatio%.2f"""
+    println(s"""{"metric":"runs_raw","run1_total":$total1,"run2_total":$total2$total3$sline,"unit":"sec","unstable_run2":$qs2}""")
     println(render("%.2f", stdoutShown, full = false))
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out),

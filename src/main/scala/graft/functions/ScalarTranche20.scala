@@ -40,6 +40,17 @@ import org.apache.spark.sql.types.BooleanType
   */
 object ScalarTranche20 {
 
+  /** A set element that is statically NULL: the bare literal, or SQL's
+    * typed spelling `CAST(NULL AS T)`, which reaches the registry as a
+    * (possibly nested) Cast over the null literal before resolution.
+    */
+  @annotation.tailrec
+  private def isNullElem(e: Expression): Boolean = e match {
+    case Literal(null, _) => true
+    case c: Cast => isNullElem(c.child)
+    case _ => false
+  }
+
   /** Membership core over an element list: null elements are skipped
     * for the match itself but drive the nullAware NULL-operand branch.
     */
@@ -48,10 +59,7 @@ object ScalarTranche20 {
       elems: Seq[Expression],
       negative: Boolean,
       nullAware: Boolean): Expression = {
-    val nonNullElems = elems.filterNot {
-      case Literal(null, _) => true
-      case _ => false
-    }
+    val nonNullElems = elems.filterNot(isNullElem)
     val hasNullElem: Expression = elems
       .map(e => IsNull(e): Expression)
       .reduceOption(Or).getOrElse(Literal(false))

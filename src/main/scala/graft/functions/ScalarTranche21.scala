@@ -22,9 +22,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *    '', transaction_isolation 'READ-UNCOMMITTED'), lowercased lookup,
   *    unknown name → Int32 0.
   *  - `getMacro(name)` (ref `getMacro.cpp`): server-config macro
-  *    lookup; the engine analog reads the ACTIVE session conf key
-  *    `graft.macros.<name>` at analysis time and throws on a missing
-  *    macro like the reference's Macros::getValue.
+  *    lookup, resolved per EXECUTION like the reference (Macros::
+  *    getValue runs per query, not per parse). Two spellings with
+  *    honest cluster semantics: `spark.graft.macros.<name>` is read
+  *    from the execution-time SQLConf — Spark propagates only
+  *    `spark.`-prefixed session confs into tasks, so this one stays
+  *    fresh across conf changes, view reuse, and cached plans —
+  *    while the legacy `graft.macros.<name>` can't reach executors and
+  *    is therefore captured once at analysis (documented staleness).
+  *    Non-foldable + nondeterministic so no optimizer rule bakes the
+  *    value into the plan. Missing macro throws at first eval.
   *  - `logTrace(msg)` (ref `logTrace.cpp`): logs the constant message
   *    at TRACE and returns 0.
   *  - `buildId()` (ref `buildId.cpp`): the engine has no ELF build
@@ -101,6 +108,32 @@ object ScalarTranche21 {
       copy(child = newChild)
   }
 
+  /** Macro lookup resolved at execution, once per task (the value is
+    * lazily cached on the deserialized instance — zero per-row cost,
+    * fresh per execution because tasks deserialize a new instance).
+    * `analysisValue` is the active-session value at analysis time: the
+    * fallback for the un-prefixed conf key, which Spark never ships to
+    * executors. Deterministic=false keeps ConvertToLocalRelation /
+    * constant folding from baking the value into a reused plan.
+    */
+  case class GetMacroExpr(name: String, analysisValue: Option[String])
+      extends LeafExpression with CodegenFallback {
+    override def dataType: DataType = org.apache.spark.sql.types.StringType
+    override def nullable: Boolean = false
+    override def foldable: Boolean = false
+    override lazy val deterministic: Boolean = false
+    @transient private lazy val macroValue: UTF8String = {
+      val conf = org.apache.spark.sql.internal.SQLConf.get
+      val v = Option(conf.getConfString(s"spark.graft.macros.$name", null))
+        .orElse(Option(conf.getConfString(s"graft.macros.$name", null)))
+        .orElse(analysisValue)
+        .getOrElse(throw new IllegalArgumentException(
+          s"No macro '$name' in config (set graft.macros.$name)"))
+      UTF8String.fromString(v)
+    }
+    override def eval(input: InternalRow): Any = macroValue
+  }
+
   private val globalVariables: Map[String, Any] = Map(
     "max_allowed_packet" -> 67108864,
     "version" -> "5.7.30",
@@ -133,10 +166,9 @@ object ScalarTranche21 {
     builder("getMacro") { cs =>
       require(cs.length == 1, "getMacro(name)")
       val name = constStr(cs.head, "getMacro name")
-      val v = SparkSession.active.conf.getOption(s"graft.macros.$name")
-        .getOrElse(throw new IllegalArgumentException(
-          s"No macro '$name' in config (set graft.macros.$name)"))
-      Literal(UTF8String.fromString(v), org.apache.spark.sql.types.StringType)
+      GetMacroExpr(name,
+        SparkSession.active.conf.getOption(s"graft.macros.$name")
+          .orElse(SparkSession.active.conf.getOption(s"spark.graft.macros.$name")))
     }
 
     builder("logTrace") { cs =>

@@ -219,6 +219,27 @@ object DedupQueries {
           col("keep"))
         .orderBy(col("doc_id"))
     }),
+    // d21 over its PRODUCTION feed (the documented 100 TB path): the
+    // same quality-retention rule, but the pair set comes from
+    // MinHash-LSH banding + exact-Jaccard verification (d03's
+    // machinery — candidates meet only inside band-bucket joins, never
+    // all-pairs) instead of d02's exact all-pairs oracle twin. The
+    // verified-LSH pair set equals the exact pair set whenever banding
+    // recall holds (all qualifying pairs sit at jaccard ≥ 0.8 where the
+    // b=16/r=4 miss probability is ≤ 2.1e-4 per pair), so the d21
+    // oracle applies VERBATIM — the production feed now has the same
+    // hard hash gate as the oracle twin, not just a ScaleGrowth curve.
+    "d22_retention_lsh" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashLshVerifiedPairs(docs, col("text"), col("doc_id"),
+          n = 3, bands = 16, rowsPerBand = 4, minSim = 0.5)
+        .select(col("id_a"), col("id_b"))
+      Dedup.keepBestPerCluster(docs, col("doc_id"),
+          col("n_chars").cast("long"), pairs)
+        .select(col("id").as("doc_id"), col("group_id"), col("quality"),
+          col("keep"))
+        .orderBy(col("doc_id"))
+    }),
     // Benchmark-contamination check: 5-gram overlap of each corpus doc
     // (doc_id >= 50) against the "benchmark" slice (doc_id < 50).
     "d08_contamination" -> ((s, dir) => {
@@ -404,7 +425,7 @@ object DedupQueries {
         WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.35)"""
   }
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "d04_simhash" -> simhashMd5Sql,
     // d19: the same Float32-accumulated cosine kernel DuckDB's list_*
     // functions use; count is integer-exact, max rounded at 3
@@ -421,6 +442,9 @@ object DedupQueries {
       ORDER BY bench_id""",
     // d21: the d02 pair CTE + recursive min-label groups + argmax
     // (quality DESC, id) keep rule — every step integer or exact.
+    // d22 (the LSH-fed production path) maps to the SAME SQL below:
+    // verified-LSH pairs == exact pairs at this corpus's similarity
+    // margins (the d03 recall argument), so one oracle serves both.
     "d21_dedup_retention" -> s"""
       WITH RECURSIVE d AS (SELECT doc_id, $toksSql AS toks FROM documents),
       sh AS (SELECT doc_id, unnest(list_distinct(
@@ -771,4 +795,10 @@ object DedupQueries {
       FROM w JOIN c USING (s)
       GROUP BY doc_id ORDER BY doc_id""",
   )
+
+  // d22 = d21 over the LSH production feed: identical pair set by the
+  // d03 recall argument, hence the identical oracle — added after
+  // construction so the 30-line recursive SQL exists exactly once.
+  val oracles: Map[String, String] =
+    oraclesBase + ("d22_retention_lsh" -> oraclesBase("d21_dedup_retention"))
 }

@@ -46,10 +46,15 @@ object SystemCatalog {
     * the reference's is_temporary rows). `nameFilter` bounds the
     * per-table stats lookups — getTableMetadata is one catalog
     * round-trip per persisted table, so a caller that wants a few named
-    * tables should filter HERE, not on the returned frame.
+    * tables should filter HERE, not on the returned frame. Stats are
+    * opt-in (`withStats`): the common name-listing path stays one
+    * listTables call instead of regressing linearly with catalog size;
+    * without the opt-in total_rows/total_bytes are NULL, the same value
+    * the reference reports for storages that can't answer from metadata.
     */
   def tables(spark: SparkSession,
-      nameFilter: String => Boolean = _ => true): DataFrame =
+      nameFilter: String => Boolean = _ => true,
+      withStats: Boolean = false): DataFrame =
     df(spark, spark.catalog.listTables().collect().toSeq
       .filter(t => nameFilter(t.name)).map { t =>
       // Spark's tableType enum is the closest engine analog: temp/perm
@@ -62,7 +67,7 @@ object SystemCatalog {
         case other => Option(other).filter(_.nonEmpty).getOrElse("Table")
       }
       val stats =
-        if (t.isTemporary || engine == "View") None
+        if (!withStats || t.isTemporary || engine == "View") None
         else try {
           spark.sessionState.catalog.getTableMetadata(
             org.apache.spark.sql.catalyst.TableIdentifier(

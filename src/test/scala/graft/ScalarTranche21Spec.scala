@@ -46,6 +46,33 @@ class ScalarTranche21Spec extends SparkSpec {
     assertThrows[Exception](q1("getMacro('missing_macro')"))
   }
 
+  test("getMacro resolves per EXECUTION via the spark.-prefixed key") {
+    spark.conf.set("graft.macros.env", "blue")
+    try {
+      val df = spark.sql("SELECT getMacro('env') AS m") // analyzed once
+      assert(df.head().getString(0) === "blue")
+      // the spark.-prefixed spelling is the one Spark propagates into
+      // tasks, so THE SAME DataFrame — no re-analysis — observes it,
+      // and observes later changes to it (reference: macros resolve
+      // per query execution, not per parse)
+      spark.conf.set("spark.graft.macros.env", "red")
+      assert(df.head().getString(0) === "red")
+      spark.conf.set("spark.graft.macros.env", "purple")
+      assert(df.head().getString(0) === "purple")
+      // the un-prefixed key never reaches executors: documented as an
+      // analysis-time capture, so the reused plan still sees "blue"
+      // once the fresh key is gone
+      spark.conf.unset("spark.graft.macros.env")
+      spark.conf.set("graft.macros.env", "green")
+      assert(df.head().getString(0) === "blue")
+      // a NEW analysis picks up the new un-prefixed value
+      assert(spark.sql("SELECT getMacro('env') AS m").head().getString(0) === "green")
+    } finally {
+      spark.conf.unset("graft.macros.env")
+      spark.conf.unset("spark.graft.macros.env")
+    }
+  }
+
   test("logTrace returns 0; buildId is a stable per-build string") {
     assert(q1("logTrace('trace message')") === 0.toShort)
     val b = q1("buildId()").toString

@@ -83,11 +83,15 @@ def normalize(df, side):
             vals.append(s)
         out[c] = vals
     nf = pd.DataFrame(out, columns=list(df.columns))
-    # '-0.0' as a standalone rounded value, including INSIDE a
-    # q59-stringified composite ('1.0,-0.0') — but not '-0.01'.
+    # '-0.0' as a WHOLE comparison token: an entire float cell, or a
+    # comma-delimited element of a q59-stringified composite (the q59
+    # convention is array_join(..., ',')) — but not '-0.01', and not a
+    # free-text cell that merely CONTAINS the substring (identical text
+    # on both sides is hash-equal in the real driver, so flagging it
+    # here would be a spurious gate failure).
     # (map, not .str: an empty column has float64 dtype)
     import re as _re
-    negz = _re.compile(r"-0\.0(?![0-9])")
+    negz = _re.compile(r"(^|,)-0\.0($|,)")
     negzero = [c for c in nf.columns
                if nf[c].map(lambda s: bool(negz.search(str(s)))).any()]
     if negzero:
