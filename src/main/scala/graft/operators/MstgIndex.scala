@@ -97,6 +97,22 @@ object MstgIndex {
     case "IP"     => "ip"
   }
 
+  /** `TYPE DEFAULT` resolution (reference `VIDescriptions.cpp:133` →
+    * `Search::getDefaultIndexType`, golden
+    * `tests/queries/2_vector_search/00041_mqvs_support_create_default_index.reference`):
+    * an omitted or `default` index type resolves by the search column's
+    * data type — float vectors (`Array(Float32)` ≈ `ARRAY<FLOAT>`) to
+    * MSTG, binary vectors (`FixedString` ≈ `BINARY`) to BinaryMSTG.
+    */
+  def defaultIndexType(dt: org.apache.spark.sql.types.DataType): String = dt match {
+    case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => "MSTG"
+    case org.apache.spark.sql.types.BinaryType => "BinaryMSTG"
+    case other => throw new IllegalArgumentException(
+      s"no default vector index type for ${other.sql}: float vectors are " +
+        "ARRAY<FLOAT>, binary vectors BINARY")
+  }
+
   /** Build: validates the MSTG parameter strings, then delegates to the
     * IVF backend; the catalog row carries `indexType = MSTG` so
     * system.vector_indices and the top-K rewrite see the reference's type

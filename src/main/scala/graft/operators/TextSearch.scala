@@ -265,6 +265,25 @@ object TextSearch {
     textSearch(df, textCol, query, k, operator, scoreName, tieBreak)
   }
 
+  /** `textsearch()` over an `Array(String)` column (reference
+    * `00040_mqvs_hybrid_search.sql` `t_vector_invert_array`: the fts
+    * index treats the array as ONE multi-value field, so BM25 document
+    * length / term frequency / doc-freq statistics see the row as the
+    * concatenation of its elements). Engine twin: join the elements
+    * with a single space — the tokenizer splits on non-alphanumerics,
+    * so the join is statistics-identical to multi-value indexing — and
+    * run the String path.
+    */
+  def textSearchArray(
+      df: DataFrame,
+      arrCol: Column,
+      query: String,
+      k: Int,
+      operator: String = "OR",
+      scoreName: String = "bm25_score",
+      tieBreak: Seq[Column] = Nil): DataFrame =
+    textSearch(df, array_join(arrCol, " "), query, k, operator, scoreName, tieBreak)
+
   /** The `full_text_search(table, query, ...)` table-valued function
     * (`TableFunctionFullTextSearch.cpp:110-141`): returns the matching
     * rows with `bm25_score`, optionally without the score column.

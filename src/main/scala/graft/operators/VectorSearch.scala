@@ -32,6 +32,16 @@ object VectorSearch {
   private[graft] def isDescending(metric: String): Boolean =
     metric.equalsIgnoreCase("ip") || metric.equalsIgnoreCase("dot")
 
+  /** Rows whose vector is NULL or has the wrong dimension are SKIPPED,
+    * not scored (reference `00008_mqvs_empty_vector`: rows inserted as
+    * `[]` under `enforce_fixed_vector_length_constraint=0` never appear
+    * in top-K results — the index build excludes them and brute force
+    * skips them). A cheap codegen'd scan-stage predicate; the kernel's
+    * own length `require` stays as the belt behind it.
+    */
+  private def dimGuard(vecCol: Column, dim: Int): Column =
+    vecCol.isNotNull && size(vecCol) === lit(dim)
+
   /** Brute-force exact top-K. `tieBreak` columns make result order total. */
   def topK(
       df: DataFrame,
@@ -43,6 +53,7 @@ object VectorSearch {
       distName: String = "d",
       tieBreak: Seq[Column] = Nil): DataFrame = {
     val base = preFilter.map(df.filter).getOrElse(df)
+      .filter(dimGuard(vecCol, q.length))
     val scored = base.withColumn(distName, distCol(vecCol, q, metric))
     val dir = if (isDescending(metric)) col(distName).desc else col(distName).asc
     scored.orderBy(dir +: tieBreak: _*).limit(k)
@@ -66,7 +77,10 @@ object VectorSearch {
       preFilter: Option[Column] = None,
       distName: String = "d",
       tieBreak: Seq[Column] = Nil): DataFrame = {
+    require(queries.nonEmpty && queries.map(_.length).distinct.size == 1,
+      "batch_distance queries must be non-empty and share one dimension")
     val base = preFilter.map(df.filter).getOrElse(df)
+      .filter(dimGuard(vecCol, queries.head.length))
     val qdf = broadcast(
       df.sparkSession
         .createDataFrame(queries.zipWithIndex.map { case (v, i) => (i, v) })
@@ -76,6 +90,44 @@ object VectorSearch {
       .withColumn(distName, distances.distance(metric)(vecCol, col("query_vec")))
       .drop("query_vec")
     perQueryTopK(scored, k, distName, isDescending(metric), tieBreak)
+  }
+
+  /** `batch_distance()` over BINARY vectors (reference
+    * `00038_mqvs_binary_vector_feature.sql`: `batch_distance(vector,
+    * [unbin(...), char(...), unhex(...)])` with the Hamming/Jaccard
+    * kernels + `LIMIT n BY dist.1`). Same plan shape as the float path:
+    * one data scan, broadcast query set, scan-stage scoring, bounded
+    * per-partition heaps before the per-query window. Both binary
+    * metrics are ascending (smaller = closer), so no direction flip.
+    */
+  def batchTopKBinary(
+      df: DataFrame,
+      vecCol: Column,
+      queries: Seq[Array[Byte]],
+      k: Int = DefaultTopK,
+      metric: String = "hamming",
+      preFilter: Option[Column] = None,
+      distName: String = "d",
+      tieBreak: Seq[Column] = Nil): DataFrame = {
+    require(queries.nonEmpty && queries.map(_.length).distinct.size == 1,
+      "batch_distance queries must be non-empty and share one code width")
+    val base = preFilter.map(df.filter).getOrElse(df)
+      .filter(vecCol.isNotNull && length(vecCol) === lit(queries.head.length))
+    val kernel: (Column, Column) => Column = metric.trim.toLowerCase match {
+      case "jaccard" => graft.functions.distances.jaccardDistance
+      case "hamming" => graft.functions.distances.hammingDistance
+      case other => throw new IllegalArgumentException(
+        s"binary batch_distance supports Hamming/Jaccard, got '$other'")
+    }
+    val qdf = broadcast(
+      df.sparkSession
+        .createDataFrame(queries.zipWithIndex.map { case (v, i) => (i, v) })
+        .toDF("query_idx", "query_vec"))
+    val scored = base
+      .crossJoin(qdf)
+      .withColumn(distName, kernel(vecCol, col("query_vec")))
+      .drop("query_vec")
+    perQueryTopK(scored, k, distName, desc = false, tieBreak)
   }
 
   /** Per-query top-K over a `(query_idx, ..., distName)` scored frame —

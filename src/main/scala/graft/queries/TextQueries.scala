@@ -396,6 +396,20 @@ object TextQueries {
         .select(col("doc_id"), round(col("bm25_score"), 4).as("bm25_score"))
         .orderBy(col("bm25_score").desc, col("doc_id"))
     }),
+    // textsearch() over an Array(String) column (reference
+    // 00040_mqvs_hybrid_search.sql `t_vector_invert_array`: the fts
+    // index treats the array as one multi-value field, so BM25 stats see
+    // the concatenation of the elements — the `source` element changes
+    // per-row document length vs the plain-text corpus, so this row is
+    // NOT t01 with different labels).
+    "t22_array_textsearch" -> ((s, dir) => {
+      val withArr = t(s, dir, "documents")
+        .withColumn("docs", array(col("source"), col("text")))
+      TextSearch.textSearchArray(withArr, col("docs"), query1, 10,
+          "OR", "bm25_score", Seq(col("doc_id")))
+        .select(col("doc_id"), round(col("bm25_score"), 4).as("bm25_score"))
+        .orderBy(col("bm25_score").desc, col("doc_id"))
+    }),
     // FULLY-INDEXED hybrid search AFTER a lightweight DELETE: the IVF
     // dense leg anti-joins the mask inside the probed lists (v13's
     // machinery) and the FTS text leg masks results against index-built
@@ -587,6 +601,11 @@ object TextQueries {
     "t11_map_textsearch" -> bm25OracleSql(
       TextSearch.queryTerms("en spark merge"), 10, and = false,
       corpus = "(SELECT doc_id, lang || ' ' || text AS text FROM documents)"),
+    // Array(String) target: elements join into one field, so the oracle
+    // corpus is the same space-joined concatenation.
+    "t22_array_textsearch" -> bm25OracleSql(
+      TextSearch.queryTerms(query1), 10, and = false,
+      corpus = "(SELECT doc_id, source || ' ' || text AS text FROM documents)"),
     // scored terms in parse order (must ++ should ++ phrase tokens)
     "t09_nlq" -> s"""
       WITH ${bm25ScoresCte(Seq("table", "customer", "join"), "documents")},

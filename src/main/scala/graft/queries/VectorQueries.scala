@@ -272,6 +272,21 @@ object VectorQueries {
         .select(col("doc_id"), col("d").cast("double").as("d"))
         .orderBy(col("doc_id"))
     }),
+    // batch_distance() over BINARY vectors (reference
+    // 00038_mqvs_binary_vector_feature.sql: `batch_distance(vector,
+    // [unbin(...), char(...), unhex(...)])` + `LIMIT n BY dist.1`, Hamming
+    // kernel): three md5-digest query codes, per-query top-10. Hamming is
+    // integer-valued — exact oracle, no rounding.
+    "v38_batch_binary" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), unhex(md5(col("text"))).as("bvec"))
+      val qs = docs.filter(col("doc_id") < 3).orderBy(col("doc_id"))
+        .collect().map(_.getAs[Array[Byte]]("bvec")).toSeq
+      VectorSearch.batchTopKBinary(docs, col("bvec"), qs, 10, "hamming", None,
+          "d", Seq(col("doc_id")))
+        .select(col("query_idx"), col("doc_id"), col("d").cast("double").as("d"))
+        .orderBy(col("query_idx"), col("doc_id"))
+    }),
     // HNSW-FLAT graph index search (per-partition graphs + global merge).
     // EXACT candidate-pool replay oracle since round 16: each part's
     // pre-truncation ef-beam (the index's whole decision, ref
@@ -1033,6 +1048,21 @@ object VectorQueries {
     // Hamming over unhex(md5(text)) bytes ≡ per-hex-digit xor popcount of
     // the md5 hex string — DuckDB-expressible, so the binary path gets an
     // EXACT oracle (byte-level kernel parity is in DistanceSpec).
+    // batch binary Hamming: the v10 nibble-xor-bitcount kernel over a
+    // 3-code query set, per-query top-10 (LIMIT n BY dist.1).
+    "v38_batch_binary" -> """
+      WITH q AS (SELECT CAST(doc_id AS INTEGER) AS query_idx, md5(text) AS qh
+                 FROM documents WHERE doc_id < 3),
+      d AS (SELECT doc_id, md5(text) AS h FROM documents),
+      scored AS (
+        SELECT query_idx, doc_id,
+          CAST(list_sum(list_transform(range(1, 33), i ->
+            bit_count(xor(strpos('0123456789abcdef', substring(h, CAST(i AS INTEGER), 1)) - 1,
+                          strpos('0123456789abcdef', substring(qh, CAST(i AS INTEGER), 1)) - 1)))) AS DOUBLE) AS d
+        FROM d CROSS JOIN q)
+      SELECT query_idx, doc_id, d FROM scored
+      QUALIFY row_number() OVER (PARTITION BY query_idx ORDER BY d, doc_id) <= 10
+      ORDER BY query_idx, doc_id""",
     "v10_binary_hamming" -> """
       WITH q AS (SELECT md5(text) AS qh FROM documents WHERE doc_id = 0),
       d AS (SELECT doc_id, md5(text) AS h FROM documents)

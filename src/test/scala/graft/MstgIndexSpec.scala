@@ -80,4 +80,14 @@ class MstgIndexSpec extends SparkSpec {
       finally IvfIndex.Catalog.drop("cos_mstg")
     } finally IvfIndex.Catalog.drop("ok_mstg")
   }
+
+  test("TYPE DEFAULT resolves by column type: float -> MSTG, binary -> BinaryMSTG (00041 golden)") {
+    import org.apache.spark.sql.types._
+    assert(MstgIndex.defaultIndexType(ArrayType(FloatType, containsNull = false)) === "MSTG")
+    assert(MstgIndex.defaultIndexType(ArrayType(FloatType, containsNull = true)) === "MSTG")
+    assert(MstgIndex.defaultIndexType(BinaryType) === "BinaryMSTG")
+    // no default for non-vector column types (the reference rejects at DDL)
+    assertThrows[IllegalArgumentException](MstgIndex.defaultIndexType(StringType))
+    assertThrows[IllegalArgumentException](MstgIndex.defaultIndexType(ArrayType(DoubleType)))
+  }
 }

@@ -77,4 +77,62 @@ class VectorSearchSpec extends SparkSpec {
       emb.orderBy(two).limit(3).collect()
     }
   }
+
+  test("empty / wrong-dim / NULL vectors are skipped, not scored (00008 shape)") {
+    // reference 00008_mqvs_empty_vector: rows inserted as [] under
+    // enforce_fixed_vector_length_constraint=0 never appear in top-K —
+    // search skips them instead of crashing or ranking them at d=0
+    import spark.implicits._
+    val clean = emb.select(col("vec_id"), col("embedding")).limit(100)
+    val dirty = clean
+      .unionAll(Seq((9001L, Seq.empty[Float])).toDF("vec_id", "embedding"))
+      .unionAll(Seq((9002L, Seq(1f, 2f))).toDF("vec_id", "embedding"))
+      .unionAll(spark.sql(
+        "SELECT CAST(9003 AS BIGINT) AS vec_id, CAST(NULL AS ARRAY<FLOAT>) AS embedding"))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      VectorSearch.topK(df, col("embedding"), qv, 10, "l2", None, "d", Seq(col("vec_id")))
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(ids(dirty) === ids(clean))
+    // batch path gets the same guard
+    val b = VectorSearch.batchTopK(dirty, col("embedding"), Seq(qv), 10, "l2",
+        None, "d", Seq(col("vec_id")))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(!b.exists(_ >= 9001L) && b.nonEmpty)
+  }
+
+  test("batch binary Hamming per-query top-K matches per-query brute force") {
+    import graft.functions.VectorKernels
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), unhex(md5(col("text"))).as("bvec"))
+    val rows = docs.collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val queries = rows.filter(_._1 < 3).sortBy(_._1).map(_._2).toSeq
+    val got = VectorSearch.batchTopKBinary(docs, col("bvec"), queries, 5,
+        "hamming", None, "d", Seq(col("doc_id")))
+      .select(col("query_idx"), col("doc_id"), col("d"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getFloat(2)))
+      .sortBy(x => (x._1, x._3, x._2)).toSeq
+    val want = queries.zipWithIndex.flatMap { case (q, i) =>
+      rows.map { case (id, b) => (i, id, VectorKernels.hammingBits(b, q)) }
+        .sortBy(x => (x._3, x._2)).take(5)
+    }
+    assert(got === want)
+  }
+
+  test("ReplacingMergeTree FINAL composes with distance top-K (00031/00039 shape)") {
+    // duplicate every vector with a bumped version and a perturbed
+    // embedding: FINAL must pick the v=2 row per key BEFORE ranking,
+    // so no key appears twice and distances come from the v=2 vectors
+    val base = emb.select(col("vec_id"), col("embedding")).limit(50)
+    val v2 = base.withColumn("ver", lit(2))
+      .withColumn("embedding", transform(col("embedding"), x => x + lit(0.25f)))
+    val dup = base.withColumn("ver", lit(1)).unionAll(v2)
+    val finalDf = graft.operators.RelationalOps.replacingFinal(
+      dup, Seq(col("vec_id")), col("ver"))
+    val got = VectorSearch.topK(finalDf, col("embedding"), qv, 10, "l2",
+        None, "d", Seq(col("vec_id")))
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("ver")))
+    assert(got.length === 10)
+    assert(got.map(_._1).distinct.length === 10) // no redundant keys
+    assert(got.forall(_._2 === 2)) // FINAL kept the latest version
+  }
 }
