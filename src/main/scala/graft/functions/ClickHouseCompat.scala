@@ -654,6 +654,14 @@ object ClickHouseCompat {
       "timestamp_millis(1288834974657 + (id >> 22))",
     "dateTimeToSnowflake(t TIMESTAMP) RETURNS BIGINT RETURN " +
       "shiftleft(unix_millis(t) - 1288834974657, 22)",
+    // DateTime64(3) twins (FunctionSnowflake.h:120-158: (millis-epoch)<<22
+    // both ways) — the engine's TIMESTAMP already carries sub-second
+    // precision, so the 64 forms share the millisecond formulas
+    // (round-20 extraction-reconciliation names)
+    "snowflakeToDateTime64(id BIGINT) RETURNS TIMESTAMP RETURN " +
+      "timestamp_millis(1288834974657 + (id >> 22))",
+    "dateTime64ToSnowflake(t TIMESTAMP) RETURNS BIGINT RETURN " +
+      "shiftleft(unix_millis(t) - 1288834974657, 22)",
     "toUnixTimestamp64Milli(t TIMESTAMP) RETURNS BIGINT RETURN unix_millis(t)",
     "fromUnixTimestamp64Milli(n BIGINT) RETURNS TIMESTAMP RETURN timestamp_millis(n)",
     "toStartOfTenMinutes(t TIMESTAMP) RETURNS TIMESTAMP RETURN " +
@@ -2160,6 +2168,8 @@ object ClickHouseCompat {
     // from JVM start — the reference's server-process counterparts)
     spark.udf.register("hostName", () => Tranche10.LocalHost.name)
     spark.udf.register("FQDN", () => Tranche10.LocalHost.fqdn)
+    // FunctionFQDN.cpp:50 registers the alias spelling too
+    spark.udf.register("fullHostName", () => Tranche10.LocalHost.fqdn)
     spark.udf.register("serverUUID", () => Tranche10.LocalHost.uuid)
     spark.udf.register("uptime", () =>
       (System.currentTimeMillis() -

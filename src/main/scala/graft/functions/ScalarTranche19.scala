@@ -138,7 +138,23 @@ object ScalarTranche19 {
     spark.udf.register("tid", () => Thread.currentThread().getId)
 
     // caseWithExpression(x, w1, r1, ..., [else]) — the parser-internal
-    // form of CASE x WHEN; Catalyst has the exact twin
+    // form of CASE x WHEN; Catalyst has the exact twin. `caseWithExpr`
+    // is the reference's second registered spelling
+    // (caseWithExpression.cpp:113; round-20 extraction reconciliation).
     builder("caseWithExpression")(cs => CaseKeyWhen(cs.head, cs.tail))
+    builder("caseWithExpr")(cs => CaseKeyWhen(cs.head, cs.tail))
+
+    // caseWithoutExpr[ession](c1, v1, c2, v2, ..., [else]) — the
+    // parser-internal CASE WHEN spellings, registered as aliases of the
+    // reference's variadic multiIf (multiIf.cpp:470-471); Catalyst's
+    // CaseWhen is the exact twin (round-20 extraction reconciliation).
+    def caseWithout(cs: Seq[Expression]): Expression = {
+      require(cs.length >= 2, "caseWithoutExpression needs cond/value pairs")
+      val (pairs, elseOpt) =
+        if (cs.length % 2 == 0) (cs, None) else (cs.init, Some(cs.last))
+      CaseWhen(pairs.grouped(2).map { case Seq(c, v) => (c, v) }.toSeq, elseOpt)
+    }
+    builder("caseWithoutExpr")(caseWithout)
+    builder("caseWithoutExpression")(caseWithout)
   }
 }

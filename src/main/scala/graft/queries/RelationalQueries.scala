@@ -983,6 +983,18 @@ object RelationalQueries {
           lit(null).cast("long").as("total_bytes"))
       tbl.unionAll(db).orderBy(col("name"))
     }),
+    // system.columns analog (SystemCatalog.columns; ref
+    // StorageSystemColumns.cpp, stateful test 00142_system_columns —
+    // the seed-22 audit's one GAP): register two known views, read
+    // their per-column rows back through the catalog. Metadata-only,
+    // deterministic, exact VALUES oracle.
+    "q92_system_columns" -> ((s, dir) => {
+      t(s, dir, "region").createOrReplaceTempView("q92_region_view")
+      s.sql("SELECT CAST(1 AS BIGINT) AS a, CAST(1.5 AS DOUBLE) AS b, 'x' AS c")
+        .createOrReplaceTempView("q92_typed_view")
+      graft.sources.SystemCatalog.columns(s, _.startsWith("q92_"))
+        .orderBy(col("table"), col("position"))
+    }),
     // KMV theta-sketch distinct counting + set algebra (functions/
     // ThetaSketch; reference uniqTheta + uniqThetaUnion/Intersect/Not):
     // two order-parity cohorts of part keys, sketched at the default k
@@ -1937,6 +1949,15 @@ object RelationalQueries {
          CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)))
         AS t(database, name, engine, is_temporary, total_rows, total_bytes)
       ORDER BY name""",
+    "q92_system_columns" -> """
+      SELECT * FROM (VALUES
+        ('', 'q92_region_view', 'r_regionkey', 'INT', 1, '', ''),
+        ('', 'q92_region_view', 'r_name', 'STRING', 2, '', ''),
+        ('', 'q92_typed_view', 'a', 'BIGINT', 1, '', ''),
+        ('', 'q92_typed_view', 'b', 'DOUBLE', 2, '', ''),
+        ('', 'q92_typed_view', 'c', 'STRING', 3, '', ''))
+        AS t(database, "table", name, type, position, default_kind, default_expression)
+      ORDER BY "table", position""",
     "q74_system_parts" -> """
       SELECT CAST(count(1) AS BIGINT) AS nrows,
              CAST(min(l_orderkey) AS BIGINT) AS min_ok,

@@ -78,6 +78,44 @@ object SystemCatalog {
         stats.map(_.sizeInBytes.toLong).orNull)
     }, tablesSchema)
 
+  val columnsSchema: StructType = StructType(Seq(
+    StructField("database", StringType, nullable = false),
+    StructField("table", StringType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("type", StringType, nullable = false),
+    StructField("position", IntegerType, nullable = false), // 1-based, like the reference
+    StructField("default_kind", StringType, nullable = false),
+    StructField("default_expression", StringType, nullable = false)))
+
+  /** `system.columns` analog (reference `StorageSystemColumns.cpp`;
+    * stateful test `00142_system_columns` reads table/name/type/
+    * default_kind/default_expression): one row per column of each
+    * catalog-visible table/view. Types are engine-idiomatic Spark SQL
+    * names (the house posture for system tables); `default_kind` is
+    * `DEFAULT` when the column carries a declared default (Spark's one
+    * default kind — the reference's MATERIALIZED/ALIAS have no engine
+    * twin), else empty. Metadata-only: schemas come from the catalog,
+    * never a scan; `nameFilter` bounds the listing like `tables()`.
+    */
+  def columns(spark: SparkSession,
+      nameFilter: String => Boolean = _ => true): DataFrame =
+    df(spark, spark.catalog.listTables().collect().toSeq
+      .filter(t => nameFilter(t.name)).flatMap { t =>
+      val ident = Option(t.database).filter(_.nonEmpty)
+        .map(d => s"`$d`.`${t.name}`").getOrElse(s"`${t.name}`")
+      val schema =
+        try spark.table(ident).schema
+        catch { case _: Exception => new StructType() }
+      schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
+        val default =
+          if (f.metadata.contains("CURRENT_DEFAULT"))
+            f.metadata.getString("CURRENT_DEFAULT")
+          else ""
+        Row(Option(t.database).getOrElse(""), t.name, f.name, f.dataType.sql,
+          i + 1, if (default.nonEmpty) "DEFAULT" else "", default)
+      }
+    }, columnsSchema)
+
   /** One row per database/namespace. */
   def databases(spark: SparkSession): DataFrame =
     df(spark, spark.catalog.listDatabases().collect().toSeq.map { d =>

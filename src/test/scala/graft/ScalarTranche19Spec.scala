@@ -169,4 +169,22 @@ class ScalarTranche19Spec extends SparkSpec {
       assert(q1("detectProgrammingLanguage('plain prose text')") === "Undefined")
     } finally NlpDictionaries.dropProgrammingFrequency()
   }
+
+  test("round-20 extraction reconciliation: alias spellings + DateTime64 snowflake") {
+    // caseWithExpr = caseWithExpression (caseWithExpression.cpp:113)
+    assert(q1("caseWithExpr('b', 'a', 1, 'b', 2, 0)") === 2)
+    assert(q1("caseWithExpr('z', 'a', 1, 'b', 2, 0)") === 0)
+    // caseWithoutExpr[ession] = variadic multiIf (multiIf.cpp:470-471)
+    assert(q1("caseWithoutExpr(false, 1, true, 2, 0)") === 2)
+    assert(q1("caseWithoutExpression(false, 1, 9)") === 9)
+    assert(q1("caseWithoutExpression(1 > 2, 'x', 2 > 1, 'y', 'z')") === "y")
+    // DateTime64 snowflake twins share the millisecond formulas
+    assert(q1("snowflakeToDateTime64(dateTime64ToSnowflake(" +
+      "TIMESTAMP '2024-03-01 12:34:56.789'))").toString
+      .startsWith("2024-03-01 12:34:56.789"))
+    assert(q1("dateTime64ToSnowflake(TIMESTAMP '2024-03-01 00:00:00')") ===
+      q1("dateTimeToSnowflake(TIMESTAMP '2024-03-01 00:00:00')"))
+    // fullHostName = FQDN alias (FunctionFQDN.cpp:50)
+    assert(q1("fullHostName()") === q1("FQDN()"))
+  }
 }

@@ -1,0 +1,45 @@
+#!/usr/bin/env python3
+"""Reproducible scalar-name extraction from the reference's function
+registration code (round 20, verdict task #4).
+
+Scans /root/reference/src/Functions/**.{cpp,h} for the four registration
+spellings:
+  - factory.registerFunction<F>("name") / factory.registerFunction("name")
+  - factory.registerAlias("name", ...)
+  - [static] constexpr auto name = "name"   (used by registerFunction<F>()
+    picking up F::name)
+and writes the sorted distinct list. Round-20 result: 1085 distinct names
+(9 are template-trait artifacts: L1/L2/L2Squared/Linf/Lp/Cosine/inf/p/
+UNKNOWN — bare norm/distance trait suffixes whose composed names are
+live), i.e. 1076 real names. Compare against the live registry dumped by
+`sbt "runMain graft.tools.FunctionInventory /tmp/live.txt"`.
+
+Usage: python3 tools/extract_ref_scalar_names.py [out.txt]
+"""
+import re, glob, sys
+
+ROOT = "/root/reference/src/Functions"
+PATS = [
+    re.compile(r'registerFunction(?:<[^>]*>)?\(\s*"([A-Za-z_][A-Za-z0-9_]*)"'),
+    re.compile(r'registerAlias\(\s*"([A-Za-z_][A-Za-z0-9_]*)"'),
+    re.compile(r'constexpr\s+auto\s+name(?:\[\])?\s*=\s*"([A-Za-z_][A-Za-z0-9_]*)"'),
+    re.compile(r'static\s+constexpr\s+(?:const\s+)?char\s*\*?\s*name(?:\[\])?\s*=\s*"([A-Za-z_][A-Za-z0-9_]*)"'),
+]
+
+names = set()
+files = glob.glob(ROOT + "/**/*.cpp", recursive=True) + \
+        glob.glob(ROOT + "/**/*.h", recursive=True)
+for p in files:
+    try:
+        s = open(p, encoding="utf-8", errors="replace").read()
+    except OSError:
+        continue
+    for pat in PATS:
+        for m in pat.finditer(s):
+            names.add(m.group(1))
+
+out = sys.argv[1] if len(sys.argv) > 1 else "/dev/stdout"
+with open(out, "w") as f:
+    f.write("\n".join(sorted(names)) + "\n")
+print(f"{len(files)} files scanned, {len(names)} distinct names -> {out}",
+      file=sys.stderr)
