@@ -76,7 +76,9 @@ object PlanDump {
       "q90_scalar_tranche19" -> "scalar tranche 19: the running family (neighbor/runningDifference/runningAccumulate) is DELIBERATELY a single-partition window over layout order — the reference's block-order semantics ARE a serial walk; the deviation is documented at the builder, and scale users get real window functions (q10/q11/e04). The fuzzy multi-regex columns are scan-stage scalars (NFA simulation per row, no shuffle)",
       "d20_semdedup" -> "SemDeDup at the engine default: centroid table broadcasts (BroadcastNestedLoopJoin), assignment is a map-side max(struct) partial agg — no window; the pairwise cosine join is keyed on cluster_id so the quadratic is bounded by the largest cluster; dup groups via the star-contraction CC; keep rule = one min(struct) partial agg over the slim grouped membership",
       "p07_dsir" -> "DSIR importance resampling: both smoothed bucket distributions are <=buckets rows (BROADCAST joins), per-doc score = one gram explode + per-(doc,bucket) partial agg + broadcast weight join, selection = TakeOrderedAndProject on the Gumbel key — no pairwise stage anywhere, the linear-cost selection recipe",
-      "t21_ppl_buckets" -> "CCNet perplexity buckets: the t20 score chain, then the keyed two-phase rank — range repartition on (lang, score6 desc, id), local rank pass, bounded per-(partition, lang) count collect, broadcast offset join — no per-language window funnel; tercile split is closed-form integer arithmetic in the projection")
+      "t21_ppl_buckets" -> "CCNet perplexity buckets: the t20 score chain, then the keyed two-phase rank — range repartition on (lang, score6 desc, id), local rank pass, bounded per-(partition, lang) count collect, broadcast offset join — no per-language window funnel; tercile split is closed-form integer arithmetic in the projection",
+      "v38_batch_binary" -> "binary batch_distance (reference 00038): query codes broadcast, Hamming kernel scores in the scan stage, bounded per-partition heaps prune to <=2k rows per (partition, query) BEFORE the per-query window — the same 100 TB shape as the float batch path",
+      "d22_retention_lsh" -> "quality retention over the LSH PRODUCTION feed: band-bucket joins propose candidates (never all-pairs), exact-Jaccard verify on the slim join output, star-contraction CC, keep = one max(struct) partial agg — the documented 100 TB dedup path, now oracle-hashed end to end")
     val sb = new StringBuilder
     sb.append("# PLANS — headline physical plans (generated by graft.tools.PlanDump)\n")
     sb.append(s"\nScale factor dir: `$sfDir`. Regenerate: " +

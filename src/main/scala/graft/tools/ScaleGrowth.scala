@@ -14,12 +14,15 @@ import org.apache.spark.sql.functions._
   * grows linearly in rows, not quadratically in near-dup pairs:
   *
   *  - documents: replica i rewrites text through a bijective character
-  *    substitution (letters rotated by i mod 26, digits by i mod 10;
-  *    replica 0 = identity). Token boundaries are untouched, so each
-  *    replica's shingle/Jaccard structure is EXACTLY the original's,
-  *    while cross-replica tokens (hence 3-gram shingles) almost never
-  *    collide — factors must stay < 26. SimHash signatures rehash per
-  *    replica (statistically similar density, not bit-identical).
+  *    substitution (replica 0 = identity; replica i ≥ 1 = a
+  *    deterministic seeded Fisher–Yates permutation of the letter and
+  *    digit alphabets — round 20 replaced the former rot-by-i scheme,
+  *    which aliased replica i with i+26 and capped factors at 25).
+  *    Token boundaries are untouched, so each replica's shingle/Jaccard
+  *    structure is EXACTLY the original's, while cross-replica tokens
+  *    (hence 3-gram shingles) almost never collide. SimHash signatures
+  *    rehash per replica (statistically similar density, not
+  *    bit-identical).
   *  - embeddings: replica i sign-flips each dimension by a murmur3 hash
   *    of (i, dim). |s|=1 per dim keeps every within-replica L2/cosine
   *    EXACTLY (the whole replica shares one flip pattern); cross-replica
@@ -69,7 +72,10 @@ object ScaleGrowth {
         name => pats.exists(name.contains)
       case None => _ => true
     }
-    require(factors.forall(f => f >= 1 && f < 26), "factors must be in [1, 26)")
+    // 64 is a memory bound (50× of sf0.1 fits easily in 128 GiB), not a
+    // synthesis bound: the seeded-permutation alphabets stay distinct at
+    // any factor (the former rot-k scheme capped this at 25)
+    require(factors.forall(f => f >= 1 && f <= 64), "factors must be in [1, 64]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .withExtensions(new graft.engine.GraftExtensions)
@@ -93,12 +99,28 @@ object ScaleGrowth {
       val embs = spark.read.parquet(s"$baseDir/embeddings.parquet")
       val letters = ('a' to 'z').mkString
       val digits = ('0' to '9').mkString
-      def rot(s: String, k: Int): String = s.drop(k) + s.take(k)
+      // deterministic per-replica alphabet permutation (Fisher–Yates over
+      // an LCG keyed by the replica index): bijective, token-length
+      // preserving, distinct across replicas at ANY factor — unlike the
+      // former rot-by-i scheme, which repeated at i % 26 and would have
+      // aliased replica i with i+26 (cross-replica duplicate pairs)
+      def perm(alphabet: String, seed: Int): String = {
+        val a = alphabet.toCharArray
+        var s = (seed * 2654435761L) ^ 0x9E3779B97F4A7C15L
+        var i = a.length - 1
+        while (i > 0) {
+          s = s * 6364136223846793005L + 1442695040888963407L
+          val j = ((s >>> 33) % (i + 1)).toInt
+          val t = a(i); a(i) = a(j); a(j) = t
+          i -= 1
+        }
+        new String(a)
+      }
       val docReplicas = (0 until factor).map { i =>
         val mapped =
           if (i == 0) col("text")
           else translate(lower(col("text")),
-            letters + digits, rot(letters, i % 26) + rot(digits, i % 10))
+            letters + digits, perm(letters, i) + perm(digits, i))
         docs.select(
           (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
           mapped.as("text"), col("lang"), col("source"), col("n_chars"))

@@ -48,10 +48,19 @@ class EdgeCaseSpec extends SparkSpec {
       col("doc_id"), col("text")).count() === 0)
   }
 
-  test("mismatched vector lengths fail loudly, not silently") {
+  test("mismatched vector lengths: SEARCH skips them (00008), the raw kernel fails loudly") {
+    // round 20: the reference's 00008 golden excludes wrong-dimension
+    // rows from top-K results, so the search surface SKIPS them
+    // (dimGuard) instead of crashing mid-task...
     val bad = Seq((1L, Seq(1f, 2f)), (2L, Seq(1f, 2f, 3f))).toDF("vec_id", "embedding")
+    val got = VectorSearch.topK(bad, col("embedding"), Seq(1f, 2f), 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(1L)) // only the matching-dim row is scored
+    // ...while the raw distance kernel — called OUTSIDE the guarded
+    // search surface — still refuses to compare unequal lengths
     val ex = intercept[Throwable] {
-      VectorSearch.topK(bad, col("embedding"), Seq(1f, 2f), 5).collect()
+      bad.select(graft.functions.distances.l2Distance(
+        col("embedding"), typedLit(Seq(1f, 2f)))).collect()
     }
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
