@@ -142,10 +142,17 @@ object Bench {
       // swing 2-3x run-to-run on identical code. Runs OUTSIDE the timed
       // window. (Index artifacts are parquet + JVM-object caches, not
       // Spark SQL cache, so warm-up-built indexes survive clearCache.)
+      // A run that THROWS must not win the min with its fail-fast wall
+      // time (review r20: run3 fires exactly when the machine is
+      // degraded, so a third-pass OOM at 0.4 s would silently replace
+      // two good 5 s samples) — failed runs report +inf so only
+      // successful samples compete; if every run failed the +inf total
+      // is loud rather than flattering.
       def once(): Double = {
         spark.catalog.clearCache()
         System.gc()
         val t0 = System.nanoTime()
+        var ok = true
         try {
           if (timeSplit) {
             val df = fn(spark, sfDir) // Dataset construction = analysis
@@ -156,9 +163,10 @@ object Bench {
           } else fn(spark, sfDir).count()
         }
         catch { case e: Throwable =>
+          ok = false
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
+        if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity
       }
       val r1 = once()
       val r2 = once()
@@ -184,10 +192,13 @@ object Bench {
       k -> math.min(math.min(r1, r2), run3.flatMap(_.get(k)).getOrElse(Double.MaxValue))
     }
     def render(prec: String, shown: Seq[(String, Double)], full: Boolean): String = {
+      // failed samples carry +inf (see once()); JSON renders them -1 so
+      // the line stays parseable and the failure stays visible
+      def fmt(v: Double): String = if (v.isInfinite) "-1" else prec.format(v)
       val qs = shown
-        .map { case (k, v) => "\"" + k + "\":" + prec.format(v) }
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      val total = prec.format(best.map(_._2).sum)
+      val total = fmt(best.map(_._2).sum)
       val extra =
         if (shown.size < results.size)
           s""","queries_shown":${shown.size},"queries_total":${results.size}"""
@@ -196,14 +207,14 @@ object Bench {
         if (!full) s""","unstable_count":${unstable.size}"""
         else {
           val q1 = results
-            .map { case (k, v, _, _) => "\"" + k + "\":" + prec.format(v) }
+            .map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
             .mkString("{", ",", "}")
           val q2 = results
-            .map { case (k, _, v, _) => "\"" + k + "\":" + prec.format(v) }
+            .map { case (k, _, v, _) => "\"" + k + "\":" + fmt(v) }
             .mkString("{", ",", "}")
           val q3 = run3.fold("") { m =>
             val s = results
-              .map { case (k, _, _, _) => "\"" + k + "\":" + prec.format(m(k)) }
+              .map { case (k, _, _, _) => "\"" + k + "\":" + fmt(m(k)) }
               .mkString("{", ",", "}")
             s""","queries_run3":$s"""
           }

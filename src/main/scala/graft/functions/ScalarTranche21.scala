@@ -113,15 +113,18 @@ object ScalarTranche21 {
     * fresh per execution because tasks deserialize a new instance).
     * `analysisValue` is the active-session value at analysis time: the
     * fallback for the un-prefixed conf key, which Spark never ships to
-    * executors. Deterministic=false keeps ConvertToLocalRelation /
-    * constant folding from baking the value into a reused plan.
+    * executors. foldable=false keeps ConstantFolding from baking the
+    * value into a reused plan; the expression stays DETERMINISTIC (its
+    * value is constant within one execution) so it remains legal in
+    * every operator position a constant is — JOIN conditions, ORDER BY,
+    * grouping keys — exactly like the reference's getMacro (flipping
+    * deterministic off was tried and regressed those placements).
     */
   case class GetMacroExpr(name: String, analysisValue: Option[String])
       extends LeafExpression with CodegenFallback {
     override def dataType: DataType = org.apache.spark.sql.types.StringType
     override def nullable: Boolean = false
     override def foldable: Boolean = false
-    override lazy val deterministic: Boolean = false
     @transient private lazy val macroValue: UTF8String = {
       val conf = org.apache.spark.sql.internal.SQLConf.get
       val v = Option(conf.getConfString(s"spark.graft.macros.$name", null))

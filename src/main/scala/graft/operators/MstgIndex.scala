@@ -113,6 +113,49 @@ object MstgIndex {
         "ARRAY<FLOAT>, binary vectors BINARY")
   }
 
+  /** The binary-MSTG parameter grid: the reference's binary index types
+    * take the binary metrics (00041 builds `default('metric_type=
+    * Jaccard')` over FixedString columns).
+    */
+  private val binaryBuildParams: Seq[ParamSpec] = Seq(
+    IntParam("disk_mode", candidates = Seq(0, 1, 2)),
+    StringParam("metric_type", Seq("Hamming", "Jaccard")))
+
+  /** `TYPE DEFAULT` / omitted-TYPE BUILD entry — the product surface for
+    * [[defaultIndexType]] (reference 00041: a vector index declared with
+    * no type, or `TYPE default[('params')]`, resolves by the column's
+    * data type). Float vectors dispatch to the MSTG stand-in (IVF
+    * backend); binary vectors to the BinaryMSTG stand-in (BinaryIVF
+    * backend — Hamming k-majority lists; the catalog row reports
+    * `BinaryMSTG`, the same name posture as build()'s `MSTG` stamp, and
+    * the binary param grid accepts the reference's Hamming/Jaccard
+    * metric spellings). `idCol` feeds the binary backend's list layout;
+    * the float backend derives its own ids.
+    */
+  def buildDefault(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexName: String,
+      indexDir: String,
+      params: Seq[String] = Nil,
+      nLists: Int = 16,
+      sourcePath: String = ""): IvfIndex.IndexEntry =
+    defaultIndexType(df.schema(df.schema.fieldIndex(vecCol)).dataType) match {
+      case "MSTG" =>
+        build(spark, df, vecCol, indexName, indexDir, params, nLists,
+          sourcePath = sourcePath)
+      case _ => // BinaryMSTG
+        validate(params, binaryBuildParams)
+        val e = BinaryIvfIndex.build(spark, df, idCol, vecCol, indexName,
+          indexDir, nLists, sourcePath = sourcePath)
+        val be = e.copy(indexType = "BinaryMSTG")
+        IvfIndex.Catalog.register(be)
+        IvfIndex.Catalog.logEvent(indexName, "DEFAULT_TYPE", "BinaryMSTG")
+        be
+    }
+
   /** Build: validates the MSTG parameter strings, then delegates to the
     * IVF backend; the catalog row carries `indexType = MSTG` so
     * system.vector_indices and the top-K rewrite see the reference's type

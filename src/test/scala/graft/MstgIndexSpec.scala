@@ -90,4 +90,29 @@ class MstgIndexSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](MstgIndex.defaultIndexType(StringType))
     assertThrows[IllegalArgumentException](MstgIndex.defaultIndexType(ArrayType(DoubleType)))
   }
+
+  test("buildDefault dispatches by column type and stamps the catalog row (00041 product surface)") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.engine.Tables.t(spark, sfDir, "embeddings").limit(200)
+    val dirF = Files.createTempDirectory("default-float").toString
+    val ef = MstgIndex.buildDefault(spark, emb, "vec_id", "embedding",
+      "def_float", dirF, params = Seq("metric_type=Cosine"))
+    try assert(ef.indexType === "MSTG" &&
+      IvfIndex.Catalog.lookup("def_float").get.indexType === "MSTG")
+    finally IvfIndex.Catalog.drop("def_float")
+    val bin = graft.engine.Tables.t(spark, sfDir, "documents").limit(200)
+      .select(col("doc_id"), unhex(md5(col("text"))).as("bvec"))
+    val dirB = Files.createTempDirectory("default-bin").toString
+    val eb = MstgIndex.buildDefault(spark, bin, "doc_id", "bvec",
+      "def_bin", dirB, params = Seq("metric_type=Jaccard"))
+    try assert(eb.indexType === "BinaryMSTG" &&
+      IvfIndex.Catalog.lookup("def_bin").get.indexType === "BinaryMSTG")
+    finally IvfIndex.Catalog.drop("def_bin")
+    // float metric names are rejected on the binary grid (reference
+    // param validation posture)
+    val dirX = Files.createTempDirectory("default-bad").toString
+    assertThrows[IllegalArgumentException](
+      MstgIndex.buildDefault(spark, bin, "doc_id", "bvec", "def_bad", dirX,
+        params = Seq("metric_type=L2")))
+  }
 }

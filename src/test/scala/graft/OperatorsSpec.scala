@@ -75,6 +75,22 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} exact pairs")
   }
 
+  test("corpus margin invariant: every qualifying pair sits at jaccard >= 0.8") {
+    // the d03/d13/d22 oracle-reuse argument is that b=16/r=4 banding
+    // recall ~= 1 BECAUSE all pairs above the 0.5 threshold actually sit
+    // at jaccard >= 0.8 (miss probability <= 2.1e-4 there, vs ~35% at
+    // 0.6). This turns that implicit corpus property into a CHECKED
+    // invariant: a regenerated corpus that grows a pair inside the
+    // [0.5, 0.8) margin fails here, not nondeterministically in Verify.
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.01")) {
+      val docs = graft.engine.Tables.t(spark, dir, "documents")
+      val inMargin = Dedup.ngramJaccardPairs(docs, col("text"), col("doc_id"), 3, 0.5)
+        .filter(col("jaccard") < 0.8).count()
+      assert(inMargin === 0L,
+        s"$dir has $inMargin pairs in the [0.5, 0.8) banding-miss margin")
+    }
+  }
+
   test("incremental minhash LSH = exact cross-side pairs on sf0.001 docs") {
     // the d13 contract: new-batch (doc_id >= 250) vs seen (doc_id < 250)
     // candidates come ONLY from cross-side bucket joins; verified output

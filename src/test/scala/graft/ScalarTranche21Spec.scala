@@ -73,6 +73,24 @@ class ScalarTranche21Spec extends SparkSpec {
     }
   }
 
+  test("getMacro stays legal where constants are: JOIN conditions, ORDER BY, grouping") {
+    // the reference's getMacro is a constant usable anywhere; a
+    // nondeterministic engine expression would throw AnalysisException
+    // in these positions (regression caught by review in r20)
+    spark.conf.set("graft.macros.shard", "s1")
+    try {
+      spark.sql("SELECT 's1' AS k, 1 AS a").createOrReplaceTempView("gm_t")
+      spark.sql("SELECT 's1' AS k, 2 AS b").createOrReplaceTempView("gm_s")
+      val j = spark.sql(
+        "SELECT t.a, s.b FROM gm_t t JOIN gm_s s ON t.k = getMacro('shard') AND s.k = getMacro('shard')")
+      assert(j.count() === 1)
+      assert(spark.sql("SELECT a FROM gm_t ORDER BY getMacro('shard')").count() === 1)
+      assert(spark.sql(
+        "SELECT getMacro('shard') AS m, count(1) AS n FROM gm_t GROUP BY getMacro('shard')")
+        .head().getString(0) === "s1")
+    } finally spark.conf.unset("graft.macros.shard")
+  }
+
   test("logTrace returns 0; buildId is a stable per-build string") {
     assert(q1("logTrace('trace message')") === 0.toShort)
     val b = q1("buildId()").toString

@@ -84,14 +84,18 @@ def normalize(df, side):
         out[c] = vals
     nf = pd.DataFrame(out, columns=list(df.columns))
     # '-0.0' as a WHOLE comparison token: an entire float cell, or a
-    # comma-delimited element of a q59-stringified composite (the q59
-    # convention is array_join(..., ',')) — but not '-0.01', and not a
-    # free-text cell that merely CONTAINS the substring (identical text
-    # on both sides is hash-equal in the real driver, so flagging it
-    # here would be a spurious gate failure).
+    # delimited element of a stringified composite — the q59 convention
+    # is array_join(..., ','), but off-convention renderings like
+    # '[1.0, -0.0]' / '(1.0,-0.0)' must be caught too (defense in
+    # depth: that is the r18 failure class). Delimiters: start/end,
+    # comma, brackets, parens, whitespace. Still excludes '-0.01'
+    # (trailing digit) and hyphenated text like 'a-0.0b' (letter
+    # delimiters don't match). A free-text cell with a standalone
+    # ' -0.0 ' token WILL flag — acceptable: such a cell is a rendered
+    # number, which is exactly what this gate polices.
     # (map, not .str: an empty column has float64 dtype)
     import re as _re
-    negz = _re.compile(r"(^|,)-0\.0($|,)")
+    negz = _re.compile(r"(^|[,\[\(\s])-0\.0($|[,\]\)\s])")
     negzero = [c for c in nf.columns
                if nf[c].map(lambda s: bool(negz.search(str(s)))).any()]
     if negzero:
