@@ -188,8 +188,11 @@ object Bench {
       math.max(r1, r2) > 1.0 && ((r2 > r1 * 1.25 && r2 > 1.0) || swing > 2.0)
     }.map(_._1)
     // Adjudication stat: per-query min of the two (or three) runs.
+    // (+inf, not MaxValue, as the no-third-run identity — a query that
+    // failed EVERY run must stay infinite so fmt() renders it -1)
     val best = results.map { case (k, r1, r2, _) =>
-      k -> math.min(math.min(r1, r2), run3.flatMap(_.get(k)).getOrElse(Double.MaxValue))
+      k -> math.min(math.min(r1, r2),
+        run3.flatMap(_.get(k)).getOrElse(Double.PositiveInfinity))
     }
     def render(prec: String, shown: Seq[(String, Double)], full: Boolean): String = {
       // failed samples carry +inf (see once()); JSON renders them -1 so
@@ -246,12 +249,16 @@ object Bench {
     // alone shows cold/warm alongside the min-of-2 adjudication total —
     // plus run-2 times for the flagged-unstable queries only (the full
     // two-run maps live in the committed BENCH.json).
+    // runs_raw must stay parseable JSON when a run carries +inf (a
+    // failed query) — render infinities as -1 like the contract line
+    def fin(v: Double, p: String = "%.2f"): String =
+      if (v.isInfinite || v.isNaN) "-1" else p.format(v)
     val run2Map = results.map { case (k, _, v, _) => k -> v }.toMap
-    val qs2 = unstable.map(k => "\"" + k + "\":" + f"${run2Map(k)}%.2f")
+    val qs2 = unstable.map(k => "\"" + k + "\":" + fin(run2Map(k)))
       .mkString("{", ",", "}")
-    val total1 = f"${results.map(_._2).sum}%.2f"
-    val total2 = f"${results.map(_._3).sum}%.2f"
-    val total3 = run3.fold("")(m => s""","run3_total":${f"${m.values.sum}%.2f"}""")
+    val total1 = fin(results.map(_._2).sum)
+    val total2 = fin(results.map(_._3).sum)
+    val total3 = run3.fold("")(m => s""","run3_total":${fin(m.values.sum)}""")
     val sline = f""","sentinel_pre":$sentinelPre%.3f,"sentinel_post":$sentinelPost%.3f,"sentinel_ratio":$sentinelRatio%.2f"""
     println(s"""{"metric":"runs_raw","run1_total":$total1,"run2_total":$total2$total3$sline,"unit":"sec","unstable_run2":$qs2}""")
     println(render("%.2f", stdoutShown, full = false))

@@ -149,10 +149,14 @@ object ScalarTranche19 {
     // reference's variadic multiIf (multiIf.cpp:470-471); Catalyst's
     // CaseWhen is the exact twin (round-20 extraction reconciliation).
     def caseWithout(cs: Seq[Expression]): Expression = {
-      require(cs.length >= 2, "caseWithoutExpression needs cond/value pairs")
-      val (pairs, elseOpt) =
-        if (cs.length % 2 == 0) (cs, None) else (cs.init, Some(cs.last))
-      CaseWhen(pairs.grouped(2).map { case Seq(c, v) => (c, v) }.toSeq, elseOpt)
+      // the reference's multiIf demands an ODD count >= 3 — the else
+      // branch is mandatory (multiIf.cpp arity check); mirroring the
+      // error posture rather than silently yielding NULL
+      require(cs.length >= 3 && cs.length % 2 == 1,
+        "caseWithoutExpression needs cond/value pairs plus a mandatory " +
+          s"else branch (odd argument count >= 3): got ${cs.length}")
+      CaseWhen(cs.init.grouped(2).map { case Seq(c, v) => (c, v) }.toSeq,
+        Some(cs.last))
     }
     builder("caseWithoutExpr")(caseWithout)
     builder("caseWithoutExpression")(caseWithout)

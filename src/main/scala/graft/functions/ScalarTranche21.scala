@@ -30,8 +30,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *    fresh across conf changes, view reuse, and cached plans —
   *    while the legacy `graft.macros.<name>` can't reach executors and
   *    is therefore captured once at analysis (documented staleness).
-  *    Non-foldable + nondeterministic so no optimizer rule bakes the
-  *    value into the plan. Missing macro throws at first eval.
+  *    Non-foldable but DETERMINISTIC — it stays legal everywhere a
+  *    constant is (JOIN conditions, ORDER BY, grouping keys, like the
+  *    reference). One documented freshness carve-out follows from
+  *    determinism: ConvertToLocalRelation evaluates projections over
+  *    LocalRelation (VALUES) inputs at optimization time, so a RETAINED
+  *    DataFrame over VALUES bakes the then-current value; scans and
+  *    OneRowRelation plans stay fresh, and a re-issued query is always
+  *    fresh. Missing macro throws at first eval.
   *  - `logTrace(msg)` (ref `logTrace.cpp`): logs the constant message
   *    at TRACE and returns 0.
   *  - `buildId()` (ref `buildId.cpp`): the engine has no ELF build
@@ -119,6 +125,10 @@ object ScalarTranche21 {
     * every operator position a constant is — JOIN conditions, ORDER BY,
     * grouping keys — exactly like the reference's getMacro (flipping
     * deterministic off was tried and regressed those placements).
+    * Known carve-out: ConvertToLocalRelation folds projections over
+    * VALUES/LocalRelation inputs at optimization time (it only spares
+    * Unevaluable expressions), so a retained DataFrame over VALUES
+    * captures the value once — see the object doc.
     */
   case class GetMacroExpr(name: String, analysisValue: Option[String])
       extends LeafExpression with CodegenFallback {

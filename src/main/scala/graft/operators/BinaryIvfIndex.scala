@@ -23,7 +23,7 @@ import graft.functions.{distances, VectorKernels}
 object BinaryIvfIndex {
 
   case class BMeta(nLists: Int, nBytes: Int, nRows: Long, vecCol: String,
-      idCol: String, status: String)
+      idCol: String, status: String, metric: String = "hamming")
 
   private val metaCache = TrieMap.empty[String, BMeta]
   private val centroidCache = TrieMap.empty[String, Array[Array[Byte]]]
@@ -94,10 +94,18 @@ object BinaryIvfIndex {
       nLists: Int = 16,
       trainSampleSize: Int = 100000,
       sourcePath: String = "",
-      defaultNprobe: Int = 4): IvfIndex.IndexEntry = {
+      defaultNprobe: Int = 4,
+      metric: String = "hamming"): IvfIndex.IndexEntry = {
     import spark.implicits._
+    // the DECLARED ranking metric (reference binary types take Hamming or
+    // Jaccard): probe ranking and within-probe scoring honor it; list
+    // ASSIGNMENT stays Hamming-k-majority (centroids are bit-majorities —
+    // a routing heuristic either way; within-probe results are exact in
+    // the declared metric)
+    require(metric == "hamming" || metric == "jaccard",
+      s"binary index metric must be Hamming or Jaccard, got '$metric'")
     IvfIndex.Catalog.register(IvfIndex.IndexEntry(indexName, indexDir,
-      sourcePath, vecCol, "BinaryIVF", "hamming", "BUILDING", 0L, defaultNprobe))
+      sourcePath, vecCol, "BinaryIVF", metric, "BUILDING", 0L, defaultNprobe))
     IvfIndex.Catalog.logEvent(indexName, "BUILD_START", s"BinaryIVF nLists=$nLists")
 
     val n = df.count()
@@ -118,12 +126,13 @@ object BinaryIvfIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
     Files.writeString(Paths.get(s"$indexDir/meta.json"),
       s"""{"version":1,"type":"BinaryIVF","nLists":$nLists,"nBytes":$nBytes,""" +
-        s""""nRows":$n,"vecCol":"$vecCol","idCol":"$idCol","status":"BUILT"}""" + "\n")
-    metaCache.put(indexDir, BMeta(nLists, nBytes, n, vecCol, idCol, "BUILT"))
+        s""""nRows":$n,"vecCol":"$vecCol","idCol":"$idCol","status":"BUILT",""" +
+        s""""metric":"$metric"}""" + "\n")
+    metaCache.put(indexDir, BMeta(nLists, nBytes, n, vecCol, idCol, "BUILT", metric))
     centroidCache.put(indexDir, centroids)
 
     val entry = IvfIndex.IndexEntry(indexName, indexDir, sourcePath, vecCol,
-      "BinaryIVF", "hamming", "BUILT", n, defaultNprobe)
+      "BinaryIVF", metric, "BUILT", n, defaultNprobe)
     IvfIndex.Catalog.register(entry)
     IvfIndex.Catalog.logEvent(indexName, "BUILD_FINISH", s"nRows=$n")
     entry
@@ -140,8 +149,11 @@ object BinaryIvfIndex {
       def num(k: String): Long =
         ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(s).map(_.group(1).toLong)
           .getOrElse(sys.error(s"meta.json missing '$k' at $p"))
+      val metric = // pre-r20 meta files carry no metric: hamming
+        ("\"metric\":\"([^\"]*)\"").r.findFirstMatchIn(s)
+          .map(_.group(1)).getOrElse("hamming")
       BMeta(num("nLists").toInt, num("nBytes").toInt, num("nRows"),
-        str("vecCol"), str("idCol"), str("status"))
+        str("vecCol"), str("idCol"), str("status"), metric)
     })
 
   private def loadCentroids(spark: SparkSession, indexDir: String): Array[Array[Byte]] =
@@ -150,8 +162,9 @@ object BinaryIvfIndex {
         .map(_.getAs[Array[Byte]](1))
     })
 
-  /** The Hamming probe set [[search]] uses — public for replay oracles
-    * (same contract as [[IvfIndex.probeSet]]).
+  /** The probe set [[search]] uses — public for replay oracles (same
+    * contract as [[IvfIndex.probeSet]]). Ranks centroids by the index's
+    * DECLARED metric.
     */
   def probeSet(
       spark: SparkSession,
@@ -159,12 +172,17 @@ object BinaryIvfIndex {
       qvec: Array[Byte],
       nprobe: Int): Seq[Int] = {
     val centroids = loadCentroids(spark, indexDir)
+    val kernel: (Array[Byte], Array[Byte]) => Float =
+      if (loadMeta(indexDir).metric == "jaccard") VectorKernels.jaccardBits
+      else VectorKernels.hammingBits
     centroids.zipWithIndex
-      .map { case (c, i) => (VectorKernels.hammingBits(c, qvec), i) }
+      .map { case (c, i) => (kernel(c, qvec), i) }
       .sortBy(_._1).take(math.min(nprobe, centroids.length)).map(_._2).toSeq
   }
 
-  /** Hamming nprobe search over the pruned lists (exact within probes). */
+  /** nprobe search over the pruned lists, ranking in the index's declared
+    * binary metric (exact within probes).
+    */
   def search(
       spark: SparkSession,
       indexDir: String,
@@ -186,8 +204,11 @@ object BinaryIvfIndex {
     }.getOrElse(pruned0)
     val pruned = preFilter.map(pruned1.filter).getOrElse(pruned1)
 
+    val kernel =
+      if (meta.metric == "jaccard") distances.jaccardDistance _
+      else distances.hammingDistance _
     pruned
-      .withColumn(distName, distances.hammingDistance(col(meta.vecCol), lit(qvec)))
+      .withColumn(distName, kernel(col(meta.vecCol), lit(qvec)))
       .orderBy(col(distName).asc +: tieBreak: _*)
       .limit(k)
       .drop("list_id")

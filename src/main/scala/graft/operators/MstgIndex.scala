@@ -147,12 +147,14 @@ object MstgIndex {
         build(spark, df, vecCol, indexName, indexDir, params, nLists,
           sourcePath = sourcePath)
       case _ => // BinaryMSTG
-        validate(params, binaryBuildParams)
+        val parsed = validate(params, binaryBuildParams)
+        val metric = parsed.getOrElse("metric_type", "Hamming")
+          .toLowerCase(java.util.Locale.ROOT)
         val e = BinaryIvfIndex.build(spark, df, idCol, vecCol, indexName,
-          indexDir, nLists, sourcePath = sourcePath)
+          indexDir, nLists, sourcePath = sourcePath, metric = metric)
         val be = e.copy(indexType = "BinaryMSTG")
         IvfIndex.Catalog.register(be)
-        IvfIndex.Catalog.logEvent(indexName, "DEFAULT_TYPE", "BinaryMSTG")
+        IvfIndex.Catalog.logEvent(indexName, "DEFAULT_TYPE", s"BinaryMSTG $metric")
         be
     }
 

@@ -96,6 +96,11 @@ object SystemCatalog {
     * default kind — the reference's MATERIALIZED/ALIAS have no engine
     * twin), else empty. Metadata-only: schemas come from the catalog,
     * never a scan; `nameFilter` bounds the listing like `tables()`.
+    * DOCUMENTED POSTURE: a view whose plan no longer resolves (e.g. a
+    * temp view over a since-dropped table) contributes ZERO rows rather
+    * than failing the whole listing — it still appears in `tables()`,
+    * so a tables-vs-columns diff surfaces it; introspection must not
+    * throw because one object is broken.
     */
   def columns(spark: SparkSession,
       nameFilter: String => Boolean = _ => true): DataFrame =

@@ -105,9 +105,24 @@ class MstgIndexSpec extends SparkSpec {
     val dirB = Files.createTempDirectory("default-bin").toString
     val eb = MstgIndex.buildDefault(spark, bin, "doc_id", "bvec",
       "def_bin", dirB, params = Seq("metric_type=Jaccard"))
-    try assert(eb.indexType === "BinaryMSTG" &&
-      IvfIndex.Catalog.lookup("def_bin").get.indexType === "BinaryMSTG")
-    finally IvfIndex.Catalog.drop("def_bin")
+    try {
+      assert(eb.indexType === "BinaryMSTG" &&
+        IvfIndex.Catalog.lookup("def_bin").get.indexType === "BinaryMSTG")
+      // the DECLARED metric reaches the catalog AND the ranking: a
+      // Jaccard-declared index must return the brute-force Jaccard
+      // top-k under exhaustive probes, not the Hamming one
+      assert(eb.metric === "jaccard")
+      val got = graft.operators.BinaryIvfIndex.search(spark, dirB,
+          bin.filter(col("doc_id") === 0).select("bvec").head().getAs[Array[Byte]](0),
+          10, nprobe = 16, tieBreak = Seq(col("doc_id")))
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      val q0 = bin.filter(col("doc_id") === 0).select("bvec").head().getAs[Array[Byte]](0)
+      val brute = bin
+        .withColumn("d", graft.functions.distances.jaccardDistance(col("bvec"), lit(q0)))
+        .orderBy(col("d"), col("doc_id")).limit(10)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(got === brute)
+    } finally IvfIndex.Catalog.drop("def_bin")
     // float metric names are rejected on the binary grid (reference
     // param validation posture)
     val dirX = Files.createTempDirectory("default-bad").toString

@@ -178,6 +178,9 @@ class ScalarTranche19Spec extends SparkSpec {
     assert(q1("caseWithoutExpr(false, 1, true, 2, 0)") === 2)
     assert(q1("caseWithoutExpression(false, 1, 9)") === 9)
     assert(q1("caseWithoutExpression(1 > 2, 'x', 2 > 1, 'y', 'z')") === "y")
+    // the reference's multiIf arity contract: else is MANDATORY (odd
+    // count >= 3) — even arity errors instead of yielding NULL
+    assertThrows[Exception](q1("caseWithoutExpr(false, 1, true, 2)"))
     // DateTime64 snowflake twins share the millisecond formulas
     assert(q1("snowflakeToDateTime64(dateTime64ToSnowflake(" +
       "TIMESTAMP '2024-03-01 12:34:56.789'))").toString

@@ -93,9 +93,11 @@ def normalize(df, side):
     # delimiters don't match). A free-text cell with a standalone
     # ' -0.0 ' token WILL flag — acceptable: such a cell is a rendered
     # number, which is exactly what this gate polices.
+    # Delimiter classes include JSON punctuation ({}, :, quotes, ;) so
+    # to_json-style renderings like '{"a":-0.0}' are caught too.
     # (map, not .str: an empty column has float64 dtype)
     import re as _re
-    negz = _re.compile(r"(^|[,\[\(\s])-0\.0($|[,\]\)\s])")
+    negz = _re.compile(r"""(^|[,\[\({:;\s"'])-0\.0($|[,\]\)};\s"'])""")
     negzero = [c for c in nf.columns
                if nf[c].map(lambda s: bool(negz.search(str(s)))).any()]
     if negzero:

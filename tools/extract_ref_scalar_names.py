@@ -20,7 +20,9 @@ import re, glob, sys
 
 ROOT = "/root/reference/src/Functions"
 PATS = [
-    re.compile(r'registerFunction(?:<[^>]*>)?\(\s*"([A-Za-z_][A-Za-z0-9_]*)"'),
+    # template args may NEST (registerFunction<A<B<C>>>("n")): exclude
+    # parens, not '>', so the class spans to the last '>' before '('
+    re.compile(r'registerFunction(?:<[^()]*>)?\(\s*"([A-Za-z_][A-Za-z0-9_]*)"'),
     re.compile(r'registerAlias\(\s*"([A-Za-z_][A-Za-z0-9_]*)"'),
     re.compile(r'constexpr\s+auto\s+name(?:\[\])?\s*=\s*"([A-Za-z_][A-Za-z0-9_]*)"'),
     re.compile(r'static\s+constexpr\s+(?:const\s+)?char\s*\*?\s*name(?:\[\])?\s*=\s*"([A-Za-z_][A-Za-z0-9_]*)"'),
