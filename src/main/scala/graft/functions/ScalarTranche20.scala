@@ -182,5 +182,32 @@ object ScalarTranche20 {
       val (dt, _) = graft.sources.ChTypes.toSpark(String.valueOf(cs(1).eval(null)))
       Cast(cs.head, dt)
     }
+
+    // `transform` is the reference's lookup-substitution scalar
+    // (`src/Functions/transform.cpp`, stateful 00141/00143:
+    // `transform(x, [2,3], ['a','b'][, default])` — first-match
+    // substitution, 3-arg form passes x through unmatched) AND Spark's
+    // higher-order array map builtin. Same carve-out shape as `in`:
+    // the lambda spelling keeps native semantics (ArrayTransform —
+    // every SQL macro in the compat registry that says
+    // `transform(arr, x -> ...)` still resolves), the 3/4-arg
+    // value-list spellings get the reference's lookup semantics via a
+    // null-safe map probe (try_element_at: missing key → NULL →
+    // coalesce to default/x, never an ANSI error).
+    builder("transform") { cs =>
+      cs match {
+        case Seq(arr, l: LambdaFunction) => ArrayTransform(arr, l)
+        case Seq(x, src, dst) =>
+          Coalesce(Seq(UnresolvedFunction("try_element_at",
+            Seq(UnresolvedFunction("map_from_arrays", Seq(src, dst),
+              isDistinct = false), x), isDistinct = false), x))
+        case Seq(x, src, dst, d) =>
+          Coalesce(Seq(UnresolvedFunction("try_element_at",
+            Seq(UnresolvedFunction("map_from_arrays", Seq(src, dst),
+              isDistinct = false), x), isDistinct = false), d))
+        case other => throw new IllegalArgumentException(
+          s"transform takes (arr, lambda) or (x, src, dst[, default]): got ${other.length}")
+      }
+    }
   }
 }

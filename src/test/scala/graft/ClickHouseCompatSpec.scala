@@ -1056,4 +1056,18 @@ class ClickHouseCompatSpec extends SparkSpec {
     val b3 = q1("bitSlice(CAST('Hi' AS BINARY), 2, 5)").asInstanceOf[Array[Byte]]
     assert(BitOps.bin(b3) === BitOps.bin(BitOps.bitSlice("Hi".getBytes, 2, 5)))
   }
+
+  test("plural sketch quantiles: quantilesBFloat16 / quantilesTDigest (stateful 00164)") {
+    graft.engine.Tables.t(spark, sfDir, "lineitem")
+      .createOrReplaceTempView("li_plural_q")
+    val r = spark.sql(
+      """SELECT quantilesBFloat16(l_quantity, 0.1, 0.5, 0.9) AS qb,
+        |       quantilesTDigest(l_quantity, 0.1, 0.5, 0.9) AS qt,
+        |       quantiles(l_quantity, 0.1, 0.5, 0.9) AS q
+        |FROM li_plural_q""".stripMargin).head()
+    for (i <- 0 until 3) {
+      val a = r.getSeq[Double](i)
+      assert(a.length === 3 && a(0) <= a(1) && a(1) <= a(2), s"col $i: $a")
+    }
+  }
 }

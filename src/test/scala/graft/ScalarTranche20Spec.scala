@@ -84,6 +84,24 @@ class ScalarTranche20Spec extends SparkSpec {
     assert(q1("globalNotInIgnoreSet(3, array(3))") === false)
   }
 
+  test("transform: reference lookup spellings + native lambda shape coexist (00141/00143)") {
+    // 4-arg: first-match substitution with a default
+    assert(q1("transform(2, array(2, 3), array('a', 'b'), 'other')") === "a")
+    assert(q1("transform(9, array(2, 3), array('a', 'b'), 'other')") === "other")
+    // 3-arg: unmatched passes x through (same-typed src/dst)
+    assert(q1("transform(9, array(2, 3), array(20, 30))") === 9)
+    assert(q1("transform(3, array(2, 3), array(20, 30))") === 30)
+    // non-constant default (00143's shape)
+    assert(spark.sql(
+      "SELECT transform(id, array(1L), array('one'), CAST(id AS STRING)) AS t " +
+        "FROM range(3) ORDER BY id").collect().map(_.getString(0)).toSeq ===
+      Seq("0", "one", "2"))
+    // the Spark builtin lambda shape still resolves through the front
+    assert(q1("transform(array(1, 2, 3), x -> x * 2)") ===
+      Seq(2, 4, 6))
+    assert(q1("transform(array(10, 20), (x, i) -> x + i)") === Seq(10, 21))
+  }
+
   test("_CAST: reference type names through the ChTypes mapping") {
     assert(q1("_CAST(42, 'String')") === "42")
     assert(q1("_CAST('3.5', 'Float64')") === 3.5d)
