@@ -544,19 +544,36 @@ object ScalarTranche18 {
     // ---- aggregate-state scalars
     builder("finalizeAggregation")(cs => FinalizeAggregation(cs.head))
     builder("initializeAggregation") { cs =>
+      import org.apache.spark.sql.catalyst.expressions.{LambdaFunction, UnresolvedNamedLambdaVariable}
       val name = constStr(cs.head, "initializeAggregation name")
-      val v = cs(1)
-      name match {
-        case "sumState" | "minState" | "maxState" | "anyState" | "anyLastState" => v
-        case "countState" => Literal(1L)
-        case "avgState" => call("named_struct",
-          Seq(Literal("sum"), v, Literal("count"), Literal(1L)))
-        case "uniqState" | "uniqExactState" | "uniqHLL12State" | "uniqCombinedState" =>
-          call("uniqStateScalar", Seq(v))
-        case other => throw new IllegalArgumentException(
-          s"initializeAggregation: unsupported state '$other' " +
-            "(sum/min/max/any/count/avg/uniq states supported)")
-      }
+      // Combinator SUFFIX chains parse right-to-left, like the
+      // reference's combinator factory (02430:
+      // `uniqStateForEachMapForEach` = ForEach(array) of Map(map) of
+      // ForEach(array) of uniqState): -ForEach maps the initializer
+      // over array elements, -Map over map VALUES (key kept) — each
+      // level is one higher-order transform, fully codegen/native.
+      def init(n: String, v: Expression, depth: Int): Expression =
+        if (n.length > "ForEach".length && n.endsWith("ForEach")) {
+          val x = UnresolvedNamedLambdaVariable(Seq(s"__ia_x$depth"))
+          call("transform", Seq(v,
+            LambdaFunction(init(n.dropRight("ForEach".length), x, depth + 1), Seq(x))))
+        } else if (n.length > "Map".length && n.endsWith("Map")) {
+          val k = UnresolvedNamedLambdaVariable(Seq(s"__ia_k$depth"))
+          val x = UnresolvedNamedLambdaVariable(Seq(s"__ia_v$depth"))
+          call("transform_values", Seq(v,
+            LambdaFunction(init(n.dropRight("Map".length), x, depth + 1), Seq(k, x))))
+        } else n match {
+          case "sumState" | "minState" | "maxState" | "anyState" | "anyLastState" => v
+          case "countState" => Literal(1L)
+          case "avgState" => call("named_struct",
+            Seq(Literal("sum"), v, Literal("count"), Literal(1L)))
+          case "uniqState" | "uniqExactState" | "uniqHLL12State" | "uniqCombinedState" =>
+            call("uniqStateScalar", Seq(v))
+          case other => throw new IllegalArgumentException(
+            s"initializeAggregation: unsupported state '$other' " +
+              "(sum/min/max/any/count/avg/uniq states, with -Map/-ForEach chains)")
+        }
+      init(name, cs(1), 0)
     }
     // single-item HLL state, byte-compatible with hll_union_agg /
     // hll_sketch_estimate (same lgK/type as Spark's hll_sketch_agg)

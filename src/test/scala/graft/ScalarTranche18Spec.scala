@@ -116,6 +116,31 @@ class ScalarTranche18Spec extends SparkSpec {
     assert(mixed === 1L)
   }
 
+  test("initializeAggregation combinator chains: -ForEach / -Map / nested (02430)") {
+    // uniqStateForEach: one state per array element
+    val fe = spark.sql(
+      "SELECT transform(initializeAggregation('uniqStateForEach', array(1, 2)), " +
+        "s -> finalizeAggregation(s)) AS r").head().getSeq[Long](0)
+    assert(fe === Seq(1L, 1L))
+    // uniqStateMap: key kept, value becomes a state
+    val m = spark.sql(
+      "SELECT finalizeAggregation(map_values(" +
+        "initializeAggregation('uniqStateMap', map(1, 2)))[0]) AS r")
+      .head().getLong(0)
+    assert(m === 1L)
+    // the 02430 nested chain: ForEach(array) of Map(map) of ForEach(array)
+    val nested = spark.sql(
+      "SELECT finalizeAggregation(map_values(" +
+        "initializeAggregation('uniqStateForEachMapForEach', " +
+        "array(map(1, array(2, 3))))[0])[0][0]) AS r")
+      .head().getLong(0)
+    assert(nested === 1L)
+    // sumStateForEach: identity states elementwise
+    assert(spark.sql(
+      "SELECT initializeAggregation('sumStateForEach', array(4, 5)) AS r")
+      .head().getSeq[Int](0) === Seq(4, 5))
+  }
+
   test("plan-time introspection: isConstant/isNullable/defaults/getSetting") {
     assert(q1("isConstant(1 + 1)") === 1.toShort)
     assert(q1("isConstant(id) FROM range(1)") === 0.toShort)
