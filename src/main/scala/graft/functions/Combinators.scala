@@ -40,6 +40,21 @@ object Combinators {
   def groupUniqArray(c: Column): Column =
     array_sort(array_distinct(flatten(collect_list(array_distinct(c)))))
 
+  /** uniqArray / uniqExactArray over one or MORE array arguments
+    * (stateless 00533 golden: multi-arg -Array ZIPS the arrays
+    * positionally and counts distinct TUPLES —
+    * `uniqArray([0,1,1],[0,1,1],[0,1,0])` = 3 because the element
+    * triples are (0,0,0),(1,1,1),(1,1,0)). Exact count — meets the
+    * approximate form's contract too; per-row arrays dedupe map-side
+    * before the group set forms.
+    */
+  def uniqExactArray(cs: Column*): Column = {
+    val zipped = if (cs.length == 1) cs.head else arrays_zip(cs: _*)
+    size(array_distinct(flatten(collect_list(array_distinct(zipped)))))
+  }
+
+  def uniqArray(cs: Column*): Column = uniqExactArray(cs: _*)
+
   /** avgWeighted(v, w) (`AggregateFunctionAvgWeighted.cpp`). */
   def avgWeighted(v: Column, w: Column): Column =
     sum(v.cast("double") * w.cast("double")) / sum(w.cast("double"))

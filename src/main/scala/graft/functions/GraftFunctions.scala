@@ -234,6 +234,9 @@ object GraftFunctions {
         shim.expressionEager(org.apache.spark.sql.functions.array(
           es.drop(2).map(l => A.quantileExactWeighted(
             shim.column(es(0)), shim.column(es(1)), litNum(l))): _*))),
+      // -Array combinator SQL spellings (00533: multi-arg zips to tuples)
+      "uniqarray" -> front(cs => graft.functions.Combinators.uniqArray(cs: _*)),
+      "uniqexactarray" -> front(cs => graft.functions.Combinators.uniqExactArray(cs: _*)),
       "groupbitmapand" -> front(cs => B.groupBitmapAnd(cs.head)),
       "groupbitmapor"  -> front(cs => B.groupBitmapOr(cs.head)),
       "groupbitmapxor" -> front(cs => B.groupBitmapXor(cs.head)),

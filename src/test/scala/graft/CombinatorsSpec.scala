@@ -82,4 +82,20 @@ class CombinatorsSpec extends SparkSpec {
     assert(maxs(0).getSeq[org.apache.spark.sql.Row](1)
       .map(r => (r.getString(0), r.getDouble(1))) === Seq("x" -> 3.0, "y" -> 7.0))
   }
+
+  test("uniqArray / uniqExactArray: the 00533 goldens (multi-arg zips to tuples)") {
+    def q1(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
+    // single-array form: distinct elements across the group's arrays
+    assert(q1("uniqArray(array(0, 1, 1))") === 2)
+    // the six 00533 rows, byte-for-byte
+    assert(q1("uniqArray(array(0,1,1), array(0,1,1), array(0,1,1))") === 2)
+    assert(q1("uniqArray(array(0,1,1), array(0,1,1), array(0,1,0))") === 3)
+    assert(q1("uniqExactArray(array(0,1,1), array(0,1,1), array(0,1,1))") === 2)
+    assert(q1("uniqExactArray(array(0,1,1), array(0,1,1), array(0,1,0))") === 3)
+    // grouped form: tuples pool across rows before the distinct
+    val g = spark.sql(
+      "SELECT uniqArray(a, b) FROM VALUES (array(1), array(9)), " +
+        "(array(1, 2), array(9, 9)) AS t(a, b)").head().getInt(0)
+    assert(g === 2) // tuples (1,9), (1,9), (2,9)
+  }
 }
