@@ -268,8 +268,12 @@ object ClickHouseCompat {
       "WHEN x >= 1e6 THEN concat(CAST(round(x / 1e6, 2) AS STRING), ' million') " +
       "WHEN x >= 1e3 THEN concat(CAST(round(x / 1e3, 2) AS STRING), ' thousand') " +
       "ELSE CAST(round(x, 2) AS STRING) END",
-    // ---- transform(x, from, to, default) — CH's lookup-table function;
-    //      named transformLookup (Spark's `transform` is the array HOF) ----
+    // ---- transformLookup: legacy string-typed spelling of CH's
+    //      transform(x, from, to, default). Since round 20 the NATIVE
+    //      `transform` name serves the polymorphic lookup form
+    //      (ScalarTranche20 — same array_position first-match
+    //      semantics); this macro remains as a typed alias so existing
+    //      call sites keep resolving, with the identical formula ----
     "transformLookup(x STRING, src ARRAY<STRING>, dst ARRAY<STRING>, d STRING) " +
       "RETURNS STRING RETURN IF(array_position(src, x) = 0 OR array_position(src, x) IS NULL, d, " +
       "element_at(dst, CAST(array_position(src, x) AS INT)))",

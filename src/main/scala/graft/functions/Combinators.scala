@@ -49,7 +49,16 @@ object Combinators {
     * before the group set forms.
     */
   def uniqExactArray(cs: Column*): Column = {
-    val zipped = if (cs.length == 1) cs.head else arrays_zip(cs: _*)
+    // single-arg: uniq skips NULL elements (ClickHouse uniq over
+    // Nullable) — filter per row before the distinct; multi-arg:
+    // tuples are never NULL themselves, and the arrays share per-row
+    // sizes by the Nested contract (validateNestedArraySizes is the
+    // checkable invariant; arrays_zip null-pads rather than erroring
+    // on violated input — documented deviation from the reference's
+    // sizes-don't-match throw)
+    val zipped =
+      if (cs.length == 1) filter(cs.head, _.isNotNull)
+      else arrays_zip(cs: _*)
     size(array_distinct(flatten(collect_list(array_distinct(zipped)))))
   }
 

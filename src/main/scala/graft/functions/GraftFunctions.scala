@@ -110,13 +110,9 @@ object GraftFunctions {
       new Percentile(Cast(es.head, DoubleType), CreateArray(es.tail))),
     "quantilestiming" -> ((es: Seq[Expression]) =>
       new Percentile(Cast(es.head, DoubleType), CreateArray(es.tail))),
-    // plural BFloat16/TDigest (stateful 00164 uses quantilesBFloat16
-    // directly; found by the r20 exhaustive stateful audit): same
-    // sketch front as their singulars, array-of-levels form
-    "quantilesbfloat16" -> ((es: Seq[Expression]) =>
-      new ApproximatePercentile(Cast(es.head, DoubleType), CreateArray(es.tail))),
-    "quantilestdigest" -> ((es: Seq[Expression]) =>
-      new ApproximatePercentile(Cast(es.head, DoubleType), CreateArray(es.tail))),
+    // (quantilesBFloat16/quantilesTDigest plurals live further down in
+    // this map — stateful 00164's spellings; a shadowed duplicate pair
+    // briefly added here was removed in review pass 3)
     "medianexact" -> ((es: Seq[Expression]) =>
       new Percentile(Cast(es.head, DoubleType), Literal(0.5))),
     "mediantiming" -> ((es: Seq[Expression]) =>

@@ -185,26 +185,30 @@ object ScalarTranche20 {
 
     // `transform` is the reference's lookup-substitution scalar
     // (`src/Functions/transform.cpp`, stateful 00141/00143:
-    // `transform(x, [2,3], ['a','b'][, default])` — first-match
-    // substitution, 3-arg form passes x through unmatched) AND Spark's
+    // `transform(x, [2,3], ['a','b'][, default])`) AND Spark's
     // higher-order array map builtin. Same carve-out shape as `in`:
     // the lambda spelling keeps native semantics (ArrayTransform —
     // every SQL macro in the compat registry that says
-    // `transform(arr, x -> ...)` still resolves), the 3/4-arg
-    // value-list spellings get the reference's lookup semantics via a
-    // null-safe map probe (try_element_at: missing key → NULL →
-    // coalesce to default/x, never an ANSI error).
+    // `transform(arr, x -> ...)` still resolves); the 3/4-arg
+    // value-list spellings get the reference's lookup via
+    // `array_position` (NOT a map build): FIRST match wins on
+    // duplicate src entries, NULL src entries simply never match
+    // (map_from_arrays would THROW on both under the default dedup
+    // policy), and a matched NULL dst value is returned as the match —
+    // never conflated with no-match (review r20 pass 3).
+    def transformLookup(x: Expression, src: Expression, dst: Expression,
+        miss: Expression): Expression = {
+      def pos = Cast(UnresolvedFunction("array_position", Seq(src, x),
+        isDistinct = false), org.apache.spark.sql.types.IntegerType)
+      CaseWhen(Seq((GreaterThan(pos, Literal(0)),
+        UnresolvedFunction("element_at", Seq(dst, pos), isDistinct = false))),
+        Some(miss))
+    }
     builder("transform") { cs =>
       cs match {
         case Seq(arr, l: LambdaFunction) => ArrayTransform(arr, l)
-        case Seq(x, src, dst) =>
-          Coalesce(Seq(UnresolvedFunction("try_element_at",
-            Seq(UnresolvedFunction("map_from_arrays", Seq(src, dst),
-              isDistinct = false), x), isDistinct = false), x))
-        case Seq(x, src, dst, d) =>
-          Coalesce(Seq(UnresolvedFunction("try_element_at",
-            Seq(UnresolvedFunction("map_from_arrays", Seq(src, dst),
-              isDistinct = false), x), isDistinct = false), d))
+        case Seq(x, src, dst) => transformLookup(x, src, dst, x)
+        case Seq(x, src, dst, d) => transformLookup(x, src, dst, d)
         case other => throw new IllegalArgumentException(
           s"transform takes (arr, lambda) or (x, src, dst[, default]): got ${other.length}")
       }

@@ -97,5 +97,8 @@ class CombinatorsSpec extends SparkSpec {
       "SELECT uniqArray(a, b) FROM VALUES (array(1), array(9)), " +
         "(array(1, 2), array(9, 9)) AS t(a, b)").head().getInt(0)
     assert(g === 2) // tuples (1,9), (1,9), (2,9)
+    // single-arg uniq skips NULL elements (ClickHouse uniq over
+    // Nullable; review pass 3)
+    assert(q1("uniqArray(array(CAST(NULL AS INT), 1, 1))") === 1)
   }
 }

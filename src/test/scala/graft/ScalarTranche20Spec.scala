@@ -100,6 +100,15 @@ class ScalarTranche20Spec extends SparkSpec {
     assert(q1("transform(array(1, 2, 3), x -> x * 2)") ===
       Seq(2, 4, 6))
     assert(q1("transform(array(10, 20), (x, i) -> x + i)") === Seq(10, 21))
+    // review pass 3 pins: duplicate src entries — FIRST match wins,
+    // never a duplicate-map-key error
+    assert(q1("transform(2, array(2, 2, 3), array('a', 'b', 'c'), 'other')") === "a")
+    // NULL src entries never match and never throw
+    assert(q1("transform(9, array(2, CAST(NULL AS INT)), array('a', 'b'), 'other')") === "other")
+    // a matched NULL dst value is the RESULT, not a fall-through to the default
+    assert(spark.sql(
+      "SELECT transform(2, array(2, 3), array(CAST(NULL AS STRING), 'b'), 'other') AS t")
+      .head().isNullAt(0))
   }
 
   test("_CAST: reference type names through the ChTypes mapping") {
