@@ -26,7 +26,10 @@ object BinaryIvfIndex {
       idCol: String, status: String, metric: String = "hamming")
 
   private val metaCache = TrieMap.empty[String, BMeta]
-  private val centroidCache = TrieMap.empty[String, Array[Array[Byte]]]
+  // size-bounded (shared centroid budget); evicted tables reload from
+  // the centroids/ parquet artifact
+  private val centroidCache = new BoundedCache[Array[Array[Byte]]](
+    BoundedCache.CentroidConfKey, BoundedCache.CentroidDefault)
 
   private[graft] def nearestHamming(cs: Array[Array[Byte]], v: Array[Byte]): Int = {
     var best = 0; var bestD = Float.MaxValue; var i = 0
@@ -129,7 +132,7 @@ object BinaryIvfIndex {
         s""""nRows":$n,"vecCol":"$vecCol","idCol":"$idCol","status":"BUILT",""" +
         s""""metric":"$metric"}""" + "\n")
     metaCache.put(indexDir, BMeta(nLists, nBytes, n, vecCol, idCol, "BUILT", metric))
-    centroidCache.put(indexDir, centroids)
+    centroidCache.put(indexDir, centroids)(BoundedCache.byteTableBytes)
 
     val entry = IvfIndex.IndexEntry(indexName, indexDir, sourcePath, vecCol,
       "BinaryIVF", metric, "BUILT", n, defaultNprobe)
@@ -157,10 +160,10 @@ object BinaryIvfIndex {
     })
 
   private def loadCentroids(spark: SparkSession, indexDir: String): Array[Array[Byte]] =
-    centroidCache.getOrElseUpdate(indexDir, {
+    centroidCache.getOrLoad(indexDir) {
       spark.read.parquet(s"$indexDir/centroids").orderBy("list_id").collect()
         .map(_.getAs[Array[Byte]](1))
-    })
+    }(BoundedCache.byteTableBytes)
 
   /** The probe set [[search]] uses — public for replay oracles (same
     * contract as [[IvfIndex.probeSet]]). Ranks centroids by the index's

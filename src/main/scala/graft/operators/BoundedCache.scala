@@ -1,0 +1,124 @@
+package graft.operators
+
+/** Size-bounded per-JVM LRU cache for loaded index artifacts (HNSW
+  * graphs, IVF/PQ/SQ centroid tables) — the `VICacheManager` analog with
+  * the reference's missing half: the reference cache is SIZE-BOUNDED
+  * with eviction (`VICacheManager.cpp`), while an unbounded TrieMap is
+  * an OOM vector at 100 TB where an executor touches thousands of parts
+  * over a job's lifetime. Eviction is safe by construction: every entry
+  * is loaded from a persisted artifact (parquet graph rows / centroid
+  * files) inside the task that needs it, so an evicted entry simply
+  * reloads on next use — correctness is unaffected, only reload I/O.
+  *
+  * Weights are caller-estimated footprint bytes. The budget comes from
+  * a Spark conf key read via `SparkEnv` when available (works on both
+  * driver and executors) with a per-cache default; entries larger than
+  * the whole budget are still served but not retained.
+  *
+  * Access order is LRU via a synchronized [[java.util.LinkedHashMap]]
+  * — loads happen once per (part, JVM) and lookups once per search
+  * task, so lock contention is noise next to the graph walk it guards.
+  */
+private[graft] final class BoundedCache[V](
+    confKey: String, defaultBudget: String) {
+
+  private def budgetBytes: Long =
+    Option(org.apache.spark.SparkEnv.get)
+      .map(_.conf.getSizeAsBytes(confKey, defaultBudget))
+      .getOrElse(org.apache.spark.network.util.JavaUtils
+        .byteStringAsBytes(defaultBudget))
+
+  private final case class Entry(value: V, weight: Long)
+
+  private var total = 0L
+  private val map = new java.util.LinkedHashMap[String, Entry](
+    64, 0.75f, /* accessOrder = */ true)
+
+  /** Cached value, loading (and weighing) on miss; evicts
+    * least-recently-used entries until the budget holds. `weigh` runs
+    * once per load on the loaded value.
+    */
+  def getOrLoad(key: String)(load: => V)(weigh: V => Long): V =
+    synchronized {
+      val hit = map.get(key)
+      if (hit != null) hit.value
+      else {
+        val v = load
+        val w = math.max(0L, weigh(v))
+        val budget = budgetBytes
+        if (w <= budget) {
+          total += w
+          map.put(key, Entry(v, w))
+          val it = map.entrySet().iterator()
+          while (total > budget && it.hasNext) {
+            val e = it.next()
+            if (e.getKey != key) { // never evict the entry just added
+              total -= e.getValue.weight
+              it.remove()
+            }
+          }
+        } // oversized values are served uncached
+        v
+      }
+    }
+
+  /** Insert/overwrite an entry (build-time warm insert), evicting LRU
+    * entries past the budget like [[getOrLoad]].
+    */
+  def put(key: String, value: V)(weigh: V => Long): Unit = synchronized {
+    val old = map.remove(key)
+    if (old != null) total -= old.weight
+    val w = math.max(0L, weigh(value))
+    val budget = budgetBytes
+    if (w <= budget) {
+      total += w
+      map.put(key, Entry(value, w))
+      val it = map.entrySet().iterator()
+      while (total > budget && it.hasNext) {
+        val e = it.next()
+        if (e.getKey != key) { total -= e.getValue.weight; it.remove() }
+      }
+    }
+  }
+
+  /** Drop one entry (artifact rebuilt/overwritten). */
+  def invalidate(key: String): Unit = synchronized {
+    val e = map.remove(key)
+    if (e != null) total -= e.weight
+  }
+
+  /** Drop every entry whose key starts with `prefix`. */
+  def invalidatePrefix(prefix: String): Unit = synchronized {
+    val it = map.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.startsWith(prefix)) { total -= e.getValue.weight; it.remove() }
+    }
+  }
+
+  // test hooks
+  private[graft] def size: Int = synchronized(map.size())
+  private[graft] def weightedTotal: Long = synchronized(total)
+  private[graft] def keys: Seq[String] = synchronized {
+    import scala.jdk.CollectionConverters._
+    map.keySet().asScala.toSeq
+  }
+}
+
+private[graft] object BoundedCache {
+  /** Shared conf key for the (small) centroid/codebook tables — one
+    * budget across IVF/PQ/SQ/BinaryIVF so the bound is per-JVM, not
+    * per-index-family.
+    */
+  val CentroidConfKey = "spark.graft.index.centroidCacheBytes"
+  val CentroidDefault = "1g"
+
+  def floatTableBytes(t: Array[Array[Float]]): Long =
+    16L + t.iterator.map(r => 56L + r.length.toLong * 4L).sum
+
+  def byteTableBytes(t: Array[Array[Byte]]): Long =
+    16L + t.iterator.map(r => 56L + r.length.toLong).sum
+
+  def codebookBytes(b: Array[Array[Array[Float]]]): Long =
+    16L + b.iterator.map(floatTableBytes).sum
+}

@@ -482,13 +482,17 @@ object Dedup {
       .select(idCol.as("id"),
         transform(text.tokenize(textCol), t => graft.functions.SparkHash.xxh64(t)).as("__th"))
       .select(col("id"), explode(col("__th")).as("__t"))
+    // ones-count + 2·ones > n threshold — same rewrite as the md5
+    // variant below (identical signatures, no per-bit CASE in the agg)
     val bitSums = (0 until 64).map { j =>
-      sum(when(call_function("shiftright", col("__t"), lit(j))
-        .bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__b$j")
+      sum(call_function("shiftright", col("__t"), lit(j))
+        .bitwiseAND(lit(1L))).as(s"__b$j")
     }
-    val agged = toks.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val agged = toks.groupBy(col("id"))
+      .agg(bitSums.head, bitSums.tail :+ count(lit(1)).as("__n"): _*)
     val sig = (0 until 64).map { j =>
-      when(col(s"__b$j") > 0, call_function("shiftleft", lit(1L), lit(j)))
+      when(col(s"__b$j") * 2L > col("__n"),
+        call_function("shiftleft", lit(1L), lit(j)))
         .otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
     df.select(idCol.as("id")).join(agged, Seq("id"), "left")
@@ -520,13 +524,19 @@ object Dedup {
           conv(substring(col("__h"), 1, 8), 16, 10).cast("long"), lit(32))
           .bitwiseOR(conv(substring(col("__h"), 9, 8), 16, 10).cast("long")))
           .as("__w"))
+    // ±1 bit sum positive ⟺ ones > zeros ⟺ 2·ones > n: aggregate the
+    // plain ones-count (no CASE branch per bit per row — r21, ~64
+    // conditionals removed from the hot agg update) and threshold
+    // against the token count. Identical signatures.
     val bitSums = (0 until 64).map { j =>
-      val bit = call_function("shiftright", col("__w"), lit(63 - j)).bitwiseAND(lit(1L))
-      sum(when(bit === 1L, 1).otherwise(-1)).as(s"__b$j")
+      sum(call_function("shiftright", col("__w"), lit(63 - j))
+        .bitwiseAND(lit(1L))).as(s"__b$j")
     }
-    val agged = toks.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val agged = toks.groupBy(col("id"))
+      .agg(bitSums.head, bitSums.tail :+ count(lit(1)).as("__n"): _*)
     val sig = (0 until 64).map { j =>
-      when(col(s"__b$j") > 0, call_function("shiftleft", lit(1L), lit(j)))
+      when(col(s"__b$j") * 2L > col("__n"),
+        call_function("shiftleft", lit(1L), lit(j)))
         .otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
     df.select(idCol.as("id")).join(agged, Seq("id"), "left")
@@ -1322,18 +1332,23 @@ object Dedup {
       seed: Long = 42L): DataFrame = {
     val rnd = new scala.util.Random(seed)
     val dim = df.select(size(vecCol)).head().getInt(0)
-    val tables = (0 until nTables).map { t =>
+    // one scan + posexplode over the per-table bucket keys (same rows as
+    // the former nTables-branch union — see lshCosineCoordPairs)
+    val tableBuckets = (0 until nTables).map { _ =>
       val planes = Array.fill(nPlanes, dim)(rnd.nextGaussian().toFloat)
-      val bucketBits = planes.zipWithIndex.map { case (p, i) =>
+      planes.zipWithIndex.map { case (p, i) =>
         val proj = graft.functions.distances.dotProduct(vecCol, typedLit(p.toSeq))
         when(proj > 0f, shiftleft(lit(1L), i)).otherwise(lit(0L))
       }.reduce[Column]((x, y) => x.bitwiseOR(y))
-      df.select(idCol.as("id"), vecCol.as("__v"),
-        bucketBits.as("bucket"), lit(t).as("table_id"))
     }
-    val buckets = tables.reduce(_ unionAll _)
+    val buckets = df
+      .select(idCol.as("id"), vecCol.as("__v"),
+        posexplode(array(tableBuckets: _*)))
+      .withColumnRenamed("pos", "table_id")
+      .withColumnRenamed("col", "bucket")
+    // shuffle-hash, never broadcast — see lshCosineCoordPairs
     buckets.as("a")
-      .join(buckets.as("b"),
+      .join(buckets.hint("shuffle_hash").as("b"),
         col("a.table_id") === col("b.table_id") &&
           col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       // verify on the join output (map side of the pair dedup): candidate
@@ -1416,16 +1431,29 @@ object Dedup {
     val effPlanes = math.min(math.min(dim, 62), // ≤ dim coords, bits fit a Long
       if (nPlanes == AutoPlanes) scaledPlaneCount(df.count()) else nPlanes)
     val planes = lshCoordPlanes(dim, effPlanes, nTables, seed)
-    val tables = planes.zipWithIndex.map { case (coords, t) =>
-      val bucketBits = coords.zipWithIndex.map { case (k, i) =>
+    // All nTables bucket keys are computed in ONE pass over the scan and
+    // row-multiplied with posexplode — the former per-table union re-read
+    // the input nTables times (r21: 16 scan legs per join side collapsed
+    // to one Generate; identical (id, table_id, bucket) rows).
+    val tableBuckets = planes.map { coords =>
+      coords.zipWithIndex.map { case (k, i) =>
         when(element_at(vecCol, k + 1) > lit(0f), lit(1L << i)).otherwise(lit(0L))
       }.reduce[Column]((x, y) => x.bitwiseOR(y))
-      df.select(idCol.as("id"), vecCol.as("__v"),
-        bucketBits.as("bucket"), lit(t).as("table_id"))
     }
-    val buckets = tables.reduce(_ unionAll _)
+    val buckets = df
+      .select(idCol.as("id"), vecCol.as("__v"),
+        posexplode(array(tableBuckets: _*)))
+      .withColumnRenamed("pos", "table_id")
+      .withColumnRenamed("col", "bucket")
+    // shuffle-hash, never broadcast: with a single input split the
+    // broadcast plan AQE picks would run the whole cosine verify in ONE
+    // probe task (measured 3× slower at sf0.1); the (table, bucket)
+    // exchange spreads the verify across reducers and is the shape that
+    // holds at 100 TB, where neither side could broadcast anyway. Same
+    // hint rationale as blockedHammingPairs (bounded bucket loads make
+    // the per-partition hash build tiny; no sort).
     buckets.as("a")
-      .join(buckets.as("b"),
+      .join(buckets.hint("shuffle_hash").as("b"),
         col("a.table_id") === col("b.table_id") &&
           col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .withColumn("cos_sim",

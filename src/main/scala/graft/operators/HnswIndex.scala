@@ -1,6 +1,5 @@
 package graft.operators
 
-import scala.collection.concurrent.TrieMap
 import scala.collection.mutable
 
 import org.apache.spark.TaskContext
@@ -261,8 +260,16 @@ object HnswIndex {
     def entryIdx: Int = math.max(entry, 0)
   }
 
-  // per-JVM graph cache (VICacheManager analog)
-  private val graphCache = TrieMap.empty[String, Graph]
+  // Per-JVM graph cache — the VICacheManager analog, now SIZE-BOUNDED
+  // like the reference's (VICacheManager.cpp caps its cache and evicts):
+  // at 100 TB an executor touches thousands of parts over a job's
+  // lifetime and an unbounded map is an OOM vector. Budget via
+  // `spark.graft.hnsw.graphCacheBytes` (default 4g); evicted graphs
+  // reload from the parquet artifact on next use (same rows iterator
+  // the loader already consumes), so eviction costs I/O, never
+  // correctness — HnswIndexSpec pins evict-then-reload top-K equality.
+  private val graphCache =
+    new BoundedCache[Graph]("spark.graft.hnsw.graphCacheBytes", "4g")
 
   /** Build: one graph per partition, persisted as parquet rows. The
     * per-partition entry point is node with the highest layer (recomputed
@@ -420,6 +427,8 @@ object HnswIndex {
         .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/sq_params")
     } else graphDs.toDF().write.mode("overwrite").partitionBy("part_id")
       .parquet(s"$indexDir/graph")
+    // a rebuild over an existing dir must not serve the old graphs
+    graphCache.invalidatePrefix(s"$indexDir#")
     if (gated) parted.unpersist(blocking = false)
     // per-part segment states (system.vector_index_segments analog);
     // gated-out parts report SMALL_PART with their raw row counts
@@ -557,15 +566,42 @@ object HnswIndex {
   case class GraphNode(node_idx: Int, id: Long,
       vec: Array[Float], neighbors: Seq[Seq[Int]])
 
+  /** Conservative heap footprint of a loaded graph: primitive payloads
+    * (id longs, vector floats, adjacency ints) plus ~56 B/node of array
+    * object headers — good enough to budget eviction; exactness is not
+    * required, only monotonicity with real footprint.
+    */
+  private def graphFootprint(g: Graph): Long = {
+    var bytes = 16L + g.ids.length.toLong * (8L + 56L)
+    var i = 0
+    while (i < g.vecs.length) {
+      bytes += g.vecs(i).length.toLong * 4L
+      val layers = g.neighbors(i)
+      var l = 0
+      while (l < layers.length) { bytes += 16L + layers(l).length.toLong * 4L; l += 1 }
+      i += 1
+    }
+    bytes
+  }
+
+  /** Test hook: drop every cached graph of one index dir — simulates a
+    * budget eviction so specs can pin that reload-from-artifact returns
+    * identical results.
+    */
+  private[graft] def evictGraphsForTest(indexDir: String): Unit =
+    graphCache.invalidatePrefix(s"$indexDir#")
+
+  private[graft] def cachedGraphCount: Int = graphCache.size
+
   private def loadGraph(key: String, rows: Iterator[GraphNode], metric: String): Graph =
-    graphCache.getOrElseUpdate(key, {
+    graphCache.getOrLoad(key) {
       val sorted = rows.toArray.sortBy(_.node_idx)
       val ids = sorted.map(_.id)
       val vecs = sorted.map(_.vec)
       val nbrs = sorted.map(_.neighbors.map(_.toArray).toArray)
       val entry = if (nbrs.isEmpty) 0 else nbrs.zipWithIndex.maxBy(_._1.length)._2
       new Graph(ids, vecs, nbrs, entry, metric)
-    })
+    }(graphFootprint)
 
   // Explicit read schemas: a schema-less spark.read.parquet runs a
   // footer-inference job — with these, defining the per-part scans is

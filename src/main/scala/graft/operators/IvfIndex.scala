@@ -109,8 +109,11 @@ object IvfIndex {
     }
   }
 
-  // per-JVM centroid cache (VICacheManager.cpp analog)
-  private val centroidCache = TrieMap.empty[String, Array[Array[Float]]]
+  // per-JVM centroid cache (VICacheManager.cpp analog) — size-bounded
+  // like the reference's cache; evicted tables reload from the
+  // centroids/ parquet artifact on next use
+  private val centroidCache = new BoundedCache[Array[Array[Float]]](
+    BoundedCache.CentroidConfKey, BoundedCache.CentroidDefault)
   private val metaCache = TrieMap.empty[String, Meta]
 
   /** Load index metadata, reading back the persisted `meta.json` when this
@@ -333,7 +336,7 @@ object IvfIndex {
         s""""dim":${meta.dim},"nRows":${meta.nRows},"vecCol":"${meta.vecCol}",""" +
         s""""sourcePath":"${meta.sourcePath}","status":"BUILT"}""")
     metaCache.put(indexDir, meta)
-    centroidCache.put(indexDir, centroids)
+    centroidCache.put(indexDir, centroids)(BoundedCache.floatTableBytes)
 
     val entry = IndexEntry(indexName, indexDir, sourcePath, vecCol, "IVFFLAT",
       metric, "BUILT", n, defaultNprobe)
@@ -390,11 +393,11 @@ object IvfIndex {
   }
 
   private[graft] def loadCentroids(spark: SparkSession, indexDir: String): Array[Array[Float]] =
-    centroidCache.getOrElseUpdate(indexDir, {
+    centroidCache.getOrLoad(indexDir) {
       spark.read.parquet(s"$indexDir/centroids")
         .orderBy("list_id").collect()
         .map(_.getSeq[Float](1).toArray)
-    })
+    }(BoundedCache.floatTableBytes)
 
   /** The probe set [[search]] uses for this query: the nprobe nearest
     * centroid lists under the index metric. Public so a replay oracle can

@@ -213,8 +213,16 @@ object Packing {
     * Returns an array<long> of bucket ids, one per gram (duplicates
     * kept — feature counts are per-OCCURRENCE, a bag not a set).
     */
-  def hashedGramBuckets(textCol: Column, buckets: Int): Column = {
-    val toks = graft.functions.text.tokenize(textCol)
+  def hashedGramBuckets(textCol: Column, buckets: Int): Column =
+    hashedGramBucketsOfToks(graft.functions.text.tokenize(textCol), buckets)
+
+  /** [[hashedGramBuckets]] over an ALREADY-BOUND token-array column.
+    * The token array is referenced five times below (size, two slices,
+    * concat); callers must bind it in its own projection first or
+    * CollapseProject re-runs the whole tokenize per reference (r21:
+    * measured ~6× the tokenize cost inside p07's gram stage).
+    */
+  def hashedGramBucketsOfToks(toks: Column, buckets: Int): Column = {
     val n = size(toks)
     val bigrams = zip_with(
       slice(toks, lit(1), greatest(n - 1, lit(0))),
@@ -258,12 +266,19 @@ object Packing {
     // Materialized rows are slim and bounded: ≤ `buckets` rows per doc.
     // The two distribution frames (≤ buckets rows each) persist for the
     // same reason at no cost.
+    // token arrays bound in their OWN projection below the gram lambdas —
+    // inlining re-runs the tokenize per lambda reference (see
+    // hashedGramBucketsOfToks; r21 measured the inlined form ~6× the
+    // tokenize cost)
     val docBuckets = raw
-      .select(idCol.as("id"), explode(hashedGramBuckets(textCol, buckets)).as("__b"))
+      .select(idCol.as("id"), graft.functions.text.tokenize(textCol).as("__t"))
+      .select(col("id"),
+        explode(hashedGramBucketsOfToks(col("__t"), buckets)).as("__b"))
       .groupBy(col("id"), col("__b")).agg(count(lit(1)).as("__n"))
       .persist()
     val tCounts = target
-      .select(explode(hashedGramBuckets(textCol, buckets)).as("__b"))
+      .select(graft.functions.text.tokenize(textCol).as("__t"))
+      .select(explode(hashedGramBucketsOfToks(col("__t"), buckets)).as("__b"))
       .groupBy(col("__b")).agg(count(lit(1)).as("__c"))
       .persist()
     val rCounts = docBuckets.groupBy(col("__b")).agg(sum(col("__n")).as("__c"))

@@ -34,9 +34,13 @@ object PqIndex {
       nRows: Long, vecCol: String, idCol: String, status: String)
 
   private val metaCache = TrieMap.empty[String, PqMeta]
-  // codebooks(sub)(code) = centroid of that subspace
-  private val codebookCache = TrieMap.empty[String, Array[Array[Array[Float]]]]
-  private val centroidCache = TrieMap.empty[String, Array[Array[Float]]]
+  // codebooks(sub)(code) = centroid of that subspace. Both artifact
+  // caches are size-bounded (shared centroid budget — see BoundedCache);
+  // eviction reloads from the codebooks/ and centroids/ parquet.
+  private val codebookCache = new BoundedCache[Array[Array[Array[Float]]]](
+    BoundedCache.CentroidConfKey, BoundedCache.CentroidDefault)
+  private val centroidCache = new BoundedCache[Array[Array[Float]]](
+    BoundedCache.CentroidConfKey, BoundedCache.CentroidDefault)
 
   private[graft] def encode(
       v: Array[Float], books: Array[Array[Array[Float]]]): Array[Byte] = {
@@ -151,8 +155,8 @@ object PqIndex {
         s""""m":$m,"dim":$dim,"nRows":$n,"vecCol":"$vecCol","idCol":"$idCol",""" +
         s""""status":"BUILT"}""" + "\n")
     metaCache.put(indexDir, PqMeta(metric, nLists, m, dim, n, vecCol, idCol, "BUILT"))
-    codebookCache.put(indexDir, books)
-    centroidCache.put(indexDir, centroids)
+    codebookCache.put(indexDir, books)(BoundedCache.codebookBytes)
+    centroidCache.put(indexDir, centroids)(BoundedCache.floatTableBytes)
 
     val entry = IvfIndex.IndexEntry(indexName, indexDir, sourcePath, vecCol,
       "IVFPQ", metric, "BUILT", n, defaultNprobe)
@@ -177,7 +181,7 @@ object PqIndex {
     })
 
   private[operators] def loadBooks(spark: SparkSession, indexDir: String): Array[Array[Array[Float]]] =
-    codebookCache.getOrElseUpdate(indexDir, {
+    codebookCache.getOrLoad(indexDir) {
       val rows = spark.read.parquet(s"$indexDir/codebooks")
         .orderBy("sub", "code").collect()
       val m = rows.map(_.getInt(0)).max + 1
@@ -185,13 +189,13 @@ object PqIndex {
         rows.filter(_.getInt(0) == s).sortBy(_.getInt(1))
           .map(_.getSeq[Float](2).toArray)
       }
-    })
+    }(BoundedCache.codebookBytes)
 
   private def loadCentroids(spark: SparkSession, indexDir: String): Array[Array[Float]] =
-    centroidCache.getOrElseUpdate(indexDir, {
+    centroidCache.getOrLoad(indexDir) {
       spark.read.parquet(s"$indexDir/centroids").orderBy("list_id").collect()
         .map(_.getSeq[Float](1).toArray)
-    })
+    }(BoundedCache.floatTableBytes)
 
   /** ADC lookup table: adc(s*256 + c) = exact L2² between the query's
     * subvector s and codebook centroid c. Σ over subspaces = L2² to the

@@ -36,7 +36,10 @@ object SqIndex {
 
   private val metaCache = TrieMap.empty[String, SqMeta]
   private val paramCache = TrieMap.empty[String, (Array[Float], Array[Float])] // (scale, offset)
-  private val centroidCache = TrieMap.empty[String, Array[Array[Float]]]
+  // size-bounded (shared centroid budget); evicted tables reload from
+  // the centroids/ parquet artifact
+  private val centroidCache = new BoundedCache[Array[Array[Float]]](
+    BoundedCache.CentroidConfKey, BoundedCache.CentroidDefault)
 
   private[graft] def parseMetric(m: String): Metric.Value = m.trim.toLowerCase match {
     case "l2" | "euclidean" => Metric.L2
@@ -123,7 +126,7 @@ object SqIndex {
         s""""status":"BUILT"}""" + "\n")
     metaCache.put(indexDir, SqMeta(metric, nLists, dim, n, vecCol, idCol, "BUILT"))
     paramCache.put(indexDir, (scale, offset))
-    centroidCache.put(indexDir, centroids)
+    centroidCache.put(indexDir, centroids)(BoundedCache.floatTableBytes)
 
     val entry = IvfIndex.IndexEntry(indexName, indexDir, sourcePath, vecCol,
       "IVFSQ", metric, "BUILT", n, defaultNprobe)
@@ -154,10 +157,10 @@ object SqIndex {
     })
 
   private def loadCentroids(spark: SparkSession, indexDir: String): Array[Array[Float]] =
-    centroidCache.getOrElseUpdate(indexDir, {
+    centroidCache.getOrLoad(indexDir) {
       spark.read.parquet(s"$indexDir/centroids").orderBy("list_id").collect()
         .map(_.getSeq[Float](1).toArray)
-    })
+    }(BoundedCache.floatTableBytes)
 
   /** Stage-1 candidate ids only (quantized ranking over the probed
     * lists) — used by [[graft.plans.TopKSearchRewrite]] to graft an IVFSQ

@@ -611,7 +611,10 @@ object RelationalQueries {
       val ins3 = base.filter(col("o_orderkey") % 9 === 0)
         .withColumn("o_totalprice", col("o_totalprice") * 1.1)
         .withColumn("sign", lit(1)).withColumn("gen", lit(3))
-      val stream = ins1.union(del2).union(ins3)
+      // materialized once: three consumers (the weighted agg and both
+      // sides of collapsingFinal) would otherwise each re-run the
+      // 3-branch union = 9 scans of orders (r21; slim 4-col rows)
+      val stream = ins1.union(del2).union(ins3).localCheckpoint(true)
       val weighted = stream.agg(
         sum(col("sign")).cast("long").as("n"),
         round(sum(col("o_totalprice") * col("sign")), 2).as("total"))

@@ -830,9 +830,12 @@ object VectorQueries {
   private def recallGates(s: SparkSession, dir: String): DataFrame = {
     def ids(name: String, idCol: String): DataFrame =
       queries(name)(s, dir).select(col(idCol).cast("long").as("rid"))
-    val exactDense = ids("v01_l2_topk", "vec_id")
-    val exactBin = ids("v10_binary_hamming", "doc_id")
-    val exactFiltered = ids("v04_prefilter_topk", "vec_id")
+    // The exact frames are k = 10 rows each but feed 6/2/1 legs: pinned
+    // eagerly so the brute top-K scans run once, not once per consuming
+    // leg (r21 — guide §2.4, shared subtree evaluated once).
+    val exactDense = ids("v01_l2_topk", "vec_id").localCheckpoint(true)
+    val exactBin = ids("v10_binary_hamming", "doc_id").localCheckpoint(true)
+    val exactFiltered = ids("v04_prefilter_topk", "vec_id").localCheckpoint(true)
     val legs: Seq[(String, DataFrame, DataFrame)] = Seq(
       ("ivf_nprobe", ids("v09_ivf_nprobe", "vec_id"), exactDense),
       ("hnsw", ids("v11_hnsw_search", "vec_id"), exactDense),
@@ -843,10 +846,15 @@ object VectorQueries {
       ("binary_ivf", ids("v15_binary_ivf", "doc_id"), exactBin),
       ("binary_hnsw", ids("v18_binary_hnsw", "doc_id"), exactBin),
       ("prefilter_hnsw", ids("v26_prefilter_hnsw", "vec_id"), exactFiltered))
+    // One pass per leg: a left join against the (distinct-id) exact set
+    // yields n_results = count(*) and hits = matched count in a single
+    // aggregate — the former semi-join agg × crossJoin count ran every
+    // approximate index search twice (r21).
     legs.map { case (kind, approx, exact) =>
-      approx.join(exact, Seq("rid"), "left_semi")
-        .agg(count(lit(1)).as("hits"))
-        .crossJoin(approx.agg(count(lit(1)).as("n_results")))
+      approx
+        .join(exact.withColumn("__hit", lit(1)), Seq("rid"), "left")
+        .agg(count(lit(1)).as("n_results"),
+          coalesce(sum(col("__hit")), lit(0L)).as("hits"))
         .select(lit(kind).as("kind"), col("n_results"),
           (col("hits") >= recallMinHits(kind)).as("recall_ok"))
     }.reduce(_ unionAll _).orderBy(col("kind"))

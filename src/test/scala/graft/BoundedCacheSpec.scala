@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.BoundedCache
+
+/** The size-bounded artifact cache (r21: VICacheManager's missing
+  * eviction half — the unbounded TrieMap was an OOM vector at 100 TB
+  * part counts). Budgets resolve from an absent conf key to the default
+  * passed at construction, so each test drives its own budget.
+  */
+class BoundedCacheSpec extends SparkSpec {
+
+  private def cache(budget: String) =
+    new BoundedCache[String](s"spark.graft.test.absent.$budget", budget)
+
+  test("entries under budget are retained and hit") {
+    val c = cache("100")
+    var loads = 0
+    def load(k: String): String =
+      c.getOrLoad(k) { loads += 1; k * 2 }(_ => 10L)
+    assert(load("a") === "aa"); assert(load("a") === "aa")
+    assert(loads === 1)
+    assert(c.size === 1 && c.weightedTotal === 10L)
+  }
+
+  test("LRU eviction keeps total weight within budget") {
+    val c = cache("100")
+    (1 to 12).foreach(i => c.getOrLoad(s"k$i")(s"v$i")(_ => 10L))
+    assert(c.weightedTotal <= 100L)
+    assert(c.size === 10)
+    // k1 and k2 evicted; k12 (newest) retained
+    assert(!c.keys.contains("k1") && !c.keys.contains("k2"))
+    assert(c.keys.contains("k12"))
+  }
+
+  test("access refreshes recency — a touched entry survives eviction") {
+    val c = cache("100")
+    (1 to 10).foreach(i => c.getOrLoad(s"k$i")(s"v$i")(_ => 10L))
+    c.getOrLoad("k1")(fail("k1 must be a hit"))(_ => 10L) // touch k1
+    c.getOrLoad("k11")("v11")(_ => 10L) // evicts k2 (now the LRU), not k1
+    assert(c.keys.contains("k1") && !c.keys.contains("k2"))
+  }
+
+  test("an entry larger than the whole budget is served but not retained") {
+    val c = cache("100")
+    var loads = 0
+    def load(): String = c.getOrLoad("big") { loads += 1; "x" }(_ => 500L)
+    assert(load() === "x"); assert(load() === "x")
+    assert(loads === 2) // never cached
+    assert(c.size === 0)
+  }
+
+  test("put overwrites weight accounting; invalidatePrefix drops matching keys") {
+    val c = cache("100")
+    c.put("a#1", "v")(_ => 10L)
+    c.put("a#1", "w")(_ => 30L) // overwrite: total must be 30, not 40
+    c.put("a#2", "v")(_ => 10L)
+    c.put("b#1", "v")(_ => 10L)
+    assert(c.weightedTotal === 50L)
+    c.invalidatePrefix("a#")
+    assert(c.keys === Seq("b#1") && c.weightedTotal === 10L)
+  }
+}

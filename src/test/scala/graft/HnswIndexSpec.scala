@@ -65,6 +65,20 @@ class HnswIndexSpec extends SparkSpec {
     }
   }
 
+  test("graph-cache eviction + reload returns identical top-K (r21 bounded LRU)") {
+    val before = HnswIndex.search(spark, indexDir, qv, 10, ef = 128)
+      .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+      .sortBy(x => (x._2, x._1))
+    // simulate a budget eviction: every cached graph of this index drops,
+    // the next search MUST reload from the parquet artifact
+    HnswIndex.evictGraphsForTest(indexDir)
+    val after = HnswIndex.search(spark, indexDir, qv, 10, ef = 128)
+      .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+      .sortBy(x => (x._2, x._1))
+    assert(after === before,
+      "evicted-and-reloaded graphs changed the top-K")
+  }
+
   test("accept filter (pre-filter / delete mask) is honored in-search") {
     val masked = bruteIds(5).toSet // delete the 5 nearest
     val got = HnswIndex.search(spark, indexDir, qv, 10, ef = 256,
