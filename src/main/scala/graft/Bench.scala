@@ -16,6 +16,15 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // r21 (guide §3.1/§9): allow shuffled-hash joins when their
+      // size conditions hold — statically (preferSortMergeJoin=false)
+      // and via AQE's runtime SMJ→SHJ conversion for partitions whose
+      // build map fits 128m. Both gates are BYTE-sized, so the choice
+      // stays scale-adaptive: huge partitions at 100 TB keep
+      // sort-merge. Interleaved A/B over a 12-query join-heavy sample:
+      // 20.97 → 19.56 s (−7%), no query regressed beyond noise.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "128m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

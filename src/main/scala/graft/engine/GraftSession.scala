@@ -27,6 +27,12 @@ object GraftSession {
       // working set fits executor memory comfortably.
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // r21: shuffled-hash joins where their (byte-sized) conditions
+      // hold — static preference off sort-merge plus AQE's runtime
+      // SMJ→SHJ conversion for small build maps; scale-adaptive by
+      // construction (see Bench.scala for the measured A/B).
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "128m")
       .config("spark.sql.files.maxPartitionBytes", "256m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

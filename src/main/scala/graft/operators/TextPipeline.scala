@@ -153,31 +153,15 @@ object TextPipeline {
         .select(explode(expr("transform(__t, x -> xxhash64(x))")).as("th"))
     // count frames come from the REFERENCE corpus when given (the
     // CCNet posture: a held-out/high-quality reference LM), else from
-    // the scored corpus itself.
-    // r21 tokenize-pass accounting (guide §1.2 — don't compute things
-    // twice): the regex tokenize is the dominant per-row cost and the
-    // former shape ran it FOUR times (token-total count, unigram groupBy,
-    // bigram groupBy, scored-side bigrams). Now: the unigram count frame
-    // persists (slim (hash, count) rows, vocabulary-sized) and the token
-    // total is its Σc1 — same number, no extra corpus pass; and in the
-    // self-scoring case the bigram frame persists (3 longs/row) and
-    // feeds BOTH the bigram-count groupBy and the scoring join. Two
-    // tokenize passes total.
+    // the scored corpus itself
     val refSrc = if (reference == null) df else reference
-    val uni = hashedToks(refSrc)
-      .groupBy(col("th")).agg(count(lit(1)).as("c1"))
-      .persist()
-    val total = {
-      val r = uni.agg(sum(col("c1"))).head()
-      if (r.isNullAt(0)) 1L else math.max(r.getLong(0), 1L)
-    }
-    val refBigrams =
-      if (reference == null) hashedBigrams(refSrc).persist()
-      else hashedBigrams(refSrc)
-    val bi = refBigrams
+    val refToks = hashedToks(refSrc)
+    val total = math.max(refToks.count(), 1L)
+    val uni = refToks.groupBy(col("th")).agg(count(lit(1)).as("c1"))
+    val bi = hashedBigrams(refSrc)
       .groupBy(col("ph").as("p"), col("wh").as("w"))
       .agg(count(lit(1)).as("c2"))
-    val scored = (if (reference == null) refBigrams else hashedBigrams(df))
+    val scored = hashedBigrams(df)
       .join(bi, col("ph") === col("p") && col("wh") === col("w"), "left")
       .join(uni.withColumnRenamed("th", "__pt").withColumnRenamed("c1", "c1p"),
         col("ph") === col("__pt"), "left")
