@@ -33,6 +33,11 @@ object GraftSession {
       // construction (see Bench.scala for the measured A/B).
       .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "128m")
+      // r21: byte-sized post-shuffle coalescing (see Bench.scala A/B);
+      // partition counts derive from data volume, not a parallelism
+      // constant — the guide §2.2 posture at every scale
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
       .config("spark.sql.files.maxPartitionBytes", "256m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -331,9 +331,14 @@ object TextQueries {
     // Hybrid search, RSF fusion (reference defaults: w=0.5, 3×k
     // candidates per sub-search).
     "h01_hybrid_rsf" -> ((s, dir) => {
+      // materialized once: hybridSearch reads the joined corpus three
+      // times (BM25 stats pass, text leg, vector leg) — re-running the
+      // join per leg measured ~1.6× the materialized form (r21 A/B:
+      // min 1.32 → 0.72 s)
       val joined = t(s, dir, "documents")
         .join(t(s, dir, "embeddings"),
           col("doc_id") === col("vec_id"))
+        .localCheckpoint(true)
       val qvec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0)
       HybridSearch.hybridSearch(joined, "doc_id", col("embedding"), col("text"),
@@ -432,10 +437,12 @@ object TextQueries {
     // the dense leg never surfaces a deleted row as a candidate and the
     // BM25 leg recomputes its global stats over the survivors.
     "h05_hybrid_lwd" -> ((s, dir) => {
+      // materialized once — three consumers, see h01
       val joined = Deletes.applyMask(Deletes.delete(
         t(s, dir, "documents")
           .join(t(s, dir, "embeddings"), col("doc_id") === col("vec_id")),
         col("doc_id") % 7 === 3))
+        .localCheckpoint(true)
       val qvec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0)
       HybridSearch.hybridSearch(joined, "doc_id", col("embedding"), col("text"),
@@ -445,9 +452,11 @@ object TextQueries {
     }),
     // Hybrid search, RRF fusion (fusion_k=60).
     "h02_hybrid_rrf" -> ((s, dir) => {
+      // materialized once — three consumers, see h01
       val joined = t(s, dir, "documents")
         .join(t(s, dir, "embeddings"),
           col("doc_id") === col("vec_id"))
+        .localCheckpoint(true)
       val qvec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0)
       HybridSearch.hybridSearch(joined, "doc_id", col("embedding"), col("text"),
