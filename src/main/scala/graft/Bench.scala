@@ -23,8 +23,10 @@ object Bench {
       // stays scale-adaptive: huge partitions at 100 TB keep
       // sort-merge. Interleaved A/B over a 12-query join-heavy sample:
       // 20.97 → 19.56 s (−7%), no query regressed beyond noise.
-      .config("spark.sql.join.preferSortMergeJoin", "false")
-      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "128m")
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "128m"))
       // r21 (guide §2.2): post-shuffle partitions coalesce by BYTES
       // (advisory 64m) instead of parallelism-first — the scale-adaptive
       // policy the guide prescribes (partition count derives from data
@@ -32,8 +34,10 @@ object Bench {
       // right-sized partitions). Interleaved A/B over a 10-query mixed
       // sample: 19.71 → 16.97 s (−14%); largest wins on the
       // shuffle-stage-heavy dedup rows, worst regression +0.18 s.
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "false"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION", "64m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -307,34 +307,35 @@ object RelationalOps {
         Row.fromSeq(r.toSeq ++ acc.toSeq :+ pid)
       }
     }(enc).persist() // read once for totals, once for the final pass
-    // Phase 2 IN-PLAN (r21): per-partition totals — one row per
-    // partition, bounded by construction — turn into exclusive prefix
-    // offsets via a single-partition window in __pid order (bounded:
-    // #partitions rows) and broadcast-join back. The former driver
-    // collect + literal offset map computed the same values but cost a
-    // construction-time action per call; the lazy form runs everything
-    // inside the consumer's own job. FP equivalence is exact: the
-    // window sums partition totals sequentially in ascending __pid
-    // order — the identical addition order of the old driver loop — so
-    // every __cum/__tot double is bit-identical.
-    val aggExprs = sumCols.map(c => sum(col(c).cast("double")).as(s"__t_$c"))
+    // Phase 2: per-partition totals — ONE ROW PER PARTITION (bounded
+    // driver collect), turned into exclusive prefix offsets.
+    // (r21 note: an in-plan variant — windowed totals + broadcast join,
+    // bit-identical values — was built and REVERTED: every consumer
+    // query regressed 0.3–0.7 s in the full bench; the bounded collect
+    // plus literal offsets is the faster form as measured.)
+    val aggExprs = sumCols.map(c => sum(col(c).cast("double")).as(c))
     val perPart = local.groupBy(col("__pid"))
       .agg(aggExprs.head, aggExprs.tail: _*)
-    val wPrev = org.apache.spark.sql.expressions.Window.orderBy(col("__pid"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val wAll = org.apache.spark.sql.expressions.Window.orderBy(col("__pid"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    val offsets = perPart.select(
-      col("__pid").as("__opid") +: sumCols.flatMap(c => Seq(
-        coalesce(sum(col(s"__t_$c")).over(wPrev), lit(0.0)).as(s"__off_$c"),
-        sum(col(s"__t_$c")).over(wAll).as(s"__tot_$c"))): _*)
-    // Phase 3: add each partition's offset; totals ride the same row.
-    val joined = local.join(broadcast(offsets), col("__pid") === col("__opid"))
-    val withCums = sumCols.foldLeft(joined) { case (d, c) =>
-      d.withColumn(s"__cum_$c", col(s"__cum_$c") + col(s"__off_$c"))
+      .collect()
+      .map(r => r.getInt(0) -> sumCols.map(c => r.getAs[Double](c)).toArray)
+      .sortBy(_._1)
+    val offsets = scala.collection.mutable.Map.empty[Int, Array[Double]]
+    val running = new Array[Double](sumCols.length)
+    perPart.foreach { case (pid, tots) =>
+      offsets(pid) = running.clone()
+      var i = 0
+      while (i < running.length) { running(i) += tots(i); i += 1 }
     }
-    withCums.drop("__pid" +: "__opid" +: sumCols.map(c => s"__off_$c"): _*)
+    val grand = running
+    // Phase 3: add each partition's offset (broadcast literal map) and
+    // expose grand totals as literals.
+    val withCums = sumCols.zipWithIndex.foldLeft(local) { case (d, (c, i)) =>
+      val offMap = typedLit(offsets.map { case (pid, arr) => pid -> arr(i) }.toMap)
+      d.withColumn(s"__cum_$c",
+          col(s"__cum_$c") + coalesce(element_at(offMap, col("__pid")), lit(0.0)))
+        .withColumn(s"__tot_$c", lit(grand(i)))
+    }
+    withCums.drop("__pid")
   }
 
   /** Distributed rank within a BOUNDED-cardinality key (languages,
