@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver bench contract (r22): the one-line {"metric":"total",...} JSON must
+// reach the driver as the FINAL, BARE stdout line. Until now sbt's logger
+// prefixed forked-run output with "[info] " and appended its own
+// "[success] Total time..." line, so the driver's JSON parse failed every
+// round (BENCH_r19/r20/r21 all have parsed:null). StdoutOutput makes the
+// forked JVM inherit sbt's raw stdout/stderr (no log prefix); showSuccess
+// suppresses the trailing [success] summary line.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
