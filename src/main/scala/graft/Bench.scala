@@ -11,34 +11,26 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // Session posture comes from GraftSession.engineConfs (single source
+    // shared with Verify/QueryTime/PlanSnap so the oracle gate, A/B tool
+    // and plan dumps execute the plans Bench times):
+    // - r21 (guide §3.1/§9): shuffled-hash joins when their BYTE-sized
+    //   conditions hold (preferSortMergeJoin=false + AQE SMJ→SHJ under
+    //   128m build maps); huge partitions at 100 TB keep sort-merge.
+    //   Interleaved A/B over a 12-query join-heavy sample: 20.97 →
+    //   19.56 s (−7%), no query regressed beyond noise.
+    // - r21 (guide §2.2): post-shuffle partitions coalesce by BYTES
+    //   (advisory 64m, parallelismFirst=false) — partition count derives
+    //   from data volume at any SF. Interleaved A/B over a 10-query
+    //   mixed sample: 19.71 → 16.97 s (−14%), worst regression +0.18 s.
+    // All four knobs stay env-overridable (SPARK_GRAFT_PREFER_SMJ,
+    // _SHJ_THRESHOLD, _PARALLELISM_FIRST, _ADVISORY_PARTITION).
+    val spark = graft.engine.GraftSession.withEngineConfs(
+      SparkSession.builder()
       .withExtensions(new graft.engine.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      // r21 (guide §3.1/§9): allow shuffled-hash joins when their
-      // size conditions hold — statically (preferSortMergeJoin=false)
-      // and via AQE's runtime SMJ→SHJ conversion for partitions whose
-      // build map fits 128m. Both gates are BYTE-sized, so the choice
-      // stays scale-adaptive: huge partitions at 100 TB keep
-      // sort-merge. Interleaved A/B over a 12-query join-heavy sample:
-      // 20.97 → 19.56 s (−7%), no query regressed beyond noise.
-      .config("spark.sql.join.preferSortMergeJoin",
-        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
-      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "128m"))
-      // r21 (guide §2.2): post-shuffle partitions coalesce by BYTES
-      // (advisory 64m) instead of parallelism-first — the scale-adaptive
-      // policy the guide prescribes (partition count derives from data
-      // volume at any SF; at 100 TB the same setting yields thousands of
-      // right-sized partitions). Interleaved A/B over a 10-query mixed
-      // sample: 19.71 → 16.97 s (−14%); largest wins on the
-      // shuffle-stage-heavy dedup rows, worst regression +0.18 s.
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "false"))
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION", "64m"))
-      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.session.timeZone", "UTC"))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))

@@ -15,11 +15,16 @@ object Verify {
     // iteration (the driver passes exactly two args — all queries)
     val only: Option[Set[String]] = args.lift(2).map(_.split(',').toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // engineConfs (r22): the SAME session posture as Bench — the oracle
+    // gate must validate the physical plans the bench times (SHJ
+    // preference + byte-sized AQE coalescing), not stock-conf plans
+    // (VERDICT r21 #3).
+    val spark = graft.engine.GraftSession.withEngineConfs(
+      SparkSession.builder()
       .withExtensions(new graft.engine.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.session.timeZone", "UTC"))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()

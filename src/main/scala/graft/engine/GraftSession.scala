@@ -43,6 +43,34 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
 
+  /** The engine's session-conf posture (guide §2.2/§3.1) with the r21
+    * env knobs — ONE source of truth so Bench (timed runs), Verify (the
+    * driver's oracle gate), QueryTime (A/B tool) and PlanSnap (plan
+    * evidence) all execute the SAME physical plans. r21 shipped these
+    * only in Bench, so the 252/252 gate validated stock-conf plans
+    * while Bench timed conf'd ones (VERDICT r21 #3).
+    */
+  def engineConfs: Seq[(String, String)] = Seq(
+    "spark.sql.adaptive.enabled" -> "true",
+    // shuffled-hash joins where their BYTE-sized conditions hold —
+    // static preference off sort-merge + AQE runtime SMJ→SHJ for
+    // build maps under 128m; scale-adaptive by construction
+    "spark.sql.join.preferSortMergeJoin" ->
+      sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"),
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold" ->
+      sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "128m"),
+    // byte-sized post-shuffle coalescing: partition counts derive from
+    // data volume (64m advisory), not the core-count constant
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst" ->
+      sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "false"),
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+      sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION", "64m"),
+  )
+
+  /** Apply [[engineConfs]] to a builder. */
+  def withEngineConfs(b: SparkSession.Builder): SparkSession.Builder =
+    engineConfs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+
   /** Register everything onto a session created elsewhere (e.g. the
     * driver's Verify/Bench sessions, which we don't construct).
     */

@@ -28,8 +28,8 @@ object BinaryIvfIndex {
   private val metaCache = TrieMap.empty[String, BMeta]
   // size-bounded (shared centroid budget); evicted tables reload from
   // the centroids/ parquet artifact
-  private val centroidCache = new BoundedCache[Array[Array[Byte]]](
-    BoundedCache.CentroidConfKey, BoundedCache.CentroidDefault)
+  private val centroidCache = BoundedCache.view[Array[Array[Byte]]](
+    "bivf#", BoundedCache.byteTableBytes)
 
   private[graft] def nearestHamming(cs: Array[Array[Byte]], v: Array[Byte]): Int = {
     var best = 0; var bestD = Float.MaxValue; var i = 0
@@ -132,7 +132,7 @@ object BinaryIvfIndex {
         s""""nRows":$n,"vecCol":"$vecCol","idCol":"$idCol","status":"BUILT",""" +
         s""""metric":"$metric"}""" + "\n")
     metaCache.put(indexDir, BMeta(nLists, nBytes, n, vecCol, idCol, "BUILT", metric))
-    centroidCache.put(indexDir, centroids)(BoundedCache.byteTableBytes)
+    centroidCache.put(indexDir, centroids)
 
     val entry = IvfIndex.IndexEntry(indexName, indexDir, sourcePath, vecCol,
       "BinaryIVF", metric, "BUILT", n, defaultNprobe)
@@ -163,7 +163,7 @@ object BinaryIvfIndex {
     centroidCache.getOrLoad(indexDir) {
       spark.read.parquet(s"$indexDir/centroids").orderBy("list_id").collect()
         .map(_.getAs[Array[Byte]](1))
-    }(BoundedCache.byteTableBytes)
+    }
 
   /** The probe set [[search]] uses — public for replay oracles (same
     * contract as [[IvfIndex.probeSet]]). Ranks centroids by the index's

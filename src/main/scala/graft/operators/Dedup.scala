@@ -1322,6 +1322,30 @@ object Dedup {
     * its [[AutoPlanes]] default and is the engine's documented scale
     * path (its axis-aligned buckets are also engine-replayable).
     */
+  /** Bucket self-join build-side strategy for the LSH pair paths —
+    * `spark.graft.lsh.bucketJoin` session conf, default from env
+    * `SPARK_GRAFT_LSH_JOIN`, else "shuffle_hash".
+    *
+    * - "shuffle_hash" (default): pin SHJ. The 100 TB shape — neither
+    *   side of the bucket self-join can broadcast there, bounded bucket
+    *   loads make the per-partition hash build tiny, and the (table,
+    *   bucket) exchange spreads the cosine verify across reducers
+    *   (r21: with a single input split, AQE's broadcast plan ran the
+    *   whole verify in ONE probe task).
+    * - "auto": no hint — planner/AQE free choice (broadcast at small
+    *   SF). Exists so the r21 driver regression on d09/d10/d17 can be
+    *   A/B'd per VERDICT r21 #2 without a recompile.
+    * - "broadcast": force broadcast of the build side.
+    */
+  private def lshBucketBuildSide(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption("spark.graft.lsh.bucketJoin")
+      .getOrElse(sys.env.getOrElse("SPARK_GRAFT_LSH_JOIN", "shuffle_hash"))
+    match {
+      case "auto" => df
+      case "broadcast" => broadcast(df)
+      case _ => df.hint("shuffle_hash")
+    }
+
   def lshCosinePairs(
       df: DataFrame,
       vecCol: Column,
@@ -1346,9 +1370,9 @@ object Dedup {
         posexplode(array(tableBuckets: _*)))
       .withColumnRenamed("pos", "table_id")
       .withColumnRenamed("col", "bucket")
-    // shuffle-hash, never broadcast — see lshCosineCoordPairs
+    // shuffle-hash by default — see lshCosineCoordPairs / the knob doc
     buckets.as("a")
-      .join(buckets.hint("shuffle_hash").as("b"),
+      .join(lshBucketBuildSide(buckets).as("b"),
         col("a.table_id") === col("b.table_id") &&
           col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       // verify on the join output (map side of the pair dedup): candidate
@@ -1453,7 +1477,7 @@ object Dedup {
     // hint rationale as blockedHammingPairs (bounded bucket loads make
     // the per-partition hash build tiny; no sort).
     buckets.as("a")
-      .join(buckets.hint("shuffle_hash").as("b"),
+      .join(lshBucketBuildSide(buckets).as("b"),
         col("a.table_id") === col("b.table_id") &&
           col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .withColumn("cos_sim",

@@ -685,7 +685,10 @@ object HnswIndex {
     val partDirs =
       (if (fs.exists(root)) fs.listStatus(root).toSeq else Seq.empty)
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("part_id="))
-        .map(_.getPath)
+        // (path, mtime): the mtime rides into the graph-cache key as a
+        // build tag, so a REBUILT index dir misses in EVERY JVM's cache
+        // (r21 only invalidated the building JVM's — r21 ADVICE)
+        .map(st => (st.getPath, st.getModificationTime))
     // SMALL_PART segments (parts under min_rows_to_build_vector_index at
     // build time) hold raw vectors in smallparts/ — brute-forced exactly,
     // the reference's behavior for index-less parts.
@@ -695,7 +698,7 @@ object HnswIndex {
       s"no graph partitions or small parts under $indexDir")
     val filt = accept
     val decode = decoder(spark, indexDir, fs)
-    val perPart = partDirs.map { p =>
+    val perPart = partDirs.map { case (p, mtime) =>
       val pid = p.getName.stripPrefix("part_id=").toInt
       decode match {
         case Some(dec) =>
@@ -707,7 +710,7 @@ object HnswIndex {
               val nodes = rows.map { case (ni, id, codes, nbrs) =>
                 GraphNode(ni, id, dec(codes), nbrs)
               }
-              val g = loadGraph(s"$indexDir#$pid", nodes, metric)
+              val g = loadGraph(s"$indexDir#$pid@$mtime", nodes, metric)
               g.search(q, k, ef, filt.getOrElse((_: Long) => true)).iterator
             }
         case None =>
@@ -716,7 +719,7 @@ object HnswIndex {
             .as[GraphNode]
             .coalesce(1)
             .mapPartitions { rows =>
-              val g = loadGraph(s"$indexDir#$pid", rows, metric)
+              val g = loadGraph(s"$indexDir#$pid@$mtime", rows, metric)
               g.search(q, k, ef, filt.getOrElse((_: Long) => true)).iterator
             }
       }
@@ -770,13 +773,16 @@ object HnswIndex {
     val partDirs =
       (if (fs.exists(root)) fs.listStatus(root).toSeq else Seq.empty)
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("part_id="))
-        .map(_.getPath)
+        // (path, mtime): the mtime rides into the graph-cache key as a
+        // build tag, so a REBUILT index dir misses in EVERY JVM's cache
+        // (r21 only invalidated the building JVM's — r21 ADVICE)
+        .map(st => (st.getPath, st.getModificationTime))
     val smallPath = new org.apache.hadoop.fs.Path(s"$indexDir/smallparts")
     val hasSmall = fs.exists(smallPath)
     require(partDirs.nonEmpty || hasSmall,
       s"no graph partitions or small parts under $indexDir")
     val decode = decoder(spark, indexDir, fs)
-    val perPart = partDirs.map { p =>
+    val perPart = partDirs.map { case (p, mtime) =>
       val pid = p.getName.stripPrefix("part_id=").toInt
       decode match {
         case Some(dec) =>
@@ -788,7 +794,7 @@ object HnswIndex {
               val nodes = rows.map { case (ni, id, codes, nbrs) =>
                 GraphNode(ni, id, dec(codes), nbrs)
               }
-              val g = loadGraph(s"$indexDir#$pid", nodes, metric)
+              val g = loadGraph(s"$indexDir#$pid@$mtime", nodes, metric)
               g.searchPool(q, k, ef).iterator
             }
         case None =>
@@ -797,7 +803,7 @@ object HnswIndex {
             .as[GraphNode]
             .coalesce(1)
             .mapPartitions { rows =>
-              val g = loadGraph(s"$indexDir#$pid", rows, metric)
+              val g = loadGraph(s"$indexDir#$pid@$mtime", rows, metric)
               g.searchPool(q, k, ef).iterator
             }
       }
@@ -875,7 +881,10 @@ object HnswIndex {
     val partDirs =
       (if (fs.exists(root)) fs.listStatus(root).toSeq else Seq.empty)
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("part_id="))
-        .map(_.getPath)
+        // (path, mtime): the mtime rides into the graph-cache key as a
+        // build tag, so a REBUILT index dir misses in EVERY JVM's cache
+        // (r21 only invalidated the building JVM's — r21 ADVICE)
+        .map(st => (st.getPath, st.getModificationTime))
     val smallPath = new org.apache.hadoop.fs.Path(s"$indexDir/smallparts")
     val hasSmall = fs.exists(smallPath)
     require(partDirs.nonEmpty || hasSmall,
@@ -904,7 +913,7 @@ object HnswIndex {
         java.util.Arrays.sort(m)
         Iterator.single(m)
       }
-    val perPart = partDirs.map { p =>
+    val perPart = partDirs.map { case (p, mtime) =>
       val pid = p.getName.stripPrefix("part_id=").toInt
       val nodesRdd: org.apache.spark.rdd.RDD[GraphNode] = decode match {
         case Some(dec) =>
@@ -920,7 +929,7 @@ object HnswIndex {
       }
       nodesRdd.zipPartitions(maskRdd) { (rows, mit) =>
         val mask = if (mit.hasNext) mit.next() else Array.empty[Long]
-        val g = loadGraph(s"$indexDir#$pid", rows, metric)
+        val g = loadGraph(s"$indexDir#$pid@$mtime", rows, metric)
         if (mask.length > cap) {
           // overflow: mask truncated → cannot filter exactly here; the
           // runtime-gated overflow branch below contributes ALL
@@ -995,13 +1004,16 @@ object HnswIndex {
     val partDirs =
       (if (fs.exists(root)) fs.listStatus(root).toSeq else Seq.empty)
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("part_id="))
-        .map(_.getPath)
+        // (path, mtime): the mtime rides into the graph-cache key as a
+        // build tag, so a REBUILT index dir misses in EVERY JVM's cache
+        // (r21 only invalidated the building JVM's — r21 ADVICE)
+        .map(st => (st.getPath, st.getModificationTime))
     val smallPath = new org.apache.hadoop.fs.Path(s"$indexDir/smallparts")
     val hasSmall = fs.exists(smallPath)
     require(partDirs.nonEmpty || hasSmall,
       s"no graph partitions or small parts under $indexDir")
     val decode = decoder(spark, indexDir, fs)
-    val perPart = partDirs.map { p =>
+    val perPart = partDirs.map { case (p, mtime) =>
       val pid = p.getName.stripPrefix("part_id=").toInt
       def searchAll(g: Graph): Iterator[(Int, Long, Float)] =
         qArr.iterator.zipWithIndex.flatMap { case (q, qi) =>
@@ -1017,7 +1029,7 @@ object HnswIndex {
               val nodes = rows.map { case (ni, id, codes, nbrs) =>
                 GraphNode(ni, id, dec(codes), nbrs)
               }
-              searchAll(loadGraph(s"$indexDir#$pid", nodes, metric))
+              searchAll(loadGraph(s"$indexDir#$pid@$mtime", nodes, metric))
             }
         case None =>
           spark.read.schema(GraphSchemaFlat).parquet(p.toString)
@@ -1025,7 +1037,7 @@ object HnswIndex {
             .as[GraphNode]
             .coalesce(1)
             .mapPartitions { rows =>
-              searchAll(loadGraph(s"$indexDir#$pid", rows, metric))
+              searchAll(loadGraph(s"$indexDir#$pid@$mtime", rows, metric))
             }
       }
     }

@@ -112,8 +112,8 @@ object IvfIndex {
   // per-JVM centroid cache (VICacheManager.cpp analog) — size-bounded
   // like the reference's cache; evicted tables reload from the
   // centroids/ parquet artifact on next use
-  private val centroidCache = new BoundedCache[Array[Array[Float]]](
-    BoundedCache.CentroidConfKey, BoundedCache.CentroidDefault)
+  private val centroidCache = BoundedCache.view[Array[Array[Float]]](
+    "ivf#", BoundedCache.floatTableBytes)
   private val metaCache = TrieMap.empty[String, Meta]
 
   /** Load index metadata, reading back the persisted `meta.json` when this
@@ -336,7 +336,7 @@ object IvfIndex {
         s""""dim":${meta.dim},"nRows":${meta.nRows},"vecCol":"${meta.vecCol}",""" +
         s""""sourcePath":"${meta.sourcePath}","status":"BUILT"}""")
     metaCache.put(indexDir, meta)
-    centroidCache.put(indexDir, centroids)(BoundedCache.floatTableBytes)
+    centroidCache.put(indexDir, centroids)
 
     val entry = IndexEntry(indexName, indexDir, sourcePath, vecCol, "IVFFLAT",
       metric, "BUILT", n, defaultNprobe)
@@ -397,7 +397,7 @@ object IvfIndex {
       spark.read.parquet(s"$indexDir/centroids")
         .orderBy("list_id").collect()
         .map(_.getSeq[Float](1).toArray)
-    }(BoundedCache.floatTableBytes)
+    }
 
   /** The probe set [[search]] uses for this query: the nprobe nearest
     * centroid lists under the index metric. Public so a replay oracle can

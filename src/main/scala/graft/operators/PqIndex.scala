@@ -37,10 +37,10 @@ object PqIndex {
   // codebooks(sub)(code) = centroid of that subspace. Both artifact
   // caches are size-bounded (shared centroid budget — see BoundedCache);
   // eviction reloads from the codebooks/ and centroids/ parquet.
-  private val codebookCache = new BoundedCache[Array[Array[Array[Float]]]](
-    BoundedCache.CentroidConfKey, BoundedCache.CentroidDefault)
-  private val centroidCache = new BoundedCache[Array[Array[Float]]](
-    BoundedCache.CentroidConfKey, BoundedCache.CentroidDefault)
+  private val codebookCache = BoundedCache.view[Array[Array[Array[Float]]]](
+    "pqbook#", BoundedCache.codebookBytes)
+  private val centroidCache = BoundedCache.view[Array[Array[Float]]](
+    "pq#", BoundedCache.floatTableBytes)
 
   private[graft] def encode(
       v: Array[Float], books: Array[Array[Array[Float]]]): Array[Byte] = {
@@ -155,8 +155,8 @@ object PqIndex {
         s""""m":$m,"dim":$dim,"nRows":$n,"vecCol":"$vecCol","idCol":"$idCol",""" +
         s""""status":"BUILT"}""" + "\n")
     metaCache.put(indexDir, PqMeta(metric, nLists, m, dim, n, vecCol, idCol, "BUILT"))
-    codebookCache.put(indexDir, books)(BoundedCache.codebookBytes)
-    centroidCache.put(indexDir, centroids)(BoundedCache.floatTableBytes)
+    codebookCache.put(indexDir, books)
+    centroidCache.put(indexDir, centroids)
 
     val entry = IvfIndex.IndexEntry(indexName, indexDir, sourcePath, vecCol,
       "IVFPQ", metric, "BUILT", n, defaultNprobe)
@@ -189,13 +189,13 @@ object PqIndex {
         rows.filter(_.getInt(0) == s).sortBy(_.getInt(1))
           .map(_.getSeq[Float](2).toArray)
       }
-    }(BoundedCache.codebookBytes)
+    }
 
   private def loadCentroids(spark: SparkSession, indexDir: String): Array[Array[Float]] =
     centroidCache.getOrLoad(indexDir) {
       spark.read.parquet(s"$indexDir/centroids").orderBy("list_id").collect()
         .map(_.getSeq[Float](1).toArray)
-    }(BoundedCache.floatTableBytes)
+    }
 
   /** ADC lookup table: adc(s*256 + c) = exact L2² between the query's
     * subvector s and codebook centroid c. Σ over subspaces = L2² to the

@@ -283,30 +283,57 @@ object RelationalOps {
   def partitionedRunningSum(
       df: DataFrame, orderCol: String, sumCols: Seq[String]): DataFrame = {
     import org.apache.spark.TaskContext
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
-    import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow, UnsafeProjection}
+    import org.apache.spark.sql.types._
     val ranged = df.repartitionByRange(col(orderCol))
       .sortWithinPartitions(col(orderCol))
     val withPidSchema = StructType(df.schema.fields.toSeq
       ++ sumCols.map(c => StructField(s"__cum_$c", DoubleType))
       :+ StructField("__pid", IntegerType))
-    val enc = ExpressionEncoder(RowEncoder.encoderFor(withPidSchema))
-    val idxs = sumCols.map(df.schema.fieldIndex)
-    val local = ranged.mapPartitions { rows =>
+    val idxs = sumCols.map(df.schema.fieldIndex).toArray
+    // r22 (guide §1.2 — per-task work): the cumulate pass stays in
+    // Spark's INTERNAL row format. The r21 form rebuilt an external Row
+    // per input row (r.toSeq ++ acc.toSeq) and pushed it back through an
+    // ExpressionEncoder — a serialize/deserialize round-trip that was the
+    // dominant constant cost of all 7 consumers (e34/e35/e37/e39/e60/
+    // p01/q06). Values are bit-identical: same widening-to-double
+    // semantics, same per-partition addition order.
+    val getters: Array[InternalRow => Double] =
+      idxs.map { ix =>
+        df.schema.fields(ix).dataType match {
+          case DoubleType => (r: InternalRow) => r.getDouble(ix)
+          case FloatType => (r: InternalRow) => r.getFloat(ix).toDouble
+          case LongType => (r: InternalRow) => r.getLong(ix).toDouble
+          case IntegerType => (r: InternalRow) => r.getInt(ix).toDouble
+          case ShortType => (r: InternalRow) => r.getShort(ix).toDouble
+          case ByteType => (r: InternalRow) => r.getByte(ix).toDouble
+          case dt: DecimalType =>
+            (r: InternalRow) => r.getDecimal(ix, dt.precision, dt.scale).toDouble
+          case dt => throw new IllegalArgumentException(
+            s"partitionedRunningSum over non-numeric column type $dt")
+        }
+      }
+    val rdd = ranged.queryExecution.toRdd.mapPartitions { rows =>
       val pid = TaskContext.getPartitionId()
       val acc = new Array[Double](idxs.length)
+      val proj = UnsafeProjection.create(withPidSchema)
+      val joined = new JoinedRow
       rows.map { r =>
+        val extra = new Array[Any](idxs.length + 1)
         var i = 0
         while (i < idxs.length) {
-          val v = r.get(idxs(i))
-          acc(i) += (if (v == null) 0.0
-                     else v.asInstanceOf[Number].doubleValue())
+          if (!r.isNullAt(idxs(i))) acc(i) += getters(i)(r)
+          extra(i) = acc(i)
           i += 1
         }
-        Row.fromSeq(r.toSeq ++ acc.toSeq :+ pid)
+        extra(idxs.length) = pid
+        proj(joined(r, new GenericInternalRow(extra))): InternalRow
       }
-    }(enc).persist() // read once for totals, once for the final pass
+    }
+    val local = org.apache.spark.sql.graft.shim
+      .internalDf(df.sparkSession, rdd, withPidSchema)
+      .persist() // read once for totals, once for the final pass
     // Phase 2: per-partition totals — ONE ROW PER PARTITION (bounded
     // driver collect), turned into exclusive prefix offsets.
     // (r21 note: an in-plan variant — windowed totals + broadcast join,
@@ -353,7 +380,8 @@ object RelationalOps {
   def keyedRank(df: DataFrame, keyCol: String, orderCols: Seq[Column]): DataFrame = {
     import org.apache.spark.TaskContext
     import org.apache.spark.sql.Row
-    import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow, UnsafeProjection}
     import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
     val sortCols = col(keyCol) +: orderCols
     val ranged = df.repartitionByRange(sortCols: _*)
@@ -361,18 +389,32 @@ object RelationalOps {
     val withRankSchema = StructType(df.schema.fields.toSeq
       :+ StructField("__local_rank", LongType)
       :+ StructField("__pid", IntegerType))
-    val enc = ExpressionEncoder(RowEncoder.encoderFor(withRankSchema))
     val keyIdx = df.schema.fieldIndex(keyCol)
-    val local = ranged.mapPartitions { rows =>
+    val keyType = df.schema.fields(keyIdx).dataType
+    // r22: same InternalRow treatment as partitionedRunningSum — the
+    // local-rank pass no longer round-trips rows through an external Row
+    // + ExpressionEncoder. curKey copies the key value (an UnsafeRow's
+    // UTF8String points into the reused row buffer); equality semantics
+    // match the external form.
+    val rdd = ranged.queryExecution.toRdd.mapPartitions { rows =>
       val pid = TaskContext.getPartitionId()
+      val proj = UnsafeProjection.create(withRankSchema)
+      val joined = new JoinedRow
       var curKey: Any = null; var started = false; var n = 0L
       rows.map { r =>
-        val k = r.get(keyIdx)
-        if (!started || k != curKey) { curKey = k; n = 0L; started = true }
+        val k = r.get(keyIdx, keyType)
+        if (!started || k != curKey) {
+          curKey = InternalRow.copyValue(k); n = 0L; started = true
+        }
         n += 1
-        Row.fromSeq(r.toSeq :+ n :+ pid)
+        val extra = new Array[Any](2)
+        extra(0) = n; extra(1) = pid
+        proj(joined(r, new GenericInternalRow(extra))): InternalRow
       }
-    }(enc).persist() // read once for the count pass, once for the join
+    }
+    val local = org.apache.spark.sql.graft.shim
+      .internalDf(df.sparkSession, rdd, withRankSchema)
+      .persist() // read once for the count pass, once for the join
     try {
       // Per-(partition, key) counts — bounded collect by the
       // key-cardinality contract, ENFORCED: take(cap+1) streams at most

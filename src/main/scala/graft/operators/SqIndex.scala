@@ -38,8 +38,8 @@ object SqIndex {
   private val paramCache = TrieMap.empty[String, (Array[Float], Array[Float])] // (scale, offset)
   // size-bounded (shared centroid budget); evicted tables reload from
   // the centroids/ parquet artifact
-  private val centroidCache = new BoundedCache[Array[Array[Float]]](
-    BoundedCache.CentroidConfKey, BoundedCache.CentroidDefault)
+  private val centroidCache = BoundedCache.view[Array[Array[Float]]](
+    "sq#", BoundedCache.floatTableBytes)
 
   private[graft] def parseMetric(m: String): Metric.Value = m.trim.toLowerCase match {
     case "l2" | "euclidean" => Metric.L2
@@ -126,7 +126,7 @@ object SqIndex {
         s""""status":"BUILT"}""" + "\n")
     metaCache.put(indexDir, SqMeta(metric, nLists, dim, n, vecCol, idCol, "BUILT"))
     paramCache.put(indexDir, (scale, offset))
-    centroidCache.put(indexDir, centroids)(BoundedCache.floatTableBytes)
+    centroidCache.put(indexDir, centroids)
 
     val entry = IvfIndex.IndexEntry(indexName, indexDir, sourcePath, vecCol,
       "IVFSQ", metric, "BUILT", n, defaultNprobe)
@@ -160,7 +160,7 @@ object SqIndex {
     centroidCache.getOrLoad(indexDir) {
       spark.read.parquet(s"$indexDir/centroids").orderBy("list_id").collect()
         .map(_.getSeq[Float](1).toArray)
-    }(BoundedCache.floatTableBytes)
+    }
 
   /** Stage-1 candidate ids only (quantized ranking over the probed
     * lists) — used by [[graft.plans.TopKSearchRewrite]] to graft an IVFSQ

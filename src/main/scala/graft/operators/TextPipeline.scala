@@ -139,29 +139,42 @@ object TextPipeline {
     // operator). Bigrams come straight from the token ARRAY as adjacent
     // pairs — a scan-stage lambda, NOT the former (id, pos) self-join,
     // so the whole pair-forming shuffle is gone.
-    def hashedBigrams(src: DataFrame): DataFrame =
+    //
+    // r22 (guide §1.2/§2.4 — one pass instead of four): a single
+    // (id, ph, wh) row per TOKEN POSITION (ph null at position 0)
+    // carries everything the model needs — unigram counts are the `wh`
+    // column (each token appears exactly once as its own position's
+    // wh), the total T is their sum, and bigram rows are the ph-not-null
+    // subset. The r21 form tokenized the corpus once per frame: the
+    // token-count action, the unigram groupBy, the count-side bigrams
+    // and the scored-side bigrams — four full tokenize passes
+    // self-scored (a direct token-ARRAY persist was A/B'd in r21 and
+    // lost: token strings are corpus-sized; these rows are three longs).
+    // The pair frame and the vocab-bounded count frames persist
+    // (MEMORY_AND_DISK, lineage kept) and stay live with the returned
+    // lazy frame — the keyedRank/house posture.
+    def tokenPairs(src: DataFrame): DataFrame =
       src.select(idCol.as("id"), text.tokenize(textCol).as("__t"))
         .select(col("id"), explode(expr(
-          """filter(
-               transform(__t, (x, i) -> struct(
-                 CASE WHEN i > 0 THEN xxhash64(__t[i - 1]) END AS ph,
-                 xxhash64(x) AS wh)),
-               s -> s.ph IS NOT NULL)""")).as("bg"))
-        .select(col("id"), col("bg.ph").as("ph"), col("bg.wh").as("wh"))
-    def hashedToks(src: DataFrame): DataFrame =
-      src.select(text.tokenize(textCol).as("__t"))
-        .select(explode(expr("transform(__t, x -> xxhash64(x))")).as("th"))
+          """transform(__t, (x, i) -> struct(
+               CASE WHEN i > 0 THEN xxhash64(__t[i - 1]) END AS ph,
+               xxhash64(x) AS wh))""")).as("tp"))
+        .select(col("id"), col("tp.ph").as("ph"), col("tp.wh").as("wh"))
     // count frames come from the REFERENCE corpus when given (the
     // CCNet posture: a held-out/high-quality reference LM), else from
     // the scored corpus itself
-    val refSrc = if (reference == null) df else reference
-    val refToks = hashedToks(refSrc)
-    val total = math.max(refToks.count(), 1L)
-    val uni = refToks.groupBy(col("th")).agg(count(lit(1)).as("c1"))
-    val bi = hashedBigrams(refSrc)
+    val dfPairs = tokenPairs(df).persist()
+    val refPairs = if (reference == null) dfPairs else tokenPairs(reference)
+    val uni = refPairs.groupBy(col("wh").as("th")).agg(count(lit(1)).as("c1"))
+      .persist()
+    // T = Σ c1 over the (vocab-bounded, persisted) unigram frame — the
+    // r21 form burned a full tokenize pass on refToks.count()
+    val totRow = uni.agg(sum(col("c1"))).collect()(0)
+    val total = math.max(if (totRow.isNullAt(0)) 0L else totRow.getLong(0), 1L)
+    val bi = refPairs.filter(col("ph").isNotNull)
       .groupBy(col("ph").as("p"), col("wh").as("w"))
       .agg(count(lit(1)).as("c2"))
-    val scored = hashedBigrams(df)
+    val scored = dfPairs.filter(col("ph").isNotNull)
       .join(bi, col("ph") === col("p") && col("wh") === col("w"), "left")
       .join(uni.withColumnRenamed("th", "__pt").withColumnRenamed("c1", "c1p"),
         col("ph") === col("__pt"), "left")

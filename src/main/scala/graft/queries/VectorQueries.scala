@@ -832,10 +832,13 @@ object VectorQueries {
       queries(name)(s, dir).select(col(idCol).cast("long").as("rid"))
     // The exact frames are k = 10 rows each but feed 6/2/1 legs: pinned
     // eagerly so the brute top-K scans run once, not once per consuming
-    // leg (r21 — guide §2.4, shared subtree evaluated once).
-    val exactDense = ids("v01_l2_topk", "vec_id").localCheckpoint(true)
-    val exactBin = ids("v10_binary_hamming", "doc_id").localCheckpoint(true)
-    val exactFiltered = ids("v04_prefilter_topk", "vec_id").localCheckpoint(true)
+    // leg (r21 — guide §2.4, shared subtree evaluated once). distinct()
+    // (free at 10 rows) makes the left-join count arithmetic's
+    // distinct-rid assumption structural — a duplicate exact rid would
+    // otherwise inflate n_results AND hits (r21 ADVICE).
+    val exactDense = ids("v01_l2_topk", "vec_id").distinct().localCheckpoint(true)
+    val exactBin = ids("v10_binary_hamming", "doc_id").distinct().localCheckpoint(true)
+    val exactFiltered = ids("v04_prefilter_topk", "vec_id").distinct().localCheckpoint(true)
     val legs: Seq[(String, DataFrame, DataFrame)] = Seq(
       ("ivf_nprobe", ids("v09_ivf_nprobe", "vec_id"), exactDense),
       ("hnsw", ids("v11_hnsw_search", "vec_id"), exactDense),

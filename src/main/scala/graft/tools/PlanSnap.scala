@@ -16,12 +16,13 @@ object PlanSnap {
       .getOrElse(sys.error("names required"))
     val sfDir = args.lift(3).getOrElse("/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
+    // engineConfs: plan evidence must show the plans Bench times
+    val spark = graft.engine.GraftSession.withEngineConfs(
+      SparkSession.builder()
       .withExtensions(new graft.engine.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.session.timeZone", "UTC"))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()

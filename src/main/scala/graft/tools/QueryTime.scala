@@ -12,12 +12,14 @@ object QueryTime {
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(2).map(_.toInt).getOrElse(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // engineConfs: match Bench's session posture exactly — an A/B timed
+    // here must execute the plans the bench times
+    val spark = graft.engine.GraftSession.withEngineConfs(
+      SparkSession.builder()
       .withExtensions(new graft.engine.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.session.timeZone", "UTC"))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()

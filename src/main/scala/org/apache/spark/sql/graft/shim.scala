@@ -33,6 +33,20 @@ object shim {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** DataFrame over an RDD of InternalRow
+    * (`SparkSession.internalCreateDataFrame` is `private[sql]`) — lets
+    * per-partition passes (running sums, local ranks) stay in Spark's
+    * internal row format instead of round-tripping every row through an
+    * external `Row` + ExpressionEncoder (r22, guide §1.2 per-task work).
+    */
+  def internalDf(
+      spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
+
   /** Drain the listener bus (`private[spark]`) — lets tests assert
     * "no job ran during optimization" without sleeping.
     */

@@ -49,6 +49,54 @@ class BoundedCacheSpec extends SparkSpec {
     assert(c.size === 0)
   }
 
+  test("cold loads of DIFFERENT keys run concurrently (r22: load outside the monitor)") {
+    // Loader A blocks until loader B has completed. Under the r21
+    // global-lock form this deadlocks (B waits on the monitor A holds);
+    // with per-key in-flight latches B finishes and unblocks A.
+    val c = cache("1000")
+    val bDone = new java.util.concurrent.CountDownLatch(1)
+    val aStarted = new java.util.concurrent.CountDownLatch(1)
+    @volatile var aResult: String = null
+    val tA = new Thread(() => {
+      aResult = c.getOrLoad("a") {
+        aStarted.countDown()
+        assert(bDone.await(10, java.util.concurrent.TimeUnit.SECONDS),
+          "load of 'b' never completed while 'a' was loading")
+        "va"
+      }(_ => 1L)
+    })
+    tA.start()
+    assert(aStarted.await(10, java.util.concurrent.TimeUnit.SECONDS))
+    assert(c.getOrLoad("b")("vb")(_ => 1L) === "vb") // must not block on A
+    bDone.countDown()
+    tA.join(10000)
+    assert(aResult === "va")
+    assert(c.keys.toSet === Set("a", "b"))
+  }
+
+  test("racing loads of the SAME key collapse to one loader") {
+    val c = cache("1000")
+    val loads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val inLoad = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val t1 = new Thread(() => results.add(c.getOrLoad("k") {
+      loads.incrementAndGet(); inLoad.countDown()
+      assert(release.await(10, java.util.concurrent.TimeUnit.SECONDS)); "v"
+    }(_ => 1L)))
+    t1.start()
+    assert(inLoad.await(10, java.util.concurrent.TimeUnit.SECONDS))
+    val t2 = new Thread(() => results.add(c.getOrLoad("k") {
+      loads.incrementAndGet(); "v2-should-not-load"
+    }(_ => 1L)))
+    t2.start()
+    Thread.sleep(50) // give t2 time to reach the latch wait
+    release.countDown()
+    t1.join(10000); t2.join(10000)
+    assert(loads.get === 1)
+    assert(results.size === 2 && results.toArray.forall(_ === "v"))
+  }
+
   test("put overwrites weight accounting; invalidatePrefix drops matching keys") {
     val c = cache("100")
     c.put("a#1", "v")(_ => 10L)
